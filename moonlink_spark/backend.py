@@ -1,0 +1,138 @@
+"""MoonlinkBackend: the orchestration facade over many tables.
+
+Parity with the reference backend API surface
+(``src/moonlink_backend/src/lib.rs`` + RPC verbs
+``src/moonlink_rpc/src/lib.rs:28-39``): create_table, drop_table,
+list_tables, scan_table(db, table, lsn), optimize_table, create_snapshot,
+plus table metadata persistence (``src/moonlink_metadata_store``) as a JSON
+catalog file under the warehouse root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from moonlink_spark.errors import TableConfigError
+from moonlink_spark.table.identity import IdentityProp
+from moonlink_spark.table.maintenance import optimize
+from moonlink_spark.table.table import MoonlinkTable
+
+CATALOG_FILE = "_catalog.json"
+
+
+class MoonlinkBackend:
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = os.path.abspath(warehouse)
+        os.makedirs(self.warehouse, exist_ok=True)
+        self._lock = threading.RLock()
+        self._tables: dict[tuple[str, str], MoonlinkTable] = {}
+
+    # -- catalog persistence ------------------------------------------------
+
+    def _catalog_path(self) -> str:
+        return os.path.join(self.warehouse, CATALOG_FILE)
+
+    def _load_catalog(self) -> dict[str, Any]:
+        p = self._catalog_path()
+        if os.path.exists(p):
+            with open(p) as fh:
+                return json.load(fh)
+        return {"tables": {}}
+
+    def _save_catalog(self, cat: dict[str, Any]) -> None:
+        tmp = self._catalog_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(cat, fh, indent=1)
+        os.replace(tmp, self._catalog_path())
+
+    @staticmethod
+    def _key(database: str, table: str) -> str:
+        return f"{database}.{table}"
+
+    # -- table lifecycle ------------------------------------------------------
+
+    def create_table(
+        self,
+        database: str,
+        table: str,
+        schema: T.StructType | list[dict[str, Any]],
+        identity: IdentityProp,
+        append_only: bool | None = None,
+        properties: dict[str, Any] | None = None,
+    ) -> MoonlinkTable:
+        with self._lock:
+            cat = self._load_catalog()
+            key = self._key(database, table)
+            if key in cat["tables"]:
+                raise TableConfigError(f"table {key} already exists")
+            path = os.path.join(self.warehouse, database, table)
+            t = MoonlinkTable.create(
+                self.spark, path, schema, identity, append_only, properties
+            )
+            cat["tables"][key] = {"path": path}
+            self._save_catalog(cat)
+            self._tables[(database, table)] = t
+            return t
+
+    def get_table(self, database: str, table: str) -> MoonlinkTable:
+        with self._lock:
+            cached = self._tables.get((database, table))
+            if cached is not None:
+                return cached
+            cat = self._load_catalog()
+            entry = cat["tables"].get(self._key(database, table))
+            if entry is None:
+                raise TableConfigError(f"unknown table {database}.{table}")
+            t = MoonlinkTable.open(self.spark, entry["path"])
+            self._tables[(database, table)] = t
+            return t
+
+    def drop_table(self, database: str, table: str) -> None:
+        with self._lock:
+            cat = self._load_catalog()
+            entry = cat["tables"].pop(self._key(database, table), None)
+            self._save_catalog(cat)
+            self._tables.pop((database, table), None)
+            if entry:
+                MoonlinkTable(self.spark, entry["path"]).drop()
+
+    def list_tables(self) -> list[str]:
+        return sorted(self._load_catalog()["tables"].keys())
+
+    # -- reads ----------------------------------------------------------------
+
+    def scan_table(
+        self,
+        database: str,
+        table: str,
+        lsn: int | None = None,
+        blocking: bool = False,
+        timeout_s: float = 30.0,
+    ) -> DataFrame:
+        t = self.get_table(database, table)
+        if lsn is not None and blocking:
+            return t.scan_blocking(lsn, timeout_s)
+        return t.scan(lsn=lsn)
+
+    # -- maintenance ------------------------------------------------------------
+
+    def optimize_table(self, database: str, table: str, mode: str = "full") -> int:
+        """mode: data | index | full (parity optimize_table,
+        src/moonlink_backend/src/lib.rs:360-384; 'index' is a no-op here —
+        delete targeting uses joins, not a persisted index)."""
+        t = self.get_table(database, table)
+        return optimize(t, mode)
+
+    def create_snapshot(self, database: str, table: str, lsn: int | None = None) -> int:
+        """Force a commit of any pending ops (parity ForceSnapshot)."""
+        t = self.get_table(database, table)
+        if t.has_pending():
+            return t.commit(lsn=lsn, operation="snapshot")
+        return t.manifest.version

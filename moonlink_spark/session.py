@@ -1,0 +1,76 @@
+"""SparkSession factory tuned for the moonlink_spark engine.
+
+Local test runs use ``local[N]``; the same config block is what we would ship
+to a 1000-executor cluster — everything scale-sensitive (AQE, shuffle
+partitions, broadcast threshold, Arrow batch sizes) is centralized here so a
+cluster deployment only overrides master/resources.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS: dict[str, str] = {
+    # Adaptive query execution: runtime shuffle-partition coalescing, skew-join
+    # splitting, and dynamic join-strategy switching. Essential at 100 TB where
+    # static partition counts are always wrong for some stage.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Runtime bloom-filter pushdown replaces the reference's persisted hash
+    # index for join-side row pruning (SURVEY.md §4).
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # Arrow transfer for every Python<->JVM hop (pandas UDFs, toPandas).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Parquet: pushdown + vectorized reads are the default, be explicit since
+    # the scan path is the backbone of the whole engine.
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.parquet.enableVectorizedReader": "true",
+    # Target ~128 MiB per scan partition (reference targets 128 MiB parquet
+    # files, storage/mooncake_table_config.rs:21-27).
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # Session timezone pinned to UTC: reference canonicalizes timestamptz to
+    # UTC micros (pg_replicate/util.rs:50-56) and the DuckDB oracle runs UTC.
+    "spark.sql.session.timeZone": "UTC",
+    # Shuffle: compress + spill settings appropriate for wide aggregations.
+    "spark.sql.shuffle.partitions": "32",
+    "spark.shuffle.compress": "true",
+    "spark.sql.autoBroadcastJoinThreshold": "33554432",  # 32 MiB: dims broadcast
+    # Keep the UI off in tests/bench (port churn, memory).
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "moonlink_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) the tuned SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) for
+    local runs; on a cluster, pass ``None`` with a pre-set master or export
+    ``MASTER``.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = os.environ.get("MASTER", f"local[{cpus}]")
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,105 @@
+"""Background maintenance: data compaction and file GC.
+
+Parity with the reference compactor
+(``src/moonlink/src/storage/compaction/compactor.rs:31-90``) and its trigger
+config (``compaction_config.rs:7-26``): rewrite small / deletion-heavy data
+files with deletion vectors applied inline, producing size-tuned files
+(128 MiB target, ``mooncake_table_config.rs:21-27``), keeping old versions
+readable (time travel) until ``vacuum``.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from moonlink_spark.errors import TableConfigError
+from moonlink_spark.table.manifest import Manifest
+from moonlink_spark.table.table import DATA_DIR, DELETE_DIR, MoonlinkTable
+
+
+@dataclass(frozen=True)
+class CompactionConfig:
+    """Triggers (defaults mirror compaction_config.rs:7-26)."""
+
+    min_files_to_compact: int = 4
+    small_file_bytes: int = 32 * 1024 * 1024  # files below this are "small"
+    max_deletion_ratio: float = 0.2  # DV rows / data rows triggering rewrite
+    target_file_bytes: int = 128 * 1024 * 1024
+
+
+def should_compact(m: Manifest, cfg: CompactionConfig = CompactionConfig()) -> bool:
+    if not m.data_files:
+        return False
+    total_rows = sum(f.rows for f in m.data_files)
+    if total_rows and m.deleted_rows / total_rows >= cfg.max_deletion_ratio:
+        return True
+    small = [f for f in m.data_files if f.bytes < cfg.small_file_bytes]
+    return len(small) >= cfg.min_files_to_compact
+
+
+def optimize(
+    table: MoonlinkTable,
+    mode: str = "full",
+    cfg: CompactionConfig = CompactionConfig(),
+    force: bool = True,
+) -> int:
+    """Rewrite the live view into size-tuned files and drop all DVs.
+
+    Scale note: the rewrite is one Spark job over the live view — fully
+    parallel; file count is chosen from manifest byte stats so output files
+    land near the 128 MiB target.
+    """
+    if mode not in ("data", "index", "full"):
+        raise TableConfigError(f"unknown optimize mode {mode!r}")
+    base = table.manifest
+    if mode == "index":
+        return base.version  # no persisted index in this engine (SURVEY.md §4)
+    if not force and not should_compact(base, cfg):
+        return base.version
+    if not base.data_files:
+        return base.version
+
+    live = table._read_manifest(base, with_pos=False)
+    live_bytes = sum(f.bytes for f in base.data_files)
+    n_out = max(1, round(live_bytes / cfg.target_file_bytes))
+    new_files = table._write_df_files(live.repartition(n_out))
+    m = Manifest(
+        version=base.version + 1,
+        lsn=base.lsn,  # maintenance commit: no new data => same LSN
+        schema_fields=base.schema_fields,
+        identity=base.identity,
+        data_files=new_files,
+        delete_files=[],
+        parent=base.version,
+        operation="optimize",
+        properties=base.properties,
+    )
+    table.store.commit(m, allow_equal_lsn=True)
+    return m.version
+
+
+def vacuum(table: MoonlinkTable, keep_versions: int = 1) -> int:
+    """Delete files unreferenced by the newest ``keep_versions`` manifests
+    and prune older manifests. Returns number of files removed."""
+    versions = table.store.versions()
+    keep = versions[-max(1, keep_versions):]
+    referenced: set[str] = set()
+    for v in keep:
+        m = table.store.read(v)
+        referenced.update(f.path for f in m.data_files)
+        referenced.update(f.path for f in m.delete_files)
+    removed = 0
+    for sub in (DATA_DIR, DELETE_DIR):
+        d = os.path.join(table.path, sub)
+        if not os.path.isdir(d):
+            continue
+        for name in os.listdir(d):
+            rel = f"{sub}/{name}"
+            if rel not in referenced:
+                os.unlink(os.path.join(d, name))
+                removed += 1
+    for v in versions:
+        if v not in keep:
+            os.unlink(os.path.join(table.store.manifest_dir, f"v{v:012d}.json"))
+    return removed

@@ -1,0 +1,204 @@
+"""Versioned manifest store: the commit log of a MoonlinkTable.
+
+Design (Spark-first re-expression of the reference's snapshot + Iceberg sync,
+``src/moonlink/src/storage/mooncake_table.rs:159-186`` and
+``storage/table/iceberg/iceberg_table_syncer.rs``):
+
+- One JSON manifest per committed version under ``<table>/_manifests/``,
+  named ``v{version:012d}.json``; commit = exclusive-create + atomic rename,
+  so a torn write is never visible and two racing writers can't both win.
+- A manifest lists immutable data files and deletion-vector (position-delete)
+  files, carries the schema, identity config, and the commit LSN.
+- The LSN -> version mapping IS the manifest sequence: read-at-LSN X resolves
+  to the largest version whose lsn <= X ("any record committed at lsn <= X is
+  visible", reference mooncake_table.rs:440-444).
+
+Manifests are tiny (file lists, not row data), so driver-side JSON is fine
+even for tables with thousands of files; at true 100 TB scale the same layout
+holds — Iceberg's own metadata is equally driver-parsed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from moonlink_spark.errors import CommitConflictError, LsnError
+
+MANIFEST_DIR = "_manifests"
+
+
+@dataclass(frozen=True)
+class FileEntry:
+    path: str  # relative to table dir unless absolute (bulk-loaded external)
+    rows: int
+    bytes: int = 0
+
+    def to_json(self) -> dict[str, Any]:
+        return {"path": self.path, "rows": self.rows, "bytes": self.bytes}
+
+    @staticmethod
+    def from_json(o: dict[str, Any]) -> "FileEntry":
+        return FileEntry(o["path"], o["rows"], o.get("bytes", 0))
+
+
+@dataclass
+class Manifest:
+    version: int
+    lsn: int
+    schema_fields: list[dict[str, Any]]  # FieldSchema DSL (moonlink_spark.schema)
+    identity: dict[str, Any]
+    data_files: list[FileEntry] = field(default_factory=list)
+    delete_files: list[FileEntry] = field(default_factory=list)
+    parent: int | None = None
+    operation: str = ""
+    properties: dict[str, Any] = field(default_factory=dict)
+    timestamp_ms: int = 0
+
+    @property
+    def live_rows(self) -> int:
+        return sum(f.rows for f in self.data_files) - sum(
+            f.rows for f in self.delete_files
+        )
+
+    @property
+    def deleted_rows(self) -> int:
+        return sum(f.rows for f in self.delete_files)
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "format_version": 1,
+            "version": self.version,
+            "lsn": self.lsn,
+            "schema_fields": self.schema_fields,
+            "identity": self.identity,
+            "data_files": [f.to_json() for f in self.data_files],
+            "delete_files": [f.to_json() for f in self.delete_files],
+            "parent": self.parent,
+            "operation": self.operation,
+            "properties": self.properties,
+            "timestamp_ms": self.timestamp_ms,
+        }
+
+    @staticmethod
+    def from_json(o: dict[str, Any]) -> "Manifest":
+        return Manifest(
+            version=o["version"],
+            lsn=o["lsn"],
+            schema_fields=o["schema_fields"],
+            identity=o["identity"],
+            data_files=[FileEntry.from_json(f) for f in o["data_files"]],
+            delete_files=[FileEntry.from_json(f) for f in o["delete_files"]],
+            parent=o.get("parent"),
+            operation=o.get("operation", ""),
+            properties=o.get("properties", {}),
+            timestamp_ms=o.get("timestamp_ms", 0),
+        )
+
+
+class ManifestStore:
+    """Reads/commits versioned manifests under one table directory."""
+
+    def __init__(self, table_dir: str):
+        self.table_dir = table_dir
+        self.manifest_dir = os.path.join(table_dir, MANIFEST_DIR)
+
+    # -- reads ------------------------------------------------------------
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.manifest_dir) and bool(self.versions())
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.manifest_dir):
+            return []
+        out = []
+        for name in os.listdir(self.manifest_dir):
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    out.append(int(name[1:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def _path(self, version: int) -> str:
+        return os.path.join(self.manifest_dir, f"v{version:012d}.json")
+
+    def read(self, version: int) -> Manifest:
+        with open(self._path(version)) as fh:
+            return Manifest.from_json(json.load(fh))
+
+    def latest(self) -> Manifest | None:
+        vs = self.versions()
+        return self.read(vs[-1]) if vs else None
+
+    def version_for_lsn(self, lsn: int) -> int | None:
+        """Largest version whose commit lsn <= requested lsn."""
+        best = None
+        for v in self.versions():
+            m = self.read(v)
+            if m.lsn <= lsn:
+                best = v
+            else:
+                break
+        return best
+
+    def wait_for_lsn(self, lsn: int, timeout_s: float = 30.0) -> int:
+        """Block until a snapshot with lsn >= requested exists (parity:
+        ReadStateManager blocking read, union_read/read_state_manager.rs:91).
+        Returns the version to read."""
+        deadline = time.monotonic() + timeout_s
+        while True:
+            latest = self.latest()
+            if latest is not None and latest.lsn >= lsn:
+                return self.version_for_lsn(lsn)  # type: ignore[return-value]
+            if time.monotonic() >= deadline:
+                raise LsnError(
+                    f"timed out waiting for lsn >= {lsn} "
+                    f"(latest: {latest.lsn if latest else None})"
+                )
+            time.sleep(0.05)
+
+    # -- commits ----------------------------------------------------------
+
+    def commit(self, manifest: Manifest, allow_equal_lsn: bool = False) -> None:
+        """Atomically publish ``manifest`` as the next version.
+
+        Exclusive-create of the final name makes concurrent committers
+        fail-fast (optimistic concurrency, single-winner like the reference's
+        single per-table event loop). ``allow_equal_lsn`` is for maintenance
+        commits (optimize/alter) that add no new data."""
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        latest = self.latest()
+        if latest is not None:
+            if manifest.version != latest.version + 1:
+                raise CommitConflictError(
+                    f"stale commit: next version is {latest.version + 1}, "
+                    f"got {manifest.version}"
+                )
+            floor_ok = (
+                manifest.lsn >= latest.lsn
+                if allow_equal_lsn
+                else manifest.lsn > latest.lsn
+            )
+            if not floor_ok:
+                raise LsnError(
+                    f"LSN must increase: {manifest.lsn} <= {latest.lsn}"
+                )
+        manifest.timestamp_ms = int(time.time() * 1000)
+        path = self._path(manifest.version)
+        tmp = path + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest.to_json(), fh, indent=1)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            # link() is exclusive: loser of a race gets EEXIST, never a
+            # half-written manifest.
+            os.link(tmp, path)
+        except FileExistsError as e:
+            raise CommitConflictError(f"version {manifest.version} exists") from e
+        finally:
+            os.unlink(tmp)

@@ -1,0 +1,693 @@
+"""MoonlinkTable: an LSN-versioned, identity-aware lakehouse table on Parquet.
+
+Spark-first re-expression of the reference's core table
+(``src/moonlink/src/storage/mooncake_table.rs:445-507``):
+
+- mem-slice            -> a driver-side row buffer, flushed to Parquet at
+                          commit (or when it exceeds ``mem_slice_rows``,
+                          parity mooncake_table_config.rs:152-166)
+- deletion vectors     -> position-delete Parquet files (file_path, row_index)
+                          anti-joined at scan time; compaction folds them in
+                          (parity BatchDeletionVector + Puffin blobs)
+- snapshot + Iceberg   -> one JSON manifest per commit (manifest.py); the
+  sync                    commit LSN gives exact read-at-LSN
+                          ("read at X sees commits <= X",
+                          mooncake_table.rs:440-444)
+- hash index           -> not needed: delete targeting is a broadcast
+                          semi-join against live rows; Parquet min/max stats +
+                          runtime bloom filters prune files (SURVEY.md §4)
+- streaming xact       -> ``TransactionStream`` staged ops, commit/abort
+                          (parity transaction_stream.rs)
+
+Scale notes (100 TB / 1000 executors):
+- Scans are plain parquet DataFrames: Catalyst pushes projection + predicates
+  into the scan; the DV anti-join broadcasts the (small) delete set and never
+  shuffles the fact side. Heavily-deleted tables should run ``optimize()``,
+  after which scans have no anti-join at all.
+- Delete targeting broadcasts the delete-key set (bounded by the micro-batch
+  size, i.e. small) against the live view — a map-side semi-join, no shuffle
+  of the table.
+- Appends write through Spark, preserving input parallelism; the row-buffer
+  fast path only serves small interactive/REST batches.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import threading
+import uuid
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from moonlink_spark.errors import (
+    IdentityError,
+    LsnError,
+    TableConfigError,
+    TransactionError,
+)
+from moonlink_spark.schema import field_schema_to_struct, struct_to_field_schema
+from moonlink_spark.table.identity import IdentityProp
+from moonlink_spark.table.manifest import FileEntry, Manifest, ManifestStore
+
+DATA_DIR = "data"
+DELETE_DIR = "deletes"
+
+# Mem-slice capacity: 32 batches x 4096 rows in the reference
+# (mooncake_table_config.rs:152-166).
+DEFAULT_MEM_SLICE_ROWS = 32 * 4096
+# Broadcast the DV side of the scan anti-join below this many deleted rows.
+DV_BROADCAST_MAX_ROWS = 4_000_000
+
+
+def _parquet_num_rows(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+class MoonlinkTable:
+    """One versioned table rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self.store = ManifestStore(self.path)
+        self._pending: list[tuple] = []
+        self._lock = threading.RLock()
+        self.mem_slice_rows = DEFAULT_MEM_SLICE_ROWS
+        self._xacts: dict[int, "TransactionStream"] = {}
+
+    # ------------------------------------------------------------------ #
+    # lifecycle
+    # ------------------------------------------------------------------ #
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType | list[dict[str, Any]],
+        identity: IdentityProp,
+        append_only: bool | None = None,
+        properties: dict[str, Any] | None = None,
+    ) -> "MoonlinkTable":
+        if isinstance(schema, T.StructType):
+            fields = struct_to_field_schema(schema)
+        else:
+            fields = schema
+            schema = field_schema_to_struct(fields)
+        # invariant: append_only <=> identity none (table_config.rs:31-45)
+        if append_only is None:
+            append_only = identity.is_append_only
+        if append_only != identity.is_append_only:
+            raise TableConfigError(
+                "append_only must match identity mode 'none' "
+                f"(append_only={append_only}, identity={identity.mode})"
+            )
+        identity.validate(schema.fieldNames())
+        t = cls(spark, path)
+        if t.store.exists():
+            raise TableConfigError(f"table already exists at {path}")
+        os.makedirs(os.path.join(t.path, DATA_DIR), exist_ok=True)
+        os.makedirs(os.path.join(t.path, DELETE_DIR), exist_ok=True)
+        t.store.commit(
+            Manifest(
+                version=0,
+                lsn=0,
+                schema_fields=fields,
+                identity=identity.to_json(),
+                operation="create",
+                properties=properties or {},
+            )
+        )
+        return t
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "MoonlinkTable":
+        t = cls(spark, path)
+        if not t.store.exists():
+            raise TableConfigError(f"no table at {path}")
+        return t
+
+    def drop(self) -> None:
+        """Delete table data + metadata (parity TableEvent::DropTable)."""
+        shutil.rmtree(self.path, ignore_errors=True)
+
+    # ------------------------------------------------------------------ #
+    # introspection
+    # ------------------------------------------------------------------ #
+
+    @property
+    def manifest(self) -> Manifest:
+        m = self.store.latest()
+        assert m is not None
+        return m
+
+    @property
+    def schema(self) -> T.StructType:
+        return field_schema_to_struct(self.manifest.schema_fields)
+
+    @property
+    def identity(self) -> IdentityProp:
+        return IdentityProp.from_json(self.manifest.identity)
+
+    @property
+    def last_lsn(self) -> int:
+        return self.manifest.lsn
+
+    def cardinality(self) -> int:
+        """Exact live row count from manifest stats — no scan
+        (parity get_cardinality, mooncake_table.rs:199-204)."""
+        return self.manifest.live_rows
+
+    def history(self) -> list[Manifest]:
+        return [self.store.read(v) for v in self.store.versions()]
+
+    # ------------------------------------------------------------------ #
+    # ingestion ops (buffered until commit)
+    # ------------------------------------------------------------------ #
+
+    def append_rows(self, rows: Iterable[dict[str, Any]]) -> None:
+        """Buffer rows (parity ``append``, mooncake_table.rs:1212-1239)."""
+        rows = list(rows)
+        if not rows:
+            return
+        with self._lock:
+            if self._pending and self._pending[-1][0] == "append_rows":
+                self._pending[-1][1].extend(rows)
+            else:
+                self._pending.append(("append_rows", rows))
+            if len(self._pending[-1][1]) >= self.mem_slice_rows:
+                # mem-slice full: flush to a data file now (parity
+                # should_flush / flush, mooncake_table.rs:1317-1369)
+                buffered = self._pending.pop()[1]
+                files = self._write_rows_file(buffered)
+                self._pending.append(("append_files", files))
+
+    def append_df(self, df: DataFrame) -> None:
+        """Buffer a DataFrame append (bulk path; preserves parallelism)."""
+        with self._lock:
+            self._pending.append(("append_df", df))
+
+    def delete_rows(
+        self, rows: Iterable[dict[str, Any]], if_exists: bool = True
+    ) -> None:
+        """Delete by row identity (parity ``delete``/``delete_if_exists``,
+        mooncake_table.rs:1241-1288). For key identities ``rows`` only needs
+        the key columns; for full_row identity it needs every column and each
+        occurrence deletes exactly one matching row."""
+        ident = self.identity
+        if ident.is_append_only:
+            raise IdentityError("append-only table rejects deletes")
+        rows = list(rows)
+        if not rows:
+            return
+        with self._lock:
+            self._pending.append(("delete_rows", rows, bool(if_exists)))
+
+    def delete_where(self, condition: str) -> None:
+        """Predicate delete (engine extension; the reference only deletes by
+        identity). Rejected for append-only tables."""
+        if self.identity.is_append_only:
+            raise IdentityError("append-only table rejects deletes")
+        with self._lock:
+            self._pending.append(("delete_where", condition))
+
+    def upsert_rows(self, rows: Iterable[dict[str, Any]]) -> None:
+        """Upsert = delete_if_exists(key) + append (parity REST upsert
+        decomposition, rest_ingest/moonlink_rest_sink.rs:222-253)."""
+        ident = self.identity
+        if ident.mode not in ("single", "keys"):
+            raise IdentityError(f"upsert requires a key identity, not {ident.mode}")
+        rows = list(rows)
+        if not rows:
+            return
+        with self._lock:
+            self._pending.append(("delete_rows", rows, True))
+            self._pending.append(("append_rows", rows))
+
+    def upsert_df(self, df: DataFrame) -> None:
+        """Bulk MERGE: delete matching keys, then append ``df``."""
+        ident = self.identity
+        if ident.mode not in ("single", "keys"):
+            raise IdentityError(f"upsert requires a key identity, not {ident.mode}")
+        with self._lock:
+            self._pending.append(("delete_df", df.select(*ident.columns)))
+            self._pending.append(("append_df", df))
+
+    def update_rows(
+        self, old_rows: Iterable[dict[str, Any]], new_rows: Iterable[dict[str, Any]]
+    ) -> None:
+        """CDC update = delete(old) + append(new) at one LSN (parity
+        pg_replicate/moonlink_sink.rs:295-326)."""
+        self.delete_rows(old_rows, if_exists=False)
+        self.append_rows(new_rows)
+
+    def load_files(self, paths: list[str], copy: bool = False) -> None:
+        """Bulk-register existing Parquet files without row-level processing
+        (parity TableEvent::LoadFiles, batch_ingestion.rs). Counts come from
+        footers only."""
+        entries = []
+        for p in paths:
+            p = os.path.abspath(p)
+            if copy:
+                name = f"{DATA_DIR}/load-{uuid.uuid4().hex}.parquet"
+                shutil.copyfile(p, os.path.join(self.path, name))
+                entries.append(
+                    FileEntry(name, _parquet_num_rows(p), os.path.getsize(p))
+                )
+            else:
+                entries.append(
+                    FileEntry(p, _parquet_num_rows(p), os.path.getsize(p))
+                )
+        with self._lock:
+            self._pending.append(("append_files", entries))
+
+    def has_pending(self) -> bool:
+        return bool(self._pending)
+
+    # ------------------------------------------------------------------ #
+    # commit
+    # ------------------------------------------------------------------ #
+
+    def commit(self, lsn: int | None = None, operation: str = "ingest") -> int:
+        """Materialize pending ops as one atomic versioned commit (parity
+        ``commit``, mooncake_table.rs:1290-1315 + the flush/snapshot/sync
+        pipeline collapsed into one ACID step).
+
+        Ops apply in order: a delete sees rows appended earlier in the same
+        commit (parity the streaming-xact 4-way delete routing,
+        transaction_stream.rs)."""
+        with self._lock:
+            base = self.manifest
+            if lsn is None:
+                lsn = base.lsn + 1
+            if lsn <= base.lsn:
+                raise LsnError(f"commit lsn {lsn} <= last lsn {base.lsn}")
+            ops, self._pending = self._pending, []
+            try:
+                new_files, new_dvs = self._apply_ops(base, ops)
+            except Exception:
+                self._pending = ops  # restore for inspection/retry
+                raise
+            m = Manifest(
+                version=base.version + 1,
+                lsn=lsn,
+                schema_fields=base.schema_fields,
+                identity=base.identity,
+                data_files=base.data_files + new_files,
+                delete_files=base.delete_files + new_dvs,
+                parent=base.version,
+                operation=operation,
+                properties=base.properties,
+            )
+            self.store.commit(m)
+            return m.version
+
+    def _apply_ops(
+        self, base: Manifest, ops: list[tuple]
+    ) -> tuple[list[FileEntry], list[FileEntry]]:
+        new_files: list[FileEntry] = []
+        new_dvs: list[FileEntry] = []
+        row_buf: list[dict[str, Any]] = []
+
+        def flush_rows() -> None:
+            if row_buf:
+                new_files.extend(self._write_rows_file(row_buf))
+                row_buf.clear()
+
+        for op in ops:
+            kind = op[0]
+            if kind == "append_rows":
+                row_buf.extend(op[1])
+            elif kind == "append_df":
+                flush_rows()
+                new_files.extend(self._write_df_files(op[1]))
+            elif kind == "append_files":
+                flush_rows()
+                new_files.extend(op[1])
+            elif kind == "delete_rows":
+                flush_rows()
+                dv = self._delete_dv_for_rows(
+                    base, new_files, new_dvs, op[1], if_exists=op[2]
+                )
+                new_dvs.extend(dv)
+            elif kind == "delete_df":
+                flush_rows()
+                new_dvs.extend(
+                    self._delete_dv_for_keys_df(base, new_files, new_dvs, op[1])
+                )
+            elif kind == "delete_where":
+                flush_rows()
+                live = self._live_view(base, new_files, new_dvs)
+                matched = live.filter(op[1]).select("__fp", "__ri")
+                new_dvs.extend(self._write_dv(matched))
+            else:  # pragma: no cover
+                raise TableConfigError(f"unknown pending op {kind}")
+        flush_rows()
+        return new_files, new_dvs
+
+    # ------------------------------------------------------------------ #
+    # delete targeting
+    # ------------------------------------------------------------------ #
+
+    def _delete_dv_for_rows(
+        self,
+        base: Manifest,
+        new_files: list[FileEntry],
+        new_dvs: list[FileEntry],
+        rows: list[dict[str, Any]],
+        if_exists: bool,
+    ) -> list[FileEntry]:
+        ident = IdentityProp.from_json(base.identity)
+        schema = field_schema_to_struct(base.schema_fields)
+        live = self._live_view(base, new_files, new_dvs)
+
+        if ident.mode in ("single", "keys"):
+            key_cols = list(ident.columns)
+            key_schema = T.StructType([schema[c] for c in key_cols])
+            keys = [{c: r.get(c) for c in key_cols} for r in rows]
+            keys_df = self.spark.createDataFrame(keys, key_schema).dropDuplicates()
+            if not if_exists:
+                # strict delete must match every key (reference errors on
+                # missing rows for non-if-exists deletes)
+                missing = keys_df.join(
+                    live.select(*key_cols), key_cols, "left_anti"
+                ).count()
+                if missing:
+                    raise IdentityError(f"{missing} delete keys matched no row")
+            matched = live.join(F.broadcast(keys_df), key_cols, "left_semi").select(
+                "__fp", "__ri"
+            )
+            return self._write_dv(matched)
+
+        # full_row: each delete occurrence kills exactly ONE matching live
+        # row, first by (file, position) — parity mem_index.rs FullRow
+        # multimap find_record semantics.
+        data_cols = schema.fieldNames()
+        del_df = (
+            self.spark.createDataFrame(
+                [{c: r.get(c) for c in data_cols} for r in rows], schema
+            )
+            .groupBy(*data_cols)
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        cond = None
+        for c in data_cols:
+            e = live[c].eqNullSafe(del_df[c])
+            cond = e if cond is None else (cond & e)
+        w = Window.partitionBy(*[live[c] for c in data_cols]).orderBy("__fp", "__ri")
+        matched = (
+            live.join(F.broadcast(del_df), cond, "inner")
+            .select(*[live[c] for c in data_cols], "__fp", "__ri", "__n")
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= F.col("__n"))
+            .select("__fp", "__ri")
+        )
+        return self._write_dv(matched)
+
+    def _delete_dv_for_keys_df(
+        self,
+        base: Manifest,
+        new_files: list[FileEntry],
+        new_dvs: list[FileEntry],
+        keys_df: DataFrame,
+    ) -> list[FileEntry]:
+        ident = IdentityProp.from_json(base.identity)
+        key_cols = list(ident.columns)
+        live = self._live_view(base, new_files, new_dvs)
+        matched = live.join(
+            keys_df.dropDuplicates(), key_cols, "left_semi"
+        ).select("__fp", "__ri")
+        return self._write_dv(matched)
+
+    # ------------------------------------------------------------------ #
+    # scan
+    # ------------------------------------------------------------------ #
+
+    def scan(
+        self, lsn: int | None = None, version: int | None = None
+    ) -> DataFrame:
+        """Read the table as a DataFrame. ``lsn`` gives exact read-at-LSN
+        (largest commit <= lsn); ``version`` gives time travel by version
+        (parity scan_table + versionAsOf, SURVEY.md §3.2)."""
+        m = self._resolve_manifest(lsn, version)
+        return self._read_manifest(m, with_pos=False)
+
+    def scan_blocking(self, lsn: int, timeout_s: float = 30.0) -> DataFrame:
+        """Block until a commit with lsn >= requested exists, then read at
+        that LSN (parity ReadStateManager::try_read blocking path,
+        union_read/read_state_manager.rs:91-135)."""
+        self.store.wait_for_lsn(lsn, timeout_s)
+        return self.scan(lsn=lsn)
+
+    def _resolve_manifest(
+        self, lsn: int | None = None, version: int | None = None
+    ) -> Manifest:
+        if version is not None:
+            return self.store.read(version)
+        if lsn is not None:
+            v = self.store.version_for_lsn(lsn)
+            if v is None:
+                raise LsnError(f"no commit at or before lsn {lsn}")
+            return self.store.read(v)
+        return self.manifest
+
+    def _resolve(self, rel: str) -> str:
+        return rel if os.path.isabs(rel) else os.path.join(self.path, rel)
+
+    def _read_manifest(self, m: Manifest, with_pos: bool) -> DataFrame:
+        schema = field_schema_to_struct(m.schema_fields)
+        if not m.data_files:
+            df = self.spark.createDataFrame([], schema)
+            if with_pos:
+                df = df.withColumn("__fp", F.lit(None).cast("string")).withColumn(
+                    "__ri", F.lit(None).cast("long")
+                )
+            return df
+        paths = [self._resolve(f.path) for f in m.data_files]
+        df = self.spark.read.schema(schema).parquet(*paths)
+        need_pos = with_pos or bool(m.delete_files)
+        if need_pos:
+            df = df.select(
+                "*",
+                F.col("_metadata.file_path").alias("__fp"),
+                F.col("_metadata.row_index").alias("__ri"),
+            )
+        if m.delete_files:
+            dv_paths = [self._resolve(f.path) for f in m.delete_files]
+            dv = self.spark.read.parquet(*dv_paths).select(
+                F.col("file_path").alias("__fp"), F.col("row_index").alias("__ri")
+            )
+            if m.deleted_rows <= DV_BROADCAST_MAX_ROWS:
+                dv = F.broadcast(dv)
+            df = df.join(dv, ["__fp", "__ri"], "left_anti")
+        if not with_pos and need_pos:
+            df = df.drop("__fp", "__ri")
+        return df
+
+    def _live_view(
+        self, base: Manifest, new_files: list[FileEntry], new_dvs: list[FileEntry]
+    ) -> DataFrame:
+        m = Manifest(
+            version=base.version,
+            lsn=base.lsn,
+            schema_fields=base.schema_fields,
+            identity=base.identity,
+            data_files=base.data_files + new_files,
+            delete_files=base.delete_files + new_dvs,
+        )
+        return self._read_manifest(m, with_pos=True)
+
+    # ------------------------------------------------------------------ #
+    # file writers
+    # ------------------------------------------------------------------ #
+
+    def _write_rows_file(self, rows: list[dict[str, Any]]) -> list[FileEntry]:
+        """Fast path: flush the row buffer to ONE parquet file via pyarrow
+        on the driver — no Spark job for small REST/CDC batches (parity
+        DiskSliceWriter flushing the mem-slice)."""
+        schema = self.schema
+        try:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            arrow_schema = to_arrow_schema(schema)
+            tbl = pa.Table.from_pylist(
+                [{f: r.get(f) for f in schema.fieldNames()} for r in rows],
+                schema=arrow_schema,
+            )
+            rel = f"{DATA_DIR}/buf-{uuid.uuid4().hex}.parquet"
+            path = os.path.join(self.path, rel)
+            pq.write_table(tbl, path, compression="snappy")
+            return [FileEntry(rel, tbl.num_rows, os.path.getsize(path))]
+        except Exception:
+            # fall back to the Spark writer on any conversion edge case
+            df = self.spark.createDataFrame(rows, schema)
+            return self._write_df_files(df.coalesce(1))
+
+    def _write_df_files(self, df: DataFrame) -> list[FileEntry]:
+        """Bulk path: Spark writes parquet in parallel into a temp dir, then
+        files are adopted into data/ (rename, same volume)."""
+        schema = self.schema
+        df = df.select(
+            *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+        )
+        tmp = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(tmp)
+        entries = []
+        for name in sorted(os.listdir(tmp)):
+            if not name.endswith(".parquet"):
+                continue
+            rel = f"{DATA_DIR}/part-{uuid.uuid4().hex}.parquet"
+            dst = os.path.join(self.path, rel)
+            os.rename(os.path.join(tmp, name), dst)
+            rows = _parquet_num_rows(dst)
+            if rows == 0:
+                os.unlink(dst)
+                continue
+            entries.append(FileEntry(rel, rows, os.path.getsize(dst)))
+        shutil.rmtree(tmp, ignore_errors=True)
+        return entries
+
+    def _write_dv(self, matched: DataFrame) -> list[FileEntry]:
+        """Persist position deletes (file_path, row_index) as parquet."""
+        matched = matched.select(
+            F.col("__fp").alias("file_path"), F.col("__ri").alias("row_index")
+        )
+        tmp = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}")
+        matched.write.mode("overwrite").parquet(tmp)
+        entries = []
+        for name in sorted(os.listdir(tmp)):
+            if not name.endswith(".parquet"):
+                continue
+            rel = f"{DELETE_DIR}/dv-{uuid.uuid4().hex}.parquet"
+            dst = os.path.join(self.path, rel)
+            os.rename(os.path.join(tmp, name), dst)
+            rows = _parquet_num_rows(dst)
+            if rows == 0:
+                os.unlink(dst)
+                continue
+            entries.append(FileEntry(rel, rows, os.path.getsize(dst)))
+        shutil.rmtree(tmp, ignore_errors=True)
+        return entries
+
+    # ------------------------------------------------------------------ #
+    # streaming transactions (parity transaction_stream.rs)
+    # ------------------------------------------------------------------ #
+
+    def begin_transaction(self, xact_id: int) -> "TransactionStream":
+        with self._lock:
+            if xact_id in self._xacts:
+                raise TransactionError(f"xact {xact_id} already open")
+            x = TransactionStream(self, xact_id)
+            self._xacts[xact_id] = x
+            return x
+
+    # ------------------------------------------------------------------ #
+    # schema evolution (parity AlterTableRequest, mooncake_table.rs:100-127)
+    # ------------------------------------------------------------------ #
+
+    def alter(
+        self,
+        add_columns: list[dict[str, Any]] | None = None,
+        drop_columns: list[str] | None = None,
+        lsn: int | None = None,
+    ) -> int:
+        with self._lock:
+            if self._pending:
+                raise TableConfigError("commit or discard pending ops before alter")
+            base = self.manifest
+            fields = [dict(f) for f in base.schema_fields]
+            names = {f["name"] for f in fields}
+            for col in add_columns or []:
+                if col["name"] in names:
+                    raise TableConfigError(f"column {col['name']} exists")
+                fields.append(dict(col))
+            drops = set(drop_columns or [])
+            unknown = drops - {f["name"] for f in fields}
+            if unknown:
+                raise TableConfigError(f"cannot drop unknown columns {unknown}")
+            ident = IdentityProp.from_json(base.identity)
+            if drops & set(ident.columns):
+                raise TableConfigError("cannot drop identity columns")
+            fields = [f for f in fields if f["name"] not in drops]
+            field_schema_to_struct(fields)  # validates
+            if lsn is None:
+                lsn = base.lsn + 1
+            m = Manifest(
+                version=base.version + 1,
+                lsn=lsn,
+                schema_fields=fields,
+                identity=base.identity,
+                data_files=base.data_files,
+                delete_files=base.delete_files,
+                parent=base.version,
+                operation="alter",
+                properties=base.properties,
+            )
+            self.store.commit(m)
+            return m.version
+
+
+class TransactionStream:
+    """A multi-batch streaming transaction: ops staged invisibly, then
+    committed atomically at an LSN or aborted (parity
+    transaction_stream.rs:17-47,137-143; abort parity table_handler.rs:907)."""
+
+    def __init__(self, table: MoonlinkTable, xact_id: int):
+        self.table = table
+        self.xact_id = xact_id
+        self._ops: list[tuple] = []
+        self._closed = False
+
+    def _check(self) -> None:
+        if self._closed:
+            raise TransactionError(f"xact {self.xact_id} already closed")
+
+    def append_rows(self, rows: Iterable[dict[str, Any]]) -> None:
+        self._check()
+        rows = list(rows)
+        if rows:
+            self._ops.append(("append_rows", rows))
+
+    def append_df(self, df: DataFrame) -> None:
+        self._check()
+        self._ops.append(("append_df", df))
+
+    def delete_rows(self, rows: Iterable[dict[str, Any]]) -> None:
+        self._check()
+        if self.table.identity.is_append_only:
+            raise IdentityError("append-only table rejects deletes")
+        rows = list(rows)
+        if rows:
+            self._ops.append(("delete_rows", rows, True))
+
+    def commit(self, lsn: int | None = None) -> int:
+        """Merge staged ops into the main table at one LSN."""
+        self._check()
+        self._closed = True
+        with self.table._lock:
+            self.table._xacts.pop(self.xact_id, None)
+            # splice staged ops ahead of any non-xact pending ops so the
+            # xact commits as one unit at this LSN
+            outer_pending = self.table._pending
+            self.table._pending = self._ops
+            try:
+                version = self.table.commit(lsn=lsn, operation=f"xact-{self.xact_id}")
+            finally:
+                self.table._pending = outer_pending
+            return version
+
+    def abort(self) -> None:
+        """Discard staged ops (parity TableEvent::StreamAbort)."""
+        self._check()
+        self._closed = True
+        self._ops.clear()
+        with self.table._lock:
+            self.table._xacts.pop(self.xact_id, None)

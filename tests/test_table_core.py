@@ -1,0 +1,255 @@
+"""Core MoonlinkTable semantics: identity modes, LSN reads, DV deletes.
+
+Mirrors the reference's table-state test strategy
+(src/moonlink/src/storage/mooncake_table/tests.rs): build table, apply event
+sequence, assert snapshot state.
+"""
+
+import pytest
+
+from moonlink_spark.errors import IdentityError, LsnError, TableConfigError
+from moonlink_spark.table.identity import IdentityProp
+from moonlink_spark.table.maintenance import optimize, should_compact, vacuum
+from moonlink_spark.table.table import MoonlinkTable
+
+USERS_SCHEMA = [
+    {"name": "id", "data_type": "int32", "nullable": False},
+    {"name": "name", "data_type": "string", "nullable": False},
+    {"name": "email", "data_type": "string"},
+    {"name": "age", "data_type": "int32"},
+]
+
+
+def rows_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def make_users(spark, tmp_path, identity=None, **kw):
+    return MoonlinkTable.create(
+        spark,
+        str(tmp_path / "users"),
+        USERS_SCHEMA,
+        identity or IdentityProp.single("id"),
+        **kw,
+    )
+
+
+def test_create_open_roundtrip(spark, tmp_path):
+    t = make_users(spark, tmp_path)
+    t2 = MoonlinkTable.open(spark, t.path)
+    assert t2.schema.fieldNames() == ["id", "name", "email", "age"]
+    assert t2.identity == IdentityProp.single("id")
+    assert t2.cardinality() == 0
+    assert t2.scan().count() == 0
+
+
+def test_append_commit_scan(spark, tmp_path):
+    t = make_users(spark, tmp_path)
+    t.append_rows(
+        [
+            {"id": 1, "name": "a", "email": None, "age": 30},
+            {"id": 2, "name": "b", "email": "b@x.io", "age": 25},
+        ]
+    )
+    assert t.scan().count() == 0  # not visible before commit
+    v = t.commit(lsn=10)
+    assert v == 1
+    assert t.cardinality() == 2
+    assert rows_set(t.scan()) == {
+        (1, "a", None, 30),
+        (2, "b", "b@x.io", 25),
+    }
+
+
+def test_delete_by_key_and_upsert(spark, tmp_path):
+    t = make_users(spark, tmp_path)
+    t.append_rows(
+        [{"id": i, "name": f"u{i}", "email": None, "age": 20 + i} for i in range(5)]
+    )
+    t.commit(lsn=1)
+    # upsert: replace id=2, insert id=9
+    t.upsert_rows(
+        [
+            {"id": 2, "name": "u2x", "email": "x", "age": 99},
+            {"id": 9, "name": "u9", "email": None, "age": 9},
+        ]
+    )
+    t.commit(lsn=2)
+    got = {r["id"]: (r["name"], r["age"]) for r in t.scan().collect()}
+    assert got[2] == ("u2x", 99)
+    assert got[9] == ("u9", 9)
+    assert len(got) == 6
+    # delete
+    t.delete_rows([{"id": 0}, {"id": 4}])
+    t.commit(lsn=3)
+    assert sorted(r["id"] for r in t.scan().collect()) == [1, 2, 3, 9]
+    # strict delete on a missing key errors
+    t.delete_rows([{"id": 12345}], if_exists=False)
+    with pytest.raises(IdentityError):
+        t.commit(lsn=4)
+    t._pending.clear()
+
+
+def test_read_at_lsn(spark, tmp_path):
+    t = make_users(spark, tmp_path)
+    t.append_rows([{"id": 1, "name": "a", "email": None, "age": 1}])
+    t.commit(lsn=100)
+    t.append_rows([{"id": 2, "name": "b", "email": None, "age": 2}])
+    t.commit(lsn=200)
+    t.delete_rows([{"id": 1}])
+    t.commit(lsn=300)
+    # consistency rule: read at X sees commits <= X (mooncake_table.rs:440)
+    assert t.scan(lsn=99).count() == 0
+    assert t.scan(lsn=100).count() == 1
+    assert t.scan(lsn=250).count() == 2
+    assert t.scan(lsn=300).count() == 1
+    assert t.scan(lsn=10**9).count() == 1
+    with pytest.raises(LsnError):
+        t.scan(lsn=-1)
+    # non-monotonic commit rejected
+    t.append_rows([{"id": 3, "name": "c", "email": None, "age": 3}])
+    with pytest.raises(LsnError):
+        t.commit(lsn=300)
+    t._pending.clear()
+
+
+def test_append_only_rejects_deletes(spark, tmp_path):
+    t = make_users(spark, tmp_path, identity=IdentityProp.none())
+    t.append_rows([{"id": 1, "name": "a", "email": None, "age": 1}])
+    t.commit(lsn=1)
+    with pytest.raises(IdentityError):
+        t.delete_rows([{"id": 1}])
+    with pytest.raises(IdentityError):
+        t.upsert_rows([{"id": 1, "name": "x", "email": None, "age": 2}])
+    # invariant append_only <=> identity none (table_config.rs:31-45)
+    with pytest.raises(TableConfigError):
+        MoonlinkTable.create(
+            spark,
+            str(tmp_path / "bad"),
+            USERS_SCHEMA,
+            IdentityProp.single("id"),
+            append_only=True,
+        )
+
+
+def test_full_row_deletes_exactly_one_duplicate(spark, tmp_path):
+    t = make_users(spark, tmp_path, identity=IdentityProp.full_row())
+    dup = {"id": 7, "name": "d", "email": None, "age": 7}
+    t.append_rows([dup, dup, dup, {"id": 8, "name": "e", "email": None, "age": 8}])
+    t.commit(lsn=1)
+    assert t.scan().count() == 4
+    # one delete event removes exactly ONE of the three duplicates
+    t.delete_rows([dup])
+    t.commit(lsn=2)
+    assert t.scan().filter("id = 7").count() == 2
+    # two delete occurrences in one batch remove two rows
+    t.delete_rows([dup, dup])
+    t.commit(lsn=3)
+    assert t.scan().filter("id = 7").count() == 0
+    assert t.scan().filter("id = 8").count() == 1
+
+
+def test_composite_key_and_update(spark, tmp_path):
+    schema = [
+        {"name": "ok", "data_type": "int64", "nullable": False},
+        {"name": "ln", "data_type": "int32", "nullable": False},
+        {"name": "v", "data_type": "float64"},
+    ]
+    t = MoonlinkTable.create(
+        spark, str(tmp_path / "li"), schema, IdentityProp.keys(["ok", "ln"])
+    )
+    t.append_rows([{"ok": 1, "ln": 1, "v": 1.0}, {"ok": 1, "ln": 2, "v": 2.0}])
+    t.commit(lsn=1)
+    # CDC update = delete(old) + append(new) at one LSN
+    t.update_rows(
+        [{"ok": 1, "ln": 2, "v": 2.0}], [{"ok": 1, "ln": 2, "v": 22.0}]
+    )
+    t.commit(lsn=2)
+    assert rows_set(t.scan()) == {(1, 1, 1.0), (1, 2, 22.0)}
+
+
+def test_delete_sees_same_commit_appends(spark, tmp_path):
+    """A delete targets a row appended earlier in the SAME commit (parity:
+    streaming-xact 4-way delete routing, transaction_stream.rs)."""
+    t = make_users(spark, tmp_path)
+    t.append_rows([{"id": 1, "name": "a", "email": None, "age": 1}])
+    t.delete_rows([{"id": 1}])
+    t.append_rows([{"id": 2, "name": "b", "email": None, "age": 2}])
+    t.commit(lsn=1)
+    assert [r["id"] for r in t.scan().collect()] == [2]
+
+
+def test_streaming_transaction_commit_abort(spark, tmp_path):
+    t = make_users(spark, tmp_path)
+    t.append_rows([{"id": 1, "name": "a", "email": None, "age": 1}])
+    t.commit(lsn=1)
+    x1 = t.begin_transaction(xact_id=71)
+    x1.append_rows([{"id": 2, "name": "b", "email": None, "age": 2}])
+    x1.delete_rows([{"id": 1}])
+    assert t.scan().count() == 1  # staged ops invisible
+    x1.commit(lsn=5)
+    assert sorted(r["id"] for r in t.scan().collect()) == [2]
+    x2 = t.begin_transaction(xact_id=72)
+    x2.append_rows([{"id": 3, "name": "c", "email": None, "age": 3}])
+    x2.abort()
+    assert sorted(r["id"] for r in t.scan().collect()) == [2]
+    assert t.scan(lsn=1).count() == 1  # time travel unaffected
+
+
+def test_optimize_and_vacuum(spark, tmp_path):
+    t = make_users(spark, tmp_path)
+    for i in range(5):
+        t.append_rows(
+            [{"id": 10 * i + j, "name": "n", "email": None, "age": j} for j in range(10)]
+        )
+        t.commit(lsn=i + 1)
+    t.delete_rows([{"id": i} for i in range(0, 50, 2)][:20])
+    t.commit(lsn=99)
+    before = t.scan()
+    expect = rows_set(before)
+    m = t.manifest
+    assert should_compact(m)  # many small files + high deletion ratio
+    v = optimize(t)
+    m2 = t.manifest
+    assert m2.version == v and not m2.delete_files
+    assert m2.lsn == m.lsn  # maintenance keeps LSN
+    assert rows_set(t.scan()) == expect
+    removed = vacuum(t, keep_versions=1)
+    assert removed > 0
+    assert rows_set(t.scan()) == expect
+
+
+def test_alter_add_drop_columns(spark, tmp_path):
+    t = make_users(spark, tmp_path)
+    t.append_rows([{"id": 1, "name": "a", "email": "e", "age": 1}])
+    t.commit(lsn=1)
+    t.alter(add_columns=[{"name": "score", "data_type": "float64"}], lsn=2)
+    t.append_rows([{"id": 2, "name": "b", "email": None, "age": 2, "score": 9.5}])
+    t.commit(lsn=3)
+    got = {r["id"]: r["score"] for r in t.scan().collect()}
+    assert got == {1: None, 2: 9.5}  # old files read new column as null
+    t.alter(drop_columns=["email"], lsn=4)
+    assert t.schema.fieldNames() == ["id", "name", "age", "score"]
+    assert t.scan().count() == 2
+    with pytest.raises(TableConfigError):
+        t.alter(drop_columns=["id"])  # identity column protected
+
+
+def test_load_files_bulk(spark, tmp_path, sf_dir):
+    schema = [
+        {"name": "o_orderkey", "data_type": "int64"},
+        {"name": "o_custkey", "data_type": "int64"},
+        {"name": "o_orderstatus", "data_type": "string"},
+        {"name": "o_totalprice", "data_type": "float64"},
+        {"name": "o_orderdate", "data_type": "timestamp_ntz"},
+        {"name": "o_orderpriority", "data_type": "string"},
+    ]
+    t = MoonlinkTable.create(
+        spark, str(tmp_path / "bulk"), schema, IdentityProp.none()
+    )
+    src = f"{sf_dir}/orders.parquet"
+    t.load_files([src])
+    t.commit(lsn=1)
+    expected = spark.read.parquet(src).count()
+    assert t.scan().count() == expected
+    assert t.cardinality() == expected
