@@ -1,0 +1,125 @@
+"""Benchmark: headline queries + ingest throughput at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+{"metric": "...", "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Query results are forced with the noop sink (full computation, no driver
+collection). The ingest scenario reproduces the reference's write-path bench
+shape (bulk append + 10%-of-table MERGE upsert + delete, BASELINE.md) on a
+MoonlinkTable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from moonlink_spark.operators import all_queries, load
+from moonlink_spark.session import get_spark
+from moonlink_spark.table.identity import IdentityProp
+from moonlink_spark.table.maintenance import optimize
+from moonlink_spark.table.table import MoonlinkTable
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q18_large_orders",
+    "window_running_user_totals",
+    "sessionize_events",
+    "asof_join_purchase_click",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality_scores",
+    "knn_cosine_bruteforce",
+    "ann_ivf_topk",
+]
+
+
+def _force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def bench_ingest(spark, sf_dir: str) -> float:
+    """Bulk load lineitem, MERGE-upsert ~10%, delete ~2%, optimize, scan."""
+    fields = [
+        {"name": "l_orderkey", "data_type": "int64", "nullable": False},
+        {"name": "l_linenumber", "data_type": "int32", "nullable": False},
+        {"name": "l_quantity", "data_type": "float64"},
+        {"name": "l_extendedprice", "data_type": "float64"},
+        {"name": "l_returnflag", "data_type": "string"},
+    ]
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+    path = tempfile.mkdtemp(prefix="moonlink-bench-")
+    t0 = time.time()
+    try:
+        t = MoonlinkTable.create(
+            spark, os.path.join(path, "t"), fields,
+            IdentityProp.keys(["l_orderkey", "l_linenumber"]),
+        )
+        t.append_df(li)
+        t.commit(lsn=1)
+        upserts = li.filter(F.col("l_orderkey") % 10 == 0).withColumn(
+            "l_quantity", F.col("l_quantity") + 1.0
+        )
+        t.upsert_df(upserts)
+        t.commit(lsn=2)
+        t.delete_keys_df(
+            li.filter(F.col("l_orderkey") % 50 == 0).select(
+                "l_orderkey", "l_linenumber"
+            )
+        )
+        t.commit(lsn=3)
+        optimize(t)
+        assert t.scan().count() > 0
+        return time.time() - t0
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("moonlink-bench")
+    specs = all_queries()
+    timings: dict[str, float] = {}
+
+    # warm the JVM + file listing with one tiny job
+    spark.range(1000).count()
+
+    for name in HEADLINE:
+        t0 = time.time()
+        _force(specs[name].fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    timings["ingest_merge_lifecycle"] = round(bench_ingest(spark, sf_dir), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_ingest_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

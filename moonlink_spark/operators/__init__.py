@@ -39,6 +39,9 @@ def register(name: str, oracle: Optional[str] = None, category: str = ""):
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    # Pin the session to UTC so timestamp semantics match the DuckDB oracle
+    # regardless of which SparkSession the driver hands us.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if table == "events":
         # events.parquet stores TIMESTAMP(NANOS), which the Spark parquet
         # reader rejects; read nanos as long and truncate to micros (exact

@@ -1,1 +1,376 @@
-"""placeholder — populated in this round."""
+"""Deduplication operators for training-data pipelines over ``documents``.
+
+Exact (hash-groupBy), MinHash+LSH (shingle -> minhash -> band -> bucket
+join), n-gram Jaccard verification, and SimHash (hamming-banded) — each
+deterministic and expressed with JVM-side builtins so the DuckDB oracle can
+run the *same* computation.
+
+Scale design (100 TB):
+- Exact dedup: one shuffle on the content hash; survivors via min(doc_id).
+- MinHash LSH: per-doc signature is a pure map stage; the only shuffle is
+  the band bucket join (candidates), whose fan-out is controlled by band
+  width — the standard way to near-dedup petabyte corpora (the
+  all-pairs/shared-shingle join is quadratic and never runs at scale).
+- Jaccard verify runs on LSH candidates only in production; the standalone
+  exact-Jaccard operator here doubles as the oracle-checkable verify step.
+- SimHash: 16-bit fingerprints, candidates banded by half-fingerprint
+  equality, verified with bit_count(xor) — integer ops end to end.
+
+The synthetic corpus has no natural duplicates, so each query first builds a
+deterministic superset: exact copies (doc_id+100000 for doc_id%10==0) or
+near-copies with the first word dropped (doc_id%5==0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from moonlink_spark.operators import load, register
+
+N_HASHES = 8
+N_BANDS = 4  # bands of 2 hashes each
+
+# ---------------------------------------------------------------------------
+# corpus builders (Spark + SQL versions must match exactly)
+# ---------------------------------------------------------------------------
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + exact copies of every 10th doc (new ids +100000)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(copies)
+
+
+_SQL_DUP_CORPUS = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + near-copies (first word dropped) of every 5th doc."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    return docs.unionByName(near)
+
+
+_SQL_NEAR_CORPUS = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, substr(text, strpos(text, ' ') + 1) AS text
+  FROM documents WHERE doc_id % 5 = 0
+"""
+
+# shingle machinery: 3-word shingles over lowercase word tokens
+_SPARK_SHINGLES = (
+    "filter(transform(sequence(1, greatest(size(toks) - 2, 1)), "
+    "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', "
+    "element_at(toks, i + 2))), x -> x IS NOT NULL)"
+)
+_SQL_SHINGLES = (
+    "list_filter(list_transform(range(1, greatest(len(toks) - 2, 1) + 1), "
+    "i -> toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER) + 1] || ' ' || "
+    "toks[CAST(i AS INTEGER) + 2]), x -> x IS NOT NULL)"
+)
+_SPARK_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+_SQL_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    oracle=f"""
+WITH corpus AS ({_SQL_DUP_CORPUS})
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS keep_id,
+       COUNT(*)    AS n_copies
+FROM corpus
+GROUP BY md5(text)
+HAVING COUNT(*) > 1
+""",
+    category="dedup",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: hash-groupBy, keep the smallest doc_id.
+    One shuffle on the content hash; at 100 TB hash first, never shuffle
+    full text."""
+    corpus = _dup_corpus(spark, sf_dir)
+    return (
+        corpus.groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH candidates
+# ---------------------------------------------------------------------------
+
+
+def _spark_signature(df: DataFrame) -> DataFrame:
+    """Add minhash signature columns h0..h7.
+
+    One md5 per shingle; the k-hash family is hex-string ROTATION of that
+    digest (a bijection, so min-over-rotation is a valid independent-ish
+    minhash family) — 8x fewer digest computations than seeded re-hashing,
+    and portable to the DuckDB oracle verbatim."""
+    d = (
+        df.withColumn("toks", F.expr(_SPARK_TOKS))
+        .withColumn("shingles", F.expr(_SPARK_SHINGLES))
+        .withColumn("ms", F.expr("transform(shingles, x -> md5(concat('sh:', x)))"))
+    )
+    for s in range(N_HASHES):
+        rot = 4 * s
+        d = d.withColumn(
+            f"h{s}",
+            F.expr(
+                f"array_min(transform(ms, m -> concat(substring(m, {rot + 1}, "
+                f"{32 - rot}), substring(m, 1, {rot}))))"
+            ),
+        )
+    return d.select("doc_id", *[f"h{s}" for s in range(N_HASHES)])
+
+
+def _sql_signature(corpus_sql: str) -> str:
+    hashes = ", ".join(
+        f"list_min(list_transform(ms, m -> substr(m, {4 * s + 1}) || "
+        f"substr(m, 1, {4 * s}))) AS h{s}"
+        for s in range(N_HASHES)
+    )
+    return f"""
+corpus AS ({corpus_sql}),
+tokd AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM corpus),
+shingled AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM tokd),
+hashed AS (SELECT doc_id, list_transform(shingles, x -> md5('sh:' || x)) AS ms FROM shingled),
+sigs AS (SELECT doc_id, {hashes} FROM hashed)
+"""
+
+
+_SQL_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, h{2*b} || h{2*b+1} AS band_val FROM sigs"
+    for b in range(N_BANDS)
+)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {_sql_signature(_SQL_NEAR_CORPUS)},
+bands AS ({_SQL_BANDS})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+""",
+    category="dedup",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates: 8 seeded min-hashes, 4 bands of 2,
+    bucket self-join on band value. The band join is the ONLY shuffle —
+    this is the petabyte-scale dedup plan."""
+    # persist: the signature subtree is referenced 8x (4 band branches x
+    # 2 join sides); without a cache Spark recomputes every md5 each time.
+    sigs = _spark_signature(_near_corpus(spark, sf_dir)).persist()
+    bands = None
+    for b in range(N_BANDS):
+        part = sigs.select(
+            "doc_id",
+            F.lit(b).alias("band_idx"),
+            F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")).alias("band_val"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram jaccard (the verify stage, run standalone for the oracle)
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH corpus AS ({_SQL_NEAR_CORPUS}),
+tokd AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM corpus),
+shingled AS (SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh FROM tokd),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shingled),
+exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
+pair_common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM exploded a JOIN exploded b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(round(CAST(n_common AS DOUBLE) /
+            CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS DOUBLE) AS jaccard
+FROM pair_common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+""",
+    category="dedup",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity >= 0.5 via shared-shingle join.
+    At scale this runs ONLY on LSH candidate pairs (dedup_minhash_lsh);
+    standalone here so DuckDB can verify the arithmetic."""
+    corpus = _near_corpus(spark, sf_dir)
+    shingled = (
+        corpus.withColumn("toks", F.expr(_SPARK_TOKS))
+        .withColumn("sh", F.array_distinct(F.expr(_SPARK_SHINGLES)))
+        .select("doc_id", "sh")
+    )
+    sizes = shingled.select("doc_id", F.size("sh").alias("n_sh"))
+    exploded = shingled.select("doc_id", F.explode("sh").alias("shingle"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pair_common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
+    ).cast("double")
+    return (
+        pair_common.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+_SQL_HEXVAL = (
+    "((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096 + "
+    "(strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256 + "
+    "(strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16 + "
+    "(strpos('0123456789abcdef', substr(m, 4, 1)) - 1))"
+)
+
+_SQL_BITSUMS = ", ".join(
+    f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+    for i in range(16)
+)
+_SQL_FP = " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+WITH corpus AS ({_SQL_NEAR_CORPUS}),
+tokd AS (SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM corpus),
+hashed AS (
+  SELECT doc_id, {_SQL_HEXVAL} AS h
+  FROM (SELECT doc_id, md5(tok) AS m FROM tokd) t
+),
+bitsums AS (SELECT doc_id, {_SQL_BITSUMS} FROM hashed GROUP BY doc_id),
+fps AS (SELECT doc_id, CAST({_SQL_FP} AS BIGINT) AS fp FROM bitsums),
+halves AS (
+  SELECT doc_id, fp, 0 AS half_idx, fp & 255 AS half_val FROM fps
+  UNION ALL
+  SELECT doc_id, fp, 1 AS half_idx, (fp >> 8) & 255 AS half_val FROM fps
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp AS fp_a, b.fp AS fp_b
+  FROM halves a JOIN halves b
+    ON a.half_idx = b.half_idx AND a.half_val = b.half_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(fp_a, fp_b)) <= 3
+""",
+    category="dedup",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash near-dup detection: per-token md5 -> signed bit votes
+    -> fingerprint; candidates banded by byte-half equality (a doc pair
+    within hamming<=3 must agree on at least one half... with 16 bits split
+    in 2 halves, hamming<=1 is guaranteed caught; <=3 is best-effort like
+    production simhash banding); verified by bit_count(xor)."""
+    corpus = _near_corpus(spark, sf_dir)
+    toks = corpus.select(
+        "doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("tok")
+    )
+    hashed = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 4), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    bitsums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {i}) & 1 = 1"), 1).otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(16)
+        ]
+    )
+    fp_expr = None
+    for i in range(16):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp_expr = term if fp_expr is None else (fp_expr + term)
+    fps = bitsums.select("doc_id", fp_expr.cast("bigint").alias("fp"))
+    low = fps.select(
+        "doc_id", "fp", F.lit(0).alias("half_idx"), F.expr("fp & 255").alias("half_val")
+    )
+    high = fps.select(
+        "doc_id",
+        "fp",
+        F.lit(1).alias("half_idx"),
+        F.expr("(fp >> 8) & 255").alias("half_val"),
+    )
+    halves = low.unionByName(high)
+    a = halves.alias("a")
+    b = halves.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.half_idx") == F.col("b.half_idx"))
+            & (F.col("a.half_val") == F.col("b.half_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    hamming = F.expr("bit_count(fp_a ^ fp_b)")
+    return cand.filter(hamming <= 3).select(
+        "doc_a", "doc_b", hamming.cast("bigint").alias("hamming")
+    )

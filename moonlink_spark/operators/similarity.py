@@ -1,1 +1,264 @@
-"""placeholder — populated in this round."""
+"""Similarity search over the ``embeddings`` table (array<float>, dim 64).
+
+Brute-force cosine top-k as the correctness baseline, an IVF-style
+cluster-pruned variant as the scale path, random-hyperplane LSH bucketing for
+near-dup candidates, and threshold near-dup pairs.
+
+Scale design (100 TB):
+- Brute force is O(Q x N): fine when the query set is small and broadcast;
+  the candidate scan stays fully parallel, no shuffle of candidates.
+- IVF: vectors carry a precomputed cluster id (one broadcast map stage);
+  queries probe only their cluster -> candidate set shrinks by the cluster
+  count; the join key is the cluster id, not a cross join.
+- Hyperplane-LSH: per-vector signature is a map stage; candidates come from
+  a bucket self-join (same plan shape as MinHash LSH in dedup.py).
+
+All arithmetic is double-precision folds that are bit-identical between
+Spark's ``aggregate``/``zip_with`` and DuckDB's list functions (verified),
+so cosine scores hash-match the oracle exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from moonlink_spark.operators import load, register
+
+DIM = 64
+N_PLANES = 8
+
+
+def _dot(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: str):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+_SQL_COS = (
+    "list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+)
+
+
+@register(
+    "knn_cosine_bruteforce",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_SQL_COS.format(a="qe", b="ce")} AS cos
+  FROM q JOIN c ON query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(round(cos, 6) AS DOUBLE) AS cosine,
+       CAST(rn AS BIGINT) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+      FROM scored) t
+WHERE rn <= 5
+""",
+    category="similarity",
+)
+def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 10 query vectors: broadcast the (small) query
+    side, scan candidates once, window top-k. The baseline every ANN variant
+    is measured against."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", _dot("qe", "ce") / (_norm("qe") * _norm("ce")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine"),
+            "rn",
+        )
+    )
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_SQL_COS.format(a="a.embedding", b="b.embedding")} AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, CAST(round(cos, 6) AS DOUBLE) AS cosine
+FROM pairs WHERE cos >= 0.35
+""",
+    category="similarity",
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.35). All-pairs at
+    correctness SF; production uses ann_lsh_hyperplane buckets first."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).withColumn(
+        "cos", _dot("ea", "eb") / (_norm("ea") * _norm("eb"))
+    )
+    return pairs.filter(F.col("cos") >= 0.35).select(
+        "vec_a", "vec_b", F.round("cos", 6).alias("cosine")
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+WITH centroids AS (
+  SELECT label AS cluster_id, embedding AS cent
+  FROM (SELECT label, embedding, row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+        FROM embeddings) t
+  WHERE rn = 1
+),
+assigned AS (
+  SELECT vec_id, embedding, cluster_id
+  FROM (
+    SELECT e.vec_id, e.embedding, c.cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {_SQL_COS.format(a="e.embedding", b="c.cent")} DESC, c.cluster_id) AS rn
+    FROM embeddings e CROSS JOIN centroids c
+  ) t WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe, cluster_id FROM assigned WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         {_SQL_COS.format(a="q.qe", b="a.embedding")} AS cos
+  FROM q JOIN assigned a ON q.cluster_id = a.cluster_id AND a.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, CAST(round(cos, 6) AS DOUBLE) AS cosine,
+       CAST(rn AS BIGINT) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+      FROM scored) t
+WHERE rn <= 3
+""",
+    category="similarity",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: deterministic centroids (first vector per label),
+    nearest-centroid assignment (broadcast map stage), then top-3 within the
+    query's cluster only — the candidate set shrinks by ~n_clusters, which is
+    the scale path vs. brute force."""
+    emb = load(spark, sf_dir, "embeddings")
+    wc = Window.partitionBy("label").orderBy("vec_id")
+    centroids = (
+        emb.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select(F.col("label").alias("cluster_id"), F.col("embedding").alias("cent"))
+    )
+    scored_cent = emb.crossJoin(F.broadcast(centroids)).withColumn(
+        "cos_c", _dot("embedding", "cent") / (_norm("embedding") * _norm("cent"))
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cluster_id"))
+    assigned = (
+        scored_cent.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cluster_id")
+    )
+    q = assigned.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("cluster_id"),
+    )
+    scored = (
+        assigned.join(F.broadcast(q), on="cluster_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", _dot("qe", "embedding") / (_norm("qe") * _norm("embedding")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos", 6).alias("cosine"),
+            "rn",
+        )
+    )
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic pseudo-random +/-1 hyperplanes from md5 — identical
+    literals are inlined into both the Spark plan and the oracle SQL."""
+    planes = []
+    for j in range(N_PLANES):
+        row = []
+        for i in range(DIM):
+            h = hashlib.md5(f"plane{j}:{i}".encode()).hexdigest()
+            row.append(1.0 if int(h[:2], 16) % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def _sql_planes_literal() -> str:
+    rows = ", ".join(
+        "[" + ", ".join(f"{v:.1f}" for v in row) + "]" for row in _hyperplanes()
+    )
+    return f"[{rows}]"
+
+
+@register(
+    "ann_lsh_hyperplane_buckets",
+    oracle=f"""
+WITH planes AS (SELECT CAST({_sql_planes_literal()} AS DOUBLE[][]) AS ps),
+sigs AS (
+  SELECT vec_id,
+         list_sum(list_transform(range(1, {N_PLANES} + 1),
+           j -> CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
+                       ps[CAST(j AS INTEGER)]) >= 0
+                     THEN CAST(2 ** (j - 1) AS BIGINT) ELSE 0 END)) AS sig
+  FROM embeddings CROSS JOIN planes
+)
+SELECT CAST(sig AS BIGINT) AS sig, COUNT(*) AS n_vectors,
+       MIN(vec_id) AS min_vec_id
+FROM sigs GROUP BY sig
+""",
+    category="similarity",
+)
+def ann_lsh_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH: 8-bit sign signature per vector -> bucket
+    histogram. Buckets are the candidate sets for ANN/near-dup at scale
+    (self-join on sig, like the MinHash band join)."""
+    emb = load(spark, sf_dir, "embeddings")
+    planes = _hyperplanes()
+    sig = None
+    for j, row in enumerate(planes):
+        lit_plane = F.array(*[F.lit(v) for v in row])
+        d = F.aggregate(
+            F.zip_with("embedding", lit_plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        term = F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = term if sig is None else (sig + term)
+    return (
+        emb.withColumn("sig", sig.cast("bigint"))
+        .groupBy("sig")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+    )

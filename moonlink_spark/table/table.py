@@ -230,6 +230,14 @@ class MoonlinkTable:
             self._pending.append(("delete_rows", rows, True))
             self._pending.append(("append_rows", rows))
 
+    def delete_keys_df(self, keys_df: DataFrame) -> None:
+        """Bulk delete by a DataFrame of identity keys."""
+        ident = self.identity
+        if ident.is_append_only:
+            raise IdentityError("append-only table rejects deletes")
+        with self._lock:
+            self._pending.append(("delete_df", keys_df.select(*ident.columns)))
+
     def upsert_df(self, df: DataFrame) -> None:
         """Bulk MERGE: delete matching keys, then append ``df``."""
         ident = self.identity
