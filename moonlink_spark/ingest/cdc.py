@@ -1,0 +1,131 @@
+"""CDC event application: the Postgres-logical-replication-shaped path.
+
+Parity with ``Sink::process_cdc_event``
+(``src/moonlink_connectors/src/pg_replicate/moonlink_sink.rs:203-380``):
+Insert -> Append, Update -> Delete(old)+Append(new) at one LSN (:295-326),
+Delete -> Delete, Commit -> table commit at the transaction's end LSN;
+events between Begin and Commit belong to one transaction and become one
+atomic table commit (micro-batch == transaction).
+
+Streaming transactions (xact_id set) route to per-xact staging
+(transaction_stream.rs), committed/aborted independently.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Iterable
+
+from moonlink_spark.errors import LsnError, TransactionError
+from moonlink_spark.table.table import MoonlinkTable, TransactionStream
+
+
+@dataclass(frozen=True)
+class CdcEvent:
+    """One replication event (parity CdcEvent enum,
+    pg_replicate/conversions/cdc_event.rs:194-207)."""
+
+    op: str  # begin | insert | update | delete | commit | stream_commit | stream_abort
+    lsn: int = 0
+    row: dict[str, Any] | None = None
+    old_row: dict[str, Any] | None = None
+    xact_id: int | None = None
+
+    @staticmethod
+    def begin(lsn: int = 0) -> "CdcEvent":
+        return CdcEvent("begin", lsn)
+
+    @staticmethod
+    def insert(row: dict[str, Any], xact_id: int | None = None) -> "CdcEvent":
+        return CdcEvent("insert", 0, row, None, xact_id)
+
+    @staticmethod
+    def update(
+        old_row: dict[str, Any], row: dict[str, Any], xact_id: int | None = None
+    ) -> "CdcEvent":
+        return CdcEvent("update", 0, row, old_row, xact_id)
+
+    @staticmethod
+    def delete(row: dict[str, Any], xact_id: int | None = None) -> "CdcEvent":
+        return CdcEvent("delete", 0, row, None, xact_id)
+
+    @staticmethod
+    def commit(lsn: int) -> "CdcEvent":
+        return CdcEvent("commit", lsn)
+
+    @staticmethod
+    def stream_commit(xact_id: int, lsn: int) -> "CdcEvent":
+        return CdcEvent("stream_commit", lsn, xact_id=xact_id)
+
+    @staticmethod
+    def stream_abort(xact_id: int) -> "CdcEvent":
+        return CdcEvent("stream_abort", 0, xact_id=xact_id)
+
+
+@dataclass
+class CdcApplyStats:
+    inserts: int = 0
+    updates: int = 0
+    deletes: int = 0
+    commits: int = 0
+    versions: list[int] = field(default_factory=list)
+
+
+class CdcSink:
+    """Applies an ordered CDC event stream to a MoonlinkTable."""
+
+    def __init__(self, table: MoonlinkTable):
+        self.table = table
+        self._xacts: dict[int, TransactionStream] = {}
+        self._last_commit_lsn = table.last_lsn
+
+    def _target(self, xact_id: int | None):
+        if xact_id is None:
+            return self.table
+        if xact_id not in self._xacts:
+            self._xacts[xact_id] = self.table.begin_transaction(xact_id)
+        return self._xacts[xact_id]
+
+    def apply(self, events: Iterable[CdcEvent]) -> CdcApplyStats:
+        stats = CdcApplyStats()
+        for ev in events:
+            if ev.op == "begin":
+                continue
+            if ev.op == "insert":
+                self._target(ev.xact_id).append_rows([ev.row])
+                stats.inserts += 1
+            elif ev.op == "update":
+                # delete(old) + append(new) at the same LSN (:295-326)
+                t = self._target(ev.xact_id)
+                t.delete_rows([ev.old_row])
+                t.append_rows([ev.row])
+                stats.updates += 1
+            elif ev.op == "delete":
+                self._target(ev.xact_id).delete_rows([ev.row])
+                stats.deletes += 1
+            elif ev.op == "commit":
+                if ev.lsn <= self._last_commit_lsn:
+                    raise LsnError(
+                        f"commit lsn {ev.lsn} <= last {self._last_commit_lsn}"
+                    )
+                if self.table.has_pending():
+                    stats.versions.append(
+                        self.table.commit(lsn=ev.lsn, operation="cdc")
+                    )
+                self._last_commit_lsn = ev.lsn
+                stats.commits += 1
+            elif ev.op == "stream_commit":
+                x = self._xacts.pop(ev.xact_id, None)
+                if x is None:
+                    raise TransactionError(f"unknown xact {ev.xact_id}")
+                stats.versions.append(x.commit(lsn=ev.lsn))
+                self._last_commit_lsn = ev.lsn
+                stats.commits += 1
+            elif ev.op == "stream_abort":
+                x = self._xacts.pop(ev.xact_id, None)
+                if x is None:
+                    raise TransactionError(f"unknown xact {ev.xact_id}")
+                x.abort()
+            else:
+                raise TransactionError(f"unknown CDC op {ev.op!r}")
+        return stats

@@ -40,8 +40,12 @@ def register(name: str, oracle: Optional[str] = None, category: str = ""):
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # Pin the session to UTC so timestamp semantics match the DuckDB oracle
-    # regardless of which SparkSession the driver hands us.
+    # regardless of which SparkSession the driver hands us, and make sure
+    # executor Python workers can import this package.
+    from moonlink_spark.session import ensure_package_on_workers
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensure_package_on_workers(spark)
     if table == "events":
         # events.parquet stores TIMESTAMP(NANOS), which the Spark parquet
         # reader rejects; read nanos as long and truncate to micros (exact

@@ -74,3 +74,32 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+_SHIPPED: set[int] = set()
+
+
+def ensure_package_on_workers(spark: SparkSession) -> None:
+    """Ship moonlink_spark to executor Python workers via addPyFile.
+
+    Needed whenever a pickled closure references this package (mapInPandas
+    kernels, lambda-based expressions) and the driver process wasn't started
+    from the repo root — e.g. an externally-created SparkSession. Idempotent
+    per SparkContext."""
+    import shutil
+    import tempfile
+
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _SHIPPED:
+        return
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tmp = tempfile.mkdtemp(prefix="moonlink-pkg-")
+    zip_path = shutil.make_archive(
+        os.path.join(tmp, "moonlink_spark"),
+        "zip",
+        root_dir=pkg_root,
+        base_dir="moonlink_spark",
+    )
+    sc.addPyFile(zip_path)
+    _SHIPPED.add(key)

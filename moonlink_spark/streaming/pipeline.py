@@ -1,0 +1,167 @@
+"""Structured Streaming ingestion: CDC event stream -> MoonlinkTable.
+
+The Spark port of the reference write path (SURVEY.md §3.1): the source
+stream replaces the PG replication feed, ``foreachBatch`` replaces the
+table-handler event loop, one micro-batch == one transaction == one manifest
+commit (so the Delta-style "version per batch" maps to commit LSNs), and the
+streaming checkpoint replaces the WAL (``storage/wal.rs``) — after a crash,
+Spark replays the un-committed batches and the batch-id guard makes
+re-delivery idempotent.
+
+Event schema (FIXTURES.md F4 ``cdc_events``):
+  lsn BIGINT, xact_id INT (nullable), op STRING (insert|update|delete),
+  row STRUCT<target schema>, old_row STRUCT<target schema> (for update).
+
+Scale notes: the batch apply is fully set-based — events are reduced to one
+winner per key (max LSN) with a window, then a single bulk delete + bulk
+append; no per-row driver loop, no collect. The same code drives a Kafka
+source on a cluster (swap ``readStream.format``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from moonlink_spark.errors import IdentityError
+from moonlink_spark.table.table import MoonlinkTable
+
+LAST_BATCH_PROP = "streaming.last_batch_id"
+LAST_LSN_PROP = "streaming.last_event_lsn"
+
+
+def cdc_event_schema(row_schema: T.StructType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("lsn", T.LongType(), False),
+            T.StructField("xact_id", T.IntegerType(), True),
+            T.StructField("op", T.StringType(), False),
+            T.StructField("row", row_schema, True),
+            T.StructField("old_row", row_schema, True),
+        ]
+    )
+
+
+def apply_cdc_batch(
+    table: MoonlinkTable, batch_df: DataFrame, batch_id: int
+) -> int | None:
+    """Apply one micro-batch of CDC events as one atomic commit.
+
+    Set-based merge: per identity key keep only the event with the highest
+    (lsn, op-precedence); a final 'delete' wins as a delete, anything else as
+    an upsert. Idempotent across batch re-delivery via the batch-id guard
+    (exactly-once on top of at-least-once foreachBatch)."""
+    props = table.manifest.properties
+    last_applied = int(props.get(LAST_BATCH_PROP, -1))
+    if batch_id <= last_applied:
+        return None  # replayed batch after recovery: already committed
+
+    ident = table.identity
+    if ident.mode not in ("single", "keys"):
+        raise IdentityError("streaming CDC requires a key identity")
+    key_cols = list(ident.columns)
+    data_cols = table.schema.fieldNames()
+
+    min_lsn = int(props.get(LAST_LSN_PROP, 0))
+    ev = batch_df.filter(F.col("lsn") > min_lsn)
+
+    # normalize: key columns come from old_row for deletes/updates if the new
+    # row is absent
+    key_exprs = [
+        F.coalesce(F.col(f"row.{c}"), F.col(f"old_row.{c}")).alias(f"__k_{c}")
+        for c in key_cols
+    ]
+    ev = ev.select("lsn", "op", "row", *key_exprs)
+    w = Window.partitionBy(*[f"__k_{c}" for c in key_cols]).orderBy(F.desc("lsn"))
+    winner = ev.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    winner = winner.persist()
+    try:
+        deletes = winner.filter(F.col("op") == "delete").select(
+            *[F.col(f"__k_{c}").alias(c) for c in key_cols]
+        )
+        upserts = winner.filter(F.col("op") != "delete").select(
+            *[F.col(f"row.{c}").alias(c) for c in data_cols]
+        )
+        n_del = deletes.count()
+        n_up = upserts.count()
+        if n_del == 0 and n_up == 0:
+            return None
+        if n_del:
+            table.delete_keys_df(deletes)
+        if n_up:
+            table.upsert_df(upserts)
+        max_lsn = ev.agg(F.max("lsn")).collect()[0][0] or (table.last_lsn + 1)
+        return table.commit(
+            lsn=max(max_lsn, table.last_lsn + 1),
+            operation=f"stream-batch-{batch_id}",
+            properties_update={
+                LAST_BATCH_PROP: int(batch_id),
+                LAST_LSN_PROP: int(max_lsn),
+            },
+        )
+    finally:
+        winner.unpersist()
+
+
+class StreamingIngestor:
+    """File-source CDC stream -> MoonlinkTable (swap in Kafka on a cluster)."""
+
+    def __init__(
+        self,
+        table: MoonlinkTable,
+        source_dir: str,
+        checkpoint_dir: str,
+        on_batch: Callable[[int, int | None], None] | None = None,
+    ):
+        self.table = table
+        self.source_dir = source_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.on_batch = on_batch
+
+    def _foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        version = apply_cdc_batch(self.table, batch_df, batch_id)
+        if self.on_batch:
+            self.on_batch(batch_id, version)
+
+    def start(self, available_now: bool = True, processing_time: str = "1 second"):
+        spark: SparkSession = self.table.spark
+        schema = cdc_event_schema(self.table.schema)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 16)
+            .json(self.source_dir)
+        )
+        writer = stream.writeStream.foreachBatch(self._foreach_batch).option(
+            "checkpointLocation", self.checkpoint_dir
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.start()
+
+    def run_available(self, timeout_s: float = 120.0) -> None:
+        """Process everything currently in the source dir, then stop
+        (used for tests and catch-up runs)."""
+        q = self.start(available_now=True)
+        q.awaitTermination(timeout_s)
+
+
+def initial_copy(
+    table: MoonlinkTable, snapshot_df: DataFrame, snapshot_lsn: int
+) -> int:
+    """Seed a table from a batch snapshot, then let the CDC stream take over
+    from the captured LSN (parity initial-copy flow,
+    pg_replicate/initial_copy.rs + buffered replay table_handler.rs:940-951:
+    events at lsn <= snapshot_lsn are skipped by apply_cdc_batch's LSN
+    floor)."""
+    table.append_df(snapshot_df)
+    return table.commit(
+        lsn=snapshot_lsn,
+        operation="initial-copy",
+        properties_update={LAST_LSN_PROP: int(snapshot_lsn)},
+    )

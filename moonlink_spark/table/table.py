@@ -73,6 +73,9 @@ class MoonlinkTable:
     """One versioned table rooted at ``path``."""
 
     def __init__(self, spark: SparkSession, path: str):
+        from moonlink_spark.session import ensure_package_on_workers
+
+        ensure_package_on_workers(spark)
         self.spark = spark
         self.path = os.path.abspath(path)
         self.store = ManifestStore(self.path)
@@ -282,7 +285,12 @@ class MoonlinkTable:
     # commit
     # ------------------------------------------------------------------ #
 
-    def commit(self, lsn: int | None = None, operation: str = "ingest") -> int:
+    def commit(
+        self,
+        lsn: int | None = None,
+        operation: str = "ingest",
+        properties_update: dict[str, Any] | None = None,
+    ) -> int:
         """Materialize pending ops as one atomic versioned commit (parity
         ``commit``, mooncake_table.rs:1290-1315 + the flush/snapshot/sync
         pipeline collapsed into one ACID step).
@@ -311,7 +319,7 @@ class MoonlinkTable:
                 delete_files=base.delete_files + new_dvs,
                 parent=base.version,
                 operation=operation,
-                properties=base.properties,
+                properties={**base.properties, **(properties_update or {})},
             )
             self.store.commit(m)
             return m.version

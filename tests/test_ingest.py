@@ -1,0 +1,185 @@
+"""REST/JSON/CDC ingestion tests (parity: reference service e2e tests,
+src/moonlink_service/src/test.rs + sink tests in moonlink_sink.rs)."""
+
+import datetime as dt
+from decimal import Decimal
+
+import pytest
+
+from moonlink_spark.errors import LsnError
+from moonlink_spark.ingest.cdc import CdcEvent, CdcSink
+from moonlink_spark.ingest.json_convert import JsonConvertError, convert_row
+from moonlink_spark.ingest.rest import RestSink
+from moonlink_spark.schema import field_schema_to_struct
+from moonlink_spark.table.identity import IdentityProp
+from moonlink_spark.table.table import MoonlinkTable
+
+TYPED_FIELDS = [
+    {"name": "id", "data_type": "int32", "nullable": False},
+    {"name": "id64", "data_type": "int64"},
+    {"name": "small", "data_type": "int16"},
+    {"name": "name", "data_type": "string"},
+    {"name": "active", "data_type": "bool"},
+    {"name": "score", "data_type": "float64"},
+    {"name": "amount", "data_type": "decimal(5,2)"},
+    {"name": "big_amount", "data_type": "decimal(38,10)"},
+    {"name": "d", "data_type": "date32"},
+    {"name": "t_us", "data_type": "time64"},
+    {"name": "ts", "data_type": "timestamp"},
+    {"name": "uid", "data_type": "uuid"},
+    {"name": "blob", "data_type": "binary"},
+    {"name": "tags", "data_type": "list", "item": {"data_type": "string"}},
+    {
+        "name": "profile",
+        "data_type": "struct",
+        "fields": [
+            {"name": "pid", "data_type": "int32"},
+            {"name": "pname", "data_type": "string"},
+        ],
+    },
+]
+
+
+class TestJsonConvert:
+    def setup_method(self):
+        self.schema = field_schema_to_struct(TYPED_FIELDS)
+
+    def test_full_type_coverage(self):
+        row = convert_row(
+            {
+                "id": 1,
+                "id64": 2**40,
+                "small": 12,
+                "name": "x",
+                "active": True,
+                "score": 1.5,
+                "amount": "123.45",
+                "big_amount": 99.5,
+                "d": "2024-03-01",
+                "t_us": "01:02:03.000004",
+                "ts": "2024-03-01T12:30:00Z",
+                "uid": "A7F3B2C1-0000-4000-8000-000000000001",
+                "blob": "deadbeef",
+                "tags": ["a", "b"],
+                "profile": {"pid": 5, "pname": "p"},
+            },
+            self.schema,
+        )
+        assert row["amount"] == Decimal("123.45")
+        assert row["big_amount"] == Decimal("99.5000000000")
+        assert row["d"] == dt.date(2024, 3, 1)
+        assert row["t_us"] == 1 * 3_600_000_000 + 2 * 60_000_000 + 3_000_000 + 4
+        assert row["ts"] == dt.datetime(2024, 3, 1, 12, 30)
+        assert row["uid"] == "a7f3b2c1-0000-4000-8000-000000000001"  # canonical
+        assert row["blob"] == b"\xde\xad\xbe\xef"
+        assert row["profile"] == {"pid": 5, "pname": "p"}
+
+    def test_epoch_micros_timestamp(self):
+        row = convert_row({"id": 1, "ts": 1_709_294_400_000_000}, self.schema)
+        assert row["ts"] == dt.datetime(2024, 3, 1, 12, 0)
+
+    @pytest.mark.parametrize(
+        "data",
+        [
+            {"id": 1, "nope": 2},  # unknown field
+            {"id": None},  # null non-nullable
+            {"id": 1, "small": 70000},  # int16 overflow
+            {"id": 1.5},  # lossy float->int
+            {"id": 1, "amount": "1234.56"},  # decimal(5,2) overflow
+            {"id": 1, "uid": "not-a-uuid"},
+            {"id": 1, "active": "yes"},
+            {"id": 1, "tags": "notalist"},
+        ],
+    )
+    def test_rejects(self, data):
+        with pytest.raises(JsonConvertError):
+            convert_row(data, self.schema)
+
+
+USERS = [
+    {"name": "id", "data_type": "int32", "nullable": False},
+    {"name": "name", "data_type": "string"},
+    {"name": "age", "data_type": "int32"},
+]
+
+
+class TestRestSink:
+    def test_sync_requests_each_commit(self, spark, tmp_path):
+        t = MoonlinkTable.create(
+            spark, str(tmp_path / "t"), USERS, IdentityProp.single("id")
+        )
+        sink = RestSink(t)
+        r1 = sink.ingest("insert", {"id": 1, "name": "a", "age": 10})
+        assert r1.committed and r1.commit_lsn == r1.row_lsn + 1
+        r2 = sink.ingest("upsert", {"id": 1, "name": "a2", "age": 11})
+        r3 = sink.ingest("insert", {"id": 2, "name": "b", "age": 20})
+        sink.ingest("delete", {"id": 2})
+        # consecutive counter across requests (rest_source.rs:382-395)
+        assert r2.row_lsn == r1.commit_lsn + 1
+        got = {r["id"]: r["name"] for r in t.scan().collect()}
+        assert got == {1: "a2"}
+        # read at the LSN right after the first commit: only row 1 v1
+        assert [r["name"] for r in t.scan(lsn=r1.commit_lsn).collect()] == ["a"]
+        assert r3.version is not None
+
+    def test_async_buffer_then_flush(self, spark, tmp_path):
+        t = MoonlinkTable.create(
+            spark, str(tmp_path / "t"), USERS, IdentityProp.single("id")
+        )
+        sink = RestSink(t)
+        sink.ingest("insert", {"id": 1, "name": "a", "age": 1}, request_mode="async")
+        sink.ingest("insert", {"id": 2, "name": "b", "age": 2}, request_mode="async")
+        assert t.scan().count() == 0
+        v = sink.flush()
+        assert v is not None
+        assert t.scan().count() == 2
+        assert sink.flush() is None  # idempotent when clean
+
+
+class TestCdcSink:
+    def test_transaction_per_commit(self, spark, tmp_path):
+        t = MoonlinkTable.create(
+            spark, str(tmp_path / "t"), USERS, IdentityProp.single("id")
+        )
+        sink = CdcSink(t)
+        stats = sink.apply(
+            [
+                CdcEvent.begin(),
+                CdcEvent.insert({"id": 1, "name": "a", "age": 1}),
+                CdcEvent.insert({"id": 2, "name": "b", "age": 2}),
+                CdcEvent.commit(lsn=10),
+                CdcEvent.begin(),
+                CdcEvent.update(
+                    {"id": 1, "name": "a", "age": 1}, {"id": 1, "name": "a2", "age": 5}
+                ),
+                CdcEvent.delete({"id": 2, "name": "b", "age": 2}),
+                CdcEvent.commit(lsn=20),
+            ]
+        )
+        assert stats.inserts == 2 and stats.updates == 1 and stats.deletes == 1
+        assert {tuple(r) for r in t.scan().collect()} == {(1, "a2", 5)}
+        assert t.scan(lsn=10).count() == 2  # pre-update state readable
+        with pytest.raises(LsnError):
+            sink.apply([CdcEvent.insert({"id": 9, "name": "z", "age": 0}),
+                        CdcEvent.commit(lsn=20)])
+        t._pending.clear()
+
+    def test_streaming_xacts_interleaved(self, spark, tmp_path):
+        t = MoonlinkTable.create(
+            spark, str(tmp_path / "t"), USERS, IdentityProp.single("id")
+        )
+        sink = CdcSink(t)
+        sink.apply(
+            [
+                CdcEvent.insert({"id": 1, "name": "base", "age": 0}),
+                CdcEvent.commit(lsn=5),
+                # two interleaved streaming transactions
+                CdcEvent.insert({"id": 10, "name": "x1", "age": 1}, xact_id=100),
+                CdcEvent.insert({"id": 20, "name": "x2", "age": 2}, xact_id=200),
+                CdcEvent.insert({"id": 11, "name": "x1b", "age": 3}, xact_id=100),
+                CdcEvent.stream_commit(xact_id=100, lsn=30),
+                CdcEvent.stream_abort(xact_id=200),
+            ]
+        )
+        ids = sorted(r["id"] for r in t.scan().collect())
+        assert ids == [1, 10, 11]
