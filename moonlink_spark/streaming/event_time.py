@@ -26,6 +26,9 @@ EVENT_SCHEMA = T.StructType(
 def read_event_stream(
     spark: SparkSession, source_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
+    from moonlink_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
     return (
         spark.readStream.schema(EVENT_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
