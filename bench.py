@@ -97,8 +97,11 @@ def main() -> None:
     specs = all_queries()
     timings: dict[str, float] = {}
 
-    # warm the JVM + file listing with one tiny job
+    # warm the JVM: codegen, parquet reader, shuffle machinery — one
+    # uncounted pass of the flagship shapes at the smallest SF
     spark.range(1000).count()
+    for warm in ("q1_pricing_summary", "q18_large_orders"):
+        _force(specs[warm].fn(spark, "/root/testdata/sf0.001"))
 
     for name in HEADLINE:
         t0 = time.time()

@@ -23,6 +23,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -189,7 +190,7 @@ class ManifestStore:
                 )
         manifest.timestamp_ms = int(time.time() * 1000)
         path = self._path(manifest.version)
-        tmp = path + f".tmp.{os.getpid()}"
+        tmp = path + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             json.dump(manifest.to_json(), fh, indent=1)
             fh.flush()

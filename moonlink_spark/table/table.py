@@ -307,21 +307,24 @@ class MoonlinkTable:
             ops, self._pending = self._pending, []
             try:
                 new_files, new_dvs = self._apply_ops(base, ops)
+                m = Manifest(
+                    version=base.version + 1,
+                    lsn=lsn,
+                    schema_fields=base.schema_fields,
+                    identity=base.identity,
+                    data_files=base.data_files + new_files,
+                    delete_files=base.delete_files + new_dvs,
+                    parent=base.version,
+                    operation=operation,
+                    properties={**base.properties, **(properties_update or {})},
+                )
+                self.store.commit(m)
             except Exception:
-                self._pending = ops  # restore for inspection/retry
+                # restore the raw ops so a retry recomputes delete targeting
+                # against the NEW base (files already written become orphans,
+                # reclaimed by vacuum)
+                self._pending = ops
                 raise
-            m = Manifest(
-                version=base.version + 1,
-                lsn=lsn,
-                schema_fields=base.schema_fields,
-                identity=base.identity,
-                data_files=base.data_files + new_files,
-                delete_files=base.delete_files + new_dvs,
-                parent=base.version,
-                operation=operation,
-                properties={**base.properties, **(properties_update or {})},
-            )
-            self.store.commit(m)
             return m.version
 
     def _apply_ops(
