@@ -69,6 +69,7 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity,
         textstats,
         ingest_parity,
+        scalar_extra,
     )
 
     return dict(REGISTRY)
