@@ -37,13 +37,20 @@ class FileEntry:
     path: str  # relative to table dir unless absolute (bulk-loaded external)
     rows: int
     bytes: int = 0
+    # per-column [min, max] from the parquet footer (stats.py); powers
+    # driver-side file pruning (parity: Iceberg manifest stats,
+    # parquet_stats_utils.rs)
+    stats: dict[str, list] | None = None
 
     def to_json(self) -> dict[str, Any]:
-        return {"path": self.path, "rows": self.rows, "bytes": self.bytes}
+        o: dict[str, Any] = {"path": self.path, "rows": self.rows, "bytes": self.bytes}
+        if self.stats:
+            o["stats"] = self.stats
+        return o
 
     @staticmethod
     def from_json(o: dict[str, Any]) -> "FileEntry":
-        return FileEntry(o["path"], o["rows"], o.get("bytes", 0))
+        return FileEntry(o["path"], o["rows"], o.get("bytes", 0), o.get("stats"))
 
 
 @dataclass

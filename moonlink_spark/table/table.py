@@ -51,6 +51,11 @@ from moonlink_spark.errors import (
 )
 from moonlink_spark.schema import field_schema_to_struct, struct_to_field_schema
 from moonlink_spark.table.identity import IdentityProp
+from moonlink_spark.table.stats import (
+    PrunePredicate,
+    collect_file_stats,
+    key_batch_predicate,
+)
 from moonlink_spark.table.manifest import FileEntry, Manifest, ManifestStore
 
 DATA_DIR = "data"
@@ -384,7 +389,12 @@ class MoonlinkTable:
     ) -> list[FileEntry]:
         ident = IdentityProp.from_json(base.identity)
         schema = field_schema_to_struct(base.schema_fields)
-        live = self._live_view(base, new_files, new_dvs)
+        prune = (
+            key_batch_predicate(list(ident.columns), rows)
+            if ident.mode in ("single", "keys")
+            else None
+        )
+        live = self._live_view(base, new_files, new_dvs, prune=prune)
 
         if ident.mode in ("single", "keys"):
             key_cols = list(ident.columns)
@@ -449,13 +459,18 @@ class MoonlinkTable:
     # ------------------------------------------------------------------ #
 
     def scan(
-        self, lsn: int | None = None, version: int | None = None
+        self,
+        lsn: int | None = None,
+        version: int | None = None,
+        prune: PrunePredicate | None = None,
     ) -> DataFrame:
         """Read the table as a DataFrame. ``lsn`` gives exact read-at-LSN
         (largest commit <= lsn); ``version`` gives time travel by version
-        (parity scan_table + versionAsOf, SURVEY.md §3.2)."""
+        (parity scan_table + versionAsOf, SURVEY.md §3.2). ``prune`` skips
+        files whose footer min/max cannot match (stats.py) — the point-lookup
+        fast path replacing the reference's hash index."""
         m = self._resolve_manifest(lsn, version)
-        return self._read_manifest(m, with_pos=False)
+        return self._read_manifest(m, with_pos=False, prune=prune)
 
     def scan_blocking(self, lsn: int, timeout_s: float = 30.0) -> DataFrame:
         """Block until a commit with lsn >= requested exists, then read at
@@ -479,8 +494,31 @@ class MoonlinkTable:
     def _resolve(self, rel: str) -> str:
         return rel if os.path.isabs(rel) else os.path.join(self.path, rel)
 
-    def _read_manifest(self, m: Manifest, with_pos: bool) -> DataFrame:
+    def _read_manifest(
+        self, m: Manifest, with_pos: bool, prune: PrunePredicate | None = None
+    ) -> DataFrame:
         schema = field_schema_to_struct(m.schema_fields)
+        data_files = m.data_files
+        if prune is not None:
+            data_files = [f for f in data_files if prune.file_may_match(f.stats)]
+        if not data_files:
+            m = Manifest(
+                version=m.version,
+                lsn=m.lsn,
+                schema_fields=m.schema_fields,
+                identity=m.identity,
+                data_files=[],
+                delete_files=[],
+            )
+        elif data_files is not m.data_files:
+            m = Manifest(
+                version=m.version,
+                lsn=m.lsn,
+                schema_fields=m.schema_fields,
+                identity=m.identity,
+                data_files=data_files,
+                delete_files=m.delete_files,
+            )
         if not m.data_files:
             df = self.spark.createDataFrame([], schema)
             if with_pos:
@@ -510,7 +548,11 @@ class MoonlinkTable:
         return df
 
     def _live_view(
-        self, base: Manifest, new_files: list[FileEntry], new_dvs: list[FileEntry]
+        self,
+        base: Manifest,
+        new_files: list[FileEntry],
+        new_dvs: list[FileEntry],
+        prune: PrunePredicate | None = None,
     ) -> DataFrame:
         m = Manifest(
             version=base.version,
@@ -520,7 +562,7 @@ class MoonlinkTable:
             data_files=base.data_files + new_files,
             delete_files=base.delete_files + new_dvs,
         )
-        return self._read_manifest(m, with_pos=True)
+        return self._read_manifest(m, with_pos=True, prune=prune)
 
     # ------------------------------------------------------------------ #
     # file writers
@@ -544,7 +586,14 @@ class MoonlinkTable:
             rel = f"{DATA_DIR}/buf-{uuid.uuid4().hex}.parquet"
             path = os.path.join(self.path, rel)
             pq.write_table(tbl, path, compression="snappy")
-            return [FileEntry(rel, tbl.num_rows, os.path.getsize(path))]
+            return [
+                FileEntry(
+                    rel,
+                    tbl.num_rows,
+                    os.path.getsize(path),
+                    collect_file_stats(path),
+                )
+            ]
         except Exception:
             # fall back to the Spark writer on any conversion edge case
             df = self.spark.createDataFrame(rows, schema)
@@ -570,7 +619,9 @@ class MoonlinkTable:
             if rows == 0:
                 os.unlink(dst)
                 continue
-            entries.append(FileEntry(rel, rows, os.path.getsize(dst)))
+            entries.append(
+                FileEntry(rel, rows, os.path.getsize(dst), collect_file_stats(dst))
+            )
         shutil.rmtree(tmp, ignore_errors=True)
         return entries
 

@@ -1,0 +1,93 @@
+"""File-level min/max stats + scan-time pruning (parity: Iceberg manifest
+stats, parquet_stats_utils.rs; replaces the reference's hash-index point
+lookup on the read path)."""
+
+from pyspark.sql import functions as F
+
+from moonlink_spark.table.identity import IdentityProp
+from moonlink_spark.table.stats import PrunePredicate, key_batch_predicate
+from moonlink_spark.table.table import MoonlinkTable
+
+FIELDS = [
+    {"name": "id", "data_type": "int64", "nullable": False},
+    {"name": "bucket", "data_type": "string"},
+    {"name": "v", "data_type": "float64"},
+]
+
+
+def _make(spark, tmp_path, n_files=5, rows_per_file=100):
+    t = MoonlinkTable.create(
+        spark, str(tmp_path / "t"), FIELDS, IdentityProp.single("id")
+    )
+    for f in range(n_files):
+        base = f * rows_per_file
+        t.append_rows(
+            [
+                {"id": base + i, "bucket": f"b{f}", "v": float(i)}
+                for i in range(rows_per_file)
+            ]
+        )
+        t.commit(lsn=f + 1)
+    return t
+
+
+def test_stats_collected_on_write(spark, tmp_path):
+    t = _make(spark, tmp_path)
+    m = t.manifest
+    assert len(m.data_files) == 5
+    for i, fe in enumerate(m.data_files):
+        assert fe.stats is not None
+        assert fe.stats["id"] == [i * 100, i * 100 + 99]
+        assert fe.stats["bucket"] == [f"b{i}", f"b{i}"]
+
+
+def test_point_lookup_prunes_to_one_file(spark, tmp_path):
+    t = _make(spark, tmp_path)
+    pred = PrunePredicate.eq("id", 250)
+    df = t.scan(prune=pred)
+    # only the file covering [200, 299] is read
+    files = df.select(F.col("_metadata.file_path")).distinct().count()
+    assert files == 1
+    assert [r["id"] for r in df.filter("id = 250").collect()] == [250]
+    # full scan unpruned still sees everything
+    assert t.scan().count() == 500
+
+
+def test_prune_never_loses_rows(spark, tmp_path):
+    t = _make(spark, tmp_path)
+    pred = PrunePredicate.between("id", 150, 320)
+    got = sorted(
+        r["id"] for r in t.scan(prune=pred).filter("id BETWEEN 150 AND 320").collect()
+    )
+    assert got == list(range(150, 321))
+
+
+def test_key_batch_predicate_shapes():
+    p = key_batch_predicate(["id"], [{"id": 5}, {"id": 9}])
+    assert p.conditions == [("id", "in", [5, 9])]
+    assert p.file_may_match({"id": [0, 10]})
+    assert not p.file_may_match({"id": [100, 200]})
+    assert p.file_may_match(None)  # no stats: never prune away
+    big = key_batch_predicate(["id"], [{"id": i} for i in range(200)])
+    assert big.conditions == [("id", ">=", 0), ("id", "<=", 199)]
+    assert key_batch_predicate(["id"], [{"id": None}]) is None
+
+
+def test_delete_targeting_uses_pruning_and_stays_correct(spark, tmp_path):
+    """Point deletes touch only matching files (semantics identical)."""
+    t = _make(spark, tmp_path)
+    t.delete_rows([{"id": 250}, {"id": 251}])
+    t.commit(lsn=99)
+    assert t.scan().count() == 498
+    assert t.scan().filter("id IN (250, 251)").count() == 0
+    # the DV only references the single pruned file
+    dv_files = t.manifest.delete_files
+    assert sum(f.rows for f in dv_files) == 2
+
+
+def test_scan_prune_with_dv_interaction(spark, tmp_path):
+    t = _make(spark, tmp_path)
+    t.delete_rows([{"id": 250}])
+    t.commit(lsn=99)
+    df = t.scan(prune=PrunePredicate.between("id", 200, 299))
+    assert df.count() == 99  # 100 minus the deleted row
