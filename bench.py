@@ -90,6 +90,36 @@ def bench_ingest(spark, sf_dir: str) -> float:
         shutil.rmtree(path, ignore_errors=True)
 
 
+def bench_batch_commits(spark, n_batches: int = 20, batch_rows: int = 10_000) -> float:
+    """Reference microbench shape: 10k-row batches, commit per batch
+    (microbench_write_mooncake_table.rs:26-60) — measures per-commit
+    overhead of the row-buffer fast path + manifest publish."""
+    fields = [
+        {"name": "id", "data_type": "int32", "nullable": False},
+        {"name": "name", "data_type": "string"},
+        {"name": "age", "data_type": "int32"},
+    ]
+    path = tempfile.mkdtemp(prefix="moonlink-bench-bc-")
+    t0 = time.time()
+    try:
+        t = MoonlinkTable.create(
+            spark, os.path.join(path, "t"), fields, IdentityProp.single("id")
+        )
+        for b in range(n_batches):
+            base = b * batch_rows
+            t.append_rows(
+                [
+                    {"id": base + i, "name": f"user_{base + i}", "age": i % 90}
+                    for i in range(batch_rows)
+                ]
+            )
+            t.commit(lsn=b + 1)
+        assert t.cardinality() == n_batches * batch_rows
+        return time.time() - t0
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -109,6 +139,7 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     timings["ingest_merge_lifecycle"] = round(bench_ingest(spark, sf_dir), 3)
+    timings["ingest_batch_commits"] = round(bench_batch_commits(spark), 3)
 
     total = round(sum(timings.values()), 3)
     print(
