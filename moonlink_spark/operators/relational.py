@@ -773,3 +773,212 @@ def tumbling_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
     )
+
+
+# --------------------------------------------------------------------------- #
+# q15: top supplier by revenue (agg + max join-back)
+# --------------------------------------------------------------------------- #
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, CAST(SUM({_SQL_DISC}) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""",
+    category="aggregation",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: scalar-subquery max via a rank-1 window (one pass,
+    no self-join of the aggregate)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_disc_price()).cast("double").alias("total_revenue"))
+    )
+    w = Window.orderBy(F.desc("total_revenue"))
+    top = (
+        revenue.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") == 1)
+        .drop("rnk")
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return supp.join(
+        F.broadcast(top), supp.s_suppkey == top.supplier_no
+    ).select("s_suppkey", "s_name", "total_revenue")
+
+
+# --------------------------------------------------------------------------- #
+# q17: small-quantity-order revenue (correlated avg subquery)
+# --------------------------------------------------------------------------- #
+@register(
+    "q17_small_qty_revenue",
+    oracle="""
+WITH part_avg AS (
+  SELECT l_partkey AS pk,
+         0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(15,4))) AS DOUBLE) / COUNT(*)) AS half_avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4))) AS DOUBLE) / 7.0 AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+              JOIN part_avg ON pk = l_partkey
+WHERE p_brand = 'Brand#21' AND l_quantity < half_avg_qty
+""",
+    category="aggregation",
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: per-part average as a window aggregate instead of a
+    correlated subquery (avoids the re-join of lineitem to itself)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_partkey")
+    half_avg = 0.5 * (
+        F.sum(_m("l_quantity")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#21").select(
+        "p_partkey"
+    )
+    return (
+        li.withColumn("half_avg_qty", half_avg)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            (F.sum(_m("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# q22: customers with above-average balance and no orders
+# --------------------------------------------------------------------------- #
+@register(
+    "q22_sales_opportunity",
+    oracle="""
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(15,4))) AS DOUBLE) / COUNT(*) AS ab
+  FROM customer WHERE c_acctbal > 0.0
+)
+, order_counts AS (
+  SELECT c_custkey, c_nationkey, c_acctbal, COUNT(o_orderkey) AS n_orders
+  FROM customer LEFT OUTER JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey, c_nationkey, c_acctbal
+)
+SELECT c_nationkey,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(15,4))) AS DOUBLE) AS totacctbal
+FROM order_counts, avg_bal
+WHERE c_acctbal > ab AND n_orders < 3
+GROUP BY c_nationkey
+""",
+    category="join",
+)
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global scalar aggregate broadcast + outer-join count
+    filter (customers with above-average balance and fewer than 3 orders)."""
+    cust = load(spark, sf_dir, "customer")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (F.sum(_m("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("ab")
+        )
+    )
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    order_counts = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey", "c_nationkey", "c_acctbal")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        order_counts.crossJoin(F.broadcast(avg_bal))
+        .filter((F.col("c_acctbal") > F.col("ab")) & (F.col("n_orders") < 3))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_m("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# q11-ish: revenue share per part with HAVING over a global total
+# --------------------------------------------------------------------------- #
+@register(
+    "q11_important_parts",
+    oracle=f"""
+WITH per_part AS (
+  SELECT l_partkey, CAST(SUM({_SQL_DISC}) AS DOUBLE) AS part_rev
+  FROM lineitem GROUP BY l_partkey
+),
+total AS (SELECT CAST(SUM(part_rev) AS DOUBLE) AS t FROM per_part)
+SELECT l_partkey, part_rev,
+       CAST(round(part_rev / t, 9) AS DOUBLE) AS rev_share
+FROM per_part, total
+WHERE part_rev > t * 0.0008
+""",
+    category="aggregation",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING against a global-total scalar (broadcast)."""
+    li = load(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(_disc_price()).cast("double").alias("part_rev")
+    )
+    total = per_part.agg(F.sum("part_rev").cast("double").alias("t"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_rev") > F.col("t") * 0.0008)
+        .select(
+            "l_partkey",
+            "part_rev",
+            F.round(F.col("part_rev") / F.col("t"), 9).alias("rev_share"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# q2-ish: best supplier per nation (min join-back through dims)
+# --------------------------------------------------------------------------- #
+@register(
+    "q2_min_balance_supplier",
+    oracle="""
+WITH ranked AS (
+  SELECT n_name, s_suppkey, s_name, s_acctbal,
+         row_number() OVER (PARTITION BY n_nationkey
+                            ORDER BY s_acctbal, s_suppkey) AS rn
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT n_name, s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS acctbal
+FROM ranked WHERE rn = 1
+""",
+    category="join",
+)
+def q2_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: no partsupp table): min-per-group resolved
+    with a window rank instead of an aggregate self-join."""
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    j = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    w = Window.partitionBy("n_nationkey").orderBy(F.asc("s_acctbal"), F.asc("s_suppkey"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "n_name",
+            "s_suppkey",
+            "s_name",
+            F.col("s_acctbal").cast("double").alias("acctbal"),
+        )
+    )
