@@ -325,3 +325,29 @@ def ingest_delete_where_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.delete_where("event_type = 'error' OR value < 5.0")
     t.commit(lsn=2)
     return t.scan()
+
+
+@register(
+    "regression_per_event_type",
+    oracle="""
+SELECT event_type,
+       CAST(round(regr_slope(value, CAST(user_id AS DOUBLE)), 6) AS DOUBLE)     AS slope,
+       CAST(round(regr_intercept(value, CAST(user_id AS DOUBLE)), 6) AS DOUBLE) AS intercept,
+       CAST(round(regr_r2(value, CAST(user_id AS DOUBLE)), 6) AS DOUBLE)        AS r2,
+       CAST(regr_count(value, CAST(user_id AS DOUBLE)) AS BIGINT)               AS n
+FROM events
+GROUP BY event_type
+""",
+    category="aggregation",
+)
+def regression_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (regr_slope/intercept/r2) per group —
+    rounded for summation-order noise like the other moment aggregates."""
+    ev = load(spark, sf_dir, "events")
+    u = F.col("user_id").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.regr_slope(F.col("value"), u), 6).alias("slope"),
+        F.round(F.regr_intercept(F.col("value"), u), 6).alias("intercept"),
+        F.round(F.regr_r2(F.col("value"), u), 6).alias("r2"),
+        F.regr_count(F.col("value"), u).cast("bigint").alias("n"),
+    )

@@ -1,0 +1,171 @@
+"""HTTP ingestion/query service over MoonlinkBackend.
+
+Parity with the reference service REST API
+(``src/moonlink_service/src/rest_api.rs``, routes at ``:407-423``):
+
+- ``POST /tables/{db}/{table}``             create (schema DSL + identity)
+- ``DELETE /tables/{db}/{table}``           drop
+- ``GET  /tables``                          list
+- ``POST /ingest/{db}/{table}``             {operation: insert|upsert|delete,
+                                             data, request_mode: sync|async}
+- ``POST /tables/{db}/{table}/flush``       commit buffered async requests
+- ``POST /tables/{db}/{table}/optimize``    {mode: data|index|full}
+- ``GET  /scan/{db}/{table}?lsn=&limit=``   rows as JSON (blocking lsn wait
+                                             parity: ReadStateManager)
+
+A stdlib ThreadingHTTPServer is deliberate: the service is control-plane
+only — all data-plane work happens in Spark jobs, so the HTTP layer needs no
+throughput. Every ingest request is its own transaction with consecutive
+(row_lsn, commit_lsn), exactly like the reference REST source.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+
+from moonlink_spark.backend import MoonlinkBackend
+from moonlink_spark.errors import MoonlinkError
+from moonlink_spark.ingest.rest import RestSink
+from moonlink_spark.table.identity import IdentityProp
+
+_TABLE_RE = re.compile(r"^/tables/([^/]+)/([^/]+)(/optimize|/flush)?$")
+_INGEST_RE = re.compile(r"^/ingest/([^/]+)/([^/]+)$")
+_SCAN_RE = re.compile(r"^/scan/([^/]+)/([^/]+)$")
+
+
+class MoonlinkService:
+    def __init__(self, backend: MoonlinkBackend, host: str = "127.0.0.1", port: int = 0):
+        self.backend = backend
+        self._sinks: dict[tuple[str, str], RestSink] = {}
+        self._lock = threading.Lock()
+        service = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send(self, code: int, obj: Any) -> None:
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _body(self) -> dict:
+                n = int(self.headers.get("Content-Length") or 0)
+                return json.loads(self.rfile.read(n) or b"{}")
+
+            def _route(self, method: str) -> None:
+                try:
+                    service._handle(self, method)
+                except MoonlinkError as e:
+                    self._send(400, {"error": type(e).__name__, "message": str(e)})
+                except Exception as e:  # noqa: BLE001
+                    self._send(500, {"error": type(e).__name__, "message": str(e)})
+
+            def do_GET(self):
+                self._route("GET")
+
+            def do_POST(self):
+                self._route("POST")
+
+            def do_DELETE(self):
+                self._route("DELETE")
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self.httpd.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    # ------------------------------------------------------------------ #
+
+    def _sink(self, db: str, table: str) -> RestSink:
+        with self._lock:
+            key = (db, table)
+            if key not in self._sinks:
+                self._sinks[key] = RestSink(self.backend.get_table(db, table))
+            return self._sinks[key]
+
+    def _handle(self, h, method: str) -> None:
+        from urllib.parse import parse_qs, urlparse
+
+        url = urlparse(h.path)
+        path = url.path
+
+        if method == "GET" and path == "/tables":
+            h._send(200, {"tables": self.backend.list_tables()})
+            return
+
+        m = _TABLE_RE.match(path)
+        if m:
+            db, table, action = m.group(1), m.group(2), m.group(3)
+            if method == "POST" and action is None:
+                body = h._body()
+                ident = IdentityProp.from_json(body["identity"])
+                self.backend.create_table(db, table, body["schema"], ident)
+                h._send(200, {"created": f"{db}.{table}"})
+                return
+            if method == "DELETE" and action is None:
+                with self._lock:
+                    self._sinks.pop((db, table), None)
+                self.backend.drop_table(db, table)
+                h._send(200, {"dropped": f"{db}.{table}"})
+                return
+            if method == "POST" and action == "/flush":
+                v = self._sink(db, table).flush()
+                h._send(200, {"version": v})
+                return
+            if method == "POST" and action == "/optimize":
+                mode = h._body().get("mode", "full")
+                v = self.backend.optimize_table(db, table, mode)
+                h._send(200, {"version": v})
+                return
+
+        m = _INGEST_RE.match(path)
+        if m and method == "POST":
+            body = h._body()
+            r = self._sink(m.group(1), m.group(2)).ingest(
+                body["operation"],
+                body["data"],
+                body.get("request_mode", "sync"),
+            )
+            h._send(
+                200,
+                {
+                    "operation": r.operation,
+                    "row_lsn": r.row_lsn,
+                    "commit_lsn": r.commit_lsn,
+                    "committed": r.committed,
+                    "version": r.version,
+                },
+            )
+            return
+
+        m = _SCAN_RE.match(path)
+        if m and method == "GET":
+            q = parse_qs(url.query)
+            lsn = int(q["lsn"][0]) if "lsn" in q else None
+            limit = int(q.get("limit", ["1000"])[0])
+            t = self.backend.get_table(m.group(1), m.group(2))
+            df = t.scan_blocking(lsn) if lsn is not None else t.scan()
+            rows = [r.asDict(recursive=True) for r in df.limit(limit).collect()]
+            h._send(200, {"rows": rows, "count": len(rows)})
+            return
+
+        h._send(404, {"error": "NotFound", "path": path})
+
+    # ------------------------------------------------------------------ #
+
+    def start(self) -> "MoonlinkService":
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        if self._thread:
+            self._thread.join(timeout=10)
