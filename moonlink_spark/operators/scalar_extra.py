@@ -351,3 +351,24 @@ def regression_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(F.col("value"), u), 6).alias("r2"),
         F.regr_count(F.col("value"), u).cast("bigint").alias("n"),
     )
+
+
+@register(
+    "approx_sketches",
+    oracle=None,  # HLL/KLL sketch values are implementation-specific: DuckDB's
+    # approx_count_distinct (HyperLogLog) and Spark's (HLL++) legitimately
+    # disagree, so this is a rows-only check by design. The exact twins are
+    # oracle-checked in distinct_aggregates / percentiles_by_flag.
+    category="aggregation",
+)
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates for 100 TB cardinality work: HLL++ distinct
+    counts and approx percentile sketches — constant memory per group where
+    the exact versions need a shuffle of all distinct values."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("approx_median"),
+        F.percentile_approx("value", F.lit(0.99), F.lit(10000)).alias("approx_p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
