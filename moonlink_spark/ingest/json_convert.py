@@ -44,10 +44,10 @@ def _conv_timestamp(v: Any, field: str) -> dt.datetime:
         raise JsonConvertError(f"{field}: bool is not a timestamp")
     if isinstance(v, (int, float)):
         # epoch MICROseconds (reference Int64 micros-since-epoch,
-        # moonlink_type.rs:8-10)
-        return dt.datetime.fromtimestamp(int(v) / 1_000_000, tz=dt.timezone.utc).replace(
-            tzinfo=None
-        )
+        # moonlink_type.rs:8-10). Integer timedelta arithmetic: float
+        # division would round the microsecond near current epochs
+        # (~0.2µs ulp at 1e15).
+        return dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=int(v))
     if isinstance(v, str):
         s = v.replace("Z", "+00:00")
         try:

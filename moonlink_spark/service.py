@@ -37,6 +37,23 @@ _INGEST_RE = re.compile(r"^/ingest/([^/]+)/([^/]+)$")
 _SCAN_RE = re.compile(r"^/scan/([^/]+)/([^/]+)$")
 
 
+def _json_default(v: Any) -> Any:
+    """Serialize the non-JSON-native cell types the schema DSL supports:
+    timestamp/date -> ISO-8601, decimal -> string (lossless), binary ->
+    base64 (matching the ingest converter's accepted input encoding)."""
+    import base64
+    import datetime as _dt
+    from decimal import Decimal
+
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    if isinstance(v, Decimal):
+        return str(v)
+    if isinstance(v, (bytes, bytearray)):
+        return base64.b64encode(bytes(v)).decode("ascii")
+    raise TypeError(f"unserializable type {type(v).__name__}")
+
+
 class MoonlinkService:
     def __init__(self, backend: MoonlinkBackend, host: str = "127.0.0.1", port: int = 0):
         self.backend = backend
@@ -49,7 +66,7 @@ class MoonlinkService:
                 pass
 
             def _send(self, code: int, obj: Any) -> None:
-                body = json.dumps(obj).encode()
+                body = json.dumps(obj, default=_json_default).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))

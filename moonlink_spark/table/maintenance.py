@@ -79,27 +79,47 @@ def optimize(
     return m.version
 
 
+def _staged_file_paths(table: MoonlinkTable) -> set[str]:
+    """Paths referenced by not-yet-committed ops (mem-slice overflow and
+    ``load_files`` both stage ``append_files`` entries that point at real
+    parquet files no manifest references yet)."""
+    paths: set[str] = set()
+    op_lists = [table._pending] + [x._ops for x in table._xacts.values()]
+    for ops in op_lists:
+        for op in ops:
+            if op[0] == "append_files":
+                paths.update(e.path for e in op[1])
+    return paths
+
+
 def vacuum(table: MoonlinkTable, keep_versions: int = 1) -> int:
     """Delete files unreferenced by the newest ``keep_versions`` manifests
-    and prune older manifests. Returns number of files removed."""
-    versions = table.store.versions()
-    keep = versions[-max(1, keep_versions):]
-    referenced: set[str] = set()
-    for v in keep:
-        m = table.store.read(v)
-        referenced.update(f.path for f in m.data_files)
-        referenced.update(f.path for f in m.delete_files)
-    removed = 0
-    for sub in (DATA_DIR, DELETE_DIR):
-        d = os.path.join(table.path, sub)
-        if not os.path.isdir(d):
-            continue
-        for name in os.listdir(d):
-            rel = f"{sub}/{name}"
-            if rel not in referenced:
-                os.unlink(os.path.join(d, name))
-                removed += 1
-    for v in versions:
-        if v not in keep:
-            os.unlink(os.path.join(table.store.manifest_dir, f"v{v:012d}.json"))
-    return removed
+    and prune older manifests. Returns number of files removed.
+
+    Runs under the table lock and treats files staged by pending (uncommitted)
+    ops as referenced, so a concurrent/buffered writer's flushed-but-pending
+    parquet is never GC'd out from under its future commit."""
+    with table._lock:
+        versions = table.store.versions()
+        keep = versions[-max(1, keep_versions):]
+        referenced: set[str] = _staged_file_paths(table)
+        for v in keep:
+            m = table.store.read(v)
+            referenced.update(f.path for f in m.data_files)
+            referenced.update(f.path for f in m.delete_files)
+        removed = 0
+        for sub in (DATA_DIR, DELETE_DIR):
+            d = os.path.join(table.path, sub)
+            if not os.path.isdir(d):
+                continue
+            for name in os.listdir(d):
+                rel = f"{sub}/{name}"
+                if rel not in referenced:
+                    os.unlink(os.path.join(d, name))
+                    removed += 1
+        for v in versions:
+            if v not in keep:
+                os.unlink(
+                    os.path.join(table.store.manifest_dir, f"v{v:012d}.json")
+                )
+        return removed

@@ -530,9 +530,21 @@ class MoonlinkTable:
         df = self.spark.read.schema(schema).parquet(*paths)
         need_pos = with_pos or bool(m.delete_files)
         if need_pos:
+            # __fp is stored in DV files: normalize the absolute
+            # ``_metadata.file_path`` URI to a table-root-relative path so a
+            # relocated table directory still anti-joins its old DVs
+            # (external load_files paths, outside the root, stay absolute —
+            # they never move with the table).
+            import re as _re
+
+            rel_fp = F.regexp_replace(
+                F.col("_metadata.file_path"),
+                "^.*" + _re.escape(self.path + "/"),
+                "",
+            )
             df = df.select(
                 "*",
-                F.col("_metadata.file_path").alias("__fp"),
+                rel_fp.alias("__fp"),
                 F.col("_metadata.row_index").alias("__ri"),
             )
         if m.delete_files:
@@ -739,19 +751,26 @@ class TransactionStream:
             self._ops.append(("delete_rows", rows, True))
 
     def commit(self, lsn: int | None = None) -> int:
-        """Merge staged ops into the main table at one LSN."""
+        """Merge staged ops into the main table at one LSN.
+
+        The stream is closed only AFTER the table commit succeeds: on a
+        transient failure (e.g. LSN conflict with a concurrent writer) the
+        staged ops stay intact and the stream stays open so the caller can
+        retry ``commit`` at a new LSN or ``abort`` — matching the non-xact
+        path, which restores pending ops for retry."""
         self._check()
-        self._closed = True
         with self.table._lock:
-            self.table._xacts.pop(self.xact_id, None)
             # splice staged ops ahead of any non-xact pending ops so the
             # xact commits as one unit at this LSN
             outer_pending = self.table._pending
-            self.table._pending = self._ops
+            self.table._pending = list(self._ops)
             try:
                 version = self.table.commit(lsn=lsn, operation=f"xact-{self.xact_id}")
             finally:
                 self.table._pending = outer_pending
+            self._closed = True
+            self._ops.clear()
+            self.table._xacts.pop(self.xact_id, None)
             return version
 
     def abort(self) -> None:

@@ -84,3 +84,21 @@ def test_unknown_fields_always_rejected(extra):
         raise AssertionError(f"accepted unknown field {extra!r}")
     except JsonConvertError:
         pass
+
+
+def test_epoch_micros_exact_integer_arithmetic():
+    """Integer micros near the current epoch convert exactly: float division
+    has ~0.2µs ulp at 1e15 and can round the microsecond (round-1 ADVICE)."""
+    import datetime as dt
+
+    from moonlink_spark.ingest.json_convert import _conv_timestamp
+
+    # odd microsecond values near 2026 epoch that float division mis-rounds
+    for micros in (1_767_225_600_000_001, 1_767_225_599_999_999,
+                   1_234_567_890_123_457, -1, 0):
+        out = _conv_timestamp(micros, "f")
+        expect = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=micros)
+        assert out == expect, micros
+        # round-trip: back to micros is lossless
+        back = round((out - dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
+        assert int((out - dt.datetime(1970, 1, 1)) / dt.timedelta(microseconds=1)) == micros

@@ -105,3 +105,40 @@ def test_error_paths(svc):
     # duplicate create
     code, err = _req(svc, "POST", "/tables/db1/t", USERS_REQ)
     assert code == 400
+
+
+def test_scan_serializes_typed_columns(svc):
+    """timestamp/date/decimal/binary cells must serialize over /scan
+    (round-1 ADVICE: bare json.dumps raised TypeError -> 500)."""
+    req = {
+        "schema": [
+            {"name": "id", "data_type": "int32", "nullable": False},
+            {"name": "ts", "data_type": "timestamp_ntz"},
+            {"name": "d", "data_type": "date32"},
+            {"name": "amount", "data_type": "decimal(10,2)"},
+            {"name": "blob", "data_type": "binary"},
+        ],
+        "identity": {"mode": "single", "columns": ["id"]},
+    }
+    code, _ = _req(svc, "POST", "/tables/db1/typed", req)
+    assert code == 200
+    code, r = _req(svc, "POST", "/ingest/db1/typed", {
+        "operation": "insert",
+        "data": {
+            "id": 1,
+            "ts": "2026-01-02T03:04:05.000006",
+            "d": "2026-01-02",
+            "amount": "12.34",
+            "blob": "aGVsbG8=",  # base64 "hello"
+        },
+    })
+    assert code == 200 and r["committed"]
+    code, scan = _req(svc, "GET", "/scan/db1/typed")
+    assert code == 200 and scan["count"] == 1
+    row = scan["rows"][0]
+    assert row["ts"].startswith("2026-01-02T03:04:05")
+    assert row["d"] == "2026-01-02"
+    assert row["amount"] == "12.34"
+    import base64
+
+    assert base64.b64decode(row["blob"]) == b"hello"

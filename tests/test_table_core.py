@@ -253,3 +253,66 @@ def test_load_files_bulk(spark, tmp_path, sf_dir):
     expected = spark.read.parquet(src).count()
     assert t.scan().count() == expected
     assert t.cardinality() == expected
+
+
+def test_vacuum_keeps_pending_staged_files(spark, tmp_path):
+    """A flushed-but-uncommitted parquet (mem-slice overflow / load_files
+    copy) must survive vacuum, else the next commit publishes a manifest
+    pointing at a missing file (round-1 ADVICE finding)."""
+    t = make_users(spark, tmp_path)
+    t.append_rows([{"id": 1, "name": "a", "email": None, "age": 1}])
+    t.commit(lsn=1)
+    # force the overflow path: tiny mem-slice turns buffered rows into a
+    # staged append_files op referencing a real parquet under data/
+    t.mem_slice_rows = 2
+    t.append_rows(
+        [{"id": 10 + i, "name": "p", "email": None, "age": i} for i in range(3)]
+    )
+    assert t.has_pending()
+    staged = [
+        e.path for op in t._pending if op[0] == "append_files" for e in op[1]
+    ]
+    assert staged, "overflow should have staged an append_files op"
+    vacuum(t, keep_versions=1)
+    import os
+
+    for rel in staged:
+        assert os.path.exists(os.path.join(t.path, rel))
+    t.commit(lsn=2)
+    assert t.scan().count() == 4
+
+
+def test_xact_commit_retry_after_conflict(spark, tmp_path):
+    """A failed xact commit leaves the stream open with ops intact so the
+    caller can retry at a new LSN (round-1 ADVICE finding)."""
+    t = make_users(spark, tmp_path)
+    t.append_rows([{"id": 1, "name": "a", "email": None, "age": 1}])
+    t.commit(lsn=100)
+    x = t.begin_transaction(7)
+    x.append_rows([{"id": 2, "name": "b", "email": None, "age": 2}])
+    with pytest.raises(LsnError):
+        x.commit(lsn=5)  # conflicts: behind the table's LSN
+    # stream still open, staged ops intact -> retry succeeds
+    x.commit(lsn=101)
+    assert rows_set(t.scan().select("id")) == {(1,), (2,)}
+    assert not t.has_pending()
+
+
+def test_table_relocation_preserves_deletes(spark, tmp_path):
+    """DV refs are table-root-relative: moving the table directory must not
+    resurrect deleted rows (round-1 ADVICE finding)."""
+    import shutil
+
+    t = make_users(spark, tmp_path)
+    t.append_rows(
+        [{"id": i, "name": "n", "email": None, "age": i} for i in range(10)]
+    )
+    t.commit(lsn=1)
+    t.delete_rows([{"id": i} for i in range(0, 10, 2)])
+    t.commit(lsn=2)
+    assert t.scan().count() == 5
+    new_path = str(tmp_path / "users_moved")
+    shutil.move(t.path, new_path)
+    t2 = MoonlinkTable.open(spark, new_path)
+    assert t2.scan().count() == 5
+    assert {r["id"] for r in t2.scan().collect()} == {1, 3, 5, 7, 9}
