@@ -273,18 +273,41 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # simhash
 # ---------------------------------------------------------------------------
 
-_SQL_HEXVAL = (
-    "((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096 + "
-    "(strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256 + "
-    "(strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16 + "
-    "(strpos('0123456789abcdef', substr(m, 4, 1)) - 1))"
-)
+# 64-bit SimHash carried as 4x 16-bit words w0..w3 (avoids 64-bit sign
+# overflow in both engines and makes each word directly usable as an LSH
+# band key). N_WORDS x 16 bits = the classic 64-bit fingerprint.
+N_WORDS = 4
+SIMHASH_MAX_HAMMING = 3
 
-_SQL_BITSUMS = ", ".join(
-    f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+
+def _sql_hexquad(off: int) -> str:
+    """DuckDB: value of md5-hex chars [off+1 .. off+4] as an int in [0,65535]."""
+    return (
+        f"((strpos('0123456789abcdef', substr(m, {off + 1}, 1)) - 1) * 4096 + "
+        f"(strpos('0123456789abcdef', substr(m, {off + 2}, 1)) - 1) * 256 + "
+        f"(strpos('0123456789abcdef', substr(m, {off + 3}, 1)) - 1) * 16 + "
+        f"(strpos('0123456789abcdef', substr(m, {off + 4}, 1)) - 1))"
+    )
+
+
+_SQL_BITSUMS64 = ", ".join(
+    f"SUM(CASE WHEN (h{w} >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{w}_{i}"
+    for w in range(N_WORDS)
     for i in range(16)
 )
-_SQL_FP = " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))
+_SQL_WORDS = ", ".join(
+    "("
+    + " + ".join(f"(CASE WHEN s{w}_{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))
+    + f") AS w{w}"
+    for w in range(N_WORDS)
+)
+_SQL_WORD_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, w0, w1, w2, w3, {w} AS band_idx, w{w} AS band_val FROM fps"
+    for w in range(N_WORDS)
+)
+_SQL_HAMMING = " + ".join(
+    f"bit_count(xor(wa{w}, wb{w}))" for w in range(N_WORDS)
+)
 
 
 @register(
@@ -293,84 +316,98 @@ _SQL_FP = " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in r
 WITH corpus AS ({_SQL_NEAR_CORPUS}),
 tokd AS (SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM corpus),
 hashed AS (
-  SELECT doc_id, {_SQL_HEXVAL} AS h
+  SELECT doc_id,
+         {", ".join(f"{_sql_hexquad(4 * w)} AS h{w}" for w in range(N_WORDS))}
   FROM (SELECT doc_id, md5(tok) AS m FROM tokd) t
 ),
-bitsums AS (SELECT doc_id, {_SQL_BITSUMS} FROM hashed GROUP BY doc_id),
-fps AS (SELECT doc_id, CAST({_SQL_FP} AS BIGINT) AS fp FROM bitsums),
-halves AS (
-  SELECT doc_id, fp, 0 AS half_idx, fp & 255 AS half_val FROM fps
-  UNION ALL
-  SELECT doc_id, fp, 1 AS half_idx, (fp >> 8) & 255 AS half_val FROM fps
-),
+bitsums AS (SELECT doc_id, {_SQL_BITSUMS64} FROM hashed GROUP BY doc_id),
+fps AS (SELECT doc_id, {_SQL_WORDS} FROM bitsums),
+bands AS ({_SQL_WORD_BANDS}),
 cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp AS fp_a, b.fp AS fp_b
-  FROM halves a JOIN halves b
-    ON a.half_idx = b.half_idx AND a.half_val = b.half_val AND a.doc_id < b.doc_id
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.w0 AS wa0, a.w1 AS wa1, a.w2 AS wa2, a.w3 AS wa3,
+         b.w0 AS wb0, b.w1 AS wb1, b.w2 AS wb2, b.w3 AS wb3
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
 )
-SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+SELECT doc_a, doc_b, CAST({_SQL_HAMMING} AS BIGINT) AS hamming
 FROM cand
-WHERE bit_count(xor(fp_a, fp_b)) <= 3
+WHERE {_SQL_HAMMING} <= {SIMHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b
 """,
     category="dedup",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash near-dup detection: per-token md5 -> signed bit votes
-    -> fingerprint; candidates banded by byte-half equality (a doc pair
-    within hamming<=3 must agree on at least one half... with 16 bits split
-    in 2 halves, hamming<=1 is guaranteed caught; <=3 is best-effort like
-    production simhash banding); verified by bit_count(xor)."""
+    """64-bit SimHash near-dup detection, Google-style banding: per-token
+    md5 -> signed bit votes over 64 bits (as 4x 16-bit words) -> candidates
+    join on any equal word -> exact hamming verify via bit_count(xor).
+
+    Scale (100 TB): 4 bands x 16 bits = 65536 buckets/band, so bucket
+    occupancy stays bounded (vs the old 16-bit/256-bucket variant whose
+    candidates grew quadratically). Pigeonhole guarantees recall: a pair
+    within hamming<={SIMHASH_MAX_HAMMING} differs in <=3 words, so at least
+    one of the 4 words matches exactly. Parity anchor: the bounded-bucket
+    index design of persisted_bucket_hash_map.rs:33-110."""
     corpus = _near_corpus(spark, sf_dir)
-    toks = corpus.select(
-        "doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("tok")
-    )
+    toks = corpus.select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("tok"))
+    m = F.md5(F.col("tok").cast("binary"))
     hashed = toks.select(
         "doc_id",
-        F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 4), 16, 10)
-        .cast("long")
-        .alias("h"),
+        *[
+            F.conv(F.substring(m, 4 * w + 1, 4), 16, 10)
+            .cast("long")
+            .alias(f"h{w}")
+            for w in range(N_WORDS)
+        ],
     )
     bitsums = hashed.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.expr(f"(h >> {i}) & 1 = 1"), 1).otherwise(-1)
-            ).alias(f"s{i}")
+                F.when(F.expr(f"(h{w} >> {i}) & 1 = 1"), 1).otherwise(-1)
+            ).alias(f"s{w}_{i}")
+            for w in range(N_WORDS)
             for i in range(16)
         ]
     )
-    fp_expr = None
-    for i in range(16):
-        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        fp_expr = term if fp_expr is None else (fp_expr + term)
-    fps = bitsums.select("doc_id", fp_expr.cast("bigint").alias("fp"))
-    low = fps.select(
-        "doc_id", "fp", F.lit(0).alias("half_idx"), F.expr("fp & 255").alias("half_val")
-    )
-    high = fps.select(
-        "doc_id",
-        "fp",
-        F.lit(1).alias("half_idx"),
-        F.expr("(fp >> 8) & 255").alias("half_val"),
-    )
-    halves = low.unionByName(high)
-    a = halves.alias("a")
-    b = halves.alias("b")
+    word_cols = []
+    for w in range(N_WORDS):
+        expr = None
+        for i in range(16):
+            term = F.when(F.col(f"s{w}_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            expr = term if expr is None else (expr + term)
+        word_cols.append(expr.cast("long").alias(f"w{w}"))
+    # persist: the fingerprint subtree feeds 8 branches (4 bands x 2 join
+    # sides); without it Spark recomputes the 64-vote agg each time.
+    fps = bitsums.select("doc_id", *word_cols).persist()
+    bands = None
+    for w in range(N_WORDS):
+        part = fps.select(
+            "doc_id", "w0", "w1", "w2", "w3",
+            F.lit(w).alias("band_idx"), F.col(f"w{w}").alias("band_val"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.half_idx") == F.col("b.half_idx"))
-            & (F.col("a.half_val") == F.col("b.half_val"))
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.fp").alias("fp_a"),
-            F.col("b.fp").alias("fp_b"),
+            *[F.col(f"a.w{w}").alias(f"wa{w}") for w in range(N_WORDS)],
+            *[F.col(f"b.w{w}").alias(f"wb{w}") for w in range(N_WORDS)],
         )
         .distinct()
     )
-    hamming = F.expr("bit_count(fp_a ^ fp_b)")
-    return cand.filter(hamming <= 3).select(
-        "doc_a", "doc_b", hamming.cast("bigint").alias("hamming")
+    hamming = F.expr(
+        " + ".join(f"bit_count(wa{w} ^ wb{w})" for w in range(N_WORDS))
+    )
+    return (
+        cand.filter(hamming <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
     )

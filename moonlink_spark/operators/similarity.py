@@ -238,14 +238,10 @@ FROM sigs GROUP BY sig
 """,
     category="similarity",
 )
-def ann_lsh_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH: 8-bit sign signature per vector -> bucket
-    histogram. Buckets are the candidate sets for ANN/near-dup at scale
-    (self-join on sig, like the MinHash band join)."""
-    emb = load(spark, sf_dir, "embeddings")
-    planes = _hyperplanes()
+def _spark_sig(emb: DataFrame) -> DataFrame:
+    """Add the 8-bit hyperplane sign signature column ``sig``."""
     sig = None
-    for j, row in enumerate(planes):
+    for j, row in enumerate(_hyperplanes()):
         lit_plane = F.array(*[F.lit(v) for v in row])
         d = F.aggregate(
             F.zip_with("embedding", lit_plane, lambda x, y: x.cast("double") * y),
@@ -254,11 +250,98 @@ def ann_lsh_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         term = F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         sig = term if sig is None else (sig + term)
+    return emb.withColumn("sig", sig.cast("bigint"))
+
+
+def ann_lsh_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH: 8-bit sign signature per vector -> bucket
+    histogram. Buckets are the candidate sets for ANN/near-dup at scale
+    (self-join on sig, like the MinHash band join)."""
+    emb = load(spark, sf_dir, "embeddings")
     return (
-        emb.withColumn("sig", sig.cast("bigint"))
+        _spark_sig(emb)
         .groupBy("sig")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
             F.min("vec_id").alias("min_vec_id"),
         )
+    )
+
+
+_SQL_SIG = f"""
+  SELECT vec_id,
+         list_sum(list_transform(range(1, {N_PLANES} + 1),
+           j -> CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
+                       ps[CAST(j AS INTEGER)]) >= 0
+                     THEN CAST(2 ** (j - 1) AS BIGINT) ELSE 0 END)) AS sig
+  FROM embeddings CROSS JOIN planes
+"""
+
+
+@register(
+    "lsh_near_dup_pairs",
+    oracle=f"""
+WITH planes AS (SELECT CAST({_sql_planes_literal()} AS DOUBLE[][]) AS ps),
+sigs AS ({_SQL_SIG}),
+bands AS (
+  SELECT vec_id, 0 AS band_idx, sig & 15 AS band_val FROM sigs
+  UNION ALL
+  SELECT vec_id, 1 AS band_idx, sig >> 4 AS band_val FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT vec_a, vec_b,
+         {_SQL_COS.format(a="ea.embedding", b="eb.embedding")} AS cos
+  FROM cand
+  JOIN embeddings ea ON ea.vec_id = vec_a
+  JOIN embeddings eb ON eb.vec_id = vec_b
+)
+SELECT vec_a, vec_b, CAST(round(cos, 6) AS DOUBLE) AS cosine
+FROM pairs WHERE cos >= 0.35
+ORDER BY vec_a, vec_b
+""",
+    category="similarity",
+)
+def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs the 100 TB way: hyperplane-LSH banded
+    candidates (2 bands x 4 planes -> pairs agreeing on either half-
+    signature), then exact cosine verify >= 0.35. No cartesian anywhere:
+    the only joins are the band bucket self-join and two equi-joins to
+    re-attach embeddings. ``embedding_near_dup_pairs`` (all-pairs) is the
+    small-SF recall baseline for this plan."""
+    emb = load(spark, sf_dir, "embeddings")
+    sigs = _spark_sig(emb).select("vec_id", "sig")
+    low = sigs.select(
+        "vec_id", F.lit(0).alias("band_idx"), F.expr("sig & 15").alias("band_val")
+    )
+    high = sigs.select(
+        "vec_id", F.lit(1).alias("band_idx"), F.expr("sig >> 4").alias("band_val")
+    )
+    bands = low.unionByName(high)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = cand.join(ea, "vec_a").join(eb, "vec_b").withColumn(
+        "cos", _dot("ea", "eb") / (_norm("ea") * _norm("eb"))
+    )
+    return (
+        pairs.filter(F.col("cos") >= 0.35)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
     )
