@@ -7,10 +7,15 @@ Parity targets (SURVEY.md §2c sources row): the reference ingests JSON
 
 - JSON is first-class twice over: driver-side strict conversion
   (``ingest/json_convert.py``) and distributed ``from_json`` for streams.
-- Avro needs the ``spark-avro`` datasource jar, which is NOT bundled in this
-  environment — ``avro_available()`` gates it; on a cluster with the jar the
-  same code path works unchanged.
-- Protobuf needs ``spark-protobuf`` + descriptor files — same gating.
+- Avro binary DECODE needs the ``spark-avro`` datasource jar, which is NOT
+  bundled in this environment — ``avro_available()`` gates it; on a cluster
+  with the jar the same code path works unchanged. The Avro SCHEMA mapping
+  (avro schema JSON -> StructType, logical types included) is pure metadata
+  and lives jar-free in ``sources/converters.py``.
+- Protobuf rows (the reference's ``row.proto`` MoonlinkRow encoding) are
+  decoded by the dependency-free wire codec in ``sources/converters.py`` —
+  no jar needed; ``protobuf_available()`` only gates the optional
+  descriptor-based fast path.
 """
 
 from __future__ import annotations
