@@ -12,6 +12,12 @@ Parity with the reference service REST API
 - ``POST /tables/{db}/{table}/optimize``    {mode: data|index|full}
 - ``GET  /scan/{db}/{table}?lsn=&limit=``   rows as JSON (blocking lsn wait
                                              parity: ReadStateManager)
+- ``POST /otel/v1/{logs|metrics|traces}``   OTLP/JSON export requests into
+                                             append-only ``otel.*`` tables
+                                             (parity: the OTLP/HTTP endpoint
+                                             ``src/moonlink_service/src/otel/
+                                             service.rs:51``, one row per
+                                             log record / datapoint / span)
 
 A stdlib ThreadingHTTPServer is deliberate: the service is control-plane
 only — all data-plane work happens in Spark jobs, so the HTTP layer needs no
@@ -35,6 +41,7 @@ from moonlink_spark.table.identity import IdentityProp
 _TABLE_RE = re.compile(r"^/tables/([^/]+)/([^/]+)(/optimize|/flush)?$")
 _INGEST_RE = re.compile(r"^/ingest/([^/]+)/([^/]+)$")
 _SCAN_RE = re.compile(r"^/scan/([^/]+)/([^/]+)$")
+_OTEL_RE = re.compile(r"^/otel/v1/(logs|metrics|traces)$")
 
 
 def _json_default(v: Any) -> Any:
@@ -107,6 +114,41 @@ class MoonlinkService:
                 self._sinks[key] = RestSink(self.backend.get_table(db, table))
             return self._sinks[key]
 
+    @staticmethod
+    def _decode_otel(signal: str, payload: dict) -> list[dict]:
+        from moonlink_spark.sources.otel import (
+            decode_otlp_logs,
+            decode_otlp_metrics,
+            decode_otlp_traces,
+        )
+
+        return {
+            "logs": decode_otlp_logs,
+            "metrics": decode_otlp_metrics,
+            "traces": decode_otlp_traces,
+        }[signal](payload)
+
+    def _otel_table(self, signal: str):
+        """Get-or-create the append-only otel.{signal} table."""
+        from moonlink_spark.sources.otel import (
+            OTEL_LOGS_FIELDS,
+            OTEL_METRICS_FIELDS,
+            OTEL_SPANS_FIELDS,
+        )
+
+        fields = {
+            "logs": OTEL_LOGS_FIELDS,
+            "metrics": OTEL_METRICS_FIELDS,
+            "traces": OTEL_SPANS_FIELDS,
+        }[signal]
+        with self._lock:
+            try:
+                return self.backend.get_table("otel", signal)
+            except MoonlinkError:
+                return self.backend.create_table(
+                    "otel", signal, fields, IdentityProp.none()
+                )
+
     def _handle(self, h, method: str) -> None:
         from urllib.parse import parse_qs, urlparse
 
@@ -160,6 +202,20 @@ class MoonlinkService:
                     "version": r.version,
                 },
             )
+            return
+
+        m = _OTEL_RE.match(path)
+        if m and method == "POST":
+            signal = m.group(1)
+            rows = self._decode_otel(signal, h._body())
+            t = self._otel_table(signal)
+            if rows:
+                t.append_rows(rows)
+                version = t.commit(operation=f"otel-{signal}")
+            else:
+                version = t.manifest.version
+            h._send(200, {"ingested": len(rows), "version": version,
+                          "table": f"otel.{signal}"})
             return
 
         m = _SCAN_RE.match(path)

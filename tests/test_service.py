@@ -142,3 +142,129 @@ def test_scan_serializes_typed_columns(svc):
     import base64
 
     assert base64.b64decode(row["blob"]) == b"hello"
+
+
+OTLP_LOGS_REQ = {
+    "resourceLogs": [{
+        "resource": {"attributes": [
+            {"key": "service.name", "value": {"stringValue": "checkout"}}]},
+        "scopeLogs": [{
+            "scope": {"name": "applog"},
+            "logRecords": [
+                {"timeUnixNano": "1700000000000000000",
+                 "severityText": "INFO",
+                 "body": {"stringValue": "user logged in"},
+                 "attributes": [
+                     {"key": "user_id", "value": {"intValue": "42"}}],
+                 "traceId": "0af7651916cd43dd8448eb211c80319c",
+                 "spanId": "b7ad6b7169203331"},
+                {"timeUnixNano": "1700000001000000000",
+                 "severityText": "ERROR",
+                 "body": {"stringValue": "payment failed"}},
+            ],
+        }],
+    }]
+}
+
+OTLP_METRICS_REQ = {
+    "resourceMetrics": [{
+        "resource": {"attributes": [
+            {"key": "host", "value": {"stringValue": "node-1"}}]},
+        "scopeMetrics": [{
+            "scope": {"name": "runtime"},
+            "metrics": [
+                {"name": "cpu_usage", "unit": "1", "gauge": {"dataPoints": [
+                    {"timeUnixNano": "1700000000000000000", "asDouble": 0.75},
+                    {"timeUnixNano": "1700000001000000000", "asDouble": 0.80},
+                ]}},
+                {"name": "requests_total", "sum": {
+                    "aggregationTemporality": 2, "isMonotonic": True,
+                    "dataPoints": [
+                        {"timeUnixNano": "1700000000000000000", "asInt": "1234",
+                         "attributes": [{"key": "route",
+                                          "value": {"stringValue": "/api"}}]},
+                    ]}},
+                {"name": "latency_ms", "histogram": {
+                    "aggregationTemporality": 2,
+                    "dataPoints": [
+                        {"timeUnixNano": "1700000000000000000",
+                         "count": "100", "sum": 250.5, "min": 0.4, "max": 30.2,
+                         "explicitBounds": [1, 5, 25],
+                         "bucketCounts": ["60", "30", "8", "2"]},
+                    ]}},
+            ],
+        }],
+    }]
+}
+
+OTLP_TRACES_REQ = {
+    "resourceSpans": [{
+        "resource": {"attributes": [
+            {"key": "service.name", "value": {"stringValue": "checkout"}}]},
+        "scopeSpans": [{
+            "scope": {"name": "http"},
+            "spans": [
+                {"traceId": "0af7651916cd43dd8448eb211c80319c",
+                 "spanId": "b7ad6b7169203331",
+                 "name": "GET /cart", "kind": 2,
+                 "startTimeUnixNano": "1700000000000000000",
+                 "endTimeUnixNano": "1700000000150000000",
+                 "attributes": [{"key": "http.status_code",
+                                  "value": {"intValue": "200"}}],
+                 "status": {"code": 1}},
+                {"traceId": "0af7651916cd43dd8448eb211c80319c",
+                 "spanId": "00f067aa0ba902b7",
+                 "parentSpanId": "b7ad6b7169203331",
+                 "name": "SELECT cart", "kind": 3,
+                 "startTimeUnixNano": "1700000000010000000"},
+            ],
+        }],
+    }]
+}
+
+
+def test_otel_ingest_and_scan(svc):
+    """OTLP/JSON export requests land in append-only otel.* tables and scan
+    back over the service (parity: the reference's OTLP/HTTP endpoint +
+    moonlink_service/src/test.rs OTEL scenarios)."""
+    code, r = _req(svc, "POST", "/otel/v1/logs", OTLP_LOGS_REQ)
+    assert code == 200 and r["ingested"] == 2 and r["table"] == "otel.logs"
+    code, r = _req(svc, "POST", "/otel/v1/metrics", OTLP_METRICS_REQ)
+    assert code == 200 and r["ingested"] == 4  # 2 gauge + 1 sum + 1 histogram
+    code, r = _req(svc, "POST", "/otel/v1/traces", OTLP_TRACES_REQ)
+    assert code == 200 and r["ingested"] == 2
+
+    # second batch appends (append-only table, LSN advances)
+    code, r2 = _req(svc, "POST", "/otel/v1/logs", OTLP_LOGS_REQ)
+    assert r2["version"] > r["version"] or r2["table"] != r["table"]
+
+    code, scan = _req(svc, "GET", "/scan/otel/logs")
+    assert code == 200 and scan["count"] == 4
+    sev = sorted(row["severity_text"] for row in scan["rows"])
+    assert sev == ["ERROR", "ERROR", "INFO", "INFO"]
+    info = next(row for row in scan["rows"] if row["severity_text"] == "INFO")
+    assert info["body"]["string_value"] == "user logged in"
+    assert info["attributes"][0]["key"] == "user_id"
+    assert info["attributes"][0]["value"]["int_value"] == 42
+    assert info["resource_attributes"][0]["value"]["string_value"] == "checkout"
+
+    code, scan = _req(svc, "GET", "/scan/otel/metrics")
+    assert scan["count"] == 4
+    by_kind = {}
+    for row in scan["rows"]:
+        by_kind.setdefault(row["kind"], []).append(row)
+    assert len(by_kind["gauge"]) == 2
+    [s] = by_kind["sum"]
+    assert s["metric_name"] == "requests_total" and s["number_int"] == 1234
+    assert s["is_monotonic"] is True and s["temporality"] == 2
+    [h] = by_kind["histogram"]
+    assert h["hist_count"] == 100 and h["bucket_counts"] == [60, 30, 8, 2]
+    assert h["explicit_bounds"] == [1.0, 5.0, 25.0]
+
+    code, scan = _req(svc, "GET", "/scan/otel/traces")
+    assert scan["count"] == 2
+    child = next(r for r in scan["rows"] if r["name"] == "SELECT cart")
+    import base64
+
+    assert base64.b64decode(child["parent_span_id"]).hex() == "b7ad6b7169203331"
+    assert child["end_time_unix_nano"] is None
