@@ -10,11 +10,19 @@ Parity with the reference REST path (SURVEY.md §3.3):
   (moonlink_rest_sink.rs:203-265); ``sync`` mode returns only after the
   commit is durable (here: after the manifest commit), ``async`` buffers and
   commits on ``flush``.
+- async requests are WAL-journaled BEFORE the ack (parity with the
+  reference's persist-before-ack rule, table_handler.rs:851-853): every
+  async request is fsync'd to ``<table>/_wal/rest.jsonl`` first, and a new
+  sink replays journal entries newer than the table's last committed LSN —
+  a crash between ack and flush loses nothing. The journal truncates after
+  every successful commit.
 """
 
 from __future__ import annotations
 
 import itertools
+import json
+import os
 import threading
 from dataclasses import dataclass
 from typing import Any
@@ -22,6 +30,9 @@ from typing import Any
 from moonlink_spark.errors import IdentityError
 from moonlink_spark.ingest.json_convert import convert_row
 from moonlink_spark.table.table import MoonlinkTable
+
+WAL_DIR = "_wal"
+WAL_FILE = "rest.jsonl"
 
 
 @dataclass
@@ -38,13 +49,73 @@ class RestSink:
 
     def __init__(self, table: MoonlinkTable, start_lsn: int | None = None):
         self.table = table
-        base = (start_lsn if start_lsn is not None else table.last_lsn) + 1
-        self._ctr = itertools.count(base)
+        self._wal_path = os.path.join(table.path, WAL_DIR, WAL_FILE)
         self._lock = threading.Lock()
         self._dirty = False
+        base = (start_lsn if start_lsn is not None else table.last_lsn) + 1
+        replayed_max = self._replay_journal()
+        if replayed_max is not None:
+            base = max(base, replayed_max + 1)
+        self._ctr = itertools.count(base)
+
+    # -- WAL ----------------------------------------------------------------
+
+    def _replay_journal(self) -> int | None:
+        """Re-apply journaled async requests newer than the table's last
+        commit (idempotent: a crash after commit but before truncate leaves
+        entries whose row_lsn <= last_lsn — those are skipped). Returns the
+        max row_lsn seen in the journal, or None if empty."""
+        if not os.path.exists(self._wal_path):
+            return None
+        last = self.table.last_lsn
+        max_lsn = None
+        with open(self._wal_path) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                e = json.loads(line)
+                max_lsn = max(max_lsn or 0, e["row_lsn"])
+                if e["row_lsn"] <= last:
+                    continue  # already committed before the crash
+                self._apply(e["operation"], convert_row(e["data"], self.table.schema))
+                self._dirty = True
+        return max_lsn
+
+    def _journal_append(self, operation: str, data: dict[str, Any], row_lsn: int) -> None:
+        """Durably record an async request BEFORE acking it."""
+        os.makedirs(os.path.dirname(self._wal_path), exist_ok=True)
+        with open(self._wal_path, "a") as fh:
+            fh.write(
+                json.dumps(
+                    {"operation": operation, "data": data, "row_lsn": row_lsn}
+                )
+                + "\n"
+            )
+            fh.flush()
+            os.fsync(fh.fileno())
+
+    def _journal_truncate(self) -> None:
+        if os.path.exists(self._wal_path):
+            os.unlink(self._wal_path)
+
+    # -- ingest -------------------------------------------------------------
 
     def _next_lsn(self) -> int:
         return next(self._ctr)
+
+    def _apply(self, operation: str, row: dict[str, Any]) -> None:
+        if operation == "insert":
+            self.table.append_rows([row])
+        elif operation == "upsert":
+            if self.table.identity.mode in ("single", "keys"):
+                self.table.upsert_rows([row])
+            else:
+                # upsert on full_row/append-only degenerates to insert
+                # (reference delete_if_exists finds nothing first)
+                self.table.append_rows([row])
+        else:  # delete
+            self.table.delete_rows([row], if_exists=True)
 
     def ingest(
         self,
@@ -59,21 +130,14 @@ class RestSink:
         with self._lock:
             row_lsn = self._next_lsn()
             commit_lsn = self._next_lsn()
-            if operation == "insert":
-                self.table.append_rows([row])
-            elif operation == "upsert":
-                if self.table.identity.mode in ("single", "keys"):
-                    self.table.upsert_rows([row])
-                else:
-                    # upsert on full_row/append-only degenerates to insert
-                    # (reference delete_if_exists finds nothing first)
-                    self.table.append_rows([row])
-            else:  # delete
-                self.table.delete_rows([row], if_exists=True)
+            self._apply(operation, row)
             if request_mode == "sync":
                 version = self.table.commit(lsn=commit_lsn, operation="rest-sync")
                 self._dirty = False
+                self._journal_truncate()
                 return IngestResult(operation, row_lsn, commit_lsn, True, version)
+            # async: journal-then-ack — the row survives a process crash
+            self._journal_append(operation, data, row_lsn)
             self._dirty = True
             return IngestResult(operation, row_lsn, commit_lsn, False)
 
@@ -86,4 +150,5 @@ class RestSink:
             lsn = self._next_lsn()
             v = self.table.commit(lsn=lsn, operation="rest-flush")
             self._dirty = False
+            self._journal_truncate()
             return v

@@ -110,3 +110,71 @@ def test_recovery_reopen_after_crash(spark, tmp_path):
     t2 = MoonlinkTable.open(spark, path)
     assert t2.scan().count() == 1
     assert t2.last_lsn == 1
+
+
+def test_async_ingest_survives_crash(spark, tmp_path):
+    """Async-acked REST requests are WAL-journaled before the ack: killing
+    the process after the ack but before /flush must not lose rows
+    (parity: WAL-before-ack, table_handler.rs:851-853)."""
+    from moonlink_spark.ingest.rest import RestSink
+
+    path = str(tmp_path / "wal_t")
+    t = MoonlinkTable.create(
+        spark,
+        path,
+        [
+            {"name": "id", "data_type": "int32", "nullable": False},
+            {"name": "v", "data_type": "string"},
+        ],
+        IdentityProp.single("id"),
+    )
+    sink = RestSink(t)
+    r = sink.ingest("insert", {"id": 1, "v": "sync"}, "sync")
+    assert r.committed
+    sink.ingest("insert", {"id": 2, "v": "async-a"}, "async")
+    sink.ingest("upsert", {"id": 2, "v": "async-b"}, "async")
+    sink.ingest("insert", {"id": 3, "v": "async-c"}, "async")
+    # crash: drop the sink AND the table object (pending ops lived only in
+    # memory); reopen everything from disk
+    del sink
+    t2 = MoonlinkTable.open(spark, path)
+    assert t2.scan().count() == 1  # only the sync row is committed
+    sink2 = RestSink(t2)
+    v = sink2.flush()
+    assert v is not None
+    got = {r["id"]: r["v"] for r in t2.scan().collect()}
+    assert got == {1: "sync", 2: "async-b", 3: "async-c"}
+
+
+def test_async_journal_replay_is_idempotent(spark, tmp_path):
+    """A crash after the flush commit but before journal truncation must
+    not double-apply entries: replay skips row_lsns at or below the
+    table's last committed LSN."""
+    import shutil
+
+    from moonlink_spark.ingest.rest import RestSink
+
+    path = str(tmp_path / "wal_t2")
+    t = MoonlinkTable.create(
+        spark,
+        path,
+        [{"name": "id", "data_type": "int32", "nullable": False}],
+        IdentityProp.none(),
+        append_only=True,
+    )
+    sink = RestSink(t)
+    sink.ingest("insert", {"id": 1}, "async")
+    sink.ingest("insert", {"id": 2}, "async")
+    wal = os.path.join(path, "_wal", "rest.jsonl")
+    saved = open(wal).read()
+    assert sink.flush() is not None
+    assert not os.path.exists(wal)  # truncated after commit
+    # simulate torn truncate: journal resurrects after the commit
+    os.makedirs(os.path.dirname(wal), exist_ok=True)
+    with open(wal, "w") as fh:
+        fh.write(saved)
+    t2 = MoonlinkTable.open(spark, path)
+    sink2 = RestSink(t2)
+    assert not t2.has_pending()  # replay skipped everything
+    assert sink2.flush() is None
+    assert t2.scan().count() == 2  # no duplicates
