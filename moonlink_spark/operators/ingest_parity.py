@@ -165,7 +165,9 @@ def ingest_fullrow_delete_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.append_df(docs.unionByName(dup).unionByName(dup))
     t.commit(lsn=1)
-    t.delete_rows([r.asDict() for r in dup.collect()])
+    # distributed full-row delete: no driver collect (the delete set stays
+    # a DataFrame end to end)
+    t.delete_rows_df(dup)
     t.commit(lsn=2)
     return t.scan()
 

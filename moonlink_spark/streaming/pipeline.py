@@ -86,15 +86,23 @@ def apply_cdc_batch(
         upserts = winner.filter(F.col("op") != "delete").select(
             *[F.col(f"row.{c}").alias(c) for c in data_cols]
         )
-        n_del = deletes.count()
-        n_up = upserts.count()
+        # ONE driver action for (n_del, n_up, max_lsn) — at 1 s triggers the
+        # per-batch fixed cost is one Spark job, not three. The per-key
+        # winner holding the globally largest lsn survives the window, so
+        # max(lsn) over winners equals max over all events.
+        stats = winner.agg(
+            F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("n_del"),
+            F.sum(F.when(F.col("op") != "delete", 1).otherwise(0)).alias("n_up"),
+            F.max("lsn").alias("max_lsn"),
+        ).collect()[0]
+        n_del, n_up = stats["n_del"] or 0, stats["n_up"] or 0
         if n_del == 0 and n_up == 0:
             return None
         if n_del:
             table.delete_keys_df(deletes)
         if n_up:
             table.upsert_df(upserts)
-        max_lsn = ev.agg(F.max("lsn")).collect()[0][0] or (table.last_lsn + 1)
+        max_lsn = stats["max_lsn"] or (table.last_lsn + 1)
         return table.commit(
             lsn=max(max_lsn, table.last_lsn + 1),
             operation=f"stream-batch-{batch_id}",

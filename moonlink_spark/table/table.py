@@ -246,6 +246,21 @@ class MoonlinkTable:
         with self._lock:
             self._pending.append(("delete_df", keys_df.select(*ident.columns)))
 
+    def delete_rows_df(self, df: DataFrame) -> None:
+        """Bulk delete by a DataFrame of full rows, fully distributed (no
+        driver collect). For key identities this is ``delete_keys_df``; for
+        full_row identity each occurrence in ``df`` deletes exactly one
+        matching live row (multiplicity preserved via a count column —
+        same semantics as ``delete_rows``)."""
+        ident = self.identity
+        if ident.is_append_only:
+            raise IdentityError("append-only table rejects deletes")
+        if ident.mode in ("single", "keys"):
+            self.delete_keys_df(df)
+            return
+        with self._lock:
+            self._pending.append(("delete_full_df", df))
+
     def upsert_df(self, df: DataFrame) -> None:
         """Bulk MERGE: delete matching keys, then append ``df``."""
         ident = self.identity
@@ -365,6 +380,18 @@ class MoonlinkTable:
                 new_dvs.extend(
                     self._delete_dv_for_keys_df(base, new_files, new_dvs, op[1])
                 )
+            elif kind == "delete_full_df":
+                flush_rows()
+                schema = field_schema_to_struct(base.schema_fields)
+                data_cols = schema.fieldNames()
+                del_df = (
+                    op[1]
+                    .select(*data_cols)
+                    .groupBy(*data_cols)
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                )
+                live = self._live_view(base, new_files, new_dvs)
+                new_dvs.extend(self._match_fullrow_dv(live, data_cols, del_df))
             elif kind == "delete_where":
                 flush_rows()
                 live = self._live_view(base, new_files, new_dvs)
@@ -425,6 +452,14 @@ class MoonlinkTable:
             .groupBy(*data_cols)
             .agg(F.count(F.lit(1)).alias("__n"))
         )
+        return self._match_fullrow_dv(live, data_cols, del_df)
+
+    def _match_fullrow_dv(
+        self, live: DataFrame, data_cols: list[str], del_df: DataFrame
+    ) -> list[FileEntry]:
+        """Positional DV for full_row deletes: ``del_df`` carries the data
+        columns plus ``__n`` (occurrences to kill per distinct row); a
+        window by (file, position) picks the first __n matches."""
         cond = None
         for c in data_cols:
             e = live[c].eqNullSafe(del_df[c])
