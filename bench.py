@@ -41,7 +41,10 @@ HEADLINE = [
     "asof_join_purchase_click",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "lsh_near_dup_pairs",
     "text_quality_scores",
+    "percentiles_by_flag",
     "knn_cosine_bruteforce",
     "ann_ivf_topk",
 ]
@@ -137,6 +140,9 @@ def main() -> None:
         t0 = time.time()
         _force(specs[name].fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
+        # queries persist() their reused subtrees; drop them so one query's
+        # cache does not shift the next query's memory budget
+        spark.catalog.clearCache()
 
     timings["ingest_merge_lifecycle"] = round(bench_ingest(spark, sf_dir), 3)
     timings["ingest_batch_commits"] = round(bench_batch_commits(spark), 3)

@@ -120,47 +120,67 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _spark_signature(df: DataFrame) -> DataFrame:
-    """Add minhash signature columns h0..h7.
+# Integer minhash family over a 28-bit digest prefix: ONE md5 per shingle,
+# then k universal hashes h_s = (A_s*h + B_s) mod P — integer transforms
+# beat the hex-string-rotation family ~2x wall-clock (strings dominated the
+# round-1 bench) and stay portable to the DuckDB oracle. A_s*h < 2^31*2^28
+# never overflows BIGINT in either engine.
+_MINHASH_P = 2_147_483_647  # 2^31 - 1 (prime)
+_MINHASH_AB = [
+    ((s * 2_654_435_761) % _MINHASH_P or 1, (s * 40_503_001 + 12_345) % _MINHASH_P)
+    for s in range(1, N_HASHES + 1)
+]
 
-    One md5 per shingle; the k-hash family is hex-string ROTATION of that
-    digest (a bijection, so min-over-rotation is a valid independent-ish
-    minhash family) — 8x fewer digest computations than seeded re-hashing,
-    and portable to the DuckDB oracle verbatim."""
+
+def _sql_hex7(expr: str) -> str:
+    """DuckDB: value of the first 7 hex chars of ``expr`` as an int < 2^28."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1) * {16 ** (6 - i)}"
+        for i in range(7)
+    ) + ")"
+
+
+def _spark_signature(df: DataFrame) -> DataFrame:
+    """Add integer minhash signature columns h0..h7 (one md5 per shingle,
+    universal-hash family, min over ints)."""
     d = (
         df.withColumn("toks", F.expr(_SPARK_TOKS))
         .withColumn("shingles", F.expr(_SPARK_SHINGLES))
-        .withColumn("ms", F.expr("transform(shingles, x -> md5(concat('sh:', x)))"))
+        .withColumn(
+            "hv",
+            F.expr(
+                "transform(shingles, x -> cast(conv(substring("
+                "md5(concat('sh:', x)), 1, 7), 16, 10) as bigint))"
+            ),
+        )
     )
-    for s in range(N_HASHES):
-        rot = 4 * s
+    for s, (a, b) in enumerate(_MINHASH_AB):
         d = d.withColumn(
             f"h{s}",
-            F.expr(
-                f"array_min(transform(ms, m -> concat(substring(m, {rot + 1}, "
-                f"{32 - rot}), substring(m, 1, {rot}))))"
-            ),
+            F.expr(f"array_min(transform(hv, h -> ({a}L * h + {b}L) % {_MINHASH_P}L))"),
         )
     return d.select("doc_id", *[f"h{s}" for s in range(N_HASHES)])
 
 
 def _sql_signature(corpus_sql: str) -> str:
     hashes = ", ".join(
-        f"list_min(list_transform(ms, m -> substr(m, {4 * s + 1}) || "
-        f"substr(m, 1, {4 * s}))) AS h{s}"
-        for s in range(N_HASHES)
+        f"list_min(list_transform(hv, h -> ({a} * h + {b}) % {_MINHASH_P})) AS h{s}"
+        for s, (a, b) in enumerate(_MINHASH_AB)
     )
     return f"""
 corpus AS ({corpus_sql}),
 tokd AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM corpus),
 shingled AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM tokd),
-hashed AS (SELECT doc_id, list_transform(shingles, x -> md5('sh:' || x)) AS ms FROM shingled),
+hashed AS (SELECT doc_id,
+           list_transform(shingles, x -> CAST({_sql_hex7("md5('sh:' || x)")} AS BIGINT)) AS hv
+           FROM shingled),
 sigs AS (SELECT doc_id, {hashes} FROM hashed)
 """
 
 
+# band value = h_{2b}*P + h_{2b+1} (both < P, so the combine fits BIGINT)
 _SQL_BANDS = " UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band_idx, h{2*b} || h{2*b+1} AS band_val FROM sigs"
+    f"SELECT doc_id, {b} AS band_idx, h{2*b} * {_MINHASH_P} + h{2*b+1} AS band_val FROM sigs"
     for b in range(N_BANDS)
 )
 
@@ -180,17 +200,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates: 8 seeded min-hashes, 4 bands of 2,
     bucket self-join on band value. The band join is the ONLY shuffle —
     this is the petabyte-scale dedup plan."""
-    # persist: the signature subtree is referenced 8x (4 band branches x
-    # 2 join sides); without a cache Spark recomputes every md5 each time.
+    # persist: the signature subtree is referenced by both join sides;
+    # without a cache Spark recomputes every md5 per side. posexplode (not
+    # unionByName) fans out the bands with ONE copy of the signature
+    # expression in the plan.
     sigs = _spark_signature(_near_corpus(spark, sf_dir)).persist()
-    bands = None
-    for b in range(N_BANDS):
-        part = sigs.select(
-            "doc_id",
-            F.lit(b).alias("band_idx"),
-            F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")).alias("band_val"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.col(f"h{2*b}") * F.lit(_MINHASH_P) + F.col(f"h{2*b+1}")
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
     a = bands.alias("a")
     b_ = bands.alias("b")
     return (
@@ -350,11 +375,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     index design of persisted_bucket_hash_map.rs:33-110."""
     corpus = _near_corpus(spark, sf_dir)
     toks = corpus.select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("tok"))
-    m = F.md5(F.col("tok").cast("binary"))
-    hashed = toks.select(
+    # materialize the digest ONCE per token: the four word-hash columns
+    # would otherwise each re-evaluate md5 (no CSE across projections)
+    digested = toks.select(
+        "doc_id", F.md5(F.col("tok").cast("binary")).alias("m")
+    )
+    hashed = digested.select(
         "doc_id",
         *[
-            F.conv(F.substring(m, 4 * w + 1, 4), 16, 10)
+            F.conv(F.substring("m", 4 * w + 1, 4), 16, 10)
             .cast("long")
             .alias(f"h{w}")
             for w in range(N_WORDS)
@@ -376,16 +405,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             term = F.when(F.col(f"s{w}_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
             expr = term if expr is None else (expr + term)
         word_cols.append(expr.cast("long").alias(f"w{w}"))
-    # persist: the fingerprint subtree feeds 8 branches (4 bands x 2 join
-    # sides); without it Spark recomputes the 64-vote agg each time.
+    # persist: the fingerprint subtree feeds both join sides; posexplode
+    # fans out the 4 word-bands with one copy of the expression tree.
     fps = bitsums.select("doc_id", *word_cols).persist()
-    bands = None
-    for w in range(N_WORDS):
-        part = fps.select(
-            "doc_id", "w0", "w1", "w2", "w3",
-            F.lit(w).alias("band_idx"), F.col(f"w{w}").alias("band_val"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    bands = fps.select(
+        "doc_id", "w0", "w1", "w2", "w3",
+        F.posexplode(F.array(*[F.col(f"w{w}") for w in range(N_WORDS)])).alias(
+            "band_idx", "band_val"
+        ),
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (

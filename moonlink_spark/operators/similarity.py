@@ -31,20 +31,27 @@ DIM = 64
 N_PLANES = 8
 
 
+# Dot/norm as single-expr SQL folds: aggregate() higher-order functions
+# are interpreted row-at-a-time, but a depth-64 unrolled Add tree is
+# WORSE — it overflows the codegen method-size limit, falls back to
+# interpreted eval of a huge tree, and bloats every consumer plan
+# (measured 3-4x slower on the pair-verify hot loops). The fold keeps the
+# per-row cost at one tight loop and matches DuckDB's sequential
+# list_dot_product order bit-exactly.
+
+
 def _dot(a: str, b: str):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+        f"CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
     )
 
 
 def _norm(a: str):
     return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        F.expr(
+            f"aggregate(transform({a}, x -> CAST(x AS DOUBLE) * "
+            f"CAST(x AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
         )
     )
 
@@ -200,11 +207,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hyperplanes() -> list[list[float]]:
+def _hyperplanes(n: int = N_PLANES) -> list[list[float]]:
     """Deterministic pseudo-random +/-1 hyperplanes from md5 — identical
     literals are inlined into both the Spark plan and the oracle SQL."""
     planes = []
-    for j in range(N_PLANES):
+    for j in range(n):
         row = []
         for i in range(DIM):
             h = hashlib.md5(f"plane{j}:{i}".encode()).hexdigest()
@@ -213,11 +220,28 @@ def _hyperplanes() -> list[list[float]]:
     return planes
 
 
-def _sql_planes_literal() -> str:
+def _sql_planes_literal(n: int = N_PLANES) -> str:
     rows = ", ".join(
-        "[" + ", ".join(f"{v:.1f}" for v in row) + "]" for row in _hyperplanes()
+        "[" + ", ".join(f"{v:.1f}" for v in row) + "]" for row in _hyperplanes(n)
     )
     return f"[{rows}]"
+
+
+def _spark_sig(emb: DataFrame, n: int = N_PLANES) -> DataFrame:
+    """Add the n-bit hyperplane sign signature column ``sig``. Plane dots
+    unroll to codegen'd sums in the same fold order as the oracle's
+    list_dot_product (see _dot)."""
+    sig = None
+    for j, row in enumerate(_hyperplanes(n)):
+        acc = "0.0D"
+        for i, v in enumerate(row, start=1):
+            acc = (
+                f"({acc} + (CAST(element_at(embedding, {i}) AS DOUBLE) * "
+                f"{v:.1f}D))"
+            )
+        term = F.when(F.expr(acc) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = term if sig is None else (sig + term)
+    return emb.withColumn("sig", sig.cast("bigint"))
 
 
 @register(
@@ -238,21 +262,6 @@ FROM sigs GROUP BY sig
 """,
     category="similarity",
 )
-def _spark_sig(emb: DataFrame) -> DataFrame:
-    """Add the 8-bit hyperplane sign signature column ``sig``."""
-    sig = None
-    for j, row in enumerate(_hyperplanes()):
-        lit_plane = F.array(*[F.lit(v) for v in row])
-        d = F.aggregate(
-            F.zip_with("embedding", lit_plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        term = F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-        sig = term if sig is None else (sig + term)
-    return emb.withColumn("sig", sig.cast("bigint"))
-
-
 def ann_lsh_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH: 8-bit sign signature per vector -> bucket
     histogram. Buckets are the candidate sets for ANN/near-dup at scale
@@ -268,9 +277,15 @@ def ann_lsh_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_SIG = f"""
+# near-dup banding: 16 planes, 2 bands x 8 bits (256 buckets/band) — at
+# 2000 vectors/sf0.1 the 4-bit variant produced 262k candidate pairs (13%
+# of all pairs, LSH doing no work); 8-bit bands cut that ~16x, and at
+# 100 TB you widen further (e.g. 64 planes, 4x16-bit bands)
+N_PLANES_ND = 16
+
+_SQL_SIG_ND = f"""
   SELECT vec_id,
-         list_sum(list_transform(range(1, {N_PLANES} + 1),
+         list_sum(list_transform(range(1, {N_PLANES_ND} + 1),
            j -> CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
                        ps[CAST(j AS INTEGER)]) >= 0
                      THEN CAST(2 ** (j - 1) AS BIGINT) ELSE 0 END)) AS sig
@@ -281,12 +296,12 @@ _SQL_SIG = f"""
 @register(
     "lsh_near_dup_pairs",
     oracle=f"""
-WITH planes AS (SELECT CAST({_sql_planes_literal()} AS DOUBLE[][]) AS ps),
-sigs AS ({_SQL_SIG}),
+WITH planes AS (SELECT CAST({_sql_planes_literal(N_PLANES_ND)} AS DOUBLE[][]) AS ps),
+sigs AS ({_SQL_SIG_ND}),
 bands AS (
-  SELECT vec_id, 0 AS band_idx, sig & 15 AS band_val FROM sigs
+  SELECT vec_id, 0 AS band_idx, sig & 255 AS band_val FROM sigs
   UNION ALL
-  SELECT vec_id, 1 AS band_idx, sig >> 4 AS band_val FROM sigs
+  SELECT vec_id, 1 AS band_idx, sig >> 8 AS band_val FROM sigs
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -309,20 +324,25 @@ ORDER BY vec_a, vec_b
 )
 def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs the 100 TB way: hyperplane-LSH banded
-    candidates (2 bands x 4 planes -> pairs agreeing on either half-
-    signature), then exact cosine verify >= 0.35. No cartesian anywhere:
+    candidates (16 planes, 2 bands x 8 bits -> pairs agreeing on either
+    half-signature), then exact cosine verify >= 0.35. No cartesian anywhere:
     the only joins are the band bucket self-join and two equi-joins to
     re-attach embeddings. ``embedding_near_dup_pairs`` (all-pairs) is the
     small-SF recall baseline for this plan."""
     emb = load(spark, sf_dir, "embeddings")
-    sigs = _spark_sig(emb).select("vec_id", "sig")
-    low = sigs.select(
-        "vec_id", F.lit(0).alias("band_idx"), F.expr("sig & 15").alias("band_val")
+    # persist: the signature feeds both self-join sides AND the verify
+    # stage; uncached, the 16-plane projection re-evaluates (and re-compiles)
+    # per consumer
+    sigs = _spark_sig(emb, N_PLANES_ND).select("vec_id", "sig").persist()
+    # posexplode keeps ONE copy of the (large, unrolled) sig expression in
+    # the plan — a 2-way unionByName would inline it per branch and per
+    # join side, quadrupling plan size and codegen work
+    bands = sigs.select(
+        "vec_id",
+        F.posexplode(F.array(F.expr("sig & 255"), F.expr("sig >> 8"))).alias(
+            "band_idx", "band_val"
+        ),
     )
-    high = sigs.select(
-        "vec_id", F.lit(1).alias("band_idx"), F.expr("sig >> 4").alias("band_val")
-    )
-    bands = low.unionByName(high)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -335,10 +355,21 @@ def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    # norms precomputed ONCE per vector (not per candidate pair) — the
+    # verify stage is the hot loop; this halves its per-pair float work
+    # while keeping the identical dot/(na*nb) arithmetic the oracle runs
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        _norm("embedding").alias("na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        _norm("embedding").alias("nb"),
+    )
     pairs = cand.join(ea, "vec_a").join(eb, "vec_b").withColumn(
-        "cos", _dot("ea", "eb") / (_norm("ea") * _norm("eb"))
+        "cos", _dot("ea", "eb") / (F.col("na") * F.col("nb"))
     )
     return (
         pairs.filter(F.col("cos") >= 0.35)

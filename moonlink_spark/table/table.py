@@ -56,6 +56,7 @@ from moonlink_spark.table.stats import (
     collect_file_stats,
     key_batch_predicate,
 )
+from moonlink_spark.table.fs import fs_for
 from moonlink_spark.table.manifest import FileEntry, Manifest, ManifestStore
 
 DATA_DIR = "data"
@@ -82,8 +83,13 @@ class MoonlinkTable:
 
         ensure_package_on_workers(spark)
         self.spark = spark
+        # resolve the FS on the RAW path: abspath() would mangle an
+        # object-store URI into a relative local path before the seam
+        # could reject it (table/fs.py)
+        fs_for(path)
         self.path = os.path.abspath(path)
         self.store = ManifestStore(self.path)
+        self.fs = self.store.fs
         self._pending: list[tuple] = []
         self._lock = threading.RLock()
         self.mem_slice_rows = DEFAULT_MEM_SLICE_ROWS
@@ -120,8 +126,8 @@ class MoonlinkTable:
         t = cls(spark, path)
         if t.store.exists():
             raise TableConfigError(f"table already exists at {path}")
-        os.makedirs(os.path.join(t.path, DATA_DIR), exist_ok=True)
-        os.makedirs(os.path.join(t.path, DELETE_DIR), exist_ok=True)
+        t.fs.makedirs(os.path.join(t.path, DATA_DIR))
+        t.fs.makedirs(os.path.join(t.path, DELETE_DIR))
         t.store.commit(
             Manifest(
                 version=0,
@@ -143,7 +149,7 @@ class MoonlinkTable:
 
     def drop(self) -> None:
         """Delete table data + metadata (parity TableEvent::DropTable)."""
-        shutil.rmtree(self.path, ignore_errors=True)
+        self.fs.rmtree(self.path)
 
     # ------------------------------------------------------------------ #
     # introspection
@@ -287,7 +293,7 @@ class MoonlinkTable:
             p = os.path.abspath(p)
             if copy:
                 name = f"{DATA_DIR}/load-{uuid.uuid4().hex}.parquet"
-                shutil.copyfile(p, os.path.join(self.path, name))
+                self.fs.copyfile(p, os.path.join(self.path, name))
                 entries.append(
                     FileEntry(name, _parquet_num_rows(p), os.path.getsize(p))
                 )
@@ -569,13 +575,16 @@ class MoonlinkTable:
             # ``_metadata.file_path`` URI to a table-root-relative path so a
             # relocated table directory still anti-joins its old DVs
             # (external load_files paths, outside the root, stay absolute —
-            # they never move with the table).
-            import re as _re
-
-            rel_fp = F.regexp_replace(
-                F.col("_metadata.file_path"),
-                "^.*" + _re.escape(self.path + "/"),
-                "",
+            # they never move with the table). Literal replace, not regexp:
+            # this runs per row on every positioned scan.
+            rel_fp = F.replace(
+                F.replace(
+                    F.col("_metadata.file_path"),
+                    F.lit("file://"),
+                    F.lit(""),
+                ),
+                F.lit(self.path + "/"),
+                F.lit(""),
             )
             df = df.select(
                 "*",
@@ -637,7 +646,7 @@ class MoonlinkTable:
                 FileEntry(
                     rel,
                     tbl.num_rows,
-                    os.path.getsize(path),
+                    self.fs.getsize(path),
                     collect_file_stats(path),
                 )
             ]
@@ -656,20 +665,20 @@ class MoonlinkTable:
         tmp = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(tmp)
         entries = []
-        for name in sorted(os.listdir(tmp)):
+        for name in sorted(self.fs.listdir(tmp)):
             if not name.endswith(".parquet"):
                 continue
             rel = f"{DATA_DIR}/part-{uuid.uuid4().hex}.parquet"
             dst = os.path.join(self.path, rel)
-            os.rename(os.path.join(tmp, name), dst)
+            self.fs.rename(os.path.join(tmp, name), dst)
             rows = _parquet_num_rows(dst)
             if rows == 0:
-                os.unlink(dst)
+                self.fs.unlink(dst)
                 continue
             entries.append(
-                FileEntry(rel, rows, os.path.getsize(dst), collect_file_stats(dst))
+                FileEntry(rel, rows, self.fs.getsize(dst), collect_file_stats(dst))
             )
-        shutil.rmtree(tmp, ignore_errors=True)
+        self.fs.rmtree(tmp)
         return entries
 
     def _write_dv(self, matched: DataFrame) -> list[FileEntry]:
@@ -680,18 +689,18 @@ class MoonlinkTable:
         tmp = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}")
         matched.write.mode("overwrite").parquet(tmp)
         entries = []
-        for name in sorted(os.listdir(tmp)):
+        for name in sorted(self.fs.listdir(tmp)):
             if not name.endswith(".parquet"):
                 continue
             rel = f"{DELETE_DIR}/dv-{uuid.uuid4().hex}.parquet"
             dst = os.path.join(self.path, rel)
-            os.rename(os.path.join(tmp, name), dst)
+            self.fs.rename(os.path.join(tmp, name), dst)
             rows = _parquet_num_rows(dst)
             if rows == 0:
-                os.unlink(dst)
+                self.fs.unlink(dst)
                 continue
-            entries.append(FileEntry(rel, rows, os.path.getsize(dst)))
-        shutil.rmtree(tmp, ignore_errors=True)
+            entries.append(FileEntry(rel, rows, self.fs.getsize(dst)))
+        self.fs.rmtree(tmp)
         return entries
 
     # ------------------------------------------------------------------ #
