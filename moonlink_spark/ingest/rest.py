@@ -65,11 +65,11 @@ class RestSink:
         commit (idempotent: a crash after commit but before truncate leaves
         entries whose row_lsn <= last_lsn — those are skipped). Returns the
         max row_lsn seen in the journal, or None if empty."""
-        if not os.path.exists(self._wal_path):
+        if not self.table.fs.exists(self._wal_path):
             return None
         last = self.table.last_lsn
         max_lsn = None
-        with open(self._wal_path) as fh:
+        with self.table.fs.open_read(self._wal_path) as fh:
             for line in fh:
                 line = line.strip()
                 if not line:
@@ -84,20 +84,18 @@ class RestSink:
 
     def _journal_append(self, operation: str, data: dict[str, Any], row_lsn: int) -> None:
         """Durably record an async request BEFORE acking it."""
-        os.makedirs(os.path.dirname(self._wal_path), exist_ok=True)
-        with open(self._wal_path, "a") as fh:
-            fh.write(
-                json.dumps(
-                    {"operation": operation, "data": data, "row_lsn": row_lsn}
-                )
-                + "\n"
-            )
-            fh.flush()
-            os.fsync(fh.fileno())
+        fs = self.table.fs
+        fs.makedirs(os.path.dirname(self._wal_path))
+        fs.append_text_durable(
+            self._wal_path,
+            json.dumps({"operation": operation, "data": data, "row_lsn": row_lsn})
+            + "\n",
+        )
 
     def _journal_truncate(self) -> None:
-        if os.path.exists(self._wal_path):
-            os.unlink(self._wal_path)
+        fs = self.table.fs
+        if fs.exists(self._wal_path):
+            fs.unlink(self._wal_path)
 
     # -- ingest -------------------------------------------------------------
 

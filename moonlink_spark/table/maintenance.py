@@ -110,16 +110,16 @@ def vacuum(table: MoonlinkTable, keep_versions: int = 1) -> int:
         removed = 0
         for sub in (DATA_DIR, DELETE_DIR):
             d = os.path.join(table.path, sub)
-            if not os.path.isdir(d):
+            if not table.fs.isdir(d):
                 continue
-            for name in os.listdir(d):
+            for name in table.fs.listdir(d):
                 rel = f"{sub}/{name}"
                 if rel not in referenced:
-                    os.unlink(os.path.join(d, name))
+                    table.fs.unlink(os.path.join(d, name))
                     removed += 1
         for v in versions:
             if v not in keep:
-                os.unlink(
+                table.fs.unlink(
                     os.path.join(table.store.manifest_dir, f"v{v:012d}.json")
                 )
         return removed

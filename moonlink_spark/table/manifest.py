@@ -28,6 +28,7 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from moonlink_spark.errors import CommitConflictError, LsnError
+from moonlink_spark.table.fs import CommitRaceLost, fs_for
 
 MANIFEST_DIR = "_manifests"
 
@@ -112,18 +113,19 @@ class ManifestStore:
 
     def __init__(self, table_dir: str):
         self.table_dir = table_dir
+        self.fs = fs_for(table_dir)
         self.manifest_dir = os.path.join(table_dir, MANIFEST_DIR)
 
     # -- reads ------------------------------------------------------------
 
     def exists(self) -> bool:
-        return os.path.isdir(self.manifest_dir) and bool(self.versions())
+        return self.fs.isdir(self.manifest_dir) and bool(self.versions())
 
     def versions(self) -> list[int]:
-        if not os.path.isdir(self.manifest_dir):
+        if not self.fs.isdir(self.manifest_dir):
             return []
         out = []
-        for name in os.listdir(self.manifest_dir):
+        for name in self.fs.listdir(self.manifest_dir):
             if name.startswith("v") and name.endswith(".json"):
                 try:
                     out.append(int(name[1:-5]))
@@ -135,7 +137,7 @@ class ManifestStore:
         return os.path.join(self.manifest_dir, f"v{version:012d}.json")
 
     def read(self, version: int) -> Manifest:
-        with open(self._path(version)) as fh:
+        with self.fs.open_read(self._path(version)) as fh:
             return Manifest.from_json(json.load(fh))
 
     def latest(self) -> Manifest | None:
@@ -178,7 +180,7 @@ class ManifestStore:
         fail-fast (optimistic concurrency, single-winner like the reference's
         single per-table event loop). ``allow_equal_lsn`` is for maintenance
         commits (optimize/alter) that add no new data."""
-        os.makedirs(self.manifest_dir, exist_ok=True)
+        self.fs.makedirs(self.manifest_dir)
         latest = self.latest()
         if latest is not None:
             if manifest.version != latest.version + 1:
@@ -198,15 +200,11 @@ class ManifestStore:
         manifest.timestamp_ms = int(time.time() * 1000)
         path = self._path(manifest.version)
         tmp = path + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            json.dump(manifest.to_json(), fh, indent=1)
-            fh.flush()
-            os.fsync(fh.fileno())
+        self.fs.write_text_durable(tmp, json.dumps(manifest.to_json(), indent=1))
         try:
-            # link() is exclusive: loser of a race gets EEXIST, never a
-            # half-written manifest.
-            os.link(tmp, path)
-        except FileExistsError as e:
+            # exclusive publish: the loser of a race fails cleanly and never
+            # leaves a half-written manifest (LocalFS: hard link; object
+            # stores: conditional put — see table/fs.py)
+            self.fs.publish_exclusive(tmp, path)
+        except CommitRaceLost as e:
             raise CommitConflictError(f"version {manifest.version} exists") from e
-        finally:
-            os.unlink(tmp)

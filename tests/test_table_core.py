@@ -316,3 +316,12 @@ def test_table_relocation_preserves_deletes(spark, tmp_path):
     t2 = MoonlinkTable.open(spark, new_path)
     assert t2.scan().count() == 5
     assert {r["id"] for r in t2.scan().collect()} == {1, 3, 5, 7, 9}
+
+
+def test_object_store_uri_fails_loudly(spark, tmp_path):
+    """An object-store warehouse URI must fail at the FS seam with a
+    pointer to the pluggable class, not corrupt state via POSIX calls."""
+    with pytest.raises(TableConfigError, match="TableFS"):
+        MoonlinkTable.create(
+            spark, "s3://bucket/tbl", USERS_SCHEMA, IdentityProp.single("id")
+        )
