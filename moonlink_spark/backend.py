@@ -130,6 +130,15 @@ class MoonlinkBackend:
         t = self.get_table(database, table)
         return optimize(t, mode)
 
+    def export_table(
+        self, database: str, table: str, dest: str, lsn: int | None = None
+    ) -> dict[str, Any]:
+        """Materialize the live view as plain parquet + sidecar for
+        external engines (table/export.py)."""
+        from moonlink_spark.table.export import export_snapshot
+
+        return export_snapshot(self.get_table(database, table), dest, lsn=lsn)
+
     def create_snapshot(self, database: str, table: str, lsn: int | None = None) -> int:
         """Force a commit of any pending ops (parity ForceSnapshot)."""
         t = self.get_table(database, table)

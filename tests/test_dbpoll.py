@@ -1,0 +1,121 @@
+"""Database-polling CDC source e2e: a live sqlite database drives the
+full pipeline — outbox drain -> CDC spool -> StreamingIngestor micro-batch
+merge -> MoonlinkTable (the reference's postgres_source.rs contract over
+DB-API polling; see ingest/dbpoll.py)."""
+
+import json
+import os
+import sqlite3
+
+from moonlink_spark.ingest.dbpoll import DbPollingSource, snapshot_rows
+from moonlink_spark.streaming.pipeline import StreamingIngestor, initial_copy
+from moonlink_spark.table.identity import IdentityProp
+from moonlink_spark.table.table import MoonlinkTable
+
+USERS_FIELDS = [
+    {"name": "id", "data_type": "int64", "nullable": False},
+    {"name": "name", "data_type": "string"},
+]
+
+
+def _setup_db(db_path: str) -> None:
+    con = sqlite3.connect(db_path)
+    con.execute(
+        "CREATE TABLE outbox (change_id INTEGER PRIMARY KEY AUTOINCREMENT, "
+        "op TEXT NOT NULL, row_json TEXT, old_row_json TEXT)"
+    )
+    con.execute("CREATE TABLE users (id INTEGER PRIMARY KEY, name TEXT)")
+    con.commit()
+    con.close()
+
+
+def _apply(db_path: str, op: str, row=None, old=None) -> None:
+    """Apply a change to the source table AND its outbox (what a trigger
+    or application-level outbox write does in production)."""
+    con = sqlite3.connect(db_path)
+    if op == "insert":
+        con.execute("INSERT INTO users VALUES (?, ?)", (row["id"], row["name"]))
+    elif op == "update":
+        con.execute("UPDATE users SET name = ? WHERE id = ?", (row["name"], row["id"]))
+    else:
+        con.execute("DELETE FROM users WHERE id = ?", (old["id"],))
+    con.execute(
+        "INSERT INTO outbox (op, row_json, old_row_json) VALUES (?, ?, ?)",
+        (op, json.dumps(row) if row else None, json.dumps(old) if old else None),
+    )
+    con.commit()
+    con.close()
+
+
+def test_outbox_poll_to_table(spark, tmp_path):
+    db = str(tmp_path / "src.db")
+    _setup_db(db)
+    _apply(db, "insert", {"id": 1, "name": "a"})
+    _apply(db, "insert", {"id": 2, "name": "b"})
+    _apply(db, "update", {"id": 1, "name": "a2"}, {"id": 1, "name": "a"})
+    _apply(db, "delete", None, {"id": 2, "name": "b"})
+
+    spool = str(tmp_path / "spool")
+    src = DbPollingSource(lambda: sqlite3.connect(db), "outbox", spool)
+    assert src.poll_once() == 4
+    assert src.poll_once() == 0  # cursor advanced; nothing new
+
+    t = MoonlinkTable.create(
+        spark, str(tmp_path / "t"), USERS_FIELDS, IdentityProp.single("id")
+    )
+    ing = StreamingIngestor(t, spool, str(tmp_path / "ckpt"))
+    ing.run_available()
+    assert {(r["id"], r["name"]) for r in t.scan().collect()} == {(1, "a2")}
+
+    # late changes: poll again, incremental file, stream catches up
+    _apply(db, "insert", {"id": 3, "name": "c"})
+    assert src.poll_once() == 1
+    ing.run_available()
+    assert {(r["id"], r["name"]) for r in t.scan().collect()} == {
+        (1, "a2"),
+        (3, "c"),
+    }
+    # crash-safety: a re-emitted spool file (cursor state lost) is deduped
+    # by the pipeline's LSN floor
+    os.unlink(src.state_path)
+    assert src.poll_once() == 5  # re-emits everything
+    ing.run_available()
+    assert {(r["id"], r["name"]) for r in t.scan().collect()} == {
+        (1, "a2"),
+        (3, "c"),
+    }
+
+
+def test_snapshot_then_stream(spark, tmp_path):
+    """Initial copy at a captured cursor, then the stream takes over —
+    outbox events at or below the snapshot cursor are skipped (parity:
+    initial-copy + buffered replay)."""
+    db = str(tmp_path / "src2.db")
+    _setup_db(db)
+    for i in range(5):
+        _apply(db, "insert", {"id": i, "name": f"u{i}"})
+
+    rows, cursor = snapshot_rows(
+        lambda: sqlite3.connect(db),
+        "SELECT id, name, (SELECT MAX(change_id) FROM outbox) FROM users",
+        ["id", "name"],
+    )
+    assert len(rows) == 5 and cursor == 5
+
+    t = MoonlinkTable.create(
+        spark, str(tmp_path / "t2"), USERS_FIELDS, IdentityProp.single("id")
+    )
+    snap_df = spark.createDataFrame(
+        [(r["id"], r["name"]) for r in rows], "id long, name string"
+    )
+    initial_copy(t, snap_df, snapshot_lsn=cursor)
+
+    # post-snapshot change plus a full (overlapping) outbox drain
+    _apply(db, "update", {"id": 0, "name": "u0-new"}, {"id": 0, "name": "u0"})
+    spool = str(tmp_path / "spool2")
+    src = DbPollingSource(lambda: sqlite3.connect(db), "outbox", spool)
+    assert src.poll_once() == 6  # all events incl. pre-snapshot ones
+    ing = StreamingIngestor(t, spool, str(tmp_path / "ckpt2"))
+    ing.run_available()
+    got = {r["id"]: r["name"] for r in t.scan().collect()}
+    assert got == {0: "u0-new", 1: "u1", 2: "u2", 3: "u3", 4: "u4"}
