@@ -64,6 +64,8 @@ def all_queries() -> dict[str, QuerySpec]:
     # import side-effect: modules self-register
     from moonlink_spark.operators import (  # noqa: F401
         relational,
+        relational_extra,
+        multimodal_ops,
         windows,
         dedup,
         similarity,

@@ -1,0 +1,54 @@
+"""Multimodal pipeline as a driver-checkable query.
+
+Builds a media table from ``documents`` (payload = utf-8 text bytes, so
+the table scales with SF), runs the Arrow-batched ``mapInPandas`` feature
+extraction from ``sources/multimodal.py``, and aggregates to a stable
+summary. Registered rows-only: the mapInPandas stage is exactly the kind
+of custom stateful kernel SQL cannot express (SURVEY.md §2c UDF row) —
+the decode kernels are deterministic fakes (no media libs in this env),
+but the schema/batching/partitioning plumbing this query exercises is the
+real 100 TB path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from moonlink_spark.operators import load, register
+
+
+@register("multimodal_feature_extract", oracle=None, category="multimodal")
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> binary media payloads -> mapInPandas feature extraction
+    -> per-kind summary (deterministic: every value derives from content
+    digests)."""
+    from moonlink_spark.sources.multimodal import extract_features
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    kinds = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        kinds.alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.lit(None)
+        .cast(
+            "struct<mime:string,width:int,height:int,"
+            "duration_ms:bigint,sample_rate:int>"
+        )
+        .alias("meta"),
+    )
+    feats = extract_features(media)
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg(F.element_at("feature", 1)), 6).alias("avg_f0"),
+            F.countDistinct("content_hash").alias("n_distinct"),
+        )
+        .orderBy("kind")
+    )

@@ -1,0 +1,352 @@
+"""Second batch of relational breadth: subqueries, list aggregation,
+lateral explode, robust statistics, gap filling, histograms, value windows.
+
+Each query extends SURVEY.md §2c's delegated-relational rows (DataFusion
+surface the reference hands its scans to) with shapes the first batch did
+not cover. All oracles follow the NOTES_r1 determinism rules: total ORDER
+BY on both sides, BIGINT casts where DuckDB would return HUGEINT, money
+sums in DECIMAL(15,4) cast back to DOUBLE, round(…, 6) on float ratios.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from moonlink_spark.operators import load, register
+
+
+# --------------------------------------------------------------------------- #
+# correlated EXISTS subquery
+# --------------------------------------------------------------------------- #
+@register(
+    "exists_suppliers_with_heavy_lines",
+    oracle="""
+SELECT s_suppkey, s_name
+FROM supplier s
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 48
+)
+ORDER BY s_suppkey
+""",
+    category="subquery",
+)
+def exists_suppliers_with_heavy_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS — planned as a left-semi join (the same physical
+    shape DataFusion/the reference produce for EXISTS)."""
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    heavy = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 48)
+        .select("l_suppkey")
+    )
+    return (
+        sup.join(heavy, sup.s_suppkey == heavy.l_suppkey, "left_semi")
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# NOT IN subquery with null-safe semantics
+# --------------------------------------------------------------------------- #
+@register(
+    "not_in_parts_never_shipped",
+    oracle="""
+SELECT p_partkey, p_name
+FROM part
+WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
+ORDER BY p_partkey
+""",
+    category="subquery",
+)
+def not_in_parts_never_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN over a non-null subquery — left-anti join (null-safe NOT IN
+    needs the extra null guard only when the subquery can yield NULL;
+    l_partkey is non-null here, matching the anti-join plan exactly)."""
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_name")
+    heavy = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_partkey")
+    )
+    return (
+        part.join(heavy, part.p_partkey == heavy.l_partkey, "left_anti")
+        .orderBy("p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# string aggregation (listagg)
+# --------------------------------------------------------------------------- #
+@register(
+    "string_agg_top_customers_per_nation",
+    oracle="""
+WITH top_c AS (
+  SELECT c_nationkey, c_name,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer
+)
+SELECT c_nationkey,
+       string_agg(c_name, ',' ORDER BY rn) AS top_names,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM top_c WHERE rn <= 3
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+    category="aggregation",
+)
+def string_agg_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """listagg/string_agg with a deterministic ORDER BY inside the
+    aggregate — Spark expresses it as sort-by-struct + array_join (stable,
+    engine-portable), the standard way to get ordered string aggregation
+    without relying on shuffle order."""
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    top = cust.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    return (
+        top.groupBy("c_nationkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "c_name"))),
+                    lambda s: s["c_name"],
+                ),
+                ",",
+            ).alias("top_names"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# lateral explode with ordinality
+# --------------------------------------------------------------------------- #
+@register(
+    "explode_token_positions",
+    oracle="""
+WITH tokd AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+  FROM documents WHERE doc_id < 20
+)
+SELECT doc_id, CAST(pos AS INT) AS pos, tok
+FROM tokd WHERE pos <= 5
+ORDER BY doc_id, pos
+""",
+    category="lateral",
+)
+def explode_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral view with ordinality: posexplode over the token array —
+    the Spark twin of UNNEST WITH ORDINALITY."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias(
+            "pos0", "tok"
+        ),
+    )
+    return (
+        toks.select(
+            "doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "tok"
+        )
+        .filter(F.col("pos") <= 5)
+        .orderBy("doc_id", "pos")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# median / deterministic mode
+# --------------------------------------------------------------------------- #
+@register(
+    "median_mode_order_stats",
+    oracle="""
+WITH counts AS (
+  SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+),
+modes AS (
+  SELECT o_orderstatus, o_orderpriority AS mode_priority
+  FROM (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                                     ORDER BY c DESC, o_orderpriority) AS rn
+        FROM counts) t
+  WHERE rn = 1
+)
+SELECT o.o_orderstatus,
+       CAST(median(o.o_totalprice) AS DOUBLE) AS median_price,
+       m.mode_priority,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders o JOIN modes m ON o.o_orderstatus = m.o_orderstatus
+GROUP BY o.o_orderstatus, m.mode_priority
+ORDER BY o.o_orderstatus
+""",
+    category="aggregation",
+)
+def median_mode_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median + mode per group. Mode is computed deterministically (count
+    desc, value asc) rather than via the engines' mode() builtins, whose
+    tie-breaking is engine-dependent — the cross-engine-safe formulation."""
+    orders = load(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("c"), F.asc("o_orderpriority")
+    )
+    modes = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"))
+    )
+    return (
+        orders.join(F.broadcast(modes), "o_orderstatus")
+        .groupBy("o_orderstatus", "mode_priority")
+        .agg(
+            F.expr("median(o_totalprice)").cast("double").alias("median_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("o_orderstatus", "median_price", "mode_priority", "n")
+        .orderBy("o_orderstatus")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# time-series gap filling
+# --------------------------------------------------------------------------- #
+@register(
+    "gap_fill_daily_order_counts",
+    oracle="""
+WITH days AS (
+  SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1995-03-31',
+                                      INTERVAL 1 DAY)) AS DATE) AS d
+),
+daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'
+  GROUP BY CAST(o_orderdate AS DATE)
+)
+SELECT days.d, COALESCE(daily.n_orders, 0) AS n_orders,
+       CASE WHEN daily.d IS NULL THEN TRUE ELSE FALSE END AS filled
+FROM days LEFT JOIN daily ON days.d = daily.d
+ORDER BY days.d
+""",
+    category="timeseries",
+)
+def gap_fill_daily_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense calendar gap-fill: generate the day spine with sequence()
+    (no driver loop), left-join sparse aggregates, fill zeros. The spine
+    generation is a single-row explode — scale-free."""
+    orders = load(spark, sf_dir, "orders")
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1995-03-31").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("d")
+    )
+    daily = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        days.join(daily, "d", "left_outer")
+        .select(
+            "d",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.col("n_orders").isNull().alias("filled"),
+        )
+        .orderBy("d")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# histogram via width_bucket
+# --------------------------------------------------------------------------- #
+# width_bucket spelled out as explicit arithmetic (DuckDB has no
+# width_bucket builtin, and identical FLOOR arithmetic on both sides
+# avoids engine-specific edge handling at bucket boundaries)
+_BUCKET_SQL = (
+    "CASE WHEN c_acctbal < -1000.0 THEN 0 "
+    "WHEN c_acctbal >= 10000.0 THEN 12 "
+    "ELSE CAST(FLOOR((c_acctbal - (-1000.0)) / 11000.0 * 11.0) AS BIGINT) + 1 END"
+)
+
+
+@register(
+    "width_bucket_balance_histogram",
+    oracle=f"""
+SELECT CAST({_BUCKET_SQL} AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(round(MIN(c_acctbal), 2) AS DOUBLE) AS lo,
+       CAST(round(MAX(c_acctbal), 2) AS DOUBLE) AS hi
+FROM customer
+GROUP BY 1
+ORDER BY bucket
+""",
+    category="aggregation",
+)
+def width_bucket_balance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram: the bucket id is a pure map expression, so
+    the histogram is one partial+final aggregation — the canonical
+    distributed histogram plan."""
+    cust = load(spark, sf_dir, "customer")
+    bucket = F.expr(_BUCKET_SQL)
+    return (
+        cust.groupBy(bucket.cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("lo"),
+            F.round(F.max("c_acctbal"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# value windows: first/last/nth with frames
+# --------------------------------------------------------------------------- #
+@register(
+    "first_last_nth_event_values",
+    oracle="""
+SELECT user_id,
+       CAST(round(first_value(value) OVER w, 6) AS DOUBLE) AS first_v,
+       CAST(round(last_value(value) OVER w, 6) AS DOUBLE) AS last_v,
+       CAST(round(nth_value(value, 2) OVER w, 6) AS DOUBLE) AS second_v,
+       event_id
+FROM events
+WHERE user_id < 50
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY user_id, event_id
+""",
+    category="window",
+)
+def first_last_nth_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value over an explicit unbounded frame (the default
+    frame for last_value is UNBOUNDED..CURRENT — a classic cross-engine
+    trap; pinning the frame makes both engines agree)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        F.round(F.first("value").over(w), 6).alias("first_v"),
+        F.round(F.last("value").over(w), 6).alias("last_v"),
+        F.round(F.nth_value("value", 2).over(w), 6).alias("second_v"),
+        "event_id",
+    ).orderBy("user_id", "event_id")

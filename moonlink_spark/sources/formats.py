@@ -62,3 +62,16 @@ def protobuf_available() -> bool:
         return True
     except ImportError:
         return False
+
+
+def kafka_available(spark) -> bool:
+    """True when the spark-sql-kafka datasource is on the classpath (an
+    external jar, like spark-avro). Probing with load() would block on
+    brokers, so check the provider class directly."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False

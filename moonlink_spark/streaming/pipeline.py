@@ -116,19 +116,29 @@ def apply_cdc_batch(
 
 
 class StreamingIngestor:
-    """File-source CDC stream -> MoonlinkTable (swap in Kafka on a cluster)."""
+    """CDC stream -> MoonlinkTable. Sources: a JSONL spool directory (the
+    bundled path — fed by tests, ``ingest/dbpoll``, or any producer), or a
+    Kafka topic when the spark-sql-kafka jar is present (``kafka_topic=``;
+    gated by ``sources.formats.kafka_available`` — same event JSON in the
+    record value, so the merge pipeline is identical)."""
 
     def __init__(
         self,
         table: MoonlinkTable,
-        source_dir: str,
-        checkpoint_dir: str,
+        source_dir: str | None = None,
+        checkpoint_dir: str = "",
         on_batch: Callable[[int, int | None], None] | None = None,
+        kafka_bootstrap: str | None = None,
+        kafka_topic: str | None = None,
     ):
+        if (source_dir is None) == (kafka_topic is None):
+            raise ValueError("exactly one of source_dir / kafka_topic required")
         self.table = table
         self.source_dir = source_dir
         self.checkpoint_dir = checkpoint_dir
         self.on_batch = on_batch
+        self.kafka_bootstrap = kafka_bootstrap
+        self.kafka_topic = kafka_topic
 
     def _foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         version = apply_cdc_batch(self.table, batch_df, batch_id)
@@ -138,11 +148,30 @@ class StreamingIngestor:
     def start(self, available_now: bool = True, processing_time: str = "1 second"):
         spark: SparkSession = self.table.spark
         schema = cdc_event_schema(self.table.schema)
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 16)
-            .json(self.source_dir)
-        )
+        if self.kafka_topic is not None:
+            from moonlink_spark.sources.formats import kafka_available
+
+            if not kafka_available(spark):
+                raise RuntimeError(
+                    "spark-sql-kafka jar not on the classpath; submit with "
+                    "--packages org.apache.spark:spark-sql-kafka-0-10_2.13"
+                )
+            raw = (
+                spark.readStream.format("kafka")
+                .option("kafka.bootstrap.servers", self.kafka_bootstrap)
+                .option("subscribe", self.kafka_topic)
+                .option("startingOffsets", "earliest")
+                .load()
+            )
+            stream = raw.select(
+                F.from_json(F.col("value").cast("string"), schema).alias("e")
+            ).select("e.*")
+        else:
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 16)
+                .json(self.source_dir)
+            )
         writer = stream.writeStream.foreachBatch(self._foreach_batch).option(
             "checkpointLocation", self.checkpoint_dir
         )

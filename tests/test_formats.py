@@ -36,3 +36,32 @@ def test_avro_gating(spark):
 
 def test_protobuf_gating():
     assert protobuf_available() is False
+
+
+def test_kafka_gating(spark, tmp_path):
+    """Kafka source is availability-gated like avro: without the jar the
+    ingestor fails with a clear message instead of an opaque load error."""
+    import pytest
+
+    from moonlink_spark.sources.formats import kafka_available
+    from moonlink_spark.streaming.pipeline import StreamingIngestor
+    from moonlink_spark.table.identity import IdentityProp
+    from moonlink_spark.table.table import MoonlinkTable
+
+    t = MoonlinkTable.create(
+        spark,
+        str(tmp_path / "kafka_t"),
+        [{"name": "id", "data_type": "int64", "nullable": False}],
+        IdentityProp.single("id"),
+    )
+    with pytest.raises(ValueError):
+        StreamingIngestor(t)  # neither source given
+    with pytest.raises(ValueError):
+        StreamingIngestor(t, source_dir="x", kafka_topic="y")  # both given
+    ing = StreamingIngestor(
+        t, checkpoint_dir=str(tmp_path / "ck"),
+        kafka_bootstrap="localhost:9092", kafka_topic="cdc",
+    )
+    if not kafka_available(spark):
+        with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+            ing.start()
