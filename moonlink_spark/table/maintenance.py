@@ -63,7 +63,17 @@ def optimize(
     live = table._read_manifest(base, with_pos=False)
     live_bytes = sum(f.bytes for f in base.data_files)
     n_out = max(1, round(live_bytes / cfg.target_file_bytes))
-    new_files = table._write_df_files(live.repartition(n_out))
+    if table.cluster_by:
+        # clustered tables re-sort into n_out range files (compaction IS
+        # the re-clustering pass); _write_df_files applies the range
+        # partitioning using this hint
+        table._cluster_files_hint = n_out
+        try:
+            new_files = table._write_df_files(live)
+        finally:
+            table._cluster_files_hint = None
+    else:
+        new_files = table._write_df_files(live.repartition(n_out))
     m = Manifest(
         version=base.version + 1,
         lsn=base.lsn,  # maintenance commit: no new data => same LSN

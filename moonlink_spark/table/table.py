@@ -94,6 +94,9 @@ class MoonlinkTable:
         self._lock = threading.RLock()
         self.mem_slice_rows = DEFAULT_MEM_SLICE_ROWS
         self._xacts: dict[int, "TransactionStream"] = {}
+        # target output-file count for the next clustered write (set by
+        # optimize() to hit the 128 MiB file target)
+        self._cluster_files_hint: int | None = None
 
     # ------------------------------------------------------------------ #
     # lifecycle
@@ -108,6 +111,7 @@ class MoonlinkTable:
         identity: IdentityProp,
         append_only: bool | None = None,
         properties: dict[str, Any] | None = None,
+        cluster_by: list[str] | None = None,
     ) -> "MoonlinkTable":
         if isinstance(schema, T.StructType):
             fields = struct_to_field_schema(schema)
@@ -123,6 +127,17 @@ class MoonlinkTable:
                 f"(append_only={append_only}, identity={identity.mode})"
             )
         identity.validate(schema.fieldNames())
+        props = dict(properties or {})
+        if cluster_by:
+            unknown = set(cluster_by) - set(schema.fieldNames())
+            if unknown:
+                raise TableConfigError(f"unknown cluster_by columns {unknown}")
+            # Range clustering, not hive partitionBy: partitioned writes
+            # drop the partition columns from the files themselves, which
+            # would break path-addressed scans. Range-sorted files give the
+            # same pruning via non-overlapping per-file min/max stats —
+            # the Spark-native equivalent of the layout benefit.
+            props["cluster_by"] = list(cluster_by)
         t = cls(spark, path)
         if t.store.exists():
             raise TableConfigError(f"table already exists at {path}")
@@ -135,10 +150,14 @@ class MoonlinkTable:
                 schema_fields=fields,
                 identity=identity.to_json(),
                 operation="create",
-                properties=properties or {},
+                properties=props,
             )
         )
         return t
+
+    @property
+    def cluster_by(self) -> list[str]:
+        return list(self.manifest.properties.get("cluster_by") or [])
 
     @classmethod
     def open(cls, spark: SparkSession, path: str) -> "MoonlinkTable":
@@ -657,11 +676,23 @@ class MoonlinkTable:
 
     def _write_df_files(self, df: DataFrame) -> list[FileEntry]:
         """Bulk path: Spark writes parquet in parallel into a temp dir, then
-        files are adopted into data/ (rename, same volume)."""
+        files are adopted into data/ (rename, same volume). Tables created
+        with ``cluster_by`` range-repartition on those columns first, so
+        each file covers a narrow value range and the manifest min/max
+        stats prune hard (partition-layout benefit without hive dirs)."""
         schema = self.schema
         df = df.select(
             *[F.col(f.name).cast(f.dataType) for f in schema.fields]
         )
+        cluster = self.cluster_by
+        if cluster:
+            n = self._cluster_files_hint
+            cols = [F.col(c) for c in cluster]
+            df = (
+                df.repartitionByRange(n, *cols)
+                if n
+                else df.repartitionByRange(*cols)
+            )
         tmp = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(tmp)
         entries = []
@@ -742,6 +773,8 @@ class MoonlinkTable:
             ident = IdentityProp.from_json(base.identity)
             if drops & set(ident.columns):
                 raise TableConfigError("cannot drop identity columns")
+            if drops & set(base.properties.get("cluster_by") or []):
+                raise TableConfigError("cannot drop cluster_by columns")
             fields = [f for f in fields if f["name"] not in drops]
             field_schema_to_struct(fields)  # validates
             if lsn is None:

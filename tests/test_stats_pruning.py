@@ -91,3 +91,57 @@ def test_scan_prune_with_dv_interaction(spark, tmp_path):
     t.commit(lsn=99)
     df = t.scan(prune=PrunePredicate.between("id", 200, 299))
     assert df.count() == 99  # 100 minus the deleted row
+
+
+def test_cluster_by_range_pruning(spark, tmp_path):
+    """cluster_by range-sorts files on write: per-file min/max become
+    non-overlapping, so a range scan prunes most files — the partition-
+    layout benefit without hive directories."""
+    from moonlink_spark.table.identity import IdentityProp
+    from moonlink_spark.table.stats import PrunePredicate
+    from moonlink_spark.table.table import MoonlinkTable
+
+    t = MoonlinkTable.create(
+        spark,
+        str(tmp_path / "clustered"),
+        [
+            {"name": "id", "data_type": "int64", "nullable": False},
+            {"name": "bucket", "data_type": "int64"},
+        ],
+        IdentityProp.single("id"),
+        cluster_by=["bucket"],
+    )
+    assert t.cluster_by == ["bucket"]
+    # shuffled input: without clustering every file would span all buckets
+    df = (
+        spark.range(20_000)
+        .selectExpr("id", "(id * 7919) % 100 AS bucket")
+    )
+    t._cluster_files_hint = 8  # force several files (AQE would coalesce 20k rows to one)
+    try:
+        t.append_df(df)
+        t.commit(lsn=1)
+    finally:
+        t._cluster_files_hint = None
+    files = t.manifest.data_files
+    assert len(files) > 4
+    pred = PrunePredicate.between("bucket", 10, 12)
+    kept = [f for f in files if pred.file_may_match(f.stats)]
+    assert len(kept) < len(files) / 2, (len(kept), len(files))
+    # scan with the predicate returns exactly the right rows
+    got = t.scan(prune=pred).filter("bucket BETWEEN 10 AND 12").count()
+    assert got == df.filter("bucket BETWEEN 10 AND 12").count()
+    # compaction preserves clustering
+    from moonlink_spark.table.maintenance import CompactionConfig, optimize
+
+    optimize(t, cfg=CompactionConfig(target_file_bytes=16 * 1024))
+    files2 = t.manifest.data_files
+    kept2 = [f for f in files2 if pred.file_may_match(f.stats)]
+    assert len(kept2) <= max(1, len(files2) // 2)
+    # cluster column protected from drops
+    import pytest
+
+    from moonlink_spark.errors import TableConfigError
+
+    with pytest.raises(TableConfigError):
+        t.alter(drop_columns=["bucket"])
