@@ -66,6 +66,7 @@ def all_queries() -> dict[str, QuerySpec]:
         relational,
         relational_extra,
         multimodal_ops,
+        chunking,
         windows,
         dedup,
         similarity,

@@ -350,3 +350,39 @@ def first_last_nth_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.nth_value("value", 2).over(w), 6).alias("second_v"),
         "event_id",
     ).orderBy("user_id", "event_id")
+
+
+# --------------------------------------------------------------------------- #
+# JSON column extraction
+# --------------------------------------------------------------------------- #
+@register(
+    "json_props_extraction",
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       CAST(COUNT(CASE WHEN CAST(json_extract(props, '$.k') AS INTEGER) > 50
+                       THEN 1 END) AS BIGINT) AS n_high,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    category="scalar",
+)
+def json_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column: path extraction stays JVM-side
+    (get_json_object), then ordinary aggregation — no Python, no schema
+    inference pass; the 100 TB-safe way to query JSON properties."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(k).cast("bigint").alias("sum_k"),
+            F.count(F.when(k > 50, 1)).alias("n_high"),
+            F.min(k).cast("bigint").alias("min_k"),
+            F.max(k).cast("bigint").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
