@@ -386,3 +386,223 @@ def json_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------- #
+# TPC-H analog gap-fill: q4 / q8 / q20 / q21 shapes (adapted to the
+# synthetic schema, which has no commit/receipt dates)
+# --------------------------------------------------------------------------- #
+
+_SQL_DISC = (
+    "CAST(l_extendedprice AS DECIMAL(15,4)) * "
+    "(CAST(1.0 AS DECIMAL(15,4)) - CAST(l_discount AS DECIMAL(15,4)))"
+)
+
+
+def _disc_price():
+    dec = "decimal(15,4)"
+    return F.col("l_extendedprice").cast(dec) * (
+        F.lit(1.0).cast(dec) - F.col("l_discount").cast(dec)
+    )
+
+
+@register(
+    "q4_order_priority_check",
+    oracle="""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    category="subquery",
+)
+def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: quarter filter + correlated EXISTS + priority
+    count (EXISTS condition adapted: discounted lines instead of the
+    absent late-receipt predicate). Plan: filter -> left-semi join ->
+    single agg shuffle."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    disc = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_discount") > 0.05)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(disc, orders.o_orderkey == disc.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+WITH volumes AS (
+  SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+         {_SQL_DISC} AS volume,
+         n.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+)
+SELECT CAST(o_year AS BIGINT) AS o_year,
+       CAST(round(CAST(SUM(CASE WHEN supp_nation = 'BRAZIL' THEN volume
+                                ELSE CAST(0 AS DECIMAL(15,4)) END) AS DOUBLE)
+            / CAST(SUM(volume) AS DOUBLE), 6) AS DOUBLE) AS mkt_share
+FROM volumes
+GROUP BY o_year
+ORDER BY o_year
+""",
+    category="join",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of yearly order volume —
+    multi-join star with broadcast dims, decimal-exact conditional sums,
+    one agg shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    vol = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            _disc_price().alias("volume"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(15,4)")
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "BRAZIL", F.col("volume"))
+                      .otherwise(zero)).cast("double")
+                / F.sum("volume").cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .select(F.col("o_year").cast("bigint").alias("o_year"), "mkt_share")
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q20_part_supplier_candidates",
+    oracle="""
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey
+  FROM lineitem l
+  WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+  GROUP BY l.l_suppkey
+  HAVING SUM(l.l_quantity) > 1500.0
+)
+ORDER BY s.s_suppkey
+""",
+    category="subquery",
+)
+def q20_part_supplier_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN subqueries — suppliers who moved more
+    than a threshold quantity of matching parts. Inner IN -> semi join,
+    HAVING -> post-agg filter, outer IN -> semi join."""
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    heavy_sups = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 1500.0)
+        .select("l_suppkey")
+    )
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sup.join(heavy_sups, sup.s_suppkey == heavy_sups.l_suppkey, "left_semi")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q21_multi_line_order_suppliers",
+    oracle="""
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+""",
+    category="subquery",
+)
+def q21_multi_line_order_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the only supplier at fault — EXISTS (another
+    supplier on the order) + NOT EXISTS (another supplier also flagged).
+    Returned-flag stands in for the absent receipt-late predicate. Plan:
+    semi + anti join on the same key, no correlation re-execution."""
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    # EXISTS: some other supplier on the same order
+    others = li.alias("l2")
+    exists_cond = (
+        (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey"))
+    )
+    # NOT EXISTS: no other supplier with a flagged line on the order
+    flagged_others = li.filter(F.col("l_returnflag") == "R").alias("l3")
+    notexists_cond = (
+        (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey"))
+    )
+    base = (
+        l1.join(orders, F.col("l1.l_orderkey") == orders.o_orderkey, "left_semi")
+        .join(others, exists_cond, "left_semi")
+        .join(flagged_others, notexists_cond, "left_anti")
+    )
+    return (
+        base.join(F.broadcast(sup), F.col("l1.l_suppkey") == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+    )
