@@ -67,6 +67,7 @@ def all_queries() -> dict[str, QuerySpec]:
         relational_extra,
         multimodal_ops,
         chunking,
+        safety,
         windows,
         dedup,
         similarity,
