@@ -45,6 +45,7 @@ HEADLINE = [
     "lsh_near_dup_pairs",
     "text_quality_scores",
     "percentiles_by_flag",
+    "contamination_check",
     "knn_cosine_bruteforce",
     "ann_ivf_topk",
 ]
