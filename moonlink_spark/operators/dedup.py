@@ -439,3 +439,118 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster assignment (connected components over LSH candidates)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    ``edges`` must have columns ``src``/``dst`` (undirected edges should be
+    present in both directions). Returns ``(doc_id, label)`` where ``label``
+    is the smallest node id reachable from ``doc_id`` — the canonical
+    cluster representative.
+
+    Scale design (100 TB): each iteration is one shuffle join (labels onto
+    edge endpoints) plus one min-aggregate; edges are persisted once and
+    reused across iterations, and each iteration's label table is
+    materialized (by the convergence count) before the previous one is
+    dropped, so lineage never grows past one step. Converges in at most
+    graph-diameter iterations — near-dup clusters are shallow, so in
+    practice 2-4 rounds. The convergence check shares the materialization
+    job rather than running a separate action.
+    """
+    edges = edges.persist()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        msgs = edges.join(
+            labels.withColumnRenamed("doc_id", "src"), "src"
+        ).select(F.col("dst").alias("doc_id"), "label")
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        # full (non-limited) count so every partition of new_labels lands in
+        # the cache before the old generation is unpersisted
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+WITH RECURSIVE {_sql_signature(_SQL_NEAR_CORPUS)},
+bands AS ({_SQL_BANDS}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+labeled AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id FROM reach GROUP BY src
+)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS is_keeper
+FROM labeled
+ORDER BY doc_id
+""",
+    category="dedup",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: LSH candidate pairs -> connected
+    components -> one keeper (min doc_id) per cluster.
+
+    This is the stage real dedup pipelines run after MinHash-LSH: candidate
+    pairs are edges of a duplicate graph, components are the duplicate
+    clusters, and exactly one document per cluster survives. Implemented as
+    iterative min-label propagation (see :func:`connected_components`); the
+    DuckDB oracle computes the same fixpoint with a recursive CTE over the
+    identical LSH pair set."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = connected_components(edges)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id")
+    return (
+        labels.select("doc_id", F.col("label").alias("cluster_id"))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id"))
+        .orderBy("doc_id")
+    )
