@@ -74,6 +74,7 @@ def all_queries() -> dict[str, QuerySpec]:
         textstats,
         ingest_parity,
         scalar_extra,
+        sampling,
     )
 
     return dict(REGISTRY)

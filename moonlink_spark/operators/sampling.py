@@ -1,0 +1,119 @@
+"""Deterministic sampling / data-mixing operators over ``documents``.
+
+Training-data pipelines never use RNG sampling at scale — reruns must
+reproduce the same corpus byte-for-byte, and samples must be joinable across
+tables. The standard trick is a salted content-key hash bucket:
+``hash(salt || key) % 100 < rate``. It is a pure map (no shuffle, no state,
+no seed coordination across executors), it composes with any partitioning,
+and distinct salts give independent sample streams over the same keys.
+
+Both operators here use the same 28-bit md5-prefix integer the dedup family
+uses, so the DuckDB oracle can run the identical arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from moonlink_spark.operators import load, register
+from moonlink_spark.operators.dedup import _sql_hex7
+
+
+def _spark_bucket(salt: str) -> str:
+    """Spark SQL expr: hash bucket in [0, 100) from md5(salt || doc_id)."""
+    return (
+        f"cast(conv(substring(md5(cast(concat('{salt}', cast(doc_id as string)) "
+        "as binary)), 1, 7), 16, 10) as bigint) % 100"
+    )
+
+
+def _sql_bucket(salt: str) -> str:
+    """DuckDB expr for the same bucket (md5-prefix hex -> int -> % 100)."""
+    digest = f"md5('{salt}' || CAST(doc_id AS VARCHAR))"
+    return f"({_sql_hex7(digest)} % 100)"
+
+
+@register(
+    "deterministic_hash_sample",
+    oracle=f"""
+WITH flagged AS (
+  SELECT source, n_chars,
+         CASE WHEN {_sql_bucket('sample:')} < 10 THEN 1 ELSE 0 END AS sampled
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT)      AS n_docs,
+       CAST(SUM(sampled) AS BIGINT)  AS n_sampled,
+       CAST(SUM(CASE WHEN sampled = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+                                     AS sampled_chars
+FROM flagged
+GROUP BY source
+ORDER BY source
+""",
+    category="sampling",
+)
+def deterministic_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~10% corpus sample via salted hash bucket, reported as
+    per-source coverage. The sampling predicate is a pure map stage that
+    pushes below any downstream join/agg; the only shuffle is the reporting
+    group-by. Rerunning at any scale reproduces the exact same sample."""
+    docs = load(spark, sf_dir, "documents")
+    flagged = docs.withColumn(
+        "sampled",
+        F.when(F.expr(_spark_bucket("sample:")) < 10, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("sampled").alias("n_sampled"),
+            F.sum(F.when(F.col("sampled") == 1, F.col("n_chars")).otherwise(0)).alias(
+                "sampled_chars"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "train_val_test_split",
+    oracle=f"""
+WITH bucketed AS (
+  SELECT lang, n_chars,
+         CASE WHEN {_sql_bucket('split:')} < 80 THEN 'train'
+              WHEN {_sql_bucket('split:')} < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, lang,
+       CAST(COUNT(*) AS BIGINT)     AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM bucketed
+GROUP BY split, lang
+ORDER BY split, lang
+""",
+    category="sampling",
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by salted hash bucket,
+    summarized per (split, lang). The 'split:' salt makes this stream
+    independent of the 'sample:' stream over the same doc_ids — a document's
+    split never changes as the corpus grows, which is what keeps eval sets
+    uncontaminated across dataset versions."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.expr(_spark_bucket("split:"))
+    bucketed = docs.withColumn(
+        "split",
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+    return (
+        bucketed.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split", "lang")
+    )
