@@ -76,6 +76,7 @@ def all_queries() -> dict[str, QuerySpec]:
         scalar_extra,
         sampling,
         retrieval,
+        streaming_batch,
     )
 
     return dict(REGISTRY)

@@ -1,0 +1,154 @@
+"""Batch analogs of streaming event-time operators over ``events``.
+
+Structured Streaming semantics (sliding windows, watermark lateness) have
+exact batch equivalents, which makes them oracle-checkable: the streaming
+runtime computes the same groups incrementally that these queries compute
+in one pass. The live incremental versions ship in
+``moonlink_spark/streaming/event_time.py`` (watermarks, windowed aggs,
+dedup-within-watermark) and are pytest-verified; these registered queries
+pin the *semantics* against DuckDB.
+
+Scale design (100 TB): the sliding window is `F.window(ts, 1h, 30m)` — a
+map-side 2-way replicate then one group-by shuffle on (window, type); no
+self-join. Lateness uses a per-partition watermark (keyed by event_type, the
+topic-partition analog), so the running-max window stays parallel — a
+global watermark would serialize, which is exactly why Spark's own
+watermark is maintained per-partition and merged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from moonlink_spark.operators import load, register
+from moonlink_spark.operators.dedup import _sql_hex7
+
+DEC = "decimal(15,4)"
+
+
+@register(
+    "sliding_window_event_stats",
+    oracle="""
+WITH ev AS (
+  SELECT ts, event_type, value FROM events
+  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'
+),
+expanded AS (
+  SELECT u.ws AS window_start, event_type, value
+  FROM ev, UNNEST([
+    time_bucket(INTERVAL '30 minutes', ts),
+    time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+  ]) AS u(ws)
+)
+SELECT window_start, window_start + INTERVAL '1 hour' AS window_end, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(15,4))) AS DOUBLE) AS total_value
+FROM expanded
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+""",
+    category="streaming",
+)
+def sliding_window_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 h length, 30 min slide): each event
+    lands in exactly two windows, replicated map-side by `F.window`; the
+    oracle expands the same two `time_bucket` starts. One shuffle."""
+    ev = load(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-12 00:00:00").cast("timestamp"))
+    )
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# Deterministic synthetic arrival jitter: the generated events are perfectly
+# time-ordered, so out-of-orderness is simulated by delaying each event's
+# ARRIVAL by hash(event_id) % 7200 seconds while its event time stays put —
+# the same trick both engines can compute bit-identically.
+_SPARK_JITTER = (
+    "cast(conv(substring(md5(cast(concat('arr:', cast(event_id as string)) "
+    "as binary)), 1, 7), 16, 10) as bigint) % 7200"
+)
+_SQL_JITTER_DIGEST = "md5('arr:' || CAST(event_id AS VARCHAR))"
+_LATE_US = 600 * 1_000_000  # 10-minute allowed lateness
+
+
+@register(
+    "late_event_detection",
+    oracle=f"""
+WITH arr AS (
+  SELECT event_id, user_id, event_type,
+         epoch_us(ts) AS us,
+         epoch_us(ts) + ({_sql_hex7(_SQL_JITTER_DIGEST)} % 7200) * 1000000 AS arr_us
+  FROM events
+),
+marked AS (
+  SELECT event_type, us,
+         MAX(us) OVER (PARTITION BY event_type ORDER BY arr_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_us
+  FROM arr
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN wm_us - us > {_LATE_US} THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(MAX(GREATEST(wm_us - us, 0)) // 1000000 AS BIGINT) AS max_delay_s
+FROM marked
+GROUP BY event_type
+ORDER BY event_type
+""",
+    category="streaming",
+)
+def late_event_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-lateness audit: replay events in (jittered) arrival order
+    per stream partition (event_type, the topic-partition analog), track
+    the per-partition high-water mark, and count events whose event time
+    trails it by more than the 10-minute allowed lateness — exactly what
+    `withWatermark` drops in the live pipeline (streaming/event_time.py),
+    whose watermark is likewise maintained per source partition."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        (F.unix_micros("ts") + F.expr(_SPARK_JITTER) * F.lit(1_000_000)).alias(
+            "arr_us"
+        ),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("arr_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = ev.select("event_type", "us", F.max("us").over(w).alias("wm_us"))
+    return (
+        marked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("wm_us") - F.col("us") > _LATE_US, 1).otherwise(0)
+            ).alias("n_late"),
+            (
+                F.max(F.greatest(F.col("wm_us") - F.col("us"), F.lit(0)))
+                / F.lit(1_000_000)
+            )
+            .cast("bigint")
+            .alias("max_delay_s"),
+        )
+        .orderBy("event_type")
+    )
