@@ -77,6 +77,7 @@ def all_queries() -> dict[str, QuerySpec]:
         sampling,
         retrieval,
         streaming_batch,
+        curation,
     )
 
     return dict(REGISTRY)
