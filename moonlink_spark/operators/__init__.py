@@ -78,6 +78,7 @@ def all_queries() -> dict[str, QuerySpec]:
         retrieval,
         streaming_batch,
         curation,
+        scale_patterns,
     )
 
     return dict(REGISTRY)
