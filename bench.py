@@ -46,6 +46,8 @@ HEADLINE = [
     "text_quality_scores",
     "percentiles_by_flag",
     "contamination_check",
+    "corpus_curation_pipeline",
+    "bm25_retrieval",
     "knn_cosine_bruteforce",
     "ann_ivf_topk",
 ]
