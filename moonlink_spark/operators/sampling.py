@@ -13,7 +13,7 @@ uses, so the DuckDB oracle can run the identical arithmetic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from moonlink_spark.operators import load, register
@@ -73,6 +73,45 @@ def deterministic_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "stratified_sample_per_group",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT lang, source, doc_id, CAST(rk AS BIGINT) AS rk
+FROM ranked
+WHERE rk <= 3
+ORDER BY lang, source, rk
+""",
+    category="sampling",
+)
+def stratified_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k stratified sample: 3 documents per (lang, source) stratum,
+    chosen by salted-md5 order so the pick is reproducible and independent
+    of input order. One shuffle on the stratum key; the per-stratum sort is
+    bounded by stratum size, and a rank<=k window (top-k per group) never
+    materializes more than k rows per stratum past the exchange. This is
+    the data-mixing primitive for "equal representation per language/source"
+    corpus construction."""
+    docs = load(spark, sf_dir, "documents")
+    order_key = F.md5(
+        F.concat(F.lit("strat:"), F.col("doc_id").cast("string")).cast("binary")
+    )
+    w = Window.partitionBy("lang", "source").orderBy(order_key, F.col("doc_id"))
+    return (
+        docs.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("lang", "source", "doc_id", "rk")
+        .orderBy("lang", "source", "rk")
     )
 
 

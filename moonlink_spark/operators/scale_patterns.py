@@ -16,6 +16,74 @@ from moonlink_spark.operators import load, register
 N_SALTS = 16
 DEC = "decimal(15,4)"
 
+# interval-join bucket width == window length, so each interval spans at
+# most two buckets and the bucket equi-join loses no matches
+WINDOW_S = 600
+
+
+@register(
+    "interval_range_join",
+    oracle=f"""
+WITH i AS (SELECT event_id, ts FROM events WHERE event_type = 'error'),
+p AS (SELECT ts, value FROM events WHERE event_type = 'purchase')
+SELECT i.event_id,
+       CAST(COUNT(p.ts) AS BIGINT) AS n_purchases,
+       CAST(COALESCE(SUM(CAST(p.value AS DECIMAL(15,4))), 0) AS DOUBLE)
+         AS total_value
+FROM i LEFT JOIN p
+  ON p.ts >= i.ts AND p.ts < i.ts + INTERVAL {WINDOW_S} SECOND
+GROUP BY i.event_id
+ORDER BY i.event_id
+""",
+    category="join",
+)
+def interval_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure time-range join (no equi key): purchases falling inside the
+    10-minute window after each error event. The naive plan — the oracle's
+    theta join — is a nested-loop cartesian, O(intervals x probes); at
+    100 TB it never finishes. The scale plan buckets time at the window
+    width: each interval covers exactly two buckets (explode), each probe
+    one, so the join becomes a bucket EQUI-join (hash-partitionable,
+    AQE-skew-splittable) followed by the exact range filter. A matching
+    pair agrees on exactly one bucket, so no dedup is needed. Empty windows
+    are restored by a final equi-join back to the interval side."""
+    ev = load(spark, sf_dir, "events")
+    bucket = F.expr(f"unix_timestamp(ts) DIV {WINDOW_S}")
+    intervals = (
+        ev.filter(F.col("event_type") == "error")
+        .select("event_id", F.col("ts").alias("its"), bucket.alias("b0"))
+        .withColumn("bucket", F.explode(F.array(F.col("b0"), F.col("b0") + 1)))
+        .drop("b0")
+    )
+    probes = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("ts").alias("pts"), "value", bucket.alias("bucket"))
+    )
+    matched = (
+        intervals.join(probes, "bucket")
+        .filter(
+            (F.col("pts") >= F.col("its"))
+            & (F.col("pts") < F.col("its") + F.expr(f"INTERVAL {WINDOW_S} SECOND"))
+        )
+        .groupBy("event_id")
+        .agg(
+            F.count(F.lit(1)).alias("mn"),
+            F.sum(F.col("value").cast(DEC)).alias("mv"),
+        )
+    )
+    all_intervals = ev.filter(F.col("event_type") == "error").select("event_id")
+    return (
+        all_intervals.join(matched, "event_id", "left")
+        .select(
+            "event_id",
+            F.coalesce(F.col("mn"), F.lit(0)).cast("bigint").alias("n_purchases"),
+            F.coalesce(F.col("mv"), F.lit(0).cast(DEC))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_id")
+    )
+
 
 @register(
     "skew_salted_aggregation",

@@ -277,6 +277,112 @@ def ann_lsh_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_quantize_rerank",
+    oracle=f"""
+WITH qz AS (
+  SELECT vec_id, embedding, scale,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * scale) AS BIGINT)) AS qv
+  FROM (
+    SELECT vec_id, embedding,
+           127.0 / greatest(list_max(list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE)))), 1e-12) AS scale
+    FROM embeddings
+  ) t
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe, scale AS qs, qv AS qqv
+      FROM qz WHERE vec_id < 10),
+approx AS (
+  SELECT query_id, qe, c.vec_id AS neighbor_id, c.embedding AS ce,
+         CAST(CAST(list_sum(list_transform(range(1, {DIM} + 1),
+                j -> qqv[CAST(j AS INTEGER)] * c.qv[CAST(j AS INTEGER)]))
+              AS BIGINT) AS DOUBLE) / (qs * c.scale) AS ascore
+  FROM q JOIN qz c ON c.vec_id <> query_id
+),
+cand AS (
+  SELECT query_id, qe, neighbor_id, ce
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY ascore DESC, neighbor_id) AS rq
+        FROM approx) t
+  WHERE rq <= 20
+)
+SELECT query_id, neighbor_id, CAST(round(cos, 6) AS DOUBLE) AS cosine,
+       CAST(rn AS BIGINT) AS rn
+FROM (SELECT query_id, neighbor_id,
+             {_SQL_COS.format(a="qe", b="ce")} AS cos,
+             row_number() OVER (PARTITION BY query_id
+                 ORDER BY {_SQL_COS.format(a="qe", b="ce")} DESC, neighbor_id)
+               AS rn
+      FROM cand) t
+WHERE rn <= 5
+ORDER BY query_id, rn
+""",
+    category="similarity",
+)
+def embedding_quantize_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized ANN with exact rerank: per-vector symmetric int8
+    quantization (scale = 127/max|x|, floor — exact in both engines), a
+    first pass ranking candidates by the INTEGER dot product (bigint-exact,
+    4 bytes/dim -> 1, the memory/bandwidth win that makes 100 TB vector
+    scans feasible), then an exact float-cosine rerank of the top-20
+    survivors down to top-5. The integer first pass is branch-free codegen
+    over bigint arrays; only 20 candidates/query ever touch the float path.
+    Approx scores are exact integers divided by deterministic doubles, so
+    the candidate set (and hence the result) is bit-stable across engines."""
+    emb = load(spark, sf_dir, "embeddings")
+    qz = (
+        emb.withColumn(
+            "scale",
+            F.lit(127.0)
+            / F.expr(
+                "greatest(array_max(transform(embedding, "
+                "x -> abs(CAST(x AS DOUBLE)))), 1e-12D)"
+            ),
+        )
+        .withColumn(
+            "qv",
+            F.expr(
+                "transform(embedding, "
+                "x -> CAST(floor(CAST(x AS DOUBLE) * scale) AS BIGINT))"
+            ),
+        )
+        .select("vec_id", "embedding", "scale", "qv")
+    )
+    q = qz.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("scale").alias("qs"),
+        F.col("qv").alias("qqv"),
+    )
+    approx = (
+        qz.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "idot",
+            F.expr(
+                "aggregate(zip_with(qqv, qv, (x, y) -> x * y), 0L, "
+                "(acc, v) -> acc + v)"
+            ),
+        )
+        .withColumn("ascore", F.col("idot").cast("double") / (F.col("qs") * F.col("scale")))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("ascore"), F.asc("vec_id"))
+    cand = (
+        approx.withColumn("rq", F.row_number().over(wq))
+        .filter(F.col("rq") <= 20)
+        .select("query_id", "qe", F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("ce"))
+    )
+    rer = cand.withColumn("cos", _dot("qe", "ce") / (_norm("qe") * _norm("ce")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        rer.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rn")
+        .orderBy("query_id", "rn")
+    )
+
+
 # near-dup banding: 16 planes, 2 bands x 8 bits (256 buckets/band) — at
 # 2000 vectors/sf0.1 the 4-bit variant produced 262k candidate pairs (13%
 # of all pairs, LSH doing no work); 8-bit bands cut that ~16x, and at

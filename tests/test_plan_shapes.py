@@ -1,0 +1,105 @@
+"""Physical-plan regression tests for the scale properties the operators
+claim in their docstrings.
+
+Correctness is gated by the DuckDB oracle sweep; THESE tests gate the plan
+shape — the thing that actually decides whether a query survives a 100 TB
+run. A refactor that silently turns a bucketed equi-join back into a
+cartesian, drops a broadcast hint, or un-pushes a parquet filter should
+fail here, not on a 1000-executor cluster.
+
+Only lazy read-path queries are inspected (building their DataFrame runs no
+jobs); ingest/iterative operators are exercised by their own e2e tests.
+"""
+
+import contextlib
+import io
+
+import pytest
+
+from moonlink_spark.operators import all_queries
+
+
+def plan_of(spark, sf_dir: str, name: str) -> str:
+    df = all_queries()[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# Scale-path queries whose whole point is that NO join degenerates into a
+# nested-loop/cartesian: LSH banding, bucketed interval join, broadcast-stat
+# retrieval, the curation funnel, salted aggregation.
+NO_NLJ = [
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "lsh_near_dup_pairs",
+    "interval_range_join",
+    "corpus_curation_pipeline",
+    "skew_salted_aggregation",
+    "stratified_sample_per_group",
+    "dedup_exact",
+]
+
+# Queries where a BroadcastNestedLoopJoin IS the intended plan (a tiny
+# broadcast side with a non-equi condition, or a 1-row corpus-stats
+# crossJoin in bm25's case) but a full cartesian of two unbroadcast sides
+# never is.
+BROADCAST_THETA_OK = [
+    "knn_cosine_bruteforce",
+    "ann_ivf_topk",
+    "embedding_quantize_rerank",
+    "contamination_check",
+    "bm25_retrieval",
+]
+
+
+@pytest.mark.parametrize("name", NO_NLJ)
+def test_no_nested_loop_on_scale_paths(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+@pytest.mark.parametrize("name", BROADCAST_THETA_OK)
+def test_no_unbroadcast_cartesian(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name
+
+
+def test_q6_filters_reach_parquet_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q6_forecast_revenue")
+    # all five predicates push into the parquet reader
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed
+    # column pruning: the scan must not read columns q6 never touches
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "l_returnflag" not in read_schema
+    assert "l_orderkey" not in read_schema
+
+
+def test_q3_broadcasts_the_small_dimension(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_band_join_is_an_equijoin(spark, sf_dir):
+    # the band bucket self-join must be an equi hash join (broadcast at
+    # tiny SF, shuffled + AQE-skew-splittable at scale), never a nested
+    # loop over signature pairs
+    plan = plan_of(spark, sf_dir, "lsh_near_dup_pairs")
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
+def test_interval_join_has_single_bucket_equijoin(spark, sf_dir):
+    # the theta range condition must appear only as a post-join Filter /
+    # join residual, with the join itself keyed on the time bucket
+    plan = plan_of(spark, sf_dir, "interval_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
