@@ -50,6 +50,8 @@ HEADLINE = [
     "bm25_retrieval",
     "knn_cosine_bruteforce",
     "ann_ivf_topk",
+    "interval_range_join",
+    "embedding_quantize_rerank",
 ]
 
 
