@@ -16,6 +16,53 @@ from moonlink_spark.operators import load, register
 N_SALTS = 16
 DEC = "decimal(15,4)"
 
+@register(
+    "skew_salted_join",
+    oracle="""
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(15,4))) AS DOUBLE) AS total_value,
+       CAST(MAX(c.c_acctbal) AS DOUBLE) AS max_acctbal
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY e.event_type
+ORDER BY e.event_type
+""",
+    category="join",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join for a skewed fact key: the big (events) side gets a
+    deterministic salt in [0, N_SALTS); the small-but-unbroadcastable
+    (customer) side is exploded N_SALTS ways so every salted fact key still
+    finds its match. A hot user_id now spreads over N_SALTS reducers
+    instead of melting one. Result identical to the naive equi-join (the
+    oracle). AQE's skew-join split handles moderate skew after the fact;
+    explicit salting is the a-priori fix when one key is known to dominate
+    (and composes with bucketed storage, which AQE's split does not)."""
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer")
+    salted_ev = ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(N_SALTS)))
+    exploded_cust = cust.select(
+        "c_custkey",
+        "c_acctbal",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(N_SALTS)])
+        ).alias("salt"),
+    )
+    joined = salted_ev.join(
+        exploded_cust,
+        (F.col("user_id") == F.col("c_custkey")) & (salted_ev["salt"] == exploded_cust["salt"]),
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+            F.max("c_acctbal").cast("double").alias("max_acctbal"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # interval-join bucket width == window length, so each interval spans at
 # most two buckets and the bucket equi-join loses no matches
 WINDOW_S = 600

@@ -277,6 +277,84 @@ def ann_lsh_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ivf_kmeans_train", oracle=None, category="similarity")
+def ivf_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train real IVF centroids with 3 Lloyd iterations (k=8, deterministic
+    init from the first k vectors) — the iterative-algorithm pattern done
+    the distributed way: per iteration the ONLY driver state is the k x dim
+    centroid matrix (collected from a k-row aggregate, the same bounded
+    model-state hop MLlib makes); assignment is a broadcast-join map stage
+    and the update is one groupBy shuffle of k x dim partial sums. The
+    input is persisted once across iterations. Rows-only check: iterative
+    float refinement is not SQL-expressible order-independently (DuckDB's
+    AVG fold order differs), so there is no value-hash oracle — the e2e
+    sanity (k clusters, inertia decreases) lives in the docstring contract
+    and the plan shape in test_plan_shapes. Returns per-cluster size and
+    mean distance. Reference capability anchor: ANN index build over the
+    bucketed hash-map design (persisted_bucket_hash_map.rs:33-110)."""
+    k, iters = 8, 3
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"))
+        .persist()
+    )
+    cents = [
+        (i, list(r.embedding))
+        for i, r in enumerate(emb.orderBy("vec_id").limit(k).collect())
+    ]
+
+    def assign(cents_df):
+        # argmin via min_by hash-agg (partial aggregation on the map side,
+        # no per-vector sort window) — at scale this is one combiner-friendly
+        # shuffle of k-reduced rows instead of a k-times-N row sort
+        scored = emb.crossJoin(F.broadcast(cents_df)).withColumn(
+            "d2",
+            F.expr(
+                "aggregate(zip_with(embedding, cent, (x, y) -> (x - y) * (x - y)), "
+                "0.0D, (acc, v) -> acc + v)"
+            ),
+        )
+        return (
+            scored.groupBy("vec_id")
+            .agg(
+                F.min_by(
+                    F.struct("cluster_id", "d2", "embedding"),
+                    F.struct("d2", "cluster_id"),
+                ).alias("s")
+            )
+            .select(
+                "vec_id",
+                F.col("s.embedding").alias("embedding"),
+                F.col("s.cluster_id").alias("cluster_id"),
+                F.col("s.d2").alias("d2"),
+            )
+        )
+
+    for _ in range(iters):
+        cents_df = spark.createDataFrame(cents, ["cluster_id", "cent"])
+        assigned = assign(cents_df)
+        new = (
+            assigned.groupBy("cluster_id")
+            .agg(*[
+                F.avg(F.element_at("embedding", i + 1)).alias(f"c{i}")
+                for i in range(DIM)
+            ])
+            .collect()
+        )
+        updated = {r.cluster_id: [r[f"c{i}"] for i in range(DIM)] for r in new}
+        cents = [(cid, updated.get(cid, cent)) for cid, cent in cents]
+
+    final = assign(spark.createDataFrame(cents, ["cluster_id", "cent"]))
+    return (
+        final.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.round(F.avg(F.sqrt(F.col("d2"))), 6).alias("mean_dist"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 @register(
     "embedding_quantize_rerank",
     oracle=f"""

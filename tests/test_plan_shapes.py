@@ -39,6 +39,7 @@ NO_NLJ = [
     "skew_salted_aggregation",
     "stratified_sample_per_group",
     "dedup_exact",
+    "skew_salted_join",
 ]
 
 # Queries where a BroadcastNestedLoopJoin IS the intended plan (a tiny
