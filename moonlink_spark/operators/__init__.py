@@ -75,6 +75,7 @@ def all_queries() -> dict[str, QuerySpec]:
         ingest_parity,
         scalar_extra,
         sampling,
+        packing,
         retrieval,
         streaming_batch,
         curation,
