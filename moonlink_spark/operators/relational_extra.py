@@ -606,3 +606,68 @@ def q21_multi_line_order_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
     )
+
+
+# --------------------------------------------------------------------------- #
+# full outer join (mismatched key sets on both sides)
+# --------------------------------------------------------------------------- #
+@register(
+    "full_outer_urgent_vs_returns",
+    oracle="""
+WITH u AS (
+  SELECT o_custkey AS ck, CAST(COUNT(*) AS BIGINT) AS n_urgent
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+  GROUP BY o_custkey
+), r AS (
+  SELECT o.o_custkey AS ck, CAST(COUNT(*) AS BIGINT) AS n_return_lines
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY o.o_custkey
+)
+SELECT CAST(COALESCE(u.ck, r.ck) AS BIGINT) AS custkey,
+       CAST(COALESCE(u.n_urgent, 0) AS BIGINT) AS n_urgent,
+       CAST(COALESCE(r.n_return_lines, 0) AS BIGINT) AS n_return_lines,
+       CASE WHEN u.ck IS NULL THEN 'returns_only'
+            WHEN r.ck IS NULL THEN 'urgent_only'
+            ELSE 'both' END AS side
+FROM u FULL OUTER JOIN r ON u.ck = r.ck
+ORDER BY custkey
+""",
+    category="join",
+)
+def full_outer_urgent_vs_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER JOIN with genuinely mismatched key sets: customers who
+    placed urgent orders vs customers with returned line items; either side
+    can be missing. Completes the outer-join family (left outer is q13).
+
+    Scale shape: both inputs are pre-aggregated to one row per customer
+    before the join, so the full-outer is a shuffle hash/sort-merge join on
+    the customer key over already-reduced data — full outer can never
+    broadcast, so reducing before joining is the 100 TB plan.
+    """
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("u_ck"))
+        .agg(F.count(F.lit(1)).alias("n_urgent"))
+    )
+    returns = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("r_ck"))
+        .agg(F.count(F.lit(1)).alias("n_return_lines"))
+    )
+    joined = urgent.join(returns, urgent.u_ck == returns.r_ck, "full_outer")
+    return (
+        joined.select(
+            F.coalesce("u_ck", "r_ck").alias("custkey"),
+            F.coalesce("n_urgent", F.lit(0)).alias("n_urgent"),
+            F.coalesce("n_return_lines", F.lit(0)).alias("n_return_lines"),
+            F.when(F.col("u_ck").isNull(), F.lit("returns_only"))
+            .when(F.col("r_ck").isNull(), F.lit("urgent_only"))
+            .otherwise(F.lit("both"))
+            .alias("side"),
+        )
+        .orderBy("custkey")
+    )
