@@ -40,6 +40,8 @@ NO_NLJ = [
     "stratified_sample_per_group",
     "dedup_exact",
     "skew_salted_join",
+    "sequence_pack_bins",
+    "full_outer_urgent_vs_returns",
 ]
 
 # Queries where a BroadcastNestedLoopJoin IS the intended plan (a tiny
@@ -52,6 +54,7 @@ BROADCAST_THETA_OK = [
     "embedding_quantize_rerank",
     "contamination_check",
     "bm25_retrieval",
+    "source_mixture_weights",
 ]
 
 
