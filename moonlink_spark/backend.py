@@ -121,6 +121,37 @@ class MoonlinkBackend:
             return t.scan_blocking(lsn, timeout_s)
         return t.scan(lsn=lsn)
 
+    def sql(
+        self,
+        query: str,
+        database: str | None = None,
+        lsns: dict[str, int] | None = None,
+    ) -> DataFrame:
+        """Run Spark SQL over the catalog's tables, optionally pinning
+        per-table read LSNs (time travel).
+
+        Parity: the reference's read path is SQL handed to an attached
+        engine that scans each moonlink table at an LSN (SURVEY §3.2;
+        DataFusion ``table_provider.rs:74-172`` + REPL ``main.rs:22-26``).
+        Here the attached engine IS Spark: every catalog table is
+        registered as a temp view — its bare name when ``database`` is
+        given (that database only), and ``<db>_<table>`` always — backed
+        by the union-read scan at ``lsns.get(name)``. Registration is
+        metadata-only (``scan`` is lazy), so the cost is Catalyst planning,
+        not data movement; pushdown/pruning apply as with any DataFrame.
+
+        ``lsns`` keys may be ``"table"`` or ``"db.table"``.
+        """
+        lsns = lsns or {}
+        for key in self.list_tables():
+            db, table = key.split(".", 1)
+            lsn = lsns.get(key, lsns.get(table))
+            df = self.scan_table(db, table, lsn=lsn)
+            df.createOrReplaceTempView(f"{db}_{table}")
+            if database == db:
+                df.createOrReplaceTempView(table)
+        return self.spark.sql(query)
+
     # -- maintenance ------------------------------------------------------------
 
     def optimize_table(self, database: str, table: str, mode: str = "full") -> int:

@@ -229,6 +229,22 @@ class MoonlinkService:
             h._send(200, {"rows": rows, "count": len(rows)})
             return
 
+        if method == "POST" and path == "/sql":
+            body = h._body()
+            limit = int(body.get("limit", 1000))
+            try:
+                df = self.backend.sql(
+                    body["query"],
+                    database=body.get("database"),
+                    lsns={k: int(v) for k, v in (body.get("lsns") or {}).items()},
+                )
+                rows = [r.asDict(recursive=True) for r in df.limit(limit).collect()]
+            except Exception as e:  # surface planner/analysis errors as 400
+                h._send(400, {"error": type(e).__name__, "message": str(e)})
+                return
+            h._send(200, {"rows": rows, "count": len(rows)})
+            return
+
         h._send(404, {"error": "NotFound", "path": path})
 
     # ------------------------------------------------------------------ #
