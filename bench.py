@@ -52,6 +52,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "interval_range_join",
     "embedding_quantize_rerank",
+    "sequence_pack_bins",
 ]
 
 

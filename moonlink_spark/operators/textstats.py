@@ -239,3 +239,64 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("binary")
         ).alias("bow_fp"),
     )
+
+
+@register(
+    "char_trigram_entropy",
+    oracle="""
+WITH tris AS (
+  SELECT d.doc_id, substring(d.text, t.i, 3) AS tri
+  FROM documents d, UNNEST(range(1, len(d.text) - 1)) AS t(i)
+  WHERE len(d.text) >= 3
+), counts AS (
+  SELECT doc_id, tri, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tris GROUP BY doc_id, tri
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT)   AS n_tris,
+       CAST(COUNT(*) AS BIGINT) AS distinct_tris,
+       CAST(ROUND(log2(CAST(SUM(c) AS DOUBLE))
+                  - SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+                    / CAST(SUM(c) AS DOUBLE), 6) AS DOUBLE) AS entropy,
+       CAST(ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+            AS DOUBLE) AS distinct_ratio
+FROM counts
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    category="textstats",
+)
+def char_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram Shannon entropy + distinct-trigram ratio per
+    document — the classic cheap gibberish/boilerplate detector (natural
+    prose sits in a narrow entropy band; mashed keys and templated spam
+    fall outside it; near-zero distinct_ratio means heavy repetition).
+
+    Entropy is computed from counts as ``log2(T) - sum(c*log2 c)/T`` (one
+    pass, numerically stable). Scale shape: the explode is map-side and
+    feeds a partial+final count on (doc_id, trigram) — Spark's hash
+    aggregate absorbs the 3x-chars blowup before the shuffle; the second
+    agg reduces to one row per document. No joins, no driver state.
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    tris = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+        ).alias("tri"),
+    )
+    counts = tris.groupBy("doc_id", "tri").agg(F.count(F.lit(1)).alias("c"))
+    t = F.sum("c").cast("double")
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tris"),
+            F.count(F.lit(1)).alias("distinct_tris"),
+            F.round(
+                F.log2(t) - F.sum(F.col("c").cast("double") * F.log2(F.col("c").cast("double"))) / t,
+                6,
+            ).alias("entropy"),
+            F.round(F.count(F.lit(1)).cast("double") / t, 6).alias("distinct_ratio"),
+        )
+        .orderBy("doc_id")
+    )
