@@ -152,3 +152,80 @@ def late_event_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------- #
+# hierarchical time rollup (hypertable continuous-aggregate pattern)
+# --------------------------------------------------------------------------- #
+@register(
+    "hierarchical_time_rollup",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS DOUBLE)
+         AS total_value,
+       CAST(MIN(value) AS DOUBLE) AS min_value,
+       CAST(MAX(value) AS DOUBLE) AS max_value,
+       CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS mean_value
+FROM events
+GROUP BY date_trunc('day', ts), event_type
+ORDER BY day, event_type
+""",
+    category="rollup",
+)
+def hierarchical_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: minute partials -> hourly
+    partials -> daily aggregates, merging (count, sum, min, max) at each
+    level and deriving mean at the top. The ORACLE aggregates the raw
+    events directly at day grain — the hash match PROVES the three-level
+    partial merge is lossless (sums in DECIMAL(18,6), so re-aggregation
+    order cannot perturb a bit).
+
+    Scale shape: this is the continuous-aggregate/materialized-rollup
+    pattern — each level re-aggregates ~60x fewer rows than the one below,
+    so refreshing a day never rescans raw events, only hour partials. In a
+    live deployment each level is a table the streaming pipeline upserts;
+    here the three group-bys express the same dataflow in one plan.
+    """
+    ev = load(spark, sf_dir, "events")
+    dec_v = F.col("value").cast("decimal(18,6)")
+    minute = ev.groupBy(
+        F.date_trunc("minute", "ts").alias("m_ts"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec_v).alias("sum_v"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+    hour = minute.groupBy(
+        F.date_trunc("hour", "m_ts").alias("h_ts"), "event_type"
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_v").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )
+    day = hour.groupBy(
+        F.date_trunc("day", "h_ts").alias("day"), "event_type"
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.sum("sum_v").alias("sum_v"),
+        F.min("min_v").alias("min_value"),
+        F.max("max_v").alias("max_value"),
+    )
+    total_dbl = F.col("sum_v").cast("double")
+    return (
+        day.select(
+            F.col("day").cast("date").alias("day"),
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            total_dbl.alias("total_value"),
+            "min_value",
+            "max_value",
+            F.round(total_dbl / F.col("n_events").cast("double"), 6).alias(
+                "mean_value"
+            ),
+        )
+        .orderBy("day", "event_type")
+    )
