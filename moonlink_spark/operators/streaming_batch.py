@@ -229,3 +229,76 @@ def hierarchical_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+# --------------------------------------------------------------------------- #
+# real Structured Streaming run, oracle-checked against the batch equivalent
+# --------------------------------------------------------------------------- #
+@register(
+    "streaming_tumbling_agg_e2e",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS DOUBLE)
+         AS total_value
+FROM events
+GROUP BY CAST(date_trunc('day', ts) AS DATE), event_type
+ORDER BY day, event_type
+""",
+    category="streaming",
+)
+def streaming_tumbling_agg_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END Structured Streaming: readStream over the events parquet,
+    1-hour watermark, 1-day tumbling windows, availableNow trigger into a
+    complete-mode sink; returns the stream's FINAL state. The DuckDB oracle
+    is the plain batch aggregation — the hash match proves the streaming
+    runtime's incremental window state converges to exactly the batch
+    answer (the replayability guarantee micro-batch streaming is built on).
+
+    Scale shape: the streaming agg is the same partial+final hash aggregate
+    as batch, maintained incrementally in the state store; watermarks bound
+    that state. The memory sink here is the test harness — production runs
+    write each epoch to the table format (streaming/event_time.py
+    run_to_parquet) instead of collecting.
+    """
+    from moonlink_spark.session import ensure_package_on_workers
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_package_on_workers(spark)
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema  # ts read as long (nanos)
+    stream = (
+        spark.readStream.schema(schema)
+        # the file-stream source wants a directory: stream the sf_dir,
+        # glob-filtered down to the events file
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_v"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("mls_tumbling_e2e")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table("mls_tumbling_e2e")
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("sum_v").cast("double").alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )
