@@ -80,6 +80,7 @@ def all_queries() -> dict[str, QuerySpec]:
         streaming_batch,
         curation,
         scale_patterns,
+        profiling,
     )
 
     return dict(REGISTRY)
