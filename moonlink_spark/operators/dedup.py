@@ -554,3 +554,108 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# segment-level (line) dedup
+# ---------------------------------------------------------------------------
+
+SEG_LEN = 8  # tokens per segment
+
+
+@register(
+    "dedup_duplicate_segments",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+segs AS (
+  SELECT doc_id,
+         md5(unnest(list_transform(generate_series(1, len(toks)//{SEG_LEN}),
+             i -> array_to_string(toks[(i-1)*{SEG_LEN}+1:(i-1)*{SEG_LEN}+{SEG_LEN}], ' ')))) AS seg_hash
+  FROM toks WHERE len(toks) >= {SEG_LEN}
+),
+cnt AS (SELECT seg_hash, CAST(COUNT(*) AS BIGINT) AS c FROM segs GROUP BY seg_hash),
+per_doc AS (
+  SELECT s.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_segments,
+         CAST(SUM(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments
+  FROM segs s JOIN cnt c USING (seg_hash)
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_segments, 0) AS n_segments,
+       COALESCE(p.n_dup_segments, 0) AS n_dup_segments,
+       CAST(round(COALESCE(CAST(p.n_dup_segments AS DOUBLE)
+                           / CAST(p.n_segments AS DOUBLE), 0.0), 6) AS DOUBLE)
+           AS dup_frac,
+       COALESCE(CAST(p.n_dup_segments AS DOUBLE)
+                / CAST(p.n_segments AS DOUBLE), 0.0) <= 0.5 AS keep
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+""",
+    category="dedup",
+)
+def dedup_duplicate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level dedup (the 'line dedup' stage of Gopher / CCNet /
+    RefinedWeb, adapted to newline-free corpora): split each doc into
+    non-overlapping 8-token segments, count each segment's occurrences
+    across the WHOLE corpus, and flag documents where more than half the
+    segments are corpus-duplicated (boilerplate / template pages).
+
+    Parity anchor: complements doc-granularity `dedup_exact` the way the
+    reference's row-identity delete complements full-table ops
+    (SURVEY.md §1.3) — the unit of identity drops below the row.
+
+    Scale: the only row-level shuffles are (1) the segment-count groupBy
+    and (2) the segment->count join, both keyed on md5(segment) — a
+    fixed-width 16-byte key regardless of segment text length, so shuffle
+    payload is bounded. Counts get map-side partial aggregation; hot
+    boilerplate segments are absorbed by the partial agg (the classic
+    word-count skew answer), and the join is equi on the same key so AQE
+    can pick shuffle-hash. Per-doc re-aggregation shuffles on doc_id
+    (uniform). Nothing is quadratic; this is the same plan FineWeb-scale
+    line dedup runs.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("toks"),
+    )
+    segs = (
+        toks.filter(F.size("toks") >= SEG_LEN)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) div {SEG_LEN}), "
+                    f"i -> md5(array_join(slice(toks, (i-1)*{SEG_LEN}+1, {SEG_LEN}), ' ')))"
+                )
+            ).alias("seg_hash"),
+        )
+    )
+    cnt = segs.groupBy("seg_hash").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = (
+        segs.join(cnt, "seg_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_segments"),
+        )
+    )
+    frac = F.col("n_dup_segments").cast("double") / F.col("n_segments").cast("double")
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_segments", F.lit(0)).cast("bigint").alias("n_segments"),
+            F.coalesce("n_dup_segments", F.lit(0)).cast("bigint").alias("n_dup_segments"),
+            F.round(F.coalesce(frac, F.lit(0.0)), 6).alias("dup_frac"),
+            (F.coalesce(frac, F.lit(0.0)) <= 0.5).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

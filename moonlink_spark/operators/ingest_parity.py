@@ -208,3 +208,102 @@ def ingest_streaming_xact(spark: SparkSession, sf_dir: str) -> DataFrame:
     xa.commit(lsn=5)
     xb.abort()
     return t.scan()
+
+
+@register(
+    "ingest_snapshot_diff",
+    oracle="""
+WITH changed AS (
+  SELECT o_orderkey FROM orders WHERE o_orderkey % 100 = 0
+),
+inserted AS (
+  SELECT o_orderkey + 10000000 AS o_orderkey FROM orders WHERE o_orderkey % 97 = 0
+),
+deleted AS (
+  SELECT o_orderkey FROM orders WHERE o_orderkey % 55 = 0
+)
+SELECT 'updated' AS change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) * 1000.0 AS DOUBLE) AS price_delta
+FROM changed WHERE o_orderkey % 55 <> 0
+UNION ALL
+SELECT 'inserted', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(15,4))) AS DOUBLE)
+FROM inserted i JOIN orders o ON i.o_orderkey = o.o_orderkey + 10000000
+UNION ALL
+SELECT 'deleted', CAST(COUNT(*) AS BIGINT),
+       CAST(-SUM(CAST(o.o_totalprice AS DECIMAL(15,4))) AS DOUBLE)
+FROM deleted d JOIN orders o USING (o_orderkey)
+ORDER BY change_type
+""",
+    category="ingest",
+)
+def ingest_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two LSNs of the same table: the CDC-consumer
+    primitive ("what changed between my last sync and now") that the
+    reference's LSN-pinned union read exists to answer (SURVEY.md §3.2,
+    mooncake_table.rs read-state-at-LSN). Builds orders at lsn=1, applies
+    one mixed batch (updates %100 +1000.0, inserts %97 under new keys,
+    deletes %55) at lsn=2, then full-outer-joins scan(lsn=1) with
+    scan(lsn=2) on the identity key and classifies each key as
+    inserted / deleted / updated, reporting row counts and the net
+    o_totalprice delta per class.
+
+    Scale: the diff is one full-outer equi-join shuffled on the primary
+    key (uniform, no skew) followed by a 3-group aggregate — the standard
+    snapshot-reconciliation plan. At 100 TB the manifest makes this
+    cheaper still: files whose (min,max) key stats and LSN lineage are
+    identical across the two snapshots can be skipped entirely; the join
+    only needs files that differ between manifests. Price deltas sum over
+    DECIMAL(15,4) for order-independent exactness.
+
+    Updates are detected value-wise (any non-key column differs), so a
+    re-upsert of an identical row is NOT an update — matching the
+    semantic diff a CDC consumer wants, and making the result independent
+    of how many no-op upserts happened between the snapshots.
+    """
+    base = _orders_df(spark, sf_dir)
+    t = MoonlinkTable.create(
+        spark,
+        _tmp_table_dir("snapdiff"),
+        ORDERS_FIELDS,
+        IdentityProp.single("o_orderkey"),
+    )
+    t.append_df(base)
+    t.commit(lsn=1)
+    updates = base.filter(F.col("o_orderkey") % 100 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    )
+    inserts = base.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10000000
+    )
+    t.upsert_df(updates.unionByName(inserts))
+    deletes = base.filter(F.col("o_orderkey") % 55 == 0).select("o_orderkey")
+    t.delete_keys_df(deletes)
+    t.commit(lsn=2)
+
+    old = t.scan(lsn=1).select(
+        "o_orderkey", F.col("o_totalprice").alias("price_old")
+    )
+    new = t.scan(lsn=2).select(
+        "o_orderkey", F.col("o_totalprice").alias("price_new")
+    )
+    DEC = "decimal(15,4)"
+    diff = old.join(new, "o_orderkey", "full_outer").withColumn(
+        "change_type",
+        F.when(F.col("price_old").isNull(), "inserted")
+        .when(F.col("price_new").isNull(), "deleted")
+        .when(F.col("price_old") != F.col("price_new"), "updated"),
+    ).filter(F.col("change_type").isNotNull())
+    return (
+        diff.groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(
+                F.coalesce(F.col("price_new").cast(DEC), F.lit(0).cast(DEC))
+                - F.coalesce(F.col("price_old").cast(DEC), F.lit(0).cast(DEC))
+            )
+            .cast("double")
+            .alias("price_delta"),
+        )
+        .orderBy("change_type")
+    )
