@@ -170,6 +170,16 @@ class MoonlinkBackend:
 
         return export_snapshot(self.get_table(database, table), dest, lsn=lsn)
 
+    def export_table_delta(
+        self, database: str, table: str, dest: str, lsn: int | None = None
+    ) -> dict[str, Any]:
+        """Publish the snapshot at ``lsn`` as a new version of a Delta-format
+        table at ``dest`` — open-format interop with version history, no
+        Delta jars needed (table/delta_export.py)."""
+        from moonlink_spark.table.delta_export import export_delta
+
+        return export_delta(self.get_table(database, table), dest, lsn=lsn)
+
     def create_snapshot(self, database: str, table: str, lsn: int | None = None) -> int:
         """Force a commit of any pending ops (parity ForceSnapshot)."""
         t = self.get_table(database, table)
