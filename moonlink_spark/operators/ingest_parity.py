@@ -211,6 +211,140 @@ def ingest_streaming_xact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_view_maintenance",
+    oracle="""
+WITH merged AS (
+  SELECT o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 100 <> 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice + 1000.0, '1-URGENT'
+  FROM orders WHERE o_orderkey % 100 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 97 = 0
+)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
+FROM merged WHERE o_orderkey % 55 <> 0
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    category="ingest",
+)
+def incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a materialized rollup across table
+    commits: the consumer-side counterpart of the reference's LSN-pinned
+    reads (SURVEY.md §3.2) — a downstream aggregate kept current by
+    applying only the delta between two snapshots, never rescanning the
+    base table.
+
+    Builds orders at lsn=1 and materializes
+    ``V1 = rollup(priority -> count, sum(price))`` from scan(lsn=1). Then
+    three commits mutate the table (updates move rows ACROSS groups:
+    %100 keys get price+1000 and priority '1-URGENT'; %97 inserted under
+    new keys; %55 deleted). The maintained view is computed as
+    ``V1 (+) delta``, where the delta comes from the lsn1-vs-lsn3
+    snapshot diff: each changed row contributes (-1, -price_old) to its
+    OLD group and (+1, +price_new) to its NEW group, so group migration
+    falls out of the algebra. The oracle recomputes the rollup from the
+    final state directly — matching proves the maintenance lossless.
+
+    Scale: this is the plan that makes a 100 TB rollup refreshable. The
+    base is scanned once, ever (here: V1); each sync shuffles only the
+    changed keys (diff join on the primary key, pruned further by
+    manifest stats/LSN lineage to just the files that differ between the
+    snapshots), and the final merge joins on the GROUP key — a few-row
+    broadcast. Cost per refresh is O(|delta|), not O(|table|). Sums run
+    over DECIMAL(15,4) so merge order cannot perturb the result.
+    """
+    base = _orders_df(spark, sf_dir)
+    t = MoonlinkTable.create(
+        spark,
+        _tmp_table_dir("ivm"),
+        ORDERS_FIELDS,
+        IdentityProp.single("o_orderkey"),
+    )
+    t.append_df(base)
+    t.commit(lsn=1)
+    updates = base.filter(F.col("o_orderkey") % 100 == 0).withColumns(
+        {
+            "o_totalprice": F.col("o_totalprice") + 1000.0,
+            "o_orderpriority": F.lit("1-URGENT"),
+        }
+    )
+    inserts = base.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10000000
+    )
+    t.upsert_df(updates.unionByName(inserts))
+    t.commit(lsn=2)
+    t.delete_keys_df(
+        t.scan().filter(F.col("o_orderkey") % 55 == 0).select("o_orderkey")
+    )
+    t.commit(lsn=3)
+
+    DEC = "decimal(15,4)"
+    old = t.scan(lsn=1).select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio_old"),
+        F.col("o_totalprice").alias("price_old"),
+    )
+    new = t.scan(lsn=3).select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio_new"),
+        F.col("o_totalprice").alias("price_new"),
+    )
+    # the materialized view as of lsn=1 (in production: persisted once)
+    v1 = old.groupBy(F.col("prio_old").alias("o_orderpriority")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("price_old").cast(DEC)).alias("sum_price"),
+    )
+    # snapshot diff -> per-group delta: -old for vanished/changed rows,
+    # +new for appeared/changed rows (group migration handled by algebra)
+    d = old.join(new, "o_orderkey", "full_outer").filter(
+        F.col("prio_old").isNull()
+        | F.col("prio_new").isNull()
+        | (F.col("prio_old") != F.col("prio_new"))
+        | (F.col("price_old") != F.col("price_new"))
+    )
+    neg = d.filter(F.col("prio_old").isNotNull()).select(
+        F.col("prio_old").alias("o_orderpriority"),
+        F.lit(-1).cast("bigint").alias("dn"),
+        (-F.col("price_old")).cast(DEC).alias("dsum"),
+    )
+    pos = d.filter(F.col("prio_new").isNotNull()).select(
+        F.col("prio_new").alias("o_orderpriority"),
+        F.lit(1).cast("bigint").alias("dn"),
+        F.col("price_new").cast(DEC).alias("dsum"),
+    )
+    delta = (
+        neg.unionByName(pos)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("dn").alias("dn"), F.sum("dsum").alias("dsum"))
+    )
+    zero_dec = F.lit(0).cast(DEC)
+    return (
+        v1.join(delta, "o_orderpriority", "full_outer")
+        .select(
+            "o_orderpriority",
+            (
+                F.coalesce(F.col("n_rows"), F.lit(0))
+                + F.coalesce(F.col("dn"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_rows"),
+            (
+                F.coalesce(F.col("sum_price"), zero_dec)
+                + F.coalesce(F.col("dsum"), zero_dec)
+            )
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .filter(F.col("n_rows") > 0)
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "ingest_snapshot_diff",
     oracle="""
 WITH changed AS (
