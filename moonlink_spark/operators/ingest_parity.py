@@ -7,6 +7,12 @@ reference's CDC/REST paths, SURVEY.md §3.1/§3.3), scans the result, and the
 oracle expresses the expected final state in plain SQL over the source
 parquet. This is how the engine's upsert/delete/LSN machinery gets covered
 by the driver's correctness gate, not just by pytest.
+
+Insert-key convention: synthetic inserts shift keys by +10_000_000. TPC-H
+orderkeys reach 6_000_000 x SF, so these parity fixtures assume SF <= 1
+(shifted keys stay disjoint from real keys). They are correctness fixtures
+run at sf0.01, not scale-path operators; at larger SF derive the offset
+from max(o_orderkey) + 1 instead.
 """
 
 from __future__ import annotations
@@ -283,35 +289,40 @@ def incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.commit(lsn=3)
 
     DEC = "decimal(15,4)"
+    # explicit per-side existence markers: row presence must not be
+    # inferred from nullable payload columns (a NULL priority on a
+    # present row would otherwise drop its delta contribution)
     old = t.scan(lsn=1).select(
         "o_orderkey",
         F.col("o_orderpriority").alias("prio_old"),
         F.col("o_totalprice").alias("price_old"),
+        F.lit(True).alias("in_old"),
     )
     new = t.scan(lsn=3).select(
         "o_orderkey",
         F.col("o_orderpriority").alias("prio_new"),
         F.col("o_totalprice").alias("price_new"),
+        F.lit(True).alias("in_new"),
     )
     # the materialized view as of lsn=1 (in production: persisted once)
-    v1 = old.groupBy(F.col("prio_old").alias("o_orderpriority")).agg(
+    v1 = old.drop("in_old").groupBy(F.col("prio_old").alias("o_orderpriority")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("price_old").cast(DEC)).alias("sum_price"),
     )
     # snapshot diff -> per-group delta: -old for vanished/changed rows,
     # +new for appeared/changed rows (group migration handled by algebra)
     d = old.join(new, "o_orderkey", "full_outer").filter(
-        F.col("prio_old").isNull()
-        | F.col("prio_new").isNull()
-        | (F.col("prio_old") != F.col("prio_new"))
-        | (F.col("price_old") != F.col("price_new"))
+        F.col("in_old").isNull()
+        | F.col("in_new").isNull()
+        | ~F.col("prio_old").eqNullSafe(F.col("prio_new"))
+        | ~F.col("price_old").eqNullSafe(F.col("price_new"))
     )
-    neg = d.filter(F.col("prio_old").isNotNull()).select(
+    neg = d.filter(F.col("in_old").isNotNull()).select(
         F.col("prio_old").alias("o_orderpriority"),
         F.lit(-1).cast("bigint").alias("dn"),
         (-F.col("price_old")).cast(DEC).alias("dsum"),
     )
-    pos = d.filter(F.col("prio_new").isNotNull()).select(
+    pos = d.filter(F.col("in_new").isNotNull()).select(
         F.col("prio_new").alias("o_orderpriority"),
         F.lit(1).cast("bigint").alias("dn"),
         F.col("price_new").cast(DEC).alias("dsum"),
@@ -415,18 +426,24 @@ def ingest_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.delete_keys_df(deletes)
     t.commit(lsn=2)
 
+    # existence markers, not payload nullness: o_totalprice is nullable,
+    # so a present row with NULL price must still classify correctly
     old = t.scan(lsn=1).select(
-        "o_orderkey", F.col("o_totalprice").alias("price_old")
+        "o_orderkey",
+        F.col("o_totalprice").alias("price_old"),
+        F.lit(True).alias("in_old"),
     )
     new = t.scan(lsn=2).select(
-        "o_orderkey", F.col("o_totalprice").alias("price_new")
+        "o_orderkey",
+        F.col("o_totalprice").alias("price_new"),
+        F.lit(True).alias("in_new"),
     )
     DEC = "decimal(15,4)"
     diff = old.join(new, "o_orderkey", "full_outer").withColumn(
         "change_type",
-        F.when(F.col("price_old").isNull(), "inserted")
-        .when(F.col("price_new").isNull(), "deleted")
-        .when(F.col("price_old") != F.col("price_new"), "updated"),
+        F.when(F.col("in_old").isNull(), "inserted")
+        .when(F.col("in_new").isNull(), "deleted")
+        .when(~F.col("price_old").eqNullSafe(F.col("price_new")), "updated"),
     ).filter(F.col("change_type").isNotNull())
     return (
         diff.groupBy("change_type")

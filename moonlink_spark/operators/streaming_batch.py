@@ -266,15 +266,16 @@ def streaming_tumbling_agg_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ensure_package_on_workers(spark)
+    from moonlink_spark.operators import normalize_events_ts
+
     path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema  # ts read as long (nanos)
-    stream = (
+    schema = spark.read.parquet(path).schema  # long (legacy nanos) or NTZ
+    stream = normalize_events_ts(
         spark.readStream.schema(schema)
         # the file-stream source wants a directory: stream the sf_dir,
         # glob-filtered down to the events file
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     )
     agg = (
         stream.withWatermark("ts", "1 hour")
