@@ -180,6 +180,16 @@ class MoonlinkBackend:
 
         return export_delta(self.get_table(database, table), dest, lsn=lsn)
 
+    def export_table_iceberg(
+        self, database: str, table: str, dest: str, lsn: int | None = None
+    ) -> dict[str, Any]:
+        """Publish the snapshot at ``lsn`` as a new Iceberg v2 snapshot at
+        ``dest`` — the reference's flagship persistence format
+        (iceberg_table_syncer.rs), emitted jar-free (table/iceberg_export.py)."""
+        from moonlink_spark.table.iceberg_export import export_iceberg
+
+        return export_iceberg(self.get_table(database, table), dest, lsn=lsn)
+
     def create_snapshot(self, database: str, table: str, lsn: int | None = None) -> int:
         """Force a commit of any pending ops (parity ForceSnapshot)."""
         t = self.get_table(database, table)

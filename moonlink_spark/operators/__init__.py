@@ -122,7 +122,7 @@ PRIORITY_50 = [
     "chunk_documents_udtf",
     # streaming / time (4)
     "tumbling_window_hourly",
-    "sliding_window_event_stats",
+    "streaming_stateful_sessionize_e2e",
     "streaming_tumbling_agg_e2e",
     "hierarchical_time_rollup",
     # windows (4)

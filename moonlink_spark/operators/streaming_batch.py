@@ -303,3 +303,93 @@ def streaming_tumbling_agg_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+@register(
+    "streaming_stateful_sessionize_e2e",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WHERE user_id < 100
+), sessions AS (
+  SELECT user_id, ts, event_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sessions
+GROUP BY user_id, session_id
+""",
+    category="streaming",
+)
+def streaming_stateful_sessionize_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END custom stateful streaming: readStream over events ->
+    applyInPandasWithState gap-sessionization (30-min inactivity) -> update
+    -mode memory sink, reduced to final session rows. The DuckDB oracle is
+    the BATCH sessionization (identical to sessionize_events) — the hash
+    match proves the keyed-state operator converges to the batch answer no
+    matter how the source splits into micro-batches (an open session carried
+    in state is extended by later batches; each emission supersedes the
+    previous one for that session, so max(n)/min(start)/max(end) per
+    (user, session) reconstructs the final state exactly).
+
+    This is the operator class Structured Streaming cannot express natively
+    (per-key custom state machines; reference headroom per SURVEY.md §2c):
+    state is hash-partitioned by user_id across executors, batches arrive
+    Arrow-encoded, and per-key state is O(1) — the 1000-executor plan.
+    Timestamps travel as epoch-micros BIGINTs through state and output
+    (exact integer arithmetic, no Arrow tz coercion), cast back to
+    TIMESTAMP only in the final projection.
+    """
+    from moonlink_spark.operators import normalize_events_ts
+    from moonlink_spark.session import ensure_package_on_workers
+    from moonlink_spark.streaming.stateful import sessionize_stream
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_package_on_workers(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = normalize_events_ts(
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = (
+        stream.filter(F.col("user_id") < 100)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("us"),
+        )
+    )
+    q = (
+        sessionize_stream(ev)
+        .writeStream.format("memory")
+        .queryName("mls_sessionize_e2e")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table("mls_sessionize_e2e")
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.min("start_us").alias("start_us"),
+            F.max("end_us").alias("end_us"),
+        )
+        .select(
+            "user_id",
+            "session_id",
+            "n_events",
+            F.timestamp_micros(F.col("start_us")).alias("session_start"),
+            F.timestamp_micros(F.col("end_us")).alias("session_end"),
+        )
+    )

@@ -73,3 +73,80 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap-based sessionization maintained in keyed state across micro-batches.
+# Timestamps travel as epoch-micros BIGINTs through state (exact integer
+# arithmetic; no Arrow tz coercion in the state row).
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+SESSION_STATE_SCHEMA = "session_id BIGINT, last_us BIGINT, start_us BIGINT, n BIGINT"
+
+SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("session_id", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("start_us", T.LongType(), False),
+        T.StructField("end_us", T.LongType(), False),
+    ]
+)
+
+
+def _update_sessions(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user session tracking: 30-min inactivity gap opens a new session.
+
+    Emits (update-mode) the state-so-far of every session touched by this
+    batch; an open session carried in state keeps growing if its user's next
+    batch continues it, and each emission for a session supersedes the last
+    (n_events is monotone), so the reader reduces with max(n)/min(start)/
+    max(end) per (user, session).
+    """
+    (user_id,) = key
+    if state.exists:
+        sid, last_us, start_us, n = state.get
+    else:
+        sid, last_us, start_us, n = 0, None, None, 0
+    pdf = pd.concat(list(pdfs))
+    pdf = pdf.sort_values(["us", "event_id"], kind="mergesort")
+    touched: dict[int, tuple[int, int, int]] = {}
+    for us in pdf["us"].astype("int64"):
+        us = int(us)
+        if last_us is None or us - last_us > SESSION_GAP_US:
+            sid += 1
+            start_us = us
+            n = 0
+        n += 1
+        last_us = us
+        touched[sid] = (start_us, last_us, n)
+    state.update((sid, last_us, start_us, n))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(touched),
+            "session_id": list(touched.keys()),
+            "n_events": [v[2] for v in touched.values()],
+            "start_us": [v[0] for v in touched.values()],
+            "end_us": [v[1] for v in touched.values()],
+        }
+    )
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """Keyed stateful sessionization over a stream with columns
+    (user_id BIGINT, event_id BIGINT, us BIGINT epoch-micros)."""
+    from moonlink_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(events.sparkSession)
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_sessions,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

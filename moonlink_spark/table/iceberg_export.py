@@ -1,0 +1,605 @@
+"""Iceberg v2 metadata export: publish a table snapshot (and incremental
+follow-ups) in the open Apache Iceberg format, with no Iceberg jars.
+
+The reference's flagship persistence IS Iceberg — every commit becomes real
+Iceberg metadata readable in place by any engine
+(``storage/table/iceberg/iceberg_table_syncer.rs:723``; SURVEY.md §2a #17).
+Iceberg manifests are Avro object-container files, which normally implies a
+writer library; none ships in this environment, but the Avro binary
+encoding (zigzag varints + length-prefixed bytes, public Avro 1.x spec) and
+the Iceberg table spec (iceberg.apache.org/spec) are both simple enough to
+emit directly. This module hand-encodes the two Avro files a v2 snapshot
+needs (manifest, manifest list) plus ``vN.metadata.json`` and
+``version-hint.text``, so an Iceberg-capable engine (Spark+iceberg-runtime,
+Trino, pyiceberg, DuckDB iceberg extension) can read the exported table.
+
+Mapping moonlink commits -> Iceberg snapshots:
+
+- each ``export_iceberg`` call snapshots the table at an LSN into ONE new
+  Iceberg snapshot + metadata version (sequence number == export ordinal);
+- data files reuse the Delta exporter's content-addressed materialization:
+  clean files hard-copy under a content-stable name (unchanged files cost
+  nothing on re-export), DV'd files rewrite live-rows-only through the
+  same per-file Spark anti-join — position deletes are compacted away at
+  the export boundary, so plain data manifests suffice (content=0);
+- every snapshot writes a fresh manifest listing the full live file set
+  with status=ADDED under summary operation "overwrite" (the full-rewrite
+  commit shape; correct for readers, and re-listing is O(files), metadata
+  only).
+
+Verification without an Iceberg engine: Spark ships the core Avro runtime
+jar (avro-1.x), so tests read the emitted manifests back through
+``org.apache.avro.file.DataFileReader`` via py4j — an independent decoder
+confirming container framing, schema JSON, and record values — and then
+scan the referenced parquet with Spark and hash-compare against
+``table.scan()``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+from typing import Any
+
+import pyarrow.parquet as pq
+
+from moonlink_spark.table.delta_export import (
+    _dv_files_touched,
+    _export_name,
+    _materialize_live_file,
+)
+from moonlink_spark.table.manifest import FileEntry, Manifest
+from moonlink_spark.table.table import MoonlinkTable
+
+# --------------------------------------------------------------------------- #
+# Avro binary encoding (writer subset: the types manifest schemas use)
+# --------------------------------------------------------------------------- #
+
+
+def _zigzag(n: int) -> bytes:
+    """Avro long/int: zigzag then base-128 varint, little-endian groups."""
+    u = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _avro_bytes(b: bytes) -> bytes:
+    return _zigzag(len(b)) + b
+
+
+def _avro_str(s: str) -> bytes:
+    return _avro_bytes(s.encode("utf-8"))
+
+
+def _encode(schema: Any, value: Any) -> bytes:
+    """Encode ``value`` per (parsed-JSON) Avro ``schema``. Supports null,
+    boolean, int, long, string, bytes, record, union, array, map — the
+    closed subset Iceberg manifest schemas are built from."""
+    if isinstance(schema, list):  # union: [null, X] style
+        if value is None:
+            idx = schema.index("null")
+            return _zigzag(idx)
+        idx = next(i for i, s in enumerate(schema) if s != "null")
+        return _zigzag(idx) + _encode(schema[idx], value)
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t == "null":
+        return b""
+    if t == "boolean":
+        return b"\x01" if value else b"\x00"
+    if t in ("int", "long"):
+        return _zigzag(int(value))
+    if t == "string":
+        return _avro_str(value)
+    if t == "bytes":
+        return _avro_bytes(value)
+    if t == "record":
+        return b"".join(
+            _encode(f["type"], value.get(f["name"])) for f in schema["fields"]
+        )
+    if t == "array":
+        if not value:
+            return _zigzag(0)
+        body = b"".join(_encode(schema["items"], v) for v in value)
+        return _zigzag(len(value)) + body + _zigzag(0)
+    if t == "map":  # avro maps: string keys
+        if not value:
+            return _zigzag(0)
+        body = b"".join(
+            _avro_str(k) + _encode(schema["values"], v) for k, v in value.items()
+        )
+        return _zigzag(len(value)) + body + _zigzag(0)
+    raise ValueError(f"unsupported avro type: {t!r}")
+
+
+def write_avro_container(
+    path: str,
+    schema: dict[str, Any],
+    records: list[dict[str, Any]],
+    metadata: dict[str, str] | None = None,
+) -> None:
+    """Write an Avro object-container file (null codec): magic, file
+    metadata map (avro.schema + extras), 16-byte sync, one data block."""
+    schema_json = json.dumps(schema, separators=(",", ":"))
+    meta = {"avro.schema": schema_json, "avro.codec": "null"}
+    meta.update(metadata or {})
+    sync = hashlib.md5(path.encode() + schema_json.encode()).digest()
+    body = b"".join(_encode(schema, r) for r in records)
+    buf = bytearray()
+    buf += b"Obj\x01"
+    buf += _zigzag(len(meta))
+    for k, v in meta.items():
+        buf += _avro_str(k) + _avro_bytes(v.encode("utf-8"))
+    buf += _zigzag(0)
+    buf += sync
+    if records:
+        buf += _zigzag(len(records)) + _zigzag(len(body)) + body + sync
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(bytes(buf))
+    os.replace(tmp, path)
+
+
+# --------------------------------------------------------------------------- #
+# Iceberg schemas (field-ids per the public table spec)
+# --------------------------------------------------------------------------- #
+
+_DATA_FILE_SCHEMA = {
+    "type": "record",
+    "name": "r2",
+    "fields": [
+        {"name": "content", "type": "int", "field-id": 134},
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+        {
+            "name": "partition",
+            "type": {"type": "record", "name": "r102", "fields": []},
+            "field-id": 102,
+        },
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+    ],
+}
+
+MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {
+            "name": "snapshot_id",
+            "type": ["null", "long"],
+            "field-id": 1,
+            "default": None,
+        },
+        {
+            "name": "sequence_number",
+            "type": ["null", "long"],
+            "field-id": 3,
+            "default": None,
+        },
+        {
+            "name": "file_sequence_number",
+            "type": ["null", "long"],
+            "field-id": 4,
+            "default": None,
+        },
+        {"name": "data_file", "type": _DATA_FILE_SCHEMA, "field-id": 2},
+    ],
+}
+
+MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_data_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_data_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_data_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+# moonlink schema DSL -> iceberg primitive type names
+_ICEBERG_TYPES = {
+    "int16": "int",
+    "int32": "int",
+    "int": "int",
+    "int64": "long",
+    "bigint": "long",
+    "string": "string",
+    "text": "string",
+    "uuid": "uuid",
+    "json": "string",
+    "boolean": "boolean",
+    "bool": "boolean",
+    "float32": "float",
+    "float64": "double",
+    "double": "double",
+    "date32": "date",
+    "date": "date",
+    "timestamp": "timestamptz",
+    "timestamptz": "timestamptz",
+    "timestamp_ntz": "timestamp",
+    "time64": "long",
+    "binary": "binary",
+    "bytea": "binary",
+}
+
+
+def _iceberg_field_type(spec: dict[str, Any], next_id: list[int]) -> Any:
+    name = str(spec.get("data_type", "")).strip().lower()
+    if name in _ICEBERG_TYPES:
+        return _ICEBERG_TYPES[name]
+    if name.startswith("decimal"):
+        return name.replace(" ", "")
+    if name == "struct":
+        return {
+            "type": "struct",
+            "fields": [_iceberg_field(f, next_id) for f in spec["fields"]],
+        }
+    if name in ("list", "array"):
+        next_id[0] += 1
+        item = dict(spec["item"])
+        return {
+            "type": "list",
+            "element-id": next_id[0],
+            "element": _iceberg_field_type(item, next_id),
+            "element-required": not bool(item.get("nullable", True)),
+        }
+    raise ValueError(f"no iceberg mapping for data_type {name!r}")
+
+
+def _iceberg_field(spec: dict[str, Any], next_id: list[int]) -> dict[str, Any]:
+    next_id[0] += 1
+    fid = next_id[0]
+    return {
+        "id": fid,
+        "name": spec["name"],
+        "required": not bool(spec.get("nullable", True)),
+        "type": _iceberg_field_type(spec, next_id),
+    }
+
+
+def iceberg_schema(schema_fields: list[dict[str, Any]]) -> dict[str, Any]:
+    """Moonlink field DSL -> Iceberg schema JSON (fresh sequential ids)."""
+    counter = [0]
+    fields = [_iceberg_field(f, counter) for f in schema_fields]
+    return {"type": "struct", "schema-id": 0, "fields": fields}
+
+
+# --------------------------------------------------------------------------- #
+# export
+# --------------------------------------------------------------------------- #
+
+
+def _table_uuid(table_path: str) -> str:
+    h = hashlib.md5(table_path.encode()).hexdigest()
+    return f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+
+
+def _read_current_metadata(meta_dir: str) -> tuple[int, dict[str, Any] | None]:
+    hint = os.path.join(meta_dir, "version-hint.text")
+    if not os.path.exists(hint):
+        return 0, None
+    with open(hint) as fh:
+        v = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as fh:
+        return v, json.load(fh)
+
+
+def export_iceberg(
+    table: MoonlinkTable, dest: str, lsn: int | None = None
+) -> dict[str, Any]:
+    """Export the snapshot at ``lsn`` (default latest) as one new Iceberg v2
+    snapshot + metadata version under ``dest``. First call creates the
+    table (v1.metadata.json); later calls append snapshots reusing any
+    unchanged data files. Returns a summary dict."""
+    m: Manifest = table._resolve_manifest(lsn=lsn)
+    data_dir = os.path.join(dest, "data")
+    meta_dir = os.path.join(dest, "metadata")
+    os.makedirs(data_dir, exist_ok=True)
+    os.makedirs(meta_dir, exist_ok=True)
+    prev_version, prev_meta = _read_current_metadata(meta_dir)
+
+    # ---- data files: content-addressed; only missing ones materialize ----
+    touched = _dv_files_touched(table, m) if m.delete_files else set()
+    desired: dict[str, FileEntry] = {}
+    for entry in m.data_files:
+        if entry.path in touched:
+            dv_rows = sum(f.rows for f in m.delete_files)
+            name = _export_name(entry, f"dv@{m.version}:{dv_rows}")
+            rewrite = True
+        else:
+            name = _export_name(entry, "clean")
+            rewrite = False
+        desired[name] = entry
+        dest_path = os.path.join(data_dir, name)
+        if not os.path.exists(dest_path):
+            if rewrite:
+                _materialize_live_file(table, m, entry, dest_path)
+            else:
+                shutil.copyfile(table._resolve(entry.path), dest_path)
+
+    seq = (prev_meta.get("last-sequence-number", 0) + 1) if prev_meta else 1
+    snapshot_id = seq  # deterministic: snapshot N of this export lineage
+
+    # ---- manifest (full live set, status=ADDED under an overwrite) ----
+    entries = []
+    total_rows = 0
+    for name in sorted(desired):
+        p = os.path.join(data_dir, name)
+        n_rows = pq.ParquetFile(p).metadata.num_rows
+        total_rows += n_rows
+        entries.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 0,  # DATA
+                    "file_path": os.path.abspath(p),
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": n_rows,
+                    "file_size_in_bytes": os.path.getsize(p),
+                },
+            }
+        )
+    schema_json = json.dumps(iceberg_schema(m.schema_fields), separators=(",", ":"))
+    manifest_path = os.path.join(meta_dir, f"manifest-{snapshot_id}.avro")
+    write_avro_container(
+        manifest_path,
+        MANIFEST_ENTRY_SCHEMA,
+        entries,
+        metadata={
+            "schema": schema_json,
+            "schema-id": "0",
+            "partition-spec": "[]",
+            "partition-spec-id": "0",
+            "format-version": "2",
+            "content": "data",
+        },
+    )
+
+    # ---- manifest list ----
+    mlist_path = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
+    write_avro_container(
+        mlist_path,
+        MANIFEST_FILE_SCHEMA,
+        [
+            {
+                "manifest_path": os.path.abspath(manifest_path),
+                "manifest_length": os.path.getsize(manifest_path),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_data_files_count": len(entries),
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+                "added_rows_count": total_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        ],
+        metadata={"format-version": "2"},
+    )
+
+    # ---- table metadata ----
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": m.timestamp_ms,
+        "manifest-list": os.path.abspath(mlist_path),
+        "summary": {
+            "operation": "overwrite",
+            "added-data-files": str(len(entries)),
+            "added-records": str(total_rows),
+            "total-data-files": str(len(entries)),
+            "total-records": str(total_rows),
+            "moonlink-source-lsn": str(m.lsn),
+            "moonlink-source-version": str(m.version),
+        },
+        "schema-id": 0,
+    }
+    schema_obj = iceberg_schema(m.schema_fields)
+    last_column_id = max(
+        [0]
+        + [
+            f["id"]
+            for f in schema_obj["fields"]
+        ]
+    )
+    meta: dict[str, Any] = {
+        "format-version": 2,
+        "table-uuid": _table_uuid(table.path),
+        "location": os.path.abspath(dest),
+        "last-sequence-number": seq,
+        "last-updated-ms": m.timestamp_ms,
+        "last-column-id": last_column_id,
+        "current-schema-id": 0,
+        "schemas": [schema_obj],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {"write.format.default": "parquet"},
+        "current-snapshot-id": snapshot_id,
+        "snapshots": (prev_meta.get("snapshots", []) if prev_meta else [])
+        + [snapshot],
+        "snapshot-log": (prev_meta.get("snapshot-log", []) if prev_meta else [])
+        + [{"timestamp-ms": m.timestamp_ms, "snapshot-id": snapshot_id}],
+        "metadata-log": (
+            (prev_meta.get("metadata-log", []) if prev_meta else [])
+            + (
+                [
+                    {
+                        "timestamp-ms": prev_meta["last-updated-ms"],
+                        "metadata-file": os.path.abspath(
+                            os.path.join(
+                                meta_dir, f"v{prev_version}.metadata.json"
+                            )
+                        ),
+                    }
+                ]
+                if prev_meta
+                else []
+            )
+        ),
+    }
+    new_version = prev_version + 1
+    meta_path = os.path.join(meta_dir, f"v{new_version}.metadata.json")
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, indent=1)
+    os.replace(tmp, meta_path)
+    hint_tmp = os.path.join(meta_dir, "version-hint.text.tmp")
+    with open(hint_tmp, "w") as fh:
+        fh.write(str(new_version))
+    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+    return {
+        "metadata_version": new_version,
+        "snapshot_id": snapshot_id,
+        "sequence_number": seq,
+        "data_files": len(entries),
+        "rows": total_rows,
+        "source_lsn": m.lsn,
+        "source_version": m.version,
+    }
+
+
+def read_iceberg_live_files(dest: str) -> list[str]:
+    """Decode the exported metadata (pure Python, independent of the
+    writer's in-memory state): version-hint -> metadata.json ->
+    manifest-list avro -> manifest avro -> live data file paths."""
+    meta_dir = os.path.join(dest, "metadata")
+    _, meta = _read_current_metadata(meta_dir)
+    assert meta is not None, "no iceberg metadata at " + dest
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    paths: list[str] = []
+    for mrec in read_avro_container(snap["manifest-list"]):
+        for entry in read_avro_container(mrec["manifest_path"]):
+            if entry["status"] in (0, 1):  # EXISTING | ADDED
+                paths.append(entry["data_file"]["file_path"])
+    return sorted(paths)
+
+
+# --------------------------------------------------------------------------- #
+# Avro reading (decoder for the writer's subset; used by read-back +
+# independent of the JVM cross-check in tests)
+# --------------------------------------------------------------------------- #
+
+
+class _Cursor:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def read(self, n: int) -> bytes:
+        b = self.data[self.pos : self.pos + n]
+        self.pos += n
+        return b
+
+    def zigzag(self) -> int:
+        shift = u = 0
+        while True:
+            b = self.data[self.pos]
+            self.pos += 1
+            u |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        return (u >> 1) ^ -(u & 1)
+
+
+def _decode(schema: Any, cur: _Cursor) -> Any:
+    if isinstance(schema, list):
+        idx = cur.zigzag()
+        return None if schema[idx] == "null" else _decode(schema[idx], cur)
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t == "null":
+        return None
+    if t == "boolean":
+        return cur.read(1) == b"\x01"
+    if t in ("int", "long"):
+        return cur.zigzag()
+    if t in ("string", "bytes"):
+        b = cur.read(cur.zigzag())
+        return b.decode("utf-8") if t == "string" else b
+    if t == "record":
+        return {f["name"]: _decode(f["type"], cur) for f in schema["fields"]}
+    if t == "array":
+        out = []
+        while True:
+            n = cur.zigzag()
+            if n == 0:
+                return out
+            if n < 0:  # block with byte size
+                cur.zigzag()
+                n = -n
+            out.extend(_decode(schema["items"], cur) for _ in range(n))
+    if t == "map":
+        out = {}
+        while True:
+            n = cur.zigzag()
+            if n == 0:
+                return out
+            if n < 0:
+                cur.zigzag()
+                n = -n
+            for _ in range(n):
+                k = cur.read(cur.zigzag()).decode("utf-8")
+                out[k] = _decode(schema["values"], cur)
+    raise ValueError(f"unsupported avro type: {t!r}")
+
+
+def read_avro_container(path: str) -> list[dict[str, Any]]:
+    with open(path, "rb") as fh:
+        cur = _Cursor(fh.read())
+    assert cur.read(4) == b"Obj\x01", "not an avro container"
+    meta: dict[str, bytes] = {}
+    while True:
+        n = cur.zigzag()
+        if n == 0:
+            break
+        if n < 0:
+            cur.zigzag()
+            n = -n
+        for _ in range(n):
+            k = cur.read(cur.zigzag()).decode("utf-8")
+            meta[k] = cur.read(cur.zigzag())
+    schema = json.loads(meta["avro.schema"])
+    assert meta.get("avro.codec", b"null") == b"null"
+    sync = cur.read(16)
+    records: list[dict[str, Any]] = []
+    while cur.pos < len(cur.data):
+        count = cur.zigzag()
+        cur.zigzag()  # block byte length
+        for _ in range(count):
+            records.append(_decode(schema, cur))
+        assert cur.read(16) == sync, "sync marker mismatch"
+    return records

@@ -1,0 +1,228 @@
+"""Iceberg v2 export: container framing verified against the JVM Avro
+runtime (the independent decoder Spark ships), structure per the public
+Iceberg table spec, and data parity via DuckDB reading the exported files.
+
+No Iceberg engine is in the environment, so verification is three-sided:
+(1) the hand-encoded Avro manifests must decode byte-exactly under
+``org.apache.avro.file.DataFileReader`` (via py4j) — proving the container
+format, not just our own reader; (2) metadata.json carries the
+spec-required v2 fields; (3) DuckDB scans the manifest-referenced parquet
+and must match ``table.scan()`` exactly.
+"""
+
+import json
+import os
+
+import duckdb
+
+from moonlink_spark.table.iceberg_export import (
+    export_iceberg,
+    read_avro_container,
+    read_iceberg_live_files,
+    write_avro_container,
+)
+from moonlink_spark.table.identity import IdentityProp
+from moonlink_spark.table.table import MoonlinkTable
+
+SCHEMA = [
+    {"name": "id", "data_type": "int64", "nullable": False},
+    {"name": "grp", "data_type": "string"},
+    {"name": "val", "data_type": "float64"},
+]
+
+
+def make_table(spark, tmp_path):
+    t = MoonlinkTable.create(
+        spark, str(tmp_path / "src"), SCHEMA, IdentityProp.single("id")
+    )
+    t.append_rows(
+        [{"id": i, "grp": f"g{i % 3}", "val": float(i)} for i in range(200)]
+    )
+    t.commit(lsn=1)
+    return t
+
+
+def duck_rows(dest):
+    files = read_iceberg_live_files(dest)
+    assert files, "no live files in iceberg metadata"
+    con = duckdb.connect()
+    quoted = ", ".join(f"'{p}'" for p in files)
+    return con.sql(
+        f"SELECT id, grp, val FROM read_parquet([{quoted}]) ORDER BY id"
+    ).fetchall()
+
+
+def spark_rows(t, lsn=None):
+    return [
+        (r.id, r.grp, r.val) for r in t.scan(lsn=lsn).orderBy("id").collect()
+    ]
+
+
+def current_metadata(dest):
+    meta_dir = os.path.join(dest, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        v = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as fh:
+        return v, json.load(fh)
+
+
+def jvm_read_avro(spark, path):
+    """Decode an Avro container with the JVM Avro runtime (ships with
+    Spark) — an implementation-independent check of our hand encoder."""
+    jvm = spark.sparkContext._jvm
+    reader = jvm.org.apache.avro.file.DataFileReader.openReader(
+        jvm.java.io.File(path), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    out = []
+    while reader.hasNext():
+        out.append(reader.next())
+    schema_json = reader.getSchema().toString()
+    reader.close()
+    return out, schema_json
+
+
+def test_v1_structure_and_data(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    dest = str(tmp_path / "iceberg")
+    summary = export_iceberg(t, dest)
+    assert summary["metadata_version"] == 1 and summary["rows"] == 200
+
+    v, meta = current_metadata(dest)
+    assert v == 1
+    # spec-required v2 metadata fields
+    for k in (
+        "format-version",
+        "table-uuid",
+        "location",
+        "last-sequence-number",
+        "last-column-id",
+        "schemas",
+        "partition-specs",
+        "sort-orders",
+        "current-snapshot-id",
+        "snapshots",
+    ):
+        assert k in meta, k
+    assert meta["format-version"] == 2
+    schema = meta["schemas"][0]
+    assert [f["name"] for f in schema["fields"]] == ["id", "grp", "val"]
+    assert [f["type"] for f in schema["fields"]] == ["long", "string", "double"]
+    assert schema["fields"][0]["required"] is True
+
+    snap = meta["snapshots"][-1]
+    assert snap["snapshot-id"] == meta["current-snapshot-id"]
+    assert snap["summary"]["operation"] == "overwrite"
+    assert os.path.isfile(snap["manifest-list"])
+
+    # manifest list -> manifest -> data files, via our own decoder
+    mlist = read_avro_container(snap["manifest-list"])
+    assert len(mlist) == 1 and mlist[0]["content"] == 0
+    entries = read_avro_container(mlist[0]["manifest_path"])
+    assert sum(e["data_file"]["record_count"] for e in entries) == 200
+    for e in entries:
+        assert e["status"] == 1
+        assert e["data_file"]["file_format"] == "PARQUET"
+        assert os.path.isfile(e["data_file"]["file_path"])
+
+    assert duck_rows(dest) == spark_rows(t)
+
+
+def test_jvm_avro_cross_check(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    dest = str(tmp_path / "iceberg")
+    export_iceberg(t, dest)
+    _, meta = current_metadata(dest)
+    mlist_path = meta["snapshots"][-1]["manifest-list"]
+
+    jvm_recs, jvm_schema = jvm_read_avro(spark, mlist_path)
+    ours = read_avro_container(mlist_path)
+    assert len(jvm_recs) == len(ours) == 1
+    rec = jvm_recs[0]
+    assert str(rec.get("manifest_path").toString()) == ours[0]["manifest_path"]
+    assert rec.get("manifest_length") == ours[0]["manifest_length"]
+    assert rec.get("added_data_files_count") == ours[0]["added_data_files_count"]
+    assert rec.get("added_rows_count") == 200
+    assert "manifest_file" in jvm_schema
+
+    man_path = ours[0]["manifest_path"]
+    jvm_entries, jvm_man_schema = jvm_read_avro(spark, man_path)
+    our_entries = read_avro_container(man_path)
+    assert len(jvm_entries) == len(our_entries)
+    for jrec, orec in zip(jvm_entries, our_entries):
+        assert jrec.get("status") == orec["status"]
+        df = jrec.get("data_file")
+        assert str(df.get("file_path").toString()) == orec["data_file"]["file_path"]
+        assert df.get("record_count") == orec["data_file"]["record_count"]
+    assert "manifest_entry" in jvm_man_schema
+
+
+def test_incremental_snapshots_share_clean_files(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    dest = str(tmp_path / "iceberg")
+    export_iceberg(t, dest)
+    files_v1 = set(os.listdir(os.path.join(dest, "data")))
+
+    t.append_rows([{"id": i, "grp": "new", "val": 1.5} for i in range(500, 520)])
+    t.commit(lsn=2)
+    summary = export_iceberg(t, dest)
+    assert summary["metadata_version"] == 2 and summary["sequence_number"] == 2
+
+    files_v2 = set(os.listdir(os.path.join(dest, "data")))
+    # clean prior files are reused byte-identical, only new files appear
+    assert files_v1 <= files_v2 and len(files_v2) > len(files_v1)
+
+    _, meta = current_metadata(dest)
+    assert len(meta["snapshots"]) == 2
+    assert meta["last-sequence-number"] == 2
+    assert len(meta["metadata-log"]) == 1
+    assert duck_rows(dest) == spark_rows(t)
+
+
+def test_dv_rewrite_exports_live_rows_only(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    dest = str(tmp_path / "iceberg")
+    export_iceberg(t, dest)
+
+    t.delete_rows([{"id": i} for i in range(0, 200, 10)])
+    t.commit(lsn=2)
+    assert t.scan().count() == 180
+
+    summary = export_iceberg(t, dest)
+    assert summary["rows"] == 180
+    assert duck_rows(dest) == spark_rows(t)
+
+
+def test_avro_roundtrip_writer_reader(tmp_path):
+    schema = {
+        "type": "record",
+        "name": "toy",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": ["null", "string"], "default": None},
+            {"name": "c", "type": {"type": "array", "items": "long"}},
+            {"name": "d", "type": {"type": "map", "values": "string"}},
+            {"name": "e", "type": "boolean"},
+            {
+                "name": "f",
+                "type": {
+                    "type": "record",
+                    "name": "inner",
+                    "fields": [{"name": "x", "type": "int"}],
+                },
+            },
+        ],
+    }
+    records = [
+        {
+            "a": -(2**62),
+            "b": None,
+            "c": [0, -1, 2**40],
+            "d": {"k1": "v1", "k2": ""},
+            "e": True,
+            "f": {"x": -7},
+        },
+        {"a": 0, "b": "héllo", "c": [], "d": {}, "e": False, "f": {"x": 0}},
+    ]
+    path = str(tmp_path / "toy.avro")
+    write_avro_container(path, schema, records, metadata={"who": "test"})
+    assert read_avro_container(path) == records
