@@ -101,10 +101,11 @@ PRIORITY_50 = [
     "ann_lsh_hyperplane_buckets",
     "lsh_near_dup_pairs",
     "embedding_quantize_rerank",
-    # text analysis (3)
+    # semantic dedup (1)
+    "semantic_dedup_ivf",
+    # text analysis (2)
     "text_quality_scores",
     "lang_id_heuristic",
-    "bigram_pmi_top",
     # safety / curation (3)
     "pii_pattern_scan",
     "contamination_check",

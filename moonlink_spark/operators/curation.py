@@ -118,3 +118,80 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dedup_keep_best_quality",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, upper(text) || ' !! ** !!' AS text, source
+  FROM documents WHERE doc_id % 10 = 0
+),
+scored AS (
+  SELECT doc_id, source,
+         md5(lower(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) AS ckey,
+         length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_noise
+  FROM corpus
+),
+ranked AS (
+  SELECT doc_id, source, ckey,
+         row_number() OVER (PARTITION BY ckey ORDER BY n_noise, doc_id) AS rn
+  FROM scored
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT ckey) AS BIGINT) AS n_clusters,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn = 1 THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+FROM ranked
+GROUP BY source
+ORDER BY source
+""",
+    category="dedup",
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-keep-best dedup: near-duplicate clusters keyed on
+    NORMALIZED content (lowercased, punctuation stripped — catches
+    case/punctuation variants exact dedup misses), surviving the cleanest
+    member per cluster (fewest non-[a-z0-9 ] raw characters, doc_id
+    tiebreak) instead of an arbitrary one. The %10 docs get a shouting
+    noisy variant injected so the quality rule has signal: the original
+    must always win its cluster. Clusters may span sources (real
+    cross-source contamination behaves the same way), so survivor choice
+    is global and per-source counts report kept members, with a
+    kept-doc_id checksum pinning the exact survivor set.
+
+    Scale design (100 TB): one md5 of normalized text per doc (map-side),
+    one shuffle on the fixed-width cluster key for the survivor window,
+    one rollup on source. Identical plan shape to exact dedup — quality
+    ranking rides the same window, adding zero extra shuffles.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    variants = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.concat(F.upper("text"), F.lit(" !! ** !!")))
+    )
+    corpus = docs.unionByName(variants)
+    scored = corpus.select(
+        "doc_id",
+        "source",
+        F.md5(F.lower(F.regexp_replace("text", "[^a-z0-9 ]", ""))).alias("ckey"),
+        F.length(F.regexp_replace("text", "[a-z0-9 ]", "")).alias("n_noise"),
+    )
+    w = Window.partitionBy("ckey").orderBy("n_noise", "doc_id")
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    kept = F.when(F.col("rn") == 1, 1).otherwise(0)
+    kept_id = F.when(F.col("rn") == 1, F.col("doc_id")).otherwise(F.lit(0))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("ckey").cast("bigint").alias("n_clusters"),
+            F.sum(kept).cast("bigint").alias("n_kept"),
+            F.sum(kept_id).cast("bigint").alias("kept_id_sum"),
+        )
+        .orderBy("source")
+    )

@@ -560,3 +560,112 @@ def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
         .orderBy("vec_a", "vec_b")
     )
+
+
+@register(
+    "semantic_dedup_ivf",
+    oracle=f"""
+WITH centroids AS (
+  SELECT label AS cluster_id, embedding AS cent
+  FROM (SELECT label, embedding, row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+        FROM embeddings) t
+  WHERE rn = 1
+),
+assigned AS (
+  SELECT vec_id, embedding, cluster_id
+  FROM (
+    SELECT e.vec_id, e.embedding, c.cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {_SQL_COS.format(a="e.embedding", b="c.cent")} DESC, c.cluster_id) AS rn
+    FROM embeddings e CROSS JOIN centroids c
+  ) t WHERE rn = 1
+),
+pairs AS (
+  SELECT a.cluster_id, b.vec_id AS dup_id
+  FROM assigned a JOIN assigned b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE {_SQL_COS.format(a="a.embedding", b="b.embedding")} >= 0.35
+),
+dups AS (
+  SELECT cluster_id, COUNT(DISTINCT dup_id) AS n_duplicates
+  FROM pairs GROUP BY cluster_id
+)
+SELECT CAST(m.cluster_id AS BIGINT) AS cluster_id,
+       CAST(m.n_members AS BIGINT) AS n_members,
+       CAST(COALESCE(d.n_duplicates, 0) AS BIGINT) AS n_duplicates,
+       CAST(m.n_members - COALESCE(d.n_duplicates, 0) AS BIGINT) AS n_kept
+FROM (SELECT cluster_id, COUNT(*) AS n_members FROM assigned GROUP BY cluster_id) m
+LEFT JOIN dups d USING (cluster_id)
+ORDER BY cluster_id
+""",
+    category="dedup",
+)
+def semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication, SemDeDup-style (Abbas et al. 2023, public):
+    cluster the embedding space, then find near-identical pairs ONLY within
+    each cluster and drop every vector that duplicates a lower-id member
+    (keep-lowest survivor rule). Reports per-cluster members / duplicates /
+    kept counts.
+
+    Scale design (100 TB): this is the production answer to the all-pairs
+    near-dup problem — the quadratic term is bounded per cluster
+    (k clusters shrink candidate pairs by ~k), centroid assignment is one
+    broadcast map stage, and the pair join is an equi-join on cluster_id,
+    never a cartesian. Growing k keeps per-cluster pair counts constant as
+    the corpus grows; the cluster self-join shuffles each partition once on
+    cluster_id. Deterministic centroids (first vector per label) make the
+    result oracle-checkable; production swaps in ivf_kmeans_train output
+    without changing the plan shape.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    wc = Window.partitionBy("label").orderBy("vec_id")
+    centroids = (
+        emb.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select(F.col("label").alias("cluster_id"), F.col("embedding").alias("cent"))
+    )
+    scored_cent = emb.crossJoin(F.broadcast(centroids)).withColumn(
+        "cos_c", _dot("embedding", "cent") / (_norm("embedding") * _norm("cent"))
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cluster_id"))
+    assigned = (
+        scored_cent.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cluster_id")
+        .persist()  # consumed by both pair-join sides and the member count
+    )
+    a = assigned.select(
+        "cluster_id", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    b = assigned.select(
+        F.col("cluster_id").alias("cb"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+    )
+    pairs = a.join(
+        b, (F.col("cluster_id") == F.col("cb")) & (F.col("vec_a") < F.col("vec_b"))
+    ).withColumn("cos", _dot("ea", "eb") / (_norm("ea") * _norm("eb")))
+    dups = (
+        pairs.filter(F.col("cos") >= 0.35)
+        .select("cluster_id", "vec_b")
+        .distinct()
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_duplicates"))
+    )
+    members = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        members.join(dups, "cluster_id", "left")
+        .select(
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.coalesce(F.col("n_duplicates"), F.lit(0))
+            .cast("bigint")
+            .alias("n_duplicates"),
+            (F.col("n_members") - F.coalesce(F.col("n_duplicates"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("cluster_id")
+    )
