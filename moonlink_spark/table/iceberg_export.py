@@ -363,7 +363,22 @@ def export_iceberg(
                 },
             }
         )
-    schema_json = json.dumps(iceberg_schema(m.schema_fields), separators=(",", ":"))
+    # ---- schema evolution: an altered table appends a NEW schema-id ----
+    schema_obj = iceberg_schema(m.schema_fields)
+    prev_schemas = list(prev_meta.get("schemas", [])) if prev_meta else []
+    current_schema_id = None
+    for s in prev_schemas:
+        if s["fields"] == schema_obj["fields"]:
+            current_schema_id = s["schema-id"]
+            schema_obj = s
+            break
+    if current_schema_id is None:
+        current_schema_id = max(
+            [-1] + [s["schema-id"] for s in prev_schemas]
+        ) + 1
+        schema_obj = dict(schema_obj, **{"schema-id": current_schema_id})
+        prev_schemas.append(schema_obj)
+    schema_json = json.dumps(schema_obj, separators=(",", ":"))
     manifest_path = os.path.join(meta_dir, f"manifest-{snapshot_id}.avro")
     write_avro_container(
         manifest_path,
@@ -371,7 +386,7 @@ def export_iceberg(
         entries,
         metadata={
             "schema": schema_json,
-            "schema-id": "0",
+            "schema-id": str(current_schema_id),
             "partition-spec": "[]",
             "partition-spec-id": "0",
             "format-version": "2",
@@ -419,15 +434,12 @@ def export_iceberg(
             "moonlink-source-lsn": str(m.lsn),
             "moonlink-source-version": str(m.version),
         },
-        "schema-id": 0,
+        "schema-id": current_schema_id,
     }
-    schema_obj = iceberg_schema(m.schema_fields)
     last_column_id = max(
         [0]
-        + [
-            f["id"]
-            for f in schema_obj["fields"]
-        ]
+        + [f["id"] for s in prev_schemas for f in s["fields"]]
+        + [f["id"] for f in schema_obj["fields"]]
     )
     meta: dict[str, Any] = {
         "format-version": 2,
@@ -436,8 +448,8 @@ def export_iceberg(
         "last-sequence-number": seq,
         "last-updated-ms": m.timestamp_ms,
         "last-column-id": last_column_id,
-        "current-schema-id": 0,
-        "schemas": [schema_obj],
+        "current-schema-id": current_schema_id,
+        "schemas": prev_schemas,
         "default-spec-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": []}],
         "last-partition-id": 999,

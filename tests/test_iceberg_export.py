@@ -226,3 +226,26 @@ def test_avro_roundtrip_writer_reader(tmp_path):
     path = str(tmp_path / "toy.avro")
     write_avro_container(path, schema, records, metadata={"who": "test"})
     assert read_avro_container(path) == records
+
+
+def test_schema_evolution_appends_schema_id(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    dest = str(tmp_path / "iceberg")
+    export_iceberg(t, dest)
+    _, meta1 = current_metadata(dest)
+    assert meta1["current-schema-id"] == 0 and len(meta1["schemas"]) == 1
+
+    t.alter(add_columns=[{"name": "extra", "data_type": "int32"}])
+    t.append_rows([{"id": 900, "grp": "g0", "val": 9.0, "extra": 7}])
+    t.commit(lsn=t.manifest.lsn + 1)
+    export_iceberg(t, dest)
+    _, meta2 = current_metadata(dest)
+    assert len(meta2["schemas"]) == 2
+    assert meta2["current-schema-id"] == 1
+    assert meta2["snapshots"][-1]["schema-id"] == 1
+    new_schema = next(s for s in meta2["schemas"] if s["schema-id"] == 1)
+    assert "extra" in [f["name"] for f in new_schema["fields"]]
+    # unchanged re-export reuses the current schema id, no new entry
+    export_iceberg(t, dest)
+    _, meta3 = current_metadata(dest)
+    assert len(meta3["schemas"]) == 2 and meta3["current-schema-id"] == 1

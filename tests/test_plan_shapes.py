@@ -107,3 +107,28 @@ def test_interval_join_has_single_bucket_equijoin(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "interval_range_join")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_pair_join_is_equijoin(spark, sf_dir):
+    # the within-cluster pair join must key on cluster_id (hash join /
+    # sort-merge); the only nested loop allowed is the tiny centroid
+    # broadcast crossJoin of the assignment stage
+    plan = plan_of(spark, sf_dir, "semantic_dedup_ivf")
+    assert "CartesianProduct" not in plan
+    # the pair join itself must be an equi join keyed on cluster_id (the
+    # assignment stage's tiny centroid broadcast crossJoin is the only
+    # nested loop, and it appears inside the cached assignment subtree)
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+    assert "cluster_id" in plan
+
+
+def test_keep_best_dedup_single_window_no_join(spark, sf_dir):
+    # cluster survivor selection is ONE window over the content key plus a
+    # rollup — no join anywhere in the plan
+    plan = plan_of(spark, sf_dir, "dedup_keep_best_quality")
+    assert "Join" not in plan
+    assert "Window" in plan
