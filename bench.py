@@ -53,6 +53,9 @@ HEADLINE = [
     "interval_range_join",
     "embedding_quantize_rerank",
     "sequence_pack_bins",
+    "semantic_dedup_ivf",
+    "dedup_keep_best_quality",
+    "streaming_stateful_sessionize_e2e",
 ]
 
 

@@ -22,6 +22,7 @@ Streaming rather than as a port of the reference's Rust architecture:
 from moonlink_spark.session import get_spark, stop_spark
 from moonlink_spark.schema import field_schema_to_struct, struct_to_field_schema
 from moonlink_spark.table.identity import IdentityProp
+from moonlink_spark.table.matview import MaterializedView
 from moonlink_spark.table.table import MoonlinkTable
 from moonlink_spark.backend import MoonlinkBackend
 
@@ -31,6 +32,7 @@ __all__ = [
     "field_schema_to_struct",
     "struct_to_field_schema",
     "IdentityProp",
+    "MaterializedView",
     "MoonlinkTable",
     "MoonlinkBackend",
 ]

@@ -190,6 +190,22 @@ class MoonlinkBackend:
 
         return export_iceberg(self.get_table(database, table), dest, lsn=lsn)
 
+    def create_materialized_view(
+        self,
+        database: str,
+        table: str,
+        dest: str,
+        group_by: list[str],
+        sums: list[str] | None = None,
+    ):
+        """Create an incrementally-maintained GROUP BY view over a table;
+        ``.refresh()`` applies only the LSN-to-LSN delta (table/matview.py)."""
+        from moonlink_spark.table.matview import MaterializedView
+
+        return MaterializedView.create(
+            self.get_table(database, table), dest, group_by, sums
+        )
+
     def create_snapshot(self, database: str, table: str, lsn: int | None = None) -> int:
         """Force a commit of any pending ops (parity ForceSnapshot)."""
         t = self.get_table(database, table)

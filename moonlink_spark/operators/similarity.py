@@ -631,20 +631,29 @@ def semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = (
         scored_cent.withColumn("rn", F.row_number().over(wa))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cluster_id")
+        # norms computed ONCE per vector here, not per pair: the pair join
+        # below then costs a single dot fold per pair (3x fewer folds),
+        # with arithmetic unchanged (dot / (na * nb), same bits)
+        .select(
+            "vec_id", "embedding", "cluster_id", _norm("embedding").alias("nrm")
+        )
         .persist()  # consumed by both pair-join sides and the member count
     )
     a = assigned.select(
-        "cluster_id", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+        "cluster_id",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
     )
     b = assigned.select(
         F.col("cluster_id").alias("cb"),
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
     pairs = a.join(
         b, (F.col("cluster_id") == F.col("cb")) & (F.col("vec_a") < F.col("vec_b"))
-    ).withColumn("cos", _dot("ea", "eb") / (_norm("ea") * _norm("eb")))
+    ).withColumn("cos", _dot("ea", "eb") / (F.col("na") * F.col("nb")))
     dups = (
         pairs.filter(F.col("cos") >= 0.35)
         .select("cluster_id", "vec_b")

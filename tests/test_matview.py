@@ -1,0 +1,124 @@
+"""Materialized views: every refresh must land the view EXACTLY on the
+direct GROUP BY of the table's current snapshot — across inserts, updates
+that migrate rows between groups, deletes, and mixed batches — while only
+ever scanning the base table once (at create).
+"""
+
+import pytest
+
+from moonlink_spark.errors import TableConfigError
+from moonlink_spark.table.identity import IdentityProp
+from moonlink_spark.table.matview import MaterializedView
+from moonlink_spark.table.table import MoonlinkTable
+
+SCHEMA = [
+    {"name": "id", "data_type": "int64", "nullable": False},
+    {"name": "grp", "data_type": "string"},
+    {"name": "val", "data_type": "float64"},
+]
+
+
+def make_table(spark, tmp_path):
+    t = MoonlinkTable.create(
+        spark, str(tmp_path / "src"), SCHEMA, IdentityProp.single("id")
+    )
+    t.append_rows(
+        [{"id": i, "grp": f"g{i % 4}", "val": float(i)} for i in range(100)]
+    )
+    t.commit(lsn=1)
+    return t
+
+
+def view_rows(mv):
+    return {
+        r.grp: (r.n_rows, float(r.sum_val))
+        for r in mv.read().collect()
+    }
+
+
+def direct_rows(t):
+    from pyspark.sql import functions as F
+
+    agg = (
+        t.scan()
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("val").cast("decimal(25,6)")).alias("s"),
+        )
+    )
+    return {r.grp: (r.n, float(r.s)) for r in agg.collect()}
+
+
+def test_create_matches_direct_aggregate(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    mv = MaterializedView.create(t, str(tmp_path / "mv"), ["grp"], sums=["val"])
+    assert view_rows(mv) == direct_rows(t)
+
+
+def test_refresh_after_inserts_updates_deletes(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    mv = MaterializedView.create(t, str(tmp_path / "mv"), ["grp"], sums=["val"])
+
+    # inserts into an existing and a brand-new group
+    t.append_rows([{"id": 200, "grp": "g0", "val": 7.5},
+                   {"id": 201, "grp": "brand_new", "val": 1.0}])
+    t.commit(lsn=2)
+    s = mv.refresh()
+    assert s["refreshed"] and s["changed_rows"] > 0
+    assert view_rows(mv) == direct_rows(t)
+
+    # updates that MIGRATE rows across groups (the delta-algebra case)
+    t.upsert_rows([{"id": i, "grp": "migrated", "val": float(i) + 0.25}
+                   for i in range(0, 40, 4)])
+    t.commit(lsn=3)
+    mv.refresh()
+    assert view_rows(mv) == direct_rows(t)
+
+    # deletes, including one that empties a group
+    t.delete_rows([{"id": 201}])
+    t.delete_rows([{"id": i} for i in range(50, 60)])
+    t.commit(lsn=4)
+    mv.refresh()
+    rows = view_rows(mv)
+    assert rows == direct_rows(t)
+    assert "brand_new" not in rows  # emptied group disappears from read()
+
+
+def test_noop_refresh_and_idempotence(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    mv = MaterializedView.create(t, str(tmp_path / "mv"), ["grp"], sums=["val"])
+    s = mv.refresh()
+    assert s == {"refreshed": False, "lsn": 1, "changed_rows": 0}
+    # identical re-upsert: keys change LSN but values are identical ->
+    # value-wise diff is empty, version must not advance
+    t.upsert_rows([{"id": i, "grp": f"g{i % 4}", "val": float(i)}
+                   for i in range(10)])
+    t.commit(lsn=2)
+    s = mv.refresh()
+    assert s["refreshed"] and s["changed_rows"] == 0
+    assert mv.state["version"] == 0
+    assert view_rows(mv) == direct_rows(t)
+
+
+def test_reopen_from_disk_and_avg(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    MaterializedView.create(t, str(tmp_path / "mv"), ["grp"], sums=["val"])
+    t.append_rows([{"id": 300, "grp": "g1", "val": 10.0}])
+    t.commit(lsn=2)
+
+    mv = MaterializedView(t, str(tmp_path / "mv"))  # fresh handle from disk
+    mv.refresh()
+    assert view_rows(mv) == direct_rows(t)
+    avg = {r.grp: r.avg_val for r in mv.read_avg("val").collect()}
+    direct = direct_rows(t)
+    for g, (n, s) in direct.items():
+        assert avg[g] == pytest.approx(s / n)
+
+
+def test_requires_key_identity(spark, tmp_path):
+    t = MoonlinkTable.create(
+        spark, str(tmp_path / "fr"), SCHEMA, IdentityProp.full_row()
+    )
+    with pytest.raises(TableConfigError):
+        MaterializedView.create(t, str(tmp_path / "mv"), ["grp"], sums=["val"])
