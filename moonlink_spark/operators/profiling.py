@@ -322,3 +322,109 @@ def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pair_cnt").desc(), "w1", "w2")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------- #
+# approximate heavy hitters (Misra-Gries) with exact recovery
+# --------------------------------------------------------------------------- #
+
+MG_CAPACITY = 1024  # per-partition summary size
+HH_DENOM = 512  # report items with count > N / HH_DENOM
+
+
+def _mg_summaries(iterator):
+    """Per-partition Misra-Gries summary over bigram streams.
+
+    Classic MG guarantee: any item whose count in this partition exceeds
+    n_partition / capacity survives the summary. A GLOBAL heavy hitter
+    (count > N / HH_DENOM with HH_DENOM <= capacity) must, by pigeonhole,
+    exceed that local threshold in at least one partition — so the union
+    of summaries is a guaranteed superset of every global heavy hitter,
+    and the exact recount stage makes the final answer EXACT, not
+    approximate. Summary size is O(capacity) per partition regardless of
+    stream length: this is the sketch that lets 100 TB of tokens reduce
+    to a few-KB candidate set before the only shuffle.
+    """
+    import pandas as pd
+
+    counters: dict[str, int] = {}
+    for pdf in iterator:
+        for grams in pdf["grams"]:
+            for g in grams:
+                if g in counters:
+                    counters[g] += 1
+                elif len(counters) < MG_CAPACITY:
+                    counters[g] = 1
+                else:
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+    yield pd.DataFrame({"candidate": list(counters.keys())})
+
+
+@register(
+    "approx_heavy_hitters",
+    oracle="""
+WITH grams AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+ [a-z0-9]+')) AS gram
+  FROM documents
+),
+tot AS (SELECT COUNT(*) AS n FROM grams)
+SELECT gram, CAST(cnt AS BIGINT) AS cnt
+FROM (SELECT gram, COUNT(*) AS cnt FROM grams GROUP BY gram) g, tot
+WHERE cnt * 512 > n
+ORDER BY cnt DESC, gram
+""",
+    category="profiling",
+)
+def approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-item detection via per-partition Misra-Gries sketches with
+    an exact verification pass: sketch (mapInPandas, O(capacity) memory,
+    zero shuffle) -> tiny candidate broadcast -> exact recount of ONLY the
+    candidates -> threshold count > N/512. The MG pigeonhole bound makes
+    the candidate set a guaranteed superset of every true heavy hitter, so
+    the output equals the oracle's full GROUP BY — while the full-stream
+    shuffle the oracle performs is replaced by a broadcast-semi-join whose
+    right side is a few hundred rows.
+
+    Scale design (100 TB): the sketch pass touches each partition once and
+    emits <=1024 candidates per partition; the recount aggregates only
+    stream elements matching a broadcast hash set. Item domain here is
+    word bigrams over ``documents`` (the classic n-gram frequency use).
+    """
+    from moonlink_spark.operators import load as _load
+
+    docs = _load(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.expr(
+            r"regexp_extract_all(lower(text), '[a-z0-9]+ [a-z0-9]+', 0)"
+        ).alias("grams")
+    )
+    from moonlink_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    candidates = (
+        grams.mapInPandas(_mg_summaries, schema="candidate string")
+        .distinct()
+    )
+    exploded = grams.select(F.explode("grams").alias("gram"))
+    total = exploded.agg(F.count(F.lit(1)).alias("n"))
+    counted = (
+        exploded.join(
+            F.broadcast(candidates),
+            exploded["gram"] == candidates["candidate"],
+            "left_semi",
+        )
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * HH_DENOM > F.col("n"))
+        .select("gram", F.col("cnt").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "gram")
+    )

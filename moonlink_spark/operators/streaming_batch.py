@@ -393,3 +393,91 @@ def streaming_stateful_sessionize_e2e(spark: SparkSession, sf_dir: str) -> DataF
             F.timestamp_micros(F.col("end_us")).alias("session_end"),
         )
     )
+
+
+@register(
+    "streaming_interval_join_e2e",
+    oracle="""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       p.user_id,
+       CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS lag_s
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 10 MINUTE
+WHERE p.user_id < 100
+""",
+    category="streaming",
+)
+def streaming_interval_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END stream-stream interval join: two readStreams over events
+    (purchases vs clicks), joined on user_id with a +/-10-minute event-time
+    range under watermarks, availableNow into an append-mode memory sink.
+    The DuckDB oracle is the equivalent batch interval join — the hash
+    match proves the streaming join's watermark-bounded state buffering
+    emits exactly the batch answer.
+
+    Scale shape: Spark keys both join-state stores on user_id (one shuffle
+    each side), and the watermark + range condition bound how long each
+    row is buffered — the state size is O(rate x 10min), independent of
+    stream length. This is the §2c capability a pure CDC engine lacks:
+    joining two live streams without landing either.
+    """
+    from moonlink_spark.operators import normalize_events_ts
+    from moonlink_spark.session import ensure_package_on_workers
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_package_on_workers(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def stream():
+        return normalize_events_ts(
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        ).filter(F.col("user_id") < 100)
+
+    purchases = (
+        stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        stream()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("mls_interval_join_e2e")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("mls_interval_join_e2e").select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts"))
+        .cast("bigint")
+        .alias("lag_s"),
+    )
