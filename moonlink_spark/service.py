@@ -38,7 +38,10 @@ from moonlink_spark.errors import MoonlinkError
 from moonlink_spark.ingest.rest import RestSink
 from moonlink_spark.table.identity import IdentityProp
 
-_TABLE_RE = re.compile(r"^/tables/([^/]+)/([^/]+)(/optimize|/flush)?$")
+_TABLE_RE = re.compile(
+    r"^/tables/([^/]+)/([^/]+)"
+    r"(/optimize|/flush|/export|/matview|/matview/refresh)?$"
+)
 _INGEST_RE = re.compile(r"^/ingest/([^/]+)/([^/]+)$")
 _SCAN_RE = re.compile(r"^/scan/([^/]+)/([^/]+)$")
 _OTEL_RE = re.compile(r"^/otel/v1/(logs|metrics|traces)$")
@@ -182,6 +185,38 @@ class MoonlinkService:
                 mode = h._body().get("mode", "full")
                 v = self.backend.optimize_table(db, table, mode)
                 h._send(200, {"version": v})
+                return
+            if method == "POST" and action == "/export":
+                body = h._body()
+                fmt = body.get("format", "parquet")
+                dest, lsn = body["dest"], body.get("lsn")
+                if fmt == "delta":
+                    s = self.backend.export_table_delta(db, table, dest, lsn=lsn)
+                elif fmt == "iceberg":
+                    s = self.backend.export_table_iceberg(db, table, dest, lsn=lsn)
+                elif fmt == "parquet":
+                    s = self.backend.export_table(db, table, dest, lsn=lsn)
+                else:
+                    h._send(400, {"error": "BadFormat", "format": fmt})
+                    return
+                h._send(200, {"format": fmt, **s})
+                return
+            if method == "POST" and action == "/matview":
+                body = h._body()
+                mv = self.backend.create_materialized_view(
+                    db, table, body["dest"], body["group_by"],
+                    body.get("sums"),
+                )
+                h._send(200, {"created": body["dest"], "lsn": mv.state["lsn"]})
+                return
+            if method == "POST" and action == "/matview/refresh":
+                from moonlink_spark.table.matview import MaterializedView
+
+                body = h._body()
+                mv = MaterializedView(
+                    self.backend.get_table(db, table), body["dest"]
+                )
+                h._send(200, mv.refresh())
                 return
 
         m = _INGEST_RE.match(path)

@@ -268,3 +268,47 @@ def test_otel_ingest_and_scan(svc):
 
     assert base64.b64decode(child["parent_span_id"]).hex() == "b7ad6b7169203331"
     assert child["end_time_unix_nano"] is None
+
+
+def test_export_and_matview_routes(svc, tmp_path):
+    _req(svc, "POST", "/tables/db4/items", USERS_REQ)
+    for i in range(30):
+        _req(svc, "POST", "/ingest/db4/items",
+             {"operation": "insert",
+              "data": {"id": i, "name": f"g{i % 3}", "age": 20 + i}})
+
+    # iceberg + delta exports over HTTP
+    ice = str(tmp_path / "svc_ice")
+    code, out = _req(svc, "POST", "/tables/db4/items/export",
+                     {"format": "iceberg", "dest": ice})
+    assert code == 200 and out["rows"] == 30 and out["metadata_version"] == 1
+    code, out = _req(svc, "POST", "/tables/db4/items/export",
+                     {"format": "delta", "dest": str(tmp_path / "svc_delta")})
+    assert code == 200 and out["delta_version"] == 0
+    code, out = _req(svc, "POST", "/tables/db4/items/export",
+                     {"format": "nope", "dest": "x"})
+    assert code == 400
+
+    # matview create + delta refresh over HTTP
+    mv_dest = str(tmp_path / "svc_mv")
+    code, out = _req(svc, "POST", "/tables/db4/items/matview",
+                     {"dest": mv_dest, "group_by": ["name"], "sums": ["age"]})
+    assert code == 200
+    _req(svc, "POST", "/ingest/db4/items",
+         {"operation": "insert", "data": {"id": 100, "name": "g0", "age": 99}})
+    _req(svc, "POST", "/ingest/db4/items", {"operation": "delete", "data": {"id": 1}})
+    code, out = _req(svc, "POST", "/tables/db4/items/matview/refresh",
+                     {"dest": mv_dest})
+    assert code == 200 and out["refreshed"] and out["changed_rows"] > 0
+
+    # the refreshed view matches a direct aggregate via /sql
+    code, out = _req(svc, "POST", "/sql",
+                     {"query": "SELECT name, COUNT(*) AS n FROM items "
+                               "GROUP BY name ORDER BY name",
+                      "database": "db4"})
+    direct = {r["name"]: r["n"] for r in out["rows"]}
+    from moonlink_spark.table.matview import MaterializedView
+
+    mv = MaterializedView(svc.backend.get_table("db4", "items"), mv_dest)
+    got = {r.name: r.n_rows for r in mv.read().collect()}
+    assert got == direct
