@@ -152,6 +152,23 @@ def write_avro_container(
 # Iceberg schemas (field-ids per the public table spec)
 # --------------------------------------------------------------------------- #
 
+def _int_map(name: str, key_id: int, value_id: int, value_type: str) -> dict:
+    """Iceberg's int-keyed maps in Avro: array of key/value records with
+    ``logicalType: map`` (Avro maps proper allow only string keys)."""
+    return {
+        "type": "array",
+        "items": {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {"name": "key", "type": "int", "field-id": key_id},
+                {"name": "value", "type": value_type, "field-id": value_id},
+            ],
+        },
+        "logicalType": "map",
+    }
+
+
 _DATA_FILE_SCHEMA = {
     "type": "record",
     "name": "r2",
@@ -166,8 +183,132 @@ _DATA_FILE_SCHEMA = {
         },
         {"name": "record_count", "type": "long", "field-id": 103},
         {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        {
+            "name": "value_counts",
+            "type": ["null", _int_map("k119_v120", 119, 120, "long")],
+            "field-id": 109,
+            "default": None,
+        },
+        {
+            "name": "null_value_counts",
+            "type": ["null", _int_map("k121_v122", 121, 122, "long")],
+            "field-id": 110,
+            "default": None,
+        },
+        {
+            "name": "lower_bounds",
+            "type": ["null", _int_map("k126_v127", 126, 127, "bytes")],
+            "field-id": 125,
+            "default": None,
+        },
+        {
+            "name": "upper_bounds",
+            "type": ["null", _int_map("k129_v130", 129, 130, "bytes")],
+            "field-id": 128,
+            "default": None,
+        },
     ],
 }
+
+# ---- per-file column stats (value/null counts + bounds) ------------------ #
+#
+# Bounds use the Iceberg single-value binary serialization (little-endian
+# fixed-width numerics). Emitted only for numeric/date/timestamp/boolean
+# columns: parquet footers may TRUNCATE string min/max, which would break
+# the upper-bound contract, and bounds are optional per column in the spec.
+
+_EPOCH_DT = __import__("datetime").datetime(1970, 1, 1)
+_EPOCH_DATE = __import__("datetime").date(1970, 1, 1)
+
+
+def _single_value_bytes(iceberg_type: str, v: Any) -> bytes | None:
+    import datetime
+    import struct as _s
+
+    try:
+        if iceberg_type == "int":
+            return _s.pack("<i", int(v))
+        if iceberg_type == "long":
+            return _s.pack("<q", int(v))
+        if iceberg_type == "float":
+            return _s.pack("<f", float(v))
+        if iceberg_type == "double":
+            return _s.pack("<d", float(v))
+        if iceberg_type == "boolean":
+            return b"\x01" if v else b"\x00"
+        if iceberg_type == "date":
+            if isinstance(v, datetime.date):
+                return _s.pack("<i", (v - _EPOCH_DATE).days)
+            return _s.pack("<i", int(v))
+        if iceberg_type in ("timestamp", "timestamptz"):
+            if isinstance(v, datetime.datetime):
+                delta = v.replace(tzinfo=None) - _EPOCH_DT
+                return _s.pack("<q", delta // datetime.timedelta(microseconds=1))
+            return _s.pack("<q", int(v))
+    except (ValueError, TypeError, OverflowError):
+        return None
+    return None
+
+
+_BOUNDABLE = {"int", "long", "float", "double", "boolean", "date",
+              "timestamp", "timestamptz"}
+
+
+def _file_column_stats(
+    path: str, schema_obj: dict[str, Any], n_rows: int
+) -> dict[str, Any]:
+    """Parquet-footer stats -> Iceberg data_file stats fields (int-keyed
+    maps as {key, value} record lists, sorted by field id)."""
+    field_map = {
+        f["name"]: (f["id"], f["type"])
+        for f in schema_obj["fields"]
+        if isinstance(f["type"], str)  # top-level primitives only
+    }
+    md = pq.ParquetFile(path).metadata
+    nulls: dict[str, int] = {}
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    bad: set[str] = set()
+    for rg in range(md.num_row_groups):
+        group = md.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            name = col.path_in_schema
+            if name not in field_map or name in bad:
+                continue
+            st = col.statistics
+            if st is None or st.null_count is None or not st.has_min_max:
+                bad.add(name)
+                for d in (nulls, mins, maxs):
+                    d.pop(name, None)
+                continue
+            nulls[name] = nulls.get(name, 0) + st.null_count
+            mins[name] = st.min if name not in mins else min(mins[name], st.min)
+            maxs[name] = st.max if name not in maxs else max(maxs[name], st.max)
+    value_counts = [
+        {"key": fid, "value": n_rows} for fid, _ in sorted(field_map.values())
+    ]
+    null_counts = [
+        {"key": field_map[n][0], "value": c}
+        for n, c in sorted(nulls.items(), key=lambda kv: field_map[kv[0]][0])
+    ]
+    lower, upper = [], []
+    for name in sorted(mins, key=lambda n: field_map[n][0]):
+        fid, typ = field_map[name]
+        if typ not in _BOUNDABLE:
+            continue
+        lo = _single_value_bytes(typ, mins[name])
+        hi = _single_value_bytes(typ, maxs[name])
+        if lo is not None and hi is not None:
+            lower.append({"key": fid, "value": lo})
+            upper.append({"key": fid, "value": hi})
+    return {
+        "value_counts": value_counts,
+        "null_value_counts": null_counts,
+        "lower_bounds": lower or None,
+        "upper_bounds": upper or None,
+    }
+
 
 MANIFEST_ENTRY_SCHEMA = {
     "type": "record",
@@ -340,6 +481,23 @@ def export_iceberg(
     seq = (prev_meta.get("last-sequence-number", 0) + 1) if prev_meta else 1
     snapshot_id = seq  # deterministic: snapshot N of this export lineage
 
+    # ---- schema evolution: an altered table appends a NEW schema-id ----
+    schema_obj = iceberg_schema(m.schema_fields)
+    prev_schemas = list(prev_meta.get("schemas", [])) if prev_meta else []
+    current_schema_id = None
+    for s in prev_schemas:
+        if s["fields"] == schema_obj["fields"]:
+            current_schema_id = s["schema-id"]
+            schema_obj = s
+            break
+    if current_schema_id is None:
+        current_schema_id = max(
+            [-1] + [s["schema-id"] for s in prev_schemas]
+        ) + 1
+        schema_obj = dict(schema_obj, **{"schema-id": current_schema_id})
+        prev_schemas.append(schema_obj)
+    schema_json = json.dumps(schema_obj, separators=(",", ":"))
+
     # ---- manifest (full live set, status=ADDED under an overwrite) ----
     entries = []
     total_rows = 0
@@ -360,25 +518,12 @@ def export_iceberg(
                     "partition": {},
                     "record_count": n_rows,
                     "file_size_in_bytes": os.path.getsize(p),
+                    # per-column value/null counts + bounds from the
+                    # parquet footer, so Iceberg readers can prune
+                    **_file_column_stats(p, schema_obj, n_rows),
                 },
             }
         )
-    # ---- schema evolution: an altered table appends a NEW schema-id ----
-    schema_obj = iceberg_schema(m.schema_fields)
-    prev_schemas = list(prev_meta.get("schemas", [])) if prev_meta else []
-    current_schema_id = None
-    for s in prev_schemas:
-        if s["fields"] == schema_obj["fields"]:
-            current_schema_id = s["schema-id"]
-            schema_obj = s
-            break
-    if current_schema_id is None:
-        current_schema_id = max(
-            [-1] + [s["schema-id"] for s in prev_schemas]
-        ) + 1
-        schema_obj = dict(schema_obj, **{"schema-id": current_schema_id})
-        prev_schemas.append(schema_obj)
-    schema_json = json.dumps(schema_obj, separators=(",", ":"))
     manifest_path = os.path.join(meta_dir, f"manifest-{snapshot_id}.avro")
     write_avro_container(
         manifest_path,

@@ -249,3 +249,46 @@ def test_schema_evolution_appends_schema_id(spark, tmp_path):
     export_iceberg(t, dest)
     _, meta3 = current_metadata(dest)
     assert len(meta3["schemas"]) == 2 and meta3["current-schema-id"] == 1
+
+
+def test_manifest_column_stats_and_bounds(spark, tmp_path):
+    import struct
+
+    t = make_table(spark, tmp_path)
+    dest = str(tmp_path / "iceberg")
+    export_iceberg(t, dest)
+    _, meta = current_metadata(dest)
+    mlist = read_avro_container(meta["snapshots"][-1]["manifest-list"])
+    entries = read_avro_container(mlist[0]["manifest_path"])
+
+    ids = {f["name"]: f["id"] for f in meta["schemas"][0]["fields"]}
+    glb_lo = {}
+    glb_hi = {}
+    for e in entries:
+        df = e["data_file"]
+        vc = {kv["key"]: kv["value"] for kv in df["value_counts"]}
+        assert vc[ids["id"]] == df["record_count"]
+        lo = {kv["key"]: kv["value"] for kv in (df["lower_bounds"] or [])}
+        hi = {kv["key"]: kv["value"] for kv in (df["upper_bounds"] or [])}
+        # id (long, required non-null) and val (double) must carry bounds;
+        # grp is a string and must NOT (footer truncation hazard)
+        assert ids["id"] in lo and ids["val"] in lo and ids["grp"] not in lo
+        glb_lo[ids["id"]] = min(
+            glb_lo.get(ids["id"], 2**62), struct.unpack("<q", lo[ids["id"]])[0]
+        )
+        glb_hi[ids["id"]] = max(
+            glb_hi.get(ids["id"], -1), struct.unpack("<q", hi[ids["id"]])[0]
+        )
+        # per-file invariant: lower <= upper
+        assert struct.unpack("<q", lo[ids["id"]])[0] <= struct.unpack(
+            "<q", hi[ids["id"]]
+        )[0]
+    # global bounds across files == true data range (ids 0..199)
+    assert glb_lo[ids["id"]] == 0 and glb_hi[ids["id"]] == 199
+
+    # JVM avro still decodes the extended schema
+    jvm_entries, jvm_schema = jvm_read_avro(
+        spark, mlist[0]["manifest_path"]
+    )
+    assert len(jvm_entries) == len(entries)
+    assert "lower_bounds" in jvm_schema
