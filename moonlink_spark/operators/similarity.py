@@ -678,3 +678,63 @@ def semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+def _register_ann_recall() -> None:
+    """Registered via a helper so the oracle can be composed from the two
+    already-registered queries' oracle SQL (single source of truth)."""
+    from moonlink_spark.operators import REGISTRY
+
+    oracle = f"""
+WITH bf_all AS ({REGISTRY['knn_cosine_bruteforce'].oracle}),
+bf AS (SELECT * FROM bf_all WHERE rn <= 3),
+ivf AS ({REGISTRY['ann_ivf_topk'].oracle}),
+hits AS (
+  SELECT bf.query_id, CAST(COUNT(ivf.neighbor_id) AS BIGINT) AS n_hits
+  FROM bf LEFT JOIN ivf
+    ON bf.query_id = ivf.query_id AND bf.neighbor_id = ivf.neighbor_id
+  GROUP BY bf.query_id
+)
+SELECT query_id, n_hits,
+       CAST(round(CAST(n_hits AS DOUBLE) / 3.0, 6) AS DOUBLE) AS recall_at_3
+FROM hits ORDER BY query_id
+"""
+
+    @register("ann_recall_at_k", oracle=oracle, category="similarity")
+    def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """ANN quality evaluation: recall@3 of the IVF index against the
+        brute-force ground truth, per query — the metric that decides
+        whether an approximate index is usable, computed AS a query by
+        composing the two registered operators (same DataFrames, same
+        oracles). A recall dip after re-clustering shows up here before it
+        ships.
+
+        Scale: ground truth runs on the (small, broadcast) query set only —
+        O(Q x N) with Q tiny — and the comparison join is per-query top-k
+        rows, a few hundred rows total regardless of corpus size.
+        """
+        bf = (
+            knn_cosine_bruteforce(spark, sf_dir)
+            .filter(F.col("rn") <= 3)
+            .select("query_id", "neighbor_id")
+        )
+        ivf = ann_ivf_topk(spark, sf_dir).select(
+            F.col("query_id").alias("q2"), F.col("neighbor_id").alias("n2")
+        )
+        hits = (
+            bf.join(
+                ivf,
+                (bf.query_id == F.col("q2")) & (bf.neighbor_id == F.col("n2")),
+                "left",
+            )
+            .groupBy("query_id")
+            .agg(F.count(F.col("n2")).cast("bigint").alias("n_hits"))
+        )
+        return hits.select(
+            "query_id",
+            "n_hits",
+            F.round(F.col("n_hits").cast("double") / 3.0, 6).alias("recall_at_3"),
+        ).orderBy("query_id")
+
+
+_register_ann_recall()

@@ -300,3 +300,98 @@ def char_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "lm_fluency_scores",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{WORD_RE}') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS p
+  FROM toks
+),
+big AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+),
+c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM big GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM big GROUP BY w1),
+terms AS (
+  SELECT big.doc_id,
+         CAST(round(CAST(c1.c1 AS DOUBLE) / CAST(c2.c12 AS DOUBLE), 6)
+              AS DECIMAL(18,6)) AS inv_p
+  FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(inv_p) AS DOUBLE), 6)
+            AS DOUBLE) AS fluency
+FROM terms
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    category="text",
+)
+def lm_fluency_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model fluency scoring for quality filtering (the CCNet /
+    Gopher perplexity-filter shape, public): score each document by how
+    predictable its bigrams are under a corpus-trained bigram model. The
+    score is the HARMONIC mean of the conditional bigram probabilities
+    p(w2|w1) = C(w1,w2)/C(w1,*) — deliberately division-only arithmetic:
+    each term C1/C12 is one IEEE division of exact integers (bit-identical
+    across engines, no transcendental libm variance like log-perplexity),
+    rounded to 6 decimals and summed as DECIMAL so per-doc accumulation is
+    order-independent. Low fluency = rare/gibberish transitions, the docs
+    a perplexity filter would drop.
+
+    Scale design (100 TB): two count shuffles (bigram, prefix) whose
+    payload is counts; the per-occurrence probability join is against the
+    model tables — broadcast at bounded vocab, AQE shuffle-hash beyond —
+    then one per-doc aggregate. The model is reusable: in production the
+    count tables persist and only the scoring join runs per new shard.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr(f"regexp_extract_all(lower(text), '{WORD_RE}', 0)").alias("toks"),
+    )
+    big = (
+        toks.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("pair"),
+        )
+        .select("doc_id", "pair.w1", "pair.w2")
+        .persist()  # model counts AND the scoring join read it
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    inv_p = F.round(
+        F.col("c1").cast("double") / F.col("c12").cast("double"), 6
+    ).cast("decimal(18,6)")
+    return (
+        big.join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(c1), ["w1"])
+        .select("doc_id", inv_p.alias("inv_p"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("inv_p").alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                F.col("n_bigrams").cast("double") / F.col("s").cast("double"), 6
+            ).alias("fluency"),
+        )
+        .orderBy("doc_id")
+    )
