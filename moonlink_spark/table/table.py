@@ -138,6 +138,10 @@ class MoonlinkTable:
             # same pruning via non-overlapping per-file min/max stats —
             # the Spark-native equivalent of the layout benefit.
             props["cluster_by"] = list(cluster_by)
+            if props.get("cluster_strategy", "range") == "zorder":
+                from moonlink_spark.table.zorder import validate_zorder_columns
+
+                validate_zorder_columns(schema, list(cluster_by))
         t = cls(spark, path)
         if t.store.exists():
             raise TableConfigError(f"table already exists at {path}")
@@ -687,12 +691,25 @@ class MoonlinkTable:
         cluster = self.cluster_by
         if cluster:
             n = self._cluster_files_hint
-            cols = [F.col(c) for c in cluster]
-            df = (
-                df.repartitionByRange(n, *cols)
-                if n
-                else df.repartitionByRange(*cols)
-            )
+            strategy = self.manifest.properties.get("cluster_strategy", "range")
+            if strategy == "zorder" and len(cluster) >= 2:
+                # Morton-key range clustering: every file gets a narrow
+                # hyper-rectangle, stats prune on ALL cluster columns
+                from moonlink_spark.table.zorder import ZCOL, with_zorder_key
+
+                df = with_zorder_key(df, cluster)
+                df = (
+                    df.repartitionByRange(n, F.col(ZCOL))
+                    if n
+                    else df.repartitionByRange(F.col(ZCOL))
+                ).drop(ZCOL)
+            else:
+                cols = [F.col(c) for c in cluster]
+                df = (
+                    df.repartitionByRange(n, *cols)
+                    if n
+                    else df.repartitionByRange(*cols)
+                )
         tmp = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(tmp)
         entries = []

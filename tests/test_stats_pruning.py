@@ -145,3 +145,64 @@ def test_cluster_by_range_pruning(spark, tmp_path):
 
     with pytest.raises(TableConfigError):
         t.alter(drop_columns=["bucket"])
+
+
+def test_zorder_clustering_prunes_both_dimensions(spark, tmp_path):
+    """zorder cluster files cover narrow ranges in EVERY cluster column, so
+    stats pruning works on either dimension — what range clustering only
+    gives the first column."""
+    from moonlink_spark.errors import TableConfigError
+    from moonlink_spark.table.identity import IdentityProp
+    from moonlink_spark.table.stats import PrunePredicate
+    from moonlink_spark.table.table import MoonlinkTable
+
+    t = MoonlinkTable.create(
+        spark,
+        str(tmp_path / "zordered"),
+        [
+            {"name": "id", "data_type": "int64", "nullable": False},
+            {"name": "x", "data_type": "int64"},
+            {"name": "y", "data_type": "int64"},
+        ],
+        IdentityProp.single("id"),
+        cluster_by=["x", "y"],
+        properties={"cluster_strategy": "zorder"},
+    )
+    # 128x128 grid in random order: unclustered, every file spans both dims
+    df = spark.range(128 * 128).selectExpr(
+        "id",
+        "(id * 7919) % 128 AS x",
+        "((id * 104729) DIV 128) % 128 AS y",
+    )
+    t._cluster_files_hint = 16
+    try:
+        t.append_df(df)
+        t.commit(lsn=1)
+    finally:
+        t._cluster_files_hint = None
+    files = t.manifest.data_files
+    assert len(files) >= 8
+
+    for col in ("x", "y"):
+        pred = PrunePredicate.between(col, 10, 20)
+        kept = [f for f in files if pred.file_may_match(f.stats)]
+        # a narrow slice in EITHER dimension skips a good share of files
+        assert len(kept) <= 3 * len(files) // 4, (col, len(kept), len(files))
+        got = t.scan(prune=pred).filter(f"{col} BETWEEN 10 AND 20").count()
+        assert got == df.filter(f"{col} BETWEEN 10 AND 20").count()
+
+    # invalid configs fail loudly at create time
+    import pytest as _pytest
+
+    with _pytest.raises(TableConfigError):
+        MoonlinkTable.create(
+            spark,
+            str(tmp_path / "bad1"),
+            [
+                {"name": "id", "data_type": "int64", "nullable": False},
+                {"name": "s", "data_type": "string"},
+            ],
+            IdentityProp.single("id"),
+            cluster_by=["id", "s"],
+            properties={"cluster_strategy": "zorder"},
+        )
