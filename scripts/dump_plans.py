@@ -59,6 +59,25 @@ FLAGSHIPS = {
         "spread over N_SALTS reducers in phase 1; phase 2 merges "
         "N_SALTS-row partials."
     ),
+    "semantic_dedup_ivf": (
+        "SemDeDup at scale: the quadratic near-dup term is bounded per "
+        "cluster — centroid assignment is a 25-row broadcast map stage, "
+        "the pair join is an equi-join on cluster_id (never cartesian), "
+        "and per-vector norms are computed once before the join, not per "
+        "pair."
+    ),
+    "approx_heavy_hitters": (
+        "The sketch pass is mapInPandas with O(capacity) state and ZERO "
+        "shuffle; the only shuffle is the exact recount of a few hundred "
+        "broadcast candidates — the full-stream GROUP BY the naive plan "
+        "would shuffle never happens."
+    ),
+    "lm_fluency_scores": (
+        "The bigram model is two count aggregations whose payload is "
+        "counts; scoring joins each occurrence against the broadcast "
+        "model and aggregates per doc — at web scale the model tables "
+        "persist and only the scoring join runs per shard."
+    ),
 }
 
 
