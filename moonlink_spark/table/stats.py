@@ -17,6 +17,7 @@ bucketed hash index plays in the reference
 from __future__ import annotations
 
 import datetime as dt
+import re
 from decimal import Decimal
 from typing import Any
 
@@ -150,4 +151,87 @@ def key_batch_predicate(
             conds.append((c, "in", sorted(set(vals))))
         else:
             conds.extend([(c, ">=", lo), (c, "<=", hi)])
+    return PrunePredicate(conds) if conds else None
+
+
+# --------------------------------------------------------------------------- #
+# best-effort predicate extraction from a SQL condition string
+# --------------------------------------------------------------------------- #
+
+_LIT_RE = r"(?:'(?:[^']*)'|-?\d+(?:\.\d+)?)"
+_COND_RE = re.compile(
+    rf"^(\w+)\s*(=|==|<=|>=|<|>)\s*({_LIT_RE})$", re.IGNORECASE
+)
+_COND_REV_RE = re.compile(
+    rf"^({_LIT_RE})\s*(=|==|<=|>=|<|>)\s*(\w+)$", re.IGNORECASE
+)
+_IN_RE = re.compile(
+    rf"^(\w+)\s+IN\s*\(\s*({_LIT_RE}(?:\s*,\s*{_LIT_RE})*)\s*\)$", re.IGNORECASE
+)
+_FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "=", "==": "="}
+
+
+def _parse_literal(tok: str):
+    tok = tok.strip()
+    if tok.startswith("'"):
+        return tok[1:-1]
+    return float(tok) if "." in tok else int(tok)
+
+
+def prune_predicate_from_condition(condition: str) -> PrunePredicate | None:
+    """Best-effort: extract a file-skipping predicate from a SQL condition.
+
+    Understands top-level conjunctions of ``col <op> literal``,
+    ``literal <op> col``, ``col BETWEEN a AND b`` and ``col IN (...)``.
+    Anything else (OR, parens, functions, subqueries) makes THAT conjunct
+    contribute nothing; a condition with top-level OR returns None.
+    Correctness never depends on this: the caller always applies the full
+    filter — this only decides which files can be skipped outright.
+    """
+    text = " ".join(condition.split())
+    # a top-level OR (or any parens beyond IN-lists) poisons conjunct
+    # splitting; bail to "no pruning"
+    probe = re.sub(_IN_RE, "", text)
+    if re.search(r"\bOR\b", probe, re.IGNORECASE) or "(" in re.sub(
+        _IN_RE, "", text
+    ):
+        return None
+    conds: list[tuple[str, str, Any]] = []
+
+    # extract BETWEEN clauses FIRST: their inner AND would break the
+    # top-level conjunct split below
+    def _take_between(m: "re.Match[str]") -> str:
+        conds.append((m.group(1), ">=", _parse_literal(m.group(2))))
+        conds.append((m.group(1), "<=", _parse_literal(m.group(3))))
+        return "1 = 1"
+
+    text = re.sub(
+        rf"(\w+)\s+BETWEEN\s+({_LIT_RE})\s+AND\s+({_LIT_RE})",
+        _take_between,
+        text,
+        flags=re.IGNORECASE,
+    )
+    for part in re.split(r"\bAND\b", text, flags=re.IGNORECASE):
+        part = part.strip()
+        if part == "1 = 1":
+            continue
+        m = _IN_RE.match(part)
+        if m:
+            vals = [
+                _parse_literal(v)
+                for v in re.findall(_LIT_RE, m.group(2))
+            ]
+            conds.append((m.group(1), "in", vals))
+            continue
+        m = _COND_RE.match(part)
+        if m:
+            op = "=" if m.group(2) == "==" else m.group(2)
+            conds.append((m.group(1), op, _parse_literal(m.group(3))))
+            continue
+        m = _COND_REV_RE.match(part)
+        if m:
+            op = _FLIP["=" if m.group(2) == "==" else m.group(2)]
+            conds.append((m.group(3), op, _parse_literal(m.group(1))))
+            continue
+        # unrecognized conjunct: contributes no pruning (still correct)
     return PrunePredicate(conds) if conds else None

@@ -558,6 +558,19 @@ class MoonlinkTable:
     def _resolve(self, rel: str) -> str:
         return rel if os.path.isabs(rel) else os.path.join(self.path, rel)
 
+    def scan_where(self, condition: str, lsn: int | None = None) -> DataFrame:
+        """Scan with the filter applied AND manifest-stats file pruning
+        derived automatically from the condition (best-effort extraction of
+        col/op/literal conjuncts — the ergonomic form of ``scan(prune=...)``;
+        unparseable conditions simply skip no files, never wrong results).
+        The engine-level analog of the reference's index-backed point scans
+        (persisted_bucket_hash_map.rs lookups) over stats instead of an
+        index."""
+        from moonlink_spark.table.stats import prune_predicate_from_condition
+
+        pred = prune_predicate_from_condition(condition)
+        return self.scan(lsn=lsn, prune=pred).filter(condition)
+
     def _read_manifest(
         self, m: Manifest, with_pos: bool, prune: PrunePredicate | None = None
     ) -> DataFrame:

@@ -206,3 +206,23 @@ def test_zorder_clustering_prunes_both_dimensions(spark, tmp_path):
             cluster_by=["id", "s"],
             properties={"cluster_strategy": "zorder"},
         )
+
+
+def test_scan_where_auto_prunes(spark, tmp_path):
+    """scan_where derives the file-skip predicate from the SQL condition —
+    same pruning as hand-built PrunePredicate, same rows as a full scan."""
+    from pyspark.sql import functions as F
+
+    t = _make(spark, tmp_path)  # 5 files x 100 rows, ids 0..499 range-laid
+    df = t.scan_where("id BETWEEN 150 AND 170")
+    files = df.select(F.col("_metadata.file_path")).distinct().count()
+    assert files == 1
+    assert df.count() == 21
+
+    # unparseable condition: no pruning, still correct
+    df2 = t.scan_where("id % 100 = 0")
+    assert df2.count() == 5
+
+    # disjunction: conservative full scan, correct rows
+    df3 = t.scan_where("id = 10 OR id = 450")
+    assert df3.count() == 2
