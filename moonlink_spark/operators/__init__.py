@@ -103,9 +103,10 @@ PRIORITY_50 = [
     "embedding_quantize_rerank",
     # semantic dedup (1)
     "semantic_dedup_ivf",
-    # text analysis (2)
+    # text analysis (3)
     "text_quality_scores",
     "lang_id_heuristic",
+    "lm_fluency_scores",
     # safety / curation (3)
     "pii_pattern_scan",
     "contamination_check",
@@ -121,17 +122,18 @@ PRIORITY_50 = [
     # UDF surfaces (rows-only by design) (2)
     "multimodal_feature_extract",
     "chunk_documents_udtf",
-    # streaming / time (4)
+    # streaming / time (5)
     "tumbling_window_hourly",
     "streaming_stateful_sessionize_e2e",
     "streaming_tumbling_agg_e2e",
+    "streaming_interval_join_e2e",
     "hierarchical_time_rollup",
-    # windows (4)
+    # windows (3) — session semantics already gate-checked via the
+    # stateful e2e, which shares sessionize_events' oracle
     "window_topk_parts_per_brand",
     "window_running_user_totals",
     "first_last_nth_event_values",
-    "sessionize_events",
-    # relational core (11)
+    # relational core (10)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q9_product_profit",
@@ -141,7 +143,6 @@ PRIORITY_50 = [
     "skew_salted_aggregation",
     "interval_range_join",
     "scalar_functions",
-    "json_props_extraction",
     "point_lookup_order",
 ]
 
