@@ -258,8 +258,12 @@ class MoonlinkService:
             q = parse_qs(url.query)
             lsn = int(q["lsn"][0]) if "lsn" in q else None
             limit = int(q.get("limit", ["1000"])[0])
+            where = q.get("where", [None])[0]
             t = self.backend.get_table(m.group(1), m.group(2))
-            df = t.scan_blocking(lsn) if lsn is not None else t.scan()
+            if lsn is not None:
+                t.store.wait_for_lsn(lsn)
+            # where => filter + automatic manifest-stats file pruning
+            df = t.scan_where(where, lsn=lsn) if where else t.scan(lsn=lsn)
             rows = [r.asDict(recursive=True) for r in df.limit(limit).collect()]
             h._send(200, {"rows": rows, "count": len(rows)})
             return

@@ -312,3 +312,13 @@ def test_export_and_matview_routes(svc, tmp_path):
     mv = MaterializedView(svc.backend.get_table("db4", "items"), mv_dest)
     got = {r.name: r.n_rows for r in mv.read().collect()}
     assert got == direct
+
+
+def test_scan_where_param(svc):
+    _req(svc, "POST", "/tables/db5/pts", USERS_REQ)
+    for i in range(10):
+        _req(svc, "POST", "/ingest/db5/pts",
+             {"operation": "insert", "data": {"id": i, "name": f"n{i}", "age": i}})
+    code, out = _req(svc, "GET", "/scan/db5/pts?where=age%20BETWEEN%203%20AND%205")
+    assert code == 200 and out["count"] == 3
+    assert sorted(r["id"] for r in out["rows"]) == [3, 4, 5]
