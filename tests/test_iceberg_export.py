@@ -292,3 +292,35 @@ def test_manifest_column_stats_and_bounds(spark, tmp_path):
     )
     assert len(jvm_entries) == len(entries)
     assert "lower_bounds" in jvm_schema
+
+
+def test_partial_export_recovers(spark, tmp_path, monkeypatch):
+    """Crash between data-file materialization and metadata write: the next
+    export converges (content-addressed files are reused, metadata stays
+    at the pre-crash version until the atomic version-hint flip)."""
+    import moonlink_spark.table.iceberg_export as ice
+
+    t = make_table(spark, tmp_path)
+    dest = str(tmp_path / "iceberg")
+
+    real_writer = ice.write_avro_container
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before metadata")
+
+    monkeypatch.setattr(ice, "write_avro_container", boom)
+    try:
+        export_iceberg(t, dest)
+        raise AssertionError("expected injected crash")
+    except RuntimeError:
+        pass
+    # data files were copied, but no readable metadata exists
+    assert os.listdir(os.path.join(dest, "data"))
+    assert not os.path.exists(
+        os.path.join(dest, "metadata", "version-hint.text")
+    )
+
+    monkeypatch.setattr(ice, "write_avro_container", real_writer)
+    summary = export_iceberg(t, dest)
+    assert summary["metadata_version"] == 1 and summary["rows"] == 200
+    assert duck_rows(dest) == spark_rows(t)
