@@ -984,3 +984,41 @@ def q2_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_acctbal").cast("double").alias("acctbal"),
         )
     )
+
+
+@register(
+    "grouping_sets_returns",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+         AS grp_id,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4))) AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY grp_id, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+""",
+    category="aggregation",
+)
+def grouping_sets_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the shape ROLLUP/CUBE are sugar for) with
+    grouping_id disambiguating real NULL group keys from subtotal rows —
+    the remaining §2c grouping-sets surface beyond rollup_orders /
+    cube_lineitem_flags. One Expand + single partial/final aggregate;
+    subtotals cost one extra replicated row per set, never a second scan.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("mls_gs_lineitem")
+    return li.sparkSession.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+                 AS grp_id,
+               COUNT(*) AS n_lines,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4))) AS DOUBLE)
+                 AS revenue
+        FROM mls_gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY grp_id, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
