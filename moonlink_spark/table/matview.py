@@ -114,7 +114,28 @@ class MaterializedView:
         keys = self.table.identity.key_columns([])
         payload = list(dict.fromkeys(group_by + sums))
 
-        old = self.table.scan(lsn=old_lsn).select(
+        try:
+            old_snapshot = self.table.scan(lsn=old_lsn)
+        except Exception:
+            # the pinned snapshot was vacuumed away (keep_versions shorter
+            # than the view's refresh lag): fall back to a one-off FULL
+            # recompute — correct, just not incremental. Vacuum retention
+            # should normally cover the refresh cadence.
+            v_new = _aggregate(self.table.scan(lsn=new_lsn), group_by, sums)
+            new_version = self.state["version"] + 1
+            _write_version(self.path, new_version, v_new)
+            old_dir = self._version_path(self.state["version"])
+            self.state.update({"lsn": new_lsn, "version": new_version})
+            _write_state(self.path, self.state)
+            shutil.rmtree(old_dir, ignore_errors=True)
+            return {
+                "refreshed": True,
+                "lsn": new_lsn,
+                "full_recompute": True,
+                "version": new_version,
+            }
+
+        old = old_snapshot.select(
             *keys,
             *[F.col(c).alias(f"__old_{c}") for c in payload],
             F.lit(True).alias("__in_old"),

@@ -122,3 +122,30 @@ def test_requires_key_identity(spark, tmp_path):
     )
     with pytest.raises(TableConfigError):
         MaterializedView.create(t, str(tmp_path / "mv"), ["grp"], sums=["val"])
+
+
+def test_refresh_survives_vacuumed_snapshot(spark, tmp_path):
+    """If vacuum retention is shorter than the view's refresh lag, the
+    pinned snapshot disappears — refresh must fall back to a full
+    recompute (correct, flagged) instead of failing."""
+    from moonlink_spark.table.maintenance import vacuum
+
+    t = make_table(spark, tmp_path)
+    mv = MaterializedView.create(t, str(tmp_path / "mv"), ["grp"], sums=["val"])
+
+    t.upsert_rows([{"id": i, "grp": "moved", "val": 1.0} for i in range(10)])
+    t.commit(lsn=2)
+    t.delete_rows([{"id": i} for i in range(90, 95)])
+    t.commit(lsn=3)
+    vacuum(t, keep_versions=1)  # drops the lsn=1 snapshot the view pins
+
+    s = mv.refresh()
+    assert s["refreshed"] and s.get("full_recompute") is True
+    assert view_rows(mv) == direct_rows(t)
+
+    # subsequent refreshes are incremental again
+    t.append_rows([{"id": 500, "grp": "g0", "val": 5.0}])
+    t.commit(lsn=4)
+    s2 = mv.refresh()
+    assert s2["refreshed"] and "full_recompute" not in s2
+    assert view_rows(mv) == direct_rows(t)
