@@ -58,10 +58,43 @@ def chunk_documents_udtf(spark: SparkSession):
     return DocChunks
 
 
-@register("chunk_documents_udtf", oracle=None, category="udtf")
+@register(
+    "chunk_documents_udtf",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id, source, len(regexp_extract_all(text, '\S+')) AS n
+  FROM documents WHERE doc_id % 5 = 0 AND len(regexp_extract_all(text, '\S+')) > 0
+),
+ch AS (
+  SELECT doc_id, source, n,
+         CASE WHEN n <= 64 THEN 1
+              ELSE 1 + CAST(ceil((n - 64) / 48.0) AS BIGINT) END AS n_chunks
+  FROM d
+),
+tok AS (
+  SELECT ch.doc_id, ch.source, ch.n_chunks,
+         SUM(LEAST(64, ch.n - 48 * t.k)) AS doc_tokens
+  FROM ch, UNNEST(generate_series(0, ch.n_chunks - 1)) AS t(k)
+  GROUP BY ch.doc_id, ch.source, ch.n_chunks
+)
+SELECT source,
+       CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_tokens) AS BIGINT) AS total_tokens,
+       CAST(MAX(n_chunks - 1) AS INTEGER) AS max_chunks_per_doc
+FROM tok
+GROUP BY source
+ORDER BY source
+""",
+    category="udtf",
+)
 def chunk_documents_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk every 5th document into overlapping 64-token windows via the
-    UDTF, then summarize per source (deterministic rows-only output)."""
+    UDTF, then summarize per source. The oracle re-derives the window
+    arithmetic in closed form (chunks = 1 + ceil((n-64)/48), chunk k holds
+    min(64, n - 48k) tokens) in pure SQL — so the imperative Python UDTF
+    is hash-checked against a declarative reimplementation, a stronger
+    check than row counting."""
     chunk_documents_udtf(spark)
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     docs.createOrReplaceTempView("__docs_to_chunk")

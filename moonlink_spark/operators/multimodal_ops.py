@@ -18,11 +18,52 @@ from pyspark.sql import functions as F
 from moonlink_spark.operators import load, register
 
 
-@register("multimodal_feature_extract", oracle=None, category="multimodal")
+@register(
+    "multimodal_feature_extract",
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         text
+  FROM documents
+),
+f AS (
+  SELECT kind,
+         sha256(text) AS chash,
+         octet_length(CAST(text AS BLOB)) AS n_bytes,
+         CASE WHEN kind = 'image' THEN sha256(text)
+              WHEN kind = 'audio' THEN sha256('audio:' || text)
+              ELSE sha256('video:' || text) END AS fh
+  FROM media
+),
+g AS (
+  SELECT kind, chash, n_bytes,
+         (strpos('0123456789abcdef', substr(fh, 1, 1)) - 1) * 16 +
+         (strpos('0123456789abcdef', substr(fh, 2, 1)) - 1) AS b1,
+         (strpos('0123456789abcdef', substr(fh, 3, 1)) - 1) * 16 +
+         (strpos('0123456789abcdef', substr(fh, 4, 1)) - 1) AS b2
+  FROM f
+)
+SELECT kind,
+       CAST(COUNT(*) AS BIGINT) AS n_media,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(round(AVG(CAST(CASE WHEN kind = 'video'
+                                THEN (b1 * 256 + b2) / 65535.0
+                                ELSE b1 / 255.0 END AS REAL)), 6) AS DOUBLE)
+         AS avg_f0,
+       CAST(COUNT(DISTINCT chash) AS BIGINT) AS n_distinct
+FROM g GROUP BY kind ORDER BY kind
+""",
+    category="multimodal",
+)
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> binary media payloads -> mapInPandas feature extraction
-    -> per-kind summary (deterministic: every value derives from content
-    digests)."""
+    -> per-kind summary. Every value derives from content digests, so the
+    oracle REPLAYS the fake decoders in pure SQL (sha256 nibbles -> bytes,
+    float32-quantized like the Arrow feature schema) — the Python
+    mapInPandas plumbing is hash-checked end to end, not just row-counted.
+    """
     from moonlink_spark.sources.multimodal import extract_features
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
