@@ -119,3 +119,41 @@ def test_snapshot_then_stream(spark, tmp_path):
     ing.run_available()
     got = {r["id"]: r["name"] for r in t.scan().collect()}
     assert got == {0: "u0-new", 1: "u1", 2: "u2", 3: "u3", 4: "u4"}
+
+
+def test_cdc_to_matview_pipeline(spark, tmp_path):
+    """Full consumer chain: live DB -> outbox poll -> streaming merge ->
+    incrementally-refreshed materialized view. The view must track the
+    database through inserts, updates and deletes without ever rescanning
+    the table after creation."""
+    from moonlink_spark.table.matview import MaterializedView
+
+    db = str(tmp_path / "src3.db")
+    _setup_db(db)
+    for i in range(20):
+        _apply(db, "insert", {"id": i, "name": f"g{i % 3}"})
+
+    spool = str(tmp_path / "spool3")
+    src = DbPollingSource(lambda: sqlite3.connect(db), "outbox", spool)
+    src.poll_once()
+    t = MoonlinkTable.create(
+        spark, str(tmp_path / "t3"), USERS_FIELDS, IdentityProp.single("id")
+    )
+    ing = StreamingIngestor(t, spool, str(tmp_path / "ckpt3"))
+    ing.run_available()
+
+    mv = MaterializedView.create(t, str(tmp_path / "mv3"), ["name"])
+    base = {r.name: r.n_rows for r in mv.read().collect()}
+    assert base == {"g0": 7, "g1": 7, "g2": 6}
+
+    # database keeps changing: group migration + delete + insert
+    _apply(db, "update", {"id": 0, "name": "g2"}, {"id": 0, "name": "g0"})
+    _apply(db, "delete", None, {"id": 1, "name": "g1"})
+    _apply(db, "insert", {"id": 100, "name": "g9"})
+    src.poll_once()
+    ing.run_available()
+
+    s = mv.refresh()
+    assert s["refreshed"] and s["changed_rows"] > 0
+    got = {r.name: r.n_rows for r in mv.read().collect()}
+    assert got == {"g0": 6, "g1": 6, "g2": 7, "g9": 1}
