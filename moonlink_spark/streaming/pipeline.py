@@ -130,6 +130,7 @@ class StreamingIngestor:
         on_batch: Callable[[int, int | None], None] | None = None,
         kafka_bootstrap: str | None = None,
         kafka_topic: str | None = None,
+        refresh_views: list | None = None,
     ):
         if (source_dir is None) == (kafka_topic is None):
             raise ValueError("exactly one of source_dir / kafka_topic required")
@@ -139,9 +140,15 @@ class StreamingIngestor:
         self.on_batch = on_batch
         self.kafka_bootstrap = kafka_bootstrap
         self.kafka_topic = kafka_topic
+        # MaterializedViews kept current per micro-batch: each refresh is
+        # O(batch delta) by construction, so chaining it here turns the
+        # stream into continuously-maintained aggregates
+        self.refresh_views = list(refresh_views or [])
 
     def _foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         version = apply_cdc_batch(self.table, batch_df, batch_id)
+        for mv in self.refresh_views:
+            mv.refresh()
         if self.on_batch:
             self.on_batch(batch_id, version)
 

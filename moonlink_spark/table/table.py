@@ -558,6 +558,14 @@ class MoonlinkTable:
     def _resolve(self, rel: str) -> str:
         return rel if os.path.isabs(rel) else os.path.join(self.path, rel)
 
+    def changes(self, from_lsn: int, to_lsn: int | None = None) -> DataFrame:
+        """Change data feed: row-level insert/update/delete between two LSN
+        snapshots with before/after images (table/cdf.py; the consumer API
+        over the reference's read-state-at-LSN contract, SURVEY.md §3.2)."""
+        from moonlink_spark.table.cdf import table_changes
+
+        return table_changes(self, from_lsn, to_lsn)
+
     def scan_where(self, condition: str, lsn: int | None = None) -> DataFrame:
         """Scan with the filter applied AND manifest-stats file pruning
         derived automatically from the condition (best-effort extraction of

@@ -149,3 +149,66 @@ def test_refresh_survives_vacuumed_snapshot(spark, tmp_path):
     s2 = mv.refresh()
     assert s2["refreshed"] and "full_recompute" not in s2
     assert view_rows(mv) == direct_rows(t)
+
+
+def test_change_data_feed(spark, tmp_path):
+    """table.changes(a, b): value-wise insert/update/delete classification
+    with before/after images; no-op re-upserts are not changes."""
+    t = make_table(spark, tmp_path)  # lsn=1: ids 0..99
+
+    t.upsert_rows([{"id": 5, "grp": "g1", "val": 5.0}])  # identical: no-op
+    t.upsert_rows([{"id": 7, "grp": "CHANGED", "val": 7.75}])
+    t.append_rows([{"id": 300, "grp": "new", "val": 3.0}])
+    t.delete_rows([{"id": 9}])
+    t.commit(lsn=2)
+
+    ch = {r.id: r for r in t.changes(1, 2).collect()}
+    assert set(ch) == {7, 300, 9}
+    assert ch[7]._change_type == "update"
+    assert ch[7].before.grp == "g3" and ch[7].after.grp == "CHANGED"
+    assert ch[300]._change_type == "insert" and ch[300].before is None
+    assert ch[300].after.val == 3.0
+    assert ch[9]._change_type == "delete" and ch[9].after is None
+    assert ch[9].before.val == 9.0
+
+    # full-row identity is rejected
+    fr = MoonlinkTable.create(
+        spark, str(tmp_path / "fr2"), SCHEMA, IdentityProp.full_row()
+    )
+    with pytest.raises(TableConfigError):
+        fr.changes(0)
+
+
+def test_streaming_maintained_view(spark, tmp_path):
+    """refresh_views= chains matview maintenance into every micro-batch:
+    after the stream drains, the view equals the direct aggregate without
+    ever being refreshed by hand."""
+    import json as _json
+    import os as _os
+
+    from moonlink_spark.streaming.pipeline import StreamingIngestor
+
+    t = make_table(spark, tmp_path)
+    mv = MaterializedView.create(t, str(tmp_path / "smv"), ["grp"], sums=["val"])
+
+    spool = str(tmp_path / "spool")
+    _os.makedirs(spool)
+
+    def emit(name, events):
+        with open(_os.path.join(spool, name), "w") as fh:
+            for e in events:
+                fh.write(_json.dumps(e) + "\n")
+
+    emit("b1.jsonl", [
+        {"op": "upsert", "lsn": 101, "row": {"id": 0, "grp": "moved", "val": 0.5}},
+        {"op": "upsert", "lsn": 102, "row": {"id": 400, "grp": "g0", "val": 4.0}},
+    ])
+    emit("b2.jsonl", [
+        {"op": "delete", "lsn": 103, "row": {"id": 50}},
+    ])
+    ing = StreamingIngestor(
+        t, spool, str(tmp_path / "ckpt"), refresh_views=[mv]
+    )
+    ing.run_available()
+    assert view_rows(mv) == direct_rows(t)
+    assert mv.state["lsn"] == t.last_lsn
