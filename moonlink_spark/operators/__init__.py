@@ -81,13 +81,14 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # module happens to import first. Everything past slot 50 is still
 # registered and stays green under scripts/check_parity.py.
 PRIORITY_50 = [
-    # ingest / table engine (6)
+    # ingest / table engine (7)
     "ingest_scan_at_lsn",
     "ingest_upsert_delete_scan",
     "ingest_streaming_xact_commit_abort",
     "ingest_delete_where_scan",
     "incremental_view_maintenance",
     "ingest_snapshot_diff",
+    "ingest_optimize_invariance",
     # dedup (6)
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -133,7 +134,7 @@ PRIORITY_50 = [
     "window_topk_parts_per_brand",
     "window_running_user_totals",
     "first_last_nth_event_values",
-    # relational core (10)
+    # relational core (9)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q9_product_profit",
@@ -141,7 +142,6 @@ PRIORITY_50 = [
     "asof_join_purchase_click",
     "skew_salted_join",
     "skew_salted_aggregation",
-    "interval_range_join",
     "scalar_functions",
     "point_lookup_order",
 ]

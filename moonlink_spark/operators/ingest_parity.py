@@ -458,3 +458,157 @@ def ingest_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+@register(
+    "ingest_bulk_load_scan",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderpriority
+FROM orders WHERE o_orderkey % 7 = 0
+""",
+    category="ingest",
+)
+def ingest_bulk_load_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk file load: parquet files registered by FOOTER METADATA only —
+    no row-level processing, no rewrite (parity TableEvent::LoadFiles,
+    batch_ingestion.rs; SURVEY.md §2a #10). The files are produced
+    outside the table, adopted via load_files(copy=True), and the scan
+    must return exactly their contents.
+
+    Scale: adoption cost is O(files) footer reads, never O(rows) — how a
+    100 TB backfill enters the table without passing through the write
+    path."""
+    import glob as _glob
+
+    base = _orders_df(spark, sf_dir).filter(F.col("o_orderkey") % 7 == 0)
+    src_dir = _tmp_table_dir("bulk-src")
+    base.coalesce(2).write.mode("overwrite").parquet(src_dir)
+    files = sorted(_glob.glob(os.path.join(src_dir, "*.parquet")))
+    t = MoonlinkTable.create(
+        spark,
+        _tmp_table_dir("bulkload"),
+        ORDERS_FIELDS,
+        IdentityProp.single("o_orderkey"),
+    )
+    t.load_files(files, copy=True)
+    t.commit(lsn=1)
+    return t.scan().withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("double")
+    )
+
+
+@register(
+    "ingest_alter_add_column_scan",
+    oracle="""
+SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(NULL AS VARCHAR) AS priority_flag
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       CASE WHEN o_orderpriority < '3' THEN 'hot' ELSE 'cold' END
+         AS priority_flag
+FROM orders WHERE o_orderkey % 2 = 1
+""",
+    category="ingest",
+)
+def ingest_alter_add_column_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution mid-stream: append half the rows, ALTER TABLE ADD
+    COLUMN, append the other half with the new column populated — the
+    scan merges old files (new column as NULL) and new files seamlessly
+    (parity AlterTable, mooncake_table.rs:100-127; SURVEY.md §2a #20).
+
+    Scale: alter is a metadata-only commit; no file is rewritten — old
+    parquet is read through the widened schema with null backfill."""
+    base = _orders_df(spark, sf_dir)
+    t = MoonlinkTable.create(
+        spark,
+        _tmp_table_dir("alter"),
+        [
+            {"name": "o_orderkey", "data_type": "int64", "nullable": False},
+            {"name": "o_totalprice", "data_type": "float64"},
+        ],
+        IdentityProp.single("o_orderkey"),
+    )
+    t.append_df(base.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ))
+    t.commit(lsn=1)
+    # alter is itself a (metadata-only) commit at lsn=2
+    t.alter(add_columns=[{"name": "priority_flag", "data_type": "string"}])
+    t.append_df(
+        base.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey",
+            "o_totalprice",
+            F.when(F.col("o_orderpriority") < "3", "hot")
+            .otherwise("cold")
+            .alias("priority_flag"),
+        )
+    )
+    t.commit(lsn=3)
+    return t.scan().withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("double")
+    )
+
+
+@register(
+    "ingest_optimize_invariance",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+  FROM orders
+),
+upserted AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         o_totalprice + 1000.0 AS o_totalprice, o_orderpriority
+  FROM base WHERE o_orderkey % 100 = 0
+),
+merged AS (
+  SELECT * FROM base WHERE o_orderkey % 100 <> 0
+  UNION ALL SELECT * FROM upserted
+)
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderpriority
+FROM merged WHERE o_orderkey % 55 <> 0
+""",
+    category="ingest",
+)
+def ingest_optimize_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction is content-invariant: the MERGE lifecycle (append, 10%
+    upsert, delete) followed by OPTIMIZE — rewriting deletion-heavy files
+    with DVs applied inline — must scan to EXACTLY the pre-compaction
+    result (parity CompactionBuilder, compactor.rs:31-90; SURVEY.md §2a
+    #15). The oracle states the post-lifecycle content; compaction adds
+    nothing and loses nothing.
+
+    Scale: optimize rewrites only files past the deletion-ratio/file-size
+    triggers, in one distributed job; the invariant here is what makes
+    background compaction safe to run under live readers."""
+    from moonlink_spark.table.maintenance import optimize
+
+    base = _orders_df(spark, sf_dir)
+    t = MoonlinkTable.create(
+        spark,
+        _tmp_table_dir("optinv"),
+        ORDERS_FIELDS,
+        IdentityProp.single("o_orderkey"),
+    )
+    t.append_df(base)
+    t.commit(lsn=1)
+    t.upsert_df(
+        base.filter(F.col("o_orderkey") % 100 == 0).withColumns(
+            {
+                "o_orderstatus": F.lit("U"),
+                "o_totalprice": F.col("o_totalprice") + 1000.0,
+            }
+        )
+    )
+    t.commit(lsn=2)
+    t.delete_keys_df(
+        t.scan().filter(F.col("o_orderkey") % 55 == 0).select("o_orderkey")
+    )
+    t.commit(lsn=3)
+    optimize(t)
+    return t.scan().withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("double")
+    )
