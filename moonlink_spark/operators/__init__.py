@@ -120,7 +120,7 @@ PRIORITY_50 = [
     "bm25_retrieval",
     "column_profile_lineitem",
     "zscore_outlier_events",
-    # UDF surfaces (rows-only by design) (2)
+    # UDF surfaces — Python plumbing hash-checked against SQL replays (2)
     "multimodal_feature_extract",
     "chunk_documents_udtf",
     # streaming / time (5)
