@@ -612,3 +612,66 @@ def ingest_optimize_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.scan().withColumn(
         "o_totalprice", F.col("o_totalprice").cast("double")
     )
+
+
+@register(
+    "ingest_initial_copy_cdc_scan",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderpriority
+FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 30 <> 0
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderpriority
+FROM orders WHERE o_orderkey % 3 = 2
+""",
+    category="ingest",
+)
+def ingest_initial_copy_cdc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial copy then CDC takeover: snapshot-seed the table at a cursor
+    LSN, then apply a CDC batch containing events from BEFORE the snapshot
+    cursor (must be skipped — replaying them would double-apply) mixed
+    with post-cursor inserts and deletes (parity: initial-copy + buffered
+    replay with LSN floor, initial_copy.rs + table_handler.rs:940-951;
+    SURVEY.md §2a #11).
+
+    The %3==1 events carry lsn=500 < snapshot_lsn=1000: their ABSENCE from
+    the result proves the floor; the oracle states snapshot minus deletes
+    plus post-cursor inserts."""
+    from pyspark.sql import types as T
+
+    from moonlink_spark.schema import field_schema_to_struct
+    from moonlink_spark.streaming.pipeline import apply_cdc_batch, initial_copy
+
+    base = _orders_df(spark, sf_dir)
+    t = MoonlinkTable.create(
+        spark,
+        _tmp_table_dir("initcopy"),
+        ORDERS_FIELDS,
+        IdentityProp.single("o_orderkey"),
+    )
+    initial_copy(t, base.filter(F.col("o_orderkey") % 3 == 0), snapshot_lsn=1000)
+
+    row_type = field_schema_to_struct(ORDERS_FIELDS)
+    row_struct = F.struct(*[F.col(f.name) for f in row_type.fields])
+    null_row = F.lit(None).cast(row_type)
+    null_xact = F.lit(None).cast("int")
+
+    def ev(df, lsn, op, as_old=False):
+        return df.select(
+            F.lit(lsn).cast("bigint").alias("lsn"),
+            null_xact.alias("xact_id"),
+            F.lit(op).alias("op"),
+            (null_row if as_old else row_struct).alias("row"),
+            (row_struct if as_old else null_row).alias("old_row"),
+        )
+
+    pre_cursor = ev(base.filter(F.col("o_orderkey") % 3 == 1), 500, "insert")
+    inserts = ev(base.filter(F.col("o_orderkey") % 3 == 2), 1500, "insert")
+    deletes = ev(
+        base.filter(F.col("o_orderkey") % 30 == 0), 2000, "delete", as_old=True
+    )
+    apply_cdc_batch(t, pre_cursor.unionByName(inserts).unionByName(deletes), 0)
+    return t.scan().withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("double")
+    )
