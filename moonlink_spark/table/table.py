@@ -723,14 +723,18 @@ class MoonlinkTable:
                     df.repartitionByRange(n, F.col(ZCOL))
                     if n
                     else df.repartitionByRange(F.col(ZCOL))
-                ).drop(ZCOL)
+                ).sortWithinPartitions(ZCOL).drop(ZCOL)
             else:
                 cols = [F.col(c) for c in cluster]
                 df = (
                     df.repartitionByRange(n, *cols)
                     if n
                     else df.repartitionByRange(*cols)
-                )
+                ).sortWithinPartitions(*cols)
+            # sortWithinPartitions costs no extra shuffle and orders rows
+            # INSIDE each file, so parquet row-group min/max become
+            # selective too — pushed filters then skip row groups within
+            # the files that manifest-level pruning cannot drop entirely
         tmp = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(tmp)
         entries = []
