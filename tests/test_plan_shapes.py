@@ -132,3 +132,23 @@ def test_keep_best_dedup_single_window_no_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_keep_best_quality")
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_no_cartesian_anywhere_in_read_paths(spark, sf_dir):
+    """Global guard: NO registered read-path query may plan a
+    CartesianProduct. (Ingest/streaming/UDTF queries execute work at
+    build time and are exercised by their own e2e tests; kmeans is
+    iterative.) The all-pairs baselines broadcast one side, which Spark
+    plans as BroadcastNestedLoopJoin — bounded by the broadcast size —
+    never an unbounded CartesianProduct."""
+    from moonlink_spark.operators import all_queries
+
+    skip_cats = {"ingest", "streaming", "udtf", "multimodal", "pipeline"}
+    offenders = []
+    for name, spec in all_queries().items():
+        if spec.category in skip_cats or name == "ivf_kmeans_train":
+            continue
+        plan = plan_of(spark, sf_dir, name)
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
