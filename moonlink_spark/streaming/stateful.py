@@ -108,6 +108,8 @@ def _update_sessions(
     (n_events is monotone), so the reader reduces with max(n)/min(start)/
     max(end) per (user, session).
     """
+    import numpy as np
+
     (user_id,) = key
     if state.exists:
         sid, last_us, start_us, n = state.get
@@ -115,16 +117,33 @@ def _update_sessions(
         sid, last_us, start_us, n = 0, None, None, 0
     pdf = pd.concat(list(pdfs))
     pdf = pdf.sort_values(["us", "event_id"], kind="mergesort")
+    # vectorized gap sessionization: a new session starts where the gap to
+    # the previous event (or to the carried state's last event) exceeds
+    # the threshold; per-session aggregates reduce over segment bounds —
+    # no per-row Python loop
+    us = pdf["us"].to_numpy(dtype="int64")
     touched: dict[int, tuple[int, int, int]] = {}
-    for us in pdf["us"].astype("int64"):
-        us = int(us)
-        if last_us is None or us - last_us > SESSION_GAP_US:
-            sid += 1
-            start_us = us
-            n = 0
-        n += 1
-        last_us = us
-        touched[sid] = (start_us, last_us, n)
+    if len(us):
+        prev = np.empty_like(us)
+        prev[1:] = us[:-1]
+        prev[0] = last_us if last_us is not None else us[0] - SESSION_GAP_US - 1
+        new_session = (us - prev) > SESSION_GAP_US
+        seg_ids = sid + np.cumsum(new_session)
+        starts = np.flatnonzero(new_session)
+        bounds = np.concatenate([[0], starts, [len(us)]])
+        # segment 0 (before the first flagged start) continues the carried
+        # open session when the first row does NOT open a new one
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            if lo == hi:
+                continue
+            seg_sid = int(seg_ids[lo])
+            continuing = seg_sid == sid  # extends the open session in state
+            seg_start = start_us if continuing else int(us[lo])
+            seg_n = (n if continuing else 0) + (hi - lo)
+            touched[seg_sid] = (seg_start, int(us[hi - 1]), seg_n)
+        sid = int(seg_ids[-1])
+        start_us, last_us, n = touched[sid]
     state.update((sid, last_us, start_us, n))
     yield pd.DataFrame(
         {
