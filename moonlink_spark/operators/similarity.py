@@ -738,3 +738,102 @@ FROM hits ORDER BY query_id
 
 
 _register_ann_recall()
+
+
+@register(
+    "ann_ivf_multiprobe_topk",
+    oracle=f"""
+WITH centroids AS (
+  SELECT label AS cluster_id, embedding AS cent
+  FROM (SELECT label, embedding, row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+        FROM embeddings) t
+  WHERE rn = 1
+),
+assigned AS (
+  SELECT vec_id, embedding, cluster_id
+  FROM (
+    SELECT e.vec_id, e.embedding, c.cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {_SQL_COS.format(a="e.embedding", b="c.cent")} DESC, c.cluster_id) AS rn
+    FROM embeddings e CROSS JOIN centroids c
+  ) t WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qe, cluster_id AS probe_cluster
+  FROM (
+    SELECT e.vec_id, e.embedding, c.cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {_SQL_COS.format(a="e.embedding", b="c.cent")} DESC, c.cluster_id) AS rn
+    FROM embeddings e CROSS JOIN centroids c
+    WHERE e.vec_id < 10
+  ) t WHERE rn <= 2
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_SQL_COS.format(a="p.qe", b="a.embedding")} AS cos
+  FROM probes p JOIN assigned a
+    ON p.probe_cluster = a.cluster_id AND a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, CAST(round(cos, 6) AS DOUBLE) AS cosine,
+       CAST(rn AS BIGINT) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+      FROM scored) t
+WHERE rn <= 3
+""",
+    category="similarity",
+)
+def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with multi-probe (nprobe=2): each query searches its TWO nearest
+    clusters instead of one — the standard recall/latency dial every IVF
+    index exposes (FAISS nprobe). Candidates grow 2x, recall approaches
+    brute force for queries that sit near a cluster boundary (the failure
+    mode of nprobe=1).
+
+    Scale: identical plan shape to ann_ivf_topk — the probe list is 2 rows
+    per query (broadcast), candidates come from an equi-join on
+    cluster_id; cost scales with nprobe/k_clusters of the corpus, never
+    all of it."""
+    emb = load(spark, sf_dir, "embeddings")
+    wc = Window.partitionBy("label").orderBy("vec_id")
+    centroids = (
+        emb.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select(F.col("label").alias("cluster_id"), F.col("embedding").alias("cent"))
+    )
+    scored_cent = emb.crossJoin(F.broadcast(centroids)).withColumn(
+        "cos_c", _dot("embedding", "cent") / (_norm("embedding") * _norm("cent"))
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cluster_id"))
+    ranked = scored_cent.withColumn("rn", F.row_number().over(wa)).persist()
+    assigned = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "embedding", "cluster_id"
+    )
+    probes = (
+        ranked.filter((F.col("rn") <= 2) & (F.col("vec_id") < 10))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("cluster_id").alias("probe_cluster"),
+        )
+    )
+    scored = (
+        assigned.join(
+            F.broadcast(probes),
+            assigned.cluster_id == F.col("probe_cluster"),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cos", _dot("qe", "embedding") / (_norm("qe") * _norm("embedding"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos", 6).alias("cosine"),
+            "rn",
+        )
+    )
