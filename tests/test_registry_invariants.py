@@ -1,0 +1,55 @@
+"""Registry invariants the driver's correctness gate depends on."""
+
+from moonlink_spark.operators import PRIORITY_50, all_queries
+
+
+def test_priority_50_well_formed():
+    qs = all_queries()
+    assert len(PRIORITY_50) == 50
+    assert len(set(PRIORITY_50)) == 50
+    missing = [n for n in PRIORITY_50 if n not in qs]
+    assert not missing, missing
+    assert list(qs)[:50] == PRIORITY_50
+
+
+def test_every_query_has_category():
+    for name, spec in all_queries().items():
+        assert spec.category, name
+
+
+def test_rows_only_queries_are_the_documented_two():
+    rows_only = sorted(
+        n for n, s in all_queries().items() if s.oracle is None
+    )
+    assert rows_only == ["approx_sketches", "ivf_kmeans_train"]
+
+
+def test_oracle_alias_hygiene():
+    """Oracles must not leak un-aliased aggregate column names (the
+    driver sorts columns by NAME before hashing; `sum(l_quantity)` vs
+    `sum_qty` hash-mismatches even with identical values)."""
+    import re
+
+    offenders = []
+    for name, spec in all_queries().items():
+        if not spec.oracle:
+            continue
+        # crude signal: a SELECT list item like `SUM(x),` or `COUNT(*) ,`
+        # with no AS before the comma/newline
+        for m in re.finditer(
+            r"(?i)(SUM|COUNT|AVG|MIN|MAX)\s*\([^)]*\)\s*(,|\n|$)",
+            spec.oracle,
+        ):
+            frag = spec.oracle[max(0, m.start() - 60):m.end()]
+            if re.search(r"(?i)\bAS\s+\w+\s*$", frag.rstrip(",\n ")):
+                continue
+            # inside larger expressions (CAST(SUM(..)) etc.) the outer
+            # expression carries the alias — only flag bare top-level uses
+            before = spec.oracle[:m.start()].rstrip()
+            if before.endswith(("(", "+", "-", "*", "/", ",")) and not before.endswith(
+                (",", "(")
+            ):
+                continue
+            if before.endswith(("SELECT", ",")):
+                offenders.append((name, m.group(0).strip()))
+    assert not offenders, offenders[:10]
