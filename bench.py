@@ -56,6 +56,9 @@ HEADLINE = [
     "semantic_dedup_ivf",
     "dedup_keep_best_quality",
     "streaming_stateful_sessionize_e2e",
+    "ann_ivf_multiprobe_topk",
+    "lm_fluency_scores",
+    "approx_heavy_hitters",
 ]
 
 
