@@ -44,6 +44,7 @@ _TABLE_RE = re.compile(
 )
 _INGEST_RE = re.compile(r"^/ingest/([^/]+)/([^/]+)$")
 _SCAN_RE = re.compile(r"^/scan/([^/]+)/([^/]+)$")
+_CHANGES_RE = re.compile(r"^/changes/([^/]+)/([^/]+)$")
 _OTEL_RE = re.compile(r"^/otel/v1/(logs|metrics|traces)$")
 
 
@@ -251,6 +252,21 @@ class MoonlinkService:
                 version = t.manifest.version
             h._send(200, {"ingested": len(rows), "version": version,
                           "table": f"otel.{signal}"})
+            return
+
+        m = _CHANGES_RE.match(path)
+        if m and method == "GET":
+            q = parse_qs(url.query)
+            if "from" not in q:
+                h._send(400, {"error": "MissingParam", "param": "from"})
+                return
+            from_lsn = int(q["from"][0])
+            to_lsn = int(q["to"][0]) if "to" in q else None
+            limit = int(q.get("limit", ["1000"])[0])
+            t = self.backend.get_table(m.group(1), m.group(2))
+            df = t.changes(from_lsn, to_lsn)
+            rows = [r.asDict(recursive=True) for r in df.limit(limit).collect()]
+            h._send(200, {"rows": rows, "count": len(rows)})
             return
 
         m = _SCAN_RE.match(path)

@@ -322,3 +322,27 @@ def test_scan_where_param(svc):
     code, out = _req(svc, "GET", "/scan/db5/pts?where=age%20BETWEEN%203%20AND%205")
     assert code == 200 and out["count"] == 3
     assert sorted(r["id"] for r in out["rows"]) == [3, 4, 5]
+
+
+def test_changes_route(svc):
+    _req(svc, "POST", "/tables/db6/cdf", USERS_REQ)
+    for i in range(5):
+        _req(svc, "POST", "/ingest/db6/cdf",
+             {"operation": "insert", "data": {"id": i, "name": f"n{i}", "age": i}})
+    t = svc.backend.get_table("db6", "cdf")
+    base_lsn = t.last_lsn
+    _req(svc, "POST", "/ingest/db6/cdf",
+         {"operation": "upsert", "data": {"id": 0, "name": "UPD", "age": 99}})
+    _req(svc, "POST", "/ingest/db6/cdf",
+         {"operation": "insert", "data": {"id": 50, "name": "new", "age": 1}})
+    _req(svc, "POST", "/ingest/db6/cdf", {"operation": "delete", "data": {"id": 4}})
+
+    code, out = _req(svc, "GET", f"/changes/db6/cdf?from={base_lsn}")
+    assert code == 200 and out["count"] == 3
+    by_id = {r["id"]: r for r in out["rows"]}
+    assert by_id[0]["_change_type"] == "update" and by_id[0]["after"]["name"] == "UPD"
+    assert by_id[50]["_change_type"] == "insert" and by_id[50]["before"] is None
+    assert by_id[4]["_change_type"] == "delete" and by_id[4]["after"] is None
+
+    code, _ = _req(svc, "GET", "/changes/db6/cdf")
+    assert code == 400  # from is required
