@@ -278,6 +278,18 @@ class MoonlinkService:
             t = self.backend.get_table(m.group(1), m.group(2))
             if lsn is not None:
                 t.store.wait_for_lsn(lsn)
+            if where:
+                # untrusted input: only the simple conjunct grammar reaches
+                # DataFrame.filter — no arbitrary Spark SQL (reflect(), ...)
+                from moonlink_spark.table.stats import validate_scan_condition
+
+                try:
+                    validate_scan_condition(
+                        where, [f.name for f in t.schema.fields]
+                    )
+                except ValueError as e:
+                    h._send(400, {"error": "BadCondition", "message": str(e)})
+                    return
             # where => filter + automatic manifest-stats file pruning
             df = t.scan_where(where, lsn=lsn) if where else t.scan(lsn=lsn)
             rows = [r.asDict(recursive=True) for r in df.limit(limit).collect()]

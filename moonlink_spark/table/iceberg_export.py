@@ -425,6 +425,61 @@ def iceberg_schema(schema_fields: list[dict[str, Any]]) -> dict[str, Any]:
     return {"type": "struct", "schema-id": 0, "fields": fields}
 
 
+def _strip_ids(obj: Any) -> Any:
+    """Structural copy with all field/element ids removed (shape compare)."""
+    if isinstance(obj, dict):
+        return {
+            k: _strip_ids(v)
+            for k, v in obj.items()
+            if k not in ("id", "element-id", "schema-id")
+        }
+    if isinstance(obj, list):
+        return [_strip_ids(x) for x in obj]
+    return obj
+
+
+def _max_field_id(obj: Any) -> int:
+    """Largest id/element-id anywhere in a schema tree (incl. nested)."""
+    best = 0
+    if isinstance(obj, dict):
+        for k, v in obj.items():
+            if k in ("id", "element-id") and isinstance(v, int):
+                best = max(best, v)
+            else:
+                best = max(best, _max_field_id(v))
+    elif isinstance(obj, list):
+        for x in obj:
+            best = max(best, _max_field_id(x))
+    return best
+
+
+def iceberg_schema_stable(
+    schema_fields: list[dict[str, Any]],
+    prev_schema: dict[str, Any] | None,
+    next_start: int,
+) -> dict[str, Any]:
+    """Iceberg schema JSON with field IDs carried forward BY NAME from the
+    previous current schema; genuinely new columns (or columns whose type
+    changed) allocate fresh IDs above ``next_start``. This is Iceberg's
+    field-id stability contract: dropping or reordering a column must
+    never reassign an existing ID to a different column, or ID-based
+    readers misproject older snapshots (parity: the reference syncer keeps
+    Arrow field ids stable across alters,
+    ``storage/table/iceberg/iceberg_table_syncer.rs``)."""
+    prev_fields = (prev_schema or {}).get("fields", [])
+    prev_by_name = {f["name"]: f for f in prev_fields}
+    counter = [next_start]
+    fields = []
+    for spec in schema_fields:
+        shape = _iceberg_field(spec, [0])  # throwaway ids, shape only
+        prev = prev_by_name.get(spec["name"])
+        if prev is not None and _strip_ids(prev) == _strip_ids(shape):
+            fields.append(prev)  # unchanged column: keep its ids verbatim
+        else:
+            fields.append(_iceberg_field(spec, counter))
+    return {"type": "struct", "schema-id": 0, "fields": fields}
+
+
 # --------------------------------------------------------------------------- #
 # export
 # --------------------------------------------------------------------------- #
@@ -482,8 +537,25 @@ def export_iceberg(
     snapshot_id = seq  # deterministic: snapshot N of this export lineage
 
     # ---- schema evolution: an altered table appends a NEW schema-id ----
-    schema_obj = iceberg_schema(m.schema_fields)
+    # field IDs are carried forward by name from the previous CURRENT
+    # schema; new columns allocate past every id ever used (incl. nested
+    # element ids) so no id is ever reassigned to a different column
     prev_schemas = list(prev_meta.get("schemas", [])) if prev_meta else []
+    prev_current = None
+    if prev_meta is not None:
+        prev_current = next(
+            (
+                s
+                for s in prev_schemas
+                if s["schema-id"] == prev_meta.get("current-schema-id")
+            ),
+            None,
+        )
+    id_floor = max(
+        _max_field_id(prev_schemas),
+        (prev_meta or {}).get("last-column-id", 0),
+    )
+    schema_obj = iceberg_schema_stable(m.schema_fields, prev_current, id_floor)
     current_schema_id = None
     for s in prev_schemas:
         if s["fields"] == schema_obj["fields"]:
@@ -581,11 +653,8 @@ def export_iceberg(
         },
         "schema-id": current_schema_id,
     }
-    last_column_id = max(
-        [0]
-        + [f["id"] for s in prev_schemas for f in s["fields"]]
-        + [f["id"] for f in schema_obj["fields"]]
-    )
+    # includes nested struct-field and list element-ids, not just top level
+    last_column_id = max(_max_field_id(prev_schemas), _max_field_id(schema_obj))
     meta: dict[str, Any] = {
         "format-version": 2,
         "table-uuid": _table_uuid(table.path),
@@ -626,10 +695,21 @@ def export_iceberg(
     }
     new_version = prev_version + 1
     meta_path = os.path.join(meta_dir, f"v{new_version}.metadata.json")
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as fh:
+    # exclusive-create: two concurrent exporters both computed
+    # prev_version N — exactly one may own vN+1 (same single-winner
+    # pattern as ManifestStore.commit); the loser fails loudly instead of
+    # silently dropping a snapshot via last-writer-wins os.replace
+    try:
+        fd = os.open(meta_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        from moonlink_spark.errors import CommitConflictError
+
+        raise CommitConflictError(
+            f"concurrent iceberg export already wrote {meta_path}; "
+            "re-run to export on top of it"
+        )
+    with os.fdopen(fd, "w") as fh:
         json.dump(meta, fh, indent=1)
-    os.replace(tmp, meta_path)
     hint_tmp = os.path.join(meta_dir, "version-hint.text.tmp")
     with open(hint_tmp, "w") as fh:
         fh.write(str(new_version))

@@ -113,9 +113,13 @@ class PrunePredicate:
                 continue
             mn, mx = rng
             try:
+                if op != "in":
+                    mn, mx, value = _coerce_temporal(mn, mx, value)
                 if op == "=" and not (mn <= value <= mx):
                     return False
-                if op == "in" and not any(mn <= v <= mx for v in value):
+                if op == "in" and not any(
+                    _in_range(mn, mx, v) for v in value
+                ):
                     return False
                 if op == "<" and not (mn < value):
                     return False
@@ -128,6 +132,41 @@ class PrunePredicate:
             except TypeError:
                 continue  # incomparable types: don't prune
         return True
+
+
+def _try_iso_datetime(s: str) -> dt.datetime | None:
+    """Parse an ISO date/datetime string ('T'- or space-separated), else None."""
+    try:
+        return dt.datetime.fromisoformat(s)
+    except ValueError:
+        return None
+
+
+def _coerce_temporal(mn, mx, value):
+    """Make footer datetime stats comparable with SQL string literals.
+
+    Footer stats for timestamp/date columns are stored as ``isoformat()``
+    strings ('2024-01-01T00:00:00'); SQL literals arrive space-separated
+    ('2024-01-01 00:00:00') or date-only ('2024-01-01'), so a raw
+    lexicographic compare prunes files that DO contain matching rows.
+    When both stat bounds parse as ISO datetimes, compare everything as
+    datetimes (a date-only literal becomes midnight, matching SQL cast
+    semantics). A literal that then fails to parse is incomparable —
+    raise TypeError so the caller skips the condition (no pruning, still
+    correct) instead of pruning wrongly."""
+    if isinstance(mn, str) and isinstance(mx, str) and isinstance(value, str):
+        pm, px = _try_iso_datetime(mn), _try_iso_datetime(mx)
+        if pm is not None and px is not None:
+            pv = _try_iso_datetime(value)
+            if pv is None:
+                raise TypeError("temporal stats vs non-temporal literal")
+            return pm, px, pv
+    return mn, mx, value
+
+
+def _in_range(mn, mx, v) -> bool:
+    mn, mx, v = _coerce_temporal(mn, mx, v)
+    return mn <= v <= mx
 
 
 def key_batch_predicate(
@@ -188,15 +227,47 @@ def prune_predicate_from_condition(condition: str) -> PrunePredicate | None:
     Correctness never depends on this: the caller always applies the full
     filter — this only decides which files can be skipped outright.
     """
+    conds, _ = _parse_conjuncts(condition)
+    return PrunePredicate(conds) if conds else None
+
+
+def validate_scan_condition(condition: str, columns: list[str]) -> None:
+    """Strict gate for externally-supplied conditions (the HTTP ``where=``
+    parameter): every conjunct must be in the simple grammar above and
+    every referenced column must exist in the table schema. Raises
+    ``ValueError`` otherwise. This keeps arbitrary Spark SQL expressions
+    (``reflect()``, ``java_method()``, subqueries) out of server-side
+    ``DataFrame.filter`` — a client can only express what the pruning
+    grammar can fully account for."""
+    conds, leftovers = _parse_conjuncts(condition)
+    if leftovers:
+        raise ValueError(
+            f"unsupported condition fragment(s) {leftovers!r}: only "
+            "AND-conjunctions of col <op> literal / BETWEEN / IN(...) "
+            "are accepted here"
+        )
+    if not conds:
+        raise ValueError("empty or unparseable condition")
+    allowed = set(columns)
+    for col, _op, _v in conds:
+        if col not in allowed:
+            raise ValueError(f"unknown column {col!r} in condition")
+
+
+def _parse_conjuncts(
+    condition: str,
+) -> tuple[list[tuple[str, str, Any]], list[str]]:
+    """-> (recognized (col, op, value) conjuncts, unrecognized fragments)."""
     text = " ".join(condition.split())
     # a top-level OR (or any parens beyond IN-lists) poisons conjunct
-    # splitting; bail to "no pruning"
+    # splitting; treat the whole condition as one unrecognized fragment
     probe = re.sub(_IN_RE, "", text)
     if re.search(r"\bOR\b", probe, re.IGNORECASE) or "(" in re.sub(
         _IN_RE, "", text
     ):
-        return None
+        return [], [text]
     conds: list[tuple[str, str, Any]] = []
+    leftovers: list[str] = []
 
     # extract BETWEEN clauses FIRST: their inner AND would break the
     # top-level conjunct split below
@@ -233,5 +304,8 @@ def prune_predicate_from_condition(condition: str) -> PrunePredicate | None:
             op = _FLIP["=" if m.group(2) == "==" else m.group(2)]
             conds.append((m.group(3), op, _parse_literal(m.group(1))))
             continue
-        # unrecognized conjunct: contributes no pruning (still correct)
-    return PrunePredicate(conds) if conds else None
+        # unrecognized conjunct: no pruning from it (still correct for
+        # prune_predicate_from_condition; fatal for validate_scan_condition)
+        if part:
+            leftovers.append(part)
+    return conds, leftovers

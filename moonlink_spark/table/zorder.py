@@ -31,10 +31,22 @@ _NUMERIC = {"byte", "short", "int", "integer", "long", "bigint",
             "float", "double", "date", "timestamp", "timestamp_ntz"}
 
 
+def _bits_per_column(k: int) -> int:
+    """Interleaved key must stay a non-negative bigint: k * bits <= 63
+    (bit 63 is the sign bit — touching it makes the top bucket sort FIRST,
+    and shift amounts >= 64 wrap mod 64 and scramble the key)."""
+    return min(Z_BITS, 63 // k)
+
+
 def validate_zorder_columns(schema, cluster_by: list[str]) -> None:
     if len(cluster_by) < 2:
         raise TableConfigError(
             "zorder clustering needs >=2 columns (use range for one)"
+        )
+    if _bits_per_column(len(cluster_by)) < 4:
+        raise TableConfigError(
+            f"zorder supports at most 15 columns ({len(cluster_by)} given): "
+            "fewer than 4 bits per dimension no longer clusters usefully"
         )
     for c in cluster_by:
         t = schema[c].dataType.typeName()
@@ -54,6 +66,7 @@ def _as_double(c: str, type_name: str):
 
 def with_zorder_key(df: DataFrame, cluster_by: list[str]) -> DataFrame:
     """Append the Morton key column ``__zorder`` for this batch."""
+    z_bits = _bits_per_column(len(cluster_by))
     types = {f.name: f.dataType.typeName() for f in df.schema.fields}
     aggs = []
     for c in cluster_by:
@@ -63,7 +76,7 @@ def with_zorder_key(df: DataFrame, cluster_by: list[str]) -> DataFrame:
     stats = df.agg(*aggs)
     out = df.crossJoin(F.broadcast(stats))
 
-    grid_max = (1 << Z_BITS) - 1
+    grid_max = (1 << z_bits) - 1
     scaled = []
     for c in cluster_by:
         v = _as_double(c, types[c])
@@ -76,7 +89,7 @@ def with_zorder_key(df: DataFrame, cluster_by: list[str]) -> DataFrame:
 
     k = len(cluster_by)
     z = F.lit(0).cast("bigint")
-    for bit in range(Z_BITS):
+    for bit in range(z_bits):
         for j, s in enumerate(scaled):
             z = z + F.shiftleft(
                 F.shiftright(s, bit).bitwiseAND(F.lit(1)), bit * k + j

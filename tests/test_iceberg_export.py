@@ -324,3 +324,87 @@ def test_partial_export_recovers(spark, tmp_path, monkeypatch):
     summary = export_iceberg(t, dest)
     assert summary["metadata_version"] == 1 and summary["rows"] == 200
     assert duck_rows(dest) == spark_rows(t)
+
+
+def test_field_ids_stable_across_alter(spark, tmp_path):
+    """Iceberg field-id stability contract (ADVICE r3 medium): dropping /
+    adding columns must never reassign an existing id to a different
+    column, and last-column-id must cover nested list element-ids."""
+    dest = str(tmp_path / "ice_ids")
+    t = MoonlinkTable.create(
+        spark,
+        str(tmp_path / "src_ids"),
+        [
+            {"name": "id", "data_type": "int64", "nullable": False},
+            {"name": "grp", "data_type": "string"},
+            {"name": "val", "data_type": "float64"},
+            {
+                "name": "tags",
+                "data_type": "list",
+                "item": {"data_type": "string"},
+            },
+        ],
+        IdentityProp.single("id"),
+    )
+    t.append_rows([{"id": 1, "grp": "a", "val": 1.0, "tags": ["x"]}])
+    t.commit(lsn=1)
+    export_iceberg(t, dest)
+    _, meta1 = current_metadata(dest)
+    s1 = next(
+        s for s in meta1["schemas"]
+        if s["schema-id"] == meta1["current-schema-id"]
+    )
+    ids1 = {f["name"]: f["id"] for f in s1["fields"]}
+    tags_field = next(f for f in s1["fields"] if f["name"] == "tags")
+    elem_id = tags_field["type"]["element-id"]
+    # nested element-id participates in last-column-id
+    assert meta1["last-column-id"] >= elem_id
+
+    # drop a middle column + add a new one -> new schema-id, stable ids
+    t.alter(drop_columns=["grp"], add_columns=[{"name": "w", "data_type": "int64"}])
+    t.append_rows([{"id": 2, "val": 2.0, "tags": ["y"], "w": 7}])
+    t.commit()
+    export_iceberg(t, dest)
+    _, meta2 = current_metadata(dest)
+    s2 = next(
+        s for s in meta2["schemas"]
+        if s["schema-id"] == meta2["current-schema-id"]
+    )
+    ids2 = {f["name"]: f["id"] for f in s2["fields"]}
+    # surviving columns keep their exact ids (incl. the nested element-id)
+    for name in ("id", "val", "tags"):
+        assert ids2[name] == ids1[name], (name, ids1, ids2)
+    tags2 = next(f for f in s2["fields"] if f["name"] == "tags")
+    assert tags2["type"]["element-id"] == elem_id
+    # the dropped column's id is never reused: the new column sits above
+    # every id ever allocated
+    assert ids2["w"] > meta1["last-column-id"]
+    assert ids2["w"] != ids1["grp"]
+    assert meta2["last-column-id"] >= ids2["w"]
+
+    # re-exporting the same schema reuses the schema-id (no churn)
+    export_iceberg(t, dest)
+    _, meta3 = current_metadata(dest)
+    assert meta3["current-schema-id"] == meta2["current-schema-id"]
+    assert len(meta3["schemas"]) == len(meta2["schemas"])
+
+
+def test_concurrent_export_single_winner(spark, tmp_path):
+    """Two exporters racing to the same next version: exactly one wins;
+    the loser raises instead of silently dropping a snapshot (ADVICE r3
+    low — last-writer-wins os.replace)."""
+    import pytest
+
+    from moonlink_spark.errors import CommitConflictError
+
+    dest = str(tmp_path / "ice_race")
+    t = make_table(spark, tmp_path)
+    export_iceberg(t, dest)
+    # simulate the slower racer: v2 already exists when we go to write it
+    meta_dir = os.path.join(dest, "metadata")
+    with open(os.path.join(meta_dir, "v2.metadata.json"), "x") as fh:
+        fh.write("{}")
+    t.append_rows([{"id": 999, "grp": "z", "val": 9.0}])
+    t.commit()
+    with pytest.raises(CommitConflictError):
+        export_iceberg(t, dest)

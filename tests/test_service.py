@@ -346,3 +346,25 @@ def test_changes_route(svc):
 
     code, _ = _req(svc, "GET", "/changes/db6/cdf")
     assert code == 400  # from is required
+
+
+def test_scan_where_rejects_expressions(svc):
+    """Untrusted where= only admits the simple conjunct grammar — no
+    server-side Spark SQL evaluation (ADVICE r3 medium)."""
+    from urllib.parse import quote
+
+    _req(svc, "POST", "/tables/db9/sec", USERS_REQ)
+    _req(svc, "POST", "/ingest/db9/sec",
+         {"operation": "insert", "data": {"id": 1, "name": "a", "age": 5}})
+    for bad in [
+        "reflect('java.lang.Runtime','getRuntime') IS NOT NULL",
+        "java_method('java.lang.System','getProperty','user.dir') != ''",
+        "age = 5 OR 1 = 1",
+        "length(name) > 0",
+        "nosuchcol = 1",
+    ]:
+        code, out = _req(svc, "GET", f"/scan/db9/sec?where={quote(bad)}")
+        assert code == 400 and out["error"] == "BadCondition", (bad, out)
+    # the simple grammar still works
+    code, out = _req(svc, "GET", "/scan/db9/sec?where=age%20%3D%205")
+    assert code == 200 and out["count"] == 1

@@ -226,3 +226,129 @@ def test_scan_where_auto_prunes(spark, tmp_path):
     # disjunction: conservative full scan, correct rows
     df3 = t.scan_where("id = 10 OR id = 450")
     assert df3.count() == 2
+
+
+def test_temporal_literal_pruning_not_wrong():
+    """Footer stats store datetimes as 'T'-separated isoformat; SQL
+    literals come space-separated or date-only. Lexicographic compare
+    would prune files that DO contain matching rows (ADVICE r3 high)."""
+    from moonlink_spark.table.stats import prune_predicate_from_condition
+
+    stats = {"ts": ["2024-01-01T00:00:00", "2024-01-31T23:59:59"]}
+
+    # space-separated literal inside the range: must NOT prune
+    p = prune_predicate_from_condition("ts = '2024-01-15 12:00:00'")
+    assert p is not None and p.file_may_match(stats)
+    # boundary: date-only literal == file min at midnight
+    p = prune_predicate_from_condition("ts <= '2024-01-01'")
+    assert p.file_may_match(stats)
+    p = prune_predicate_from_condition("ts >= '2024-01-31'")
+    assert p.file_may_match(stats)
+    # genuinely out of range: still prunes
+    p = prune_predicate_from_condition("ts = '2025-06-01 00:00:00'")
+    assert not p.file_may_match(stats)
+    p = prune_predicate_from_condition("ts < '2023-12-31 23:00:00'")
+    assert not p.file_may_match(stats)
+    # IN-lists coerce per element
+    p = prune_predicate_from_condition(
+        "ts IN ('2024-01-10 00:00:00', '2025-01-01 00:00:00')"
+    )
+    assert p.file_may_match(stats)
+    # non-temporal literal vs temporal stats: incomparable -> no pruning
+    p = prune_predicate_from_condition("ts = 'not-a-date'")
+    assert p.file_may_match(stats)
+    # plain string stats stay lexicographic
+    p = prune_predicate_from_condition("bucket = 'b3'")
+    assert p.file_may_match({"bucket": ["b0", "b4"]})
+    assert not p.file_may_match({"bucket": ["b5", "b9"]})
+
+
+def test_temporal_scan_where_end_to_end(spark, tmp_path):
+    """A timestamp table scanned through scan_where with a space-separated
+    literal must return every matching row (the pruner used to drop the
+    file)."""
+    from moonlink_spark.table.identity import IdentityProp
+    from moonlink_spark.table.table import MoonlinkTable
+
+    t = MoonlinkTable.create(
+        spark,
+        str(tmp_path / "ts_table"),
+        [
+            {"name": "id", "data_type": "int64", "nullable": False},
+            {"name": "ts", "data_type": "timestamp"},
+        ],
+        IdentityProp.single("id"),
+    )
+    df = spark.sql(
+        "SELECT id, timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*3600) AS ts "
+        "FROM range(48)"
+    )
+    t.append_df(df)
+    t.commit(lsn=1)
+    got = t.scan_where("ts = '2024-01-01 05:00:00'").count()
+    assert got == 1
+    got = t.scan_where("ts <= '2024-01-01'").count()
+    assert got == 1  # exactly midnight
+    got = t.scan_where("ts BETWEEN '2024-01-01 00:00:00' AND '2024-01-01 23:00:00'").count()
+    assert got == 24
+
+
+def test_validate_scan_condition():
+    """Strict grammar gate for the HTTP where= parameter (ADVICE r3
+    medium): full-parse or reject, and columns must exist."""
+    import pytest
+
+    from moonlink_spark.table.stats import validate_scan_condition
+
+    cols = ["id", "age", "name"]
+    validate_scan_condition("age BETWEEN 3 AND 5", cols)
+    validate_scan_condition("id = 7 AND name = 'x'", cols)
+    validate_scan_condition("id IN (1, 2, 3)", cols)
+    for bad in [
+        "reflect('java.lang.Runtime','getRuntime') IS NOT NULL",
+        "java_method('java.lang.System','exit',0) = ''",
+        "id = 1 OR name = 'x'",          # disjunction not in grammar
+        "length(name) > 3",              # function call
+        "nope = 1",                      # unknown column
+        "id = id",                       # col-vs-col
+        "",                              # empty
+    ]:
+        with pytest.raises(ValueError):
+            validate_scan_condition(bad, cols)
+
+
+def test_zorder_key_sign_safe_many_columns(spark):
+    """4+ cluster columns must never touch bit 63 or wrap shifts mod 64
+    (ADVICE r3 low): key stays a non-negative bigint for k in 2..7."""
+    from pyspark.sql import functions as F
+
+    from moonlink_spark.table.zorder import ZCOL, with_zorder_key
+
+    df = spark.range(2000).selectExpr(
+        "id", "id % 97 AS a", "id % 89 AS b", "id % 83 AS c",
+        "id % 79 AS d", "id % 73 AS e", "id % 71 AS f", "id % 67 AS g",
+    )
+    for k in (2, 4, 5, 7):
+        cols = ["a", "b", "c", "d", "e", "f", "g"][:k]
+        out = with_zorder_key(df, cols)
+        row = out.agg(
+            F.min(ZCOL).alias("mn"), F.max(ZCOL).alias("mx"),
+            F.countDistinct(ZCOL).alias("nd"),
+        ).collect()[0]
+        assert row["mn"] >= 0, (k, row)
+        assert row["mx"] < (1 << 63), (k, row)
+        # the key actually varies (not scrambled into collisions/constant)
+        assert row["nd"] > 100, (k, row)
+
+
+def test_zorder_too_many_columns_rejected():
+    import pytest
+    from pyspark.sql import types as T
+
+    from moonlink_spark.errors import TableConfigError
+    from moonlink_spark.table.zorder import validate_zorder_columns
+
+    names = [f"c{i}" for i in range(16)]
+    schema = T.StructType([T.StructField(n, T.LongType()) for n in names])
+    with pytest.raises(TableConfigError):
+        validate_zorder_columns(schema, names)
