@@ -80,8 +80,14 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # category — so the gate exercises the full surface, not just whichever
 # module happens to import first. Everything past slot 50 is still
 # registered and stays green under scripts/check_parity.py.
+# ROUND-4 ROTATION: rounds 1-3 accumulated 92 driver-verified queries;
+# the 29 that have NEVER held a driver-green row all move into the gate
+# this round, alongside 21 keepers (the flagship, the 7-query ingest
+# lifecycle that is the engine's identity, and one representative per
+# already-proven category as regression canaries). Cumulative
+# driver-verified coverage after this round: 121/121.
 PRIORITY_50 = [
-    # ingest / table engine (7)
+    # ingest / table engine keepers (7)
     "ingest_scan_at_lsn",
     "ingest_upsert_delete_scan",
     "ingest_streaming_xact_commit_abort",
@@ -89,61 +95,55 @@ PRIORITY_50 = [
     "incremental_view_maintenance",
     "ingest_snapshot_diff",
     "ingest_optimize_invariance",
-    # dedup (6)
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_connected_components",
-    "dedup_duplicate_segments",
-    # similarity / ANN (5)
-    "knn_cosine_bruteforce",
-    "ann_ivf_topk",
-    "ann_lsh_hyperplane_buckets",
-    "lsh_near_dup_pairs",
-    "embedding_quantize_rerank",
-    # semantic dedup (1)
-    "semantic_dedup_ivf",
-    # text analysis (3)
-    "text_quality_scores",
-    "lang_id_heuristic",
-    "lm_fluency_scores",
-    # safety / curation (3)
-    "pii_pattern_scan",
-    "contamination_check",
-    "corpus_curation_pipeline",
-    # sampling + packing (3)
-    "deterministic_hash_sample",
-    "stratified_sample_per_group",
-    "sequence_pack_bins",
-    # retrieval + profiling (3)
-    "bm25_retrieval",
-    "column_profile_lineitem",
-    "zscore_outlier_events",
-    # UDF surfaces — Python plumbing hash-checked against SQL replays (2)
-    "multimodal_feature_extract",
-    "chunk_documents_udtf",
-    # streaming / time (5)
-    "tumbling_window_hourly",
-    "streaming_stateful_sessionize_e2e",
-    "streaming_tumbling_agg_e2e",
-    "streaming_interval_join_e2e",
-    "hierarchical_time_rollup",
-    # windows (3) — session semantics already gate-checked via the
-    # stateful e2e, which shares sessionize_events' oracle
-    "window_topk_parts_per_brand",
-    "window_running_user_totals",
-    "first_last_nth_event_values",
-    # relational core (9)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q9_product_profit",
-    "q21_multi_line_order_suppliers",
-    "asof_join_purchase_click",
-    "skew_salted_join",
-    "skew_salted_aggregation",
-    "scalar_functions",
-    "point_lookup_order",
+    # never-gated: ingest lifecycle variants (3)
+    "ingest_bulk_load_scan",
+    "ingest_alter_add_column_scan",
+    "ingest_initial_copy_cdc_scan",
+    # never-gated: relational / aggregation shapes (12)
+    "grouping_sets_returns",
+    "percentiles_by_flag",
+    "argminmax_parts_per_brand",
+    "event_value_statistics",
+    "customers_above_nation_avg",
+    "conditional_expressions",
+    "regexp_string_ops",
+    "date_arithmetic",
+    "union_all_with_dup_counts",
+    "regression_per_event_type",
+    "interval_range_join",
+    "rolling_7d_customer_revenue",
+    # never-gated: similarity / ANN (4)
+    "ivf_kmeans_train",
+    "ann_recall_at_k",
+    "ann_ivf_multiprobe_topk",
+    "embedding_vector_stats",
+    # never-gated: text / sketches / dedup (6)
+    "char_trigram_entropy",
+    "bigram_pmi_top",
+    "tfidf_top_terms_per_source",
+    "approx_sketches",
+    "approx_heavy_hitters",
+    "dedup_keep_best_quality",
+    # never-gated: sampling / packing / time (4)
+    "train_val_test_split",
+    "source_mixture_weights",
+    "sliding_window_event_stats",
+    "late_event_detection",
+    # category-representative keepers, all driver-green in r03 (14)
+    "q1_pricing_summary",          # flagship (entry())
+    "asof_join_purchase_click",    # joins
+    "window_topk_parts_per_brand",  # windows
+    "dedup_minhash_lsh",           # dedup
+    "knn_cosine_bruteforce",       # similarity
+    "text_quality_scores",         # text analysis
+    "pii_pattern_scan",            # safety
+    "deterministic_hash_sample",   # sampling
+    "sequence_pack_bins",          # packing
+    "bm25_retrieval",              # retrieval
+    "column_profile_lineitem",     # profiling
+    "multimodal_feature_extract",  # pandas-UDF surface
+    "chunk_documents_udtf",        # UDTF surface
+    "streaming_stateful_sessionize_e2e",  # streaming e2e
 ]
 
 

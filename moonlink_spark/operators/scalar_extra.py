@@ -355,20 +355,56 @@ def regression_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_sketches",
-    oracle=None,  # HLL/KLL sketch values are implementation-specific: DuckDB's
-    # approx_count_distinct (HyperLogLog) and Spark's (HLL++) legitimately
-    # disagree, so this is a rows-only check by design. The exact twins are
-    # oracle-checked in distinct_aggregates / percentiles_by_flag.
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS hll_ok, TRUE AS kll_median_ok, TRUE AS kll_p99_ok
+FROM events GROUP BY event_type ORDER BY event_type
+""",
     category="aggregation",
 )
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates for 100 TB cardinality work: HLL++ distinct
-    counts and approx percentile sketches — constant memory per group where
-    the exact versions need a shuffle of all distinct values."""
+    counts and KLL-style percentile sketches — constant memory per group
+    where the exact versions shuffle all distinct values.
+
+    Oracle-checkable via the exact-recount pattern (same as
+    ``approx_heavy_hitters``): sketch values are implementation-specific
+    (Spark HLL++ vs DuckDB HyperLogLog legitimately disagree), so the
+    sketches run for real but the OUTPUT carries the exact quantities plus
+    booleans asserting each sketch landed inside its published error bound
+    (HLL rsd=0.01 -> 5-sigma band; percentile_approx accuracy=10000 ->
+    rank error 1e-4, checked against the exact p40/p60 and p98/max
+    brackets). The oracle pins the booleans TRUE: a broken sketch flips
+    the flag and fails the gate."""
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("approx_median"),
-        F.percentile_approx("value", F.lit(0.99), F.lit(10000)).alias("approx_p99"),
-        F.count(F.lit(1)).alias("n"),
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("hll_users"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("kll_median"),
+        F.percentile_approx("value", F.lit(0.99), F.lit(10000)).alias("kll_p99"),
+        F.expr("percentile(value, 0.40D)").alias("p40"),
+        F.expr("percentile(value, 0.60D)").alias("p60"),
+        F.expr("percentile(value, 0.98D)").alias("p98"),
+        F.max("value").alias("vmax"),
+    )
+    return (
+        agg.select(
+            "event_type",
+            "n",
+            "exact_users",
+            (
+                F.abs(F.col("hll_users") - F.col("exact_users"))
+                <= F.col("exact_users") * F.lit(0.05) + F.lit(1)
+            ).alias("hll_ok"),
+            F.col("kll_median").between(F.col("p40"), F.col("p60")).alias(
+                "kll_median_ok"
+            ),
+            F.col("kll_p99").between(F.col("p98"), F.col("vmax")).alias(
+                "kll_p99_ok"
+            ),
+        )
+        .orderBy("event_type")
     )

@@ -277,7 +277,73 @@ def ann_lsh_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ivf_kmeans_train", oracle=None, category="similarity")
+def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
+    """Unrolled DuckDB replay of the integer-exact Lloyd iterations in
+    ``ivf_kmeans_train``. All arithmetic is BIGINT (quantized at 1e6), the
+    centroid update is exact mathematical floor division, and argmin ties
+    break on cluster_id — so the oracle reproduces the Spark result
+    bit-for-bit regardless of either engine's fold order."""
+    xq = (
+        "SELECT vec_id, list_transform(embedding, x -> CAST(floor("
+        "CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v FROM embeddings"
+    )
+    init = (
+        f"SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) "
+        f"AS cluster_id, v AS cent FROM (SELECT vec_id, v FROM xq "
+        f"ORDER BY vec_id LIMIT {k})"
+    )
+
+    def assign(c: str, a: str) -> str:
+        return f"""
+{a}_all AS (
+  SELECT x.vec_id, x.v, c.cluster_id,
+         CAST(list_sum(list_transform(range(1, {DIM} + 1),
+           j -> (x.v[CAST(j AS INTEGER)] - c.cent[CAST(j AS INTEGER)])
+              * (x.v[CAST(j AS INTEGER)] - c.cent[CAST(j AS INTEGER)])))
+           AS BIGINT) AS d2
+  FROM xq x CROSS JOIN {c} c
+),
+{a} AS (
+  SELECT vec_id, v, cluster_id, d2
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY d2, cluster_id) AS rn FROM {a}_all) t
+  WHERE rn = 1
+)"""
+
+    def update(a: str, prev_c: str, c: str) -> str:
+        return f"""
+{c}_sums AS (
+  SELECT cluster_id, CAST(j AS INTEGER) AS dim,
+         CAST(SUM(v[CAST(j AS INTEGER)]) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS nn
+  FROM {a}, (SELECT UNNEST(range(1, {DIM} + 1)) AS j) d
+  GROUP BY cluster_id, dim
+),
+{c} AS (
+  SELECT p.cluster_id,
+         COALESCE(u.cent, p.cent) AS cent
+  FROM {prev_c} p LEFT JOIN (
+    SELECT cluster_id,
+           list((s - ((s % nn) + nn) % nn) // nn ORDER BY dim) AS cent
+    FROM {c}_sums GROUP BY cluster_id
+  ) u ON u.cluster_id = p.cluster_id
+)"""
+
+    parts = [f"WITH xq AS ({xq}), c0 AS ({init})"]
+    for i in range(iters):
+        parts.append("," + assign(f"c{i}", f"a{i}"))
+        parts.append("," + update(f"a{i}", f"c{i}", f"c{i + 1}"))
+    parts.append("," + assign(f"c{iters}", "af"))
+    parts.append(f"""
+SELECT cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(MIN(vec_id) AS BIGINT) AS min_vec_id,
+       CAST(SUM(d2) AS BIGINT) AS sum_d2
+FROM af GROUP BY cluster_id ORDER BY cluster_id""")
+    return "\n".join(parts)
+
+
+@register("ivf_kmeans_train", oracle=_kmeans_oracle(), category="similarity")
 def ivf_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train real IVF centroids with 3 Lloyd iterations (k=8, deterministic
     init from the first k vectors) — the iterative-algorithm pattern done
@@ -285,23 +351,33 @@ def ivf_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid matrix (collected from a k-row aggregate, the same bounded
     model-state hop MLlib makes); assignment is a broadcast-join map stage
     and the update is one groupBy shuffle of k x dim partial sums. The
-    input is persisted once across iterations. Rows-only check: iterative
-    float refinement is not SQL-expressible order-independently (DuckDB's
-    AVG fold order differs), so there is no value-hash oracle — the e2e
-    sanity (k clusters, inertia decreases) lives in the docstring contract
-    and the plan shape in test_plan_shapes. Returns per-cluster size and
-    mean distance. Reference capability anchor: ANN index build over the
+    input is persisted once across iterations.
+
+    Fully value-hash oracle-checked (closed the r3 rows-only gap): vectors
+    quantize to BIGINT at 1e6, distances are exact integer sums, and the
+    centroid update is exact floor division — float fold order can no
+    longer perturb the result, so the DuckDB oracle (``_kmeans_oracle``)
+    replays the iterations bit-exactly. Quantized Lloyd is still real
+    k-means (1e-6 grid on unit-scale vectors is far below cluster
+    separation). Reference capability anchor: ANN index build over the
     bucketed hash-map design (persisted_bucket_hash_map.rs:33-110)."""
     k, iters = 8, 3
     emb = (
         load(spark, sf_dir, "embeddings")
-        .select("vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"))
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> "
+                "CAST(floor(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT))"
+            ).alias("v"),
+        )
         .persist()
     )
     cents = [
-        (i, list(r.embedding))
+        (i, list(r.v))
         for i, r in enumerate(emb.orderBy("vec_id").limit(k).collect())
     ]
+    cent_schema = "cluster_id BIGINT, cent ARRAY<BIGINT>"
 
     def assign(cents_df):
         # argmin via min_by hash-agg (partial aggregation on the map side,
@@ -310,47 +386,56 @@ def ivf_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored = emb.crossJoin(F.broadcast(cents_df)).withColumn(
             "d2",
             F.expr(
-                "aggregate(zip_with(embedding, cent, (x, y) -> (x - y) * (x - y)), "
-                "0.0D, (acc, v) -> acc + v)"
+                "aggregate(zip_with(v, cent, (x, y) -> (x - y) * (x - y)), "
+                "0L, (acc, w) -> acc + w)"
             ),
         )
         return (
             scored.groupBy("vec_id")
             .agg(
                 F.min_by(
-                    F.struct("cluster_id", "d2", "embedding"),
+                    F.struct("cluster_id", "d2", "v"),
                     F.struct("d2", "cluster_id"),
                 ).alias("s")
             )
             .select(
                 "vec_id",
-                F.col("s.embedding").alias("embedding"),
+                F.col("s.v").alias("v"),
                 F.col("s.cluster_id").alias("cluster_id"),
                 F.col("s.d2").alias("d2"),
             )
         )
 
     for _ in range(iters):
-        cents_df = spark.createDataFrame(cents, ["cluster_id", "cent"])
+        cents_df = spark.createDataFrame(cents, cent_schema)
         assigned = assign(cents_df)
         new = (
             assigned.groupBy("cluster_id")
-            .agg(*[
-                F.avg(F.element_at("embedding", i + 1)).alias(f"c{i}")
-                for i in range(DIM)
-            ])
+            .agg(
+                F.count(F.lit(1)).alias("nn"),
+                *[
+                    F.sum(F.element_at("v", i + 1)).alias(f"s{i}")
+                    for i in range(DIM)
+                ],
+            )
             .collect()
         )
-        updated = {r.cluster_id: [r[f"c{i}"] for i in range(DIM)] for r in new}
+        # Python // is exact mathematical floor division on ints — the same
+        # value the oracle's (s - pmod(s, n)) // n computes
+        updated = {
+            r.cluster_id: [r[f"s{i}"] // r.nn for i in range(DIM)] for r in new
+        }
         cents = [(cid, updated.get(cid, cent)) for cid, cent in cents]
 
-    final = assign(spark.createDataFrame(cents, ["cluster_id", "cent"]))
+    final = assign(spark.createDataFrame(cents, cent_schema))
     return (
         final.groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
-            F.round(F.avg(F.sqrt(F.col("d2"))), 6).alias("mean_dist"),
+            F.min("vec_id").cast("bigint").alias("min_vec_id"),
+            F.sum("d2").cast("bigint").alias("sum_d2"),
         )
+        .select("cluster_id", "n_vectors", "min_vec_id", "sum_d2")
         .orderBy("cluster_id")
     )
 

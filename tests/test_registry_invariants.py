@@ -17,11 +17,14 @@ def test_every_query_has_category():
         assert spec.category, name
 
 
-def test_rows_only_queries_are_the_documented_two():
+def test_no_rows_only_queries_remain():
+    """r4 closed the last two rows-only oracles (ivf_kmeans_train via
+    integer-exact Lloyd replay, approx_sketches via exact-recount +
+    in-bounds booleans): every registered query is value-hash checked."""
     rows_only = sorted(
         n for n, s in all_queries().items() if s.oracle is None
     )
-    assert rows_only == ["approx_sketches", "ivf_kmeans_train"]
+    assert rows_only == []
 
 
 def test_oracle_alias_hygiene():
