@@ -129,7 +129,8 @@ PRIORITY_50 = [
     "source_mixture_weights",
     "sliding_window_event_stats",
     "late_event_detection",
-    # category-representative keepers, all driver-green in r03 (14)
+    # category-representative keepers (r03 driver-green) + the new r4
+    # Puffin-DV export round trip (14)
     "q1_pricing_summary",          # flagship (entry())
     "asof_join_purchase_click",    # joins
     "window_topk_parts_per_brand",  # windows
@@ -137,7 +138,7 @@ PRIORITY_50 = [
     "knn_cosine_bruteforce",       # similarity
     "text_quality_scores",         # text analysis
     "pii_pattern_scan",            # safety
-    "deterministic_hash_sample",   # sampling
+    "ingest_export_iceberg_dv_scan",  # NEW r4: Puffin-DV export round trip
     "sequence_pack_bins",          # packing
     "bm25_retrieval",              # retrieval
     "column_profile_lineitem",     # profiling

@@ -675,3 +675,70 @@ def ingest_initial_copy_cdc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.scan().withColumn(
         "o_totalprice", F.col("o_totalprice").cast("double")
     )
+
+
+@register(
+    "ingest_export_iceberg_dv_scan",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderpriority
+FROM orders WHERE o_orderkey % 7 <> 0
+""",
+    category="ingest",
+)
+def ingest_export_iceberg_dv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-export round trip with Puffin deletion vectors: ingest,
+    delete (creating DVs), export — the deletes ship as deletion-vector-v1
+    blobs, data files untouched — then read the result back THROUGH the
+    exported metadata only (manifest-list -> manifests -> parquet + DV
+    blobs) and return the reconstructed live rows. This is the full write
+    + read cycle of the reference's Iceberg sync
+    (iceberg_table_syncer.rs:723 writes the DV puffin; the DataFusion read
+    side consumes it, moonlink_datafusion/table_provider.rs:119-126).
+
+    Scale shape: the export copies data files driver-free (no rewrite);
+    the DV anti-join uses a broadcast of (file, position) pairs — the
+    deletes, not the data — so the read plan is scan + broadcast-anti,
+    same as the engine's own DV application."""
+    from moonlink_spark.table.iceberg_export import (
+        export_iceberg,
+        read_iceberg_deletion_vectors,
+        read_iceberg_live_files,
+    )
+
+    base = _orders_df(spark, sf_dir)
+    t = MoonlinkTable.create(
+        spark,
+        _tmp_table_dir("iceexp"),
+        ORDERS_FIELDS,
+        IdentityProp.single("o_orderkey"),
+    )
+    t.append_df(base)
+    t.commit(lsn=1)
+    t.delete_keys_df(
+        base.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    )
+    t.commit(lsn=2)
+
+    dest = _tmp_table_dir("iceexp-dest")
+    summary = export_iceberg(t, dest)
+    assert summary["deletion_vectors"] >= 1, "export produced no DV blobs"
+
+    files = read_iceberg_live_files(dest)
+    dvs = read_iceberg_deletion_vectors(dest)
+    df = spark.read.parquet(*files).select(
+        "*",
+        # _metadata.file_path URIs vary ("file:/x" vs "file:///x"): strip
+        # the scheme down to the plain absolute path the DV metadata keys
+        F.regexp_replace(
+            F.col("_metadata.file_path"), r"^file:(//)?", ""
+        ).alias("__fp"),
+        F.col("_metadata.row_index").alias("__ri"),
+    )
+    pairs = [(f, int(p)) for f, ps in dvs.items() for p in ps]
+    if pairs:
+        dv_df = spark.createDataFrame(pairs, "__fp STRING, __ri BIGINT")
+        df = df.join(F.broadcast(dv_df), ["__fp", "__ri"], "left_anti")
+    return df.drop("__fp", "__ri").withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("double")
+    )

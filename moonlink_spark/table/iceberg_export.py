@@ -45,10 +45,12 @@ from typing import Any
 
 import pyarrow.parquet as pq
 
-from moonlink_spark.table.delta_export import (
-    _dv_files_touched,
-    _export_name,
-    _materialize_live_file,
+from moonlink_spark.table.delta_export import _export_name
+from moonlink_spark.table.puffin import (
+    DELETION_VECTOR_V1,
+    dv_blob_bytes,
+    read_puffin_deletion_vectors,
+    write_puffin,
 )
 from moonlink_spark.table.manifest import FileEntry, Manifest
 from moonlink_spark.table.table import MoonlinkTable
@@ -205,6 +207,27 @@ _DATA_FILE_SCHEMA = {
             "name": "upper_bounds",
             "type": ["null", _int_map("k129_v130", 129, 130, "bytes")],
             "field-id": 128,
+            "default": None,
+        },
+        # Iceberg v3 deletion-vector fields (spec field-ids 143-145): set
+        # only on content=2 (position deletes) entries pointing at Puffin
+        # deletion-vector-v1 blobs
+        {
+            "name": "referenced_data_file",
+            "type": ["null", "string"],
+            "field-id": 143,
+            "default": None,
+        },
+        {
+            "name": "content_offset",
+            "type": ["null", "long"],
+            "field-id": 144,
+            "default": None,
+        },
+        {
+            "name": "content_size_in_bytes",
+            "type": ["null", "long"],
+            "field-id": 145,
             "default": None,
         },
     ],
@@ -514,24 +537,40 @@ def export_iceberg(
     os.makedirs(meta_dir, exist_ok=True)
     prev_version, prev_meta = _read_current_metadata(meta_dir)
 
-    # ---- data files: content-addressed; only missing ones materialize ----
-    touched = _dv_files_touched(table, m) if m.delete_files else set()
+    # ---- data files: content-addressed clean copies, NEVER rewritten ----
+    # Deletes ship as Puffin deletion-vector blobs (Iceberg v3) instead of
+    # rewriting the touched files live-rows-only: the cheap-delete
+    # representation survives the export exactly like the reference's
+    # syncer (iceberg_table_syncer.rs:723 writes the DV puffin; the read
+    # side consumes it at moonlink_datafusion/table_provider.rs:119-126).
     desired: dict[str, FileEntry] = {}
     for entry in m.data_files:
-        if entry.path in touched:
-            dv_rows = sum(f.rows for f in m.delete_files)
-            name = _export_name(entry, f"dv@{m.version}:{dv_rows}")
-            rewrite = True
-        else:
-            name = _export_name(entry, "clean")
-            rewrite = False
+        name = _export_name(entry, "clean")
         desired[name] = entry
         dest_path = os.path.join(data_dir, name)
         if not os.path.exists(dest_path):
-            if rewrite:
-                _materialize_live_file(table, m, entry, dest_path)
-            else:
-                shutil.copyfile(table._resolve(entry.path), dest_path)
+            shutil.copyfile(table._resolve(entry.path), dest_path)
+
+    # per-data-file deleted row positions, driver-side (DV parquets are
+    # small key files; same footprint as _dv_files_touched's footer read)
+    dv_positions: dict[str, list[int]] = {}
+    if m.delete_files:
+        rel_to_name = {e.path: n for n, e in desired.items()}
+        for dvf in m.delete_files:
+            t_dv = pq.read_table(
+                table._resolve(dvf.path), columns=["file_path", "row_index"]
+            )
+            for fp, ri in zip(
+                t_dv.column("file_path").to_pylist(),
+                t_dv.column("row_index").to_pylist(),
+            ):
+                rel = fp.removeprefix("file:")
+                name = rel_to_name.get(rel)
+                if name is None:
+                    continue  # DV for a file compacted out of the live set
+                dv_positions.setdefault(
+                    os.path.abspath(os.path.join(data_dir, name)), []
+                ).append(ri)
 
     seq = (prev_meta.get("last-sequence-number", 0) + 1) if prev_meta else 1
     snapshot_id = seq  # deterministic: snapshot N of this export lineage
@@ -611,28 +650,111 @@ def export_iceberg(
         },
     )
 
+    # ---- deletion vectors: one Puffin file, one DV blob per data file ----
+    delete_entries: list[dict[str, Any]] = []
+    total_deleted = 0
+    puffin_path = None
+    if dv_positions:
+        puffin_path = os.path.join(meta_dir, f"dv-snap-{snapshot_id}.puffin")
+        blob_inputs = []
+        for data_path in sorted(dv_positions):
+            positions = sorted(set(dv_positions[data_path]))
+            blob_inputs.append(
+                (
+                    dv_blob_bytes(positions),
+                    {
+                        "type": DELETION_VECTOR_V1,
+                        "properties": {
+                            "referenced-data-file": data_path,
+                            "cardinality": str(len(positions)),
+                        },
+                    },
+                )
+            )
+        blob_metas = write_puffin(puffin_path, blob_inputs)
+        puffin_size = os.path.getsize(puffin_path)
+        for meta_blob in blob_metas:
+            card = int(meta_blob["properties"]["cardinality"])
+            total_deleted += card
+            delete_entries.append(
+                {
+                    "status": 1,  # ADDED
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": {
+                        "content": 2,  # POSITION_DELETES (deletion vector)
+                        "file_path": os.path.abspath(puffin_path),
+                        "file_format": "PUFFIN",
+                        "partition": {},
+                        "record_count": card,
+                        "file_size_in_bytes": puffin_size,
+                        "referenced_data_file": meta_blob["properties"][
+                            "referenced-data-file"
+                        ],
+                        "content_offset": meta_blob["offset"],
+                        "content_size_in_bytes": meta_blob["length"],
+                    },
+                }
+            )
+        deletes_manifest_path = os.path.join(
+            meta_dir, f"manifest-{snapshot_id}-deletes.avro"
+        )
+        write_avro_container(
+            deletes_manifest_path,
+            MANIFEST_ENTRY_SCHEMA,
+            delete_entries,
+            metadata={
+                "schema": schema_json,
+                "schema-id": str(current_schema_id),
+                "partition-spec": "[]",
+                "partition-spec-id": "0",
+                "format-version": "3",
+                "content": "deletes",
+            },
+        )
+
     # ---- manifest list ----
     mlist_path = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
-    write_avro_container(
-        mlist_path,
-        MANIFEST_FILE_SCHEMA,
-        [
+    mlist_records = [
+        {
+            "manifest_path": os.path.abspath(manifest_path),
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_data_files_count": len(entries),
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+            "added_rows_count": total_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+    ]
+    if delete_entries:
+        mlist_records.append(
             {
-                "manifest_path": os.path.abspath(manifest_path),
-                "manifest_length": os.path.getsize(manifest_path),
+                "manifest_path": os.path.abspath(deletes_manifest_path),
+                "manifest_length": os.path.getsize(deletes_manifest_path),
                 "partition_spec_id": 0,
-                "content": 0,
+                "content": 1,  # DELETES manifest
                 "sequence_number": seq,
                 "min_sequence_number": seq,
                 "added_snapshot_id": snapshot_id,
-                "added_data_files_count": len(entries),
+                "added_data_files_count": len(delete_entries),
                 "existing_data_files_count": 0,
                 "deleted_data_files_count": 0,
-                "added_rows_count": total_rows,
+                "added_rows_count": total_deleted,
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
             }
-        ],
+        )
+    write_avro_container(
+        mlist_path,
+        MANIFEST_FILE_SCHEMA,
+        mlist_records,
         metadata={"format-version": "2"},
     )
 
@@ -648,6 +770,8 @@ def export_iceberg(
             "added-records": str(total_rows),
             "total-data-files": str(len(entries)),
             "total-records": str(total_rows),
+            "total-position-deletes": str(total_deleted),
+            "added-position-delete-files": str(len(delete_entries)),
             "moonlink-source-lsn": str(m.lsn),
             "moonlink-source-version": str(m.version),
         },
@@ -655,8 +779,13 @@ def export_iceberg(
     }
     # includes nested struct-field and list element-ids, not just top level
     last_column_id = max(_max_field_id(prev_schemas), _max_field_id(schema_obj))
+    # deletion vectors are an Iceberg v3 feature; a table that has ever
+    # written them stays v3 (format versions never downgrade)
+    format_version = 3 if (
+        dv_positions or (prev_meta or {}).get("format-version", 2) >= 3
+    ) else 2
     meta: dict[str, Any] = {
-        "format-version": 2,
+        "format-version": format_version,
         "table-uuid": _table_uuid(table.path),
         "location": os.path.abspath(dest),
         "last-sequence-number": seq,
@@ -720,6 +849,9 @@ def export_iceberg(
         "sequence_number": seq,
         "data_files": len(entries),
         "rows": total_rows,
+        "deletion_vectors": len(delete_entries),
+        "deleted_positions": total_deleted,
+        "puffin_file": puffin_path,
         "source_lsn": m.lsn,
         "source_version": m.version,
     }
@@ -739,10 +871,48 @@ def read_iceberg_live_files(dest: str) -> list[str]:
     )
     paths: list[str] = []
     for mrec in read_avro_container(snap["manifest-list"]):
+        if mrec.get("content", 0) != 0:
+            continue  # deletes manifest: not data files
         for entry in read_avro_container(mrec["manifest_path"]):
             if entry["status"] in (0, 1):  # EXISTING | ADDED
-                paths.append(entry["data_file"]["file_path"])
+                if entry["data_file"].get("content", 0) == 0:
+                    paths.append(entry["data_file"]["file_path"])
     return sorted(paths)
+
+
+def read_iceberg_deletion_vectors(dest: str) -> dict[str, list[int]]:
+    """Decode the current snapshot's deletion vectors (pure Python):
+    deletes manifests -> content=2 entries -> Puffin deletion-vector-v1
+    blobs -> {data file path: sorted deleted row positions}. The read-side
+    counterpart of the export's DV path (parity:
+    moonlink_datafusion/src/table_provider.rs:119-126 turning DV blobs
+    into row-skip filters)."""
+    meta_dir = os.path.join(dest, "metadata")
+    _, meta = _read_current_metadata(meta_dir)
+    assert meta is not None, "no iceberg metadata at " + dest
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    out: dict[str, list[int]] = {}
+    for mrec in read_avro_container(snap["manifest-list"]):
+        if mrec.get("content", 0) != 1:
+            continue
+        for entry in read_avro_container(mrec["manifest_path"]):
+            df = entry["data_file"]
+            if entry["status"] not in (0, 1) or df.get("content") != 2:
+                continue
+            dvs = read_puffin_deletion_vectors(df["file_path"])
+            ref = df.get("referenced_data_file")
+            positions = dvs.get(ref)
+            assert positions is not None, (ref, list(dvs))
+            assert len(positions) == df["record_count"], (
+                len(positions),
+                df["record_count"],
+            )
+            out[ref] = positions
+    return out
 
 
 # --------------------------------------------------------------------------- #

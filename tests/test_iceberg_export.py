@@ -43,13 +43,24 @@ def make_table(spark, tmp_path):
 
 
 def duck_rows(dest):
+    """Independent read-back: DuckDB scans the manifest-referenced parquet
+    and drops rows flagged by the snapshot's Puffin deletion vectors."""
+    from moonlink_spark.table.iceberg_export import read_iceberg_deletion_vectors
+
     files = read_iceberg_live_files(dest)
     assert files, "no live files in iceberg metadata"
+    dvs = read_iceberg_deletion_vectors(dest)
+    dead = {(f, p) for f, ps in dvs.items() for p in ps}
     con = duckdb.connect()
     quoted = ", ".join(f"'{p}'" for p in files)
-    return con.sql(
-        f"SELECT id, grp, val FROM read_parquet([{quoted}]) ORDER BY id"
+    rows = con.sql(
+        f"SELECT id, grp, val, filename, file_row_number "
+        f"FROM read_parquet([{quoted}], filename=true, file_row_number=true) "
+        f"ORDER BY id"
     ).fetchall()
+    return [
+        (i, g, v) for i, g, v, fn, rn in rows if (fn, rn) not in dead
+    ]
 
 
 def spark_rows(t, lsn=None):
@@ -178,17 +189,55 @@ def test_incremental_snapshots_share_clean_files(spark, tmp_path):
     assert duck_rows(dest) == spark_rows(t)
 
 
-def test_dv_rewrite_exports_live_rows_only(spark, tmp_path):
+def test_dv_export_writes_puffin_not_rewrites(spark, tmp_path):
+    """Deletes export as Puffin deletion-vector blobs (Iceberg v3): the
+    data files are byte-identical clean copies — the cheap-delete
+    representation survives the export instead of being compiled away by
+    a rewrite (parity iceberg_table_syncer.rs:723)."""
+    from moonlink_spark.table.iceberg_export import read_iceberg_deletion_vectors
+
     t = make_table(spark, tmp_path)
     dest = str(tmp_path / "iceberg")
     export_iceberg(t, dest)
+    files_v1 = set(os.listdir(os.path.join(dest, "data")))
 
     t.delete_rows([{"id": i} for i in range(0, 200, 10)])
     t.commit(lsn=2)
     assert t.scan().count() == 180
 
     summary = export_iceberg(t, dest)
-    assert summary["rows"] == 180
+    # record_count stays the full file count; deletes live in the DV
+    assert summary["rows"] == 200
+    assert summary["deleted_positions"] == 20
+    assert summary["deletion_vectors"] >= 1
+    assert summary["puffin_file"] and os.path.exists(summary["puffin_file"])
+    # no data file was rewritten: the delete added zero new data files
+    assert set(os.listdir(os.path.join(dest, "data"))) == files_v1
+
+    # DV read-back: 20 positions across the referenced files
+    dvs = read_iceberg_deletion_vectors(dest)
+    assert sum(len(v) for v in dvs.values()) == 20
+    live = set(read_iceberg_live_files(dest))
+    assert set(dvs) <= live
+
+    # independent DuckDB scan minus DV positions == spark scan
+    assert duck_rows(dest) == spark_rows(t)
+
+    # v3 metadata, with position-delete summary counts
+    _, meta = current_metadata(dest)
+    assert meta["format-version"] == 3
+    snap = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    assert snap["summary"]["total-position-deletes"] == "20"
+
+    # a later append exports on top of the DV snapshot and stays v3
+    t.append_rows([{"id": 500, "grp": "z", "val": 1.0}])
+    t.commit(lsn=3)
+    export_iceberg(t, dest)
+    _, meta2 = current_metadata(dest)
+    assert meta2["format-version"] == 3
     assert duck_rows(dest) == spark_rows(t)
 
 
@@ -408,3 +457,40 @@ def test_concurrent_export_single_winner(spark, tmp_path):
     t.commit()
     with pytest.raises(CommitConflictError):
         export_iceberg(t, dest)
+
+
+def test_jvm_avro_reads_deletes_manifest(spark, tmp_path):
+    """The hand-encoded deletes manifest (content=2 entries with the v3
+    referenced_data_file/content_offset fields) must decode under the JVM
+    Avro runtime too — proving the container + union encoding, not just
+    our own reader."""
+    from moonlink_spark.table.iceberg_export import read_iceberg_deletion_vectors
+
+    t = make_table(spark, tmp_path)
+    dest = str(tmp_path / "iceberg")
+    export_iceberg(t, dest)
+    t.delete_rows([{"id": i} for i in range(0, 50, 5)])
+    t.commit(lsn=2)
+    export_iceberg(t, dest)
+
+    _, meta = current_metadata(dest)
+    mlist = read_avro_container(meta["snapshots"][-1]["manifest-list"])
+    deletes = [m for m in mlist if m["content"] == 1]
+    assert len(deletes) == 1
+    man_path = deletes[0]["manifest_path"]
+
+    jvm_entries, jvm_schema = jvm_read_avro(spark, man_path)
+    ours = read_avro_container(man_path)
+    assert len(jvm_entries) == len(ours) >= 1
+    dvs = read_iceberg_deletion_vectors(dest)
+    for jrec, orec in zip(jvm_entries, ours):
+        df = jrec.get("data_file")
+        odf = orec["data_file"]
+        assert df.get("content") == odf["content"] == 2
+        assert str(df.get("file_format").toString()) == "PUFFIN"
+        ref = str(df.get("referenced_data_file").toString())
+        assert ref == odf["referenced_data_file"]
+        assert df.get("content_offset") == odf["content_offset"]
+        assert df.get("content_size_in_bytes") == odf["content_size_in_bytes"]
+        assert df.get("record_count") == len(dvs[ref])
+    assert "referenced_data_file" in jvm_schema
