@@ -139,7 +139,8 @@ PRIORITY_50 = [
     "text_quality_scores",         # text analysis
     "pii_pattern_scan",            # safety
     "ingest_export_iceberg_dv_scan",  # NEW r4: Puffin-DV export round trip
-    "sequence_pack_bins",          # packing
+    "ingest_avro_events_scan",     # NEW r4: jar-free Avro queue e2e
+    # (packing keeps gate presence via source_mixture_weights above)
     "bm25_retrieval",              # retrieval
     "column_profile_lineitem",     # profiling
     "multimodal_feature_extract",  # pandas-UDF surface

@@ -742,3 +742,83 @@ def ingest_export_iceberg_dv_scan(spark: SparkSession, sf_dir: str) -> DataFrame
     return df.drop("__fp", "__ri").withColumn(
         "o_totalprice", F.col("o_totalprice").cast("double")
     )
+
+
+_EVENTS_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "event",
+    "fields": [
+        {"name": "event_id", "type": "long"},
+        {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+        {"name": "user_id", "type": "long"},
+        {"name": "event_type", "type": ["null", "string"]},
+        {"name": "value", "type": "double"},
+        {"name": "props", "type": ["null", "string"]},
+    ],
+}
+
+EVENTS_FIELDS = [
+    {"name": "event_id", "data_type": "int64", "nullable": False},
+    {"name": "ts", "data_type": "timestamp"},
+    {"name": "user_id", "data_type": "int64"},
+    {"name": "event_type", "data_type": "string"},
+    {"name": "value", "data_type": "float64"},
+    {"name": "props", "data_type": "string"},
+]
+
+
+@register(
+    "ingest_avro_events_scan",
+    oracle="""
+SELECT event_id, ts, user_id, event_type, value, props
+FROM events WHERE event_id % 5 = 0
+""",
+    category="ingest",
+)
+def ingest_avro_events_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-shaped Avro ingestion e2e, jar-free: events are encoded as
+    Avro binary datums (pure-Python codec, sources/avro_binary.py),
+    produced onto a file-backed queue (the broker stand-in,
+    sources/queue.py), drained by AvroQueueIngestor into a key-identity
+    table with offset-monotone LSNs, and scanned back. Parity: the
+    reference's Kafka/Avro path (rest_ingest/avro_converter.rs:28-190)
+    feeding the REST sink.
+
+    Fixture note: the encode+produce side collects the bounded subset
+    driver-side — it stands in for the external Kafka producer, not for
+    engine work; the table-side apply is the normal distributed append."""
+    from moonlink_spark.sources.avro_binary import encode_datum
+    from moonlink_spark.sources.queue import (
+        AvroQueueIngestor,
+        FileQueueConsumer,
+        FileQueueProducer,
+    )
+
+    subset = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 5 == 0)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+    qdir = _tmp_table_dir("avroq")
+    producer = FileQueueProducer(qdir)
+    for r in subset.collect():  # external-producer stand-in (bounded subset)
+        producer.send(
+            encode_datum(_EVENTS_AVRO_SCHEMA, r.asDict()),
+            key=str(r.event_id).encode(),
+        )
+    producer.close()
+
+    t = MoonlinkTable.create(
+        spark,
+        _tmp_table_dir("avrotbl"),
+        EVENTS_FIELDS,
+        IdentityProp.single("event_id"),
+    )
+    ingestor = AvroQueueIngestor(
+        t, FileQueueConsumer(qdir), _EVENTS_AVRO_SCHEMA
+    )
+    stats = ingestor.drain_once()
+    assert stats["messages"] > 0, "queue drain ingested nothing"
+    # a second drain must be a clean no-op (offset committed)
+    assert ingestor.drain_once()["messages"] == 0
+    return t.scan()

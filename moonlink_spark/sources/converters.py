@@ -146,7 +146,9 @@ def _avro_type(node: Any) -> tuple[T.DataType, bool]:
         # fixed-width binary, so plain binary (length enforced at ingest)
         return T.BinaryType(), False
     if t == "enum":
-        raise AvroSchemaError("unsupported avro type 'enum'")
+        # enums carry their symbol as text, the same way the reference maps
+        # PG enums to Utf8 (pg_replicate/util.rs:149)
+        return T.StringType(), False
     if isinstance(t, (str, list, dict)):
         return _avro_type(t)
     raise AvroSchemaError(f"unsupported avro schema node: {node!r}")

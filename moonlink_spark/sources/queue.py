@@ -1,0 +1,187 @@
+"""File-backed message queue: the Kafka-shaped transport, jar-free.
+
+Parity: the reference's Avro events arrive over Kafka and flow through
+``rest_ingest/avro_converter.rs`` into table appends. No broker (or
+Kafka jar) ships in this environment, so the queue contract is
+re-expressed over append-only segment files with the three properties
+the ingestion path actually relies on:
+
+- **ordered, offset-addressed messages** (per-queue monotonic offset);
+- **durable consumer groups** (committed offset survives restarts;
+  replays are idempotent because the table's LSN floor skips
+  already-applied batches — same guard the REST journal replay uses);
+- **key+value byte payloads** (value = Avro datum; key optional).
+
+On a real cluster, swap ``FileQueueConsumer`` for a Kafka consumer and
+``AvroQueueIngestor`` is unchanged — it only sees (offset, key, value).
+
+Segments are length-prefixed frames: u32-BE total frame length, u64-BE
+offset, u32-BE key length (0xFFFFFFFF = null key), key bytes, value
+bytes. One segment per producer session; readers scan segments in name
+order.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import uuid
+from typing import Any, Callable, Iterator
+
+from moonlink_spark.table.table import MoonlinkTable
+
+_NULL_KEY = 0xFFFFFFFF
+
+
+class FileQueueProducer:
+    """Appends messages to a new segment file under ``queue_dir``."""
+
+    def __init__(self, queue_dir: str):
+        self.queue_dir = queue_dir
+        os.makedirs(queue_dir, exist_ok=True)
+        self._segment = os.path.join(
+            queue_dir, f"segment-{uuid.uuid4().hex[:12]}.log"
+        )
+        self._fh = None
+
+    def _next_offset(self) -> int:
+        # resume after the max offset present in any segment
+        last = -1
+        for _off, _k, _v in iter_queue(self.queue_dir):
+            last = max(last, _off)
+        return last + 1
+
+    def send(self, value: bytes, key: bytes | None = None) -> int:
+        if self._fh is None:
+            self._fh = open(self._segment, "ab")
+            self._offset = self._next_offset()
+        off = self._offset
+        klen = _NULL_KEY if key is None else len(key)
+        kbytes = b"" if key is None else key
+        frame = struct.pack(">QI", off, klen) + kbytes + value
+        self._fh.write(struct.pack(">I", len(frame)) + frame)
+        self._offset += 1
+        return off
+
+    def flush(self) -> None:
+        if self._fh is not None:
+            self._fh.flush()
+            os.fsync(self._fh.fileno())
+
+    def close(self) -> None:
+        if self._fh is not None:
+            self.flush()
+            self._fh.close()
+            self._fh = None
+
+
+def iter_queue(queue_dir: str) -> Iterator[tuple[int, bytes | None, bytes]]:
+    """All messages across segments, offset order."""
+    msgs = []
+    if not os.path.isdir(queue_dir):
+        return iter(())
+    for name in sorted(os.listdir(queue_dir)):
+        if not name.startswith("segment-"):
+            continue
+        path = os.path.join(queue_dir, name)
+        with open(path, "rb") as fh:
+            while True:
+                head = fh.read(4)
+                if len(head) < 4:
+                    break
+                (flen,) = struct.unpack(">I", head)
+                frame = fh.read(flen)
+                if len(frame) < flen:
+                    break  # torn tail write: ignore the partial frame
+                off, klen = struct.unpack_from(">QI", frame, 0)
+                body = frame[12:]
+                if klen == _NULL_KEY:
+                    key, value = None, body
+                else:
+                    key, value = body[:klen], body[klen:]
+                msgs.append((off, key, value))
+    msgs.sort(key=lambda m: m[0])
+    return iter(msgs)
+
+
+class FileQueueConsumer:
+    """Offset-committed consumer group over a file queue."""
+
+    def __init__(self, queue_dir: str, group: str = "default"):
+        self.queue_dir = queue_dir
+        self.state_path = os.path.join(queue_dir, f"_group-{group}.json")
+
+    @property
+    def committed(self) -> int:
+        """Next offset to read (all below are consumed)."""
+        if os.path.exists(self.state_path):
+            with open(self.state_path) as fh:
+                return json.load(fh)["next_offset"]
+        return 0
+
+    def poll(self, max_messages: int = 10_000) -> list[tuple[int, bytes | None, bytes]]:
+        floor = self.committed
+        out = []
+        for off, key, value in iter_queue(self.queue_dir):
+            if off < floor:
+                continue
+            out.append((off, key, value))
+            if len(out) >= max_messages:
+                break
+        return out
+
+    def commit(self, next_offset: int) -> None:
+        tmp = self.state_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"next_offset": next_offset}, fh)
+        os.replace(tmp, self.state_path)
+
+
+class AvroQueueIngestor:
+    """Drain Avro datums from a queue into a MoonlinkTable.
+
+    Each drained batch becomes one table commit whose LSN is
+    ``lsn_base + last_offset + 1`` — monotone in the queue offset, so a
+    crash between commit and consumer-offset write replays the batch and
+    the table's LSN floor makes the replay a no-op (the same idempotence
+    contract as the REST journal, ingest/rest.py)."""
+
+    def __init__(
+        self,
+        table: MoonlinkTable,
+        consumer: FileQueueConsumer,
+        value_schema: dict | str,
+        lsn_base: int = 1_000_000,
+        transform: Callable[[dict], dict] | None = None,
+    ):
+        from moonlink_spark.sources.avro_binary import decode_record, row_for_spark
+
+        self.table = table
+        self.consumer = consumer
+        self.schema = (
+            json.loads(value_schema)
+            if isinstance(value_schema, str)
+            else value_schema
+        )
+        self.lsn_base = lsn_base
+        self.transform = transform
+        self._decode = decode_record
+        self._reshape = row_for_spark
+
+    def drain_once(self, max_messages: int = 50_000) -> dict[str, Any]:
+        batch = self.consumer.poll(max_messages)
+        if not batch:
+            return {"messages": 0, "version": self.table.manifest.version}
+        rows = []
+        for _off, _key, value in batch:
+            row = self._reshape(self.schema, self._decode(self.schema, value))
+            rows.append(self.transform(row) if self.transform else row)
+        last_offset = batch[-1][0]
+        lsn = self.lsn_base + last_offset + 1
+        version = self.table.manifest.version
+        if lsn > self.table.last_lsn:  # LSN floor: replayed batch is a no-op
+            self.table.append_rows(rows)
+            version = self.table.commit(lsn=lsn, operation="avro-queue")
+        self.consumer.commit(last_offset + 1)
+        return {"messages": len(batch), "version": version, "lsn": lsn}

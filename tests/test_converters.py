@@ -142,13 +142,14 @@ def test_avro_rejections():
             {"type": "record", "name": "r",
              "fields": [{"name": "u", "type": ["int", "string"]}]}
         )
-    # enum unsupported, like the reference's catch-all rejection
-    with pytest.raises(AvroSchemaError):
-        avro_schema_to_struct(
-            {"type": "record", "name": "r",
-             "fields": [{"name": "e", "type": {"type": "enum", "name": "E",
-                                                "symbols": ["A"]}}]}
-        )
+    # enums map to their symbol text (r4: matches the reference's
+    # PG-enum -> Utf8 mapping, pg_replicate/util.rs:149)
+    st = avro_schema_to_struct(
+        {"type": "record", "name": "r",
+         "fields": [{"name": "e", "type": {"type": "enum", "name": "E",
+                                            "symbols": ["A"]}}]}
+    )
+    assert st["e"].dataType.typeName() == "string"
     # decimal bounds
     with pytest.raises(AvroSchemaError):
         avro_schema_to_struct(
