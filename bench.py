@@ -59,6 +59,10 @@ HEADLINE = [
     "ann_ivf_multiprobe_topk",
     "lm_fluency_scores",
     "approx_heavy_hitters",
+    # r4 additions: the heaviest new operators
+    "ivf_kmeans_train",
+    "ingest_export_iceberg_dv_scan",
+    "ingest_avro_events_scan",
 ]
 
 

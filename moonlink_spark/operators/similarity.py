@@ -104,6 +104,21 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hard ceiling for the labeled O(N²) recall baselines: 100k rows = 5e9
+# candidate pairs, already the outer limit of "baseline you wait for".
+# Production near-dup goes through the banded LSH paths.
+ALL_PAIRS_MAX_ROWS = 100_000
+
+
+def ensure_all_pairs_scale(n_rows: int) -> None:
+    if n_rows > ALL_PAIRS_MAX_ROWS:
+        raise ValueError(
+            f"all-pairs baseline refused at {n_rows} rows (> "
+            f"{ALL_PAIRS_MAX_ROWS}): this path is O(N^2) by design; use "
+            "lsh_near_dup_pairs / ann_lsh_hyperplane_buckets at scale"
+        )
+
+
 @register(
     "embedding_near_dup_pairs",
     oracle=f"""
@@ -119,8 +134,14 @@ FROM pairs WHERE cos >= 0.35
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.35). All-pairs at
-    correctness SF; production uses ann_lsh_hyperplane buckets first."""
+    correctness SF; production uses ann_lsh_hyperplane buckets first.
+
+    GUARDED recall baseline: this is deliberately O(N²) — the exact answer
+    the LSH paths are measured against — and refuses to run past
+    ``ALL_PAIRS_MAX_ROWS`` so it can never be pointed at a production-size
+    table by accident (the scale path is ``lsh_near_dup_pairs``)."""
     emb = load(spark, sf_dir, "embeddings")
+    ensure_all_pairs_scale(emb.count())
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).withColumn(

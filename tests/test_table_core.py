@@ -319,9 +319,9 @@ def test_table_relocation_preserves_deletes(spark, tmp_path):
 
 
 def test_object_store_uri_fails_loudly(spark, tmp_path):
-    """An object-store warehouse URI must fail at the FS seam with a
-    pointer to the pluggable class, not corrupt state via POSIX calls."""
-    with pytest.raises(TableConfigError, match="TableFS"):
+    """An unregistered object-store warehouse URI must fail at the FS seam
+    with a pointer to the registry, not corrupt state via POSIX calls."""
+    with pytest.raises(TableConfigError, match="register_fs_scheme"):
         MoonlinkTable.create(
             spark, "s3://bucket/tbl", USERS_SCHEMA, IdentityProp.single("id")
         )
