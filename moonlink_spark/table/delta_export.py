@@ -16,22 +16,24 @@ Mapping moonlink commits -> Delta versions:
 
 - each ``export_delta`` call snapshots the table at an LSN into ONE new
   Delta log version;
-- data files untouched by deletion vectors are **copied verbatim** (their
-  exported name is a content-stable hash of source path + DV state, so a
-  file that did not change between exports produces no log action at all);
-- files with DV'd rows are **materialized** through a Spark anti-join
-  (the same plan ``scan()`` uses) into a rewritten parquet — Delta's
-  reader contract is "live rows only" for plain add files, so DVs are
-  compacted away at the boundary;
+- data files are **always copied verbatim** (their exported name is a
+  content-stable hash, so a file unchanged between exports produces no
+  log action at all);
+- deleted rows travel as **inline deletion vectors** on the add action
+  (PROTOCOL.md "Deletion Vectors": storageType "i", Z85-encoded
+  magic+roaring64 bitmap, reader 3 / writer 7 table feature) — a delete
+  never forces a data-file rewrite, matching the Iceberg export's
+  Puffin-DV contract and the reference's cheap-delete representation;
 - per-file ``stats`` (numRecords / minValues / maxValues / nullCount) come
   straight from parquet footers, the same source as the manifest's pruning
   stats (table/stats.py).
 
 Scale: copy-verbatim keeps incremental exports O(changed files) — an
 append-only 100 TB table exports each new commit by hard-copying only the
-new files and appending one small JSON. Rewrites are per-affected-file
-Spark jobs (distributed, no driver data path); the log replay that
-computes "what was already exported" reads only JSON actions, never data.
+new files and appending one small JSON; a delete-only commit appends ONE
+log version whose only payload is the refreshed DV actions. The log
+replay that computes "what was already exported" reads only JSON
+actions, never data.
 """
 
 from __future__ import annotations
@@ -42,7 +44,6 @@ import os
 from typing import Any
 
 import pyarrow.parquet as pq
-from pyspark.sql import functions as F
 
 from moonlink_spark.schema import field_schema_to_struct
 from moonlink_spark.table.manifest import FileEntry, Manifest
@@ -51,6 +52,70 @@ from moonlink_spark.table.table import MoonlinkTable
 
 LOG_DIR = "_delta_log"
 PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+# deletion vectors are a Delta table feature gated on reader 3 / writer 7
+# (PROTOCOL.md "Table Features" + "Deletion Vectors")
+DV_PROTOCOL = {
+    "minReaderVersion": 3,
+    "minWriterVersion": 7,
+    "readerFeatures": ["deletionVectors"],
+    "writerFeatures": ["deletionVectors"],
+}
+
+# Delta serializes DV bitmaps as magic 1681511377 (LE) + the portable
+# 64-bit RoaringBitmapArray (PROTOCOL.md "Deletion Vector Format") — the
+# roaring layer is shared with the Iceberg Puffin writer (table/puffin.py)
+_DELTA_DV_MAGIC = 1681511377
+
+_Z85_CHARS = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INDEX = {c: i for i, c in enumerate(_Z85_CHARS)}
+
+
+def _z85_encode(data: bytes) -> str:
+    """Z85 (zero-padded to a 4-byte multiple; the true length travels in
+    sizeInBytes, as Delta's inline-DV encoding expects)."""
+    pad = (-len(data)) % 4
+    data = data + b"\x00" * pad
+    out = []
+    for i in range(0, len(data), 4):
+        v = int.from_bytes(data[i:i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            v, r = divmod(v, 85)
+            chunk.append(_Z85_CHARS[r])
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def _z85_decode(text: str, size: int) -> bytes:
+    out = bytearray()
+    for i in range(0, len(text), 5):
+        v = 0
+        for c in text[i:i + 5]:
+            v = v * 85 + _Z85_INDEX[c]
+        out += v.to_bytes(4, "big")
+    return bytes(out[:size])
+
+
+def _delta_dv_bytes(positions: list[int]) -> bytes:
+    from moonlink_spark.table.puffin import serialize_roaring64
+
+    import struct as _s
+
+    return _s.pack("<i", _DELTA_DV_MAGIC) + serialize_roaring64(positions)
+
+
+def _delta_dv_positions(data: bytes) -> list[int]:
+    import struct as _s
+
+    from moonlink_spark.table.puffin import deserialize_roaring64
+
+    (magic,) = _s.unpack_from("<i", data, 0)
+    if magic != _DELTA_DV_MAGIC:
+        raise ValueError(f"bad delta DV magic {magic}")
+    return deserialize_roaring64(data[4:])
 
 
 # --------------------------------------------------------------------------- #
@@ -112,11 +177,14 @@ def _log_versions(log_dir: str) -> list[int]:
     return sorted(out)
 
 
-def _replay_log(log_dir: str) -> tuple[int, dict[str, dict], str | None]:
+def _replay_log(
+    log_dir: str,
+) -> tuple[int, dict[str, dict], str | None, dict | None]:
     """Replay existing log -> (next_version, {path: add_action},
-    last schemaString)."""
+    last schemaString, last protocol action)."""
     live: dict[str, dict] = {}
     schema_string: str | None = None
+    protocol: dict | None = None
     versions = _log_versions(log_dir)
     for v in versions:
         with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
@@ -130,57 +198,18 @@ def _replay_log(log_dir: str) -> tuple[int, dict[str, dict], str | None]:
                     live.pop(action["remove"]["path"], None)
                 elif "metaData" in action:
                     schema_string = action["metaData"]["schemaString"]
+                elif "protocol" in action:
+                    protocol = action["protocol"]
     next_version = (versions[-1] + 1) if versions else 0
-    return next_version, live, schema_string
+    return next_version, live, schema_string, protocol
 
 
 # --------------------------------------------------------------------------- #
 # export
 # --------------------------------------------------------------------------- #
-def _dv_files_touched(table: MoonlinkTable, m: Manifest) -> set[str]:
-    """Relative data-file paths that have at least one DV'd row — read from
-    the (small) DV parquet footers' file_path column values, driver-side."""
-    touched: set[str] = set()
-    for dv in m.delete_files:
-        t = pq.read_table(table._resolve(dv.path), columns=["file_path"])
-        # stored values may carry a URI scheme remnant ("file:data/…")
-        touched.update(
-            p.removeprefix("file:") for p in t.column("file_path").to_pylist()
-        )
-    return touched
-
-
 def _export_name(entry: FileEntry, dv_state: str) -> str:
     key = hashlib.md5(f"{entry.path}|{entry.rows}|{dv_state}".encode()).hexdigest()
     return f"part-{key[:24]}.parquet"
-
-
-def _materialize_live_file(
-    table: MoonlinkTable, m: Manifest, entry: FileEntry, dest_path: str
-) -> None:
-    """Rewrite ONE data file with its DV'd rows removed (distributed Spark
-    anti-join on row position — the scan() plan restricted to this file)."""
-    spark = table.spark
-    schema = field_schema_to_struct(m.schema_fields)
-    df = spark.read.schema(schema).parquet(table._resolve(entry.path))
-    df = df.select("*", F.col("_metadata.row_index").alias("__ri"))
-    dv_paths = [table._resolve(f.path) for f in m.delete_files]
-    dv = (
-        spark.read.parquet(*dv_paths)
-        .filter(
-            F.replace(F.col("file_path"), F.lit("file:"), F.lit("")) == entry.path
-        )
-        .select(F.col("row_index").alias("__ri"))
-    )
-    out = df.join(F.broadcast(dv), ["__ri"], "left_anti").drop("__ri")
-    tmp = dest_path + ".tmp.dir"
-    out.coalesce(1).write.mode("overwrite").parquet(tmp)
-    part = [n for n in os.listdir(tmp) if n.endswith(".parquet")]
-    assert len(part) == 1, part
-    os.replace(os.path.join(tmp, part[0]), dest_path)
-    import shutil
-
-    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def export_delta(
@@ -194,42 +223,78 @@ def export_delta(
     m = table._resolve_manifest(lsn=lsn)
     log_dir = os.path.join(dest, LOG_DIR)
     os.makedirs(log_dir, exist_ok=True)
-    version, exported, prev_schema = _replay_log(log_dir)
+    version, exported, prev_schema, prev_protocol = _replay_log(log_dir)
 
-    touched = _dv_files_touched(table, m) if m.delete_files else set()
+    # data files are ALWAYS clean verbatim copies; deletes travel as
+    # inline deletion vectors on the add action (PROTOCOL.md "Deletion
+    # Vectors") — same no-rewrite contract as the Iceberg Puffin path
     desired: dict[str, FileEntry] = {}
-    rewritten: dict[str, bool] = {}
     for entry in m.data_files:
-        if entry.path in touched:
-            dv_rows = sum(f.rows for f in m.delete_files)
-            name = _export_name(entry, f"dv@{m.version}:{dv_rows}")
-            rewritten[name] = True
-        else:
-            name = _export_name(entry, "clean")
-            rewritten[name] = False
-        desired[name] = entry
+        desired[_export_name(entry, "clean")] = entry
+
+    dv_positions: dict[str, list[int]] = {}
+    if m.delete_files:
+        rel_to_name = {e.path: n for n, e in desired.items()}
+        for dvf in m.delete_files:
+            t_dv = pq.read_table(
+                table._resolve(dvf.path), columns=["file_path", "row_index"]
+            )
+            for fp, ri in zip(
+                t_dv.column("file_path").to_pylist(),
+                t_dv.column("row_index").to_pylist(),
+            ):
+                name = rel_to_name.get(fp.removeprefix("file:"))
+                if name is not None:
+                    dv_positions.setdefault(name, []).append(ri)
+
+    def _dv_action(name: str) -> dict | None:
+        positions = dv_positions.get(name)
+        if not positions:
+            return None
+        positions = sorted(set(positions))
+        raw = _delta_dv_bytes(positions)
+        return {
+            "storageType": "i",  # inline: DV bytes live in the log action
+            "pathOrInlineDv": _z85_encode(raw),
+            "sizeInBytes": len(raw),
+            "cardinality": len(positions),
+        }
 
     adds: list[dict] = []
     for name, entry in desired.items():
-        if name in exported:
+        dv = _dv_action(name)
+        prev_add = exported.get(name)
+        if prev_add is not None:
+            prev_dv = prev_add.get("deletionVector")
+            same_dv = (prev_dv or None) == (dv or None)
+            if same_dv:
+                continue  # file + DV state unchanged: no action at all
+            # DV changed on an already-exported file: re-add with the new
+            # DV (same path; a later add supersedes the earlier one)
+            action = dict(prev_add)
+            if dv is None:
+                action.pop("deletionVector", None)
+            else:
+                action["deletionVector"] = dv
+            action["dataChange"] = True
+            adds.append(action)
             continue
         dest_path = os.path.join(dest, name)
-        if rewritten[name]:
-            _materialize_live_file(table, m, entry, dest_path)
-        else:
+        if not os.path.exists(dest_path):
             import shutil
 
             shutil.copyfile(table._resolve(entry.path), dest_path)
-        adds.append(
-            {
-                "path": name,
-                "partitionValues": {},
-                "size": os.path.getsize(dest_path),
-                "modificationTime": int(os.path.getmtime(dest_path) * 1000),
-                "dataChange": True,
-                "stats": _delta_file_stats(dest_path),
-            }
-        )
+        action = {
+            "path": name,
+            "partitionValues": {},
+            "size": os.path.getsize(dest_path),
+            "modificationTime": int(os.path.getmtime(dest_path) * 1000),
+            "dataChange": True,
+            "stats": _delta_file_stats(dest_path),
+        }
+        if dv is not None:
+            action["deletionVector"] = dv
+        adds.append(action)
     removes = [
         {
             "path": name,
@@ -253,8 +318,14 @@ def export_delta(
             }
         }
     ]
-    if version == 0:
-        actions.append({"protocol": dict(PROTOCOL)})
+    # protocol: DVs require reader 3 / writer 7 + the table feature; once
+    # upgraded a table never downgrades
+    prev_has_dv = bool(
+        prev_protocol and "deletionVectors" in prev_protocol.get("readerFeatures", [])
+    )
+    needed = DV_PROTOCOL if (dv_positions or prev_has_dv) else PROTOCOL
+    if version == 0 or (prev_protocol or PROTOCOL) != needed:
+        actions.append({"protocol": dict(needed)})
     if version == 0 or schema_string != prev_schema:
         # deterministic table id: exports of the same source table converge
         actions.append(
@@ -285,6 +356,10 @@ def export_delta(
         "adds": len(adds),
         "removes": len(removes),
         "live_files": len(desired),
+        "deletion_vectors": sum(1 for n in desired if dv_positions.get(n)),
+        "deleted_positions": sum(
+            len(set(v)) for n, v in dv_positions.items() if n in desired
+        ),
     }
 
 
@@ -292,5 +367,28 @@ def read_delta_live_files(dest: str) -> list[str]:
     """Replay the exported log -> absolute paths of live data files (what a
     Delta reader would scan). Used by tests to verify the export without a
     Delta engine."""
-    _, live, _ = _replay_log(os.path.join(dest, LOG_DIR))
+    _, live, _, _ = _replay_log(os.path.join(dest, LOG_DIR))
     return [os.path.join(dest, p) for p in sorted(live)]
+
+
+def read_delta_deletion_vectors(dest: str) -> dict[str, list[int]]:
+    """Replay the log -> {absolute data file path: sorted deleted row
+    positions} from the inline deletion vectors on live add actions (the
+    read-side counterpart of the export's DV path)."""
+    _, live, _, _ = _replay_log(os.path.join(dest, LOG_DIR))
+    out: dict[str, list[int]] = {}
+    for name, add in live.items():
+        dv = add.get("deletionVector")
+        if not dv:
+            continue
+        if dv["storageType"] != "i":
+            raise ValueError(f"unsupported DV storageType {dv['storageType']!r}")
+        raw = _z85_decode(dv["pathOrInlineDv"], dv["sizeInBytes"])
+        positions = _delta_dv_positions(raw)
+        if len(positions) != dv["cardinality"]:
+            raise ValueError(
+                f"DV cardinality mismatch for {name}: "
+                f"{len(positions)} != {dv['cardinality']}"
+            )
+        out[os.path.join(dest, name)] = positions
+    return out

@@ -44,13 +44,25 @@ def make_table(spark, tmp_path):
 
 
 def duck_rows(dest):
+    """Independent read-back: DuckDB scans the log's live files and drops
+    the rows flagged by inline deletion vectors."""
+    from moonlink_spark.table.delta_export import read_delta_deletion_vectors
+
     files = read_delta_live_files(dest)
     assert files, "no live files in delta log"
+    dead = {
+        (f, p)
+        for f, ps in read_delta_deletion_vectors(dest).items()
+        for p in ps
+    }
     con = duckdb.connect()
     quoted = ", ".join(f"'{p}'" for p in files)
-    return con.sql(
-        f"SELECT id, grp, val FROM read_parquet([{quoted}]) ORDER BY id"
+    rows = con.sql(
+        f"SELECT id, grp, val, filename, file_row_number "
+        f"FROM read_parquet([{quoted}], filename=true, file_row_number=true) "
+        f"ORDER BY id"
     ).fetchall()
+    return [(i, g, v) for i, g, v, fn, rn in rows if (fn, rn) not in dead]
 
 
 def spark_rows(t, lsn=None):
@@ -121,27 +133,84 @@ def test_incremental_append_only_adds(spark, tmp_path):
     assert duck_rows(dest) == spark_rows(t)
 
 
-def test_dv_rewrite_and_remove(spark, tmp_path):
+def test_dv_inline_no_rewrite(spark, tmp_path):
+    """Deletes export as inline deletion vectors on the add action
+    (PROTOCOL.md reader 3 / writer 7 feature): data files stay verbatim,
+    a delete-only commit appends one log version with refreshed DVs and
+    a protocol upgrade, and replay-minus-DV equals the table scan."""
+    from moonlink_spark.table.delta_export import read_delta_deletion_vectors
+
     t = make_table(spark, tmp_path)
     dest = str(tmp_path / "delta")
     export_delta(t, dest)
+    data_files_v0 = {
+        n for n in os.listdir(dest) if n.endswith(".parquet")
+    }
 
     t.delete_rows([{"id": i} for i in range(0, 200, 10)])
     t.commit(lsn=2)
     assert t.scan().count() == 180
 
     summary = export_delta(t, dest)
+    assert summary["deletion_vectors"] >= 1
+    assert summary["deleted_positions"] == 20
+    assert summary["removes"] == 0
+    # no data file was rewritten or added
+    assert {n for n in os.listdir(dest) if n.endswith(".parquet")} == data_files_v0
+
     actions = log_actions(dest, 1)
-    removes = [a["remove"] for a in actions if "remove" in a]
+    kinds = [next(iter(a)) for a in actions]
+    assert "remove" not in kinds
+    # protocol upgraded to the DV feature in the same version
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto["minReaderVersion"] == 3 and proto["minWriterVersion"] == 7
+    assert "deletionVectors" in proto["readerFeatures"]
     adds = [a["add"] for a in actions if "add" in a]
-    # the DV'd file must be rewritten: old export removed, live rows re-added
-    assert removes and adds and summary["removes"] == len(removes)
+    assert adds and all("deletionVector" in a for a in adds)
+    dv = adds[0]["deletionVector"]
+    assert dv["storageType"] == "i" and dv["cardinality"] >= 1
+
+    # read side: decoded positions match, DuckDB-minus-DV == scan
+    dvs = read_delta_deletion_vectors(dest)
+    assert sum(len(v) for v in dvs.values()) == 20
     assert duck_rows(dest) == spark_rows(t)
-    # replay agrees with the summary's live accounting
-    _, live, _ = _replay_log(os.path.join(dest, LOG_DIR))
+    # stats still count full file rows; live accounting via summary
+    _, live, _, _ = _replay_log(os.path.join(dest, LOG_DIR))
     assert len(live) == summary["live_files"]
     total = sum(json.loads(a["stats"])["numRecords"] for a in live.values())
-    assert total == 180
+    assert total == 200
+
+    # more deletes: same files, refreshed DVs in a new version
+    t.delete_rows([{"id": i} for i in range(1, 200, 10)])
+    t.commit(lsn=3)
+    s2 = export_delta(t, dest)
+    assert s2["deleted_positions"] == 40 and s2["removes"] == 0
+    assert duck_rows(dest) == spark_rows(t)
+
+    # appends after deletes coexist with DVs
+    t.append_rows([{"id": 999, "grp": "z", "val": 9.0}])
+    t.commit(lsn=4)
+    export_delta(t, dest)
+    assert duck_rows(dest) == spark_rows(t)
+
+
+def test_delta_dv_codec_roundtrip():
+    from moonlink_spark.table.delta_export import (
+        _delta_dv_bytes,
+        _delta_dv_positions,
+        _z85_decode,
+        _z85_encode,
+    )
+
+    for positions in ([0], [1, 5, 7], list(range(0, 100_000, 7))):
+        raw = _delta_dv_bytes(positions)
+        assert _delta_dv_positions(raw) == sorted(positions)
+        enc = _z85_encode(raw)
+        assert _z85_decode(enc, len(raw)) == raw
+    # Z85 handles non-4-aligned input via padding + true-size trim
+    for n in range(1, 9):
+        blob = bytes(range(n))
+        assert _z85_decode(_z85_encode(blob), n) == blob
 
 
 def test_idempotent_re_export_same_lsn(spark, tmp_path):
