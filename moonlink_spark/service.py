@@ -200,6 +200,32 @@ class MoonlinkService:
                 else:
                     h._send(400, {"error": "BadFormat", "format": fmt})
                     return
+                # optional: register the fresh Iceberg metadata version in
+                # a REST catalog so the export is discoverable (parity:
+                # the reference syncs through its catalog trait,
+                # rest_catalog.rs:22)
+                catalog_url = body.get("catalog")
+                if catalog_url and fmt == "iceberg":
+                    from moonlink_spark.table.rest_catalog import register_export
+
+                    try:
+                        reg = register_export(
+                            catalog_url,
+                            body.get("catalog_namespace", db),
+                            body.get("catalog_table", table),
+                            dest,
+                        )
+                    except Exception as e:
+                        h._send(
+                            502,
+                            {
+                                "error": "CatalogRegistrationFailed",
+                                "message": str(e),
+                                "export": s,
+                            },
+                        )
+                        return
+                    s = {**s, "catalog": reg}
                 h._send(200, {"format": fmt, **s})
                 return
             if method == "POST" and action == "/matview":

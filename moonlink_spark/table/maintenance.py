@@ -119,13 +119,13 @@ def vacuum(table: MoonlinkTable, keep_versions: int = 1) -> int:
             referenced.update(f.path for f in m.delete_files)
         removed = 0
         for sub in (DATA_DIR, DELETE_DIR):
-            d = os.path.join(table.path, sub)
-            if not table.fs.isdir(d):
+            d = os.path.join(table.data_path, sub)
+            if not table.data_fs.isdir(d):
                 continue
-            for name in table.fs.listdir(d):
+            for name in table.data_fs.listdir(d):
                 rel = f"{sub}/{name}"
                 if rel not in referenced:
-                    table.fs.unlink(os.path.join(d, name))
+                    table.data_fs.unlink(os.path.join(d, name))
                     removed += 1
         for v in versions:
             if v not in keep:

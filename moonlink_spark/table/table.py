@@ -78,7 +78,9 @@ def _parquet_num_rows(path: str) -> int:
 class MoonlinkTable:
     """One versioned table rooted at ``path``."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self, spark: SparkSession, path: str, data_path: str | None = None
+    ):
         from moonlink_spark.session import ensure_package_on_workers
 
         ensure_package_on_workers(spark)
@@ -87,9 +89,33 @@ class MoonlinkTable:
         # object-store URI into a relative local path before the seam
         # could reject it (table/fs.py)
         fs_for(path)
-        self.path = os.path.abspath(path)
+        has_scheme = "://" in path and not path.startswith("file://")
+        self.path = path.rstrip("/") if has_scheme else os.path.abspath(path)
         self.store = ManifestStore(self.path)
         self.fs = self.store.fs
+        # Split warehouse: control plane (manifests, WAL) on the table's
+        # filesystem; the DATA plane on a path Spark's reader/writer can
+        # address. For a local table they coincide. For an object-store
+        # control plane (parity: the reference keeps table state behind
+        # its accessor trait while parquet IO goes through the engine's
+        # own readers), pass ``data_path`` — a local staging dir or an
+        # s3a:// location the cluster's Hadoop connectors serve.
+        if data_path is None:
+            if has_scheme:
+                raise TableConfigError(
+                    f"table at {path!r} needs data_path=... : Spark cannot "
+                    "read parquet through the control-plane store; give a "
+                    "local staging dir or a connector-served location"
+                )
+            data_path = self.path
+        self.data_path = (
+            data_path.rstrip("/")
+            if "://" in data_path
+            else os.path.abspath(data_path)
+        )
+        from moonlink_spark.table.fs import LocalFS
+
+        self.data_fs = self.fs if self.data_path == self.path else LocalFS()
         self._pending: list[tuple] = []
         self._lock = threading.RLock()
         self.mem_slice_rows = DEFAULT_MEM_SLICE_ROWS
@@ -112,6 +138,7 @@ class MoonlinkTable:
         append_only: bool | None = None,
         properties: dict[str, Any] | None = None,
         cluster_by: list[str] | None = None,
+        data_path: str | None = None,
     ) -> "MoonlinkTable":
         if isinstance(schema, T.StructType):
             fields = struct_to_field_schema(schema)
@@ -142,11 +169,11 @@ class MoonlinkTable:
                 from moonlink_spark.table.zorder import validate_zorder_columns
 
                 validate_zorder_columns(schema, list(cluster_by))
-        t = cls(spark, path)
+        t = cls(spark, path, data_path)
         if t.store.exists():
             raise TableConfigError(f"table already exists at {path}")
-        t.fs.makedirs(os.path.join(t.path, DATA_DIR))
-        t.fs.makedirs(os.path.join(t.path, DELETE_DIR))
+        t.data_fs.makedirs(os.path.join(t.data_path, DATA_DIR))
+        t.data_fs.makedirs(os.path.join(t.data_path, DELETE_DIR))
         t.store.commit(
             Manifest(
                 version=0,
@@ -164,8 +191,10 @@ class MoonlinkTable:
         return list(self.manifest.properties.get("cluster_by") or [])
 
     @classmethod
-    def open(cls, spark: SparkSession, path: str) -> "MoonlinkTable":
-        t = cls(spark, path)
+    def open(
+        cls, spark: SparkSession, path: str, data_path: str | None = None
+    ) -> "MoonlinkTable":
+        t = cls(spark, path, data_path)
         if not t.store.exists():
             raise TableConfigError(f"no table at {path}")
         return t
@@ -173,6 +202,8 @@ class MoonlinkTable:
     def drop(self) -> None:
         """Delete table data + metadata (parity TableEvent::DropTable)."""
         self.fs.rmtree(self.path)
+        if self.data_path != self.path:
+            self.data_fs.rmtree(self.data_path)
 
     # ------------------------------------------------------------------ #
     # introspection
@@ -316,7 +347,7 @@ class MoonlinkTable:
             p = os.path.abspath(p)
             if copy:
                 name = f"{DATA_DIR}/load-{uuid.uuid4().hex}.parquet"
-                self.fs.copyfile(p, os.path.join(self.path, name))
+                self.data_fs.copyfile(p, os.path.join(self.data_path, name))
                 entries.append(
                     FileEntry(name, _parquet_num_rows(p), os.path.getsize(p))
                 )
@@ -556,7 +587,7 @@ class MoonlinkTable:
         return self.manifest
 
     def _resolve(self, rel: str) -> str:
-        return rel if os.path.isabs(rel) else os.path.join(self.path, rel)
+        return rel if os.path.isabs(rel) else os.path.join(self.data_path, rel)
 
     def changes(self, from_lsn: int, to_lsn: int | None = None) -> DataFrame:
         """Change data feed: row-level insert/update/delete between two LSN
@@ -627,7 +658,7 @@ class MoonlinkTable:
                     F.lit("file://"),
                     F.lit(""),
                 ),
-                F.lit(self.path + "/"),
+                F.lit(self.data_path + "/"),
                 F.lit(""),
             )
             df = df.select(
@@ -684,13 +715,13 @@ class MoonlinkTable:
                 schema=arrow_schema,
             )
             rel = f"{DATA_DIR}/buf-{uuid.uuid4().hex}.parquet"
-            path = os.path.join(self.path, rel)
+            path = os.path.join(self.data_path, rel)
             pq.write_table(tbl, path, compression="snappy")
             return [
                 FileEntry(
                     rel,
                     tbl.num_rows,
-                    self.fs.getsize(path),
+                    self.data_fs.getsize(path),
                     collect_file_stats(path),
                 )
             ]
@@ -735,23 +766,23 @@ class MoonlinkTable:
             # INSIDE each file, so parquet row-group min/max become
             # selective too — pushed filters then skip row groups within
             # the files that manifest-level pruning cannot drop entirely
-        tmp = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}")
+        tmp = os.path.join(self.data_path, f"_tmp-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(tmp)
         entries = []
-        for name in sorted(self.fs.listdir(tmp)):
+        for name in sorted(self.data_fs.listdir(tmp)):
             if not name.endswith(".parquet"):
                 continue
             rel = f"{DATA_DIR}/part-{uuid.uuid4().hex}.parquet"
-            dst = os.path.join(self.path, rel)
-            self.fs.rename(os.path.join(tmp, name), dst)
+            dst = os.path.join(self.data_path, rel)
+            self.data_fs.rename(os.path.join(tmp, name), dst)
             rows = _parquet_num_rows(dst)
             if rows == 0:
-                self.fs.unlink(dst)
+                self.data_fs.unlink(dst)
                 continue
             entries.append(
-                FileEntry(rel, rows, self.fs.getsize(dst), collect_file_stats(dst))
+                FileEntry(rel, rows, self.data_fs.getsize(dst), collect_file_stats(dst))
             )
-        self.fs.rmtree(tmp)
+        self.data_fs.rmtree(tmp)
         return entries
 
     def _write_dv(self, matched: DataFrame) -> list[FileEntry]:
@@ -759,21 +790,21 @@ class MoonlinkTable:
         matched = matched.select(
             F.col("__fp").alias("file_path"), F.col("__ri").alias("row_index")
         )
-        tmp = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}")
+        tmp = os.path.join(self.data_path, f"_tmp-{uuid.uuid4().hex}")
         matched.write.mode("overwrite").parquet(tmp)
         entries = []
-        for name in sorted(self.fs.listdir(tmp)):
+        for name in sorted(self.data_fs.listdir(tmp)):
             if not name.endswith(".parquet"):
                 continue
             rel = f"{DELETE_DIR}/dv-{uuid.uuid4().hex}.parquet"
-            dst = os.path.join(self.path, rel)
-            self.fs.rename(os.path.join(tmp, name), dst)
+            dst = os.path.join(self.data_path, rel)
+            self.data_fs.rename(os.path.join(tmp, name), dst)
             rows = _parquet_num_rows(dst)
             if rows == 0:
-                self.fs.unlink(dst)
+                self.data_fs.unlink(dst)
                 continue
-            entries.append(FileEntry(rel, rows, self.fs.getsize(dst)))
-        self.fs.rmtree(tmp)
+            entries.append(FileEntry(rel, rows, self.data_fs.getsize(dst)))
+        self.data_fs.rmtree(tmp)
         return entries
 
     # ------------------------------------------------------------------ #

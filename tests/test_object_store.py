@@ -170,3 +170,73 @@ def test_wal_journal_on_object_store(bucket):
     assert len(lines) == 2 and '"id": 2' in lines[1]
     fs.unlink(wal)
     assert not fs.exists(wal)
+
+
+def test_table_lifecycle_with_object_store_control_plane(spark, tmp_path, bucket):
+    """Full MoonlinkTable lifecycle with manifests/WAL on the object store
+    and parquet on a local data path (the split a real deployment runs:
+    control plane behind the accessor, data via the cluster's readers):
+    create, append, upsert, delete, LSN time travel, optimize, vacuum,
+    reopen-from-store."""
+    from moonlink_spark.table.identity import IdentityProp
+    from moonlink_spark.table.table import MoonlinkTable
+
+    data_dir = str(tmp_path / "staging")
+    t = MoonlinkTable.create(
+        spark,
+        "mem://warehouse/db/split",
+        USERS,
+        IdentityProp.single("id"),
+        data_path=data_dir,
+    )
+    t.append_rows([{"id": i, "name": f"n{i}"} for i in range(100)])
+    t.commit(lsn=1)
+    t.upsert_rows([{"id": 5, "name": "UPD"}, {"id": 200, "name": "new"}])
+    t.commit(lsn=2)
+    t.delete_rows([{"id": 7}])
+    t.commit(lsn=3)
+
+    assert t.scan().count() == 100  # 100 +1 new -1 deleted
+    assert t.scan(lsn=1).count() == 100
+    assert {r.name for r in t.scan().filter("id = 5").collect()} == {"UPD"}
+    # every manifest object lives in the bucket; every parquet is local
+    assert any("/_manifests/" in k for k in bucket.objects)
+    assert not any(k.endswith(".parquet") for k in bucket.objects)
+    import os as _os
+
+    assert any(
+        n.endswith(".parquet")
+        for n in _os.listdir(_os.path.join(data_dir, "data"))
+    )
+
+    from moonlink_spark.table.maintenance import optimize, vacuum
+
+    optimize(t)
+    assert t.scan().count() == 100
+    vacuum(t, keep_versions=1)
+    assert t.scan().count() == 100
+
+    # reopen purely from the object-store control plane
+    t2 = MoonlinkTable.open(
+        spark, "mem://warehouse/db/split", data_path=data_dir
+    )
+    assert t2.scan().count() == 100
+    assert t2.last_lsn == t.last_lsn
+
+    # drop clears both planes
+    t2.drop()
+    assert not any("db/split" in k for k in bucket.objects)
+    assert not _os.path.isdir(data_dir)
+
+
+def test_object_store_table_requires_data_path(spark, bucket):
+    import pytest as _pytest
+
+    from moonlink_spark.errors import TableConfigError
+    from moonlink_spark.table.identity import IdentityProp
+    from moonlink_spark.table.table import MoonlinkTable
+
+    with _pytest.raises(TableConfigError, match="data_path"):
+        MoonlinkTable.create(
+            spark, "mem://warehouse/db/nodata", USERS, IdentityProp.single("id")
+        )

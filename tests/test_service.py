@@ -368,3 +368,38 @@ def test_scan_where_rejects_expressions(svc):
     # the simple grammar still works
     code, out = _req(svc, "GET", "/scan/db9/sec?where=age%20%3D%205")
     assert code == 200 and out["count"] == 1
+
+
+def test_export_with_catalog_registration(svc, tmp_path):
+    """POST /export format=iceberg&catalog=... registers the new metadata
+    version in the REST catalog and the table is then loadable from it."""
+    from moonlink_spark.table.rest_catalog import (
+        IcebergRestCatalogServer,
+        RestCatalogClient,
+    )
+
+    cat = IcebergRestCatalogServer(str(tmp_path / "cat")).start()
+    try:
+        _req(svc, "POST", "/tables/db10/ct", USERS_REQ)
+        for i in range(5):
+            _req(svc, "POST", "/ingest/db10/ct",
+                 {"operation": "insert", "data": {"id": i, "name": f"n{i}", "age": i}})
+        dest = str(tmp_path / "ice")
+        code, out = _req(svc, "POST", "/tables/db10/ct/export",
+                         {"format": "iceberg", "dest": dest,
+                          "catalog": f"http://127.0.0.1:{cat.port}"})
+        assert code == 200 and out["catalog"]["metadata-location"].endswith(
+            "v1.metadata.json"
+        )
+        c = RestCatalogClient(f"http://127.0.0.1:{cat.port}")
+        code, loaded = c.load_table("db10", "ct")
+        assert code == 200 and loaded["metadata"]["current-snapshot-id"] == 1
+
+        # unreachable catalog -> 502, export itself still reported
+        code, out = _req(svc, "POST", "/tables/db10/ct/export",
+                         {"format": "iceberg", "dest": dest,
+                          "catalog": "http://127.0.0.1:9"})
+        assert code == 502 and out["error"] == "CatalogRegistrationFailed"
+        assert out["export"]["metadata_version"] == 2
+    finally:
+        cat.stop()
