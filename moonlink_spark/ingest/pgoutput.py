@@ -418,6 +418,74 @@ def read_trace_file(path: str) -> Iterator[bytes]:
             yield fh.read(n)
 
 
+def spool_lines(events: Iterable[CdcEvent]) -> Iterator[str]:
+    """Committed transactions -> the spool JSONL lines ``StreamingIngestor``
+    consumes: each DML row stamped with its transaction's COMMIT LSN (the
+    same convention ``ingest/dbpoll.py`` uses with its change_id cursor),
+    begin/commit markers elided. Uncommitted trailing events are dropped —
+    feed complete transactions (e.g. via ``PgoutputDecoder.decode_stream``
+    over a recorded trace)."""
+    buf: list[CdcEvent] = []
+    for ev in events:
+        if ev.op == "begin":
+            buf = []
+            continue
+        if ev.op == "commit":
+            for dml in buf:
+                yield json.dumps(
+                    {
+                        "lsn": ev.lsn,
+                        "xact_id": None,
+                        "op": dml.op,
+                        "row": _row_json(dml.row),
+                        "old_row": _row_json(dml.old_row),
+                    },
+                    separators=(",", ":"),
+                )
+            buf = []
+            continue
+        if ev.op in ("insert", "update", "delete") and ev.xact_id is None:
+            buf.append(ev)
+        # streamed xacts go through CdcSink/ReplicationTailer, not the spool
+
+
+def pgoutput_trace_to_spool(trace_path: str, spool_dir: str) -> int:
+    """Recorded pgoutput trace file -> one spool JSONL file; returns the
+    number of event lines written. Bridges a replication capture into the
+    Structured-Streaming ingestion path end-to-end."""
+    import os
+    import uuid
+
+    decoder = PgoutputDecoder()
+    lines = list(
+        spool_lines(decoder.decode_stream(read_trace_file(trace_path)))
+    )
+    os.makedirs(spool_dir, exist_ok=True)
+    if lines:
+        out = os.path.join(spool_dir, f"pgoutput-{uuid.uuid4().hex[:12]}.jsonl")
+        tmp = out + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        os.replace(tmp, out)
+    return len(lines)
+
+
+def _row_json(row: dict[str, Any] | None) -> dict[str, Any] | None:
+    if row is None:
+        return None
+    out = {}
+    for k, v in row.items():
+        if isinstance(v, (dt.datetime, dt.date, dt.time)):
+            out[k] = v.isoformat()
+        elif isinstance(v, Decimal):
+            out[k] = str(v)
+        elif isinstance(v, bytes):
+            out[k] = v.hex()
+        else:
+            out[k] = v
+    return out
+
+
 def rows_to_json_events(events: Iterable[CdcEvent]) -> Iterator[str]:
     """CdcEvents -> the spool JSONL format StreamingIngestor consumes
     (same shape DbPollingSource emits), so a recorded replication trace

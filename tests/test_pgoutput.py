@@ -319,3 +319,56 @@ def test_spool_bridge_format():
     assert [o["op"] for o in objs] == ["begin", "insert", "commit"]
     assert objs[1]["row"] == {"id": 1, "ts": "2024-01-01T00:00:00", "amt": "9.99"}
     assert objs[2]["lsn"] == 3
+
+
+def test_trace_to_spool_to_streaming_pipeline(spark, tmp_path):
+    """Full bridge: recorded pgoutput trace -> spool JSONL ->
+    StreamingIngestor micro-batch merge -> table. The replication capture
+    feeds the same Structured-Streaming path REST/dbpoll use."""
+    import struct as _struct
+
+    from moonlink_spark.ingest.pgoutput import pgoutput_trace_to_spool
+    from moonlink_spark.streaming.pipeline import StreamingIngestor
+
+    trace = str(tmp_path / "trace.bin")
+    frames = [
+        begin(100), USERS_REL,
+        insert(16385, ["1", "a", "10"]), insert(16385, ["2", "b", "20"]),
+        commit(100),
+        begin(200),
+        update(16385, ["2", "bb", "21"]),
+        delete(16385, ["1", None, None]),
+        insert(16385, ["3", "c", "30"]),
+        commit(200),
+    ]
+    with open(trace, "wb") as fh:
+        for f in frames:
+            fh.write(_struct.pack(">I", len(f)) + f)
+
+    spool = str(tmp_path / "spool")
+    n = pgoutput_trace_to_spool(trace, spool)
+    assert n == 5  # begin/commit markers elided, 5 DML lines
+
+    t = MoonlinkTable.create(
+        spark,
+        str(tmp_path / "t"),
+        [
+            {"name": "id", "data_type": "int64", "nullable": False},
+            {"name": "name", "data_type": "string"},
+            {"name": "age", "data_type": "int32"},
+        ],
+        IdentityProp.single("id"),
+    )
+    ing = StreamingIngestor(
+        t, source_dir=spool, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    ing.run_available()
+    rows = {r.id: (r.name, r.age) for r in t.scan().collect()}
+    assert rows == {2: ("bb", 21), 3: ("c", 30)}
+
+    # an uncommitted trailing transaction contributes nothing
+    with open(trace, "ab") as fh:
+        for f in [begin(300), insert(16385, ["9", "x", "9"])]:
+            fh.write(_struct.pack(">I", len(f)) + f)
+    n2 = pgoutput_trace_to_spool(trace, str(tmp_path / "spool2"))
+    assert n2 == 5  # same five committed lines, nothing from the tail
