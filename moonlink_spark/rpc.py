@@ -1,0 +1,525 @@
+"""Binary RPC protocol + scan-result wire format.
+
+Parity: the reference exposes a TCP RPC beside its HTTP service
+(``src/moonlink_rpc/src/lib.rs:28-39``): length-prefixed bincode frames
+carrying a request enum (create_snapshot, create_table, drop_table,
+get_parquet_metadatas, get_table_schema, list_tables, load_files,
+optimize_table, scan_table_begin, scan_table_end), and scan results
+returned as the compact ``MooncakeTableMetadata`` byte blob
+(``moonlink_table_metadata/src/table_metadata.rs``: offset-indexed path
+arrays + u32 deletion-vector/position-delete records) that the
+DataFusion read side consumes.
+
+This module re-implements both layers in Python against the same byte
+layouts:
+
+- the envelope is a u32-LE length prefix + bincode *standard-config*
+  payload (varint ints: <251 one byte, then 251/252/253 markers for
+  u16/u32/u64 LE; enum discriminants as varint u32; strings/vecs as
+  varint length + elements; Option as 0/1; Result as discriminant 0=Ok
+  1=Err) — the encoding ``bincode::config::standard()`` produces, so the
+  framing matches what a reference client sends;
+- the scan-result blob is byte-exact per table_metadata.rs (u32-LE
+  counts/offsets, paths concatenated after the fixed section);
+- ``get_table_schema`` returns the Arrow IPC schema serialization
+  (pyarrow ``schema.serialize()``), the same self-describing bytes the
+  reference hands out;
+- ``get_parquet_metadatas`` returns raw parquet footer (thrift) bytes
+  sliced from each file's tail.
+
+Live tables carry deletes as position-delete parquet, so
+``scan_table_begin`` emits them in the ``position_deletes`` section
+(``puffin_files``/``deletion_vectors`` fill after an Iceberg DV export;
+the reader contract treats the two sections identically). Error payloads
+carry the message as a string — the reference's structured error enum is
+collapsed, documented divergence.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import socketserver
+import struct
+import threading
+from dataclasses import dataclass, field
+from typing import Any
+
+# --------------------------------------------------------------------------- #
+# bincode standard-config primitives
+# --------------------------------------------------------------------------- #
+
+
+def enc_varint(v: int) -> bytes:
+    if v < 0:
+        raise ValueError("unsigned only")
+    if v < 251:
+        return bytes([v])
+    if v <= 0xFFFF:
+        return b"\xfb" + struct.pack("<H", v)
+    if v <= 0xFFFFFFFF:
+        return b"\xfc" + struct.pack("<I", v)
+    return b"\xfd" + struct.pack("<Q", v)
+
+
+def dec_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    b = buf[pos]
+    if b < 251:
+        return b, pos + 1
+    if b == 251:
+        return struct.unpack_from("<H", buf, pos + 1)[0], pos + 3
+    if b == 252:
+        return struct.unpack_from("<I", buf, pos + 1)[0], pos + 5
+    if b == 253:
+        return struct.unpack_from("<Q", buf, pos + 1)[0], pos + 9
+    raise ValueError(f"unsupported varint marker {b}")
+
+
+def enc_str(s: str) -> bytes:
+    raw = s.encode("utf-8")
+    return enc_varint(len(raw)) + raw
+
+
+def dec_str(buf: bytes, pos: int) -> tuple[str, int]:
+    n, pos = dec_varint(buf, pos)
+    return buf[pos:pos + n].decode("utf-8"), pos + n
+
+
+def enc_bytes(b: bytes) -> bytes:
+    return enc_varint(len(b)) + bytes(b)
+
+
+def dec_bytes(buf: bytes, pos: int) -> tuple[bytes, int]:
+    n, pos = dec_varint(buf, pos)
+    return bytes(buf[pos:pos + n]), pos + n
+
+
+# --------------------------------------------------------------------------- #
+# request enum (variant order = lib.rs:28-39 declaration order)
+# --------------------------------------------------------------------------- #
+
+# name -> (variant index, field spec); "s"=string, "u"=u64, "vs"=Vec<String>
+RPC_DEFS: dict[str, tuple[int, list[tuple[str, str]]]] = {
+    "create_snapshot": (0, [("database", "s"), ("table", "s"), ("lsn", "u")]),
+    "create_table": (
+        1,
+        [
+            ("database", "s"),
+            ("table", "s"),
+            ("src", "s"),
+            ("src_uri", "s"),
+            ("table_config", "s"),
+        ],
+    ),
+    "drop_table": (2, [("database", "s"), ("table", "s")]),
+    "get_parquet_metadatas": (3, [("data_files", "vs")]),
+    "get_table_schema": (4, [("database", "s"), ("table", "s")]),
+    "list_tables": (5, []),
+    "load_files": (6, [("database", "s"), ("table", "s"), ("files", "vs")]),
+    "optimize_table": (7, [("database", "s"), ("table", "s"), ("mode", "s")]),
+    "scan_table_begin": (8, [("database", "s"), ("table", "s"), ("lsn", "u")]),
+    "scan_table_end": (9, [("database", "s"), ("table", "s")]),
+}
+_BY_INDEX = {idx: (name, spec) for name, (idx, spec) in RPC_DEFS.items()}
+
+
+def encode_request(name: str, **kwargs: Any) -> bytes:
+    idx, spec = RPC_DEFS[name]
+    out = bytearray(enc_varint(idx))
+    for fname, kind in spec:
+        v = kwargs[fname]
+        if kind == "s":
+            out += enc_str(v)
+        elif kind == "u":
+            out += enc_varint(int(v))
+        elif kind == "vs":
+            out += enc_varint(len(v))
+            for item in v:
+                out += enc_str(item)
+    return bytes(out)
+
+
+def decode_request(buf: bytes) -> tuple[str, dict[str, Any]]:
+    idx, pos = dec_varint(buf, 0)
+    name, spec = _BY_INDEX[idx]
+    kwargs: dict[str, Any] = {}
+    for fname, kind in spec:
+        if kind == "s":
+            kwargs[fname], pos = dec_str(buf, pos)
+        elif kind == "u":
+            kwargs[fname], pos = dec_varint(buf, pos)
+        elif kind == "vs":
+            n, pos = dec_varint(buf, pos)
+            items = []
+            for _ in range(n):
+                s, pos = dec_str(buf, pos)
+                items.append(s)
+            kwargs[fname] = items
+    return name, kwargs
+
+
+# --------------------------------------------------------------------------- #
+# scan-result wire format (table_metadata.rs, byte-exact)
+# --------------------------------------------------------------------------- #
+
+
+@dataclass
+class TableMetadataBlob:
+    data_files: list[str] = field(default_factory=list)
+    puffin_files: list[str] = field(default_factory=list)
+    # (data_file_number, puffin_file_number, offset, size)
+    deletion_vectors: list[tuple[int, int, int, int]] = field(default_factory=list)
+    # (data_file_number, data_file_row_number), sorted by file number
+    position_deletes: list[tuple[int, int]] = field(default_factory=list)
+
+    def encode(self) -> bytes:
+        u32 = lambda v: struct.pack("<I", v)  # noqa: E731
+        out = bytearray()
+        out += u32(len(self.data_files))
+        off = 0
+        for p in self.data_files:
+            out += u32(off)
+            off += len(p.encode())
+        out += u32(off)
+        out += u32(len(self.puffin_files))
+        off = 0
+        for p in self.puffin_files:
+            out += u32(off)
+            off += len(p.encode())
+        out += u32(off)
+        out += u32(len(self.deletion_vectors))
+        prev = 0
+        for dfn, pfn, o, s in self.deletion_vectors:
+            assert dfn >= prev, "deletion vectors must be file-ordered"
+            prev = dfn
+            out += u32(dfn) + u32(pfn) + u32(o) + u32(s)
+        out += u32(len(self.position_deletes))
+        prev = 0
+        for dfn, row in self.position_deletes:
+            assert dfn >= prev, "position deletes must be file-ordered"
+            prev = dfn
+            out += u32(dfn) + u32(row)
+        for p in self.data_files:
+            out += p.encode()
+        for p in self.puffin_files:
+            out += p.encode()
+        return bytes(out)
+
+    @classmethod
+    def decode(cls, buf: bytes) -> "TableMetadataBlob":
+        pos = 0
+
+        def u32() -> int:
+            nonlocal pos
+            (v,) = struct.unpack_from("<I", buf, pos)
+            pos += 4
+            return v
+
+        n_data = u32()
+        data_offsets = [u32() for _ in range(n_data + 1)]
+        n_puffin = u32()
+        puffin_offsets = [u32() for _ in range(n_puffin + 1)]
+        dvs = [tuple(u32() for _ in range(4)) for _ in range(u32())]
+        pds = [tuple(u32() for _ in range(2)) for _ in range(u32())]
+        data_base = pos
+        data_files = [
+            buf[data_base + data_offsets[i]:data_base + data_offsets[i + 1]].decode()
+            for i in range(n_data)
+        ]
+        puffin_base = data_base + data_offsets[n_data]
+        puffin_files = [
+            buf[
+                puffin_base + puffin_offsets[i]:puffin_base + puffin_offsets[i + 1]
+            ].decode()
+            for i in range(n_puffin)
+        ]
+        return cls(data_files, puffin_files, dvs, pds)  # type: ignore[arg-type]
+
+
+# --------------------------------------------------------------------------- #
+# framing
+# --------------------------------------------------------------------------- #
+
+
+def _send_frame(sock: socket.socket, payload: bytes) -> None:
+    sock.sendall(struct.pack("<I", len(payload)) + payload)
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    out = bytearray()
+    while len(out) < n:
+        chunk = sock.recv(n - len(out))
+        if not chunk:
+            raise ConnectionError("peer closed")
+        out += chunk
+    return bytes(out)
+
+
+def _recv_frame(sock: socket.socket) -> bytes:
+    (n,) = struct.unpack("<I", _recv_exact(sock, 4))
+    return _recv_exact(sock, n)
+
+
+# --------------------------------------------------------------------------- #
+# server
+# --------------------------------------------------------------------------- #
+
+
+class MoonlinkRpcServer:
+    """TCP RPC over a MoonlinkBackend (parity moonlink_service's RPC
+    listener). One frame in -> one Result frame out per request;
+    connections are served concurrently."""
+
+    def __init__(self, backend, host: str = "127.0.0.1", port: int = 0):
+        self.backend = backend
+        rpc = self
+        # pinned scan snapshots: (db, table) -> version (scan_table_begin
+        # resolves once; scan_table_end releases)
+        self._pins: dict[tuple[str, str], int] = {}
+        self._lock = threading.Lock()
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self) -> None:
+                while True:
+                    try:
+                        frame = _recv_frame(self.request)
+                    except (ConnectionError, struct.error):
+                        return
+                    try:
+                        name, kwargs = decode_request(frame)
+                        payload = rpc._dispatch(name, kwargs)
+                        _send_frame(self.request, b"\x00" + payload)  # Ok
+                    except Exception as e:  # -> Err(message)
+                        _send_frame(self.request, b"\x01" + enc_str(str(e)))
+
+        self.server = socketserver.ThreadingTCPServer((host, port), Handler)
+        self.server.daemon_threads = True
+        self.port = self.server.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    # -- dispatch ----------------------------------------------------------
+
+    def _dispatch(self, name: str, kw: dict[str, Any]) -> bytes:
+        if name == "create_snapshot":
+            t = self.backend.get_table(kw["database"], kw["table"])
+            t.store.wait_for_lsn(kw["lsn"])
+            return b""
+        if name == "create_table":
+            import json
+
+            cfg = json.loads(kw["table_config"]) if kw["table_config"] else {}
+            from moonlink_spark.table.identity import IdentityProp
+
+            ident = IdentityProp.from_json(
+                cfg.get("identity", {"mode": "none", "columns": []})
+            )
+            self.backend.create_table(
+                kw["database"], kw["table"], cfg["schema"], ident
+            )
+            return b""
+        if name == "drop_table":
+            self.backend.drop_table(kw["database"], kw["table"])
+            return b""
+        if name == "get_parquet_metadatas":
+            metas = [_parquet_footer_bytes(p) for p in kw["data_files"]]
+            out = bytearray(enc_varint(len(metas)))
+            for m in metas:
+                out += enc_bytes(m)
+            return bytes(out)
+        if name == "get_table_schema":
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            t = self.backend.get_table(kw["database"], kw["table"])
+            return enc_bytes(to_arrow_schema(t.schema).serialize().to_pybytes())
+        if name == "list_tables":
+            rows = []
+            for full in self.backend.list_tables():  # "db.table" keys
+                db, tbl = full.split(".", 1)
+                t = self.backend.get_table(db, tbl)
+                m = t.manifest
+                rows.append((db, tbl, t.cardinality(), m.lsn, m.lsn, t.path))
+            out = bytearray(enc_varint(len(rows)))
+            for db, tbl, card, commit_lsn, flush_lsn, loc in rows:
+                out += enc_str(db) + enc_str(tbl)
+                out += enc_varint(card) + enc_varint(commit_lsn)
+                out += b"\x01" + enc_varint(flush_lsn)  # Some(flush_lsn)
+                out += enc_str(loc)
+            return bytes(out)
+        if name == "load_files":
+            t = self.backend.get_table(kw["database"], kw["table"])
+            t.load_files(kw["files"])
+            t.commit(operation="rpc-load-files")
+            return b""
+        if name == "optimize_table":
+            self.backend.optimize_table(kw["database"], kw["table"], kw["mode"])
+            return b""
+        if name == "scan_table_begin":
+            blob = self._scan_blob(kw["database"], kw["table"], kw["lsn"])
+            return enc_bytes(blob)
+        if name == "scan_table_end":
+            with self._lock:
+                self._pins.pop((kw["database"], kw["table"]), None)
+            return b""
+        raise ValueError(f"unknown rpc {name!r}")
+
+    def _scan_blob(self, db: str, table: str, lsn: int) -> bytes:
+        import pyarrow.parquet as pq
+
+        t = self.backend.get_table(db, table)
+        m = (
+            t._resolve_manifest(lsn=lsn) if lsn else t.manifest
+        )
+        with self._lock:
+            self._pins[(db, table)] = m.version
+        data_files = [t._resolve(f.path) for f in m.data_files]
+        index = {t._resolve(f.path): i for i, f in enumerate(m.data_files)}
+        rel_index = {f.path: i for i, f in enumerate(m.data_files)}
+        pds: list[tuple[int, int]] = []
+        for dv in m.delete_files:
+            tab = pq.read_table(
+                t._resolve(dv.path), columns=["file_path", "row_index"]
+            )
+            for fp, ri in zip(
+                tab.column("file_path").to_pylist(),
+                tab.column("row_index").to_pylist(),
+            ):
+                rel = fp.removeprefix("file:")
+                i = rel_index.get(rel, index.get(rel))
+                if i is not None:
+                    pds.append((i, ri))
+        pds.sort()
+        return TableMetadataBlob(
+            data_files=data_files, position_deletes=pds
+        ).encode()
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self) -> "MoonlinkRpcServer":
+        self._thread = threading.Thread(
+            target=self.server.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.server.shutdown()
+        self.server.server_close()
+
+
+def _parquet_footer_bytes(path: str) -> bytes:
+    """Raw parquet footer (thrift) bytes: tail = footer | u32-LE len | PAR1."""
+    size = os.path.getsize(path)
+    with open(path, "rb") as fh:
+        fh.seek(size - 8)
+        tail = fh.read(8)
+        if tail[4:] != b"PAR1":
+            raise ValueError(f"{path} is not parquet")
+        (flen,) = struct.unpack("<I", tail[:4])
+        fh.seek(size - 8 - flen)
+        return fh.read(flen)
+
+
+# --------------------------------------------------------------------------- #
+# client
+# --------------------------------------------------------------------------- #
+
+
+class RpcError(RuntimeError):
+    pass
+
+
+class MoonlinkRpcClient:
+    """Blocking client for the server above (one socket, request/response)."""
+
+    def __init__(self, host: str, port: int, timeout_s: float = 30.0):
+        self.sock = socket.create_connection((host, port), timeout=timeout_s)
+
+    def close(self) -> None:
+        self.sock.close()
+
+    def _call(self, name: str, **kwargs: Any) -> bytes:
+        _send_frame(self.sock, encode_request(name, **kwargs))
+        resp = _recv_frame(self.sock)
+        if resp[:1] == b"\x01":
+            msg, _ = dec_str(resp, 1)
+            raise RpcError(msg)
+        return resp[1:]
+
+    def create_snapshot(self, database: str, table: str, lsn: int) -> None:
+        self._call("create_snapshot", database=database, table=table, lsn=lsn)
+
+    def create_table(
+        self, database: str, table: str, src: str, src_uri: str, table_config: str
+    ) -> None:
+        self._call(
+            "create_table",
+            database=database,
+            table=table,
+            src=src,
+            src_uri=src_uri,
+            table_config=table_config,
+        )
+
+    def drop_table(self, database: str, table: str) -> None:
+        self._call("drop_table", database=database, table=table)
+
+    def get_parquet_metadatas(self, data_files: list[str]) -> list[bytes]:
+        buf = self._call("get_parquet_metadatas", data_files=data_files)
+        n, pos = dec_varint(buf, 0)
+        out = []
+        for _ in range(n):
+            b, pos = dec_bytes(buf, pos)
+            out.append(b)
+        return out
+
+    def get_table_schema(self, database: str, table: str):
+        import pyarrow as pa
+
+        buf = self._call("get_table_schema", database=database, table=table)
+        raw, _ = dec_bytes(buf, 0)
+        return pa.ipc.read_schema(pa.BufferReader(raw))
+
+    def list_tables(self) -> list[dict[str, Any]]:
+        buf = self._call("list_tables")
+        n, pos = dec_varint(buf, 0)
+        out = []
+        for _ in range(n):
+            db, pos = dec_str(buf, pos)
+            tbl, pos = dec_str(buf, pos)
+            card, pos = dec_varint(buf, pos)
+            commit_lsn, pos = dec_varint(buf, pos)
+            has_flush = buf[pos]
+            pos += 1
+            flush_lsn = None
+            if has_flush:
+                flush_lsn, pos = dec_varint(buf, pos)
+            loc, pos = dec_str(buf, pos)
+            out.append(
+                {
+                    "database": db,
+                    "table": tbl,
+                    "cardinality": card,
+                    "commit_lsn": commit_lsn,
+                    "flush_lsn": flush_lsn,
+                    "iceberg_warehouse_location": loc,
+                }
+            )
+        return out
+
+    def load_files(self, database: str, table: str, files: list[str]) -> None:
+        self._call("load_files", database=database, table=table, files=files)
+
+    def optimize_table(self, database: str, table: str, mode: str) -> None:
+        self._call("optimize_table", database=database, table=table, mode=mode)
+
+    def scan_table_begin(
+        self, database: str, table: str, lsn: int
+    ) -> TableMetadataBlob:
+        buf = self._call(
+            "scan_table_begin", database=database, table=table, lsn=lsn
+        )
+        raw, _ = dec_bytes(buf, 0)
+        return TableMetadataBlob.decode(raw)
+
+    def scan_table_end(self, database: str, table: str) -> None:
+        self._call("scan_table_end", database=database, table=table)

@@ -1,0 +1,169 @@
+"""Binary RPC protocol + scan-result wire format (parity:
+moonlink_rpc/src/lib.rs:28-39 request surface over length-prefixed
+bincode-standard frames; moonlink_table_metadata table_metadata.rs
+scan-result blob, byte-exact)."""
+
+import json
+import struct
+
+import pytest
+
+from moonlink_spark.backend import MoonlinkBackend
+from moonlink_spark.rpc import (
+    MoonlinkRpcClient,
+    MoonlinkRpcServer,
+    RpcError,
+    TableMetadataBlob,
+    dec_varint,
+    decode_request,
+    enc_varint,
+    encode_request,
+)
+from moonlink_spark.table.identity import IdentityProp
+
+USERS_SCHEMA = [
+    {"name": "id", "data_type": "int64", "nullable": False},
+    {"name": "name", "data_type": "string"},
+]
+
+
+def test_varint_bincode_standard():
+    # bincode standard: <251 one byte; markers 251/252/253 for u16/u32/u64
+    cases = {
+        0: b"\x00",
+        250: b"\xfa",
+        251: b"\xfb\xfb\x00",
+        65535: b"\xfb\xff\xff",
+        65536: b"\xfc\x00\x00\x01\x00",
+        2**32 - 1: b"\xfc\xff\xff\xff\xff",
+        2**32: b"\xfd\x00\x00\x00\x00\x01\x00\x00\x00",
+    }
+    for v, raw in cases.items():
+        assert enc_varint(v) == raw, v
+        assert dec_varint(raw, 0) == (v, len(raw))
+
+
+def test_request_codec_roundtrip():
+    for name, kwargs in [
+        ("create_snapshot", {"database": "d", "table": "t", "lsn": 12345678}),
+        ("list_tables", {}),
+        ("get_parquet_metadatas", {"data_files": ["/a.parquet", "/b.parquet"]}),
+        ("scan_table_begin", {"database": "d", "table": "t", "lsn": 0}),
+        ("optimize_table", {"database": "d", "table": "t", "mode": "full"}),
+    ]:
+        buf = encode_request(name, **kwargs)
+        assert decode_request(buf) == (name, kwargs)
+    # variant indexes follow lib.rs declaration order
+    assert encode_request("create_snapshot", database="", table="", lsn=0)[0] == 0
+    assert encode_request("scan_table_end", database="", table="")[0] == 9
+
+
+def test_table_metadata_blob_byte_layout():
+    blob = TableMetadataBlob(
+        data_files=["/d/one.parquet", "/d/two.parquet"],
+        puffin_files=["/m/dv.puffin"],
+        deletion_vectors=[(0, 0, 4, 100), (1, 0, 104, 50)],
+        position_deletes=[(0, 3), (0, 9), (1, 1)],
+    )
+    raw = blob.encode()
+    # fixed section, per table_metadata.rs: counts + offsets first
+    n_data, off0, off1, off_end = struct.unpack_from("<IIII", raw, 0)
+    assert n_data == 2 and off0 == 0
+    assert off1 == len("/d/one.parquet") and off_end == off1 + len("/d/two.parquet")
+    assert TableMetadataBlob.decode(raw) == blob
+    # empty blob round-trips too
+    assert TableMetadataBlob.decode(TableMetadataBlob().encode()) == TableMetadataBlob()
+    # ordering contract enforced like the reference's assert_ge
+    with pytest.raises(AssertionError):
+        TableMetadataBlob(position_deletes=[(2, 0), (1, 0)]).encode()
+
+
+@pytest.fixture()
+def rpc(spark, tmp_path):
+    be = MoonlinkBackend(spark, str(tmp_path / "wh"))
+    srv = MoonlinkRpcServer(be).start()
+    cli = MoonlinkRpcClient("127.0.0.1", srv.port)
+    yield be, cli
+    cli.close()
+    srv.stop()
+
+
+def test_rpc_full_surface(rpc, tmp_path):
+    be, cli = rpc
+    # create via the wire (table_config carries schema+identity JSON)
+    cli.create_table(
+        "db", "t", "src", "uri",
+        json.dumps({"schema": USERS_SCHEMA,
+                    "identity": {"mode": "single", "columns": ["id"]}}),
+    )
+    t = be.get_table("db", "t")
+    t.append_rows([{"id": i, "name": f"n{i}"} for i in range(40)])
+    t.commit(lsn=5)
+    t.delete_rows([{"id": 1}, {"id": 2}])
+    t.commit(lsn=6)
+
+    # list_tables: cardinality + lsn travel as varints, location as string
+    tables = cli.list_tables()
+    assert len(tables) == 1
+    row = tables[0]
+    assert (row["database"], row["table"]) == ("db", "t")
+    assert row["cardinality"] == 38 and row["commit_lsn"] == 6
+    assert row["iceberg_warehouse_location"] == t.path
+
+    # Arrow IPC schema round-trip
+    schema = cli.get_table_schema("db", "t")
+    assert [f.name for f in schema] == ["id", "name"]
+
+    # blocking snapshot + scan wire format
+    cli.create_snapshot("db", "t", 6)
+    blob = cli.scan_table_begin("db", "t", 6)
+    assert len(blob.data_files) >= 1
+    assert sorted(p for _f, p in blob.position_deletes) != []
+    # reconstruct live rows from the wire metadata alone
+    import duckdb
+
+    con = duckdb.connect()
+    dead = set(blob.position_deletes)
+    q = ", ".join(f"'{p}'" for p in blob.data_files)
+    rows = con.sql(
+        f"SELECT id, filename, file_row_number FROM "
+        f"read_parquet([{q}], filename=true, file_row_number=true)"
+    ).fetchall()
+    fidx = {p: i for i, p in enumerate(blob.data_files)}
+    live = sorted(i for i, fn, rn in rows if (fidx[fn], rn) not in dead)
+    assert live == sorted(r.id for r in t.scan().collect())
+    cli.scan_table_end("db", "t")
+
+    # parquet footers decode under pyarrow's thrift reader? at minimum the
+    # bytes come back non-empty and distinct per file
+    metas = cli.get_parquet_metadatas(blob.data_files)
+    assert len(metas) == len(blob.data_files) and all(len(m) > 0 for m in metas)
+
+    # optimize over the wire folds the DVs in
+    cli.optimize_table("db", "t", "full")
+    blob2 = cli.scan_table_begin("db", "t", 0)
+    assert blob2.position_deletes == []
+    cli.scan_table_end("db", "t")
+
+    # load_files registers external parquet
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ext = str(tmp_path / "ext.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([900, 901], pa.int64()),
+                  "name": pa.array(["x", "y"])}),
+        ext,
+    )
+    cli.load_files("db", "t", [ext])
+    assert t.scan().count() == 40  # 38 + 2
+
+    # errors travel as Err frames (drop of a missing table is idempotent
+    # by backend contract, so probe with a read)
+    with pytest.raises(RpcError):
+        cli.get_table_schema("db", "missing")
+    with pytest.raises(RpcError):
+        cli.scan_table_begin("nope", "missing", 0)
+
+    cli.drop_table("db", "t")
+    assert cli.list_tables() == []
