@@ -1,0 +1,130 @@
+"""Property-based round-trips for the round-4 binary codecs: roaring64,
+Z85, deletion-vector blobs, bincode varints, Avro datums, and the
+scan-result wire blob. Hypothesis hammers the layouts the unit tests
+spot-check."""
+
+from decimal import Decimal
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from moonlink_spark.rpc import (
+    TableMetadataBlob,
+    dec_varint,
+    decode_request,
+    enc_varint,
+    encode_request,
+)
+from moonlink_spark.sources.avro_binary import decode_record, encode_datum
+from moonlink_spark.table.delta_export import _z85_decode, _z85_encode
+from moonlink_spark.table.puffin import (
+    deserialize_roaring64,
+    dv_blob_bytes,
+    parse_dv_blob,
+    serialize_roaring64,
+)
+
+positions = st.lists(
+    st.integers(min_value=0, max_value=2**40), min_size=0, max_size=400
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(positions)
+def test_roaring64_roundtrip_prop(ps):
+    assert deserialize_roaring64(serialize_roaring64(ps)) == sorted(set(ps))
+
+
+@settings(max_examples=200, deadline=None)
+@given(positions)
+def test_dv_blob_roundtrip_prop(ps):
+    assert parse_dv_blob(dv_blob_bytes(ps)) == sorted(set(ps))
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(min_size=0, max_size=200))
+def test_z85_roundtrip_prop(raw):
+    assert _z85_decode(_z85_encode(raw), len(raw)) == raw
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=0, max_value=2**64 - 1))
+def test_varint_roundtrip_prop(v):
+    buf = enc_varint(v)
+    got, pos = dec_varint(buf, 0)
+    assert got == v and pos == len(buf)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.text(max_size=40),
+    st.text(max_size=40),
+    st.integers(min_value=0, max_value=2**63),
+)
+def test_rpc_request_roundtrip_prop(db, tbl, lsn):
+    name, kw = decode_request(
+        encode_request("scan_table_begin", database=db, table=tbl, lsn=lsn)
+    )
+    assert name == "scan_table_begin"
+    assert kw == {"database": db, "table": tbl, "lsn": lsn}
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.text(min_size=1, max_size=30), max_size=10),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=0, max_value=2**31),
+        ),
+        max_size=50,
+    ),
+)
+def test_table_metadata_blob_roundtrip_prop(files, pds):
+    blob = TableMetadataBlob(
+        data_files=files, position_deletes=sorted(pds)
+    )
+    assert TableMetadataBlob.decode(blob.encode()) == blob
+
+
+AVRO_SCHEMA = {
+    "type": "record",
+    "name": "r",
+    "fields": [
+        {"name": "l", "type": "long"},
+        {"name": "d", "type": "double"},
+        {"name": "s", "type": "string"},
+        {"name": "b", "type": "bytes"},
+        {"name": "m", "type": ["null", "string"]},
+        {"name": "arr", "type": {"type": "array", "items": "long"}},
+        {"name": "dec", "type": {"type": "bytes", "logicalType": "decimal",
+                                  "precision": 20, "scale": 4}},
+    ],
+}
+
+avro_rows = st.fixed_dictionaries(
+    {
+        "l": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        "d": st.floats(allow_nan=False, allow_infinity=False, width=64),
+        "s": st.text(max_size=60),
+        "b": st.binary(max_size=60),
+        "m": st.none() | st.text(max_size=20),
+        "arr": st.lists(
+            st.integers(min_value=-(2**40), max_value=2**40), max_size=20
+        ),
+        "dec": st.decimals(
+            min_value=Decimal("-1e12"),
+            max_value=Decimal("1e12"),
+            places=4,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+    }
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(avro_rows)
+def test_avro_datum_roundtrip_prop(row):
+    back = decode_record(AVRO_SCHEMA, encode_datum(AVRO_SCHEMA, row))
+    assert back == row
