@@ -131,6 +131,8 @@ class StreamingIngestor:
         kafka_bootstrap: str | None = None,
         kafka_topic: str | None = None,
         refresh_views: list | None = None,
+        sync_iceberg: str | None = None,
+        sync_catalog: tuple[str, str, str] | None = None,
     ):
         if (source_dir is None) == (kafka_topic is None):
             raise ValueError("exactly one of source_dir / kafka_topic required")
@@ -144,11 +146,30 @@ class StreamingIngestor:
         # O(batch delta) by construction, so chaining it here turns the
         # stream into continuously-maintained aggregates
         self.refresh_views = list(refresh_views or [])
+        # Continuous Iceberg materialization: every micro-batch commit is
+        # followed by an incremental Iceberg snapshot export (data files
+        # content-addressed -> O(changed files); deletes ship as Puffin
+        # DVs, never rewrites). This is the reference's core loop — CDC in,
+        # Iceberg out, per commit (iceberg_table_syncer.rs sync_snapshot) —
+        # run at the micro-batch boundary instead of a background thread.
+        # ``sync_catalog`` = (catalog_url, namespace, name) registers each
+        # new metadata version so readers discover it (rest_catalog.rs).
+        self.sync_iceberg = sync_iceberg
+        self.sync_catalog = sync_catalog
 
     def _foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         version = apply_cdc_batch(self.table, batch_df, batch_id)
         for mv in self.refresh_views:
             mv.refresh()
+        if version is not None and self.sync_iceberg:
+            from moonlink_spark.table.iceberg_export import export_iceberg
+
+            export_iceberg(self.table, self.sync_iceberg)
+            if self.sync_catalog:
+                from moonlink_spark.table.rest_catalog import register_export
+
+                url, ns, name = self.sync_catalog
+                register_export(url, ns, name, self.sync_iceberg)
         if self.on_batch:
             self.on_batch(batch_id, version)
 

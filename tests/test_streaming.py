@@ -155,3 +155,97 @@ def test_initial_copy_then_stream(spark, tmp_path, sf_dir):
         for r in t.scan().filter(F.col("o_orderkey") > 999_000).collect()
     }
     assert tail == {999_002: "NEW"}
+
+
+def test_continuous_iceberg_sync(spark, tmp_path):
+    """The reference's core loop re-expressed: CDC micro-batches in,
+    incremental Iceberg snapshots out per commit, registered in a REST
+    catalog — deletes arrive as Puffin DVs, never rewrites."""
+    import json as _json
+    import os as _os
+
+    from moonlink_spark.streaming.pipeline import StreamingIngestor
+    from moonlink_spark.table.iceberg_export import (
+        read_iceberg_deletion_vectors,
+        read_iceberg_live_files,
+    )
+    from moonlink_spark.table.identity import IdentityProp
+    from moonlink_spark.table.rest_catalog import (
+        IcebergRestCatalogServer,
+        RestCatalogClient,
+    )
+    from moonlink_spark.table.table import MoonlinkTable
+
+    t = MoonlinkTable.create(
+        spark,
+        str(tmp_path / "t"),
+        [
+            {"name": "id", "data_type": "int64", "nullable": False},
+            {"name": "v", "data_type": "string"},
+        ],
+        IdentityProp.single("id"),
+    )
+    spool = str(tmp_path / "spool")
+    _os.makedirs(spool)
+    dest = str(tmp_path / "ice")
+    cat = IcebergRestCatalogServer(str(tmp_path / "cat")).start()
+    try:
+        ing = StreamingIngestor(
+            t,
+            source_dir=spool,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            sync_iceberg=dest,
+            sync_catalog=(f"http://127.0.0.1:{cat.port}", "db", "t"),
+        )
+
+        def emit(name, events):
+            with open(_os.path.join(spool, name), "w") as fh:
+                for e in events:
+                    fh.write(_json.dumps(e) + "\n")
+
+        emit("b1.jsonl", [
+            {"lsn": 10, "xact_id": None, "op": "insert",
+             "row": {"id": i, "v": f"v{i}"}, "old_row": None}
+            for i in range(50)
+        ])
+        ing.run_available()
+        files1 = read_iceberg_live_files(dest)
+        assert files1 and not read_iceberg_deletion_vectors(dest)
+
+        emit("b2.jsonl", [
+            {"lsn": 20, "xact_id": None, "op": "delete", "row": None,
+             "old_row": {"id": 7, "v": None}},
+            {"lsn": 21, "xact_id": None, "op": "insert",
+             "row": {"id": 100, "v": "new"}, "old_row": None},
+        ])
+        ing.run_available()
+
+        # second snapshot: new data file added, delete became a DV, the
+        # first batch's files were NOT rewritten
+        files2 = read_iceberg_live_files(dest)
+        assert set(files1) <= set(files2) and len(files2) > len(files1)
+        dvs = read_iceberg_deletion_vectors(dest)
+        assert sum(len(v) for v in dvs.values()) == 1
+
+        # catalog tracks the latest metadata version
+        c = RestCatalogClient(f"http://127.0.0.1:{cat.port}")
+        code, loaded = c.load_table("db", "t")
+        assert code == 200
+        assert loaded["metadata"]["current-snapshot-id"] == 2
+        assert loaded["metadata"]["format-version"] == 3
+
+        # wire read-back equals the table scan
+        import duckdb
+
+        dead = {(f, p) for f, ps in dvs.items() for p in ps}
+        con = duckdb.connect()
+        q = ", ".join(f"'{p}'" for p in files2)
+        rows = con.sql(
+            f"SELECT id, filename, file_row_number FROM "
+            f"read_parquet([{q}], filename=true, file_row_number=true)"
+        ).fetchall()
+        live = sorted(i for i, fn, rn in rows if (fn, rn) not in dead)
+        assert live == sorted(r.id for r in t.scan().collect())
+        assert len(live) == 50  # 50 - 1 deleted + 1 inserted
+    finally:
+        cat.stop()
