@@ -46,6 +46,14 @@ def cdc_event_schema(row_schema: T.StructType) -> T.StructType:
     )
 
 
+_ROWS_PER_OUTPUT_FILE = 1_000_000
+
+
+def _fan_in(n_rows: int, cap: int = 64) -> int:
+    """Output-partition count for a write of ``n_rows`` rows."""
+    return max(1, min(cap, -(-n_rows // _ROWS_PER_OUTPUT_FILE)))
+
+
 def apply_cdc_batch(
     table: MoonlinkTable, batch_df: DataFrame, batch_id: int
 ) -> int | None:
@@ -98,10 +106,17 @@ def apply_cdc_batch(
         n_del, n_up = stats["n_del"] or 0, stats["n_up"] or 0
         if n_del == 0 and n_up == 0:
             return None
+        # Size-aware write fan-in: the exact batch counts are in hand, so
+        # bound the output file count by data volume instead of letting a
+        # 50-row micro-batch fan out into shuffle.partitions tiny parquet
+        # files — the classic streaming-lakehouse file-explosion failure
+        # the reference's mem-slice/flush sizing exists to prevent
+        # (mooncake_table_config.rs:152-166). Large batches keep their
+        # parallelism: one output file per ~1M rows.
         if n_del:
-            table.delete_keys_df(deletes)
+            table.delete_keys_df(deletes.coalesce(_fan_in(n_del)))
         if n_up:
-            table.upsert_df(upserts)
+            table.upsert_df(upserts.coalesce(_fan_in(n_up)))
         max_lsn = stats["max_lsn"] or (table.last_lsn + 1)
         return table.commit(
             lsn=max(max_lsn, table.last_lsn + 1),

@@ -249,3 +249,40 @@ def test_continuous_iceberg_sync(spark, tmp_path):
         assert len(live) == 50  # 50 - 1 deleted + 1 inserted
     finally:
         cat.stop()
+
+
+def test_micro_batch_file_fanin(spark, tmp_path):
+    """A small micro-batch must not fan out into shuffle.partitions tiny
+    files: the commit's new data lands in O(rows / 1M) files."""
+    import json as _json
+    import os as _os
+
+    from moonlink_spark.streaming.pipeline import StreamingIngestor, _fan_in
+    from moonlink_spark.table.identity import IdentityProp
+    from moonlink_spark.table.table import MoonlinkTable
+
+    assert _fan_in(1) == 1 and _fan_in(999_999) == 1
+    assert _fan_in(1_000_001) == 2 and _fan_in(10**9) == 64
+
+    t = MoonlinkTable.create(
+        spark,
+        str(tmp_path / "t"),
+        [
+            {"name": "id", "data_type": "int64", "nullable": False},
+            {"name": "v", "data_type": "string"},
+        ],
+        IdentityProp.single("id"),
+    )
+    spool = str(tmp_path / "spool")
+    _os.makedirs(spool)
+    with open(_os.path.join(spool, "a.jsonl"), "w") as fh:
+        for i in range(200):
+            fh.write(_json.dumps(
+                {"lsn": 5, "xact_id": None, "op": "insert",
+                 "row": {"id": i, "v": f"x{i}"}, "old_row": None}) + "\n")
+    StreamingIngestor(
+        t, source_dir=spool, checkpoint_dir=str(tmp_path / "ck")
+    ).run_available()
+    assert t.scan().count() == 200
+    # one commit, one small batch -> ONE data file (was: up to 32)
+    assert len(t.manifest.data_files) == 1
