@@ -398,38 +398,38 @@ def ivf_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         (i, list(r.v))
         for i, r in enumerate(emb.orderBy("vec_id").limit(k).collect())
     ]
-    cent_schema = "cluster_id BIGINT, cent ARRAY<BIGINT>"
 
-    def assign(cents_df):
-        # argmin via min_by hash-agg (partial aggregation on the map side,
-        # no per-vector sort window) — at scale this is one combiner-friendly
-        # shuffle of k-reduced rows instead of a k-times-N row sort
-        scored = emb.crossJoin(F.broadcast(cents_df)).withColumn(
-            "d2",
-            F.expr(
-                "aggregate(zip_with(v, cent, (x, y) -> (x - y) * (x - y)), "
-                "0L, (acc, w) -> acc + w)"
-            ),
-        )
-        return (
-            scored.groupBy("vec_id")
-            .agg(
-                F.min_by(
-                    F.struct("cluster_id", "d2", "v"),
-                    F.struct("d2", "cluster_id"),
-                ).alias("s")
+    def assign(cents_list):
+        # the k x dim centroid matrix is DRIVER state, so assignment is a
+        # pure map: k literal-array distances + array_min over
+        # (d2, cluster_id) structs — zero shuffle, zero join, whole-stage
+        # codegen end to end. Struct comparison breaks ties on cluster_id,
+        # identical to the oracle's ORDER BY d2, cluster_id. At 100 TB
+        # this is the plan you want: the only shuffle in an iteration is
+        # the k-row centroid update aggregation.
+        candidates = []
+        for cid, cent in cents_list:
+            cent_lit = F.array(*[F.lit(int(x)) for x in cent])
+            d2 = F.aggregate(
+                F.zip_with(F.col("v"), cent_lit, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, w: acc + w,
             )
-            .select(
-                "vec_id",
-                F.col("s.v").alias("v"),
-                F.col("s.cluster_id").alias("cluster_id"),
-                F.col("s.d2").alias("d2"),
+            candidates.append(
+                F.struct(
+                    d2.alias("d2"), F.lit(cid).cast("bigint").alias("cluster_id")
+                )
             )
+        best = F.array_min(F.array(*candidates))
+        return emb.select(
+            "vec_id",
+            "v",
+            best["cluster_id"].alias("cluster_id"),
+            best["d2"].alias("d2"),
         )
 
     for _ in range(iters):
-        cents_df = spark.createDataFrame(cents, cent_schema)
-        assigned = assign(cents_df)
+        assigned = assign(cents)
         new = (
             assigned.groupBy("cluster_id")
             .agg(
@@ -448,7 +448,7 @@ def ivf_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         cents = [(cid, updated.get(cid, cent)) for cid, cent in cents]
 
-    final = assign(spark.createDataFrame(cents, cent_schema))
+    final = assign(cents)
     return (
         final.groupBy("cluster_id")
         .agg(
