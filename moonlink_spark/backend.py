@@ -27,12 +27,29 @@ CATALOG_FILE = "_catalog.json"
 
 
 class MoonlinkBackend:
-    def __init__(self, spark: SparkSession, warehouse: str):
+    def __init__(
+        self, spark: SparkSession, warehouse: str, metadata_store: str = "json"
+    ):
+        """``metadata_store``: ``"json"`` (single-file catalog, default) or
+        ``"sqlite"`` (parity ``src/moonlink_metadata_store`` — durable
+        SQLite store under the warehouse root; a restarted backend recovers
+        every table from ``get_all_table_metadata_entries`` the way the
+        reference's recovery does, ``recovery_utils.rs``)."""
         self.spark = spark
         self.warehouse = os.path.abspath(warehouse)
         os.makedirs(self.warehouse, exist_ok=True)
         self._lock = threading.RLock()
         self._tables: dict[tuple[str, str], MoonlinkTable] = {}
+        if metadata_store == "sqlite":
+            from moonlink_spark.metadata_store import SqliteMetadataStore
+
+            self._meta_store = SqliteMetadataStore(self.warehouse)
+        elif metadata_store == "json":
+            self._meta_store = None
+        else:
+            raise TableConfigError(
+                f"unknown metadata_store {metadata_store!r} (json|sqlite)"
+            )
 
     # -- catalog persistence ------------------------------------------------
 
@@ -68,16 +85,46 @@ class MoonlinkBackend:
         properties: dict[str, Any] | None = None,
     ) -> MoonlinkTable:
         with self._lock:
-            cat = self._load_catalog()
             key = self._key(database, table)
-            if key in cat["tables"]:
-                raise TableConfigError(f"table {key} already exists")
             path = os.path.join(self.warehouse, database, table)
-            t = MoonlinkTable.create(
-                self.spark, path, schema, identity, append_only, properties
-            )
-            cat["tables"][key] = {"path": path}
-            self._save_catalog(cat)
+            if self._meta_store is not None:
+                from moonlink_spark.metadata_store import (
+                    MetadataStoreError,
+                    serialize_table_config,
+                )
+
+                if any(
+                    e.database == database and e.table == table
+                    for e in self._meta_store.get_all_table_metadata_entries()
+                ):
+                    raise TableConfigError(f"table {key} already exists")
+                t = MoonlinkTable.create(
+                    self.spark, path, schema, identity, append_only, properties
+                )
+                try:
+                    self._meta_store.store_table_metadata(
+                        database,
+                        table,
+                        src_table_name=key,
+                        src_table_uri=path,
+                        config=serialize_table_config(
+                            t.identity.to_json(),
+                            t.identity.is_append_only,
+                            t.manifest.properties,
+                            table_uri=path,
+                        ),
+                    )
+                except MetadataStoreError as e:
+                    raise TableConfigError(f"table {key} already exists") from e
+            else:
+                cat = self._load_catalog()
+                if key in cat["tables"]:
+                    raise TableConfigError(f"table {key} already exists")
+                t = MoonlinkTable.create(
+                    self.spark, path, schema, identity, append_only, properties
+                )
+                cat["tables"][key] = {"path": path}
+                self._save_catalog(cat)
             self._tables[(database, table)] = t
             return t
 
@@ -86,16 +133,36 @@ class MoonlinkBackend:
             cached = self._tables.get((database, table))
             if cached is not None:
                 return cached
-            cat = self._load_catalog()
-            entry = cat["tables"].get(self._key(database, table))
-            if entry is None:
+            path = self._lookup_path(database, table)
+            if path is None:
                 raise TableConfigError(f"unknown table {database}.{table}")
-            t = MoonlinkTable.open(self.spark, entry["path"])
+            t = MoonlinkTable.open(self.spark, path)
             self._tables[(database, table)] = t
             return t
 
+    def _lookup_path(self, database: str, table: str) -> str | None:
+        if self._meta_store is not None:
+            for e in self._meta_store.get_all_table_metadata_entries():
+                if e.database == database and e.table == table:
+                    return e.config["iceberg_table_config"]["table_uri"] or e.src_table_uri
+            return None
+        entry = self._load_catalog()["tables"].get(self._key(database, table))
+        return entry["path"] if entry else None
+
     def drop_table(self, database: str, table: str) -> None:
         with self._lock:
+            if self._meta_store is not None:
+                from moonlink_spark.metadata_store import MetadataStoreError
+
+                path = self._lookup_path(database, table)
+                try:
+                    self._meta_store.delete_table_metadata(database, table)
+                except MetadataStoreError:
+                    path = None  # not recorded: nothing to drop
+                self._tables.pop((database, table), None)
+                if path:
+                    MoonlinkTable(self.spark, path).drop()
+                return
             cat = self._load_catalog()
             entry = cat["tables"].pop(self._key(database, table), None)
             self._save_catalog(cat)
@@ -104,6 +171,11 @@ class MoonlinkBackend:
                 MoonlinkTable(self.spark, entry["path"]).drop()
 
     def list_tables(self) -> list[str]:
+        if self._meta_store is not None:
+            return sorted(
+                f"{e.database}.{e.table}"
+                for e in self._meta_store.get_all_table_metadata_entries()
+            )
         return sorted(self._load_catalog()["tables"].keys())
 
     # -- reads ----------------------------------------------------------------
