@@ -9,7 +9,14 @@ Parity with the reference service REST API
 - ``POST /ingest/{db}/{table}``             {operation: insert|upsert|delete,
                                              data, request_mode: sync|async}
 - ``POST /tables/{db}/{table}/flush``       commit buffered async requests
+- ``POST /tables/{db}/{table}/snapshot``    force-commit pending ops
 - ``POST /tables/{db}/{table}/optimize``    {mode: data|index|full}
+- ``GET  /health``                          liveness (same response fields)
+- ``GET  /schema/{db}/{table}``             schema as the create DSL
+- ``POST /ingestpb/{db}/{table}``           protobuf-row ingest (base64)
+- ``POST /kafka/{db}/{table}/schema``       register Avro value schema
+- ``POST /kafka/{db}/{table}/ingest``       raw Avro datum body -> insert
+- ``POST /upload/{db}/{table}``             {operation: insert|upload, files}
 - ``GET  /scan/{db}/{table}?lsn=&limit=``   rows as JSON (blocking lsn wait
                                              parity: ReadStateManager)
 - ``POST /otel/v1/{logs|metrics|traces}``   OTLP/JSON export requests into
@@ -40,9 +47,13 @@ from moonlink_spark.table.identity import IdentityProp
 
 _TABLE_RE = re.compile(
     r"^/tables/([^/]+)/([^/]+)"
-    r"(/optimize|/flush|/export|/matview|/matview/refresh)?$"
+    r"(/optimize|/flush|/snapshot|/export|/matview|/matview/refresh)?$"
 )
 _INGEST_RE = re.compile(r"^/ingest/([^/]+)/([^/]+)$")
+_INGESTPB_RE = re.compile(r"^/ingestpb/([^/]+)/([^/]+)$")
+_KAFKA_RE = re.compile(r"^/kafka/([^/]+)/([^/]+)/(schema|ingest)$")
+_UPLOAD_RE = re.compile(r"^/upload/([^/]+)/([^/]+)$")
+_SCHEMA_RE = re.compile(r"^/schema/([^/]+)/([^/]+)$")
 _SCAN_RE = re.compile(r"^/scan/([^/]+)/([^/]+)$")
 _CHANGES_RE = re.compile(r"^/changes/([^/]+)/([^/]+)$")
 _OTEL_RE = re.compile(r"^/otel/v1/(logs|metrics|traces)$")
@@ -69,6 +80,7 @@ class MoonlinkService:
     def __init__(self, backend: MoonlinkBackend, host: str = "127.0.0.1", port: int = 0):
         self.backend = backend
         self._sinks: dict[tuple[str, str], RestSink] = {}
+        self._avro_schemas: dict[tuple[str, str], dict] = {}
         self._lock = threading.Lock()
         service = self
 
@@ -87,6 +99,10 @@ class MoonlinkService:
             def _body(self) -> dict:
                 n = int(self.headers.get("Content-Length") or 0)
                 return json.loads(self.rfile.read(n) or b"{}")
+
+            def _raw_body(self) -> bytes:
+                n = int(self.headers.get("Content-Length") or 0)
+                return self.rfile.read(n)
 
             def _route(self, method: str) -> None:
                 try:
@@ -110,6 +126,20 @@ class MoonlinkService:
         self._thread: threading.Thread | None = None
 
     # ------------------------------------------------------------------ #
+
+    def _kafka_schema(self, db: str, table: str) -> dict | None:
+        """Registered Avro value schema: memory cache, falling back to the
+        table properties a prior /kafka/{t}/schema commit persisted."""
+        with self._lock:
+            cached = self._avro_schemas.get((db, table))
+            if cached is not None:
+                return cached
+        t = self.backend.get_table(db, table)
+        schema = t.manifest.properties.get("avro_schema")
+        if schema is not None:
+            with self._lock:
+                self._avro_schemas[(db, table)] = schema
+        return schema
 
     def _sink(self, db: str, table: str) -> RestSink:
         with self._lock:
@@ -159,8 +189,41 @@ class MoonlinkService:
         url = urlparse(h.path)
         path = url.path
 
+        if method == "GET" and path == "/health":
+            # parity health_check (rest_api.rs:435-444): same response fields
+            import time
+
+            h._send(
+                200,
+                {
+                    "service": "moonlink-rest-api",
+                    "status": "healthy",
+                    "timestamp": int(time.time()),
+                },
+            )
+            return
+
         if method == "GET" and path == "/tables":
             h._send(200, {"tables": self.backend.list_tables()})
+            return
+
+        m = _SCHEMA_RE.match(path)
+        if m and method == "GET":
+            # parity fetch_schema (rest_api.rs:795): the schema travels in the
+            # same JSON field DSL create_table accepts, so GET /schema output
+            # can recreate the table verbatim
+            from moonlink_spark.schema import struct_to_field_schema
+
+            t = self.backend.get_table(m.group(1), m.group(2))
+            h._send(
+                200,
+                {
+                    "database": m.group(1),
+                    "table": m.group(2),
+                    "schema": struct_to_field_schema(t.schema),
+                    "identity": t.identity.to_json(),
+                },
+            )
             return
 
         m = _TABLE_RE.match(path)
@@ -180,6 +243,13 @@ class MoonlinkService:
                 return
             if method == "POST" and action == "/flush":
                 v = self._sink(db, table).flush()
+                h._send(200, {"version": v})
+                return
+            if method == "POST" and action == "/snapshot":
+                # parity create_snapshot (rest_api.rs:830): force-commit any
+                # buffered ops so a snapshot at >= lsn exists
+                lsn = h._body().get("lsn")
+                v = self.backend.create_snapshot(db, table, lsn=lsn)
                 h._send(200, {"version": v})
                 return
             if method == "POST" and action == "/optimize":
@@ -264,6 +334,111 @@ class MoonlinkService:
                     "version": r.version,
                 },
             )
+            return
+
+        m = _INGESTPB_RE.match(path)
+        if m and method == "POST":
+            # parity ingest_data_protobuf (rest_api.rs:1026): same envelope as
+            # JSON ingest but `data` is a protobuf-encoded moonlink row
+            # (moonlink_proto wire format), base64 in the JSON body
+            import base64
+
+            from moonlink_spark.sources.converters import proto_bytes_to_row
+
+            db, table = m.group(1), m.group(2)
+            body = h._body()
+            t = self.backend.get_table(db, table)
+            row = proto_bytes_to_row(base64.b64decode(body["data"]), t.schema)
+            r = self._sink(db, table).ingest(
+                body["operation"], row, body.get("request_mode", "sync")
+            )
+            h._send(
+                200,
+                {
+                    "operation": r.operation,
+                    "row_lsn": r.row_lsn,
+                    "commit_lsn": r.commit_lsn,
+                    "committed": r.committed,
+                    "version": r.version,
+                },
+            )
+            return
+
+        m = _KAFKA_RE.match(path)
+        if m and method == "POST":
+            db, table, what = m.group(1), m.group(2), m.group(3)
+            if what == "schema":
+                # parity set_avro_schema (rest_api.rs:555): register the value
+                # schema for subsequent /kafka ingests; persisted in table
+                # properties so a restarted service recovers it
+                body = h._body()
+                schema = body["avro_schema"]
+                if isinstance(schema, str):
+                    schema = json.loads(schema)
+                t = self.backend.get_table(db, table)
+                t.commit(
+                    operation="set-avro-schema",
+                    properties_update={"avro_schema": schema},
+                )
+                with self._lock:
+                    self._avro_schemas[(db, table)] = schema
+                h._send(200, {"database": db, "table": table, "schema_set": True})
+                return
+            # what == "ingest": raw Avro datum body, always insert + sync
+            # (parity ingest_data_kafka, rest_api.rs:1131-1154)
+            schema = self._kafka_schema(db, table)
+            if schema is None:
+                h._send(
+                    400,
+                    {"error": "NoAvroSchema",
+                     "message": f"set /kafka/{db}/{table}/schema first"},
+                )
+                return
+            from moonlink_spark.sources.avro_binary import (
+                decode_record,
+                row_for_spark,
+            )
+
+            row = row_for_spark(schema, decode_record(schema, h._raw_body()))
+            r = self._sink(db, table).ingest("insert", row, "sync")
+            h._send(
+                200,
+                {
+                    "operation": r.operation,
+                    "row_lsn": r.row_lsn,
+                    "commit_lsn": r.commit_lsn,
+                    "committed": r.committed,
+                    "version": r.version,
+                },
+            )
+            return
+
+        m = _UPLOAD_RE.match(path)
+        if m and method == "POST":
+            # parity upload_files (rest_api.rs:699): 'upload' bulk-registers
+            # parquet files by footer (LoadFiles path, no row processing);
+            # 'insert' reads the rows through the ingestion path so identity
+            # semantics apply
+            db, table = m.group(1), m.group(2)
+            body = h._body()
+            op = body.get("operation", "upload")
+            files = body["files"]
+            t = self.backend.get_table(db, table)
+            if op == "upload":
+                t.load_files(files, copy=bool(body.get("copy", False)))
+                v = t.commit(operation="file-upload")
+            elif op == "insert":
+                df = self.backend.spark.read.parquet(*files)
+                t.append_df(df)
+                v = t.commit(operation="file-insert")
+            else:
+                h._send(
+                    400,
+                    {"error": "BadOperation",
+                     "message": f"operation {op!r} must be 'insert' or 'upload'"},
+                )
+                return
+            h._send(200, {"version": v, "files": len(files)})
             return
 
         m = _OTEL_RE.match(path)
