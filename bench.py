@@ -172,9 +172,30 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # Fixed, code-independent workload: per-round totals on this
+                # harness vary with host speed (observed 1.2-2.3x boot-to-boot
+                # drift, NOTES_r4); dividing two rounds' calibration values
+                # normalizes their totals before comparing.
+                "calibration_sec": _calibration(spark),
             }
         )
     )
+
+
+def _calibration(spark) -> float:
+    """Median of 3 runs of a fixed shuffle+agg job that no code change
+    touches: groupBy over 20M generated longs."""
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        (
+            spark.range(20_000_000)
+            .groupBy((F.col("id") % 1024).alias("k"))
+            .agg(F.sum("id"), F.count("*"))
+            .write.mode("overwrite").format("noop").save()
+        )
+        runs.append(time.time() - t0)
+    return round(sorted(runs)[1], 3)
 
 
 if __name__ == "__main__":

@@ -41,6 +41,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
 from typing import Any
 
 import pyarrow.parquet as pq
@@ -212,6 +213,18 @@ def _export_name(entry: FileEntry, dv_state: str) -> str:
     return f"part-{key[:24]}.parquet"
 
 
+def clone_file(src: str, dst: str) -> None:
+    """Hard-link when possible, copy otherwise. Safe because committed
+    parquet files are immutable on both sides (the table never rewrites a
+    data file in place; compaction/exports write NEW files), and a link
+    survives the source table's drop/vacuum (the inode lives until both
+    names go). Cross-device or exotic-FS setups fall back to a real copy."""
+    try:
+        os.link(src, dst)
+    except OSError:
+        shutil.copyfile(src, dst)
+
+
 def export_delta(
     table: MoonlinkTable, dest: str, lsn: int | None = None
 ) -> dict[str, Any]:
@@ -281,9 +294,7 @@ def export_delta(
             continue
         dest_path = os.path.join(dest, name)
         if not os.path.exists(dest_path):
-            import shutil
-
-            shutil.copyfile(table._resolve(entry.path), dest_path)
+            clone_file(table._resolve(entry.path), dest_path)
         action = {
             "path": name,
             "partitionValues": {},

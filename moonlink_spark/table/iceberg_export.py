@@ -45,7 +45,7 @@ from typing import Any
 
 import pyarrow.parquet as pq
 
-from moonlink_spark.table.delta_export import _export_name
+from moonlink_spark.table.delta_export import _export_name, clone_file
 from moonlink_spark.table.puffin import (
     DELETION_VECTOR_V1,
     dv_blob_bytes,
@@ -549,7 +549,7 @@ def export_iceberg(
         desired[name] = entry
         dest_path = os.path.join(data_dir, name)
         if not os.path.exists(dest_path):
-            shutil.copyfile(table._resolve(entry.path), dest_path)
+            clone_file(table._resolve(entry.path), dest_path)
 
     # per-data-file deleted row positions, driver-side (DV parquets are
     # small key files; same footprint as _dv_files_touched's footer read)
