@@ -284,3 +284,38 @@ class MoonlinkBackend:
         if t.has_pending():
             return t.commit(lsn=lsn, operation="snapshot")
         return t.manifest.version
+
+    # -- thin API-parity delegators (src/moonlink_backend/src/lib.rs verbs) --
+
+    def get_base_path(self) -> str:
+        """Parity ``get_base_path`` (lib.rs:284)."""
+        return self.warehouse
+
+    def get_table_schema(self, database: str, table: str) -> T.StructType:
+        """Parity ``get_table_schema`` (lib.rs:310); the RPC server serializes
+        this to the wire format, callers here get the StructType."""
+        return self.get_table(database, table).schema
+
+    def set_avro_schema(
+        self, database: str, table: str, avro_schema: dict | str
+    ) -> int:
+        """Register the Avro value schema for queue/Kafka-path ingestion into
+        an existing table (parity ``set_avro_schema``, lib.rs:249). Persisted
+        as a table property so it survives restart; returns the new version."""
+        import json as _json
+
+        schema = (
+            _json.loads(avro_schema) if isinstance(avro_schema, str) else avro_schema
+        )
+        t = self.get_table(database, table)
+        return t.commit(
+            operation="set-avro-schema", properties_update={"avro_schema": schema}
+        )
+
+    def wait_for_wal_flush(
+        self, database: str, table: str, lsn: int, timeout_s: float = 30.0
+    ) -> None:
+        """Block until durable state covers ``lsn`` (parity
+        ``wait_for_wal_flush``, lib.rs:407-429). Here a committed manifest IS
+        the durable WAL-flushed state, so this waits on the manifest LSN."""
+        self.get_table(database, table).store.wait_for_lsn(lsn, timeout_s)

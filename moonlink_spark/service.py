@@ -375,11 +375,7 @@ class MoonlinkService:
                 schema = body["avro_schema"]
                 if isinstance(schema, str):
                     schema = json.loads(schema)
-                t = self.backend.get_table(db, table)
-                t.commit(
-                    operation="set-avro-schema",
-                    properties_update={"avro_schema": schema},
-                )
+                self.backend.set_avro_schema(db, table, schema)
                 with self._lock:
                     self._avro_schemas[(db, table)] = schema
                 h._send(200, {"database": db, "table": table, "schema_set": True})

@@ -183,3 +183,21 @@ def test_backend_sqlite_lifecycle_and_recovery(spark, tmp_path):
     be2.drop_table("db", "users")
     with pytest.raises(TableConfigError):
         be2.get_table("db", "users")
+
+
+# -- thin backend API-parity delegators --------------------------------------
+
+
+def test_backend_api_delegators(spark, tmp_path):
+    wh = str(tmp_path / "wh2")
+    be = MoonlinkBackend(spark, wh)
+    t = be.create_table("db", "t", SCHEMA, IdentityProp.single("id"))
+    assert be.get_base_path() == be.warehouse
+    assert be.get_table_schema("db", "t").fieldNames() == ["id", "name"]
+    v = be.set_avro_schema("db", "t", '{"type": "record", "name": "r", "fields": []}')
+    assert v >= 1
+    assert be.get_table("db", "t").manifest.properties["avro_schema"]["name"] == "r"
+    t.append_rows([{"id": 1, "name": "a"}])
+    committed = t.commit(lsn=50)
+    be.wait_for_wal_flush("db", "t", 50)  # returns immediately: lsn durable
+    assert committed >= 2
