@@ -1,0 +1,105 @@
+"""DuckDB read integration: a moonlink table as a DuckDB view at an LSN.
+
+Parity with ``src/moonlink_datafusion`` — the reference's embedded external
+read engine. Its ``MooncakeTableProvider`` opens an RPC connection, calls
+``get_table_schema`` then ``scan_table_begin(db, table, lsn)``, builds a
+parquet scan whose per-file row selections skip deletion-vector rows, and
+fires ``scan_table_end`` when the scan drops
+(``src/moonlink_datafusion/src/table_provider.rs:41-57,74-172,244-256``).
+
+This module does the same with DuckDB as the engine:
+
+- the scan-result wire blob (``rpc.TableMetadataBlob``) lists data files and
+  file-ordered ``(file_number, row_number)`` position deletes;
+- the live-row relation is ``read_parquet([...], filename=true,
+  file_row_number=true)`` anti-joined against the delete positions — DV
+  application expressed in the engine's own algebra rather than a row-run
+  decoder (``table_provider.rs:106-167``'s RowSelection);
+- an empty table registers an empty Arrow relation built from the wire
+  schema, so the view is always well-typed.
+
+No Spark required on the reading side: this is the "attach an external
+engine to a moonlink backend" path (README.md:88-91 names DuckDB/Spark/
+Postgres as read engines).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from moonlink_spark.rpc import MoonlinkRpcClient, TableMetadataBlob
+
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _quote_path(p: str) -> str:
+    return "'" + p.replace("'", "''") + "'"
+
+
+def live_rows_relation(
+    con: Any, blob: TableMetadataBlob, tag: str
+) -> str:
+    """Return a DuckDB SQL relation string producing the live rows of a
+    scan-result blob. Position deletes are registered as an Arrow table
+    ``__mls_dv_{tag}`` on the connection (empty-delete scans skip the
+    anti-join entirely, keeping the plan a plain parquet scan)."""
+    files = ", ".join(_quote_path(p) for p in blob.data_files)
+    if not blob.position_deletes:
+        return f"SELECT * FROM read_parquet([{files}])"
+    import pyarrow as pa
+
+    dv = pa.table(
+        {
+            "file_path": [blob.data_files[i] for i, _ in blob.position_deletes],
+            "row_index": [r for _, r in blob.position_deletes],
+        },
+        schema=pa.schema(
+            [("file_path", pa.string()), ("row_index", pa.int64())]
+        ),
+    )
+    dv_name = f"__mls_dv_{tag}"
+    con.register(dv_name, dv)
+    return (
+        "SELECT * EXCLUDE (filename, file_row_number) "
+        f"FROM read_parquet([{files}], filename=true, file_row_number=true) t "
+        f"WHERE NOT EXISTS (SELECT 1 FROM {dv_name} d "
+        "WHERE d.file_path = t.filename "
+        "AND d.row_index = t.file_row_number)"
+    )
+
+
+def attach_moonlink_table(
+    con: Any,
+    host: str,
+    port: int,
+    database: str,
+    table: str,
+    lsn: int = 0,
+    view_name: str | None = None,
+) -> str:
+    """Register ``database.table`` at ``lsn`` (0 = latest) as a DuckDB view
+    and return the view name. The RPC conversation matches the reference
+    provider: schema fetch, scan begin, build scan, scan end."""
+    view = view_name or f"{database}_{table}"
+    if not _IDENT.match(view):
+        raise ValueError(f"invalid view name {view!r}")
+    client = MoonlinkRpcClient(host, port)
+    try:
+        blob = client.scan_table_begin(database, table, lsn)
+        if blob.data_files:
+            rel = live_rows_relation(con, blob, view)
+        else:
+            # empty snapshot: a typed empty relation from the wire schema
+            import pyarrow as pa
+
+            schema = client.get_table_schema(database, table)
+            con.register(f"__mls_empty_{view}", schema.empty_table())
+            rel = f"SELECT * FROM __mls_empty_{view}"
+        con.execute(f"CREATE OR REPLACE VIEW {view} AS {rel}")
+        # parity scan_table_end (provider Drop, table_provider.rs:244-256):
+        # the view holds no pins; DuckDB re-reads the files on each query
+        client.scan_table_end(database, table)
+    finally:
+        client.close()
+    return view
