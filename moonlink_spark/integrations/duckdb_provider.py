@@ -44,9 +44,12 @@ def live_rows_relation(
     scan-result blob. Position deletes are registered as an Arrow table
     ``__mls_dv_{tag}`` on the connection (empty-delete scans skip the
     anti-join entirely, keeping the plan a plain parquet scan)."""
+    # union_by_name: schema evolution writes files with differing columns;
+    # added columns must surface as NULL for pre-alter files (matching the
+    # Spark scan), not silently vanish behind the first file's schema
     files = ", ".join(_quote_path(p) for p in blob.data_files)
     if not blob.position_deletes:
-        return f"SELECT * FROM read_parquet([{files}])"
+        return f"SELECT * FROM read_parquet([{files}], union_by_name=true)"
     import pyarrow as pa
 
     dv = pa.table(
@@ -62,7 +65,8 @@ def live_rows_relation(
     con.register(dv_name, dv)
     return (
         "SELECT * EXCLUDE (filename, file_row_number) "
-        f"FROM read_parquet([{files}], filename=true, file_row_number=true) t "
+        f"FROM read_parquet([{files}], filename=true, file_row_number=true, "
+        "union_by_name=true) t "
         f"WHERE NOT EXISTS (SELECT 1 FROM {dv_name} d "
         "WHERE d.file_path = t.filename "
         "AND d.row_index = t.file_row_number)"

@@ -97,3 +97,26 @@ def test_bad_view_name_rejected(backend_rpc):
             con, "127.0.0.1", srv.port, "db", "u",
             view_name="x; DROP TABLE y",
         )
+
+
+def test_attach_after_schema_evolution(backend_rpc):
+    """Added columns surface as NULL for pre-alter files, matching the
+    Spark scan (union_by_name, not first-file schema)."""
+    be, srv = backend_rpc
+    from moonlink_spark.table.identity import IdentityProp
+
+    t = be.create_table("db", "ev", SCHEMA, IdentityProp.single("id"))
+    t.append_rows([{"id": 1, "v": "a"}])
+    t.commit(lsn=1)
+    t.alter(add_columns=[{"name": "extra", "data_type": "int64"}])
+    t.append_rows([{"id": 2, "v": "b", "extra": 9}])
+    t.commit(lsn=3)
+
+    con = duckdb.connect()
+    view = attach_moonlink_table(con, "127.0.0.1", srv.port, "db", "ev")
+    rows = con.execute(
+        f"SELECT id, v, extra FROM {view} ORDER BY id"
+    ).fetchall()
+    assert rows == [(1, "a", None), (2, "b", 9)]
+    spark_rows = sorted(tuple(r) for r in t.scan().collect())
+    assert spark_rows == [(1, "a", None), (2, "b", 9)]
