@@ -93,10 +93,7 @@ class MoonlinkBackend:
                     serialize_table_config,
                 )
 
-                if any(
-                    e.database == database and e.table == table
-                    for e in self._meta_store.get_all_table_metadata_entries()
-                ):
+                if self._meta_store.get_table_metadata_entry(database, table):
                     raise TableConfigError(f"table {key} already exists")
                 t = MoonlinkTable.create(
                     self.spark, path, schema, identity, append_only, properties
@@ -114,8 +111,17 @@ class MoonlinkBackend:
                             table_uri=path,
                         ),
                     )
-                except MetadataStoreError as e:
-                    raise TableConfigError(f"table {key} already exists") from e
+                except Exception as e:
+                    # losing the PK race (another backend inserted between
+                    # the check and now) or any store failure must not leave
+                    # the just-created table directory orphaned — a name with
+                    # files but no metadata row can never be created again
+                    t.drop()
+                    if isinstance(e, MetadataStoreError):
+                        raise TableConfigError(
+                            f"table {key} was concurrently created"
+                        ) from e
+                    raise
             else:
                 cat = self._load_catalog()
                 if key in cat["tables"]:
@@ -142,10 +148,10 @@ class MoonlinkBackend:
 
     def _lookup_path(self, database: str, table: str) -> str | None:
         if self._meta_store is not None:
-            for e in self._meta_store.get_all_table_metadata_entries():
-                if e.database == database and e.table == table:
-                    return e.config["iceberg_table_config"]["table_uri"] or e.src_table_uri
-            return None
+            e = self._meta_store.get_table_metadata_entry(database, table)
+            if e is None:
+                return None
+            return e.config["iceberg_table_config"]["table_uri"] or e.src_table_uri
         entry = self._load_catalog()["tables"].get(self._key(database, table))
         return entry["path"] if entry else None
 
@@ -154,7 +160,10 @@ class MoonlinkBackend:
             if self._meta_store is not None:
                 from moonlink_spark.metadata_store import MetadataStoreError
 
-                path = self._lookup_path(database, table)
+                try:
+                    path = self._lookup_path(database, table)
+                except MetadataStoreError:
+                    path = None  # corrupt row: still delete it below
                 try:
                     self._meta_store.delete_table_metadata(database, table)
                 except MetadataStoreError:

@@ -81,10 +81,25 @@ def attach_moonlink_table(
     table: str,
     lsn: int = 0,
     view_name: str | None = None,
+    materialize: bool = False,
 ) -> str:
     """Register ``database.table`` at ``lsn`` (0 = latest) as a DuckDB view
     and return the view name. The RPC conversation matches the reference
-    provider: schema fetch, scan begin, build scan, scan end."""
+    provider: schema fetch, scan begin, build scan, scan end.
+
+    Lifetime caveats (same trade-off surface as the reference provider,
+    which holds its scan pin only for one scan's lifetime):
+
+    - the default view references the snapshot's parquet files by path; a
+      later ``optimize_table``/vacuum that rewrites those files invalidates
+      the view — re-attach after maintenance, or pass ``materialize=True``
+      to copy the snapshot's rows into a DuckDB TABLE that stays queryable
+      regardless of what happens to the source files;
+    - an empty snapshot is typed from the table's CURRENT schema (the RPC
+      ``get_table_schema`` verb has no LSN parameter, mirroring
+      ``lib.rs:310``), so a time-travel attach of an empty pre-alter
+      snapshot shows post-alter columns.
+    """
     view = view_name or f"{database}_{table}"
     if not _IDENT.match(view):
         raise ValueError(f"invalid view name {view!r}")
@@ -95,14 +110,13 @@ def attach_moonlink_table(
             rel = live_rows_relation(con, blob, view)
         else:
             # empty snapshot: a typed empty relation from the wire schema
-            import pyarrow as pa
-
             schema = client.get_table_schema(database, table)
             con.register(f"__mls_empty_{view}", schema.empty_table())
             rel = f"SELECT * FROM __mls_empty_{view}"
-        con.execute(f"CREATE OR REPLACE VIEW {view} AS {rel}")
-        # parity scan_table_end (provider Drop, table_provider.rs:244-256):
-        # the view holds no pins; DuckDB re-reads the files on each query
+        kind = "TABLE" if materialize else "VIEW"
+        con.execute(f"CREATE OR REPLACE {kind} {view} AS {rel}")
+        # parity scan_table_end (provider Drop, table_provider.rs:244-256);
+        # with materialize=True the rows were copied while the pin was held
         client.scan_table_end(database, table)
     finally:
         client.close()

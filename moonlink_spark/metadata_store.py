@@ -28,8 +28,9 @@ import json
 import os
 import sqlite3
 import threading
+from contextlib import contextmanager
 from dataclasses import dataclass, field
-from typing import Any
+from typing import Any, Iterator
 
 from moonlink_spark.errors import MoonlinkError
 
@@ -162,23 +163,34 @@ class SqliteMetadataStore:
         with open(self.path, "a"):
             pass
 
-    def _connect(self) -> sqlite3.Connection:
+    @contextmanager
+    def _connect(self) -> Iterator[sqlite3.Connection]:
+        """Short-lived connection per call (the reference pools per call
+        too): commit on success, rollback on error, always closed."""
         conn = sqlite3.connect(self.path, timeout=30.0)
-        conn.execute("PRAGMA busy_timeout = 30000")
-        return conn
+        try:
+            conn.execute("PRAGMA busy_timeout = 30000")
+            yield conn
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            conn.close()
 
     # -- trait surface ------------------------------------------------------
 
     def metadata_table_exists(self) -> bool:
         with self._connect() as conn:
-            row = conn.execute(
-                "SELECT name FROM sqlite_master WHERE type='table' AND name='tables'"
-            ).fetchone()
-            return row is not None
+            return self._table_exists(conn)
 
     def get_all_table_metadata_entries(self) -> list[TableMetadataEntry]:
+        """All entries, healthy rows first-class. A corrupt row (bad JSON or
+        invariant-violating config) must not brick operations on every OTHER
+        table, so bad rows are skipped here and surfaced via
+        ``corrupt_entries()`` instead of raising."""
         with self._connect() as conn:
-            if not self.metadata_table_exists():
+            if not self._table_exists(conn):
                 return []
             rows = conn.execute(
                 'SELECT "database", "table", src_table_name, src_table_uri, config '
@@ -186,22 +198,70 @@ class SqliteMetadataStore:
             ).fetchall()
         out = []
         for database, table, src_name, src_uri, cfg in rows:
-            try:
-                parsed = json.loads(cfg) if cfg else {}
-            except json.JSONDecodeError as e:
-                raise MetadataStoreError(
-                    f"corrupt persisted config for {database}.{table}: {e}"
-                ) from e
-            out.append(
-                TableMetadataEntry(
-                    database=database,
-                    table=table,
-                    src_table_name=src_name,
-                    src_table_uri=src_uri or "",
-                    config=deserialize_table_config(parsed),
-                )
-            )
+            entry = self._parse_row(database, table, src_name, src_uri, cfg)
+            if entry is not None:
+                out.append(entry)
         return out
+
+    def get_table_metadata_entry(
+        self, database: str, table: str
+    ) -> TableMetadataEntry | None:
+        """Keyed O(1) lookup on the composite primary key (the hot path for
+        backend get/create/drop — avoids scanning and parsing every row)."""
+        with self._connect() as conn:
+            if not self._table_exists(conn):
+                return None
+            row = conn.execute(
+                'SELECT "database", "table", src_table_name, src_table_uri, config '
+                'FROM tables WHERE "database" = ? AND "table" = ?',
+                (database, table),
+            ).fetchone()
+        if row is None:
+            return None
+        entry = self._parse_row(*row)
+        if entry is None:
+            raise MetadataStoreError(
+                f"corrupt persisted config for {database}.{table}"
+            )
+        return entry
+
+    def corrupt_entries(self) -> list[tuple[str, str]]:
+        """(database, table) keys whose persisted row no longer parses —
+        the operator-facing view of what get_all skipped."""
+        with self._connect() as conn:
+            if not self._table_exists(conn):
+                return []
+            rows = conn.execute(
+                'SELECT "database", "table", src_table_name, src_table_uri, config '
+                "FROM tables ORDER BY 1, 2"
+            ).fetchall()
+        return [
+            (r[0], r[1]) for r in rows if self._parse_row(*r) is None
+        ]
+
+    @staticmethod
+    def _parse_row(
+        database: str, table: str, src_name: str, src_uri: str, cfg: str
+    ) -> TableMetadataEntry | None:
+        try:
+            parsed = json.loads(cfg) if cfg else {}
+            config = deserialize_table_config(parsed)
+        except (json.JSONDecodeError, MetadataStoreError, TypeError):
+            return None
+        return TableMetadataEntry(
+            database=database,
+            table=table,
+            src_table_name=src_name,
+            src_table_uri=src_uri or "",
+            config=config,
+        )
+
+    @staticmethod
+    def _table_exists(conn: sqlite3.Connection) -> bool:
+        row = conn.execute(
+            "SELECT name FROM sqlite_master WHERE type='table' AND name='tables'"
+        ).fetchone()
+        return row is not None
 
     def store_table_metadata(
         self,

@@ -109,6 +109,13 @@ class MoonlinkService:
                     service._handle(self, method)
                 except MoonlinkError as e:
                     self._send(400, {"error": type(e).__name__, "message": str(e)})
+                except (KeyError, json.JSONDecodeError) as e:
+                    # missing required body field / unparsable body is the
+                    # client's error, like the other malformed-request paths
+                    self._send(
+                        400,
+                        {"error": "BadRequest", "message": f"missing/invalid: {e}"},
+                    )
                 except Exception as e:  # noqa: BLE001
                     self._send(500, {"error": type(e).__name__, "message": str(e)})
 
@@ -238,6 +245,8 @@ class MoonlinkService:
             if method == "DELETE" and action is None:
                 with self._lock:
                     self._sinks.pop((db, table), None)
+                    # a recreated table must not inherit the old Avro schema
+                    self._avro_schemas.pop((db, table), None)
                 self.backend.drop_table(db, table)
                 h._send(200, {"dropped": f"{db}.{table}"})
                 return
@@ -419,6 +428,9 @@ class MoonlinkService:
             body = h._body()
             op = body.get("operation", "upload")
             files = body["files"]
+            if not files:
+                h._send(400, {"error": "BadRequest", "message": "files is empty"})
+                return
             t = self.backend.get_table(db, table)
             if op == "upload":
                 t.load_files(files, copy=bool(body.get("copy", False)))

@@ -40,7 +40,6 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-import shutil
 from typing import Any
 
 import pyarrow.parquet as pq

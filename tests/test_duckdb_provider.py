@@ -120,3 +120,26 @@ def test_attach_after_schema_evolution(backend_rpc):
     assert rows == [(1, "a", None), (2, "b", 9)]
     spark_rows = sorted(tuple(r) for r in t.scan().collect())
     assert spark_rows == [(1, "a", None), (2, "b", 9)]
+
+
+def test_materialized_attach_survives_optimize(backend_rpc):
+    """materialize=True copies the snapshot into a DuckDB table, so later
+    compaction/vacuum of the source files cannot break it (the documented
+    answer to view-staleness after maintenance)."""
+    be, srv = backend_rpc
+    from moonlink_spark.table.identity import IdentityProp
+
+    t = be.create_table("db", "mat", SCHEMA, IdentityProp.single("id"))
+    for b in range(3):  # several small files so optimize rewrites them
+        t.append_rows([{"id": b * 10 + i, "v": "x"} for i in range(10)])
+        t.commit(lsn=b + 1)
+    con = duckdb.connect()
+    view = attach_moonlink_table(
+        con, "127.0.0.1", srv.port, "db", "mat",
+        view_name="mat_snap", materialize=True,
+    )
+    be.optimize_table("db", "mat")
+    from moonlink_spark.table.maintenance import vacuum
+
+    vacuum(t, keep_versions=1)
+    assert con.execute(f"SELECT COUNT(*) FROM {view}").fetchone()[0] == 30

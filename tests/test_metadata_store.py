@@ -201,3 +201,52 @@ def test_backend_api_delegators(spark, tmp_path):
     committed = t.commit(lsn=50)
     be.wait_for_wal_flush("db", "t", 50)  # returns immediately: lsn durable
     assert committed >= 2
+
+
+# -- robustness fixes from review --------------------------------------------
+
+
+def test_corrupt_row_does_not_brick_other_tables(tmp_path):
+    st = SqliteMetadataStore(str(tmp_path))
+    st.store_table_metadata("db", "good", "s", "u", _cfg())
+    # corrupt a second row behind the API's back
+    st.store_table_metadata("db", "bad", "s", "u", _cfg())
+    conn = sqlite3.connect(st.path)
+    conn.execute('UPDATE tables SET config = \'{"not json\' WHERE "table" = \'bad\'')
+    conn.commit()
+    conn.close()
+    # healthy table still fully operable
+    assert [e.table for e in st.get_all_table_metadata_entries()] == ["good"]
+    assert st.get_table_metadata_entry("db", "good").table == "good"
+    # corrupt row is surfaced, keyed lookup raises for it specifically
+    assert st.corrupt_entries() == [("db", "bad")]
+    with pytest.raises(MetadataStoreError):
+        st.get_table_metadata_entry("db", "bad")
+    # and it can still be deleted to repair the store
+    st.delete_table_metadata("db", "bad")
+    assert st.corrupt_entries() == []
+
+
+def test_keyed_lookup(tmp_path):
+    st = SqliteMetadataStore(str(tmp_path))
+    assert st.get_table_metadata_entry("db", "t") is None
+    st.store_table_metadata("db", "t", "s", "u", _cfg())
+    e = st.get_table_metadata_entry("db", "t")
+    assert (e.database, e.table) == ("db", "t")
+    assert st.get_table_metadata_entry("db", "absent") is None
+
+
+def test_backend_drop_of_corrupt_row_repairs(spark, tmp_path):
+    wh = str(tmp_path / "wh3")
+    be = MoonlinkBackend(spark, wh, metadata_store="sqlite")
+    be.create_table("db", "x", SCHEMA, IdentityProp.single("id"))
+    conn = sqlite3.connect(be._meta_store.path)
+    conn.execute("UPDATE tables SET config = 'garbage'")
+    conn.commit()
+    conn.close()
+    # list skips the corrupt row; drop removes it without raising
+    assert be.list_tables() == []
+    be.drop_table("db", "x")
+    assert be._meta_store.corrupt_entries() == []
+    # the name is creatable again (no orphan wedge: drop removed the row;
+    # the old directory is recreated over by create)

@@ -192,3 +192,25 @@ def test_snapshot_forces_commit(svc):
     # snapshot with nothing pending returns the current version unchanged
     code, r2 = _req(svc, "POST", "/tables/db/users/snapshot", {})
     assert code == 200 and r2["version"] == r["version"]
+
+
+def test_drop_invalidates_avro_schema_cache(svc):
+    _req(svc, "POST", "/tables/db/users", USERS_REQ)
+    _req(svc, "POST", "/kafka/db/users/schema", {"avro_schema": AVRO_SCHEMA})
+    _req(svc, "DELETE", "/tables/db/users")
+    _req(svc, "POST", "/tables/db/users", USERS_REQ)
+    # the recreated table must NOT inherit the dropped table's schema
+    datum = encode_datum(AVRO_SCHEMA, {"id": 1, "name": "a"})
+    code, out = _req(svc, "POST", "/kafka/db/users/ingest", raw=datum)
+    assert code == 400 and out["error"] == "NoAvroSchema"
+
+
+def test_malformed_bodies_are_client_errors(svc):
+    _req(svc, "POST", "/tables/db/users", USERS_REQ)
+    code, out = _req(svc, "POST", "/upload/db/users", {})
+    assert code == 400
+    code, out = _req(svc, "POST", "/upload/db/users",
+                     {"operation": "insert", "files": []})
+    assert code == 400
+    code, out = _req(svc, "POST", "/ingestpb/db/users", {"operation": "insert"})
+    assert code == 400
