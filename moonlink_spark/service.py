@@ -452,7 +452,18 @@ class MoonlinkService:
         m = _OTEL_RE.match(path)
         if m and method == "POST":
             signal = m.group(1)
-            rows = self._decode_otel(signal, h._body())
+            # the reference's OTLP endpoint is HTTP **binary protobuf**
+            # (otel/service.rs HttpBinary, application/x-protobuf); accept
+            # both encodings — protobuf decodes to the OTLP/JSON dict shape
+            # and flows through the same row builders
+            ctype = (h.headers.get("Content-Type") or "").split(";")[0].strip()
+            if ctype == "application/x-protobuf":
+                from moonlink_spark.sources.otlp_proto import otlp_proto_to_json
+
+                payload = otlp_proto_to_json(signal, h._raw_body())
+            else:
+                payload = h._body()
+            rows = self._decode_otel(signal, payload)
             t = self._otel_table(signal)
             if rows:
                 t.append_rows(rows)
