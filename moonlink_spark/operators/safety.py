@@ -196,3 +196,169 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "gopher_repetition_signals",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+base AS (
+  SELECT doc_id, t, len(t) AS n_toks,
+         CAST(len(list_aggregate(t, 'string_agg', '')) AS BIGINT) AS total_chars
+  FROM toks
+),
+grams AS (
+  SELECT b.doc_id, n.n, b.total_chars,
+         list_aggregate(b.t[CAST(i AS INTEGER):CAST(i + n.n - 1 AS INTEGER)],
+                        'string_agg', ' ') AS gram
+  FROM base b
+  CROSS JOIN (SELECT UNNEST([2, 3, 4, 5, 6]) AS n) n,
+       UNNEST(range(1, greatest(b.n_toks - n.n + 1, 0) + 1)) AS u(i)
+  WHERE b.n_toks >= n.n
+),
+gram_counts AS (
+  SELECT doc_id, n, total_chars, gram,
+         CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(len(replace(gram, ' ', '')) AS BIGINT) AS gchars
+  FROM grams GROUP BY doc_id, n, total_chars, gram
+),
+per_n AS (
+  SELECT doc_id, n,
+         round(CAST(MAX(c * gchars) AS DOUBLE)
+               / CAST(ANY_VALUE(total_chars) AS DOUBLE), 6) AS top_frac,
+         round(CAST(COALESCE(SUM(c * gchars) FILTER (c > 1), 0) AS DOUBLE)
+               / CAST(ANY_VALUE(total_chars) AS DOUBLE), 6) AS dup_frac
+  FROM gram_counts GROUP BY doc_id, n
+)
+SELECT b.doc_id,
+       CAST(b.n_toks AS BIGINT) AS n_toks,
+       b.total_chars,
+       COALESCE(MAX(CASE WHEN p.n = 2 THEN p.top_frac END), 0.0) AS top_2gram_char_frac,
+       COALESCE(MAX(CASE WHEN p.n = 3 THEN p.top_frac END), 0.0) AS top_3gram_char_frac,
+       COALESCE(MAX(CASE WHEN p.n = 4 THEN p.top_frac END), 0.0) AS top_4gram_char_frac,
+       COALESCE(MAX(CASE WHEN p.n = 5 THEN p.dup_frac END), 0.0) AS dup_5gram_char_frac,
+       COALESCE(MAX(CASE WHEN p.n = 6 THEN p.dup_frac END), 0.0) AS dup_6gram_char_frac,
+       (COALESCE(MAX(CASE WHEN p.n = 2 THEN p.top_frac END), 0.0) > 0.20 OR
+        COALESCE(MAX(CASE WHEN p.n = 3 THEN p.top_frac END), 0.0) > 0.18 OR
+        COALESCE(MAX(CASE WHEN p.n = 4 THEN p.top_frac END), 0.0) > 0.16 OR
+        COALESCE(MAX(CASE WHEN p.n = 5 THEN p.dup_frac END), 0.0) > 0.15 OR
+        COALESCE(MAX(CASE WHEN p.n = 6 THEN p.dup_frac END), 0.0) > 0.14)
+        AS would_filter
+FROM base b LEFT JOIN per_n p ON p.doc_id = b.doc_id
+GROUP BY b.doc_id, b.n_toks, b.total_chars
+ORDER BY b.doc_id
+""",
+    category="safety",
+)
+def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher repetition-filter suite (Rae et al. 2021, Table A1),
+    token-adapted: per document, the character fraction covered by the
+    single most frequent {2,3,4}-gram and the character fraction covered by
+    all duplicated {5,6}-grams (count x gram-chars / total token chars, the
+    standard occurrence-weighted approximation), plus the would-filter flag
+    at the published thresholds (0.20/0.18/0.16 top, 0.15/0.14 dup).
+
+    Plan shape for 100 TB: n-grams are built per row with transform() over
+    the token array (a pure map — no self-join on positions), exploded once
+    for all five n in one pass, and the only shuffle is the
+    groupBy(doc, n, gram) count whose partial aggregation collapses
+    repeated grams map-side. Output stays one row per document.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("t"),
+    )
+    base = toks.select(
+        "doc_id",
+        F.size("t").alias("n_toks"),
+        F.length(F.array_join("t", "")).cast("long").alias("total_chars"),
+        "t",
+    ).persist()
+
+    ns = [2, 3, 4, 5, 6]
+    gram_arrays = [
+        F.when(
+            F.col("n_toks") >= n,
+            F.expr(
+                f"transform(sequence(1, greatest(n_toks - {n} + 1, 1)), "
+                f"i -> named_struct('n', {n}, "
+                f"'gram', concat_ws(' ', slice(t, i, {n}))))"
+            ),
+        ).otherwise(F.array())
+        for n in ns
+    ]
+    grams = base.select(
+        "doc_id",
+        "total_chars",
+        F.explode(F.flatten(F.array(*gram_arrays))).alias("g"),
+    ).select("doc_id", "total_chars", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+
+    gram_counts = grams.groupBy("doc_id", "n", "gram").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.first("total_chars").alias("total_chars"),
+    ).withColumn(
+        "gchars", F.length(F.regexp_replace("gram", " ", "")).cast("long")
+    )
+    per_n = gram_counts.groupBy("doc_id", "n").agg(
+        F.round(
+            F.max(F.col("c") * F.col("gchars")).cast("double")
+            / F.first("total_chars").cast("double"),
+            6,
+        ).alias("top_frac"),
+        F.round(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("c") > 1, F.col("c") * F.col("gchars"))
+                ),
+                F.lit(0),
+            ).cast("double")
+            / F.first("total_chars").cast("double"),
+            6,
+        ).alias("dup_frac"),
+    )
+
+    def pick(n: int, col: str):
+        return F.coalesce(
+            F.max(F.when(F.col("n") == n, F.col(col))), F.lit(0.0)
+        )
+
+    agg = per_n.groupBy("doc_id").agg(
+        pick(2, "top_frac").alias("top_2gram_char_frac"),
+        pick(3, "top_frac").alias("top_3gram_char_frac"),
+        pick(4, "top_frac").alias("top_4gram_char_frac"),
+        pick(5, "dup_frac").alias("dup_5gram_char_frac"),
+        pick(6, "dup_frac").alias("dup_6gram_char_frac"),
+    )
+    out = (
+        base.select("doc_id", F.col("n_toks").cast("long").alias("n_toks"), "total_chars")
+        .join(agg, "doc_id", "left")
+        .fillna(
+            0.0,
+            subset=[
+                "top_2gram_char_frac", "top_3gram_char_frac",
+                "top_4gram_char_frac", "dup_5gram_char_frac",
+                "dup_6gram_char_frac",
+            ],
+        )
+    )
+    return out.select(
+        "doc_id",
+        "n_toks",
+        "total_chars",
+        "top_2gram_char_frac",
+        "top_3gram_char_frac",
+        "top_4gram_char_frac",
+        "dup_5gram_char_frac",
+        "dup_6gram_char_frac",
+        (
+            (F.col("top_2gram_char_frac") > 0.20)
+            | (F.col("top_3gram_char_frac") > 0.18)
+            | (F.col("top_4gram_char_frac") > 0.16)
+            | (F.col("dup_5gram_char_frac") > 0.15)
+            | (F.col("dup_6gram_char_frac") > 0.14)
+        ).alias("would_filter"),
+    ).orderBy("doc_id")
