@@ -83,6 +83,14 @@ class CdcSink:
         if xact_id is None:
             return self.table
         if xact_id not in self._xacts:
+            # a stale open stream with this xid from a PREVIOUS sink (tailer
+            # reconnect replays from the checkpointed Stream-Start) is
+            # aborted and re-staged — the documented replay semantics; its
+            # buffered rows are uncommitted by construction, so discarding
+            # them is lossless (parity: re-streamed xacts re-send all rows)
+            stale = self.table._xacts.get(xact_id)
+            if stale is not None:
+                stale.abort()
             self._xacts[xact_id] = self.table.begin_transaction(xact_id)
         return self._xacts[xact_id]
 
