@@ -822,3 +822,49 @@ def ingest_avro_events_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a second drain must be a clean no-op (offset committed)
     assert ingestor.drain_once()["messages"] == 0
     return t.scan()
+
+
+@register(
+    "ingest_keyindex_delete_scan",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderpriority
+FROM orders WHERE o_orderkey % 31 <> 0 AND o_orderkey % 47 <> 0
+""",
+    category="ingest",
+)
+def ingest_keyindex_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted key hash index drives delete targeting (parity
+    persisted_bucket_hash_map.rs: build on flush :486-523, search_values
+    :276-302, build_from_merge :525-574).
+
+    The three appends interleave key ranges mod 3, so every file's
+    min/max spans the whole key domain — stats pruning cannot narrow the
+    delete scan; only the hash index can. First delete runs off the
+    per-commit indexes, then optimize(mode="index") merges them, and a
+    second delete runs off the merged run."""
+    from moonlink_spark.table.maintenance import optimize
+
+    base = _orders_df(spark, sf_dir)
+    t = MoonlinkTable.create(
+        spark,
+        _tmp_table_dir("kix"),
+        ORDERS_FIELDS,
+        IdentityProp.single("o_orderkey"),
+        key_index=True,
+    )
+    for rem in range(3):
+        t.append_df(base.filter(F.col("o_orderkey") % 3 == rem))
+        t.commit(lsn=rem + 1)
+    t.delete_keys_df(
+        base.filter(F.col("o_orderkey") % 31 == 0).select("o_orderkey")
+    )
+    t.commit(lsn=10)
+    optimize(t, mode="index")
+    t.delete_keys_df(
+        base.filter(F.col("o_orderkey") % 47 == 0).select("o_orderkey")
+    )
+    t.commit(lsn=11)
+    return t.scan().withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("double")
+    )

@@ -44,10 +44,13 @@ from typing import Any
 
 import pyarrow.parquet as pq
 
+from moonlink_spark.table import keyindex
 from moonlink_spark.table.delta_export import _export_name, clone_file
 from moonlink_spark.table.puffin import (
     DELETION_VECTOR_V1,
+    MOONCAKE_HASH_INDEX_V1,
     dv_blob_bytes,
+    read_puffin,
     read_puffin_deletion_vectors,
     write_puffin,
 )
@@ -713,6 +716,56 @@ def export_iceberg(
             },
         )
 
+    # ---- key hash index: mooncake-hash-index-v1 Puffin blob ----
+    # Parity iceberg_table_syncer.rs import_one_file_index (:118-160) +
+    # index.rs FileIndexBlob (:20-22): the blob body is the JSON index
+    # metadata (covered data files + index block files + hash config);
+    # the index block files themselves are copied next to the data files.
+    # Readers use it to point-lookup without rebuilding the index.
+    index_puffin_path = None
+    index_entries_live, _ = keyindex.live_entries(m)
+    if index_entries_live:
+        rel_to_name = {e.path: n for n, e in desired.items()}
+        index_dir = os.path.join(dest, "data", "keyindex")
+        os.makedirs(index_dir, exist_ok=True)
+        blob_inputs = []
+        algo = (m.properties.get(keyindex.KEY_INDEX_PROP) or {}).get(
+            "algo", keyindex.XXHASH64_ALGO
+        )
+        for i, e in enumerate(index_entries_live):
+            src = table._resolve(e["path"])
+            block_name = f"ix-{snapshot_id}-{i}.parquet"
+            block_path = os.path.join(index_dir, block_name)
+            if not os.path.exists(block_path):
+                clone_file(src, block_path)
+            covered = [p for p in e.get("covers", []) if p in rel_to_name]
+            payload = json.dumps(
+                {
+                    "data_files": [
+                        os.path.abspath(os.path.join(data_dir, rel_to_name[p]))
+                        for p in covered
+                    ],
+                    "source_paths": covered,
+                    "index_block_files": [os.path.abspath(block_path)],
+                    "num_rows": int(e.get("rows", 0)),
+                    "algo": algo,
+                },
+                separators=(",", ":"),
+            ).encode("utf-8")
+            blob_inputs.append(
+                (
+                    payload,
+                    {
+                        "type": MOONCAKE_HASH_INDEX_V1,
+                        "properties": {"cardinality": str(e.get("rows", 0))},
+                    },
+                )
+            )
+        index_puffin_path = os.path.join(
+            meta_dir, f"index-snap-{snapshot_id}.puffin"
+        )
+        write_puffin(index_puffin_path, blob_inputs)
+
     # ---- manifest list ----
     mlist_path = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
     mlist_records = [
@@ -773,6 +826,11 @@ def export_iceberg(
             "added-position-delete-files": str(len(delete_entries)),
             "moonlink-source-lsn": str(m.lsn),
             "moonlink-source-version": str(m.version),
+            **(
+                {"moonlink-file-index-puffin": os.path.abspath(index_puffin_path)}
+                if index_puffin_path
+                else {}
+            ),
         },
         "schema-id": current_schema_id,
     }
@@ -851,6 +909,7 @@ def export_iceberg(
         "deletion_vectors": len(delete_entries),
         "deleted_positions": total_deleted,
         "puffin_file": puffin_path,
+        "file_index_puffin": index_puffin_path,
         "source_lsn": m.lsn,
         "source_version": m.version,
     }
@@ -1009,3 +1068,38 @@ def read_avro_container(path: str) -> list[dict[str, Any]]:
             records.append(_decode(schema, cur))
         assert cur.read(16) == sync, "sync marker mismatch"
     return records
+
+
+def read_iceberg_key_index(dest: str) -> list[dict[str, Any]]:
+    """Decode the current snapshot's persisted key hash index (pure
+    Python): metadata.json -> snapshot summary ``moonlink-file-index-puffin``
+    -> ``mooncake-hash-index-v1`` blobs -> one dict per index run with the
+    covered data files and the index block parquet paths. Read-side
+    counterpart of the export's index path (parity: the reference loads
+    file-index blobs back through ``FileIndexBlob::as_mooncake_file_index``,
+    storage/table/iceberg/index.rs:115+)."""
+    meta_dir = os.path.join(dest, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        version = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
+        meta = json.load(fh)
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    puffin_path = snap.get("summary", {}).get("moonlink-file-index-puffin")
+    if not puffin_path:
+        return []
+    metas, data = read_puffin(puffin_path)
+    out: list[dict[str, Any]] = []
+    for blob_meta in metas:
+        if blob_meta.get("type") != MOONCAKE_HASH_INDEX_V1:
+            continue
+        body = data[blob_meta["offset"]:blob_meta["offset"] + blob_meta["length"]]
+        entry = json.loads(body)
+        entry["cardinality"] = int(
+            blob_meta.get("properties", {}).get("cardinality", 0)
+        )
+        out.append(entry)
+    return out

@@ -14,6 +14,7 @@ import os
 from dataclasses import dataclass
 
 from moonlink_spark.errors import TableConfigError
+from moonlink_spark.table import keyindex
 from moonlink_spark.table.manifest import Manifest
 from moonlink_spark.table.table import DATA_DIR, DELETE_DIR, MoonlinkTable
 
@@ -54,7 +55,14 @@ def optimize(
         raise TableConfigError(f"unknown optimize mode {mode!r}")
     base = table.manifest
     if mode == "index":
-        return base.version  # no persisted index in this engine (SURVEY.md §4)
+        # index merge (parity optimize_table(mode=index) ->
+        # build_from_merge, moonlink_backend/lib.rs:360-384): unions live
+        # index files, drops rows for compacted-away data files, rewrites
+        # one sorted run. No-op for tables without a key index.
+        from moonlink_spark.table.keyindex import merge_index
+
+        merge_index(table)
+        return table.manifest.version
     if not force and not should_compact(base, cfg):
         return base.version
     if not base.data_files:
@@ -74,6 +82,17 @@ def optimize(
             table._cluster_files_hint = None
     else:
         new_files = table._write_df_files(live.repartition(n_out))
+    # compaction invalidates the key index (files were rewritten): rebuild
+    # over the new file set in the same maintenance commit (the reference
+    # remaps its index at compaction, compactor.rs:31-90)
+    props = base.properties
+    from moonlink_spark.table import keyindex
+
+    if keyindex.enabled(base):
+        cfg = dict(props.get(keyindex.KEY_INDEX_PROP) or {})
+        cfg["entries"] = []
+        props = {**props, keyindex.KEY_INDEX_PROP: cfg}
+        props = table._index_new_files(base, props, new_files)
     m = Manifest(
         version=base.version + 1,
         lsn=base.lsn,  # maintenance commit: no new data => same LSN
@@ -83,7 +102,7 @@ def optimize(
         delete_files=[],
         parent=base.version,
         operation="optimize",
-        properties=base.properties,
+        properties=props,
     )
     table.store.commit(m, allow_equal_lsn=True)
     return m.version
@@ -113,11 +132,22 @@ def vacuum(table: MoonlinkTable, keep_versions: int = 1) -> int:
         versions = table.store.versions()
         keep = versions[-max(1, keep_versions):]
         referenced: set[str] = _staged_file_paths(table)
+        index_referenced: set[str] = set()
         for v in keep:
             m = table.store.read(v)
             referenced.update(f.path for f in m.data_files)
             referenced.update(f.path for f in m.delete_files)
+            for e in keyindex.index_entries(m):
+                # entries live in keyindex/ix-<hex>/part-*.parquet; keep the
+                # whole run directory while any kept manifest references it
+                index_referenced.add(e["path"].split("/")[1])
         removed = 0
+        kid = os.path.join(table.data_path, keyindex.KEYINDEX_DIR)
+        if table.data_fs.isdir(kid):
+            for run in table.data_fs.listdir(kid):
+                if run not in index_referenced:
+                    table.data_fs.rmtree(os.path.join(kid, run))
+                    removed += 1
         for sub in (DATA_DIR, DELETE_DIR):
             d = os.path.join(table.data_path, sub)
             if not table.data_fs.isdir(d):

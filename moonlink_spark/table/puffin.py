@@ -163,6 +163,12 @@ def parse_dv_blob(data: bytes) -> list[int]:
 # --------------------------------------------------------------------------- #
 
 
+
+# Blob type for the persisted key hash index (parity
+# storage/table/iceberg/index.rs:20-22).
+MOONCAKE_HASH_INDEX_V1 = "mooncake-hash-index-v1"
+
+
 def write_puffin(
     path: str,
     blobs: list[tuple[bytes, dict[str, Any]]],

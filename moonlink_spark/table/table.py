@@ -139,6 +139,7 @@ class MoonlinkTable:
         properties: dict[str, Any] | None = None,
         cluster_by: list[str] | None = None,
         data_path: str | None = None,
+        key_index: bool = False,
     ) -> "MoonlinkTable":
         if isinstance(schema, T.StructType):
             fields = struct_to_field_schema(schema)
@@ -155,6 +156,18 @@ class MoonlinkTable:
             )
         identity.validate(schema.fieldNames())
         props = dict(properties or {})
+        if key_index:
+            if identity.mode not in ("single", "keys"):
+                raise TableConfigError(
+                    "key_index requires a key identity (single/keys); "
+                    f"got {identity.mode}"
+                )
+            from moonlink_spark.table.keyindex import (
+                KEY_INDEX_PROP,
+                XXHASH64_ALGO,
+            )
+
+            props[KEY_INDEX_PROP] = {"algo": XXHASH64_ALGO, "entries": []}
         if cluster_by:
             unknown = set(cluster_by) - set(schema.fieldNames())
             if unknown:
@@ -387,6 +400,9 @@ class MoonlinkTable:
             ops, self._pending = self._pending, []
             try:
                 new_files, new_dvs = self._apply_ops(base, ops)
+                props = {**base.properties, **(properties_update or {})}
+                if new_files:
+                    props = self._index_new_files(base, props, new_files)
                 m = Manifest(
                     version=base.version + 1,
                     lsn=lsn,
@@ -396,7 +412,7 @@ class MoonlinkTable:
                     delete_files=base.delete_files + new_dvs,
                     parent=base.version,
                     operation=operation,
-                    properties={**base.properties, **(properties_update or {})},
+                    properties=props,
                 )
                 self.store.commit(m)
             except Exception:
@@ -406,6 +422,26 @@ class MoonlinkTable:
                 self._pending = ops
                 raise
             return m.version
+
+    def _index_new_files(
+        self, base: Manifest, props: dict[str, Any], new_files: list[FileEntry]
+    ) -> dict[str, Any]:
+        """Index build on flush (parity GlobalIndexBuilder::build_from_flush,
+        persisted_bucket_hash_map.rs:486-523): when the table has a key
+        index, every commit indexes exactly its newly flushed files — one
+        distributed job over O(new data)."""
+        from moonlink_spark.table import keyindex
+
+        cfg = props.get(keyindex.KEY_INDEX_PROP)
+        if not isinstance(cfg, dict):
+            return props
+        ident = IdentityProp.from_json(base.identity)
+        if ident.mode not in ("single", "keys"):
+            return props
+        new_entries = keyindex.build_entries(self, new_files, list(ident.columns))
+        cfg = dict(cfg)
+        cfg["entries"] = list(cfg.get("entries", [])) + new_entries
+        return {**props, keyindex.KEY_INDEX_PROP: cfg}
 
     def _apply_ops(
         self, base: Manifest, ops: list[tuple]
@@ -488,6 +524,11 @@ class MoonlinkTable:
             key_schema = T.StructType([schema[c] for c in key_cols])
             keys = [{c: r.get(c) for c in key_cols} for r in rows]
             keys_df = self.spark.createDataFrame(keys, key_schema).dropDuplicates()
+            subset = self._index_file_subset(base, new_files, keys_df, key_cols)
+            if subset is not None:
+                live = self._live_view(
+                    base, new_files, new_dvs, files_subset=subset
+                )
             if not if_exists:
                 # strict delete must match every key (reference errors on
                 # missing rows for non-if-exists deletes)
@@ -534,6 +575,30 @@ class MoonlinkTable:
         )
         return self._write_dv(matched)
 
+    def _index_file_subset(
+        self,
+        base: Manifest,
+        new_files: list[FileEntry],
+        keys_df: DataFrame,
+        key_cols: list[str],
+    ) -> set[str] | None:
+        """Index lookup for delete targeting (parity
+        GlobalIndex::search_values -> delete position,
+        persisted_bucket_hash_map.rs:276-302): -> the exact set of file
+        paths worth scanning for these keys, or None when the table has no
+        key index (caller falls back to min/max stats pruning)."""
+        from moonlink_spark.table import keyindex
+
+        if not keyindex.enabled(base):
+            return None
+        cand = keyindex.candidate_files(
+            self, base, keys_df, key_cols, extra_files=new_files
+        )
+        if cand is None:  # pragma: no cover
+            return None
+        matching, uncovered = cand
+        return set(matching) | {f.path for f in uncovered}
+
     def _delete_dv_for_keys_df(
         self,
         base: Manifest,
@@ -543,7 +608,8 @@ class MoonlinkTable:
     ) -> list[FileEntry]:
         ident = IdentityProp.from_json(base.identity)
         key_cols = list(ident.columns)
-        live = self._live_view(base, new_files, new_dvs)
+        subset = self._index_file_subset(base, new_files, keys_df, key_cols)
+        live = self._live_view(base, new_files, new_dvs, files_subset=subset)
         matched = live.join(
             keys_df.dropDuplicates(), key_cols, "left_semi"
         ).select("__fp", "__ri")
@@ -684,13 +750,17 @@ class MoonlinkTable:
         new_files: list[FileEntry],
         new_dvs: list[FileEntry],
         prune: PrunePredicate | None = None,
+        files_subset: set[str] | None = None,
     ) -> DataFrame:
+        data_files = base.data_files + new_files
+        if files_subset is not None:
+            data_files = [f for f in data_files if f.path in files_subset]
         m = Manifest(
             version=base.version,
             lsn=base.lsn,
             schema_fields=base.schema_fields,
             identity=base.identity,
-            data_files=base.data_files + new_files,
+            data_files=data_files,
             delete_files=base.delete_files + new_dvs,
         )
         return self._read_manifest(m, with_pos=True, prune=prune)
