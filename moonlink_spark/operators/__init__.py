@@ -136,7 +136,10 @@ PRIORITY_50 = [
     "window_topk_parts_per_brand",  # windows
     "dedup_minhash_lsh",           # dedup
     "knn_cosine_bruteforce",       # similarity
-    "text_quality_scores",         # text analysis
+    # (text analysis keeps gate presence via char_trigram_entropy above;
+    # text_quality_scores was driver-green r3 and rotates out for the new
+    # key-index lifecycle query)
+    "ingest_keyindex_delete_scan",  # NEW r4: persisted key hash index
     "pii_pattern_scan",            # safety
     "ingest_export_iceberg_dv_scan",  # NEW r4: Puffin-DV export round trip
     "ingest_avro_events_scan",     # NEW r4: jar-free Avro queue e2e

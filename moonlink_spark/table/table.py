@@ -633,6 +633,44 @@ class MoonlinkTable:
         m = self._resolve_manifest(lsn, version)
         return self._read_manifest(m, with_pos=False, prune=prune)
 
+    def scan_keys(self, keys_df: DataFrame, lsn: int | None = None) -> DataFrame:
+        """Batch point lookup by identity key (parity: read-path index
+        lookup, GlobalIndex::search_values persisted_bucket_hash_map.rs:
+        276-302 feeding the DataFusion point scan).
+
+        With a persisted key index the scan opens ONLY the files containing
+        the requested keys; without one it falls back to a semi-join over
+        the live view (Catalyst's runtime bloom filter still prunes). The
+        keys side is broadcast — bounded by the request, never the table."""
+        m = self._resolve_manifest(lsn)
+        ident = IdentityProp.from_json(m.identity)
+        if ident.mode not in ("single", "keys"):
+            raise IdentityError(
+                f"scan_keys requires a key identity, got {ident.mode}"
+            )
+        key_cols = list(ident.columns)
+        from moonlink_spark.table import keyindex
+
+        data_files = m.data_files
+        if keyindex.enabled(m):
+            cand = keyindex.candidate_files(self, m, keys_df, key_cols)
+            if cand is not None:
+                matching, uncovered = cand
+                keep = set(matching) | {f.path for f in uncovered}
+                data_files = [f for f in data_files if f.path in keep]
+        m2 = Manifest(
+            version=m.version,
+            lsn=m.lsn,
+            schema_fields=m.schema_fields,
+            identity=m.identity,
+            data_files=data_files,
+            delete_files=m.delete_files,
+        )
+        df = self._read_manifest(m2, with_pos=False)
+        return df.join(
+            F.broadcast(keys_df.dropDuplicates()), key_cols, "left_semi"
+        )
+
     def scan_blocking(self, lsn: int, timeout_s: float = 30.0) -> DataFrame:
         """Block until a commit with lsn >= requested exists, then read at
         that LSN (parity ReadStateManager::try_read blocking path,

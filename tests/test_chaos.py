@@ -26,11 +26,20 @@ def _row(rng, key):
     return {"id": key, "name": f"n{rng.randrange(1000)}", "age": rng.randrange(100)}
 
 
-@pytest.mark.parametrize("seed", [7, 42, 1337])
-def test_chaos_key_identity(spark, tmp_path, seed):
+@pytest.mark.parametrize(
+    "seed,key_index",
+    [(7, False), (42, False), (1337, False), (7, True), (1337, True)],
+)
+def test_chaos_key_identity(spark, tmp_path, seed, key_index):
+    """key_index=True runs the same sequences with index-targeted deletes
+    (keyindex.py); the model must be indistinguishable."""
     rng = random.Random(seed)
     t = MoonlinkTable.create(
-        spark, str(tmp_path / f"chaos{seed}"), USERS, IdentityProp.single("id")
+        spark,
+        str(tmp_path / f"chaos{seed}{'i' if key_index else ''}"),
+        USERS,
+        IdentityProp.single("id"),
+        key_index=key_index,
     )
     committed: dict[int, tuple] = {}
     pending: dict[int, tuple | None] = {}  # None = delete

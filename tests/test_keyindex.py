@@ -242,3 +242,37 @@ def test_non_indexed_table_unaffected(spark, tmp_path):
     t.delete_rows([{"id": 1}])
     t.commit(lsn=2)
     assert t.scan().count() == 0
+
+
+def test_scan_keys_point_lookup(spark, tmp_path):
+    """Read-path index lookup: scan_keys answers from only the containing
+    files (index path) and falls back cleanly without an index."""
+    t = _mk(spark, tmp_path, "lookup")
+    t.append_rows([{"id": i, "v": f"a{i}"} for i in range(100)])
+    t.commit(lsn=1)
+    t.append_rows([{"id": i, "v": f"b{i}"} for i in range(100, 200)])
+    t.commit(lsn=2)
+    keys = spark.createDataFrame([(5,), (150,)], "id: long")
+    got = {r.id: r.v for r in t.scan_keys(keys).collect()}
+    assert got == {5: "a5", 150: "b150"}
+    # historical lookup at lsn=1 sees only the first commit
+    got1 = {r.id: r.v for r in t.scan_keys(keys, lsn=1).collect()}
+    assert got1 == {5: "a5"}
+    # deleted keys disappear
+    t.delete_rows([{"id": 5}])
+    t.commit(lsn=3)
+    assert {r.id for r in t.scan_keys(keys).collect()} == {150}
+    # fallback: same answers on a non-indexed table
+    t2 = MoonlinkTable.create(
+        spark, str(tmp_path / "plain2"), FIELDS, IdentityProp.single("id")
+    )
+    t2.append_rows([{"id": i, "v": f"a{i}"} for i in range(10)])
+    t2.commit(lsn=1)
+    keys2 = spark.createDataFrame([(3,)], "id: long")
+    assert [r.v for r in t2.scan_keys(keys2).collect()] == ["a3"]
+    # wrong identity mode raises
+    t3 = MoonlinkTable.create(
+        spark, str(tmp_path / "fr2"), FIELDS, IdentityProp.full_row()
+    )
+    with pytest.raises(IdentityError):
+        t3.scan_keys(keys2)
