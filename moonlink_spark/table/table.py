@@ -706,13 +706,63 @@ class MoonlinkTable:
         derived automatically from the condition (best-effort extraction of
         col/op/literal conjuncts — the ergonomic form of ``scan(prune=...)``;
         unparseable conditions simply skip no files, never wrong results).
-        The engine-level analog of the reference's index-backed point scans
-        (persisted_bucket_hash_map.rs lookups) over stats instead of an
-        index."""
+
+        When the table has a persisted key index and the condition pins
+        every key column with ``=``/``IN`` literals, the scan routes through
+        the index (``scan_keys``) and opens only the files containing those
+        keys — the reference's index-backed point scan
+        (persisted_bucket_hash_map.rs:276-302). Otherwise min/max stats
+        pruning applies."""
         from moonlink_spark.table.stats import prune_predicate_from_condition
 
         pred = prune_predicate_from_condition(condition)
+        keys_df = self._keys_df_from_predicate(pred, lsn)
+        if keys_df is not None:
+            return self.scan_keys(keys_df, lsn=lsn).filter(condition)
         return self.scan(lsn=lsn, prune=pred).filter(condition)
+
+    def _keys_df_from_predicate(
+        self, pred: PrunePredicate | None, lsn: int | None
+    ) -> DataFrame | None:
+        """If ``pred`` pins every identity column to literal value(s) and
+        the table has a key index, -> a DataFrame of the key combinations
+        (cartesian across IN-lists, capped at 1024); else None."""
+        if pred is None:
+            return None
+        from moonlink_spark.table import keyindex
+
+        m = self._resolve_manifest(lsn=lsn)
+        if not keyindex.enabled(m):
+            return None
+        ident = IdentityProp.from_json(m.identity)
+        if ident.mode not in ("single", "keys"):  # pragma: no cover
+            return None
+        key_cols = list(ident.columns)
+        by_col: dict[str, list] = {}
+        for col, op, val in pred.conditions:
+            if col not in key_cols:
+                continue
+            vals = list(val) if op == "in" else [val] if op == "=" else None
+            if vals is None:
+                return None  # range condition on a key col: not a lookup
+            if col in by_col:
+                vals = [v for v in vals if v in set(by_col[col])]
+            by_col[col] = vals
+        if set(by_col) != set(key_cols):
+            return None
+        combos: list[dict[str, Any]] = [{}]
+        for c in key_cols:
+            combos = [
+                {**row, c: v} for row in combos for v in by_col[c]
+            ]
+            if len(combos) > 1024:
+                return None  # too wide for a point lookup; stats-prune
+        schema = field_schema_to_struct(m.schema_fields)
+        key_schema = T.StructType([schema[c] for c in key_cols])
+        try:
+            return self.spark.createDataFrame(combos, key_schema)
+        except Exception:
+            return None  # literal/column type mismatch: fall back
 
     def _read_manifest(
         self, m: Manifest, with_pos: bool, prune: PrunePredicate | None = None

@@ -276,3 +276,22 @@ def test_scan_keys_point_lookup(spark, tmp_path):
     )
     with pytest.raises(IdentityError):
         t3.scan_keys(keys2)
+
+
+def test_scan_where_routes_point_lookups_through_index(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sw")
+    t.append_rows([{"id": i, "v": f"a{i}"} for i in range(200)])
+    t.commit(lsn=1)
+    t.append_rows([{"id": i, "v": f"b{i}"} for i in range(200, 400)])
+    t.commit(lsn=2)
+    # equality on the key -> index route
+    assert [r.v for r in t.scan_where("id = 250").collect()] == ["b250"]
+    # IN-list on the key
+    got = sorted(r.id for r in t.scan_where("id IN (3, 250, 9999)").collect())
+    assert got == [3, 250]
+    # key equality plus extra conjunct still filters correctly
+    assert t.scan_where("id = 250 AND v = 'nope'").count() == 0
+    # range on the key: not a lookup, falls back to stats pruning
+    assert t.scan_where("id >= 395").count() == 5
+    # non-key condition untouched
+    assert t.scan_where("v = 'a7'").count() == 1
