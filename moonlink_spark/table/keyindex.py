@@ -176,8 +176,17 @@ def candidate_files(
     idx = spark.read.parquet(
         *[table._resolve(e["path"]) for e in entries]
     )
+    # hash over the TABLE's key types: xxhash64 is width-sensitive, so an
+    # int-typed lookup against a bigint key column would silently miss
+    # without the cast (the verify join would coerce, but the candidate
+    # set would already have dropped the file)
+    from moonlink_spark.schema import field_schema_to_struct
+
+    schema = field_schema_to_struct(m.schema_fields)
     hashed = (
-        keys_df.select(*key_cols)
+        keys_df.select(
+            *[F.col(c).cast(schema[c].dataType).alias(c) for c in key_cols]
+        )
         .dropDuplicates()
         .select(_key_hash(key_cols))
     )

@@ -295,3 +295,62 @@ def test_scan_where_routes_point_lookups_through_index(spark, tmp_path):
     assert t.scan_where("id >= 395").count() == 5
     # non-key condition untouched
     assert t.scan_where("v = 'a7'").count() == 1
+
+
+def test_narrow_typed_keys_df_still_hits_index(spark, tmp_path):
+    """xxhash64 is width-sensitive: an int-typed lookup against a bigint
+    key column must be cast to the table type before hashing, or the
+    candidate set silently drops the containing file."""
+    t = _mk(spark, tmp_path, "cast")
+    t.append_rows([{"id": i, "v": f"a{i}"} for i in range(50)])
+    t.commit(lsn=1)
+    keys_int = spark.createDataFrame([(7,)], "id: int")  # NOT long
+    matching, _ = keyindex.candidate_files(t, t.manifest, keys_int, ["id"])
+    assert matching == [t.manifest.data_files[0].path]
+    t.delete_keys_df(keys_int)
+    t.commit(lsn=2)
+    assert t.scan().filter("id = 7").count() == 0
+    assert t.scan().count() == 49
+
+
+def test_candidate_files_match_bruteforce_random(spark, tmp_path):
+    """Property: for random key sets (negatives, unicode strings), the
+    candidate file set equals the true containing-file set exactly."""
+    import random
+
+    rng = random.Random(1234)
+    fields = [
+        {"name": "k", "data_type": "int64", "nullable": False},
+        {"name": "s", "data_type": "string", "nullable": False},
+        {"name": "v", "data_type": "int32"},
+    ]
+    t = MoonlinkTable.create(
+        spark,
+        str(tmp_path / "prop"),
+        fields,
+        IdentityProp.keys(["k", "s"]),
+        key_index=True,
+    )
+    pool = [
+        (rng.randrange(-(10**12), 10**12), rng.choice(["α", "b", "日本", ""]))
+        for _ in range(300)
+    ]
+    files_of: dict[tuple, set[int]] = {}
+    for c in range(3):
+        chunk = pool[100 * c:100 * (c + 1)]
+        t.append_rows([{"k": k, "s": s, "v": i} for i, (k, s) in enumerate(chunk)])
+        t.commit(lsn=c + 1)
+        for key in chunk:
+            files_of.setdefault(key, set()).add(c)
+    m = t.manifest
+    paths = [f.path for f in m.data_files]
+    probe = rng.sample(pool, 20) + [(99, "missing")]
+    keys_df = spark.createDataFrame(
+        [{"k": k, "s": s} for k, s in probe], "k: long, s: string"
+    )
+    matching, uncovered = keyindex.candidate_files(t, m, keys_df, ["k", "s"])
+    assert uncovered == []
+    expected = set()
+    for key in probe:
+        expected.update(paths[c] for c in files_of.get(key, ()))
+    assert set(matching) == expected
