@@ -187,6 +187,32 @@ class MoonlinkBackend:
             )
         return sorted(self._load_catalog()["tables"].keys())
 
+    def list_table_status(self) -> list[dict[str, Any]]:
+        """Per-table status, one dict per table — parity ``list_tables``
+        (lib.rs:324-341) returning ``TableStatus`` (table_status.rs:5-18):
+        database, table, commit_lsn, flush_lsn (last Iceberg sync, None if
+        never synced), cardinality (manifest row counts, no scan), and
+        iceberg_warehouse_location ("" if never synced)."""
+        from moonlink_spark.table.iceberg_export import read_iceberg_sync
+
+        statuses = []
+        for key in self.list_tables():
+            db, table = key.split(".", 1)
+            t = self.get_table(db, table)
+            m = t.manifest
+            sync = read_iceberg_sync(t)
+            statuses.append(
+                {
+                    "database": db,
+                    "table": table,
+                    "commit_lsn": m.lsn,
+                    "flush_lsn": sync["flush_lsn"] if sync else None,
+                    "cardinality": t.cardinality(),
+                    "iceberg_warehouse_location": sync["location"] if sync else "",
+                }
+            )
+        return statuses
+
     # -- reads ----------------------------------------------------------------
 
     def scan_table(

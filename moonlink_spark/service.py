@@ -211,7 +211,22 @@ class MoonlinkService:
             return
 
         if method == "GET" and path == "/tables":
-            h._send(200, {"tables": self.backend.list_tables()})
+            # parity list_tables (rest_api.rs:684-689): ListTablesResponse
+            # carries full TableStatus objects, not bare names
+            h._send(200, {"tables": self.backend.list_table_status()})
+            return
+
+        if method == "GET" and path == "/metrics":
+            # the engine's own latency telemetry (observability/ module
+            # parity). Default = readable snapshot; ?format=otlp = the
+            # OTLP/JSON ExportMetricsServiceRequest our /otel/v1/metrics
+            # route (and any OTEL collector) ingests directly.
+            from moonlink_spark.observability import METRICS
+
+            if "otlp" in parse_qs(url.query).get("format", []):
+                h._send(200, METRICS.to_otlp_payload())
+            else:
+                h._send(200, {"metrics": METRICS.snapshot()})
             return
 
         m = _SCHEMA_RE.match(path)

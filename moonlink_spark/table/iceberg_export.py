@@ -40,6 +40,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import time
 from typing import Any
 
 import pyarrow.parquet as pq
@@ -55,6 +56,7 @@ from moonlink_spark.table.puffin import (
     write_puffin,
 )
 from moonlink_spark.table.manifest import FileEntry, Manifest
+from moonlink_spark.observability import METRICS
 from moonlink_spark.table.table import MoonlinkTable
 
 # --------------------------------------------------------------------------- #
@@ -525,13 +527,55 @@ def _read_current_metadata(meta_dir: str) -> tuple[int, dict[str, Any] | None]:
         return v, json.load(fh)
 
 
+# sidecar recording the last successful Iceberg sync of a table; feeds
+# TableStatus.flush_lsn / iceberg_warehouse_location (parity
+# table_status.rs:12-17 — the reference tracks the iceberg flush LSN per
+# table and reports it from list_tables)
+ICEBERG_SYNC_FILE = "iceberg_sync.json"
+
+
 def export_iceberg(
     table: MoonlinkTable, dest: str, lsn: int | None = None
 ) -> dict[str, Any]:
     """Export the snapshot at ``lsn`` (default latest) as one new Iceberg v2
     snapshot + metadata version under ``dest``. First call creates the
     table (v1.metadata.json); later calls append snapshots reusing any
-    unchanged data files. Returns a summary dict."""
+    unchanged data files. Returns a summary dict.
+
+    Telemetry: records the reference's five iceberg-persistence histograms
+    (observability/iceberg_persistence.rs:58-84) — overall synchronization
+    plus the data-files / file-indices / deletion-vectors / commit stages.
+    """
+    with METRICS.guard("snapshot_synchronization_latency", table.path):
+        summary = _export_iceberg_impl(table, dest, lsn)
+    # record the sync point on the SOURCE table (atomic publish; last
+    # writer wins is correct — LSNs are monotone per table)
+    table.fs.write_text_durable(
+        os.path.join(table.path, ICEBERG_SYNC_FILE),
+        json.dumps(
+            {
+                "location": summary["location"],
+                "flush_lsn": summary["source_lsn"],
+                "metadata_version": summary["metadata_version"],
+            },
+            separators=(",", ":"),
+        ),
+    )
+    return summary
+
+
+def read_iceberg_sync(table: MoonlinkTable) -> dict[str, Any] | None:
+    """Last successful Iceberg sync of ``table`` (or None if never synced)."""
+    path = os.path.join(table.path, ICEBERG_SYNC_FILE)
+    if not table.fs.exists(path):
+        return None
+    with table.fs.open_read(path) as fh:
+        return json.load(fh)
+
+
+def _export_iceberg_impl(
+    table: MoonlinkTable, dest: str, lsn: int | None = None
+) -> dict[str, Any]:
     m: Manifest = table._resolve_manifest(lsn=lsn)
     data_dir = os.path.join(dest, "data")
     meta_dir = os.path.join(dest, "metadata")
@@ -546,12 +590,13 @@ def export_iceberg(
     # syncer (iceberg_table_syncer.rs:723 writes the DV puffin; the read
     # side consumes it at moonlink_datafusion/table_provider.rs:119-126).
     desired: dict[str, FileEntry] = {}
-    for entry in m.data_files:
-        name = _export_name(entry, "clean")
-        desired[name] = entry
-        dest_path = os.path.join(data_dir, name)
-        if not os.path.exists(dest_path):
-            clone_file(table._resolve(entry.path), dest_path)
+    with METRICS.guard("sync_data_files_latency", table.path):
+        for entry in m.data_files:
+            name = _export_name(entry, "clean")
+            desired[name] = entry
+            dest_path = os.path.join(data_dir, name)
+            if not os.path.exists(dest_path):
+                clone_file(table._resolve(entry.path), dest_path)
 
     # per-data-file deleted row positions, driver-side (DV parquets are
     # small key files; same footprint as _dv_files_touched's footer read)
@@ -656,6 +701,7 @@ def export_iceberg(
     delete_entries: list[dict[str, Any]] = []
     total_deleted = 0
     puffin_path = None
+    _t_dv = time.monotonic()
     if dv_positions:
         puffin_path = os.path.join(meta_dir, f"dv-snap-{snapshot_id}.puffin")
         blob_inputs = []
@@ -715,6 +761,11 @@ def export_iceberg(
                 "content": "deletes",
             },
         )
+        METRICS.record(
+            "sync_deletion_vectors_latency",
+            table.path,
+            (time.monotonic() - _t_dv) * 1000.0,
+        )
 
     # ---- key hash index: mooncake-hash-index-v1 Puffin blob ----
     # Parity iceberg_table_syncer.rs import_one_file_index (:118-160) +
@@ -723,6 +774,7 @@ def export_iceberg(
     # the index block files themselves are copied next to the data files.
     # Readers use it to point-lookup without rebuilding the index.
     index_puffin_path = None
+    _t_ix = time.monotonic()
     index_entries_live, _ = keyindex.live_entries(m)
     if index_entries_live:
         rel_to_name = {e.path: n for n, e in desired.items()}
@@ -765,6 +817,11 @@ def export_iceberg(
             meta_dir, f"index-snap-{snapshot_id}.puffin"
         )
         write_puffin(index_puffin_path, blob_inputs)
+        METRICS.record(
+            "sync_file_indices_latency",
+            table.path,
+            (time.monotonic() - _t_ix) * 1000.0,
+        )
 
     # ---- manifest list ----
     mlist_path = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
@@ -879,6 +936,7 @@ def export_iceberg(
             )
         ),
     }
+    _t_commit = time.monotonic()
     new_version = prev_version + 1
     meta_path = os.path.join(meta_dir, f"v{new_version}.metadata.json")
     # exclusive-create: two concurrent exporters both computed
@@ -900,7 +958,13 @@ def export_iceberg(
     with open(hint_tmp, "w") as fh:
         fh.write(str(new_version))
     os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+    METRICS.record(
+        "transaction_commit_latency",
+        table.path,
+        (time.monotonic() - _t_commit) * 1000.0,
+    )
     return {
+        "location": os.path.abspath(dest),
         "metadata_version": new_version,
         "snapshot_id": snapshot_id,
         "sequence_number": seq,

@@ -58,6 +58,7 @@ from moonlink_spark.table.stats import (
 )
 from moonlink_spark.table.fs import fs_for
 from moonlink_spark.table.manifest import FileEntry, Manifest, ManifestStore
+from moonlink_spark.observability import METRICS
 
 DATA_DIR = "data"
 DELETE_DIR = "deletes"
@@ -118,6 +119,12 @@ class MoonlinkTable:
         self.data_fs = self.fs if self.data_path == self.path else LocalFS()
         self._pending: list[tuple] = []
         self._lock = threading.RLock()
+        # recovery telemetry: opening an EXISTING table loads its current
+        # snapshot — the analog of the reference's iceberg table recovery
+        # histogram (observability/iceberg_table_recovery.rs:16-22)
+        if self.store.exists():
+            with METRICS.guard("snapshot_load_latency", self.path):
+                self.store.latest()
         self.mem_slice_rows = DEFAULT_MEM_SLICE_ROWS
         self._xacts: dict[int, "TransactionStream"] = {}
         # target output-file count for the next clustered write (set by
@@ -391,7 +398,9 @@ class MoonlinkTable:
         Ops apply in order: a delete sees rows appended earlier in the same
         commit (parity the streaming-xact 4-way delete routing,
         transaction_stream.rs)."""
-        with self._lock:
+        # snapshot-creation telemetry (observability/snapshot_creation.rs:
+        # 14-25): one histogram sample per commit, keyed by table id
+        with METRICS.guard("snapshot_creation_latency", self.path), self._lock:
             base = self.manifest
             if lsn is None:
                 lsn = base.lsn + 1

@@ -46,7 +46,12 @@ def test_full_rest_lifecycle(svc):
     code, _ = _req(svc, "POST", "/tables/db1/users", USERS_REQ)
     assert code == 200
     code, out = _req(svc, "GET", "/tables")
-    assert out["tables"] == ["db1.users"]
+    # parity ListTablesResponse (rest_api.rs:216-219): TableStatus objects
+    assert [(t["database"], t["table"]) for t in out["tables"]] == [("db1", "users")]
+    assert set(out["tables"][0]) == {
+        "database", "table", "commit_lsn", "flush_lsn",
+        "cardinality", "iceberg_warehouse_location",
+    }
 
     # sync insert: committed immediately, consecutive lsns
     code, r1 = _req(svc, "POST", "/ingest/db1/users",
