@@ -142,24 +142,30 @@ def _sql_hex7(expr: str) -> str:
 
 def _spark_signature(df: DataFrame) -> DataFrame:
     """Add integer minhash signature columns h0..h7 (one md5 per shingle,
-    universal-hash family, min over ints)."""
-    d = (
-        df.withColumn("toks", F.expr(_SPARK_TOKS))
-        .withColumn("shingles", F.expr(_SPARK_SHINGLES))
-        .withColumn(
-            "hv",
+    universal-hash family, min over ints). Built as four chained selects —
+    one projection per derivation step — rather than a withColumn chain:
+    each withColumn triggers a full re-analysis of the growing plan, and
+    the 11-step chain dominated this query's cold (first-run) latency."""
+    hashed = (
+        df.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
+        .select("doc_id", F.expr(_SPARK_SHINGLES).alias("shingles"))
+        .select(
+            "doc_id",
             F.expr(
                 "transform(shingles, x -> cast(conv(substring("
                 "md5(concat('sh:', x)), 1, 7), 16, 10) as bigint))"
-            ),
+            ).alias("hv"),
         )
     )
-    for s, (a, b) in enumerate(_MINHASH_AB):
-        d = d.withColumn(
-            f"h{s}",
-            F.expr(f"array_min(transform(hv, h -> ({a}L * h + {b}L) % {_MINHASH_P}L))"),
-        )
-    return d.select("doc_id", *[f"h{s}" for s in range(N_HASHES)])
+    return hashed.select(
+        "doc_id",
+        *[
+            F.expr(
+                f"array_min(transform(hv, h -> ({a}L * h + {b}L) % {_MINHASH_P}L))"
+            ).alias(f"h{s}")
+            for s, (a, b) in enumerate(_MINHASH_AB)
+        ],
+    )
 
 
 def _sql_signature(corpus_sql: str) -> str:
@@ -389,20 +395,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for w in range(N_WORDS)
         ],
     )
+    # branchless votes: summing the raw bit (0/1) instead of a CASE'd +-1
+    # gives the same sign test — vote s = 2c - n, so s > 0 <=> 2c > n —
+    # with 64 bitand-sums instead of 64 branch evaluations per token row
+    # (the agg over the exploded token table is this query's hot loop)
     bitsums = hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
         *[
-            F.sum(
-                F.when(F.expr(f"(h{w} >> {i}) & 1 = 1"), 1).otherwise(-1)
-            ).alias(f"s{w}_{i}")
+            F.sum(F.expr(f"(h{w} >> {i}) & 1")).alias(f"c{w}_{i}")
             for w in range(N_WORDS)
             for i in range(16)
-        ]
+        ],
     )
     word_cols = []
     for w in range(N_WORDS):
         expr = None
         for i in range(16):
-            term = F.when(F.col(f"s{w}_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            term = F.when(
+                F.col(f"c{w}_{i}") * 2 > F.col("n"), F.lit(1 << i)
+            ).otherwise(F.lit(0))
             expr = term if expr is None else (expr + term)
         word_cols.append(expr.cast("long").alias(f"w{w}"))
     # persist: the fingerprint subtree feeds both join sides; posexplode
