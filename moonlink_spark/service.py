@@ -77,9 +77,21 @@ def _json_default(v: Any) -> Any:
 
 
 class MoonlinkService:
-    def __init__(self, backend: MoonlinkBackend, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        backend: MoonlinkBackend,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        auto_flush_ms: int | None = None,
+    ):
+        """``auto_flush_ms`` enables the reference's periodic mooncake
+        snapshot tick (table_handler_timer.rs:19 — 500 ms default there):
+        async-ingested rows commit within that interval without an
+        explicit POST /flush. None (default) = flush stays explicit."""
         self.backend = backend
+        self.auto_flush_ms = auto_flush_ms
         self._sinks: dict[tuple[str, str], RestSink] = {}
+        self._timers: dict[tuple[str, str], Any] = {}
         self._avro_schemas: dict[tuple[str, str], dict] = {}
         self._lock = threading.Lock()
         service = self
@@ -152,7 +164,15 @@ class MoonlinkService:
         with self._lock:
             key = (db, table)
             if key not in self._sinks:
-                self._sinks[key] = RestSink(self.backend.get_table(db, table))
+                sink = RestSink(self.backend.get_table(db, table))
+                self._sinks[key] = sink
+                if self.auto_flush_ms is not None:
+                    from moonlink_spark.table.timers import TableHandlerTimers
+
+                    self._timers[key] = TableHandlerTimers(
+                        snapshot_fn=sink.flush,
+                        snapshot_interval_s=self.auto_flush_ms / 1000.0,
+                    ).start()
             return self._sinks[key]
 
     @staticmethod
@@ -260,8 +280,11 @@ class MoonlinkService:
             if method == "DELETE" and action is None:
                 with self._lock:
                     self._sinks.pop((db, table), None)
+                    timers = self._timers.pop((db, table), None)
                     # a recreated table must not inherit the old Avro schema
                     self._avro_schemas.pop((db, table), None)
+                if timers is not None:
+                    timers.stop()
                 self.backend.drop_table(db, table)
                 h._send(200, {"dropped": f"{db}.{table}"})
                 return
@@ -557,6 +580,11 @@ class MoonlinkService:
         return self
 
     def stop(self) -> None:
+        with self._lock:
+            timers = list(self._timers.values())
+            self._timers.clear()
+        for t in timers:
+            t.stop()
         self.httpd.shutdown()
         if self._thread:
             self._thread.join(timeout=10)
