@@ -263,8 +263,9 @@ class MoonlinkBackend:
 
     def optimize_table(self, database: str, table: str, mode: str = "full") -> int:
         """mode: data | index | full (parity optimize_table,
-        src/moonlink_backend/src/lib.rs:360-384; 'index' is a no-op here —
-        delete targeting uses joins, not a persisted index)."""
+        src/moonlink_backend/src/lib.rs:360-384; 'index' merges the
+        persisted key-index runs — keyindex.merge_index — and is a no-op
+        for tables created without key_index=True)."""
         t = self.get_table(database, table)
         return optimize(t, mode)
 
