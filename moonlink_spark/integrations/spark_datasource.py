@@ -27,12 +27,16 @@ masked out batch-by-batch (never materializing the file as one table).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 
@@ -144,9 +148,301 @@ class MoonlinkDataSource(DataSource):
         import pyarrow as pa
         from pyspark.sql.pandas.types import from_arrow_schema
 
+        if "path" in self.options:
+            # streaming (path-based) surface: CDC columns + table columns
+            from pyspark.sql import types as T
+
+            arrow_schema, _ = _table_arrow_schema(self.options["path"])
+            table_struct = from_arrow_schema(arrow_schema)
+            return T.StructType(
+                [
+                    T.StructField("change_type", T.StringType(), False),
+                    T.StructField("commit_lsn", T.LongType(), False),
+                ]
+                + list(table_struct.fields)
+            )
         ipc, _ = _plan(self.options)
         with pa.ipc.open_stream(ipc) as r:
             return from_arrow_schema(r.schema)
 
     def reader(self, schema) -> MoonlinkDataSourceReader:
         return MoonlinkDataSourceReader(dict(self.options))
+
+    def simpleStreamReader(self, schema) -> "MoonlinkStreamReader":
+        return MoonlinkStreamReader(dict(self.options))
+
+    def streamWriter(self, schema, overwrite: bool) -> "MoonlinkStreamWriter":
+        if overwrite:
+            raise ValueError(
+                "the moonlink stream sink is append-only; complete/update "
+                "output modes are not supported"
+            )
+        return MoonlinkStreamWriter(dict(self.options), schema)
+
+
+# --------------------------------------------------------------------------- #
+# Structured Streaming: moonlink table as a CDC stream source and as a sink
+# --------------------------------------------------------------------------- #
+#
+# Reader: ``spark.readStream.format("moonlink").option("path", <table dir>)``
+# emits the table's PHYSICAL change events — ("insert"|"delete", commit_lsn,
+# *row) — between LSN offsets, i.e. the reference's sync-consumer contract
+# (read state at LSN, consume the delta; SURVEY.md §3.2, the pattern
+# moonlink_datafusion serves) carried by Spark's own offset/checkpoint
+# machinery. Upserts appear as delete(old)+insert(new), exactly as the
+# reference's CDC path stages them (conversions/cdc_event.rs).
+#
+# Writer: ``df.writeStream.format("moonlink").option("path", <table dir>)``
+# appends micro-batches to an APPEND-ONLY table: executors stage parquet
+# part-files in parallel (no driver data movement), the driver registers
+# them with ONE manifest commit per batch, and replayed batch ids are
+# no-ops (exactly-once via the reference's batch-id idempotence pattern,
+# WAL replay parity).
+#
+# Both sides are pure manifest+pyarrow (no SparkSession in the data-source
+# worker processes); on a cluster the table directory must be on shared
+# storage the driver and executors both reach.
+
+_LAYOUT_ONLY_OPS = frozenset(
+    # commits that change layout/metadata but not row content — emitting
+    # their file movements as CDC would fabricate events (optimize rewrites
+    # every live row's file)
+    {"create", "optimize", "index-merge", "alter", "set-avro-schema"}
+)
+
+
+def _table_arrow_schema(table_dir: str):
+    """Current table schema (manifest DSL -> arrow), no Spark needed."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from moonlink_spark.schema import field_schema_to_struct
+    from moonlink_spark.table.manifest import ManifestStore
+
+    store = ManifestStore(table_dir)
+    m = store.latest()
+    if m is None:
+        raise ValueError(f"no moonlink table at {table_dir}")
+    return to_arrow_schema(field_schema_to_struct(m.schema_fields)), m
+
+
+def _aligned_pylist(pa_table, target_schema) -> list[tuple]:
+    """Rows of ``pa_table`` as tuples in ``target_schema`` field order,
+    missing columns (pre-alter files) as None, types cast."""
+    import pyarrow as pa
+
+    cols = []
+    n = pa_table.num_rows
+    for f in target_schema:
+        if f.name in pa_table.schema.names:
+            col = pa_table.column(f.name)
+            if col.type != f.type:
+                col = col.cast(f.type)
+            cols.append(col.to_pylist())
+        else:
+            cols.append([None] * n)
+    return list(zip(*cols)) if cols else [()] * n
+
+
+def _cdc_events(
+    table_dir: str, data_path: str, start_lsn: int, end_lsn: int, target_schema
+):
+    """Yield ("insert"|"delete", commit_lsn, *row) for every data commit
+    with start_lsn < lsn <= end_lsn, inserts before deletes within a
+    commit (matching MoonlinkTable.commit's in-commit op order). Driver
+    cost is bounded by the DELTA (files/DVs added per commit), never the
+    table size."""
+    import pyarrow.parquet as pq
+
+    from moonlink_spark.table.manifest import ManifestStore
+
+    store = ManifestStore(table_dir)
+    manifests = [store.read(v) for v in store.versions()]
+    if start_lsn > 0 and not any(m.lsn <= start_lsn for m in manifests):
+        raise ValueError(
+            f"offset lsn={start_lsn} predates the oldest retained manifest "
+            "(vacuumed past the stream's checkpoint); restart the stream "
+            "from a fresh checkpoint"
+        )
+
+    def resolve(rel: str) -> str:
+        # DV file_path values may keep a "file:" scheme remnant from the
+        # writer's URI normalization (same strip as iceberg_export)
+        rel = rel.removeprefix("file:")
+        return rel if os.path.isabs(rel) else os.path.join(data_path, rel)
+
+    prev_data: set = set()
+    prev_dvs: set = set()
+    for m in manifests:
+        if m.lsn <= start_lsn:
+            prev_data = {f.path for f in m.data_files}
+            prev_dvs = {f.path for f in m.delete_files}
+            continue
+        if m.lsn > end_lsn:
+            break
+        added = [f for f in m.data_files if f.path not in prev_data]
+        added_dvs = [f for f in m.delete_files if f.path not in prev_dvs]
+        prev_data = {f.path for f in m.data_files}
+        prev_dvs = {f.path for f in m.delete_files}
+        if m.operation in _LAYOUT_ONLY_OPS:
+            continue
+        for entry in added:
+            t = pq.read_table(resolve(entry.path))
+            for row in _aligned_pylist(t, target_schema):
+                yield ("insert", m.lsn) + row
+        for dv in added_dvs:
+            dv_t = pq.read_table(resolve(dv.path))
+            by_file: dict[str, list[int]] = {}
+            for fp, ri in zip(
+                dv_t.column("file_path").to_pylist(),
+                dv_t.column("row_index").to_pylist(),
+            ):
+                by_file.setdefault(fp, []).append(ri)
+            for fp in sorted(by_file):
+                data_t = pq.read_table(resolve(fp))
+                rows = _aligned_pylist(data_t, target_schema)
+                for ri in sorted(by_file[fp]):
+                    yield ("delete", m.lsn) + rows[ri]
+
+
+class MoonlinkStreamReader(SimpleDataSourceStreamReader):
+    """LSN-offset CDC stream over a moonlink table. Offsets are
+    ``{"lsn": N}``; ``initialOffset`` honors ``startLsn`` (default 0 =
+    initial snapshot as inserts, then the live tail — the reference's
+    initial-copy-then-stream shape, SURVEY §2a #11)."""
+
+    def __init__(self, options: dict):
+        # Spark lowercases data-source option keys
+        self.table_dir = options["path"]
+        self.data_path = options.get("datapath", self.table_dir)
+        self.start_lsn = int(options.get("startlsn", 0))
+        self._schema, _ = _table_arrow_schema(self.table_dir)
+
+    def initialOffset(self) -> dict:
+        return {"lsn": self.start_lsn}
+
+    def read(self, start: dict):
+        from moonlink_spark.table.manifest import ManifestStore
+
+        latest = ManifestStore(self.table_dir).latest()
+        end_lsn = latest.lsn if latest else start["lsn"]
+        if end_lsn <= start["lsn"]:
+            return [], start
+        # a LIST, not a generator: Spark's prefetch cache copy.copy()s the
+        # returned iterator when serving planned partitions. Bounded by the
+        # micro-batch delta (files/DVs committed since the last offset).
+        events = list(
+            _cdc_events(
+                self.table_dir, self.data_path, start["lsn"], end_lsn, self._schema
+            )
+        )
+        return events, {"lsn": end_lsn}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # replay path after restart: deterministic because manifests are
+        # immutable once committed
+        return _cdc_events(
+            self.table_dir, self.data_path, start["lsn"], end["lsn"], self._schema
+        )
+
+
+class MoonlinkCommitMessage(WriterCommitMessage):
+    def __init__(self, rel_path: str | None, rows: int, size: int):
+        self.rel_path = rel_path
+        self.rows = rows
+        self.size = size
+
+
+class MoonlinkStreamWriter(DataSourceStreamWriter):
+    """Micro-batch append sink for an APPEND-ONLY moonlink table.
+
+    write() (executors): each partition stages one parquet part-file
+    under ``data/`` via pyarrow — fully parallel, no driver data path.
+    commit() (driver): registers all staged files in ONE manifest commit
+    stamped with the batch id; a replayed batch id unlinks its staged
+    files and commits nothing (exactly-once downstream of Spark's
+    checkpointed offsets — the reference's WAL batch-id idempotence).
+    abort(): unlinks the staged files."""
+
+    def __init__(self, options: dict, schema):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from moonlink_spark.table.identity import IdentityProp
+
+        self.table_dir = options["path"]
+        self.data_path = options.get("datapath", self.table_dir)
+        arrow_schema, m = _table_arrow_schema(self.table_dir)
+        ident = IdentityProp.from_json(m.identity)
+        if ident.mode != "none":
+            raise ValueError(
+                "the moonlink stream sink appends blindly and requires an "
+                f"append-only table (identity none); {self.table_dir} has "
+                f"identity {ident.mode} — use StreamingIngestor for keyed "
+                "CDC merges"
+            )
+        want = [f.name for f in arrow_schema]
+        got = list(schema.fieldNames())
+        if got != want:
+            raise ValueError(
+                f"stream sink schema mismatch: table has {want}, got {got}"
+            )
+        self.arrow_schema = to_arrow_schema(schema)
+
+    def write(self, iterator) -> "MoonlinkCommitMessage":
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = [r.asDict() for r in iterator]
+        if not rows:
+            return MoonlinkCommitMessage(None, 0, 0)
+        t = pa.Table.from_pylist(rows, schema=self.arrow_schema)
+        rel = f"data/stream-{_uuid.uuid4().hex}.parquet"
+        full = os.path.join(self.data_path, rel)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        pq.write_table(t, full)
+        return MoonlinkCommitMessage(rel, t.num_rows, os.path.getsize(full))
+
+    def _staged(self, messages):
+        return [m for m in messages if m is not None and m.rel_path]
+
+    def _unlink_staged(self, messages) -> None:
+        for msg in self._staged(messages):
+            try:
+                os.unlink(os.path.join(self.data_path, msg.rel_path))
+            except FileNotFoundError:
+                pass
+
+    def commit(self, messages, batchId: int) -> None:
+        from moonlink_spark.table.manifest import (
+            FileEntry,
+            Manifest,
+            ManifestStore,
+        )
+
+        store = ManifestStore(self.table_dir)
+        base = store.latest()
+        last = base.properties.get("stream_writer_batch")
+        if last is not None and batchId <= last:
+            # replayed batch after a driver restart: already committed
+            self._unlink_staged(messages)
+            return
+        entries = [
+            FileEntry(m.rel_path, m.rows, m.size) for m in self._staged(messages)
+        ]
+        store.commit(
+            Manifest(
+                version=base.version + 1,
+                lsn=base.lsn + 1,
+                schema_fields=base.schema_fields,
+                identity=base.identity,
+                data_files=base.data_files + entries,
+                delete_files=base.delete_files,
+                parent=base.version,
+                operation="stream-write",
+                properties={**base.properties, "stream_writer_batch": batchId},
+            )
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        self._unlink_staged(messages)

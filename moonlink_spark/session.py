@@ -59,6 +59,18 @@ def get_spark(
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = os.environ.get("MASTER", f"local[{cpus}]")
+    # Put the package root on PYTHONPATH before the JVM launches: Spark's
+    # Python *data-source runner* processes (batch planning + streaming
+    # source/sink runners) are spawned by the JVM with the JVM's env and do
+    # NOT see addPyFile, so `import moonlink_spark` inside a pickled
+    # DataSource needs this. Must happen before getOrCreate() — the JVM's
+    # env is captured at launch.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULTS)
     if extra_conf:

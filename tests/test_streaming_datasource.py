@@ -1,0 +1,189 @@
+"""Structured Streaming over the moonlink format: readStream = the
+table's CDC feed with LSN offsets (the reference's sync-consumer
+contract carried by Spark's checkpointing); writeStream = parallel
+staged-parquet appends with one idempotent manifest commit per batch."""
+
+import time
+
+import pytest
+from pyspark.sql import types as T
+
+from moonlink_spark.integrations.spark_datasource import (
+    MoonlinkCommitMessage,
+    MoonlinkStreamWriter,
+    register_moonlink_source,
+)
+from moonlink_spark.table.identity import IdentityProp
+from moonlink_spark.table.maintenance import optimize
+from moonlink_spark.table.table import MoonlinkTable
+
+FIELDS = [
+    {"name": "id", "data_type": "int64", "nullable": False},
+    {"name": "v", "data_type": "string"},
+]
+
+
+def _run_to_memory(spark, path, name, start_lsn=None):
+    r = spark.readStream.format("moonlink").option("path", path)
+    if start_lsn is not None:
+        r = r.option("startLsn", start_lsn)
+    q = (
+        r.load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_readstream_emits_cdc_events(spark, tmp_path):
+    register_moonlink_source(spark)
+    path = str(tmp_path / "t")
+    t = MoonlinkTable.create(spark, path, FIELDS, IdentityProp.single("id"))
+    t.append_rows([{"id": 1, "v": "a"}, {"id": 2, "v": "b"}])
+    t.commit(lsn=10)
+    t.upsert_rows([{"id": 2, "v": "b2"}])
+    t.commit(lsn=20)
+    t.delete_rows([{"id": 1}])
+    t.commit(lsn=30)
+    # layout-only commit: must NOT fabricate events
+    optimize(t)
+
+    out = _run_to_memory(spark, path, "cdc_all")
+    events = {
+        (r["change_type"], r["commit_lsn"], r["id"], r["v"])
+        for r in out.collect()
+    }
+    assert events == {
+        ("insert", 10, 1, "a"),
+        ("insert", 10, 2, "b"),
+        # upsert = delete(old) + insert(new)
+        ("delete", 20, 2, "b"),
+        ("insert", 20, 2, "b2"),
+        ("delete", 30, 1, "a"),
+    }
+
+
+def test_readstream_start_lsn_skips_history(spark, tmp_path):
+    register_moonlink_source(spark)
+    path = str(tmp_path / "t")
+    t = MoonlinkTable.create(spark, path, FIELDS, IdentityProp.single("id"))
+    t.append_rows([{"id": 1, "v": "a"}])
+    t.commit(lsn=10)
+    t.append_rows([{"id": 2, "v": "b"}])
+    t.commit(lsn=20)
+    out = _run_to_memory(spark, path, "cdc_tail", start_lsn=10)
+    assert [(r["change_type"], r["id"]) for r in out.collect()] == [("insert", 2)]
+
+
+def test_readstream_checkpoint_resumes_from_offset(spark, tmp_path):
+    register_moonlink_source(spark)
+    path = str(tmp_path / "t")
+    cp = str(tmp_path / "cp")
+    sink = str(tmp_path / "sink")
+    t = MoonlinkTable.create(spark, path, FIELDS, IdentityProp.single("id"))
+    t.append_rows([{"id": 1, "v": "a"}])
+    t.commit(lsn=10)
+
+    def drain():
+        q = (
+            spark.readStream.format("moonlink")
+            .option("path", path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    drain()
+    t.append_rows([{"id": 2, "v": "b"}])
+    t.commit(lsn=20)
+    drain()
+    rows = spark.read.parquet(sink).collect()
+    # each event exactly once across the two runs (offset checkpointed)
+    assert sorted((r["commit_lsn"], r["id"]) for r in rows) == [(10, 1), (20, 2)]
+
+
+def test_writestream_appends_with_single_commit_per_batch(spark, tmp_path):
+    register_moonlink_source(spark)
+    path = str(tmp_path / "t")
+    MoonlinkTable.create(spark, path, FIELDS, IdentityProp.none())
+    src = str(tmp_path / "src")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], schema
+    ).write.parquet(src)
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .writeStream.format("moonlink")
+        .option("path", path)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    t = MoonlinkTable.open(spark, path)
+    assert t.scan().count() == 100
+    m = t.manifest
+    assert m.operation == "stream-write"
+    assert m.properties["stream_writer_batch"] == 0
+    assert m.lsn == 1  # one commit for the whole batch
+
+
+def test_writestream_rejects_keyed_tables_and_bad_schema(spark, tmp_path):
+    path = str(tmp_path / "keyed")
+    MoonlinkTable.create(spark, path, FIELDS, IdentityProp.single("id"))
+    schema = T.StructType([T.StructField("id", T.LongType(), False),
+                           T.StructField("v", T.StringType(), True)])
+    with pytest.raises(ValueError, match="append-only"):
+        MoonlinkStreamWriter({"path": path}, schema)
+
+    path2 = str(tmp_path / "ao")
+    MoonlinkTable.create(spark, path2, FIELDS, IdentityProp.none())
+    bad = T.StructType([T.StructField("wrong", T.LongType(), False)])
+    with pytest.raises(ValueError, match="schema mismatch"):
+        MoonlinkStreamWriter({"path": path2}, bad)
+
+
+def test_writer_commit_is_batchid_idempotent(spark, tmp_path):
+    path = str(tmp_path / "ao")
+    MoonlinkTable.create(spark, path, FIELDS, IdentityProp.none())
+    schema = T.StructType([T.StructField("id", T.LongType(), False),
+                           T.StructField("v", T.StringType(), True)])
+    w = MoonlinkStreamWriter({"path": path}, schema)
+    # simulate a committed batch 0
+    w.commit([MoonlinkCommitMessage(None, 0, 0)], batchId=0)
+    t = MoonlinkTable.open(spark, path)
+    v1 = t.manifest.version
+    # replayed batch 0 after driver restart: no new version
+    w.commit([MoonlinkCommitMessage(None, 0, 0)], batchId=0)
+    assert MoonlinkTable.open(spark, path).manifest.version == v1
+
+
+def test_readstream_offset_past_retention_fails_loudly(spark, tmp_path):
+    from moonlink_spark.integrations.spark_datasource import _cdc_events
+
+    path = str(tmp_path / "t")
+    t = MoonlinkTable.create(spark, path, FIELDS, IdentityProp.single("id"))
+    for i, lsn in enumerate([10, 20, 30]):
+        t.append_rows([{"id": i, "v": "x"}])
+        t.commit(lsn=lsn)
+    from moonlink_spark.table.maintenance import vacuum
+
+    vacuum(t, keep_versions=1)
+    from moonlink_spark.integrations.spark_datasource import _table_arrow_schema
+
+    arrow_schema, _ = _table_arrow_schema(path)
+    with pytest.raises(ValueError, match="predates the oldest retained"):
+        list(_cdc_events(path, path, 10, 30, arrow_schema))
