@@ -135,7 +135,11 @@ PRIORITY_50 = [
     "asof_join_purchase_click",    # joins
     "window_topk_parts_per_brand",  # windows
     "dedup_minhash_lsh",           # dedup
-    "knn_cosine_bruteforce",       # similarity
+    # (similarity keeps 4 gate slots via ivf_kmeans_train / ann_recall_at_k
+    # / ann_ivf_multiprobe_topk / embedding_vector_stats above;
+    # knn_cosine_bruteforce was driver-green r3 and rotates out for the
+    # new CDC stream source round trip)
+    "ingest_cdc_stream_feed",      # NEW r4s3: readStream CDC source
     # (text analysis keeps gate presence via char_trigram_entropy above;
     # text_quality_scores was driver-green r3 and rotates out for the new
     # key-index lifecycle query)

@@ -868,3 +868,89 @@ def ingest_keyindex_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.scan().withColumn(
         "o_totalprice", F.col("o_totalprice").cast("double")
     )
+
+
+_CDC_FEED_FIELDS = [
+    {"name": "o_orderkey", "data_type": "int64", "nullable": False},
+    {"name": "o_custkey", "data_type": "int64"},
+    {"name": "o_totalprice", "data_type": "float64"},
+]
+
+
+@register(
+    "ingest_cdc_stream_feed",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT 'insert' AS change_type, CAST(10 AS BIGINT) AS commit_lsn,
+       o_orderkey, o_custkey, o_totalprice FROM base
+UNION ALL
+SELECT 'delete', CAST(20 AS BIGINT), o_orderkey, o_custkey, o_totalprice
+FROM base WHERE o_orderkey % 15 = 0
+UNION ALL
+SELECT 'insert', CAST(20 AS BIGINT), o_orderkey, o_custkey, o_totalprice + 1.0
+FROM base WHERE o_orderkey % 15 = 0
+UNION ALL
+SELECT 'delete', CAST(30 AS BIGINT), o_orderkey, o_custkey, o_totalprice + 1.0
+FROM base WHERE o_orderkey % 30 = 0
+""",
+    category="ingest",
+)
+def ingest_cdc_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A moonlink table as a Structured Streaming CDC SOURCE
+    (readStream.format("moonlink"), integrations/spark_datasource.py):
+    ingest + upsert + delete, then drain the stream with availableNow and
+    return every change event — ("insert"|"delete", commit_lsn, *row),
+    upserts appearing as delete(old)+insert(new). This is the reference's
+    sync-consumer contract (read state at LSN, consume the delta —
+    SURVEY.md §3.2, the pattern moonlink_datafusion serves) carried end
+    to end by Spark's streaming offset machinery.
+
+    Scale shape: each micro-batch reads only the manifests' DELTA (files
+    and DVs added since the last LSN offset), never the table."""
+    import uuid as _uuid
+
+    from moonlink_spark.integrations.spark_datasource import (
+        register_moonlink_source,
+    )
+
+    register_moonlink_source(spark)
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    sub = base.filter(F.col("o_orderkey") % 3 == 0)
+    t = MoonlinkTable.create(
+        spark,
+        _tmp_table_dir("cdcfeed"),
+        _CDC_FEED_FIELDS,
+        IdentityProp.single("o_orderkey"),
+    )
+    t.append_df(sub)
+    t.commit(lsn=10)
+    t.upsert_df(
+        sub.filter(F.col("o_orderkey") % 15 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1.0
+        )
+    )
+    t.commit(lsn=20)
+    t.delete_keys_df(
+        sub.filter(F.col("o_orderkey") % 30 == 0).select("o_orderkey")
+    )
+    t.commit(lsn=30)
+
+    name = f"cdc_feed_{_uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("moonlink")
+        .option("path", t.path)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "CDC stream did not drain"
+    return spark.table(name)
