@@ -34,6 +34,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
     WriterCommitMessage,
@@ -41,10 +42,16 @@ from pyspark.sql.datasource import (
 
 
 def _plan(options: dict) -> tuple[bytes, list[tuple[str, tuple[int, ...]]]]:
-    """Driver-side: one RPC conversation -> (arrow schema IPC bytes,
-    [(file, deleted_positions)]). Mirrors the provider's try_new + scan
-    (table_provider.rs:41-57)."""
+    """Driver-side: (arrow schema IPC bytes, [(file, deleted_positions)]).
+
+    Two transports, same plan shape: with ``path`` the manifests are read
+    directly (server-less — any Spark session on storage that holds the
+    table); otherwise one RPC conversation mirrors the provider's
+    try_new + scan (table_provider.rs:41-57)."""
     import pyarrow as pa
+
+    if "path" in options:
+        return _plan_local(options)
 
     from moonlink_spark.rpc import MoonlinkRpcClient
 
@@ -67,6 +74,56 @@ def _plan(options: dict) -> tuple[bytes, list[tuple[str, tuple[int, ...]]]]:
         client.scan_table_end(db, table)
     finally:
         client.close()
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, schema):
+        pass
+    return sink.getvalue().to_pybytes(), parts
+
+
+def _plan_local(options: dict) -> tuple[bytes, list[tuple[str, tuple[int, ...]]]]:
+    """Server-less plan straight off the manifests: resolve the snapshot
+    at ``lsn`` (default latest), collect per-file deleted positions from
+    the DV parquets (small key files, driver-side), and hand out one
+    partition per data file — the exact plan the RPC path serves, without
+    a running service."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from moonlink_spark.schema import field_schema_to_struct
+    from moonlink_spark.table.manifest import ManifestStore
+
+    table_dir = options["path"]
+    data_path = options.get("datapath", table_dir)
+    store = ManifestStore(table_dir)
+    lsn = options.get("lsn")
+    if lsn is not None:
+        version = store.version_for_lsn(int(lsn))
+        if version is None:
+            raise ValueError(f"no snapshot at lsn <= {lsn} in {table_dir}")
+        m = store.read(version)
+    else:
+        m = store.latest()
+        if m is None:
+            raise ValueError(f"no moonlink table at {table_dir}")
+
+    def resolve(rel: str) -> str:
+        rel = rel.removeprefix("file:")
+        return rel if os.path.isabs(rel) else os.path.join(data_path, rel)
+
+    per_file: dict[str, list[int]] = {}
+    for dv in m.delete_files:
+        dv_t = pq.read_table(resolve(dv.path), columns=["file_path", "row_index"])
+        for fp, ri in zip(
+            dv_t.column("file_path").to_pylist(),
+            dv_t.column("row_index").to_pylist(),
+        ):
+            per_file.setdefault(resolve(fp), []).append(ri)
+    parts = [
+        (resolve(f.path), tuple(sorted(per_file.get(resolve(f.path), ()))))
+        for f in m.data_files
+    ]
+    schema = to_arrow_schema(field_schema_to_struct(m.schema_fields))
     sink = pa.BufferOutputStream()
     with pa.ipc.new_stream(sink, schema):
         pass
@@ -132,6 +189,7 @@ def register_moonlink_source(spark) -> None:
 
     ensure_package_on_workers(spark)
     spark.dataSource.register(MoonlinkDataSource)
+    spark.dataSource.register(MoonlinkCdcDataSource)
 
 
 class MoonlinkDataSource(DataSource):
@@ -148,19 +206,6 @@ class MoonlinkDataSource(DataSource):
         import pyarrow as pa
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        if "path" in self.options:
-            # streaming (path-based) surface: CDC columns + table columns
-            from pyspark.sql import types as T
-
-            arrow_schema, _ = _table_arrow_schema(self.options["path"])
-            table_struct = from_arrow_schema(arrow_schema)
-            return T.StructType(
-                [
-                    T.StructField("change_type", T.StringType(), False),
-                    T.StructField("commit_lsn", T.LongType(), False),
-                ]
-                + list(table_struct.fields)
-            )
         ipc, _ = _plan(self.options)
         with pa.ipc.open_stream(ipc) as r:
             return from_arrow_schema(r.schema)
@@ -168,8 +213,12 @@ class MoonlinkDataSource(DataSource):
     def reader(self, schema) -> MoonlinkDataSourceReader:
         return MoonlinkDataSourceReader(dict(self.options))
 
-    def simpleStreamReader(self, schema) -> "MoonlinkStreamReader":
-        return MoonlinkStreamReader(dict(self.options))
+    def writer(self, schema, overwrite: bool) -> "MoonlinkBatchWriter":
+        if overwrite:
+            raise ValueError(
+                "the moonlink sink is append-only; use mode('append')"
+            )
+        return MoonlinkBatchWriter(dict(self.options), schema)
 
     def streamWriter(self, schema, overwrite: bool) -> "MoonlinkStreamWriter":
         if overwrite:
@@ -180,11 +229,39 @@ class MoonlinkDataSource(DataSource):
         return MoonlinkStreamWriter(dict(self.options), schema)
 
 
+class MoonlinkCdcDataSource(DataSource):
+    """``spark.readStream.format("moonlink-cdc")`` — the table's change
+    feed as a stream (see MoonlinkStreamReader). A separate format name
+    from the row-level ``moonlink`` source because the two surfaces have
+    different schemas for the same table: this one prepends
+    (change_type, commit_lsn) to the table's columns."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "moonlink-cdc"
+
+    def schema(self):
+        from pyspark.sql import types as T
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        arrow_schema, _ = _table_arrow_schema(self.options["path"])
+        return T.StructType(
+            [
+                T.StructField("change_type", T.StringType(), False),
+                T.StructField("commit_lsn", T.LongType(), False),
+            ]
+            + list(from_arrow_schema(arrow_schema).fields)
+        )
+
+    def simpleStreamReader(self, schema) -> "MoonlinkStreamReader":
+        return MoonlinkStreamReader(dict(self.options))
+
+
 # --------------------------------------------------------------------------- #
 # Structured Streaming: moonlink table as a CDC stream source and as a sink
 # --------------------------------------------------------------------------- #
 #
-# Reader: ``spark.readStream.format("moonlink").option("path", <table dir>)``
+# Reader: ``spark.readStream.format("moonlink-cdc").option("path", <dir>)``
 # emits the table's PHYSICAL change events — ("insert"|"delete", commit_lsn,
 # *row) — between LSN offsets, i.e. the reference's sync-consumer contract
 # (read state at LSN, consume the delta; SURVEY.md §3.2, the pattern
@@ -413,7 +490,9 @@ class MoonlinkStreamWriter(DataSourceStreamWriter):
             except FileNotFoundError:
                 pass
 
-    def commit(self, messages, batchId: int) -> None:
+    def _commit_staged(
+        self, messages, operation: str, properties_update: dict
+    ) -> None:
         from moonlink_spark.table.manifest import (
             FileEntry,
             Manifest,
@@ -422,11 +501,6 @@ class MoonlinkStreamWriter(DataSourceStreamWriter):
 
         store = ManifestStore(self.table_dir)
         base = store.latest()
-        last = base.properties.get("stream_writer_batch")
-        if last is not None and batchId <= last:
-            # replayed batch after a driver restart: already committed
-            self._unlink_staged(messages)
-            return
         entries = [
             FileEntry(m.rel_path, m.rows, m.size) for m in self._staged(messages)
         ]
@@ -439,10 +513,40 @@ class MoonlinkStreamWriter(DataSourceStreamWriter):
                 data_files=base.data_files + entries,
                 delete_files=base.delete_files,
                 parent=base.version,
-                operation="stream-write",
-                properties={**base.properties, "stream_writer_batch": batchId},
+                operation=operation,
+                properties={**base.properties, **properties_update},
             )
         )
 
+    def commit(self, messages, batchId: int) -> None:
+        from moonlink_spark.table.manifest import ManifestStore
+
+        last = (
+            ManifestStore(self.table_dir)
+            .latest()
+            .properties.get("stream_writer_batch")
+        )
+        if last is not None and batchId <= last:
+            # replayed batch after a driver restart: already committed
+            self._unlink_staged(messages)
+            return
+        self._commit_staged(
+            messages, "stream-write", {"stream_writer_batch": batchId}
+        )
+
     def abort(self, messages, batchId: int) -> None:
+        self._unlink_staged(messages)
+
+
+class MoonlinkBatchWriter(MoonlinkStreamWriter, DataSourceWriter):
+    """``df.write.format("moonlink").mode("append")`` — the batch append
+    sink: same staged-parquet parallel write, one manifest commit, no
+    batch-id bookkeeping (batch writes are not replayed by Spark).
+    Inherits both writer ABCs: Spark's write worker isinstance-checks
+    DataSourceWriter for batch plans."""
+
+    def commit(self, messages) -> None:  # type: ignore[override]
+        self._commit_staged(messages, "batch-write", {})
+
+    def abort(self, messages) -> None:  # type: ignore[override]
         self._unlink_staged(messages)

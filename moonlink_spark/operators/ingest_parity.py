@@ -900,7 +900,7 @@ FROM base WHERE o_orderkey % 30 = 0
 )
 def ingest_cdc_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A moonlink table as a Structured Streaming CDC SOURCE
-    (readStream.format("moonlink"), integrations/spark_datasource.py):
+    (readStream.format("moonlink-cdc"), integrations/spark_datasource.py):
     ingest + upsert + delete, then drain the stream with availableNow and
     return every change event — ("insert"|"delete", commit_lsn, *row),
     upserts appearing as delete(old)+insert(new). This is the reference's
@@ -944,7 +944,7 @@ def ingest_cdc_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = f"cdc_feed_{_uuid.uuid4().hex[:8]}"
     q = (
-        spark.readStream.format("moonlink")
+        spark.readStream.format("moonlink-cdc")
         .option("path", t.path)
         .load()
         .writeStream.format("memory")

@@ -24,7 +24,7 @@ FIELDS = [
 
 
 def _run_to_memory(spark, path, name, start_lsn=None):
-    r = spark.readStream.format("moonlink").option("path", path)
+    r = spark.readStream.format("moonlink-cdc").option("path", path)
     if start_lsn is not None:
         r = r.option("startLsn", start_lsn)
     q = (
@@ -89,7 +89,7 @@ def test_readstream_checkpoint_resumes_from_offset(spark, tmp_path):
 
     def drain():
         q = (
-            spark.readStream.format("moonlink")
+            spark.readStream.format("moonlink-cdc")
             .option("path", path)
             .load()
             .writeStream.format("parquet")
@@ -187,3 +187,46 @@ def test_readstream_offset_past_retention_fails_loudly(spark, tmp_path):
     arrow_schema, _ = _table_arrow_schema(path)
     with pytest.raises(ValueError, match="predates the oldest retained"):
         list(_cdc_events(path, path, 10, 30, arrow_schema))
+
+
+def test_local_path_batch_read_with_dvs_and_time_travel(spark, tmp_path):
+    register_moonlink_source(spark)
+    path = str(tmp_path / "t")
+    t = MoonlinkTable.create(spark, path, FIELDS, IdentityProp.single("id"))
+    t.append_rows([{"id": i, "v": f"v{i}"} for i in range(200)])
+    t.commit(lsn=1)
+    t.delete_rows([{"id": i} for i in range(0, 200, 2)])
+    t.commit(lsn=2)
+    # server-less: no RPC server, no backend — manifests + parquet only
+    df = spark.read.format("moonlink").option("path", path).load()
+    assert df.count() == 100
+    assert set(r["id"] % 2 for r in df.collect()) == {1}
+    old = (
+        spark.read.format("moonlink")
+        .option("path", path)
+        .option("lsn", 1)
+        .load()
+    )
+    assert old.count() == 200
+
+
+def test_batch_write_appends_with_one_commit(spark, tmp_path):
+    register_moonlink_source(spark)
+    path = str(tmp_path / "t")
+    MoonlinkTable.create(spark, path, FIELDS, IdentityProp.none())
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(50)], schema
+    ).write.format("moonlink").mode("append").option("path", path).save()
+    t = MoonlinkTable.open(spark, path)
+    assert t.scan().count() == 50
+    assert t.manifest.operation == "batch-write"
+    assert t.manifest.lsn == 1
+    # round trip: the local-path reader sees the batch-written rows
+    df = spark.read.format("moonlink").option("path", path).load()
+    assert df.count() == 50
