@@ -68,7 +68,9 @@ def _plan(options: dict) -> tuple[bytes, list[tuple[str, tuple[int, ...]]]]:
         for fidx, row in blob.position_deletes:
             per_file.setdefault(fidx, []).append(row)
         parts = [
-            (path, tuple(sorted(per_file.get(i, ()))))
+            # no per-file stats on the wire blob: these partitions never
+            # prune (the serving backend already applied its own pruning)
+            (path, tuple(sorted(per_file.get(i, ()))), None)
             for i, path in enumerate(blob.data_files)
         ]
         client.scan_table_end(db, table)
@@ -119,8 +121,14 @@ def _plan_local(options: dict) -> tuple[bytes, list[tuple[str, tuple[int, ...]]]
             dv_t.column("row_index").to_pylist(),
         ):
             per_file.setdefault(resolve(fp), []).append(ri)
+    # carry each file's manifest min/max stats so pushFilters can prune
+    # whole partitions (the persisted-stats fast path, table/stats.py)
     parts = [
-        (resolve(f.path), tuple(sorted(per_file.get(resolve(f.path), ()))))
+        (
+            resolve(f.path),
+            tuple(sorted(per_file.get(resolve(f.path), ()))),
+            f.stats,
+        )
         for f in m.data_files
     ]
     schema = to_arrow_schema(field_schema_to_struct(m.schema_fields))
@@ -128,6 +136,50 @@ def _plan_local(options: dict) -> tuple[bytes, list[tuple[str, tuple[int, ...]]]
     with pa.ipc.new_stream(sink, schema):
         pass
     return sink.getvalue().to_pybytes(), parts
+
+
+def _filter_to_condition(f) -> tuple[str, str, Any] | None:
+    """Map a pushed Spark Filter to a PrunePredicate condition, or None
+    for shapes the stats language can't prune (nested attributes, string
+    matches, nulls — all still evaluated by Spark)."""
+    import datetime as _dt
+    from decimal import Decimal as _Dec
+
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    op_by_type = {
+        EqualTo: "=",
+        GreaterThan: ">",
+        GreaterThanOrEqual: ">=",
+        LessThan: "<",
+        LessThanOrEqual: "<=",
+        In: "in",
+    }
+    op = op_by_type.get(type(f))
+    if op is None or len(f.attribute) != 1:
+        return None
+
+    def norm(v):
+        # stats store datetimes as isoformat strings and decimals as
+        # floats (_json_safe); normalize filter values the same way so
+        # the comparison inside file_may_match is apples-to-apples
+        if isinstance(v, (_dt.datetime, _dt.date)):
+            return v.isoformat()
+        if isinstance(v, _Dec):
+            return float(v)
+        return v
+
+    col = f.attribute[0]
+    if op == "in":
+        return (col, "in", [norm(v) for v in f.value])
+    return (col, op, norm(f.value))
 
 
 class MoonlinkFilePartition(InputPartition):
@@ -143,11 +195,30 @@ class MoonlinkFilePartition(InputPartition):
 class MoonlinkDataSourceReader(DataSourceReader):
     def __init__(self, options: dict):
         self._schema_ipc, self._parts = _plan(options)
+        self._prune = None
+
+    def pushFilters(self, filters):
+        """File-level pruning from the manifest's per-file min/max stats
+        (table/stats.py — the persisted-stats fast path, parity: the
+        reference readers prune from Iceberg manifest stats). ALL filters
+        are returned for Spark to re-evaluate: pruning only ever skips
+        files whose stats prove no row can match, so handing the exact
+        predicate back costs nothing and keeps correctness with Spark."""
+        from moonlink_spark.table.stats import PrunePredicate
+
+        conds = []
+        for f in filters:
+            cond = _filter_to_condition(f)
+            if cond is not None:
+                conds.append(cond)
+        self._prune = PrunePredicate(conds) if conds else None
+        return filters
 
     def partitions(self):  # noqa: D102
         return [
             MoonlinkFilePartition(p, d, self._schema_ipc)
-            for p, d in self._parts
+            for p, d, stats in self._parts
+            if self._prune is None or self._prune.file_may_match(stats)
         ]
 
     def read(self, partition: MoonlinkFilePartition) -> Iterator[Any]:

@@ -22,6 +22,9 @@ _DEFAULTS: dict[str, str] = {
     # Runtime bloom-filter pushdown replaces the reference's persisted hash
     # index for join-side row pruning (SURVEY.md §4).
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # Python Data Source filter pushdown (SPARK-50657): lets the moonlink
+    # data source prune whole files from manifest stats at plan time.
+    "spark.sql.python.filterPushdown.enabled": "true",
     # Arrow transfer for every Python<->JVM hop (pandas UDFs, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",

@@ -230,3 +230,38 @@ def test_batch_write_appends_with_one_commit(spark, tmp_path):
     # round trip: the local-path reader sees the batch-written rows
     df = spark.read.format("moonlink").option("path", path).load()
     assert df.count() == 50
+
+
+def test_local_batch_read_pushdown_prunes_partitions(spark, tmp_path):
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    from moonlink_spark.integrations.spark_datasource import (
+        MoonlinkDataSourceReader,
+    )
+
+    register_moonlink_source(spark)
+    path = str(tmp_path / "t")
+    t = MoonlinkTable.create(spark, path, FIELDS, IdentityProp.single("id"))
+    # 4 commits -> at least 4 files with disjoint id ranges in the stats
+    for b in range(4):
+        t.append_rows([{"id": b * 100 + i, "v": "x"} for i in range(100)])
+        t.commit(lsn=b + 1)
+
+    reader = MoonlinkDataSourceReader({"path": path})
+    total = len(reader.partitions())
+    assert total >= 4
+    # point filter: stats prune to the single covering file
+    remaining = reader.pushFilters([EqualTo(("id",), 105)])
+    assert list(remaining)  # everything handed back for Spark to re-apply
+    assert len(reader.partitions()) == 1
+    # range filter
+    reader.pushFilters([GreaterThan(("id",), 299)])
+    assert len(reader.partitions()) == 1
+    # and the full read still returns the right rows (Spark re-filters)
+    df = (
+        spark.read.format("moonlink")
+        .option("path", path)
+        .load()
+        .filter("id = 105")
+    )
+    assert [r["id"] for r in df.collect()] == [105]
