@@ -132,7 +132,10 @@ PRIORITY_50 = [
     # category-representative keepers (r03 driver-green) + the new r4
     # Puffin-DV export round trip (14)
     "q1_pricing_summary",          # flagship (entry())
-    "asof_join_purchase_click",    # joins
+    # (joins keep gate presence via interval_range_join above;
+    # asof_join_purchase_click was driver-green r1-r3 and rotates out
+    # for the one remaining never-gated query)
+    "gopher_repetition_signals",   # NEW r4s2: Gopher repetition filters
     "window_topk_parts_per_brand",  # windows
     "dedup_minhash_lsh",           # dedup
     # (similarity keeps 4 gate slots via ivf_kmeans_train / ann_recall_at_k
