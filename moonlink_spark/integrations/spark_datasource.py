@@ -446,10 +446,27 @@ def _cdc_events(
             ):
                 by_file.setdefault(fp, []).append(ri)
             for fp in sorted(by_file):
-                data_t = pq.read_table(resolve(fp))
-                rows = _aligned_pylist(data_t, target_schema)
-                for ri in sorted(by_file[fp]):
-                    yield ("delete", m.lsn) + rows[ri]
+                # before-images: read ONLY the row groups containing the
+                # deleted positions — a point delete in a large file costs
+                # one row group, not the file
+                pf = pq.ParquetFile(resolve(fp))
+                wanted = sorted(by_file[fp])
+                group_rows, offsets = [], []
+                offset = 0
+                for g in range(pf.metadata.num_row_groups):
+                    offsets.append(offset)
+                    group_rows.append(pf.metadata.row_group(g).num_rows)
+                    offset += group_rows[-1]
+                by_group: dict[int, list[int]] = {}
+                gi = 0
+                for ri in wanted:
+                    while gi + 1 < len(offsets) and offsets[gi + 1] <= ri:
+                        gi += 1
+                    by_group.setdefault(gi, []).append(ri - offsets[gi])
+                for g in sorted(by_group):
+                    rows = _aligned_pylist(pf.read_row_group(g), target_schema)
+                    for local_ri in by_group[g]:
+                        yield ("delete", m.lsn) + rows[local_ri]
 
 
 class MoonlinkStreamReader(SimpleDataSourceStreamReader):
