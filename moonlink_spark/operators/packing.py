@@ -176,3 +176,81 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "mixture_temperature_weights",
+    oracle="""
+WITH per_source AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars // 4 + 1) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+), s AS (
+  SELECT *,
+         CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS sq
+  FROM per_source
+), tot AS (
+  SELECT CAST(SUM(sq) AS BIGINT) AS sq_total,
+         CAST(SUM(tokens) AS BIGINT) AS tok_total
+  FROM s
+)
+SELECT s.source, s.n_docs, s.tokens,
+       CAST(ROUND(CAST(s.sq AS DOUBLE) / CAST(t.sq_total AS DOUBLE), 6)
+            AS DOUBLE) AS temp_weight,
+       CAST(ROUND(CAST(s.sq AS DOUBLE) / CAST(t.sq_total AS DOUBLE)
+                  * CAST(t.tok_total AS DOUBLE) / CAST(s.tokens AS DOUBLE), 6)
+            AS DOUBLE) AS epochs
+FROM s CROSS JOIN tot t
+ORDER BY s.source
+""",
+    category="packing",
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source sampling (the multilingual-corpus standard:
+    sample source i with probability proportional to p_i^alpha, alpha=0.5
+    here) — flattens the mixture toward uniform without the hard equalize
+    of ``source_mixture_weights``. ``epochs`` is how many passes over each
+    source the sampler implies (weight * corpus_tokens / source_tokens).
+
+    Cross-engine exactness: p_i^0.5 routes through sqrt (correctly rounded
+    in IEEE-754, so Spark and DuckDB agree bit-for-bit) and is immediately
+    quantized to BIGINT at 1e6, making the normalizing sum integer-exact
+    and fold-order-free; the remaining divisions are identically
+    associated in both engines. Scale shape: one partial+final agg to
+    n_sources rows, 1-row broadcast total — no second corpus pass."""
+    docs = load(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.expr("n_chars DIV 4 + 1")).alias("tokens"),
+    )
+    s = per_source.withColumn(
+        "sq",
+        F.floor(F.sqrt(F.col("tokens").cast("double")) * 1000000.0).cast(
+            "bigint"
+        ),
+    )
+    tot = s.agg(
+        F.sum("sq").cast("bigint").alias("sq_total"),
+        F.sum("tokens").cast("bigint").alias("tok_total"),
+    )
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            F.round(
+                F.col("sq").cast("double") / F.col("sq_total").cast("double"),
+                6,
+            ).alias("temp_weight"),
+            F.round(
+                F.col("sq").cast("double")
+                / F.col("sq_total").cast("double")
+                * F.col("tok_total").cast("double")
+                / F.col("tokens").cast("double"),
+                6,
+            ).alias("epochs"),
+        )
+        .orderBy("source")
+    )

