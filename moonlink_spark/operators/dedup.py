@@ -670,3 +670,63 @@ def dedup_duplicate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty scoring (how much of each doc is first-seen content)
+# ---------------------------------------------------------------------------
+@register(
+    "ngram_novelty_rate",
+    oracle=f"""
+WITH tokd AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest({_SQL_SHINGLES}) AS s FROM tokd),
+own AS (SELECT s, MIN(doc_id) AS first_owner FROM sh GROUP BY s)
+SELECT sh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN own.first_owner = sh.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS novel_shingles,
+       CAST(ROUND(CAST(SUM(CASE WHEN own.first_owner = sh.doc_id
+                                THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS novelty_rate
+FROM sh JOIN own USING (s)
+GROUP BY sh.doc_id
+ORDER BY doc_id
+""",
+    category="dedup",
+)
+def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    3-token shingles whose globally first owner (min doc_id — "earliest
+    in corpus order") is the doc itself. Low novelty flags documents that
+    mostly repeat earlier content — the soft-score complement to the hard
+    keep/drop of MinHash dedup, and the standard signal for ordering
+    near-duplicate retention (CCNet/RefinedWeb-style).
+
+    Scale shape: shingles shuffle once to build the first-owner inverted
+    index (hash-groupBy on the shingle — the same key layout the MinHash
+    band join uses), then once more to join ownership back; documents
+    never pairwise-join and full text never re-shuffles. The shingle
+    relation feeds both sides, so it is persisted once."""
+    docs = load(spark, sf_dir, "documents")
+    tokd = docs.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
+    sh = (
+        tokd.select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("s"))
+        .distinct()
+        .persist()
+    )
+    own = sh.groupBy("s").agg(F.min("doc_id").alias("first_owner"))
+    novel = F.sum(
+        F.when(F.col("first_owner") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        sh.join(own, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            novel.cast("bigint").alias("novel_shingles"),
+            F.round(
+                novel.cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("novelty_rate"),
+        )
+        .orderBy("doc_id")
+    )

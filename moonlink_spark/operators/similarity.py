@@ -438,21 +438,29 @@ def ivf_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     for _ in range(iters):
         assigned = assign(cents)
-        new = (
-            assigned.groupBy("cluster_id")
-            .agg(
-                F.count(F.lit(1)).alias("nn"),
-                *[
-                    F.sum(F.element_at("v", i + 1)).alias(f"s{i}")
-                    for i in range(DIM)
-                ],
+        # centroid update as posexplode -> groupBy(cluster, dim): the k*dim
+        # partial sums per map partition are identical to a dim-wide
+        # aggregate's buffers, but the expression tree stays O(1) in dim
+        # (a 64-column sum agg ran ~1.3s slower per train at sf0.1, same
+        # shuffle bytes). collect() is k*dim rows — bounded model state.
+        rows = (
+            assigned.select(
+                "cluster_id", F.posexplode("v").alias("dim", "val")
             )
+            .groupBy("cluster_id", "dim")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("nn"))
             .collect()
         )
+        sums: dict[int, list[int]] = {}
+        for r in rows:
+            acc = sums.setdefault(r.cluster_id, [0] * (DIM + 1))
+            acc[r.dim] = r.s
+            acc[DIM] = r.nn
         # Python // is exact mathematical floor division on ints — the same
         # value the oracle's (s - pmod(s, n)) // n computes
         updated = {
-            r.cluster_id: [r[f"s{i}"] // r.nn for i in range(DIM)] for r in new
+            cid: [vals[i] // vals[DIM] for i in range(DIM)]
+            for cid, vals in sums.items()
         }
         cents = [(cid, updated.get(cid, cent)) for cid, cent in cents]
 
@@ -1036,4 +1044,220 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i", "j")
         .agg(F.sum("gram").alias("gram"), F.sum("n").alias("n"))
         .orderBy("i", "j")
+    )
+
+
+@register(
+    "embedding_drift_by_label",
+    oracle="""
+WITH ex AS (
+  SELECT label % 2 AS grp, generate_subscripts(embedding, 1) AS i,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 4.0) AS BIGINT) AS b
+  FROM embeddings
+),
+counts AS (
+  SELECT i, b,
+         CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM ex GROUP BY i, b
+),
+tot AS (
+  SELECT CAST(SUM(CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM embeddings
+)
+SELECT CAST(i AS BIGINT) AS i,
+       CAST(SUM(abs(ca * t.nb - cb * t.na)) AS BIGINT) AS l1_scaled,
+       CAST(ROUND(CAST(SUM(abs(ca * t.nb - cb * t.na)) AS DOUBLE)
+                  / (2.0 * t.na * t.nb), 6) AS DOUBLE) AS tv_distance
+FROM counts CROSS JOIN tot t
+GROUP BY i, t.na, t.nb
+ORDER BY i
+""",
+    category="similarity",
+)
+def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution drift between two embedding populations
+    (even vs odd label): total-variation distance over quarter-unit
+    histogram buckets. The monitoring primitive for "did my embedding
+    distribution shift between snapshots/sources" — run it between two
+    ingest LSNs or two corpus slices before trusting an ANN index built on
+    the old distribution.
+
+    Exactness: TV distance folds as |ca*nb - cb*na| — cross-multiplied
+    BIGINT counts, so the sum is integer and fold-order-free; the single
+    closing division is the only float op. Scale shape: posexplode fans
+    dim rows per vector into a map-side partial agg keyed (dim, bucket) —
+    the shuffle carries at most dims x buckets x partitions tiny rows, and
+    group totals ride in as a 1-row broadcast."""
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        (F.col("label") % 2).alias("grp"),
+        F.posexplode(
+            F.expr(
+                "transform(embedding, x -> "
+                "CAST(floor(CAST(x AS DOUBLE) * 4.0D) AS BIGINT))"
+            )
+        ).alias("i0", "b"),
+    ).select((F.col("i0") + 1).alias("i"), "grp", "b")
+    counts = ex.groupBy("i", "b").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    tot = emb.agg(
+        F.sum(F.when(F.col("label") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("label") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nb"),
+    )
+    l1 = F.sum(F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .groupBy("i", "na", "nb")
+        .agg(
+            l1.cast("bigint").alias("l1_scaled"),
+            F.round(
+                l1.cast("double")
+                / (F.lit(2.0) * F.col("na") * F.col("nb")),
+                6,
+            ).alias("tv_distance"),
+        )
+        .select("i", "l1_scaled", "tv_distance")
+        .orderBy("i")
+    )
+
+
+def _power_iter_oracle(iters: int = 3) -> str:
+    """Unrolled DuckDB replay of the integer-exact power iteration in
+    ``embedding_pca_power_scores`` (same construction style as
+    ``_kmeans_oracle``): the Gram matrix is stated relationally, each
+    matrix-vector product is a join-aggregate of BIGINTs, and the
+    normalization is exact mathematical floor division via the pmod
+    trick — so both engines walk the identical integer lattice."""
+
+    def step(prev_v: str, w: str, m: str, v: str) -> str:
+        return f"""
+{w} AS (
+  SELECT g.i, CAST(SUM(g.gram * p.val) AS BIGINT) AS wv
+  FROM gfull g JOIN {prev_v} p ON g.j = p.i GROUP BY g.i
+),
+{m} AS (SELECT MAX(ABS(wv)) AS m FROM {w}),
+{v} AS (
+  SELECT w.i,
+         CAST((w.wv * 1024 - (((w.wv * 1024) % t.m) + t.m) % t.m) / t.m
+              AS BIGINT) AS val
+  FROM {w} w CROSS JOIN {m} t
+)"""
+
+    parts = [
+        f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding,
+    x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+ex AS (SELECT vec_id, generate_subscripts(qv,1) AS i, unnest(qv) AS qi FROM q),
+g AS (
+  SELECT a.i, b.i AS j, CAST(SUM(a.qi*b.qi) AS BIGINT) AS gram
+  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY a.i, b.i
+),
+gfull AS (SELECT i, j, gram FROM g UNION ALL SELECT j, i, gram FROM g WHERE i < j),
+v0 AS (SELECT CAST(unnest(range(1,{DIM + 1})) AS BIGINT) AS i,
+              CAST(1024 AS BIGINT) AS val)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append("," + step(f"v{t - 1}", f"w{t}", f"m{t}", f"v{t}"))
+    parts.append(f"""
+SELECT e.vec_id, CAST(SUM(e.qi * v.val) AS BIGINT) AS proj
+FROM ex e JOIN v{iters} v ON e.i = v.i
+GROUP BY e.vec_id ORDER BY e.vec_id""")
+    return "\n".join(parts)
+
+
+@register(
+    "embedding_pca_power_scores",
+    oracle=_power_iter_oracle(),
+    category="similarity",
+)
+def embedding_pca_power_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-principal-component scores by distributed power iteration:
+    per-vector projection onto the dominant eigenvector of the corpus Gram
+    matrix — the backbone of PCA dim-reduction, spectral outlier scoring,
+    and ABIDE-style embedding diagnostics, done the way it scales.
+
+    Plan shape (the point of the exercise): ONE distributed pass builds
+    the dim x dim Gram sufficient statistic (same mapInPandas partial
+    ``Q.T @ Q`` as ``embedding_gram_matrix`` — the shuffle carries dim²
+    partials, never vectors); the 3 power iterations are driver math on
+    that 64x64 matrix (bounded model state, zero Spark jobs — MLlib's
+    RowMatrix.computePrincipalComponents makes the identical hop); one
+    final broadcast map projects every vector. The corpus is scanned
+    exactly twice no matter how many iterations run.
+
+    Exactness: vectors quantize to BIGINT at 2^10, the Gram and every
+    matrix-vector product are integer sums (fold-order-free), and the
+    per-iteration normalization (rescale so max |component| = 2^10) is
+    exact floor division — Python ``//`` == the oracle's pmod construction
+    bit-for-bit. Sign is pinned by the deterministic all-positive start
+    vector."""
+    import pandas as pd
+
+    k_iters = 3
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "CAST(floor(CAST(x AS DOUBLE) * 1024.0D) AS BIGINT))"
+        ).alias("qv"),
+    )
+
+    def gram_partial(batches):
+        import numpy as np
+
+        G = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q = np.array(pdf["qv"].tolist(), dtype=np.int64)
+            G = Q.T @ Q if G is None else G + Q.T @ Q
+        if G is None:
+            return
+        iu = np.triu_indices(G.shape[0])
+        yield pd.DataFrame({"i": iu[0] + 1, "j": iu[1] + 1, "gram": G[iu]})
+
+    tri = (
+        emb.select("qv")
+        .mapInPandas(gram_partial, "i bigint, j bigint, gram bigint")
+        .groupBy("i", "j")
+        .agg(F.sum("gram").alias("gram"))
+        .collect()
+    )
+    G = [[0] * DIM for _ in range(DIM)]
+    for r in tri:
+        # Python ints from here on: no overflow ceiling on the driver math
+        G[r.i - 1][r.j - 1] = r.gram
+        G[r.j - 1][r.i - 1] = r.gram
+    v = [1024] * DIM
+    for _ in range(k_iters):
+        w = [sum(G[i][j] * v[j] for j in range(DIM)) for i in range(DIM)]
+        m = max(abs(x) for x in w)
+        v = [(x * 1024) // m for x in w]
+
+    vdf = spark.createDataFrame(
+        [([int(x) for x in v],)], "pc1: array<bigint>"
+    )
+    proj = F.expr(
+        "aggregate(zip_with(qv, pc1, (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+    )
+    return (
+        emb.join(F.broadcast(vdf))
+        .select("vec_id", proj.alias("proj"))
+        .orderBy("vec_id")
     )
