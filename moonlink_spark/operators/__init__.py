@@ -136,8 +136,16 @@ PRIORITY_50 = [
     # asof_join_purchase_click was driver-green r1-r3 and rotates out
     # for the one remaining never-gated query)
     "gopher_repetition_signals",   # NEW r4s2: Gopher repetition filters
-    "window_topk_parts_per_brand",  # windows
-    "dedup_minhash_lsh",           # dedup
+    # r4s4 NEW operators take the five keeper slots whose categories stay
+    # covered elsewhere in the slate (windows: rolling_7d_customer_revenue;
+    # dedup: dedup_keep_best_quality; safety-filtering:
+    # gopher_repetition_signals; retrieval: tfidf_top_terms_per_source;
+    # packing/profiling: source_mixture_weights + approx_heavy_hitters).
+    # The displaced keepers (window_topk_parts_per_brand, dedup_minhash_lsh,
+    # pii_pattern_scan, bm25_retrieval, column_profile_lineitem) were
+    # driver-green in r1-r3.
+    "embedding_pca_power_scores",   # NEW r4s4: power-iteration PCA
+    "ngram_novelty_rate",           # NEW r4s4: shingle novelty scoring
     # (similarity keeps 4 gate slots via ivf_kmeans_train / ann_recall_at_k
     # / ann_ivf_multiprobe_topk / embedding_vector_stats above;
     # knn_cosine_bruteforce was driver-green r3 and rotates out for the
@@ -147,12 +155,12 @@ PRIORITY_50 = [
     # text_quality_scores was driver-green r3 and rotates out for the new
     # key-index lifecycle query)
     "ingest_keyindex_delete_scan",  # NEW r4: persisted key hash index
-    "pii_pattern_scan",            # safety
+    "embedding_drift_by_label",     # NEW r4s4: TV-distance drift monitor
     "ingest_export_iceberg_dv_scan",  # NEW r4: Puffin-DV export round trip
     "ingest_avro_events_scan",     # NEW r4: jar-free Avro queue e2e
     # (packing keeps gate presence via source_mixture_weights above)
-    "bm25_retrieval",              # retrieval
-    "column_profile_lineitem",     # profiling
+    "embedding_gram_matrix",        # NEW r4s4: mapInPandas Gram partials
+    "mixture_temperature_weights",  # NEW r4s4: p^0.5 mixture sampling
     "multimodal_feature_extract",  # pandas-UDF surface
     "chunk_documents_udtf",        # UDTF surface
     "streaming_stateful_sessionize_e2e",  # streaming e2e
