@@ -481,3 +481,68 @@ def streaming_interval_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("lag_s"),
     )
+
+
+@register(
+    "streaming_dedup_e2e",
+    oracle="""
+SELECT event_id, ts, user_id, event_type,
+       CAST(value AS DOUBLE) AS value
+FROM events
+ORDER BY event_id
+""",
+    category="streaming",
+)
+def streaming_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END streaming deduplication: every source row is doubled
+    in-stream (explode over two copies — the at-least-once duplicate an
+    unreliable transport produces), then ``dropDuplicates`` on
+    (event_id, ts) under a 1-hour watermark removes the replays before
+    they reach the sink. The memory-sink contents must equal the original
+    table exactly — the oracle is the plain distinct source.
+
+    This is the streaming ingestion guarantee the engine's batch-id /
+    LSN-floor replay guards provide at the table layer (apply_cdc_batch
+    idempotence, rest.rs journal replay), expressed at the operator layer:
+    dedup state is keyed by (id, event-time) so the watermark bounds it —
+    at 100 TB/day the state store holds only the watermark window, not
+    the corpus. Parity anchor: the reference's at-least-once REST/Kafka
+    ingestion dedupe (SURVEY §3.3).
+    """
+    from moonlink_spark.operators import normalize_events_ts
+    from moonlink_spark.session import ensure_package_on_workers
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_package_on_workers(spark)
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    stream = normalize_events_ts(
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    doubled = stream.select(
+        "event_id", "ts", "user_id", "event_type", "value",
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("copy"),
+    ).drop("copy")
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicates(
+        ["event_id", "ts"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("mls_dedup_e2e")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table("mls_dedup_e2e")
+        .select(
+            "event_id", "ts", "user_id", "event_type",
+            F.col("value").cast("double").alias("value"),
+        )
+        .orderBy("event_id")
+    )
