@@ -730,3 +730,74 @@ def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH quality evaluation (recall of candidates vs exact Jaccard truth)
+# ---------------------------------------------------------------------------
+def _register_lsh_recall():
+    from moonlink_spark.operators import REGISTRY
+
+    jaccard_sql = REGISTRY["dedup_ngram_jaccard"].oracle
+    lsh_sql = REGISTRY["dedup_minhash_lsh"].oracle
+    oracle = f"""
+WITH tp AS (SELECT doc_a, doc_b FROM ({jaccard_sql}) j),
+cand AS (SELECT doc_a, doc_b FROM ({lsh_sql}) c),
+hits AS (SELECT COUNT(*) AS n_hits FROM tp JOIN cand USING (doc_a, doc_b))
+SELECT CAST((SELECT COUNT(*) FROM tp) AS BIGINT) AS n_true,
+       CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST(h.n_hits AS BIGINT) AS n_hits,
+       CAST(ROUND(CAST(h.n_hits AS DOUBLE)
+                  / CAST((SELECT COUNT(*) FROM tp) AS DOUBLE), 6)
+            AS DOUBLE) AS recall,
+       CAST(ROUND(CAST(h.n_hits AS DOUBLE)
+                  / CAST((SELECT COUNT(*) FROM cand) AS DOUBLE), 6)
+            AS DOUBLE) AS candidate_precision
+FROM hits h
+"""
+
+    @register("lsh_jaccard_recall_eval", oracle=oracle, category="dedup")
+    def lsh_jaccard_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Dedup-index quality evaluation: recall of the MinHash-LSH
+        candidate set against the exact Jaccard >= 0.5 ground truth, plus
+        candidate precision — the dedup-family twin of ``ann_recall_at_k``,
+        computed AS a query by composing the two registered operators (and
+        their oracles). Run it after changing band count/width or the hash
+        family: a recall drop means the banding no longer catches the
+        near-dups the verify stage would confirm.
+
+        Scale: both inputs are already scale-safe plans (banded bucket
+        join / shared-shingle join on candidates); the comparison joins
+        candidate-pair keys only — never documents."""
+        tp = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+        cand = dedup_minhash_lsh(spark, sf_dir)
+        n_true = tp.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+        n_cand = cand.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+        )
+        n_hits = (
+            tp.join(cand, ["doc_a", "doc_b"])
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+        )
+        return (
+            n_true.crossJoin(n_cand)
+            .crossJoin(n_hits)
+            .select(
+                "n_true",
+                "n_candidates",
+                "n_hits",
+                F.round(
+                    F.col("n_hits").cast("double")
+                    / F.col("n_true").cast("double"),
+                    6,
+                ).alias("recall"),
+                F.round(
+                    F.col("n_hits").cast("double")
+                    / F.col("n_candidates").cast("double"),
+                    6,
+                ).alias("candidate_precision"),
+            )
+        )
+
+
+_register_lsh_recall()
