@@ -769,8 +769,16 @@ FROM hits h
         Scale: both inputs are already scale-safe plans (banded bucket
         join / shared-shingle join on candidates); the comparison joins
         candidate-pair keys only — never documents."""
-        tp = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-        cand = dedup_minhash_lsh(spark, sf_dir)
+        # persist: each input feeds both a global count and the hits join;
+        # without a cache Spark would run the shingle self-join and the
+        # band join twice each (same convention as sigs in
+        # dedup_minhash_lsh)
+        tp = (
+            dedup_ngram_jaccard(spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .persist()
+        )
+        cand = dedup_minhash_lsh(spark, sf_dir).persist()
         n_true = tp.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
         n_cand = cand.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_candidates")

@@ -966,6 +966,43 @@ def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whitening, and embedding-drift analysis)
 # ---------------------------------------------------------------------------
 
+# Single source of truth for the 2^10 vector quantization and the
+# per-partition Gram fold: embedding_gram_matrix and
+# embedding_pca_power_scores promise bit-identical partials, so they must
+# share the code, not copies of it.
+_QUANTIZE_1024 = (
+    "transform(embedding, x -> "
+    "CAST(floor(CAST(x AS DOUBLE) * 1024.0D) AS BIGINT))"
+)
+
+
+def _gram_partial_fn(col: str, with_n: bool):
+    """mapInPandas closure folding each partition's Arrow batches into one
+    local dim x dim int64 ``Q.T @ Q``, emitted as upper-triangle rows
+    (optionally with the partition row count riding along)."""
+
+    def gram_partial(batches):
+        import numpy as np
+        import pandas as pd
+
+        G = None
+        n = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q = np.array(pdf[col].tolist(), dtype=np.int64)
+            G = Q.T @ Q if G is None else G + Q.T @ Q
+            n += Q.shape[0]
+        if G is None:
+            return
+        iu = np.triu_indices(G.shape[0])
+        out = {"i": iu[0] + 1, "j": iu[1] + 1, "gram": G[iu]}
+        if with_n:
+            out["n"] = np.full(len(iu[0]), n, dtype=np.int64)
+        yield pd.DataFrame(out)
+
+    return gram_partial
+
 
 @register(
     "embedding_gram_matrix",
@@ -1007,40 +1044,14 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exact and fold-order-free: the DuckDB oracle states the same
     matrix relationally. n rides along per pair so the consumer can center
     (cov = gram/n - mean_i*mean_j) without a second pass."""
-    import pandas as pd
-
     emb = load(spark, sf_dir, "embeddings").select(
-        F.expr(
-            "transform(embedding, x -> "
-            "CAST(floor(CAST(x AS DOUBLE) * 1024.0D) AS BIGINT))"
-        ).alias("v")
+        F.expr(_QUANTIZE_1024).alias("v")
     )
-
-    def gram_partial(batches):
-        import numpy as np
-
-        G = None
-        n = 0
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            Q = np.array(pdf["v"].tolist(), dtype=np.int64)
-            G = Q.T @ Q if G is None else G + Q.T @ Q
-            n += Q.shape[0]
-        if G is None:
-            return
-        iu = np.triu_indices(G.shape[0])
-        yield pd.DataFrame(
-            {
-                "i": iu[0] + 1,
-                "j": iu[1] + 1,
-                "gram": G[iu],
-                "n": np.full(len(iu[0]), n, dtype=np.int64),
-            }
-        )
-
     return (
-        emb.mapInPandas(gram_partial, "i bigint, j bigint, gram bigint, n bigint")
+        emb.mapInPandas(
+            _gram_partial_fn("v", with_n=True),
+            "i bigint, j bigint, gram bigint, n bigint",
+        )
         .groupBy("i", "j")
         .agg(F.sum("gram").alias("gram"), F.sum("n").alias("n"))
         .orderBy("i", "j")
@@ -1206,34 +1217,16 @@ def embedding_pca_power_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact floor division — Python ``//`` == the oracle's pmod construction
     bit-for-bit. Sign is pinned by the deterministic all-positive start
     vector."""
-    import pandas as pd
-
     k_iters = 3
     emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.expr(
-            "transform(embedding, x -> "
-            "CAST(floor(CAST(x AS DOUBLE) * 1024.0D) AS BIGINT))"
-        ).alias("qv"),
+        "vec_id", F.expr(_QUANTIZE_1024).alias("qv")
     )
-
-    def gram_partial(batches):
-        import numpy as np
-
-        G = None
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            Q = np.array(pdf["qv"].tolist(), dtype=np.int64)
-            G = Q.T @ Q if G is None else G + Q.T @ Q
-        if G is None:
-            return
-        iu = np.triu_indices(G.shape[0])
-        yield pd.DataFrame({"i": iu[0] + 1, "j": iu[1] + 1, "gram": G[iu]})
-
     tri = (
         emb.select("qv")
-        .mapInPandas(gram_partial, "i bigint, j bigint, gram bigint")
+        .mapInPandas(
+            _gram_partial_fn("qv", with_n=False),
+            "i bigint, j bigint, gram bigint",
+        )
         .groupBy("i", "j")
         .agg(F.sum("gram").alias("gram"))
         .collect()
