@@ -250,6 +250,12 @@ class MoonlinkBackend:
         ``lsns`` keys may be ``"table"`` or ``"db.table"``.
         """
         lsns = lsns or {}
+        # the engine's ml_* primitives (tokenize/shingle/minhash/cosine/…)
+        # ride along on every SQL entry point, so ad-hoc queries compose
+        # with the curated operators' exact arithmetic
+        from moonlink_spark.functions.sql_macros import register_sql_functions
+
+        register_sql_functions(self.spark)
         for key in self.list_tables():
             db, table = key.split(".", 1)
             lsn = lsns.get(key, lsns.get(table))
