@@ -298,6 +298,100 @@ def ann_lsh_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------- #
+# integer-exact Lloyd machinery, shared by the ivf_kmeans_train operator and
+# the persisted vector index (table/vecindex.py)
+# --------------------------------------------------------------------------- #
+
+
+def quantize_embeddings_1e6(df: DataFrame) -> DataFrame:
+    """(vec_id, embedding) -> (vec_id, v): BIGINT quantization at 1e6 —
+    the grid every integer-exact k-means computation runs on."""
+    return df.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "CAST(floor(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT))"
+        ).alias("v"),
+    )
+
+
+def assign_ivf_clusters(spark, emb_q: DataFrame, cents_list) -> DataFrame:
+    """Nearest-centroid assignment of quantized vectors: returns
+    (vec_id, v, cluster_id, d2).
+
+    The k x dim centroid matrix is DRIVER state, so assignment is a pure
+    map: k array distances + array_min over (d2, cluster_id) structs —
+    zero shuffle, whole-stage codegen end to end. Struct comparison breaks
+    ties on cluster_id, identical to the oracle's ORDER BY d2, cluster_id.
+    At 100 TB this is the plan you want: the only shuffle in a training
+    iteration is the k-row centroid update. The matrix rides in as a
+    one-row BROADCAST DataFrame, not as literals: every call generates
+    byte-identical codegen source, so Janino's compile cache hits from the
+    second call on (literal centroids forced a fresh multi-second compile
+    per iteration; measured ~2.5s faster cold at sf0.1, equal results).
+    transform's index argument IS the cluster id because cents_list is
+    ordered 0..k-1 and updates preserve order."""
+    cdf = spark.createDataFrame(
+        [([[int(x) for x in cent] for _, cent in cents_list],)],
+        "cents: array<array<bigint>>",
+    )
+    cand = F.transform(
+        F.col("cents"),
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("v"), c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, w: acc + w,
+            ).alias("d2"),
+            i.cast("bigint").alias("cluster_id"),
+        ),
+    )
+    best = F.array_min(cand)
+    return emb_q.join(F.broadcast(cdf)).select(
+        "vec_id",
+        "v",
+        best["cluster_id"].alias("cluster_id"),
+        best["d2"].alias("d2"),
+    )
+
+
+def train_ivf_centroids(spark, emb_q: DataFrame, k: int = 8, iters: int = 3):
+    """Integer-exact Lloyd training over a quantized (vec_id, v) corpus;
+    returns the ordered [(cluster_id, centroid_ints)] list. Deterministic
+    init from the first k vectors by vec_id."""
+    cents = [
+        (i, list(r.v))
+        for i, r in enumerate(emb_q.orderBy("vec_id").limit(k).collect())
+    ]
+    for _ in range(iters):
+        assigned = assign_ivf_clusters(spark, emb_q, cents)
+        # centroid update as posexplode -> groupBy(cluster, dim): the k*dim
+        # partial sums per map partition are identical to a dim-wide
+        # aggregate's buffers, but the expression tree stays O(1) in dim
+        # (a 64-column sum agg ran ~1.3s slower per train at sf0.1, same
+        # shuffle bytes). collect() is k*dim rows — bounded model state.
+        rows = (
+            assigned.select("cluster_id", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cluster_id", "dim")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("nn"))
+            .collect()
+        )
+        sums: dict[int, list[int]] = {}
+        for r in rows:
+            acc = sums.setdefault(r.cluster_id, [0] * (DIM + 1))
+            acc[r.dim] = r.s
+            acc[DIM] = r.nn
+        # Python // is exact mathematical floor division on ints — the same
+        # value the oracle's (s - pmod(s, n)) // n computes
+        updated = {
+            cid: [vals[i] // vals[DIM] for i in range(DIM)]
+            for cid, vals in sums.items()
+        }
+        cents = [(cid, updated.get(cid, cent)) for cid, cent in cents]
+    return cents
+
+
 def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
     """Unrolled DuckDB replay of the integer-exact Lloyd iterations in
     ``ivf_kmeans_train``. All arithmetic is BIGINT (quantized at 1e6), the
@@ -382,89 +476,9 @@ def ivf_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means (1e-6 grid on unit-scale vectors is far below cluster
     separation). Reference capability anchor: ANN index build over the
     bucketed hash-map design (persisted_bucket_hash_map.rs:33-110)."""
-    k, iters = 8, 3
-    emb = (
-        load(spark, sf_dir, "embeddings")
-        .select(
-            "vec_id",
-            F.expr(
-                "transform(embedding, x -> "
-                "CAST(floor(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT))"
-            ).alias("v"),
-        )
-        .persist()
-    )
-    cents = [
-        (i, list(r.v))
-        for i, r in enumerate(emb.orderBy("vec_id").limit(k).collect())
-    ]
-
-    def assign(cents_list):
-        # the k x dim centroid matrix is DRIVER state, so assignment is a
-        # pure map: k array distances + array_min over (d2, cluster_id)
-        # structs — zero shuffle, whole-stage codegen end to end. Struct
-        # comparison breaks ties on cluster_id, identical to the oracle's
-        # ORDER BY d2, cluster_id. At 100 TB this is the plan you want:
-        # the only shuffle in an iteration is the k-row centroid update.
-        # The matrix rides in as a one-row BROADCAST DataFrame, not as
-        # literals: every iteration then generates byte-identical codegen
-        # source, so Janino's compile cache hits from iteration 2 on
-        # (literal centroids forced a fresh multi-second compile per
-        # iteration; measured ~2.5s faster cold at sf0.1, equal results).
-        # transform's index argument IS the cluster id because cents_list
-        # is ordered 0..k-1 and updates preserve order.
-        cdf = spark.createDataFrame(
-            [([[int(x) for x in cent] for _, cent in cents_list],)],
-            "cents: array<array<bigint>>",
-        )
-        cand = F.transform(
-            F.col("cents"),
-            lambda c, i: F.struct(
-                F.aggregate(
-                    F.zip_with(F.col("v"), c, lambda x, y: (x - y) * (x - y)),
-                    F.lit(0).cast("long"),
-                    lambda acc, w: acc + w,
-                ).alias("d2"),
-                i.cast("bigint").alias("cluster_id"),
-            ),
-        )
-        best = F.array_min(cand)
-        return emb.join(F.broadcast(cdf)).select(
-            "vec_id",
-            "v",
-            best["cluster_id"].alias("cluster_id"),
-            best["d2"].alias("d2"),
-        )
-
-    for _ in range(iters):
-        assigned = assign(cents)
-        # centroid update as posexplode -> groupBy(cluster, dim): the k*dim
-        # partial sums per map partition are identical to a dim-wide
-        # aggregate's buffers, but the expression tree stays O(1) in dim
-        # (a 64-column sum agg ran ~1.3s slower per train at sf0.1, same
-        # shuffle bytes). collect() is k*dim rows — bounded model state.
-        rows = (
-            assigned.select(
-                "cluster_id", F.posexplode("v").alias("dim", "val")
-            )
-            .groupBy("cluster_id", "dim")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("nn"))
-            .collect()
-        )
-        sums: dict[int, list[int]] = {}
-        for r in rows:
-            acc = sums.setdefault(r.cluster_id, [0] * (DIM + 1))
-            acc[r.dim] = r.s
-            acc[DIM] = r.nn
-        # Python // is exact mathematical floor division on ints — the same
-        # value the oracle's (s - pmod(s, n)) // n computes
-        updated = {
-            cid: [vals[i] // vals[DIM] for i in range(DIM)]
-            for cid, vals in sums.items()
-        }
-        cents = [(cid, updated.get(cid, cent)) for cid, cent in cents]
-
-    final = assign(cents)
+    emb = quantize_embeddings_1e6(load(spark, sf_dir, "embeddings")).persist()
+    cents = train_ivf_centroids(spark, emb, k=8, iters=3)
+    final = assign_ivf_clusters(spark, emb, cents)
     return (
         final.groupBy("cluster_id")
         .agg(
@@ -1254,3 +1268,125 @@ def embedding_pca_power_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", proj.alias("proj"))
         .orderBy("vec_id")
     )
+
+
+def _ann_index_oracle(k: int = 8, iters: int = 2, nprobe: int = 2) -> str:
+    """DuckDB replay of the persisted-index lifecycle query: Lloyd-train
+    on the even-vec_id half (same integer lattice as ``_kmeans_oracle``),
+    assign ALL vectors to the trained centroids (the incremental-update
+    semantics: new vectors never move the centroids), probe each query's
+    ``nprobe`` nearest centroids, cosine-score candidates only."""
+    xq = (
+        "SELECT vec_id, list_transform(embedding, x -> CAST(floor("
+        "CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v FROM embeddings"
+    )
+    init = (
+        f"SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) "
+        f"AS cluster_id, v AS cent FROM (SELECT vec_id, v FROM xq_train "
+        f"ORDER BY vec_id LIMIT {k})"
+    )
+
+    def assign(src: str, c: str, a: str) -> str:
+        return f"""
+{a}_all AS (
+  SELECT x.vec_id, x.v, c.cluster_id,
+         CAST(list_sum(list_transform(range(1, {DIM} + 1),
+           j -> (x.v[CAST(j AS INTEGER)] - c.cent[CAST(j AS INTEGER)])
+              * (x.v[CAST(j AS INTEGER)] - c.cent[CAST(j AS INTEGER)])))
+           AS BIGINT) AS d2
+  FROM {src} x CROSS JOIN {c} c
+),
+{a} AS (
+  SELECT vec_id, v, cluster_id, d2
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY d2, cluster_id) AS rn FROM {a}_all) t
+  WHERE rn = 1
+)"""
+
+    def update(a: str, prev_c: str, c: str) -> str:
+        return f"""
+{c}_sums AS (
+  SELECT cluster_id, CAST(j AS INTEGER) AS dim,
+         CAST(SUM(v[CAST(j AS INTEGER)]) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS nn
+  FROM {a}, (SELECT UNNEST(range(1, {DIM} + 1)) AS j) d
+  GROUP BY cluster_id, dim
+),
+{c} AS (
+  SELECT p.cluster_id,
+         COALESCE(u.cent, p.cent) AS cent
+  FROM {prev_c} p LEFT JOIN (
+    SELECT cluster_id,
+           list((s - ((s % nn) + nn) % nn) // nn ORDER BY dim) AS cent
+    FROM {c}_sums GROUP BY cluster_id
+  ) u ON u.cluster_id = p.cluster_id
+)"""
+
+    parts = [
+        f"WITH xq AS ({xq}), "
+        f"xq_train AS (SELECT * FROM xq WHERE vec_id % 2 = 0), "
+        f"c0 AS ({init})"
+    ]
+    for i in range(iters):
+        parts.append("," + assign("xq_train", f"c{i}", f"a{i}"))
+        parts.append("," + update(f"a{i}", f"c{i}", f"c{i + 1}"))
+    parts.append("," + assign("xq", f"c{iters}", "af"))
+    parts.append(f""",
+probes AS (
+  SELECT vec_id AS query_id, cluster_id AS probe_cluster
+  FROM (
+    SELECT q.vec_id, c.cluster_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             CAST(list_sum(list_transform(range(1, {DIM} + 1),
+               j -> (q.v[CAST(j AS INTEGER)] - c.cent[CAST(j AS INTEGER)])
+                  * (q.v[CAST(j AS INTEGER)] - c.cent[CAST(j AS INTEGER)])))
+               AS BIGINT), c.cluster_id) AS rn
+    FROM (SELECT vec_id, v FROM xq WHERE vec_id < 10) q
+    CROSS JOIN c{iters} c
+  ) t WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_SQL_COS.format(a="qe.embedding", b="ne.embedding")} AS cos
+  FROM probes p
+  JOIN af a ON a.cluster_id = p.probe_cluster AND a.vec_id <> p.query_id
+  JOIN embeddings qe ON qe.vec_id = p.query_id
+  JOIN embeddings ne ON ne.vec_id = a.vec_id
+)
+SELECT query_id, neighbor_id, CAST(round(cos, 6) AS DOUBLE) AS cosine,
+       CAST(rn AS BIGINT) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, neighbor_id) AS rn FROM scored) t
+WHERE rn <= 3""")
+    return "\n".join(parts)
+
+
+@register(
+    "ann_index_lifecycle_topk",
+    oracle=_ann_index_oracle(),
+    category="similarity",
+)
+def ann_index_lifecycle_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted vector index's FULL lifecycle as one oracle-checked
+    query (the similarity twin of ``ingest_keyindex_delete_scan``): build
+    the IVF index on the even-vec_id half (integer-exact Lloyd, k=8, 2
+    iterations), incrementally update with the odd half (assigned to the
+    EXISTING centroids — no retrain, old segments untouched), compact the
+    two segments, then serve top-3/nprobe=2 probes for queries 0-9 FROM
+    THE INDEX FILES (table/vecindex.py). The oracle replays training,
+    assignment, probing, and cosine ranking relationally — proving the
+    disk-served path equals the from-scratch computation bit for bit."""
+    import tempfile
+
+    from moonlink_spark.table import vecindex
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dest = tempfile.mkdtemp(prefix="moonlink-vecindex-")
+    vecindex.build_index(
+        spark, emb.filter(F.col("vec_id") % 2 == 0), dest, k=8, iters=2
+    )
+    vecindex.update_index(spark, emb.filter(F.col("vec_id") % 2 == 1), dest)
+    vecindex.compact_index(spark, dest)
+    return vecindex.query_topk(
+        spark, emb, dest, query_ids=list(range(10)), topk=3, nprobe=2
+    ).orderBy("query_id", "rn")

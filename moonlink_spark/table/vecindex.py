@@ -1,0 +1,242 @@
+"""Persisted IVF vector index: train once, assign incrementally, serve
+ANN probes from disk without recomputing assignments.
+
+Reference parity for the index lifecycle (SURVEY.md §2a #12-14) applied
+to the similarity workload, the same way ``table/sigindex.py`` applies it
+to dedup: the reference builds a persisted bucket hash index on flush
+(``persisted_bucket_hash_map.rs:486-523``), serves lookups from it, and
+merges small index segments (``build_from_merge``, ``:525-574``). Here
+the bucket structure is the IVF inverted list:
+
+- **build**: integer-exact Lloyd training (the oracle-checked machinery
+  shared with the ``ivf_kmeans_train`` operator) writes the k x dim
+  centroid matrix into the index meta and one ``assign-*.parquet`` of
+  (vec_id, cluster_id, d2) rows — the inverted lists;
+- **update**: NEW vectors are assigned to the EXISTING centroids (the
+  standard incremental-IVF path — no retrain) and appended as another
+  assign file: O(new vectors), old segments byte-untouched. The meta
+  tracks post-training distortion so callers can decide when drift
+  warrants a retrain (``retrain_recommended``);
+- **compact**: merge many small assign segments into one
+  (``build_from_merge`` parity);
+- **query**: top-k probes join the persisted inverted lists against the
+  corpus — zero assignment recompute at query time; candidates are
+  cluster-bounded exactly like the ``ann_ivf_topk`` operator.
+
+Assignment arithmetic is EXACTLY the oracle-checked integer family
+(quantize at 1e6, integer d2, argmin tie-broken on cluster_id), so
+index-served results match the from-scratch computation bit for bit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from moonlink_spark.operators.similarity import (
+    assign_ivf_clusters,
+    quantize_embeddings_1e6,
+    train_ivf_centroids,
+)
+
+META_FILE = "vecindex.json"
+
+
+def _write_meta(dest: str, meta: dict[str, Any]) -> None:
+    tmp = os.path.join(dest, META_FILE + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, indent=1)
+    os.replace(tmp, os.path.join(dest, META_FILE))
+
+
+def read_meta(dest: str) -> dict[str, Any]:
+    with open(os.path.join(dest, META_FILE)) as fh:
+        return json.load(fh)
+
+
+def _assign_files(dest: str) -> list[str]:
+    return sorted(
+        os.path.join(dest, n)
+        for n in os.listdir(dest)
+        if n.startswith("assign-") and n.endswith(".parquet")
+    )
+
+
+def _write_assignments(
+    spark: SparkSession, emb: DataFrame, cents, dest: str
+) -> tuple[str, int, int]:
+    """Assign (vec_id, embedding) rows to ``cents`` and persist one
+    segment file. Returns (path, n_rows, sum_d2)."""
+    q = quantize_embeddings_1e6(emb)
+    assigned = assign_ivf_clusters(spark, q, cents).select(
+        "vec_id", "cluster_id", "d2"
+    )
+    tmp = os.path.join(dest, f"_tmp-{uuid.uuid4().hex}")
+    assigned.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = [n for n in os.listdir(tmp) if n.endswith(".parquet")]
+    assert len(part) == 1
+    final = os.path.join(dest, f"assign-{uuid.uuid4().hex}.parquet")
+    os.replace(os.path.join(tmp, part[0]), final)
+    shutil.rmtree(tmp, ignore_errors=True)
+    stats = spark.read.parquet(final).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("d2").alias("sd2")
+    ).collect()[0]
+    return final, int(stats.n or 0), int(stats.sd2 or 0)
+
+
+def build_index(
+    spark: SparkSession,
+    emb: DataFrame,
+    dest: str,
+    k: int = 8,
+    iters: int = 3,
+) -> dict[str, Any]:
+    """Create the index from a (vec_id, embedding) corpus."""
+    os.makedirs(dest, exist_ok=True)
+    q = quantize_embeddings_1e6(emb).persist()
+    cents = train_ivf_centroids(spark, q, k=k, iters=iters)
+    _, n, sd2 = _write_assignments(spark, emb, cents, dest)
+    q.unpersist()
+    meta = {
+        "k": k,
+        "iters": iters,
+        "centroids": [[int(x) for x in c] for _, c in cents],
+        "generation": 1,
+        "trained_rows": n,
+        "trained_sum_d2": sd2,
+        "appended_rows": 0,
+        "appended_sum_d2": 0,
+    }
+    _write_meta(dest, meta)
+    return meta
+
+
+def _centroids(meta: dict[str, Any]):
+    return [(i, c) for i, c in enumerate(meta["centroids"])]
+
+
+def update_index(
+    spark: SparkSession, new_emb: DataFrame, dest: str
+) -> dict[str, Any]:
+    """Assign NEW vectors to the existing centroids and append a segment
+    (caller guarantees vec_ids not already indexed — the ingest path knows
+    its delta). Cost is O(new vectors); no retrain, no rewrite."""
+    meta = read_meta(dest)
+    _, n, sd2 = _write_assignments(spark, new_emb, _centroids(meta), dest)
+    meta["generation"] += 1
+    meta["appended_rows"] += n
+    meta["appended_sum_d2"] += sd2
+    _write_meta(dest, meta)
+    return meta
+
+
+def retrain_recommended(meta: dict[str, Any], factor: float = 2.0) -> bool:
+    """True when the incremental additions fit the trained centroids
+    ``factor``x worse (mean d2) than the training corpus did — the drift
+    signal that the inverted lists no longer partition the space well."""
+    if not meta["appended_rows"] or not meta["trained_rows"]:
+        return False
+    trained_mean = meta["trained_sum_d2"] / meta["trained_rows"]
+    appended_mean = meta["appended_sum_d2"] / meta["appended_rows"]
+    return appended_mean > factor * max(trained_mean, 1)
+
+
+def compact_index(spark: SparkSession, dest: str) -> int:
+    """Merge all assignment segments into one (build_from_merge parity):
+    returns the number of files replaced."""
+    files = _assign_files(dest)
+    if len(files) <= 1:
+        return 0
+    merged = spark.read.parquet(*files)
+    tmp = os.path.join(dest, f"_tmp-{uuid.uuid4().hex}")
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = [n for n in os.listdir(tmp) if n.endswith(".parquet")]
+    assert len(part) == 1
+    final = os.path.join(dest, f"assign-{uuid.uuid4().hex}.parquet")
+    os.replace(os.path.join(tmp, part[0]), final)
+    shutil.rmtree(tmp, ignore_errors=True)
+    for f in files:
+        os.unlink(f)
+    meta = read_meta(dest)
+    meta["generation"] += 1
+    _write_meta(dest, meta)
+    return len(files)
+
+
+def read_assignments(spark: SparkSession, dest: str) -> DataFrame:
+    """All inverted-list rows (vec_id, cluster_id, d2) across segments."""
+    return spark.read.parquet(*_assign_files(dest))
+
+
+def query_topk(
+    spark: SparkSession,
+    emb: DataFrame,
+    dest: str,
+    query_ids: list[int],
+    topk: int = 3,
+    nprobe: int = 1,
+) -> DataFrame:
+    """ANN top-k for ``query_ids`` served FROM the index: queries probe
+    their ``nprobe`` nearest centroids (driver math on the meta's matrix —
+    no corpus scan), candidates come from the persisted inverted lists,
+    and only candidates are cosine-scored. Returns
+    (query_id, neighbor_id, cosine, rn).
+
+    Scale shape: assignments join is an equi-join on cluster_id; the
+    probe set is broadcast; the corpus is scanned once to re-attach
+    embeddings for the candidate clusters only."""
+    from pyspark.sql import Window
+
+    from moonlink_spark.operators.similarity import _dot, _norm
+
+    meta = read_meta(dest)
+    cents = _centroids(meta)
+    q = quantize_embeddings_1e6(
+        emb.filter(F.col("vec_id").isin([int(i) for i in query_ids]))
+    ).collect()
+    probes = []  # (query_id, probe_cluster)
+    for r in q:
+        d2s = sorted(
+            (
+                sum((a - b) * (a - b) for a, b in zip(r.v, cent)),
+                cid,
+            )
+            for cid, cent in cents
+        )
+        for _, cid in d2s[:nprobe]:
+            probes.append((int(r.vec_id), int(cid)))
+    probe_df = spark.createDataFrame(
+        probes, "query_id bigint, probe_cluster bigint"
+    )
+    inv = read_assignments(spark, dest)
+    cand = inv.join(
+        F.broadcast(probe_df),
+        inv.cluster_id == F.col("probe_cluster"),
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    qe = emb.filter(F.col("vec_id").isin([int(i) for i in query_ids])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    ce = emb.select("vec_id", F.col("embedding").alias("ce"))
+    scored = (
+        cand.select("query_id", "vec_id")
+        .join(ce, "vec_id")
+        .join(F.broadcast(qe), "query_id")
+        .withColumn("cos", _dot("qe", "ce") / (_norm("qe") * _norm("ce")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= topk)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos", 6).alias("cosine"),
+            "rn",
+        )
+    )

@@ -153,6 +153,7 @@ def test_no_cartesian_anywhere_in_read_paths(spark, sf_dir):
         if spec.category in skip_cats or name in (
             "ivf_kmeans_train",
             "embedding_pca_power_scores",
+            "ann_index_lifecycle_topk",
         ):
             continue
         plan = plan_of(spark, sf_dir, name)

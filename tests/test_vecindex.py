@@ -1,0 +1,138 @@
+"""Persisted IVF vector index lifecycle: build / incremental update /
+compact / query-from-disk, with index-served results proven identical to
+the from-scratch computation."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from moonlink_spark.operators import load
+from moonlink_spark.operators.similarity import (
+    assign_ivf_clusters,
+    quantize_embeddings_1e6,
+    train_ivf_centroids,
+)
+from moonlink_spark.table import vecindex
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    return load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+
+@pytest.fixture()
+def index_dir(tmp_path):
+    return str(tmp_path / "vecindex")
+
+
+def test_build_matches_from_scratch_assignment(spark, corpus, index_dir):
+    meta = vecindex.build_index(spark, corpus, index_dir, k=8, iters=2)
+    assert meta["generation"] == 1 and len(meta["centroids"]) == 8
+
+    q = quantize_embeddings_1e6(corpus).persist()
+    cents = train_ivf_centroids(spark, q, k=8, iters=2)
+    fresh = {
+        r.vec_id: (r.cluster_id, r.d2)
+        for r in assign_ivf_clusters(spark, q, cents).collect()
+    }
+    served = {
+        r.vec_id: (r.cluster_id, r.d2)
+        for r in vecindex.read_assignments(spark, index_dir).collect()
+    }
+    q.unpersist()
+    assert served == fresh  # bit-identical, not approximately
+
+
+def test_update_is_incremental_and_leaves_segments_untouched(
+    spark, corpus, index_dir
+):
+    base = corpus.filter(F.col("vec_id") % 2 == 0)
+    new = corpus.filter(F.col("vec_id") % 2 == 1)
+    vecindex.build_index(spark, base, index_dir, k=4, iters=1)
+    before = {
+        f: os.path.getmtime(os.path.join(index_dir, f))
+        for f in os.listdir(index_dir)
+        if f.startswith("assign-")
+    }
+    meta = vecindex.update_index(spark, new, index_dir)
+    assert meta["generation"] == 2
+    after_files = [
+        f for f in os.listdir(index_dir) if f.startswith("assign-")
+    ]
+    assert len(after_files) == len(before) + 1
+    for f, mtime in before.items():
+        assert os.path.getmtime(os.path.join(index_dir, f)) == mtime
+
+    # all vectors served; new ones assigned to the ORIGINAL centroids
+    served = vecindex.read_assignments(spark, index_dir)
+    assert served.count() == corpus.count()
+    cents = [(i, c) for i, c in enumerate(meta["centroids"])]
+    fresh_new = {
+        r.vec_id: r.cluster_id
+        for r in assign_ivf_clusters(
+            spark, quantize_embeddings_1e6(new), cents
+        ).collect()
+    }
+    served_new = {
+        r.vec_id: r.cluster_id
+        for r in served.join(
+            new.select("vec_id"), "vec_id"
+        ).collect()
+    }
+    assert served_new == fresh_new
+
+
+def test_compaction_preserves_contents(spark, corpus, index_dir):
+    vecindex.build_index(
+        spark, corpus.filter(F.col("vec_id") < 100), index_dir, k=4, iters=1
+    )
+    vecindex.update_index(
+        spark,
+        corpus.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 200)),
+        index_dir,
+    )
+    before = {
+        (r.vec_id, r.cluster_id, r.d2)
+        for r in vecindex.read_assignments(spark, index_dir).collect()
+    }
+    replaced = vecindex.compact_index(spark, index_dir)
+    assert replaced == 2
+    files = [f for f in os.listdir(index_dir) if f.startswith("assign-")]
+    assert len(files) == 1
+    after = {
+        (r.vec_id, r.cluster_id, r.d2)
+        for r in vecindex.read_assignments(spark, index_dir).collect()
+    }
+    assert after == before
+
+
+def test_query_topk_served_from_disk(spark, corpus, index_dir):
+    vecindex.build_index(spark, corpus, index_dir, k=8, iters=2)
+    out = vecindex.query_topk(
+        spark, corpus, index_dir, query_ids=[0, 1, 2], topk=3, nprobe=2
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rows in by_q.items():
+        assert [r.rn for r in sorted(rows, key=lambda r: r.rn)] == [1, 2, 3]
+        cosines = [r.cosine for r in sorted(rows, key=lambda r: r.rn)]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r.neighbor_id != q for r in rows)
+
+
+def test_retrain_recommendation_flags_drift(spark, corpus, index_dir):
+    vecindex.build_index(spark, corpus, index_dir, k=4, iters=2)
+    meta = vecindex.read_meta(index_dir)
+    assert not vecindex.retrain_recommended(meta)
+    # drifted vectors: far outside the unit-scale training distribution
+    drifted = corpus.limit(20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.expr("transform(embedding, x -> CAST(x * 50.0 AS FLOAT))").alias(
+            "embedding"
+        ),
+    )
+    meta = vecindex.update_index(spark, drifted, index_dir)
+    assert vecindex.retrain_recommended(meta)
