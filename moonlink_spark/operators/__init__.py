@@ -161,9 +161,14 @@ PRIORITY_50 = [
     # (packing keeps gate presence via source_mixture_weights above)
     "embedding_gram_matrix",        # NEW r4s4: mapInPandas Gram partials
     "mixture_temperature_weights",  # NEW r4s4: p^0.5 mixture sampling
-    "multimodal_feature_extract",  # pandas-UDF surface
+    # r4s4 second rotation: the persisted-vector-index lifecycle and the
+    # streaming replay-dedup take the slots of two r3-driver-green keepers
+    # whose surfaces stay represented (pandas-UDF/mapInPandas via
+    # embedding_gram_matrix above; streaming e2e via streaming_dedup_e2e
+    # itself; applyInPandasWithState holds its r3 green row + pytest e2e).
+    "ann_index_lifecycle_topk",    # NEW r4s4: persisted IVF index
     "chunk_documents_udtf",        # UDTF surface
-    "streaming_stateful_sessionize_e2e",  # streaming e2e
+    "streaming_dedup_e2e",         # NEW r4s4: streaming replay dedup
 ]
 
 
