@@ -829,3 +829,69 @@ FROM hits h
 
 
 _register_lsh_recall()
+
+
+# ---------------------------------------------------------------------------
+# edit-distance verification of LSH candidates
+# ---------------------------------------------------------------------------
+def _register_edit_distance_verify():
+    from moonlink_spark.operators import REGISTRY
+
+    lsh_sql = REGISTRY["dedup_minhash_lsh"].oracle
+    oracle = f"""
+WITH cand AS (SELECT doc_a, doc_b FROM ({lsh_sql}) c),
+corpus AS ({_SQL_NEAR_CORPUS}),
+scored AS (
+  SELECT cand.doc_a, cand.doc_b,
+         CAST(levenshtein(substr(a.text, 1, 200), substr(b.text, 1, 200))
+              AS BIGINT) AS edit_dist
+  FROM cand
+  JOIN corpus a ON a.doc_id = cand.doc_a
+  JOIN corpus b ON b.doc_id = cand.doc_b
+)
+SELECT doc_a, doc_b, edit_dist,
+       CAST(edit_dist <= 40 AS BOOLEAN) AS is_near_dup
+FROM scored
+ORDER BY doc_a, doc_b
+"""
+
+    @register("dedup_edit_distance_verify", oracle=oracle, category="dedup")
+    def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Edit-distance verification of MinHash-LSH candidates: exact
+        Levenshtein over 200-char prefixes (both engines implement the
+        classic integer DP, so the scores hash-match), thresholded at 40
+        edits — the CCNet-style character-level confirm that catches
+        near-dups token-level Jaccard mis-scores (reorderings, heavy
+        punctuation edits).
+
+        Scale shape: Levenshtein is O(len²) per pair, so it runs ONLY on
+        the banded candidate set (never all pairs), on bounded prefixes;
+        the two text re-attach joins are equi-joins on doc_id. This is
+        the verify-stage pattern of the reference's index lookups:
+        cheap candidate generation, exact confirmation on candidates."""
+        cand = dedup_minhash_lsh(spark, sf_dir)
+        corpus = _near_corpus(spark, sf_dir)
+        a = corpus.select(
+            F.col("doc_id").alias("doc_a"),
+            F.substring("text", 1, 200).alias("ta"),
+        )
+        b = corpus.select(
+            F.col("doc_id").alias("doc_b"),
+            F.substring("text", 1, 200).alias("tb"),
+        )
+        scored = (
+            cand.join(a, "doc_a")
+            .join(b, "doc_b")
+            .withColumn(
+                "edit_dist", F.levenshtein("ta", "tb").cast("bigint")
+            )
+        )
+        return scored.select(
+            "doc_a",
+            "doc_b",
+            "edit_dist",
+            (F.col("edit_dist") <= 40).alias("is_near_dup"),
+        ).orderBy("doc_a", "doc_b")
+
+
+_register_edit_distance_verify()
