@@ -51,19 +51,25 @@ SQL_FUNCTIONS: dict[str, str] = {
         "(t STRING) RETURNS BIGINT RETURN "
         "CAST(size(regexp_extract_all(lower(t), '[a-z0-9]+', 0)) AS BIGINT)"
     ),
+    # try_element_at: ANSI-mode element_at throws on out-of-bounds, so a
+    # <3-token input would abort the caller's query; NULL-and-filter
+    # matches the operator pipeline (dedup._SPARK_SHINGLES)
     "ml_shingles": (
         "(toks ARRAY<STRING>) RETURNS ARRAY<STRING> RETURN "
         "filter(transform(sequence(1, greatest(size(toks) - 2, 1)), "
-        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), "
-        "' ', element_at(toks, i + 2))), x -> x IS NOT NULL)"
+        "i -> concat(try_element_at(toks, i), ' ', try_element_at(toks, i + 1), "
+        "' ', try_element_at(toks, i + 2))), x -> x IS NOT NULL)"
     ),
     "ml_content_hash": (
         "(t STRING) RETURNS STRING RETURN md5(CAST(t AS BINARY))"
     ),
+    # nullif guards: ANSI mode raises DIVIDE_BY_ZERO even for doubles, so
+    # two empty token arrays (or a zero vector in ml_cosine) must yield
+    # NULL, not abort the caller's query
     "ml_jaccard": (
         "(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS DOUBLE RETURN "
         "CAST(size(array_intersect(a, b)) AS DOUBLE) / "
-        "CAST(size(array_union(a, b)) AS DOUBLE)"
+        "nullif(CAST(size(array_union(a, b)) AS DOUBLE), 0.0D)"
     ),
     # shingles -> 28-bit digest ints (one md5 per shingle), then the 8
     # seeded minhashes over those ints — identical constants and
@@ -87,16 +93,24 @@ SQL_FUNCTIONS: dict[str, str] = {
     ),
     "ml_cosine": (
         "(a ARRAY<FLOAT>, b ARRAY<FLOAT>) RETURNS DOUBLE RETURN "
-        f"{_DOT} / ({_norm('a')} * {_norm('b')})"
+        f"{_DOT} / nullif({_norm('a')} * {_norm('b')}, 0.0D)"
     ),
 }
 
 
+# sessions that already hold the current macro set — temporary SQL
+# functions are session-scoped, so re-running the DDL per query (e.g. on
+# every POST /sql) would be pure overhead (same memoization pattern as
+# session.ensure_package_on_workers)
+_REGISTERED: set[int] = set()
+
+
 def register_sql_functions(spark: SparkSession) -> list[str]:
     """Create (or replace) every ``ml_*`` temporary SQL function on this
-    session. Returns the registered names."""
-    names = []
-    for name, decl in SQL_FUNCTIONS.items():
-        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{decl}")
-        names.append(name)
-    return names
+    session (idempotent, memoized per session). Returns the names."""
+    key = id(spark)
+    if key not in _REGISTERED:
+        for name, decl in SQL_FUNCTIONS.items():
+            spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{decl}")
+        _REGISTERED.add(key)
+    return list(SQL_FUNCTIONS)

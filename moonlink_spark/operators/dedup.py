@@ -70,10 +70,14 @@ _SQL_NEAR_CORPUS = """
 """
 
 # shingle machinery: 3-word shingles over lowercase word tokens
+# try_element_at (not element_at): under Spark 4's default ANSI mode an
+# out-of-bounds element_at THROWS, so a <3-token document would abort the
+# whole query; try_element_at yields NULL, the concat propagates it, and
+# the filter drops it — exactly DuckDB's 1-based list-index semantics.
 _SPARK_SHINGLES = (
     "filter(transform(sequence(1, greatest(size(toks) - 2, 1)), "
-    "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', "
-    "element_at(toks, i + 2))), x -> x IS NOT NULL)"
+    "i -> concat(try_element_at(toks, i), ' ', try_element_at(toks, i + 1), ' ', "
+    "try_element_at(toks, i + 2))), x -> x IS NOT NULL)"
 )
 _SQL_SHINGLES = (
     "list_filter(list_transform(range(1, greatest(len(toks) - 2, 1) + 1), "

@@ -364,6 +364,9 @@ def train_ivf_centroids(spark, emb_q: DataFrame, k: int = 8, iters: int = 3):
         (i, list(r.v))
         for i, r in enumerate(emb_q.orderBy("vec_id").limit(k).collect())
     ]
+    # dimension comes from the data, not the module constant: the index
+    # layer trains corpora of any width through this entry point
+    dim = len(cents[0][1]) if cents else DIM
     for _ in range(iters):
         assigned = assign_ivf_clusters(spark, emb_q, cents)
         # centroid update as posexplode -> groupBy(cluster, dim): the k*dim
@@ -379,13 +382,13 @@ def train_ivf_centroids(spark, emb_q: DataFrame, k: int = 8, iters: int = 3):
         )
         sums: dict[int, list[int]] = {}
         for r in rows:
-            acc = sums.setdefault(r.cluster_id, [0] * (DIM + 1))
+            acc = sums.setdefault(r.cluster_id, [0] * (dim + 1))
             acc[r.dim] = r.s
-            acc[DIM] = r.nn
+            acc[dim] = r.nn
         # Python // is exact mathematical floor division on ints — the same
         # value the oracle's (s - pmod(s, n)) // n computes
         updated = {
-            cid: [vals[i] // vals[DIM] for i in range(DIM)]
+            cid: [vals[i] // vals[dim] for i in range(dim)]
             for cid, vals in sums.items()
         }
         cents = [(cid, updated.get(cid, cent)) for cid, cent in cents]
@@ -1376,17 +1379,33 @@ def ann_index_lifecycle_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     THE INDEX FILES (table/vecindex.py). The oracle replays training,
     assignment, probing, and cosine ranking relationally — proving the
     disk-served path equals the from-scratch computation bit for bit."""
+    import shutil
     import tempfile
 
     from moonlink_spark.table import vecindex
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     dest = tempfile.mkdtemp(prefix="moonlink-vecindex-")
-    vecindex.build_index(
-        spark, emb.filter(F.col("vec_id") % 2 == 0), dest, k=8, iters=2
+    try:
+        vecindex.build_index(
+            spark, emb.filter(F.col("vec_id") % 2 == 0), dest, k=8, iters=2
+        )
+        vecindex.update_index(
+            spark, emb.filter(F.col("vec_id") % 2 == 1), dest
+        )
+        vecindex.compact_index(spark, dest)
+        # materialize the (bounded: 10 queries x top-3) result so the
+        # index directory can be deleted — repeated gate/bench/parity
+        # runs must not accumulate tmp indexes
+        rows = (
+            vecindex.query_topk(
+                spark, emb, dest, query_ids=list(range(10)), topk=3, nprobe=2
+            )
+            .orderBy("query_id", "rn")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(dest, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "query_id bigint, neighbor_id bigint, cosine double, rn bigint"
     )
-    vecindex.update_index(spark, emb.filter(F.col("vec_id") % 2 == 1), dest)
-    vecindex.compact_index(spark, dest)
-    return vecindex.query_topk(
-        spark, emb, dest, query_ids=list(range(10)), topk=3, nprobe=2
-    ).orderBy("query_id", "rn")

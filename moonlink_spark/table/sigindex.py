@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import json
 import os
-import uuid
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -49,36 +48,40 @@ def read_meta(dest: str) -> dict[str, Any]:
         return json.load(fh)
 
 
+SEG_PREFIX = "sig"
+
+
 def _sig_files(dest: str) -> list[str]:
-    return sorted(
-        os.path.join(dest, n)
-        for n in os.listdir(dest)
-        if n.startswith("sig-") and n.endswith(".parquet")
-    )
+    """Paths of the LIVE signature segments (meta-resolved; directory
+    scan for pre-``segments``-meta indexes)."""
+    from moonlink_spark.table import segments as segstore
+
+    try:
+        meta = read_meta(dest)
+    except FileNotFoundError:
+        meta = {}
+    return segstore.live_segment_paths(dest, meta, SEG_PREFIX)
 
 
 def _write_signatures(df: DataFrame, dest: str) -> str:
-    """One signature parquet file from a (doc_id, text) DataFrame."""
-    tmp = os.path.join(dest, f"_tmp-{uuid.uuid4().hex}")
-    _spark_signature(df).coalesce(1).write.mode("overwrite").parquet(tmp)
-    part = [n for n in os.listdir(tmp) if n.endswith(".parquet")]
-    assert len(part) == 1
-    final = os.path.join(dest, f"sig-{uuid.uuid4().hex}.parquet")
-    os.replace(os.path.join(tmp, part[0]), final)
-    import shutil
+    """One signature parquet segment from a (doc_id, text) DataFrame
+    (invisible until a meta lists it). Returns the segment name."""
+    from moonlink_spark.table import segments as segstore
 
-    shutil.rmtree(tmp, ignore_errors=True)
-    return final
+    return segstore.write_single_parquet(
+        _spark_signature(df), dest, SEG_PREFIX
+    )
 
 
 def build_index(docs: DataFrame, dest: str) -> dict[str, Any]:
     """Create the index from a (doc_id, text) corpus."""
     os.makedirs(dest, exist_ok=True)
-    _write_signatures(docs.select("doc_id", "text"), dest)
+    name = _write_signatures(docs.select("doc_id", "text"), dest)
     meta = {
         "n_hashes": N_HASHES,
         "n_bands": N_BANDS,
         "generation": 1,
+        "segments": [name],
     }
     _write_meta(dest, meta)
     return meta
@@ -87,36 +90,43 @@ def build_index(docs: DataFrame, dest: str) -> dict[str, Any]:
 def update_index(new_docs: DataFrame, dest: str) -> dict[str, Any]:
     """Append signatures for NEW documents (caller guarantees doc_ids not
     already indexed — the ingest path knows its delta). Cost is O(new)."""
+    from moonlink_spark.table import segments as segstore
+
     meta = read_meta(dest)
-    _write_signatures(new_docs.select("doc_id", "text"), dest)
+    name = _write_signatures(new_docs.select("doc_id", "text"), dest)
     meta["generation"] += 1
+    meta.setdefault(
+        "segments", segstore.scan_segment_names(dest, SEG_PREFIX)
+    )
+    if name not in meta["segments"]:
+        meta["segments"].append(name)
     _write_meta(dest, meta)
     return meta
 
 
 def compact_index(spark: SparkSession, dest: str) -> int:
-    """Merge all signature files into one (parity build_from_merge):
-    returns the number of files replaced."""
-    files = _sig_files(dest)
-    if len(files) <= 1:
-        return 0
-    merged = spark.read.parquet(*files)
-    tmp = os.path.join(dest, f"_tmp-{uuid.uuid4().hex}")
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    part = [n for n in os.listdir(tmp) if n.endswith(".parquet")]
-    final = os.path.join(dest, f"sig-{uuid.uuid4().hex}.parquet")
-    os.replace(os.path.join(tmp, part[0]), final)
-    import shutil
+    """Merge all signature segments into one (parity build_from_merge,
+    crash-safe: merged segment first, atomic meta publish, then unlink —
+    see table/segments.py). Returns the number of files replaced."""
+    from moonlink_spark.table import segments as segstore
 
-    shutil.rmtree(tmp, ignore_errors=True)
-    for f in files:
-        os.unlink(f)
-    return len(files)
+    meta = read_meta(dest)
+
+    # compaction rewrites layout, not content: generation (which tracks
+    # CONTENT updates) stays, matching the original behavior
+    def publish(m):
+        _write_meta(dest, m)
+
+    return segstore.compact_segments(spark, dest, meta, SEG_PREFIX, publish)
 
 
 def signatures(spark: SparkSession, dest: str) -> DataFrame:
-    """All indexed signatures (doc_id, h0..h7)."""
-    return spark.read.parquet(*_sig_files(dest))
+    """All LIVE indexed signatures (doc_id, h0..h7)."""
+    from moonlink_spark.table import segments as segstore
+
+    return segstore.read_segments(
+        spark, dest, read_meta(dest), SEG_PREFIX
+    )
 
 
 def candidate_pairs(spark: SparkSession, dest: str) -> DataFrame:

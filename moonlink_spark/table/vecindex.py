@@ -32,8 +32,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
-import uuid
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,8 +42,10 @@ from moonlink_spark.operators.similarity import (
     quantize_embeddings_1e6,
     train_ivf_centroids,
 )
+from moonlink_spark.table import segments as segstore
 
 META_FILE = "vecindex.json"
+SEG_PREFIX = "assign"
 
 
 def _write_meta(dest: str, meta: dict[str, Any]) -> None:
@@ -60,34 +60,20 @@ def read_meta(dest: str) -> dict[str, Any]:
         return json.load(fh)
 
 
-def _assign_files(dest: str) -> list[str]:
-    return sorted(
-        os.path.join(dest, n)
-        for n in os.listdir(dest)
-        if n.startswith("assign-") and n.endswith(".parquet")
-    )
-
-
 def _write_assignments(
-    spark: SparkSession, emb: DataFrame, cents, dest: str
+    spark: SparkSession, q: DataFrame, cents, dest: str
 ) -> tuple[str, int, int]:
-    """Assign (vec_id, embedding) rows to ``cents`` and persist one
-    segment file. Returns (path, n_rows, sum_d2)."""
-    q = quantize_embeddings_1e6(emb)
+    """Assign already-quantized (vec_id, v) rows to ``cents`` and persist
+    one segment file (invisible until a meta lists it). Returns
+    (segment_name, n_rows, sum_d2)."""
     assigned = assign_ivf_clusters(spark, q, cents).select(
         "vec_id", "cluster_id", "d2"
     )
-    tmp = os.path.join(dest, f"_tmp-{uuid.uuid4().hex}")
-    assigned.coalesce(1).write.mode("overwrite").parquet(tmp)
-    part = [n for n in os.listdir(tmp) if n.endswith(".parquet")]
-    assert len(part) == 1
-    final = os.path.join(dest, f"assign-{uuid.uuid4().hex}.parquet")
-    os.replace(os.path.join(tmp, part[0]), final)
-    shutil.rmtree(tmp, ignore_errors=True)
-    stats = spark.read.parquet(final).agg(
+    name = segstore.write_single_parquet(assigned, dest, SEG_PREFIX)
+    stats = spark.read.parquet(os.path.join(dest, name)).agg(
         F.count(F.lit(1)).alias("n"), F.sum("d2").alias("sd2")
     ).collect()[0]
-    return final, int(stats.n or 0), int(stats.sd2 or 0)
+    return name, int(stats.n or 0), int(stats.sd2 or 0)
 
 
 def build_index(
@@ -99,15 +85,18 @@ def build_index(
 ) -> dict[str, Any]:
     """Create the index from a (vec_id, embedding) corpus."""
     os.makedirs(dest, exist_ok=True)
+    # one quantization pass serves both training and the final
+    # assignment write (the persist holds it across all Lloyd iterations)
     q = quantize_embeddings_1e6(emb).persist()
     cents = train_ivf_centroids(spark, q, k=k, iters=iters)
-    _, n, sd2 = _write_assignments(spark, emb, cents, dest)
+    name, n, sd2 = _write_assignments(spark, q, cents, dest)
     q.unpersist()
     meta = {
         "k": k,
         "iters": iters,
         "centroids": [[int(x) for x in c] for _, c in cents],
         "generation": 1,
+        "segments": [name],
         "trained_rows": n,
         "trained_sum_d2": sd2,
         "appended_rows": 0,
@@ -128,8 +117,15 @@ def update_index(
     (caller guarantees vec_ids not already indexed — the ingest path knows
     its delta). Cost is O(new vectors); no retrain, no rewrite."""
     meta = read_meta(dest)
-    _, n, sd2 = _write_assignments(spark, new_emb, _centroids(meta), dest)
+    name, n, sd2 = _write_assignments(
+        spark, quantize_embeddings_1e6(new_emb), _centroids(meta), dest
+    )
     meta["generation"] += 1
+    meta.setdefault(
+        "segments", segstore.scan_segment_names(dest, SEG_PREFIX)
+    )
+    if name not in meta["segments"]:
+        meta["segments"].append(name)
     meta["appended_rows"] += n
     meta["appended_sum_d2"] += sd2
     _write_meta(dest, meta)
@@ -148,30 +144,23 @@ def retrain_recommended(meta: dict[str, Any], factor: float = 2.0) -> bool:
 
 
 def compact_index(spark: SparkSession, dest: str) -> int:
-    """Merge all assignment segments into one (build_from_merge parity):
-    returns the number of files replaced."""
-    files = _assign_files(dest)
-    if len(files) <= 1:
-        return 0
-    merged = spark.read.parquet(*files)
-    tmp = os.path.join(dest, f"_tmp-{uuid.uuid4().hex}")
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    part = [n for n in os.listdir(tmp) if n.endswith(".parquet")]
-    assert len(part) == 1
-    final = os.path.join(dest, f"assign-{uuid.uuid4().hex}.parquet")
-    os.replace(os.path.join(tmp, part[0]), final)
-    shutil.rmtree(tmp, ignore_errors=True)
-    for f in files:
-        os.unlink(f)
+    """Merge all assignment segments into one (build_from_merge parity,
+    crash-safe: merged segment first, atomic meta publish, then unlink —
+    see table/segments.py). Returns the number of files replaced."""
     meta = read_meta(dest)
-    meta["generation"] += 1
-    _write_meta(dest, meta)
-    return len(files)
+
+    def publish(m):
+        m["generation"] += 1
+        _write_meta(dest, m)
+
+    return segstore.compact_segments(spark, dest, meta, SEG_PREFIX, publish)
 
 
 def read_assignments(spark: SparkSession, dest: str) -> DataFrame:
-    """All inverted-list rows (vec_id, cluster_id, d2) across segments."""
-    return spark.read.parquet(*_assign_files(dest))
+    """All LIVE inverted-list rows (vec_id, cluster_id, d2)."""
+    return segstore.read_segments(
+        spark, dest, read_meta(dest), SEG_PREFIX
+    )
 
 
 def query_topk(

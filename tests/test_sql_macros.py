@@ -104,3 +104,41 @@ def test_macros_available_through_backend_sql(spark, tmp_path):
         database="db",
     ).collect()
     assert [(r.id, r.n) for r in rows] == [(1, 3), (2, 1)]
+
+
+def test_macros_ansi_edge_cases(spark, macros):
+    """Under Spark 4's default ANSI mode, degenerate inputs must yield
+    empty/NULL results, not abort the caller's query (element_at throws
+    on out-of-bounds, double division throws on /0)."""
+    row = spark.sql(
+        """
+        SELECT ml_shingles(ml_tokens('one two')) AS short_sh,
+               ml_shingles(ml_tokens('')) AS empty_sh,
+               ml_jaccard(CAST(array() AS ARRAY<STRING>),
+                          CAST(array() AS ARRAY<STRING>)) AS j0,
+               ml_cosine(array(0.0F, 0.0F), array(1.0F, 2.0F)) AS c0,
+               ml_minhash_sig(ml_shingle_hashes(
+                   ml_shingles(ml_tokens('hi')))) AS sig0
+        """
+    ).collect()[0]
+    assert row.short_sh == [] and row.empty_sh == []
+    assert row.j0 is None and row.c0 is None and row.sig0 is None
+
+
+def test_operator_shingles_tolerate_short_docs(spark):
+    """The shared shingle expression must not raise on <3-token docs
+    (ANSI element_at would)."""
+    from moonlink_spark.operators.dedup import _SPARK_SHINGLES, _SPARK_TOKS
+
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, ""), (3, "a b c d")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r.sh
+        for r in df.selectExpr(
+            "doc_id", f"{_SPARK_SHINGLES.replace('toks', _SPARK_TOKS)} AS sh"
+        ).collect()
+    }
+    assert rows[1] == [] and rows[2] == []
+    assert rows[3] == ["a b c", "b c d"]
