@@ -148,6 +148,7 @@ class StreamingIngestor:
         refresh_views: list | None = None,
         sync_iceberg: str | None = None,
         sync_catalog: tuple[str, str, str] | None = None,
+        sync_vecindex: tuple[str, str] | None = None,
     ):
         if (source_dir is None) == (kafka_topic is None):
             raise ValueError("exactly one of source_dir / kafka_topic required")
@@ -171,9 +172,21 @@ class StreamingIngestor:
         # new metadata version so readers discover it (rest_catalog.rs).
         self.sync_iceberg = sync_iceberg
         self.sync_catalog = sync_catalog
+        # Continuous ANN-index maintenance: ``sync_vecindex = (dest,
+        # embedding_col)`` assigns each micro-batch's INSERTED vectors to
+        # the persisted IVF index's existing centroids (table/vecindex.py
+        # update_index — O(batch), old segments untouched; the
+        # reference's index-on-flush lifecycle at the micro-batch
+        # boundary). Contract: append-only embedding streams. Updates or
+        # deletes don't patch inverted lists in place — they bump the
+        # meta's ``stale_rows`` so ``retrain_recommended`` flips and the
+        # operator rebuilds, exactly like drift.
+        self.sync_vecindex = sync_vecindex
 
     def _foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         version = apply_cdc_batch(self.table, batch_df, batch_id)
+        if version is not None and self.sync_vecindex:
+            self._maintain_vecindex(batch_df)
         for mv in self.refresh_views:
             mv.refresh()
         if version is not None and self.sync_iceberg:
@@ -187,6 +200,27 @@ class StreamingIngestor:
                 register_export(url, ns, name, self.sync_iceberg)
         if self.on_batch:
             self.on_batch(batch_id, version)
+
+    def _maintain_vecindex(self, batch_df: DataFrame) -> None:
+        from moonlink_spark.table import vecindex
+
+        dest, col = self.sync_vecindex
+        key = self.table.identity.columns[0]
+        split = (
+            batch_df.groupBy(F.col("op") == "insert")
+            .count()
+            .collect()
+        )
+        n_ins = sum(r["count"] for r in split if r[0])
+        n_other = sum(r["count"] for r in split if not r[0])
+        if n_other:
+            vecindex.mark_stale(dest, n_other)
+        if n_ins:
+            new_emb = batch_df.filter(F.col("op") == "insert").select(
+                F.col(f"row.{key}").cast("bigint").alias("vec_id"),
+                F.col(f"row.{col}").alias("embedding"),
+            )
+            vecindex.update_index(self.table.spark, new_emb, dest)
 
     def start(self, available_now: bool = True, processing_time: str = "1 second"):
         spark: SparkSession = self.table.spark

@@ -132,10 +132,25 @@ def update_index(
     return meta
 
 
+def mark_stale(dest: str, n_rows: int) -> dict[str, Any]:
+    """Record that ``n_rows`` indexed vectors were updated or deleted in
+    the source table. The inverted lists are not patched in place (the
+    incremental path is append-only, like the reference's segments); a
+    stale index flips ``retrain_recommended`` so the operator rebuilds."""
+    meta = read_meta(dest)
+    meta["stale_rows"] = meta.get("stale_rows", 0) + int(n_rows)
+    _write_meta(dest, meta)
+    return meta
+
+
 def retrain_recommended(meta: dict[str, Any], factor: float = 2.0) -> bool:
-    """True when the incremental additions fit the trained centroids
-    ``factor``x worse (mean d2) than the training corpus did — the drift
-    signal that the inverted lists no longer partition the space well."""
+    """True when the index no longer reflects its training conditions:
+    any source updates/deletes since build (``stale_rows``), or the
+    incremental additions fit the trained centroids ``factor``x worse
+    (mean d2) than the training corpus did — the drift signal that the
+    inverted lists no longer partition the space well."""
+    if meta.get("stale_rows", 0) > 0:
+        return True
     if not meta["appended_rows"] or not meta["trained_rows"]:
         return False
     trained_mean = meta["trained_sum_d2"] / meta["trained_rows"]

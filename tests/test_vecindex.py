@@ -136,3 +136,107 @@ def test_retrain_recommendation_flags_drift(spark, corpus, index_dir):
     )
     meta = vecindex.update_index(spark, drifted, index_dir)
     assert vecindex.retrain_recommended(meta)
+
+
+def test_streaming_ingest_maintains_index(spark, corpus, tmp_path):
+    """sync_vecindex: the CDC loop assigns each micro-batch's inserted
+    vectors to the existing centroids; updates flip the stale flag."""
+    import json as _json
+    import os as _os
+
+    from moonlink_spark.streaming.pipeline import StreamingIngestor
+    from moonlink_spark.table.identity import IdentityProp
+    from moonlink_spark.table.table import MoonlinkTable
+
+    base = corpus.filter(F.col("vec_id") < 200)
+    dest = str(tmp_path / "vidx")
+    vecindex.build_index(spark, base, dest, k=4, iters=1)
+
+    t = MoonlinkTable.create(
+        spark,
+        str(tmp_path / "t"),
+        [
+            {"name": "vec_id", "data_type": "int64", "nullable": False},
+            {
+                "name": "embedding",
+                "data_type": "list",
+                "item": {"data_type": "float32"},
+            },
+        ],
+        IdentityProp.single("vec_id"),
+    )
+    spool = str(tmp_path / "spool")
+    _os.makedirs(spool)
+    ing = StreamingIngestor(
+        t,
+        source_dir=spool,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        sync_vecindex=(dest, "embedding"),
+    )
+
+    new_vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in corpus.filter(
+            (F.col("vec_id") >= 200) & (F.col("vec_id") < 230)
+        ).collect()
+    }
+    with open(_os.path.join(spool, "b1.jsonl"), "w") as fh:
+        for vid, emb in sorted(new_vecs.items()):
+            fh.write(
+                _json.dumps(
+                    {
+                        "lsn": 100 + vid,
+                        "xact_id": None,
+                        "op": "insert",
+                        "row": {"vec_id": vid, "embedding": emb},
+                        "old_row": None,
+                    }
+                )
+                + "\n"
+            )
+    ing.run_available()
+
+    served = vecindex.read_assignments(spark, dest)
+    assert served.count() == 200 + len(new_vecs)
+    meta = vecindex.read_meta(dest)
+    assert not vecindex.retrain_recommended(meta)
+    # streamed vectors must carry the SAME assignment a fresh
+    # assign-to-meta-centroids run produces
+    cents = [(i, c) for i, c in enumerate(meta["centroids"])]
+    streamed = corpus.filter(
+        (F.col("vec_id") >= 200) & (F.col("vec_id") < 230)
+    )
+    fresh = {
+        r.vec_id: r.cluster_id
+        for r in assign_ivf_clusters(
+            spark, quantize_embeddings_1e6(streamed), cents
+        ).collect()
+    }
+    got = {
+        r.vec_id: r.cluster_id
+        for r in served.filter(F.col("vec_id") >= 200).collect()
+    }
+    assert got == fresh
+
+    # an update event does not patch inverted lists — it flips stale
+    some_vid = 5
+    with open(_os.path.join(spool, "b2.jsonl"), "w") as fh:
+        fh.write(
+            _json.dumps(
+                {
+                    "lsn": 10_000,
+                    "xact_id": None,
+                    "op": "update",
+                    "row": {
+                        "vec_id": some_vid,
+                        "embedding": [0.5] * 64,
+                    },
+                    "old_row": {"vec_id": some_vid, "embedding": None},
+                }
+            )
+            + "\n"
+        )
+    ing.run_available()
+    meta = vecindex.read_meta(dest)
+    assert meta.get("stale_rows", 0) == 1
+    assert vecindex.retrain_recommended(meta)
