@@ -149,6 +149,7 @@ class StreamingIngestor:
         sync_iceberg: str | None = None,
         sync_catalog: tuple[str, str, str] | None = None,
         sync_vecindex: tuple[str, str] | None = None,
+        sync_sigindex: tuple[str, str] | None = None,
     ):
         if (source_dir is None) == (kafka_topic is None):
             raise ValueError("exactly one of source_dir / kafka_topic required")
@@ -182,11 +183,16 @@ class StreamingIngestor:
         # meta's ``stale_rows`` so ``retrain_recommended`` flips and the
         # operator rebuilds, exactly like drift.
         self.sync_vecindex = sync_vecindex
+        # Same lifecycle for the MinHash signature index:
+        # ``sync_sigindex = (dest, text_col)`` appends signatures for each
+        # micro-batch's inserted documents (table/sigindex.py
+        # update_index); updates/deletes flip the stale flag.
+        self.sync_sigindex = sync_sigindex
 
     def _foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         version = apply_cdc_batch(self.table, batch_df, batch_id)
-        if version is not None and self.sync_vecindex:
-            self._maintain_vecindex(batch_df)
+        if version is not None and (self.sync_vecindex or self.sync_sigindex):
+            self._maintain_indexes(batch_df)
         for mv in self.refresh_views:
             mv.refresh()
         if version is not None and self.sync_iceberg:
@@ -201,26 +207,39 @@ class StreamingIngestor:
         if self.on_batch:
             self.on_batch(batch_id, version)
 
-    def _maintain_vecindex(self, batch_df: DataFrame) -> None:
-        from moonlink_spark.table import vecindex
+    def _maintain_indexes(self, batch_df: DataFrame) -> None:
+        from moonlink_spark.table import sigindex, vecindex
 
-        dest, col = self.sync_vecindex
         key = self.table.identity.columns[0]
-        split = (
-            batch_df.groupBy(F.col("op") == "insert")
-            .count()
-            .collect()
-        )
+        split = batch_df.groupBy(F.col("op") == "insert").count().collect()
         n_ins = sum(r["count"] for r in split if r[0])
         n_other = sum(r["count"] for r in split if not r[0])
-        if n_other:
-            vecindex.mark_stale(dest, n_other)
-        if n_ins:
-            new_emb = batch_df.filter(F.col("op") == "insert").select(
-                F.col(f"row.{key}").cast("bigint").alias("vec_id"),
-                F.col(f"row.{col}").alias("embedding"),
-            )
-            vecindex.update_index(self.table.spark, new_emb, dest)
+        inserts = batch_df.filter(F.col("op") == "insert") if n_ins else None
+        if self.sync_vecindex:
+            dest, col = self.sync_vecindex
+            if n_other:
+                vecindex.mark_stale(dest, n_other)
+            if n_ins:
+                vecindex.update_index(
+                    self.table.spark,
+                    inserts.select(
+                        F.col(f"row.{key}").cast("bigint").alias("vec_id"),
+                        F.col(f"row.{col}").alias("embedding"),
+                    ),
+                    dest,
+                )
+        if self.sync_sigindex:
+            dest, col = self.sync_sigindex
+            if n_other:
+                sigindex.mark_stale(dest, n_other)
+            if n_ins:
+                sigindex.update_index(
+                    inserts.select(
+                        F.col(f"row.{key}").cast("bigint").alias("doc_id"),
+                        F.col(f"row.{col}").alias("text"),
+                    ),
+                    dest,
+                )
 
     def start(self, available_now: bool = True, processing_time: str = "1 second"):
         spark: SparkSession = self.table.spark

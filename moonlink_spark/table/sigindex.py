@@ -104,6 +104,21 @@ def update_index(new_docs: DataFrame, dest: str) -> dict[str, Any]:
     return meta
 
 
+def mark_stale(dest: str, n_rows: int) -> dict[str, Any]:
+    """Record that ``n_rows`` indexed documents were updated or deleted
+    in the source table; signatures are append-only segments, so a stale
+    index flips ``rebuild_recommended`` instead of patching in place."""
+    meta = read_meta(dest)
+    meta["stale_rows"] = meta.get("stale_rows", 0) + int(n_rows)
+    _write_meta(dest, meta)
+    return meta
+
+
+def rebuild_recommended(meta: dict[str, Any]) -> bool:
+    """True when source updates/deletes have outdated any signatures."""
+    return meta.get("stale_rows", 0) > 0
+
+
 def compact_index(spark: SparkSession, dest: str) -> int:
     """Merge all signature segments into one (parity build_from_merge,
     crash-safe: merged segment first, atomic meta publish, then unlink —

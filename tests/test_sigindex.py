@@ -84,3 +84,83 @@ def test_build_update_compact_lookup(spark, tmp_path):
         fresh_candidates(both)
     )
     assert sigindex.read_meta(dest)["generation"] == 2
+
+
+def test_streaming_ingest_maintains_sigindex(spark, tmp_path):
+    """sync_sigindex: the CDC loop appends signatures for inserted docs;
+    index-served candidates equal a from-scratch run over the full set."""
+    import json as _json
+    import os as _os
+
+    from moonlink_spark.streaming.pipeline import StreamingIngestor
+    from moonlink_spark.table.identity import IdentityProp
+    from moonlink_spark.table.table import MoonlinkTable
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    first = docs.filter(F.col("doc_id") < 40)
+    later = {
+        r.doc_id: r.text
+        for r in docs.filter(
+            (F.col("doc_id") >= 40) & (F.col("doc_id") < 60)
+        ).collect()
+    }
+    dest = str(tmp_path / "sigidx")
+    sigindex.build_index(first, dest)
+
+    t = MoonlinkTable.create(
+        spark,
+        str(tmp_path / "t"),
+        [
+            {"name": "doc_id", "data_type": "int64", "nullable": False},
+            {"name": "text", "data_type": "string"},
+        ],
+        IdentityProp.single("doc_id"),
+    )
+    spool = str(tmp_path / "spool")
+    _os.makedirs(spool)
+    ing = StreamingIngestor(
+        t,
+        source_dir=spool,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        sync_sigindex=(dest, "text"),
+    )
+    with open(_os.path.join(spool, "b1.jsonl"), "w") as fh:
+        for did, text in sorted(later.items()):
+            fh.write(
+                _json.dumps(
+                    {
+                        "lsn": 100 + did,
+                        "xact_id": None,
+                        "op": "insert",
+                        "row": {"doc_id": did, "text": text},
+                        "old_row": None,
+                    }
+                )
+                + "\n"
+            )
+    ing.run_available()
+
+    both = docs.filter(F.col("doc_id") < 60)
+    got = pairs_set(sigindex.candidate_pairs(spark, dest))
+    want = pairs_set(fresh_candidates(both))
+    assert got == want
+    assert not sigindex.rebuild_recommended(sigindex.read_meta(dest))
+
+    # a delete flips the stale flag
+    with open(_os.path.join(spool, "b2.jsonl"), "w") as fh:
+        fh.write(
+            _json.dumps(
+                {
+                    "lsn": 10_000,
+                    "xact_id": None,
+                    "op": "delete",
+                    "row": None,
+                    "old_row": {"doc_id": 5, "text": None},
+                }
+            )
+            + "\n"
+        )
+    ing.run_available()
+    assert sigindex.rebuild_recommended(sigindex.read_meta(dest))
