@@ -78,6 +78,19 @@ FLAGSHIPS = {
         "model and aggregates per doc — at web scale the model tables "
         "persist and only the scoring join runs per shard."
     ),
+    "embedding_gram_matrix": (
+        "The PCA/covariance sufficient statistic without the N x dim^2 "
+        "explode: each partition folds its Arrow batches into ONE local "
+        "dim x dim int64 matrix inside mapInPandas, so the only shuffle "
+        "carries partitions x dim(dim+1)/2 tiny partial rows into the "
+        "final sum — a 4096x shuffle reduction at dim=64."
+    ),
+    "ngram_novelty_rate": (
+        "Shingles hash to 60-bit BIGINT keys before any exchange (full "
+        "text never shuffles) and first-ownership is a window MIN over "
+        "the shingle partition instead of a groupBy + join back — one "
+        "fewer shuffle of the whole shingle relation."
+    ),
 }
 
 
