@@ -16,6 +16,7 @@ import threading
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from moonlink_spark.errors import TableConfigError
@@ -274,6 +275,110 @@ class MoonlinkBackend:
         for tables created without key_index=True)."""
         t = self.get_table(database, table)
         return optimize(t, mode)
+
+    # -- table-owned vector indexes --------------------------------------------
+
+    def _vecindex_dir(self, t: MoonlinkTable, column: str) -> str:
+        return os.path.join(t.data_path, "vecindex", column)
+
+    def build_vector_index(
+        self,
+        database: str,
+        table: str,
+        column: str,
+        k: int = 8,
+        iters: int = 3,
+    ) -> dict[str, Any]:
+        """Build (or rebuild from scratch) the persisted IVF index over an
+        ``array<float>`` column of this table, stored inside the table's
+        own directory — the reference's indexes are table-owned artifacts
+        maintained by the engine, not external sidecars. Requires a
+        single numeric identity key (it becomes ``vec_id``)."""
+        from moonlink_spark.table import vecindex
+
+        t = self.get_table(database, table)
+        key = t.identity.columns[0]
+        emb = t.scan().select(
+            F.col(key).cast("bigint").alias("vec_id"),
+            F.col(column).alias("embedding"),
+        )
+        dest = self._vecindex_dir(t, column)
+        if t.data_fs.isdir(dest):
+            t.data_fs.rmtree(dest)
+        return vecindex.build_index(self.spark, emb, dest, k=k, iters=iters)
+
+    def update_vector_index(
+        self, database: str, table: str, column: str, since_lsn: int
+    ) -> dict[str, Any]:
+        """Incrementally index the rows INSERTED after ``since_lsn``
+        (from the change feed); updates/deletes in the range mark the
+        index stale instead of patching inverted lists."""
+        from moonlink_spark.table import vecindex
+
+        t = self.get_table(database, table)
+        key = t.identity.columns[0]
+        changes = t.changes(since_lsn, t.last_lsn)
+        dest = self._vecindex_dir(t, column)
+        n_other = changes.filter(F.col("_change_type") != "insert").count()
+        if n_other:
+            vecindex.mark_stale(dest, n_other)
+        inserts = changes.filter(F.col("_change_type") == "insert")
+        if inserts.limit(1).count():
+            vecindex.update_index(
+                self.spark,
+                inserts.select(
+                    F.col(key).cast("bigint").alias("vec_id"),
+                    F.col(f"after.{column}").alias("embedding"),
+                ),
+                dest,
+            )
+        return vecindex.read_meta(dest)
+
+    def vector_index_status(
+        self, database: str, table: str, column: str
+    ) -> dict[str, Any]:
+        from moonlink_spark.table import vecindex
+
+        t = self.get_table(database, table)
+        meta = vecindex.read_meta(self._vecindex_dir(t, column))
+        return {
+            "k": meta["k"],
+            "generation": meta["generation"],
+            "segments": len(meta.get("segments") or []),
+            "trained_rows": meta["trained_rows"],
+            "appended_rows": meta["appended_rows"],
+            "stale_rows": meta.get("stale_rows", 0),
+            "retrain_recommended": vecindex.retrain_recommended(meta),
+        }
+
+    def query_vector_index(
+        self,
+        database: str,
+        table: str,
+        column: str,
+        query_ids: list[int],
+        topk: int = 3,
+        nprobe: int = 1,
+    ) -> DataFrame:
+        """ANN top-k over the table's persisted index: probes resolve on
+        the meta's centroid matrix (driver math), candidates come from the
+        inverted-list segments, embeddings re-attach from the table scan."""
+        from moonlink_spark.table import vecindex
+
+        t = self.get_table(database, table)
+        key = t.identity.columns[0]
+        emb = t.scan().select(
+            F.col(key).cast("bigint").alias("vec_id"),
+            F.col(column).alias("embedding"),
+        )
+        return vecindex.query_topk(
+            self.spark,
+            emb,
+            self._vecindex_dir(t, column),
+            query_ids=query_ids,
+            topk=topk,
+            nprobe=nprobe,
+        )
 
     def export_table(
         self, database: str, table: str, dest: str, lsn: int | None = None

@@ -47,7 +47,8 @@ from moonlink_spark.table.identity import IdentityProp
 
 _TABLE_RE = re.compile(
     r"^/tables/([^/]+)/([^/]+)"
-    r"(/optimize|/flush|/snapshot|/export|/matview|/matview/refresh)?$"
+    r"(/optimize|/flush|/snapshot|/export|/matview|/matview/refresh"
+    r"|/vecindex|/vecindex/update|/vecindex/query)?$"
 )
 _INGEST_RE = re.compile(r"^/ingest/([^/]+)/([^/]+)$")
 _INGESTPB_RE = re.compile(r"^/ingestpb/([^/]+)/([^/]+)$")
@@ -344,6 +345,58 @@ class MoonlinkService:
                         return
                     s = {**s, "catalog": reg}
                 h._send(200, {"format": fmt, **s})
+                return
+            if method == "POST" and action == "/vecindex":
+                # build (or rebuild) the table-owned IVF index over an
+                # array<float> column
+                body = h._body()
+                meta = self.backend.build_vector_index(
+                    db, table, body["column"],
+                    k=int(body.get("k", 8)),
+                    iters=int(body.get("iters", 3)),
+                )
+                h._send(
+                    200,
+                    {
+                        "column": body["column"],
+                        "k": meta["k"],
+                        "trained_rows": meta["trained_rows"],
+                        "generation": meta["generation"],
+                    },
+                )
+                return
+            if method == "POST" and action == "/vecindex/update":
+                body = h._body()
+                meta = self.backend.update_vector_index(
+                    db, table, body["column"], int(body["since_lsn"])
+                )
+                h._send(
+                    200,
+                    self.backend.vector_index_status(db, table, body["column"]),
+                )
+                return
+            if method == "GET" and action == "/vecindex":
+                qs2 = parse_qs(urlparse(h.path).query)
+                col = (qs2.get("column") or [None])[0]
+                if not col:
+                    h._send(400, {"error": "MissingColumn"})
+                    return
+                h._send(
+                    200, self.backend.vector_index_status(db, table, col)
+                )
+                return
+            if method == "POST" and action == "/vecindex/query":
+                body = h._body()
+                df = self.backend.query_vector_index(
+                    db, table, body["column"],
+                    [int(x) for x in body["query_ids"]],
+                    topk=int(body.get("topk", 3)),
+                    nprobe=int(body.get("nprobe", 1)),
+                )
+                rows = [
+                    r.asDict() for r in df.orderBy("query_id", "rn").collect()
+                ]
+                h._send(200, {"rows": rows, "count": len(rows)})
                 return
             if method == "POST" and action == "/matview":
                 body = h._body()

@@ -240,3 +240,97 @@ def test_streaming_ingest_maintains_index(spark, corpus, tmp_path):
     meta = vecindex.read_meta(dest)
     assert meta.get("stale_rows", 0) == 1
     assert vecindex.retrain_recommended(meta)
+
+
+def test_vector_index_over_http(spark, corpus, tmp_path):
+    """Backend + HTTP surface: build the table-owned index, incrementally
+    update from the change feed, check status, query top-k — all through
+    the service routes."""
+    import json as _json
+    import urllib.request
+
+    from moonlink_spark.backend import MoonlinkBackend
+    from moonlink_spark.service import MoonlinkService
+    from moonlink_spark.table.identity import IdentityProp
+
+    be = MoonlinkBackend(spark, str(tmp_path / "wh"))
+    t = be.create_table(
+        "db",
+        "emb",
+        [
+            {"name": "vec_id", "data_type": "int64", "nullable": False},
+            {
+                "name": "embedding",
+                "data_type": "list",
+                "item": {"data_type": "float32"},
+            },
+        ],
+        identity=IdentityProp.single("vec_id"),
+    )
+    rows = [
+        {"vec_id": r.vec_id, "embedding": [float(x) for x in r.embedding]}
+        for r in corpus.filter(F.col("vec_id") < 120).collect()
+    ]
+    t.append_rows(rows[:100])
+    t.commit(lsn=1)
+
+    svc = MoonlinkService(be).start()
+    try:
+        port = svc.port
+
+        def post(path, body):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=_json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            return _json.loads(urllib.request.urlopen(req).read())
+
+        def get(path):
+            return _json.loads(
+                urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}{path}"
+                ).read()
+            )
+
+        built = post(
+            "/tables/db/emb/vecindex", {"column": "embedding", "k": 4, "iters": 1}
+        )
+        assert built["trained_rows"] == 100 and built["k"] == 4
+
+        # ingest 20 more rows, then index the delta from the change feed
+        t.append_rows(rows[100:])
+        t.commit(lsn=2)
+        status = post(
+            "/tables/db/emb/vecindex/update",
+            {"column": "embedding", "since_lsn": 1},
+        )
+        assert status["appended_rows"] == 20
+        assert status["segments"] == 2
+        assert not status["retrain_recommended"]
+        assert get("/tables/db/emb/vecindex?column=embedding") == status
+
+        res = post(
+            "/tables/db/emb/vecindex/query",
+            {"column": "embedding", "query_ids": [0, 1], "topk": 3, "nprobe": 2},
+        )
+        assert res["count"] == 6
+        assert {r["query_id"] for r in res["rows"]} == {0, 1}
+        # served result equals the direct backend query
+        direct = be.query_vector_index(
+            "db", "emb", "embedding", [0, 1], topk=3, nprobe=2
+        ).orderBy("query_id", "rn").collect()
+        assert [
+            (r["query_id"], r["neighbor_id"], r["rn"]) for r in res["rows"]
+        ] == [(r.query_id, r.neighbor_id, r.rn) for r in direct]
+
+        # a delete makes the status report a recommended retrain
+        t.delete_rows([{"vec_id": 5}])
+        t.commit(lsn=3)
+        status = post(
+            "/tables/db/emb/vecindex/update",
+            {"column": "embedding", "since_lsn": 2},
+        )
+        assert status["stale_rows"] == 1 and status["retrain_recommended"]
+    finally:
+        svc.stop()
