@@ -172,8 +172,16 @@ def main() -> None:
     spark.range(0, 10_000, 1, 32).mapInPandas(_warm_py, "id long").write.mode(
         "overwrite"
     ).format("noop").save()
+    # The warm pass is timed too (per query, at sf0.001): this is each
+    # plan's one-time analysis+compile cost, recorded SEPARATELY so
+    # rounds before the r4s4 warmup change (whose totals folded this cost
+    # into the timed pass) stay comparable — add cold_sf0001 back to a
+    # query's warm timing to approximate its pre-warmup number.
+    cold: dict[str, float] = {}
     for warm in HEADLINE:
+        t0 = time.time()
         _force(specs[warm].fn(spark, "/root/testdata/sf0.001"))
+        cold[warm] = round(time.time() - t0, 3)
         spark.catalog.clearCache()
     bench_ingest(spark, "/root/testdata/sf0.001")
 
@@ -196,6 +204,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # per-plan cold (analysis + codegen) cost, measured on the
+                # sf0.001 warm pass — NOT included in `value`; see warmup
+                # comment for how to compare against pre-warmup rounds
+                "cold_sf0001": cold,
                 "sf": sf,
                 # Fixed, code-independent workload: per-round totals on this
                 # harness vary with host speed (observed 1.2-2.3x boot-to-boot

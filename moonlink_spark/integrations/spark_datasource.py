@@ -526,7 +526,16 @@ class MoonlinkStreamWriter(DataSourceStreamWriter):
     stamped with the batch id; a replayed batch id unlinks its staged
     files and commits nothing (exactly-once downstream of Spark's
     checkpointed offsets — the reference's WAL batch-id idempotence).
-    abort(): unlinks the staged files."""
+    abort(): unlinks the staged files.
+
+    Idempotence scope (Delta txnAppId-style): pass ``option("queryId",
+    <stable id>)`` to scope the batch-id marker to that writer identity —
+    a NEW queryId (e.g. a restarted stream with a fresh checkpoint, whose
+    batch ids restart at 0) commits normally instead of colliding with the
+    previous stream's marker. Without the option, a batch id that goes
+    BACKWARDS (the fresh-checkpoint signature) raises instead of silently
+    unlinking the staged data — only an exact replay of the last committed
+    batch is treated as the normal restart no-op."""
 
     def __init__(self, options: dict, schema):
         from pyspark.sql.pandas.types import to_arrow_schema
@@ -535,6 +544,7 @@ class MoonlinkStreamWriter(DataSourceStreamWriter):
 
         self.table_dir = options["path"]
         self.data_path = options.get("datapath", self.table_dir)
+        self.query_id = options.get("queryid")
         arrow_schema, m = _table_arrow_schema(self.table_dir)
         ident = IdentityProp.from_json(m.identity)
         if ident.mode != "none":
@@ -609,18 +619,34 @@ class MoonlinkStreamWriter(DataSourceStreamWriter):
     def commit(self, messages, batchId: int) -> None:
         from moonlink_spark.table.manifest import ManifestStore
 
-        last = (
-            ManifestStore(self.table_dir)
-            .latest()
-            .properties.get("stream_writer_batch")
-        )
-        if last is not None and batchId <= last:
-            # replayed batch after a driver restart: already committed
-            self._unlink_staged(messages)
-            return
-        self._commit_staged(
-            messages, "stream-write", {"stream_writer_batch": batchId}
-        )
+        props = ManifestStore(self.table_dir).latest().properties
+        last = props.get("stream_writer_batch")
+        last_qid = props.get("stream_writer_query")
+        marker = {"stream_writer_batch": batchId}
+        if self.query_id is not None:
+            marker["stream_writer_query"] = self.query_id
+            # markers from a DIFFERENT writer identity never suppress us
+            if last_qid != self.query_id:
+                last = None
+        if last is not None:
+            if batchId == last:
+                # replayed final batch after a driver restart: committed
+                self._unlink_staged(messages)
+                return
+            if batchId < last:
+                # batch ids only regress when a stream restarts against a
+                # FRESH checkpoint (ids restart at 0) without a queryId to
+                # scope the marker — silently unlinking here would be
+                # silent data loss, so fail loudly instead
+                self._unlink_staged(messages)
+                raise RuntimeError(
+                    f"stream sink batch id {batchId} regressed below the "
+                    f"table's last committed batch {last}; this looks like "
+                    "a new stream with a fresh checkpoint. Pass "
+                    '.option("queryId", <stable id>) to scope the '
+                    "idempotence marker to each writer identity."
+                )
+        self._commit_staged(messages, "stream-write", marker)
 
     def abort(self, messages, batchId: int) -> None:
         self._unlink_staged(messages)

@@ -106,8 +106,12 @@ PRIORITY_50 = [
     "event_value_statistics",
     "customers_above_nation_avg",
     "conditional_expressions",
-    "regexp_string_ops",
-    "date_arithmetic",
+    # ROUND-5 ROTATION: the two queries added after r4's final slate
+    # rotation (the only 2 of 135 never driver-gated — VERDICT r4 item 2)
+    # take the slots of regexp_string_ops / date_arithmetic (driver-green
+    # r4; scalar functions stay covered by conditional_expressions).
+    "lsh_jaccard_recall_eval",      # NEW r5 slate: LSH recall/precision
+    "dedup_edit_distance_verify",   # NEW r5 slate: edit-distance verify
     "union_all_with_dup_counts",
     "regression_per_event_type",
     "interval_range_join",

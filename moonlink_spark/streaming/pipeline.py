@@ -191,8 +191,13 @@ class StreamingIngestor:
 
     def _foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         version = apply_cdc_batch(self.table, batch_df, batch_id)
-        if version is not None and (self.sync_vecindex or self.sync_sigindex):
-            self._maintain_indexes(batch_df)
+        if self.sync_vecindex or self.sync_sigindex:
+            # NOT gated on version: a replayed batch (version=None) whose
+            # table commit landed but whose index maintenance crashed must
+            # still be indexed. Each index carries its own
+            # ``indexed_batch_id`` watermark, so this is a cheap meta read
+            # (and a no-op) when everything is already absorbed.
+            self._maintain_indexes(batch_df, batch_id)
         for mv in self.refresh_views:
             mv.refresh()
         if version is not None and self.sync_iceberg:
@@ -207,18 +212,39 @@ class StreamingIngestor:
         if self.on_batch:
             self.on_batch(batch_id, version)
 
-    def _maintain_indexes(self, batch_df: DataFrame) -> None:
+    def _maintain_indexes(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Absorb this micro-batch into the configured persisted indexes.
+
+        Idempotent + crash-recoverable: each index stores an
+        ``indexed_batch_id`` watermark IN THE SAME atomic meta write that
+        publishes its new segment, so (a) a replayed batch whose index
+        work already landed is skipped here, and (b) a crash after the
+        table commit but before index maintenance leaves the watermark
+        lagging — the replay re-runs the maintenance instead of the old
+        version-gated path that skipped it forever."""
         from moonlink_spark.table import sigindex, vecindex
 
+        need_vec = self.sync_vecindex is not None and (
+            vecindex.indexed_batch_id(self.sync_vecindex[0]) < batch_id
+        )
+        need_sig = self.sync_sigindex is not None and (
+            sigindex.indexed_batch_id(self.sync_sigindex[0]) < batch_id
+        )
+        if not (need_vec or need_sig):
+            return
         key = self.table.identity.columns[0]
+        wm = {"indexed_batch_id": int(batch_id)}
         split = batch_df.groupBy(F.col("op") == "insert").count().collect()
         n_ins = sum(r["count"] for r in split if r[0])
         n_other = sum(r["count"] for r in split if not r[0])
         inserts = batch_df.filter(F.col("op") == "insert") if n_ins else None
-        if self.sync_vecindex:
+        if need_vec:
             dest, col = self.sync_vecindex
             if n_other:
-                vecindex.mark_stale(dest, n_other)
+                # the watermark rides the LAST meta write for this batch
+                vecindex.mark_stale(
+                    dest, n_other, meta_update=None if n_ins else wm
+                )
             if n_ins:
                 vecindex.update_index(
                     self.table.spark,
@@ -227,11 +253,16 @@ class StreamingIngestor:
                         F.col(f"row.{col}").alias("embedding"),
                     ),
                     dest,
+                    meta_update=wm,
                 )
-        if self.sync_sigindex:
+            if not n_ins and not n_other:
+                vecindex.note_indexed_batch(dest, batch_id)
+        if need_sig:
             dest, col = self.sync_sigindex
             if n_other:
-                sigindex.mark_stale(dest, n_other)
+                sigindex.mark_stale(
+                    dest, n_other, meta_update=None if n_ins else wm
+                )
             if n_ins:
                 sigindex.update_index(
                     inserts.select(
@@ -239,7 +270,10 @@ class StreamingIngestor:
                         F.col(f"row.{col}").alias("text"),
                     ),
                     dest,
+                    meta_update=wm,
                 )
+            if not n_ins and not n_other:
+                sigindex.note_indexed_batch(dest, batch_id)
 
     def start(self, available_now: bool = True, processing_time: str = "1 second"):
         spark: SparkSession = self.table.spark

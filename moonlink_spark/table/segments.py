@@ -75,18 +75,36 @@ def compact_segments(
     meta: dict,
     prefix: str,
     publish_meta,
+    read_meta=None,
 ) -> int:
     """Merge all live segments into one. ``publish_meta(meta)`` must
-    atomically persist the (mutated) meta — it is called exactly once,
-    AFTER the merged segment exists and with ``meta['segments']`` set to
-    just the merged file. Returns the number of files replaced (0 if
-    nothing to do). Stragglers from earlier crashes (written but never
-    meta-referenced) are left on disk — readers never see them, and
-    deleting them here could race a concurrent updater's just-written,
-    not-yet-published segment."""
+    atomically persist the given meta dict; it is called AFTER the merged
+    segment exists, with ``segments`` set to the merged file (plus any
+    segment a concurrent updater published meanwhile — see below).
+    Returns the number of files replaced (0 if nothing to do).
+    Stragglers from earlier crashes (written but never meta-referenced)
+    are left on disk — readers never see them, and deleting them here
+    could race a concurrent updater's just-written, not-yet-published
+    segment.
+
+    Legacy indexes (meta without ``segments``) are MIGRATED first: a meta
+    listing the directory-scanned names is published before the merged
+    segment is written, so directory-scan fallback readers can never see
+    merged + originals simultaneously (permanent duplicates on a crash
+    between merge-write and publish — the pre-r5 hole).
+
+    ``read_meta()`` (no-arg callable returning the current on-disk meta)
+    re-reads at the commit point so segments a concurrent ``update_index``
+    published between our read and our publish survive in the final list
+    instead of being silently dropped. Without it the caller accepts a
+    single-writer requirement on the index directory."""
     live = meta.get("segments")
     if live is None:
+        # Migrate to meta-resolved reads BEFORE any new file lands in the
+        # live directory: from here on, readers ignore unlisted files.
         live = scan_segment_names(dest, prefix)
+        meta["segments"] = list(live)
+        publish_meta(meta)
     if len(live) <= 1:
         return 0
     merged_df = spark.read.parquet(
@@ -94,8 +112,21 @@ def compact_segments(
     )
     merged = write_single_parquet(merged_df, dest, prefix)
     old = list(live)
-    meta["segments"] = [merged]
-    publish_meta(meta)  # the commit point: readers now see ONLY merged
+    final = meta
+    concurrent: list[str] = []
+    if read_meta is not None:
+        try:
+            current = read_meta()
+        except FileNotFoundError:
+            current = meta
+        # keep any segment (and meta fields, e.g. a bumped generation) a
+        # concurrent updater published after our initial read
+        concurrent = [
+            n for n in current.get("segments", []) if n not in old
+        ]
+        final = current
+    final["segments"] = [merged] + concurrent
+    publish_meta(final)  # the commit point: old segments are now dead
     for n in old:
         try:
             os.unlink(os.path.join(dest, n))

@@ -87,9 +87,17 @@ def build_index(docs: DataFrame, dest: str) -> dict[str, Any]:
     return meta
 
 
-def update_index(new_docs: DataFrame, dest: str) -> dict[str, Any]:
+def update_index(
+    new_docs: DataFrame,
+    dest: str,
+    meta_update: dict[str, Any] | None = None,
+) -> dict[str, Any]:
     """Append signatures for NEW documents (caller guarantees doc_ids not
-    already indexed — the ingest path knows its delta). Cost is O(new)."""
+    already indexed — the ingest path knows its delta). Cost is O(new).
+
+    ``meta_update`` fields land in the SAME atomic meta write that
+    publishes the segment (the CDC loop's indexed-batch watermark rides
+    here so segment visibility and watermark can never diverge)."""
     from moonlink_spark.table import segments as segstore
 
     meta = read_meta(dest)
@@ -100,18 +108,36 @@ def update_index(new_docs: DataFrame, dest: str) -> dict[str, Any]:
     )
     if name not in meta["segments"]:
         meta["segments"].append(name)
+    meta.update(meta_update or {})
     _write_meta(dest, meta)
     return meta
 
 
-def mark_stale(dest: str, n_rows: int) -> dict[str, Any]:
+def mark_stale(
+    dest: str, n_rows: int, meta_update: dict[str, Any] | None = None
+) -> dict[str, Any]:
     """Record that ``n_rows`` indexed documents were updated or deleted
     in the source table; signatures are append-only segments, so a stale
     index flips ``rebuild_recommended`` instead of patching in place."""
     meta = read_meta(dest)
     meta["stale_rows"] = meta.get("stale_rows", 0) + int(n_rows)
+    meta.update(meta_update or {})
     _write_meta(dest, meta)
     return meta
+
+
+def indexed_batch_id(dest: str) -> int:
+    """The CDC-loop watermark: id of the last micro-batch whose rows this
+    index has absorbed (-1 before any). See vecindex.indexed_batch_id."""
+    return int(read_meta(dest).get("indexed_batch_id", -1))
+
+
+def note_indexed_batch(dest: str, batch_id: int) -> None:
+    """Advance the watermark for a batch that needed no index work."""
+    meta = read_meta(dest)
+    if int(meta.get("indexed_batch_id", -1)) < int(batch_id):
+        meta["indexed_batch_id"] = int(batch_id)
+        _write_meta(dest, meta)
 
 
 def rebuild_recommended(meta: dict[str, Any]) -> bool:
@@ -132,7 +158,10 @@ def compact_index(spark: SparkSession, dest: str) -> int:
     def publish(m):
         _write_meta(dest, m)
 
-    return segstore.compact_segments(spark, dest, meta, SEG_PREFIX, publish)
+    return segstore.compact_segments(
+        spark, dest, meta, SEG_PREFIX, publish,
+        read_meta=lambda: read_meta(dest),
+    )
 
 
 def signatures(spark: SparkSession, dest: str) -> DataFrame:

@@ -1067,6 +1067,22 @@ class TransactionStream:
         if rows:
             self._ops.append(("delete_rows", rows, True))
 
+    def flush(self) -> None:
+        """Materialize this stream's buffered row appends into staged data
+        files NOW (parity TableEvent::StreamFlush / flush_stream,
+        transaction_stream.rs): the files exist on disk but stay invisible
+        — no manifest references them until ``commit``. On ``abort`` they
+        become orphans reclaimed by vacuum (the reference deletes its disk
+        slices on abort; same end state, lazier)."""
+        self._check()
+        out: list[tuple] = []
+        for op in self._ops:
+            if op[0] == "append_rows":
+                out.append(("append_files", self.table._write_rows_file(op[1])))
+            else:
+                out.append(op)
+        self._ops = out
+
     def commit(self, lsn: int | None = None) -> int:
         """Merge staged ops into the main table at one LSN.
 

@@ -111,11 +111,19 @@ def _centroids(meta: dict[str, Any]):
 
 
 def update_index(
-    spark: SparkSession, new_emb: DataFrame, dest: str
+    spark: SparkSession,
+    new_emb: DataFrame,
+    dest: str,
+    meta_update: dict[str, Any] | None = None,
 ) -> dict[str, Any]:
     """Assign NEW vectors to the existing centroids and append a segment
     (caller guarantees vec_ids not already indexed — the ingest path knows
-    its delta). Cost is O(new vectors); no retrain, no rewrite."""
+    its delta). Cost is O(new vectors); no retrain, no rewrite.
+
+    ``meta_update`` fields land in the SAME atomic meta write that
+    publishes the segment — the CDC loop stores its indexed-batch
+    watermark this way, so a crash can never leave the segment visible
+    without the watermark (or vice versa)."""
     meta = read_meta(dest)
     name, n, sd2 = _write_assignments(
         spark, quantize_embeddings_1e6(new_emb), _centroids(meta), dest
@@ -128,19 +136,40 @@ def update_index(
         meta["segments"].append(name)
     meta["appended_rows"] += n
     meta["appended_sum_d2"] += sd2
+    meta.update(meta_update or {})
     _write_meta(dest, meta)
     return meta
 
 
-def mark_stale(dest: str, n_rows: int) -> dict[str, Any]:
+def mark_stale(
+    dest: str, n_rows: int, meta_update: dict[str, Any] | None = None
+) -> dict[str, Any]:
     """Record that ``n_rows`` indexed vectors were updated or deleted in
     the source table. The inverted lists are not patched in place (the
     incremental path is append-only, like the reference's segments); a
     stale index flips ``retrain_recommended`` so the operator rebuilds."""
     meta = read_meta(dest)
     meta["stale_rows"] = meta.get("stale_rows", 0) + int(n_rows)
+    meta.update(meta_update or {})
     _write_meta(dest, meta)
     return meta
+
+
+def indexed_batch_id(dest: str) -> int:
+    """The CDC-loop watermark: id of the last micro-batch whose rows this
+    index has absorbed (-1 before any). Maintained by the streaming
+    pipeline via ``meta_update`` so index maintenance that crashed after
+    the table commit is retried on batch replay instead of silently
+    skipped forever."""
+    return int(read_meta(dest).get("indexed_batch_id", -1))
+
+
+def note_indexed_batch(dest: str, batch_id: int) -> None:
+    """Advance the watermark for a batch that needed no index work."""
+    meta = read_meta(dest)
+    if int(meta.get("indexed_batch_id", -1)) < int(batch_id):
+        meta["indexed_batch_id"] = int(batch_id)
+        _write_meta(dest, meta)
 
 
 def retrain_recommended(meta: dict[str, Any], factor: float = 2.0) -> bool:
@@ -168,7 +197,10 @@ def compact_index(spark: SparkSession, dest: str) -> int:
         m["generation"] += 1
         _write_meta(dest, m)
 
-    return segstore.compact_segments(spark, dest, meta, SEG_PREFIX, publish)
+    return segstore.compact_segments(
+        spark, dest, meta, SEG_PREFIX, publish,
+        read_meta=lambda: read_meta(dest),
+    )
 
 
 def read_assignments(spark: SparkSession, dest: str) -> DataFrame:

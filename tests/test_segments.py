@@ -85,3 +85,82 @@ def test_crash_between_publish_and_unlink_is_consistent(spark, tmp_path):
     assert df.select("id").distinct().count() == 30  # no duplicate rows
     # originals still on disk (never unlinked) — invisible to readers
     assert len(segstore.scan_segment_names(dest, "seg")) == 3
+
+
+def test_legacy_meta_is_migrated_before_merge_lands(spark, tmp_path):
+    """A legacy index (meta without ``segments``) is served by directory
+    scan, so compaction must publish a migrated (meta-resolved) meta
+    BEFORE the merged file lands in the live directory — otherwise a
+    crash between merge-write and final publish leaves merged + originals
+    both visible to the fallback scan (permanent duplicates)."""
+    dest = str(tmp_path / "idx")
+    os.makedirs(dest)
+    a = segstore.write_single_parquet(spark.range(0, 10), dest, "seg")
+    b = segstore.write_single_parquet(spark.range(10, 30), dest, "seg")
+    publishes = []
+
+    class Boom(RuntimeError):
+        pass
+
+    def publish(m):
+        publishes.append({**m, "segments": list(m["segments"])})
+        if len(publishes) == 2:
+            raise Boom()  # crash at the final (commit) publish
+
+    meta = {}  # legacy: no 'segments' key
+    try:
+        segstore.compact_segments(spark, dest, meta, "seg", publish)
+        raise AssertionError("unreachable")
+    except Boom:
+        pass
+    # first publish = the migration, BEFORE any merged file was written
+    assert sorted(publishes[0]["segments"]) == sorted([a, b])
+    # the durable meta after the crash is the migration: readers resolve
+    # through it and see exactly the originals — 30 rows, no duplicates
+    df = segstore.read_segments(spark, dest, publishes[0], "seg")
+    assert df.count() == 30
+    assert df.select("id").distinct().count() == 30
+    # the merged straggler IS on disk (3 files) but never visible
+    assert len(segstore.scan_segment_names(dest, "seg")) == 3
+
+
+def test_concurrent_update_survives_compaction(spark, tmp_path):
+    """A segment published by a concurrent updater between compaction's
+    meta read and its commit publish must survive in the final list (the
+    lost-update window): compact re-reads via ``read_meta`` at the commit
+    point and unions the newcomers."""
+    import json
+
+    dest = str(tmp_path / "idx")
+    os.makedirs(dest)
+    meta_path = os.path.join(dest, "meta.json")
+    a = segstore.write_single_parquet(spark.range(0, 10), dest, "seg")
+    b = segstore.write_single_parquet(spark.range(10, 30), dest, "seg")
+
+    def write_meta(m):
+        with open(meta_path, "w") as fh:
+            json.dump(m, fh)
+
+    def read_meta():
+        with open(meta_path) as fh:
+            return json.load(fh)
+
+    write_meta({"segments": [a, b], "generation": 1})
+    compact_view = read_meta()  # compaction's initial read
+
+    # concurrent updater lands a third segment + bumps generation AFTER
+    # compaction read the meta
+    c = segstore.write_single_parquet(spark.range(30, 35), dest, "seg")
+    write_meta({"segments": [a, b, c], "generation": 2})
+
+    replaced = segstore.compact_segments(
+        spark, dest, compact_view, "seg", write_meta, read_meta=read_meta
+    )
+    assert replaced == 2
+    final = read_meta()
+    # merged(a+b) + the concurrent c — nothing lost
+    assert c in final["segments"] and len(final["segments"]) == 2
+    assert final["generation"] == 2  # the updater's bump survives too
+    df = segstore.read_segments(spark, dest, final, "seg")
+    assert df.count() == 35
+    assert df.select("id").distinct().count() == 35

@@ -171,6 +171,53 @@ def test_writer_commit_is_batchid_idempotent(spark, tmp_path):
     assert MoonlinkTable.open(spark, path).manifest.version == v1
 
 
+def test_writer_batchid_regression_raises_without_queryid(spark, tmp_path):
+    """A fresh-checkpoint restart restarts batch ids at 0; with no
+    queryId to scope the marker this must FAIL (not silently unlink the
+    staged data as a 'replay') — ADVICE r4."""
+    import os
+
+    path = str(tmp_path / "ao")
+    MoonlinkTable.create(spark, path, FIELDS, IdentityProp.none())
+    schema = T.StructType([T.StructField("id", T.LongType(), False),
+                           T.StructField("v", T.StringType(), True)])
+    w = MoonlinkStreamWriter({"path": path}, schema)
+    w.commit([MoonlinkCommitMessage(None, 0, 0)], batchId=5)
+    # stage a real file so we can check it is not silently dropped as data
+    staged = "data/stream-regress.parquet"
+    os.makedirs(os.path.join(path, "data"), exist_ok=True)
+    with open(os.path.join(path, staged), "wb") as fh:
+        fh.write(b"x")
+    with pytest.raises(RuntimeError, match="regressed"):
+        w.commit([MoonlinkCommitMessage(staged, 1, 1)], batchId=0)
+    # nothing was committed
+    assert MoonlinkTable.open(spark, path).manifest.properties[
+        "stream_writer_batch"
+    ] == 5
+
+
+def test_writer_queryid_scopes_idempotence_marker(spark, tmp_path):
+    """With queryId set, a NEW stream (fresh checkpoint, ids restart at
+    0) commits normally; replays within the SAME query stay idempotent."""
+    path = str(tmp_path / "ao")
+    MoonlinkTable.create(spark, path, FIELDS, IdentityProp.none())
+    schema = T.StructType([T.StructField("id", T.LongType(), False),
+                           T.StructField("v", T.StringType(), True)])
+    w1 = MoonlinkStreamWriter({"path": path, "queryid": "etl-a"}, schema)
+    w1.commit([MoonlinkCommitMessage(None, 0, 0)], batchId=0)
+    w1.commit([MoonlinkCommitMessage(None, 0, 0)], batchId=1)
+    v = MoonlinkTable.open(spark, path).manifest.version
+    # same query replays its last batch: no new version
+    w1.commit([MoonlinkCommitMessage(None, 0, 0)], batchId=1)
+    assert MoonlinkTable.open(spark, path).manifest.version == v
+    # different writer identity: batchId 0 is NOT a replay of etl-a's 0
+    w2 = MoonlinkStreamWriter({"path": path, "queryid": "etl-b"}, schema)
+    w2.commit([MoonlinkCommitMessage(None, 0, 0)], batchId=0)
+    m = MoonlinkTable.open(spark, path).manifest
+    assert m.version == v + 1
+    assert m.properties["stream_writer_query"] == "etl-b"
+
+
 def test_readstream_offset_past_retention_fails_loudly(spark, tmp_path):
     from moonlink_spark.integrations.spark_datasource import _cdc_events
 

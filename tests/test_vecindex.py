@@ -242,6 +242,69 @@ def test_streaming_ingest_maintains_index(spark, corpus, tmp_path):
     assert vecindex.retrain_recommended(meta)
 
 
+def test_index_maintenance_recovers_after_crash(spark, corpus, tmp_path):
+    """Crash window between the table commit and index maintenance: the
+    replayed batch (apply_cdc_batch -> None) must STILL be indexed —
+    the watermark in the index meta lags the table, so _foreach_batch
+    re-runs maintenance instead of skipping it forever (ADVICE r4)."""
+    from moonlink_spark.streaming.pipeline import (
+        StreamingIngestor,
+        apply_cdc_batch,
+        cdc_event_schema,
+    )
+    from moonlink_spark.table.identity import IdentityProp
+    from moonlink_spark.table.table import MoonlinkTable
+
+    base = corpus.filter(F.col("vec_id") < 200)
+    dest = str(tmp_path / "vidx")
+    vecindex.build_index(spark, base, dest, k=4, iters=1)
+    assert vecindex.indexed_batch_id(dest) == -1
+
+    t = MoonlinkTable.create(
+        spark,
+        str(tmp_path / "t"),
+        [
+            {"name": "vec_id", "data_type": "int64", "nullable": False},
+            {
+                "name": "embedding",
+                "data_type": "list",
+                "item": {"data_type": "float32"},
+            },
+        ],
+        IdentityProp.single("vec_id"),
+    )
+    ing = StreamingIngestor(
+        t,
+        source_dir=str(tmp_path / "spool"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        sync_vecindex=(dest, "embedding"),
+    )
+    new = corpus.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 230))
+    batch = new.select(
+        (F.col("vec_id") + 100).cast("bigint").alias("lsn"),
+        F.lit(None).cast("int").alias("xact_id"),
+        F.lit("insert").alias("op"),
+        F.struct("vec_id", "embedding").alias("row"),
+        F.lit(None).cast(cdc_event_schema(t.schema)["row"].dataType).alias(
+            "old_row"
+        ),
+    )
+    # "crash": the table commit lands but maintenance never runs
+    assert apply_cdc_batch(t, batch, 0) is not None
+    assert vecindex.indexed_batch_id(dest) == -1  # index is behind
+
+    # Spark replays batch 0 from the checkpoint after restart
+    ing._foreach_batch(batch, 0)
+    assert vecindex.indexed_batch_id(dest) == 0
+    assert vecindex.read_assignments(spark, dest).count() == 230
+    gen = vecindex.read_meta(dest)["generation"]
+
+    # a second replay of the same batch is a no-op (watermark-gated)
+    ing._foreach_batch(batch, 0)
+    assert vecindex.read_assignments(spark, dest).count() == 230
+    assert vecindex.read_meta(dest)["generation"] == gen
+
+
 def test_vector_index_over_http(spark, corpus, tmp_path):
     """Backend + HTTP surface: build the table-owned index, incrementally
     update from the change feed, check status, query top-k — all through
