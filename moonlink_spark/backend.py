@@ -303,9 +303,35 @@ class MoonlinkBackend:
             F.col(column).alias("embedding"),
         )
         dest = self._vecindex_dir(t, column)
+        carry: dict[str, Any] = {}
+        old_segments: list[str] = []
         if t.data_fs.isdir(dest):
-            t.data_fs.rmtree(dest)
-        return vecindex.build_index(self.spark, emb, dest, k=k, iters=iters)
+            try:
+                # the CDC-loop watermark survives a rebuild: the retrain
+                # scans the whole table, so every streamed batch is already
+                # inside — resetting it would double-index the next batch
+                old = vecindex.read_meta(dest)
+                if "indexed_batch_id" in old:
+                    carry["indexed_batch_id"] = old["indexed_batch_id"]
+                old_segments = list(old.get("segments") or [])
+            except FileNotFoundError:
+                pass
+        # REBUILD IN PLACE, never a wipe: build_index writes the new
+        # segment invisibly and atomically replaces the meta, so
+        # concurrent readers (status polls, queries, the maintenance
+        # ticker itself) always see a complete index — the old one until
+        # the publish instant, the new one after. Old segments unlink
+        # only after the publish (the segment-store compaction order).
+        meta = vecindex.build_index(
+            self.spark, emb, dest, k=k, iters=iters, meta_update=carry
+        )
+        for name in old_segments:
+            if name not in meta["segments"]:
+                try:
+                    os.unlink(os.path.join(dest, name))
+                except FileNotFoundError:
+                    pass
+        return meta
 
     def update_vector_index(
         self, database: str, table: str, column: str, since_lsn: int
@@ -350,6 +376,72 @@ class MoonlinkBackend:
             "stale_rows": meta.get("stale_rows", 0),
             "retrain_recommended": vecindex.retrain_recommended(meta),
         }
+
+    def maintain_vector_index(
+        self,
+        database: str,
+        table: str,
+        column: str,
+        min_segments_to_compact: int = 4,
+    ) -> dict[str, Any]:
+        """One maintenance tick for the table-owned IVF index — the
+        reference's threshold-triggered index maintenance
+        (``storage/index/index_merge_config.rs:9-21`` fires a merge when
+        small index blocks accumulate, driven off the handler timers,
+        ``table_handler_timer.rs``), plus the retrain trigger our drift
+        signal adds:
+
+        - ``retrain_recommended`` (stale rows or appended-vector
+          distortion drift) → full rebuild from the live table, keeping
+          k/iters and the CDC watermark;
+        - else ≥ ``min_segments_to_compact`` small segments (the
+          ``min_file_indices_to_merge`` analog) → crash-safe compaction.
+
+        Returns the action taken, so callers (tickers, ops endpoints) can
+        log it."""
+        from moonlink_spark.table import vecindex
+
+        t = self.get_table(database, table)
+        dest = self._vecindex_dir(t, column)
+        meta = vecindex.read_meta(dest)
+        if vecindex.retrain_recommended(meta):
+            rebuilt = self.build_vector_index(
+                database,
+                table,
+                column,
+                k=meta["k"],
+                iters=meta.get("iters", 3),
+            )
+            return {"action": "retrained", "generation": rebuilt["generation"]}
+        if len(meta.get("segments") or []) >= min_segments_to_compact:
+            replaced = vecindex.compact_index(self.spark, dest)
+            return {"action": "compacted", "replaced": replaced}
+        return {"action": "none"}
+
+    def start_vector_index_maintenance(
+        self,
+        database: str,
+        table: str,
+        column: str,
+        interval_s: float = 30.0,
+        min_segments_to_compact: int = 4,
+    ):
+        """Run :meth:`maintain_vector_index` on a periodic ticker (the
+        reference's timer-driven index-merge loop at the table handler).
+        Returns the started Ticker; call ``.stop()`` to shut down."""
+        from moonlink_spark.table.timers import Ticker
+
+        def tick():
+            self.maintain_vector_index(
+                database,
+                table,
+                column,
+                min_segments_to_compact=min_segments_to_compact,
+            )
+
+        return Ticker(
+            interval_s, tick, f"vecindex-{database}.{table}.{column}"
+        ).start()
 
     def query_vector_index(
         self,

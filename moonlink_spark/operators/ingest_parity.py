@@ -784,14 +784,14 @@ def ingest_avro_events_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's Kafka/Avro path (rest_ingest/avro_converter.rs:28-190)
     feeding the REST sink.
 
-    Fixture note: the encode+produce side collects the bounded subset
-    driver-side — it stands in for the external Kafka producer, not for
-    engine work; the table-side apply is the normal distributed append."""
-    from moonlink_spark.sources.avro_binary import encode_datum
+    The encode+produce side runs ON THE EXECUTORS (produce_df_avro via
+    foreachPartition, partition-disjoint offsets) — no rows pass through
+    the driver at any scale; the table-side apply is the normal
+    distributed append."""
     from moonlink_spark.sources.queue import (
         AvroQueueIngestor,
         FileQueueConsumer,
-        FileQueueProducer,
+        produce_df_avro,
     )
 
     subset = (
@@ -800,13 +800,7 @@ def ingest_avro_events_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
     )
     qdir = _tmp_table_dir("avroq")
-    producer = FileQueueProducer(qdir)
-    for r in subset.collect():  # external-producer stand-in (bounded subset)
-        producer.send(
-            encode_datum(_EVENTS_AVRO_SCHEMA, r.asDict()),
-            key=str(r.event_id).encode(),
-        )
-    producer.close()
+    produce_df_avro(subset, qdir, _EVENTS_AVRO_SCHEMA, key_col="event_id")
 
     t = MoonlinkTable.create(
         spark,

@@ -57,10 +57,7 @@ class FileQueueProducer:
             self._fh = open(self._segment, "ab")
             self._offset = self._next_offset()
         off = self._offset
-        klen = _NULL_KEY if key is None else len(key)
-        kbytes = b"" if key is None else key
-        frame = struct.pack(">QI", off, klen) + kbytes + value
-        self._fh.write(struct.pack(">I", len(frame)) + frame)
+        self._fh.write(_frame(off, key, value))
         self._offset += 1
         return off
 
@@ -74,6 +71,72 @@ class FileQueueProducer:
             self.flush()
             self._fh.close()
             self._fh = None
+
+
+def _frame(off: int, key: bytes | None, value: bytes) -> bytes:
+    """One length-prefixed wire frame (see module docstring)."""
+    klen = _NULL_KEY if key is None else len(key)
+    kbytes = b"" if key is None else key
+    payload = struct.pack(">QI", off, klen) + kbytes + value
+    return struct.pack(">I", len(payload)) + payload
+
+
+def produce_df_avro(
+    df,
+    queue_dir: str,
+    value_schema: dict | str,
+    key_col: str | None = None,
+    base_offset: int = 0,
+) -> None:
+    """Produce a DataFrame onto the queue FROM THE EXECUTORS — the
+    distributed producer (the Kafka producer-per-task shape). Each
+    partition Avro-encodes its rows and writes its own segment file via
+    ``foreachPartition``; no rows ever pass through the driver.
+
+    Offsets are partition-disjoint without coordination
+    (``base + (partition_id << 32) + local_index``); readers restore a
+    global order because ``iter_queue`` sorts by offset across segments.
+    Segments are staged under a non-segment name and published with an
+    atomic rename, so a task crash never leaves a torn segment visible.
+
+    The 'broker' is a shared directory: real on local mode and any
+    shared-fs cluster; on an object-store deployment swap the directory
+    for the store and this function for a real Kafka producer."""
+    from moonlink_spark.sources.avro_binary import encode_datum
+
+    schema = (
+        json.loads(value_schema)
+        if isinstance(value_schema, str)
+        else value_schema
+    )
+    qdir = os.path.abspath(queue_dir)
+    os.makedirs(qdir, exist_ok=True)
+
+    def _write_partition(rows) -> None:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fh = None
+        tmp = final = None
+        n = 0
+        for r in rows:
+            if fh is None:
+                name = f"segment-p{pid:05d}-{uuid.uuid4().hex[:12]}.log"
+                final = os.path.join(qdir, name)
+                tmp = os.path.join(qdir, f"_stage-{name}")
+                fh = open(tmp, "wb")
+            d = r.asDict()
+            off = base_offset + (pid << 32) + n
+            key = str(d[key_col]).encode() if key_col else None
+            fh.write(_frame(off, key, encode_datum(schema, d)))
+            n += 1
+        if fh is not None:
+            fh.flush()
+            os.fsync(fh.fileno())
+            fh.close()
+            os.replace(tmp, final)
+
+    df.foreachPartition(_write_partition)
 
 
 def iter_queue(queue_dir: str) -> Iterator[tuple[int, bytes | None, bytes]]:

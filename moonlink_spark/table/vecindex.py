@@ -82,8 +82,14 @@ def build_index(
     dest: str,
     k: int = 8,
     iters: int = 3,
+    meta_update: dict[str, Any] | None = None,
 ) -> dict[str, Any]:
-    """Create the index from a (vec_id, embedding) corpus."""
+    """Create the index from a (vec_id, embedding) corpus.
+
+    ``meta_update`` carries fields that must SURVIVE a rebuild (e.g. the
+    CDC loop's ``indexed_batch_id`` watermark — a retrain over the full
+    table already contains every streamed batch, so the watermark must
+    not reset or the next micro-batch would double-index)."""
     os.makedirs(dest, exist_ok=True)
     # one quantization pass serves both training and the final
     # assignment write (the persist holds it across all Lloyd iterations)
@@ -102,6 +108,7 @@ def build_index(
         "appended_rows": 0,
         "appended_sum_d2": 0,
     }
+    meta.update(meta_update or {})
     _write_meta(dest, meta)
     return meta
 

@@ -397,3 +397,107 @@ def test_vector_index_over_http(spark, corpus, tmp_path):
         assert status["stale_rows"] == 1 and status["retrain_recommended"]
     finally:
         svc.stop()
+
+
+def test_auto_retrain_timer_restores_recall(spark, corpus, tmp_path):
+    """The timer-driven maintenance loop (index_merge_config.rs trigger
+    parity): drifted inserts trip retrain_recommended, the ticker
+    retrains the table-owned index, and post-retrain recall@k for the
+    drifted queries is at least the stale-index recall."""
+    import time
+
+    import numpy as np
+
+    from moonlink_spark.backend import MoonlinkBackend
+    from moonlink_spark.table.identity import IdentityProp
+
+    be = MoonlinkBackend(spark, str(tmp_path / "wh"))
+    t = be.create_table(
+        "db",
+        "emb",
+        [
+            {"name": "vec_id", "data_type": "int64", "nullable": False},
+            {
+                "name": "embedding",
+                "data_type": "list",
+                "item": {"data_type": "float32"},
+            },
+        ],
+        identity=IdentityProp.single("vec_id"),
+    )
+    base = [
+        {"vec_id": r.vec_id, "embedding": [float(x) for x in r.embedding]}
+        for r in corpus.filter(F.col("vec_id") < 250).collect()
+    ]
+    t.append_rows(base)
+    t.commit(lsn=1)
+    be.build_vector_index("db", "emb", "embedding", k=4, iters=2)
+
+    # drifted cluster: far outside the training distribution
+    rng = np.random.default_rng(7)
+    dim = len(base[0]["embedding"])
+    drift_center = rng.normal(30.0, 1.0, dim)
+    drifted = [
+        {
+            "vec_id": 1_000_000 + i,
+            "embedding": [
+                float(x) for x in drift_center + rng.normal(0, 0.5, dim)
+            ],
+        }
+        for i in range(60)
+    ]
+    t.append_rows(drifted)
+    t.commit(lsn=2)
+    be.update_vector_index("db", "emb", "embedding", since_lsn=1)
+    status = be.vector_index_status("db", "emb", "embedding")
+    assert status["retrain_recommended"], "drift signal should have tripped"
+
+    def recall_at_k(query_ids, k=5):
+        # ground truth: brute-force cosine over the full live corpus
+        rows = t.scan().collect()
+        vecs = {r.vec_id: np.asarray(r.embedding, dtype=float) for r in rows}
+        hits = 0
+        for qid in query_ids:
+            qv = vecs[qid]
+
+            def cos(v):
+                return float(
+                    v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv) + 1e-12)
+                )
+
+            truth = sorted(
+                (i for i in vecs if i != qid),
+                key=lambda i: -cos(vecs[i]),
+            )[:k]
+            got = [
+                r.neighbor_id
+                for r in be.query_vector_index(
+                    "db", "emb", "embedding", [qid], topk=k, nprobe=1
+                ).collect()
+            ]
+            hits += len(set(truth) & set(got))
+        return hits / (k * len(query_ids))
+
+    qids = [1_000_000 + i for i in range(5)]
+    stale_recall = recall_at_k(qids)
+
+    ticker = be.start_vector_index_maintenance(
+        "db", "emb", "embedding", interval_s=0.3
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            s = be.vector_index_status("db", "emb", "embedding")
+            if not s["retrain_recommended"] and s["appended_rows"] == 0:
+                break
+            time.sleep(0.3)
+        else:
+            raise AssertionError("timer never retrained the index")
+    finally:
+        ticker.stop()
+
+    post_recall = recall_at_k(qids)
+    assert post_recall >= stale_recall
+    # the retrained index must answer drifted queries well: their true
+    # neighbors are other drifted points in a tight, now-centroided blob
+    assert post_recall >= 0.8, f"post-retrain recall {post_recall}"
