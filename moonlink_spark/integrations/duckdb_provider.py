@@ -121,3 +121,81 @@ def attach_moonlink_table(
     finally:
         client.close()
     return view
+
+
+def attach_iceberg_point_lookup(
+    con: Any,
+    dest: str,
+    key_hashes: list[int],
+    view_name: str,
+) -> dict[str, Any]:
+    """Register a DuckDB view over an EXPORTED Iceberg table that serves a
+    point lookup through the table's ``mooncake-hash-index-v1`` blobs:
+    only the index-pruned data files are opened (never the full file
+    list), and the snapshot's Puffin deletion vectors are applied. The
+    caller still filters the view by the actual key values — hash hits
+    are a superset on collision.
+
+    This is the exported-table analog of the reference's index-served
+    point lookup (``persisted_bucket_hash_map.rs search_values`` over
+    FileIndexBlobs loaded from Iceberg), expressed in DuckDB's algebra
+    like the rest of this provider. Returns
+    ``{"view": ..., "pruned_files": n, "total_files": n}`` so callers can
+    assert the pruning actually happened."""
+    from moonlink_spark.table.iceberg_export import (
+        iceberg_index_lookup,
+        read_iceberg_deletion_vectors,
+        read_iceberg_live_files,
+    )
+
+    if not _IDENT.match(view_name):
+        raise ValueError(f"invalid view name {view_name!r}")
+    lookup = iceberg_index_lookup(dest, key_hashes)
+    all_files = read_iceberg_live_files(dest)
+    if not lookup["files"]:
+        # no hash hit anywhere: a well-typed empty view from any live file
+        files = ", ".join(_quote_path(p) for p in all_files)
+        con.execute(
+            f"CREATE OR REPLACE VIEW {view_name} AS "
+            f"SELECT * FROM read_parquet([{files}], union_by_name=true) "
+            "WHERE 1=0"
+        )
+        return {"view": view_name, "pruned_files": 0, "total_files": len(all_files)}
+    dvs = read_iceberg_deletion_vectors(dest)
+    dead = {
+        (f, p)
+        for f, ps in dvs.items()
+        if f in set(lookup["files"])
+        for p in ps
+    }
+    files = ", ".join(_quote_path(p) for p in lookup["files"])
+    if dead:
+        import pyarrow as pa
+
+        dv = pa.table(
+            {
+                "file_path": [f for f, _ in dead],
+                "row_index": [p for _, p in dead],
+            },
+            schema=pa.schema(
+                [("file_path", pa.string()), ("row_index", pa.int64())]
+            ),
+        )
+        dv_name = f"__mls_ixdv_{view_name}"
+        con.register(dv_name, dv)
+        rel = (
+            "SELECT * EXCLUDE (filename, file_row_number) "
+            f"FROM read_parquet([{files}], filename=true, "
+            "file_row_number=true, union_by_name=true) t "
+            f"WHERE NOT EXISTS (SELECT 1 FROM {dv_name} d "
+            "WHERE d.file_path = t.filename "
+            "AND d.row_index = t.file_row_number)"
+        )
+    else:
+        rel = f"SELECT * FROM read_parquet([{files}], union_by_name=true)"
+    con.execute(f"CREATE OR REPLACE VIEW {view_name} AS {rel}")
+    return {
+        "view": view_name,
+        "pruned_files": len(lookup["files"]),
+        "total_files": len(all_files),
+    }

@@ -103,7 +103,10 @@ PRIORITY_50 = [
     "grouping_sets_returns",
     "percentiles_by_flag",
     "argminmax_parts_per_brand",
-    "event_value_statistics",
+    # r5: the exported-table index point-lookup takes event_value_statistics'
+    # slot (driver-green r4; aggregations stay covered by percentiles /
+    # argminmax / regression_per_event_type / grouping_sets above)
+    "ingest_export_keyindex_lookup",  # NEW r5: index blobs prune the scan
     "customers_above_nation_avg",
     "conditional_expressions",
     # ROUND-5 ROTATION: the two queries added after r4's final slate

@@ -744,6 +744,108 @@ def ingest_export_iceberg_dv_scan(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "ingest_export_keyindex_lookup",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderpriority
+FROM orders
+WHERE o_orderkey % 3 = 1 AND o_orderkey % 97 = 31 AND o_orderkey % 7 <> 0
+""",
+    category="ingest",
+)
+def ingest_export_keyindex_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-accelerated point lookup on an EXPORTED Iceberg table: the
+    key hash index ships as ``mooncake-hash-index-v1`` Puffin blobs at
+    export (parity FileIndexBlob, storage/table/iceberg/index.rs:20-22 +
+    iceberg_table_syncer.rs import_one_file_index :118-160), and the
+    lookup consumes those blobs to prune the file set BEFORE any data
+    file is opened (persisted_bucket_hash_map.rs search_values parity on
+    the exported side). Deleted rows are masked by the snapshot's Puffin
+    deletion vectors.
+
+    The three appends interleave keys mod 3, so every file's min/max
+    spans the whole key domain and stats pruning is useless — but all
+    probe keys are ≡1 mod 3, so the hash index narrows the scan to the
+    second append's files only; the query ASSERTS the plan reads a
+    strict subset of the live files.
+
+    Scale shape: the index probe is O(index blocks touched) driver-side
+    metadata work (hash-range-partitioned blocks skip on parquet stats);
+    the data read is a parquet scan of only the pruned files with an
+    IN-list filter pushed down; DV masking is a broadcast anti-join of
+    the deleted positions for those files only."""
+    from moonlink_spark.table.iceberg_export import (
+        export_iceberg,
+        iceberg_index_lookup,
+        read_iceberg_deletion_vectors,
+        read_iceberg_live_files,
+    )
+
+    base = _orders_df(spark, sf_dir)
+    t = MoonlinkTable.create(
+        spark,
+        _tmp_table_dir("kixexp"),
+        ORDERS_FIELDS,
+        IdentityProp.single("o_orderkey"),
+        key_index=True,
+    )
+    for rem in range(3):
+        t.append_df(base.filter(F.col("o_orderkey") % 3 == rem))
+        t.commit(lsn=rem + 1)
+    t.delete_keys_df(
+        base.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    )
+    t.commit(lsn=4)
+
+    dest = _tmp_table_dir("kixexp-dest")
+    summary = export_iceberg(t, dest)
+    assert summary["file_index_puffin"], "export shipped no index blobs"
+
+    # probe keys: include keys the DVs deleted — the lookup must drop them
+    probe = base.filter(
+        (F.col("o_orderkey") % 3 == 1) & (F.col("o_orderkey") % 97 == 31)
+    ).select("o_orderkey", F.xxhash64("o_orderkey").alias("h"))
+    probes = probe.collect()
+    keys = [int(r.o_orderkey) for r in probes]
+    assert keys, "probe key set is empty at this SF"
+
+    lookup = iceberg_index_lookup(dest, [int(r.h) for r in probes])
+    all_files = read_iceberg_live_files(dest)
+    assert lookup["files"], "index lookup found no covering files"
+    assert len(lookup["files"]) < len(all_files), (
+        "index pruning read every file: "
+        f"{len(lookup['files'])}/{len(all_files)}"
+    )
+
+    df = spark.read.parquet(*lookup["files"]).filter(
+        F.col("o_orderkey").isin(keys)
+    )
+    dvs = read_iceberg_deletion_vectors(dest)
+    pruned_set = set(lookup["files"])
+    pairs = [
+        (f, int(p))
+        for f, ps in dvs.items()
+        if f in pruned_set
+        for p in ps
+    ]
+    if pairs:
+        df = df.select(
+            "*",
+            F.regexp_replace(
+                F.col("_metadata.file_path"), r"^file:(//)?", ""
+            ).alias("__fp"),
+            F.col("_metadata.row_index").alias("__ri"),
+        )
+        dv_df = spark.createDataFrame(pairs, "__fp STRING, __ri BIGINT")
+        df = df.join(F.broadcast(dv_df), ["__fp", "__ri"], "left_anti").drop(
+            "__fp", "__ri"
+        )
+    return df.withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("double")
+    )
+
+
 _EVENTS_AVRO_SCHEMA = {
     "type": "record",
     "name": "event",

@@ -1037,6 +1037,64 @@ def read_iceberg_deletion_vectors(dest: str) -> dict[str, list[int]]:
     return out
 
 
+def iceberg_index_lookup(
+    dest: str, key_hashes: list[int]
+) -> dict[str, Any]:
+    """Point-lookup FILE PRUNING on an exported Iceberg table: resolve
+    which data files can contain rows whose xxhash64 key hash is in
+    ``key_hashes`` by consulting the ``mooncake-hash-index-v1`` blobs —
+    no data file is opened (parity: the reference loads FileIndexBlobs
+    back and point-looks-up through them instead of scanning,
+    storage/table/iceberg/index.rs:115+ / persisted_bucket_hash_map.rs
+    ``search_values``).
+
+    Index blocks are hash-range partitioned at build time
+    (``keyindex.build_entries`` repartitionByRange on ``h``), so blocks
+    whose footer min/max excludes every probe hash are skipped from their
+    parquet STATS alone — the lookup cost is O(blocks touched), not
+    O(index rows), which is what keeps this viable when the index itself
+    is large.
+
+    Returns ``{"files": [pruned data file paths],
+    "positions": [(data_file, row_index), ...]}`` — positions are the
+    exact index hits (callers must still mask deletion vectors and
+    re-check key equality; hash hits can be a superset on collision)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    probes = sorted(set(int(h) for h in key_hashes))
+    probe_arr = pa.array(probes, pa.int64())
+    files: set[str] = set()
+    positions: list[tuple[str, int]] = []
+    for e in read_iceberg_key_index(dest):
+        src_to_data = dict(zip(e["source_paths"], e["data_files"]))
+        for block in e["index_block_files"]:
+            md = pq.read_metadata(block)
+            touch = False
+            for rg in range(md.num_row_groups):
+                stats = md.row_group(rg).column(0).statistics
+                if stats is None or not stats.has_min_max:
+                    touch = True
+                    break
+                if any(stats.min <= h <= stats.max for h in probes):
+                    touch = True
+                    break
+            if not touch:
+                continue
+            tbl = pq.read_table(block, columns=["h", "__fp", "__ri"])
+            mask = pc.is_in(tbl.column("h"), value_set=probe_arr)
+            hits = tbl.filter(mask)
+            for fp, ri in zip(
+                hits.column("__fp").to_pylist(), hits.column("__ri").to_pylist()
+            ):
+                data_file = src_to_data.get(fp)
+                if data_file is not None:
+                    files.add(data_file)
+                    positions.append((data_file, int(ri)))
+    return {"files": sorted(files), "positions": positions}
+
+
 # --------------------------------------------------------------------------- #
 # Avro reading (decoder for the writer's subset; used by read-back +
 # independent of the JVM cross-check in tests)

@@ -143,3 +143,63 @@ def test_materialized_attach_survives_optimize(backend_rpc):
 
     vacuum(t, keep_versions=1)
     assert con.execute(f"SELECT COUNT(*) FROM {view}").fetchone()[0] == 30
+
+
+def test_iceberg_point_lookup_prunes_files(spark, tmp_path):
+    """attach_iceberg_point_lookup: an exported table's hash-index blobs
+    narrow the DuckDB scan to the covering files only, with deletion
+    vectors applied; a miss yields a typed empty view."""
+    from pyspark.sql import functions as F
+
+    from moonlink_spark.integrations.duckdb_provider import (
+        attach_iceberg_point_lookup,
+    )
+    from moonlink_spark.table.iceberg_export import export_iceberg
+    from moonlink_spark.table.identity import IdentityProp
+    from moonlink_spark.table.table import MoonlinkTable
+
+    t = MoonlinkTable.create(
+        spark,
+        str(tmp_path / "t"),
+        [
+            {"name": "id", "data_type": "int64", "nullable": False},
+            {"name": "v", "data_type": "string"},
+        ],
+        IdentityProp.single("id"),
+        key_index=True,
+    )
+    # three interleaved appends: every file spans the whole id domain
+    for rem in range(3):
+        t.append_rows(
+            [{"id": i, "v": f"v{i}"} for i in range(600) if i % 3 == rem]
+        )
+        t.commit(lsn=rem + 1)
+    t.delete_rows([{"id": 7}])  # a DV'd probe target
+    t.commit(lsn=4)
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest)
+
+    # probes all ≡ 1 mod 3 (one append's files), including deleted id 7
+    probe_ids = [1, 7, 103, 400]
+    hashes = [
+        r.h
+        for r in spark.createDataFrame([(i,) for i in probe_ids], "id: long")
+        .select(F.xxhash64("id").alias("h"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    info = attach_iceberg_point_lookup(con, dest, hashes, "pt")
+    assert 0 < info["pruned_files"] < info["total_files"]
+    got = sorted(
+        r[0]
+        for r in con.execute(
+            "SELECT id FROM pt WHERE id IN (1, 7, 103, 400)"
+        ).fetchall()
+    )
+    assert got == [1, 103, 400]  # id 7 masked by the deletion vector
+
+    # miss: hash with no index entry -> empty but well-typed view
+    info2 = attach_iceberg_point_lookup(con, dest, [123456789], "pt_miss")
+    assert info2["pruned_files"] == 0
+    assert con.execute("SELECT COUNT(*) FROM pt_miss").fetchone()[0] == 0
+    assert [d[0] for d in con.execute("SELECT * FROM pt_miss LIMIT 0").description] == ["id", "v"]
