@@ -1,0 +1,446 @@
+"""S3-protocol object store: an accessor speaking the S3 REST surface
+over HTTP, plus an in-process S3 server for jar-free end-to-end tests.
+
+Parity: the reference ships concrete object-store accessors wrapped in
+retry/timeout/chaos layers (``storage/filesystem/accessor/
+filesystem_accessor.rs``, ``accessor_config.rs``); its S3 tests run the
+same code against a local S3-compatible endpoint
+(``storage/filesystem/s3/s3_test_utils.rs``). This module does the same
+with public-protocol building blocks only:
+
+- :class:`S3HttpFS` implements the control-plane filesystem seam
+  (``table/fs.py``) by issuing REAL S3 REST calls — ``PUT``/``GET``/
+  ``HEAD``/``DELETE`` object, ``ListObjectsV2`` (with prefix +
+  continuation), server-side ``CopyObject`` via ``x-amz-copy-source``,
+  and conditional create via ``If-None-Match: *`` (the S3 primitive that
+  makes single-winner commits possible; 412 = lost the race). 5xx and
+  connection failures surface as :class:`TransientStoreError` and ride
+  the same bounded-retry loop as the in-memory accessor, so a real
+  ``s3://`` deployment exercises exactly this code path with only the
+  endpoint/credentials changed.
+- :class:`S3MemServer` is an in-process ThreadingHTTPServer implementing
+  that REST subset over :class:`InMemoryObjectStore` — the local stand-in
+  for a bucket (no network, no SDK). ``throttle_every=N`` makes it
+  return ``503 SlowDown`` periodically, the real-world throttle shape the
+  retry layer must absorb.
+
+Not implemented (documented, fail-loud): multipart upload (control-plane
+objects are small manifests/WAL lines), authentication (an in-process
+test server; a real deployment signs requests in ``_request``).
+"""
+
+from __future__ import annotations
+
+import http.client
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import BinaryIO, TextIO
+from xml.etree import ElementTree
+from xml.sax.saxutils import escape
+
+from moonlink_spark.table.fs import (
+    ChaosPolicy,
+    CommitRaceLost,
+    InMemoryObjectStore,
+    TransientStoreError,
+)
+
+_MAX_KEYS_DEFAULT = 1000
+
+
+class S3MemServer:
+    """In-process S3-compatible endpoint over an InMemoryObjectStore."""
+
+    def __init__(
+        self,
+        store: InMemoryObjectStore | None = None,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        throttle_every: int = 0,
+    ):
+        self.store = store or InMemoryObjectStore()
+        self.throttled = 0
+        self._req_count = 0
+        self._lock = threading.Lock()
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _throttle(self) -> bool:
+                if not throttle_every:
+                    return False
+                with server._lock:
+                    server._req_count += 1
+                    if server._req_count % throttle_every == 0:
+                        server.throttled += 1
+                        return True
+                return False
+
+            def _send(self, code: int, body: bytes = b"", ctype="application/xml"):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _error(self, code: int, s3code: str):
+                body = (
+                    f"<Error><Code>{s3code}</Code>"
+                    f"<Message>{s3code}</Message></Error>"
+                ).encode()
+                self._send(code, body)
+
+            def _key(self) -> tuple[str, str, dict]:
+                parsed = urllib.parse.urlparse(self.path)
+                q = dict(urllib.parse.parse_qsl(parsed.query, keep_blank_values=True))
+                path = urllib.parse.unquote(parsed.path).lstrip("/")
+                bucket, _, key = path.partition("/")
+                return bucket, key, q
+
+            def do_GET(self):
+                if self._throttle():
+                    return self._error(503, "SlowDown")
+                bucket, key, q = self._key()
+                if not key and ("list-type" in q or "prefix" in q):
+                    return self._list(bucket, q)
+                try:
+                    data = server.store.get(f"{bucket}/{key}")
+                except FileNotFoundError:
+                    return self._error(404, "NoSuchKey")
+                self._send(200, data, ctype="application/octet-stream")
+
+            def do_HEAD(self):
+                if self._throttle():
+                    return self._error(503, "SlowDown")
+                bucket, key, _ = self._key()
+                try:
+                    data = server.store.get(f"{bucket}/{key}")
+                except FileNotFoundError:
+                    self.send_response(404)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+
+            def do_PUT(self):
+                if self._throttle():
+                    return self._error(503, "SlowDown")
+                bucket, key, _ = self._key()
+                src = self.headers.get("x-amz-copy-source")
+                if src is not None:
+                    try:
+                        data = server.store.get(
+                            urllib.parse.unquote(src).lstrip("/")
+                        )
+                    except FileNotFoundError:
+                        return self._error(404, "NoSuchKey")
+                else:
+                    length = int(self.headers.get("Content-Length", 0))
+                    data = self.rfile.read(length)
+                if self.headers.get("If-None-Match") == "*":
+                    if not server.store.put_if_absent(f"{bucket}/{key}", data):
+                        return self._error(412, "PreconditionFailed")
+                else:
+                    server.store.put(f"{bucket}/{key}", data)
+                self._send(200, b"")
+
+            def do_DELETE(self):
+                if self._throttle():
+                    return self._error(503, "SlowDown")
+                bucket, key, _ = self._key()
+                server.store.delete(f"{bucket}/{key}")  # idempotent, like S3
+                self._send(204, b"")
+
+            def _list(self, bucket: str, q: dict):
+                prefix = q.get("prefix", "")
+                delimiter = q.get("delimiter", "")
+                max_keys = int(q.get("max-keys", _MAX_KEYS_DEFAULT))
+                start_after = q.get("continuation-token", "")
+                keys = [
+                    k[len(bucket) + 1:]
+                    for k in server.store.keys_with_prefix(f"{bucket}/{prefix}")
+                ]
+                if start_after:
+                    keys = [k for k in keys if k > start_after]
+                contents: list[str] = []
+                common: list[str] = []
+                for k in keys:
+                    if delimiter:
+                        rest = k[len(prefix):]
+                        if delimiter in rest:
+                            cp = prefix + rest.split(delimiter, 1)[0] + delimiter
+                            if cp not in common:
+                                common.append(cp)
+                            continue
+                    contents.append(k)
+                    if len(contents) >= max_keys:
+                        break
+                truncated = bool(contents) and (
+                    contents[-1] != (keys[-1] if keys else "")
+                    and len(contents) >= max_keys
+                )
+                parts = [
+                    "<?xml version=\"1.0\" encoding=\"UTF-8\"?>",
+                    "<ListBucketResult>",
+                    f"<IsTruncated>{'true' if truncated else 'false'}</IsTruncated>",
+                ]
+                if truncated:
+                    parts.append(
+                        "<NextContinuationToken>"
+                        f"{escape(contents[-1])}</NextContinuationToken>"
+                    )
+                for k in contents:
+                    data = server.store.get(f"{bucket}/{k}")
+                    parts.append(
+                        f"<Contents><Key>{escape(k)}</Key>"
+                        f"<Size>{len(data)}</Size></Contents>"
+                    )
+                for cp in common:
+                    parts.append(
+                        f"<CommonPrefixes><Prefix>{escape(cp)}</Prefix>"
+                        "</CommonPrefixes>"
+                    )
+                parts.append("</ListBucketResult>")
+                self._send(200, "".join(parts).encode())
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = self.httpd.server_address
+        self._thread: threading.Thread | None = None
+
+    @property
+    def endpoint(self) -> str:
+        return f"http://{self.host}:{self.port}"
+
+    def start(self) -> "S3MemServer":
+        self._thread = threading.Thread(
+            target=self.httpd.serve_forever, name="s3mem-server", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+
+
+class S3HttpFS:
+    """The control-plane filesystem seam over the S3 REST protocol.
+
+    Paths look like ``<scheme>://bucket/key/parts``; the scheme is
+    whatever the warehouse registered (``register_fs_scheme("s3mem",
+    lambda path: S3HttpFS(endpoint))``). Every call goes through the
+    bounded retry loop; 5xx (throttle) and socket errors are transient,
+    4xx are not."""
+
+    def __init__(
+        self,
+        endpoint: str,
+        chaos: ChaosPolicy | None = None,
+        retries: int = 4,
+        backoff_s: float = 0.0,
+        timeout_s: float = 10.0,
+    ):
+        u = urllib.parse.urlparse(endpoint)
+        self.host = u.hostname
+        self.port = u.port or 80
+        self.chaos = chaos
+        self.retries = retries
+        self.backoff_s = backoff_s
+        self.timeout_s = timeout_s
+
+    # -- HTTP plumbing -------------------------------------------------------
+
+    @staticmethod
+    def _bucket_key(path: str) -> tuple[str, str]:
+        rest = path.split("://", 1)[1] if "://" in path else path
+        bucket, _, key = rest.partition("/")
+        return bucket, key.rstrip("/")
+
+    def _request(
+        self,
+        op: str,
+        method: str,
+        url: str,
+        body: bytes | None = None,
+        headers: dict | None = None,
+        ok: tuple = (200, 204),
+    ) -> tuple[int, bytes]:
+        """One S3 call under the retry loop. Returns (status, body) for
+        ``ok`` statuses and 404/412 (callers branch on those); raises
+        TransientStoreError on 5xx / connection failure until retries are
+        exhausted. A real deployment adds request signing here."""
+        import time as _time
+
+        attempt = 0
+        while True:
+            try:
+                if self.chaos is not None:
+                    self.chaos.check(op)
+                conn = http.client.HTTPConnection(
+                    self.host, self.port, timeout=self.timeout_s
+                )
+                try:
+                    conn.request(method, url, body=body, headers=headers or {})
+                    resp = conn.getresponse()
+                    data = resp.read()
+                    status = resp.status
+                finally:
+                    conn.close()
+                if status >= 500:
+                    raise TransientStoreError(f"s3 {op}: HTTP {status}")
+                if status in ok or status in (404, 412):
+                    return status, data
+                raise OSError(f"s3 {op} {url}: HTTP {status} {data[:200]!r}")
+            except (TransientStoreError, ConnectionError, http.client.HTTPException) as e:
+                attempt += 1
+                if attempt > self.retries:
+                    if isinstance(e, TransientStoreError):
+                        raise
+                    raise TransientStoreError(str(e)) from e
+                if self.backoff_s:
+                    _time.sleep(self.backoff_s * attempt)
+
+    def _obj_url(self, path: str) -> str:
+        bucket, key = self._bucket_key(path)
+        return "/" + bucket + "/" + urllib.parse.quote(key)
+
+    # -- listing -------------------------------------------------------------
+
+    def _list_keys(self, path: str, delimiter: str = "") -> list[str]:
+        """ListObjectsV2 with continuation: all keys (or first-level
+        children when ``delimiter='/'``) under ``path`` + '/'."""
+        bucket, key = self._bucket_key(path)
+        prefix = key + "/" if key else ""
+        out: list[str] = []
+        token = ""
+        while True:
+            q = {"list-type": "2", "prefix": prefix}
+            if delimiter:
+                q["delimiter"] = delimiter
+            if token:
+                q["continuation-token"] = token
+            url = "/" + bucket + "?" + urllib.parse.urlencode(q)
+            _, data = self._request("list", "GET", url)
+            root = ElementTree.fromstring(data)
+            for c in root.findall("Contents/Key"):
+                out.append(c.text or "")
+            for cp in root.findall("CommonPrefixes/Prefix"):
+                out.append(cp.text or "")
+            token_el = root.find("NextContinuationToken")
+            if root.findtext("IsTruncated") == "true" and token_el is not None:
+                token = token_el.text or ""
+            else:
+                return out
+
+    # -- seam surface --------------------------------------------------------
+
+    def makedirs(self, path: str) -> None:
+        pass  # directories are implicit prefixes
+
+    def isdir(self, path: str) -> bool:
+        return bool(self._list_keys(path))
+
+    def listdir(self, path: str) -> list[str]:
+        _, key = self._bucket_key(path)
+        prefix = key + "/" if key else ""
+        children = []
+        for k in self._list_keys(path, delimiter="/"):
+            child = k[len(prefix):].rstrip("/")
+            if child and child not in children:
+                children.append(child)
+        return children
+
+    def rmtree(self, path: str) -> None:
+        bucket, _ = self._bucket_key(path)
+        for k in self._list_keys(path):
+            self._request(
+                "delete", "DELETE", "/" + bucket + "/" + urllib.parse.quote(k)
+            )
+
+    def exists(self, path: str) -> bool:
+        status, _ = self._request("head", "HEAD", self._obj_url(path))
+        return status == 200
+
+    def getsize(self, path: str) -> int:
+        status, data = self._request("get", "GET", self._obj_url(path))
+        if status == 404:
+            raise FileNotFoundError(path)
+        return len(data)
+
+    def _get(self, path: str) -> bytes:
+        status, data = self._request("get", "GET", self._obj_url(path))
+        if status == 404:
+            raise FileNotFoundError(path)
+        return data
+
+    def open_read(self, path: str) -> TextIO:
+        import io
+
+        return io.StringIO(self._get(path).decode("utf-8"))
+
+    def open_read_binary(self, path: str) -> BinaryIO:
+        import io
+
+        return io.BytesIO(self._get(path))
+
+    def write_text_durable(self, path: str, data: str) -> None:
+        self._request(
+            "put", "PUT", self._obj_url(path), body=data.encode("utf-8")
+        )
+
+    def append_text_durable(self, path: str, data: str) -> None:
+        # S3 has no append: read-modify-write, safe for the
+        # single-writer-per-table WAL journal (same contract as the
+        # in-memory accessor)
+        try:
+            old = self._get(path)
+        except FileNotFoundError:
+            old = b""
+        self._request(
+            "put", "PUT", self._obj_url(path), body=old + data.encode("utf-8")
+        )
+
+    def unlink(self, path: str) -> None:
+        if not self.exists(path):
+            raise FileNotFoundError(path)
+        self._request("delete", "DELETE", self._obj_url(path))
+
+    def copyfile(self, src: str, dst: str) -> None:
+        bucket, key = self._bucket_key(src)
+        status, _ = self._request(
+            "copy",
+            "PUT",
+            self._obj_url(dst),
+            headers={"x-amz-copy-source": "/" + bucket + "/" + key},
+        )
+        if status == 404:
+            raise FileNotFoundError(src)
+
+    def rename(self, src: str, dst: str) -> None:
+        self.copyfile(src, dst)
+        self._request("delete", "DELETE", self._obj_url(src))
+
+    def publish_exclusive(self, tmp: str, final: str) -> None:
+        """Single-winner commit via conditional create (``If-None-Match:
+        *``): exactly one concurrent publisher gets 200, the rest get 412
+        — the property ManifestStore's version commit relies on."""
+        data = self._get(tmp)
+        status, _ = self._request(
+            "put",
+            "PUT",
+            self._obj_url(final),
+            body=data,
+            headers={"If-None-Match": "*"},
+        )
+        self._request("delete", "DELETE", self._obj_url(tmp))
+        if status == 412:
+            raise CommitRaceLost(final)
