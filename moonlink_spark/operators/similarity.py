@@ -356,6 +356,42 @@ def assign_ivf_clusters(spark, emb_q: DataFrame, cents_list) -> DataFrame:
     )
 
 
+def probe_ivf_clusters(
+    spark, emb_q: DataFrame, cents_list, nprobe: int
+) -> DataFrame:
+    """Top-``nprobe`` nearest centroids per quantized vector: the
+    multiprobe selection as the SAME zero-Exchange broadcast map as
+    ``assign_ivf_clusters`` (one k x dim matrix ride-along, struct sort
+    ties on cluster_id — identical ordering to the oracle's ORDER BY d2,
+    cluster_id). Returns (vec_id, probe_cluster, d2), nprobe rows per
+    vector."""
+    cdf = spark.createDataFrame(
+        [([[int(x) for x in cent] for _, cent in cents_list],)],
+        "cents: array<array<bigint>>",
+    )
+    cand = F.transform(
+        F.col("cents"),
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("v"), c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, w: acc + w,
+            ).alias("d2"),
+            i.cast("bigint").alias("cluster_id"),
+        ),
+    )
+    probes = F.slice(F.array_sort(cand), 1, nprobe)
+    return (
+        emb_q.join(F.broadcast(cdf))
+        .select("vec_id", F.explode(probes).alias("p"))
+        .select(
+            "vec_id",
+            F.col("p.cluster_id").alias("probe_cluster"),
+            F.col("p.d2").alias("d2"),
+        )
+    )
+
+
 def train_ivf_centroids(spark, emb_q: DataFrame, k: int = 8, iters: int = 3):
     """Integer-exact Lloyd training over a quantized (vec_id, v) corpus;
     returns the ordered [(cluster_id, centroid_ints)] list. Deterministic

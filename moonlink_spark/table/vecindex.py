@@ -231,31 +231,27 @@ def query_topk(
     and only candidates are cosine-scored. Returns
     (query_id, neighbor_id, cosine, rn).
 
-    Scale shape: assignments join is an equi-join on cluster_id; the
-    probe set is broadcast; the corpus is scanned once to re-attach
-    embeddings for the candidate clusters only."""
+    Scale shape: probe selection is the same zero-Exchange broadcast
+    centroid map the assign path uses (``probe_ivf_clusters`` — no
+    driver math, so a million-query batch probes exactly like ten);
+    assignments join is an equi-join on cluster_id; the probe set is
+    broadcast; the corpus is scanned once to re-attach embeddings for
+    the candidate clusters only."""
     from pyspark.sql import Window
 
-    from moonlink_spark.operators.similarity import _dot, _norm
+    from moonlink_spark.operators.similarity import (
+        _dot,
+        _norm,
+        probe_ivf_clusters,
+    )
 
     meta = read_meta(dest)
     cents = _centroids(meta)
-    q = quantize_embeddings_1e6(
+    qv = quantize_embeddings_1e6(
         emb.filter(F.col("vec_id").isin([int(i) for i in query_ids]))
-    ).collect()
-    probes = []  # (query_id, probe_cluster)
-    for r in q:
-        d2s = sorted(
-            (
-                sum((a - b) * (a - b) for a, b in zip(r.v, cent)),
-                cid,
-            )
-            for cid, cent in cents
-        )
-        for _, cid in d2s[:nprobe]:
-            probes.append((int(r.vec_id), int(cid)))
-    probe_df = spark.createDataFrame(
-        probes, "query_id bigint, probe_cluster bigint"
+    )
+    probe_df = probe_ivf_clusters(spark, qv, cents, nprobe).select(
+        F.col("vec_id").alias("query_id"), "probe_cluster"
     )
     inv = read_assignments(spark, dest)
     cand = inv.join(
