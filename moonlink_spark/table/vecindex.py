@@ -70,8 +70,13 @@ def _write_assignments(
         "vec_id", "cluster_id", "d2"
     )
     name = segstore.write_single_parquet(assigned, dest, SEG_PREFIX)
+    # d2 sums in DECIMAL(38,0): a BIGINT sum overflows at scale (billions
+    # of rows x ~1e14 per-row distortion — hit in practice by the 10x
+    # scale validation with wide-magnitude vectors); decimal sums of
+    # integers stay exact, and the meta stores Python ints (unbounded)
     stats = spark.read.parquet(os.path.join(dest, name)).agg(
-        F.count(F.lit(1)).alias("n"), F.sum("d2").alias("sd2")
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("d2").cast("decimal(38,0)")).alias("sd2"),
     ).collect()[0]
     return name, int(stats.n or 0), int(stats.sd2 or 0)
 

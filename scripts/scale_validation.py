@@ -46,18 +46,20 @@ def main() -> int:
     from moonlink_spark.session import get_spark
     from scripts.gen_scale_corpus import gen
 
+    # Create the session FIRST: gen() would otherwise boot the JVM with
+    # the 1g default and getOrCreate would silently ignore the memory
+    # setting here. In local mode the driver JVM hosts the executors too,
+    # so this heap is the whole cluster's memory — size it for the sf1
+    # pass (on a real cluster this is executor memory, not driver state).
+    spark = get_spark(
+        "scale-validation", extra_conf={"spark.driver.memory": "12g"}
+    )
+
     small = os.path.join(args.workdir, "gen-sf0.1")
     big = os.path.join(args.workdir, "gen-sf1")
     if not args.skip_gen:
         gen(small, 1.0)
         gen(big, 10.0)
-
-    # local mode: the driver JVM hosts the executors too, so the default
-    # 1g heap is the whole cluster's memory — size it for the sf1 pass
-    # (on a real cluster this is executor memory, not driver state)
-    spark = get_spark(
-        "scale-validation", extra_conf={"spark.driver.memory": "12g"}
-    )
     specs = all_queries()
 
     def force(df):
