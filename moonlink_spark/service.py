@@ -319,12 +319,21 @@ class MoonlinkService:
                     h._send(400, {"error": "BadFormat", "format": fmt})
                     return
                 # optional: register the fresh Iceberg metadata version in
-                # a REST catalog so the export is discoverable (parity:
-                # the reference syncs through its catalog trait,
-                # rest_catalog.rs:22)
+                # a catalog so the export is discoverable (parity: the
+                # reference syncs through its catalog trait; both of its
+                # catalogs are supported — rest_catalog.rs:22 via
+                # catalog_type=rest (default), glue_catalog.rs via
+                # catalog_type=glue against a Glue-protocol endpoint)
                 catalog_url = body.get("catalog")
                 if catalog_url and fmt == "iceberg":
-                    from moonlink_spark.table.rest_catalog import register_export
+                    if body.get("catalog_type", "rest") == "glue":
+                        from moonlink_spark.table.glue_catalog import (
+                            register_export_glue as register_export,
+                        )
+                    else:
+                        from moonlink_spark.table.rest_catalog import (
+                            register_export,
+                        )
 
                     try:
                         reg = register_export(

@@ -408,3 +408,27 @@ def test_export_with_catalog_registration(svc, tmp_path):
         assert out["export"]["metadata_version"] == 2
     finally:
         cat.stop()
+
+
+def test_export_with_glue_catalog_registration(svc, tmp_path):
+    """POST /export catalog_type=glue registers through the Glue-protocol
+    endpoint (glue_catalog.rs parity at the service surface)."""
+    from moonlink_spark.table.glue_catalog import GlueCatalogClient, GlueMockServer
+
+    glue = GlueMockServer(str(tmp_path / "glue")).start()
+    try:
+        _req(svc, "POST", "/tables/db11/gt", USERS_REQ)
+        for i in range(3):
+            _req(svc, "POST", "/ingest/db11/gt",
+                 {"operation": "insert", "data": {"id": i, "name": f"n{i}", "age": i}})
+        dest = str(tmp_path / "ice")
+        code, out = _req(svc, "POST", "/tables/db11/gt/export",
+                         {"format": "iceberg", "dest": dest,
+                          "catalog": glue.endpoint, "catalog_type": "glue"})
+        assert code == 200
+        assert out["catalog"]["metadata-location"].endswith("v1.metadata.json")
+        c = GlueCatalogClient(glue.endpoint)
+        code, loaded = c.load_table("db11", "gt")
+        assert code == 200 and loaded["metadata"]["current-snapshot-id"] == 1
+    finally:
+        glue.stop()
