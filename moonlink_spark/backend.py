@@ -296,41 +296,64 @@ class MoonlinkBackend:
         single numeric identity key (it becomes ``vec_id``)."""
         from moonlink_spark.table import vecindex
 
+        from moonlink_spark.table import segments as segstore
+
         t = self.get_table(database, table)
         key = t.identity.columns[0]
-        emb = t.scan().select(
-            F.col(key).cast("bigint").alias("vec_id"),
-            F.col(column).alias("embedding"),
-        )
         dest = self._vecindex_dir(t, column)
-        carry: dict[str, Any] = {}
-        old_segments: list[str] = []
-        if t.data_fs.isdir(dest):
-            try:
-                # the CDC-loop watermark survives a rebuild: the retrain
-                # scans the whole table, so every streamed batch is already
-                # inside — resetting it would double-index the next batch
-                old = vecindex.read_meta(dest)
-                if "indexed_batch_id" in old:
-                    carry["indexed_batch_id"] = old["indexed_batch_id"]
-                old_segments = list(old.get("segments") or [])
-            except FileNotFoundError:
-                pass
-        # REBUILD IN PLACE, never a wipe: build_index writes the new
-        # segment invisibly and atomically replaces the meta, so
-        # concurrent readers (status polls, queries, the maintenance
-        # ticker itself) always see a complete index — the old one until
-        # the publish instant, the new one after. Old segments unlink
-        # only after the publish (the segment-store compaction order).
-        meta = vecindex.build_index(
-            self.spark, emb, dest, k=k, iters=iters, meta_update=carry
-        )
-        for name in old_segments:
-            if name not in meta["segments"]:
+        # The WHOLE rebuild — scan capture, watermark capture, train,
+        # publish — runs under the index write lock, so a concurrent CDC
+        # update_index can't publish a segment the rebuild's meta would
+        # clobber: incremental updates queue behind the lock and land on
+        # the NEW centroids afterwards.
+        with segstore.index_write_lock(dest, timeout_s=3600.0):
+            m = t.manifest  # pin: the scan and the watermark agree
+            emb = t.scan().select(
+                F.col(key).cast("bigint").alias("vec_id"),
+                F.col(column).alias("embedding"),
+            )
+            carry: dict[str, Any] = {}
+            old_segments: list[str] = []
+            old_wm = -1
+            if t.data_fs.isdir(dest):
                 try:
-                    os.unlink(os.path.join(dest, name))
+                    old = vecindex.read_meta(dest)
+                    old_wm = int(old.get("indexed_batch_id", -1))
+                    old_segments = list(old.get("segments") or [])
                 except FileNotFoundError:
                     pass
+            # The CDC watermark survives AND advances: the rebuild scans
+            # the manifest we just pinned, so every micro-batch committed
+            # to the TABLE by now is inside the rebuilt index — advance
+            # to the table's last applied batch id so a queued/replayed
+            # update for those batches is a no-op instead of
+            # double-indexing rows the rebuild already contains.
+            from moonlink_spark.streaming.pipeline import LAST_BATCH_PROP
+
+            table_wm = int(m.properties.get(LAST_BATCH_PROP, -1))
+            wm = max(old_wm, table_wm)
+            if wm >= 0:
+                carry["indexed_batch_id"] = wm
+            # REBUILD IN PLACE, never a wipe: build_index writes the new
+            # segment invisibly and atomically replaces the meta, so
+            # concurrent READERS (status polls, queries) always see a
+            # complete index. Old segments unlink only after the publish
+            # (the segment-store compaction order).
+            meta = vecindex.build_index(
+                self.spark,
+                emb,
+                dest,
+                k=k,
+                iters=iters,
+                meta_update=carry,
+                _locked=True,
+            )
+            for name in old_segments:
+                if name not in meta["segments"]:
+                    try:
+                        os.unlink(os.path.join(dest, name))
+                    except FileNotFoundError:
+                        pass
         return meta
 
     def update_vector_index(

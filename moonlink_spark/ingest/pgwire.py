@@ -262,11 +262,27 @@ class ReplicationWireClient:
         self.tailer = ReplicationTailer(table, spool_path)
 
     def _spool_len(self) -> int:
-        return (
-            os.path.getsize(self.spool_path)
-            if os.path.exists(self.spool_path)
-            else 0
-        )
+        """Resume position = the spool length up to the last COMPLETE
+        frame. A crash mid-append can leave a torn frame at the tail;
+        resuming at the raw byte size would skip the torn frame's
+        remainder AND desync the relay framing forever, so the tail is
+        truncated to the last frame boundary first (the tailer never
+        read past it — it stops at torn frames too)."""
+        if not os.path.exists(self.spool_path):
+            return 0
+        size = os.path.getsize(self.spool_path)
+        good = 0
+        with open(self.spool_path, "rb") as fh:
+            while good + 4 <= size:
+                fh.seek(good)
+                (n,) = struct.unpack(">I", fh.read(4))
+                if good + 4 + n > size:
+                    break  # torn tail
+                good += 4 + n
+        if good < size:
+            with open(self.spool_path, "ab") as fh:
+                fh.truncate(good)
+        return good
 
     def stream_once(
         self, idle_rounds: int = 3, timeout_s: float = 10.0

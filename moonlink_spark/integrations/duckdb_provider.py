@@ -25,6 +25,8 @@ Postgres as read engines).
 
 from __future__ import annotations
 
+import json
+import os
 import re
 from typing import Any
 
@@ -153,13 +155,39 @@ def attach_iceberg_point_lookup(
     lookup = iceberg_index_lookup(dest, key_hashes)
     all_files = read_iceberg_live_files(dest)
     if not lookup["files"]:
-        # no hash hit anywhere: a well-typed empty view from any live file
-        files = ", ".join(_quote_path(p) for p in all_files)
-        con.execute(
-            f"CREATE OR REPLACE VIEW {view_name} AS "
-            f"SELECT * FROM read_parquet([{files}], union_by_name=true) "
-            "WHERE 1=0"
-        )
+        if all_files:
+            # no hash hit: a well-typed empty view bound from ONE live
+            # file's footer (binding the whole list would open every
+            # footer just to type an always-empty relation)
+            rel = (
+                f"SELECT * FROM read_parquet([{_quote_path(all_files[0])}]) "
+                "WHERE 1=0"
+            )
+        else:
+            # fully-deleted export: type the empty view from the Iceberg
+            # schema in the metadata (no parquet exists to bind against)
+            meta_dir = os.path.join(dest, "metadata")
+            with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+                v = int(fh.read().strip())
+            with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as fh:
+                meta = json.load(fh)
+            schema = next(
+                s for s in meta["schemas"]
+                if s["schema-id"] == meta["current-schema-id"]
+            )
+            duck_types = {
+                "long": "BIGINT", "int": "INTEGER", "string": "VARCHAR",
+                "double": "DOUBLE", "float": "FLOAT", "boolean": "BOOLEAN",
+                "date": "DATE", "timestamp": "TIMESTAMP", "binary": "BLOB",
+            }
+            cols = ", ".join(
+                f"CAST(NULL AS {duck_types.get(f['type'], 'VARCHAR')}) "
+                f'AS "{f["name"]}"'
+                for f in schema["fields"]
+                if isinstance(f["type"], str)
+            ) or "CAST(NULL AS VARCHAR) AS __empty"
+            rel = f"SELECT {cols} WHERE 1=0"
+        con.execute(f"CREATE OR REPLACE VIEW {view_name} AS {rel}")
         return {"view": view_name, "pruned_files": 0, "total_files": len(all_files)}
     dvs = read_iceberg_deletion_vectors(dest)
     dead = {

@@ -622,12 +622,17 @@ class MoonlinkStreamWriter(DataSourceStreamWriter):
         props = ManifestStore(self.table_dir).latest().properties
         last = props.get("stream_writer_batch")
         last_qid = props.get("stream_writer_query")
-        marker = {"stream_writer_batch": batchId}
-        if self.query_id is not None:
-            marker["stream_writer_query"] = self.query_id
+        # the marker always (re)writes stream_writer_query — a commit
+        # WITHOUT a queryId must clear a previous writer's id, or a later
+        # writer with that id would misattribute this batch number to
+        # itself and skip/abort wrongly
+        marker = {
+            "stream_writer_batch": batchId,
+            "stream_writer_query": self.query_id,
+        }
+        if self.query_id is not None and last_qid != self.query_id:
             # markers from a DIFFERENT writer identity never suppress us
-            if last_qid != self.query_id:
-                last = None
+            last = None
         if last is not None:
             if batchId == last:
                 # replayed final batch after a driver restart: committed

@@ -86,7 +86,7 @@ def produce_df_avro(
     queue_dir: str,
     value_schema: dict | str,
     key_col: str | None = None,
-    base_offset: int = 0,
+    base_offset: int | None = None,
 ) -> None:
     """Produce a DataFrame onto the queue FROM THE EXECUTORS — the
     distributed producer (the Kafka producer-per-task shape). Each
@@ -111,6 +111,15 @@ def produce_df_avro(
     )
     qdir = os.path.abspath(queue_dir)
     os.makedirs(qdir, exist_ok=True)
+    if base_offset is None:
+        # resume above anything already produced (FileQueueProducer's
+        # _next_offset contract): without this, a second produce to the
+        # same queue would reuse offsets below the consumer's committed
+        # floor and its messages would be silently never consumed
+        last = -1
+        for off, _k, _v in iter_queue(qdir):
+            last = max(last, off)
+        base_offset = last + 1
 
     def _write_partition(rows) -> None:
         from pyspark import TaskContext

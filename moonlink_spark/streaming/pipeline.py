@@ -241,9 +241,14 @@ class StreamingIngestor:
         if need_vec:
             dest, col = self.sync_vecindex
             if n_other:
-                # the watermark rides the LAST meta write for this batch
+                # the watermark rides the LAST meta write for this batch;
+                # batch_id makes the stale count idempotent if a crash
+                # lands between this write and the watermark-carrying one
                 vecindex.mark_stale(
-                    dest, n_other, meta_update=None if n_ins else wm
+                    dest,
+                    n_other,
+                    meta_update=None if n_ins else wm,
+                    batch_id=batch_id,
                 )
             if n_ins:
                 vecindex.update_index(
@@ -261,7 +266,10 @@ class StreamingIngestor:
             dest, col = self.sync_sigindex
             if n_other:
                 sigindex.mark_stale(
-                    dest, n_other, meta_update=None if n_ins else wm
+                    dest,
+                    n_other,
+                    meta_update=None if n_ins else wm,
+                    batch_id=batch_id,
                 )
             if n_ins:
                 sigindex.update_index(

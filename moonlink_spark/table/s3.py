@@ -371,10 +371,34 @@ class S3HttpFS:
         return status == 200
 
     def getsize(self, path: str) -> int:
-        status, data = self._request("get", "GET", self._obj_url(path))
-        if status == 404:
-            raise FileNotFoundError(path)
-        return len(data)
+        # HEAD + Content-Length: never transfer the body to measure it
+        import http.client as _hc
+
+        attempt = 0
+        while True:
+            try:
+                if self.chaos is not None:
+                    self.chaos.check("head")
+                conn = _hc.HTTPConnection(
+                    self.host, self.port, timeout=self.timeout_s
+                )
+                try:
+                    conn.request("HEAD", self._obj_url(path))
+                    resp = conn.getresponse()
+                    resp.read()
+                    if resp.status == 404:
+                        raise FileNotFoundError(path)
+                    if resp.status >= 500:
+                        raise TransientStoreError(f"s3 head: {resp.status}")
+                    return int(resp.getheader("Content-Length") or 0)
+                finally:
+                    conn.close()
+            except (TransientStoreError, ConnectionError, _hc.HTTPException) as e:
+                attempt += 1
+                if attempt > self.retries:
+                    if isinstance(e, TransientStoreError):
+                        raise
+                    raise TransientStoreError(str(e)) from e
 
     def _get(self, path: str) -> bytes:
         status, data = self._request("get", "GET", self._obj_url(path))
@@ -432,7 +456,14 @@ class S3HttpFS:
     def publish_exclusive(self, tmp: str, final: str) -> None:
         """Single-winner commit via conditional create (``If-None-Match:
         *``): exactly one concurrent publisher gets 200, the rest get 412
-        — the property ManifestStore's version commit relies on."""
+        — the property ManifestStore's version commit relies on.
+
+        Retry caveat handled here: if the FIRST conditional PUT succeeds
+        server-side but its response is lost, the retry sees 412 against
+        our own object. A 412 therefore triggers a follow-up GET; when
+        the published bytes equal ours, the commit WON and no race is
+        reported (without this, the caller would re-commit the same
+        manifest at the next version or wrongly abort)."""
         data = self._get(tmp)
         status, _ = self._request(
             "put",
@@ -443,4 +474,9 @@ class S3HttpFS:
         )
         self._request("delete", "DELETE", self._obj_url(tmp))
         if status == 412:
+            published_status, published = self._request(
+                "get", "GET", self._obj_url(final)
+            )
+            if published_status == 200 and published == data:
+                return  # our earlier attempt won; the 412 was the retry
             raise CommitRaceLost(final)

@@ -24,11 +24,73 @@ prefix directory scan they used originally.
 
 from __future__ import annotations
 
+import contextlib
+import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+@contextlib.contextmanager
+def index_write_lock(
+    dest: str, timeout_s: float = 600.0, stale_s: float = 3600.0
+):
+    """Single-writer mutual exclusion for one index directory.
+
+    The CDC loop's incremental updates, the maintenance ticker's
+    compaction, and full rebuilds all mutate the same meta; the meta
+    write is a plain atomic replace (no compare-and-swap), so two
+    concurrent writers could silently drop each other's just-published
+    segments (the classic lost update). This lock serializes them on one
+    host via an O_EXCL lock file carrying (pid, timestamp); a lock older
+    than ``stale_s`` is presumed crashed and stolen. Cross-host
+    deployments need a store-level CAS instead (the object-store seam's
+    ``publish_exclusive``)."""
+    os.makedirs(dest, exist_ok=True)
+    path = os.path.join(dest, ".write-lock")
+    deadline = time.monotonic() + timeout_s
+    while True:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(
+                fd,
+                json.dumps({"pid": os.getpid(), "ts": time.time()}).encode(),
+            )
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(path)
+            except FileNotFoundError:
+                continue  # released between open and stat: retry now
+            if age > stale_s:
+                # presumed-dead holder: steal (remove + retry the O_EXCL)
+                with contextlib.suppress(FileNotFoundError):
+                    os.unlink(path)
+                continue
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"index write lock at {path} held too long"
+                ) from None
+            time.sleep(0.05)
+    try:
+        yield
+    finally:
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(path)
+
+
+def maybe_write_lock(dest: str, already_locked: bool):
+    """The lock, or a no-op when the caller already holds it (rebuild
+    flows lock once around scan-capture + build)."""
+    return (
+        contextlib.nullcontext()
+        if already_locked
+        else index_write_lock(dest)
+    )
 
 
 def write_single_parquet(df: DataFrame, dest: str, prefix: str) -> str:

@@ -74,16 +74,22 @@ def _write_signatures(df: DataFrame, dest: str) -> str:
 
 
 def build_index(docs: DataFrame, dest: str) -> dict[str, Any]:
-    """Create the index from a (doc_id, text) corpus."""
+    """Create the index from a (doc_id, text) corpus. All index mutators
+    serialize on a per-directory write lock (segments.index_write_lock):
+    the meta publish is a plain atomic replace, so concurrent writers
+    would otherwise drop each other's segments."""
+    from moonlink_spark.table import segments as segstore
+
     os.makedirs(dest, exist_ok=True)
-    name = _write_signatures(docs.select("doc_id", "text"), dest)
-    meta = {
-        "n_hashes": N_HASHES,
-        "n_bands": N_BANDS,
-        "generation": 1,
-        "segments": [name],
-    }
-    _write_meta(dest, meta)
+    with segstore.index_write_lock(dest):
+        name = _write_signatures(docs.select("doc_id", "text"), dest)
+        meta = {
+            "n_hashes": N_HASHES,
+            "n_bands": N_BANDS,
+            "generation": 1,
+            "segments": [name],
+        }
+        _write_meta(dest, meta)
     return meta
 
 
@@ -100,29 +106,44 @@ def update_index(
     here so segment visibility and watermark can never diverge)."""
     from moonlink_spark.table import segments as segstore
 
-    meta = read_meta(dest)
-    name = _write_signatures(new_docs.select("doc_id", "text"), dest)
-    meta["generation"] += 1
-    meta.setdefault(
-        "segments", segstore.scan_segment_names(dest, SEG_PREFIX)
-    )
-    if name not in meta["segments"]:
-        meta["segments"].append(name)
-    meta.update(meta_update or {})
-    _write_meta(dest, meta)
+    with segstore.index_write_lock(dest):
+        meta = read_meta(dest)
+        name = _write_signatures(new_docs.select("doc_id", "text"), dest)
+        meta["generation"] += 1
+        meta.setdefault(
+            "segments", segstore.scan_segment_names(dest, SEG_PREFIX)
+        )
+        if name not in meta["segments"]:
+            meta["segments"].append(name)
+        meta.update(meta_update or {})
+        _write_meta(dest, meta)
     return meta
 
 
 def mark_stale(
-    dest: str, n_rows: int, meta_update: dict[str, Any] | None = None
+    dest: str,
+    n_rows: int,
+    meta_update: dict[str, Any] | None = None,
+    batch_id: int | None = None,
 ) -> dict[str, Any]:
     """Record that ``n_rows`` indexed documents were updated or deleted
     in the source table; signatures are append-only segments, so a stale
-    index flips ``rebuild_recommended`` instead of patching in place."""
-    meta = read_meta(dest)
-    meta["stale_rows"] = meta.get("stale_rows", 0) + int(n_rows)
-    meta.update(meta_update or {})
-    _write_meta(dest, meta)
+    index flips ``rebuild_recommended`` instead of patching in place.
+    ``batch_id`` makes the increment idempotent per micro-batch (a
+    replayed batch must not double-count into the rebuild signal)."""
+    from moonlink_spark.table import segments as segstore
+
+    with segstore.index_write_lock(dest):
+        meta = read_meta(dest)
+        if batch_id is not None and int(
+            meta.get("stale_batch_id", -1)
+        ) >= int(batch_id):
+            return meta  # replayed batch: already counted
+        meta["stale_rows"] = meta.get("stale_rows", 0) + int(n_rows)
+        if batch_id is not None:
+            meta["stale_batch_id"] = int(batch_id)
+        meta.update(meta_update or {})
+        _write_meta(dest, meta)
     return meta
 
 
@@ -134,10 +155,13 @@ def indexed_batch_id(dest: str) -> int:
 
 def note_indexed_batch(dest: str, batch_id: int) -> None:
     """Advance the watermark for a batch that needed no index work."""
-    meta = read_meta(dest)
-    if int(meta.get("indexed_batch_id", -1)) < int(batch_id):
-        meta["indexed_batch_id"] = int(batch_id)
-        _write_meta(dest, meta)
+    from moonlink_spark.table import segments as segstore
+
+    with segstore.index_write_lock(dest):
+        meta = read_meta(dest)
+        if int(meta.get("indexed_batch_id", -1)) < int(batch_id):
+            meta["indexed_batch_id"] = int(batch_id)
+            _write_meta(dest, meta)
 
 
 def rebuild_recommended(meta: dict[str, Any]) -> bool:
@@ -151,17 +175,18 @@ def compact_index(spark: SparkSession, dest: str) -> int:
     see table/segments.py). Returns the number of files replaced."""
     from moonlink_spark.table import segments as segstore
 
-    meta = read_meta(dest)
+    with segstore.index_write_lock(dest):
+        meta = read_meta(dest)
 
-    # compaction rewrites layout, not content: generation (which tracks
-    # CONTENT updates) stays, matching the original behavior
-    def publish(m):
-        _write_meta(dest, m)
+        # compaction rewrites layout, not content: generation (which
+        # tracks CONTENT updates) stays, matching the original behavior
+        def publish(m):
+            _write_meta(dest, m)
 
-    return segstore.compact_segments(
-        spark, dest, meta, SEG_PREFIX, publish,
-        read_meta=lambda: read_meta(dest),
-    )
+        return segstore.compact_segments(
+            spark, dest, meta, SEG_PREFIX, publish,
+            read_meta=lambda: read_meta(dest),
+        )
 
 
 def signatures(spark: SparkSession, dest: str) -> DataFrame:

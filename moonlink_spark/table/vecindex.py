@@ -88,33 +88,41 @@ def build_index(
     k: int = 8,
     iters: int = 3,
     meta_update: dict[str, Any] | None = None,
+    _locked: bool = False,
 ) -> dict[str, Any]:
     """Create the index from a (vec_id, embedding) corpus.
 
     ``meta_update`` carries fields that must SURVIVE a rebuild (e.g. the
     CDC loop's ``indexed_batch_id`` watermark — a retrain over the full
     table already contains every streamed batch, so the watermark must
-    not reset or the next micro-batch would double-index)."""
+    not reset or the next micro-batch would double-index).
+
+    All index mutators serialize on a per-directory write lock
+    (segments.index_write_lock): the meta publish is a plain atomic
+    replace, so concurrent writers would otherwise silently drop each
+    other's segments. ``_locked=True`` skips re-acquiring when the
+    caller (backend rebuild) already holds it."""
     os.makedirs(dest, exist_ok=True)
-    # one quantization pass serves both training and the final
-    # assignment write (the persist holds it across all Lloyd iterations)
-    q = quantize_embeddings_1e6(emb).persist()
-    cents = train_ivf_centroids(spark, q, k=k, iters=iters)
-    name, n, sd2 = _write_assignments(spark, q, cents, dest)
-    q.unpersist()
-    meta = {
-        "k": k,
-        "iters": iters,
-        "centroids": [[int(x) for x in c] for _, c in cents],
-        "generation": 1,
-        "segments": [name],
-        "trained_rows": n,
-        "trained_sum_d2": sd2,
-        "appended_rows": 0,
-        "appended_sum_d2": 0,
-    }
-    meta.update(meta_update or {})
-    _write_meta(dest, meta)
+    with segstore.maybe_write_lock(dest, _locked):
+        # one quantization pass serves both training and the final
+        # assignment write (the persist holds it across Lloyd iterations)
+        q = quantize_embeddings_1e6(emb).persist()
+        cents = train_ivf_centroids(spark, q, k=k, iters=iters)
+        name, n, sd2 = _write_assignments(spark, q, cents, dest)
+        q.unpersist()
+        meta = {
+            "k": k,
+            "iters": iters,
+            "centroids": [[int(x) for x in c] for _, c in cents],
+            "generation": 1,
+            "segments": [name],
+            "trained_rows": n,
+            "trained_sum_d2": sd2,
+            "appended_rows": 0,
+            "appended_sum_d2": 0,
+        }
+        meta.update(meta_update or {})
+        _write_meta(dest, meta)
     return meta
 
 
@@ -135,35 +143,52 @@ def update_index(
     ``meta_update`` fields land in the SAME atomic meta write that
     publishes the segment — the CDC loop stores its indexed-batch
     watermark this way, so a crash can never leave the segment visible
-    without the watermark (or vice versa)."""
-    meta = read_meta(dest)
-    name, n, sd2 = _write_assignments(
-        spark, quantize_embeddings_1e6(new_emb), _centroids(meta), dest
-    )
-    meta["generation"] += 1
-    meta.setdefault(
-        "segments", segstore.scan_segment_names(dest, SEG_PREFIX)
-    )
-    if name not in meta["segments"]:
-        meta["segments"].append(name)
-    meta["appended_rows"] += n
-    meta["appended_sum_d2"] += sd2
-    meta.update(meta_update or {})
-    _write_meta(dest, meta)
+    without the watermark (or vice versa). Serialized on the index
+    write lock (meta reads happen INSIDE it, so the appended segment
+    list can never lose a concurrent writer's entry)."""
+    with segstore.index_write_lock(dest):
+        meta = read_meta(dest)
+        name, n, sd2 = _write_assignments(
+            spark, quantize_embeddings_1e6(new_emb), _centroids(meta), dest
+        )
+        meta["generation"] += 1
+        meta.setdefault(
+            "segments", segstore.scan_segment_names(dest, SEG_PREFIX)
+        )
+        if name not in meta["segments"]:
+            meta["segments"].append(name)
+        meta["appended_rows"] += n
+        meta["appended_sum_d2"] += sd2
+        meta.update(meta_update or {})
+        _write_meta(dest, meta)
     return meta
 
 
 def mark_stale(
-    dest: str, n_rows: int, meta_update: dict[str, Any] | None = None
+    dest: str,
+    n_rows: int,
+    meta_update: dict[str, Any] | None = None,
+    batch_id: int | None = None,
 ) -> dict[str, Any]:
     """Record that ``n_rows`` indexed vectors were updated or deleted in
     the source table. The inverted lists are not patched in place (the
     incremental path is append-only, like the reference's segments); a
-    stale index flips ``retrain_recommended`` so the operator rebuilds."""
-    meta = read_meta(dest)
-    meta["stale_rows"] = meta.get("stale_rows", 0) + int(n_rows)
-    meta.update(meta_update or {})
-    _write_meta(dest, meta)
+    stale index flips ``retrain_recommended`` so the operator rebuilds.
+
+    ``batch_id`` makes the increment idempotent per micro-batch: a
+    replayed batch (crash between mark_stale and the watermark-carrying
+    update) must not double-count stale rows into the retrain signal."""
+    with segstore.index_write_lock(dest):
+        meta = read_meta(dest)
+        if batch_id is not None and int(
+            meta.get("stale_batch_id", -1)
+        ) >= int(batch_id):
+            return meta  # replayed batch: already counted
+        meta["stale_rows"] = meta.get("stale_rows", 0) + int(n_rows)
+        if batch_id is not None:
+            meta["stale_batch_id"] = int(batch_id)
+        meta.update(meta_update or {})
+        _write_meta(dest, meta)
     return meta
 
 
@@ -178,10 +203,11 @@ def indexed_batch_id(dest: str) -> int:
 
 def note_indexed_batch(dest: str, batch_id: int) -> None:
     """Advance the watermark for a batch that needed no index work."""
-    meta = read_meta(dest)
-    if int(meta.get("indexed_batch_id", -1)) < int(batch_id):
-        meta["indexed_batch_id"] = int(batch_id)
-        _write_meta(dest, meta)
+    with segstore.index_write_lock(dest):
+        meta = read_meta(dest)
+        if int(meta.get("indexed_batch_id", -1)) < int(batch_id):
+            meta["indexed_batch_id"] = int(batch_id)
+            _write_meta(dest, meta)
 
 
 def retrain_recommended(meta: dict[str, Any], factor: float = 2.0) -> bool:
@@ -202,17 +228,20 @@ def retrain_recommended(meta: dict[str, Any], factor: float = 2.0) -> bool:
 def compact_index(spark: SparkSession, dest: str) -> int:
     """Merge all assignment segments into one (build_from_merge parity,
     crash-safe: merged segment first, atomic meta publish, then unlink —
-    see table/segments.py). Returns the number of files replaced."""
-    meta = read_meta(dest)
+    see table/segments.py). Serialized on the index write lock, which
+    closes the read-to-publish window entirely (the commit-point re-read
+    stays as defense in depth). Returns the number of files replaced."""
+    with segstore.index_write_lock(dest):
+        meta = read_meta(dest)
 
-    def publish(m):
-        m["generation"] += 1
-        _write_meta(dest, m)
+        def publish(m):
+            m["generation"] += 1
+            _write_meta(dest, m)
 
-    return segstore.compact_segments(
-        spark, dest, meta, SEG_PREFIX, publish,
-        read_meta=lambda: read_meta(dest),
-    )
+        return segstore.compact_segments(
+            spark, dest, meta, SEG_PREFIX, publish,
+            read_meta=lambda: read_meta(dest),
+        )
 
 
 def read_assignments(spark: SparkSession, dest: str) -> DataFrame:

@@ -111,11 +111,18 @@ def gen(out_dir: str, scale: float) -> None:
         "overwrite"
     ).parquet(os.path.join(out_dir, "embeddings.parquet"))
 
-    # lineitem: the 5 columns the ingest bench touches + the q1/q6 extras
+    # lineitem: the full sf0.1 schema (fk ranges match the SYMLINKED
+    # sf0.1 dims so join plans analyze and run at any scale)
     li = (
         spark.range(n_line)
         .select(
             (F.col("id") / 4).cast("long").alias("l_orderkey"),
+            F.pmod(F.xxhash64(F.col("id") + 10), F.lit(20000)).alias(
+                "l_partkey"
+            ),
+            F.pmod(F.xxhash64(F.col("id") + 11), F.lit(1000)).alias(
+                "l_suppkey"
+            ),
             (F.col("id") % 7 + 1).cast("int").alias("l_linenumber"),
             (F.pmod(F.xxhash64("id"), F.lit(50)) + 1).cast("double").alias(
                 "l_quantity"
@@ -137,7 +144,7 @@ def gen(out_dir: str, scale: float) -> None:
             F.date_add(
                 F.lit("1995-01-01").cast("date"),
                 F.pmod(F.xxhash64(F.col("id") + 6), F.lit(1500)).cast("int"),
-            ).alias("l_shipdate"),
+            ).cast("timestamp").alias("l_shipdate"),
         )
     )
     li.coalesce(max(1, n_line // 2_000_000 + 1)).write.mode(
@@ -146,9 +153,7 @@ def gen(out_dir: str, scale: float) -> None:
 
     orders = spark.range(n_orders).select(
         F.col("id").alias("o_orderkey"),
-        F.pmod(F.xxhash64("id"), F.lit(max(1, n_orders // 10))).alias(
-            "o_custkey"
-        ),
+        F.pmod(F.xxhash64("id"), F.lit(15000)).alias("o_custkey"),
         F.element_at(
             F.array(F.lit("O"), F.lit("F"), F.lit("P")),
             (F.pmod(F.xxhash64(F.col("id") + 1), F.lit(3)) + 1).cast("int"),
@@ -162,7 +167,7 @@ def gen(out_dir: str, scale: float) -> None:
         F.date_add(
             F.lit("1995-01-01").cast("date"),
             F.pmod(F.xxhash64(F.col("id") + 4), F.lit(1500)).cast("int"),
-        ).alias("o_orderdate"),
+        ).cast("timestamp").alias("o_orderdate"),
         (F.pmod(F.xxhash64(F.col("id") + 5), F.lit(2))).cast("int").alias(
             "o_shippriority"
         ),

@@ -12,7 +12,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("moonlink-tests", extra_conf={"spark.sql.shuffle.partitions": "8"})
+    extra = {"spark.sql.shuffle.partitions": "8"}
+    # scaled-corpus runs (SPARK_GRAFT_SF_DIR_TEST at 10x) need a bigger
+    # local-mode heap; the default stays small for the normal suite
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if mem:
+        extra["spark.driver.memory"] = mem
+    s = get_spark("moonlink-tests", extra_conf=extra)
     yield s
 
 

@@ -67,7 +67,12 @@ def test_valid_rows_round_trip(i32, i64, f64, s, b, dec, d, ts, tags):
 
 
 @settings(max_examples=100, deadline=None)
-@given(v=st.integers().filter(lambda x: not -(2**31) <= x <= 2**31 - 1))
+@given(
+    v=st.one_of(
+        st.integers(max_value=-(2**31) - 1),
+        st.integers(min_value=2**31),
+    )
+)
 def test_i32_overflow_always_rejected(v):
     try:
         convert_row({"i32": v}, SCHEMA)
