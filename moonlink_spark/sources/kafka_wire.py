@@ -1,0 +1,900 @@
+"""Kafka WIRE protocol transport for the Avro event feed.
+
+Parity: the reference's Avro events arrive from Kafka — its service
+registers per-table value schemas and ingests raw datums
+(``moonlink_service/src/rest_api.rs:418-419`` routes
+``/kafka/{table}/schema`` + ``/kafka/{table}/ingest``;
+``rest_ingest/rest_source.rs:371`` notes the Kafka side strips the
+framing before the datum reaches the table). Until now the repo's queue
+leg was a shared-directory file queue (``sources/queue.py``); this
+module adds the BROKER SOCKET leg using only the public Apache Kafka
+protocol layouts (kafka.apache.org/protocol):
+
+- requests/responses are ``int32`` size-prefixed frames; the request
+  header is ``api_key:i16  api_version:i16  correlation_id:i32
+  client_id:nullable_string``; responses echo the correlation id;
+- message payloads use the **RecordBatch v2** on-disk/wire format
+  (magic 2): the 61-byte batch header with a CRC-32C over
+  attributes..end, then varint-framed records (zigzag lengths/deltas,
+  nullable keys, headers) — the same bytes a real broker stores;
+- APIs spoken: ApiVersions(18) v0, Metadata(3) v1, Produce(0) v3,
+  Fetch(1) v4, ListOffsets(2) v1, OffsetCommit(8) v2, OffsetFetch(9)
+  v1 — the minimal set a non-transactional producer + committed
+  consumer group needs (the pre-flexible encodings, so no tagged
+  fields; a real client negotiates up via ApiVersions and these
+  versions remain permanently supported).
+
+Architecture (the honest cluster shape): :class:`KafkaWireBroker` is a
+single-node broker whose topic-partition logs are the SAME
+length-prefixed segment files the file queue uses (``queue.py``
+frames), so everything downstream — ``iter_queue``, ``AvroQueueIngestor``,
+the service's REST ingest — reads broker-written logs unchanged.
+:class:`KafkaWireProducer` / :class:`KafkaWireConsumer` speak the
+protocol from the client side; the consumer exposes the exact
+``poll()/commit()/committed`` surface of ``FileQueueConsumer``, so the
+ingestion path (``AvroQueueIngestor``) runs over a live socket with no
+changes — swap the consumer, keep the idempotent LSN-floor contract.
+
+Not implemented (fail-loud or out of scope): SASL/TLS, transactions
+and idempotent producer ids (producerId is -1 throughout), compression
+(attributes bits rejected if set), consumer-group rebalancing
+(JoinGroup/SyncGroup — assignments here are explicit partitions, the
+``assign()`` shape, which is also how the ingestor uses the file
+queue).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import socketserver
+import struct
+import threading
+import time
+from typing import Any, Iterator
+
+from moonlink_spark.sources.queue import _NULL_KEY, _frame
+
+# ---------------------------------------------------------------------------
+# CRC-32C (Castagnoli) — RecordBatch v2 checksums use this, NOT zlib's CRC-32
+# ---------------------------------------------------------------------------
+
+_CRC32C_TABLE: list[int] = []
+
+
+def _crc32c_table() -> list[int]:
+    if not _CRC32C_TABLE:
+        poly = 0x82F63B78  # reflected 0x1EDC6F41
+        for n in range(256):
+            c = n
+            for _ in range(8):
+                c = (c >> 1) ^ poly if c & 1 else c >> 1
+            _CRC32C_TABLE.append(c)
+    return _CRC32C_TABLE
+
+
+def crc32c(data: bytes) -> int:
+    table = _crc32c_table()
+    c = 0xFFFFFFFF
+    for b in data:
+        c = table[(c ^ b) & 0xFF] ^ (c >> 8)
+    return c ^ 0xFFFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# primitive codecs (pre-flexible Kafka encodings)
+# ---------------------------------------------------------------------------
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _varint(n: int) -> bytes:
+    """Unsigned LEB128 of the zigzagged value (Kafka's varint/varlong)."""
+    v = _zigzag(n) & 0xFFFFFFFFFFFFFFFF
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    v = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        v |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return _unzigzag(v), pos
+        shift += 7
+
+
+def _string(s: str) -> bytes:
+    b = s.encode()
+    return struct.pack(">h", len(b)) + b
+
+
+def _nullable_string(s: str | None) -> bytes:
+    return struct.pack(">h", -1) if s is None else _string(s)
+
+
+def _read_string(buf: bytes, pos: int) -> tuple[str | None, int]:
+    (n,) = struct.unpack_from(">h", buf, pos)
+    pos += 2
+    if n < 0:
+        return None, pos
+    return buf[pos : pos + n].decode(), pos + n
+
+
+def _bytes32(b: bytes | None) -> bytes:
+    return struct.pack(">i", -1) if b is None else struct.pack(">i", len(b)) + b
+
+
+def _read_bytes32(buf: bytes, pos: int) -> tuple[bytes | None, int]:
+    (n,) = struct.unpack_from(">i", buf, pos)
+    pos += 4
+    if n < 0:
+        return None, pos
+    return buf[pos : pos + n], pos + n
+
+
+# ---------------------------------------------------------------------------
+# RecordBatch v2 codec
+# ---------------------------------------------------------------------------
+
+
+def encode_record_batch(
+    base_offset: int,
+    records: list[tuple[bytes | None, bytes]],
+    first_timestamp_ms: int | None = None,
+) -> bytes:
+    """One magic-2 batch; ``records`` is [(key|None, value)]."""
+    ts = (
+        int(time.time() * 1000)
+        if first_timestamp_ms is None
+        else first_timestamp_ms
+    )
+    recs = bytearray()
+    for i, (key, value) in enumerate(records):
+        body = bytearray()
+        body += b"\x00"  # record attributes (unused)
+        body += _varint(0)  # timestampDelta
+        body += _varint(i)  # offsetDelta
+        if key is None:
+            body += _varint(-1)
+        else:
+            body += _varint(len(key)) + key
+        body += _varint(len(value)) + value
+        body += _varint(0)  # headers
+        recs += _varint(len(body)) + bytes(body)
+    n = len(records)
+    # attributes..end — the CRC-covered span per the batch spec
+    tail = (
+        struct.pack(
+            ">hiqqqhii",
+            0,  # attributes: no compression, create-time
+            n - 1,  # lastOffsetDelta
+            ts,  # firstTimestamp
+            ts,  # maxTimestamp
+            -1,  # producerId
+            -1,  # producerEpoch
+            -1,  # baseSequence
+            n,  # record count
+        )
+        + bytes(recs)
+    )
+    crc = crc32c(tail)
+    # batchLength counts bytes AFTER itself: partitionLeaderEpoch(4) +
+    # magic(1) + crc(4) + tail
+    inner = struct.pack(">ibI", -1, 2, crc) + tail
+    return struct.pack(">qi", base_offset, len(inner)) + inner
+
+
+def decode_record_batches(
+    data: bytes,
+) -> Iterator[tuple[int, bytes | None, bytes]]:
+    """(absolute_offset, key, value) across all batches in ``data``.
+    Verifies magic and CRC-32C; raises ValueError on corruption."""
+    pos = 0
+    while pos + 12 <= len(data):
+        base, blen = struct.unpack_from(">qi", data, pos)
+        if pos + 12 + blen > len(data):
+            break  # torn tail (Fetch may truncate the final batch)
+        _epoch, magic, crc = struct.unpack_from(">ibI", data, pos + 12)
+        if magic != 2:
+            raise ValueError(f"unsupported record batch magic {magic}")
+        tail = data[pos + 21 : pos + 12 + blen]
+        if crc32c(tail) != crc:
+            raise ValueError("record batch CRC-32C mismatch")
+        attrs, _last, _ft, _mt, _pid, _pe, _bs, count = struct.unpack_from(
+            ">hiqqqhii", tail, 0
+        )
+        if attrs & 0x07:
+            raise ValueError("compressed batches not supported")
+        p = 40  # past the fixed attribute block (2+4+8+8+8+2+4+4)
+        for _ in range(count):
+            rlen, p = _read_varint(tail, p)
+            end = p + rlen
+            p += 1  # record attributes
+            _td, p = _read_varint(tail, p)
+            od, p = _read_varint(tail, p)
+            klen, p = _read_varint(tail, p)
+            if klen < 0:
+                key = None
+            else:
+                key = tail[p : p + klen]
+                p += klen
+            vlen, p = _read_varint(tail, p)
+            value = tail[p : p + vlen]
+            yield base + od, key, value
+            p = end
+        pos += 12 + blen
+
+
+# ---------------------------------------------------------------------------
+# broker
+# ---------------------------------------------------------------------------
+
+_API = {"produce": 0, "fetch": 1, "list_offsets": 2, "metadata": 3,
+        "offset_commit": 8, "offset_fetch": 9, "api_versions": 18}
+_ERR_NONE = 0
+_ERR_OFFSET_OUT_OF_RANGE = 1
+_ERR_UNKNOWN_TOPIC = 3
+
+
+class _PartitionLog:
+    """One topic-partition over the file-queue segment format: frames of
+    ``u32 len | u64 offset | u32 keylen | key | value`` appended to
+    ``segment-broker.log`` — byte-compatible with ``queue.iter_queue``,
+    so non-wire consumers (the ingestor, tests) read broker logs as a
+    plain queue directory."""
+
+    def __init__(self, log_dir: str):
+        self.dir = log_dir
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, "segment-broker.log")
+        self.lock = threading.Lock()
+        self.next_offset = 0
+        for off, _k, _v in self._scan(0):
+            self.next_offset = max(self.next_offset, off + 1)
+
+    def _scan(self, from_offset: int):
+        if not os.path.exists(self.path):
+            return
+        with open(self.path, "rb") as fh:
+            while True:
+                head = fh.read(4)
+                if len(head) < 4:
+                    return
+                (flen,) = struct.unpack(">I", head)
+                frame = fh.read(flen)
+                if len(frame) < flen:
+                    return  # torn tail
+                off, klen = struct.unpack_from(">QI", frame, 0)
+                body = frame[12:]
+                if klen == _NULL_KEY:
+                    key, value = None, body
+                else:
+                    key, value = body[:klen], body[klen:]
+                if off >= from_offset:
+                    yield off, key, value
+
+    def append(self, records: list[tuple[bytes | None, bytes]]) -> int:
+        with self.lock:
+            base = self.next_offset
+            with open(self.path, "ab") as fh:
+                for i, (key, value) in enumerate(records):
+                    fh.write(_frame(base + i, key, value))
+                fh.flush()
+                os.fsync(fh.fileno())
+            self.next_offset = base + len(records)
+            return base
+
+    def read(self, from_offset: int, max_bytes: int) -> list:
+        out, size = [], 0
+        for off, key, value in self._scan(from_offset):
+            out.append((off, key, value))
+            size += len(value) + (len(key) if key else 0) + 32
+            if size >= max_bytes:
+                break
+        return out
+
+
+class KafkaWireBroker:
+    """Single-node Kafka-protocol broker over file-backed partition logs.
+
+    Topics auto-create on first Produce (the ``auto.create.topics``
+    shape); group offsets persist to ``_groups/{group}.json`` so a
+    consumer restart resumes exactly like the reference's committed
+    Kafka group."""
+
+    def __init__(self, log_dir: str, host: str = "127.0.0.1", port: int = 0):
+        self.log_dir = log_dir
+        os.makedirs(log_dir, exist_ok=True)
+        self._logs: dict[tuple[str, int], _PartitionLog] = {}
+        self._lock = threading.Lock()
+        broker = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self):
+                broker._serve_conn(self.request)
+
+        class TCP(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._tcp = TCP((host, port), Handler)
+        self.host, self.port = self._tcp.server_address
+        self._thread: threading.Thread | None = None
+
+    # -- storage --------------------------------------------------------------
+
+    def log(self, topic: str, partition: int, create: bool = False):
+        with self._lock:
+            key = (topic, partition)
+            if key not in self._logs:
+                d = os.path.join(self.log_dir, f"{topic}-{partition}")
+                if not create and not os.path.isdir(d):
+                    return None
+                self._logs[key] = _PartitionLog(d)
+            return self._logs[key]
+
+    def topic_dir(self, topic: str, partition: int = 0) -> str:
+        """The partition's queue directory (for non-wire readers)."""
+        return os.path.join(self.log_dir, f"{topic}-{partition}")
+
+    def _topics(self) -> dict[str, list[int]]:
+        out: dict[str, list[int]] = {}
+        for name in sorted(os.listdir(self.log_dir)):
+            if name.startswith("_") or "-" not in name:
+                continue
+            topic, _, p = name.rpartition("-")
+            if p.isdigit() and os.path.isdir(os.path.join(self.log_dir, name)):
+                out.setdefault(topic, []).append(int(p))
+        return out
+
+    def _group_path(self, group: str) -> str:
+        d = os.path.join(self.log_dir, "_groups")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"{group}.json")
+
+    def _group_offsets(self, group: str) -> dict[str, int]:
+        p = self._group_path(group)
+        if os.path.exists(p):
+            with open(p) as fh:
+                return json.load(fh)
+        return {}
+
+    def _commit_offsets(self, group: str, updates: dict[str, int]) -> None:
+        with self._lock:
+            cur = self._group_offsets(group)
+            cur.update(updates)
+            p = self._group_path(group)
+            tmp = p + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(cur, fh)
+            os.replace(tmp, p)
+
+    # -- connection loop ------------------------------------------------------
+
+    def _serve_conn(self, sock: socket.socket) -> None:
+        f = sock.makefile("rb")
+        try:
+            while True:
+                head = f.read(4)
+                if len(head) < 4:
+                    return
+                (n,) = struct.unpack(">i", head)
+                req = f.read(n)
+                if len(req) < n:
+                    return
+                api, ver, corr = struct.unpack_from(">hhi", req, 0)
+                _cid, pos = _read_string(req, 8)
+                body = self._dispatch(api, ver, req, pos)
+                resp = struct.pack(">i", corr) + body
+                sock.sendall(struct.pack(">i", len(resp)) + resp)
+        except (ConnectionError, OSError):
+            return
+        finally:
+            try:
+                f.close()
+                sock.close()
+            except OSError:
+                pass
+
+    def _dispatch(self, api: int, ver: int, req: bytes, pos: int) -> bytes:
+        if api == _API["api_versions"]:
+            return self._api_versions()
+        if api == _API["metadata"]:
+            return self._metadata(req, pos)
+        if api == _API["produce"]:
+            return self._produce(req, pos)
+        if api == _API["fetch"]:
+            return self._fetch(req, pos)
+        if api == _API["list_offsets"]:
+            return self._list_offsets(req, pos)
+        if api == _API["offset_commit"]:
+            return self._offset_commit(req, pos)
+        if api == _API["offset_fetch"]:
+            return self._offset_fetch(req, pos)
+        # UNSUPPORTED_VERSION-shaped refusal: error body for ApiVersions
+        return struct.pack(">hi", 35, 0)
+
+    def _api_versions(self) -> bytes:
+        keys = [(0, 3, 3), (1, 4, 4), (2, 1, 1), (3, 1, 1), (8, 2, 2),
+                (9, 1, 1), (18, 0, 0)]
+        out = struct.pack(">hi", _ERR_NONE, len(keys))
+        for k, lo, hi in keys:
+            out += struct.pack(">hhh", k, lo, hi)
+        return out
+
+    def _metadata(self, req: bytes, pos: int) -> bytes:
+        (ntop,) = struct.unpack_from(">i", req, pos)
+        pos += 4
+        wanted = None
+        if ntop >= 0:
+            wanted = []
+            for _ in range(ntop):
+                t, pos = _read_string(req, pos)
+                wanted.append(t)
+        topics = self._topics()
+        names = wanted if wanted is not None else sorted(topics)
+        out = struct.pack(">i", 1)  # one broker
+        out += struct.pack(">i", 0) + _string(self.host)
+        out += struct.pack(">i", self.port) + _nullable_string(None)
+        out += struct.pack(">i", 0)  # controller_id
+        out += struct.pack(">i", len(names))
+        for t in names:
+            parts = topics.get(t)
+            err = _ERR_NONE if parts else _ERR_UNKNOWN_TOPIC
+            out += struct.pack(">h", err) + _string(t) + b"\x00"
+            out += struct.pack(">i", len(parts or []))
+            for p in sorted(parts or []):
+                out += struct.pack(">hii", _ERR_NONE, p, 0)
+                out += struct.pack(">ii", 1, 0)  # replicas [0]
+                out += struct.pack(">ii", 1, 0)  # isr [0]
+        return out
+
+    def _produce(self, req: bytes, pos: int) -> bytes:
+        _txn, pos = _read_string(req, pos)  # v3 transactional_id
+        _acks, _timeout, ntop = struct.unpack_from(">hii", req, pos)
+        pos += 10
+        results = []
+        for _ in range(ntop):
+            topic, pos = _read_string(req, pos)
+            (nparts,) = struct.unpack_from(">i", req, pos)
+            pos += 4
+            for _ in range(nparts):
+                (part,) = struct.unpack_from(">i", req, pos)
+                pos += 4
+                rset, pos = _read_bytes32(req, pos)
+                records = [
+                    (k, v) for _off, k, v in decode_record_batches(rset or b"")
+                ]
+                log = self.log(topic, part, create=True)
+                base = log.append(records) if records else log.next_offset
+                results.append((topic, part, _ERR_NONE, base))
+        by_topic: dict[str, list] = {}
+        for t, p, e, b in results:
+            by_topic.setdefault(t, []).append((p, e, b))
+        out = struct.pack(">i", len(by_topic))
+        for t, parts in by_topic.items():
+            out += _string(t) + struct.pack(">i", len(parts))
+            for p, e, b in parts:
+                # partition, error, base_offset, log_append_time (v3)
+                out += struct.pack(">ihqq", p, e, b, -1)
+        out += struct.pack(">i", 0)  # throttle_time_ms
+        return out
+
+    def _fetch(self, req: bytes, pos: int) -> bytes:
+        _replica, _max_wait, _min_b, _max_b = struct.unpack_from(
+            ">iiii", req, pos
+        )
+        pos += 16
+        _isolation = req[pos]
+        pos += 1
+        (ntop,) = struct.unpack_from(">i", req, pos)
+        pos += 4
+        out_topics = []
+        for _ in range(ntop):
+            topic, pos = _read_string(req, pos)
+            (nparts,) = struct.unpack_from(">i", req, pos)
+            pos += 4
+            parts = []
+            for _ in range(nparts):
+                part, fetch_off, pmax = struct.unpack_from(">iqi", req, pos)
+                pos += 16
+                log = self.log(topic, part)
+                if log is None:
+                    parts.append((part, _ERR_UNKNOWN_TOPIC, 0, b""))
+                    continue
+                hw = log.next_offset
+                if fetch_off > hw:
+                    parts.append((part, _ERR_OFFSET_OUT_OF_RANGE, hw, b""))
+                    continue
+                msgs = log.read(fetch_off, pmax)
+                rset = b""
+                if msgs:
+                    # broker offsets are contiguous; a single batch with
+                    # per-record offset deltas reproduces them exactly
+                    rset = encode_record_batch(
+                        msgs[0][0], [(k, v) for _o, k, v in msgs]
+                    )
+                parts.append((part, _ERR_NONE, hw, rset))
+            out_topics.append((topic, parts))
+        out = struct.pack(">i", 0)  # throttle_time_ms
+        out += struct.pack(">i", len(out_topics))
+        for topic, parts in out_topics:
+            out += _string(topic) + struct.pack(">i", len(parts))
+            for part, err, hw, rset in parts:
+                out += struct.pack(">ihqq", part, err, hw, hw)  # lso = hw
+                out += struct.pack(">i", 0)  # aborted_transactions: none
+                out += _bytes32(rset)
+        return out
+
+    def _list_offsets(self, req: bytes, pos: int) -> bytes:
+        _replica, ntop = struct.unpack_from(">ii", req, pos)
+        pos += 8
+        out_topics = []
+        for _ in range(ntop):
+            topic, pos = _read_string(req, pos)
+            (nparts,) = struct.unpack_from(">i", req, pos)
+            pos += 4
+            parts = []
+            for _ in range(nparts):
+                part, ts = struct.unpack_from(">iq", req, pos)
+                pos += 12
+                log = self.log(topic, part)
+                if log is None:
+                    parts.append((part, _ERR_UNKNOWN_TOPIC, -1))
+                    continue
+                off = 0 if ts == -2 else log.next_offset  # -2 earliest
+                parts.append((part, _ERR_NONE, off))
+            out_topics.append((topic, parts))
+        out = struct.pack(">i", len(out_topics))
+        for topic, parts in out_topics:
+            out += _string(topic) + struct.pack(">i", len(parts))
+            for part, err, off in parts:
+                out += struct.pack(">ihqq", part, err, -1, off)
+        return out
+
+    def _offset_commit(self, req: bytes, pos: int) -> bytes:
+        group, pos = _read_string(req, pos)
+        (_gen,) = struct.unpack_from(">i", req, pos)
+        pos += 4
+        _member, pos = _read_string(req, pos)
+        (_retention,) = struct.unpack_from(">q", req, pos)
+        pos += 8
+        (ntop,) = struct.unpack_from(">i", req, pos)
+        pos += 4
+        updates: dict[str, int] = {}
+        echo = []
+        for _ in range(ntop):
+            topic, pos = _read_string(req, pos)
+            (nparts,) = struct.unpack_from(">i", req, pos)
+            pos += 4
+            parts = []
+            for _ in range(nparts):
+                part, off = struct.unpack_from(">iq", req, pos)
+                pos += 12
+                _meta, pos = _read_string(req, pos)
+                updates[f"{topic}-{part}"] = off
+                parts.append(part)
+            echo.append((topic, parts))
+        self._commit_offsets(group, updates)
+        out = struct.pack(">i", len(echo))
+        for topic, parts in echo:
+            out += _string(topic) + struct.pack(">i", len(parts))
+            for part in parts:
+                out += struct.pack(">ih", part, _ERR_NONE)
+        return out
+
+    def _offset_fetch(self, req: bytes, pos: int) -> bytes:
+        group, pos = _read_string(req, pos)
+        (ntop,) = struct.unpack_from(">i", req, pos)
+        pos += 4
+        stored = self._group_offsets(group)
+        echo = []
+        for _ in range(ntop):
+            topic, pos = _read_string(req, pos)
+            (nparts,) = struct.unpack_from(">i", req, pos)
+            pos += 4
+            parts = []
+            for _ in range(nparts):
+                (part,) = struct.unpack_from(">i", req, pos)
+                pos += 4
+                parts.append((part, stored.get(f"{topic}-{part}", -1)))
+            echo.append((topic, parts))
+        out = struct.pack(">i", len(echo))
+        for topic, parts in echo:
+            out += _string(topic) + struct.pack(">i", len(parts))
+            for part, off in parts:
+                out += struct.pack(">iq", part, off)
+                out += _nullable_string(None) + struct.pack(">h", _ERR_NONE)
+        return out
+
+    # -- lifecycle ------------------------------------------------------------
+
+    def start(self) -> "KafkaWireBroker":
+        self._thread = threading.Thread(
+            target=self._tcp.serve_forever, name="kafka-broker", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._tcp.shutdown()
+        self._tcp.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+
+
+# ---------------------------------------------------------------------------
+# clients
+# ---------------------------------------------------------------------------
+
+
+class _WireConn:
+    """One broker connection: framed request/response with correlation
+    ids (requests on one connection are serialized, matching the
+    protocol's per-connection ordering guarantee)."""
+
+    def __init__(self, host: str, port: int, client_id: str, timeout_s: float):
+        self.sock = socket.create_connection((host, port), timeout_s)
+        self.sock.settimeout(timeout_s)
+        self.f = self.sock.makefile("rb")
+        self.client_id = client_id
+        self._corr = 0
+        self._lock = threading.Lock()
+
+    def call(self, api: int, version: int, body: bytes) -> bytes:
+        with self._lock:
+            self._corr += 1
+            corr = self._corr
+            req = (
+                struct.pack(">hhi", api, version, corr)
+                + _string(self.client_id)
+                + body
+            )
+            self.sock.sendall(struct.pack(">i", len(req)) + req)
+            head = self.f.read(4)
+            if len(head) < 4:
+                raise ConnectionError("broker closed")
+            (n,) = struct.unpack(">i", head)
+            resp = self.f.read(n)
+            if len(resp) < n:
+                raise ConnectionError("short response")
+            (got,) = struct.unpack_from(">i", resp, 0)
+            if got != corr:
+                raise ConnectionError(
+                    f"correlation mismatch: sent {corr}, got {got}"
+                )
+            return resp[4:]
+
+    def close(self) -> None:
+        try:
+            self.f.close()
+            self.sock.close()
+        except OSError:
+            pass
+
+
+class KafkaWireProducer:
+    """Protocol-side producer: batches (key, value) pairs into a
+    RecordBatch v2 and Produces with acks=-1. Returns the broker-assigned
+    base offset."""
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        client_id: str = "moonlink-producer",
+        timeout_s: float = 10.0,
+    ):
+        self._conn = _WireConn(host, port, client_id, timeout_s)
+
+    def send(
+        self,
+        topic: str,
+        records: list[tuple[bytes | None, bytes]],
+        partition: int = 0,
+    ) -> int:
+        batch = encode_record_batch(0, records)
+        body = (
+            _nullable_string(None)  # transactional_id
+            + struct.pack(">hi", -1, 10_000)  # acks=-1, timeout
+            + struct.pack(">i", 1)
+            + _string(topic)
+            + struct.pack(">i", 1)
+            + struct.pack(">i", partition)
+            + _bytes32(batch)
+        )
+        resp = self._conn.call(_API["produce"], 3, body)
+        pos = 4  # topic count (1)
+        _t, pos = _read_string(resp, pos)
+        pos += 4  # partition count (1)
+        part, err, base, _lat = struct.unpack_from(">ihqq", resp, pos)
+        if err != _ERR_NONE:
+            raise OSError(f"produce failed: topic={topic} error={err}")
+        return base
+
+    def close(self) -> None:
+        self._conn.close()
+
+
+class KafkaWireConsumer:
+    """Protocol-side committed consumer over one explicit partition.
+
+    Surface-compatible with ``queue.FileQueueConsumer`` —
+    ``poll() -> [(offset, key, value)]``, ``commit(next_offset)``,
+    ``committed`` — so ``AvroQueueIngestor`` drains a live broker
+    socket with zero changes and keeps its LSN-floor idempotence."""
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        topic: str,
+        partition: int = 0,
+        group: str = "default",
+        client_id: str = "moonlink-consumer",
+        timeout_s: float = 10.0,
+    ):
+        self._conn = _WireConn(host, port, client_id, timeout_s)
+        self.topic = topic
+        self.partition = partition
+        self.group = group
+
+    @property
+    def committed(self) -> int:
+        body = (
+            _string(self.group)
+            + struct.pack(">i", 1)
+            + _string(self.topic)
+            + struct.pack(">ii", 1, self.partition)
+        )
+        resp = self._conn.call(_API["offset_fetch"], 1, body)
+        pos = 4
+        _t, pos = _read_string(resp, pos)
+        pos += 4
+        _part, off = struct.unpack_from(">iq", resp, pos)
+        return 0 if off < 0 else off
+
+    def poll(
+        self, max_messages: int = 10_000, max_bytes: int = 8 << 20
+    ) -> list[tuple[int, bytes | None, bytes]]:
+        floor = self.committed
+        body = (
+            struct.pack(">iiii", -1, 0, 0, max_bytes)
+            + b"\x00"  # isolation_level: read_uncommitted
+            + struct.pack(">i", 1)
+            + _string(self.topic)
+            + struct.pack(">i", 1)
+            + struct.pack(">iqi", self.partition, floor, max_bytes)
+        )
+        resp = self._conn.call(_API["fetch"], 4, body)
+        pos = 8  # throttle + topic count
+        _t, pos = _read_string(resp, pos)
+        pos += 4  # partition count
+        _part, err, _hw, _lso = struct.unpack_from(">ihqq", resp, pos)
+        pos += 22
+        (naborted,) = struct.unpack_from(">i", resp, pos)
+        pos += 4 + max(0, naborted) * 16
+        rset, pos = _read_bytes32(resp, pos)
+        if err == _ERR_UNKNOWN_TOPIC:
+            return []
+        if err != _ERR_NONE:
+            raise OSError(f"fetch failed: error={err}")
+        out = [
+            (off, key, value)
+            for off, key, value in decode_record_batches(rset or b"")
+            if off >= floor
+        ]
+        return out[:max_messages]
+
+    def commit(self, next_offset: int) -> None:
+        body = (
+            _string(self.group)
+            + struct.pack(">i", -1)  # generation
+            + _string("")  # member id
+            + struct.pack(">q", -1)  # retention
+            + struct.pack(">i", 1)
+            + _string(self.topic)
+            + struct.pack(">i", 1)
+            + struct.pack(">iq", self.partition, next_offset)
+            + _nullable_string(None)
+        )
+        resp = self._conn.call(_API["offset_commit"], 2, body)
+        pos = 4
+        _t, pos = _read_string(resp, pos)
+        pos += 4
+        _part, err = struct.unpack_from(">ih", resp, pos)
+        if err != _ERR_NONE:
+            raise OSError(f"offset commit failed: error={err}")
+
+    def list_offsets(self, earliest: bool = False) -> int:
+        body = (
+            struct.pack(">ii", -1, 1)
+            + _string(self.topic)
+            + struct.pack(">i", 1)
+            + struct.pack(">iq", self.partition, -2 if earliest else -1)
+        )
+        resp = self._conn.call(_API["list_offsets"], 1, body)
+        pos = 4
+        _t, pos = _read_string(resp, pos)
+        pos += 4
+        _part, err, _ts, off = struct.unpack_from(">ihqq", resp, pos)
+        if err != _ERR_NONE:
+            raise OSError(f"list_offsets failed: error={err}")
+        return off
+
+    def api_versions(self) -> dict[int, tuple[int, int]]:
+        resp = self._conn.call(_API["api_versions"], 0, b"")
+        err, n = struct.unpack_from(">hi", resp, 0)
+        if err != _ERR_NONE:
+            raise OSError(f"api_versions failed: error={err}")
+        out = {}
+        pos = 6
+        for _ in range(n):
+            k, lo, hi = struct.unpack_from(">hhh", resp, pos)
+            pos += 6
+            out[k] = (lo, hi)
+        return out
+
+    def metadata(self, topics: list[str] | None = None) -> dict[str, Any]:
+        if topics is None:
+            body = struct.pack(">i", -1)
+        else:
+            body = struct.pack(">i", len(topics)) + b"".join(
+                _string(t) for t in topics
+            )
+        resp = self._conn.call(_API["metadata"], 1, body)
+        (nbrokers,) = struct.unpack_from(">i", resp, 0)
+        pos = 4
+        brokers = []
+        for _ in range(nbrokers):
+            (node,) = struct.unpack_from(">i", resp, pos)
+            pos += 4
+            host, pos = _read_string(resp, pos)
+            (port,) = struct.unpack_from(">i", resp, pos)
+            pos += 4
+            _rack, pos = _read_string(resp, pos)
+            brokers.append({"node_id": node, "host": host, "port": port})
+        (_controller,) = struct.unpack_from(">i", resp, pos)
+        pos += 4
+        (ntop,) = struct.unpack_from(">i", resp, pos)
+        pos += 4
+        topics_out = {}
+        for _ in range(ntop):
+            (err,) = struct.unpack_from(">h", resp, pos)
+            pos += 2
+            name, pos = _read_string(resp, pos)
+            pos += 1  # is_internal
+            (nparts,) = struct.unpack_from(">i", resp, pos)
+            pos += 4
+            parts = []
+            for _ in range(nparts):
+                _perr, pid, _leader = struct.unpack_from(">hii", resp, pos)
+                pos += 10
+                (nr,) = struct.unpack_from(">i", resp, pos)
+                pos += 4 + nr * 4
+                (ni,) = struct.unpack_from(">i", resp, pos)
+                pos += 4 + ni * 4
+                parts.append(pid)
+            topics_out[name] = {"error": err, "partitions": parts}
+        return {"brokers": brokers, "topics": topics_out}
+
+    def close(self) -> None:
+        self._conn.close()

@@ -1,0 +1,225 @@
+"""Kafka wire protocol: RecordBatch v2 codec, broker socket round trips,
+and the Avro ingestion path over a live broker connection (parity: the
+reference's Kafka/Avro feed, rest_api.rs:418-419 + rest_source.rs:371,
+now with the broker leg spoken on the wire instead of a shared file)."""
+
+import os
+import struct
+
+import pytest
+
+from moonlink_spark.sources.avro_binary import encode_datum
+from moonlink_spark.sources.kafka_wire import (
+    KafkaWireBroker,
+    KafkaWireConsumer,
+    KafkaWireProducer,
+    crc32c,
+    decode_record_batches,
+    encode_record_batch,
+)
+from moonlink_spark.sources.queue import AvroQueueIngestor, iter_queue
+from moonlink_spark.table.identity import IdentityProp
+from moonlink_spark.table.table import MoonlinkTable
+
+
+@pytest.fixture()
+def broker(tmp_path):
+    b = KafkaWireBroker(str(tmp_path / "kafka-logs")).start()
+    yield b
+    b.stop()
+
+
+# -- codec ---------------------------------------------------------------
+
+
+def test_crc32c_known_vectors():
+    # RFC 3720 B.4 test vectors (Castagnoli, reflected)
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+    assert crc32c(b"\xff" * 32) == 0x62A8AB43
+
+
+def test_record_batch_roundtrip():
+    records = [
+        (None, b"plain"),
+        (b"k1", b""),
+        (b"", b"\x00\xff" * 100),
+        (b"k2", "héllo".encode()),
+    ]
+    batch = encode_record_batch(1000, records)
+    got = list(decode_record_batches(batch))
+    assert [(o, k, v) for o, k, v in got] == [
+        (1000 + i, k, v) for i, (k, v) in enumerate(records)
+    ]
+
+
+def test_record_batch_crc_catches_corruption():
+    batch = bytearray(encode_record_batch(0, [(b"k", b"value")]))
+    batch[-1] ^= 0x01  # flip a payload bit: the CRC must catch it
+    with pytest.raises(ValueError, match="CRC"):
+        list(decode_record_batches(bytes(batch)))
+
+
+def test_multiple_batches_and_torn_tail():
+    data = encode_record_batch(0, [(None, b"a")]) + encode_record_batch(
+        1, [(None, b"b"), (None, b"c")]
+    )
+    assert [o for o, _k, _v in decode_record_batches(data)] == [0, 1, 2]
+    # a truncated final batch (mid-transfer fetch cut) is skipped, not an error
+    assert [
+        o for o, _k, _v in decode_record_batches(data[:-5])
+    ] == [0]
+
+
+# -- wire round trips ------------------------------------------------------
+
+
+def test_produce_fetch_commit_roundtrip(broker):
+    prod = KafkaWireProducer(broker.host, broker.port)
+    base = prod.send("events", [(b"k0", b"v0"), (None, b"v1")])
+    assert base == 0
+    assert prod.send("events", [(b"k2", b"v2")]) == 2
+    prod.close()
+
+    cons = KafkaWireConsumer(broker.host, broker.port, "events", group="g1")
+    msgs = cons.poll()
+    assert [(o, k, v) for o, k, v in msgs] == [
+        (0, b"k0", b"v0"),
+        (1, None, b"v1"),
+        (2, b"k2", b"v2"),
+    ]
+    cons.commit(2)
+    assert [o for o, _k, _v in cons.poll()] == [2]
+    cons.commit(3)
+    assert cons.poll() == []
+
+    # a fresh group starts from the beginning
+    g2 = KafkaWireConsumer(broker.host, broker.port, "events", group="g2")
+    assert [o for o, _k, _v in g2.poll()] == [0, 1, 2]
+    assert cons.list_offsets(earliest=True) == 0
+    assert cons.list_offsets() == 3
+    cons.close()
+    g2.close()
+
+
+def test_api_versions_and_metadata(broker):
+    prod = KafkaWireProducer(broker.host, broker.port)
+    prod.send("t1", [(None, b"x")])
+    prod.send("t2", [(None, b"y")], partition=1)
+    prod.close()
+    c = KafkaWireConsumer(broker.host, broker.port, "t1")
+    vers = c.api_versions()
+    assert vers[0] == (3, 3) and vers[1] == (4, 4) and 18 in vers
+    md = c.metadata()
+    assert md["brokers"][0]["port"] == broker.port
+    assert md["topics"]["t1"]["partitions"] == [0]
+    assert md["topics"]["t2"]["partitions"] == [1]
+    unknown = c.metadata(["missing"])["topics"]["missing"]
+    assert unknown["error"] == 3  # UNKNOWN_TOPIC_OR_PARTITION
+    c.close()
+
+
+def test_fetch_unknown_topic_and_out_of_range(broker):
+    c = KafkaWireConsumer(broker.host, broker.port, "nope")
+    assert c.poll() == []
+    prod = KafkaWireProducer(broker.host, broker.port)
+    prod.send("small", [(None, b"x")])
+    prod.close()
+    c2 = KafkaWireConsumer(broker.host, broker.port, "small", group="ahead")
+    c2.commit(10)  # beyond the high watermark
+    with pytest.raises(OSError, match="error=1"):
+        c2.poll()
+    c.close()
+    c2.close()
+
+
+def test_offsets_survive_broker_restart(tmp_path):
+    logs = str(tmp_path / "kafka-logs")
+    b1 = KafkaWireBroker(logs).start()
+    prod = KafkaWireProducer(b1.host, b1.port)
+    prod.send("dur", [(None, f"v{i}".encode()) for i in range(5)])
+    prod.close()
+    c1 = KafkaWireConsumer(b1.host, b1.port, "dur", group="g")
+    c1.commit(3)
+    c1.close()
+    b1.stop()
+
+    b2 = KafkaWireBroker(logs).start()  # same log dir, fresh process shape
+    try:
+        prod2 = KafkaWireProducer(b2.host, b2.port)
+        assert prod2.send("dur", [(None, b"v5")]) == 5  # offsets continue
+        prod2.close()
+        c2 = KafkaWireConsumer(b2.host, b2.port, "dur", group="g")
+        assert c2.committed == 3
+        assert [o for o, _k, _v in c2.poll()] == [3, 4, 5]
+        c2.close()
+    finally:
+        b2.stop()
+
+
+def test_broker_log_is_a_plain_queue_dir(broker):
+    """Wire-produced logs read back through queue.iter_queue unchanged —
+    the broker is a socket front-end over the same segment format."""
+    prod = KafkaWireProducer(broker.host, broker.port)
+    prod.send("interop", [(b"a", b"1"), (None, b"2")])
+    prod.close()
+    msgs = list(iter_queue(broker.topic_dir("interop")))
+    assert [(o, k, v) for o, k, v in msgs] == [(0, b"a", b"1"), (1, None, b"2")]
+
+
+# -- ingestion e2e ---------------------------------------------------------
+
+
+def test_avro_ingestion_over_the_wire(spark, tmp_path, broker):
+    """AvroQueueIngestor drains a LIVE broker socket (KafkaWireConsumer is
+    poll/commit-compatible with FileQueueConsumer) and keeps the LSN-floor
+    idempotence across a crash-shaped offset rollback."""
+    schema = {
+        "type": "record",
+        "name": "e",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "v", "type": "string"},
+        ],
+    }
+    prod = KafkaWireProducer(broker.host, broker.port)
+    prod.send(
+        "rows",
+        [
+            (str(i).encode(), encode_datum(schema, {"id": i, "v": f"v{i}"}))
+            for i in range(20)
+        ],
+    )
+    prod.close()
+
+    t = MoonlinkTable.create(
+        spark,
+        str(tmp_path / "t"),
+        [
+            {"name": "id", "data_type": "int64", "nullable": False},
+            {"name": "v", "data_type": "string"},
+        ],
+        IdentityProp.single("id"),
+    )
+    cons = KafkaWireConsumer(broker.host, broker.port, "rows", group="ingest")
+    ing = AvroQueueIngestor(t, cons, schema)
+    s1 = ing.drain_once()
+    assert s1["messages"] == 20 and t.scan().count() == 20
+
+    # crash between table commit and offset commit: replay is a no-op
+    cons.commit(0)
+    before = t.manifest.version
+    s2 = ing.drain_once()
+    assert s2["messages"] == 20
+    assert t.manifest.version == before and t.scan().count() == 20
+
+    # a follow-up produce still lands
+    prod2 = KafkaWireProducer(broker.host, broker.port)
+    prod2.send("rows", [(b"100", encode_datum(schema, {"id": 100, "v": "new"}))])
+    prod2.close()
+    ing.drain_once()
+    assert t.scan().count() == 21
+    got = {r["id"] for r in t.scan().collect()}
+    assert got == set(range(20)) | {100}
+    cons.close()
