@@ -63,6 +63,8 @@ HEADLINE = [
     "ivf_kmeans_train",
     "ingest_export_iceberg_dv_scan",
     "ingest_avro_events_scan",
+    # r5 addition: the same Avro feed over the broker socket protocol
+    "ingest_kafka_wire_scan",
     # r4s4 additions: the heaviest of the new operator families
     "ann_index_lifecycle_topk",
     "embedding_pca_power_scores",

@@ -164,7 +164,10 @@ PRIORITY_50 = [
     "ingest_keyindex_delete_scan",  # NEW r4: persisted key hash index
     "embedding_drift_by_label",     # NEW r4s4: TV-distance drift monitor
     "ingest_export_iceberg_dv_scan",  # NEW r4: Puffin-DV export round trip
-    "ingest_avro_events_scan",     # NEW r4: jar-free Avro queue e2e
+    # r5: the broker-socket Kafka e2e takes the file-queue Avro slot
+    # (driver-green r4; it is a strict superset — same Avro codec +
+    # ingestor, with the broker leg spoken on the wire)
+    "ingest_kafka_wire_scan",      # NEW r5: Kafka wire protocol e2e
     # (packing keeps gate presence via source_mixture_weights above)
     "embedding_gram_matrix",        # NEW r4s4: mapInPandas Gram partials
     "mixture_temperature_weights",  # NEW r4s4: p^0.5 mixture sampling

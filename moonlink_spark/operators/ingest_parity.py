@@ -921,6 +921,84 @@ def ingest_avro_events_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ingest_kafka_wire_scan",
+    oracle="""
+SELECT event_id, ts, user_id, event_type, value, props
+FROM events WHERE event_id % 7 = 0
+""",
+    category="ingest",
+)
+def ingest_kafka_wire_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka ingestion over the BROKER SOCKET: events are Avro-encoded
+    and Produced over the real Kafka wire protocol (RecordBatch v2 +
+    CRC-32C, sources/kafka_wire.py) by a producer PER EXECUTOR TASK —
+    the distributed Kafka-producer shape — then drained by
+    AvroQueueIngestor through a committed wire consumer group
+    (Fetch/OffsetCommit round trips) into a key-identity table, and
+    scanned back. Parity: the reference's Kafka/Avro feed
+    (rest_api.rs:418-419, rest_source.rs:371), now with the broker leg
+    spoken on the wire instead of a shared file.
+
+    Scale shape: each task holds one socket and streams its partition
+    (no rows through the driver); the ingestor's offset-monotone LSN
+    floor keeps replays idempotent — the same contract the file-queue
+    and REST-journal paths prove."""
+    from moonlink_spark.sources.avro_binary import encode_datum
+    from moonlink_spark.sources.kafka_wire import (
+        KafkaWireBroker,
+        KafkaWireConsumer,
+        KafkaWireProducer,
+    )
+    from moonlink_spark.sources.queue import AvroQueueIngestor
+
+    subset = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 7 == 0)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+    broker = KafkaWireBroker(_tmp_table_dir("kafkalogs")).start()
+    try:
+        host, port, schema = broker.host, broker.port, _EVENTS_AVRO_SCHEMA
+
+        def _produce_partition(rows) -> None:
+            prod = None
+            batch = []
+            for r in rows:
+                if prod is None:
+                    prod = KafkaWireProducer(host, port)
+                d = r.asDict()
+                batch.append(
+                    (str(d["event_id"]).encode(), encode_datum(schema, d))
+                )
+                if len(batch) >= 2000:
+                    prod.send("events", batch)
+                    batch = []
+            if prod is not None:
+                if batch:
+                    prod.send("events", batch)
+                prod.close()
+
+        subset.foreachPartition(_produce_partition)
+
+        t = MoonlinkTable.create(
+            spark,
+            _tmp_table_dir("kafkatbl"),
+            EVENTS_FIELDS,
+            IdentityProp.single("event_id"),
+        )
+        consumer = KafkaWireConsumer(host, port, "events", group="ingest")
+        ingestor = AvroQueueIngestor(t, consumer, schema)
+        stats = ingestor.drain_once(max_messages=1_000_000)
+        assert stats["messages"] > 0, "wire drain ingested nothing"
+        # a second drain must be a clean no-op (offset committed)
+        assert ingestor.drain_once()["messages"] == 0
+        consumer.close()
+        return t.scan()
+    finally:
+        broker.stop()
+
+
+@register(
     "ingest_keyindex_delete_scan",
     oracle="""
 SELECT o_orderkey, o_custkey, o_orderstatus,
