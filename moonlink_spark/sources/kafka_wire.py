@@ -320,11 +320,23 @@ class KafkaWireBroker:
     consumer restart resumes exactly like the reference's committed
     Kafka group."""
 
-    def __init__(self, log_dir: str, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        log_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        drop_every: int = 0,
+    ):
         self.log_dir = log_dir
         os.makedirs(log_dir, exist_ok=True)
         self._logs: dict[tuple[str, int], _PartitionLog] = {}
         self._lock = threading.Lock()
+        # fault injection: abruptly close the connection BEFORE handling
+        # every Nth request (the broker-restart / LB-reset shape clients
+        # must absorb by reconnecting)
+        self.drop_every = drop_every
+        self.dropped = 0
+        self._req_count = 0
         broker = self
 
         class Handler(socketserver.BaseRequestHandler):
@@ -402,6 +414,12 @@ class KafkaWireBroker:
                     return
                 api, ver, corr = struct.unpack_from(">hhi", req, 0)
                 _cid, pos = _read_string(req, 8)
+                if self.drop_every:
+                    with self._lock:
+                        self._req_count += 1
+                        if self._req_count % self.drop_every == 0:
+                            self.dropped += 1
+                            return  # abrupt close before any state change
                 body = self._dispatch(api, ver, req, pos)
                 resp = struct.pack(">i", corr) + body
                 sock.sendall(struct.pack(">i", len(resp)) + resp)
@@ -649,44 +667,101 @@ class KafkaWireBroker:
 class _WireConn:
     """One broker connection: framed request/response with correlation
     ids (requests on one connection are serialized, matching the
-    protocol's per-connection ordering guarantee)."""
+    protocol's per-connection ordering guarantee).
 
-    def __init__(self, host: str, port: int, client_id: str, timeout_s: float):
-        self.sock = socket.create_connection((host, port), timeout_s)
-        self.sock.settimeout(timeout_s)
-        self.f = self.sock.makefile("rb")
+    Connects lazily and RECONNECTS after a socket failure; ``call``
+    retries up to ``retries`` times when the caller marks the request
+    retriable. Reads (Fetch/Metadata/ListOffsets/OffsetFetch) and
+    OffsetCommit are idempotent, so clients retry them; Produce is NOT
+    retried by default — a retry after a lost response re-appends the
+    batch, the classic at-least-once duplicate of a non-idempotent
+    Kafka producer (``enable.idempotence=false``). Callers that want
+    that trade-off opt in explicitly."""
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        client_id: str,
+        timeout_s: float,
+        retries: int = 3,
+        backoff_s: float = 0.05,
+    ):
+        self.host = host
+        self.port = port
         self.client_id = client_id
+        self.timeout_s = timeout_s
+        self.retries = retries
+        self.backoff_s = backoff_s
+        self.sock: socket.socket | None = None
+        self.f = None
         self._corr = 0
         self._lock = threading.Lock()
 
-    def call(self, api: int, version: int, body: bytes) -> bytes:
+    def _connect(self) -> None:
+        self.sock = socket.create_connection(
+            (self.host, self.port), self.timeout_s
+        )
+        self.sock.settimeout(self.timeout_s)
+        self.f = self.sock.makefile("rb")
+
+    def _drop(self) -> None:
+        try:
+            if self.f is not None:
+                self.f.close()
+            if self.sock is not None:
+                self.sock.close()
+        except OSError:
+            pass
+        self.sock = None
+        self.f = None
+
+    def call(
+        self, api: int, version: int, body: bytes, retriable: bool = True
+    ) -> bytes:
         with self._lock:
-            self._corr += 1
-            corr = self._corr
-            req = (
-                struct.pack(">hhi", api, version, corr)
-                + _string(self.client_id)
-                + body
+            attempt = 0
+            while True:
+                try:
+                    if self.sock is None:
+                        self._connect()
+                    return self._call_once(api, version, body)
+                except (ConnectionError, socket.timeout, OSError) as e:
+                    self._drop()
+                    attempt += 1
+                    if not retriable or attempt > self.retries:
+                        raise ConnectionError(str(e)) from e
+                    time.sleep(self.backoff_s * attempt)
+
+    def _call_once(self, api: int, version: int, body: bytes) -> bytes:
+        self._corr += 1
+        corr = self._corr
+        req = (
+            struct.pack(">hhi", api, version, corr)
+            + _string(self.client_id)
+            + body
+        )
+        self.sock.sendall(struct.pack(">i", len(req)) + req)
+        head = self.f.read(4)
+        if len(head) < 4:
+            raise ConnectionError("broker closed")
+        (n,) = struct.unpack(">i", head)
+        resp = self.f.read(n)
+        if len(resp) < n:
+            raise ConnectionError("short response")
+        (got,) = struct.unpack_from(">i", resp, 0)
+        if got != corr:
+            raise ConnectionError(
+                f"correlation mismatch: sent {corr}, got {got}"
             )
-            self.sock.sendall(struct.pack(">i", len(req)) + req)
-            head = self.f.read(4)
-            if len(head) < 4:
-                raise ConnectionError("broker closed")
-            (n,) = struct.unpack(">i", head)
-            resp = self.f.read(n)
-            if len(resp) < n:
-                raise ConnectionError("short response")
-            (got,) = struct.unpack_from(">i", resp, 0)
-            if got != corr:
-                raise ConnectionError(
-                    f"correlation mismatch: sent {corr}, got {got}"
-                )
-            return resp[4:]
+        return resp[4:]
 
     def close(self) -> None:
         try:
-            self.f.close()
-            self.sock.close()
+            if self.f is not None:
+                self.f.close()
+            if self.sock is not None:
+                self.sock.close()
         except OSError:
             pass
 
@@ -694,7 +769,14 @@ class _WireConn:
 class KafkaWireProducer:
     """Protocol-side producer: batches (key, value) pairs into a
     RecordBatch v2 and Produces with acks=-1. Returns the broker-assigned
-    base offset."""
+    base offset.
+
+    ``at_least_once=True`` retries a Produce across reconnects — the
+    non-idempotent Kafka producer's ``retries>0`` semantics: a lost
+    RESPONSE can duplicate the batch (new offsets, same payloads), so
+    only enable it when the downstream dedups (e.g. a key-identity
+    table where replays upsert). Off by default: a send that fails
+    mid-flight surfaces instead of risking duplicates."""
 
     def __init__(
         self,
@@ -702,8 +784,11 @@ class KafkaWireProducer:
         port: int,
         client_id: str = "moonlink-producer",
         timeout_s: float = 10.0,
+        at_least_once: bool = False,
+        retries: int = 3,
     ):
-        self._conn = _WireConn(host, port, client_id, timeout_s)
+        self._conn = _WireConn(host, port, client_id, timeout_s, retries)
+        self.at_least_once = at_least_once
 
     def send(
         self,
@@ -721,7 +806,9 @@ class KafkaWireProducer:
             + struct.pack(">i", partition)
             + _bytes32(batch)
         )
-        resp = self._conn.call(_API["produce"], 3, body)
+        resp = self._conn.call(
+            _API["produce"], 3, body, retriable=self.at_least_once
+        )
         pos = 4  # topic count (1)
         _t, pos = _read_string(resp, pos)
         pos += 4  # partition count (1)

@@ -223,3 +223,50 @@ def test_avro_ingestion_over_the_wire(spark, tmp_path, broker):
     got = {r["id"] for r in t.scan().collect()}
     assert got == set(range(20)) | {100}
     cons.close()
+
+
+# -- connection faults -------------------------------------------------------
+
+
+def test_consumer_absorbs_connection_drops(tmp_path):
+    """The broker abruptly closes every 4th request before handling it
+    (restart/LB-reset shape): consumer reads and offset commits are
+    idempotent, so the client reconnects and retries invisibly."""
+    b = KafkaWireBroker(str(tmp_path / "logs"), drop_every=4).start()
+    try:
+        prod = KafkaWireProducer(b.host, b.port, at_least_once=True)
+        base = prod.send("flaky", [(None, f"v{i}".encode()) for i in range(10)])
+        assert base == 0
+        prod.close()
+        cons = KafkaWireConsumer(b.host, b.port, "flaky", group="g")
+        for _ in range(5):  # enough round trips to hit several drops
+            msgs = cons.poll()
+            assert [o for o, _k, _v in msgs] == list(range(10))
+        cons.commit(10)
+        assert cons.committed == 10
+        assert cons.poll() == []
+        assert b.dropped > 0  # faults actually fired mid-run
+        cons.close()
+    finally:
+        b.stop()
+
+
+def test_producer_default_surfaces_drops(tmp_path):
+    """A non-idempotent producer must NOT silently retry a Produce (a
+    lost response would duplicate the batch): with at_least_once off, a
+    dropped connection surfaces as an error on some send."""
+    b = KafkaWireBroker(str(tmp_path / "logs"), drop_every=3).start()
+    try:
+        prod = KafkaWireProducer(b.host, b.port)
+        raised = False
+        for i in range(10):
+            try:
+                prod.send("strict", [(None, f"v{i}".encode())])
+            except (ConnectionError, OSError):
+                raised = True
+                prod.close()
+                prod = KafkaWireProducer(b.host, b.port)
+        assert raised
+        prod.close()
+    finally:
+        b.stop()
