@@ -261,6 +261,7 @@ def register_moonlink_source(spark) -> None:
     ensure_package_on_workers(spark)
     spark.dataSource.register(MoonlinkDataSource)
     spark.dataSource.register(MoonlinkCdcDataSource)
+    spark.dataSource.register(MoonlinkKafkaDataSource)
 
 
 class MoonlinkDataSource(DataSource):
@@ -491,7 +492,9 @@ class MoonlinkStreamReader(SimpleDataSourceStreamReader):
         latest = ManifestStore(self.table_dir).latest()
         end_lsn = latest.lsn if latest else start["lsn"]
         if end_lsn <= start["lsn"]:
-            return [], start
+            # a real ITERATOR: on a no-progress round (end == start) Spark's
+            # prefetch wrapper calls next() on the result to assert emptiness
+            return iter(()), start
         # a LIST, not a generator: Spark's prefetch cache copy.copy()s the
         # returned iterator when serving planned partitions. Bounded by the
         # micro-batch delta (files/DVs committed since the last offset).
@@ -669,3 +672,146 @@ class MoonlinkBatchWriter(MoonlinkStreamWriter, DataSourceWriter):
 
     def abort(self, messages) -> None:  # type: ignore[override]
         self._unlink_staged(messages)
+
+
+# --------------------------------------------------------------------------- #
+# Structured Streaming: the Kafka wire broker as a stream source
+# --------------------------------------------------------------------------- #
+
+
+class MoonlinkKafkaDataSource(DataSource):
+    """``spark.readStream.format("moonlink-kafka")`` — one broker
+    topic-partition as a Structured Streaming source, jar-free: the
+    reader speaks the Kafka wire protocol (sources/kafka_wire.py) and
+    Spark's checkpoint carries the offsets (the external-offset-manager
+    consumption mode; no broker group state is touched). Parity: the
+    reference's Kafka feed (rest_api.rs:418-419) consumed as a STREAM
+    instead of a drain loop.
+
+    Options: ``host``, ``port``, ``topic`` (required); ``partition``
+    (default 0); ``startingOffsets`` = ``earliest`` (default),
+    ``latest``, or an integer offset; ``valueAvroSchema`` = an Avro
+    record schema JSON — when set, each message value is decoded with
+    the pure-Python codec and the schema's fields become top-level
+    columns after (offset, key); without it the raw Kafka shape
+    (offset, key binary, value binary) is returned and callers decode
+    downstream (the from_avro pattern)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "moonlink-kafka"
+
+    def schema(self):
+        from pyspark.sql import types as T
+
+        base = [
+            T.StructField("offset", T.LongType(), False),
+            T.StructField("key", T.BinaryType(), True),
+        ]
+        raw_schema = self.options.get("valueavroschema")
+        if raw_schema:
+            import json as _json
+
+            from moonlink_spark.sources.converters import (
+                avro_schema_to_struct,
+            )
+
+            return T.StructType(
+                base + list(avro_schema_to_struct(_json.loads(raw_schema)).fields)
+            )
+        return T.StructType(
+            base + [T.StructField("value", T.BinaryType(), True)]
+        )
+
+    def simpleStreamReader(self, schema) -> "MoonlinkKafkaStreamReader":
+        return MoonlinkKafkaStreamReader(dict(self.options))
+
+
+class MoonlinkKafkaStreamReader(SimpleDataSourceStreamReader):
+    """Offset-range micro-batches over one topic-partition. Offsets are
+    ``{"offset": N}`` (next offset to read). Connections open per call
+    and never ride the pickle path; replays (readBetweenOffsets) are
+    deterministic because the broker log is append-only."""
+
+    def __init__(self, options: dict):
+        # Spark lowercases data-source option keys
+        self.host = options["host"]
+        self.port = int(options["port"])
+        self.topic = options["topic"]
+        self.partition = int(options.get("partition", 0))
+        self.starting = options.get("startingoffsets", "earliest")
+        raw_schema = options.get("valueavroschema")
+        self.avro_schema = None
+        if raw_schema:
+            import json as _json
+
+            self.avro_schema = _json.loads(raw_schema)
+
+    def _consumer(self):
+        from moonlink_spark.sources.kafka_wire import KafkaWireConsumer
+
+        return KafkaWireConsumer(
+            self.host, self.port, self.topic, self.partition
+        )
+
+    def _rows(self, msgs):
+        if self.avro_schema is None:
+            return [(off, key, value) for off, key, value in msgs]
+        from moonlink_spark.sources.avro_binary import (
+            decode_record,
+            row_for_spark,
+        )
+
+        fields = [f["name"] for f in self.avro_schema["fields"]]
+        out = []
+        for off, key, value in msgs:
+            rec = row_for_spark(
+                self.avro_schema, decode_record(self.avro_schema, value)
+            )
+            out.append((off, key, *[rec[f] for f in fields]))
+        return out
+
+    def initialOffset(self) -> dict:
+        if self.starting not in ("earliest", "latest"):
+            return {"offset": int(self.starting)}
+        c = self._consumer()
+        try:
+            return {"offset": c.list_offsets(earliest=self.starting == "earliest")}
+        finally:
+            c.close()
+
+    def read(self, start: dict):
+        c = self._consumer()
+        try:
+            hw = c.list_offsets()
+            if hw <= start["offset"]:
+                # a real ITERATOR: on a no-progress round (end == start)
+                # Spark's prefetch wrapper next()s the result
+                return iter(()), start
+            msgs = []
+            pos = start["offset"]
+            while pos < hw:
+                batch = c.fetch(pos, max_messages=1_000_000)
+                if not batch:
+                    break
+                msgs.extend(m for m in batch if m[0] < hw)
+                pos = batch[-1][0] + 1
+            return self._rows(msgs), {"offset": hw}
+        finally:
+            c.close()
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        c = self._consumer()
+        try:
+            msgs = []
+            pos = start["offset"]
+            while pos < end["offset"]:
+                batch = c.fetch(pos, max_messages=1_000_000)
+                if not batch:
+                    break
+                msgs.extend(m for m in batch if m[0] < end["offset"])
+                pos = batch[-1][0] + 1
+            # executor-side read path: Spark requires an ITERATOR here
+            return iter(self._rows(msgs))
+        finally:
+            c.close()

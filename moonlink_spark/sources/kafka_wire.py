@@ -862,7 +862,18 @@ class KafkaWireConsumer:
     def poll(
         self, max_messages: int = 10_000, max_bytes: int = 8 << 20
     ) -> list[tuple[int, bytes | None, bytes]]:
-        floor = self.committed
+        return self.fetch(self.committed, max_messages, max_bytes)
+
+    def fetch(
+        self,
+        from_offset: int,
+        max_messages: int = 10_000,
+        max_bytes: int = 8 << 20,
+    ) -> list[tuple[int, bytes | None, bytes]]:
+        """Group-less fetch from an EXPLICIT offset — the surface an
+        external offset manager (e.g. Spark's streaming checkpoint)
+        drives; never touches the committed group position."""
+        floor = from_offset
         body = (
             struct.pack(">iiii", -1, 0, 0, max_bytes)
             + b"\x00"  # isolation_level: read_uncommitted
