@@ -116,7 +116,10 @@ PRIORITY_50 = [
     "lsh_jaccard_recall_eval",      # NEW r5 slate: LSH recall/precision
     "dedup_edit_distance_verify",   # NEW r5 slate: edit-distance verify
     "union_all_with_dup_counts",
-    "regression_per_event_type",
+    # r5: the Kafka streaming-source feed takes regression_per_event_type's
+    # slot (driver-green r4; aggregations stay covered by percentiles /
+    # argminmax / grouping_sets / event_value_statistics elsewhere)
+    "ingest_kafka_stream_feed",    # NEW r5: readStream over the broker
     "interval_range_join",
     "rolling_7d_customer_revenue",
     # never-gated: similarity / ANN (4)

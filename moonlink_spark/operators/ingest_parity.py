@@ -999,6 +999,91 @@ def ingest_kafka_wire_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ingest_kafka_stream_feed",
+    oracle="""
+SELECT event_id, ts, user_id, event_type, value, props
+FROM events WHERE event_id % 11 = 0
+""",
+    category="ingest",
+)
+def ingest_kafka_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kafka broker as a Structured Streaming SOURCE
+    (readStream.format("moonlink-kafka"), integrations/
+    spark_datasource.py): events are Produced over the wire protocol
+    from executor tasks, then a streaming query drains the topic with
+    availableNow — Spark's checkpoint as the offset manager, no broker
+    group state — decoding Avro values to columns via valueAvroSchema.
+    Parity: the reference's Kafka feed (rest_api.rs:418-419) consumed
+    as a stream rather than a drain loop.
+
+    Scale shape: each micro-batch reads one bounded offset range; the
+    source holds no state besides the checkpointed next offset."""
+    import json as _json
+    import uuid as _uuid
+
+    from moonlink_spark.integrations.spark_datasource import (
+        register_moonlink_source,
+    )
+    from moonlink_spark.sources.avro_binary import encode_datum
+    from moonlink_spark.sources.kafka_wire import (
+        KafkaWireBroker,
+        KafkaWireProducer,
+    )
+
+    register_moonlink_source(spark)
+    subset = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 11 == 0)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+    broker = KafkaWireBroker(_tmp_table_dir("kafkastream")).start()
+    try:
+        host, port, schema = broker.host, broker.port, _EVENTS_AVRO_SCHEMA
+
+        def _produce_partition(rows) -> None:
+            prod = None
+            batch = []
+            for r in rows:
+                if prod is None:
+                    prod = KafkaWireProducer(host, port)
+                d = r.asDict()
+                batch.append(
+                    (str(d["event_id"]).encode(), encode_datum(schema, d))
+                )
+                if len(batch) >= 2000:
+                    prod.send("events", batch)
+                    batch = []
+            if prod is not None:
+                if batch:
+                    prod.send("events", batch)
+                prod.close()
+
+        subset.foreachPartition(_produce_partition)
+
+        name = f"kafka_feed_{_uuid.uuid4().hex[:8]}"
+        q = (
+            spark.readStream.format("moonlink-kafka")
+            .option("host", host)
+            .option("port", port)
+            .option("topic", "events")
+            .option("valueAvroSchema", _json.dumps(schema))
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180), "kafka stream did not drain"
+        # offsets are broker-assigned in task-arrival order (not
+        # deterministic across runs): return the decoded payload columns
+        return spark.table(name).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+    finally:
+        broker.stop()
+
+
+@register(
     "ingest_keyindex_delete_scan",
     oracle="""
 SELECT o_orderkey, o_custkey, o_orderstatus,
