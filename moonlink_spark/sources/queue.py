@@ -204,6 +204,7 @@ class FileQueueConsumer:
         return out
 
     def commit(self, next_offset: int) -> None:
+        os.makedirs(self.queue_dir, exist_ok=True)
         tmp = self.state_path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({"next_offset": next_offset}, fh)
@@ -245,14 +246,25 @@ class AvroQueueIngestor:
         batch = self.consumer.poll(max_messages)
         if not batch:
             return {"messages": 0, "version": self.table.manifest.version}
+        # Per-MESSAGE replay floor, not just per-batch: the commit LSN
+        # encodes the last applied offset (lsn = base + offset + 1), so
+        # after a crash between table commit and consumer-offset commit,
+        # a re-poll that merges the already-applied batch WITH newly
+        # produced messages must drop the applied prefix — a batch-level
+        # LSN check alone would re-append it (duplicates), because the
+        # merged batch's LSN clears the floor on the strength of the new
+        # tail alone.
+        applied_floor = self.table.last_lsn - self.lsn_base - 1
         rows = []
-        for _off, _key, value in batch:
+        for off, _key, value in batch:
+            if off <= applied_floor:
+                continue
             row = self._reshape(self.schema, self._decode(self.schema, value))
             rows.append(self.transform(row) if self.transform else row)
         last_offset = batch[-1][0]
         lsn = self.lsn_base + last_offset + 1
         version = self.table.manifest.version
-        if lsn > self.table.last_lsn:  # LSN floor: replayed batch is a no-op
+        if rows and lsn > self.table.last_lsn:
             self.table.append_rows(rows)
             version = self.table.commit(lsn=lsn, operation="avro-queue")
         self.consumer.commit(last_offset + 1)
