@@ -680,22 +680,24 @@ class MoonlinkBatchWriter(MoonlinkStreamWriter, DataSourceWriter):
 
 
 class MoonlinkKafkaDataSource(DataSource):
-    """``spark.readStream.format("moonlink-kafka")`` — one broker
-    topic-partition as a Structured Streaming source, jar-free: the
-    reader speaks the Kafka wire protocol (sources/kafka_wire.py) and
-    Spark's checkpoint carries the offsets (the external-offset-manager
-    consumption mode; no broker group state is touched). Parity: the
-    reference's Kafka feed (rest_api.rs:418-419) consumed as a STREAM
-    instead of a drain loop.
+    """``spark.readStream.format("moonlink-kafka")`` — a broker topic as
+    a Structured Streaming source, jar-free: the reader speaks the Kafka
+    wire protocol (sources/kafka_wire.py) and Spark's checkpoint carries
+    the offsets (the external-offset-manager consumption mode; no broker
+    group state is touched). Parity: the reference's Kafka feed
+    (rest_api.rs:418-419) consumed as a STREAM instead of a drain loop.
 
-    Options: ``host``, ``port``, ``topic`` (required); ``partition``
-    (default 0); ``startingOffsets`` = ``earliest`` (default),
-    ``latest``, or an integer offset; ``valueAvroSchema`` = an Avro
-    record schema JSON — when set, each message value is decoded with
-    the pure-Python codec and the schema's fields become top-level
-    columns after (offset, key); without it the raw Kafka shape
-    (offset, key binary, value binary) is returned and callers decode
-    downstream (the from_avro pattern)."""
+    Options: ``host``, ``port``, ``topic`` (required); ``partitions`` =
+    comma-separated partition ids (default "0" — Kafka's unit of
+    parallelism, so offsets checkpoint PER PARTITION and each
+    micro-batch covers every subscribed partition's new range);
+    ``startingOffsets`` = ``earliest`` (default), ``latest``, or an
+    integer offset applied to every partition; ``valueAvroSchema`` = an
+    Avro record schema JSON — when set, each message value is decoded
+    with the pure-Python codec and the schema's fields become top-level
+    columns after (partition, offset, key); without it the raw Kafka
+    shape (partition, offset, key binary, value binary) is returned and
+    callers decode downstream (the from_avro pattern)."""
 
     @classmethod
     def name(cls) -> str:
@@ -705,6 +707,7 @@ class MoonlinkKafkaDataSource(DataSource):
         from pyspark.sql import types as T
 
         base = [
+            T.StructField("partition", T.IntegerType(), False),
             T.StructField("offset", T.LongType(), False),
             T.StructField("key", T.BinaryType(), True),
         ]
@@ -728,17 +731,23 @@ class MoonlinkKafkaDataSource(DataSource):
 
 
 class MoonlinkKafkaStreamReader(SimpleDataSourceStreamReader):
-    """Offset-range micro-batches over one topic-partition. Offsets are
-    ``{"offset": N}`` (next offset to read). Connections open per call
-    and never ride the pickle path; replays (readBetweenOffsets) are
-    deterministic because the broker log is append-only."""
+    """Offset-range micro-batches over the subscribed topic-partitions.
+    Offsets are ``{"<partition>": next_offset, ...}`` — one entry per
+    partition, the shape Spark's own Kafka source checkpoints.
+    Connections open per call and never ride the pickle path; replays
+    (readBetweenOffsets) are deterministic because broker logs are
+    append-only."""
 
     def __init__(self, options: dict):
         # Spark lowercases data-source option keys
         self.host = options["host"]
         self.port = int(options["port"])
         self.topic = options["topic"]
-        self.partition = int(options.get("partition", 0))
+        self.partitions = [
+            int(p)
+            for p in str(options.get("partitions", "0")).split(",")
+            if p.strip() != ""
+        ]
         self.starting = options.get("startingoffsets", "earliest")
         raw_schema = options.get("valueavroschema")
         self.avro_schema = None
@@ -747,16 +756,14 @@ class MoonlinkKafkaStreamReader(SimpleDataSourceStreamReader):
 
             self.avro_schema = _json.loads(raw_schema)
 
-    def _consumer(self):
+    def _consumer(self, partition: int):
         from moonlink_spark.sources.kafka_wire import KafkaWireConsumer
 
-        return KafkaWireConsumer(
-            self.host, self.port, self.topic, self.partition
-        )
+        return KafkaWireConsumer(self.host, self.port, self.topic, partition)
 
-    def _rows(self, msgs):
+    def _rows(self, partition: int, msgs):
         if self.avro_schema is None:
-            return [(off, key, value) for off, key, value in msgs]
+            return [(partition, off, key, value) for off, key, value in msgs]
         from moonlink_spark.sources.avro_binary import (
             decode_record,
             row_for_spark,
@@ -768,50 +775,64 @@ class MoonlinkKafkaStreamReader(SimpleDataSourceStreamReader):
             rec = row_for_spark(
                 self.avro_schema, decode_record(self.avro_schema, value)
             )
-            out.append((off, key, *[rec[f] for f in fields]))
+            out.append((partition, off, key, *[rec[f] for f in fields]))
         return out
+
+    def _fetch_range(self, partition: int, lo: int, hi: int) -> list:
+        """All messages of one partition with lo <= offset < hi."""
+        c = self._consumer(partition)
+        try:
+            msgs = []
+            pos = lo
+            while pos < hi:
+                batch = c.fetch(pos, max_messages=1_000_000)
+                if not batch:
+                    break
+                msgs.extend(m for m in batch if m[0] < hi)
+                pos = batch[-1][0] + 1
+            return msgs
+        finally:
+            c.close()
 
     def initialOffset(self) -> dict:
         if self.starting not in ("earliest", "latest"):
-            return {"offset": int(self.starting)}
-        c = self._consumer()
-        try:
-            return {"offset": c.list_offsets(earliest=self.starting == "earliest")}
-        finally:
-            c.close()
+            return {str(p): int(self.starting) for p in self.partitions}
+        out = {}
+        for p in self.partitions:
+            c = self._consumer(p)
+            try:
+                out[str(p)] = c.list_offsets(
+                    earliest=self.starting == "earliest"
+                )
+            finally:
+                c.close()
+        return out
 
     def read(self, start: dict):
-        c = self._consumer()
-        try:
-            hw = c.list_offsets()
-            if hw <= start["offset"]:
-                # a real ITERATOR: on a no-progress round (end == start)
-                # Spark's prefetch wrapper next()s the result
-                return iter(()), start
-            msgs = []
-            pos = start["offset"]
-            while pos < hw:
-                batch = c.fetch(pos, max_messages=1_000_000)
-                if not batch:
-                    break
-                msgs.extend(m for m in batch if m[0] < hw)
-                pos = batch[-1][0] + 1
-            return self._rows(msgs), {"offset": hw}
-        finally:
-            c.close()
+        rows = []
+        end = dict(start)
+        for p in self.partitions:
+            c = self._consumer(p)
+            try:
+                hw = c.list_offsets()
+            finally:
+                c.close()
+            lo = start.get(str(p), 0)
+            if hw <= lo:
+                continue
+            rows.extend(self._rows(p, self._fetch_range(p, lo, hw)))
+            end[str(p)] = hw
+        if end == start:
+            # a real ITERATOR: on a no-progress round (end == start)
+            # Spark's prefetch wrapper next()s the result
+            return iter(()), start
+        return rows, end
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        c = self._consumer()
-        try:
-            msgs = []
-            pos = start["offset"]
-            while pos < end["offset"]:
-                batch = c.fetch(pos, max_messages=1_000_000)
-                if not batch:
-                    break
-                msgs.extend(m for m in batch if m[0] < end["offset"])
-                pos = batch[-1][0] + 1
-            # executor-side read path: Spark requires an ITERATOR here
-            return iter(self._rows(msgs))
-        finally:
-            c.close()
+        rows = []
+        for p in self.partitions:
+            lo, hi = start.get(str(p), 0), end.get(str(p), 0)
+            if hi > lo:
+                rows.extend(self._rows(p, self._fetch_range(p, lo, hi)))
+        # executor-side read path: Spark requires an ITERATOR here
+        return iter(rows)

@@ -181,3 +181,35 @@ def test_kafka_to_moonlink_table_pipeline(spark, broker, tmp_path):
     t = MoonlinkTable.open(spark, path)
     got = {(r["id"], r["v"]) for r in t.scan().collect()}
     assert got == {(i, f"v{i}") for i in range(30)}
+
+
+def test_multi_partition_stream(spark, broker, tmp_path):
+    """partitions="0,1,2": offsets checkpoint per partition and one
+    micro-batch covers every partition's new range."""
+    prod = KafkaWireProducer(broker.host, broker.port)
+    for i in range(30):
+        prod.send(
+            "ev",
+            [(str(i).encode(), encode_datum(SCHEMA, {"id": i, "v": f"v{i}"}))],
+            partition=i % 3,
+        )
+    prod.close()
+    register_moonlink_source(spark)
+    q = (
+        _reader(spark, broker, partitions="0,1,2",
+                valueAvroSchema=json.dumps(SCHEMA))
+        .load()
+        .writeStream.format("memory")
+        .queryName("kmp")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM kmp").collect()
+    assert {r["id"] for r in rows} == set(range(30))
+    per_part = {}
+    for r in rows:
+        per_part.setdefault(r["partition"], []).append(r["offset"])
+    assert set(per_part) == {0, 1, 2}
+    for offs in per_part.values():
+        assert sorted(offs) == list(range(10))  # per-partition offsets
