@@ -466,6 +466,53 @@ class MoonlinkBackend:
             interval_s, tick, f"vecindex-{database}.{table}.{column}"
         ).start()
 
+    def start_kafka_ingest(
+        self,
+        database: str,
+        table: str,
+        host: str,
+        port: int,
+        topic: str,
+        value_schema: dict | str,
+        partition: int = 0,
+        group: str | None = None,
+        interval_s: float = 1.0,
+        lsn_base: int = 1_000_000,
+        transform=None,
+    ):
+        """Own a Kafka feed for a table: a ticker drains the
+        topic-partition through a committed wire consumer group into the
+        table (parity: the reference's per-table source-connection
+        ownership, ``replication_manager.rs`` /
+        ``replication_connection.rs``, applied to its Kafka ingest
+        surface, ``rest_api.rs:418-419``). Replays are exactly-once via
+        the drain loop's per-message LSN floor
+        (``sources/queue.py drain_once``); the consumer reconnects
+        across broker restarts. Returns the started Ticker — call
+        ``.stop()`` to disconnect."""
+        from moonlink_spark.sources.kafka_wire import KafkaWireConsumer
+        from moonlink_spark.sources.queue import AvroQueueIngestor
+        from moonlink_spark.table.timers import Ticker
+
+        t = self.get_table(database, table)
+        consumer = KafkaWireConsumer(
+            host,
+            port,
+            topic,
+            partition,
+            group=group or f"moonlink-{database}.{table}",
+        )
+        ingestor = AvroQueueIngestor(
+            t, consumer, value_schema, lsn_base=lsn_base, transform=transform
+        )
+
+        def tick():
+            ingestor.drain_once()
+
+        return Ticker(
+            interval_s, tick, f"kafka-{database}.{table}.{topic}"
+        ).start()
+
     def query_vector_index(
         self,
         database: str,

@@ -270,3 +270,67 @@ def test_producer_default_surfaces_drops(tmp_path):
         prod.close()
     finally:
         b.stop()
+
+
+def test_backend_owned_kafka_ingest_loop(spark, tmp_path):
+    """backend.start_kafka_ingest: a ticker-owned consumer drains the
+    feed into the table continuously; new produces land without any
+    caller involvement, and stop() disconnects cleanly."""
+    import time
+
+    from moonlink_spark.backend import MoonlinkBackend
+
+    schema = {
+        "type": "record",
+        "name": "e",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "v", "type": "string"},
+        ],
+    }
+    broker = KafkaWireBroker(str(tmp_path / "logs")).start()
+    be = MoonlinkBackend(spark, str(tmp_path / "wh"))
+    be.create_table(
+        "db",
+        "feed",
+        [
+            {"name": "id", "data_type": "int64", "nullable": False},
+            {"name": "v", "data_type": "string"},
+        ],
+        IdentityProp.single("id"),
+    )
+
+    def produce(lo, hi):
+        prod = KafkaWireProducer(broker.host, broker.port)
+        prod.send(
+            "ev",
+            [
+                (str(i).encode(), encode_datum(schema, {"id": i, "v": f"v{i}"}))
+                for i in range(lo, hi)
+            ],
+        )
+        prod.close()
+
+    produce(0, 12)
+    ticker = be.start_kafka_ingest(
+        "db", "feed", broker.host, broker.port, "ev", schema, interval_s=0.1
+    )
+    try:
+        t = be.get_table("db", "feed")
+
+        def wait_for(n, timeout=20.0):
+            deadline = time.time() + timeout
+            while time.time() < deadline:
+                if t.scan().count() == n:
+                    return True
+                time.sleep(0.2)
+            return False
+
+        assert wait_for(12), "initial feed did not drain"
+        produce(12, 20)  # lands with no caller involvement
+        assert wait_for(20), "live tail did not drain"
+    finally:
+        ticker.stop()
+        broker.stop()
+    got = {r["id"] for r in t.scan().collect()}
+    assert got == set(range(20))
