@@ -16,6 +16,10 @@ Parity with the reference service REST API
 - ``POST /ingestpb/{db}/{table}``           protobuf-row ingest (base64)
 - ``POST /kafka/{db}/{table}/schema``       register Avro value schema
 - ``POST /kafka/{db}/{table}/ingest``       raw Avro datum body -> insert
+- ``POST /kafka/{db}/{table}/connect``      own a broker feed: {host, port,
+                                             topic, partition?, group?,
+                                             interval_ms?, avro_schema?}
+- ``POST /kafka/{db}/{table}/disconnect``   stop owned feeds ({topic?})
 - ``POST /upload/{db}/{table}``             {operation: insert|upload, files}
 - ``GET  /scan/{db}/{table}?lsn=&limit=``   rows as JSON (blocking lsn wait
                                              parity: ReadStateManager)
@@ -52,7 +56,9 @@ _TABLE_RE = re.compile(
 )
 _INGEST_RE = re.compile(r"^/ingest/([^/]+)/([^/]+)$")
 _INGESTPB_RE = re.compile(r"^/ingestpb/([^/]+)/([^/]+)$")
-_KAFKA_RE = re.compile(r"^/kafka/([^/]+)/([^/]+)/(schema|ingest)$")
+_KAFKA_RE = re.compile(
+    r"^/kafka/([^/]+)/([^/]+)/(schema|ingest|connect|disconnect)$"
+)
 _UPLOAD_RE = re.compile(r"^/upload/([^/]+)/([^/]+)$")
 _SCHEMA_RE = re.compile(r"^/schema/([^/]+)/([^/]+)$")
 _SCAN_RE = re.compile(r"^/scan/([^/]+)/([^/]+)$")
@@ -94,6 +100,9 @@ class MoonlinkService:
         self._sinks: dict[tuple[str, str], RestSink] = {}
         self._timers: dict[tuple[str, str], Any] = {}
         self._avro_schemas: dict[tuple[str, str], dict] = {}
+        # broker feeds the service owns: (db, table, topic) -> Ticker
+        # (replication_manager.rs connection-ownership shape)
+        self._kafka_conns: dict[tuple[str, str, str], Any] = {}
         self._lock = threading.Lock()
         service = self
 
@@ -284,8 +293,15 @@ class MoonlinkService:
                     timers = self._timers.pop((db, table), None)
                     # a recreated table must not inherit the old Avro schema
                     self._avro_schemas.pop((db, table), None)
+                    conns = [
+                        self._kafka_conns.pop(k)
+                        for k in list(self._kafka_conns)
+                        if k[0] == db and k[1] == table
+                    ]
                 if timers is not None:
                     timers.stop()
+                for c in conns:
+                    c.stop()
                 self.backend.drop_table(db, table)
                 h._send(200, {"dropped": f"{db}.{table}"})
                 return
@@ -489,6 +505,68 @@ class MoonlinkService:
                     self._avro_schemas[(db, table)] = schema
                 h._send(200, {"database": db, "table": table, "schema_set": True})
                 return
+            if what == "connect":
+                # own a broker feed for the table (replication_manager.rs
+                # connection-ownership shape over the Kafka surface):
+                # a ticker-driven wire consumer group drains the topic
+                # into the table until disconnect / drop / service stop
+                body = h._body()
+                topic = body["topic"]
+                schema = body.get("avro_schema") or self._kafka_schema(
+                    db, table
+                )
+                if schema is None:
+                    h._send(
+                        400,
+                        {"error": "NoAvroSchema",
+                         "message": f"set /kafka/{db}/{table}/schema first "
+                                    "or pass avro_schema"},
+                    )
+                    return
+                if isinstance(schema, str):
+                    schema = json.loads(schema)
+                key3 = (db, table, topic)
+                with self._lock:
+                    if key3 in self._kafka_conns:
+                        h._send(
+                            409,
+                            {"error": "AlreadyConnected",
+                             "message": f"{db}.{table} <- {topic}"},
+                        )
+                        return
+                ticker = self.backend.start_kafka_ingest(
+                    db,
+                    table,
+                    body["host"],
+                    int(body["port"]),
+                    topic,
+                    schema,
+                    partition=int(body.get("partition", 0)),
+                    group=body.get("group"),
+                    interval_s=float(body.get("interval_ms", 1000)) / 1000.0,
+                )
+                with self._lock:
+                    self._kafka_conns[key3] = ticker
+                h._send(
+                    200,
+                    {"connected": f"{db}.{table}", "topic": topic},
+                )
+                return
+            if what == "disconnect":
+                body = h._body()
+                topic = body.get("topic")
+                with self._lock:
+                    keys = [
+                        k
+                        for k in list(self._kafka_conns)
+                        if k[0] == db and k[1] == table
+                        and (topic is None or k[2] == topic)
+                    ]
+                    conns = [self._kafka_conns.pop(k) for k in keys]
+                for c in conns:
+                    c.stop()
+                h._send(200, {"disconnected": len(conns)})
+                return
             # what == "ingest": raw Avro datum body, always insert + sync
             # (parity ingest_data_kafka, rest_api.rs:1131-1154)
             schema = self._kafka_schema(db, table)
@@ -645,8 +723,12 @@ class MoonlinkService:
         with self._lock:
             timers = list(self._timers.values())
             self._timers.clear()
+            conns = list(self._kafka_conns.values())
+            self._kafka_conns.clear()
         for t in timers:
             t.stop()
+        for c in conns:
+            c.stop()
         self.httpd.shutdown()
         if self._thread:
             self._thread.join(timeout=10)

@@ -432,3 +432,100 @@ def test_export_with_glue_catalog_registration(svc, tmp_path):
         assert code == 200 and loaded["metadata"]["current-snapshot-id"] == 1
     finally:
         glue.stop()
+
+
+def test_kafka_connect_disconnect_feed(svc, tmp_path):
+    """POST /kafka/{db}/{t}/connect owns a broker feed (ticker-driven
+    wire consumer into the table); disconnect stops it; a second connect
+    for the same topic 409s while connected."""
+    import time
+
+    from moonlink_spark.sources.avro_binary import encode_datum
+    from moonlink_spark.sources.kafka_wire import (
+        KafkaWireBroker,
+        KafkaWireProducer,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "e",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "v", "type": "string"},
+        ],
+    }
+    code, _ = _req(
+        svc,
+        "POST",
+        "/tables/db/feed",
+        {
+            "schema": [
+                {"name": "id", "data_type": "int64", "nullable": False},
+                {"name": "v", "data_type": "string"},
+            ],
+            "identity": {"mode": "single", "columns": ["id"]},
+        },
+    )
+    assert code == 200
+    broker = KafkaWireBroker(str(tmp_path / "logs")).start()
+    try:
+        prod = KafkaWireProducer(broker.host, broker.port)
+        prod.send(
+            "ev",
+            [
+                (str(i).encode(), encode_datum(schema, {"id": i, "v": f"v{i}"}))
+                for i in range(7)
+            ],
+        )
+        prod.close()
+
+        # no schema registered and none passed -> 400
+        code, body = _req(
+            svc, "POST", "/kafka/db/feed/connect",
+            {"host": broker.host, "port": broker.port, "topic": "ev"},
+        )
+        assert code == 400 and body["error"] == "NoAvroSchema"
+
+        code, _ = _req(
+            svc, "POST", "/kafka/db/feed/connect",
+            {"host": broker.host, "port": broker.port, "topic": "ev",
+             "avro_schema": schema, "interval_ms": 100},
+        )
+        assert code == 200
+        code, body = _req(
+            svc, "POST", "/kafka/db/feed/connect",
+            {"host": broker.host, "port": broker.port, "topic": "ev",
+             "avro_schema": schema},
+        )
+        assert code == 409 and body["error"] == "AlreadyConnected"
+
+        def rows():
+            _, b = _req(svc, "GET", "/scan/db/feed?limit=100")
+            return {(r["id"], r["v"]) for r in b["rows"]}
+
+        deadline = time.time() + 20
+        while time.time() < deadline and len(rows()) < 7:
+            time.sleep(0.2)
+        assert rows() == {(i, f"v{i}") for i in range(7)}
+
+        code, body = _req(svc, "POST", "/kafka/db/feed/disconnect", {})
+        assert code == 200 and body["disconnected"] == 1
+        # after disconnect, new produces do NOT land
+        prod2 = KafkaWireProducer(broker.host, broker.port)
+        prod2.send("ev", [(b"9", encode_datum(schema, {"id": 99, "v": "x"}))])
+        prod2.close()
+        time.sleep(0.6)
+        assert len(rows()) == 7
+        # and reconnect works (409 cleared), draining the tail
+        code, _ = _req(
+            svc, "POST", "/kafka/db/feed/connect",
+            {"host": broker.host, "port": broker.port, "topic": "ev",
+             "avro_schema": schema, "interval_ms": 100},
+        )
+        assert code == 200
+        deadline = time.time() + 20
+        while time.time() < deadline and len(rows()) < 8:
+            time.sleep(0.2)
+        assert (99, "x") in rows()
+    finally:
+        broker.stop()
