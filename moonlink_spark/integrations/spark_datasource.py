@@ -33,6 +33,7 @@ from typing import Any, Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
@@ -726,24 +727,39 @@ class MoonlinkKafkaDataSource(DataSource):
             base + [T.StructField("value", T.BinaryType(), True)]
         )
 
-    def simpleStreamReader(self, schema) -> "MoonlinkKafkaStreamReader":
+    def streamReader(self, schema) -> "MoonlinkKafkaStreamReader":
         return MoonlinkKafkaStreamReader(dict(self.options))
 
 
-class MoonlinkKafkaStreamReader(SimpleDataSourceStreamReader):
+class _KafkaRangePartition(InputPartition):
+    """One topic-partition offset range [lo, hi) — the task unit. Carries
+    only plain fields (the executor opens its own socket)."""
+
+    def __init__(self, partition: int, lo: int, hi: int):
+        self.partition = partition
+        self.lo = lo
+        self.hi = hi
+
+
+class MoonlinkKafkaStreamReader(DataSourceStreamReader):
     """Offset-range micro-batches over the subscribed topic-partitions.
     Offsets are ``{"<partition>": next_offset, ...}`` — one entry per
     partition, the shape Spark's own Kafka source checkpoints.
-    Connections open per call and never ride the pickle path; replays
-    (readBetweenOffsets) are deterministic because broker logs are
-    append-only."""
+
+    This is the FULL stream reader, not the Simple one, on purpose:
+    the driver only plans (one ListOffsets round per partition per
+    micro-batch); each offset range becomes an InputPartition whose
+    rows are fetched ON THE EXECUTORS over their own sockets — message
+    bytes never pass through the driver, so a wide topic scales with
+    the cluster exactly like Spark's native Kafka source. Replays are
+    deterministic because broker logs are append-only."""
 
     def __init__(self, options: dict):
         # Spark lowercases data-source option keys
         self.host = options["host"]
         self.port = int(options["port"])
         self.topic = options["topic"]
-        self.partitions = [
+        self.partitions_list = [
             int(p)
             for p in str(options.get("partitions", "0")).split(",")
             if p.strip() != ""
@@ -796,9 +812,9 @@ class MoonlinkKafkaStreamReader(SimpleDataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         if self.starting not in ("earliest", "latest"):
-            return {str(p): int(self.starting) for p in self.partitions}
+            return {str(p): int(self.starting) for p in self.partitions_list}
         out = {}
-        for p in self.partitions:
+        for p in self.partitions_list:
             c = self._consumer(p)
             try:
                 out[str(p)] = c.list_offsets(
@@ -808,31 +824,36 @@ class MoonlinkKafkaStreamReader(SimpleDataSourceStreamReader):
                 c.close()
         return out
 
-    def read(self, start: dict):
-        rows = []
-        end = dict(start)
-        for p in self.partitions:
+    def latestOffset(self) -> dict:
+        # driver-side planning round: one ListOffsets per partition,
+        # no message bytes
+        out = {}
+        for p in self.partitions_list:
             c = self._consumer(p)
             try:
-                hw = c.list_offsets()
+                out[str(p)] = c.list_offsets()
             finally:
                 c.close()
-            lo = start.get(str(p), 0)
-            if hw <= lo:
-                continue
-            rows.extend(self._rows(p, self._fetch_range(p, lo, hw)))
-            end[str(p)] = hw
-        if end == start:
-            # a real ITERATOR: on a no-progress round (end == start)
-            # Spark's prefetch wrapper next()s the result
-            return iter(()), start
-        return rows, end
+        return out
 
-    def readBetweenOffsets(self, start: dict, end: dict):
-        rows = []
-        for p in self.partitions:
-            lo, hi = start.get(str(p), 0), end.get(str(p), 0)
-            if hi > lo:
-                rows.extend(self._rows(p, self._fetch_range(p, lo, hi)))
-        # executor-side read path: Spark requires an ITERATOR here
-        return iter(rows)
+    def partitions(self, start: dict, end: dict):
+        return [
+            _KafkaRangePartition(p, start.get(str(p), 0), end.get(str(p), 0))
+            for p in self.partitions_list
+            if end.get(str(p), 0) > start.get(str(p), 0)
+        ]
+
+    def read(self, partition: _KafkaRangePartition):
+        # EXECUTOR-side: this task fetches its own offset range over its
+        # own socket; the driver never touches message bytes
+        return iter(
+            self._rows(
+                partition.partition,
+                self._fetch_range(
+                    partition.partition, partition.lo, partition.hi
+                ),
+            )
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # Spark's checkpoint is the offset store; nothing broker-side
