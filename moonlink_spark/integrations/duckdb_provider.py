@@ -227,3 +227,128 @@ def attach_iceberg_point_lookup(
         "pruned_files": len(lookup["files"]),
         "total_files": len(all_files),
     }
+
+
+def attach_iceberg_ann_topk(
+    con: Any,
+    dest: str,
+    column: str,
+    query_ids: list[int],
+    topk: int = 3,
+    nprobe: int = 2,
+    view_name: str = "ann_topk",
+    key_col: str = "vec_id",
+) -> dict[str, Any]:
+    """Register a DuckDB view serving an ANN top-k over an EXPORTED
+    Iceberg table through its ``mooncake-ivf-index-v1`` blobs — no
+    native warehouse, no Spark: the centroid matrix comes from the blob,
+    probes resolve relationally against it, candidates come from the
+    copied assignment blocks (only the probed clusters are read), and
+    exact cosine runs on the exported data files with the snapshot's
+    deletion vectors applied (a deleted vector can never be returned as
+    a neighbor).
+
+    This extends the reference's FileIndexBlob consumption pattern
+    (``iceberg_table_syncer.rs:118`` persists, the readers load) to the
+    similarity index. The computation is expression-for-expression the
+    engine's own ``vecindex.query_topk`` (quantize at 1e6, integer d2
+    probe ranking, ``list_cosine_similarity`` verify, self excluded), so
+    results match the native path bit for bit."""
+    from moonlink_spark.table.iceberg_export import (
+        read_iceberg_deletion_vectors,
+        read_iceberg_live_files,
+        read_iceberg_vector_index,
+    )
+
+    if not _IDENT.match(view_name):
+        raise ValueError(f"invalid view name {view_name!r}")
+    blobs = read_iceberg_vector_index(dest, column)
+    if not blobs:
+        raise FileNotFoundError(
+            f"no mooncake-ivf-index-v1 blob for column {column!r} in {dest}"
+        )
+    blob = blobs[0]
+    dim = len(blob["centroids"][0])
+    cent_rows = ", ".join(
+        f"({cid}, {list(map(int, cent))})"
+        for cid, cent in enumerate(blob["centroids"])
+    )
+    blocks = ", ".join(_quote_path(p) for p in blob["index_block_files"])
+    all_files = read_iceberg_live_files(dest)
+    files = ", ".join(_quote_path(p) for p in all_files)
+    dvs = read_iceberg_deletion_vectors(dest)
+    dead = {(f, p) for f, ps in dvs.items() for p in ps}
+    if dead:
+        import pyarrow as pa
+
+        dv = pa.table(
+            {
+                "file_path": [f for f, _ in dead],
+                "row_index": [p for _, p in dead],
+            },
+            schema=pa.schema(
+                [("file_path", pa.string()), ("row_index", pa.int64())]
+            ),
+        )
+        con.register(f"__mls_anndv_{view_name}", dv)
+        live = (
+            "SELECT * EXCLUDE (filename, file_row_number) "
+            f"FROM read_parquet([{files}], filename=true, "
+            "file_row_number=true, union_by_name=true) t "
+            f"WHERE NOT EXISTS (SELECT 1 FROM __mls_anndv_{view_name} d "
+            "WHERE d.file_path = t.filename "
+            "AND d.row_index = t.file_row_number)"
+        )
+    else:
+        live = f"SELECT * FROM read_parquet([{files}], union_by_name=true)"
+    ids = ", ".join(str(int(i)) for i in query_ids)
+    sql = f"""
+CREATE OR REPLACE VIEW {view_name} AS
+WITH live AS ({live}),
+cents(cluster_id, cent) AS (VALUES {cent_rows}),
+q AS (
+  SELECT {key_col} AS query_id,
+         list_transform({column}, x ->
+           CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v,
+         {column} AS qe
+  FROM live WHERE {key_col} IN ({ids})
+),
+probes AS (
+  SELECT query_id, cluster_id AS probe_cluster
+  FROM (
+    SELECT q.query_id, c.cluster_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             CAST(list_sum(list_transform(range(1, {dim} + 1),
+               j -> (q.v[CAST(j AS INTEGER)] - c.cent[CAST(j AS INTEGER)])
+                  * (q.v[CAST(j AS INTEGER)] - c.cent[CAST(j AS INTEGER)])))
+               AS BIGINT), c.cluster_id) AS rn
+    FROM q CROSS JOIN cents c
+  ) t WHERE rn <= {int(nprobe)}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p
+  JOIN read_parquet([{blocks}]) a
+    ON a.cluster_id = p.probe_cluster AND a.vec_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                CAST(n.{column} AS DOUBLE[])) AS cos
+  FROM cand c
+  JOIN q ON q.query_id = c.query_id
+  JOIN live n ON n.{key_col} = c.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(round(cos, 6) AS DOUBLE) AS cosine,
+       CAST(rn AS BIGINT) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, neighbor_id) AS rn FROM scored) t
+WHERE rn <= {int(topk)}
+"""
+    con.execute(sql)
+    return {
+        "view": view_name,
+        "clusters": len(blob["centroids"]),
+        "blocks": len(blob["index_block_files"]),
+        "total_files": len(all_files),
+    }

@@ -124,7 +124,9 @@ PRIORITY_50 = [
     "rolling_7d_customer_revenue",
     # never-gated: similarity / ANN (4)
     "ivf_kmeans_train",
-    "ann_recall_at_k",
+    # r5: the exported-index ANN round trip takes ann_recall_at_k's slot
+    # (driver-green r4; similarity keeps 5 other slate entries)
+    "ingest_export_vecindex_ann",  # NEW r5: ANN from Iceberg index blobs
     "ann_ivf_multiprobe_topk",
     "embedding_vector_stats",
     # never-gated: text / sketches / dedup (6)

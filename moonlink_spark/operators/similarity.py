@@ -1445,3 +1445,84 @@ def ann_index_lifecycle_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "query_id bigint, neighbor_id bigint, cosine double, rn bigint"
     )
+
+
+@register(
+    "ingest_export_vecindex_ann",
+    oracle=_ann_index_oracle(),
+    category="similarity",
+)
+def ingest_export_vecindex_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN served from an EXPORTED Iceberg table's index blobs, end to
+    end: build the IVF index on the even-vec_id half, incrementally
+    update with the odd half, export table + index to Iceberg
+    (mooncake-ivf-index-v1 Puffin blobs riding the FileIndexBlob
+    pattern, table/iceberg_export.py), then run top-3/nprobe-2 for
+    queries 0-9 ENTIRELY through DuckDB over the exported artifacts
+    (integrations/duckdb_provider.attach_iceberg_ann_topk) — no native
+    warehouse, no Spark on the read side. The oracle replays the same
+    train/assign/probe/cosine pipeline relationally, so the exported
+    path must equal the from-scratch computation bit for bit (and the
+    native index path, which shares the oracle with
+    ann_index_lifecycle_topk)."""
+    import shutil
+    import tempfile
+
+    import duckdb
+
+    from moonlink_spark.integrations.duckdb_provider import (
+        attach_iceberg_ann_topk,
+    )
+    from moonlink_spark.table import vecindex
+    from moonlink_spark.table.iceberg_export import export_iceberg
+    from moonlink_spark.table.identity import IdentityProp
+    from moonlink_spark.table.table import MoonlinkTable
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    workdir = tempfile.mkdtemp(prefix="moonlink-vexport-")
+    try:
+        t = MoonlinkTable.create(
+            spark,
+            f"{workdir}/t",
+            [
+                {"name": "vec_id", "data_type": "int64", "nullable": False},
+                {
+                    "name": "embedding",
+                    "data_type": "list",
+                    "item": {"data_type": "float32"},
+                },
+            ],
+            IdentityProp.single("vec_id"),
+        )
+        t.append_df(emb.filter(F.col("vec_id") % 2 == 0))
+        t.commit(lsn=1)
+        idx_dir = f"{workdir}/t/vecindex/embedding"
+        vecindex.build_index(
+            spark, emb.filter(F.col("vec_id") % 2 == 0), idx_dir, k=8, iters=2
+        )
+        t.append_df(emb.filter(F.col("vec_id") % 2 == 1))
+        t.commit(lsn=2)
+        vecindex.update_index(
+            spark, emb.filter(F.col("vec_id") % 2 == 1), idx_dir
+        )
+        export_iceberg(t, f"{workdir}/ice")
+        con = duckdb.connect()
+        attach_iceberg_ann_topk(
+            con,
+            f"{workdir}/ice",
+            "embedding",
+            query_ids=list(range(10)),
+            topk=3,
+            nprobe=2,
+            view_name="exported_ann",
+        )
+        rows = con.execute(
+            "SELECT query_id, neighbor_id, cosine, rn FROM exported_ann "
+            "ORDER BY query_id, rn"
+        ).fetchall()
+        con.close()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "query_id bigint, neighbor_id bigint, cosine double, rn bigint"
+    )

@@ -823,6 +823,63 @@ def _export_iceberg_impl(
             (time.monotonic() - _t_ix) * 1000.0,
         )
 
+    # ---- IVF vector indexes: mooncake-ivf-index-v1 Puffin blobs ----
+    # The FileIndexBlob pattern extended to the similarity index: blob
+    # body = JSON metadata (column, centroid matrix, quantization grid,
+    # copied assignment-block files), so an exported table serves ANN
+    # queries with no native warehouse (consumed by
+    # integrations/duckdb_provider.attach_iceberg_ann_topk).
+    vec_puffin_path = None
+    vec_root = os.path.join(table.data_path, "vecindex")
+    if os.path.isdir(vec_root):
+        from moonlink_spark.table import vecindex as _vecindex
+        from moonlink_spark.table.puffin import MOONCAKE_IVF_INDEX_V1
+
+        vec_blob_inputs = []
+        for column in sorted(os.listdir(vec_root)):
+            idx_dir = os.path.join(vec_root, column)
+            try:
+                vmeta = _vecindex.read_meta(idx_dir)
+            except (FileNotFoundError, NotADirectoryError):
+                continue
+            seg_out_dir = os.path.join(dest, "data", "vecindex", column)
+            os.makedirs(seg_out_dir, exist_ok=True)
+            block_files = []
+            for i, seg in enumerate(vmeta.get("segments") or []):
+                out = os.path.join(
+                    seg_out_dir, f"vx-{snapshot_id}-{i}.parquet"
+                )
+                if not os.path.exists(out):
+                    clone_file(os.path.join(idx_dir, seg), out)
+                block_files.append(os.path.abspath(out))
+            payload = json.dumps(
+                {
+                    "column": column,
+                    "k": int(vmeta["k"]),
+                    "centroids": vmeta["centroids"],
+                    "quantization": "bigint(floor(x*1e6))",
+                    "index_block_files": block_files,
+                    "trained_rows": int(vmeta.get("trained_rows", 0)),
+                    "appended_rows": int(vmeta.get("appended_rows", 0)),
+                    "generation": int(vmeta.get("generation", 1)),
+                },
+                separators=(",", ":"),
+            ).encode("utf-8")
+            vec_blob_inputs.append(
+                (
+                    payload,
+                    {
+                        "type": MOONCAKE_IVF_INDEX_V1,
+                        "properties": {"column": column},
+                    },
+                )
+            )
+        if vec_blob_inputs:
+            vec_puffin_path = os.path.join(
+                meta_dir, f"vecindex-snap-{snapshot_id}.puffin"
+            )
+            write_puffin(vec_puffin_path, vec_blob_inputs)
+
     # ---- manifest list ----
     mlist_path = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
     mlist_records = [
@@ -886,6 +943,11 @@ def _export_iceberg_impl(
             **(
                 {"moonlink-file-index-puffin": os.path.abspath(index_puffin_path)}
                 if index_puffin_path
+                else {}
+            ),
+            **(
+                {"moonlink-vector-index-puffin": os.path.abspath(vec_puffin_path)}
+                if vec_puffin_path
                 else {}
             ),
         },
@@ -1224,4 +1286,44 @@ def read_iceberg_key_index(dest: str) -> list[dict[str, Any]]:
             blob_meta.get("properties", {}).get("cardinality", 0)
         )
         out.append(entry)
+    return out
+
+
+def read_iceberg_vector_index(
+    dest: str, column: str | None = None
+) -> list[dict[str, Any]]:
+    """Decode the current snapshot's persisted IVF vector index blobs
+    (pure Python): metadata.json -> snapshot summary
+    ``moonlink-vector-index-puffin`` -> ``mooncake-ivf-index-v1`` blobs.
+    One dict per indexed column with the centroid matrix and the
+    assignment-block parquet paths; ``column`` filters to one index.
+    Read-side counterpart of the export's vector-index path."""
+    from moonlink_spark.table.puffin import MOONCAKE_IVF_INDEX_V1
+
+    meta_dir = os.path.join(dest, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        version = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
+        meta = json.load(fh)
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    puffin_path = snap.get("summary", {}).get("moonlink-vector-index-puffin")
+    if not puffin_path:
+        return []
+    metas, data = read_puffin(puffin_path)
+    out: list[dict[str, Any]] = []
+    for blob_meta in metas:
+        if blob_meta.get("type") != MOONCAKE_IVF_INDEX_V1:
+            continue
+        if column is not None and (
+            blob_meta.get("properties", {}).get("column") != column
+        ):
+            continue
+        body = data[
+            blob_meta["offset"]:blob_meta["offset"] + blob_meta["length"]
+        ]
+        out.append(json.loads(body))
     return out

@@ -203,3 +203,70 @@ def test_iceberg_point_lookup_prunes_files(spark, tmp_path):
     assert info2["pruned_files"] == 0
     assert con.execute("SELECT COUNT(*) FROM pt_miss").fetchone()[0] == 0
     assert [d[0] for d in con.execute("SELECT * FROM pt_miss LIMIT 0").description] == ["id", "v"]
+
+
+def test_exported_ann_respects_deletion_vectors(spark, tmp_path):
+    """A vector deleted AFTER indexing must never be returned as a
+    neighbor from the exported table: its assignment row still sits in
+    the copied index blocks, but the DV-masked live join drops it."""
+    import duckdb
+
+    from moonlink_spark.integrations.duckdb_provider import (
+        attach_iceberg_ann_topk,
+    )
+    from moonlink_spark.table import vecindex
+    from moonlink_spark.table.iceberg_export import export_iceberg
+    from moonlink_spark.table.identity import IdentityProp
+    from moonlink_spark.table.table import MoonlinkTable
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .filter("vec_id < 200")
+    )
+    t = MoonlinkTable.create(
+        spark,
+        str(tmp_path / "t"),
+        [
+            {"name": "vec_id", "data_type": "int64", "nullable": False},
+            {
+                "name": "embedding",
+                "data_type": "list",
+                "item": {"data_type": "float32"},
+            },
+        ],
+        IdentityProp.single("vec_id"),
+    )
+    t.append_df(emb)
+    t.commit(lsn=1)
+    idx_dir = str(tmp_path / "t" / "vecindex" / "embedding")
+    vecindex.build_index(spark, emb, idx_dir, k=4, iters=2)
+
+    # baseline export: find some query's top neighbor, then delete it
+    export_iceberg(t, str(tmp_path / "ice"))
+    con = duckdb.connect()
+    info = attach_iceberg_ann_topk(
+        con, str(tmp_path / "ice"), "embedding",
+        query_ids=[0], topk=3, nprobe=2, view_name="v0",
+    )
+    assert info["clusters"] == 4 and info["blocks"] >= 1
+    base = con.execute(
+        "SELECT neighbor_id FROM v0 ORDER BY rn"
+    ).fetchall()
+    assert len(base) == 3
+    victim = int(base[0][0])
+
+    t.delete_rows([{"vec_id": victim}])
+    t.commit(lsn=2)
+    export_iceberg(t, str(tmp_path / "ice"))  # new snapshot carries a DV
+    attach_iceberg_ann_topk(
+        con, str(tmp_path / "ice"), "embedding",
+        query_ids=[0], topk=3, nprobe=2, view_name="v1",
+    )
+    after = [r[0] for r in con.execute(
+        "SELECT neighbor_id FROM v1 ORDER BY rn"
+    ).fetchall()]
+    assert victim not in after and len(after) == 3
+    # the survivors keep their relative order
+    assert after[:2] == [int(base[1][0]), int(base[2][0])]
+    con.close()
