@@ -352,3 +352,90 @@ WHERE rn <= {int(topk)}
         "blocks": len(blob["index_block_files"]),
         "total_files": len(all_files),
     }
+
+
+def attach_iceberg_lsh_pairs(
+    con: Any,
+    dest: str,
+    column: str,
+    view_name: str = "lsh_pairs",
+    key_col: str = "doc_id",
+) -> dict[str, Any]:
+    """Register a DuckDB view of the banded-LSH near-dup CANDIDATE PAIRS
+    of an exported Iceberg table, served from its
+    ``mooncake-minhash-index-v1`` blobs: signatures come from the copied
+    blocks (no text read, no md5 computed — the persisted-index
+    contract, table/sigindex.py), banding follows the blob's config, and
+    both sides of every pair join to the DV-masked live rows so a
+    deleted document can never appear in a pair."""
+    from moonlink_spark.operators.dedup import _MINHASH_P
+    from moonlink_spark.table.iceberg_export import (
+        read_iceberg_deletion_vectors,
+        read_iceberg_live_files,
+        read_iceberg_signature_index,
+    )
+
+    if not _IDENT.match(view_name):
+        raise ValueError(f"invalid view name {view_name!r}")
+    blobs = read_iceberg_signature_index(dest, column)
+    if not blobs:
+        raise FileNotFoundError(
+            f"no mooncake-minhash-index-v1 blob for column {column!r} in {dest}"
+        )
+    blob = blobs[0]
+    n_bands = int(blob["n_bands"])
+    blocks = ", ".join(_quote_path(p) for p in blob["index_block_files"])
+    all_files = read_iceberg_live_files(dest)
+    files = ", ".join(_quote_path(p) for p in all_files)
+    dvs = read_iceberg_deletion_vectors(dest)
+    dead = {(f, p) for f, ps in dvs.items() for p in ps}
+    if dead:
+        import pyarrow as pa
+
+        dv = pa.table(
+            {
+                "file_path": [f for f, _ in dead],
+                "row_index": [p for _, p in dead],
+            },
+            schema=pa.schema(
+                [("file_path", pa.string()), ("row_index", pa.int64())]
+            ),
+        )
+        con.register(f"__mls_lshdv_{view_name}", dv)
+        live_ids = (
+            f"SELECT {key_col} FROM read_parquet([{files}], filename=true, "
+            "file_row_number=true, union_by_name=true) t "
+            f"WHERE NOT EXISTS (SELECT 1 FROM __mls_lshdv_{view_name} d "
+            "WHERE d.file_path = t.filename "
+            "AND d.row_index = t.file_row_number)"
+        )
+    else:
+        live_ids = (
+            f"SELECT {key_col} "
+            f"FROM read_parquet([{files}], union_by_name=true)"
+        )
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"h{2 * b} * {_MINHASH_P} + h{2 * b + 1} AS band_val FROM sigs"
+        for b in range(n_bands)
+    )
+    sql = f"""
+CREATE OR REPLACE VIEW {view_name} AS
+WITH live_ids AS ({live_ids}),
+sigs AS (
+  SELECT * FROM read_parquet([{blocks}])
+  WHERE doc_id IN (SELECT {key_col} FROM live_ids)
+),
+bands AS ({bands_union})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+ AND a.doc_id < b.doc_id
+"""
+    con.execute(sql)
+    return {
+        "view": view_name,
+        "bands": n_bands,
+        "blocks": len(blob["index_block_files"]),
+        "total_files": len(all_files),
+    }

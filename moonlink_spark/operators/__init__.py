@@ -128,7 +128,10 @@ PRIORITY_50 = [
     # (driver-green r4; similarity keeps 5 other slate entries)
     "ingest_export_vecindex_ann",  # NEW r5: ANN from Iceberg index blobs
     "ann_ivf_multiprobe_topk",
-    "embedding_vector_stats",
+    # r5: the exported signature-index pairs take embedding_vector_stats'
+    # slot (driver-green r4; vector stats stay covered by the PCA/Gram/
+    # drift slate entries)
+    "ingest_export_sigindex_pairs",  # NEW r5: LSH from Iceberg blobs
     # never-gated: text / sketches / dedup (6)
     "char_trigram_entropy",
     "bigram_pmi_top",

@@ -899,3 +899,67 @@ ORDER BY doc_a, doc_b
 
 
 _register_edit_distance_verify()
+
+
+@register(
+    "ingest_export_sigindex_pairs",
+    oracle=f"""
+WITH {_sql_signature(_SQL_NEAR_CORPUS)},
+bands AS ({_SQL_BANDS})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+""",
+    category="dedup",
+)
+def ingest_export_sigindex_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH near-dup candidates served from an EXPORTED Iceberg table's
+    signature-index blobs, end to end: ingest the near-dup corpus into a
+    table, build the persisted MinHash index (table/sigindex.py), export
+    table + index to Iceberg (mooncake-minhash-index-v1 Puffin blobs,
+    table/iceberg_export.py), then compute the banded candidate pairs
+    ENTIRELY in DuckDB from the exported artifacts — no text read, no
+    md5 recomputed, no Spark on the read side
+    (integrations/duckdb_provider.attach_iceberg_lsh_pairs). The oracle
+    is dedup_minhash_lsh's from-scratch SQL replay, so the exported
+    index-served pairs must equal the native banding bit for bit."""
+    import shutil
+    import tempfile
+
+    import duckdb
+
+    from moonlink_spark.integrations.duckdb_provider import (
+        attach_iceberg_lsh_pairs,
+    )
+    from moonlink_spark.table import sigindex
+    from moonlink_spark.table.iceberg_export import export_iceberg
+    from moonlink_spark.table.identity import IdentityProp
+    from moonlink_spark.table.table import MoonlinkTable
+
+    corpus = _near_corpus(spark, sf_dir)
+    workdir = tempfile.mkdtemp(prefix="moonlink-sexport-")
+    try:
+        t = MoonlinkTable.create(
+            spark,
+            f"{workdir}/t",
+            [
+                {"name": "doc_id", "data_type": "int64", "nullable": False},
+                {"name": "text", "data_type": "string"},
+            ],
+            IdentityProp.single("doc_id"),
+        )
+        t.append_df(corpus)
+        t.commit(lsn=1)
+        sigindex.build_index(corpus, f"{workdir}/t/sigindex/text")
+        export_iceberg(t, f"{workdir}/ice")
+        con = duckdb.connect()
+        attach_iceberg_lsh_pairs(
+            con, f"{workdir}/ice", "text", view_name="exported_pairs"
+        )
+        rows = con.execute(
+            "SELECT doc_a, doc_b FROM exported_pairs ORDER BY doc_a, doc_b"
+        ).fetchall()
+        con.close()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_a bigint, doc_b bigint")

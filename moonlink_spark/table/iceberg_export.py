@@ -880,6 +880,59 @@ def _export_iceberg_impl(
             )
             write_puffin(vec_puffin_path, vec_blob_inputs)
 
+    # ---- MinHash signature indexes: mooncake-minhash-index-v1 blobs ----
+    # Same pattern for the dedup index: signature blocks copy next to the
+    # data; the blob carries the banding config, so an exported table
+    # serves LSH candidate-pair queries engine-agnostically (consumed by
+    # integrations/duckdb_provider.attach_iceberg_lsh_pairs).
+    sig_puffin_path = None
+    sig_root = os.path.join(table.data_path, "sigindex")
+    if os.path.isdir(sig_root):
+        from moonlink_spark.table import sigindex as _sigindex
+        from moonlink_spark.table.puffin import MOONCAKE_MINHASH_INDEX_V1
+
+        sig_blob_inputs = []
+        for column in sorted(os.listdir(sig_root)):
+            idx_dir = os.path.join(sig_root, column)
+            try:
+                smeta = _sigindex.read_meta(idx_dir)
+            except (FileNotFoundError, NotADirectoryError):
+                continue
+            seg_out_dir = os.path.join(dest, "data", "sigindex", column)
+            os.makedirs(seg_out_dir, exist_ok=True)
+            block_files = []
+            for i, seg in enumerate(smeta.get("segments") or []):
+                out = os.path.join(
+                    seg_out_dir, f"sx-{snapshot_id}-{i}.parquet"
+                )
+                if not os.path.exists(out):
+                    clone_file(os.path.join(idx_dir, seg), out)
+                block_files.append(os.path.abspath(out))
+            payload = json.dumps(
+                {
+                    "column": column,
+                    "n_hashes": int(smeta["n_hashes"]),
+                    "n_bands": int(smeta["n_bands"]),
+                    "index_block_files": block_files,
+                    "generation": int(smeta.get("generation", 1)),
+                },
+                separators=(",", ":"),
+            ).encode("utf-8")
+            sig_blob_inputs.append(
+                (
+                    payload,
+                    {
+                        "type": MOONCAKE_MINHASH_INDEX_V1,
+                        "properties": {"column": column},
+                    },
+                )
+            )
+        if sig_blob_inputs:
+            sig_puffin_path = os.path.join(
+                meta_dir, f"sigindex-snap-{snapshot_id}.puffin"
+            )
+            write_puffin(sig_puffin_path, sig_blob_inputs)
+
     # ---- manifest list ----
     mlist_path = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
     mlist_records = [
@@ -948,6 +1001,11 @@ def _export_iceberg_impl(
             **(
                 {"moonlink-vector-index-puffin": os.path.abspath(vec_puffin_path)}
                 if vec_puffin_path
+                else {}
+            ),
+            **(
+                {"moonlink-signature-index-puffin": os.path.abspath(sig_puffin_path)}
+                if sig_puffin_path
                 else {}
             ),
         },
@@ -1317,6 +1375,47 @@ def read_iceberg_vector_index(
     out: list[dict[str, Any]] = []
     for blob_meta in metas:
         if blob_meta.get("type") != MOONCAKE_IVF_INDEX_V1:
+            continue
+        if column is not None and (
+            blob_meta.get("properties", {}).get("column") != column
+        ):
+            continue
+        body = data[
+            blob_meta["offset"]:blob_meta["offset"] + blob_meta["length"]
+        ]
+        out.append(json.loads(body))
+    return out
+
+
+def read_iceberg_signature_index(
+    dest: str, column: str | None = None
+) -> list[dict[str, Any]]:
+    """Decode the current snapshot's persisted MinHash signature index
+    blobs: metadata.json -> snapshot summary
+    ``moonlink-signature-index-puffin`` -> ``mooncake-minhash-index-v1``
+    blobs. One dict per indexed column with the banding config and the
+    signature-block parquet paths."""
+    from moonlink_spark.table.puffin import MOONCAKE_MINHASH_INDEX_V1
+
+    meta_dir = os.path.join(dest, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        version = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
+        meta = json.load(fh)
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    puffin_path = snap.get("summary", {}).get(
+        "moonlink-signature-index-puffin"
+    )
+    if not puffin_path:
+        return []
+    metas, data = read_puffin(puffin_path)
+    out: list[dict[str, Any]] = []
+    for blob_meta in metas:
+        if blob_meta.get("type") != MOONCAKE_MINHASH_INDEX_V1:
             continue
         if column is not None and (
             blob_meta.get("properties", {}).get("column") != column

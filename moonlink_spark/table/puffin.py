@@ -168,10 +168,11 @@ def parse_dv_blob(data: bytes) -> list[int]:
 # storage/table/iceberg/index.rs:20-22).
 MOONCAKE_HASH_INDEX_V1 = "mooncake-hash-index-v1"
 
-# Blob type for the persisted IVF vector index (this engine's extension
-# of the reference's FileIndexBlob pattern to its similarity indexes:
-# same container, same copy-blocks-next-to-data layout).
+# Blob types for the persisted similarity indexes (this engine's
+# extension of the reference's FileIndexBlob pattern: same container,
+# same copy-blocks-next-to-data layout).
 MOONCAKE_IVF_INDEX_V1 = "mooncake-ivf-index-v1"
+MOONCAKE_MINHASH_INDEX_V1 = "mooncake-minhash-index-v1"
 
 
 def write_puffin(

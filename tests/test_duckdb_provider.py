@@ -270,3 +270,60 @@ def test_exported_ann_respects_deletion_vectors(spark, tmp_path):
     # the survivors keep their relative order
     assert after[:2] == [int(base[1][0]), int(base[2][0])]
     con.close()
+
+
+def test_exported_lsh_pairs_respect_deletion_vectors(spark, tmp_path):
+    """A document deleted after indexing must not appear in any exported
+    candidate pair: its signatures remain in the copied blocks, but both
+    pair sides join to the DV-masked live rows."""
+    import duckdb
+
+    from moonlink_spark.integrations.duckdb_provider import (
+        attach_iceberg_lsh_pairs,
+    )
+    from moonlink_spark.table import sigindex
+    from moonlink_spark.table.iceberg_export import export_iceberg
+    from moonlink_spark.table.identity import IdentityProp
+    from moonlink_spark.table.table import MoonlinkTable
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .filter("doc_id < 100")
+    )
+    from pyspark.sql import functions as F
+
+    near = docs.filter("doc_id % 5 = 0").select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    corpus = docs.unionByName(near)
+    t = MoonlinkTable.create(
+        spark,
+        str(tmp_path / "t"),
+        [
+            {"name": "doc_id", "data_type": "int64", "nullable": False},
+            {"name": "text", "data_type": "string"},
+        ],
+        IdentityProp.single("doc_id"),
+    )
+    t.append_df(corpus)
+    t.commit(lsn=1)
+    sigindex.build_index(corpus, str(tmp_path / "t" / "sigindex" / "text"))
+    export_iceberg(t, str(tmp_path / "ice"))
+    con = duckdb.connect()
+    attach_iceberg_lsh_pairs(con, str(tmp_path / "ice"), "text", "p0")
+    pairs = con.execute("SELECT doc_a, doc_b FROM p0").fetchall()
+    assert pairs, "near-dup corpus must produce candidate pairs"
+    victim = int(pairs[0][0])
+
+    t.delete_rows([{"doc_id": victim}])
+    t.commit(lsn=2)
+    export_iceberg(t, str(tmp_path / "ice"))
+    attach_iceberg_lsh_pairs(con, str(tmp_path / "ice"), "text", "p1")
+    after = con.execute("SELECT doc_a, doc_b FROM p1").fetchall()
+    assert all(victim not in (a, b) for a, b in after)
+    # every surviving pair from before is still there
+    kept = {(a, b) for a, b in pairs if victim not in (a, b)}
+    assert kept <= set(after)
+    con.close()
