@@ -63,8 +63,11 @@ HEADLINE = [
     "ivf_kmeans_train",
     "ingest_export_iceberg_dv_scan",
     "ingest_avro_events_scan",
-    # r5 addition: the same Avro feed over the broker socket protocol
+    # r5 additions: the broker-socket Avro feed and the exported-index
+    # round trips (the heaviest new families this round)
     "ingest_kafka_wire_scan",
+    "ingest_export_vecindex_ann",
+    "ingest_export_sigindex_pairs",
     # r4s4 additions: the heaviest of the new operator families
     "ann_index_lifecycle_topk",
     "embedding_pca_power_scores",
