@@ -308,7 +308,12 @@ class MoonlinkBackend:
         # the NEW centroids afterwards.
         with segstore.index_write_lock(dest, timeout_s=3600.0):
             m = t.manifest  # pin: the scan and the watermark agree
-            emb = t.scan().select(
+            # Scan AT the pinned version: a bare scan() re-resolves
+            # store.latest(), so a CDC commit landing between the two reads
+            # would put a batch newer than the stored indexed_batch_id into
+            # the rebuild — its replay in _maintain_indexes would then
+            # re-append rows the rebuild already contains (dup vec_ids).
+            emb = t.scan(version=m.version).select(
                 F.col(key).cast("bigint").alias("vec_id"),
                 F.col(column).alias("embedding"),
             )

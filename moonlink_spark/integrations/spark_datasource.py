@@ -624,8 +624,23 @@ class MoonlinkStreamWriter(DataSourceStreamWriter):
         from moonlink_spark.table.manifest import ManifestStore
 
         props = ManifestStore(self.table_dir).latest().properties
-        last = props.get("stream_writer_batch")
         last_qid = props.get("stream_writer_query")
+        # Per-queryId batch markers (the Delta txnAppId shape): a MAP of
+        # queryId -> last committed batch. With only the single shared
+        # (batch, query) slot, two writers with different queryIds
+        # interleaving commits on one table each reset the slot to their
+        # own identity, so the OTHER writer's replayed batch sees
+        # last=None and commits again — duplicates despite queryId being
+        # the documented fix. The map gives each identity its own floor.
+        qmap = dict(props.get("stream_writer_batches") or {})
+        if self.query_id is not None:
+            last = qmap.get(self.query_id)
+            if last is None and last_qid == self.query_id:
+                # migrate: marker written by a pre-map version of this sink
+                last = props.get("stream_writer_batch")
+        else:
+            # anonymous writer: legacy single-slot semantics
+            last = props.get("stream_writer_batch")
         # the marker always (re)writes stream_writer_query — a commit
         # WITHOUT a queryId must clear a previous writer's id, or a later
         # writer with that id would misattribute this batch number to
@@ -634,9 +649,8 @@ class MoonlinkStreamWriter(DataSourceStreamWriter):
             "stream_writer_batch": batchId,
             "stream_writer_query": self.query_id,
         }
-        if self.query_id is not None and last_qid != self.query_id:
-            # markers from a DIFFERENT writer identity never suppress us
-            last = None
+        if self.query_id is not None:
+            marker["stream_writer_batches"] = {**qmap, self.query_id: batchId}
         if last is not None:
             if batchId == last:
                 # replayed final batch after a driver restart: committed
@@ -788,6 +802,11 @@ class MoonlinkKafkaStreamReader(DataSourceStreamReader):
         fields = [f["name"] for f in self.avro_schema["fields"]]
         out = []
         for off, key, value in msgs:
+            if value is None:
+                # tombstone: no Avro datum to decode — skip the record
+                # (same policy as AvroQueueIngestor.drain_once); the
+                # offset range still advances past it in the checkpoint
+                continue
             rec = row_for_spark(
                 self.avro_schema, decode_record(self.avro_schema, value)
             )

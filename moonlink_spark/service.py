@@ -301,7 +301,8 @@ class MoonlinkService:
                 if timers is not None:
                     timers.stop()
                 for c in conns:
-                    c.stop()
+                    if c is not None:  # None = connect-in-flight placeholder
+                        c.stop()
                 self.backend.drop_table(db, table)
                 h._send(200, {"dropped": f"{db}.{table}"})
                 return
@@ -526,6 +527,12 @@ class MoonlinkService:
                 if isinstance(schema, str):
                     schema = json.loads(schema)
                 key3 = (db, table, topic)
+                # check-and-CLAIM atomically: reserve the key with a
+                # placeholder inside one lock scope, so two concurrent
+                # connects can't both pass the check and both start
+                # tickers (the loser's ticker would be overwritten in the
+                # dict and keep draining the group, unreachable by
+                # disconnect/stop)
                 with self._lock:
                     if key3 in self._kafka_conns:
                         h._send(
@@ -534,17 +541,23 @@ class MoonlinkService:
                              "message": f"{db}.{table} <- {topic}"},
                         )
                         return
-                ticker = self.backend.start_kafka_ingest(
-                    db,
-                    table,
-                    body["host"],
-                    int(body["port"]),
-                    topic,
-                    schema,
-                    partition=int(body.get("partition", 0)),
-                    group=body.get("group"),
-                    interval_s=float(body.get("interval_ms", 1000)) / 1000.0,
-                )
+                    self._kafka_conns[key3] = None  # reserved
+                try:
+                    ticker = self.backend.start_kafka_ingest(
+                        db,
+                        table,
+                        body["host"],
+                        int(body["port"]),
+                        topic,
+                        schema,
+                        partition=int(body.get("partition", 0)),
+                        group=body.get("group"),
+                        interval_s=float(body.get("interval_ms", 1000)) / 1000.0,
+                    )
+                except Exception:
+                    with self._lock:
+                        self._kafka_conns.pop(key3, None)  # roll back claim
+                    raise
                 with self._lock:
                     self._kafka_conns[key3] = ticker
                 h._send(
@@ -564,7 +577,8 @@ class MoonlinkService:
                     ]
                     conns = [self._kafka_conns.pop(k) for k in keys]
                 for c in conns:
-                    c.stop()
+                    if c is not None:  # None = connect-in-flight placeholder
+                        c.stop()
                 h._send(200, {"disconnected": len(conns)})
                 return
             # what == "ingest": raw Avro datum body, always insert + sync
@@ -728,7 +742,8 @@ class MoonlinkService:
         for t in timers:
             t.stop()
         for c in conns:
-            c.stop()
+            if c is not None:  # None = connect-in-flight placeholder
+                c.stop()
         self.httpd.shutdown()
         if self._thread:
             self._thread.join(timeout=10)

@@ -54,7 +54,7 @@ import threading
 import time
 from typing import Any, Iterator
 
-from moonlink_spark.sources.queue import _NULL_KEY, _frame
+from moonlink_spark.sources.queue import _NULL_KEY, _frame, _parse_kv
 
 # ---------------------------------------------------------------------------
 # CRC-32C (Castagnoli) — RecordBatch v2 checksums use this, NOT zlib's CRC-32
@@ -176,7 +176,10 @@ def encode_record_batch(
             body += _varint(-1)
         else:
             body += _varint(len(key)) + key
-        body += _varint(len(value)) + value
+        if value is None:  # tombstone
+            body += _varint(-1)
+        else:
+            body += _varint(len(value)) + value
         body += _varint(0)  # headers
         recs += _varint(len(body)) + bytes(body)
     n = len(records)
@@ -237,7 +240,13 @@ def decode_record_batches(
                 key = tail[p : p + klen]
                 p += klen
             vlen, p = _read_varint(tail, p)
-            value = tail[p : p + vlen]
+            if vlen < 0:
+                # tombstone: mirror the key handling — a null value is NOT
+                # an empty value (compacted-topic delete markers from any
+                # external Kafka-protocol client must survive decode)
+                value = None
+            else:
+                value = tail[p : p + vlen]
             yield base + od, key, value
             p = end
         pos += 12 + blen
@@ -283,11 +292,7 @@ class _PartitionLog:
                 if len(frame) < flen:
                     return  # torn tail
                 off, klen = struct.unpack_from(">QI", frame, 0)
-                body = frame[12:]
-                if klen == _NULL_KEY:
-                    key, value = None, body
-                else:
-                    key, value = body[:klen], body[klen:]
+                key, value = _parse_kv(klen, frame[12:])
                 if off >= from_offset:
                     yield off, key, value
 
@@ -306,7 +311,7 @@ class _PartitionLog:
         out, size = [], 0
         for off, key, value in self._scan(from_offset):
             out.append((off, key, value))
-            size += len(value) + (len(key) if key else 0) + 32
+            size += (len(value) if value else 0) + (len(key) if key else 0) + 32
             if size >= max_bytes:
                 break
         return out

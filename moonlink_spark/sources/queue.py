@@ -31,7 +31,26 @@ from typing import Any, Callable, Iterator
 
 from moonlink_spark.table.table import MoonlinkTable
 
-_NULL_KEY = 0xFFFFFFFF
+_NULL_KEY = 0xFFFFFFFF  # null key, non-null value
+# Kafka tombstones (null VALUE) must survive the log: conflating them with
+# empty values silently changes semantics for any Kafka-protocol client
+# using compacted-topic delete markers. The key-length field carries the
+# null-value state: bit 31 set = value is null (key length in the low 31
+# bits); 0xFFFFFFFE = null key AND null value.
+_NULL_KEY_NULL_VALUE = 0xFFFFFFFE
+_NULL_VALUE_FLAG = 0x80000000
+
+
+def _parse_kv(klen: int, body: bytes) -> tuple[bytes | None, bytes | None]:
+    """Decode the (key, value) pair from a frame's key-length field."""
+    if klen == _NULL_KEY:
+        return None, body
+    if klen == _NULL_KEY_NULL_VALUE:
+        return None, None
+    if klen & _NULL_VALUE_FLAG:
+        n = klen & 0x7FFFFFFF
+        return body[:n], None
+    return body[:klen], body[klen:]
 
 
 class FileQueueProducer:
@@ -73,11 +92,19 @@ class FileQueueProducer:
             self._fh = None
 
 
-def _frame(off: int, key: bytes | None, value: bytes) -> bytes:
-    """One length-prefixed wire frame (see module docstring)."""
-    klen = _NULL_KEY if key is None else len(key)
-    kbytes = b"" if key is None else key
-    payload = struct.pack(">QI", off, klen) + kbytes + value
+def _frame(off: int, key: bytes | None, value: bytes | None) -> bytes:
+    """One length-prefixed wire frame (see module docstring);
+    ``value=None`` encodes a Kafka tombstone."""
+    if value is None:
+        if key is None:
+            klen, kbytes, vbytes = _NULL_KEY_NULL_VALUE, b"", b""
+        else:
+            klen, kbytes, vbytes = _NULL_VALUE_FLAG | len(key), key, b""
+    else:
+        klen = _NULL_KEY if key is None else len(key)
+        kbytes = b"" if key is None else key
+        vbytes = value
+    payload = struct.pack(">QI", off, klen) + kbytes + vbytes
     return struct.pack(">I", len(payload)) + payload
 
 
@@ -96,8 +123,19 @@ def produce_df_avro(
     Offsets are partition-disjoint without coordination
     (``base + (partition_id << 32) + local_index``); readers restore a
     global order because ``iter_queue`` sorts by offset across segments.
-    Segments are staged under a non-segment name and published with an
-    atomic rename, so a task crash never leaves a torn segment visible.
+
+    Publish protocol (concurrent-consumer safe): tasks only STAGE their
+    segments (``_pending-p{pid}-*``, invisible to readers); after the
+    action completes, the DRIVER publishes them via atomic rename in
+    ascending partition-id — i.e. ascending offset — order. A drain tick
+    racing the produce therefore only ever observes a monotone offset
+    prefix, so its committed floor can never land above a not-yet-
+    published lower-offset segment (which would permanently skip those
+    messages, since both ``poll`` and the ingestor's applied floor drop
+    offsets below it). Retried / speculative task attempts leave extra
+    staged files with identical offsets; publish keeps exactly one per
+    partition and discards the rest, and ``iter_queue`` dedupes by
+    offset as a backstop.
 
     The 'broker' is a shared directory: real on local mode and any
     shared-fs cluster; on an object-store deployment swap the directory
@@ -130,8 +168,8 @@ def produce_df_avro(
         n = 0
         for r in rows:
             if fh is None:
-                name = f"segment-p{pid:05d}-{uuid.uuid4().hex[:12]}.log"
-                final = os.path.join(qdir, name)
+                name = f"p{pid:05d}-{uuid.uuid4().hex[:12]}.log"
+                final = os.path.join(qdir, f"_pending-{name}")
                 tmp = os.path.join(qdir, f"_stage-{name}")
                 fh = open(tmp, "wb")
             d = r.asDict()
@@ -143,9 +181,31 @@ def produce_df_avro(
             fh.flush()
             os.fsync(fh.fileno())
             fh.close()
+            # stage->pending rename is atomic, so a task crash never
+            # leaves a torn file; _pending-* stays invisible to readers
+            # until the driver publishes it below
             os.replace(tmp, final)
 
     df.foreachPartition(_write_partition)
+
+    # Driver-side publish: all tasks have completed, so every partition's
+    # staged segment exists. Publish in ascending pid (= ascending offset)
+    # order; keep ONE staged file per partition (task retries leave
+    # byte-identical duplicates — same deterministic input partition).
+    by_pid: dict[int, list[str]] = {}
+    for name in os.listdir(qdir):
+        if name.startswith("_pending-p"):
+            pid = int(name[len("_pending-p"):len("_pending-p") + 5])
+            by_pid.setdefault(pid, []).append(name)
+    for pid in sorted(by_pid):
+        names = sorted(by_pid[pid])
+        keep = names[0]
+        os.replace(
+            os.path.join(qdir, keep),
+            os.path.join(qdir, "segment-" + keep[len("_pending-"):]),
+        )
+        for extra in names[1:]:
+            os.unlink(os.path.join(qdir, extra))
 
 
 def iter_queue(queue_dir: str) -> Iterator[tuple[int, bytes | None, bytes]]:
@@ -167,14 +227,20 @@ def iter_queue(queue_dir: str) -> Iterator[tuple[int, bytes | None, bytes]]:
                 if len(frame) < flen:
                     break  # torn tail write: ignore the partial frame
                 off, klen = struct.unpack_from(">QI", frame, 0)
-                body = frame[12:]
-                if klen == _NULL_KEY:
-                    key, value = None, body
-                else:
-                    key, value = body[:klen], body[klen:]
-                msgs.append((off, key, value))
-    msgs.sort(key=lambda m: m[0])
-    return iter(msgs)
+                key, value = _parse_kv(klen, frame[12:])
+                msgs.append((off, name, key, value))
+    # sort by (offset, segment name) then keep the first frame per offset:
+    # a late-published duplicate segment from a retried producer task
+    # carries identical offsets — absorb it instead of double-delivering
+    msgs.sort(key=lambda m: (m[0], m[1]))
+    out: list[tuple[int, bytes | None, bytes]] = []
+    last_off = None
+    for off, _seg, key, value in msgs:
+        if off == last_off:
+            continue
+        last_off = off
+        out.append((off, key, value))
+    return iter(out)
 
 
 class FileQueueConsumer:
@@ -258,6 +324,13 @@ class AvroQueueIngestor:
         rows = []
         for off, _key, value in batch:
             if off <= applied_floor:
+                continue
+            if value is None:
+                # tombstone policy: a null-value record carries no Avro
+                # datum to decode. Moonlink deletes are expressed through
+                # the CDC `op` field inside the datum (ingest/cdc.py), not
+                # through compacted-topic delete markers — skip, but still
+                # advance the offset floor past it.
                 continue
             row = self._reshape(self.schema, self._decode(self.schema, value))
             rows.append(self.transform(row) if self.transform else row)

@@ -232,3 +232,89 @@ def test_distributed_producer_foreachpartition(spark, tmp_path):
     assert ing.drain_once()["messages"] == 0
     got = {(r["id"], r["v"]) for r in t.scan().collect()}
     assert got == {(i, f"v{i}") for i in range(500)}
+
+
+def test_tombstone_frame_roundtrip(tmp_path):
+    """Null VALUE (Kafka tombstone) survives the frame format as a state
+    distinct from an empty value, for every key/value null combination."""
+    from moonlink_spark.sources.queue import _frame
+
+    cases = [
+        (b"k", b"v"),
+        (None, b"v"),
+        (b"k", None),   # tombstone, keyed
+        (None, None),   # tombstone, keyless
+        (b"k", b""),    # EMPTY value: must NOT read back as None
+        (None, b""),
+    ]
+    qdir = tmp_path / "q"
+    qdir.mkdir()
+    with open(qdir / "segment-a.log", "wb") as fh:
+        for i, (k, v) in enumerate(cases):
+            fh.write(_frame(i, k, v))
+    got = [(k, v) for _o, k, v in iter_queue(str(qdir))]
+    assert got == cases
+
+
+def test_ingestor_skips_tombstones_but_advances_floor(spark, tmp_path):
+    """A null-value record carries no Avro datum: the ingestor drops it
+    (deletes flow through the CDC op field, not compacted-topic markers)
+    but still advances the committed floor past its offset."""
+    schema = {
+        "type": "record",
+        "name": "ev",
+        "fields": [{"name": "id", "type": "long"},
+                   {"name": "v", "type": "string"}],
+    }
+    qdir = str(tmp_path / "q")
+    prod = FileQueueProducer(qdir)
+    prod.send(encode_datum(schema, {"id": 1, "v": "a"}), key=b"1")
+    prod.send(None, key=b"1")  # tombstone
+    prod.send(encode_datum(schema, {"id": 2, "v": "b"}), key=b"2")
+    prod.close()
+
+    t = MoonlinkTable.create(
+        spark, str(tmp_path / "t"),
+        [{"name": "id", "data_type": "int64", "nullable": False},
+         {"name": "v", "data_type": "string"}],
+        IdentityProp.single("id"),
+    )
+    ing = AvroQueueIngestor(t, FileQueueConsumer(qdir), schema)
+    s = ing.drain_once()
+    assert s["messages"] == 3
+    assert {r["id"] for r in t.scan().collect()} == {1, 2}
+    assert ing.drain_once()["messages"] == 0  # floor covers the tombstone
+
+
+def test_producer_publish_order_and_retry_dedup(spark, tmp_path):
+    """The distributed producer's publish step keeps exactly one segment
+    per partition (task retries leave identical duplicates) and readers
+    dedupe identical offsets as a backstop."""
+    import os as _os
+    import shutil
+
+    from moonlink_spark.sources.queue import produce_df_avro
+
+    schema = {
+        "type": "record",
+        "name": "ev",
+        "fields": [{"name": "id", "type": "long"}],
+    }
+    qdir = str(tmp_path / "q")
+    df = spark.range(0, 100, 1, 4).selectExpr("id")
+    produce_df_avro(df, qdir, schema)
+    assert not [n for n in _os.listdir(qdir) if n.startswith("_pending-")]
+    assert len(list(iter_queue(qdir))) == 100
+
+    # a late-published duplicate attempt (same pid, same offsets) must not
+    # double-deliver
+    seg = next(n for n in _os.listdir(qdir) if n.startswith("segment-p"))
+    shutil.copy(_os.path.join(qdir, seg),
+                _os.path.join(qdir, seg.replace(".log", "-retry.log")))
+    assert len(list(iter_queue(qdir))) == 100
+
+    # a staged-but-unpublished segment is invisible to readers (a drain
+    # racing an in-flight produce never commits a floor above it)
+    shutil.copy(_os.path.join(qdir, seg),
+                _os.path.join(qdir, "_pending-p99999-deadbeef.log"))
+    assert len(list(iter_queue(qdir))) == 100

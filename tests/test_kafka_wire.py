@@ -334,3 +334,19 @@ def test_backend_owned_kafka_ingest_loop(spark, tmp_path):
         broker.stop()
     got = {r["id"] for r in t.scan().collect()}
     assert got == set(range(20))
+
+
+def test_tombstone_null_value_distinct_from_empty(broker):
+    """RecordBatch v2 tombstones (value length -1) decode as value=None —
+    not b'' — and survive a full produce/fetch wire round trip."""
+    records = [(b"k0", b"set"), (b"k0", None), (b"k1", b""), (None, None)]
+    batch = encode_record_batch(0, records)
+    assert [(k, v) for _o, k, v in decode_record_batches(batch)] == records
+
+    prod = KafkaWireProducer(broker.host, broker.port)
+    prod.send("tomb", records)
+    prod.close()
+    cons = KafkaWireConsumer(broker.host, broker.port, "tomb")
+    msgs = cons.poll()
+    cons.close()
+    assert [(k, v) for _o, k, v in msgs] == records

@@ -312,3 +312,27 @@ def test_local_batch_read_pushdown_prunes_partitions(spark, tmp_path):
         .filter("id = 105")
     )
     assert [r["id"] for r in df.collect()] == [105]
+
+
+def test_writer_interleaved_queryids_each_keep_their_floor(spark, tmp_path):
+    """Two writers with different queryIds interleaving commits on one
+    table: each identity tracks its OWN last-batch floor (the per-queryId
+    marker map), so a replayed batch from either writer is suppressed even
+    right after the other writer committed — ADVICE r5."""
+    path = str(tmp_path / "ao")
+    MoonlinkTable.create(spark, path, FIELDS, IdentityProp.none())
+    schema = T.StructType([T.StructField("id", T.LongType(), False),
+                           T.StructField("v", T.StringType(), True)])
+    a = MoonlinkStreamWriter({"path": path, "queryid": "etl-a"}, schema)
+    b = MoonlinkStreamWriter({"path": path, "queryid": "etl-b"}, schema)
+    a.commit([MoonlinkCommitMessage(None, 0, 0)], batchId=0)
+    b.commit([MoonlinkCommitMessage(None, 0, 0)], batchId=0)
+    a.commit([MoonlinkCommitMessage(None, 0, 0)], batchId=1)
+    b.commit([MoonlinkCommitMessage(None, 0, 0)], batchId=1)
+    v = MoonlinkTable.open(spark, path).manifest.version
+    # replays of the last batch from BOTH writers: no new versions
+    a.commit([MoonlinkCommitMessage(None, 0, 0)], batchId=1)
+    b.commit([MoonlinkCommitMessage(None, 0, 0)], batchId=1)
+    m = MoonlinkTable.open(spark, path).manifest
+    assert m.version == v
+    assert m.properties["stream_writer_batches"] == {"etl-a": 1, "etl-b": 1}
