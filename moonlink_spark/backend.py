@@ -29,27 +29,47 @@ CATALOG_FILE = "_catalog.json"
 
 class MoonlinkBackend:
     def __init__(
-        self, spark: SparkSession, warehouse: str, metadata_store: str = "json"
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        metadata_store: str = "json",
+        metadata_store_options: dict[str, Any] | None = None,
     ):
-        """``metadata_store``: ``"json"`` (single-file catalog, default) or
+        """``metadata_store``: ``"json"`` (single-file catalog, default),
         ``"sqlite"`` (parity ``src/moonlink_metadata_store`` — durable
-        SQLite store under the warehouse root; a restarted backend recovers
+        SQLite store under the warehouse root), or ``"postgres"`` (parity
+        ``postgres/pg_metadata_store.rs`` — the store lives in a Postgres
+        control plane reached over the wire protocol;
+        ``metadata_store_options`` carries ``host``/``port`` and optional
+        ``user``/``database``/``password``). A restarted backend recovers
         every table from ``get_all_table_metadata_entries`` the way the
-        reference's recovery does, ``recovery_utils.rs``)."""
+        reference's recovery does (``recovery_utils.rs``)."""
         self.spark = spark
         self.warehouse = os.path.abspath(warehouse)
         os.makedirs(self.warehouse, exist_ok=True)
         self._lock = threading.RLock()
         self._tables: dict[tuple[str, str], MoonlinkTable] = {}
+        opts = dict(metadata_store_options or {})
         if metadata_store == "sqlite":
             from moonlink_spark.metadata_store import SqliteMetadataStore
 
             self._meta_store = SqliteMetadataStore(self.warehouse)
+        elif metadata_store == "postgres":
+            from moonlink_spark.metadata_store import PgMetadataStore
+
+            self._meta_store = PgMetadataStore(
+                opts["host"],
+                int(opts["port"]),
+                user=opts.get("user", "moonlink"),
+                database=opts.get("database", "postgres"),
+                password=opts.get("password"),
+            )
         elif metadata_store == "json":
             self._meta_store = None
         else:
             raise TableConfigError(
-                f"unknown metadata_store {metadata_store!r} (json|sqlite)"
+                f"unknown metadata_store {metadata_store!r} "
+                "(json|sqlite|postgres)"
             )
 
     # -- catalog persistence ------------------------------------------------

@@ -19,7 +19,11 @@ Parity with the reference's ``src/moonlink_metadata_store`` crate:
 
 The default backend catalog remains the JSON file (``backend.py``); the
 SQLite store is the durable multi-process variant, selected with
-``MoonlinkBackend(..., metadata_store="sqlite")``.
+``MoonlinkBackend(..., metadata_store="sqlite")``. The reference's second
+backend — Postgres (``postgres/pg_metadata_store.rs``) — is
+:class:`PgMetadataStore` below: identical semantics, reached over the
+PostgreSQL wire protocol (``pg_protocol.py``), selected with
+``metadata_store="postgres"``.
 """
 
 from __future__ import annotations
@@ -303,3 +307,187 @@ class SqliteMetadataStore:
                 raise MetadataStoreError(
                     f"expected 1 row affected, but got {cur.rowcount}"
                 )
+
+
+# ---------------------------------------------------------------------------
+# Postgres-backed store (pg_metadata_store.rs parity, over the wire)
+# ---------------------------------------------------------------------------
+
+# Same relation as the reference's postgres/sql/create_tables.sql (JSON
+# config column; SQLite-side the type name is accepted verbatim).
+_PG_CREATE_TABLES_SQL = """
+CREATE TABLE tables (
+    "database" TEXT,
+    "table" TEXT,
+    src_table_name TEXT NOT NULL,
+    src_table_uri TEXT,
+    config JSON,
+    PRIMARY KEY ("database", "table")
+)
+"""
+
+
+class PgMetadataStore:
+    """Metadata store speaking the PostgreSQL wire protocol as a client
+    (parity ``src/moonlink_metadata_store/src/postgres/
+    pg_metadata_store.rs`` + ``utils.rs``): the same ``tables`` relation,
+    the same ``information_schema.tables`` existence probe, lazy CREATE
+    on first store, BEGIN/COMMIT around mutations, and exactly-one-row
+    affected guards. The deployment whose control plane lives in
+    Postgres (the reference's primary story) points ``host/port`` at it;
+    tests point at the in-process :class:`~moonlink_spark.pg_protocol.
+    PgMockServer`, which serves genuine protocol bytes over SQLite.
+
+    Semantics mirror :class:`SqliteMetadataStore` exactly — both stores
+    pass one shared test matrix (tests/test_metadata_store.py)."""
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        user: str = "moonlink",
+        database: str = "postgres",
+        password: str | None = None,
+    ):
+        from moonlink_spark.pg_protocol import PgWireClient
+
+        self._lock = threading.Lock()
+        self._client = PgWireClient(
+            host, port, user=user, database=database, password=password
+        )
+
+    def close(self) -> None:
+        self._client.close()
+
+    # -- helpers ------------------------------------------------------------
+
+    def _exists(self) -> bool:
+        r = self._client.query(
+            "SELECT 1 FROM information_schema.tables WHERE table_schema = "
+            "'public' AND table_name = 'tables';"
+        )
+        return len(r.rows) > 0
+
+    @staticmethod
+    def _select(where: str = "") -> str:
+        return (
+            'SELECT t."database", t."table", t.src_table_name, '
+            "t.src_table_uri, t.config FROM tables t" + where
+        )
+
+    # -- trait surface ------------------------------------------------------
+
+    def metadata_table_exists(self) -> bool:
+        with self._lock:
+            return self._exists()
+
+    def get_all_table_metadata_entries(self) -> list[TableMetadataEntry]:
+        with self._lock:
+            if not self._exists():
+                return []
+            r = self._client.query(self._select(" ORDER BY 1, 2"))
+        out = []
+        for row in r.rows:
+            entry = SqliteMetadataStore._parse_row(*row)
+            if entry is not None:
+                out.append(entry)
+        return out
+
+    def get_table_metadata_entry(
+        self, database: str, table: str
+    ) -> TableMetadataEntry | None:
+        from moonlink_spark.pg_protocol import sql_literal
+
+        with self._lock:
+            if not self._exists():
+                return None
+            r = self._client.query(
+                self._select(
+                    f' WHERE t."database" = {sql_literal(database)} '
+                    f'AND t."table" = {sql_literal(table)}'
+                )
+            )
+        if not r.rows:
+            return None
+        entry = SqliteMetadataStore._parse_row(*r.rows[0])
+        if entry is None:
+            raise MetadataStoreError(
+                f"corrupt persisted config for {database}.{table}"
+            )
+        return entry
+
+    def corrupt_entries(self) -> list[tuple[str, str]]:
+        with self._lock:
+            if not self._exists():
+                return []
+            r = self._client.query(self._select(" ORDER BY 1, 2"))
+        return [
+            (row[0], row[1])
+            for row in r.rows
+            if SqliteMetadataStore._parse_row(*row) is None
+        ]
+
+    def store_table_metadata(
+        self,
+        database: str,
+        table: str,
+        src_table_name: str,
+        src_table_uri: str,
+        config: dict[str, Any],
+    ) -> None:
+        from moonlink_spark.pg_protocol import PgServerError, sql_literal
+
+        _validate_config(config)
+        serialized = json.dumps(config, sort_keys=True)
+        with self._lock:
+            if not self._exists():
+                try:
+                    self._client.query(_PG_CREATE_TABLES_SQL)
+                except PgServerError:
+                    pass  # lost the create race to another backend: fine
+            self._client.query("BEGIN")
+            try:
+                r = self._client.query(
+                    'INSERT INTO tables ("database", "table", '
+                    "src_table_name, src_table_uri, config) VALUES "
+                    f"({sql_literal(database)}, {sql_literal(table)}, "
+                    f"{sql_literal(src_table_name)}, "
+                    f"{sql_literal(src_table_uri)}, {sql_literal(serialized)})"
+                )
+                if r.rows_affected != 1:
+                    raise MetadataStoreError(
+                        f"expected 1 row affected, but got {r.rows_affected}"
+                    )
+                self._client.query("COMMIT")
+            except PgServerError as e:
+                self._client.query("ROLLBACK")
+                if e.fields.get("C") == "23505":  # unique_violation
+                    raise MetadataStoreError(
+                        f"table {database}.{table} already recorded"
+                    ) from e
+                raise MetadataStoreError(str(e)) from e
+            except MetadataStoreError:
+                self._client.query("ROLLBACK")
+                raise
+
+    def delete_table_metadata(self, database: str, table: str) -> None:
+        from moonlink_spark.pg_protocol import PgServerError, sql_literal
+
+        with self._lock:
+            self._client.query("BEGIN")
+            try:
+                r = self._client.query(
+                    f'DELETE FROM tables WHERE "database" = '
+                    f'{sql_literal(database)} AND "table" = {sql_literal(table)}'
+                )
+                if r.rows_affected != 1:
+                    raise MetadataStoreError(
+                        f"expected 1 row affected, but got {r.rows_affected}"
+                    )
+                self._client.query("COMMIT")
+            except PgServerError as e:
+                self._client.query("ROLLBACK")
+                raise MetadataStoreError(str(e)) from e
+            except MetadataStoreError:
+                self._client.query("ROLLBACK")
+                raise

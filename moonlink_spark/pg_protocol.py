@@ -1,0 +1,566 @@
+"""PostgreSQL frontend/backend protocol v3 — simple query + COPY OUT.
+
+Parity: the reference's control plane speaks to Postgres twice over —
+the metadata store (``src/moonlink_metadata_store/src/postgres/
+pg_metadata_store.rs`` issues CREATE/INSERT/DELETE/SELECT through
+tokio-postgres) and the initial-copy path (``pg_replicate/
+initial_copy.rs`` streams ``COPY ... TO STDOUT`` rows). No Postgres
+server or driver ships in this environment, so both legs are
+implemented against the PUBLIC protocol layout (postgresql.org/docs/
+current/protocol-message-formats.html):
+
+- startup: ``[len:4][196608:4][key\\0value\\0...\\0]`` (no type byte);
+  SSLRequest (80877103) is answered ``N`` (not supported) and the
+  client continues in cleartext, tokio-postgres's sslmode=prefer shape;
+- auth: ``R`` code 0 = AuthenticationOk; code 3 = cleartext password,
+  answered with a ``p`` PasswordMessage;
+- simple query: ``Q`` -> ``T`` RowDescription / ``D`` DataRow /
+  ``C`` CommandComplete / ``E`` ErrorResponse / ``Z`` ReadyForQuery;
+- COPY OUT: ``H`` CopyOutResponse -> ``d`` CopyData (one text-format
+  row each: tab-separated, ``\\N`` for NULL, newline-terminated) ->
+  ``c`` CopyDone -> ``C`` ``COPY n``.
+
+The in-process :class:`PgMockServer` executes queries against SQLite
+(real SQL semantics without reimplementing an engine), translating the
+two PG-isms the store actually uses: ``information_schema.tables``
+existence probes and the ``JSON`` column type. Everything crossing the
+socket is genuine protocol bytes, so the client would talk to a real
+Postgres unchanged (modulo SCRAM auth, documented below).
+
+Not implemented (fail-loud): SCRAM-SHA-256 / MD5 auth (cleartext only
+— a real deployment uses a driver or adds the public SCRAM exchange),
+the extended query protocol (Parse/Bind/Execute; simple query inlines
+literals), TLS.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import socket
+import socketserver
+import sqlite3
+import struct
+import threading
+from dataclasses import dataclass
+from typing import Any, Iterator
+
+from moonlink_spark.errors import MoonlinkError
+
+_PROTO_V3 = 196608  # 3 << 16
+_SSL_REQUEST = 80877103
+_CANCEL_REQUEST = 80877102
+
+
+class PgProtocolError(MoonlinkError):
+    """Malformed or unsupported protocol traffic."""
+
+
+class PgServerError(MoonlinkError):
+    """ErrorResponse from the server, fields preserved."""
+
+    def __init__(self, fields: dict[str, str]):
+        self.fields = fields
+        super().__init__(
+            f"{fields.get('S', 'ERROR')} {fields.get('C', '')}: "
+            f"{fields.get('M', 'unknown error')}"
+        )
+
+
+def _msg(type_byte: bytes, body: bytes) -> bytes:
+    return type_byte + struct.pack(">I", len(body) + 4) + body
+
+
+def _read_msg(f) -> tuple[bytes, bytes]:
+    head = f.read(5)
+    if len(head) < 5:
+        raise ConnectionError("peer closed")
+    t = head[:1]
+    (n,) = struct.unpack(">I", head[1:])
+    body = f.read(n - 4)
+    if len(body) < n - 4:
+        raise ConnectionError("short message body")
+    return t, body
+
+
+def _cstr(s: str) -> bytes:
+    return s.encode("utf-8") + b"\x00"
+
+
+def _error_fields(body: bytes) -> dict[str, str]:
+    out: dict[str, str] = {}
+    pos = 0
+    while pos < len(body) and body[pos] != 0:
+        code = chr(body[pos])
+        end = body.index(b"\x00", pos + 1)
+        out[code] = body[pos + 1 : end].decode("utf-8", "replace")
+        pos = end + 1
+    return out
+
+
+def sql_literal(v: Any) -> str:
+    """Inline a value as a SQL literal (the simple-query protocol has no
+    bind parameters). Strings use standard-conforming quoting with
+    doubled single quotes; backslashes are NOT escapes per SQL standard
+    (PG standard_conforming_strings=on, the default since 9.1)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+@dataclass
+class QueryResult:
+    columns: list[str]
+    rows: list[tuple]
+    tag: str  # CommandComplete tag, e.g. "SELECT 2", "INSERT 0 1"
+
+    @property
+    def rows_affected(self) -> int:
+        parts = self.tag.split()
+        return int(parts[-1]) if parts and parts[-1].isdigit() else 0
+
+
+class PgWireClient:
+    """Blocking protocol-v3 client: startup + simple query + COPY OUT.
+
+    One socket per instance (tokio-postgres's one-connection shape);
+    thread-safe via an internal lock — the metadata store serializes
+    its calls anyway."""
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        user: str = "moonlink",
+        database: str = "postgres",
+        password: str | None = None,
+        timeout_s: float = 10.0,
+    ):
+        self._lock = threading.Lock()
+        self.sock = socket.create_connection((host, port), timeout=timeout_s)
+        self.sock.settimeout(timeout_s)
+        self._f = self.sock.makefile("rb")
+        self.parameters: dict[str, str] = {}
+        self._startup(user, database, password)
+
+    def _startup(self, user: str, database: str, password: str | None) -> None:
+        params = b"".join(
+            _cstr(k) + _cstr(v)
+            for k, v in (
+                ("user", user),
+                ("database", database),
+                ("client_encoding", "UTF8"),
+                ("application_name", "moonlink_spark"),
+            )
+        ) + b"\x00"
+        body = struct.pack(">I", _PROTO_V3) + params
+        self.sock.sendall(struct.pack(">I", len(body) + 4) + body)
+        while True:
+            t, b = _read_msg(self._f)
+            if t == b"R":
+                (code,) = struct.unpack_from(">I", b, 0)
+                if code == 0:
+                    continue  # AuthenticationOk
+                if code == 3:  # cleartext password
+                    if password is None:
+                        raise PgProtocolError(
+                            "server requires a password and none was given"
+                        )
+                    self.sock.sendall(_msg(b"p", _cstr(password)))
+                    continue
+                raise PgProtocolError(
+                    f"unsupported authentication method {code} (only trust "
+                    "and cleartext are implemented; SCRAM needs a driver)"
+                )
+            if t == b"S":  # ParameterStatus
+                k, v = b.split(b"\x00")[:2]
+                self.parameters[k.decode()] = v.decode()
+            elif t == b"K":  # BackendKeyData
+                pass
+            elif t == b"Z":  # ReadyForQuery
+                return
+            elif t == b"E":
+                raise PgServerError(_error_fields(b))
+
+    def query(self, sql: str) -> QueryResult:
+        """One simple-query round trip. Multiple statements per string are
+        legal in the protocol; the LAST result set / tag wins (enough for
+        the store's single-statement calls)."""
+        with self._lock:
+            self.sock.sendall(_msg(b"Q", _cstr(sql)))
+            cols: list[str] = []
+            rows: list[tuple] = []
+            tag = ""
+            err: dict[str, str] | None = None
+            while True:
+                t, b = _read_msg(self._f)
+                if t == b"T":
+                    cols = self._row_description(b)
+                    rows = []
+                elif t == b"D":
+                    rows.append(self._data_row(b))
+                elif t == b"C":
+                    tag = b.rstrip(b"\x00").decode()
+                elif t == b"E":
+                    err = _error_fields(b)
+                elif t == b"I":  # EmptyQueryResponse
+                    tag = ""
+                elif t == b"N":  # NoticeResponse — ignore
+                    pass
+                elif t == b"Z":
+                    if err is not None:
+                        raise PgServerError(err)
+                    return QueryResult(cols, rows, tag)
+
+    def copy_out(self, sql: str) -> Iterator[bytes]:
+        """``COPY ... TO STDOUT``: yields raw CopyData row payloads (text
+        format, newline-terminated). The generator must be fully consumed
+        (or the connection closed) before the next query."""
+        with self._lock:
+            self.sock.sendall(_msg(b"Q", _cstr(sql)))
+            t, b = _read_msg(self._f)
+            if t == b"E":
+                fields = _error_fields(b)
+                self._drain_to_ready()
+                raise PgServerError(fields)
+            if t != b"H":
+                raise PgProtocolError(f"expected CopyOutResponse, got {t!r}")
+            while True:
+                t, b = _read_msg(self._f)
+                if t == b"d":
+                    yield b
+                elif t == b"c":  # CopyDone
+                    self._drain_to_ready()
+                    return
+                elif t == b"E":
+                    fields = _error_fields(b)
+                    self._drain_to_ready()
+                    raise PgServerError(fields)
+
+    def _drain_to_ready(self) -> None:
+        while True:
+            t, _ = _read_msg(self._f)
+            if t == b"Z":
+                return
+
+    @staticmethod
+    def _row_description(b: bytes) -> list[str]:
+        (n,) = struct.unpack_from(">h", b, 0)
+        cols, pos = [], 2
+        for _ in range(n):
+            end = b.index(b"\x00", pos)
+            cols.append(b[pos:end].decode())
+            pos = end + 1 + 18  # table oid 4, attnum 2, type oid 4, typlen 2, atttypmod 4, format 2
+        return cols
+
+    @staticmethod
+    def _data_row(b: bytes) -> tuple:
+        (n,) = struct.unpack_from(">h", b, 0)
+        vals, pos = [], 2
+        for _ in range(n):
+            (ln,) = struct.unpack_from(">i", b, pos)
+            pos += 4
+            if ln < 0:
+                vals.append(None)
+            else:
+                vals.append(b[pos : pos + ln].decode("utf-8"))
+                pos += ln
+        return tuple(vals)
+
+    def close(self) -> None:
+        try:
+            self.sock.sendall(_msg(b"X", b""))
+        except OSError:
+            pass
+        try:
+            self._f.close()
+            self.sock.close()
+        except OSError:
+            pass
+
+
+# ---------------------------------------------------------------------------
+# in-process server
+# ---------------------------------------------------------------------------
+
+_INFO_SCHEMA_RE = re.compile(
+    r"FROM\s+information_schema\.tables\s+WHERE\s+table_schema\s*=\s*"
+    r"'public'\s+AND\s+table_name\s*=\s*'([^']+)'",
+    re.IGNORECASE,
+)
+_COPY_RE = re.compile(
+    r"^\s*COPY\s+(.+?)\s+TO\s+STDOUT\s*;?\s*$", re.IGNORECASE | re.DOTALL
+)
+
+
+class PgMockServer:
+    """Protocol-v3 server over a SQLite database file.
+
+    The wire is real; the executor is SQLite, which shares PG's SQL
+    core for everything the metadata store and COPY leg emit. PG-isms
+    translated: ``information_schema.tables`` probes become
+    ``sqlite_master`` lookups (SQLite accepts the ``JSON`` type name
+    as-is). ``password`` enables cleartext auth — wrong or missing
+    passwords get a fatal 28P01 ErrorResponse, the server's
+    fail-loud stand-in for real HBA."""
+
+    def __init__(
+        self,
+        db_path: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        password: str | None = None,
+    ):
+        self.db_path = db_path
+        self.password = password
+        os.makedirs(os.path.dirname(os.path.abspath(db_path)), exist_ok=True)
+        server = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self):
+                server._serve_conn(self.request)
+
+        class TCP(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._tcp = TCP((host, port), Handler)
+        self.host, self.port = self._tcp.server_address
+        self._thread: threading.Thread | None = None
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def start(self) -> "PgMockServer":
+        self._thread = threading.Thread(
+            target=self._tcp.serve_forever, name="pgmock-server", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._tcp.shutdown()
+        self._tcp.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+
+    # -- connection ---------------------------------------------------------
+
+    def _serve_conn(self, sock: socket.socket) -> None:
+        f = sock.makefile("rb")
+        try:
+            if not self._handshake(sock, f):
+                return
+            conn = sqlite3.connect(self.db_path, timeout=30.0)
+            conn.isolation_level = None  # explicit BEGIN/COMMIT pass through
+            conn.execute("PRAGMA busy_timeout = 30000")
+            try:
+                while True:
+                    t, body = _read_msg(f)
+                    if t == b"X":
+                        return
+                    if t != b"Q":
+                        sock.sendall(self._err("08P01", f"unexpected {t!r}"))
+                        sock.sendall(_msg(b"Z", b"I"))
+                        continue
+                    sql = body.rstrip(b"\x00").decode("utf-8")
+                    self._run_query(sock, conn, sql)
+            finally:
+                conn.close()
+        except (ConnectionError, OSError):
+            return
+        finally:
+            try:
+                f.close()
+                sock.close()
+            except OSError:
+                pass
+
+    def _handshake(self, sock, f) -> bool:
+        while True:
+            head = f.read(4)
+            if len(head) < 4:
+                return False
+            (n,) = struct.unpack(">I", head)
+            body = f.read(n - 4)
+            (code,) = struct.unpack_from(">I", body, 0)
+            if code == _SSL_REQUEST:
+                sock.sendall(b"N")  # TLS not supported; client may continue
+                continue
+            if code == _CANCEL_REQUEST:
+                return False
+            if code != _PROTO_V3:
+                sock.sendall(self._err("0A000", f"bad protocol {code}"))
+                return False
+            break
+        if self.password is not None:
+            sock.sendall(_msg(b"R", struct.pack(">I", 3)))  # cleartext
+            t, b = _read_msg(f)
+            if t != b"p" or b.rstrip(b"\x00").decode() != self.password:
+                sock.sendall(
+                    self._err("28P01", "password authentication failed")
+                )
+                return False
+        sock.sendall(_msg(b"R", struct.pack(">I", 0)))  # AuthenticationOk
+        sock.sendall(
+            _msg(b"S", _cstr("server_version") + _cstr("16.0 (moonlink-mock)"))
+        )
+        sock.sendall(_msg(b"K", struct.pack(">II", os.getpid(), 0)))
+        sock.sendall(_msg(b"Z", b"I"))
+        return True
+
+    # -- query execution ----------------------------------------------------
+
+    def _run_query(self, sock, conn: sqlite3.Connection, sql: str) -> None:
+        try:
+            m = _COPY_RE.match(sql)
+            if m is not None:
+                self._run_copy_out(sock, conn, m.group(1))
+            else:
+                self._run_simple(sock, conn, sql)
+        except sqlite3.Error as e:
+            code = (
+                "23505"  # unique_violation — the row-count/PK contract
+                if "UNIQUE constraint" in str(e)
+                else "42601"
+            )
+            sock.sendall(self._err(code, str(e)))
+        except Exception as e:  # noqa: BLE001 — protocol boundary
+            sock.sendall(self._err("XX000", str(e)))
+        sock.sendall(_msg(b"Z", b"I"))
+
+    def _run_simple(self, sock, conn, sql: str) -> None:
+        sql = _INFO_SCHEMA_RE.sub(
+            lambda m: "FROM (SELECT name AS table_name FROM sqlite_master "
+            "WHERE type='table') WHERE table_name = "
+            + sql_literal(m.group(1)),
+            sql,
+        )
+        head = sql.lstrip().split(None, 1)
+        verb = head[0].upper() if head else ""
+        if verb == "BEGIN":
+            # BEGIN IMMEDIATE takes SQLite's write lock up front: a plain
+            # (deferred) BEGIN upgrading to write mid-transaction can hit
+            # an unwaitable SQLITE_BUSY deadlock against another writer;
+            # immediate + busy_timeout serializes writers cleanly instead
+            sql = "BEGIN IMMEDIATE"
+        cur = conn.execute(sql)
+        rows = cur.fetchall() if cur.description is not None else []
+        if cur.description is not None:
+            cols = [d[0] for d in cur.description]
+            sock.sendall(self._row_description(cols))
+            for r in rows:
+                sock.sendall(self._data_row(r))
+            tag = f"SELECT {len(rows)}"
+        elif verb == "INSERT":
+            tag = f"INSERT 0 {max(cur.rowcount, 0)}"
+        elif verb in ("UPDATE", "DELETE"):
+            tag = f"{verb} {max(cur.rowcount, 0)}"
+        else:
+            tag = verb or "OK"
+        sock.sendall(_msg(b"C", _cstr(tag)))
+
+    def _run_copy_out(self, sock, conn, target: str) -> None:
+        target = target.strip()
+        query = target[1:-1] if target.startswith("(") else f"SELECT * FROM {target}"
+        cur = conn.execute(query)
+        # CopyOutResponse: overall format 0 (text), per-column formats
+        ncols = len(cur.description or ())
+        sock.sendall(
+            _msg(b"H", struct.pack(">bh", 0, ncols) + b"\x00\x00" * ncols)
+        )
+        n = 0
+        for row in cur:
+            sock.sendall(_msg(b"d", copy_text_row(row)))
+            n += 1
+        sock.sendall(_msg(b"c", b""))
+        sock.sendall(_msg(b"C", _cstr(f"COPY {n}")))
+
+    # -- wire encoding ------------------------------------------------------
+
+    @staticmethod
+    def _row_description(cols: list[str]) -> bytes:
+        body = struct.pack(">h", len(cols))
+        for c in cols:
+            # table oid 0, attnum 0, type oid 25 (text), typlen -1,
+            # atttypmod -1, format 0 (text)
+            body += _cstr(c) + struct.pack(">IhIhih", 0, 0, 25, -1, -1, 0)
+        return _msg(b"T", body)
+
+    @staticmethod
+    def _data_row(row: tuple) -> bytes:
+        body = struct.pack(">h", len(row))
+        for v in row:
+            if v is None:
+                body += struct.pack(">i", -1)
+            else:
+                enc = str(v).encode("utf-8")
+                body += struct.pack(">i", len(enc)) + enc
+        return _msg(b"D", body)
+
+    @staticmethod
+    def _err(code: str, message: str) -> bytes:
+        return _msg(
+            b"E",
+            b"S" + _cstr("ERROR") + b"C" + _cstr(code) + b"M" + _cstr(message)
+            + b"\x00",
+        )
+
+
+# ---------------------------------------------------------------------------
+# COPY text format (protocol + `COPY` docs: tab-delimited, \N for NULL)
+# ---------------------------------------------------------------------------
+
+_COPY_ESCAPES = {
+    "\\": "\\\\", "\b": "\\b", "\f": "\\f", "\n": "\\n",
+    "\r": "\\r", "\t": "\\t", "\v": "\\v",
+}
+_COPY_UNESCAPES = {
+    "\\": "\\", "b": "\b", "f": "\f", "n": "\n",
+    "r": "\r", "t": "\t", "v": "\v", "N": None,
+}
+
+
+def copy_text_row(row: tuple) -> bytes:
+    """Encode one row in COPY text format."""
+    cells = []
+    for v in row:
+        if v is None:
+            cells.append("\\N")
+        else:
+            s = str(v)
+            for raw, esc in _COPY_ESCAPES.items():
+                s = s.replace(raw, esc)
+            cells.append(s)
+    return ("\t".join(cells) + "\n").encode("utf-8")
+
+
+def parse_copy_text_row(data: bytes) -> list[str | None]:
+    """Decode one CopyData payload in COPY text format."""
+    s = data.decode("utf-8")
+    if s.endswith("\n"):
+        s = s[:-1]
+    out: list[str | None] = []
+    cell: list[str] = []
+    is_null = False
+    i = 0
+    while i <= len(s):
+        ch = s[i] if i < len(s) else "\t"  # sentinel flushes the last cell
+        if ch == "\t":
+            out.append(None if is_null else "".join(cell))
+            cell, is_null = [], False
+        elif ch == "\\" and i + 1 < len(s):
+            i += 1
+            nxt = s[i]
+            rep = _COPY_UNESCAPES.get(nxt, nxt)
+            if rep is None:  # \N alone in a cell = NULL
+                is_null = True
+            else:
+                cell.append(rep)
+        else:
+            cell.append(ch)
+        i += 1
+    return out
