@@ -1213,3 +1213,129 @@ def ingest_cdc_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert q.awaitTermination(180), "CDC stream did not drain"
     return spark.table(name)
+
+
+@register(
+    "ingest_copy_wire_scan",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus
+FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 40 <> 0
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus
+FROM orders WHERE o_orderkey % 4 = 1
+""",
+    category="ingest",
+)
+def ingest_copy_wire_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial copy over the PostgreSQL COPY PROTOCOL, end to end (parity
+    pg_replicate/initial_copy.rs copy_table_stream): executors seed an
+    in-process protocol-v3 source database over the wire, the table is
+    then seeded by SHARDED COPY READERS — each executor task pins the
+    exported snapshot with SET TRANSACTION SNAPSHOT and streams its rowid
+    range via COPY OUT on its own socket — committing at the captured
+    boundary LSN; finally a CDC batch replays pre-boundary events (poison
+    updates that must be dropped by the LSN floor) mixed with post-boundary
+    inserts and deletes. Result = snapshot minus deletes plus new inserts;
+    the poison status never surfacing proves the switchover floor.
+
+    Scale shape: rows never cross the driver (seeding is
+    foreachPartition, the copy is mapInPandas over the shard plan); reader
+    parallelism = shard_count, the reference's parallel-CTID-reader dial."""
+    from pyspark.sql import types as T
+
+    from moonlink_spark.ingest.initial_copy import wire_initial_copy
+    from moonlink_spark.pg_protocol import PgMockServer, PgWireClient
+    from moonlink_spark.schema import field_schema_to_struct
+    from moonlink_spark.streaming.pipeline import apply_cdc_batch
+
+    fields = [
+        {"name": "o_orderkey", "data_type": "int64", "nullable": False},
+        {"name": "o_custkey", "data_type": "int64"},
+        {"name": "o_orderstatus", "data_type": "string"},
+    ]
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    srv = PgMockServer(
+        os.path.join(_tmp_table_dir("copywire"), "src.db")
+    ).start()
+    host, port = srv.host, srv.port
+    try:
+        ctl = PgWireClient(host, port)
+        ctl.query(
+            "CREATE TABLE src (o_orderkey INTEGER, o_custkey INTEGER, "
+            "o_orderstatus TEXT)"
+        )
+        ctl.close()
+
+        def _seed_partition(rows) -> None:
+            from moonlink_spark.pg_protocol import PgWireClient as C
+
+            c, buf = None, []
+
+            def flush():
+                nonlocal c
+                if buf:
+                    if c is None:
+                        c = C(host, port)
+                    c.query("INSERT INTO src VALUES " + ", ".join(buf))
+                    buf.clear()
+
+            for r in rows:
+                buf.append(
+                    f"({r['o_orderkey']}, {r['o_custkey']}, "
+                    f"'{r['o_orderstatus']}')"
+                )
+                if len(buf) >= 500:
+                    flush()
+            flush()
+            if c is not None:
+                c.close()
+
+        base.filter(F.col("o_orderkey") % 4 == 0).foreachPartition(
+            _seed_partition
+        )
+
+        t = MoonlinkTable.create(
+            spark,
+            _tmp_table_dir("copywire-t"),
+            fields,
+            IdentityProp.single("o_orderkey"),
+        )
+        stats = wire_initial_copy(t, host, port, "src", shard_count=8)
+    finally:
+        srv.stop()
+
+    boundary = stats["boundary_lsn"]
+    row_type = field_schema_to_struct(fields)
+    row_struct = F.struct(
+        F.col("o_orderkey"), F.col("o_custkey"), F.col("o_orderstatus")
+    )
+    null_row = F.lit(None).cast(row_type)
+    null_xact = F.lit(None).cast("int")
+
+    def ev(df, lsn, op, as_old=False):
+        return df.select(
+            F.lit(lsn).cast("bigint").alias("lsn"),
+            null_xact.alias("xact_id"),
+            F.lit(op).alias("op"),
+            (null_row if as_old else row_struct).alias("row"),
+            (row_struct if as_old else null_row).alias("old_row"),
+        )
+
+    poison = ev(  # pre-boundary replay: floor MUST drop it
+        base.filter(F.col("o_orderkey") % 4 == 0).withColumn(
+            "o_orderstatus", F.lit("XX")
+        ),
+        boundary,
+        "update",
+    )
+    inserts = ev(base.filter(F.col("o_orderkey") % 4 == 1), boundary + 1000, "insert")
+    deletes = ev(
+        base.filter(F.col("o_orderkey") % 40 == 0),
+        boundary + 2000,
+        "delete",
+        as_old=True,
+    )
+    apply_cdc_batch(t, poison.unionByName(inserts).unionByName(deletes), 0)
+    return t.scan()

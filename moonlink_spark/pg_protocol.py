@@ -42,6 +42,7 @@ import socketserver
 import sqlite3
 import struct
 import threading
+import uuid
 from dataclasses import dataclass
 from typing import Any, Iterator
 
@@ -295,6 +296,26 @@ _INFO_SCHEMA_RE = re.compile(
 _COPY_RE = re.compile(
     r"^\s*COPY\s+(.+?)\s+TO\s+STDOUT\s*;?\s*$", re.IGNORECASE | re.DOTALL
 )
+_EXPORT_SNAPSHOT_RE = re.compile(
+    r"^\s*SELECT\s+pg_export_snapshot\(\)\s*(?:,\s*pg_current_wal_lsn\(\)\s*)?;?\s*$",
+    re.IGNORECASE,
+)
+_WAL_LSN_RE = re.compile(
+    r"^\s*SELECT\s+pg_current_wal_lsn\(\)\s*;?\s*$", re.IGNORECASE
+)
+_SET_SNAPSHOT_RE = re.compile(
+    r"^\s*SET\s+TRANSACTION\s+SNAPSHOT\s+'([^']+)'\s*;?\s*$", re.IGNORECASE
+)
+
+
+def wal_lsn_str(lsn: int) -> str:
+    """PG LSN text form ``XXXXXXXX/XXXXXXXX``."""
+    return f"{lsn >> 32:X}/{lsn & 0xFFFFFFFF:X}"
+
+
+def parse_wal_lsn(s: str) -> int:
+    hi, lo = s.split("/")
+    return (int(hi, 16) << 32) | int(lo, 16)
 
 
 class PgMockServer:
@@ -306,7 +327,18 @@ class PgMockServer:
     ``sqlite_master`` lookups (SQLite accepts the ``JSON`` type name
     as-is). ``password`` enables cleartext auth — wrong or missing
     passwords get a fatal 28P01 ErrorResponse, the server's
-    fail-loud stand-in for real HBA."""
+    fail-loud stand-in for real HBA.
+
+    Source-database role (the initial-copy leg, ``pg_replicate/
+    postgres_source.rs`` shape): ``SELECT pg_export_snapshot(),
+    pg_current_wal_lsn()`` atomically freezes every user table into
+    snapshot tables and returns (snapshot id, boundary LSN) — the mock's
+    stand-in for PG's exported-snapshot + WAL boundary; a connection
+    that then issues ``SET TRANSACTION SNAPSHOT '<id>'`` has its reads
+    and COPYs served from the frozen state, so N sharded readers on N
+    connections observe one consistent snapshot while writers keep
+    committing. Every INSERT/UPDATE/DELETE advances the server's WAL
+    LSN counter."""
 
     def __init__(
         self,
@@ -318,6 +350,11 @@ class PgMockServer:
         self.db_path = db_path
         self.password = password
         os.makedirs(os.path.dirname(os.path.abspath(db_path)), exist_ok=True)
+        # WAL position: advanced under _snap_lock by every committed write
+        # statement, so pg_export_snapshot()'s (freeze, LSN) capture is
+        # atomic with respect to concurrent writers
+        self.lsn = 0
+        self._snap_lock = threading.Lock()
         server = self
 
         class Handler(socketserver.BaseRequestHandler):
@@ -357,6 +394,8 @@ class PgMockServer:
             conn = sqlite3.connect(self.db_path, timeout=30.0)
             conn.isolation_level = None  # explicit BEGIN/COMMIT pass through
             conn.execute("PRAGMA busy_timeout = 30000")
+            conn.execute("PRAGMA journal_mode = WAL")  # concurrent readers
+            state: dict[str, Any] = {"snapshot": None}
             try:
                 while True:
                     t, body = _read_msg(f)
@@ -367,7 +406,7 @@ class PgMockServer:
                         sock.sendall(_msg(b"Z", b"I"))
                         continue
                     sql = body.rstrip(b"\x00").decode("utf-8")
-                    self._run_query(sock, conn, sql)
+                    self._run_query(sock, conn, sql, state)
             finally:
                 conn.close()
         except (ConnectionError, OSError):
@@ -414,13 +453,17 @@ class PgMockServer:
 
     # -- query execution ----------------------------------------------------
 
-    def _run_query(self, sock, conn: sqlite3.Connection, sql: str) -> None:
+    def _run_query(
+        self, sock, conn: sqlite3.Connection, sql: str, state: dict[str, Any]
+    ) -> None:
         try:
             m = _COPY_RE.match(sql)
             if m is not None:
-                self._run_copy_out(sock, conn, m.group(1))
+                self._run_copy_out(
+                    sock, conn, self._snapshot_rewrite(conn, m.group(1), state)
+                )
             else:
-                self._run_simple(sock, conn, sql)
+                self._run_simple(sock, conn, sql, state)
         except sqlite3.Error as e:
             code = (
                 "23505"  # unique_violation — the row-count/PK contract
@@ -432,7 +475,31 @@ class PgMockServer:
             sock.sendall(self._err("XX000", str(e)))
         sock.sendall(_msg(b"Z", b"I"))
 
-    def _run_simple(self, sock, conn, sql: str) -> None:
+    def _run_simple(
+        self, sock, conn, sql: str, state: dict[str, Any]
+    ) -> None:
+        m = _EXPORT_SNAPSHOT_RE.match(sql)
+        if m is not None:
+            with_lsn = "pg_current_wal_lsn" in sql
+            snap_id, lsn = self._export_snapshot(conn)
+            cols = ["pg_export_snapshot"] + (
+                ["pg_current_wal_lsn"] if with_lsn else []
+            )
+            row = (snap_id,) + ((wal_lsn_str(lsn),) if with_lsn else ())
+            sock.sendall(self._row_description(cols))
+            sock.sendall(self._data_row(row))
+            sock.sendall(_msg(b"C", _cstr("SELECT 1")))
+            return
+        if _WAL_LSN_RE.match(sql):
+            sock.sendall(self._row_description(["pg_current_wal_lsn"]))
+            sock.sendall(self._data_row((wal_lsn_str(self.lsn),)))
+            sock.sendall(_msg(b"C", _cstr("SELECT 1")))
+            return
+        m = _SET_SNAPSHOT_RE.match(sql)
+        if m is not None:
+            state["snapshot"] = m.group(1)
+            sock.sendall(_msg(b"C", _cstr("SET")))
+            return
         sql = _INFO_SCHEMA_RE.sub(
             lambda m: "FROM (SELECT name AS table_name FROM sqlite_master "
             "WHERE type='table') WHERE table_name = "
@@ -447,7 +514,18 @@ class PgMockServer:
             # an unwaitable SQLITE_BUSY deadlock against another writer;
             # immediate + busy_timeout serializes writers cleanly instead
             sql = "BEGIN IMMEDIATE"
-        cur = conn.execute(sql)
+        if verb in ("SELECT", "WITH"):
+            sql = self._snapshot_rewrite(conn, sql, state)
+        if verb in ("INSERT", "UPDATE", "DELETE"):
+            # writes advance the WAL position atomically w.r.t. snapshot
+            # export (the boundary-LSN contract the initial-copy switchover
+            # depends on)
+            with self._snap_lock:
+                cur = conn.execute(sql)
+                if cur.rowcount > 0:
+                    self.lsn += cur.rowcount
+        else:
+            cur = conn.execute(sql)
         rows = cur.fetchall() if cur.description is not None else []
         if cur.description is not None:
             cols = [d[0] for d in cur.description]
@@ -462,6 +540,51 @@ class PgMockServer:
         else:
             tag = verb or "OK"
         sock.sendall(_msg(b"C", _cstr(tag)))
+
+    # -- snapshot export (source-database role) ------------------------------
+
+    def _export_snapshot(self, conn) -> tuple[str, int]:
+        """Freeze every user table into ``_snap_{id}__{table}`` copies and
+        return (snapshot id, boundary LSN), atomically w.r.t. writers."""
+        snap_id = uuid.uuid4().hex[:12]
+        with self._snap_lock:
+            names = [
+                r[0]
+                for r in conn.execute(
+                    "SELECT name FROM sqlite_master WHERE type='table' "
+                    "AND name NOT GLOB '_snap_*' AND name NOT GLOB 'sqlite_*'"
+                )
+            ]
+            for t in names:
+                conn.execute(
+                    f'CREATE TABLE "_snap_{snap_id}__{t}" AS '
+                    f'SELECT * FROM "{t}"'
+                )
+            return snap_id, self.lsn
+
+    def _snapshot_rewrite(
+        self, conn, sql: str, state: dict[str, Any]
+    ) -> str:
+        """Point table references at the connection's frozen snapshot."""
+        snap = state.get("snapshot")
+        if not snap:
+            return sql
+        prefix = f"_snap_{snap}__"
+        frozen = [
+            r[0][len(prefix):]
+            for r in conn.execute(
+                "SELECT name FROM sqlite_master WHERE type='table' "
+                "AND name GLOB ?",
+                (prefix + "*",),
+            )
+        ]
+        if not frozen:
+            raise PgProtocolError(f"unknown snapshot {snap!r}")
+        for t in sorted(frozen, key=len, reverse=True):
+            sql = re.sub(
+                rf'(?<![\w"]){re.escape(t)}(?![\w"])', f'"{prefix}{t}"', sql
+            )
+        return sql
 
     def _run_copy_out(self, sock, conn, target: str) -> None:
         target = target.strip()
