@@ -19,10 +19,14 @@ protocol layouts (kafka.apache.org/protocol):
   nullable keys, headers) — the same bytes a real broker stores;
 - APIs spoken: ApiVersions(18) v0, Metadata(3) v1, Produce(0) v3,
   Fetch(1) v4, ListOffsets(2) v1, OffsetCommit(8) v2, OffsetFetch(9)
-  v1 — the minimal set a non-transactional producer + committed
-  consumer group needs (the pre-flexible encodings, so no tagged
-  fields; a real client negotiates up via ApiVersions and these
-  versions remain permanently supported).
+  v1, JoinGroup(11) v0, Heartbeat(12) v0, LeaveGroup(13) v0,
+  SyncGroup(14) v0 — a non-transactional producer plus BOTH consumption
+  modes: explicit ``assign()`` partitions and broker-coordinated
+  subscribe groups (the pre-flexible encodings, so no tagged fields; a
+  real client negotiates up via ApiVersions and these versions remain
+  permanently supported);
+- batch compression: gzip (attributes codec 1, stdlib zlib with the
+  gzip wrapper) on both encode and decode.
 
 Architecture (the honest cluster shape): :class:`KafkaWireBroker` is a
 single-node broker whose topic-partition logs are the SAME
@@ -35,12 +39,19 @@ protocol from the client side; the consumer exposes the exact
 ingestion path (``AvroQueueIngestor``) runs over a live socket with no
 changes — swap the consumer, keep the idempotent LSN-floor contract.
 
+Group coordination follows Kafka's actual division of labor: the broker
+(``_GroupCoordinator``) only barriers JoinGroup rounds, elects a leader,
+and relays opaque assignment bytes through SyncGroup; the LEADER CLIENT
+computes the range assignment (``range_assign``) and every member
+discovers membership changes through Heartbeat's REBALANCE_IN_PROGRESS.
+Offsets stay in the group (OffsetCommit/OffsetFetch), not the member, so
+a partition handed to another consumer resumes at the committed floor —
+no loss, and the ingest path's LSN floor absorbs the at-least-once
+overlap.
+
 Not implemented (fail-loud or out of scope): SASL/TLS, transactions
-and idempotent producer ids (producerId is -1 throughout), compression
-(attributes bits rejected if set), consumer-group rebalancing
-(JoinGroup/SyncGroup — assignments here are explicit partitions, the
-``assign()`` shape, which is also how the ingestor uses the file
-queue).
+and idempotent producer ids (producerId is -1 throughout), snappy/lz4/
+zstd codecs (gzip only — the others need non-stdlib libraries).
 """
 
 from __future__ import annotations
@@ -52,6 +63,7 @@ import socketserver
 import struct
 import threading
 import time
+import uuid
 from typing import Any, Iterator
 
 from moonlink_spark.sources.queue import _NULL_KEY, _frame, _parse_kv
@@ -159,8 +171,13 @@ def encode_record_batch(
     base_offset: int,
     records: list[tuple[bytes | None, bytes]],
     first_timestamp_ms: int | None = None,
+    compression: str | None = None,
 ) -> bytes:
-    """One magic-2 batch; ``records`` is [(key|None, value)]."""
+    """One magic-2 batch; ``records`` is [(key|None, value)].
+
+    ``compression="gzip"`` compresses the records section (everything
+    after the record count, per the batch spec) and sets attributes
+    codec bits to 1; the CRC covers the COMPRESSED bytes."""
     ts = (
         int(time.time() * 1000)
         if first_timestamp_ms is None
@@ -183,11 +200,20 @@ def encode_record_batch(
         body += _varint(0)  # headers
         recs += _varint(len(body)) + bytes(body)
     n = len(records)
+    if compression is None:
+        attrs, rec_bytes = 0, bytes(recs)
+    elif compression == "gzip":
+        import zlib
+
+        co = zlib.compressobj(wbits=31)  # gzip wrapper
+        attrs, rec_bytes = 1, co.compress(bytes(recs)) + co.flush()
+    else:
+        raise ValueError(f"unsupported compression {compression!r}")
     # attributes..end — the CRC-covered span per the batch spec
     tail = (
         struct.pack(
             ">hiqqqhii",
-            0,  # attributes: no compression, create-time
+            attrs,  # codec bits 0-2 (0=none, 1=gzip), create-time
             n - 1,  # lastOffsetDelta
             ts,  # firstTimestamp
             ts,  # maxTimestamp
@@ -196,7 +222,7 @@ def encode_record_batch(
             -1,  # baseSequence
             n,  # record count
         )
-        + bytes(recs)
+        + rec_bytes
     )
     crc = crc32c(tail)
     # batchLength counts bytes AFTER itself: partitionLeaderEpoch(4) +
@@ -224,8 +250,15 @@ def decode_record_batches(
         attrs, _last, _ft, _mt, _pid, _pe, _bs, count = struct.unpack_from(
             ">hiqqqhii", tail, 0
         )
-        if attrs & 0x07:
-            raise ValueError("compressed batches not supported")
+        codec = attrs & 0x07
+        if codec == 1:  # gzip: records section is compressed
+            import zlib
+
+            tail = tail[:40] + zlib.decompress(tail[40:], wbits=47)
+        elif codec:
+            raise ValueError(
+                f"unsupported compression codec {codec} (none and gzip only)"
+            )
         p = 40  # past the fixed attribute block (2+4+8+8+8+2+4+4)
         for _ in range(count):
             rlen, p = _read_varint(tail, p)
@@ -257,10 +290,153 @@ def decode_record_batches(
 # ---------------------------------------------------------------------------
 
 _API = {"produce": 0, "fetch": 1, "list_offsets": 2, "metadata": 3,
-        "offset_commit": 8, "offset_fetch": 9, "api_versions": 18}
+        "offset_commit": 8, "offset_fetch": 9, "join_group": 11,
+        "heartbeat": 12, "leave_group": 13, "sync_group": 14,
+        "api_versions": 18}
 _ERR_NONE = 0
 _ERR_OFFSET_OUT_OF_RANGE = 1
 _ERR_UNKNOWN_TOPIC = 3
+_ERR_ILLEGAL_GENERATION = 22
+_ERR_UNKNOWN_MEMBER = 25
+_ERR_REBALANCE_IN_PROGRESS = 27
+
+
+class _GroupCoordinator:
+    """Consumer-group state machine (the GroupCoordinator role of a real
+    broker, kafka.apache.org/protocol group-membership APIs): JoinGroup
+    barriers a rebalance round, the leader distributes assignments via
+    SyncGroup (client-side assignment, Kafka's actual model — the broker
+    never interprets assignment bytes), Heartbeat reports
+    REBALANCE_IN_PROGRESS so stable members rejoin, LeaveGroup triggers
+    the next round. Members that miss a rebalance round are evicted at
+    the round deadline (session-timeout eviction for crashed members)."""
+
+    def __init__(self, rebalance_timeout_s: float = 2.0):
+        self.rebalance_timeout_s = rebalance_timeout_s
+        self._groups: dict[str, dict[str, Any]] = {}
+        self._cond = threading.Condition()
+        self._seq = 0
+
+    def _group(self, gid: str) -> dict[str, Any]:
+        if gid not in self._groups:
+            self._groups[gid] = {
+                "state": "empty",  # empty | rebalancing | syncing | stable
+                "generation": 0,
+                "members": {},  # member_id -> subscription metadata
+                "joined": {},  # members seen in the CURRENT round
+                "assignments": {},  # member_id -> assignment bytes
+                "leader": None,
+                "deadline": 0.0,
+            }
+        return self._groups[gid]
+
+    def _begin_rebalance(self, g: dict[str, Any]) -> None:
+        g["state"] = "rebalancing"
+        g["generation"] += 1
+        g["joined"] = {}
+        g["assignments"] = {}
+        g["deadline"] = time.monotonic() + self.rebalance_timeout_s
+
+    def join(
+        self, gid: str, member_id: str, metadata: bytes
+    ) -> tuple[int, int, str, str, list[tuple[str, bytes]]]:
+        """-> (error, generation, leader_id, member_id, members). Blocks
+        (bounded by the round deadline) until every previously-known
+        member has rejoined — the JoinGroup barrier."""
+        with self._cond:
+            g = self._group(gid)
+            if not member_id:
+                self._seq += 1
+                member_id = f"member-{self._seq}-{uuid.uuid4().hex[:8]}"
+            if g["state"] in ("empty", "stable", "syncing"):
+                self._begin_rebalance(g)
+            g["joined"][member_id] = metadata
+            g["members"].setdefault(member_id, metadata)
+            g["members"][member_id] = metadata
+            gen = g["generation"]
+            self._cond.notify_all()
+            while (
+                g["generation"] == gen
+                and g["state"] == "rebalancing"
+                and not set(g["members"]) <= set(g["joined"])
+                and time.monotonic() < g["deadline"]
+            ):
+                self._cond.wait(timeout=0.05)
+            if g["generation"] != gen:
+                # a newer round superseded this one mid-wait: rejoin
+                return (_ERR_REBALANCE_IN_PROGRESS, 0, "", member_id, [])
+            if g["state"] == "rebalancing":
+                # round complete (all rejoined, or deadline evicted the rest)
+                g["members"] = dict(g["joined"])
+                g["leader"] = sorted(g["members"])[0]
+                g["state"] = "syncing"
+                self._cond.notify_all()
+            members = (
+                sorted(g["members"].items())
+                if member_id == g["leader"]
+                else []
+            )
+            return (_ERR_NONE, gen, g["leader"], member_id, members)
+
+    def sync(
+        self,
+        gid: str,
+        generation: int,
+        member_id: str,
+        assignment_map: dict[str, bytes],
+    ) -> tuple[int, bytes]:
+        """-> (error, this member's assignment). The leader's call carries
+        the full map and releases the followers."""
+        with self._cond:
+            g = self._group(gid)
+            if member_id not in g["members"]:
+                return (_ERR_UNKNOWN_MEMBER, b"")
+            if generation != g["generation"]:
+                return (_ERR_ILLEGAL_GENERATION, b"")
+            if member_id == g["leader"] and assignment_map:
+                g["assignments"] = dict(assignment_map)
+                g["state"] = "stable"
+                self._cond.notify_all()
+            else:
+                deadline = time.monotonic() + self.rebalance_timeout_s * 2
+                while (
+                    g["generation"] == generation
+                    and g["state"] != "stable"
+                    and time.monotonic() < deadline
+                ):
+                    self._cond.wait(timeout=0.05)
+                if g["generation"] != generation:
+                    return (_ERR_REBALANCE_IN_PROGRESS, b"")
+                if g["state"] != "stable":
+                    return (_ERR_REBALANCE_IN_PROGRESS, b"")
+            return (_ERR_NONE, g["assignments"].get(member_id, b""))
+
+    def heartbeat(self, gid: str, generation: int, member_id: str) -> int:
+        with self._cond:
+            g = self._group(gid)
+            if member_id not in g["members"]:
+                return _ERR_UNKNOWN_MEMBER
+            if g["state"] in ("rebalancing", "syncing"):
+                return _ERR_REBALANCE_IN_PROGRESS
+            if generation != g["generation"]:
+                return _ERR_ILLEGAL_GENERATION
+            return _ERR_NONE
+
+    def leave(self, gid: str, member_id: str) -> int:
+        with self._cond:
+            g = self._group(gid)
+            if member_id not in g["members"]:
+                return _ERR_UNKNOWN_MEMBER
+            del g["members"][member_id]
+            g["joined"].pop(member_id, None)
+            g["assignments"].pop(member_id, None)
+            if g["members"]:
+                self._begin_rebalance(g)
+            else:
+                g["state"] = "empty"
+                g["leader"] = None
+            self._cond.notify_all()
+            return _ERR_NONE
 
 
 class _PartitionLog:
@@ -331,11 +507,13 @@ class KafkaWireBroker:
         host: str = "127.0.0.1",
         port: int = 0,
         drop_every: int = 0,
+        rebalance_timeout_s: float = 2.0,
     ):
         self.log_dir = log_dir
         os.makedirs(log_dir, exist_ok=True)
         self._logs: dict[tuple[str, int], _PartitionLog] = {}
         self._lock = threading.Lock()
+        self.coordinator = _GroupCoordinator(rebalance_timeout_s)
         # fault injection: abruptly close the connection BEFORE handling
         # every Nth request (the broker-restart / LB-reset shape clients
         # must absorb by reconnecting)
@@ -452,12 +630,21 @@ class KafkaWireBroker:
             return self._offset_commit(req, pos)
         if api == _API["offset_fetch"]:
             return self._offset_fetch(req, pos)
+        if api == _API["join_group"]:
+            return self._join_group(req, pos)
+        if api == _API["sync_group"]:
+            return self._sync_group(req, pos)
+        if api == _API["heartbeat"]:
+            return self._heartbeat(req, pos)
+        if api == _API["leave_group"]:
+            return self._leave_group(req, pos)
         # UNSUPPORTED_VERSION-shaped refusal: error body for ApiVersions
         return struct.pack(">hi", 35, 0)
 
     def _api_versions(self) -> bytes:
         keys = [(0, 3, 3), (1, 4, 4), (2, 1, 1), (3, 1, 1), (8, 2, 2),
-                (9, 1, 1), (18, 0, 0)]
+                (9, 1, 1), (11, 0, 0), (12, 0, 0), (13, 0, 0), (14, 0, 0),
+                (18, 0, 0)]
         out = struct.pack(">hi", _ERR_NONE, len(keys))
         for k, lo, hi in keys:
             out += struct.pack(">hhh", k, lo, hi)
@@ -648,6 +835,59 @@ class KafkaWireBroker:
                 out += _nullable_string(None) + struct.pack(">h", _ERR_NONE)
         return out
 
+    # -- group coordination (JoinGroup/SyncGroup/Heartbeat/LeaveGroup v0) ----
+
+    def _join_group(self, req: bytes, pos: int) -> bytes:
+        group, pos = _read_string(req, pos)
+        (_session_timeout,) = struct.unpack_from(">i", req, pos)
+        pos += 4
+        member, pos = _read_string(req, pos)
+        _ptype, pos = _read_string(req, pos)
+        (nproto,) = struct.unpack_from(">i", req, pos)
+        pos += 4
+        metadata = b""
+        for i in range(nproto):
+            _name, pos = _read_string(req, pos)
+            meta, pos = _read_bytes32(req, pos)
+            if i == 0:
+                metadata = meta or b""
+        err, gen, leader, member_id, members = self.coordinator.join(
+            group, member or "", metadata
+        )
+        out = struct.pack(">hi", err, gen)
+        out += _string("range") + _string(leader or "") + _string(member_id)
+        out += struct.pack(">i", len(members))
+        for mid, meta in members:
+            out += _string(mid) + _bytes32(meta)
+        return out
+
+    def _sync_group(self, req: bytes, pos: int) -> bytes:
+        group, pos = _read_string(req, pos)
+        (gen,) = struct.unpack_from(">i", req, pos)
+        pos += 4
+        member, pos = _read_string(req, pos)
+        (nassign,) = struct.unpack_from(">i", req, pos)
+        pos += 4
+        amap: dict[str, bytes] = {}
+        for _ in range(nassign):
+            mid, pos = _read_string(req, pos)
+            a, pos = _read_bytes32(req, pos)
+            amap[mid] = a or b""
+        err, assignment = self.coordinator.sync(group, gen, member, amap)
+        return struct.pack(">h", err) + _bytes32(assignment)
+
+    def _heartbeat(self, req: bytes, pos: int) -> bytes:
+        group, pos = _read_string(req, pos)
+        (gen,) = struct.unpack_from(">i", req, pos)
+        pos += 4
+        member, pos = _read_string(req, pos)
+        return struct.pack(">h", self.coordinator.heartbeat(group, gen, member))
+
+    def _leave_group(self, req: bytes, pos: int) -> bytes:
+        group, pos = _read_string(req, pos)
+        member, pos = _read_string(req, pos)
+        return struct.pack(">h", self.coordinator.leave(group, member))
+
     # -- lifecycle ------------------------------------------------------------
 
     def start(self) -> "KafkaWireBroker":
@@ -791,9 +1031,11 @@ class KafkaWireProducer:
         timeout_s: float = 10.0,
         at_least_once: bool = False,
         retries: int = 3,
+        compression: str | None = None,
     ):
         self._conn = _WireConn(host, port, client_id, timeout_s, retries)
         self.at_least_once = at_least_once
+        self.compression = compression
 
     def send(
         self,
@@ -801,7 +1043,7 @@ class KafkaWireProducer:
         records: list[tuple[bytes | None, bytes]],
         partition: int = 0,
     ) -> int:
-        batch = encode_record_batch(0, records)
+        batch = encode_record_batch(0, records, compression=self.compression)
         body = (
             _nullable_string(None)  # transactional_id
             + struct.pack(">hi", -1, 10_000)  # acks=-1, timeout
@@ -1000,4 +1242,236 @@ class KafkaWireConsumer:
         return {"brokers": brokers, "topics": topics_out}
 
     def close(self) -> None:
+        self._conn.close()
+
+
+# ---------------------------------------------------------------------------
+# consumer group client (JoinGroup/SyncGroup dance, client-side assignment)
+# ---------------------------------------------------------------------------
+
+
+def encode_subscription(topics: list[str]) -> bytes:
+    """ConsumerProtocol Subscription v0: version + topics + user_data."""
+    out = struct.pack(">h", 0) + struct.pack(">i", len(topics))
+    for t in topics:
+        out += _string(t)
+    return out + _bytes32(b"")
+
+
+def decode_subscription(data: bytes) -> list[str]:
+    (_v, n) = struct.unpack_from(">hi", data, 0)
+    pos, topics = 6, []
+    for _ in range(n):
+        t, pos = _read_string(data, pos)
+        topics.append(t)
+    return topics
+
+
+def encode_assignment(parts: dict[str, list[int]]) -> bytes:
+    """ConsumerProtocol Assignment v0: version + [topic, partitions]."""
+    out = struct.pack(">h", 0) + struct.pack(">i", len(parts))
+    for t in sorted(parts):
+        out += _string(t) + struct.pack(">i", len(parts[t]))
+        for p in parts[t]:
+            out += struct.pack(">i", p)
+    return out + _bytes32(b"")
+
+
+def decode_assignment(data: bytes) -> dict[str, list[int]]:
+    if not data:
+        return {}
+    (_v, n) = struct.unpack_from(">hi", data, 0)
+    pos, out = 6, {}
+    for _ in range(n):
+        t, pos = _read_string(data, pos)
+        (np,) = struct.unpack_from(">i", data, pos)
+        pos += 4
+        ps = list(struct.unpack_from(f">{np}i", data, pos))
+        pos += 4 * np
+        out[t] = ps
+    return out
+
+
+def range_assign(
+    members: list[tuple[str, list[str]]], partitions: dict[str, list[int]]
+) -> dict[str, dict[str, list[int]]]:
+    """Kafka's range assignor: per topic, sorted partitions split into
+    contiguous runs over the sorted subscribing members — the first
+    ``n_part % n_members`` members get one extra partition."""
+    out: dict[str, dict[str, list[int]]] = {m: {} for m, _ in members}
+    for topic, parts in partitions.items():
+        subs = sorted(m for m, topics in members if topic in topics)
+        if not subs:
+            continue
+        parts = sorted(parts)
+        base, extra = divmod(len(parts), len(subs))
+        start = 0
+        for i, m in enumerate(subs):
+            n = base + (1 if i < extra else 0)
+            if n:
+                out[m][topic] = parts[start : start + n]
+            start += n
+    return out
+
+
+class KafkaGroupConsumer:
+    """Subscribe-mode consumer: group membership via the JoinGroup/
+    SyncGroup dance with broker-coordinated rebalances (the reference's
+    production consumption shape — the explicit-partition
+    ``KafkaWireConsumer`` is the ``assign()`` mode). The elected LEADER
+    computes the range assignment client-side and distributes it through
+    SyncGroup, exactly Kafka's division of labor: the broker coordinates
+    membership, clients own assignment semantics.
+
+    ``poll()`` heartbeats first and transparently re-joins on
+    REBALANCE_IN_PROGRESS / UNKNOWN_MEMBER / ILLEGAL_GENERATION, then
+    fetches every assigned partition from its committed group offset.
+    ``commit_polled()`` commits the high-water mark of the last poll per
+    partition — at-least-once, with loss/duplication prevented across
+    rebalances because offsets live in the group, not the member."""
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        topic: str,
+        group: str,
+        client_id: str = "moonlink-group-consumer",
+        timeout_s: float = 15.0,
+    ):
+        self._conn = _WireConn(host, port, client_id, timeout_s)
+        # a second connection for the blocking JoinGroup barrier, so a
+        # rebalance in progress never stalls this member's in-flight
+        # fetches on the shared connection
+        self._coord = _WireConn(host, port, client_id + "-coord", timeout_s)
+        self.topic = topic
+        self.group = group
+        self.member_id = ""
+        self.generation = -1
+        self.assigned: list[int] = []
+        self._last_polled: dict[int, int] = {}
+        # reuse the explicit-partition consumer for fetch/commit wire code
+        self._fetcher = KafkaWireConsumer(
+            host, port, topic, 0, group=group, client_id=client_id
+        )
+        self._fetcher._conn = self._conn
+
+    # -- membership ----------------------------------------------------------
+
+    def _join_once(self) -> int:
+        body = (
+            _string(self.group)
+            + struct.pack(">i", 30_000)  # session timeout
+            + _string(self.member_id)
+            + _string("consumer")
+            + struct.pack(">i", 1)
+            + _string("range")
+            + _bytes32(encode_subscription([self.topic]))
+        )
+        resp = self._coord.call(_API["join_group"], 0, body)
+        err, gen = struct.unpack_from(">hi", resp, 0)
+        pos = 6
+        _proto, pos = _read_string(resp, pos)
+        leader, pos = _read_string(resp, pos)
+        member_id, pos = _read_string(resp, pos)
+        self.member_id = member_id
+        if err != _ERR_NONE:
+            return err
+        (nmem,) = struct.unpack_from(">i", resp, pos)
+        pos += 4
+        members = []
+        for _ in range(nmem):
+            mid, pos = _read_string(resp, pos)
+            meta, pos = _read_bytes32(resp, pos)
+            members.append((mid, decode_subscription(meta or b"")))
+        self.generation = gen
+
+        amap: dict[str, bytes] = {}
+        if member_id == leader:
+            md = self._fetcher.metadata([self.topic])
+            partitions = {
+                self.topic: md["topics"].get(self.topic, {}).get(
+                    "partitions", []
+                )
+            }
+            amap = {
+                m: encode_assignment(a)
+                for m, a in range_assign(members, partitions).items()
+            }
+        body = (
+            _string(self.group)
+            + struct.pack(">i", gen)
+            + _string(member_id)
+            + struct.pack(">i", len(amap))
+        )
+        for mid, a in amap.items():
+            body += _string(mid) + _bytes32(a)
+        resp = self._coord.call(_API["sync_group"], 0, body)
+        (err,) = struct.unpack_from(">h", resp, 0)
+        if err != _ERR_NONE:
+            return err
+        assignment, _ = _read_bytes32(resp, 2)
+        self.assigned = sorted(
+            decode_assignment(assignment or b"").get(self.topic, [])
+        )
+        return _ERR_NONE
+
+    def ensure_active(self, max_rounds: int = 20) -> None:
+        if self.generation >= 0 and self.assigned is not None:
+            err = self._heartbeat()
+            if err == _ERR_NONE:
+                return
+        for _ in range(max_rounds):
+            if self._join_once() == _ERR_NONE:
+                return
+            time.sleep(0.05)
+        raise OSError(
+            f"group {self.group} did not stabilize in {max_rounds} rounds"
+        )
+
+    def _heartbeat(self) -> int:
+        body = (
+            _string(self.group)
+            + struct.pack(">i", self.generation)
+            + _string(self.member_id)
+        )
+        resp = self._coord.call(_API["heartbeat"], 0, body)
+        return struct.unpack_from(">h", resp, 0)[0]
+
+    # -- consumption ---------------------------------------------------------
+
+    def poll(
+        self, max_messages: int = 10_000
+    ) -> list[tuple[int, int, bytes | None, bytes | None]]:
+        """-> [(partition, offset, key, value)] across this member's
+        currently-assigned partitions, from their committed offsets."""
+        self.ensure_active()
+        out: list[tuple[int, int, bytes | None, bytes | None]] = []
+        self._last_polled = {}
+        for p in self.assigned:
+            self._fetcher.partition = p
+            floor = self._fetcher.committed
+            msgs = self._fetcher.fetch(floor, max_messages - len(out))
+            for off, k, v in msgs:
+                out.append((p, off, k, v))
+            if msgs:
+                self._last_polled[p] = msgs[-1][0] + 1
+            if len(out) >= max_messages:
+                break
+        return out
+
+    def commit_polled(self) -> None:
+        for p, nxt in self._last_polled.items():
+            self._fetcher.partition = p
+            self._fetcher.commit(nxt)
+        self._last_polled = {}
+
+    def close(self) -> None:
+        if self.member_id:
+            try:
+                body = _string(self.group) + _string(self.member_id)
+                self._coord.call(_API["leave_group"], 0, body)
+            except (ConnectionError, OSError):
+                pass
+        self._coord.close()
         self._conn.close()
