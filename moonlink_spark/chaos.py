@@ -627,6 +627,7 @@ def run_chaos(
     with_iceberg: bool = True,
     with_alter: bool = False,
     dump_path: str | None = None,
+    transport: str = "local",
 ) -> dict[str, Any]:
     """Run one seeded chaos sequence. Returns a summary dict; on invariant
     failure raises ChaosFailure pointing at the replayable dump.
@@ -634,7 +635,16 @@ def run_chaos(
     ``chaos_every`` > 0 puts the table's control plane (manifests, WAL)
     on an in-memory object store that injects one TransientStoreError
     every N accessor calls — the accessor's retry layer must absorb every
-    injection without any observable difference."""
+    injection without any observable difference.
+
+    ``transport`` selects where the control plane lives: ``"local"``
+    (plain directory, or the in-memory store when ``chaos_every`` is
+    set), ``"s3"`` (an in-process S3 REST endpoint with SigV4-signed
+    requests and 503-SlowDown throttling every ``chaos_every`` calls),
+    or ``"gcs"`` (the GCS JSON API endpoint, bearer-authenticated, with
+    429 throttling) — the chaos_test.rs scenario spread replayed over
+    every wire transport. Dumps stay transport-independent: a dump
+    recorded over s3/gcs replays on a local directory."""
     os.makedirs(workdir, exist_ok=True)
     meta = {
         "seed": seed,
@@ -653,7 +663,42 @@ def run_chaos(
     data_path = None
     table_path = os.path.join(workdir, "table")
     chaos_policy = None
-    if chaos_every:
+    wire_server = None
+    if transport == "s3":
+        from moonlink_spark.table.fs import register_fs_scheme
+        from moonlink_spark.table.s3 import S3HttpFS, S3MemServer
+
+        wire_server = S3MemServer(
+            throttle_every=chaos_every, credentials={"chaos-ak": "chaos-sk"}
+        ).start()
+        scheme = f"s3c{seed}x{os.getpid() % 10_000}"
+        register_fs_scheme(
+            scheme,
+            lambda path, _e=wire_server.endpoint: S3HttpFS(
+                _e, retries=8, access_key="chaos-ak", secret_key="chaos-sk"
+            ),
+        )
+        table_path = f"{scheme}://bucket/table"
+        data_path = os.path.join(workdir, "data")
+    elif transport == "gcs":
+        from moonlink_spark.table.fs import register_fs_scheme
+        from moonlink_spark.table.gcs import GCSHttpFS, GCSMemServer
+
+        wire_server = GCSMemServer(
+            throttle_every=chaos_every, valid_tokens={"chaos-token"}
+        ).start()
+        scheme = f"gcsc{seed}x{os.getpid() % 10_000}"
+        register_fs_scheme(
+            scheme,
+            lambda path, _e=wire_server.endpoint: GCSHttpFS(
+                _e, retries=8, token="chaos-token"
+            ),
+        )
+        table_path = f"{scheme}://bucket/table"
+        data_path = os.path.join(workdir, "data")
+    elif transport != "local":
+        raise ValueError(f"unknown transport {transport!r} (local|s3|gcs)")
+    if chaos_every and transport == "local":
         from moonlink_spark.table.fs import (
             ChaosPolicy,
             InMemoryObjectStore,
@@ -679,6 +724,21 @@ def run_chaos(
         model, seed, table_option, with_alter=with_alter
     )
 
+    executed = 0
+    try:
+        return _drive(
+            dump_path, meta, model, runner, gen, n_events, seed,
+            table_option, chaos_policy, wire_server,
+        )
+    finally:
+        if wire_server is not None:
+            wire_server.stop()
+
+
+def _drive(
+    dump_path, meta, model, runner, gen, n_events, seed, table_option,
+    chaos_policy, wire_server,
+) -> dict[str, Any]:
     executed = 0
     with open(dump_path, "w") as dump:
         dump.write(json.dumps({"meta": meta}) + "\n")
@@ -723,6 +783,9 @@ def run_chaos(
         "validated_reads": runner.validated_reads,
         "validated_iceberg_snapshots": runner.validated_snapshots,
         "chaos_injected": chaos_policy.injected if chaos_policy else 0,
+        "transport_throttled": (
+            wire_server.throttled if wire_server is not None else 0
+        ),
         "dump_path": dump_path,
     }
 

@@ -34,10 +34,16 @@ identically over both: GCS DELETE of a missing object is 404 (S3's is
 idempotent 204) — ``rmtree`` swallows it; object generations back the
 precondition instead of ETags.
 
+Authentication: OAuth 2.0 bearer tokens — the accessor attaches
+``Authorization: Bearer <token>`` to every request (static ``token`` or
+a ``token_provider`` callable for rotation), and the in-process server
+verifies against ``valid_tokens``, rejecting missing/invalid tokens
+with 401 the way real GCS does. Token ACQUISITION (service-account JWT
+signing / metadata server) stays outside: the provider callable is the
+seam a real deployment plugs its refresher into.
+
 Not implemented (documented, fail-loud): resumable/multipart uploads
-(control-plane objects are small manifests/WAL lines), OAuth (an
-in-process test server; a real deployment attaches a bearer token in
-``_request``).
+(control-plane objects are small manifests/WAL lines).
 """
 
 from __future__ import annotations
@@ -68,12 +74,16 @@ class GCSMemServer:
         host: str = "127.0.0.1",
         port: int = 0,
         throttle_every: int = 0,
+        valid_tokens: set[str] | None = None,
     ):
         self.store = store or InMemoryObjectStore()
         self.generations: dict[str, int] = {}
         self.throttled = 0
         self._req_count = 0
         self._lock = threading.Lock()
+        # when set, every request must carry `Authorization: Bearer <t>`
+        # with t in this set (401 otherwise — GCS's authentication shape)
+        self.valid_tokens = valid_tokens
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -105,6 +115,15 @@ class GCSMemServer:
                 ).encode()
                 self._send(code, body)
 
+            def _authorized(self) -> bool:
+                if server.valid_tokens is None:
+                    return True
+                auth = self.headers.get("Authorization", "")
+                if auth.startswith("Bearer ") and auth[7:] in server.valid_tokens:
+                    return True
+                self._error(401, "authError")
+                return False
+
             def _parse(self):
                 parsed = urllib.parse.urlparse(self.path)
                 q = dict(
@@ -115,6 +134,8 @@ class GCSMemServer:
             def do_GET(self):
                 if self._throttle():
                     return self._error(429, "rateLimitExceeded")
+                if not self._authorized():
+                    return
                 path, q = self._parse()
                 parts = path.strip("/").split("/")
                 # /storage/v1/b/{bucket}/o            -> list
@@ -149,6 +170,8 @@ class GCSMemServer:
             def do_POST(self):
                 if self._throttle():
                     return self._error(429, "rateLimitExceeded")
+                if not self._authorized():
+                    return
                 path, q = self._parse()
                 parts = path.strip("/").split("/")
                 # /upload/storage/v1/b/{bucket}/o?uploadType=media&name=k
@@ -208,6 +231,8 @@ class GCSMemServer:
             def do_DELETE(self):
                 if self._throttle():
                     return self._error(429, "rateLimitExceeded")
+                if not self._authorized():
+                    return
                 path, _q = self._parse()
                 parts = path.strip("/").split("/")
                 if len(parts) >= 6 and parts[2] == "b" and parts[4] == "o":
@@ -304,7 +329,13 @@ class GCSHttpFS:
         retries: int = 4,
         backoff_s: float = 0.0,
         timeout_s: float = 10.0,
+        token: str | None = None,
+        token_provider=None,
     ):
+        """``token`` attaches a static OAuth 2.0 bearer token to every
+        request; ``token_provider`` (a zero-arg callable returning the
+        current token) supports rotation — called per request, the shape
+        a metadata-server or service-account refresher plugs into."""
         u = urllib.parse.urlparse(endpoint)
         self.host = u.hostname
         self.port = u.port or 80
@@ -312,6 +343,8 @@ class GCSHttpFS:
         self.retries = retries
         self.backoff_s = backoff_s
         self.timeout_s = timeout_s
+        self.token = token
+        self.token_provider = token_provider
 
     # -- HTTP plumbing -------------------------------------------------------
 
@@ -340,11 +373,19 @@ class GCSHttpFS:
             try:
                 if self.chaos is not None:
                     self.chaos.check(op)
+                headers = {}
+                tok = (
+                    self.token_provider()
+                    if self.token_provider is not None
+                    else self.token
+                )
+                if tok is not None:
+                    headers["Authorization"] = f"Bearer {tok}"
                 conn = http.client.HTTPConnection(
                     self.host, self.port, timeout=self.timeout_s
                 )
                 try:
-                    conn.request(method, url, body=body)
+                    conn.request(method, url, body=body, headers=headers)
                     resp = conn.getresponse()
                     data = resp.read()
                     status = resp.status

@@ -24,9 +24,15 @@ with public-protocol building blocks only:
   return ``503 SlowDown`` periodically, the real-world throttle shape the
   retry layer must absorb.
 
+Authentication: AWS Signature Version 4 (``table/sigv4.py``, the public
+algorithm, no SDK) — the accessor signs every request when constructed
+with ``access_key``/``secret_key``, and the in-process server VERIFIES
+signatures when given ``credentials={access_key: secret_key}``,
+rejecting unsigned/tampered requests with 403 the way real S3 does.
+
 Not implemented (documented, fail-loud): multipart upload (control-plane
-objects are small manifests/WAL lines), authentication (an in-process
-test server; a real deployment signs requests in ``_request``).
+objects are small manifests/WAL lines; a >5 GiB data-plane object needs
+the multipart API), STS temporary credentials / session tokens.
 """
 
 from __future__ import annotations
@@ -58,11 +64,16 @@ class S3MemServer:
         host: str = "127.0.0.1",
         port: int = 0,
         throttle_every: int = 0,
+        credentials: dict[str, str] | None = None,
     ):
         self.store = store or InMemoryObjectStore()
         self.throttled = 0
         self._req_count = 0
         self._lock = threading.Lock()
+        # access_key -> secret_key; when set, every request must carry a
+        # valid SigV4 signature (verified with table/sigv4.py — the same
+        # public algorithm the client signs with) or gets 403
+        self.credentials = credentials
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -102,9 +113,27 @@ class S3MemServer:
                 bucket, _, key = path.partition("/")
                 return bucket, key, q
 
+            def _authorized(self, payload: bytes) -> bool:
+                if server.credentials is None:
+                    return True
+                from moonlink_spark.table.sigv4 import verify_request
+
+                ok, code = verify_request(
+                    self.command,
+                    self.path,
+                    self.headers,
+                    payload,
+                    server.credentials.get,
+                )
+                if not ok:
+                    self._error(403, code)
+                return ok
+
             def do_GET(self):
                 if self._throttle():
                     return self._error(503, "SlowDown")
+                if not self._authorized(b""):
+                    return
                 bucket, key, q = self._key()
                 if not key and ("list-type" in q or "prefix" in q):
                     return self._list(bucket, q)
@@ -117,6 +146,8 @@ class S3MemServer:
             def do_HEAD(self):
                 if self._throttle():
                     return self._error(503, "SlowDown")
+                if not self._authorized(b""):
+                    return
                 bucket, key, _ = self._key()
                 try:
                     data = server.store.get(f"{bucket}/{key}")
@@ -132,6 +163,10 @@ class S3MemServer:
             def do_PUT(self):
                 if self._throttle():
                     return self._error(503, "SlowDown")
+                length = int(self.headers.get("Content-Length", 0))
+                payload = self.rfile.read(length)
+                if not self._authorized(payload):
+                    return
                 bucket, key, _ = self._key()
                 src = self.headers.get("x-amz-copy-source")
                 if src is not None:
@@ -142,8 +177,7 @@ class S3MemServer:
                     except FileNotFoundError:
                         return self._error(404, "NoSuchKey")
                 else:
-                    length = int(self.headers.get("Content-Length", 0))
-                    data = self.rfile.read(length)
+                    data = payload
                 if self.headers.get("If-None-Match") == "*":
                     if not server.store.put_if_absent(f"{bucket}/{key}", data):
                         return self._error(412, "PreconditionFailed")
@@ -154,6 +188,8 @@ class S3MemServer:
             def do_DELETE(self):
                 if self._throttle():
                     return self._error(503, "SlowDown")
+                if not self._authorized(b""):
+                    return
                 bucket, key, _ = self._key()
                 server.store.delete(f"{bucket}/{key}")  # idempotent, like S3
                 self._send(204, b"")
@@ -248,6 +284,9 @@ class S3HttpFS:
         retries: int = 4,
         backoff_s: float = 0.0,
         timeout_s: float = 10.0,
+        access_key: str | None = None,
+        secret_key: str | None = None,
+        region: str = "us-east-1",
     ):
         u = urllib.parse.urlparse(endpoint)
         self.host = u.hostname
@@ -256,8 +295,37 @@ class S3HttpFS:
         self.retries = retries
         self.backoff_s = backoff_s
         self.timeout_s = timeout_s
+        # SigV4 signing (public algorithm, table/sigv4.py): when creds are
+        # set every request carries x-amz-date, x-amz-content-sha256 and
+        # the Authorization header — a signing endpoint rejects anything
+        # unsigned, so the accessor is deployable against real S3
+        self.access_key = access_key
+        self.secret_key = secret_key
+        self.region = region
 
     # -- HTTP plumbing -------------------------------------------------------
+
+    def _signed(
+        self, method: str, url: str, body: bytes | None, headers: dict | None
+    ) -> dict:
+        """SigV4-sign when credentials are configured (every request path
+        goes through here — an endpoint that requires signing rejects
+        nothing this accessor sends)."""
+        send_headers = dict(headers or {})
+        if self.access_key is not None:
+            from moonlink_spark.table.sigv4 import sign_request
+
+            send_headers["Host"] = f"{self.host}:{self.port}"
+            send_headers = sign_request(
+                method,
+                url,
+                send_headers,
+                body,
+                self.access_key,
+                self.secret_key or "",
+                region=self.region,
+            )
+        return send_headers
 
     @staticmethod
     def _bucket_key(path: str) -> tuple[str, str]:
@@ -285,11 +353,12 @@ class S3HttpFS:
             try:
                 if self.chaos is not None:
                     self.chaos.check(op)
+                send_headers = self._signed(method, url, body, headers)
                 conn = http.client.HTTPConnection(
                     self.host, self.port, timeout=self.timeout_s
                 )
                 try:
-                    conn.request(method, url, body=body, headers=headers or {})
+                    conn.request(method, url, body=body, headers=send_headers)
                     resp = conn.getresponse()
                     data = resp.read()
                     status = resp.status
@@ -383,13 +452,18 @@ class S3HttpFS:
                     self.host, self.port, timeout=self.timeout_s
                 )
                 try:
-                    conn.request("HEAD", self._obj_url(path))
+                    url = self._obj_url(path)
+                    conn.request(
+                        "HEAD", url, headers=self._signed("HEAD", url, None, None)
+                    )
                     resp = conn.getresponse()
                     resp.read()
                     if resp.status == 404:
                         raise FileNotFoundError(path)
                     if resp.status >= 500:
                         raise TransientStoreError(f"s3 head: {resp.status}")
+                    if resp.status != 200:
+                        raise OSError(f"s3 head {url}: HTTP {resp.status}")
                     return int(resp.getheader("Content-Length") or 0)
                 finally:
                     conn.close()

@@ -157,3 +157,114 @@ def test_chaos_failure_writes_replayable_dump(spark, tmp_path, monkeypatch):
     assert lines[0]["meta"]["seed"] == 7
     assert lines[-1]["kind"] == "__failure__"
     assert "read@" in lines[-1]["error"]
+
+
+@pytest.mark.parametrize("transport", ["s3", "gcs"])
+def test_chaos_seeded_over_wire_transports(spark, tmp_path, transport):
+    """The seeded harness with the control plane on a WIRE transport —
+    S3 REST (SigV4-signed) or GCS JSON API (bearer-authenticated) — with
+    server-side throttling (503 SlowDown / 429 rateLimitExceeded) every
+    9 calls: the retry layer absorbs every throttle with no observable
+    difference, and the dump stays replayable on a local directory."""
+    s = run_chaos(
+        spark,
+        str(tmp_path / f"cw-{transport}"),
+        seed=13,
+        n_events=50,
+        table_option="none",
+        transport=transport,
+        chaos_every=9,
+        with_iceberg=False,
+    )
+    assert s["executed"] >= 50
+    assert s["transport_throttled"] > 0  # throttles actually fired
+    # transport-independent replay: the dump re-executes on local fs
+    r = replay(spark, s["dump_path"], str(tmp_path / f"rp-{transport}"))
+    assert r["final_rows"] == s["final_rows"]
+
+
+def test_chaos_with_kafka_wire_ingest_leg(spark, tmp_path):
+    """Chaos over the s3 transport WHILE a Kafka-wire ingest leg runs in
+    the loop: a broker (with connection drops every 11 requests) feeds a
+    second table via the ticker-driven group drain as chaos events
+    execute; at the end the chaos invariants hold AND the kafka table
+    equals exactly the produced set — transport faults on both legs,
+    no loss, no dup."""
+    import os as _os
+    import threading as _t
+
+    from moonlink_spark.sources.avro_binary import encode_datum
+    from moonlink_spark.sources.kafka_wire import (
+        KafkaWireBroker,
+        KafkaWireConsumer,
+        KafkaWireProducer,
+    )
+    from moonlink_spark.sources.queue import AvroQueueIngestor
+    from moonlink_spark.table.identity import IdentityProp
+    from moonlink_spark.table.table import MoonlinkTable
+
+    schema = {
+        "type": "record",
+        "name": "ev",
+        "fields": [{"name": "id", "type": "long"},
+                   {"name": "v", "type": "string"}],
+    }
+    broker = KafkaWireBroker(
+        str(tmp_path / "klogs"), drop_every=11
+    ).start()
+    kt = MoonlinkTable.create(
+        spark, str(tmp_path / "ktable"),
+        [{"name": "id", "data_type": "int64", "nullable": False},
+         {"name": "v", "data_type": "string"}],
+        IdentityProp.single("id"),
+    )
+    stop = _t.Event()
+    produced = []
+
+    def feeder():
+        prod = KafkaWireProducer(broker.host, broker.port, at_least_once=True)
+        i = 0
+        while not stop.is_set() and i < 300:
+            batch = [(None, encode_datum(schema, {"id": i + j, "v": f"k{i+j}"}))
+                     for j in range(20)]
+            prod.send("leg", batch)
+            produced.extend(range(i, i + 20))
+            i += 20
+        prod.close()
+
+    cons = KafkaWireConsumer(broker.host, broker.port, "leg", group="chaosleg")
+    ing = AvroQueueIngestor(kt, cons, schema)
+    th = _t.Thread(target=feeder)
+    th.start()
+    drains = {"n": 0}
+
+    def drain_loop():
+        while not stop.is_set():
+            ing.drain_once()
+            drains["n"] += 1
+
+    dr = _t.Thread(target=drain_loop)
+    dr.start()
+    try:
+        s = run_chaos(
+            spark,
+            str(tmp_path / "ck"),
+            seed=41,
+            n_events=40,
+            table_option="none",
+            transport="s3",
+            chaos_every=9,
+            with_iceberg=False,
+        )
+        th.join(timeout=30)
+    finally:
+        stop.set()
+        dr.join(timeout=30)
+        ing.drain_once()  # final catch-up
+        cons.close()
+        broker.stop()
+    assert s["executed"] >= 40
+    assert broker.dropped > 0  # kafka-leg faults actually fired
+    got = {r["id"] for r in kt.scan().collect()}
+    assert got == set(produced) and len(got) == 300
+    assert kt.scan().count() == 300  # no dup rows either

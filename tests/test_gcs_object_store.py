@@ -233,3 +233,35 @@ def test_chaos_suite_over_gcs_with_throttling_server(spark, tmp_path):
         assert srv.throttled > 0
     finally:
         srv.stop()
+
+
+# -- bearer-token authentication ---------------------------------------------
+
+
+def test_bearer_token_required_and_rotation(tmp_path):
+    """A token-gated server rejects missing/invalid bearers with 401 and
+    accepts a valid one; the token_provider callable supports rotation
+    without rebuilding the accessor."""
+    srv = GCSMemServer(valid_tokens={"tok-1", "tok-2"}).start()
+    try:
+        fs = GCSHttpFS(srv.endpoint, token="tok-1")
+        fs.write_text_durable("gcsmem://b/x.txt", "hi")
+        assert fs.open_read("gcsmem://b/x.txt").read() == "hi"
+
+        anon = GCSHttpFS(srv.endpoint)
+        with pytest.raises(OSError, match="401"):
+            anon.open_read("gcsmem://b/x.txt")
+        bad = GCSHttpFS(srv.endpoint, token="nope")
+        with pytest.raises(OSError, match="401"):
+            bad.write_text_durable("gcsmem://b/y.txt", "x")
+
+        current = {"tok": "tok-1"}
+        rot = GCSHttpFS(srv.endpoint, token_provider=lambda: current["tok"])
+        assert rot.exists("gcsmem://b/x.txt")
+        current["tok"] = "tok-2"  # rotated: provider picks it up per request
+        assert rot.open_read("gcsmem://b/x.txt").read() == "hi"
+        current["tok"] = "expired"
+        with pytest.raises(OSError, match="401"):
+            rot.open_read("gcsmem://b/x.txt")
+    finally:
+        srv.stop()
