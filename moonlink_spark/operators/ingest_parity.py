@@ -811,6 +811,14 @@ def ingest_export_keyindex_lookup(spark: SparkSession, sf_dir: str) -> DataFrame
     assert keys, "probe key set is empty at this SF"
 
     lookup = iceberg_index_lookup(dest, [int(r.h) for r in probes])
+    # the distributed leg (index blocks scanned THROUGH Spark, probes
+    # broadcast — the large-probe-batch path) must agree with the
+    # driver-side pyarrow leg on the same probe set
+    dist = iceberg_index_lookup(
+        dest, [int(r.h) for r in probes], spark=spark, distributed_threshold=1
+    )
+    assert dist["files"] == lookup["files"]
+    assert sorted(dist["positions"]) == sorted(lookup["positions"])
     all_files = read_iceberg_live_files(dest)
     assert lookup["files"], "index lookup found no covering files"
     assert len(lookup["files"]) < len(all_files), (

@@ -1158,7 +1158,10 @@ def read_iceberg_deletion_vectors(dest: str) -> dict[str, list[int]]:
 
 
 def iceberg_index_lookup(
-    dest: str, key_hashes: list[int]
+    dest: str,
+    key_hashes: list[int],
+    spark: Any = None,
+    distributed_threshold: int = 512,
 ) -> dict[str, Any]:
     """Point-lookup FILE PRUNING on an exported Iceberg table: resolve
     which data files can contain rows whose xxhash64 key hash is in
@@ -1175,6 +1178,19 @@ def iceberg_index_lookup(
     O(index rows), which is what keeps this viable when the index itself
     is large.
 
+    Two execution paths behind the same contract:
+
+    - small probe sets (the point-lookup norm) read the touched blocks
+      driver-side via pyarrow — O(blocks touched) metadata work, no job;
+    - when ``spark`` is given and the probe set reaches
+      ``distributed_threshold``, the index blocks are scanned THROUGH
+      Spark instead (the same broadcast hash-join shape as the native
+      key index's delete targeting, ``table/keyindex.py``): probes
+      broadcast, blocks pruned by a pushed ``h BETWEEN min..max`` range
+      predicate against their parquet stats, and only the O(hits) result
+      returns to the driver — a large probe batch never serializes
+      through one process.
+
     Returns ``{"files": [pruned data file paths],
     "positions": [(data_file, row_index), ...]}`` — positions are the
     exact index hits (callers must still mask deletion vectors and
@@ -1184,10 +1200,13 @@ def iceberg_index_lookup(
     import pyarrow.parquet as pq
 
     probes = sorted(set(int(h) for h in key_hashes))
+    entries = read_iceberg_key_index(dest)
+    if spark is not None and probes and len(probes) >= distributed_threshold:
+        return _index_lookup_spark(spark, entries, probes)
     probe_arr = pa.array(probes, pa.int64())
     files: set[str] = set()
     positions: list[tuple[str, int]] = []
-    for e in read_iceberg_key_index(dest):
+    for e in entries:
         src_to_data = dict(zip(e["source_paths"], e["data_files"]))
         for block in e["index_block_files"]:
             md = pq.read_metadata(block)
@@ -1213,6 +1232,43 @@ def iceberg_index_lookup(
                     files.add(data_file)
                     positions.append((data_file, int(ri)))
     return {"files": sorted(files), "positions": positions}
+
+
+def _index_lookup_spark(
+    spark: Any, entries: list[dict[str, Any]], probes: list[int]
+) -> dict[str, Any]:
+    """Distributed leg of :func:`iceberg_index_lookup`: scan the index
+    block parquet THROUGH Spark and broadcast-join the probe hashes —
+    the exported-blob twin of the native key index's delete-targeting
+    join (``table/keyindex.py``). The ``h BETWEEN`` range predicate is
+    pushed to the parquet scan so hash-range-partitioned blocks outside
+    the probe span are skipped from row-group stats; the driver only
+    ever holds the probe list and the O(hits) result."""
+    from pyspark.sql import functions as F
+
+    src_to_data: dict[str, str] = {}
+    blocks: list[str] = []
+    for e in entries:
+        src_to_data.update(zip(e["source_paths"], e["data_files"]))
+        blocks.extend(e["index_block_files"])
+    if not blocks:
+        return {"files": [], "positions": []}
+    probe_df = spark.createDataFrame([(h,) for h in probes], "h BIGINT")
+    if len(probes) <= 1_000_000:
+        probe_df = F.broadcast(probe_df)  # beyond ~1M hashes, let AQE pick
+    map_df = spark.createDataFrame(
+        list(src_to_data.items()), "__fp STRING, data_file STRING"
+    )
+    hits = (
+        spark.read.parquet(*blocks)
+        .where(F.col("h").between(probes[0], probes[-1]))
+        .join(probe_df, "h")
+        .join(F.broadcast(map_df), "__fp")
+        .select("data_file", "__ri")
+        .collect()
+    )
+    positions = [(r["data_file"], int(r["__ri"])) for r in hits]
+    return {"files": sorted({f for f, _ in positions}), "positions": positions}
 
 
 # --------------------------------------------------------------------------- #

@@ -354,3 +354,59 @@ def test_candidate_files_match_bruteforce_random(spark, tmp_path):
     for key in probe:
         expected.update(paths[c] for c in files_of.get(key, ()))
     assert set(matching) == expected
+
+
+def test_exported_blob_lookup_distributed_path_matches_driver(
+    spark, tmp_path, monkeypatch
+):
+    """iceberg_index_lookup's two legs agree: the driver-side pyarrow
+    path and the Spark broadcast-join path return the same files and
+    positions, and the threshold picks the leg — below it (or with no
+    spark handle) the driver path runs, at/above it the block scan goes
+    through Spark."""
+    from moonlink_spark.table import iceberg_export
+    from moonlink_spark.table.iceberg_export import (
+        export_iceberg,
+        iceberg_index_lookup,
+    )
+
+    t = _mk(spark, tmp_path)
+    t.append_rows([{"id": i, "v": f"a{i}"} for i in range(1500)])
+    t.commit(lsn=1)
+    t.append_rows([{"id": i, "v": f"b{i}"} for i in range(1500, 3000)])
+    t.commit(lsn=2)
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest)
+
+    keys = list(range(0, 3000, 2)) + [99_999]  # 1500 probes + one miss
+    hashes = [
+        r.h
+        for r in spark.createDataFrame([(k,) for k in keys], "id: long")
+        .select(F.xxhash64("id").alias("h"))
+        .collect()
+    ]
+
+    calls = {"n": 0}
+    real = iceberg_export._index_lookup_spark
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(iceberg_export, "_index_lookup_spark", counting)
+
+    drv = iceberg_index_lookup(dest, hashes)  # no spark handle: driver leg
+    assert calls["n"] == 0
+    below = iceberg_index_lookup(
+        dest, hashes, spark=spark, distributed_threshold=10_000
+    )
+    assert calls["n"] == 0  # under threshold: still the driver leg
+    dist = iceberg_index_lookup(
+        dest, hashes, spark=spark, distributed_threshold=512
+    )
+    assert calls["n"] == 1  # 1501 probes >= 512: Spark leg ran
+
+    assert drv == below
+    assert dist["files"] == drv["files"]
+    assert sorted(dist["positions"]) == sorted(drv["positions"])
+    assert len(drv["positions"]) == 1500  # every even key hit, miss absent
