@@ -336,3 +336,33 @@ def test_writer_interleaved_queryids_each_keep_their_floor(spark, tmp_path):
     m = MoonlinkTable.open(spark, path).manifest
     assert m.version == v
     assert m.properties["stream_writer_batches"] == {"etl-a": 1, "etl-b": 1}
+
+
+def test_kafka_jvm_reader_option_translation():
+    """The documented production swap-out: moonlink-kafka options map
+    mechanically onto the JVM format("kafka") option map (explicit
+    assign, per-partition starting offsets)."""
+    import json
+
+    from moonlink_spark.integrations.spark_datasource import (
+        kafka_jvm_reader_options,
+    )
+
+    out = kafka_jvm_reader_options(
+        {"host": "broker1", "port": "9092", "topic": "t",
+         "partitions": "0,2", "startingOffsets": "latest"}
+    )
+    assert out["kafka.bootstrap.servers"] == "broker1:9092"
+    assert json.loads(out["assign"]) == {"t": [0, 2]}
+    assert out["startingOffsets"] == "latest"
+    assert "__from_avro__" not in out
+
+    # integer offset expands per partition; avro schema rides along for
+    # the from_avro(col("value"), schema) step
+    out = kafka_jvm_reader_options(
+        {"port": 9092, "topic": "t", "partitions": "1",
+         "startingOffsets": "42", "valueAvroSchema": '{"type":"record"}'}
+    )
+    assert json.loads(out["startingOffsets"]) == {"t": {"1": 42}}
+    assert out["__from_avro__"] == '{"type":"record"}'
+    assert out["kafka.bootstrap.servers"] == "127.0.0.1:9092"
