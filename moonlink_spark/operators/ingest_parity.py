@@ -1347,3 +1347,180 @@ def ingest_copy_wire_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     apply_cdc_batch(t, poison.unionByName(inserts).unionByName(deletes), 0)
     return t.scan()
+
+
+@register(
+    "ingest_pg_metadata_recovery_scan",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM orders WHERE o_orderkey % 4 = 1
+""",
+    category="ingest",
+)
+def ingest_pg_metadata_recovery_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backend lifecycle with the control plane in POSTGRES: table
+    metadata is stored and recovered over the PG wire protocol (simple
+    query flow against an in-process protocol-v3 server, cleartext auth
+    enforced) — the reference's primary metadata-store deployment
+    (src/moonlink_metadata_store/src/postgres.rs; recovery_utils.rs
+    rebuilds every table from get_all_table_metadata_entries). A FRESH
+    backend instance recovers the table purely through the PG store —
+    identity, schema, and manifest pointer all round-trip the wire —
+    then serves the scan.
+
+    Scale shape: the PG store holds one row per table (control plane
+    only); recovery is O(tables) metadata reads, and the data path is
+    untouched — same parquet scan as every other ingest query."""
+    from moonlink_spark.backend import MoonlinkBackend
+    from moonlink_spark.pg_protocol import PgMockServer
+
+    base = _orders_df(spark, sf_dir).filter(F.col("o_orderkey") % 4 == 1)
+    srv = PgMockServer(
+        os.path.join(_tmp_table_dir("pgmeta-db"), "pg.db"), password="pw"
+    ).start()
+    try:
+        opts = {"host": srv.host, "port": srv.port, "password": "pw"}
+        wh = _tmp_table_dir("pgmeta-wh")
+        be = MoonlinkBackend(
+            spark, wh, metadata_store="postgres", metadata_store_options=opts
+        )
+        t = be.create_table(
+            "db", "orders", ORDERS_FIELDS, IdentityProp.single("o_orderkey")
+        )
+        t.append_df(base)
+        t.commit(lsn=1)
+        # a fresh backend resolves the table THROUGH the PG control plane
+        be2 = MoonlinkBackend(
+            spark, wh, metadata_store="postgres", metadata_store_options=opts
+        )
+        assert be2.list_tables() == ["db.orders"]
+        t2 = be2.get_table("db", "orders")
+        assert t2.identity == IdentityProp.single("o_orderkey")
+        return t2.scan()
+    finally:
+        srv.stop()
+
+
+@register(
+    "ingest_kafka_group_rebalance_scan",
+    oracle="""
+SELECT event_id, ts, user_id, event_type, value, props
+FROM events WHERE event_id % 5 = 2
+""",
+    category="ingest",
+)
+def ingest_kafka_group_rebalance_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer-GROUP ingestion across a mid-stream rebalance: events are
+    produced over the Kafka wire into a 2-partition topic (distributed,
+    one producer socket per executor task, partitioned by event_id), a
+    group member starts draining into the table, a SECOND member joins
+    mid-stream — JoinGroup/SyncGroup rebalance, range assignment — and
+    both members drain to dry. Because offsets live in the group and
+    each fetch is committed before the partition can move, the union of
+    both members' messages is exactly the produced set: the table scans
+    back loss-free and duplicate-free through the rebalance. Parity:
+    the reference's Kafka feed consumed in Kafka's production
+    subscribe() mode (multi-consumer), vs ingest_kafka_wire_scan's
+    explicit assign() mode.
+
+    Scale shape: partitions are the parallelism unit; adding members
+    re-ranges partitions without re-reading history (committed offsets
+    are the group's, not the member's). The drain decodes Avro in
+    Python — see spark_datasource.kafka_jvm_reader_options for the JVM
+    production swap-in."""
+    from moonlink_spark.sources.avro_binary import decode_datum, encode_datum
+    from moonlink_spark.sources.kafka_wire import (
+        KafkaGroupConsumer,
+        KafkaWireBroker,
+        KafkaWireProducer,
+    )
+
+    subset = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 5 == 2)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+    n_expected = subset.count()
+    broker = KafkaWireBroker(
+        _tmp_table_dir("kgrouplogs"), rebalance_timeout_s=0.5
+    ).start()
+    try:
+        host, port, schema = broker.host, broker.port, _EVENTS_AVRO_SCHEMA
+
+        def _produce_partition(rows) -> None:
+            prod = None
+            batches: dict[int, list] = {0: [], 1: []}
+            for r in rows:
+                if prod is None:
+                    prod = KafkaWireProducer(host, port)
+                d = r.asDict()
+                p = int(d["event_id"]) % 2
+                batches[p].append(
+                    (str(d["event_id"]).encode(), encode_datum(schema, d))
+                )
+                if len(batches[p]) >= 2000:
+                    prod.send("events", batches[p], partition=p)
+                    batches[p] = []
+            if prod is not None:
+                for p, batch in batches.items():
+                    if batch:
+                        prod.send("events", batch, partition=p)
+                prod.close()
+
+        subset.foreachPartition(_produce_partition)
+
+        t = MoonlinkTable.create(
+            spark,
+            _tmp_table_dir("kgrouptbl"),
+            EVENTS_FIELDS,
+            IdentityProp.single("event_id"),
+        )
+
+        rows: list[dict] = []
+        lsn = [0]
+
+        def _ingest(member) -> int:
+            got = member.poll(max_messages=500)
+            for _p, _o, _k, v in got:
+                rows.append(decode_datum(schema, v)[0])
+            member.commit_polled()
+            if rows:
+                t.append_rows(list(rows))
+                rows.clear()
+                lsn[0] += 1
+                t.commit(lsn=lsn[0])
+            return len(got)
+
+        import threading as _t
+
+        a = KafkaGroupConsumer(host, port, "events", group="grp")
+        a.ensure_active()
+        assert a.assigned == [0, 1]  # sole member holds both partitions
+        _ingest(a)  # drain a prefix alone
+
+        b = KafkaGroupConsumer(host, port, "events", group="grp")
+        joiner = _t.Thread(target=b.ensure_active)
+        joiner.start()
+        # keep A polling through the rebalance barrier (commit-then-move)
+        deadline = 30.0
+        import time as _time
+
+        t0 = _time.time()
+        while (len(a.assigned) != 1 or joiner.is_alive()) and (
+            _time.time() - t0 < deadline
+        ):
+            _ingest(a)
+        joiner.join(timeout=10)
+        assert not joiner.is_alive(), "rebalance did not converge"
+        assert sorted(a.assigned + b.assigned) == [0, 1]
+
+        idle = 0
+        while idle < 2:
+            n = _ingest(a) + _ingest(b)
+            idle = idle + 1 if n == 0 else 0
+        a.close()
+        b.close()
+        assert t.scan().count() == n_expected, "loss or dup through rebalance"
+        return t.scan()
+    finally:
+        broker.stop()
