@@ -86,8 +86,19 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # lifecycle that is the engine's identity, and one representative per
 # already-proven category as regression canaries). Cumulative
 # driver-verified coverage after this round: 121/121.
+
+# ROUND-6 ROTATION: r5 went 50/50 green, so its 42 non-keeper slots
+# rotate out (their evidence is one round old and every one stays green
+# under scripts/check_parity.py + pytest). Rotating IN, stalest evidence
+# first: this round's 3 brand-new ingest queries (COPY-protocol initial
+# copy, PG-wire metadata recovery, consumer-group rebalance), all 6
+# queries whose last driver-green row is r1, and 33 queries last gated
+# r3 — including the full streaming e2e family, multimodal, and
+# pivot_event_type_values (VERDICT r5 item 8 names these), the dedup
+# family, ANN, skew patterns, and TPC-H representatives. Keepers: the
+# 7-query ingest lifecycle that is the engine's identity + the flagship.
 PRIORITY_50 = [
-    # ingest / table engine keepers (7)
+    # ingest / table engine keepers (7) + flagship (1)
     "ingest_scan_at_lsn",
     "ingest_upsert_delete_scan",
     "ingest_streaming_xact_commit_abort",
@@ -95,99 +106,60 @@ PRIORITY_50 = [
     "incremental_view_maintenance",
     "ingest_snapshot_diff",
     "ingest_optimize_invariance",
-    # never-gated: ingest lifecycle variants (3)
-    "ingest_bulk_load_scan",
-    "ingest_alter_add_column_scan",
-    "ingest_initial_copy_cdc_scan",
-    # never-gated: relational / aggregation shapes (12)
-    "grouping_sets_returns",
-    "percentiles_by_flag",
-    "argminmax_parts_per_brand",
-    # r5: the exported-table index point-lookup takes event_value_statistics'
-    # slot (driver-green r4; aggregations stay covered by percentiles /
-    # argminmax / regression_per_event_type / grouping_sets above)
-    "ingest_export_keyindex_lookup",  # NEW r5: index blobs prune the scan
-    "customers_above_nation_avg",
-    "conditional_expressions",
-    # ROUND-5 ROTATION: the two queries added after r4's final slate
-    # rotation (the only 2 of 135 never driver-gated — VERDICT r4 item 2)
-    # take the slots of regexp_string_ops / date_arithmetic (driver-green
-    # r4; scalar functions stay covered by conditional_expressions).
-    "lsh_jaccard_recall_eval",      # NEW r5 slate: LSH recall/precision
-    "dedup_edit_distance_verify",   # NEW r5 slate: edit-distance verify
-    "union_all_with_dup_counts",
-    # r5: the Kafka streaming-source feed takes regression_per_event_type's
-    # slot (driver-green r4; aggregations stay covered by percentiles /
-    # argminmax / grouping_sets / event_value_statistics elsewhere)
-    "ingest_kafka_stream_feed",    # NEW r5: readStream over the broker
-    "interval_range_join",
-    "rolling_7d_customer_revenue",
-    # never-gated: similarity / ANN (4)
-    "ivf_kmeans_train",
-    # r5: the exported-index ANN round trip takes ann_recall_at_k's slot
-    # (driver-green r4; similarity keeps 5 other slate entries)
-    "ingest_export_vecindex_ann",  # NEW r5: ANN from Iceberg index blobs
-    "ann_ivf_multiprobe_topk",
-    # r5: the exported signature-index pairs take embedding_vector_stats'
-    # slot (driver-green r4; vector stats stay covered by the PCA/Gram/
-    # drift slate entries)
-    "ingest_export_sigindex_pairs",  # NEW r5: LSH from Iceberg blobs
-    # never-gated: text / sketches / dedup (6)
-    "char_trigram_entropy",
-    "bigram_pmi_top",
-    "tfidf_top_terms_per_source",
-    "approx_sketches",
-    "approx_heavy_hitters",
-    "dedup_keep_best_quality",
-    # never-gated: sampling / packing / time (4)
-    "train_val_test_split",
-    "source_mixture_weights",
-    "sliding_window_event_stats",
-    "late_event_detection",
-    # category-representative keepers (r03 driver-green) + the new r4
-    # Puffin-DV export round trip (14)
-    "q1_pricing_summary",          # flagship (entry())
-    # (joins keep gate presence via interval_range_join above;
-    # asof_join_purchase_click was driver-green r1-r3 and rotates out
-    # for the one remaining never-gated query)
-    "gopher_repetition_signals",   # NEW r4s2: Gopher repetition filters
-    # r4s4 NEW operators take the five keeper slots whose categories stay
-    # covered elsewhere in the slate (windows: rolling_7d_customer_revenue;
-    # dedup: dedup_keep_best_quality; safety-filtering:
-    # gopher_repetition_signals; retrieval: tfidf_top_terms_per_source;
-    # packing/profiling: source_mixture_weights + approx_heavy_hitters).
-    # The displaced keepers (window_topk_parts_per_brand, dedup_minhash_lsh,
-    # pii_pattern_scan, bm25_retrieval, column_profile_lineitem) were
-    # driver-green in r1-r3.
-    "embedding_pca_power_scores",   # NEW r4s4: power-iteration PCA
-    "ngram_novelty_rate",           # NEW r4s4: shingle novelty scoring
-    # (similarity keeps 4 gate slots via ivf_kmeans_train / ann_recall_at_k
-    # / ann_ivf_multiprobe_topk / embedding_vector_stats above;
-    # knn_cosine_bruteforce was driver-green r3 and rotates out for the
-    # new CDC stream source round trip)
-    "ingest_cdc_stream_feed",      # NEW r4s3: readStream CDC source
-    # (text analysis keeps gate presence via char_trigram_entropy above;
-    # text_quality_scores was driver-green r3 and rotates out for the new
-    # key-index lifecycle query)
-    "ingest_keyindex_delete_scan",  # NEW r4: persisted key hash index
-    "embedding_drift_by_label",     # NEW r4s4: TV-distance drift monitor
-    "ingest_export_iceberg_dv_scan",  # NEW r4: Puffin-DV export round trip
-    # r5: the broker-socket Kafka e2e takes the file-queue Avro slot
-    # (driver-green r4; it is a strict superset — same Avro codec +
-    # ingestor, with the broker leg spoken on the wire)
-    "ingest_kafka_wire_scan",      # NEW r5: Kafka wire protocol e2e
-    # (packing keeps gate presence via source_mixture_weights above)
-    "embedding_gram_matrix",        # NEW r4s4: mapInPandas Gram partials
-    "mixture_temperature_weights",  # NEW r4s4: p^0.5 mixture sampling
-    # r4s4 second rotation: the persisted-vector-index lifecycle and the
-    # streaming replay-dedup take the slots of two r3-driver-green keepers
-    # whose surfaces stay represented (pandas-UDF/mapInPandas via
-    # embedding_gram_matrix above; streaming e2e via streaming_dedup_e2e
-    # itself; applyInPandasWithState holds its r3 green row + pytest e2e).
-    "ann_index_lifecycle_topk",    # NEW r4s4: persisted IVF index
-    "chunk_documents_udtf",        # UDTF surface
-    "streaming_dedup_e2e",         # NEW r4s4: streaming replay dedup
+    "q1_pricing_summary",
+    # NEW r6: this round's features, never driver-gated (3)
+    "ingest_copy_wire_scan",               # initial copy over PG COPY wire
+    "ingest_pg_metadata_recovery_scan",    # PG-wire metadata control plane
+    "ingest_kafka_group_rebalance_scan",   # consumer-group rebalance e2e
+    # last driver-green r1 — the stalest evidence in the registry (6)
+    "ingest_fullrow_delete_one",
+    "pivot_event_type_values",
+    "doc_fingerprints",
+    "token_counts",
+    "sessionize_events",
+    "embedding_near_dup_pairs",
+    # last driver-green r3: streaming e2e family (3)
+    "streaming_interval_join_e2e",
+    "streaming_tumbling_agg_e2e",
+    "streaming_stateful_sessionize_e2e",
+    # last driver-green r3: multimodal + dedup family (7)
+    "multimodal_feature_extract",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_connected_components",
+    "semantic_dedup_ivf",
+    # last driver-green r3: similarity / ANN (4)
+    "knn_cosine_bruteforce",
+    "ann_ivf_topk",
+    "ann_lsh_hyperplane_buckets",
+    "lsh_near_dup_pairs",
+    # last driver-green r3: joins / skew / lookup (5)
+    "asof_join_purchase_click",
+    "skew_salted_join",
+    "skew_salted_aggregation",
+    "point_lookup_order",
+    "window_topk_parts_per_brand",
+    # last driver-green r3: TPC-H representatives (3)
+    "q3_shipping_priority",
+    "q9_product_profit",
+    "q21_multi_line_order_suppliers",
+    # last driver-green r3: text / safety / retrieval (6)
+    "text_quality_scores",
+    "lang_id_heuristic",
+    "pii_pattern_scan",
+    "contamination_check",
+    "bm25_retrieval",
+    "column_profile_lineitem",
+    # last driver-green r3: sampling / packing / time / pipeline (5)
+    "deterministic_hash_sample",
+    "stratified_sample_per_group",
+    "sequence_pack_bins",
+    "hierarchical_time_rollup",
+    "corpus_curation_pipeline",
 ]
+assert len(PRIORITY_50) == 50 and len(set(PRIORITY_50)) == 50
 
 
 def all_queries() -> dict[str, QuerySpec]:
