@@ -504,6 +504,7 @@ class MoonlinkBackend:
         interval_s: float = 1.0,
         lsn_base: int = 1_000_000,
         transform=None,
+        sasl_plain: tuple[str, str] | None = None,
     ):
         """Own a Kafka feed for a table: a ticker drains the
         topic-partition through a committed wire consumer group into the
@@ -526,6 +527,7 @@ class MoonlinkBackend:
             topic,
             partition,
             group=group or f"moonlink-{database}.{table}",
+            sasl_plain=sasl_plain,
         )
         ingestor = AvroQueueIngestor(
             t, consumer, value_schema, lsn_base=lsn_base, transform=transform

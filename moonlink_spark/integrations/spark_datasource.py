@@ -838,7 +838,20 @@ class MoonlinkKafkaStreamReader(DataSourceStreamReader):
     def _consumer(self, partition: int):
         from moonlink_spark.sources.kafka_wire import KafkaWireConsumer
 
-        return KafkaWireConsumer(self.host, self.port, self.topic, partition)
+        # saslUsername/saslPassword options ride the serialized reader to
+        # the executors, so every partition task authenticates its socket
+        user = self.options.get("saslusername")
+        return KafkaWireConsumer(
+            self.host,
+            self.port,
+            self.topic,
+            partition,
+            sasl_plain=(
+                (user, self.options.get("saslpassword", ""))
+                if user is not None
+                else None
+            ),
+        )
 
     def _rows(self, partition: int, msgs):
         if self.avro_schema is None:

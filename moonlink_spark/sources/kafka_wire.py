@@ -49,7 +49,15 @@ a partition handed to another consumer resumes at the committed floor —
 no loss, and the ingest path's LSN floor absorbs the at-least-once
 overlap.
 
-Not implemented (fail-loud or out of scope): SASL/TLS, transactions
+Authentication: SASL/PLAIN (SaslHandshake v1 + SaslAuthenticate v0
+carrying the RFC 4616 ``NUL user NUL pass`` payload) on both sides —
+the broker gates every non-ApiVersions API behind the exchange when
+given ``sasl_credentials`` and kills unauthenticated connections the
+way a real broker does; clients re-authenticate transparently on every
+reconnect, so broker drops mid-stream never leave a connection
+half-authed.
+
+Not implemented (fail-loud or out of scope): TLS, transactions
 and idempotent producer ids (producerId is -1 throughout), snappy/lz4/
 zstd codecs (gzip only — the others need non-stdlib libraries).
 """
@@ -292,13 +300,21 @@ def decode_record_batches(
 _API = {"produce": 0, "fetch": 1, "list_offsets": 2, "metadata": 3,
         "offset_commit": 8, "offset_fetch": 9, "join_group": 11,
         "heartbeat": 12, "leave_group": 13, "sync_group": 14,
-        "api_versions": 18}
+        "sasl_handshake": 17, "api_versions": 18, "sasl_authenticate": 36}
 _ERR_NONE = 0
 _ERR_OFFSET_OUT_OF_RANGE = 1
 _ERR_UNKNOWN_TOPIC = 3
 _ERR_ILLEGAL_GENERATION = 22
 _ERR_UNKNOWN_MEMBER = 25
 _ERR_REBALANCE_IN_PROGRESS = 27
+_ERR_UNSUPPORTED_SASL_MECHANISM = 33
+_ERR_SASL_AUTH_FAILED = 58
+
+
+class SaslAuthError(Exception):
+    """SASL authentication rejected by the broker — NOT retriable (a
+    retry would just fail again with the same credentials), so it
+    escapes the transport retry loop and surfaces to the caller."""
 
 
 class _GroupCoordinator:
@@ -508,7 +524,13 @@ class KafkaWireBroker:
         port: int = 0,
         drop_every: int = 0,
         rebalance_timeout_s: float = 2.0,
+        sasl_credentials: dict[str, str] | None = None,
     ):
+        # username -> password; when set, every connection must complete
+        # SaslHandshake(PLAIN) + SaslAuthenticate before any other API
+        # (ApiVersions excepted, as on a real broker) — unauthenticated
+        # requests close the connection, failed auth gets error 58
+        self.sasl_credentials = sasl_credentials
         self.log_dir = log_dir
         os.makedirs(log_dir, exist_ok=True)
         self._logs: dict[tuple[str, int], _PartitionLog] = {}
@@ -586,6 +608,10 @@ class KafkaWireBroker:
 
     def _serve_conn(self, sock: socket.socket) -> None:
         f = sock.makefile("rb")
+        # per-connection SASL state: the session-authentication model of
+        # a real broker (handshake + authenticate gate every later API)
+        authed = self.sasl_credentials is None
+        handshaken = False
         try:
             while True:
                 head = f.read(4)
@@ -603,9 +629,23 @@ class KafkaWireBroker:
                         if self._req_count % self.drop_every == 0:
                             self.dropped += 1
                             return  # abrupt close before any state change
-                body = self._dispatch(api, ver, req, pos)
+                if not authed and api == _API["sasl_handshake"]:
+                    body, handshaken = self._sasl_handshake(req, pos)
+                elif not authed and api == _API["sasl_authenticate"]:
+                    if not handshaken:
+                        return  # authenticate before handshake: close
+                    body, authed = self._sasl_authenticate(req, pos)
+                elif not authed and api != _API["api_versions"]:
+                    # a real broker kills unauthenticated connections
+                    return
+                else:
+                    body = self._dispatch(api, ver, req, pos)
                 resp = struct.pack(">i", corr) + body
                 sock.sendall(struct.pack(">i", len(resp)) + resp)
+                if not authed and handshaken and api == _API[
+                    "sasl_authenticate"
+                ]:
+                    return  # failed authenticate: respond, then close
         except (ConnectionError, OSError):
             return
         finally:
@@ -614,6 +654,39 @@ class KafkaWireBroker:
                 sock.close()
             except OSError:
                 pass
+
+    def _sasl_handshake(self, req: bytes, pos: int) -> tuple[bytes, bool]:
+        """SaslHandshake v1: mechanism -> (error, [supported]). Only
+        PLAIN (RFC 4616 over the Kafka frame) is offered."""
+        mechanism, _ = _read_string(req, pos)
+        ok = mechanism == "PLAIN"
+        err = _ERR_NONE if ok else _ERR_UNSUPPORTED_SASL_MECHANISM
+        body = struct.pack(">hi", err, 1) + _string("PLAIN")
+        return body, ok
+
+    def _sasl_authenticate(self, req: bytes, pos: int) -> tuple[bytes, bool]:
+        """SaslAuthenticate v0 carrying a PLAIN payload
+        (``authzid NUL authcid NUL passwd``, RFC 4616)."""
+        auth, _ = _read_bytes32(req, pos)
+        parts = (auth or b"").split(b"\x00")
+        ok = False
+        if len(parts) == 3:
+            user = parts[1].decode("utf-8", "replace")
+            pw = parts[2].decode("utf-8", "replace")
+            ok = self.sasl_credentials.get(user) == pw
+        if ok:
+            body = (
+                struct.pack(">h", _ERR_NONE)
+                + _nullable_string(None)
+                + _bytes32(b"")
+            )
+        else:
+            body = (
+                struct.pack(">h", _ERR_SASL_AUTH_FAILED)
+                + _nullable_string("Authentication failed")
+                + _bytes32(b"")
+            )
+        return body, ok
 
     def _dispatch(self, api: int, ver: int, req: bytes, pos: int) -> bytes:
         if api == _API["api_versions"]:
@@ -931,6 +1004,7 @@ class _WireConn:
         timeout_s: float,
         retries: int = 3,
         backoff_s: float = 0.05,
+        sasl_plain: tuple[str, str] | None = None,
     ):
         self.host = host
         self.port = port
@@ -938,6 +1012,10 @@ class _WireConn:
         self.timeout_s = timeout_s
         self.retries = retries
         self.backoff_s = backoff_s
+        # (username, password): when set, every (re)connect runs the
+        # SaslHandshake(PLAIN) + SaslAuthenticate exchange before any
+        # other request — so reconnects after broker drops stay authed
+        self.sasl_plain = sasl_plain
         self.sock: socket.socket | None = None
         self.f = None
         self._corr = 0
@@ -949,6 +1027,27 @@ class _WireConn:
         )
         self.sock.settimeout(self.timeout_s)
         self.f = self.sock.makefile("rb")
+        if self.sasl_plain is not None:
+            self._sasl_auth()
+
+    def _sasl_auth(self) -> None:
+        user, pw = self.sasl_plain
+        resp = self._call_once(
+            _API["sasl_handshake"], 1, _string("PLAIN")
+        )
+        (err,) = struct.unpack_from(">h", resp, 0)
+        if err != _ERR_NONE:
+            raise SaslAuthError(f"SASL handshake rejected: error={err}")
+        payload = b"\x00" + user.encode() + b"\x00" + pw.encode()
+        resp = self._call_once(
+            _API["sasl_authenticate"], 0, _bytes32(payload)
+        )
+        (err,) = struct.unpack_from(">h", resp, 0)
+        if err != _ERR_NONE:
+            msg, _ = _read_string(resp, 2)
+            raise SaslAuthError(
+                f"SASL authentication failed: error={err} {msg!r}"
+            )
 
     def _drop(self) -> None:
         try:
@@ -1032,8 +1131,11 @@ class KafkaWireProducer:
         at_least_once: bool = False,
         retries: int = 3,
         compression: str | None = None,
+        sasl_plain: tuple[str, str] | None = None,
     ):
-        self._conn = _WireConn(host, port, client_id, timeout_s, retries)
+        self._conn = _WireConn(
+            host, port, client_id, timeout_s, retries, sasl_plain=sasl_plain
+        )
         self.at_least_once = at_least_once
         self.compression = compression
 
@@ -1085,8 +1187,9 @@ class KafkaWireConsumer:
         group: str = "default",
         client_id: str = "moonlink-consumer",
         timeout_s: float = 10.0,
+        sasl_plain: tuple[str, str] | None = None,
     ):
-        self._conn = _WireConn(host, port, client_id, timeout_s)
+        self._conn = _WireConn(host, port, client_id, timeout_s, sasl_plain=sasl_plain)
         self.topic = topic
         self.partition = partition
         self.group = group
@@ -1338,12 +1441,17 @@ class KafkaGroupConsumer:
         group: str,
         client_id: str = "moonlink-group-consumer",
         timeout_s: float = 15.0,
+        sasl_plain: tuple[str, str] | None = None,
     ):
-        self._conn = _WireConn(host, port, client_id, timeout_s)
+        self._conn = _WireConn(
+            host, port, client_id, timeout_s, sasl_plain=sasl_plain
+        )
         # a second connection for the blocking JoinGroup barrier, so a
         # rebalance in progress never stalls this member's in-flight
         # fetches on the shared connection
-        self._coord = _WireConn(host, port, client_id + "-coord", timeout_s)
+        self._coord = _WireConn(
+            host, port, client_id + "-coord", timeout_s, sasl_plain=sasl_plain
+        )
         self.topic = topic
         self.group = group
         self.member_id = ""
