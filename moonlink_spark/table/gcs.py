@@ -78,6 +78,10 @@ class GCSMemServer:
     ):
         self.store = store or InMemoryObjectStore()
         self.generations: dict[str, int] = {}
+        # in-flight resumable upload sessions: upload_id ->
+        # {"bucket", "name", "data": bytearray} (the session-URI model
+        # of the GCS resumable protocol)
+        self.sessions: dict[str, dict] = {}
         self.throttled = 0
         self._req_count = 0
         self._lock = threading.Lock()
@@ -102,10 +106,18 @@ class GCSMemServer:
                         return True
                 return False
 
-            def _send(self, code: int, body: bytes = b"", ctype="application/json"):
+            def _send(
+                self,
+                code: int,
+                body: bytes = b"",
+                ctype="application/json",
+                extra: dict | None = None,
+            ):
                 self.send_response(code)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
+                for k, v in (extra or {}).items():
+                    self.send_header(k, v)
                 self.end_headers()
                 self.wfile.write(body)
 
@@ -181,6 +193,23 @@ class GCSMemServer:
                     and parts[3] == "b"
                     and parts[5] == "o"
                 ):
+                    if q.get("uploadType") == "resumable":
+                        if "name" not in q:
+                            return self._error(400, "badRequest")
+                        import uuid as _uuid
+
+                        uid = _uuid.uuid4().hex
+                        with server._lock:
+                            server.sessions[uid] = {
+                                "bucket": parts[4],
+                                "name": q["name"],
+                                "data": bytearray(),
+                            }
+                        loc = (
+                            f"/upload/storage/v1/b/{parts[4]}/o"
+                            f"?uploadType=resumable&upload_id={uid}"
+                        )
+                        return self._send(200, b"{}", extra={"Location": loc})
                     if q.get("uploadType") != "media" or "name" not in q:
                         return self._error(400, "badRequest")
                     bucket, key = parts[4], q["name"]
@@ -227,6 +256,65 @@ class GCSMemServer:
                         {"done": True, "resource": {"name": dst_key}}
                     ).encode())
                 self._error(400, "badRequest")
+
+            def do_PUT(self):
+                # resumable-session chunk append / status probe
+                if self._throttle():
+                    return self._error(429, "rateLimitExceeded")
+                if not self._authorized():
+                    return
+                _path, q = self._parse()
+                uid = q.get("upload_id")
+                length = int(self.headers.get("Content-Length", 0))
+                data = self.rfile.read(length)
+                with server._lock:
+                    sess = server.sessions.get(uid)
+                if sess is None:
+                    return self._error(404, "notFound")
+                crange = self.headers.get("Content-Range", "")
+                # "bytes s-e/total" or the status probe "bytes */total"
+                if not crange.startswith("bytes "):
+                    return self._error(400, "badRequest")
+                spec, _, total_s = crange[6:].partition("/")
+                total = int(total_s)
+                committed = len(sess["data"])
+                if spec == "*":  # probe: report committed range, 308
+                    return self._resume_status(sess, total)
+                start_s, _, end_s = spec.partition("-")
+                start, end = int(start_s), int(end_s)
+                if start > committed:
+                    # gap: client must probe and resend from committed
+                    return self._error(400, "badRequest")
+                with server._lock:
+                    # overlap (a resent prefix after a lost response) is
+                    # ignored byte-for-byte, the protocol's idempotence
+                    sess["data"] += data[committed - start :]
+                return self._resume_status(sess, total)
+
+            def _resume_status(self, sess: dict, total: int):
+                committed = len(sess["data"])
+                if committed >= total:
+                    full = f"{sess['bucket']}/{sess['name']}"
+                    with server._lock:
+                        server.store.put(full, bytes(sess["data"]))
+                        server.generations[full] = (
+                            server.generations.get(full, 0) + 1
+                        )
+                        for k, v in list(server.sessions.items()):
+                            if v is sess:
+                                server.sessions.pop(k)
+                    return self._send(200, json.dumps(
+                        {
+                            "name": sess["name"],
+                            "bucket": sess["bucket"],
+                            "size": str(committed),
+                            "generation": str(server.generations[full]),
+                        }
+                    ).encode())
+                extra = (
+                    {"Range": f"bytes=0-{committed - 1}"} if committed else {}
+                )
+                return self._send(308, b"", extra=extra)
 
             def do_DELETE(self):
                 if self._throttle():
@@ -361,11 +449,14 @@ class GCSHttpFS:
         url: str,
         body: bytes | None = None,
         ok: tuple = (200, 204),
-    ) -> tuple[int, bytes]:
+        headers: dict | None = None,
+        with_headers: bool = False,
+    ) -> tuple[int, bytes] | tuple[int, bytes, dict]:
         """One JSON-API call under the retry loop. Returns (status, body)
-        for ``ok`` statuses and 404/412 (callers branch on those); raises
+        — or (status, body, response-headers) with ``with_headers`` — for
+        ``ok`` statuses and 404/412 (callers branch on those); raises
         TransientStoreError on 5xx/429/connection failure until retries
-        are exhausted. A real deployment adds the bearer token here."""
+        are exhausted. The bearer token attaches per request."""
         import time as _time
 
         attempt = 0
@@ -373,27 +464,32 @@ class GCSHttpFS:
             try:
                 if self.chaos is not None:
                     self.chaos.check(op)
-                headers = {}
+                send_headers = dict(headers or {})
                 tok = (
                     self.token_provider()
                     if self.token_provider is not None
                     else self.token
                 )
                 if tok is not None:
-                    headers["Authorization"] = f"Bearer {tok}"
+                    send_headers["Authorization"] = f"Bearer {tok}"
                 conn = http.client.HTTPConnection(
                     self.host, self.port, timeout=self.timeout_s
                 )
                 try:
-                    conn.request(method, url, body=body, headers=headers)
+                    conn.request(method, url, body=body, headers=send_headers)
                     resp = conn.getresponse()
                     data = resp.read()
                     status = resp.status
+                    resp_headers = {
+                        k.lower(): v for k, v in resp.getheaders()
+                    }
                 finally:
                     conn.close()
                 if status >= 500 or status == 429:
                     raise TransientStoreError(f"gcs {op}: HTTP {status}")
                 if status in ok or status in (404, 412):
+                    if with_headers:
+                        return status, data, resp_headers
                     return status, data
                 raise OSError(f"gcs {op} {url}: HTTP {status} {data[:200]!r}")
             except (
@@ -511,6 +607,81 @@ class GCSHttpFS:
         self._request(
             "put", "POST", self._upload_url(path), body=data.encode("utf-8")
         )
+
+    # -- resumable upload (the large-object / flaky-link path) ---------------
+
+    def write_bytes(
+        self, path: str, data: bytes, resumable_threshold: int = 8 << 20
+    ) -> None:
+        """Object write that routes through the resumable protocol above
+        the threshold (GCS's recommended path for anything big or over a
+        flaky link); below it, one media upload like the control-plane
+        writes."""
+        if len(data) > resumable_threshold:
+            self.upload_resumable(path, data, chunk_size=resumable_threshold)
+        else:
+            self._request("put", "POST", self._upload_url(path), body=data)
+
+    def upload_resumable(
+        self, path: str, data: bytes, chunk_size: int = 8 << 20
+    ) -> None:
+        """The GCS resumable upload protocol: initiate a session
+        (``uploadType=resumable`` -> Location session URI), PUT chunks
+        with ``Content-Range``, and on any transient failure PROBE the
+        committed offset (``bytes */total`` -> 308 + Range) and resume
+        from exactly there — bytes the server already holds are never
+        re-sent, the property that makes huge uploads survive connection
+        loss. The final chunk's 200 commits the object atomically
+        (generation bump); an abandoned session never becomes visible."""
+        bucket, key = self._bucket_key(path)
+        q = urllib.parse.urlencode({"uploadType": "resumable", "name": key})
+        _s, _b, h = self._request(
+            "resumable-init",
+            "POST",
+            f"/upload/storage/v1/b/{bucket}/o?{q}",
+            with_headers=True,
+        )
+        session = h.get("location")
+        if not session:
+            raise OSError("gcs resumable init: no Location header")
+        total = len(data)
+        committed = 0
+        while True:
+            end = min(committed + chunk_size, total) - 1
+            try:
+                status, _body, rh = self._request(
+                    "resumable-chunk",
+                    "PUT",
+                    session,
+                    body=data[committed : end + 1],
+                    headers={
+                        "Content-Range": f"bytes {committed}-{end}/{total}"
+                    },
+                    ok=(200, 308),
+                    with_headers=True,
+                )
+            except TransientStoreError:
+                # probe where the session actually is, resume from there;
+                # the probe is read-only, so it retries unconditionally
+                # even when the accessor's own retry budget is zero
+                for probe_attempt in range(10):
+                    try:
+                        status, _body, rh = self._request(
+                            "resumable-probe",
+                            "PUT",
+                            session,
+                            headers={"Content-Range": f"bytes */{total}"},
+                            ok=(200, 308),
+                            with_headers=True,
+                        )
+                        break
+                    except TransientStoreError:
+                        if probe_attempt == 9:
+                            raise
+            if status == 200:
+                return
+            rng = rh.get("range")  # "bytes=0-N" (absent: nothing committed)
+            committed = int(rng.rsplit("-", 1)[1]) + 1 if rng else 0
 
     def append_text_durable(self, path: str, data: str) -> None:
         # GCS has no append (compose exists but needs GC of parts):

@@ -74,6 +74,10 @@ class S3MemServer:
         # valid SigV4 signature (verified with table/sigv4.py — the same
         # public algorithm the client signs with) or gets 403
         self.credentials = credentials
+        # in-flight multipart uploads: upload_id -> {"key", "parts":
+        # {part_number: (etag, bytes)}} — the CreateMultipartUpload /
+        # UploadPart / CompleteMultipartUpload lifecycle state
+        self.uploads: dict[str, dict] = {}
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -160,6 +164,67 @@ class S3MemServer:
                 self.send_header("Content-Length", str(len(data)))
                 self.end_headers()
 
+            def do_POST(self):
+                # multipart lifecycle: ?uploads = initiate,
+                # ?uploadId=... = complete (public S3 REST shapes)
+                if self._throttle():
+                    return self._error(503, "SlowDown")
+                length = int(self.headers.get("Content-Length", 0))
+                payload = self.rfile.read(length)
+                if not self._authorized(payload):
+                    return
+                bucket, key, q = self._key()
+                if "uploads" in q:
+                    import uuid as _uuid
+
+                    uid = _uuid.uuid4().hex
+                    with server._lock:
+                        server.uploads[uid] = {
+                            "key": f"{bucket}/{key}", "parts": {}
+                        }
+                    body = (
+                        "<InitiateMultipartUploadResult>"
+                        f"<Bucket>{bucket}</Bucket><Key>{key}</Key>"
+                        f"<UploadId>{uid}</UploadId>"
+                        "</InitiateMultipartUploadResult>"
+                    ).encode()
+                    return self._send(200, body)
+                if "uploadId" in q:
+                    import re as _re
+
+                    with server._lock:
+                        up = server.uploads.get(q["uploadId"])
+                    if up is None or up["key"] != f"{bucket}/{key}":
+                        return self._error(404, "NoSuchUpload")
+                    claimed = _re.findall(
+                        rb"<PartNumber>(\d+)</PartNumber>\s*"
+                        rb"<ETag>\"?([0-9a-f]+)\"?</ETag>",
+                        payload,
+                    )
+                    if not claimed:
+                        return self._error(400, "MalformedXML")
+                    blob = bytearray()
+                    prev = 0
+                    for pn_b, etag_b in claimed:
+                        pn = int(pn_b)
+                        if pn <= prev:  # parts must ascend, like real S3
+                            return self._error(400, "InvalidPartOrder")
+                        prev = pn
+                        part = up["parts"].get(pn)
+                        if part is None or part[0] != etag_b.decode():
+                            return self._error(400, "InvalidPart")
+                        blob += part[1]
+                    server.store.put(up["key"], bytes(blob))
+                    with server._lock:
+                        server.uploads.pop(q["uploadId"], None)
+                    body = (
+                        "<CompleteMultipartUploadResult>"
+                        f"<Bucket>{bucket}</Bucket><Key>{key}</Key>"
+                        "</CompleteMultipartUploadResult>"
+                    ).encode()
+                    return self._send(200, body)
+                return self._error(400, "InvalidRequest")
+
             def do_PUT(self):
                 if self._throttle():
                     return self._error(503, "SlowDown")
@@ -167,7 +232,24 @@ class S3MemServer:
                 payload = self.rfile.read(length)
                 if not self._authorized(payload):
                     return
-                bucket, key, _ = self._key()
+                bucket, key, q = self._key()
+                if "partNumber" in q and "uploadId" in q:
+                    import hashlib as _hashlib
+
+                    with server._lock:
+                        up = server.uploads.get(q["uploadId"])
+                    if up is None or up["key"] != f"{bucket}/{key}":
+                        return self._error(404, "NoSuchUpload")
+                    etag = _hashlib.md5(payload).hexdigest()
+                    with server._lock:
+                        # same part re-PUT (a retried request) replaces:
+                        # UploadPart is idempotent per part number
+                        up["parts"][int(q["partNumber"])] = (etag, payload)
+                    self.send_response(200)
+                    self.send_header("ETag", f'"{etag}"')
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
                 src = self.headers.get("x-amz-copy-source")
                 if src is not None:
                     try:
@@ -190,7 +272,11 @@ class S3MemServer:
                     return self._error(503, "SlowDown")
                 if not self._authorized(b""):
                     return
-                bucket, key, _ = self._key()
+                bucket, key, q = self._key()
+                if "uploadId" in q:  # AbortMultipartUpload
+                    with server._lock:
+                        server.uploads.pop(q["uploadId"], None)
+                    return self._send(204, b"")
                 server.store.delete(f"{bucket}/{key}")  # idempotent, like S3
                 self._send(204, b"")
 
@@ -341,11 +427,13 @@ class S3HttpFS:
         body: bytes | None = None,
         headers: dict | None = None,
         ok: tuple = (200, 204),
-    ) -> tuple[int, bytes]:
-        """One S3 call under the retry loop. Returns (status, body) for
+        with_headers: bool = False,
+    ) -> tuple[int, bytes] | tuple[int, bytes, dict]:
+        """One S3 call under the retry loop. Returns (status, body) —
+        or (status, body, response-headers) with ``with_headers`` — for
         ``ok`` statuses and 404/412 (callers branch on those); raises
         TransientStoreError on 5xx / connection failure until retries are
-        exhausted. A real deployment adds request signing here."""
+        exhausted. Requests are SigV4-signed when credentials are set."""
         import time as _time
 
         attempt = 0
@@ -362,11 +450,16 @@ class S3HttpFS:
                     resp = conn.getresponse()
                     data = resp.read()
                     status = resp.status
+                    resp_headers = {
+                        k.lower(): v for k, v in resp.getheaders()
+                    }
                 finally:
                     conn.close()
                 if status >= 500:
                     raise TransientStoreError(f"s3 {op}: HTTP {status}")
                 if status in ok or status in (404, 412):
+                    if with_headers:
+                        return status, data, resp_headers
                     return status, data
                 raise OSError(f"s3 {op} {url}: HTTP {status} {data[:200]!r}")
             except (TransientStoreError, ConnectionError, http.client.HTTPException) as e:
@@ -494,6 +587,73 @@ class S3HttpFS:
         self._request(
             "put", "PUT", self._obj_url(path), body=data.encode("utf-8")
         )
+
+    # -- multipart upload (the >5 GiB single-PUT ceiling path) ---------------
+
+    def write_bytes(
+        self, path: str, data: bytes, multipart_threshold: int = 8 << 20
+    ) -> None:
+        """Object write that routes through multipart above the
+        threshold — a single PUT tops out at 5 GiB on real S3, so the
+        data-plane-over-seam path needs this split. Below threshold:
+        one signed PUT, same as the control-plane writes."""
+        if len(data) > multipart_threshold:
+            self.upload_multipart(path, data, part_size=multipart_threshold)
+        else:
+            self._request("put", "PUT", self._obj_url(path), body=data)
+
+    def upload_multipart(
+        self, path: str, data: bytes, part_size: int = 8 << 20
+    ) -> None:
+        """CreateMultipartUpload -> UploadPart xN -> CompleteMultipartUpload
+        (public S3 REST shapes, every request SigV4-signed). Each part PUT
+        is independently retriable — UploadPart is idempotent per part
+        number, so a retry after a lost response just re-stores the same
+        bytes; only Complete commits, so a crash mid-upload leaves the
+        target object untouched (abort discards the parts)."""
+        import re as _re
+
+        url = self._obj_url(path)
+        _s, body = self._request("mpu-init", "POST", url + "?uploads")
+        m = _re.search(rb"<UploadId>([^<]+)</UploadId>", body)
+        if m is None:
+            raise OSError(f"s3 multipart init: unparseable response {body[:200]!r}")
+        uid = m.group(1).decode()
+        try:
+            etags: list[tuple[int, str]] = []
+            for n, off in enumerate(range(0, len(data), part_size), start=1):
+                purl = f"{url}?partNumber={n}&uploadId={uid}"
+                _s, _b, h = self._request(
+                    "mpu-part",
+                    "PUT",
+                    purl,
+                    body=data[off : off + part_size],
+                    with_headers=True,
+                )
+                etags.append((n, h.get("etag", "").strip('"')))
+            xml = (
+                "<CompleteMultipartUpload>"
+                + "".join(
+                    f"<Part><PartNumber>{pn}</PartNumber>"
+                    f'<ETag>"{et}"</ETag></Part>'
+                    for pn, et in etags
+                )
+                + "</CompleteMultipartUpload>"
+            )
+            status, cbody = self._request(
+                "mpu-complete",
+                "POST",
+                f"{url}?uploadId={uid}",
+                body=xml.encode(),
+            )
+            if status != 200 or b"CompleteMultipartUploadResult" not in cbody:
+                raise OSError(f"s3 multipart complete: {status} {cbody[:200]!r}")
+        except Exception:
+            try:
+                self._request("mpu-abort", "DELETE", f"{url}?uploadId={uid}")
+            except (OSError, TransientStoreError):
+                pass  # abort is best-effort; the upload just stays pending
+            raise
 
     def append_text_durable(self, path: str, data: str) -> None:
         # S3 has no append: read-modify-write, safe for the

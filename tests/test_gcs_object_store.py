@@ -265,3 +265,70 @@ def test_bearer_token_required_and_rotation(tmp_path):
             rot.open_read("gcsmem://b/x.txt")
     finally:
         srv.stop()
+
+
+# -- resumable upload --------------------------------------------------------
+
+
+def test_resumable_upload_probe_resume_under_throttling(tmp_path):
+    """Resumable upload with a ZERO client retry budget against a
+    throttling, token-gated server: every 429 surfaces, the client
+    probes the committed offset (bytes */total -> 308 + Range) and
+    resumes from exactly there; the object round-trips byte-exact and
+    the finalized session is dropped."""
+    import os
+
+    srv = GCSMemServer(valid_tokens={"tok"}, throttle_every=5).start()
+    try:
+        fs = GCSHttpFS(srv.endpoint, token="tok", retries=0)
+        data = os.urandom(2 * 1024 * 1024 + 777)
+        fs.upload_resumable("gcsmem://b/big.bin", data, chunk_size=256 * 1024)
+        # read back with a retry budget: the zero-retry constraint is the
+        # UPLOAD's resilience claim; the verify read just needs the bytes
+        fs_read = GCSHttpFS(srv.endpoint, token="tok", retries=8)
+        assert fs_read.open_read_binary("gcsmem://b/big.bin").read() == data
+        assert srv.throttled > 0  # faults actually fired
+        assert not srv.sessions  # finalized session dropped
+    finally:
+        srv.stop()
+
+
+def test_resumable_partial_session_is_invisible(tmp_path):
+    """A half-sent session never materializes as an object: only the
+    final chunk's 200 commits (atomic visibility, like a real GCS
+    resumable finalize)."""
+    srv = GCSMemServer().start()
+    try:
+        fs = GCSHttpFS(srv.endpoint)
+        import urllib.parse
+
+        q = urllib.parse.urlencode(
+            {"uploadType": "resumable", "name": "partial.bin"}
+        )
+        _s, _b, h = fs._request(
+            "resumable-init", "POST", f"/upload/storage/v1/b/b/o?{q}",
+            with_headers=True,
+        )
+        session = h["location"]
+        status, _b2, rh = fs._request(
+            "resumable-chunk", "PUT", session, body=b"x" * 100,
+            headers={"Content-Range": "bytes 0-99/200"},
+            ok=(200, 308), with_headers=True,
+        )
+        assert status == 308 and rh["range"] == "bytes=0-99"
+        assert not fs.exists("gcsmem://b/partial.bin")  # invisible
+        status, _b3, _rh = fs._request(
+            "resumable-chunk", "PUT", session, body=b"y" * 100,
+            headers={"Content-Range": "bytes 100-199/200"},
+            ok=(200, 308), with_headers=True,
+        )
+        assert status == 200
+        assert fs.open_read_binary("gcsmem://b/partial.bin").read() == (
+            b"x" * 100 + b"y" * 100
+        )
+
+        fs.write_bytes("gcsmem://b/auto.bin", b"z" * 4096,
+                       resumable_threshold=1024)
+        assert fs.open_read_binary("gcsmem://b/auto.bin").read() == b"z" * 4096
+    finally:
+        srv.stop()

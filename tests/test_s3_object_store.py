@@ -315,3 +315,60 @@ def test_signed_lifecycle_and_unsigned_rejected(tmp_path):
         assert fs.exists("s3mem://b/dir/a.txt")
     finally:
         srv.stop()
+
+
+# -- multipart upload --------------------------------------------------------
+
+
+def test_multipart_upload_lifecycle_signed_and_throttled(tmp_path):
+    """Initiate/UploadPart/Complete with every request SigV4-signed and
+    503s injected: the retry layer absorbs throttles per part, the
+    assembled object round-trips byte-exact, write_bytes auto-routes by
+    size, and a completed upload leaves no pending state."""
+    import os
+
+    srv = S3MemServer(credentials={"AK": "SK"}, throttle_every=9).start()
+    try:
+        fs = S3HttpFS(srv.endpoint, access_key="AK", secret_key="SK", retries=8)
+        data = os.urandom(3 * 1024 * 1024 + 12345)
+        fs.upload_multipart("s3mem://b/big.bin", data, part_size=512 * 1024)
+        assert fs.open_read_binary("s3mem://b/big.bin").read() == data
+        assert srv.throttled > 0
+        assert not srv.uploads  # complete dropped the session
+
+        fs.write_bytes("s3mem://b/auto.bin", data, multipart_threshold=1 << 20)
+        assert fs.open_read_binary("s3mem://b/auto.bin").read() == data
+        fs.write_bytes("s3mem://b/small.bin", b"tiny")
+        assert fs.open_read_binary("s3mem://b/small.bin").read() == b"tiny"
+    finally:
+        srv.stop()
+
+
+def test_multipart_bad_etag_rejected_and_abort_leaves_no_object():
+    """Complete with a tampered ETag gets InvalidPart (the object never
+    materializes); a failed upload aborts its session best-effort."""
+    srv = S3MemServer().start()
+    try:
+        fs = S3HttpFS(srv.endpoint)
+        url = fs._obj_url("s3mem://b/x.bin")
+        _s, body = fs._request("mpu-init", "POST", url + "?uploads")
+        import re
+
+        uid = re.search(rb"<UploadId>([^<]+)</UploadId>", body).group(1).decode()
+        fs._request(
+            "mpu-part", "PUT", f"{url}?partNumber=1&uploadId={uid}", body=b"abc"
+        )
+        xml = (
+            '<CompleteMultipartUpload><Part><PartNumber>1</PartNumber>'
+            '<ETag>"deadbeef"</ETag></Part></CompleteMultipartUpload>'
+        )
+        with pytest.raises(OSError, match="400"):
+            fs._request(
+                "mpu-complete", "POST", f"{url}?uploadId={uid}",
+                body=xml.encode(),
+            )
+        assert not fs.exists("s3mem://b/x.bin")  # nothing materialized
+        fs._request("mpu-abort", "DELETE", f"{url}?uploadId={uid}")
+        assert not srv.uploads
+    finally:
+        srv.stop()
