@@ -107,10 +107,11 @@ PRIORITY_50 = [
     "ingest_snapshot_diff",
     "ingest_optimize_invariance",
     "q1_pricing_summary",
-    # NEW r6: this round's features, never driver-gated (3)
+    # NEW r6: this round's features, never driver-gated (4)
     "ingest_copy_wire_scan",               # initial copy over PG COPY wire
     "ingest_pg_metadata_recovery_scan",    # PG-wire metadata control plane
     "ingest_kafka_group_rebalance_scan",   # consumer-group rebalance e2e
+    "ingest_cached_scan",                  # object-storage cache read path
     # last driver-green r1 — the stalest evidence in the registry (6)
     "ingest_fullrow_delete_one",
     "pivot_event_type_values",
@@ -145,13 +146,12 @@ PRIORITY_50 = [
     "q3_shipping_priority",
     "q9_product_profit",
     "q21_multi_line_order_suppliers",
-    # last driver-green r3: text / safety / retrieval (6)
+    # last driver-green r3: text / safety / retrieval (5)
     "text_quality_scores",
     "lang_id_heuristic",
     "pii_pattern_scan",
     "contamination_check",
     "bm25_retrieval",
-    "column_profile_lineitem",
     # last driver-green r3: sampling / packing / time / pipeline (5)
     "deterministic_hash_sample",
     "stratified_sample_per_group",

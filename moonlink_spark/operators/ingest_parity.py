@@ -1524,3 +1524,77 @@ def ingest_kafka_group_rebalance_scan(spark: SparkSession, sf_dir: str) -> DataF
         return t.scan()
     finally:
         broker.stop()
+
+
+@register(
+    "ingest_cached_scan",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderpriority
+FROM orders WHERE o_orderkey % 4 <> 0
+""",
+    category="ingest",
+)
+def ingest_cached_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Object-storage cache on the read path (parity: the reference's
+    per-node cache, object_storage_cache.rs:266-283 + base_cache.rs:33-73):
+    the table's control plane lives on an object store reached through a
+    read-through CachedFS, so immutable artifacts (versioned manifests)
+    are fetched once and re-served from pinned local copies. The query
+    commits, scans, deletes, commits, scans again — and asserts in-flight
+    that (a) re-reads hit the cache (hits > 0) and (b) invalidation-on-
+    publish means the post-delete scan is NOT the stale pre-delete one.
+    A wrong cache (stale manifest served after commit) changes the row
+    set and fails the value-hash oracle, so correctness rides the gate,
+    not just the assertions.
+
+    Scale shape: the cache is executor/process-local and byte-budgeted
+    (LRU over unpinned entries); at 1000 nodes each holds only what it
+    re-reads, and a 100 TB table's manifest+index hot set is MBs/node."""
+    import uuid as _uuid
+
+    from moonlink_spark.table.fs import (
+        InMemoryObjectStore,
+        ObjectStoreFS,
+        register_fs_scheme,
+    )
+    from moonlink_spark.table.objcache import (
+        CACHEABLE_SUFFIXES,
+        CachedFS,
+        ObjectStorageCache,
+    )
+
+    cache = ObjectStorageCache(
+        max_bytes=64 << 20, cache_directory=_tmp_table_dir("objcache")
+    )
+    cfs = CachedFS(
+        ObjectStoreFS(InMemoryObjectStore()),
+        cache,
+        # versioned manifests are publish-once-immutable: cacheable
+        cacheable=lambda p: "/_manifests/" in p
+        or p.endswith(CACHEABLE_SUFFIXES),
+    )
+    scheme = f"cachemem{_uuid.uuid4().hex[:8]}"
+    register_fs_scheme(scheme, lambda path: cfs)
+
+    base = _orders_df(spark, sf_dir)
+    t = MoonlinkTable.create(
+        spark,
+        f"{scheme}://wh/db/orders",
+        ORDERS_FIELDS,
+        IdentityProp.single("o_orderkey"),
+        data_path=_tmp_table_dir("cachedata"),
+    )
+    t.append_df(base)
+    t.commit(lsn=1)
+    n_full = t.scan().count()
+    # re-open drops in-process manifest state; the re-scan's manifest
+    # reads come back through the cache
+    t2 = MoonlinkTable(spark, f"{scheme}://wh/db/orders", t.data_path)
+    assert t2.scan().count() == n_full
+    assert cache.stats()["hits"] > 0, "re-read did not hit the cache"
+    t2.delete_keys_df(base.filter(F.col("o_orderkey") % 4 == 0).select("o_orderkey"))
+    t2.commit(lsn=2)
+    out = t2.scan()
+    assert out.count() < n_full, "stale cached manifest after commit"
+    return out.withColumn("o_totalprice", F.col("o_totalprice").cast("double"))

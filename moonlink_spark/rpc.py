@@ -277,6 +277,13 @@ class MoonlinkRpcServer:
         # resolves once; scan_table_end releases)
         self._pins: dict[tuple[str, str], int] = {}
         self._lock = threading.Lock()
+        # footer metadata cache (parity: the reference's metadata cache,
+        # cache/metadata/moka_cache.rs — LRU + insertion-TTL). Parquet
+        # files are content-immutable under their path (rewrites create
+        # new names), so footer bytes cache safely by path.
+        from moonlink_spark.table.objcache import MetadataCache
+
+        self._footer_cache = MetadataCache(max_size=4096, ttl_secs=3600.0)
 
         class Handler(socketserver.BaseRequestHandler):
             def handle(self) -> None:
@@ -321,7 +328,13 @@ class MoonlinkRpcServer:
             self.backend.drop_table(kw["database"], kw["table"])
             return b""
         if name == "get_parquet_metadatas":
-            metas = [_parquet_footer_bytes(p) for p in kw["data_files"]]
+            metas = []
+            for p in kw["data_files"]:
+                m = self._footer_cache.get(p)
+                if m is None:
+                    m = _parquet_footer_bytes(p)
+                    self._footer_cache.put(p, m)
+                metas.append(m)
             out = bytearray(enc_varint(len(metas)))
             for m in metas:
                 out += enc_bytes(m)
