@@ -818,7 +818,9 @@ class MoonlinkKafkaStreamReader(DataSourceStreamReader):
     deterministic because broker logs are append-only."""
 
     def __init__(self, options: dict):
-        # Spark lowercases data-source option keys
+        # Spark lowercases data-source option keys. Keep the dict: it
+        # rides the serialized reader to executors (SASL creds etc.).
+        self.options = dict(options)
         self.host = options["host"]
         self.port = int(options["port"])
         self.topic = options["topic"]

@@ -213,3 +213,38 @@ def test_multi_partition_stream(spark, broker, tmp_path):
     assert set(per_part) == {0, 1, 2}
     for offs in per_part.values():
         assert sorted(offs) == list(range(10))  # per-partition offsets
+
+
+def test_sasl_stream_source_end_to_end(spark, tmp_path):
+    """The streaming source authenticates its executor-side sockets via
+    SASL/PLAIN options (the path the serialized reader carries to
+    tasks — regression: the reader once dropped its options dict and
+    died on first latestOffset)."""
+    b = KafkaWireBroker(
+        str(tmp_path / "kafka-sasl-logs"),
+        sasl_credentials={"svc": "pw"},
+    ).start()
+    try:
+        register_moonlink_source(spark)
+        prod = KafkaWireProducer(b.host, b.port, sasl_plain=("svc", "pw"))
+        prod.send(
+            "ev",
+            [
+                (str(i).encode(), encode_datum(SCHEMA, {"id": i, "v": f"v{i}"}))
+                for i in range(10)
+            ],
+        )
+        prod.close()
+        q = (
+            _reader(spark, b, saslUsername="svc", saslPassword="pw")
+            .load()
+            .writeStream.format("memory")
+            .queryName("ksasl")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        rows = spark.sql("SELECT * FROM ksasl").collect()
+        assert sorted(r["offset"] for r in rows) == list(range(10))
+    finally:
+        b.stop()
