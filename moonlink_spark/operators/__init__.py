@@ -90,9 +90,10 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # ROUND-6 ROTATION: r5 went 50/50 green, so its 42 non-keeper slots
 # rotate out (their evidence is one round old and every one stays green
 # under scripts/check_parity.py + pytest). Rotating IN, stalest evidence
-# first: this round's 3 brand-new ingest queries (COPY-protocol initial
-# copy, PG-wire metadata recovery, consumer-group rebalance), all 6
-# queries whose last driver-green row is r1, and 33 queries last gated
+# first: this round's 5 brand-new ingest queries (COPY-protocol initial
+# copy, PG-wire metadata recovery, consumer-group rebalance, and both
+# object-storage-cache paths), all 6
+# queries whose last driver-green row is r1, and 31 queries last gated
 # r3 — including the full streaming e2e family, multimodal, and
 # pivot_event_type_values (VERDICT r5 item 8 names these), the dedup
 # family, ANN, skew patterns, and TPC-H representatives. Keepers: the
@@ -107,11 +108,12 @@ PRIORITY_50 = [
     "ingest_snapshot_diff",
     "ingest_optimize_invariance",
     "q1_pricing_summary",
-    # NEW r6: this round's features, never driver-gated (4)
+    # NEW r6: this round's features, never driver-gated (5)
     "ingest_copy_wire_scan",               # initial copy over PG COPY wire
     "ingest_pg_metadata_recovery_scan",    # PG-wire metadata control plane
     "ingest_kafka_group_rebalance_scan",   # consumer-group rebalance e2e
     "ingest_cached_scan",                  # object-storage cache read path
+    "ingest_cached_data_scan",             # data plane via executor caches
     # last driver-green r1 — the stalest evidence in the registry (6)
     "ingest_fullrow_delete_one",
     "pivot_event_type_values",
@@ -123,12 +125,11 @@ PRIORITY_50 = [
     "streaming_interval_join_e2e",
     "streaming_tumbling_agg_e2e",
     "streaming_stateful_sessionize_e2e",
-    # last driver-green r3: multimodal + dedup family (7)
+    # last driver-green r3: multimodal + dedup family (6)
     "multimodal_feature_extract",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
     "dedup_connected_components",
     "semantic_dedup_ivf",
     # last driver-green r3: similarity / ANN (4)

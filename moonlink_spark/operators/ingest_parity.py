@@ -1598,3 +1598,66 @@ def ingest_cached_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = t2.scan()
     assert out.count() < n_full, "stale cached manifest after commit"
     return out.withColumn("o_totalprice", F.col("o_totalprice").cast("double"))
+
+
+@register(
+    "ingest_cached_data_scan",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderpriority
+FROM orders WHERE o_orderkey % 6 <> 0
+""",
+    category="ingest",
+)
+def ingest_cached_data_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data plane in object storage, scanned through per-executor caches
+    (parity: the reference's cache consumption model —
+    object_storage_cache.rs read through snapshot_cache_utils.rs): the
+    table's parquet + DV files are PUSHED into an S3-protocol store
+    (SigV4-signed) and scanned back with mapInArrow tasks that localize
+    their files through process-local read-through caches; deletion
+    vectors apply via the standard (file,row) anti-join over the pushed
+    DV parquet. A localization or DV-mapping bug changes the row set and
+    fails the value-hash oracle.
+
+    Scale shape: the driver ships only (store_path, rel) pairs; file
+    bytes move store->executor, localization parallelism == file count,
+    each executor's cache is byte-budgeted LRU (no-fit degrades to a
+    streamed remote read)."""
+    from moonlink_spark.table.cached_plane import CachedDataPlane
+    from moonlink_spark.table.s3 import S3HttpFS, S3MemServer
+
+    base = _orders_df(spark, sf_dir)
+    t = MoonlinkTable.create(
+        spark,
+        _tmp_table_dir("cachedplane"),
+        ORDERS_FIELDS,
+        IdentityProp.single("o_orderkey"),
+    )
+    t.append_df(base)
+    t.commit(lsn=1)
+    t.delete_keys_df(
+        base.filter(F.col("o_orderkey") % 6 == 0).select("o_orderkey")
+    )
+    t.commit(lsn=2)
+
+    srv = S3MemServer(credentials={"AK": "SK"}).start()
+    try:
+        endpoint = srv.endpoint
+        plane = CachedDataPlane(
+            lambda: S3HttpFS(endpoint, access_key="AK", secret_key="SK"),
+            "s3mem://wh/orders",
+            cache_dir=_tmp_table_dir("cachedplane-x"),
+            max_bytes=1 << 30,
+        )
+        plane.push(t)
+        out = plane.scan(spark, t).withColumn(
+            "o_totalprice", F.col("o_totalprice").cast("double")
+        )
+        # materialize before the server stops: executor tasks fetch over
+        # live sockets during the action, not at plan time
+        rows = out.count()
+        assert rows == t.scan().count(), "cached scan diverged from local"
+        return out.localCheckpoint()
+    finally:
+        srv.stop()

@@ -522,7 +522,17 @@ class CachedFS:
                 if mode == "r"
                 else self.inner.open_read_binary(path)
             )
-        return _CachedReadStream(handle, mode)
+        try:
+            return _CachedReadStream(handle, mode)
+        except OSError:
+            # cache file vanished under us (rmtree of the cache dir, an
+            # external delete): drop the pin AND the entry, fall back
+            handle.unreference_and_delete()
+            return (
+                self.inner.open_read(path)
+                if mode == "r"
+                else self.inner.open_read_binary(path)
+            )
 
     def open_read(self, path: str):
         if self._cacheable(path):
