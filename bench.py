@@ -72,6 +72,11 @@ HEADLINE = [
     "ann_index_lifecycle_topk",
     "embedding_pca_power_scores",
     "ngram_novelty_rate",
+    # r6 additions: the transport-heavy new ingest paths (PG COPY wire,
+    # group-coordinated Kafka) and the cached object-store data plane
+    "ingest_copy_wire_scan",
+    "ingest_kafka_group_rebalance_scan",
+    "ingest_cached_data_scan",
 ]
 
 

@@ -724,7 +724,6 @@ def run_chaos(
         model, seed, table_option, with_alter=with_alter
     )
 
-    executed = 0
     try:
         return _drive(
             dump_path, meta, model, runner, gen, n_events, seed,

@@ -106,38 +106,52 @@ def wire_initial_copy(
     spark: SparkSession = table.spark
     schema = table.schema
 
+    # The control connection exports the snapshot from INSIDE an open
+    # REPEATABLE READ transaction and stays open until every shard reader
+    # has imported it — on real PostgreSQL an exported snapshot is only
+    # importable while the exporting transaction lives, and the exporting
+    # transaction reads its own snapshot (no SET TRANSACTION SNAPSHOT of
+    # its own; SET is only legal before the first query of an importing
+    # transaction). The mock mirrors both rules.
     ctl = PgWireClient(host, port, user=user, database=database, password=password)
     try:
+        ctl.query("BEGIN ISOLATION LEVEL REPEATABLE READ")
         r = ctl.query("SELECT pg_export_snapshot(), pg_current_wal_lsn()")
         snap_id, lsn_text = r.rows[0]
         boundary = parse_wal_lsn(lsn_text)
-        ctl.query(f"SET TRANSACTION SNAPSHOT '{snap_id}'")
         b = ctl.query(
             f"SELECT MIN(rowid), MAX(rowid) FROM {src_table}"
         ).rows[0]
-    finally:
-        ctl.close()
 
-    shards = (
-        []
-        if b[0] is None
-        else plan_rowid_shards(int(b[0]), int(b[1]), shard_count)
-    )
-    before = table.cardinality()
-    if shards:
-        df = _read_shards_df(
-            spark, schema, shards, host, port, src_table, snap_id,
-            user=user, database=database, password=password,
+        shards = (
+            []
+            if b[0] is None
+            else plan_rowid_shards(int(b[0]), int(b[1]), shard_count)
         )
-        version = initial_copy(table, df, boundary)
-    elif boundary > table.last_lsn:
-        version = initial_copy(
-            table, spark.createDataFrame([], schema), boundary
-        )
-    else:
-        # empty source with no WAL history: nothing to seed and the LSN
-        # floor is already at/above the boundary — no commit needed
-        version = table.manifest.version
+        before = table.cardinality()
+        if shards:
+            df = _read_shards_df(
+                spark, schema, shards, host, port, src_table, snap_id,
+                user=user, database=database, password=password,
+            )
+            # initial_copy consumes the COPY streams eagerly (writes +
+            # commits before returning), so the exporting transaction is
+            # still open while every shard imports the snapshot
+            version = initial_copy(table, df, boundary)
+        elif boundary > table.last_lsn:
+            version = initial_copy(
+                table, spark.createDataFrame([], schema), boundary
+            )
+        else:
+            # empty source with no WAL history: nothing to seed and the
+            # LSN floor is already at/above the boundary — no commit
+            version = table.manifest.version
+    finally:
+        try:
+            ctl.query("ROLLBACK")
+        except Exception:
+            pass  # connection may already be gone; close() is the cleanup
+        ctl.close()
     # manifest row counts, no re-read (the COPY stream is consumed once)
     rows_copied = table.cardinality() - before
     return {
@@ -184,6 +198,11 @@ def _read_shards_df(
                     password=password,
                 )
                 try:
+                    # importing a snapshot is only legal as the first act
+                    # of a REPEATABLE READ transaction (real-PG rule; the
+                    # reader never writes, so the txn ends in ROLLBACK via
+                    # connection close)
+                    c.query("BEGIN ISOLATION LEVEL REPEATABLE READ")
                     c.query(f"SET TRANSACTION SNAPSHOT '{snap_id}'")
                     sql = (
                         f"COPY (SELECT {col_list} FROM {src_table} WHERE "

@@ -606,6 +606,15 @@ class MoonlinkStreamWriter(DataSourceStreamWriter):
         entries = [
             FileEntry(m.rel_path, m.rows, m.size) for m in self._staged(messages)
         ]
+        props = {**base.properties, **properties_update}
+        if "stream_writer_batches" in properties_update:
+            # per-queryId floors MERGE against the base read at commit
+            # time — a wholesale overwrite from the earlier snapshot
+            # would regress another writer's floor advanced in between,
+            # letting its replayed batch commit twice
+            merged = dict(base.properties.get("stream_writer_batches") or {})
+            merged.update(properties_update["stream_writer_batches"])
+            props["stream_writer_batches"] = merged
         store.commit(
             Manifest(
                 version=base.version + 1,
@@ -616,7 +625,7 @@ class MoonlinkStreamWriter(DataSourceStreamWriter):
                 delete_files=base.delete_files,
                 parent=base.version,
                 operation=operation,
-                properties={**base.properties, **properties_update},
+                properties=props,
             )
         )
 
@@ -650,7 +659,9 @@ class MoonlinkStreamWriter(DataSourceStreamWriter):
             "stream_writer_query": self.query_id,
         }
         if self.query_id is not None:
-            marker["stream_writer_batches"] = {**qmap, self.query_id: batchId}
+            # only THIS writer's delta: _commit_staged merges it into the
+            # map of whatever base manifest the commit actually lands on
+            marker["stream_writer_batches"] = {self.query_id: batchId}
         if last is not None:
             if batchId == last:
                 # replayed final batch after a driver restart: committed

@@ -350,9 +350,11 @@ class PgMockServer:
         self.db_path = db_path
         self.password = password
         os.makedirs(os.path.dirname(os.path.abspath(db_path)), exist_ok=True)
-        # WAL position: advanced under _snap_lock by every committed write
-        # statement, so pg_export_snapshot()'s (freeze, LSN) capture is
-        # atomic with respect to concurrent writers
+        # WAL position: advanced under _snap_lock when writes become
+        # VISIBLE — at statement end for autocommit writes, at COMMIT for
+        # explicit transactions — so pg_export_snapshot()'s (freeze, LSN)
+        # capture is atomic with respect to concurrent writers and never
+        # counts rows the frozen tables do not contain
         self.lsn = 0
         self._snap_lock = threading.Lock()
         server = self
@@ -482,6 +484,14 @@ class PgMockServer:
         if m is not None:
             with_lsn = "pg_current_wal_lsn" in sql
             snap_id, lsn = self._export_snapshot(conn)
+            # real PG: an exporting REPEATABLE READ transaction reads its
+            # own exported snapshot for the rest of the transaction —
+            # mirror that so the control connection's bounds queries see
+            # the frozen state without an (illegal-on-PG) SET TRANSACTION
+            # SNAPSHOT of its own. An autocommit exporter stays live (its
+            # snapshot was per-statement), also like real PG.
+            if state.get("in_txn"):
+                state["snapshot"] = snap_id
             cols = ["pg_export_snapshot"] + (
                 ["pg_current_wal_lsn"] if with_lsn else []
             )
@@ -509,21 +519,71 @@ class PgMockServer:
         head = sql.lstrip().split(None, 1)
         verb = head[0].upper() if head else ""
         if verb == "BEGIN":
-            # BEGIN IMMEDIATE takes SQLite's write lock up front: a plain
-            # (deferred) BEGIN upgrading to write mid-transaction can hit
-            # an unwaitable SQLITE_BUSY deadlock against another writer;
-            # immediate + busy_timeout serializes writers cleanly instead
+            if "ISOLATION" in sql.upper():
+                # snapshot-reader transactions (BEGIN ISOLATION LEVEL
+                # REPEATABLE READ) never write and read only immutable
+                # frozen state — no underlying SQLite transaction at all,
+                # which keeps ATTACH (of the snapshot file) legal and
+                # lets N shard readers coexist with open writers
+                state["in_txn"] = True
+                state["reader_txn"] = True
+                state["txn_writes"] = 0
+                sock.sendall(_msg(b"C", _cstr("BEGIN")))
+                return
+            # writer BEGIN takes SQLite's write lock up front: a
+            # deferred BEGIN upgrading to write mid-transaction can
+            # hit an unwaitable SQLITE_BUSY deadlock against another
+            # writer; immediate + busy_timeout serializes cleanly
             sql = "BEGIN IMMEDIATE"
+            state["in_txn"] = True
+            state["txn_writes"] = 0
         if verb in ("SELECT", "WITH"):
             sql = self._snapshot_rewrite(conn, sql, state)
         if verb in ("INSERT", "UPDATE", "DELETE"):
-            # writes advance the WAL position atomically w.r.t. snapshot
-            # export (the boundary-LSN contract the initial-copy switchover
-            # depends on)
-            with self._snap_lock:
+            if state.get("in_txn"):
+                # inside an explicit transaction the rows are invisible
+                # until COMMIT — the WAL position must not count them yet,
+                # or a snapshot exported mid-transaction would carry a
+                # boundary LSN covering rows it does not contain (the CDC
+                # switchover would then drop those rows' events: loss)
                 cur = conn.execute(sql)
                 if cur.rowcount > 0:
-                    self.lsn += cur.rowcount
+                    state["txn_writes"] = (
+                        state.get("txn_writes", 0) + cur.rowcount
+                    )
+            else:
+                # autocommit write: visible at statement end, so the LSN
+                # advances atomically with it w.r.t. snapshot export
+                with self._snap_lock:
+                    cur = conn.execute(sql)
+                    if cur.rowcount > 0:
+                        self.lsn += cur.rowcount
+        elif verb == "COMMIT":
+            # commit + LSN bump under the snapshot lock: an export sees
+            # either (pre-commit tables, pre-bump LSN) or (post, post)
+            if state.pop("reader_txn", False):
+                # no underlying SQLite txn was opened for a reader txn
+                state.pop("txn_writes", None)
+                state.pop("in_txn", None)
+                state["snapshot"] = None  # snapshot binding is per-txn
+                sock.sendall(_msg(b"C", _cstr("COMMIT")))
+                return
+            with self._snap_lock:
+                cur = conn.execute(sql)
+                self.lsn += state.pop("txn_writes", 0)
+            if state.pop("in_txn", False):
+                state["snapshot"] = None
+        elif verb == "ROLLBACK":
+            if state.pop("reader_txn", False):
+                state.pop("txn_writes", None)
+                state.pop("in_txn", None)
+                state["snapshot"] = None
+                sock.sendall(_msg(b"C", _cstr("ROLLBACK")))
+                return
+            cur = conn.execute(sql)
+            state.pop("txn_writes", None)
+            if state.pop("in_txn", False):
+                state["snapshot"] = None
         else:
             cur = conn.execute(sql)
         rows = cur.fetchall() if cur.description is not None else []
@@ -543,46 +603,73 @@ class PgMockServer:
 
     # -- snapshot export (source-database role) ------------------------------
 
+    def _snap_db_path(self, snap_id: str) -> str:
+        return f"{self.db_path}.snap-{snap_id}.db"
+
     def _export_snapshot(self, conn) -> tuple[str, int]:
-        """Freeze every user table into ``_snap_{id}__{table}`` copies and
-        return (snapshot id, boundary LSN), atomically w.r.t. writers."""
+        """Freeze every user table into a SEPARATE snapshot database file
+        and return (snapshot id, boundary LSN), atomically w.r.t. writers.
+
+        The freeze writes only the snapshot file, reading main through a
+        WAL-mode read snapshot — so an export can proceed while another
+        connection holds an OPEN write transaction (its uncommitted rows
+        are invisible to the read snapshot AND uncounted in the LSN,
+        because commits bump the LSN under the same _snap_lock held for
+        the whole freeze). Real PG's MVCC gives exactly this pairing."""
         snap_id = uuid.uuid4().hex[:12]
-        with self._snap_lock:
-            names = [
-                r[0]
-                for r in conn.execute(
-                    "SELECT name FROM sqlite_master WHERE type='table' "
-                    "AND name NOT GLOB '_snap_*' AND name NOT GLOB 'sqlite_*'"
-                )
-            ]
-            for t in names:
-                conn.execute(
-                    f'CREATE TABLE "_snap_{snap_id}__{t}" AS '
-                    f'SELECT * FROM "{t}"'
-                )
-            return snap_id, self.lsn
+        sconn = sqlite3.connect(self.db_path, timeout=30.0)
+        try:
+            sconn.execute("PRAGMA busy_timeout = 30000")
+            sconn.execute(
+                "ATTACH DATABASE ? AS snap", (self._snap_db_path(snap_id),)
+            )
+            with self._snap_lock:  # no COMMIT can land during the freeze
+                names = [
+                    r[0]
+                    for r in sconn.execute(
+                        "SELECT name FROM sqlite_master WHERE type='table' "
+                        "AND name NOT GLOB 'sqlite_*'"
+                    )
+                ]
+                for t in names:
+                    sconn.execute(
+                        f'CREATE TABLE snap."{t}" AS SELECT * FROM main."{t}"'
+                    )
+                sconn.commit()
+                return snap_id, self.lsn
+        finally:
+            sconn.close()
 
     def _snapshot_rewrite(
         self, conn, sql: str, state: dict[str, Any]
     ) -> str:
-        """Point table references at the connection's frozen snapshot."""
+        """Point table references at the connection's frozen snapshot
+        (the attached per-snapshot database file)."""
         snap = state.get("snapshot")
         if not snap:
             return sql
-        prefix = f"_snap_{snap}__"
+        alias = f"snap_{snap}"
+        attached = state.setdefault("attached_snaps", set())
+        if snap not in attached:
+            path = self._snap_db_path(snap)
+            if not os.path.exists(path):
+                raise PgProtocolError(f"unknown snapshot {snap!r}")
+            conn.execute(f'ATTACH DATABASE ? AS "{alias}"', (path,))
+            attached.add(snap)
         frozen = [
-            r[0][len(prefix):]
+            r[0]
             for r in conn.execute(
-                "SELECT name FROM sqlite_master WHERE type='table' "
-                "AND name GLOB ?",
-                (prefix + "*",),
+                f'SELECT name FROM "{alias}".sqlite_master '
+                "WHERE type='table'"
             )
         ]
         if not frozen:
             raise PgProtocolError(f"unknown snapshot {snap!r}")
         for t in sorted(frozen, key=len, reverse=True):
             sql = re.sub(
-                rf'(?<![\w"]){re.escape(t)}(?![\w"])', f'"{prefix}{t}"', sql
+                rf'(?<![\w"]){re.escape(t)}(?![\w"])',
+                f'"{alias}"."{t}"',
+                sql,
             )
         return sql
 

@@ -559,7 +559,23 @@ class MoonlinkService:
                         self._kafka_conns.pop(key3, None)  # roll back claim
                     raise
                 with self._lock:
-                    self._kafka_conns[key3] = ticker
+                    # a disconnect/drop racing the slow start may have
+                    # popped the placeholder: honor it — the connection
+                    # is already "disconnected", so stop the just-born
+                    # ticker instead of storing an unreachable one
+                    if key3 not in self._kafka_conns:
+                        claimed = False
+                    else:
+                        self._kafka_conns[key3] = ticker
+                        claimed = True
+                if not claimed:
+                    ticker.stop()
+                    h._send(
+                        409,
+                        {"error": "DisconnectedDuringConnect",
+                         "message": f"{db}.{table} <- {topic}"},
+                    )
+                    return
                 h._send(
                     200,
                     {"connected": f"{db}.{table}", "topic": topic},

@@ -229,16 +229,19 @@ def iter_queue(queue_dir: str) -> Iterator[tuple[int, bytes | None, bytes]]:
                 off, klen = struct.unpack_from(">QI", frame, 0)
                 key, value = _parse_kv(klen, frame[12:])
                 msgs.append((off, name, key, value))
-    # sort by (offset, segment name) then keep the first frame per offset:
-    # a late-published duplicate segment from a retried producer task
-    # carries identical offsets — absorb it instead of double-delivering
+    # sort by (offset, segment name), then absorb retry duplicates: a
+    # late-published duplicate segment from a retried producer task
+    # carries identical offsets AND identical bytes — drop only those.
+    # Two independent producers colliding on an offset (both computed
+    # _next_offset from the same max) carry DIFFERENT payloads; those
+    # must both deliver, like before the dedupe existed.
     msgs.sort(key=lambda m: (m[0], m[1]))
     out: list[tuple[int, bytes | None, bytes]] = []
-    last_off = None
+    last: tuple | None = None
     for off, _seg, key, value in msgs:
-        if off == last_off:
+        if last is not None and (off, key, value) == last:
             continue
-        last_off = off
+        last = (off, key, value)
         out.append((off, key, value))
     return iter(out)
 

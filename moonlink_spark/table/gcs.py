@@ -680,6 +680,14 @@ class GCSHttpFS:
                             raise
             if status == 200:
                 return
+            if status in (404, 410):
+                # dead session (expired, cancelled, or finalized with the
+                # 200 lost): unrecoverable through this URI — surface it
+                # instead of re-sending chunk 0 against it forever
+                raise OSError(
+                    f"gcs resumable session gone (HTTP {status}); "
+                    "re-initiate the upload"
+                )
             rng = rh.get("range")  # "bytes=0-N" (absent: nothing committed)
             committed = int(rng.rsplit("-", 1)[1]) + 1 if rng else 0
 

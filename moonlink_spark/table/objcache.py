@@ -94,8 +94,11 @@ class CacheHandle:
         if self._released:
             return self._cache.try_delete(self.file_id)
         self._released = True
-        out = self._cache._unreference(self.file_id)
-        out.extend(self._cache._delete_entry(self.file_id, must_exist=False))
+        with self._cache._lock:  # unref+delete must be one atomic step
+            out = self._cache._unreference(self.file_id)
+            out.extend(
+                self._cache._delete_entry(self.file_id, must_exist=False)
+            )
         return out
 
     def unreference_and_replace_with_remote(self, remote_path: str) -> list[str]:
@@ -105,8 +108,13 @@ class CacheHandle:
         if self._released:
             return []
         self._released = True
-        out = self._cache._unreference(self.file_id)
-        out.extend(self._cache._replace_evictable_with_remote(self.file_id, remote_path))
+        with self._cache._lock:  # unref+replace is one atomic step
+            out = self._cache._unreference(self.file_id)
+            out.extend(
+                self._cache._replace_evictable_with_remote(
+                    self.file_id, remote_path
+                )
+            )
         return out
 
     # context-manager sugar: `with cache.get(...) as h: read(h.cache_filepath)`

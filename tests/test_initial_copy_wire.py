@@ -180,3 +180,44 @@ def test_wire_initial_copy_empty_source(spark, tmp_path, pg):
     assert s["rows_copied"] == 0 and s["shards"] == 0
     assert t.scan().count() == 0
     assert t.last_lsn == s["boundary_lsn"]
+
+
+def test_boundary_lsn_excludes_open_transaction_writes(pg):
+    """A snapshot exported while another connection's transaction is OPEN
+    must not count that transaction's rows in the boundary LSN: the frozen
+    tables cannot contain them, so counting them would make the CDC
+    switchover's LSN floor drop their events — silent row loss. The WAL
+    position therefore advances at COMMIT, not at statement execution."""
+    _seed(pg, 5)
+    w = PgWireClient(pg.host, pg.port)
+    w.query("BEGIN")
+    w.query("INSERT INTO src VALUES (100, 'uncommitted')")
+    # export races the open transaction
+    ctl = PgWireClient(pg.host, pg.port)
+    ctl.query("BEGIN ISOLATION LEVEL REPEATABLE READ")
+    r = ctl.query("SELECT pg_export_snapshot(), pg_current_wal_lsn()")
+    snap, lsn_text = r.rows[0]
+    boundary = parse_wal_lsn(lsn_text)
+    assert boundary == 5  # the in-flight row is NOT counted
+    # the exporting transaction reads its own snapshot (real-PG rule)
+    assert ctl.query("SELECT COUNT(*) AS n FROM src").rows == [("5",)]
+    w.query("COMMIT")
+    assert w.query("SELECT COUNT(*) AS n FROM src").rows == [("6",)]
+    # after commit the LSN covers the row — its CDC event carries lsn=6
+    # > boundary=5, so the switchover keeps it
+    lsn_after = parse_wal_lsn(
+        w.query("SELECT pg_current_wal_lsn()").rows[0][0]
+    )
+    assert lsn_after == 6
+    # importing readers still see the frozen 5 rows
+    other = PgWireClient(pg.host, pg.port)
+    other.query("BEGIN ISOLATION LEVEL REPEATABLE READ")
+    other.query(f"SET TRANSACTION SNAPSHOT '{snap}'")
+    assert other.query("SELECT COUNT(*) AS n FROM src").rows == [("5",)]
+    other.query("ROLLBACK")
+    # snapshot binding ended with the transaction: reads are live again
+    assert other.query("SELECT COUNT(*) AS n FROM src").rows == [("6",)]
+    other.close()
+    ctl.query("ROLLBACK")
+    ctl.close()
+    w.close()
