@@ -322,3 +322,32 @@ def test_metadata_cache_lru_and_ttl():
     mc.put("e", 6)
     mc.clear()
     assert mc.get("e") is None
+
+
+def test_transient_fetch_failure_does_not_poison_cache(tmp_path):
+    # a throttled/failed remote fetch surfaces to the caller but leaves
+    # the cache consistent: no phantom entry, no leaked bytes, and the
+    # retry succeeds normally
+    class Flaky:
+        def __init__(self, inner, fail_first):
+            self.inner, self.fails = inner, fail_first
+
+        def open_read_binary(self, p):
+            if self.fails > 0:
+                self.fails -= 1
+                raise OSError("connection reset")
+            return self.inner.open_read_binary(p)
+
+    remote = make_remote({"a.parquet": b"x" * 100})
+    acc = Flaky(remote, fail_first=1)
+    c = ObjectStorageCache(max_bytes=1000, cache_directory=str(tmp_path))
+    with pytest.raises(OSError):
+        c.get("a.parquet", "a.parquet", acc)
+    st = c.stats()
+    assert st["cur_bytes"] == 0 and st["pinned"] == 0 and st["evictable"] == 0
+    # no half-written cache file left behind (only .part would be, and
+    # the atomic rename means none is visible as a cache file)
+    assert [f for f in __import__("os").listdir(tmp_path) if not f.endswith(".part")] == []
+    h, _ = c.get("a.parquet", "a.parquet", acc)
+    assert open(h.cache_filepath, "rb").read() == b"x" * 100
+    h.unreference()
