@@ -126,7 +126,11 @@ class CachedDataPlane:
             if fs.exists(dst):
                 continue
             local = t._resolve(f.path)
-            if hasattr(fs, "write_bytes"):
+            if hasattr(fs, "upload_file"):
+                # streamed (multipart/resumable above threshold): one
+                # chunk in memory at a time regardless of file size
+                fs.upload_file(local, dst)
+            elif hasattr(fs, "write_bytes"):
                 with open(local, "rb") as fh:
                     fs.write_bytes(dst, fh.read())
             else:
@@ -172,6 +176,14 @@ class CachedDataPlane:
                         store_path, accessor, cache
                     )
                     try:
+                        # schema evolution: files written before an
+                        # ALTER lack the newer columns — read them as
+                        # nulls, exactly like the table's own scan
+                        missing = [n for n in names if n not in tbl.column_names]
+                        for col in missing:
+                            tbl = tbl.append_column(
+                                col, pa.nulls(tbl.num_rows)
+                            )
                         tbl = tbl.select(names)
                         if attach_pos:
                             nrows = tbl.num_rows

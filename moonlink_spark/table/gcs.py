@@ -622,6 +622,33 @@ class GCSHttpFS:
         else:
             self._request("put", "POST", self._upload_url(path), body=data)
 
+    def upload_file(
+        self, local_path: str, path: str, resumable_threshold: int = 8 << 20
+    ) -> None:
+        """Stream a local file into the store without holding it in
+        memory: the resumable protocol reads one chunk at a time from
+        disk (seeking back to the server's committed offset on resume),
+        so arbitrarily large files upload with flat RSS. Small files
+        take the single media-upload path."""
+        import os as _os
+
+        size = _os.path.getsize(local_path)
+        if size <= resumable_threshold:
+            with open(local_path, "rb") as fh:
+                self._request(
+                    "put", "POST", self._upload_url(path), body=fh.read()
+                )
+            return
+        with open(local_path, "rb") as fh:
+
+            def read_at(off: int, n: int) -> bytes:
+                fh.seek(off)
+                return fh.read(n)
+
+            self._upload_resumable_core(
+                path, read_at, size, chunk_size=resumable_threshold
+            )
+
     def upload_resumable(
         self, path: str, data: bytes, chunk_size: int = 8 << 20
     ) -> None:
@@ -633,6 +660,13 @@ class GCSHttpFS:
         re-sent, the property that makes huge uploads survive connection
         loss. The final chunk's 200 commits the object atomically
         (generation bump); an abandoned session never becomes visible."""
+        self._upload_resumable_core(
+            path, lambda off, n: data[off : off + n], len(data), chunk_size
+        )
+
+    def _upload_resumable_core(
+        self, path: str, read_at, total: int, chunk_size: int
+    ) -> None:
         bucket, key = self._bucket_key(path)
         q = urllib.parse.urlencode({"uploadType": "resumable", "name": key})
         _s, _b, h = self._request(
@@ -644,7 +678,6 @@ class GCSHttpFS:
         session = h.get("location")
         if not session:
             raise OSError("gcs resumable init: no Location header")
-        total = len(data)
         committed = 0
         while True:
             end = min(committed + chunk_size, total) - 1
@@ -653,7 +686,7 @@ class GCSHttpFS:
                     "resumable-chunk",
                     "PUT",
                     session,
-                    body=data[committed : end + 1],
+                    body=read_at(committed, end - committed + 1),
                     headers={
                         "Content-Range": f"bytes {committed}-{end}/{total}"
                     },

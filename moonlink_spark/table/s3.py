@@ -602,6 +602,33 @@ class S3HttpFS:
         else:
             self._request("put", "PUT", self._obj_url(path), body=data)
 
+    def upload_file(
+        self, local_path: str, path: str, multipart_threshold: int = 8 << 20
+    ) -> None:
+        """Stream a local file into the store without holding it in
+        memory: one part-sized buffer lives at a time, so a 100 GiB data
+        file uploads through the same multipart protocol with flat RSS.
+        Small files take the single-PUT path."""
+        import os as _os
+
+        size = _os.path.getsize(local_path)
+        if size <= multipart_threshold:
+            with open(local_path, "rb") as fh:
+                self._request(
+                    "put", "PUT", self._obj_url(path), body=fh.read()
+                )
+            return
+
+        def chunks():
+            with open(local_path, "rb") as fh:
+                while True:
+                    c = fh.read(multipart_threshold)
+                    if not c:
+                        return
+                    yield c
+
+        self._upload_multipart_chunks(path, chunks())
+
     def upload_multipart(
         self, path: str, data: bytes, part_size: int = 8 << 20
     ) -> None:
@@ -611,6 +638,12 @@ class S3HttpFS:
         number, so a retry after a lost response just re-stores the same
         bytes; only Complete commits, so a crash mid-upload leaves the
         target object untouched (abort discards the parts)."""
+        self._upload_multipart_chunks(
+            path,
+            (data[o : o + part_size] for o in range(0, len(data), part_size)),
+        )
+
+    def _upload_multipart_chunks(self, path: str, chunks) -> None:
         import re as _re
 
         url = self._obj_url(path)
@@ -621,13 +654,13 @@ class S3HttpFS:
         uid = m.group(1).decode()
         try:
             etags: list[tuple[int, str]] = []
-            for n, off in enumerate(range(0, len(data), part_size), start=1):
+            for n, chunk in enumerate(chunks, start=1):
                 purl = f"{url}?partNumber={n}&uploadId={uid}"
                 _s, _b, h = self._request(
                     "mpu-part",
                     "PUT",
                     purl,
-                    body=data[off : off + part_size],
+                    body=chunk,
                     with_headers=True,
                 )
                 etags.append((n, h.get("etag", "").strip('"')))

@@ -142,3 +142,31 @@ def test_localize_fetches_once_per_process(tmp_path, srv):
     a = process_cache(str(tmp_path / "pc"), 100)
     b = process_cache(str(tmp_path / "pc"), 100)
     assert a is b
+
+
+def test_cached_scan_after_alter_reads_old_files_as_null(spark, tmp_path, srv):
+    """Files pushed before an ALTER lack the new column: the cached scan
+    reads them as nulls, like the table's own scan."""
+    t = MoonlinkTable.create(
+        spark, str(tmp_path / "alt"), FIELDS, IdentityProp.single("id")
+    )
+    t.append_rows([{"id": i, "grp": "a", "val": 1.0} for i in range(100)])
+    t.commit(lsn=1)
+    t.alter(add_columns=[{"name": "extra", "data_type": "string"}])
+    t.append_rows(
+        [{"id": 100 + i, "grp": "b", "val": 2.0, "extra": "x"} for i in range(50)]
+    )
+    t.commit(lsn=3)
+    endpoint = srv.endpoint
+    plane = CachedDataPlane(
+        lambda: S3HttpFS(endpoint, access_key="AK", secret_key="SK"),
+        "s3mem://b/alt",
+        cache_dir=str(tmp_path / "xcache3"),
+        max_bytes=1 << 30,
+    )
+    plane.push(t)
+    got = plane.scan(spark, t)
+    want = t.scan()
+    assert got.count() == want.count() == 150
+    assert got.filter("extra IS NULL").count() == 100
+    assert got.exceptAll(want).count() == 0

@@ -332,3 +332,28 @@ def test_resumable_partial_session_is_invisible(tmp_path):
         assert fs.open_read_binary("gcsmem://b/auto.bin").read() == b"z" * 4096
     finally:
         srv.stop()
+
+
+def test_upload_file_streams_resumable(tmp_path):
+    """upload_file streams a local file chunk-at-a-time through the
+    resumable protocol (seek-back on probe/resume) under throttling."""
+    import os
+
+    srv = GCSMemServer(valid_tokens={"tok"}, throttle_every=7).start()
+    try:
+        fs = GCSHttpFS(srv.endpoint, token="tok", retries=0)
+        big = tmp_path / "big.bin"
+        payload = os.urandom(2 * 1024 * 1024 + 123)
+        big.write_bytes(payload)
+        fs.upload_file(str(big), "gcsmem://b/big.bin", resumable_threshold=256 * 1024)
+        rd = GCSHttpFS(srv.endpoint, token="tok", retries=8)
+        assert rd.open_read_binary("gcsmem://b/big.bin").read() == payload
+        assert srv.throttled > 0 and not srv.sessions
+        small = tmp_path / "small.bin"
+        small.write_bytes(b"tiny")
+        GCSHttpFS(srv.endpoint, token="tok", retries=8).upload_file(
+            str(small), "gcsmem://b/small.bin"
+        )
+        assert rd.open_read_binary("gcsmem://b/small.bin").read() == b"tiny"
+    finally:
+        srv.stop()

@@ -372,3 +372,25 @@ def test_multipart_bad_etag_rejected_and_abort_leaves_no_object():
         assert not srv.uploads
     finally:
         srv.stop()
+
+
+def test_upload_file_streams_multipart(tmp_path):
+    """upload_file streams a local file per part (flat memory) and the
+    object round-trips; small files take the single PUT."""
+    import os
+
+    srv = S3MemServer(credentials={"AK": "SK"}).start()
+    try:
+        fs = S3HttpFS(srv.endpoint, access_key="AK", secret_key="SK")
+        big = tmp_path / "big.bin"
+        payload = os.urandom(3 * 1024 * 1024 + 999)
+        big.write_bytes(payload)
+        fs.upload_file(str(big), "s3mem://b/big.bin", multipart_threshold=512 * 1024)
+        assert fs.open_read_binary("s3mem://b/big.bin").read() == payload
+        assert not srv.uploads
+        small = tmp_path / "small.bin"
+        small.write_bytes(b"tiny")
+        fs.upload_file(str(small), "s3mem://b/small.bin")
+        assert fs.open_read_binary("s3mem://b/small.bin").read() == b"tiny"
+    finally:
+        srv.stop()
