@@ -170,3 +170,29 @@ def test_cached_scan_after_alter_reads_old_files_as_null(spark, tmp_path, srv):
     assert got.count() == want.count() == 150
     assert got.filter("extra IS NULL").count() == 100
     assert got.exceptAll(want).count() == 0
+
+
+def test_cached_scan_absorbs_server_throttling(spark, tmp_path):
+    """Push + scan against a 503-throttling signed server: the accessor
+    retry layer absorbs every throttle on both the upload and the
+    executor-side localization fetches; the result is still exact."""
+    srv = S3MemServer(credentials={"AK": "SK"}, throttle_every=9).start()
+    try:
+        t = _make_table(spark, tmp_path, rows=1200)
+        endpoint = srv.endpoint
+        plane = CachedDataPlane(
+            lambda: S3HttpFS(
+                endpoint, access_key="AK", secret_key="SK", retries=8
+            ),
+            "s3mem://b/chaos/tbl",
+            cache_dir=str(tmp_path / "xchaos"),
+            max_bytes=1 << 30,
+        )
+        plane.push(t)
+        got = plane.scan(spark, t)
+        want = t.scan()
+        assert got.count() == want.count()
+        assert got.exceptAll(want).count() == 0
+        assert srv.throttled > 0  # faults actually fired
+    finally:
+        srv.stop()
