@@ -540,6 +540,20 @@ class PgMockServer:
         if verb in ("SELECT", "WITH"):
             sql = self._snapshot_rewrite(conn, sql, state)
         if verb in ("INSERT", "UPDATE", "DELETE"):
+            if state.get("reader_txn"):
+                # real-PG rule: a snapshot transaction opened with BEGIN
+                # ISOLATION LEVEL REPEATABLE READ for import is used
+                # read-only here. Silently autocommitting (there is no
+                # underlying SQLite txn) would leave a committed row the
+                # WAL counter never saw and make ROLLBACK a lie — reject.
+                sock.sendall(
+                    self._err(
+                        "25006",
+                        f"cannot execute {verb} in a read-only transaction",
+                    )
+                )
+                sock.sendall(_msg(b"Z", b"I"))
+                return
             if state.get("in_txn"):
                 # inside an explicit transaction the rows are invisible
                 # until COMMIT — the WAL position must not count them yet,
@@ -552,38 +566,56 @@ class PgMockServer:
                         state.get("txn_writes", 0) + cur.rowcount
                     )
             else:
-                # autocommit write: visible at statement end, so the LSN
-                # advances atomically with it w.r.t. snapshot export
-                with self._snap_lock:
+                # autocommit write, restated as a short explicit txn so
+                # the LOCK ORDER is identical everywhere: SQLite write
+                # lock first (BEGIN IMMEDIATE, acquired while holding no
+                # Python lock), _snap_lock second, around the COMMIT +
+                # LSN bump — the visibility event. Taking _snap_lock
+                # around a bare autocommit execute instead inverts the
+                # order against an open explicit transaction (it holds
+                # SQLite's lock and wants _snap_lock at COMMIT), stalling
+                # both until busy_timeout.
+                conn.execute("BEGIN IMMEDIATE")
+                try:
                     cur = conn.execute(sql)
-                    if cur.rowcount > 0:
-                        self.lsn += cur.rowcount
+                    with self._snap_lock:
+                        conn.execute("COMMIT")
+                        if cur.rowcount > 0:
+                            self.lsn += cur.rowcount
+                except BaseException:
+                    try:
+                        conn.execute("ROLLBACK")
+                    except sqlite3.Error:
+                        pass
+                    raise
         elif verb == "COMMIT":
             # commit + LSN bump under the snapshot lock: an export sees
-            # either (pre-commit tables, pre-bump LSN) or (post, post)
+            # either (pre-commit tables, pre-bump LSN) or (post, post).
+            # Lock order matches the autocommit path: SQLite write lock
+            # (held since BEGIN IMMEDIATE) first, _snap_lock second.
             if state.pop("reader_txn", False):
                 # no underlying SQLite txn was opened for a reader txn
                 state.pop("txn_writes", None)
                 state.pop("in_txn", None)
-                state["snapshot"] = None  # snapshot binding is per-txn
+                self._clear_snapshot(conn, state)
                 sock.sendall(_msg(b"C", _cstr("COMMIT")))
                 return
             with self._snap_lock:
                 cur = conn.execute(sql)
                 self.lsn += state.pop("txn_writes", 0)
             if state.pop("in_txn", False):
-                state["snapshot"] = None
+                self._clear_snapshot(conn, state)
         elif verb == "ROLLBACK":
             if state.pop("reader_txn", False):
                 state.pop("txn_writes", None)
                 state.pop("in_txn", None)
-                state["snapshot"] = None
+                self._clear_snapshot(conn, state)
                 sock.sendall(_msg(b"C", _cstr("ROLLBACK")))
                 return
             cur = conn.execute(sql)
             state.pop("txn_writes", None)
             if state.pop("in_txn", False):
-                state["snapshot"] = None
+                self._clear_snapshot(conn, state)
         else:
             cur = conn.execute(sql)
         rows = cur.fetchall() if cur.description is not None else []
@@ -639,6 +671,18 @@ class PgMockServer:
                 return snap_id, self.lsn
         finally:
             sconn.close()
+
+    def _clear_snapshot(self, conn, state: dict[str, Any]) -> None:
+        """End-of-transaction snapshot unbinding: DETACH every snapshot
+        database this connection attached — SQLite caps attached
+        databases at 10, so a pooled connection importing snapshots
+        repeatedly would otherwise hit 'too many attached databases'."""
+        state["snapshot"] = None
+        for snap in sorted(state.pop("attached_snaps", set()) or ()):
+            try:
+                conn.execute(f'DETACH DATABASE "snap_{snap}"')
+            except sqlite3.Error:
+                pass  # already detached or mid-use elsewhere: best-effort
 
     def _snapshot_rewrite(
         self, conn, sql: str, state: dict[str, Any]

@@ -301,8 +301,9 @@ class MoonlinkService:
                 if timers is not None:
                     timers.stop()
                 for c in conns:
-                    if c is not None:  # None = connect-in-flight placeholder
-                        c.stop()
+                    # claim placeholders expose a no-op stop(), so every
+                    # stored value handles uniformly
+                    c.stop()
                 self.backend.drop_table(db, table)
                 h._send(200, {"dropped": f"{db}.{table}"})
                 return
@@ -533,6 +534,13 @@ class MoonlinkService:
                 # tickers (the loser's ticker would be overwritten in the
                 # dict and keep draining the group, unreachable by
                 # disconnect/stop)
+                class _ClaimToken:
+                    # placeholder with a no-op stop() so disconnect can
+                    # treat every stored value uniformly
+                    def stop(self) -> None:
+                        pass
+
+                claim = _ClaimToken()
                 with self._lock:
                     if key3 in self._kafka_conns:
                         h._send(
@@ -541,7 +549,7 @@ class MoonlinkService:
                              "message": f"{db}.{table} <- {topic}"},
                         )
                         return
-                    self._kafka_conns[key3] = None  # reserved
+                    self._kafka_conns[key3] = claim  # reserved
                 try:
                     ticker = self.backend.start_kafka_ingest(
                         db,
@@ -559,15 +567,17 @@ class MoonlinkService:
                         self._kafka_conns.pop(key3, None)  # roll back claim
                     raise
                 with self._lock:
-                    # a disconnect/drop racing the slow start may have
-                    # popped the placeholder: honor it — the connection
-                    # is already "disconnected", so stop the just-born
-                    # ticker instead of storing an unreachable one
-                    if key3 not in self._kafka_conns:
-                        claimed = False
-                    else:
+                    # a disconnect racing the slow start may have popped
+                    # the placeholder — and a THIRD request may have
+                    # re-claimed the key since, so the check must verify
+                    # the stored value is still THIS request's own claim
+                    # (key presence alone would steal the newer claim and
+                    # orphan a running ticker)
+                    if self._kafka_conns.get(key3) is claim:
                         self._kafka_conns[key3] = ticker
                         claimed = True
+                    else:
+                        claimed = False
                 if not claimed:
                     ticker.stop()
                     h._send(
@@ -593,8 +603,9 @@ class MoonlinkService:
                     ]
                     conns = [self._kafka_conns.pop(k) for k in keys]
                 for c in conns:
-                    if c is not None:  # None = connect-in-flight placeholder
-                        c.stop()
+                    # claim placeholders expose a no-op stop(), so every
+                    # stored value handles uniformly
+                    c.stop()
                 h._send(200, {"disconnected": len(conns)})
                 return
             # what == "ingest": raw Avro datum body, always insert + sync
@@ -758,8 +769,7 @@ class MoonlinkService:
         for t in timers:
             t.stop()
         for c in conns:
-            if c is not None:  # None = connect-in-flight placeholder
-                c.stop()
+            c.stop()  # claim placeholders expose a no-op stop()
         self.httpd.shutdown()
         if self._thread:
             self._thread.join(timeout=10)

@@ -237,11 +237,19 @@ def iter_queue(queue_dir: str) -> Iterator[tuple[int, bytes | None, bytes]]:
     # must both deliver, like before the dedupe existed.
     msgs.sort(key=lambda m: (m[0], m[1]))
     out: list[tuple[int, bytes | None, bytes]] = []
-    last: tuple | None = None
+    cur_off: int | None = None
+    seen: set[tuple] = set()
     for off, _seg, key, value in msgs:
-        if last is not None and (off, key, value) == last:
+        if off != cur_off:
+            cur_off = off
+            seen = set()
+        sig = (key, value)
+        if sig in seen:
+            # byte-identical duplicate AT THIS OFFSET — a retried task's
+            # re-published segment, regardless of how colliding-but-
+            # different payloads interleave between the copies
             continue
-        last = (off, key, value)
+        seen.add(sig)
         out.append((off, key, value))
     return iter(out)
 

@@ -114,10 +114,11 @@ class CachedDataPlane:
 
     def push(self, t: Any, lsn: int | None = None) -> int:
         """Upload the pinned manifest's live data + delete files into the
-        store under their table-relative names. Uses the accessor's
-        ``write_bytes`` (multipart/resumable above threshold) when it has
-        one. Content-immutable files under unique names: re-push of an
-        already-present path is skipped (idempotent)."""
+        store under their table-relative names. Prefers the accessor's
+        streamed ``upload_file`` (multipart/resumable above threshold,
+        one chunk in memory at a time), falling back to ``write_bytes``
+        then ``copyfile``. Content-immutable files under unique names:
+        re-push of an already-present path is skipped (idempotent)."""
         m = t._resolve_manifest(lsn, None)
         fs = self.accessor_factory()
         n = 0

@@ -42,8 +42,11 @@ with 401 the way real GCS does. Token ACQUISITION (service-account JWT
 signing / metadata server) stays outside: the provider callable is the
 seam a real deployment plugs its refresher into.
 
-Not implemented (documented, fail-loud): resumable/multipart uploads
-(control-plane objects are small manifests/WAL lines).
+Large objects go through the RESUMABLE upload protocol
+(``uploadType=resumable`` session init -> ``Content-Range`` chunk PUTs
+-> ``bytes */total`` probe + 308 Range resume), streamed from memory
+(``write_bytes``/``upload_resumable``) or from disk one chunk at a time
+(``upload_file``); dead sessions (404/410) fail loudly.
 """
 
 from __future__ import annotations
@@ -690,7 +693,9 @@ class GCSHttpFS:
                     headers={
                         "Content-Range": f"bytes {committed}-{end}/{total}"
                     },
-                    ok=(200, 308),
+                    # 410 must pass through (not raise generically) so the
+                    # dead-session check below can name the failure
+                    ok=(200, 308, 410),
                     with_headers=True,
                 )
             except TransientStoreError:
@@ -704,7 +709,7 @@ class GCSHttpFS:
                             "PUT",
                             session,
                             headers={"Content-Range": f"bytes */{total}"},
-                            ok=(200, 308),
+                            ok=(200, 308, 410),
                             with_headers=True,
                         )
                         break
