@@ -30,9 +30,16 @@ with ``access_key``/``secret_key``, and the in-process server VERIFIES
 signatures when given ``credentials={access_key: secret_key}``,
 rejecting unsigned/tampered requests with 403 the way real S3 does.
 
-Not implemented (documented, fail-loud): multipart upload (control-plane
-objects are small manifests/WAL lines; a >5 GiB data-plane object needs
-the multipart API), STS temporary credentials / session tokens.
+Large objects go through MULTIPART upload (CreateMultipartUpload ->
+UploadPart xN -> CompleteMultipartUpload, abort-on-failure, every
+request signed) — streamed from memory (``write_bytes``/
+``upload_multipart``) or from disk one part at a time (``upload_file``);
+a single PUT tops out at 5 GiB on real S3, so ``write_bytes`` routes by
+size threshold.
+
+Not implemented (documented, fail-loud): STS temporary credentials /
+session tokens (the key pair is the seam a real deployment plugs its
+credential refresher into).
 """
 
 from __future__ import annotations

@@ -221,3 +221,39 @@ def test_boundary_lsn_excludes_open_transaction_writes(pg):
     ctl.query("ROLLBACK")
     ctl.close()
     w.close()
+
+
+def test_autocommit_write_not_stalled_by_open_transaction(pg):
+    """Lock-order regression: an autocommit write racing another
+    connection's OPEN transaction must wait only for that transaction's
+    COMMIT (SQLite single-writer), never mutually stall against the
+    snapshot lock until busy_timeout. Both writes land and the WAL LSN
+    counts both."""
+    import threading
+    import time
+
+    _seed(pg, 3)
+    a = PgWireClient(pg.host, pg.port)
+    a.query("BEGIN")
+    a.query("INSERT INTO src VALUES (50, 'txn')")
+
+    done: list[float] = []
+
+    def autocommit_writer():
+        b = PgWireClient(pg.host, pg.port, timeout_s=20.0)
+        t0 = time.time()
+        b.query("INSERT INTO src VALUES (51, 'auto')")
+        done.append(time.time() - t0)
+        b.close()
+
+    th = threading.Thread(target=autocommit_writer)
+    th.start()
+    time.sleep(0.3)  # let B block on A's write lock
+    a.query("COMMIT")
+    th.join(timeout=15)
+    assert not th.is_alive(), "autocommit writer stalled"
+    assert done and done[0] < 10.0, f"took {done[0]:.1f}s — timeout-stall"
+    lsn = parse_wal_lsn(a.query("SELECT pg_current_wal_lsn()").rows[0][0])
+    assert lsn == 5  # 3 seed + 1 txn + 1 autocommit, all counted
+    assert a.query("SELECT COUNT(*) AS n FROM src").rows == [("5",)]
+    a.close()
