@@ -13,7 +13,10 @@ current/protocol-message-formats.html):
   SSLRequest (80877103) is answered ``N`` (not supported) and the
   client continues in cleartext, tokio-postgres's sslmode=prefer shape;
 - auth: ``R`` code 0 = AuthenticationOk; code 3 = cleartext password,
-  answered with a ``p`` PasswordMessage;
+  answered with a ``p`` PasswordMessage; codes 10/11/12 = the SASL
+  exchange, speaking SCRAM-SHA-256 (RFC 5802/7677 — PG's default since
+  10) with mutual server-signature verification, the server holding
+  only the verifier (stored/server keys), never the password;
 - simple query: ``Q`` -> ``T`` RowDescription / ``D`` DataRow /
   ``C`` CommandComplete / ``E`` ErrorResponse / ``Z`` ReadyForQuery;
 - COPY OUT: ``H`` CopyOutResponse -> ``d`` CopyData (one text-format
@@ -27,10 +30,9 @@ existence probes and the ``JSON`` column type. Everything crossing the
 socket is genuine protocol bytes, so the client would talk to a real
 Postgres unchanged (modulo SCRAM auth, documented below).
 
-Not implemented (fail-loud): SCRAM-SHA-256 / MD5 auth (cleartext only
-— a real deployment uses a driver or adds the public SCRAM exchange),
-the extended query protocol (Parse/Bind/Execute; simple query inlines
-literals), TLS.
+Not implemented (fail-loud): MD5 auth (legacy), SASLprep password
+normalization (ASCII passwords only), the extended query protocol
+(Parse/Bind/Execute; simple query inlines literals), TLS.
 """
 
 from __future__ import annotations
@@ -113,6 +115,46 @@ def sql_literal(v: Any) -> str:
     return "'" + str(v).replace("'", "''") + "'"
 
 
+# --------------------------------------------------------------------------- #
+# SCRAM-SHA-256 (RFC 5802 / RFC 7677), PostgreSQL's default auth since 10.
+# Pure stdlib: PBKDF2 is the RFC's Hi(), hmac/sha256 the rest. SASLprep is
+# not applied (ASCII passwords only — matching the rest of this mock's
+# fail-loud simplifications).
+# --------------------------------------------------------------------------- #
+
+_SCRAM_MECH = "SCRAM-SHA-256"
+
+
+def _scram_salted_password(password: str, salt: bytes, iterations: int) -> bytes:
+    import hashlib
+
+    return hashlib.pbkdf2_hmac(
+        "sha256", password.encode("utf-8"), salt, iterations
+    )
+
+
+def _scram_keys(salted: bytes) -> tuple[bytes, bytes, bytes]:
+    """(client_key, stored_key, server_key)."""
+    import hashlib
+    import hmac as _hmac
+
+    client_key = _hmac.new(salted, b"Client Key", hashlib.sha256).digest()
+    stored_key = hashlib.sha256(client_key).digest()
+    server_key = _hmac.new(salted, b"Server Key", hashlib.sha256).digest()
+    return client_key, stored_key, server_key
+
+
+def _scram_hmac(key: bytes, msg: str) -> bytes:
+    import hashlib
+    import hmac as _hmac
+
+    return _hmac.new(key, msg.encode("utf-8"), hashlib.sha256).digest()
+
+
+def _scram_parse(msg: str) -> dict[str, str]:
+    return dict(kv.split("=", 1) for kv in msg.split(","))
+
+
 @dataclass
 class QueryResult:
     columns: list[str]
@@ -173,9 +215,35 @@ class PgWireClient:
                         )
                     self.sock.sendall(_msg(b"p", _cstr(password)))
                     continue
+                if code == 10:  # AuthenticationSASL: mechanism list
+                    if password is None:
+                        raise PgProtocolError(
+                            "server requires SCRAM and no password was given"
+                        )
+                    mechs = [
+                        m.decode()
+                        for m in b[4:].split(b"\x00")
+                        if m
+                    ]
+                    if _SCRAM_MECH not in mechs:
+                        raise PgProtocolError(
+                            f"no supported SASL mechanism in {mechs} "
+                            f"(client speaks {_SCRAM_MECH})"
+                        )
+                    self._scram_state = self._scram_start()
+                    continue
+                if code == 11:  # AuthenticationSASLContinue
+                    final = self._scram_continue(
+                        b[4:].decode("utf-8"), password
+                    )
+                    self.sock.sendall(_msg(b"p", final.encode("utf-8")))
+                    continue
+                if code == 12:  # AuthenticationSASLFinal
+                    self._scram_verify_server(b[4:].decode("utf-8"))
+                    continue
                 raise PgProtocolError(
-                    f"unsupported authentication method {code} (only trust "
-                    "and cleartext are implemented; SCRAM needs a driver)"
+                    f"unsupported authentication method {code} (trust, "
+                    "cleartext and SCRAM-SHA-256 are implemented)"
                 )
             if t == b"S":  # ParameterStatus
                 k, v = b.split(b"\x00")[:2]
@@ -186,6 +254,57 @@ class PgWireClient:
                 return
             elif t == b"E":
                 raise PgServerError(_error_fields(b))
+
+    # -- SCRAM-SHA-256 client exchange (RFC 5802 message flow) ---------------
+
+    def _scram_start(self) -> dict:
+        import base64
+        import os as _os
+
+        cnonce = base64.b64encode(_os.urandom(18)).decode()
+        first_bare = f"n=,r={cnonce}"
+        # SASLInitialResponse: mechanism name, int32 length, initial data
+        payload = (
+            _cstr(_SCRAM_MECH)
+            + struct.pack(">I", len(first_bare) + 3)
+            + b"n,,"
+            + first_bare.encode("utf-8")
+        )
+        self.sock.sendall(_msg(b"p", payload))
+        return {"cnonce": cnonce, "first_bare": first_bare}
+
+    def _scram_continue(self, server_first: str, password: str) -> str:
+        import base64
+
+        st = self._scram_state
+        fields = _scram_parse(server_first)
+        nonce, salt_b64, iters = fields["r"], fields["s"], int(fields["i"])
+        if not nonce.startswith(st["cnonce"]):
+            raise PgProtocolError("SCRAM server nonce does not extend ours")
+        salted = _scram_salted_password(
+            password, base64.b64decode(salt_b64), iters
+        )
+        client_key, stored_key, server_key = _scram_keys(salted)
+        final_no_proof = f"c=biws,r={nonce}"  # biws = b64("n,,")
+        auth_message = ",".join(
+            (st["first_bare"], server_first, final_no_proof)
+        )
+        sig = _scram_hmac(stored_key, auth_message)
+        proof = bytes(a ^ b for a, b in zip(client_key, sig))
+        st["server_sig"] = _scram_hmac(server_key, auth_message)
+        return final_no_proof + ",p=" + base64.b64encode(proof).decode()
+
+    def _scram_verify_server(self, server_final: str) -> None:
+        """Mutual auth: the v= signature proves the server knows the
+        credentials too (a MITM without them cannot forge it)."""
+        import base64
+        import hmac as _hmac
+
+        fields = _scram_parse(server_final)
+        want = self._scram_state.get("server_sig", b"")
+        got = base64.b64decode(fields.get("v", ""))
+        if not _hmac.compare_digest(want, got):
+            raise PgProtocolError("SCRAM server signature mismatch")
 
     def query(self, sql: str) -> QueryResult:
         """One simple-query round trip. Multiple statements per string are
@@ -346,9 +465,26 @@ class PgMockServer:
         host: str = "127.0.0.1",
         port: int = 0,
         password: str | None = None,
+        auth: str = "password",
     ):
         self.db_path = db_path
         self.password = password
+        if auth not in ("password", "scram-sha-256"):
+            raise ValueError(f"unsupported auth mode {auth!r}")
+        self.auth = auth
+        if password is not None and auth == "scram-sha-256":
+            # the server stores the VERIFIER, never the password —
+            # exactly pg_authid's SCRAM-SHA-256$<i>:<salt>$<stored>:<server>
+            import os as _os
+
+            self._scram_salt = _os.urandom(16)
+            self._scram_iterations = 4096
+            salted = _scram_salted_password(
+                password, self._scram_salt, self._scram_iterations
+            )
+            _ck, self._scram_stored_key, self._scram_server_key = (
+                _scram_keys(salted)
+            )
         os.makedirs(os.path.dirname(os.path.abspath(db_path)), exist_ok=True)
         # WAL position: advanced under _snap_lock when writes become
         # VISIBLE — at statement end for autocommit writes, at COMMIT for
@@ -437,7 +573,10 @@ class PgMockServer:
                 sock.sendall(self._err("0A000", f"bad protocol {code}"))
                 return False
             break
-        if self.password is not None:
+        if self.password is not None and self.auth == "scram-sha-256":
+            if not self._scram_handshake(sock, f):
+                return False
+        elif self.password is not None:
             sock.sendall(_msg(b"R", struct.pack(">I", 3)))  # cleartext
             t, b = _read_msg(f)
             if t != b"p" or b.rstrip(b"\x00").decode() != self.password:
@@ -451,6 +590,73 @@ class PgMockServer:
         )
         sock.sendall(_msg(b"K", struct.pack(">II", os.getpid(), 0)))
         sock.sendall(_msg(b"Z", b"I"))
+        return True
+
+    def _scram_handshake(self, sock, f) -> bool:
+        """Server side of RFC 5802 over the PG SASL messages: R code 10
+        (mechanism list) -> SASLInitialResponse -> R code 11
+        (server-first) -> SASLResponse (client-final, proof verified
+        against the stored key) -> R code 12 (server signature) -> Ok."""
+        import base64
+        import hashlib
+        import hmac as _hmac
+        import os as _os
+
+        sock.sendall(
+            _msg(b"R", struct.pack(">I", 10) + _cstr(_SCRAM_MECH) + b"\x00")
+        )
+        t, b = _read_msg(f)
+        if t != b"p":
+            sock.sendall(self._err("28000", f"expected SASL, got {t!r}"))
+            return False
+        mech_end = b.index(b"\x00")
+        if b[:mech_end].decode() != _SCRAM_MECH:
+            sock.sendall(self._err("28000", "unsupported SASL mechanism"))
+            return False
+        (ilen,) = struct.unpack_from(">I", b, mech_end + 1)
+        initial = b[mech_end + 5 : mech_end + 5 + ilen].decode("utf-8")
+        if not initial.startswith(("n,,", "y,,")):
+            sock.sendall(self._err("28000", "bad GS2 header"))
+            return False
+        first_bare = initial.split(",,", 1)[1]
+        cnonce = _scram_parse(first_bare)["r"]
+        snonce = cnonce + base64.b64encode(_os.urandom(18)).decode()
+        server_first = (
+            f"r={snonce},s="
+            f"{base64.b64encode(self._scram_salt).decode()},"
+            f"i={self._scram_iterations}"
+        )
+        sock.sendall(
+            _msg(b"R", struct.pack(">I", 11) + server_first.encode("utf-8"))
+        )
+        t, b = _read_msg(f)
+        if t != b"p":
+            sock.sendall(self._err("28000", f"expected SASL, got {t!r}"))
+            return False
+        client_final = b.decode("utf-8")
+        fields = _scram_parse(client_final)
+        final_no_proof = client_final.rsplit(",p=", 1)[0]
+        auth_message = ",".join((first_bare, server_first, final_no_proof))
+        if fields.get("r") != snonce or fields.get("c") != "biws":
+            sock.sendall(self._err("28P01", "SCRAM nonce/channel mismatch"))
+            return False
+        # recover ClientKey from the proof and check SHA256(ClientKey)
+        # against the stored key — the server never needs the password
+        sig = _scram_hmac(self._scram_stored_key, auth_message)
+        proof = base64.b64decode(fields.get("p", ""))
+        client_key = bytes(a ^ x for a, x in zip(proof, sig))
+        if not _hmac.compare_digest(
+            hashlib.sha256(client_key).digest(), self._scram_stored_key
+        ):
+            sock.sendall(
+                self._err("28P01", "password authentication failed")
+            )
+            return False
+        server_sig = _scram_hmac(self._scram_server_key, auth_message)
+        final = "v=" + base64.b64encode(server_sig).decode()
+        sock.sendall(
+            _msg(b"R", struct.pack(">I", 12) + final.encode("utf-8"))
+        )
         return True
 
     # -- query execution ----------------------------------------------------

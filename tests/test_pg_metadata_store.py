@@ -252,3 +252,62 @@ def test_copy_text_escaping_roundtrip():
     assert parse_copy_text_row(copy_text_row(row)) == [
         "a\tb", "line\nbreak", None, "back\\slash", "\r\v\f\b"
     ]
+
+
+# -- SCRAM-SHA-256 ------------------------------------------------------------
+
+
+def test_scram_sha256_end_to_end(tmp_path):
+    """Full RFC 5802 exchange against a verifier-storing server: right
+    password authenticates (with mutual server-signature verification),
+    wrong password gets 28P01, and queries flow normally after auth."""
+    from moonlink_spark.pg_protocol import (
+        PgMockServer,
+        PgServerError,
+        PgWireClient,
+    )
+
+    srv = PgMockServer(
+        str(tmp_path / "scram.db"), password="s3cret", auth="scram-sha-256"
+    ).start()
+    try:
+        c = PgWireClient(srv.host, srv.port, password="s3cret")
+        c.query("CREATE TABLE t (id INTEGER, v TEXT)")
+        c.query("INSERT INTO t VALUES (1, 'x')")
+        assert c.query("SELECT COUNT(*) AS n FROM t").rows == [("1",)]
+        c.close()
+
+        import pytest as _pytest
+
+        with _pytest.raises(PgServerError, match="28P01"):
+            PgWireClient(srv.host, srv.port, password="wrong")
+    finally:
+        srv.stop()
+
+
+def test_scram_metadata_store_over_scram_server(tmp_path):
+    """The PG-backed metadata store authenticates via SCRAM unchanged —
+    the auth layer is transparent to the store protocol."""
+    from moonlink_spark.metadata_store import (
+        PgMetadataStore,
+        serialize_table_config,
+    )
+    from moonlink_spark.pg_protocol import PgMockServer
+
+    srv = PgMockServer(
+        str(tmp_path / "scramstore.db"),
+        password="pw",
+        auth="scram-sha-256",
+    ).start()
+    try:
+        store = PgMetadataStore(srv.host, srv.port, password="pw")
+        store.store_table_metadata(
+            "db", "t", src_table_name="db.t", src_table_uri="/x",
+            config=serialize_table_config(
+                {"mode": "none", "columns": []}, True, {}, table_uri="/x"
+            ),
+        )
+        assert store.get_table_metadata_entry("db", "t") is not None
+        store.close()
+    finally:
+        srv.stop()
