@@ -37,9 +37,11 @@ request signed) — streamed from memory (``write_bytes``/
 a single PUT tops out at 5 GiB on real S3, so ``write_bytes`` routes by
 size threshold.
 
-Not implemented (documented, fail-loud): STS temporary credentials /
-session tokens (the key pair is the seam a real deployment plugs its
-credential refresher into).
+STS temporary credentials are supported: ``session_token`` attaches a
+SIGNED ``x-amz-security-token`` to every request (the IAM-role shape on
+EC2/EKS), and the in-process server can require per-key tokens.
+Credential ROTATION stays outside — swap the accessor when the
+refresher delivers new keys.
 """
 
 from __future__ import annotations
@@ -72,6 +74,7 @@ class S3MemServer:
         port: int = 0,
         throttle_every: int = 0,
         credentials: dict[str, str] | None = None,
+        session_tokens: dict[str, str] | None = None,
     ):
         self.store = store or InMemoryObjectStore()
         self.throttled = 0
@@ -81,6 +84,11 @@ class S3MemServer:
         # valid SigV4 signature (verified with table/sigv4.py — the same
         # public algorithm the client signs with) or gets 403
         self.credentials = credentials
+        # access_key -> REQUIRED x-amz-security-token value (the STS
+        # temporary-credential shape); tampering is already caught by the
+        # signature (the token header is signed), this checks presence +
+        # value like STS validating the token itself
+        self.session_tokens = session_tokens
         # in-flight multipart uploads: upload_id -> {"key", "parts":
         # {part_number: (etag, bytes)}} — the CreateMultipartUpload /
         # UploadPart / CompleteMultipartUpload lifecycle state
@@ -138,7 +146,23 @@ class S3MemServer:
                 )
                 if not ok:
                     self._error(403, code)
-                return ok
+                    return False
+                if server.session_tokens:
+                    from moonlink_spark.table.sigv4 import (
+                        parse_authorization,
+                    )
+
+                    fields = parse_authorization(
+                        self.headers.get("Authorization", "")
+                    )
+                    ak = (fields or {}).get("access_key", "")
+                    want = server.session_tokens.get(ak)
+                    if want is not None and (
+                        self.headers.get("x-amz-security-token") != want
+                    ):
+                        self._error(403, "InvalidToken")
+                        return False
+                return True
 
             def do_GET(self):
                 if self._throttle():
@@ -380,6 +404,7 @@ class S3HttpFS:
         access_key: str | None = None,
         secret_key: str | None = None,
         region: str = "us-east-1",
+        session_token: str | None = None,
     ):
         u = urllib.parse.urlparse(endpoint)
         self.host = u.hostname
@@ -395,6 +420,10 @@ class S3HttpFS:
         self.access_key = access_key
         self.secret_key = secret_key
         self.region = region
+        # STS temporary credentials: the session token rides (signed) on
+        # every request; rotation plugs in by swapping the accessor or
+        # subclassing _signed with a provider, same seam as GCS tokens
+        self.session_token = session_token
 
     # -- HTTP plumbing -------------------------------------------------------
 
@@ -417,6 +446,7 @@ class S3HttpFS:
                 self.access_key,
                 self.secret_key or "",
                 region=self.region,
+                session_token=self.session_token,
             )
         return send_headers
 

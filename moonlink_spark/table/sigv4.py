@@ -63,10 +63,14 @@ def sign_request(
     region: str = "us-east-1",
     service: str = "s3",
     now: dt.datetime | None = None,
+    session_token: str | None = None,
 ) -> dict[str, str]:
     """Return ``headers`` plus ``x-amz-date``, ``x-amz-content-sha256``
     and the SigV4 ``Authorization`` header. ``headers`` MUST already
-    contain ``Host`` (it is always signed)."""
+    contain ``Host`` (it is always signed). With ``session_token``
+    (STS temporary credentials — the IAM-role shape on EC2/EKS), the
+    ``x-amz-security-token`` header is attached and SIGNED, per S3's
+    SigV4 requirement for temporary credentials."""
     t = now or dt.datetime.now(dt.timezone.utc)
     amz_date = t.strftime("%Y%m%dT%H%M%SZ")
     date = t.strftime("%Y%m%d")
@@ -75,6 +79,8 @@ def sign_request(
     out = dict(headers)
     out["x-amz-date"] = amz_date
     out["x-amz-content-sha256"] = payload_hash
+    if session_token is not None:
+        out["x-amz-security-token"] = session_token
 
     parsed = urllib.parse.urlsplit(url)
     canonical_uri = _uri_encode(

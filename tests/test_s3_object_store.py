@@ -394,3 +394,41 @@ def test_upload_file_streams_multipart(tmp_path):
         assert fs.open_read_binary("s3mem://b/small.bin").read() == b"tiny"
     finally:
         srv.stop()
+
+
+def test_sts_session_token_required_and_verified(tmp_path):
+    """STS temporary credentials: the session token rides signed on every
+    request; the server requires the right token per access key —
+    missing or wrong tokens get 403 InvalidToken, and since the header
+    is signed, a tampered token also breaks the signature."""
+    srv = S3MemServer(
+        credentials={"ASIA123": "SK"},
+        session_tokens={"ASIA123": "tok-abc"},
+    ).start()
+    try:
+        good = S3HttpFS(
+            srv.endpoint,
+            access_key="ASIA123",
+            secret_key="SK",
+            session_token="tok-abc",
+        )
+        good.write_text_durable("s3mem://b/x.txt", "hello")
+        assert good.open_read("s3mem://b/x.txt").read() == "hello"
+
+        no_token = S3HttpFS(
+            srv.endpoint, access_key="ASIA123", secret_key="SK", retries=0
+        )
+        with pytest.raises(OSError, match="403"):
+            no_token.write_text_durable("s3mem://b/y.txt", "nope")
+
+        wrong = S3HttpFS(
+            srv.endpoint,
+            access_key="ASIA123",
+            secret_key="SK",
+            session_token="tok-OTHER",
+            retries=0,
+        )
+        with pytest.raises(OSError, match="403"):
+            wrong.open_read("s3mem://b/x.txt")
+    finally:
+        srv.stop()
