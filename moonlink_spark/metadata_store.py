@@ -396,16 +396,14 @@ class PgMetadataStore:
     def get_table_metadata_entry(
         self, database: str, table: str
     ) -> TableMetadataEntry | None:
-        from moonlink_spark.pg_protocol import sql_literal
-
         with self._lock:
             if not self._exists():
                 return None
-            r = self._client.query(
-                self._select(
-                    f' WHERE t."database" = {sql_literal(database)} '
-                    f'AND t."table" = {sql_literal(table)}'
-                )
+            # extended protocol: values ride as bound parameters, never
+            # inside the SQL string (tokio-postgres parity)
+            r = self._client.query_params(
+                self._select(' WHERE t."database" = $1 AND t."table" = $2'),
+                [database, table],
             )
         if not r.rows:
             return None
@@ -435,7 +433,7 @@ class PgMetadataStore:
         src_table_uri: str,
         config: dict[str, Any],
     ) -> None:
-        from moonlink_spark.pg_protocol import PgServerError, sql_literal
+        from moonlink_spark.pg_protocol import PgServerError
 
         _validate_config(config)
         serialized = json.dumps(config, sort_keys=True)
@@ -447,12 +445,12 @@ class PgMetadataStore:
                     pass  # lost the create race to another backend: fine
             self._client.query("BEGIN")
             try:
-                r = self._client.query(
+                r = self._client.query_params(
                     'INSERT INTO tables ("database", "table", '
                     "src_table_name, src_table_uri, config) VALUES "
-                    f"({sql_literal(database)}, {sql_literal(table)}, "
-                    f"{sql_literal(src_table_name)}, "
-                    f"{sql_literal(src_table_uri)}, {sql_literal(serialized)})"
+                    "($1, $2, $3, $4, $5)",
+                    [database, table, src_table_name, src_table_uri,
+                     serialized],
                 )
                 if r.rows_affected != 1:
                     raise MetadataStoreError(
@@ -471,14 +469,15 @@ class PgMetadataStore:
                 raise
 
     def delete_table_metadata(self, database: str, table: str) -> None:
-        from moonlink_spark.pg_protocol import PgServerError, sql_literal
+        from moonlink_spark.pg_protocol import PgServerError
 
         with self._lock:
             self._client.query("BEGIN")
             try:
-                r = self._client.query(
-                    f'DELETE FROM tables WHERE "database" = '
-                    f'{sql_literal(database)} AND "table" = {sql_literal(table)}'
+                r = self._client.query_params(
+                    'DELETE FROM tables WHERE "database" = $1 '
+                    'AND "table" = $2',
+                    [database, table],
                 )
                 if r.rows_affected != 1:
                     raise MetadataStoreError(

@@ -30,9 +30,15 @@ existence probes and the ``JSON`` column type. Everything crossing the
 socket is genuine protocol bytes, so the client would talk to a real
 Postgres unchanged (modulo SCRAM auth, documented below).
 
+The EXTENDED query protocol (Parse/Bind/Describe/Execute/Sync) is
+implemented with text-format parameters and declared type OIDs —
+``query_params`` sends values as bound parameters outside the SQL
+string (tokio-postgres's shape), the server decodes them by OID and
+runs through the same execution core as simple queries, and errors
+discard messages until Sync per the spec's recovery rule.
+
 Not implemented (fail-loud): MD5 auth (legacy), SASLprep password
-normalization (ASCII passwords only), the extended query protocol
-(Parse/Bind/Execute; simple query inlines literals), TLS.
+normalization (ASCII passwords only), binary-format parameters, TLS.
 """
 
 from __future__ import annotations
@@ -57,6 +63,16 @@ _CANCEL_REQUEST = 80877102
 
 class PgProtocolError(MoonlinkError):
     """Malformed or unsupported protocol traffic."""
+
+
+class _PgUserError(Exception):
+    """A user-level SQL error with a sqlstate, raised by the execution
+    core and rendered as an ErrorResponse by whichever protocol (simple
+    or extended) is driving it."""
+
+    def __init__(self, sqlstate: str, message: str):
+        self.sqlstate = sqlstate
+        super().__init__(message)
 
 
 class PgServerError(MoonlinkError):
@@ -336,6 +352,65 @@ class PgWireClient:
                         raise PgServerError(err)
                     return QueryResult(cols, rows, tag)
 
+    _PARAM_OIDS = {bool: 16, int: 20, float: 701, str: 25}
+
+    def query_params(self, sql: str, params: list) -> QueryResult:
+        """One extended-protocol round trip (Parse/Bind/Describe/Execute/
+        Sync) with text-format parameters — values never ride inside the
+        SQL string, the tokio-postgres shape the reference's metadata
+        store uses. Parameter type OIDs are declared from the Python
+        types (int->int8, float->float8, bool->bool, str/None->text)."""
+        oids = [
+            self._PARAM_OIDS.get(type(v), 25) if v is not None else 25
+            for v in params
+        ]
+        parse = (
+            _cstr("")
+            + _cstr(sql)
+            + struct.pack(">h", len(oids))
+            + b"".join(struct.pack(">I", o) for o in oids)
+        )
+        bind = _cstr("") + _cstr("") + struct.pack(">h", 0)
+        bind += struct.pack(">h", len(params))
+        for v in params:
+            if v is None:
+                bind += struct.pack(">i", -1)
+            else:
+                if isinstance(v, bool):
+                    raw = (b"t" if v else b"f")
+                else:
+                    raw = str(v).encode("utf-8")
+                bind += struct.pack(">i", len(raw)) + raw
+        bind += struct.pack(">h", 0)  # result formats: all text
+        with self._lock:
+            self.sock.sendall(
+                _msg(b"P", parse)
+                + _msg(b"B", bind)
+                + _msg(b"D", b"P" + _cstr(""))
+                + _msg(b"E", _cstr("") + struct.pack(">i", 0))
+                + _msg(b"S", b"")
+            )
+            cols: list[str] = []
+            rows: list[tuple] = []
+            tag = ""
+            err: dict[str, str] | None = None
+            while True:
+                t, b = _read_msg(self._f)
+                if t == b"1" or t == b"2" or t == b"n":
+                    continue  # ParseComplete / BindComplete / NoData
+                if t == b"T":
+                    cols = self._row_description(b)
+                elif t == b"D":
+                    rows.append(self._data_row(b))
+                elif t == b"C":
+                    tag = b.rstrip(b"\x00").decode()
+                elif t == b"E":
+                    err = _error_fields(b)
+                elif t == b"Z":
+                    if err is not None:
+                        raise PgServerError(err)
+                    return QueryResult(cols, rows, tag)
+
     def copy_out(self, sql: str) -> Iterator[bytes]:
         """``COPY ... TO STDOUT``: yields raw CopyData row payloads (text
         format, newline-terminated). The generator must be fully consumed
@@ -534,17 +609,21 @@ class PgMockServer:
             conn.execute("PRAGMA busy_timeout = 30000")
             conn.execute("PRAGMA journal_mode = WAL")  # concurrent readers
             state: dict[str, Any] = {"snapshot": None}
+            ext: dict[str, Any] = {"stmts": {}, "portals": {}, "failed": False}
             try:
                 while True:
                     t, body = _read_msg(f)
                     if t == b"X":
                         return
-                    if t != b"Q":
-                        sock.sendall(self._err("08P01", f"unexpected {t!r}"))
-                        sock.sendall(_msg(b"Z", b"I"))
+                    if t == b"Q":
+                        sql = body.rstrip(b"\x00").decode("utf-8")
+                        self._run_query(sock, conn, sql, state)
                         continue
-                    sql = body.rstrip(b"\x00").decode("utf-8")
-                    self._run_query(sock, conn, sql, state)
+                    if t in (b"P", b"B", b"D", b"E", b"C", b"H", b"S"):
+                        self._run_extended(sock, conn, t, body, state, ext)
+                        continue
+                    sock.sendall(self._err("08P01", f"unexpected {t!r}"))
+                    sock.sendall(_msg(b"Z", b"I"))
             finally:
                 conn.close()
         except (ConnectionError, OSError):
@@ -672,6 +751,8 @@ class PgMockServer:
                 )
             else:
                 self._run_simple(sock, conn, sql, state)
+        except _PgUserError as e:
+            sock.sendall(self._err(e.sqlstate, str(e)))
         except sqlite3.Error as e:
             code = (
                 "23505"  # unique_violation — the row-count/PK contract
@@ -683,9 +764,183 @@ class PgMockServer:
             sock.sendall(self._err("XX000", str(e)))
         sock.sendall(_msg(b"Z", b"I"))
 
+    # -- extended query protocol (Parse/Bind/Describe/Execute/Sync) ----------
+
+    def _run_extended(
+        self, sock, conn, t: bytes, body: bytes, state, ext
+    ) -> None:
+        """One extended-protocol message. After an error, everything
+        until Sync is discarded (the spec's error-recovery rule); Sync
+        answers ReadyForQuery and clears the failed flag."""
+        if t == b"S":  # Sync
+            ext["failed"] = False
+            sock.sendall(_msg(b"Z", b"I"))
+            return
+        if ext["failed"]:
+            return  # skip-until-Sync
+        try:
+            if t == b"P":
+                self._ext_parse(sock, body, ext)
+            elif t == b"B":
+                self._ext_bind(sock, body, ext)
+            elif t == b"D":
+                self._ext_describe(sock, conn, body, state, ext)
+            elif t == b"E":
+                self._ext_execute(sock, conn, body, state, ext)
+            elif t == b"C":  # Close statement/portal
+                kind, name = chr(body[0]), body[1:].split(b"\x00")[0].decode()
+                (ext["stmts"] if kind == "S" else ext["portals"]).pop(
+                    name, None
+                )
+                sock.sendall(_msg(b"3", b""))  # CloseComplete
+            elif t == b"H":  # Flush: no-op (we never buffer)
+                pass
+        except _PgUserError as e:
+            ext["failed"] = True
+            sock.sendall(self._err(e.sqlstate, str(e)))
+        except sqlite3.Error as e:
+            ext["failed"] = True
+            code = (
+                "23505" if "UNIQUE constraint" in str(e) else "42601"
+            )
+            sock.sendall(self._err(code, str(e)))
+        except Exception as e:  # noqa: BLE001 — protocol boundary
+            ext["failed"] = True
+            sock.sendall(self._err("XX000", str(e)))
+
+    @staticmethod
+    def _ext_parse(sock, body: bytes, ext) -> None:
+        # stmt name \0 query \0 int16 nparam-oids + oids
+        z1 = body.index(b"\x00")
+        z2 = body.index(b"\x00", z1 + 1)
+        name = body[:z1].decode()
+        query = body[z1 + 1 : z2].decode("utf-8")
+        (n,) = struct.unpack_from(">h", body, z2 + 1)
+        oids = list(
+            struct.unpack_from(f">{n}I", body, z2 + 3)
+        ) if n else []
+        ext["stmts"][name] = (query, oids)
+        sock.sendall(_msg(b"1", b""))  # ParseComplete
+
+    @staticmethod
+    def _decode_param(raw: bytes | None, oid: int):
+        """Text-format parameter -> Python value by declared type OID
+        (the client sends OIDs in Parse, like tokio-postgres)."""
+        if raw is None:
+            return None
+        text = raw.decode("utf-8")
+        if oid in (20, 21, 23):  # int8/int2/int4
+            return int(text)
+        if oid in (700, 701, 1700):  # float4/float8/numeric
+            return float(text)
+        if oid == 16:  # bool
+            return text in ("t", "true", "TRUE", "1")
+        return text  # text/varchar/json/unknown: bind as string
+
+    def _ext_bind(self, sock, body: bytes, ext) -> None:
+        z1 = body.index(b"\x00")
+        z2 = body.index(b"\x00", z1 + 1)
+        portal = body[:z1].decode()
+        stmt = body[z1 + 1 : z2].decode()
+        if stmt not in ext["stmts"]:
+            raise _PgUserError("26000", f"unknown statement {stmt!r}")
+        pos = z2 + 1
+        (nfmt,) = struct.unpack_from(">h", body, pos)
+        pos += 2
+        fmts = struct.unpack_from(f">{nfmt}h", body, pos)
+        pos += 2 * nfmt
+        if any(fc != 0 for fc in fmts):
+            raise _PgUserError("0A000", "binary parameters not supported")
+        (nparams,) = struct.unpack_from(">h", body, pos)
+        pos += 2
+        raws: list[bytes | None] = []
+        for _ in range(nparams):
+            (ln,) = struct.unpack_from(">i", body, pos)
+            pos += 4
+            if ln < 0:
+                raws.append(None)
+            else:
+                raws.append(body[pos : pos + ln])
+                pos += ln
+        query, oids = ext["stmts"][stmt]
+        params = [
+            self._decode_param(raw, oids[i] if i < len(oids) else 0)
+            for i, raw in enumerate(raws)
+        ]
+        ext["portals"][portal] = {
+            "query": query,
+            "params": params,
+            "result": None,
+        }
+        sock.sendall(_msg(b"2", b""))  # BindComplete
+
+    def _ext_run_portal(self, conn, portal: dict, state) -> None:
+        """Substitute $n parameters and run through the shared execution
+        core exactly once per portal (Describe caches for Execute).
+        Values are inlined as literals server-side — safe by
+        construction: they arrived as separate protocol fields, so no
+        user-controlled quoting ever reaches the parser."""
+        if portal["result"] is not None:
+            return
+        sql = re.sub(
+            r"\$(\d+)",
+            lambda m: sql_literal(portal["params"][int(m.group(1)) - 1]),
+            portal["query"],
+        )
+        portal["result"] = self._exec_statement(conn, sql, state)
+
+    def _ext_describe(self, sock, conn, body: bytes, state, ext) -> None:
+        kind, name = chr(body[0]), body[1:].split(b"\x00")[0].decode()
+        if kind == "S":
+            query, oids = ext["stmts"].get(name, ("", []))
+            sock.sendall(  # ParameterDescription
+                _msg(
+                    b"t",
+                    struct.pack(">h", len(oids))
+                    + b"".join(struct.pack(">I", o) for o in oids),
+                )
+            )
+            sock.sendall(_msg(b"n", b""))  # NoData (cols known at Execute)
+            return
+        portal = ext["portals"].get(name)
+        if portal is None:
+            raise _PgUserError("34000", f"unknown portal {name!r}")
+        self._ext_run_portal(conn, portal, state)
+        cols, _rows, _tag = portal["result"]
+        if cols is None:
+            sock.sendall(_msg(b"n", b""))  # NoData
+        else:
+            sock.sendall(self._row_description(cols))
+
+    def _ext_execute(self, sock, conn, body: bytes, state, ext) -> None:
+        name = body.split(b"\x00")[0].decode()
+        portal = ext["portals"].get(name)
+        if portal is None:
+            raise _PgUserError("34000", f"unknown portal {name!r}")
+        self._ext_run_portal(conn, portal, state)
+        cols, rows, tag = portal["result"]
+        if cols is not None:
+            for r in rows:
+                sock.sendall(self._data_row(r))
+        sock.sendall(_msg(b"C", _cstr(tag)))
+
     def _run_simple(
         self, sock, conn, sql: str, state: dict[str, Any]
     ) -> None:
+        cols, rows, tag = self._exec_statement(conn, sql, state)
+        if cols is not None:
+            sock.sendall(self._row_description(cols))
+            for r in rows:
+                sock.sendall(self._data_row(r))
+        sock.sendall(_msg(b"C", _cstr(tag)))
+
+    def _exec_statement(
+        self, conn, sql: str, state: dict[str, Any]
+    ) -> tuple[list[str] | None, list[tuple], str]:
+        """Execution core shared by the simple AND extended protocols:
+        returns (columns-or-None, rows, CommandComplete tag); raises
+        _PgUserError for user-level SQL errors. All transaction / LSN /
+        snapshot semantics live here exactly once."""
         m = _EXPORT_SNAPSHOT_RE.match(sql)
         if m is not None:
             with_lsn = "pg_current_wal_lsn" in sql
@@ -702,20 +957,17 @@ class PgMockServer:
                 ["pg_current_wal_lsn"] if with_lsn else []
             )
             row = (snap_id,) + ((wal_lsn_str(lsn),) if with_lsn else ())
-            sock.sendall(self._row_description(cols))
-            sock.sendall(self._data_row(row))
-            sock.sendall(_msg(b"C", _cstr("SELECT 1")))
-            return
+            return cols, [row], "SELECT 1"
         if _WAL_LSN_RE.match(sql):
-            sock.sendall(self._row_description(["pg_current_wal_lsn"]))
-            sock.sendall(self._data_row((wal_lsn_str(self.lsn),)))
-            sock.sendall(_msg(b"C", _cstr("SELECT 1")))
-            return
+            return (
+                ["pg_current_wal_lsn"],
+                [(wal_lsn_str(self.lsn),)],
+                "SELECT 1",
+            )
         m = _SET_SNAPSHOT_RE.match(sql)
         if m is not None:
             state["snapshot"] = m.group(1)
-            sock.sendall(_msg(b"C", _cstr("SET")))
-            return
+            return None, [], "SET"
         sql = _INFO_SCHEMA_RE.sub(
             lambda m: "FROM (SELECT name AS table_name FROM sqlite_master "
             "WHERE type='table') WHERE table_name = "
@@ -734,8 +986,7 @@ class PgMockServer:
                 state["in_txn"] = True
                 state["reader_txn"] = True
                 state["txn_writes"] = 0
-                sock.sendall(_msg(b"C", _cstr("BEGIN")))
-                return
+                return None, [], "BEGIN"
             # writer BEGIN takes SQLite's write lock up front: a
             # deferred BEGIN upgrading to write mid-transaction can
             # hit an unwaitable SQLITE_BUSY deadlock against another
@@ -752,14 +1003,10 @@ class PgMockServer:
                 # read-only here. Silently autocommitting (there is no
                 # underlying SQLite txn) would leave a committed row the
                 # WAL counter never saw and make ROLLBACK a lie — reject.
-                sock.sendall(
-                    self._err(
-                        "25006",
-                        f"cannot execute {verb} in a read-only transaction",
-                    )
+                raise _PgUserError(
+                    "25006",
+                    f"cannot execute {verb} in a read-only transaction",
                 )
-                sock.sendall(_msg(b"Z", b"I"))
-                return
             if state.get("in_txn"):
                 # inside an explicit transaction the rows are invisible
                 # until COMMIT — the WAL position must not count them yet,
@@ -804,8 +1051,7 @@ class PgMockServer:
                 state.pop("txn_writes", None)
                 state.pop("in_txn", None)
                 self._clear_snapshot(conn, state)
-                sock.sendall(_msg(b"C", _cstr("COMMIT")))
-                return
+                return None, [], "COMMIT"
             with self._snap_lock:
                 cur = conn.execute(sql)
                 self.lsn += state.pop("txn_writes", 0)
@@ -816,28 +1062,24 @@ class PgMockServer:
                 state.pop("txn_writes", None)
                 state.pop("in_txn", None)
                 self._clear_snapshot(conn, state)
-                sock.sendall(_msg(b"C", _cstr("ROLLBACK")))
-                return
+                return None, [], "ROLLBACK"
             cur = conn.execute(sql)
             state.pop("txn_writes", None)
             if state.pop("in_txn", False):
                 self._clear_snapshot(conn, state)
         else:
             cur = conn.execute(sql)
-        rows = cur.fetchall() if cur.description is not None else []
         if cur.description is not None:
+            rows = cur.fetchall()
             cols = [d[0] for d in cur.description]
-            sock.sendall(self._row_description(cols))
-            for r in rows:
-                sock.sendall(self._data_row(r))
-            tag = f"SELECT {len(rows)}"
-        elif verb == "INSERT":
+            return cols, rows, f"SELECT {len(rows)}"
+        if verb == "INSERT":
             tag = f"INSERT 0 {max(cur.rowcount, 0)}"
         elif verb in ("UPDATE", "DELETE"):
             tag = f"{verb} {max(cur.rowcount, 0)}"
         else:
             tag = verb or "OK"
-        sock.sendall(_msg(b"C", _cstr(tag)))
+        return None, [], tag
 
     # -- snapshot export (source-database role) ------------------------------
 

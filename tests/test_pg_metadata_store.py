@@ -311,3 +311,65 @@ def test_scram_metadata_store_over_scram_server(tmp_path):
         store.close()
     finally:
         srv.stop()
+
+
+# -- extended query protocol ---------------------------------------------------
+
+
+def test_extended_protocol_typed_params_and_injection_safety(tmp_path):
+    """Parse/Bind/Describe/Execute/Sync with text-format parameters:
+    typed OIDs coerce correctly, NULL binds as SQL NULL, and a value
+    full of quote metacharacters is just data — it can never terminate
+    the statement, because it rides outside the SQL string."""
+    from moonlink_spark.pg_protocol import PgMockServer, PgWireClient
+
+    srv = PgMockServer(str(tmp_path / "ext.db")).start()
+    try:
+        c = PgWireClient(srv.host, srv.port)
+        c.query("CREATE TABLE kv (id INTEGER, score REAL, ok INTEGER, v TEXT)")
+        r = c.query_params(
+            "INSERT INTO kv VALUES ($1, $2, $3, $4)",
+            [7, 2.5, True, "it's'); DROP TABLE kv; --"],
+        )
+        assert r.tag == "INSERT 0 1"
+        r = c.query_params(
+            "SELECT id, score, v FROM kv WHERE id = $1", [7]
+        )
+        assert r.columns == ["id", "score", "v"]
+        assert r.rows == [("7", "2.5", "it's'); DROP TABLE kv; --")]
+        # the table survived the hostile value (it was data, not SQL)
+        assert c.query("SELECT COUNT(*) AS n FROM kv").rows == [("1",)]
+        # NULL parameter
+        c.query_params("INSERT INTO kv VALUES ($1, $2, $3, $4)",
+                       [8, None, False, None])
+        r = c.query_params("SELECT v FROM kv WHERE id = $1", [8])
+        assert r.rows == [(None,)]
+        c.close()
+    finally:
+        srv.stop()
+
+
+def test_extended_protocol_error_recovers_at_sync(tmp_path):
+    """An error mid-exchange discards messages until Sync (the spec's
+    recovery rule); the connection then works normally."""
+    from moonlink_spark.pg_protocol import (
+        PgMockServer,
+        PgServerError,
+        PgWireClient,
+    )
+
+    srv = PgMockServer(str(tmp_path / "exterr.db")).start()
+    try:
+        c = PgWireClient(srv.host, srv.port)
+        c.query("CREATE TABLE t (id INTEGER PRIMARY KEY)")
+        c.query_params("INSERT INTO t VALUES ($1)", [1])
+        with pytest.raises(PgServerError, match="23505"):
+            c.query_params("INSERT INTO t VALUES ($1)", [1])  # dup PK
+        # connection recovered: both protocols still work
+        assert c.query_params(
+            "SELECT COUNT(*) AS n FROM t", []
+        ).rows == [("1",)]
+        assert c.query("SELECT COUNT(*) AS n FROM t").rows == [("1",)]
+        c.close()
+    finally:
+        srv.stop()
