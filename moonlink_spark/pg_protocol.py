@@ -35,10 +35,12 @@ implemented with text-format parameters and declared type OIDs —
 ``query_params`` sends values as bound parameters outside the SQL
 string (tokio-postgres's shape), the server decodes them by OID and
 runs through the same execution core as simple queries, and errors
-discard messages until Sync per the spec's recovery rule.
+discard messages until Sync per the spec's recovery rule. Both bind
+formats are accepted: text (this client's) and binary (tokio-postgres's
+default — big-endian ints/floats, one-byte bools).
 
 Not implemented (fail-loud): MD5 auth (legacy), SASLprep password
-normalization (ASCII passwords only), binary-format parameters, TLS.
+normalization (ASCII passwords only), TLS.
 """
 
 from __future__ import annotations
@@ -823,11 +825,24 @@ class PgMockServer:
         sock.sendall(_msg(b"1", b""))  # ParseComplete
 
     @staticmethod
-    def _decode_param(raw: bytes | None, oid: int):
-        """Text-format parameter -> Python value by declared type OID
-        (the client sends OIDs in Parse, like tokio-postgres)."""
+    def _decode_param(raw: bytes | None, oid: int, fmt: int = 0):
+        """Bind parameter -> Python value by declared type OID. Both
+        wire formats are accepted: text (format 0 — what our client
+        sends) and binary (format 1 — what tokio-postgres, the
+        reference's driver, sends by default: big-endian ints/floats,
+        one-byte bools, UTF-8 text)."""
         if raw is None:
             return None
+        if fmt == 1:  # binary
+            if oid in (20, 21, 23):  # int8/int2/int4, big-endian signed
+                return int.from_bytes(raw, "big", signed=True)
+            if oid == 700:
+                return struct.unpack(">f", raw)[0]
+            if oid == 701:
+                return struct.unpack(">d", raw)[0]
+            if oid == 16:
+                return raw != b"\x00"
+            return raw.decode("utf-8")  # text/varchar/json
         text = raw.decode("utf-8")
         if oid in (20, 21, 23):  # int8/int2/int4
             return int(text)
@@ -847,10 +862,8 @@ class PgMockServer:
         pos = z2 + 1
         (nfmt,) = struct.unpack_from(">h", body, pos)
         pos += 2
-        fmts = struct.unpack_from(f">{nfmt}h", body, pos)
+        fmts = list(struct.unpack_from(f">{nfmt}h", body, pos))
         pos += 2 * nfmt
-        if any(fc != 0 for fc in fmts):
-            raise _PgUserError("0A000", "binary parameters not supported")
         (nparams,) = struct.unpack_from(">h", body, pos)
         pos += 2
         raws: list[bytes | None] = []
@@ -863,8 +876,18 @@ class PgMockServer:
                 raws.append(body[pos : pos + ln])
                 pos += ln
         query, oids = ext["stmts"][stmt]
+
+        # per the spec: zero format codes = all text; one = applies to
+        # every parameter; else one per parameter
+        def fmt_of(i: int) -> int:
+            if not fmts:
+                return 0
+            return fmts[0] if len(fmts) == 1 else fmts[i]
+
         params = [
-            self._decode_param(raw, oids[i] if i < len(oids) else 0)
+            self._decode_param(
+                raw, oids[i] if i < len(oids) else 0, fmt_of(i)
+            )
             for i, raw in enumerate(raws)
         ]
         ext["portals"][portal] = {

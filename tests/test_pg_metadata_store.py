@@ -373,3 +373,59 @@ def test_extended_protocol_error_recovers_at_sync(tmp_path):
         c.close()
     finally:
         srv.stop()
+
+
+def test_extended_protocol_binary_format_params(tmp_path):
+    """Binary-format bind parameters (format code 1 — tokio-postgres's
+    default): big-endian ints/doubles, one-byte bools, UTF-8 text, all
+    decoded by declared OID. Driven with hand-built Bind messages since
+    our own client sends text."""
+    import socket as _socket
+    import struct
+
+    from moonlink_spark.pg_protocol import (
+        PgMockServer,
+        PgWireClient,
+        _cstr,
+        _msg,
+        _read_msg,
+    )
+
+    srv = PgMockServer(str(tmp_path / "bin.db")).start()
+    try:
+        c = PgWireClient(srv.host, srv.port)
+        c.query("CREATE TABLE b (id INTEGER, score REAL, ok INTEGER, v TEXT)")
+        # Parse with OIDs int8, float8, bool, text
+        parse = (
+            _cstr("") + _cstr("INSERT INTO b VALUES ($1, $2, $3, $4)")
+            + struct.pack(">h", 4)
+            + struct.pack(">IIII", 20, 701, 16, 25)
+        )
+        vals = [
+            (42).to_bytes(8, "big", signed=True),
+            struct.pack(">d", 1.75),
+            b"\x01",
+            "héllo".encode("utf-8"),
+        ]
+        bind = _cstr("") + _cstr("") + struct.pack(">hh", 1, 1)  # all binary
+        bind += struct.pack(">h", 4)
+        for raw in vals:
+            bind += struct.pack(">i", len(raw)) + raw
+        bind += struct.pack(">h", 0)
+        c.sock.sendall(
+            _msg(b"P", parse) + _msg(b"B", bind)
+            + _msg(b"E", _cstr("") + struct.pack(">i", 0)) + _msg(b"S", b"")
+        )
+        seen = []
+        while True:
+            t, body = _read_msg(c._f)
+            seen.append(t)
+            if t == b"Z":
+                break
+            assert t != b"E", body
+        assert b"C" in seen
+        r = c.query("SELECT id, score, ok, v FROM b")
+        assert r.rows == [("42", "1.75", "1", "héllo")]
+        c.close()
+    finally:
+        srv.stop()
