@@ -39,7 +39,8 @@ discard messages until Sync per the spec's recovery rule. Both bind
 formats are accepted: text (this client's) and binary (tokio-postgres's
 default — big-endian ints/floats, one-byte bools).
 
-Not implemented (fail-loud): MD5 auth (legacy), SASLprep password
+Auth methods: trust, cleartext, MD5 (legacy salted double-hash), and
+SCRAM-SHA-256. Not implemented (fail-loud): SASLprep password
 normalization (ASCII passwords only), TLS.
 """
 
@@ -232,6 +233,20 @@ class PgWireClient:
                             "server requires a password and none was given"
                         )
                     self.sock.sendall(_msg(b"p", _cstr(password)))
+                    continue
+                if code == 5:  # MD5 password: md5(md5(pw+user)+salt)
+                    if password is None:
+                        raise PgProtocolError(
+                            "server requires a password and none was given"
+                        )
+                    import hashlib as _hl
+
+                    salt = b[4:8]
+                    inner = _hl.md5(
+                        password.encode() + user.encode()
+                    ).hexdigest()
+                    digest = _hl.md5(inner.encode() + salt).hexdigest()
+                    self.sock.sendall(_msg(b"p", _cstr("md5" + digest)))
                     continue
                 if code == 10:  # AuthenticationSASL: mechanism list
                     if password is None:
@@ -546,7 +561,7 @@ class PgMockServer:
     ):
         self.db_path = db_path
         self.password = password
-        if auth not in ("password", "scram-sha-256"):
+        if auth not in ("password", "md5", "scram-sha-256"):
             raise ValueError(f"unsupported auth mode {auth!r}")
         self.auth = auth
         if password is not None and auth == "scram-sha-256":
@@ -653,9 +668,32 @@ class PgMockServer:
             if code != _PROTO_V3:
                 sock.sendall(self._err("0A000", f"bad protocol {code}"))
                 return False
+            # startup parameters: key\0value\0...\0 — MD5 auth hashes the
+            # startup user into the inner digest, so keep it
+            kv = body[4:].split(b"\x00")
+            params = dict(zip(kv[0::2], kv[1::2]))
+            self._md5_user = params.get(b"user", b"").decode("utf-8")
             break
         if self.password is not None and self.auth == "scram-sha-256":
             if not self._scram_handshake(sock, f):
+                return False
+        elif self.password is not None and self.auth == "md5":
+            import hashlib as _hl
+            import os as _os
+
+            salt = _os.urandom(4)
+            sock.sendall(_msg(b"R", struct.pack(">I", 5) + salt))
+            t, b = _read_msg(f)
+            # the server may store just the md5(pw+user) inner hash, the
+            # pg_authid md5 verifier shape — it never needs the password
+            inner = _hl.md5(
+                self.password.encode() + self._md5_user.encode()
+            ).hexdigest()
+            want = "md5" + _hl.md5(inner.encode() + salt).hexdigest()
+            if t != b"p" or b.rstrip(b"\x00").decode() != want:
+                sock.sendall(
+                    self._err("28P01", "password authentication failed")
+                )
                 return False
         elif self.password is not None:
             sock.sendall(_msg(b"R", struct.pack(">I", 3)))  # cleartext

@@ -429,3 +429,27 @@ def test_extended_protocol_binary_format_params(tmp_path):
         c.close()
     finally:
         srv.stop()
+
+
+def test_md5_auth_end_to_end(tmp_path):
+    """Legacy MD5 auth: salted double-hash exchange; wrong password gets
+    28P01, right one authenticates and queries flow."""
+    from moonlink_spark.pg_protocol import (
+        PgMockServer,
+        PgServerError,
+        PgWireClient,
+    )
+
+    srv = PgMockServer(
+        str(tmp_path / "md5.db"), password="pw5", auth="md5"
+    ).start()
+    try:
+        c = PgWireClient(srv.host, srv.port, user="alice", password="pw5")
+        c.query("CREATE TABLE m (id INTEGER)")
+        c.query_params("INSERT INTO m VALUES ($1)", [1])
+        assert c.query("SELECT COUNT(*) AS n FROM m").rows == [("1",)]
+        c.close()
+        with pytest.raises(PgServerError, match="28P01"):
+            PgWireClient(srv.host, srv.port, user="alice", password="nope")
+    finally:
+        srv.stop()
