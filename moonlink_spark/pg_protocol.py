@@ -68,6 +68,17 @@ class PgProtocolError(MoonlinkError):
     """Malformed or unsupported protocol traffic."""
 
 
+def _sqlite_sqlstate(e: "sqlite3.Error") -> str:
+    """SQLite error -> PG sqlstate, one mapping for BOTH protocols so the
+    simple and extended paths always report the same code."""
+    msg = str(e)
+    if "UNIQUE constraint" in msg:
+        return "23505"  # unique_violation — the row-count/PK contract
+    if "NOT NULL constraint" in msg:
+        return "23502"  # not_null_violation
+    return "42601"
+
+
 class _PgUserError(Exception):
     """A user-level SQL error with a sqlstate, raised by the execution
     core and rendered as an ErrorResponse by whichever protocol (simple
@@ -276,7 +287,7 @@ class PgWireClient:
                     continue
                 raise PgProtocolError(
                     f"unsupported authentication method {code} (trust, "
-                    "cleartext and SCRAM-SHA-256 are implemented)"
+                    "cleartext, MD5 and SCRAM-SHA-256 are implemented)"
                 )
             if t == b"S":  # ParameterStatus
                 k, v = b.split(b"\x00")[:2]
@@ -672,7 +683,9 @@ class PgMockServer:
             # startup user into the inner digest, so keep it
             kv = body[4:].split(b"\x00")
             params = dict(zip(kv[0::2], kv[1::2]))
-            self._md5_user = params.get(b"user", b"").decode("utf-8")
+            # local, NOT instance state: concurrent handshakes on the
+            # threading server must not see each other's startup user
+            startup_user = params.get(b"user", b"").decode("utf-8")
             break
         if self.password is not None and self.auth == "scram-sha-256":
             if not self._scram_handshake(sock, f):
@@ -687,7 +700,7 @@ class PgMockServer:
             # the server may store just the md5(pw+user) inner hash, the
             # pg_authid md5 verifier shape — it never needs the password
             inner = _hl.md5(
-                self.password.encode() + self._md5_user.encode()
+                self.password.encode() + startup_user.encode()
             ).hexdigest()
             want = "md5" + _hl.md5(inner.encode() + salt).hexdigest()
             if t != b"p" or b.rstrip(b"\x00").decode() != want:
@@ -794,12 +807,7 @@ class PgMockServer:
         except _PgUserError as e:
             sock.sendall(self._err(e.sqlstate, str(e)))
         except sqlite3.Error as e:
-            code = (
-                "23505"  # unique_violation — the row-count/PK contract
-                if "UNIQUE constraint" in str(e)
-                else "42601"
-            )
-            sock.sendall(self._err(code, str(e)))
+            sock.sendall(self._err(_sqlite_sqlstate(e), str(e)))
         except Exception as e:  # noqa: BLE001 — protocol boundary
             sock.sendall(self._err("XX000", str(e)))
         sock.sendall(_msg(b"Z", b"I"))
@@ -840,10 +848,7 @@ class PgMockServer:
             sock.sendall(self._err(e.sqlstate, str(e)))
         except sqlite3.Error as e:
             ext["failed"] = True
-            code = (
-                "23505" if "UNIQUE constraint" in str(e) else "42601"
-            )
-            sock.sendall(self._err(code, str(e)))
+            sock.sendall(self._err(_sqlite_sqlstate(e), str(e)))
         except Exception as e:  # noqa: BLE001 — protocol boundary
             ext["failed"] = True
             sock.sendall(self._err("XX000", str(e)))
@@ -943,17 +948,33 @@ class PgMockServer:
         user-controlled quoting ever reaches the parser."""
         if portal["result"] is not None:
             return
-        sql = re.sub(
-            r"\$(\d+)",
-            lambda m: sql_literal(portal["params"][int(m.group(1)) - 1]),
-            portal["query"],
+
+        def sub(m: "re.Match[str]") -> str:
+            idx = int(m.group(1))
+            if not 1 <= idx <= len(portal["params"]):
+                raise _PgUserError(
+                    "42P02", f"there is no parameter ${idx}"
+                )
+            return sql_literal(portal["params"][idx - 1])
+
+        # substitute only OUTSIDE single-quoted string literals: real PG
+        # treats $n inside quotes as plain text (split keeps literals at
+        # odd indices; '' escapes stay inside one literal)
+        segs = re.split(r"('(?:[^']|'')*')", portal["query"])
+        sql = "".join(
+            seg if i % 2 else re.sub(r"\$(\d+)", sub, seg)
+            for i, seg in enumerate(segs)
         )
         portal["result"] = self._exec_statement(conn, sql, state)
 
     def _ext_describe(self, sock, conn, body: bytes, state, ext) -> None:
         kind, name = chr(body[0]), body[1:].split(b"\x00")[0].decode()
         if kind == "S":
-            query, oids = ext["stmts"].get(name, ("", []))
+            if name not in ext["stmts"]:
+                raise _PgUserError(
+                    "26000", f"prepared statement {name!r} does not exist"
+                )
+            query, oids = ext["stmts"][name]
             sock.sendall(  # ParameterDescription
                 _msg(
                     b"t",

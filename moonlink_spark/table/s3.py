@@ -87,7 +87,16 @@ class S3MemServer:
         # access_key -> REQUIRED x-amz-security-token value (the STS
         # temporary-credential shape); tampering is already caught by the
         # signature (the token header is signed), this checks presence +
-        # value like STS validating the token itself
+        # value like STS validating the token itself. Tokens only mean
+        # anything when the signature binds them to an access key, so
+        # requiring them WITHOUT signature verification is a
+        # misconfiguration, not a weaker mode — reject it.
+        if session_tokens and not credentials:
+            raise ValueError(
+                "session_tokens requires credentials: an unsigned request "
+                "carries an unauthenticated access-key claim, so the token "
+                "check would validate nothing"
+            )
         self.session_tokens = session_tokens
         # in-flight multipart uploads: upload_id -> {"key", "parts":
         # {part_number: (etag, bytes)}} — the CreateMultipartUpload /

@@ -453,3 +453,30 @@ def test_md5_auth_end_to_end(tmp_path):
             PgWireClient(srv.host, srv.port, user="alice", password="nope")
     finally:
         srv.stop()
+
+
+def test_extended_protocol_dollar_in_string_literal_and_bad_index(tmp_path):
+    """$n inside a quoted SQL literal is plain text (real-PG rule), and
+    referencing a parameter that was never bound is 42P02, not a crash."""
+    from moonlink_spark.pg_protocol import (
+        PgMockServer,
+        PgServerError,
+        PgWireClient,
+    )
+
+    srv = PgMockServer(str(tmp_path / "dollar.db")).start()
+    try:
+        c = PgWireClient(srv.host, srv.port)
+        c.query("CREATE TABLE d (id INTEGER, v TEXT)")
+        c.query_params(
+            "INSERT INTO d VALUES ($1, 'price in $2 units')", [1]
+        )
+        r = c.query_params("SELECT v FROM d WHERE id = $1", [1])
+        assert r.rows == [("price in $2 units",)]  # literal untouched
+        with pytest.raises(PgServerError, match="42P02"):
+            c.query_params("SELECT $1, $3", ["a", "b"])
+        # connection recovered
+        assert c.query("SELECT COUNT(*) AS n FROM d").rows == [("1",)]
+        c.close()
+    finally:
+        srv.stop()
