@@ -441,8 +441,10 @@ class PgWireClient:
 
     def copy_out(self, sql: str) -> Iterator[bytes]:
         """``COPY ... TO STDOUT``: yields raw CopyData row payloads (text
-        format, newline-terminated). The generator must be fully consumed
-        (or the connection closed) before the next query."""
+        format, newline-terminated). Abandoning the generator early is
+        safe: close() drains the remaining COPY stream to ReadyForQuery so
+        the connection lock is released in a usable state rather than held
+        until GC."""
         with self._lock:
             self.sock.sendall(_msg(b"Q", _cstr(sql)))
             t, b = _read_msg(self._f)
@@ -452,17 +454,27 @@ class PgWireClient:
                 raise PgServerError(fields)
             if t != b"H":
                 raise PgProtocolError(f"expected CopyOutResponse, got {t!r}")
-            while True:
-                t, b = _read_msg(self._f)
-                if t == b"d":
-                    yield b
-                elif t == b"c":  # CopyDone
-                    self._drain_to_ready()
-                    return
-                elif t == b"E":
-                    fields = _error_fields(b)
-                    self._drain_to_ready()
-                    raise PgServerError(fields)
+            try:
+                while True:
+                    t, b = _read_msg(self._f)
+                    if t == b"d":
+                        yield b
+                    elif t == b"c":  # CopyDone
+                        self._drain_to_ready()
+                        return
+                    elif t == b"E":
+                        fields = _error_fields(b)
+                        self._drain_to_ready()
+                        raise PgServerError(fields)
+            except GeneratorExit:
+                # consumer abandoned the stream mid-COPY: drain the rest
+                # (CopyData ... CopyDone/Error, CommandComplete, Z) so the
+                # next query on this connection starts from a clean state
+                while True:
+                    t, _ = _read_msg(self._f)
+                    if t == b"Z":
+                        break
+                raise
 
     def _drain_to_ready(self) -> None:
         while True:
@@ -1056,7 +1068,13 @@ class PgMockServer:
             + sql_literal(m.group(1)),
             sql,
         )
-        head = sql.lstrip().split(None, 1)
+        # Strip trailing semicolons before verb extraction: an external
+        # client sending 'BEGIN;'/'COMMIT;' must hit the in_txn tracking
+        # and the snap-lock-guarded LSN bump, not fall through to the
+        # bare execute path (which would commit writes the WAL counter
+        # never counts and let a snapshot boundary LSN miscover rows).
+        sql = sql.strip().rstrip(";").rstrip()
+        head = sql.split(None, 1)
         verb = head[0].upper() if head else ""
         if verb == "BEGIN":
             if "ISOLATION" in sql.upper():

@@ -159,6 +159,13 @@ def produce_df_avro(
             last = max(last, off)
         base_offset = last + 1
 
+    # Per-invocation run id: the driver publishes ONLY this run's staged
+    # files below. Without it, an orphaned _pending-* from a produce that
+    # crashed between staging and publish would be grouped with the next
+    # invocation's segment and the keep-one rule could silently discard
+    # real data from either side.
+    run_id = uuid.uuid4().hex[:12]
+
     def _write_partition(rows) -> None:
         from pyspark import TaskContext
 
@@ -168,7 +175,7 @@ def produce_df_avro(
         n = 0
         for r in rows:
             if fh is None:
-                name = f"p{pid:05d}-{uuid.uuid4().hex[:12]}.log"
+                name = f"p{pid:05d}-r{run_id}-{uuid.uuid4().hex[:12]}.log"
                 final = os.path.join(qdir, f"_pending-{name}")
                 tmp = os.path.join(qdir, f"_stage-{name}")
                 fh = open(tmp, "wb")
@@ -190,13 +197,28 @@ def produce_df_avro(
 
     # Driver-side publish: all tasks have completed, so every partition's
     # staged segment exists. Publish in ascending pid (= ascending offset)
-    # order; keep ONE staged file per partition (task retries leave
-    # byte-identical duplicates — same deterministic input partition).
+    # order; keep ONE staged file per (partition, THIS run) — task retries
+    # leave byte-identical duplicates (same deterministic input partition),
+    # so dropping extras is safe only within a run. Foreign _pending-*
+    # files (an earlier produce that crashed before publishing) are
+    # quarantined, never unlinked: their data may differ and discarding
+    # one silently would be data loss.
     by_pid: dict[int, list[str]] = {}
+    run_tag = f"-r{run_id}-"
     for name in os.listdir(qdir):
-        if name.startswith("_pending-p"):
-            pid = int(name[len("_pending-p"):len("_pending-p") + 5])
-            by_pid.setdefault(pid, []).append(name)
+        if not name.startswith("_pending-p"):
+            continue
+        if run_tag not in name:
+            os.replace(
+                os.path.join(qdir, name),
+                os.path.join(qdir, "_orphan-" + name[len("_pending-"):]),
+            )
+            continue
+        # pid is everything between '_pending-p' and the first '-'
+        # (NOT a fixed-width slice: pid >= 100000 formats as 6+ digits
+        # under {pid:05d} and a 5-char slice would mis-group it)
+        pid = int(name[len("_pending-p"):].split("-", 1)[0])
+        by_pid.setdefault(pid, []).append(name)
     for pid in sorted(by_pid):
         names = sorted(by_pid[pid])
         keep = names[0]

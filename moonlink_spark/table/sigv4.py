@@ -171,6 +171,25 @@ def verify_request(
     if hashlib.sha256(payload).hexdigest() != claimed_payload:
         return False, "XAmzContentSHA256Mismatch"
 
+    # Real-S3 rules the mock must share or a captured request replays:
+    # host, x-amz-date and x-amz-content-sha256 MUST be covered by the
+    # signature (a request signing zero meaningful headers proves
+    # nothing), and x-amz-date must be within the 15-minute acceptance
+    # window real S3 enforces.
+    signed_set = set(parsed_auth["signed_headers"].split(";"))
+    for required in ("host", "x-amz-date", "x-amz-content-sha256"):
+        if required not in signed_set:
+            return False, "SignatureDoesNotMatch"
+    try:
+        req_ts = dt.datetime.strptime(
+            lower.get("x-amz-date", ""), "%Y%m%dT%H%M%SZ"
+        ).replace(tzinfo=dt.timezone.utc)
+    except ValueError:
+        return False, "InvalidRequest"
+    now = dt.datetime.now(dt.timezone.utc)
+    if abs((now - req_ts).total_seconds()) > 900:
+        return False, "RequestTimeTooSkewed"
+
     parsed = urllib.parse.urlsplit(path_and_query)
     canonical_uri = _uri_encode(
         urllib.parse.unquote(parsed.path or "/"), keep_slash=True

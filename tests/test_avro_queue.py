@@ -318,3 +318,38 @@ def test_producer_publish_order_and_retry_dedup(spark, tmp_path):
     shutil.copy(_os.path.join(qdir, seg),
                 _os.path.join(qdir, "_pending-p99999-deadbeef.log"))
     assert len(list(iter_queue(qdir))) == 100
+
+
+def test_orphaned_pending_segment_quarantined_not_merged(spark, tmp_path):
+    """ADVICE r6: an orphaned _pending-* file (a produce that crashed
+    between staging and the driver publish) must NOT be grouped with the
+    next invocation's staged files — the keep-one rule would silently
+    discard real data from one side. It is quarantined as _orphan-*
+    with bytes intact; the new produce publishes all its own rows."""
+    import os
+
+    from moonlink_spark.sources.queue import produce_df_avro
+
+    schema = {
+        "type": "record",
+        "name": "ev",
+        "fields": [{"name": "id", "type": "long"}],
+    }
+    qdir = tmp_path / "q"
+    qdir.mkdir()
+    orphan_bytes = b"\x00" * 64  # content is opaque; only survival matters
+    orphan = qdir / "_pending-p00000-deadbeefcafe.log"
+    orphan.write_bytes(orphan_bytes)
+
+    df = spark.range(0, 100, 1, 4).selectExpr("id")
+    produce_df_avro(df, str(qdir), schema, key_col="id")
+
+    names = sorted(os.listdir(qdir))
+    assert not [n for n in names if n.startswith("_pending-")]
+    quarantined = [n for n in names if n.startswith("_orphan-")]
+    assert quarantined == ["_orphan-p00000-deadbeefcafe.log"]
+    assert (qdir / quarantined[0]).read_bytes() == orphan_bytes
+    # every row of the NEW produce is present (nothing was discarded
+    # by being grouped with the orphan)
+    got = {m[0] for m in iter_queue(str(qdir))}
+    assert len(got) == 100

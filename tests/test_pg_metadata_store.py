@@ -480,3 +480,66 @@ def test_extended_protocol_dollar_in_string_literal_and_bad_index(tmp_path):
         c.close()
     finally:
         srv.stop()
+
+
+def test_semicolon_terminated_txn_verbs_bump_lsn(tmp_path):
+    """ADVICE r6: 'BEGIN;'/'COMMIT;' (external clients terminate with
+    ';') must hit in_txn tracking and the LSN bump, not the bare execute
+    path — otherwise committed writes are invisible to the WAL counter
+    and a snapshot boundary LSN can miscover rows."""
+    from moonlink_spark.pg_protocol import PgMockServer, PgWireClient
+
+    srv = PgMockServer(str(tmp_path / "semi.db")).start()
+    try:
+        c = PgWireClient(srv.host, srv.port)
+        c.query("CREATE TABLE s (id INTEGER);")
+        lsn0 = int(
+            c.query("SELECT pg_current_wal_lsn()").rows[0][0]
+            .split("/")[1], 16,
+        )
+        c.query("BEGIN;")
+        c.query("INSERT INTO s VALUES (1);")
+        c.query("INSERT INTO s VALUES (2);")
+        c.query("COMMIT;")
+        lsn1 = int(
+            c.query("SELECT pg_current_wal_lsn()").rows[0][0]
+            .split("/")[1], 16,
+        )
+        assert lsn1 - lsn0 == 2  # both writes counted at COMMIT
+        assert c.query("SELECT COUNT(*) AS n FROM s;").rows == [("2",)]
+        # ROLLBACK; with a semicolon must also be tracked
+        c.query("BEGIN;")
+        c.query("INSERT INTO s VALUES (3);")
+        c.query("ROLLBACK;")
+        assert c.query("SELECT COUNT(*) AS n FROM s").rows == [("2",)]
+        c.close()
+    finally:
+        srv.stop()
+
+
+def test_copy_out_abandoned_generator_releases_lock(tmp_path):
+    """ADVICE r6: abandoning copy_out() mid-stream must drain the COPY
+    protocol and release the connection lock — the next query on the
+    same client must work instead of deadlocking until GC."""
+    from moonlink_spark.pg_protocol import PgMockServer, PgWireClient
+
+    srv = PgMockServer(str(tmp_path / "copyab.db")).start()
+    try:
+        c = PgWireClient(srv.host, srv.port)
+        c.query("CREATE TABLE big (id INTEGER, v TEXT)")
+        c.query(
+            "INSERT INTO big WITH RECURSIVE g(x) AS "
+            "(SELECT 1 UNION ALL SELECT x + 1 FROM g WHERE x < 5000) "
+            "SELECT x, 'v' || x FROM g"
+        )
+        gen = c.copy_out("COPY (SELECT * FROM big) TO STDOUT")
+        first = next(gen)
+        assert first.startswith(b"1\t")
+        gen.close()  # abandon with thousands of rows unread
+        # the connection (and its lock) must be immediately usable
+        assert c.query(
+            "SELECT COUNT(*) AS n FROM big"
+        ).rows == [("5000",)]
+        c.close()
+    finally:
+        srv.stop()
