@@ -348,12 +348,20 @@ class PgMetadataStore:
         user: str = "moonlink",
         database: str = "postgres",
         password: str | None = None,
+        sslmode: str | None = None,
+        ssl_ca_file: str | None = None,
     ):
         from moonlink_spark.pg_protocol import PgWireClient
 
         self._lock = threading.Lock()
         self._client = PgWireClient(
-            host, port, user=user, database=database, password=password
+            host,
+            port,
+            user=user,
+            database=database,
+            password=password,
+            sslmode=sslmode,
+            ssl_ca_file=ssl_ca_file,
         )
 
     def close(self) -> None:

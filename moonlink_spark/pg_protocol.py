@@ -10,8 +10,11 @@ implemented against the PUBLIC protocol layout (postgresql.org/docs/
 current/protocol-message-formats.html):
 
 - startup: ``[len:4][196608:4][key\\0value\\0...\\0]`` (no type byte);
-  SSLRequest (80877103) is answered ``N`` (not supported) and the
-  client continues in cleartext, tokio-postgres's sslmode=prefer shape;
+  SSLRequest (80877103) is answered ``S`` + TLS handshake when the
+  server holds a cert (real PG ssl=on), else ``N`` and the client may
+  continue cleartext. The client side implements libpq's sslmode
+  ladder (disable/prefer/require/verify-ca/verify-full) with a
+  pinned-CA context (``tlsutil.py``);
 - auth: ``R`` code 0 = AuthenticationOk; code 3 = cleartext password,
   answered with a ``p`` PasswordMessage; codes 10/11/12 = the SASL
   exchange, speaking SCRAM-SHA-256 (RFC 5802/7677 — PG's default since
@@ -41,7 +44,7 @@ default — big-endian ints/floats, one-byte bools).
 
 Auth methods: trust, cleartext, MD5 (legacy salted double-hash), and
 SCRAM-SHA-256. Not implemented (fail-loud): SASLprep password
-normalization (ASCII passwords only), TLS.
+normalization (ASCII passwords only).
 """
 
 from __future__ import annotations
@@ -51,6 +54,7 @@ import re
 import socket
 import socketserver
 import sqlite3
+import ssl as _ssl
 import struct
 import threading
 import uuid
@@ -212,13 +216,72 @@ class PgWireClient:
         database: str = "postgres",
         password: str | None = None,
         timeout_s: float = 10.0,
+        sslmode: str | None = None,
+        ssl_ca_file: str | None = None,
+        ssl_server_hostname: str | None = None,
     ):
+        # libpq's documented environment defaults (PGSSLMODE /
+        # PGSSLROOTCERT) apply when the caller passes nothing — the
+        # deployment knob every PG client container already understands
+        if sslmode is None:
+            sslmode = os.environ.get("PGSSLMODE", "disable")
+        if ssl_ca_file is None:
+            ssl_ca_file = os.environ.get("PGSSLROOTCERT") or None
+        if sslmode not in (
+            "disable", "prefer", "require", "verify-ca", "verify-full"
+        ):
+            raise ValueError(f"unsupported sslmode {sslmode!r}")
         self._lock = threading.Lock()
         self.sock = socket.create_connection((host, port), timeout=timeout_s)
         self.sock.settimeout(timeout_s)
+        # RFC 5929 tls-server-end-point data once TLS is up (consumed by
+        # SCRAM-SHA-256-PLUS channel binding); None on cleartext
+        self._tls_cert_der: bytes | None = None
+        if sslmode != "disable":
+            self._tls_negotiate(
+                sslmode, host, ssl_ca_file, ssl_server_hostname
+            )
         self._f = self.sock.makefile("rb")
         self.parameters: dict[str, str] = {}
         self._startup(user, database, password)
+
+    def _tls_negotiate(
+        self,
+        sslmode: str,
+        host: str,
+        ca_file: str | None,
+        server_hostname: str | None,
+    ) -> None:
+        """libpq's SSLRequest dance: 8-byte frame, one-byte answer,
+        then the TLS handshake on the same socket. Verification follows
+        libpq's sslmode ladder — require = encrypt (chain-verified only
+        when a CA is pinned), verify-ca = chain, verify-full = chain +
+        hostname; prefer falls back to cleartext on 'N'."""
+        self.sock.sendall(struct.pack(">II", 8, _SSL_REQUEST))
+        answer = self.sock.recv(1)
+        if answer == b"N":
+            if sslmode == "prefer":
+                return  # continue in cleartext, libpq's prefer shape
+            raise PgProtocolError(
+                f"server refused TLS and sslmode={sslmode} requires it"
+            )
+        if answer != b"S":
+            raise PgProtocolError(f"bad SSLRequest answer {answer!r}")
+        if sslmode == "require" and ca_file is None:
+            ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_CLIENT)
+            ctx.minimum_version = _ssl.TLSVersion.TLSv1_2
+            ctx.check_hostname = False
+            ctx.verify_mode = _ssl.CERT_NONE
+        else:
+            from moonlink_spark.tlsutil import client_context
+
+            ctx = client_context(
+                ca_file, check_hostname=(sslmode == "verify-full")
+            )
+        self.sock = ctx.wrap_socket(
+            self.sock, server_hostname=server_hostname or host
+        )
+        self._tls_cert_der = self.sock.getpeercert(binary_form=True)
 
     def _startup(self, user: str, database: str, password: str | None) -> None:
         params = b"".join(
@@ -581,9 +644,23 @@ class PgMockServer:
         port: int = 0,
         password: str | None = None,
         auth: str = "password",
+        ssl_cert: str | None = None,
+        ssl_key: str | None = None,
     ):
         self.db_path = db_path
         self.password = password
+        # TLS: with a cert/key pair the server answers SSLRequest with
+        # 'S' and upgrades the connection (real PG's ssl=on); without,
+        # 'N' and the client may continue cleartext (ssl=off).
+        self._ssl_ctx: _ssl.SSLContext | None = None
+        self._cert_der: bytes | None = None
+        if ssl_cert is not None:
+            from moonlink_spark.tlsutil import server_context
+
+            self._ssl_ctx = server_context(ssl_cert, ssl_key or ssl_cert)
+            with open(ssl_cert, "rb") as fh:
+                pem = fh.read()
+            self._cert_der = _ssl.PEM_cert_to_DER_cert(pem.decode())
         if auth not in ("password", "md5", "scram-sha-256"):
             raise ValueError(f"unsupported auth mode {auth!r}")
         self.auth = auth
@@ -642,8 +719,12 @@ class PgMockServer:
     def _serve_conn(self, sock: socket.socket) -> None:
         f = sock.makefile("rb")
         try:
-            if not self._handshake(sock, f):
+            upgraded = self._handshake(sock, f)
+            if upgraded is None:
                 return
+            # the handshake may have upgraded the connection to TLS —
+            # everything from the startup packet on rides the new socket
+            sock, f = upgraded
             conn = sqlite3.connect(self.db_path, timeout=30.0)
             conn.isolation_level = None  # explicit BEGIN/COMMIT pass through
             conn.execute("PRAGMA busy_timeout = 30000")
@@ -675,22 +756,35 @@ class PgMockServer:
             except OSError:
                 pass
 
-    def _handshake(self, sock, f) -> bool:
+    def _handshake(self, sock, f):
+        """Startup + auth. Returns (sock, f) — possibly TLS-upgraded —
+        on success, None on any refusal/disconnect."""
         while True:
             head = f.read(4)
             if len(head) < 4:
-                return False
+                return None
             (n,) = struct.unpack(">I", head)
             body = f.read(n - 4)
             (code,) = struct.unpack_from(">I", body, 0)
             if code == _SSL_REQUEST:
-                sock.sendall(b"N")  # TLS not supported; client may continue
+                if self._ssl_ctx is None:
+                    sock.sendall(b"N")  # no TLS; client may continue
+                    continue
+                # 'S' then the TLS handshake on the same socket (real
+                # PG's ssl=on). The read-ahead buffer is empty here: the
+                # client waits for this byte before its ClientHello.
+                sock.sendall(b"S")
+                try:
+                    sock = self._ssl_ctx.wrap_socket(sock, server_side=True)
+                except _ssl.SSLError:
+                    return None
+                f = sock.makefile("rb")
                 continue
             if code == _CANCEL_REQUEST:
-                return False
+                return None
             if code != _PROTO_V3:
                 sock.sendall(self._err("0A000", f"bad protocol {code}"))
-                return False
+                return None
             # startup parameters: key\0value\0...\0 — MD5 auth hashes the
             # startup user into the inner digest, so keep it
             kv = body[4:].split(b"\x00")
@@ -701,7 +795,7 @@ class PgMockServer:
             break
         if self.password is not None and self.auth == "scram-sha-256":
             if not self._scram_handshake(sock, f):
-                return False
+                return None
         elif self.password is not None and self.auth == "md5":
             import hashlib as _hl
             import os as _os
@@ -719,7 +813,7 @@ class PgMockServer:
                 sock.sendall(
                     self._err("28P01", "password authentication failed")
                 )
-                return False
+                return None
         elif self.password is not None:
             sock.sendall(_msg(b"R", struct.pack(">I", 3)))  # cleartext
             t, b = _read_msg(f)
@@ -727,14 +821,14 @@ class PgMockServer:
                 sock.sendall(
                     self._err("28P01", "password authentication failed")
                 )
-                return False
+                return None
         sock.sendall(_msg(b"R", struct.pack(">I", 0)))  # AuthenticationOk
         sock.sendall(
             _msg(b"S", _cstr("server_version") + _cstr("16.0 (moonlink-mock)"))
         )
         sock.sendall(_msg(b"K", struct.pack(">II", os.getpid(), 0)))
         sock.sendall(_msg(b"Z", b"I"))
-        return True
+        return sock, f
 
     def _scram_handshake(self, sock, f) -> bool:
         """Server side of RFC 5802 over the PG SASL messages: R code 10

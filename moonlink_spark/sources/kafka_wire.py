@@ -57,7 +57,10 @@ way a real broker does; clients re-authenticate transparently on every
 reconnect, so broker drops mid-stream never leave a connection
 half-authed.
 
-Not implemented (fail-loud or out of scope): TLS, transactions
+Implemented: TLS (implicit on the port, a real broker's
+``security.protocol=SSL`` — broker wraps every accepted connection,
+clients verify against a pinned CA via ``tlsutil.client_context``).
+Not implemented (fail-loud or out of scope): transactions
 and idempotent producer ids (producerId is -1 throughout), snappy/lz4/
 zstd codecs (gzip only — the others need non-stdlib libraries).
 """
@@ -525,7 +528,17 @@ class KafkaWireBroker:
         drop_every: int = 0,
         rebalance_timeout_s: float = 2.0,
         sasl_credentials: dict[str, str] | None = None,
+        ssl_cert: str | None = None,
+        ssl_key: str | None = None,
     ):
+        # TLS: with a cert/key the broker is TLS-only on its port
+        # (security.protocol=SSL — implicit TLS, no STARTTLS in Kafka);
+        # plaintext clients fail the handshake and are dropped
+        self._ssl_ctx = None
+        if ssl_cert is not None:
+            from moonlink_spark.tlsutil import server_context
+
+            self._ssl_ctx = server_context(ssl_cert, ssl_key or ssl_cert)
         # username -> password; when set, every connection must complete
         # SaslHandshake(PLAIN) + SaslAuthenticate before any other API
         # (ApiVersions excepted, as on a real broker) — unauthenticated
@@ -607,6 +620,13 @@ class KafkaWireBroker:
     # -- connection loop ------------------------------------------------------
 
     def _serve_conn(self, sock: socket.socket) -> None:
+        if self._ssl_ctx is not None:
+            import ssl as _ssl
+
+            try:
+                sock = self._ssl_ctx.wrap_socket(sock, server_side=True)
+            except (_ssl.SSLError, ConnectionError, OSError):
+                return  # plaintext or untrusting client: drop
         f = sock.makefile("rb")
         # per-connection SASL state: the session-authentication model of
         # a real broker (handshake + authenticate gate every later API)
@@ -1005,7 +1025,21 @@ class _WireConn:
         retries: int = 3,
         backoff_s: float = 0.05,
         sasl_plain: tuple[str, str] | None = None,
+        ssl_ca_file: str | None = None,
+        tls: bool | None = None,
     ):
+        # tls=None resolves, in order: explicit CA pin -> the
+        # MOONLINK_KAFKA_SECURITY_PROTOCOL env var (values SSL /
+        # SASL_SSL, rdkafka's security.protocol names) -> off. tls=True
+        # without a CA verifies against the system trust store
+        # (tlsutil.client_context honors SSL_CERT_FILE).
+        if tls is None:
+            proto = os.environ.get(
+                "MOONLINK_KAFKA_SECURITY_PROTOCOL", ""
+            ).upper()
+            tls = ssl_ca_file is not None or proto in ("SSL", "SASL_SSL")
+        self.tls = tls
+        self.ssl_ca_file = ssl_ca_file
         self.host = host
         self.port = port
         self.client_id = client_id
@@ -1026,6 +1060,13 @@ class _WireConn:
             (self.host, self.port), self.timeout_s
         )
         self.sock.settimeout(self.timeout_s)
+        if self.tls:
+            from moonlink_spark.tlsutil import client_context
+
+            ctx = client_context(self.ssl_ca_file)
+            self.sock = ctx.wrap_socket(
+                self.sock, server_hostname=self.host
+            )
         self.f = self.sock.makefile("rb")
         if self.sasl_plain is not None:
             self._sasl_auth()
@@ -1132,9 +1173,11 @@ class KafkaWireProducer:
         retries: int = 3,
         compression: str | None = None,
         sasl_plain: tuple[str, str] | None = None,
+        ssl_ca_file: str | None = None,
     ):
         self._conn = _WireConn(
-            host, port, client_id, timeout_s, retries, sasl_plain=sasl_plain
+            host, port, client_id, timeout_s, retries,
+            sasl_plain=sasl_plain, ssl_ca_file=ssl_ca_file,
         )
         self.at_least_once = at_least_once
         self.compression = compression
@@ -1188,8 +1231,12 @@ class KafkaWireConsumer:
         client_id: str = "moonlink-consumer",
         timeout_s: float = 10.0,
         sasl_plain: tuple[str, str] | None = None,
+        ssl_ca_file: str | None = None,
     ):
-        self._conn = _WireConn(host, port, client_id, timeout_s, sasl_plain=sasl_plain)
+        self._conn = _WireConn(
+            host, port, client_id, timeout_s,
+            sasl_plain=sasl_plain, ssl_ca_file=ssl_ca_file,
+        )
         self.topic = topic
         self.partition = partition
         self.group = group
@@ -1442,15 +1489,18 @@ class KafkaGroupConsumer:
         client_id: str = "moonlink-group-consumer",
         timeout_s: float = 15.0,
         sasl_plain: tuple[str, str] | None = None,
+        ssl_ca_file: str | None = None,
     ):
         self._conn = _WireConn(
-            host, port, client_id, timeout_s, sasl_plain=sasl_plain
+            host, port, client_id, timeout_s,
+            sasl_plain=sasl_plain, ssl_ca_file=ssl_ca_file,
         )
         # a second connection for the blocking JoinGroup barrier, so a
         # rebalance in progress never stalls this member's in-flight
         # fetches on the shared connection
         self._coord = _WireConn(
-            host, port, client_id + "-coord", timeout_s, sasl_plain=sasl_plain
+            host, port, client_id + "-coord", timeout_s,
+            sasl_plain=sasl_plain, ssl_ca_file=ssl_ca_file,
         )
         self.topic = topic
         self.group = group

@@ -78,7 +78,10 @@ class GCSMemServer:
         port: int = 0,
         throttle_every: int = 0,
         valid_tokens: set[str] | None = None,
+        ssl_cert: str | None = None,
+        ssl_key: str | None = None,
     ):
+        self._ssl = (ssl_cert, ssl_key)
         self.store = store or InMemoryObjectStore()
         self.generations: dict[str, int] = {}
         # in-flight resumable upload sessions: upload_id ->
@@ -383,12 +386,23 @@ class GCSMemServer:
                 self._send(200, json.dumps(out).encode())
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
+        # HTTPS: wrap the LISTENING socket so every accepted connection
+        # is TLS (the rustls-behind-reqwest deployment shape)
+        cert, key = self._ssl
+        self.tls = cert is not None
+        if self.tls:
+            from moonlink_spark.tlsutil import server_context
+
+            self.httpd.socket = server_context(cert, key or cert).wrap_socket(
+                self.httpd.socket, server_side=True
+            )
         self.host, self.port = self.httpd.server_address
         self._thread: threading.Thread | None = None
 
     @property
     def endpoint(self) -> str:
-        return f"http://{self.host}:{self.port}"
+        scheme = "https" if self.tls else "http"
+        return f"{scheme}://{self.host}:{self.port}"
 
     def start(self) -> "GCSMemServer":
         self._thread = threading.Thread(
@@ -422,6 +436,7 @@ class GCSHttpFS:
         timeout_s: float = 10.0,
         token: str | None = None,
         token_provider=None,
+        ssl_ca_file: str | None = None,
     ):
         """``token`` attaches a static OAuth 2.0 bearer token to every
         request; ``token_provider`` (a zero-arg callable returning the
@@ -429,7 +444,15 @@ class GCSHttpFS:
         a metadata-server or service-account refresher plugs into."""
         u = urllib.parse.urlparse(endpoint)
         self.host = u.hostname
-        self.port = u.port or 80
+        # https endpoint -> TLS with chain+hostname verification against
+        # the pinned CA (or the system store when none is pinned)
+        self.tls = u.scheme == "https"
+        self.port = u.port or (443 if self.tls else 80)
+        self._ssl_ctx = None
+        if self.tls:
+            from moonlink_spark.tlsutil import client_context
+
+            self._ssl_ctx = client_context(ssl_ca_file)
         self.chaos = chaos
         self.retries = retries
         self.backoff_s = backoff_s
@@ -475,9 +498,17 @@ class GCSHttpFS:
                 )
                 if tok is not None:
                     send_headers["Authorization"] = f"Bearer {tok}"
-                conn = http.client.HTTPConnection(
-                    self.host, self.port, timeout=self.timeout_s
-                )
+                if self.tls:
+                    conn = http.client.HTTPSConnection(
+                        self.host,
+                        self.port,
+                        timeout=self.timeout_s,
+                        context=self._ssl_ctx,
+                    )
+                else:
+                    conn = http.client.HTTPConnection(
+                        self.host, self.port, timeout=self.timeout_s
+                    )
                 try:
                     conn.request(method, url, body=body, headers=send_headers)
                     resp = conn.getresponse()

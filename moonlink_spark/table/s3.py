@@ -75,7 +75,10 @@ class S3MemServer:
         throttle_every: int = 0,
         credentials: dict[str, str] | None = None,
         session_tokens: dict[str, str] | None = None,
+        ssl_cert: str | None = None,
+        ssl_key: str | None = None,
     ):
+        self._ssl = (ssl_cert, ssl_key)
         self.store = store or InMemoryObjectStore()
         self.throttled = 0
         self._req_count = 0
@@ -373,12 +376,23 @@ class S3MemServer:
                 self._send(200, "".join(parts).encode())
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
+        # HTTPS: wrap the LISTENING socket so every accepted connection
+        # is TLS (the rustls-behind-reqwest deployment shape)
+        cert, key = self._ssl
+        self.tls = cert is not None
+        if self.tls:
+            from moonlink_spark.tlsutil import server_context
+
+            self.httpd.socket = server_context(cert, key or cert).wrap_socket(
+                self.httpd.socket, server_side=True
+            )
         self.host, self.port = self.httpd.server_address
         self._thread: threading.Thread | None = None
 
     @property
     def endpoint(self) -> str:
-        return f"http://{self.host}:{self.port}"
+        scheme = "https" if self.tls else "http"
+        return f"{scheme}://{self.host}:{self.port}"
 
     def start(self) -> "S3MemServer":
         self._thread = threading.Thread(
@@ -414,10 +428,25 @@ class S3HttpFS:
         secret_key: str | None = None,
         region: str = "us-east-1",
         session_token: str | None = None,
+        ssl_ca_file: str | None = None,
     ):
         u = urllib.parse.urlparse(endpoint)
         self.host = u.hostname
-        self.port = u.port or 80
+        # https endpoint -> TLS with chain+hostname verification against
+        # the pinned CA (or the system store when none is pinned)
+        self.tls = u.scheme == "https"
+        self.port = u.port or (443 if self.tls else 80)
+        self._ssl_ctx = None
+        if self.tls:
+            import os as _os
+
+            from moonlink_spark.tlsutil import client_context
+
+            # AWS_CA_BUNDLE is the AWS SDKs' documented private-CA knob;
+            # with neither, the system store applies (SSL_CERT_FILE)
+            self._ssl_ctx = client_context(
+                ssl_ca_file or _os.environ.get("AWS_CA_BUNDLE") or None
+            )
         self.chaos = chaos
         self.retries = retries
         self.backoff_s = backoff_s
@@ -488,9 +517,17 @@ class S3HttpFS:
                 if self.chaos is not None:
                     self.chaos.check(op)
                 send_headers = self._signed(method, url, body, headers)
-                conn = http.client.HTTPConnection(
-                    self.host, self.port, timeout=self.timeout_s
-                )
+                if self.tls:
+                    conn = http.client.HTTPSConnection(
+                        self.host,
+                        self.port,
+                        timeout=self.timeout_s,
+                        context=self._ssl_ctx,
+                    )
+                else:
+                    conn = http.client.HTTPConnection(
+                        self.host, self.port, timeout=self.timeout_s
+                    )
                 try:
                     conn.request(method, url, body=body, headers=send_headers)
                     resp = conn.getresponse()
@@ -587,9 +624,17 @@ class S3HttpFS:
             try:
                 if self.chaos is not None:
                     self.chaos.check("head")
-                conn = _hc.HTTPConnection(
-                    self.host, self.port, timeout=self.timeout_s
-                )
+                if self.tls:
+                    conn = _hc.HTTPSConnection(
+                        self.host,
+                        self.port,
+                        timeout=self.timeout_s,
+                        context=self._ssl_ctx,
+                    )
+                else:
+                    conn = _hc.HTTPConnection(
+                        self.host, self.port, timeout=self.timeout_s
+                    )
                 try:
                     url = self._obj_url(path)
                     conn.request(

@@ -25,3 +25,12 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def wire_tls(tmp_path_factory):
+    """One CA + leaf pair for the whole run (minting is cheap but not
+    free; every TLS-parametrized transport suite shares these files)."""
+    from moonlink_spark.tlsutil import mint_test_tls
+
+    return mint_test_tls(str(tmp_path_factory.mktemp("wire-tls")))

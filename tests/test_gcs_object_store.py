@@ -28,9 +28,15 @@ USERS = [
 ]
 
 
-@pytest.fixture()
-def gcs(request):
-    srv = GCSMemServer().start()
+@pytest.fixture(params=["plain", "tls"])
+def gcs(request, monkeypatch, wire_tls):
+    """Every fixture test runs twice: plaintext and HTTPS (trust via
+    SSL_CERT_FILE; call sites unchanged)."""
+    kw = {}
+    if request.param == "tls":
+        kw = {"ssl_cert": wire_tls.cert_path, "ssl_key": wire_tls.key_path}
+        monkeypatch.setenv("SSL_CERT_FILE", wire_tls.ca_path)
+    srv = GCSMemServer(**kw).start()
     register_fs_scheme("gcsmem", lambda path, _e=srv.endpoint: GCSHttpFS(_e))
     yield srv
     srv.stop()

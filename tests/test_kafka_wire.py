@@ -24,9 +24,18 @@ from moonlink_spark.table.identity import IdentityProp
 from moonlink_spark.table.table import MoonlinkTable
 
 
-@pytest.fixture()
-def broker(tmp_path):
-    b = KafkaWireBroker(str(tmp_path / "kafka-logs")).start()
+@pytest.fixture(params=["plain", "tls"])
+def broker(tmp_path, request, monkeypatch, wire_tls):
+    """Every broker-fixture test runs twice: plaintext and TLS. In TLS
+    mode the clients opt in through the env knobs a deployment would
+    set (MOONLINK_KAFKA_SECURITY_PROTOCOL=SSL, trust via
+    SSL_CERT_FILE) — zero changes at the call sites."""
+    kw = {}
+    if request.param == "tls":
+        kw = {"ssl_cert": wire_tls.cert_path, "ssl_key": wire_tls.key_path}
+        monkeypatch.setenv("MOONLINK_KAFKA_SECURITY_PROTOCOL", "SSL")
+        monkeypatch.setenv("SSL_CERT_FILE", wire_tls.ca_path)
+    b = KafkaWireBroker(str(tmp_path / "kafka-logs"), **kw).start()
     yield b
     b.stop()
 

@@ -42,6 +42,30 @@ def _cfg(mode="single", cols=("id",), append_only=False, **kw):
     )
 
 
+@pytest.fixture(params=["plain", "tls"], autouse=True)
+def pg_wire_mode(request, monkeypatch, wire_tls):
+    """The entire suite runs twice: cleartext and TLS. In TLS mode the
+    server class is wrapped to hold the test cert and clients pick up
+    libpq's documented env knobs (PGSSLMODE / PGSSLROOTCERT) — every
+    protocol/auth/COPY test below exercises the encrypted path with
+    zero changes at its call sites."""
+    if request.param == "tls":
+        import functools
+
+        import moonlink_spark.pg_protocol as pgmod
+
+        wrapped = functools.partial(
+            pgmod.PgMockServer,
+            ssl_cert=wire_tls.cert_path,
+            ssl_key=wire_tls.key_path,
+        )
+        monkeypatch.setattr(pgmod, "PgMockServer", wrapped)
+        monkeypatch.setattr(request.module, "PgMockServer", wrapped)
+        monkeypatch.setenv("PGSSLMODE", "verify-full")
+        monkeypatch.setenv("PGSSLROOTCERT", wire_tls.ca_path)
+    return request.param
+
+
 @pytest.fixture()
 def pg(tmp_path):
     srv = PgMockServer(str(tmp_path / "pg" / "meta.db")).start()

@@ -27,9 +27,19 @@ USERS = [
 ]
 
 
-@pytest.fixture()
-def s3(request):
-    srv = S3MemServer().start()
+@pytest.fixture(params=["plain", "tls"])
+def s3(request, monkeypatch, wire_tls):
+    """Every fixture test runs twice: plaintext and HTTPS. In TLS mode
+    trust flows through SSL_CERT_FILE (the system-trust-store knob the
+    stdlib ssl module honors) — call sites unchanged."""
+    kw = {}
+    if request.param == "tls":
+        kw = {"ssl_cert": wire_tls.cert_path, "ssl_key": wire_tls.key_path}
+        # AWS_CA_BUNDLE outranks SSL_CERT_FILE in the accessor's
+        # precedence chain (and this host exports it globally) — pin it
+        monkeypatch.setenv("AWS_CA_BUNDLE", wire_tls.ca_path)
+        monkeypatch.setenv("SSL_CERT_FILE", wire_tls.ca_path)
+    srv = S3MemServer(**kw).start()
     register_fs_scheme("s3mem", lambda path, _e=srv.endpoint: S3HttpFS(_e))
     yield srv
     srv.stop()
