@@ -42,9 +42,11 @@ discard messages until Sync per the spec's recovery rule. Both bind
 formats are accepted: text (this client's) and binary (tokio-postgres's
 default — big-endian ints/floats, one-byte bools).
 
-Auth methods: trust, cleartext, MD5 (legacy salted double-hash), and
-SCRAM-SHA-256. Not implemented (fail-loud): SASLprep password
-normalization (ASCII passwords only).
+Auth methods: trust, cleartext, MD5 (legacy salted double-hash),
+SCRAM-SHA-256 and — over TLS — SCRAM-SHA-256-PLUS with
+tls-server-end-point channel binding (RFC 5929/7677), including
+"y"-header downgrade detection. SCRAM passwords pass through SASLprep
+(RFC 4013) on both sides.
 """
 
 from __future__ import annotations
@@ -150,20 +152,74 @@ def sql_literal(v: Any) -> str:
 
 
 # --------------------------------------------------------------------------- #
-# SCRAM-SHA-256 (RFC 5802 / RFC 7677), PostgreSQL's default auth since 10.
-# Pure stdlib: PBKDF2 is the RFC's Hi(), hmac/sha256 the rest. SASLprep is
-# not applied (ASCII passwords only — matching the rest of this mock's
-# fail-loud simplifications).
+# SCRAM-SHA-256[-PLUS] (RFC 5802 / RFC 7677), PostgreSQL's default auth
+# since 10. Pure stdlib: PBKDF2 is the RFC's Hi(), hmac/sha256 the rest,
+# stringprep/unicodedata for SASLprep (RFC 4013).
 # --------------------------------------------------------------------------- #
 
 _SCRAM_MECH = "SCRAM-SHA-256"
+_SCRAM_MECH_PLUS = "SCRAM-SHA-256-PLUS"
+_CB_TYPE = "tls-server-end-point"  # RFC 5929; the binding PG implements
+
+
+def saslprep(s: str) -> str:
+    """RFC 4013 SASLprep (the stringprep profile PG applies to SCRAM
+    passwords): map non-ASCII spaces to space and commonly-mapped-to-
+    nothing to nothing, NFKC-normalize, reject prohibited output and
+    bidi violations. Pure stdlib (``stringprep`` + ``unicodedata``).
+    ASCII strings pass through untouched."""
+    if s.isascii():
+        return s  # fast path: every table below is a no-op on ASCII
+    import stringprep
+    import unicodedata
+
+    mapped = []
+    for ch in s:
+        if stringprep.in_table_c12(ch):
+            mapped.append(" ")
+        elif not stringprep.in_table_b1(ch):
+            mapped.append(ch)
+    out = unicodedata.normalize("NFKC", "".join(mapped))
+    if not out:
+        raise PgProtocolError("SASLprep: password maps to empty string")
+    prohibited = (
+        stringprep.in_table_c21_c22,  # control characters
+        stringprep.in_table_c3,  # private use
+        stringprep.in_table_c4,  # non-characters
+        stringprep.in_table_c5,  # surrogates
+        stringprep.in_table_c6,  # inappropriate for plain text
+        stringprep.in_table_c7,  # inappropriate for canonical rep
+        stringprep.in_table_c8,  # change-display / deprecated
+        stringprep.in_table_c9,  # tagging characters
+    )
+    has_randal = any(stringprep.in_table_d1(ch) for ch in out)
+    has_l = any(stringprep.in_table_d2(ch) for ch in out)
+    for ch in out:
+        if any(table(ch) for table in prohibited):
+            raise PgProtocolError(
+                f"SASLprep: prohibited character U+{ord(ch):04X}"
+            )
+        if stringprep.in_table_a1(ch):
+            raise PgProtocolError(
+                f"SASLprep: unassigned code point U+{ord(ch):04X}"
+            )
+    if has_randal:
+        # RFC 3454 §6: RandALCat and LCat must not mix, and RandALCat
+        # strings must start and end with a RandALCat character
+        if has_l:
+            raise PgProtocolError("SASLprep: bidi categories mixed")
+        if not (
+            stringprep.in_table_d1(out[0]) and stringprep.in_table_d1(out[-1])
+        ):
+            raise PgProtocolError("SASLprep: bad RandALCat bracketing")
+    return out
 
 
 def _scram_salted_password(password: str, salt: bytes, iterations: int) -> bytes:
     import hashlib
 
     return hashlib.pbkdf2_hmac(
-        "sha256", password.encode("utf-8"), salt, iterations
+        "sha256", saslprep(password).encode("utf-8"), salt, iterations
     )
 
 
@@ -332,12 +388,27 @@ class PgWireClient:
                         for m in b[4:].split(b"\x00")
                         if m
                     ]
-                    if _SCRAM_MECH not in mechs:
+                    # RFC 7677 mechanism negotiation: bind the channel
+                    # whenever both sides can (TLS up AND -PLUS offered);
+                    # over TLS against a no--PLUS server announce "y"
+                    # so a binding-capable server detects the downgrade
+                    if (
+                        _SCRAM_MECH_PLUS in mechs
+                        and self._tls_cert_der is not None
+                    ):
+                        mech, gs2 = (
+                            _SCRAM_MECH_PLUS,
+                            f"p={_CB_TYPE},,",
+                        )
+                    elif _SCRAM_MECH in mechs:
+                        mech = _SCRAM_MECH
+                        gs2 = "y,," if self._tls_cert_der else "n,,"
+                    else:
                         raise PgProtocolError(
                             f"no supported SASL mechanism in {mechs} "
-                            f"(client speaks {_SCRAM_MECH})"
+                            f"(client speaks {_SCRAM_MECH}[-PLUS])"
                         )
-                    self._scram_state = self._scram_start()
+                    self._scram_state = self._scram_start(mech, gs2)
                     continue
                 if code == 11:  # AuthenticationSASLContinue
                     final = self._scram_continue(
@@ -364,21 +435,21 @@ class PgWireClient:
 
     # -- SCRAM-SHA-256 client exchange (RFC 5802 message flow) ---------------
 
-    def _scram_start(self) -> dict:
+    def _scram_start(self, mech: str, gs2: str) -> dict:
         import base64
         import os as _os
 
         cnonce = base64.b64encode(_os.urandom(18)).decode()
         first_bare = f"n=,r={cnonce}"
+        initial = gs2 + first_bare
         # SASLInitialResponse: mechanism name, int32 length, initial data
         payload = (
-            _cstr(_SCRAM_MECH)
-            + struct.pack(">I", len(first_bare) + 3)
-            + b"n,,"
-            + first_bare.encode("utf-8")
+            _cstr(mech)
+            + struct.pack(">I", len(initial))
+            + initial.encode("utf-8")
         )
         self.sock.sendall(_msg(b"p", payload))
-        return {"cnonce": cnonce, "first_bare": first_bare}
+        return {"cnonce": cnonce, "first_bare": first_bare, "gs2": gs2}
 
     def _scram_continue(self, server_first: str, password: str) -> str:
         import base64
@@ -392,7 +463,18 @@ class PgWireClient:
             password, base64.b64decode(salt_b64), iters
         )
         client_key, stored_key, server_key = _scram_keys(salted)
-        final_no_proof = f"c=biws,r={nonce}"  # biws = b64("n,,")
+        # channel binding attribute (RFC 5802 §5.1 "c="): base64 of the
+        # GS2 header plus, under -PLUS, the tls-server-end-point hash of
+        # the certificate THIS connection handshook with — a MITM
+        # terminating TLS presents a different cert and the proof dies
+        cbind = st["gs2"].encode("utf-8")
+        if st["gs2"].startswith("p="):
+            from moonlink_spark.tlsutil import cert_fingerprint_for_binding
+
+            cbind += cert_fingerprint_for_binding(self._tls_cert_der)
+        final_no_proof = (
+            f"c={base64.b64encode(cbind).decode()},r={nonce}"
+        )
         auth_message = ",".join(
             (st["first_bare"], server_first, final_no_proof)
         )
@@ -834,28 +916,63 @@ class PgMockServer:
         """Server side of RFC 5802 over the PG SASL messages: R code 10
         (mechanism list) -> SASLInitialResponse -> R code 11
         (server-first) -> SASLResponse (client-final, proof verified
-        against the stored key) -> R code 12 (server signature) -> Ok."""
+        against the stored key) -> R code 12 (server signature) -> Ok.
+
+        Over TLS the server additionally offers SCRAM-SHA-256-PLUS
+        (RFC 7677): the client-final c= attribute must then carry the
+        tls-server-end-point hash of THIS server's certificate, and a
+        "y" GS2 header is rejected as a downgrade (RFC 5802 §6.1 — the
+        client claimed binding support while pretending the server
+        offered none)."""
         import base64
         import hashlib
         import hmac as _hmac
         import os as _os
 
+        tls_active = isinstance(sock, _ssl.SSLSocket)
+        offer_plus = tls_active and self._cert_der is not None
+        mech_list = (
+            _cstr(_SCRAM_MECH_PLUS) + _cstr(_SCRAM_MECH)
+            if offer_plus
+            else _cstr(_SCRAM_MECH)
+        )
         sock.sendall(
-            _msg(b"R", struct.pack(">I", 10) + _cstr(_SCRAM_MECH) + b"\x00")
+            _msg(b"R", struct.pack(">I", 10) + mech_list + b"\x00")
         )
         t, b = _read_msg(f)
         if t != b"p":
             sock.sendall(self._err("28000", f"expected SASL, got {t!r}"))
             return False
         mech_end = b.index(b"\x00")
-        if b[:mech_end].decode() != _SCRAM_MECH:
+        mech = b[:mech_end].decode()
+        if mech not in (_SCRAM_MECH, _SCRAM_MECH_PLUS) or (
+            mech == _SCRAM_MECH_PLUS and not offer_plus
+        ):
             sock.sendall(self._err("28000", "unsupported SASL mechanism"))
             return False
         (ilen,) = struct.unpack_from(">I", b, mech_end + 1)
         initial = b[mech_end + 5 : mech_end + 5 + ilen].decode("utf-8")
-        if not initial.startswith(("n,,", "y,,")):
+        gs2: str | None = None
+        for prefix in ("n,,", "y,,", f"p={_CB_TYPE},,"):
+            if initial.startswith(prefix):
+                gs2 = prefix
+                break
+        if gs2 is None or (mech == _SCRAM_MECH_PLUS) != gs2.startswith("p="):
             sock.sendall(self._err("28000", "bad GS2 header"))
             return False
+        if gs2.startswith("y") and offer_plus:
+            # downgrade detection: we DID advertise -PLUS, so a binding-
+            # capable client claiming we did not is a stripped offer
+            sock.sendall(
+                self._err("28000", "channel binding downgrade detected")
+            )
+            return False
+        want_cbind = gs2.encode("utf-8")
+        if gs2.startswith("p="):
+            from moonlink_spark.tlsutil import cert_fingerprint_for_binding
+
+            want_cbind += cert_fingerprint_for_binding(self._cert_der)
+        want_c = base64.b64encode(want_cbind).decode()
         first_bare = initial.split(",,", 1)[1]
         cnonce = _scram_parse(first_bare)["r"]
         snonce = cnonce + base64.b64encode(_os.urandom(18)).decode()
@@ -875,7 +992,7 @@ class PgMockServer:
         fields = _scram_parse(client_final)
         final_no_proof = client_final.rsplit(",p=", 1)[0]
         auth_message = ",".join((first_bare, server_first, final_no_proof))
-        if fields.get("r") != snonce or fields.get("c") != "biws":
+        if fields.get("r") != snonce or fields.get("c") != want_c:
             sock.sendall(self._err("28P01", "SCRAM nonce/channel mismatch"))
             return False
         # recover ClientKey from the proof and check SHA256(ClientKey)

@@ -323,3 +323,127 @@ def test_gcs_https_bearer_roundtrip(tls):
         assert fs.open_read_binary("gcsmem://b/k/big.bin").read() == big
     finally:
         srv.stop()
+
+
+# --------------------------------------------------------------------------- #
+# SCRAM-SHA-256-PLUS channel binding + SASLprep
+# --------------------------------------------------------------------------- #
+
+
+def test_scram_plus_negotiated_over_tls(tmp_path, tls):
+    """Over TLS against a -PLUS-offering server the client MUST pick the
+    bound mechanism (gs2 'p=tls-server-end-point') and authenticate."""
+    from moonlink_spark.pg_protocol import PgWireClient
+
+    srv = _pg_server(
+        tmp_path, tls, password="sekret", auth="scram-sha-256"
+    )
+    try:
+        c = PgWireClient(
+            srv.host,
+            srv.port,
+            password="sekret",
+            sslmode="verify-full",
+            ssl_ca_file=tls.ca_path,
+        )
+        assert c._scram_state["gs2"] == "p=tls-server-end-point,,"
+        assert c.query("SELECT 1 AS one").rows == [("1",)]
+        c.close()
+    finally:
+        srv.stop()
+
+
+def test_scram_plus_wrong_binding_rejected(tmp_path, tls):
+    """A client presenting a DIFFERENT certificate hash in c= (the MITM
+    shape: binding data from the attacker's TLS leg) must fail auth."""
+    from moonlink_spark import pg_protocol as P
+
+    srv = _pg_server(
+        tmp_path, tls, password="sekret", auth="scram-sha-256"
+    )
+    orig = P.PgWireClient._scram_continue
+
+    def tampered(self, server_first, password):
+        real_der = self._tls_cert_der
+        self._tls_cert_der = b"not-the-server-cert"
+        try:
+            return orig(self, server_first, password)
+        finally:
+            self._tls_cert_der = real_der
+
+    try:
+        P.PgWireClient._scram_continue = tampered
+        with pytest.raises((P.PgServerError, ConnectionError)):
+            P.PgWireClient(
+                srv.host,
+                srv.port,
+                password="sekret",
+                sslmode="verify-full",
+                ssl_ca_file=tls.ca_path,
+            )
+    finally:
+        P.PgWireClient._scram_continue = orig
+        srv.stop()
+
+
+def test_scram_downgrade_y_header_rejected(tmp_path, tls):
+    """gs2 'y' (client: "I support binding but you offered no -PLUS")
+    against a server that DID offer -PLUS = a stripped mechanism list;
+    the server must refuse (RFC 5802 §6.1)."""
+    from moonlink_spark import pg_protocol as P
+
+    srv = _pg_server(
+        tmp_path, tls, password="sekret", auth="scram-sha-256"
+    )
+    orig = P.PgWireClient._scram_start
+
+    def forced_y(self, mech, gs2):
+        return orig(self, P._SCRAM_MECH, "y,,")
+
+    try:
+        P.PgWireClient._scram_start = forced_y
+        with pytest.raises((P.PgServerError, ConnectionError)):
+            P.PgWireClient(
+                srv.host,
+                srv.port,
+                password="sekret",
+                sslmode="verify-full",
+                ssl_ca_file=tls.ca_path,
+            )
+    finally:
+        P.PgWireClient._scram_start = orig
+        srv.stop()
+
+
+def test_saslprep_normalizes_equivalent_passwords(tmp_path, tls):
+    """RFC 4013: NFKC-equivalent spellings are the SAME password — a
+    server provisioned with composed U+00E9 must accept a client typing
+    decomposed e + U+0301, and non-ASCII spaces map to ASCII space."""
+    from moonlink_spark.pg_protocol import PgWireClient
+
+    srv = _pg_server(
+        tmp_path, tls, password="café x", auth="scram-sha-256"
+    )
+    try:
+        c = PgWireClient(
+            srv.host,
+            srv.port,
+            password="café x",  # decomposed é + NBSP
+            sslmode="verify-full",
+            ssl_ca_file=tls.ca_path,
+        )
+        assert c.query("SELECT 3 AS n").rows == [("3",)]
+        c.close()
+    finally:
+        srv.stop()
+
+
+def test_saslprep_prohibited_character_rejected():
+    from moonlink_spark.pg_protocol import PgProtocolError, saslprep
+
+    assert saslprep("plain-ascii") == "plain-ascii"
+    assert saslprep("café") == "café"
+    with pytest.raises(PgProtocolError, match="prohibited"):
+        saslprep("bad‎foo")  # U+200E LRM: C.8, prohibited
+    with pytest.raises(PgProtocolError, match="empty"):
+        saslprep("­")  # soft hyphen maps to nothing
