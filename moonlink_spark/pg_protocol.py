@@ -76,13 +76,33 @@ class PgProtocolError(MoonlinkError):
 
 def _sqlite_sqlstate(e: "sqlite3.Error") -> str:
     """SQLite error -> PG sqlstate, one mapping for BOTH protocols so the
-    simple and extended paths always report the same code."""
+    simple and extended paths always report the same code. Codes follow
+    PG's appendix A (errcodes) so a client branching on sqlstate — the
+    metadata store does, on 23505 — behaves as against real PG."""
     msg = str(e)
     if "UNIQUE constraint" in msg:
         return "23505"  # unique_violation — the row-count/PK contract
     if "NOT NULL constraint" in msg:
         return "23502"  # not_null_violation
-    return "42601"
+    if "FOREIGN KEY constraint" in msg:
+        return "23503"  # foreign_key_violation
+    if "CHECK constraint" in msg:
+        return "23514"  # check_violation
+    if "no such table" in msg:
+        return "42P01"  # undefined_table
+    if "no such column" in msg:
+        return "42703"  # undefined_column
+    if "no such function" in msg:
+        return "42883"  # undefined_function
+    if "already exists" in msg:
+        return "42P07"  # duplicate_table
+    if "datatype mismatch" in msg:
+        return "42804"  # datatype_mismatch
+    if "database is locked" in msg:
+        return "55P03"  # lock_not_available
+    if "syntax error" in msg:
+        return "42601"  # syntax_error
+    return "XX000"  # internal_error: anything unclassified
 
 
 class _PgUserError(Exception):
@@ -243,6 +263,119 @@ def _scram_hmac(key: bytes, msg: str) -> bytes:
 
 def _scram_parse(msg: str) -> dict[str, str]:
     return dict(kv.split("=", 1) for kv in msg.split(","))
+
+
+_DOLLAR_TAG_RE = re.compile(r"\$([A-Za-z_][A-Za-z0-9_]*)?\$")
+
+
+def _lex_sql(query: str):
+    """Yield (kind, text) spans following PostgreSQL's lexer: 'squote'
+    (single-quoted literal, '' escapes), 'dquote' (quoted identifier,
+    "" escapes), 'line' (-- comment), 'block' (/* */ comment, NESTING),
+    'dollar' (dollar-quoted string incl. tags), 'text' (everything
+    else, one char at a time)."""
+    i, n = 0, len(query)
+    while i < n:
+        ch = query[i]
+        if ch == "'" or ch == '"':
+            j = i + 1
+            while j < n:
+                if query[j] == ch:
+                    if j + 1 < n and query[j + 1] == ch:
+                        j += 2
+                        continue
+                    j += 1
+                    break
+                j += 1
+            yield ("squote" if ch == "'" else "dquote"), query[i:j]
+            i = j
+            continue
+        if ch == "-" and query.startswith("--", i):
+            j = query.find("\n", i)
+            j = n if j < 0 else j
+            yield "line", query[i:j]
+            i = j
+            continue
+        if ch == "/" and query.startswith("/*", i):
+            depth, j = 1, i + 2
+            while j < n and depth:
+                if query.startswith("/*", j):
+                    depth, j = depth + 1, j + 2
+                elif query.startswith("*/", j):
+                    depth, j = depth - 1, j + 2
+                else:
+                    j += 1
+            yield "block", query[i:j]
+            i = j
+            continue
+        if ch == "$":
+            m = _DOLLAR_TAG_RE.match(query, i)
+            if m is not None:
+                close = m.group(0)
+                j = query.find(close, m.end())
+                j = n if j < 0 else j + len(close)
+                yield "dollar", query[i:j]
+                i = j
+                continue
+        yield "text", ch
+        i += 1
+
+
+def translate_pg_lexemes(sql: str) -> str:
+    """Rewrite PG lexical constructs the SQLite executor lacks:
+    dollar-quoted strings become standard single-quoted literals, and
+    block comments (which NEST in PG but not in SQLite) are dropped —
+    replaced by one space so adjacent tokens stay separated. Quoted
+    regions pass through verbatim."""
+    if "$" not in sql and "/*" not in sql:
+        return sql
+    out: list[str] = []
+    for kind, text in _lex_sql(sql):
+        if kind == "dollar":
+            open_end = text.index("$", 1) + 1
+            tag = text[:open_end]
+            body = text[open_end:]
+            if body.endswith(tag):
+                body = body[: -len(tag)]
+            out.append("'" + body.replace("'", "''") + "'")
+        elif kind == "block":
+            out.append(" ")
+        else:
+            out.append(text)
+    return "".join(out)
+
+
+def substitute_params(query: str, params: list) -> str:
+    """Splice decoded bind parameters into ``query`` as SQL literals,
+    respecting PostgreSQL's LEXICAL structure so the result matches real
+    post-parse binding: ``$n`` is replaced only in plain SQL text, never
+    inside single-quoted literals (with ``''`` escapes), double-quoted
+    identifiers (with ``""`` escapes), dollar-quoted strings
+    (``$$..$$`` / ``$tag$..$tag$``), ``--`` line comments, or ``/* */``
+    block comments (which NEST, per the PG lexer). A reference to a
+    parameter that was not bound raises sqlstate 42P02; the same
+    parameter may be referenced any number of times."""
+    out: list[str] = []
+    pending = ""  # accumulates 'text' chars so $1 can be spotted
+    for kind, text in _lex_sql(query):
+        if kind == "text":
+            pending += text
+            continue
+        out.append(_sub_params_in_text(pending, params))
+        pending = ""
+        out.append(text)
+    out.append(_sub_params_in_text(pending, params))
+    return "".join(out)
+
+
+def _sub_params_in_text(text: str, params: list) -> str:
+    def sub(m: "re.Match[str]") -> str:
+        idx = int(m.group(1))
+        if not 1 <= idx <= len(params):
+            raise _PgUserError("42P02", f"there is no parameter ${idx}")
+        return sql_literal(params[idx - 1])
+
+    return re.sub(r"\$(\d+)", sub, text)
 
 
 @dataclass
@@ -1172,22 +1305,7 @@ class PgMockServer:
         if portal["result"] is not None:
             return
 
-        def sub(m: "re.Match[str]") -> str:
-            idx = int(m.group(1))
-            if not 1 <= idx <= len(portal["params"]):
-                raise _PgUserError(
-                    "42P02", f"there is no parameter ${idx}"
-                )
-            return sql_literal(portal["params"][idx - 1])
-
-        # substitute only OUTSIDE single-quoted string literals: real PG
-        # treats $n inside quotes as plain text (split keeps literals at
-        # odd indices; '' escapes stay inside one literal)
-        segs = re.split(r"('(?:[^']|'')*')", portal["query"])
-        sql = "".join(
-            seg if i % 2 else re.sub(r"\$(\d+)", sub, seg)
-            for i, seg in enumerate(segs)
-        )
+        sql = substitute_params(portal["query"], portal["params"])
         portal["result"] = self._exec_statement(conn, sql, state)
 
     def _ext_describe(self, sock, conn, body: bytes, state, ext) -> None:
@@ -1246,6 +1364,10 @@ class PgMockServer:
         returns (columns-or-None, rows, CommandComplete tag); raises
         _PgUserError for user-level SQL errors. All transaction / LSN /
         snapshot semantics live here exactly once."""
+        # PG-ism translation: dollar quoting + nested block comments
+        # for the SQLite executor (same category as the
+        # information_schema rewrite below)
+        sql = translate_pg_lexemes(sql)
         m = _EXPORT_SNAPSHOT_RE.match(sql)
         if m is not None:
             with_lsn = "pg_current_wal_lsn" in sql

@@ -567,3 +567,92 @@ def test_copy_out_abandoned_generator_releases_lock(tmp_path):
         c.close()
     finally:
         srv.stop()
+
+
+def test_extended_protocol_lexical_fidelity(tmp_path):
+    """VERDICT r6 pin: server-side $n splicing must match real PG's
+    post-parse binding across the lexer's corners — dollar-quoted
+    strings, line/block comments (nested), quoted identifiers, and a
+    parameter referenced twice — through BOTH bind formats."""
+    from moonlink_spark.pg_protocol import (
+        PgMockServer,
+        PgServerError,
+        PgWireClient,
+    )
+
+    srv = PgMockServer(str(tmp_path / "lex.db")).start()
+    try:
+        c = PgWireClient(srv.host, srv.port)
+        c.query('CREATE TABLE lx (id INTEGER, "$1" TEXT, v TEXT)')
+        c.query_params(
+            'INSERT INTO lx (id, "$1", v) VALUES ($1, $2, $2)',
+            [1, "twice"],
+        )
+        # the same parameter used twice landed in both columns
+        r = c.query_params(
+            'SELECT "$1", v FROM lx WHERE id = $1', [1]
+        )
+        assert r.rows == [("twice", "twice")]
+        # $1 inside a dollar-quoted string is data, not a parameter
+        r = c.query_params(
+            "SELECT $$literal $1 text$$ AS dq, $1 AS p", [7]
+        )
+        assert r.rows == [("literal $1 text", "7")]
+        r = c.query_params(
+            "SELECT $tag$keeps $2 and $tag inside$tag$ AS dq, $1 AS p",
+            ["x"],
+        )
+        assert r.rows == [("keeps $2 and $tag inside", "x")]
+        # comments: -- to EOL and nested /* /* */ */ are opaque
+        r = c.query_params(
+            "SELECT $1 AS a -- not a param: $9\n, $1 AS b", [5]
+        )
+        assert r.rows == [("5", "5")]
+        r = c.query_params(
+            "SELECT /* outer /* inner $9 */ $8 */ $1 AS a", [3]
+        )
+        assert r.rows == [("3",)]
+        # unbound reference inside live SQL still errors with 42P02
+        with pytest.raises(PgServerError, match="42P02"):
+            c.query_params("SELECT $1, $4", ["a", "b"])
+        c.close()
+    finally:
+        srv.stop()
+
+
+def test_sqlstate_mapping_matches_pg_errcodes(tmp_path):
+    """SQLite failures surface as the sqlstates a real-PG client would
+    branch on (PG appendix A), identically via both protocols."""
+    from moonlink_spark.pg_protocol import (
+        PgMockServer,
+        PgServerError,
+        PgWireClient,
+    )
+
+    srv = PgMockServer(str(tmp_path / "states.db")).start()
+    try:
+        c = PgWireClient(srv.host, srv.port)
+        c.query("CREATE TABLE st (id INTEGER PRIMARY KEY, v TEXT NOT NULL)")
+        cases = [
+            ("INSERT INTO st VALUES (1, NULL)", "23502"),
+            ("SELECT * FROM no_such_rel", "42P01"),
+            ("SELECT not_a_col FROM st", "42703"),
+            ("SELECT definitely_not_a_function(1)", "42883"),
+            ("CREATE TABLE st (id INTEGER)", "42P07"),
+            ("SELECT FROM WHERE", "42601"),
+        ]
+        for sql, state in cases:
+            with pytest.raises(PgServerError) as ei:
+                c.query(sql)
+            assert ei.value.fields.get("C") == state, (sql, ei.value.fields)
+            # extended protocol reports the same code
+            with pytest.raises(PgServerError) as ei2:
+                c.query_params(sql, [])
+            assert ei2.value.fields.get("C") == state
+        c.query("INSERT INTO st VALUES (1, 'a')")
+        with pytest.raises(PgServerError) as ei:
+            c.query("INSERT INTO st VALUES (1, 'b')")
+        assert ei.value.fields.get("C") == "23505"
+        c.close()
+    finally:
+        srv.stop()
