@@ -62,7 +62,10 @@ Implemented: TLS (implicit on the port, a real broker's
 clients verify against a pinned CA via ``tlsutil.client_context``).
 Not implemented (fail-loud or out of scope): transactions
 and idempotent producer ids (producerId is -1 throughout), snappy/lz4/
-zstd codecs (gzip only — the others need non-stdlib libraries).
+zstd codecs ship built-in (gzip only — the others need non-stdlib
+libraries) but plug in via ``register_codec``; an unregistered codec on
+either side raises ``UnsupportedCodecError`` naming the codec and the
+producer-config workaround.
 """
 
 from __future__ import annotations
@@ -178,6 +181,68 @@ def _read_bytes32(buf: bytes, pos: int) -> tuple[bytes | None, int]:
 # ---------------------------------------------------------------------------
 
 
+class UnsupportedCodecError(ValueError):
+    """A RecordBatch uses a compression codec with no registered
+    implementation. The message names the codec and the workaround
+    (broker-side story: configure producers with
+    ``compression.type=gzip`` or ``none``, or plug an implementation
+    in via :func:`register_codec`)."""
+
+    def __init__(self, codec_id: int):
+        name = CODEC_NAMES.get(codec_id, str(codec_id))
+        super().__init__(
+            f"unsupported compression codec {name!r} (id {codec_id}): "
+            f"built-ins are none/gzip; either configure the producer "
+            f"with compression.type=gzip (or none), or call "
+            f"kafka_wire.register_codec({name!r}, compress, decompress) "
+            f"with an implementation (e.g. lz4.frame / zstandard)"
+        )
+        self.codec_id = codec_id
+        self.codec_name = name
+
+
+CODEC_NAMES = {0: "none", 1: "gzip", 2: "snappy", 3: "lz4", 4: "zstd"}
+CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
+
+
+def _gzip_compress(data: bytes) -> bytes:
+    import zlib
+
+    co = zlib.compressobj(wbits=31)  # gzip wrapper
+    return co.compress(data) + co.flush()
+
+
+def _gzip_decompress(data: bytes) -> bytes:
+    import zlib
+
+    return zlib.decompress(data, wbits=47)
+
+
+# codec id -> (compress, decompress); gzip ships (stdlib), the rest are
+# pluggable — snappy/lz4/zstd need non-stdlib libraries, and Kafka's
+# snappy framing is the snappy-java xerial block format, so a plugged
+# implementation must match the broker's producers, not just the codec
+_CODECS: dict[int, tuple] = {1: (_gzip_compress, _gzip_decompress)}
+
+
+def register_codec(name_or_id, compress, decompress) -> None:
+    """Plug a compression codec into the RecordBatch coder, e.g.
+    ``register_codec("lz4", lz4.frame.compress, lz4.frame.decompress)``
+    or ``register_codec("zstd", c.compress, d.decompress)`` with
+    zstandard (de)compressors."""
+    cid = CODEC_IDS.get(name_or_id, name_or_id)
+    if not isinstance(cid, int) or not 1 <= cid <= 7:
+        raise ValueError(f"unknown codec {name_or_id!r}")
+    _CODECS[cid] = (compress, decompress)
+
+
+def _codec_or_raise(codec_id: int) -> tuple:
+    try:
+        return _CODECS[codec_id]
+    except KeyError:
+        raise UnsupportedCodecError(codec_id) from None
+
+
 def encode_record_batch(
     base_offset: int,
     records: list[tuple[bytes | None, bytes]],
@@ -211,15 +276,14 @@ def encode_record_batch(
         body += _varint(0)  # headers
         recs += _varint(len(body)) + bytes(body)
     n = len(records)
-    if compression is None:
+    if compression is None or compression == "none":
         attrs, rec_bytes = 0, bytes(recs)
-    elif compression == "gzip":
-        import zlib
-
-        co = zlib.compressobj(wbits=31)  # gzip wrapper
-        attrs, rec_bytes = 1, co.compress(bytes(recs)) + co.flush()
     else:
-        raise ValueError(f"unsupported compression {compression!r}")
+        cid = CODEC_IDS.get(compression)
+        if cid is None:
+            raise ValueError(f"unknown compression {compression!r}")
+        compress, _ = _codec_or_raise(cid)
+        attrs, rec_bytes = cid, compress(bytes(recs))
     # attributes..end — the CRC-covered span per the batch spec
     tail = (
         struct.pack(
@@ -262,14 +326,9 @@ def decode_record_batches(
             ">hiqqqhii", tail, 0
         )
         codec = attrs & 0x07
-        if codec == 1:  # gzip: records section is compressed
-            import zlib
-
-            tail = tail[:40] + zlib.decompress(tail[40:], wbits=47)
-        elif codec:
-            raise ValueError(
-                f"unsupported compression codec {codec} (none and gzip only)"
-            )
+        if codec:  # records section is compressed
+            _, decompress = _codec_or_raise(codec)
+            tail = tail[:40] + decompress(tail[40:])
         p = 40  # past the fixed attribute block (2+4+8+8+8+2+4+4)
         for _ in range(count):
             rlen, p = _read_varint(tail, p)

@@ -590,3 +590,68 @@ def test_sasl_reauth_across_broker_drops(tmp_path):
         assert got >= {b"v%d" % i for i in range(100)}  # at-least-once
     finally:
         b.stop()
+
+
+# -- codec degradation story (VERDICT r6 item 5) --------------------------
+
+
+def test_unregistered_codec_fails_loud_with_exact_shape():
+    """A batch carrying snappy/lz4/zstd attributes without a plugged
+    implementation raises UnsupportedCodecError naming the codec and
+    the producer-config workaround — per codec byte."""
+    import struct as _struct
+
+    from moonlink_spark.sources.kafka_wire import (
+        UnsupportedCodecError,
+        crc32c,
+        decode_record_batches,
+        encode_record_batch,
+    )
+
+    def batch_with_codec(cid: int) -> bytes:
+        raw = encode_record_batch(0, [(b"k", b"v")])
+        # flip the attributes codec bits and re-CRC (attributes live at
+        # offset 21 in the batch; CRC covers attributes..end)
+        tail = bytearray(raw[21:])
+        attrs = _struct.unpack_from(">h", tail, 0)[0] | cid
+        _struct.pack_into(">h", tail, 0, attrs)
+        crc = crc32c(bytes(tail))
+        return raw[:12] + raw[12:17] + _struct.pack(">I", crc) + bytes(tail)
+
+    for cid, name in [(2, "snappy"), (3, "lz4"), (4, "zstd")]:
+        with pytest.raises(UnsupportedCodecError) as ei:
+            list(decode_record_batches(batch_with_codec(cid)))
+        assert ei.value.codec_id == cid
+        assert ei.value.codec_name == name
+        assert "compression.type=gzip" in str(ei.value)
+        assert "register_codec" in str(ei.value)
+
+    # encoding with an unplugged codec fails the same way
+    with pytest.raises(UnsupportedCodecError):
+        encode_record_batch(0, [(b"k", b"v")], compression="zstd")
+
+
+def test_registered_codec_round_trips(broker):
+    """register_codec plugs a third-party codec in end-to-end: produce
+    with it, fetch and decode through the broker."""
+    import zlib
+
+    from moonlink_spark.sources import kafka_wire as kw
+
+    # stand-in for lz4.frame: raw zlib at codec id 3 (the registry does
+    # not care what the bytes are as long as both sides agree)
+    kw.register_codec("lz4", zlib.compress, zlib.decompress)
+    try:
+        prod = kw.KafkaWireProducer(
+            broker.host, broker.port, compression="lz4"
+        )
+        prod.send("lz", [(b"k1", b"v1"), (None, b"v2")])
+        cons = kw.KafkaWireConsumer(broker.host, broker.port, "lz")
+        msgs = cons.poll()
+        assert [(m[1], m[2]) for m in msgs] == [
+            (b"k1", b"v1"), (None, b"v2")
+        ]
+        prod.close()
+        cons.close()
+    finally:
+        kw._CODECS.pop(3, None)
