@@ -802,7 +802,7 @@ class MoonlinkKafkaDataSource(DataSource):
         )
 
     def streamReader(self, schema) -> "MoonlinkKafkaStreamReader":
-        return MoonlinkKafkaStreamReader(dict(self.options))
+        return MoonlinkKafkaStreamReader(dict(self.options), schema)
 
 
 class _KafkaRangePartition(InputPartition):
@@ -828,10 +828,20 @@ class MoonlinkKafkaStreamReader(DataSourceStreamReader):
     the cluster exactly like Spark's native Kafka source. Replays are
     deterministic because broker logs are append-only."""
 
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, schema=None):
         # Spark lowercases data-source option keys. Keep the dict: it
         # rides the serialized reader to executors (SASL creds etc.).
         self.options = dict(options)
+        # the resolved reader StructType: read() assembles ONE Arrow
+        # RecordBatch per offset range against it (pyspark>=4 Python
+        # data sources accept Iterator[pa.RecordBatch]) — rows skip
+        # per-tuple pickling entirely. arrowbatch=false falls back to
+        # the tuple path.
+        self.spark_schema = schema
+        self.arrow_mode = (
+            str(options.get("arrowbatch", "true")).lower() != "false"
+            and schema is not None
+        )
         self.host = options["host"]
         self.port = int(options["port"])
         self.topic = options["topic"]
@@ -937,17 +947,46 @@ class MoonlinkKafkaStreamReader(DataSourceStreamReader):
             if end.get(str(p), 0) > start.get(str(p), 0)
         ]
 
+    def _arrow_batches(self, partition: int, msgs):
+        """One pyarrow RecordBatch for the whole fetched range: Avro
+        values decode through the schema-compiled columnar decoder
+        (sources/avro_arrow.py) straight into Arrow arrays — no
+        per-record dicts, no per-row pickling."""
+        from moonlink_spark.sources.avro_arrow import (
+            arrow_batch_for_spark,
+            columnar_decoder_cached,
+        )
+
+        if self.avro_schema is None:
+            named = {
+                "partition": (None, [partition] * len(msgs)),
+                "offset": (None, [m[0] for m in msgs]),
+                "key": (None, [m[1] for m in msgs]),
+                "value": (None, [m[2] for m in msgs]),
+            }
+            yield arrow_batch_for_spark(self.spark_schema, named)
+            return
+        live = [m for m in msgs if m[2] is not None]  # skip tombstones
+        names, decode_all = columnar_decoder_cached(self.avro_schema)
+        cols = decode_all([m[2] for m in live])
+        named = {
+            "partition": (None, [partition] * len(live)),
+            "offset": (None, [m[0] for m in live]),
+            "key": (None, [m[1] for m in live]),
+        }
+        for f, col in zip(self.avro_schema["fields"], cols):
+            named[f["name"]] = (f["type"], col)
+        yield arrow_batch_for_spark(self.spark_schema, named)
+
     def read(self, partition: _KafkaRangePartition):
         # EXECUTOR-side: this task fetches its own offset range over its
         # own socket; the driver never touches message bytes
-        return iter(
-            self._rows(
-                partition.partition,
-                self._fetch_range(
-                    partition.partition, partition.lo, partition.hi
-                ),
-            )
+        msgs = self._fetch_range(
+            partition.partition, partition.lo, partition.hi
         )
+        if self.arrow_mode:
+            return self._arrow_batches(partition.partition, msgs)
+        return iter(self._rows(partition.partition, msgs))
 
     def commit(self, end: dict) -> None:
         pass  # Spark's checkpoint is the offset store; nothing broker-side

@@ -252,38 +252,43 @@ def encode_datum(schema: Any, value: Any) -> bytes:
     raise AvroSchemaError(f"unsupported avro type {t!r}")
 
 
+def fix_datum_for_spark(field_schema: Any, v: Any) -> Any:
+    """One decoded Avro value -> ``avro_schema_to_struct``'s Spark shape:
+    maps become array<struct<key,value>> rows, nested records align to
+    their field list. Shared by the row path (``row_for_spark``) and the
+    columnar Arrow path's complex-field fallback so both produce
+    byte-identical shapes."""
+    if isinstance(field_schema, str):
+        return v
+    if isinstance(field_schema, list):
+        for branch in field_schema:
+            bt = branch if isinstance(branch, str) else branch.get("type")
+            if v is None and bt == "null":
+                return None
+            if v is not None and bt != "null":
+                return fix_datum_for_spark(branch, v)
+        return v
+    t = field_schema.get("type")
+    if isinstance(t, (dict, list)):
+        return fix_datum_for_spark(t, v)
+    if t == "map" and isinstance(v, dict):
+        return [
+            {"key": k, "value": fix_datum_for_spark(field_schema["values"], x)}
+            for k, x in sorted(v.items())
+        ]
+    if t == "record" and isinstance(v, dict):
+        return {
+            f["name"]: fix_datum_for_spark(f["type"], v.get(f["name"]))
+            for f in field_schema["fields"]
+        }
+    if t == "array" and isinstance(v, list):
+        return [fix_datum_for_spark(field_schema["items"], x) for x in v]
+    return v
+
+
 def row_for_spark(schema: str | dict, row: dict[str, Any]) -> dict[str, Any]:
     """Align a decoded row with ``avro_schema_to_struct``'s shape: Avro
     maps become array<struct<key,value>> (the reference models PG/OTEL
     key-values the same way — no MapType anywhere, SURVEY §1.1)."""
     node = json.loads(schema) if isinstance(schema, str) else schema
-
-    def _fix(field_schema: Any, v: Any) -> Any:
-        if isinstance(field_schema, str):
-            return v
-        if isinstance(field_schema, list):
-            for branch in field_schema:
-                bt = branch if isinstance(branch, str) else branch.get("type")
-                if v is None and bt == "null":
-                    return None
-                if v is not None and bt != "null":
-                    return _fix(branch, v)
-            return v
-        t = field_schema.get("type")
-        if isinstance(t, (dict, list)):
-            return _fix(t, v)
-        if t == "map" and isinstance(v, dict):
-            return [
-                {"key": k, "value": _fix(field_schema["values"], x)}
-                for k, x in sorted(v.items())
-            ]
-        if t == "record" and isinstance(v, dict):
-            return {
-                f["name"]: _fix(f["type"], v.get(f["name"]))
-                for f in field_schema["fields"]
-            }
-        if t == "array" and isinstance(v, list):
-            return [_fix(field_schema["items"], x) for x in v]
-        return v
-
-    return _fix(node, row)
+    return fix_datum_for_spark(node, row)

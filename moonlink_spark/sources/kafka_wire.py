@@ -100,12 +100,85 @@ def _crc32c_table() -> list[int]:
     return _CRC32C_TABLE
 
 
-def crc32c(data: bytes) -> int:
+def _crc32c_scalar(data: bytes, reg: int = 0xFFFFFFFF) -> int:
+    """Raw register after ``data`` (no final xor) — the fold primitive."""
     table = _crc32c_table()
-    c = 0xFFFFFFFF
     for b in data:
-        c = table[(c ^ b) & 0xFF] ^ (c >> 8)
-    return c ^ 0xFFFFFFFF
+        reg = table[(reg ^ b) & 0xFF] ^ (reg >> 8)
+    return reg
+
+
+_CRC_BLOCK = 128  # numpy block width; tuned on this host (see SCALE.md)
+_CRC_NP: list | None = None  # [byte_table(np), S0, S1, S2, S3] lazily built
+
+
+def _crc_np_tables():
+    """numpy byte table + the shift-by-_CRC_BLOCK operator as 4 tables
+    (CRC is GF(2)-linear: advancing the register across B zero bytes is
+    a linear map; its action is precomputed on the 32 basis bits and
+    expanded to per-byte lookup tables)."""
+    global _CRC_NP
+    if _CRC_NP is None:
+        import numpy as np
+
+        tbl = _crc32c_table()
+        basis = []
+        for bit in range(32):
+            c = 1 << bit
+            for _ in range(_CRC_BLOCK):
+                c = tbl[c & 0xFF] ^ (c >> 8)
+            basis.append(c)
+        S = np.zeros((4, 256), dtype=np.uint32)
+        for k in range(4):
+            for b in range(256):
+                acc = 0
+                for j in range(8):
+                    if b & (1 << j):
+                        acc ^= basis[8 * k + j]
+                S[k][b] = acc
+        _CRC_NP = [np.array(tbl, dtype=np.uint32), S[0], S[1], S[2], S[3]]
+    return _CRC_NP
+
+
+def crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli, reflected — the RecordBatch checksum).
+
+    Fast path: CRC is linear over GF(2), so the blocks' registers are
+    computed in PARALLEL with numpy (each block starting from register
+    0), then folded left-to-right through the precomputed
+    shift-by-block operator. ~6x the scalar loop on this host; the
+    scalar loop remains the small-input and no-numpy path, and both
+    agree bit-for-bit (RFC 3720 vectors in tests)."""
+    n = len(data)
+    nb = n // _CRC_BLOCK
+    if nb < 4:
+        return _crc32c_scalar(data) ^ 0xFFFFFFFF
+    try:
+        import numpy as np
+    except ImportError:  # pragma: no cover - numpy ships in this env
+        return _crc32c_scalar(data) ^ 0xFFFFFFFF
+    bt, s0, s1, s2, s3 = _crc_np_tables()
+    cols = np.ascontiguousarray(
+        np.frombuffer(data, np.uint8, count=nb * _CRC_BLOCK)
+        .reshape(nb, _CRC_BLOCK)
+        .T
+    )
+    c = np.zeros(nb, np.uint32)
+    for j in range(_CRC_BLOCK):
+        c = bt[(c ^ cols[j]) & 0xFF] ^ (c >> 8)
+    r = 0xFFFFFFFF
+    for bc in c.tolist():
+        r = (
+            int(
+                s0[r & 0xFF]
+                ^ s1[(r >> 8) & 0xFF]
+                ^ s2[(r >> 16) & 0xFF]
+                ^ s3[r >> 24]
+            )
+            ^ bc
+        )
+    r = _crc32c_scalar(data[nb * _CRC_BLOCK :], r)
+    return r ^ 0xFFFFFFFF
 
 
 # ---------------------------------------------------------------------------
@@ -133,6 +206,17 @@ def _varint(n: int) -> bytes:
         else:
             out.append(b)
             return bytes(out)
+
+
+_VARINT_CACHE: list[bytes] = []
+
+
+def _varint_cache() -> list[bytes]:
+    """Pre-encoded varints for 0..16383 (every offsetDelta and most
+    length prefixes in practice hit this)."""
+    if not _VARINT_CACHE:
+        _VARINT_CACHE.extend(_varint(n) for n in range(16384))
+    return _VARINT_CACHE
 
 
 def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
@@ -259,22 +343,38 @@ def encode_record_batch(
         if first_timestamp_ms is None
         else first_timestamp_ms
     )
-    recs = bytearray()
+    # hot loop (also the broker's per-fetch re-encode): varints come
+    # from a small-value cache and records are assembled with one join
+    vc = _varint_cache()
+    vlast = len(vc) - 1
+    null_len = b"\x01"  # varint(-1) zigzagged
+    parts: list[bytes] = []
+    ap = parts.append
     for i, (key, value) in enumerate(records):
-        body = bytearray()
-        body += b"\x00"  # record attributes (unused)
-        body += _varint(0)  # timestampDelta
-        body += _varint(i)  # offsetDelta
+        od = vc[i] if 0 <= i <= vlast else _varint(i)
         if key is None:
-            body += _varint(-1)
+            kpart = null_len
+            klen = 0
         else:
-            body += _varint(len(key)) + key
+            klen = len(key)
+            kpart = (
+                (vc[klen] if klen <= vlast else _varint(klen)) + key
+            )
         if value is None:  # tombstone
-            body += _varint(-1)
+            vpart = null_len
+            vlen = 0
         else:
-            body += _varint(len(value)) + value
-        body += _varint(0)  # headers
-        recs += _varint(len(body)) + bytes(body)
+            vlen = len(value)
+            vpart = (
+                (vc[vlen] if vlen <= vlast else _varint(vlen)) + value
+            )
+        # attributes \x00, timestampDelta 0, offsetDelta, key, value,
+        # headers count 0
+        body = b"\x00\x00" + od + kpart + vpart + b"\x00"
+        blen = len(body)
+        ap(vc[blen] if blen <= vlast else _varint(blen))
+        ap(body)
+    recs = b"".join(parts)
     n = len(records)
     if compression is None or compression == "none":
         attrs, rec_bytes = 0, bytes(recs)
@@ -329,20 +429,60 @@ def decode_record_batches(
         if codec:  # records section is compressed
             _, decompress = _codec_or_raise(codec)
             tail = tail[:40] + decompress(tail[40:])
+        # hot loop: zigzag varints inlined (a function call per field
+        # halves single-socket fetch throughput; this loop is the
+        # client-side decode path for EVERY fetched message)
         p = 40  # past the fixed attribute block (2+4+8+8+8+2+4+4)
         for _ in range(count):
-            rlen, p = _read_varint(tail, p)
-            end = p + rlen
+            r = 0
+            sh = 0
+            while True:
+                byt = tail[p]
+                p += 1
+                r |= (byt & 0x7F) << sh
+                if byt < 0x80:
+                    break
+                sh += 7
+            end = p + ((r >> 1) ^ -(r & 1))  # record length
             p += 1  # record attributes
-            _td, p = _read_varint(tail, p)
-            od, p = _read_varint(tail, p)
-            klen, p = _read_varint(tail, p)
+            while tail[p] >= 0x80:  # skip timestampDelta
+                p += 1
+            p += 1
+            r = 0
+            sh = 0
+            while True:  # offsetDelta
+                byt = tail[p]
+                p += 1
+                r |= (byt & 0x7F) << sh
+                if byt < 0x80:
+                    break
+                sh += 7
+            od = (r >> 1) ^ -(r & 1)
+            r = 0
+            sh = 0
+            while True:  # key length
+                byt = tail[p]
+                p += 1
+                r |= (byt & 0x7F) << sh
+                if byt < 0x80:
+                    break
+                sh += 7
+            klen = (r >> 1) ^ -(r & 1)
             if klen < 0:
                 key = None
             else:
                 key = tail[p : p + klen]
                 p += klen
-            vlen, p = _read_varint(tail, p)
+            r = 0
+            sh = 0
+            while True:  # value length
+                byt = tail[p]
+                p += 1
+                r |= (byt & 0x7F) << sh
+                if byt < 0x80:
+                    break
+                sh += 7
+            vlen = (r >> 1) ^ -(r & 1)
             if vlen < 0:
                 # tombstone: mirror the key handling — a null value is NOT
                 # an empty value (compacted-topic delete markers from any
@@ -524,19 +664,35 @@ class _PartitionLog:
     so non-wire consumers (the ingestor, tests) read broker logs as a
     plain queue directory."""
 
+    _INDEX_EVERY = 1024  # sparse offset->file-position index stride
+
     def __init__(self, log_dir: str):
         self.dir = log_dir
         os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, "segment-broker.log")
         self.lock = threading.Lock()
         self.next_offset = 0
+        # sparse in-memory (offset, file_pos) index so a fetch seeks
+        # near its start offset instead of rescanning the whole file —
+        # a draining consumer is otherwise O(log^2) (a real broker has
+        # the same structure: the .index file beside each segment)
+        self._index: list[tuple[int, int]] = []
         for off, _k, _v in self._scan(0):
             self.next_offset = max(self.next_offset, off + 1)
+
+    def _seek_pos(self, from_offset: int) -> int:
+        import bisect
+
+        i = bisect.bisect_right(self._index, (from_offset, 1 << 62)) - 1
+        return self._index[i][1] if i >= 0 else 0
 
     def _scan(self, from_offset: int):
         if not os.path.exists(self.path):
             return
         with open(self.path, "rb") as fh:
+            pos = self._seek_pos(from_offset)
+            fh.seek(pos)
+            last_indexed = self._index[-1][0] if self._index else None
             while True:
                 head = fh.read(4)
                 if len(head) < 4:
@@ -546,6 +702,11 @@ class _PartitionLog:
                 if len(frame) < flen:
                     return  # torn tail
                 off, klen = struct.unpack_from(">QI", frame, 0)
+                if last_indexed is None or off > last_indexed:
+                    if off % self._INDEX_EVERY == 0:
+                        self._index.append((off, pos))
+                        last_indexed = off
+                pos += 4 + flen
                 key, value = _parse_kv(klen, frame[12:])
                 if off >= from_offset:
                     yield off, key, value

@@ -248,3 +248,72 @@ def test_sasl_stream_source_end_to_end(spark, tmp_path):
         assert sorted(r["offset"] for r in rows) == list(range(10))
     finally:
         b.stop()
+
+
+RICH_STREAM_SCHEMA = {
+    "type": "record",
+    "name": "rich",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "v", "type": ["null", "string"], "default": None},
+        {
+            "name": "ts",
+            "type": {"type": "long", "logicalType": "timestamp-micros"},
+        },
+        {"name": "props", "type": {"type": "map", "values": "long"}},
+    ],
+}
+
+
+def test_arrow_and_tuple_paths_agree(spark, broker):
+    """The Arrow-batched decode (default) and the pickled-tuple fallback
+    (arrowbatch=false) must produce the SAME DataFrame — including a
+    tombstone (skipped by both) and a map field (columnar fallback +
+    row_for_spark shape)."""
+    import datetime as dt
+
+    register_moonlink_source(spark)
+    prod = KafkaWireProducer(broker.host, broker.port)
+    msgs = [
+        (
+            str(i).encode(),
+            encode_datum(
+                RICH_STREAM_SCHEMA,
+                {
+                    "id": i,
+                    "v": None if i % 3 == 0 else f"v{i}",
+                    "ts": dt.datetime(2024, 5, 1)
+                    + dt.timedelta(seconds=i, microseconds=7 * i),
+                    "props": {"a": i, "b": i * 2} if i % 2 else {},
+                },
+            ),
+        )
+        for i in range(40)
+    ]
+    msgs.append((b"dead", None))  # tombstone: both paths skip it
+    prod.send("rich", msgs)
+    prod.close()
+
+    def run(name, **opts):
+        q = (
+            _reader(spark, broker, topic="rich",
+                    valueAvroSchema=json.dumps(RICH_STREAM_SCHEMA), **opts)
+            .option("topic", "rich")
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return sorted(
+            spark.sql(f"SELECT * FROM {name}").collect(),
+            key=lambda r: r["offset"],
+        )
+
+    fast = run("krich_arrow")
+    slow = run("krich_tuple", arrowbatch="false")
+    assert len(fast) == 40
+    assert [r.asDict(recursive=True) for r in fast] == [
+        r.asDict(recursive=True) for r in slow
+    ]
