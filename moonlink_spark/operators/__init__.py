@@ -87,17 +87,19 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # already-proven category as regression canaries). Cumulative
 # driver-verified coverage after this round: 121/121.
 
-# ROUND-6 ROTATION: r5 went 50/50 green, so its 42 non-keeper slots
-# rotate out (their evidence is one round old and every one stays green
-# under scripts/check_parity.py + pytest). Rotating IN, stalest evidence
-# first: this round's 5 brand-new ingest queries (COPY-protocol initial
-# copy, PG-wire metadata recovery, consumer-group rebalance, and both
-# object-storage-cache paths), all 6
-# queries whose last driver-green row is r1, and 31 queries last gated
-# r3 — including the full streaming e2e family, multimodal, and
-# pivot_event_type_values (VERDICT r5 item 8 names these), the dedup
-# family, ANN, skew patterns, and TPC-H representatives. Keepers: the
-# 7-query ingest lifecycle that is the engine's identity + the flagship.
+# ROUND-7 ROTATION: r6 went 50/50 green, so its 42 non-keeper slots
+# rotate out (their evidence is one round old; all stay green under
+# scripts/check_parity.py + pytest). Rotating IN, stalest driver
+# evidence first: json_props_extraction (the one never-driver-gated
+# query in the registry), distinct_aggregates (last green r1), the
+# ENTIRE r2 cohort — 34 queries spanning TPC-H q2-q22, the join-shape
+# family (anti/semi/exists/not-in/full-outer), grouping
+# (cube/rollup/set-ops), window (rank/ntile/gaps), and relational
+# extras (median/mode, gap-fill, string_agg, width_bucket) — plus 6 of
+# the 10 r3-era queries (profiling, n-gram dedup, quantize-rerank,
+# LM fluency, tumbling windows, z-score outliers). Keepers: the
+# 7-query ingest lifecycle that is the engine's identity + the
+# flagship.
 PRIORITY_50 = [
     # ingest / table engine keepers (7) + flagship (1)
     "ingest_scan_at_lsn",
@@ -108,57 +110,53 @@ PRIORITY_50 = [
     "ingest_snapshot_diff",
     "ingest_optimize_invariance",
     "q1_pricing_summary",
-    # NEW r6: this round's features, never driver-gated (5)
-    "ingest_copy_wire_scan",               # initial copy over PG COPY wire
-    "ingest_pg_metadata_recovery_scan",    # PG-wire metadata control plane
-    "ingest_kafka_group_rebalance_scan",   # consumer-group rebalance e2e
-    "ingest_cached_scan",                  # object-storage cache read path
-    "ingest_cached_data_scan",             # data plane via executor caches
-    # last driver-green r1 — the stalest evidence in the registry (6)
-    "ingest_fullrow_delete_one",
-    "pivot_event_type_values",
-    "doc_fingerprints",
-    "token_counts",
-    "sessionize_events",
-    "embedding_near_dup_pairs",
-    # last driver-green r3: streaming e2e family (3)
-    "streaming_interval_join_e2e",
-    "streaming_tumbling_agg_e2e",
-    "streaming_stateful_sessionize_e2e",
-    # last driver-green r3: multimodal + dedup family (6)
-    "multimodal_feature_extract",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_connected_components",
-    "semantic_dedup_ivf",
-    # last driver-green r3: similarity / ANN (4)
-    "knn_cosine_bruteforce",
-    "ann_ivf_topk",
-    "ann_lsh_hyperplane_buckets",
-    "lsh_near_dup_pairs",
-    # last driver-green r3: joins / skew / lookup (5)
-    "asof_join_purchase_click",
-    "skew_salted_join",
-    "skew_salted_aggregation",
-    "point_lookup_order",
-    "window_topk_parts_per_brand",
-    # last driver-green r3: TPC-H representatives (3)
-    "q3_shipping_priority",
-    "q9_product_profit",
-    "q21_multi_line_order_suppliers",
-    # last driver-green r3: text / safety / retrieval (5)
-    "text_quality_scores",
-    "lang_id_heuristic",
-    "pii_pattern_scan",
-    "contamination_check",
-    "bm25_retrieval",
-    # last driver-green r3: sampling / packing / time / pipeline (5)
-    "deterministic_hash_sample",
-    "stratified_sample_per_group",
-    "sequence_pack_bins",
-    "hierarchical_time_rollup",
-    "corpus_curation_pipeline",
+    # never driver-gated (1) + last green r1 (1)
+    "json_props_extraction",
+    "distinct_aggregates",
+    # last driver-green r2: TPC-H representatives (21)
+    "q2_min_balance_supplier",
+    "q4_order_priority_check",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_lines",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_parts_suppliers",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q20_part_supplier_candidates",
+    "q22_sales_opportunity",
+    "anti_join_customers_without_orders",
+    "semi_join_customers_with_urgent_orders",
+    "exists_suppliers_with_heavy_lines",
+    # last driver-green r2: joins / sets / grouping (6)
+    "not_in_parts_never_shipped",
+    "full_outer_urgent_vs_returns",
+    "set_ops_order_status",
+    "cube_lineitem_flags",
+    "rollup_orders",
+    "median_mode_order_stats",
+    # last driver-green r2: window / relational extras (7)
+    "window_rank_dense_ntile",
+    "window_order_gaps",
+    "gap_fill_daily_order_counts",
+    "string_agg_top_customers_per_nation",
+    "width_bucket_balance_histogram",
+    "explode_token_positions",
+    "repetition_scores",
+    # last driver-green r3 (6)
+    "column_profile_lineitem",
+    "dedup_ngram_jaccard",
+    "embedding_quantize_rerank",
+    "lm_fluency_scores",
+    "tumbling_window_hourly",
+    "zscore_outlier_events",
 ]
 assert len(PRIORITY_50) == 50 and len(set(PRIORITY_50)) == 50
 
