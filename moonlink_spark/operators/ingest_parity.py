@@ -1425,9 +1425,15 @@ def ingest_kafka_group_rebalance_scan(spark: SparkSession, sf_dir: str) -> DataF
 
     Scale shape: partitions are the parallelism unit; adding members
     re-ranges partitions without re-reading history (committed offsets
-    are the group's, not the member's). The drain decodes Avro in
-    Python — see spark_datasource.kafka_jvm_reader_options for the JVM
-    production swap-in."""
+    are the group's, not the member's). NOTE — the drain below is a
+    PROTOCOL DEMO, deliberately through the driver: a group member IS a
+    single client process in Kafka's model, and this gate exists to
+    prove the rebalance protocol (join/sync/heartbeat/offset-commit
+    across a membership change). Do NOT copy it as the ingest pattern
+    at volume — the distributed consumption path is the moonlink-kafka
+    STREAM SOURCE (per-task offset-range fetches, Arrow batches; see
+    MoonlinkKafkaStreamReader), with
+    spark_datasource.kafka_jvm_reader_options as the JVM swap-in."""
     from moonlink_spark.sources.avro_binary import decode_datum, encode_datum
     from moonlink_spark.sources.kafka_wire import (
         KafkaGroupConsumer,

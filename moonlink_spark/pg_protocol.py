@@ -74,6 +74,14 @@ class PgProtocolError(MoonlinkError):
     """Malformed or unsupported protocol traffic."""
 
 
+class _ChaosKill(BaseException):
+    """Injected server crash (tests): BaseException so it escapes the
+    protocol handlers' ``except Exception`` nets and tears the
+    connection down abruptly — the client sees a dead socket exactly as
+    with a real backend crash. Parity: the reference's chaos_test.rs
+    kills its source mid-operation the same way."""
+
+
 def _sqlite_sqlstate(e: "sqlite3.Error") -> str:
     """SQLite error -> PG sqlstate, one mapping for BOTH protocols so the
     simple and extended paths always report the same code. Codes follow
@@ -861,9 +869,25 @@ class PgMockServer:
         auth: str = "password",
         ssl_cert: str | None = None,
         ssl_key: str | None = None,
+        chaos: dict | None = None,
     ):
         self.db_path = db_path
         self.password = password
+        # Deterministic crash injection (the Kafka broker's drop_every
+        # counterpart). Keys:
+        #   commit_crash: "before" | "after" — tear the connection down
+        #     around the Nth writer COMMIT ("before": the txn is lost and
+        #     rolls back on disconnect; "after": the commit is durable
+        #     but the client never hears CommandComplete — the classic
+        #     in-doubt commit). commit_crash_at: N (default 1).
+        #   copy_drop_after: int — kill the first COPY OUT stream to
+        #     emit that many CopyData messages.
+        # Each hook fires ONCE per server (chaos_fired counts), so a
+        # client retry against the same server observes recovery.
+        self.chaos = dict(chaos or {})
+        self.chaos_fired = {"commit": 0, "copy": 0}
+        self._chaos_lock = threading.Lock()
+        self._commit_ordinal = 0
         # TLS: with a cert/key pair the server answers SSLRequest with
         # 'S' and upgrades the connection (real PG's ssl=on); without,
         # 'N' and the client may continue cleartext (ssl=off).
@@ -962,6 +986,10 @@ class PgMockServer:
                     sock.sendall(_msg(b"Z", b"I"))
             finally:
                 conn.close()
+        except _ChaosKill:
+            # injected crash: conn.close() above already rolled back any
+            # open transaction; fall through to the abrupt socket close
+            return
         except (ConnectionError, OSError):
             return
         finally:
@@ -1148,6 +1176,32 @@ class PgMockServer:
         return True
 
     # -- query execution ----------------------------------------------------
+
+    def _chaos_commit_ordinal(self) -> int:
+        with self._chaos_lock:
+            self._commit_ordinal += 1
+            return self._commit_ordinal
+
+    def _chaos_maybe_kill_commit(self, phase: str, ordinal: int) -> None:
+        if self.chaos.get("commit_crash") != phase:
+            return
+        if ordinal != int(self.chaos.get("commit_crash_at", 1)):
+            return
+        with self._chaos_lock:
+            if self.chaos_fired["commit"]:
+                return
+            self.chaos_fired["commit"] += 1
+        raise _ChaosKill(f"commit crash ({phase})")
+
+    def _chaos_copy_tick(self, sent: int) -> None:
+        after = self.chaos.get("copy_drop_after")
+        if after is None or sent < int(after):
+            return
+        with self._chaos_lock:
+            if self.chaos_fired["copy"]:
+                return
+            self.chaos_fired["copy"] += 1
+        raise _ChaosKill("copy stream crash")
 
     def _run_query(
         self, sock, conn: sqlite3.Connection, sql: str, state: dict[str, Any]
@@ -1485,9 +1539,17 @@ class PgMockServer:
                 state.pop("in_txn", None)
                 self._clear_snapshot(conn, state)
                 return None, [], "COMMIT"
+            ordinal = self._chaos_commit_ordinal()
+            # "before": the SQLite txn is still open — conn.close() on
+            # the disconnect path rolls it back, so the write is LOST
+            # exactly as when a real backend dies pre-commit
+            self._chaos_maybe_kill_commit("before", ordinal)
             with self._snap_lock:
                 cur = conn.execute(sql)
                 self.lsn += state.pop("txn_writes", 0)
+            # "after": durable commit, client never hears about it —
+            # the in-doubt-commit case every retry loop must tolerate
+            self._chaos_maybe_kill_commit("after", ordinal)
             if state.pop("in_txn", False):
                 self._clear_snapshot(conn, state)
         elif verb == "ROLLBACK":
@@ -1611,6 +1673,7 @@ class PgMockServer:
         for row in cur:
             sock.sendall(_msg(b"d", copy_text_row(row)))
             n += 1
+            self._chaos_copy_tick(n)
         sock.sendall(_msg(b"c", b""))
         sock.sendall(_msg(b"C", _cstr(f"COPY {n}")))
 

@@ -335,8 +335,16 @@ def initial_copy(
     events at lsn <= snapshot_lsn are skipped by apply_cdc_batch's LSN
     floor)."""
     table.append_df(snapshot_df)
-    return table.commit(
-        lsn=snapshot_lsn,
-        operation="initial-copy",
-        properties_update={LAST_LSN_PROP: int(snapshot_lsn)},
-    )
+    try:
+        return table.commit(
+            lsn=snapshot_lsn,
+            operation="initial-copy",
+            properties_update={LAST_LSN_PROP: int(snapshot_lsn)},
+        )
+    except BaseException:
+        # all-or-nothing: a torn copy (source died mid-COPY, Spark job
+        # failed) must leave the table EXACTLY as before — the caller
+        # retries with a fresh snapshot DataFrame, and the stale staged
+        # one would otherwise double-apply on that retry's commit
+        table.discard_staged_df(snapshot_df)
+        raise

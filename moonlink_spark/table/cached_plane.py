@@ -69,8 +69,14 @@ def _read_file_cached(
         except OSError:
             pass
     if handle is not None:
-        tbl = pq.read_table(handle.cache_filepath)
-        return tbl, handle.unreference
+        try:
+            tbl = pq.read_table(handle.cache_filepath)
+            return tbl, handle.unreference
+        except (FileNotFoundError, OSError):
+            # a sibling process sharing the cache directory evicted the
+            # content-addressed file between our pin and the read: fall
+            # through to the direct remote stream — degraded, never wrong
+            handle.unreference()
     fd, tmp = tempfile.mkstemp(suffix=".parquet")
     try:
         with os.fdopen(fd, "wb") as out, accessor.open_read_binary(

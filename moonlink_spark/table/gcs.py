@@ -103,11 +103,12 @@ class GCSMemServer:
                 pass
 
             def _throttle(self) -> bool:
-                if not throttle_every:
-                    return False
                 with server._lock:
                     server._req_count += 1
-                    if server._req_count % throttle_every == 0:
+                    if (
+                        throttle_every
+                        and server._req_count % throttle_every == 0
+                    ):
                         server.throttled += 1
                         return True
                 return False

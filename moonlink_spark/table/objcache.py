@@ -32,6 +32,7 @@ caches, each bounded by its own ``max_bytes``.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import threading
 import time
@@ -183,10 +184,17 @@ class ObjectStorageCache:
                 return CacheHandle(self, file_id, st.entry), []
             st = self._evictable.pop(file_id, None)
             if st is not None:
-                st.reference_count = 1
-                self._pinned[file_id] = st
-                self.hits += 1
-                return CacheHandle(self, file_id, st.entry), []
+                if not os.path.exists(st.entry.cache_filepath):
+                    # a SIBLING process sharing this cache directory
+                    # evicted the file from under our in-memory index
+                    # (content-addressed shared dir): drop the stale
+                    # entry and fall through to a normal miss
+                    self.cur_bytes -= st.entry.file_size
+                else:
+                    st.reference_count = 1
+                    self._pinned[file_id] = st
+                    self.hits += 1
+                    return CacheHandle(self, file_id, st.entry), []
             self.misses += 1
 
         # miss: IO outside the lock
@@ -197,7 +205,13 @@ class ObjectStorageCache:
             # reuse the winner and discard our copy
             won = self._pinned.get(file_id) or self._evictable.get(file_id)
             if won is not None:
-                if st.deletable:
+                # content-addressed names mean the loser's copy IS the
+                # winner's file — only unlink a genuinely distinct path
+                # (the local-fs-optimized case keeps deletable=False)
+                if (
+                    st.deletable
+                    and st.entry.cache_filepath != won.entry.cache_filepath
+                ):
                     _unlink_quiet(st.entry.cache_filepath)
                 return self.get(file_id, remote_path, accessor)
             self.cur_bytes += st.entry.file_size
@@ -291,9 +305,23 @@ class ObjectStorageCache:
                 reference_count=1,
                 deletable=False,
             )
+        # Content-addressed cache filename: every process caching into a
+        # SHARED directory derives the same name for the same object, so
+        # a worker whose sibling already fetched the file ADOPTS it from
+        # disk with zero remote IO. (The reference's cache is one
+        # manager per node; Spark's Python side is N worker processes
+        # per node, so the shared-dir adoption is what makes the cache
+        # node-scoped rather than process-scoped. Objects are
+        # content-immutable under unique store paths, so any copy is as
+        # good as any other.)
         suffix = os.path.splitext(remote_path)[1]
-        dst = os.path.join(self.cache_directory, f"{uuid.uuid4().hex}{suffix}")
-        tmp = dst + ".part"
+        digest = hashlib.sha256(remote_path.encode("utf-8")).hexdigest()[:40]
+        dst = os.path.join(self.cache_directory, f"{digest}{suffix}")
+        if os.path.exists(dst):
+            return _EntryState(
+                CacheEntry(dst, os.path.getsize(dst)), reference_count=1
+            )
+        tmp = f"{dst}.{uuid.uuid4().hex}.part"  # unique: racing fetchers
         size = 0
         with accessor.open_read_binary(remote_path) as src, open(tmp, "wb") as out:
             while True:
@@ -302,7 +330,9 @@ class ObjectStorageCache:
                     break
                 out.write(chunk)
                 size += len(chunk)
-        os.rename(tmp, dst)  # a crashed fetch never looks like a cache file
+        # atomic: a crashed fetch never looks like a cache file, and a
+        # lost race replaces the winner's file with identical bytes
+        os.rename(tmp, dst)
         return _EntryState(CacheEntry(dst, size), reference_count=1)
 
     def _evict_to_budget(self, tolerate: bool) -> tuple[bool, list[str]]:

@@ -281,6 +281,22 @@ class MoonlinkTable:
         with self._lock:
             self._pending.append(("append_df", df))
 
+    def discard_staged_df(self, df: DataFrame) -> bool:
+        """Unstage one buffered ``append_df`` op (matched by identity).
+
+        A failed commit restores its raw ops so a plain retry recomputes
+        them against the new base — right for row-level ops, but a bulk
+        caller that RE-STAGES its own input on retry (initial copy
+        re-exports a fresh snapshot and appends a NEW DataFrame) must
+        drop the stale op first or the next commit double-applies the
+        seed. Returns True if an op was removed."""
+        with self._lock:
+            for i, op in enumerate(self._pending):
+                if op[0] == "append_df" and op[1] is df:
+                    del self._pending[i]
+                    return True
+        return False
+
     def delete_rows(
         self, rows: Iterable[dict[str, Any]], if_exists: bool = True
     ) -> None:

@@ -268,3 +268,116 @@ def test_chaos_with_kafka_wire_ingest_leg(spark, tmp_path):
     got = {r["id"] for r in kt.scan().collect()}
     assert got == set(produced) and len(got) == 300
     assert kt.scan().count() == 300  # no dup rows either
+
+
+# ---------------------------------------------------------------------------
+# PG-wire crash legs (VERDICT r6 item 8): kill the mock mid-transaction
+# during metadata writes and mid-COPY during the initial copy — parity
+# with the reference's chaos_test.rs spirit for its newest transport.
+
+
+@pytest.mark.parametrize("phase", ["before", "after"])
+def test_chaos_pg_commit_crash_metadata_consistent(tmp_path, phase):
+    """The server dies around the 3rd writer COMMIT. "before": the txn
+    must roll back (entry absent, plain retry lands it). "after": the
+    commit is durable but unacknowledged — the in-doubt case — so the
+    retry must see 23505 already-recorded. Either way the store ends
+    fully consistent: all entries present exactly once, zero corrupt."""
+    from moonlink_spark.metadata_store import (
+        MetadataStoreError,
+        PgMetadataStore,
+        serialize_table_config,
+    )
+    from moonlink_spark.pg_protocol import PgMockServer
+
+    srv = PgMockServer(
+        str(tmp_path / "meta.db"),
+        chaos={"commit_crash": phase, "commit_crash_at": 3},
+    ).start()
+    cfg = serialize_table_config({"mode": "single", "columns": ["id"]}, False)
+
+    def new_store():
+        return PgMetadataStore(srv.host, srv.port)
+
+    store = new_store()
+    crashes = 0
+    try:
+        for i in range(6):
+            args = (f"db", f"t{i}", f"src_t{i}", f"postgres://src/{i}", cfg)
+            try:
+                store.store_table_metadata(*args)
+            except (ConnectionError, OSError, MetadataStoreError):
+                crashes += 1
+                store.close()
+                store = new_store()  # reconnect, as a real client would
+                try:
+                    store.store_table_metadata(*args)
+                    assert phase == "before", (
+                        "post-commit crash must leave the row durable"
+                    )
+                except MetadataStoreError as e:
+                    assert phase == "after" and "already recorded" in str(e)
+        assert crashes == 1 and srv.chaos_fired["commit"] == 1
+        entries = store.get_all_table_metadata_entries()
+        assert sorted(e.table for e in entries) == [f"t{i}" for i in range(6)]
+        assert store.corrupt_entries() == []
+    finally:
+        store.close()
+        srv.stop()
+
+
+def test_chaos_pg_copy_crash_initial_copy_restartable(spark, tmp_path):
+    """A shard's COPY stream dies mid-flight during wire_initial_copy.
+    Whatever Spark's task layer does with the torn stream, the table
+    must never hold a partial or duplicated seed: a failed copy commits
+    NOTHING (atomicity), and the post-recovery copy lands every source
+    row exactly once at the boundary LSN."""
+    from moonlink_spark.ingest.initial_copy import wire_initial_copy
+    from moonlink_spark.pg_protocol import PgMockServer, PgWireClient
+    from moonlink_spark.table.identity import IdentityProp
+    from moonlink_spark.table.table import MoonlinkTable
+
+    n = 4000
+    srv = PgMockServer(
+        str(tmp_path / "src.db"), chaos={"copy_drop_after": 150}
+    ).start()
+    try:
+        c = PgWireClient(srv.host, srv.port)
+        c.query("CREATE TABLE src (id INTEGER, name TEXT)")
+        for base in range(0, n, 1000):
+            vals = ", ".join(
+                f"({i}, 'seed{i}')" for i in range(base, base + 1000)
+            )
+            c.query(f"INSERT INTO src VALUES {vals}")
+        c.close()
+
+        t = MoonlinkTable.create(
+            spark,
+            str(tmp_path / "t"),
+            [
+                {"name": "id", "data_type": "int64", "nullable": False},
+                {"name": "name", "data_type": "string"},
+            ],
+            IdentityProp.single("id"),
+        )
+        try:
+            wire_initial_copy(t, srv.host, srv.port, "src", shard_count=4)
+            first_failed = False
+        except Exception:
+            first_failed = True
+        assert srv.chaos_fired["copy"] == 1  # the crash actually fired
+        if first_failed:
+            # atomic: a torn copy must not commit a partial seed
+            assert t.cardinality() == 0
+            res = wire_initial_copy(
+                t, srv.host, srv.port, "src", shard_count=4
+            )
+            assert res["rows_copied"] == n
+        # exactly once, regardless of whether Spark retried the torn
+        # task internally or the whole copy was re-run
+        assert t.cardinality() == n
+        ids = [r["id"] for r in t.scan().select("id").collect()]
+        assert len(ids) == n and len(set(ids)) == n
+        assert t.last_lsn == n  # boundary LSN == rows written to src
+    finally:
+        srv.stop()

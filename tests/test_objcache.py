@@ -351,3 +351,33 @@ def test_transient_fetch_failure_does_not_poison_cache(tmp_path):
     h, _ = c.get("a.parquet", "a.parquet", acc)
     assert open(h.cache_filepath, "rb").read() == b"x" * 100
     h.unreference()
+
+
+def test_shared_dir_adoption_across_cache_instances(tmp_path):
+    """Two cache instances over the SAME directory (the per-worker-
+    process shape on one node): the second instance adopts the file the
+    first fetched — content-addressed name, zero remote reads — and a
+    sibling's eviction of the shared file downgrades a stale index hit
+    to a clean refetch."""
+    remote = make_remote({"a.parquet": b"R" * 1000})
+    c1 = ObjectStorageCache(max_bytes=10_000, cache_directory=str(tmp_path))
+    c2 = ObjectStorageCache(max_bytes=10_000, cache_directory=str(tmp_path))
+
+    h1, _ = c1.get("a.parquet", "a.parquet", remote)
+    n_after_first = remote.reads
+    h2, _ = c2.get("a.parquet", "a.parquet", remote)
+    assert remote.reads == n_after_first  # adopted, not refetched
+    assert h1.cache_filepath == h2.cache_filepath
+    assert open(h2.cache_filepath, "rb").read() == b"R" * 1000
+
+    # sibling eviction: c1 deletes the shared file; c2's stale
+    # evictable entry must self-heal into a refetch, not an error
+    h2.unreference()
+    h1.unreference()
+    for p in c1.try_delete("a.parquet"):
+        os.unlink(p)
+    h3, _ = c2.get("a.parquet", "a.parquet", remote)
+    assert h3 is not None
+    assert open(h3.cache_filepath, "rb").read() == b"R" * 1000
+    assert remote.reads == n_after_first + 1  # exactly one refetch
+    h3.unreference()

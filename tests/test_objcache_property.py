@@ -58,17 +58,17 @@ def test_cache_state_machine_against_model(tmp_path, ops):
 
     handles: dict[int, list] = {i: [] for i in range(N_FILES)}  # open pins
     model_refs: dict[int, int] = {}  # id -> refcount (pinned entries only)
-    freed_paths: set[str] = set()  # every path ever surfaced for deletion
 
     def surface(paths):
         for p in paths:
-            # exactly-once: a path must never be surfaced twice
-            assert p not in freed_paths, f"{p} surfaced twice"
-            freed_paths.add(p)
-            # surfaced files are no longer cache-managed; delete like a
-            # caller would
-            if os.path.exists(p):
-                os.unlink(p)
+            # exactly-once per file GENERATION: cache filenames are
+            # content-addressed (shared-dir adoption), so a refetch
+            # after deletion legitimately recreates the same path. The
+            # caller deletes every surfaced path, so a double-surface
+            # without a re-creating fetch in between shows up as a
+            # missing file right here.
+            assert os.path.exists(p), f"{p} surfaced twice (not on disk)"
+            os.unlink(p)
 
     for op, i in ops:
         key = f"f{i}.parquet"
