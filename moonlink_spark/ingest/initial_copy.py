@@ -188,6 +188,7 @@ def _read_shards_df(
         from moonlink_spark.pg_protocol import (
             PgWireClient,
             parse_copy_text_row,
+            parse_copy_text_rows,
         )
 
         coerce = _coercers(schema)
@@ -209,12 +210,18 @@ def _read_shards_df(
                         f"rowid >= {int(row.lo)} AND rowid <= {int(row.hi)}"
                         ") TO STDOUT"
                     )
+                    # frame-granular consumption: one parse call per
+                    # ~256 KiB CopyData frame instead of per row
                     buf: list[list] = []
-                    for data in c.copy_out(sql):
-                        buf.append(parse_copy_text_row(data))
+                    rest = b""
+                    for frame in c.copy_out_frames(sql):
+                        rows, rest = parse_copy_text_rows(frame, rest)
+                        buf.extend(rows)
                         if len(buf) >= 50_000:  # bounded executor memory
                             yield _to_pandas(buf, cols, coerce, pd)
                             buf = []
+                    if rest:  # unterminated trailing row (defensive)
+                        buf.append(parse_copy_text_row(rest))
                     if buf:
                         yield _to_pandas(buf, cols, coerce, pd)
                 finally:

@@ -726,11 +726,34 @@ class PgWireClient:
                     return QueryResult(cols, rows, tag)
 
     def copy_out(self, sql: str) -> Iterator[bytes]:
-        """``COPY ... TO STDOUT``: yields raw CopyData row payloads (text
-        format, newline-terminated). Abandoning the generator early is
-        safe: close() drains the remaining COPY stream to ReadyForQuery so
-        the connection lock is released in a usable state rather than held
-        until GC."""
+        """``COPY ... TO STDOUT``: yields one newline-terminated text-format
+        row per iteration. The protocol permits CopyData frames to split or
+        batch rows arbitrarily (protocol docs, COPY subsection), so rows are
+        reassembled across frame boundaries here rather than assuming
+        one-row-per-frame. Abandoning the generator early is safe: close()
+        drains the remaining COPY stream to ReadyForQuery so the connection
+        lock is released in a usable state rather than held until GC."""
+        frames = self.copy_out_frames(sql)
+        try:
+            rest = b""
+            for frame in frames:
+                if rest:
+                    frame = rest + frame
+                lines = frame.split(b"\n")
+                rest = lines.pop()  # partial trailing row (b"" if none)
+                for line in lines:
+                    yield line + b"\n"
+            if rest:  # final row missing its terminator — still a row
+                yield rest
+        finally:
+            frames.close()  # abandoned mid-COPY: drain + release the lock
+
+    def copy_out_frames(self, sql: str) -> Iterator[bytes]:
+        """``COPY ... TO STDOUT`` at frame granularity: yields raw CopyData
+        payloads, each possibly holding many rows (and possibly ending
+        mid-row). The bulk path for shard readers — pair with
+        :func:`parse_copy_text_rows` to decode a frame at a time instead of
+        paying generator + parse overhead per row."""
         with self._lock:
             self.sock.sendall(_msg(b"Q", _cstr(sql)))
             t, b = _read_msg(self._f)
@@ -1669,13 +1692,21 @@ class PgMockServer:
         sock.sendall(
             _msg(b"H", struct.pack(">bh", 0, ncols) + b"\x00\x00" * ncols)
         )
+        # Batch rows into large CopyData frames (the protocol allows any
+        # chunking); one syscall per ~256 KiB instead of per row. A chaos
+        # kill mid-copy drops the unflushed tail — same visible effect as a
+        # real backend crash between writes.
         n = 0
+        buf = bytearray()
         for row in cur:
-            sock.sendall(_msg(b"d", copy_text_row(row)))
+            buf += copy_text_row(row)
             n += 1
+            if len(buf) >= _COPY_FRAME_BYTES:
+                sock.sendall(_msg(b"d", bytes(buf)))
+                buf.clear()
             self._chaos_copy_tick(n)
-        sock.sendall(_msg(b"c", b""))
-        sock.sendall(_msg(b"C", _cstr(f"COPY {n}")))
+        tail = _msg(b"d", bytes(buf)) if buf else b""
+        sock.sendall(tail + _msg(b"c", b"") + _msg(b"C", _cstr(f"COPY {n}")))
 
     # -- wire encoding ------------------------------------------------------
 
@@ -1712,6 +1743,8 @@ class PgMockServer:
 # COPY text format (protocol + `COPY` docs: tab-delimited, \N for NULL)
 # ---------------------------------------------------------------------------
 
+_COPY_FRAME_BYTES = 256 * 1024  # server-side CopyData batching threshold
+
 _COPY_ESCAPES = {
     "\\": "\\\\", "\b": "\\b", "\f": "\\f", "\n": "\\n",
     "\r": "\\r", "\t": "\\t", "\v": "\\v",
@@ -1736,8 +1769,30 @@ def copy_text_row(row: tuple) -> bytes:
     return ("\t".join(cells) + "\n").encode("utf-8")
 
 
+def parse_copy_text_rows(frame: bytes, rest: bytes = b"") -> tuple[list[list[str | None]], bytes]:
+    """Decode a multi-row CopyData frame in COPY text format.
+
+    ``rest`` is the partial trailing row carried over from the previous
+    frame (frames may end mid-row). Returns ``(rows, new_rest)``. Lines
+    without a backslash — the overwhelming majority in real data — take a
+    single decode+split; only lines containing escapes (or ``\\N`` NULLs,
+    which necessarily contain a backslash) fall back to the per-character
+    parser."""
+    if rest:
+        frame = rest + frame
+    lines = frame.split(b"\n")
+    new_rest = lines.pop()
+    rows: list[list[str | None]] = []
+    for line in lines:
+        if b"\\" in line:
+            rows.append(parse_copy_text_row(line))
+        else:
+            rows.append(line.decode("utf-8").split("\t"))
+    return rows, new_rest
+
+
 def parse_copy_text_row(data: bytes) -> list[str | None]:
-    """Decode one CopyData payload in COPY text format."""
+    """Decode one COPY-text row (a single newline-terminated line)."""
     s = data.decode("utf-8")
     if s.endswith("\n"):
         s = s[:-1]
