@@ -1279,25 +1279,26 @@ def ingest_copy_wire_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         def _seed_partition(rows) -> None:
             from moonlink_spark.pg_protocol import PgWireClient as C
 
-            c, buf = None, []
+            it = iter(rows)
+            try:
+                first = next(it)
+            except StopIteration:
+                return  # empty partition: no connection, no COPY
+            c = C(host, port)
+            try:
+                # bulk load over COPY FROM STDIN (one statement for the
+                # whole partition), the protocol's bulk path — not
+                # per-batch INSERT statements
+                import itertools
 
-            def flush():
-                nonlocal c
-                if buf:
-                    if c is None:
-                        c = C(host, port)
-                    c.query("INSERT INTO src VALUES " + ", ".join(buf))
-                    buf.clear()
-
-            for r in rows:
-                buf.append(
-                    f"({r['o_orderkey']}, {r['o_custkey']}, "
-                    f"'{r['o_orderstatus']}')"
+                c.copy_in(
+                    "COPY src FROM STDIN",
+                    (
+                        (r["o_orderkey"], r["o_custkey"], r["o_orderstatus"])
+                        for r in itertools.chain([first], it)
+                    ),
                 )
-                if len(buf) >= 500:
-                    flush()
-            flush()
-            if c is not None:
+            finally:
                 c.close()
 
         base.filter(F.col("o_orderkey") % 4 == 0).foreachPartition(
@@ -1485,8 +1486,8 @@ def ingest_kafka_group_rebalance_scan(spark: SparkSession, sf_dir: str) -> DataF
         rows: list[dict] = []
         lsn = [0]
 
-        def _ingest(member) -> int:
-            got = member.poll(max_messages=500)
+        def _ingest(member, max_messages: int = 500) -> int:
+            got = member.poll(max_messages=max_messages)
             for _p, _o, _k, v in got:
                 rows.append(decode_datum(schema, v)[0])
             member.commit_polled()
@@ -1520,9 +1521,12 @@ def ingest_kafka_group_rebalance_scan(spark: SparkSession, sf_dir: str) -> DataF
         assert not joiner.is_alive(), "rebalance did not converge"
         assert sorted(a.assigned + b.assigned) == [0, 1]
 
+        # converged: the small polls above exist to exercise
+        # commit-then-move repeatedly through the barrier; the bulk drain
+        # uses full-size polls (one table commit per ~10k messages)
         idle = 0
         while idle < 2:
-            n = _ingest(a) + _ingest(b)
+            n = _ingest(a, 10_000) + _ingest(b, 10_000)
             idle = idle + 1 if n == 0 else 0
         a.close()
         b.close()

@@ -1,4 +1,4 @@
-"""PostgreSQL frontend/backend protocol v3 — simple query + COPY OUT.
+"""PostgreSQL frontend/backend protocol v3 — simple query + COPY OUT/IN.
 
 Parity: the reference's control plane speaks to Postgres twice over —
 the metadata store (``src/moonlink_metadata_store/src/postgres/
@@ -22,9 +22,12 @@ current/protocol-message-formats.html):
   only the verifier (stored/server keys), never the password;
 - simple query: ``Q`` -> ``T`` RowDescription / ``D`` DataRow /
   ``C`` CommandComplete / ``E`` ErrorResponse / ``Z`` ReadyForQuery;
-- COPY OUT: ``H`` CopyOutResponse -> ``d`` CopyData (one text-format
-  row each: tab-separated, ``\\N`` for NULL, newline-terminated) ->
-  ``c`` CopyDone -> ``C`` ``COPY n``.
+- COPY OUT: ``H`` CopyOutResponse -> ``d`` CopyData (text format:
+  tab-separated, ``\\N`` for NULL, newline-terminated rows, any frame
+  chunking) -> ``c`` CopyDone -> ``C`` ``COPY n``;
+- COPY IN: ``G`` CopyInResponse -> client streams ``d`` CopyData ->
+  ``c`` CopyDone (or ``f`` CopyFail, aborting with nothing inserted)
+  -> ``C`` ``COPY n`` — the bulk-load path.
 
 The in-process :class:`PgMockServer` executes queries against SQLite
 (real SQL semantics without reimplementing an engine), translating the
@@ -61,7 +64,7 @@ import struct
 import threading
 import uuid
 from dataclasses import dataclass
-from typing import Any, Iterator
+from typing import Any, Iterable, Iterator
 
 from moonlink_spark.errors import MoonlinkError
 
@@ -785,6 +788,51 @@ class PgWireClient:
                         break
                 raise
 
+    def copy_in(self, sql: str, rows: Iterable[tuple]) -> int:
+        """``COPY ... FROM STDIN`` (text format): streams ``rows`` as
+        ~256 KiB CopyData frames and returns the server's inserted row
+        count from the ``COPY n`` tag. The bulk-load path — one round
+        trip for the whole stream instead of one INSERT statement per
+        batch. If encoding a row raises mid-stream, CopyFail is sent so
+        the server aborts cleanly (nothing inserts) and the connection
+        stays usable."""
+        with self._lock:
+            self.sock.sendall(_msg(b"Q", _cstr(sql)))
+            t, b = _read_msg(self._f)
+            if t == b"E":
+                fields = _error_fields(b)
+                self._drain_to_ready()
+                raise PgServerError(fields)
+            if t != b"G":
+                raise PgProtocolError(f"expected CopyInResponse, got {t!r}")
+            try:
+                buf = bytearray()
+                for row in rows:
+                    buf += copy_text_row(row)
+                    if len(buf) >= _COPY_FRAME_BYTES:
+                        self.sock.sendall(_msg(b"d", bytes(buf)))
+                        buf.clear()
+                tail = _msg(b"d", bytes(buf)) if buf else b""
+                self.sock.sendall(tail + _msg(b"c", b""))
+            except (ConnectionError, OSError):
+                raise
+            except BaseException as e:
+                # the row iterable failed mid-stream: abort server-side
+                self.sock.sendall(_msg(b"f", _cstr(str(e) or "aborted")))
+                self._drain_to_ready()
+                raise
+            tag, err = "", None
+            while True:
+                t, b = _read_msg(self._f)
+                if t == b"C":
+                    tag = b.rstrip(b"\x00").decode()
+                elif t == b"E":
+                    err = _error_fields(b)
+                elif t == b"Z":
+                    if err is not None:
+                        raise PgServerError(err)
+                    return int(tag.split()[-1])
+
     def _drain_to_ready(self) -> None:
         while True:
             t, _ = _read_msg(self._f)
@@ -838,6 +886,10 @@ _INFO_SCHEMA_RE = re.compile(
 )
 _COPY_RE = re.compile(
     r"^\s*COPY\s+(.+?)\s+TO\s+STDOUT\s*;?\s*$", re.IGNORECASE | re.DOTALL
+)
+_COPY_IN_RE = re.compile(
+    r"^\s*COPY\s+([\w.\"]+)\s*(?:\(([^)]*)\))?\s+FROM\s+STDIN\s*;?\s*$",
+    re.IGNORECASE,
 )
 _EXPORT_SNAPSHOT_RE = re.compile(
     r"^\s*SELECT\s+pg_export_snapshot\(\)\s*(?:,\s*pg_current_wal_lsn\(\)\s*)?;?\s*$",
@@ -905,10 +957,13 @@ class PgMockServer:
         #     in-doubt commit). commit_crash_at: N (default 1).
         #   copy_drop_after: int — kill the first COPY OUT stream to
         #     emit that many CopyData messages.
+        #   copyin_drop_after: int — kill the first COPY FROM STDIN
+        #     stream to receive that many CopyData frames (the torn
+        #     bulk-load: nothing inserts, the client sees a dead socket).
         # Each hook fires ONCE per server (chaos_fired counts), so a
         # client retry against the same server observes recovery.
         self.chaos = dict(chaos or {})
-        self.chaos_fired = {"commit": 0, "copy": 0}
+        self.chaos_fired = {"commit": 0, "copy": 0, "copyin": 0}
         self._chaos_lock = threading.Lock()
         self._commit_ordinal = 0
         # TLS: with a cert/key pair the server answers SSLRequest with
@@ -1000,7 +1055,7 @@ class PgMockServer:
                         return
                     if t == b"Q":
                         sql = body.rstrip(b"\x00").decode("utf-8")
-                        self._run_query(sock, conn, sql, state)
+                        self._run_query(sock, f, conn, sql, state)
                         continue
                     if t in (b"P", b"B", b"D", b"E", b"C", b"H", b"S"):
                         self._run_extended(sock, conn, t, body, state, ext)
@@ -1226,14 +1281,33 @@ class PgMockServer:
             self.chaos_fired["copy"] += 1
         raise _ChaosKill("copy stream crash")
 
+    def _chaos_copyin_tick(self, received: int) -> None:
+        after = self.chaos.get("copyin_drop_after")
+        if after is None or received < int(after):
+            return
+        with self._chaos_lock:
+            if self.chaos_fired["copyin"]:
+                return
+            self.chaos_fired["copyin"] += 1
+        raise _ChaosKill("copy-in stream crash")
+
     def _run_query(
-        self, sock, conn: sqlite3.Connection, sql: str, state: dict[str, Any]
+        self,
+        sock,
+        f,
+        conn: sqlite3.Connection,
+        sql: str,
+        state: dict[str, Any],
     ) -> None:
         try:
             m = _COPY_RE.match(sql)
             if m is not None:
                 self._run_copy_out(
                     sock, conn, self._snapshot_rewrite(conn, m.group(1), state)
+                )
+            elif (m := _COPY_IN_RE.match(sql)) is not None:
+                self._run_copy_in(
+                    sock, f, conn, m.group(1), m.group(2), state
                 )
             else:
                 self._run_simple(sock, conn, sql, state)
@@ -1707,6 +1781,99 @@ class PgMockServer:
             self._chaos_copy_tick(n)
         tail = _msg(b"d", bytes(buf)) if buf else b""
         sock.sendall(tail + _msg(b"c", b"") + _msg(b"C", _cstr(f"COPY {n}")))
+
+    def _run_copy_in(
+        self, sock, f, conn, table: str, collist: str | None, state
+    ) -> None:
+        """``COPY ... FROM STDIN`` (text format): ``G`` CopyInResponse,
+        then the client streams ``d`` CopyData frames (any row chunking)
+        ended by ``c`` CopyDone or ``f`` CopyFail. The whole COPY is ONE
+        statement: in autocommit it commits atomically and bumps the LSN
+        by the row count under the snapshot lock (same visibility event
+        as an autocommit INSERT); inside an explicit transaction the rows
+        stay invisible to the WAL counter until COMMIT, exactly like the
+        INSERT path. A CopyFail or malformed stream inserts nothing.
+
+        The stream is always consumed to its terminator BEFORE any error
+        is raised, so an ErrorResponse never races half-sent CopyData and
+        the connection stays usable for the next query."""
+        if state.get("reader_txn"):
+            raise _PgUserError(
+                "25006",
+                "cannot execute COPY FROM in a read-only transaction",
+            )
+        cols = (
+            [c.strip().strip('"') for c in collist.split(",")]
+            if collist and collist.strip()
+            else None
+        )
+        # zero-row probe: validates table/columns BEFORE CopyInResponse
+        # (real PG's ordering) and yields the expected field count
+        sel = ", ".join(f'"{c}"' for c in cols) if cols else "*"
+        probe = conn.execute(f"SELECT {sel} FROM {table} LIMIT 0")
+        ncols = len(probe.description)
+        ins = (
+            f"INSERT INTO {table} "
+            + (f"({', '.join(chr(34) + c + chr(34) for c in cols)}) " if cols else "")
+            + f"VALUES ({', '.join(['?'] * ncols)})"
+        )
+        sock.sendall(
+            _msg(b"G", struct.pack(">bh", 0, ncols) + b"\x00\x00" * ncols)
+        )
+        rows: list[list[str | None]] = []
+        rest = b""
+        fail: str | None = None
+        nframes = 0
+        while True:
+            t, body = _read_msg(f)
+            if t == b"d":
+                got, rest = parse_copy_text_rows(body, rest)
+                rows.extend(got)
+                nframes += 1
+                self._chaos_copyin_tick(nframes)
+            elif t == b"c":  # CopyDone
+                break
+            elif t == b"f":  # CopyFail — client-initiated abort
+                fail = body.rstrip(b"\x00").decode("utf-8", "replace")
+                break
+            elif t in (b"H", b"S"):  # Flush/Sync mid-copy: no-ops per spec
+                continue
+            elif t == b"X":
+                raise ConnectionError("terminated mid-COPY")
+            else:
+                fail = f"unexpected message {t!r} during COPY FROM STDIN"
+                break
+        if rest:  # unterminated trailing row — still a row, per COPY text
+            rows.append(parse_copy_text_row(rest))
+        if fail is not None:
+            raise _PgUserError("57014", f"COPY from stdin failed: {fail}")
+        for r in rows:
+            if len(r) != ncols:
+                raise _PgUserError(
+                    "22P04",
+                    f"row field count {len(r)} does not match "
+                    f"column count {ncols}",
+                )
+        if state.get("in_txn"):
+            conn.executemany(ins, rows)
+            if rows:
+                state["txn_writes"] = state.get("txn_writes", 0) + len(rows)
+        else:
+            # lock order identical to the autocommit INSERT path: SQLite
+            # write lock first, _snap_lock second around COMMIT + bump
+            conn.execute("BEGIN IMMEDIATE")
+            try:
+                conn.executemany(ins, rows)
+                with self._snap_lock:
+                    conn.execute("COMMIT")
+                    self.lsn += len(rows)
+            except BaseException:
+                try:
+                    conn.execute("ROLLBACK")
+                except sqlite3.Error:
+                    pass
+                raise
+        sock.sendall(_msg(b"C", _cstr(f"COPY {len(rows)}")))
 
     # -- wire encoding ------------------------------------------------------
 

@@ -381,3 +381,33 @@ def test_chaos_pg_copy_crash_initial_copy_restartable(spark, tmp_path):
         assert t.last_lsn == n  # boundary LSN == rows written to src
     finally:
         srv.stop()
+
+
+def test_chaos_pg_copyin_crash_inserts_nothing(tmp_path):
+    """The backend dies mid COPY FROM STDIN (after receiving some
+    CopyData frames): the torn bulk load must insert NOTHING and leave
+    the WAL counter untouched — the load is one atomic statement — and
+    a retry against the recovered server lands every row exactly once."""
+    from moonlink_spark.pg_protocol import PgMockServer, PgWireClient
+
+    srv = PgMockServer(
+        str(tmp_path / "src.db"), chaos={"copyin_drop_after": 2}
+    ).start()
+    try:
+        c = PgWireClient(srv.host, srv.port)
+        c.query("CREATE TABLE src (id INTEGER, name TEXT)")
+        lsn0 = srv.lsn
+        rows = [(i, "x" * 60) for i in range(20_000)]  # several frames
+        with pytest.raises((ConnectionError, OSError)):
+            c.copy_in("COPY src FROM STDIN", rows)
+        assert srv.chaos_fired["copyin"] == 1
+        c2 = PgWireClient(srv.host, srv.port)
+        assert c2.query("SELECT count(*) FROM src").rows == [("0",)]
+        assert srv.lsn == lsn0
+        # the hook fires once: the retry is the recovery path
+        assert c2.copy_in("COPY src FROM STDIN", rows) == 20_000
+        assert c2.query("SELECT count(*) FROM src").rows == [("20000",)]
+        assert srv.lsn == lsn0 + 20_000
+        c2.close()
+    finally:
+        srv.stop()

@@ -278,6 +278,114 @@ def test_copy_text_escaping_roundtrip():
     ]
 
 
+# -- COPY FROM STDIN (bulk load) -----------------------------------------------
+
+
+def test_copy_in_round_trip_types_and_escapes(pg):
+    c = PgWireClient(pg.host, pg.port)
+    c.query("CREATE TABLE ld (a INTEGER, b TEXT, x REAL)")
+    lsn0 = pg.lsn
+    n = c.copy_in(
+        "COPY ld FROM STDIN",
+        [
+            (1, "plain", 0.5),
+            (2, None, None),
+            (3, "tab\there\nand\\slash", 2.0),
+            (4, "ünïcode", -1.25),
+        ],
+    )
+    assert n == 4
+    assert pg.lsn == lsn0 + 4  # autocommit COPY bumps by row count
+    back = [
+        parse_copy_text_row(d)
+        for d in c.copy_out("COPY (SELECT * FROM ld ORDER BY a) TO STDOUT")
+    ]
+    assert back == [
+        ["1", "plain", "0.5"],
+        ["2", None, None],
+        ["3", "tab\there\nand\\slash", "2.0"],
+        ["4", "ünïcode", "-1.25"],
+    ]
+    c.close()
+
+
+def test_copy_in_transaction_semantics(pg):
+    """COPY inside an explicit transaction follows the INSERT rules: the
+    WAL counter must not cover the rows until COMMIT (a snapshot exported
+    mid-transaction would otherwise claim rows it does not contain), and
+    ROLLBACK discards them entirely."""
+    c = PgWireClient(pg.host, pg.port)
+    c.query("CREATE TABLE tx (a INTEGER)")
+    lsn0 = pg.lsn
+    c.query("BEGIN")
+    c.copy_in("COPY tx FROM STDIN", [(1,), (2,)])
+    assert pg.lsn == lsn0  # invisible until COMMIT
+    c.query("ROLLBACK")
+    assert c.query("SELECT count(*) FROM tx").rows == [("0",)]
+    assert pg.lsn == lsn0
+    c.query("BEGIN")
+    c.copy_in("COPY tx FROM STDIN", [(3,), (4,), (5,)])
+    c.query("COMMIT")
+    assert c.query("SELECT count(*) FROM tx").rows == [("3",)]
+    assert pg.lsn == lsn0 + 3
+    c.close()
+
+
+def test_copy_in_copyfail_inserts_nothing(pg):
+    """A row iterable that raises mid-stream sends CopyFail: the server
+    aborts the COPY with nothing inserted, the original exception
+    propagates, and the connection stays usable."""
+    c = PgWireClient(pg.host, pg.port)
+    c.query("CREATE TABLE cf (a INTEGER)")
+    lsn0 = pg.lsn
+
+    def boom():
+        yield (1,)
+        raise ValueError("upstream died")
+
+    with pytest.raises(ValueError, match="upstream died"):
+        c.copy_in("COPY cf FROM STDIN", boom())
+    assert c.query("SELECT count(*) FROM cf").rows == [("0",)]
+    assert pg.lsn == lsn0
+    assert c.query("SELECT 1 AS one").rows == [("1",)]
+    c.close()
+
+
+def test_copy_in_error_paths(pg):
+    c = PgWireClient(pg.host, pg.port)
+    c.query("CREATE TABLE ep (a INTEGER, b TEXT)")
+    # unknown table fails BEFORE CopyInResponse (real-PG ordering)
+    with pytest.raises(PgServerError) as ei:
+        c.copy_in("COPY no_such FROM STDIN", [(1, "x")])
+    assert ei.value.fields.get("C") == "42P01"
+    # field-count mismatch: stream consumed, nothing inserted
+    with pytest.raises(PgServerError) as ei2:
+        c.copy_in("COPY ep FROM STDIN", [(1,)])
+    assert ei2.value.fields.get("C") == "22P04"
+    assert c.query("SELECT count(*) FROM ep").rows == [("0",)]
+    # read-only (snapshot) transactions reject COPY FROM like INSERT
+    c.query("BEGIN ISOLATION LEVEL REPEATABLE READ")
+    with pytest.raises(PgServerError) as ei3:
+        c.copy_in("COPY ep FROM STDIN", [(1, "x")])
+    assert ei3.value.fields.get("C") == "25006"
+    c.query("ROLLBACK")
+    assert c.query("SELECT 1 AS one").rows == [("1",)]
+    c.close()
+
+
+def test_copy_in_column_list_and_multi_frame(pg):
+    c = PgWireClient(pg.host, pg.port)
+    c.query("CREATE TABLE cl (a INTEGER, b TEXT, x REAL)")
+    assert c.copy_in('COPY cl (a, b) FROM STDIN', [(1, "only-ab")]) == 1
+    assert c.query("SELECT a, b, x FROM cl").rows == [("1", "only-ab", None)]
+    # enough data to straddle several 256 KiB CopyData frames — rows must
+    # reassemble across frame boundaries server-side
+    big = [(i, "p" * 60, i * 0.5) for i in range(20_000)]
+    assert c.copy_in("COPY cl FROM STDIN", big) == 20_000
+    assert c.query("SELECT count(*) FROM cl").rows == [("20001",)]
+    c.close()
+
+
 # -- SCRAM-SHA-256 ------------------------------------------------------------
 
 
