@@ -205,10 +205,13 @@ def _read_shards_df(
                     # connection close)
                     c.query("BEGIN ISOLATION LEVEL REPEATABLE READ")
                     c.query(f"SET TRANSACTION SNAPSHOT '{snap_id}'")
+                    # the reference's exact predicate-reader statement
+                    # shape (clients/postgres.rs:261 copy_out_with_
+                    # predicate), WITH (FORMAT text) included
                     sql = (
                         f"COPY (SELECT {col_list} FROM {src_table} WHERE "
                         f"rowid >= {int(row.lo)} AND rowid <= {int(row.hi)}"
-                        ") TO STDOUT"
+                        ") TO STDOUT WITH (FORMAT text)"
                     )
                     # frame-granular consumption: one parse call per
                     # ~256 KiB CopyData frame instead of per row

@@ -884,11 +884,18 @@ _INFO_SCHEMA_RE = re.compile(
     r"'public'\s+AND\s+table_name\s*=\s*'([^']+)'",
     re.IGNORECASE,
 )
+# the reference's exact statement shape is `COPY ... TO STDOUT WITH
+# (FORMAT text)` (pg_replicate/clients/postgres.rs:199,261) — accept the
+# WITH options clause, rejecting non-text formats rather than mis-parsing
+_COPY_WITH_RE = r"(?:\s+WITH\s*\(\s*FORMAT\s+text\s*\))?"
 _COPY_RE = re.compile(
-    r"^\s*COPY\s+(.+?)\s+TO\s+STDOUT\s*;?\s*$", re.IGNORECASE | re.DOTALL
+    r"^\s*COPY\s+(.+?)\s+TO\s+STDOUT" + _COPY_WITH_RE + r"\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
 )
 _COPY_IN_RE = re.compile(
-    r"^\s*COPY\s+([\w.\"]+)\s*(?:\(([^)]*)\))?\s+FROM\s+STDIN\s*;?\s*$",
+    r"^\s*COPY\s+([\w.\"]+)\s*(?:\(([^)]*)\))?\s+FROM\s+STDIN"
+    + _COPY_WITH_RE
+    + r"\s*;?\s*$",
     re.IGNORECASE,
 )
 _EXPORT_SNAPSHOT_RE = re.compile(
