@@ -1766,7 +1766,14 @@ class PgMockServer:
 
     def _run_copy_out(self, sock, conn, target: str) -> None:
         target = target.strip()
-        query = target[1:-1] if target.startswith("(") else f"SELECT * FROM {target}"
+        if target.startswith("("):
+            query = target[1:-1]  # COPY (SELECT ...) TO STDOUT
+        elif (m := re.match(r'^([\w.\"]+)\s*\(([^)]*)\)$', target)) is not None:
+            # COPY tbl (col, ...) TO STDOUT — the reference's primary
+            # table-reader shape (pg_replicate/clients/postgres.rs:199)
+            query = f"SELECT {m.group(2)} FROM {m.group(1)}"
+        else:
+            query = f"SELECT * FROM {target}"
         cur = conn.execute(query)
         # CopyOutResponse: overall format 0 (text), per-column formats
         ncols = len(cur.description or ())

@@ -268,13 +268,19 @@ def test_copy_out_streams_text_rows(pg):
         for d in c.copy_out("COPY (SELECT id FROM src WHERE id > '1') TO STDOUT")
     ]
     assert rows2 == [["2"], ["3"]]
-    # the reference's exact statement shape carries WITH (FORMAT text)
-    # (pg_replicate/clients/postgres.rs) — both directions accept it
+    # the reference's exact statement shapes carry WITH (FORMAT text)
+    # and a column list (pg_replicate/clients/postgres.rs:199,261) —
+    # both directions accept them
     rows3 = [
         parse_copy_text_row(d)
         for d in c.copy_out("COPY src TO STDOUT WITH (FORMAT text)")
     ]
     assert rows3 == rows
+    rows4 = [
+        parse_copy_text_row(d)
+        for d in c.copy_out('COPY src (payload) TO STDOUT WITH (FORMAT text)')
+    ]
+    assert rows4 == [[r[1]] for r in rows]
     assert c.copy_in(
         "COPY src FROM STDIN WITH (FORMAT text)", [("4", "via-with")]
     ) == 1
