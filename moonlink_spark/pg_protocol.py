@@ -443,6 +443,9 @@ class PgWireClient:
             )
         self._f = self.sock.makefile("rb")
         self.parameters: dict[str, str] = {}
+        # last ReadyForQuery status byte (the field real drivers track):
+        # b"I" idle, b"T" in a transaction block, b"E" in a failed one
+        self.txn_status: bytes = b"I"
         self._startup(user, database, password)
 
     def _tls_negotiate(
@@ -665,6 +668,7 @@ class PgWireClient:
                 elif t == b"N":  # NoticeResponse — ignore
                     pass
                 elif t == b"Z":
+                    self.txn_status = b[:1]
                     if err is not None:
                         raise PgServerError(err)
                     return QueryResult(cols, rows, tag)
@@ -724,6 +728,7 @@ class PgWireClient:
                 elif t == b"E":
                     err = _error_fields(b)
                 elif t == b"Z":
+                    self.txn_status = b[:1]
                     if err is not None:
                         raise PgServerError(err)
                     return QueryResult(cols, rows, tag)
@@ -783,8 +788,9 @@ class PgWireClient:
                 # (CopyData ... CopyDone/Error, CommandComplete, Z) so the
                 # next query on this connection starts from a clean state
                 while True:
-                    t, _ = _read_msg(self._f)
+                    t, b = _read_msg(self._f)
                     if t == b"Z":
+                        self.txn_status = b[:1]
                         break
                 raise
 
@@ -829,14 +835,16 @@ class PgWireClient:
                 elif t == b"E":
                     err = _error_fields(b)
                 elif t == b"Z":
+                    self.txn_status = b[:1]
                     if err is not None:
                         raise PgServerError(err)
                     return int(tag.split()[-1])
 
     def _drain_to_ready(self) -> None:
         while True:
-            t, _ = _read_msg(self._f)
+            t, b = _read_msg(self._f)
             if t == b"Z":
+                self.txn_status = b[:1]
                 return
 
     @staticmethod
@@ -1068,7 +1076,7 @@ class PgMockServer:
                         self._run_extended(sock, conn, t, body, state, ext)
                         continue
                     sock.sendall(self._err("08P01", f"unexpected {t!r}"))
-                    sock.sendall(_msg(b"Z", b"I"))
+                    sock.sendall(self._ready(state))
             finally:
                 conn.close()
         except _ChaosKill:
@@ -1319,12 +1327,34 @@ class PgMockServer:
             else:
                 self._run_simple(sock, conn, sql, state)
         except _PgUserError as e:
+            self._mark_txn_failed(state)
             sock.sendall(self._err(e.sqlstate, str(e)))
         except sqlite3.Error as e:
+            self._mark_txn_failed(state)
             sock.sendall(self._err(_sqlite_sqlstate(e), str(e)))
         except Exception as e:  # noqa: BLE001 — protocol boundary
+            self._mark_txn_failed(state)
             sock.sendall(self._err("XX000", str(e)))
-        sock.sendall(_msg(b"Z", b"I"))
+        sock.sendall(self._ready(state))
+
+    @staticmethod
+    def _mark_txn_failed(state: dict[str, Any]) -> None:
+        """Real-PG rule: an error inside an explicit transaction ABORTS
+        it — every later statement fails 25P02 until ROLLBACK (or COMMIT,
+        which rolls back). Errors in autocommit mark nothing."""
+        if state.get("in_txn"):
+            state["txn_failed"] = True
+
+    @staticmethod
+    def _ready(state: dict[str, Any]) -> bytes:
+        """ReadyForQuery with the real status byte: I idle, T in an open
+        transaction block, E in a failed one (drivers track this)."""
+        status = (
+            b"E" if state.get("txn_failed")
+            else b"T" if state.get("in_txn")
+            else b"I"
+        )
+        return _msg(b"Z", status)
 
     # -- extended query protocol (Parse/Bind/Describe/Execute/Sync) ----------
 
@@ -1336,7 +1366,7 @@ class PgMockServer:
         answers ReadyForQuery and clears the failed flag."""
         if t == b"S":  # Sync
             ext["failed"] = False
-            sock.sendall(_msg(b"Z", b"I"))
+            sock.sendall(self._ready(state))
             return
         if ext["failed"]:
             return  # skip-until-Sync
@@ -1359,12 +1389,15 @@ class PgMockServer:
                 pass
         except _PgUserError as e:
             ext["failed"] = True
+            self._mark_txn_failed(state)
             sock.sendall(self._err(e.sqlstate, str(e)))
         except sqlite3.Error as e:
             ext["failed"] = True
+            self._mark_txn_failed(state)
             sock.sendall(self._err(_sqlite_sqlstate(e), str(e)))
         except Exception as e:  # noqa: BLE001 — protocol boundary
             ext["failed"] = True
+            self._mark_txn_failed(state)
             sock.sendall(self._err("XX000", str(e)))
 
     @staticmethod
@@ -1522,6 +1555,29 @@ class PgMockServer:
         returns (columns-or-None, rows, CommandComplete tag); raises
         _PgUserError for user-level SQL errors. All transaction / LSN /
         snapshot semantics live here exactly once."""
+        if state.get("txn_failed"):
+            head0 = sql.strip().rstrip(";").split(None, 1)
+            verb0 = head0[0].upper() if head0 else ""
+            if verb0 not in ("ROLLBACK", "ABORT", "COMMIT", "END"):
+                raise _PgUserError(
+                    "25P02",
+                    "current transaction is aborted, commands ignored "
+                    "until end of transaction block",
+                )
+            # real PG: in an aborted transaction ROLLBACK rolls back and
+            # COMMIT/END ALSO roll back, answering with a ROLLBACK tag —
+            # either way nothing the transaction wrote survives and the
+            # WAL counter never covers it
+            state.pop("txn_failed", None)
+            state.pop("txn_writes", None)
+            if not state.pop("reader_txn", False):
+                try:
+                    conn.execute("ROLLBACK")
+                except sqlite3.Error:
+                    pass  # SQLite may have auto-rolled-back on the error
+            state.pop("in_txn", None)
+            self._clear_snapshot(conn, state)
+            return None, [], "ROLLBACK"
         # PG-ism translation: dollar quoting + nested block comments
         # for the SQLite executor (same category as the
         # information_schema rewrite below)

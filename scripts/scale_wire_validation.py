@@ -122,13 +122,15 @@ def copy_wire_rows(spark, workdir: str) -> list[str]:
     try:
         c = PgWireClient(srv.host, srv.port)
         c.query("CREATE TABLE src (id INTEGER, name TEXT)")
-        for base in range(0, n, 2000):
-            c.query(
-                "INSERT INTO src VALUES "
-                + ", ".join(
-                    f"({i}, 'seed{i}')" for i in range(base, base + 2000)
-                )
+        s, _ = _timed(
+            lambda: c.copy_in(
+                "COPY src FROM STDIN",
+                ((i, f"seed{i}") for i in range(n)),
             )
+        )
+        rows_out.append(
+            f"| COPY FROM STDIN seed ({n:,} rows, one socket) | {s:.2f}s |"
+        )
         c.close()
         cells = []
         for shards in (1, 2, 4, 8):

@@ -297,6 +297,62 @@ def test_copy_text_escaping_roundtrip():
 # -- COPY FROM STDIN (bulk load) -----------------------------------------------
 
 
+def test_failed_transaction_aborts_until_rollback(pg):
+    """Real-PG rule: an error inside an explicit transaction aborts it —
+    every later statement fails 25P02 until the block ends, COMMIT in an
+    aborted transaction rolls back (ROLLBACK tag), and the ReadyForQuery
+    status byte walks I -> T -> E -> I exactly as drivers track it."""
+    c = PgWireClient(pg.host, pg.port)
+    c.query("CREATE TABLE ab (a INTEGER)")
+    lsn0 = pg.lsn
+    assert c.txn_status == b"I"
+    c.query("BEGIN")
+    assert c.txn_status == b"T"
+    c.query("INSERT INTO ab VALUES (1)")
+    with pytest.raises(PgServerError):
+        c.query("SELECT * FROM no_such_table")
+    assert c.txn_status == b"E"
+    # aborted: even a valid statement is refused until the block ends
+    with pytest.raises(PgServerError) as ei:
+        c.query("SELECT 1")
+    assert ei.value.fields.get("C") == "25P02"
+    assert c.txn_status == b"E"
+    r = c.query("ROLLBACK")
+    assert r.tag == "ROLLBACK"
+    assert c.txn_status == b"I"
+    # nothing the aborted transaction wrote survives; WAL never moved
+    assert c.query("SELECT count(*) FROM ab").rows == [("0",)]
+    assert pg.lsn == lsn0
+
+    # COMMIT in an aborted transaction ALSO rolls back (ROLLBACK tag)
+    c.query("BEGIN")
+    c.query("INSERT INTO ab VALUES (2)")
+    with pytest.raises(PgServerError):
+        c.query("SELECT * FROM still_missing")
+    r = c.query("COMMIT")
+    assert r.tag == "ROLLBACK"
+    assert c.txn_status == b"I"
+    assert c.query("SELECT count(*) FROM ab").rows == [("0",)]
+    assert pg.lsn == lsn0
+
+    # extended-protocol errors abort the transaction the same way
+    c.query("BEGIN")
+    with pytest.raises(PgServerError):
+        c.query_params("SELECT * FROM nope WHERE a = $1", [1])
+    with pytest.raises(PgServerError) as ei2:
+        c.query("SELECT 1")
+    assert ei2.value.fields.get("C") == "25P02"
+    c.query("ROLLBACK")
+
+    # a clean transaction still commits normally afterwards
+    c.query("BEGIN")
+    c.query("INSERT INTO ab VALUES (3)")
+    c.query("COMMIT")
+    assert c.query("SELECT count(*) FROM ab").rows == [("1",)]
+    assert pg.lsn == lsn0 + 1
+    c.close()
+
+
 def test_copy_in_round_trip_types_and_escapes(pg):
     c = PgWireClient(pg.host, pg.port)
     c.query("CREATE TABLE ld (a INTEGER, b TEXT, x REAL)")
