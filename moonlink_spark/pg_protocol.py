@@ -21,7 +21,10 @@ current/protocol-message-formats.html):
   10) with mutual server-signature verification, the server holding
   only the verifier (stored/server keys), never the password;
 - simple query: ``Q`` -> ``T`` RowDescription / ``D`` DataRow /
-  ``C`` CommandComplete / ``E`` ErrorResponse / ``Z`` ReadyForQuery;
+  ``C`` CommandComplete / ``E`` ErrorResponse / ``Z`` ReadyForQuery
+  (with the real transaction-status byte I/T/E); multi-statement
+  strings split at top-level semicolons and run as one implicit
+  transaction, empty strings answer ``I`` EmptyQueryResponse;
 - COPY OUT: ``H`` CopyOutResponse -> ``d`` CopyData (text format:
   tab-separated, ``\\N`` for NULL, newline-terminated rows, any frame
   chunking) -> ``c`` CopyDone -> ``C`` ``COPY n``;
@@ -354,6 +357,31 @@ def translate_pg_lexemes(sql: str) -> str:
         else:
             out.append(text)
     return "".join(out)
+
+
+def split_sql_statements(sql: str) -> list[str]:
+    """Split a simple-Query string into statements at TOP-LEVEL
+    semicolons, following the PG lexer — semicolons inside literals,
+    quoted identifiers, dollar-quoted strings, and (nesting) comments do
+    not split. Statements that are empty after comment removal (bare
+    ``;``, trailing ``;``, comment-only text) are dropped, per the
+    protocol's empty-statement handling."""
+    parts: list[str] = []
+    cur: list[str] = []
+    for kind, text in _lex_sql(sql):
+        if kind == "text" and text == ";":
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(text)
+    parts.append("".join(cur))
+    return [
+        p
+        for p in parts
+        if "".join(
+            t for k, t in _lex_sql(p) if k not in ("line", "block")
+        ).strip()
+    ]
 
 
 def substitute_params(query: str, params: list) -> str:
@@ -1538,15 +1566,53 @@ class PgMockServer:
                 sock.sendall(self._data_row(r))
         sock.sendall(_msg(b"C", _cstr(tag)))
 
+    _TXN_VERBS = frozenset({"BEGIN", "COMMIT", "END", "ROLLBACK", "ABORT"})
+
     def _run_simple(
         self, sock, conn, sql: str, state: dict[str, Any]
     ) -> None:
-        cols, rows, tag = self._exec_statement(conn, sql, state)
-        if cols is not None:
-            sock.sendall(self._row_description(cols))
-            for r in rows:
-                sock.sendall(self._data_row(r))
-        sock.sendall(_msg(b"C", _cstr(tag)))
+        """Simple-Query execution with the protocol's multi-statement
+        rules: the string splits at top-level semicolons, each statement
+        answers its own result set + CommandComplete, an empty string
+        (or comment-only text) answers EmptyQueryResponse, and — the
+        real-PG rule tokio-postgres's batch_execute leans on — a
+        multi-statement string with no explicit transaction control runs
+        as ONE implicit transaction: the first error rolls back every
+        statement in the string, and the WAL counter covers all of its
+        writes atomically at the end. Statements carrying their own
+        BEGIN/COMMIT run sequentially under the explicit-transaction
+        machinery instead (COPY inside a multi-statement string is not
+        routed and fails loudly)."""
+        stmts = split_sql_statements(sql)
+        if not stmts:
+            sock.sendall(_msg(b"I", b""))  # EmptyQueryResponse
+            return
+        verbs = {s.strip().split(None, 1)[0].upper() for s in stmts}
+        implicit = (
+            len(stmts) > 1
+            and not state.get("in_txn")
+            and not (self._TXN_VERBS & verbs)
+        )
+        if implicit:
+            self._exec_statement(conn, "BEGIN", state)
+        try:
+            for s in stmts:
+                cols, rows, tag = self._exec_statement(conn, s, state)
+                if cols is not None:
+                    sock.sendall(self._row_description(cols))
+                    for r in rows:
+                        sock.sendall(self._data_row(r))
+                sock.sendall(_msg(b"C", _cstr(tag)))
+        except Exception:
+            if implicit and state.get("in_txn"):
+                # implicit transaction: no statement in the string
+                # survives the error (a _ChaosKill skips this — the
+                # connection teardown's rollback covers it)
+                state.pop("txn_failed", None)
+                self._exec_statement(conn, "ROLLBACK", state)
+            raise
+        if implicit:
+            self._exec_statement(conn, "COMMIT", state)
 
     def _exec_statement(
         self, conn, sql: str, state: dict[str, Any]

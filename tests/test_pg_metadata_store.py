@@ -297,6 +297,45 @@ def test_copy_text_escaping_roundtrip():
 # -- COPY FROM STDIN (bulk load) -----------------------------------------------
 
 
+def test_multi_statement_simple_query(pg):
+    """The protocol's multi-statement Query rules: top-level-semicolon
+    split (never inside literals/dollar quotes), per-statement results
+    with the LAST tag winning client-side, one IMPLICIT transaction for
+    the whole string (an error rolls back every statement in it), and
+    EmptyQueryResponse for empty / comment-only strings."""
+    c = PgWireClient(pg.host, pg.port)
+    c.query("CREATE TABLE ms (a INTEGER, b TEXT)")
+    lsn0 = pg.lsn
+    r = c.query(
+        "INSERT INTO ms VALUES (1, 'x;y');"   # ';' inside a literal
+        "INSERT INTO ms VALUES (2, $$a;b$$);"  # ';' inside dollar quotes
+        "SELECT count(*) AS n FROM ms"
+    )
+    assert r.rows == [("2",)] and r.columns == ["n"]
+    assert pg.lsn == lsn0 + 2  # both writes counted, atomically
+    assert c.query("SELECT b FROM ms ORDER BY a").rows == [
+        ("x;y",), ("a;b",)
+    ]
+    # implicit transaction: the first error discards EVERY statement
+    with pytest.raises(PgServerError):
+        c.query(
+            "INSERT INTO ms VALUES (3, 'doomed'); SELECT * FROM missing"
+        )
+    assert c.query("SELECT count(*) FROM ms").rows == [("2",)]
+    assert pg.lsn == lsn0 + 2
+    assert c.txn_status == b"I"  # the implicit txn never leaks out
+    # explicit control inside the string runs the normal txn machinery
+    c.query("BEGIN; INSERT INTO ms VALUES (4, 'explicit'); COMMIT")
+    assert c.query("SELECT count(*) FROM ms").rows == [("3",)]
+    assert pg.lsn == lsn0 + 3
+    # empty / comment-only strings: EmptyQueryResponse, empty tag
+    assert c.query("").tag == ""
+    assert c.query(" ; ;").tag == ""
+    assert c.query("-- nothing here").tag == ""
+    assert c.query("SELECT 1 AS one").rows == [("1",)]
+    c.close()
+
+
 def test_failed_transaction_aborts_until_rollback(pg):
     """Real-PG rule: an error inside an explicit transaction aborts it —
     every later statement fails 25P02 until the block ends, COMMIT in an
