@@ -1567,6 +1567,9 @@ class PgMockServer:
         sock.sendall(_msg(b"C", _cstr(tag)))
 
     _TXN_VERBS = frozenset({"BEGIN", "COMMIT", "END", "ROLLBACK", "ABORT"})
+    _WRITE_VERBS = frozenset(
+        {"INSERT", "UPDATE", "DELETE", "CREATE", "DROP", "ALTER", "COPY"}
+    )
 
     def _run_simple(
         self, sock, conn, sql: str, state: dict[str, Any]
@@ -1588,10 +1591,15 @@ class PgMockServer:
             sock.sendall(_msg(b"I", b""))  # EmptyQueryResponse
             return
         verbs = {s.strip().split(None, 1)[0].upper() for s in stmts}
+        # wrap only when the batch can WRITE: the wrap opens BEGIN
+        # IMMEDIATE (SQLite's write lock), which a read-only batch must
+        # not take — N shard readers would serialize against writers for
+        # SELECTs that have no rollback-able effects anyway
         implicit = (
             len(stmts) > 1
             and not state.get("in_txn")
             and not (self._TXN_VERBS & verbs)
+            and bool(self._WRITE_VERBS & verbs)
         )
         if implicit:
             self._exec_statement(conn, "BEGIN", state)
@@ -1958,31 +1966,46 @@ class PgMockServer:
         )
         rows: list[list[str | None]] = []
         rest = b""
-        fail: str | None = None
+        fail: tuple[str, str] | None = None  # (sqlstate, message)
         nframes = 0
         while True:
             t, body = _read_msg(f)
             if t == b"d":
-                got, rest = parse_copy_text_rows(body, rest)
+                if fail is not None:
+                    continue  # already failed: discard until Done/Fail
+                try:
+                    got, rest = parse_copy_text_rows(body, rest)
+                except Exception as e:  # noqa: BLE001 — malformed data
+                    # the protocol's error-during-COPY-IN rule: note the
+                    # error but keep READING (discarding) until the
+                    # client's CopyDone/CopyFail — erroring immediately
+                    # would leave its in-flight CopyData frames to desync
+                    # the next query on this connection
+                    fail = ("22P04", f"invalid COPY data: {e}")
+                    continue
                 rows.extend(got)
                 nframes += 1
                 self._chaos_copyin_tick(nframes)
             elif t == b"c":  # CopyDone
                 break
             elif t == b"f":  # CopyFail — client-initiated abort
-                fail = body.rstrip(b"\x00").decode("utf-8", "replace")
+                msg = body.rstrip(b"\x00").decode("utf-8", "replace")
+                fail = ("57014", f"COPY from stdin failed: {msg}")
                 break
             elif t in (b"H", b"S"):  # Flush/Sync mid-copy: no-ops per spec
                 continue
             elif t == b"X":
                 raise ConnectionError("terminated mid-COPY")
             else:
-                fail = f"unexpected message {t!r} during COPY FROM STDIN"
+                fail = (
+                    "08P01",
+                    f"unexpected message {t!r} during COPY FROM STDIN",
+                )
                 break
+        if fail is not None:
+            raise _PgUserError(*fail)
         if rest:  # unterminated trailing row — still a row, per COPY text
             rows.append(parse_copy_text_row(rest))
-        if fail is not None:
-            raise _PgUserError("57014", f"COPY from stdin failed: {fail}")
         for r in rows:
             if len(r) != ncols:
                 raise _PgUserError(

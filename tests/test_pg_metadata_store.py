@@ -484,6 +484,45 @@ def test_copy_in_error_paths(pg):
     c.close()
 
 
+def test_copy_in_malformed_frame_drains_stream(pg):
+    """A CopyData frame that is not valid COPY text (here: broken UTF-8)
+    must not desync the connection: the server notes the error, keeps
+    DISCARDING the client's in-flight frames until CopyDone (the
+    protocol's error-during-COPY-IN rule), inserts nothing, and answers
+    one ErrorResponse — the next query runs normally."""
+    from moonlink_spark.pg_protocol import _cstr, _msg
+
+    c = PgWireClient(pg.host, pg.port)
+    c.query("CREATE TABLE mf (a TEXT)")
+    lsn0 = pg.lsn
+    with c._lock:
+        c.sock.sendall(_msg(b"Q", _cstr("COPY mf FROM STDIN")))
+        t, _ = __import__(
+            "moonlink_spark.pg_protocol", fromlist=["_read_msg"]
+        )._read_msg(c._f)
+        assert t == b"G"
+        c.sock.sendall(_msg(b"d", b"ok-row\n"))
+        c.sock.sendall(_msg(b"d", b"\xff\xfe broken\n"))  # invalid UTF-8
+        c.sock.sendall(_msg(b"d", b"after-the-error\n"))
+        c.sock.sendall(_msg(b"c", b""))
+        err = None
+        while True:
+            t, b = __import__(
+                "moonlink_spark.pg_protocol", fromlist=["_read_msg"]
+            )._read_msg(c._f)
+            if t == b"E":
+                from moonlink_spark.pg_protocol import _error_fields
+
+                err = _error_fields(b)
+            elif t == b"Z":
+                break
+        assert err is not None and err.get("C") == "22P04"
+    assert c.query("SELECT count(*) FROM mf").rows == [("0",)]
+    assert pg.lsn == lsn0
+    assert c.copy_in("COPY mf FROM STDIN", [("fine",)]) == 1
+    c.close()
+
+
 def test_copy_in_column_list_and_multi_frame(pg):
     c = PgWireClient(pg.host, pg.port)
     c.query("CREATE TABLE cl (a INTEGER, b TEXT, x REAL)")
