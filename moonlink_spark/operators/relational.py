@@ -1022,3 +1022,82 @@ def grouping_sets_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY grp_id, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
         """
     )
+
+
+# --------------------------------------------------------------------------- #
+# bucket-co-located join (shuffle paid once at WRITE time, never per query)
+# --------------------------------------------------------------------------- #
+@register(
+    "bucketed_colocated_join",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4)) *
+                (CAST(1.0 AS DECIMAL(15,4)) - CAST(l_discount AS DECIMAL(15,4))))
+            AS DOUBLE) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderstatus = 'O'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    category="join",
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join with NO per-query shuffle: orders and lineitem are
+    written ONCE as bucketed tables (8 buckets on the join key, bucket-
+    sorted), and the join then reads co-located buckets directly — the
+    scans' bucketing satisfies the SortMergeJoin's distribution
+    requirement, so the plan has zero Exchange below the join
+    (regression-locked by tests/test_plan_shapes.py).
+
+    Scale (100 TB): repeated fact-fact joins on the same key are the one
+    place broadcast cannot help (both sides huge). Bucketing moves the
+    shuffle to WRITE time: pay it once when the table lands, then every
+    subsequent join/aggregate on the bucket key is shuffle-free and — at
+    1000 executors — network-free. Bucket count is the parallelism floor;
+    at 100 TB it would be sized to ~shuffle-partition count (thousands),
+    here 8 to keep the sf0.01 oracle fast. Parity: the same one-time
+    cost/many-time benefit trade as the reference's persisted key index
+    (index built at ingest, served per lookup)."""
+    import tempfile
+
+    wh = tempfile.mkdtemp(prefix="moonlink-buckets-")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    (
+        orders.write.format("parquet")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", f"{wh}/orders_b")
+        .mode("overwrite")
+        .saveAsTable("mls_orders_bucketed")
+    )
+    (
+        li.write.format("parquet")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", f"{wh}/lineitem_b")
+        .mode("overwrite")
+        .saveAsTable("mls_lineitem_bucketed")
+    )
+    ob = spark.table("mls_orders_bucketed").filter(
+        F.col("o_orderstatus") == "O"
+    )
+    lb = spark.table("mls_lineitem_bucketed")
+    return (
+        # MERGE hint pins SortMergeJoin so the bucketed (shuffle-free)
+        # path is what the plan lock asserts — a broadcast would also be
+        # shuffle-free but would demonstrate nothing at fact-fact scale
+        ob.hint("merge")
+        .join(lb, ob.o_orderkey == lb.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(_disc_price()).cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -71,6 +71,28 @@ def test_no_unbroadcast_cartesian(spark, sf_dir, name):
     assert "CartesianProduct" not in plan, name
 
 
+def test_bucketed_join_reads_colocated_buckets(spark, sf_dir):
+    """bucketed_colocated_join's whole claim: the fact-fact join consumes
+    the two bucketed scans DIRECTLY — no Exchange may sit below the
+    SortMergeJoin (the write-time bucketing satisfies the join's
+    distribution requirement). The exchanges above it (groupBy, orderBy)
+    are expected and not the demonstration. Formatted-explain node ids
+    increase downstream, so every Exchange id must exceed the join's."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "bucketed_colocated_join")
+    assert "SortMergeJoin" in plan
+    nodes = dict(
+        (int(i), op) for i, op in re.findall(r"^\((\d+)\) (\w+)", plan, re.M)
+    )
+    smj = min(i for i, op in nodes.items() if op == "SortMergeJoin")
+    exchanges = [i for i, op in nodes.items() if op == "Exchange"]
+    assert exchanges, "plan parse failed (agg/sort exchanges expected)"
+    assert all(i > smj for i in exchanges), (
+        f"Exchange below the bucketed join: {sorted(nodes.items())}"
+    )
+
+
 def test_q6_filters_reach_parquet_scan(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q6_forecast_revenue")
     # all five predicates push into the parquet reader
