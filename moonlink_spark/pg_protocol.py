@@ -30,7 +30,10 @@ current/protocol-message-formats.html):
   chunking) -> ``c`` CopyDone -> ``C`` ``COPY n``;
 - COPY IN: ``G`` CopyInResponse -> client streams ``d`` CopyData ->
   ``c`` CopyDone (or ``f`` CopyFail, aborting with nothing inserted)
-  -> ``C`` ``COPY n`` — the bulk-load path.
+  -> ``C`` ``COPY n`` — the bulk-load path;
+- cancel: ``K`` BackendKeyData hands each session a (pid, secret key);
+  a CancelRequest (80877102) on a NEW connection interrupts that
+  backend's in-flight statement, which fails with sqlstate 57014.
 
 The in-process :class:`PgMockServer` executes queries against SQLite
 (real SQL semantics without reimplementing an engine), translating the
@@ -116,6 +119,8 @@ def _sqlite_sqlstate(e: "sqlite3.Error") -> str:
         return "55P03"  # lock_not_available
     if "syntax error" in msg:
         return "42601"  # syntax_error
+    if "interrupted" in msg:
+        return "57014"  # query_canceled (CancelRequest -> interrupt())
     return "XX000"  # internal_error: anything unclassified
 
 
@@ -460,6 +465,9 @@ class PgWireClient:
         ):
             raise ValueError(f"unsupported sslmode {sslmode!r}")
         self._lock = threading.Lock()
+        self._addr = (host, port)
+        # (backend pid, secret key) from BackendKeyData — cancel() credentials
+        self.backend_key: tuple[int, int] = (0, 0)
         self.sock = socket.create_connection((host, port), timeout=timeout_s)
         self.sock.settimeout(timeout_s)
         # RFC 5929 tls-server-end-point data once TLS is up (consumed by
@@ -601,8 +609,8 @@ class PgWireClient:
             if t == b"S":  # ParameterStatus
                 k, v = b.split(b"\x00")[:2]
                 self.parameters[k.decode()] = v.decode()
-            elif t == b"K":  # BackendKeyData
-                pass
+            elif t == b"K":  # BackendKeyData — cancel() credentials
+                self.backend_key = struct.unpack(">II", b)
             elif t == b"Z":  # ReadyForQuery
                 return
             elif t == b"E":
@@ -868,6 +876,25 @@ class PgWireClient:
                         raise PgServerError(err)
                     return int(tag.split()[-1])
 
+    def cancel(self) -> None:
+        """Out-of-band query cancellation (the protocol's CancelRequest,
+        libpq's PQcancel shape): opens a NEW plaintext connection carrying
+        this backend's (pid, secret key) from BackendKeyData; the
+        statement currently running on THIS connection aborts with
+        sqlstate 57014 if it is still in flight. Fire-and-forget — the
+        server never answers a cancel connection, and a cancel that
+        arrives after the query finished is a no-op. Deliberately takes
+        no lock: the whole point is firing while another thread holds
+        this connection inside query()."""
+        pid, key = self.backend_key
+        s = socket.create_connection(self._addr, timeout=5.0)
+        try:
+            s.sendall(
+                struct.pack(">IIII", 16, _CANCEL_REQUEST, pid, key)
+            )
+        finally:
+            s.close()
+
     def _drain_to_ready(self) -> None:
         while True:
             t, b = _read_msg(self._f)
@@ -1008,6 +1035,12 @@ class PgMockServer:
         self.chaos = dict(chaos or {})
         self.chaos_fired = {"commit": 0, "copy": 0, "copyin": 0}
         self._chaos_lock = threading.Lock()
+        # live backends by pid -> (secret key, sqlite conn) for
+        # CancelRequest dispatch (conn.interrupt() is documented
+        # thread-safe, the one SQLite call that is)
+        self._backends: dict[int, tuple[int, Any]] = {}
+        self._backend_lock = threading.Lock()
+        self._backend_seq = 0
         self._commit_ordinal = 0
         # TLS: with a cert/key pair the server answers SSLRequest with
         # 'S' and upgrades the connection (real PG's ssl=on); without,
@@ -1078,8 +1111,12 @@ class PgMockServer:
 
     def _serve_conn(self, sock: socket.socket) -> None:
         f = sock.makefile("rb")
+        with self._backend_lock:
+            self._backend_seq += 1
+            backend_pid = self._backend_seq
+        backend_key = int.from_bytes(os.urandom(4), "big")
         try:
-            upgraded = self._handshake(sock, f)
+            upgraded = self._handshake(sock, f, backend_pid, backend_key)
             if upgraded is None:
                 return
             # the handshake may have upgraded the connection to TLS —
@@ -1089,6 +1126,8 @@ class PgMockServer:
             conn.isolation_level = None  # explicit BEGIN/COMMIT pass through
             conn.execute("PRAGMA busy_timeout = 30000")
             conn.execute("PRAGMA journal_mode = WAL")  # concurrent readers
+            with self._backend_lock:
+                self._backends[backend_pid] = (backend_key, conn)
             state: dict[str, Any] = {"snapshot": None}
             ext: dict[str, Any] = {"stmts": {}, "portals": {}, "failed": False}
             try:
@@ -1106,6 +1145,8 @@ class PgMockServer:
                     sock.sendall(self._err("08P01", f"unexpected {t!r}"))
                     sock.sendall(self._ready(state))
             finally:
+                with self._backend_lock:
+                    self._backends.pop(backend_pid, None)
                 conn.close()
         except _ChaosKill:
             # injected crash: conn.close() above already rolled back any
@@ -1120,9 +1161,11 @@ class PgMockServer:
             except OSError:
                 pass
 
-    def _handshake(self, sock, f):
+    def _handshake(self, sock, f, backend_pid: int = 0, backend_key: int = 0):
         """Startup + auth. Returns (sock, f) — possibly TLS-upgraded —
-        on success, None on any refusal/disconnect."""
+        on success, None on any refusal/disconnect (including a
+        CancelRequest connection, which is dispatched and never
+        answered, per the spec)."""
         while True:
             head = f.read(4)
             if len(head) < 4:
@@ -1145,6 +1188,15 @@ class PgMockServer:
                 f = sock.makefile("rb")
                 continue
             if code == _CANCEL_REQUEST:
+                # [code:4][pid:4][key:4]: interrupt the target backend's
+                # in-flight statement iff the secret key matches — it
+                # fails with 57014. No response is ever sent.
+                if len(body) >= 12:
+                    pid, key = struct.unpack_from(">II", body, 4)
+                    with self._backend_lock:
+                        hit = self._backends.get(pid)
+                    if hit is not None and hit[0] == key:
+                        hit[1].interrupt()
                 return None
             if code != _PROTO_V3:
                 sock.sendall(self._err("0A000", f"bad protocol {code}"))
@@ -1190,7 +1242,7 @@ class PgMockServer:
         sock.sendall(
             _msg(b"S", _cstr("server_version") + _cstr("16.0 (moonlink-mock)"))
         )
-        sock.sendall(_msg(b"K", struct.pack(">II", os.getpid(), 0)))
+        sock.sendall(_msg(b"K", struct.pack(">II", backend_pid, backend_key)))
         sock.sendall(_msg(b"Z", b"I"))
         return sock, f
 

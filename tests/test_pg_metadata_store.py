@@ -297,6 +297,54 @@ def test_copy_text_escaping_roundtrip():
 # -- COPY FROM STDIN (bulk load) -----------------------------------------------
 
 
+def test_cancel_request_interrupts_running_query(pg):
+    """The protocol's out-of-band cancel: BackendKeyData hands the
+    session a (pid, secret key); a CancelRequest on a fresh connection
+    aborts the in-flight statement with 57014 and leaves the connection
+    usable. A wrong secret key must do nothing."""
+    import struct as _struct
+    import threading
+    import time
+
+    from moonlink_spark.pg_protocol import _CANCEL_REQUEST
+
+    c = PgWireClient(pg.host, pg.port)
+    assert c.backend_key != (0, 0)
+    # a query long enough to still be running when the cancel lands
+    slow = (
+        "WITH RECURSIVE r(i) AS (SELECT 1 UNION ALL SELECT i + 1 FROM r "
+        "WHERE i < 500000000) SELECT count(*) FROM r"
+    )
+    caught: dict = {}
+
+    def run():
+        try:
+            c.query(slow)
+            caught["done"] = True
+        except PgServerError as e:
+            caught["err"] = e
+
+    t = threading.Thread(target=run)
+    t.start()
+    time.sleep(0.4)  # let the statement reach SQLite
+    c.cancel()
+    t.join(timeout=20)
+    assert not t.is_alive(), "cancel did not interrupt the query"
+    assert "err" in caught, "query finished before the cancel (raise i)"
+    assert caught["err"].fields.get("C") == "57014"
+    # the canceled connection answers the next query normally
+    assert c.query("SELECT 1 AS one").rows == [("1",)]
+    # wrong secret key: dispatched nowhere, session unaffected
+    import socket as _socket
+
+    pid, _key = c.backend_key
+    s = _socket.create_connection((pg.host, pg.port), timeout=5)
+    s.sendall(_struct.pack(">IIII", 16, _CANCEL_REQUEST, pid, 12345))
+    s.close()
+    assert c.query("SELECT 2 AS two").rows == [("2",)]
+    c.close()
+
+
 def test_multi_statement_simple_query(pg):
     """The protocol's multi-statement Query rules: top-level-semicolon
     split (never inside literals/dollar quotes), per-statement results
