@@ -214,16 +214,17 @@ class MoonlinkBackend:
         database, table, commit_lsn, flush_lsn (last Iceberg sync, None if
         never synced), cardinality (manifest row counts, no scan), and
         iceberg_warehouse_location ("" if never synced)."""
+        from moonlink_spark.errors import TableConfigError
         from moonlink_spark.table.iceberg_export import read_iceberg_sync
 
         statuses = []
         for key in self.list_tables():
             db, table = key.split(".", 1)
-            t = self.get_table(db, table)
-            m = t.manifest
-            sync = read_iceberg_sync(t)
-            statuses.append(
-                {
+            try:
+                t = self.get_table(db, table)
+                m = t.manifest
+                sync = read_iceberg_sync(t)
+                status = {
                     "database": db,
                     "table": table,
                     "commit_lsn": m.lsn,
@@ -231,7 +232,13 @@ class MoonlinkBackend:
                     "cardinality": t.cardinality(),
                     "iceberg_warehouse_location": sync["location"] if sync else "",
                 }
-            )
+            except (TableConfigError, FileNotFoundError, KeyError):
+                # the list is point-in-time: a table mid-create (listed in
+                # the catalog before its manifest lands) or mid-drop
+                # (files going away under us) is skipped, not a 4xx/5xx
+                # for the caller — it appears in the next poll
+                continue
+            statuses.append(status)
         return statuses
 
     # -- reads ----------------------------------------------------------------
