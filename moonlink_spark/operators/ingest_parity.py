@@ -1311,7 +1311,10 @@ def ingest_copy_wire_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             fields,
             IdentityProp.single("o_orderkey"),
         )
-        stats = wire_initial_copy(t, host, port, "src", shard_count=8)
+        # 4 shards: the dial's sweet spot on one host (SCALE.md §7 —
+        # the mock source serializes on SQLite past ~4 local readers;
+        # on a real cluster the dial scales with executor count)
+        stats = wire_initial_copy(t, host, port, "src", shard_count=4)
     finally:
         srv.stop()
 
