@@ -389,6 +389,66 @@ def split_sql_statements(sql: str) -> list[str]:
     ]
 
 
+def statement_verb(sql: str) -> str:
+    """First keyword of a statement, uppercased, with leading ``--`` /
+    ``/* */`` comments stripped via the PG lexer — so ``/* hint */
+    INSERT`` and comment-led ROLLBACK classify by their real verb, like
+    real PG (which tags commands post-parse, not by raw first token)."""
+    stripped = "".join(
+        t for k, t in _lex_sql(sql) if k not in ("line", "block")
+    )
+    head = stripped.strip().split(None, 1)
+    return head[0].rstrip(";").upper() if head else ""
+
+
+_MAIN_VERBS = frozenset(
+    {"INSERT", "UPDATE", "DELETE", "SELECT", "VALUES", "TABLE"}
+)
+
+
+def statement_main_verb(sql: str) -> str:
+    """Verb that decides read/write routing: same as ``statement_verb``
+    except a WITH-led statement resolves to its TOP-LEVEL main statement
+    verb — ``WITH x AS (SELECT ..) INSERT ..`` is an INSERT, like real
+    PG's post-parse command tag. CTE bodies live inside parentheses, so
+    the first paren-depth-0 keyword among INSERT/UPDATE/DELETE/SELECT/
+    VALUES/TABLE after the WITH prologue is the main verb; quoted
+    identifiers, literals, and comments never match."""
+    verb = statement_verb(sql)
+    if verb != "WITH":
+        return verb
+    depth = 0
+    word: list[str] = []
+
+    def _flush() -> str | None:
+        if word:
+            w = "".join(word).upper()
+            word.clear()
+            if w in _MAIN_VERBS:
+                return w
+        return None
+
+    for kind, text in _lex_sql(sql):
+        if kind != "text":  # comments / strings / quoted identifiers
+            hit = _flush()
+            if hit and depth == 0:
+                return hit
+            continue
+        for ch in text:
+            if ch.isalnum() or ch == "_":
+                word.append(ch)
+                continue
+            hit = _flush()
+            if hit and depth == 0:
+                return hit
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+    hit = _flush()
+    return hit if hit and depth == 0 else verb
+
+
 def substitute_params(query: str, params: list) -> str:
     """Splice decoded bind parameters into ``query`` as SQL literals,
     respecting PostgreSQL's LEXICAL structure so the result matches real
@@ -1619,9 +1679,10 @@ class PgMockServer:
         sock.sendall(_msg(b"C", _cstr(tag)))
 
     _TXN_VERBS = frozenset({"BEGIN", "COMMIT", "END", "ROLLBACK", "ABORT"})
-    _WRITE_VERBS = frozenset(
-        {"INSERT", "UPDATE", "DELETE", "CREATE", "DROP", "ALTER", "COPY"}
-    )
+    # verbs that can NEVER write; everything else (incl. WITH-led CTEs
+    # and unrecognized verbs) is conservatively treated as a write for
+    # the implicit-transaction wrap
+    _READ_VERBS = frozenset({"SELECT", "VALUES", "SHOW", "EXPLAIN", "TABLE"})
 
     def _run_simple(
         self, sock, conn, sql: str, state: dict[str, Any]
@@ -1642,16 +1703,20 @@ class PgMockServer:
         if not stmts:
             sock.sendall(_msg(b"I", b""))  # EmptyQueryResponse
             return
-        verbs = {s.strip().split(None, 1)[0].upper() for s in stmts}
+        verbs = {statement_verb(s) for s in stmts}
         # wrap only when the batch can WRITE: the wrap opens BEGIN
         # IMMEDIATE (SQLite's write lock), which a read-only batch must
         # not take — N shard readers would serialize against writers for
-        # SELECTs that have no rollback-able effects anyway
+        # SELECTs that have no rollback-able effects anyway. Verbs are
+        # comment-stripped (statement_verb), and anything that is not a
+        # KNOWN read-only verb counts as a potential write — a CTE-led
+        # `WITH .. INSERT` or an unrecognized verb must get the
+        # implicit-transaction atomicity real PG gives the batch.
         implicit = (
             len(stmts) > 1
             and not state.get("in_txn")
             and not (self._TXN_VERBS & verbs)
-            and bool(self._WRITE_VERBS & verbs)
+            and bool(verbs - self._READ_VERBS)
         )
         if implicit:
             self._exec_statement(conn, "BEGIN", state)
@@ -1682,8 +1747,7 @@ class PgMockServer:
         _PgUserError for user-level SQL errors. All transaction / LSN /
         snapshot semantics live here exactly once."""
         if state.get("txn_failed"):
-            head0 = sql.strip().rstrip(";").split(None, 1)
-            verb0 = head0[0].upper() if head0 else ""
+            verb0 = statement_verb(sql)
             if verb0 not in ("ROLLBACK", "ABORT", "COMMIT", "END"):
                 raise _PgUserError(
                     "25P02",
@@ -1747,8 +1811,12 @@ class PgMockServer:
         # bare execute path (which would commit writes the WAL counter
         # never counts and let a snapshot boundary LSN miscover rows).
         sql = sql.strip().rstrip(";").rstrip()
-        head = sql.split(None, 1)
-        verb = head[0].upper() if head else ""
+        # comment-stripped verb; WITH-led statements route by their
+        # top-level main statement (WITH .. INSERT is a WRITE — the WAL
+        # counter must cover its rows and reader txns must reject it)
+        verb = statement_verb(sql)
+        main_verb = statement_main_verb(sql)
+        nwrites: int | None = None  # total_changes delta for DML
         if verb == "BEGIN":
             if "ISOLATION" in sql.upper():
                 # snapshot-reader transactions (BEGIN ISOLATION LEVEL
@@ -1767,9 +1835,12 @@ class PgMockServer:
             sql = "BEGIN IMMEDIATE"
             state["in_txn"] = True
             state["txn_writes"] = 0
-        if verb in ("SELECT", "WITH"):
+        if main_verb in ("SELECT", "VALUES", "TABLE") and verb in (
+            "SELECT",
+            "WITH",
+        ):
             sql = self._snapshot_rewrite(conn, sql, state)
-        if verb in ("INSERT", "UPDATE", "DELETE"):
+        if main_verb in ("INSERT", "UPDATE", "DELETE"):
             if state.get("reader_txn"):
                 # real-PG rule: a snapshot transaction opened with BEGIN
                 # ISOLATION LEVEL REPEATABLE READ for import is used
@@ -1778,18 +1849,24 @@ class PgMockServer:
                 # WAL counter never saw and make ROLLBACK a lie — reject.
                 raise _PgUserError(
                     "25006",
-                    f"cannot execute {verb} in a read-only transaction",
+                    f"cannot execute {main_verb} in a read-only "
+                    "transaction",
                 )
+            # sqlite3 reports rowcount=-1 for DML it didn't recognize
+            # by first token (WITH-led INSERT/UPDATE/DELETE), so count
+            # writes by the total_changes delta — exact for every shape
             if state.get("in_txn"):
                 # inside an explicit transaction the rows are invisible
                 # until COMMIT — the WAL position must not count them yet,
                 # or a snapshot exported mid-transaction would carry a
                 # boundary LSN covering rows it does not contain (the CDC
                 # switchover would then drop those rows' events: loss)
+                before = conn.total_changes
                 cur = conn.execute(sql)
-                if cur.rowcount > 0:
+                nwrites = conn.total_changes - before
+                if nwrites > 0:
                     state["txn_writes"] = (
-                        state.get("txn_writes", 0) + cur.rowcount
+                        state.get("txn_writes", 0) + nwrites
                     )
             else:
                 # autocommit write, restated as a short explicit txn so
@@ -1803,11 +1880,13 @@ class PgMockServer:
                 # both until busy_timeout.
                 conn.execute("BEGIN IMMEDIATE")
                 try:
+                    before = conn.total_changes
                     cur = conn.execute(sql)
+                    nwrites = conn.total_changes - before
                     with self._snap_lock:
                         conn.execute("COMMIT")
-                        if cur.rowcount > 0:
-                            self.lsn += cur.rowcount
+                        if nwrites > 0:
+                            self.lsn += nwrites
                 except BaseException:
                     try:
                         conn.execute("ROLLBACK")
@@ -1854,10 +1933,11 @@ class PgMockServer:
             rows = cur.fetchall()
             cols = [d[0] for d in cur.description]
             return cols, rows, f"SELECT {len(rows)}"
-        if verb == "INSERT":
-            tag = f"INSERT 0 {max(cur.rowcount, 0)}"
-        elif verb in ("UPDATE", "DELETE"):
-            tag = f"{verb} {max(cur.rowcount, 0)}"
+        nrows = nwrites if nwrites is not None else max(cur.rowcount, 0)
+        if main_verb == "INSERT":
+            tag = f"INSERT 0 {nrows}"
+        elif main_verb in ("UPDATE", "DELETE"):
+            tag = f"{main_verb} {nrows}"
         else:
             tag = verb or "OK"
         return None, [], tag

@@ -680,19 +680,32 @@ class _PartitionLog:
         for off, _k, _v in self._scan(0):
             self.next_offset = max(self.next_offset, off + 1)
 
-    def _seek_pos(self, from_offset: int) -> int:
+    def _seek_pos(self, index_snapshot: list[tuple[int, int]], from_offset: int) -> int:
         import bisect
 
-        i = bisect.bisect_right(self._index, (from_offset, 1 << 62)) - 1
-        return self._index[i][1] if i >= 0 else 0
+        i = bisect.bisect_right(index_snapshot, (from_offset, 1 << 62)) - 1
+        return index_snapshot[i][1] if i >= 0 else 0
+
+    def _record_index(self, off: int, pos: int) -> None:
+        # The broker serves each connection on its own thread, so two
+        # concurrent fetches can race here: append only under the lock,
+        # and only if it keeps the index strictly sorted (a concurrent
+        # scan may have indexed this offset already).
+        with self.lock:
+            if not self._index or off > self._index[-1][0]:
+                self._index.append((off, pos))
 
     def _scan(self, from_offset: int):
         if not os.path.exists(self.path):
             return
+        # Snapshot the index once, lock-free readers never see a
+        # mid-mutation list (list reference swap is atomic in CPython,
+        # and _record_index only ever appends in sorted order).
+        snapshot = self._index[:]
         with open(self.path, "rb") as fh:
-            pos = self._seek_pos(from_offset)
+            pos = self._seek_pos(snapshot, from_offset)
             fh.seek(pos)
-            last_indexed = self._index[-1][0] if self._index else None
+            last_indexed = snapshot[-1][0] if snapshot else None
             while True:
                 head = fh.read(4)
                 if len(head) < 4:
@@ -704,7 +717,7 @@ class _PartitionLog:
                 off, klen = struct.unpack_from(">QI", frame, 0)
                 if last_indexed is None or off > last_indexed:
                     if off % self._INDEX_EVERY == 0:
-                        self._index.append((off, pos))
+                        self._record_index(off, pos)
                         last_indexed = off
                 pos += 4 + flen
                 key, value = _parse_kv(klen, frame[12:])

@@ -140,6 +140,35 @@ def produce_df_avro(
     The 'broker' is a shared directory: real on local mode and any
     shared-fs cluster; on an object-store deployment swap the directory
     for the store and this function for a real Kafka producer."""
+    qdir = os.path.abspath(queue_dir)
+    os.makedirs(qdir, exist_ok=True)
+    # Single-producer-per-directory guard: the publish step quarantines
+    # every foreign _pending-* file, so a second in-flight produce on
+    # the same directory would have its staged segments orphaned and
+    # silently publish nothing. Fail loud instead of losing data.
+    lock_path = os.path.join(qdir, "_producer.lock")
+    try:
+        lock_fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise RuntimeError(
+            f"queue directory {qdir!r} has an active producer "
+            f"({lock_path} exists); produce_df_avro is single-producer "
+            "per directory — wait for the other produce to finish, or "
+            "remove the stale lock if that producer crashed"
+        ) from None
+    os.close(lock_fd)
+    try:
+        _produce_df_avro_locked(
+            df, qdir, value_schema, key_col, base_offset
+        )
+    finally:
+        try:
+            os.unlink(lock_path)
+        except FileNotFoundError:
+            pass
+
+
+def _produce_df_avro_locked(df, qdir, value_schema, key_col, base_offset):
     from moonlink_spark.sources.avro_binary import encode_datum
 
     schema = (
@@ -147,8 +176,6 @@ def produce_df_avro(
         if isinstance(value_schema, str)
         else value_schema
     )
-    qdir = os.path.abspath(queue_dir)
-    os.makedirs(qdir, exist_ok=True)
     if base_offset is None:
         # resume above anything already produced (FileQueueProducer's
         # _next_offset contract): without this, a second produce to the
@@ -209,6 +236,15 @@ def produce_df_avro(
         if not name.startswith("_pending-p"):
             continue
         if run_tag not in name:
+            import warnings
+
+            warnings.warn(
+                f"quarantining orphaned staged segment {name!r} in "
+                f"{qdir!r} (a previous produce crashed between staging "
+                "and publish); its data is preserved as _orphan-* but "
+                "will NOT be published — inspect and recover manually",
+                stacklevel=2,
+            )
             os.replace(
                 os.path.join(qdir, name),
                 os.path.join(qdir, "_orphan-" + name[len("_pending-"):]),

@@ -317,10 +317,15 @@ class ObjectStorageCache:
         suffix = os.path.splitext(remote_path)[1]
         digest = hashlib.sha256(remote_path.encode("utf-8")).hexdigest()[:40]
         dst = os.path.join(self.cache_directory, f"{digest}{suffix}")
-        if os.path.exists(dst):
-            return _EntryState(
-                CacheEntry(dst, os.path.getsize(dst)), reference_count=1
-            )
+        try:
+            # single stat(): a sibling can evict (unlink) dst between an
+            # exists() check and getsize(), so probe once and degrade to
+            # a normal fetch miss on FileNotFoundError
+            adopted_size = os.stat(dst).st_size
+        except FileNotFoundError:
+            adopted_size = None
+        if adopted_size is not None:
+            return _EntryState(CacheEntry(dst, adopted_size), reference_count=1)
         tmp = f"{dst}.{uuid.uuid4().hex}.part"  # unique: racing fetchers
         size = 0
         with accessor.open_read_binary(remote_path) as src, open(tmp, "wb") as out:

@@ -353,3 +353,40 @@ def test_orphaned_pending_segment_quarantined_not_merged(spark, tmp_path):
     # by being grouped with the orphan)
     got = {m[0] for m in iter_queue(str(qdir))}
     assert len(got) == 100
+
+
+def test_concurrent_producer_rejected_then_lock_released(spark, tmp_path):
+    """ADVICE r7: two overlapping produce_df_avro calls on one queue
+    directory would quarantine each other's in-flight staged segments
+    and silently publish nothing — the directory is single-producer, so
+    a second producer fails LOUD while the first holds the lock, a stale
+    lock is nameable in the error, and the lock releases even when the
+    produce itself fails."""
+    import os
+
+    import pytest
+
+    from moonlink_spark.sources.queue import produce_df_avro
+
+    schema = {
+        "type": "record",
+        "name": "ev",
+        "fields": [{"name": "id", "type": "long"}],
+    }
+    qdir = tmp_path / "q"
+    qdir.mkdir()
+    df = spark.range(0, 10, 1, 2).selectExpr("id")
+    # simulate an in-flight producer: the lock file exists
+    (qdir / "_producer.lock").touch()
+    with pytest.raises(RuntimeError, match="active producer"):
+        produce_df_avro(df, str(qdir), schema, key_col="id")
+    (qdir / "_producer.lock").unlink()
+    # a failing produce must still release the lock
+    bad_schema = {"type": "record", "name": "ev", "fields": [
+        {"name": "missing_col", "type": "long"}]}
+    with pytest.raises(Exception):
+        produce_df_avro(df, str(qdir), bad_schema, key_col="id")
+    assert not (qdir / "_producer.lock").exists()
+    # and a normal produce works after both
+    produce_df_avro(df, str(qdir), schema, key_col="id")
+    assert len({m[0] for m in iter_queue(str(qdir))}) == 10

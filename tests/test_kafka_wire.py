@@ -40,6 +40,49 @@ def broker(tmp_path, request, monkeypatch, wire_tls):
     b.stop()
 
 
+# -- partition log -------------------------------------------------------
+
+
+def test_partition_log_concurrent_scans_no_skip(tmp_path):
+    """ADVICE r7: _scan used to append to the shared sparse offset index
+    lock-free; two concurrent fetches could interleave appends, leave it
+    unsorted, and a later bisect seek past its start offset silently
+    skipped records. The index now builds under the lock from a
+    snapshot; hammer one partition with concurrent full-range reads and
+    assert every offset is always served."""
+    import threading
+
+    from moonlink_spark.sources.kafka_wire import _PartitionLog
+
+    log = _PartitionLog(str(tmp_path / "t-0"))
+    n = 5000  # > _INDEX_EVERY stride several times over
+    log.append([(None, f"v{i}".encode()) for i in range(n)])
+
+    errors: list[str] = []
+
+    def _reader(start: int) -> None:
+        for _ in range(3):
+            got = [off for off, _k, _v in log._scan(start)]
+            want = list(range(start, n))
+            if got != want:
+                errors.append(
+                    f"scan from {start}: {len(got)} rows, "
+                    f"first={got[:3]}, expected {len(want)}"
+                )
+
+    threads = [
+        threading.Thread(target=_reader, args=(s,))
+        for s in (0, 1, 1023, 1024, 2500, 4999) * 4
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors[:5]
+    # the index stayed sorted (bisect's precondition)
+    assert log._index == sorted(log._index)
+
+
 # -- codec ---------------------------------------------------------------
 
 

@@ -384,6 +384,47 @@ def test_multi_statement_simple_query(pg):
     c.close()
 
 
+def test_implicit_txn_detects_cte_and_comment_led_writes(pg):
+    """Implicit-transaction classification is by the real statement verb
+    (comments stripped, WITH-led CTE writes recognized) — a batch led by
+    ``/* hint */ INSERT`` or ``WITH .. INSERT`` still gets real PG's
+    all-or-nothing atomicity when a later statement errors."""
+    c = PgWireClient(pg.host, pg.port)
+    c.query("CREATE TABLE cte_ms (a INTEGER)")
+    lsn0 = pg.lsn
+    # comment-led write + failing tail: nothing survives
+    with pytest.raises(PgServerError):
+        c.query(
+            "/* hint */ INSERT INTO cte_ms VALUES (1);"
+            "SELECT * FROM missing_table"
+        )
+    assert c.query("SELECT count(*) FROM cte_ms").rows == [("0",)]
+    # CTE-led write + failing tail: nothing survives
+    with pytest.raises(PgServerError):
+        c.query(
+            "WITH src AS (SELECT 2 AS v) "
+            "INSERT INTO cte_ms SELECT v FROM src;"
+            "SELECT * FROM missing_table"
+        )
+    assert c.query("SELECT count(*) FROM cte_ms").rows == [("0",)]
+    assert pg.lsn == lsn0  # no write ever counted
+    assert c.txn_status == b"I"
+    # the happy path still commits both atomically
+    c.query(
+        "-- leading comment\nINSERT INTO cte_ms VALUES (1);"
+        "WITH src AS (SELECT 2 AS v) INSERT INTO cte_ms SELECT v FROM src"
+    )
+    assert c.query("SELECT count(*) FROM cte_ms").rows == [("2",)]
+    assert pg.lsn == lsn0 + 2
+    # comment-led ROLLBACK classifies as txn control in an aborted txn
+    c.query("BEGIN")
+    with pytest.raises(PgServerError):
+        c.query("SELECT * FROM missing_table")
+    c.query("/* sorry */ ROLLBACK")
+    assert c.txn_status == b"I"
+    c.close()
+
+
 def test_failed_transaction_aborts_until_rollback(pg):
     """Real-PG rule: an error inside an explicit transaction aborts it —
     every later statement fails 25P02 until the block ends, COMMIT in an
