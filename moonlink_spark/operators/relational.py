@@ -1027,6 +1027,99 @@ def grouping_sets_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------- #
 # bucket-co-located join (shuffle paid once at WRITE time, never per query)
 # --------------------------------------------------------------------------- #
+def ensure_bucketed_warehouse(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize orders/lineitem as 8-bucket bucket-sorted tables ONCE
+    per (sf_dir, source mtime) and register them in the session catalog.
+
+    First call pays the bucketing shuffle (the write); every later call —
+    same session or a fresh one on the same host — finds the marker and
+    only (re)registers the catalog entries over the existing files via
+    ``CREATE TABLE .. CLUSTERED BY .. LOCATION``, so the "pay the
+    shuffle once at write time" claim is realized, not just stated.
+    Keyed by source mtime so re-stamped testdata invalidates cleanly.
+    Concurrent first calls race safely: each writes to a unique temp dir
+    and atomically renames into place; the loser adopts the winner's."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    src_orders = os.path.join(sf_dir, "orders.parquet")
+    src_li = os.path.join(sf_dir, "lineitem.parquet")
+    stamp = f"{os.path.abspath(sf_dir)}|{os.stat(src_orders).st_mtime_ns}|{os.stat(src_li).st_mtime_ns}"
+    key = hashlib.sha1(stamp.encode()).hexdigest()[:12]
+    wh = os.path.join(tempfile.gettempdir(), f"moonlink-buckets-{key}")
+    marker = os.path.join(wh, "_BUCKETS_READY")
+
+    def _register() -> None:
+        for tbl, sub, ddl, bkey in (
+            (
+                "mls_orders_bucketed",
+                "orders_b",
+                "o_orderkey BIGINT, o_orderstatus STRING, "
+                "o_orderpriority STRING",
+                "o_orderkey",
+            ),
+            (
+                "mls_lineitem_bucketed",
+                "lineitem_b",
+                "l_orderkey BIGINT, l_extendedprice DOUBLE, "
+                "l_discount DOUBLE",
+                "l_orderkey",
+            ),
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            spark.sql(
+                f"CREATE TABLE {tbl} ({ddl}) USING parquet "
+                f"CLUSTERED BY ({bkey}) SORTED BY ({bkey}) INTO 8 BUCKETS "
+                f"LOCATION '{wh}/{sub}'"
+            )
+
+    if os.path.exists(marker):
+        if not spark.catalog.tableExists("mls_orders_bucketed"):
+            _register()
+        return wh
+
+    build = os.path.join(
+        tempfile.gettempdir(), f"moonlink-buckets-build-{uuid.uuid4().hex}"
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        "o_orderstatus",
+        "o_orderpriority",
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
+        F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
+        F.col("l_discount").cast("double").alias("l_discount"),
+    )
+    # write through throwaway catalog names: saveAsTable is the only
+    # public API that writes Spark's bucketed layout (+ .sortBy)
+    for df, sub, tmp_tbl, bkey in (
+        (orders, "orders_b", f"mls_b_{uuid.uuid4().hex[:8]}", "o_orderkey"),
+        (li, "lineitem_b", f"mls_b_{uuid.uuid4().hex[:8]}", "l_orderkey"),
+    ):
+        (
+            df.write.format("parquet")
+            .bucketBy(8, bkey)
+            .sortBy(bkey)
+            .option("path", f"{build}/{sub}")
+            .mode("overwrite")
+            .saveAsTable(tmp_tbl)
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+    open(os.path.join(build, "_BUCKETS_READY"), "w").close()
+    try:
+        os.rename(build, wh)
+    except OSError:
+        # lost the publish race — the winner's files are equivalent
+        import shutil
+
+        shutil.rmtree(build, ignore_errors=True)
+    _register()
+    return wh
+
+
 @register(
     "bucketed_colocated_join",
     oracle="""
@@ -1058,32 +1151,14 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB it would be sized to ~shuffle-partition count (thousands),
     here 8 to keep the sf0.01 oracle fast. Parity: the same one-time
     cost/many-time benefit trade as the reference's persisted key index
-    (index built at ingest, served per lookup)."""
-    import tempfile
+    (index built at ingest, served per lookup).
 
-    wh = tempfile.mkdtemp(prefix="moonlink-buckets-")
-    orders = load(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_orderpriority"
-    )
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount"
-    )
-    (
-        orders.write.format("parquet")
-        .bucketBy(8, "o_orderkey")
-        .sortBy("o_orderkey")
-        .option("path", f"{wh}/orders_b")
-        .mode("overwrite")
-        .saveAsTable("mls_orders_bucketed")
-    )
-    (
-        li.write.format("parquet")
-        .bucketBy(8, "l_orderkey")
-        .sortBy("l_orderkey")
-        .option("path", f"{wh}/lineitem_b")
-        .mode("overwrite")
-        .saveAsTable("mls_lineitem_bucketed")
-    )
+    The write-once claim is REAL, not just demonstrated: the bucketed
+    warehouse persists keyed by (sf_dir, source mtime) — repeat calls
+    (and sibling queries like ``bucketed_point_read``) re-register the
+    existing files and never rewrite (pinned by
+    tests/test_bucketed_reuse.py)."""
+    ensure_bucketed_warehouse(spark, sf_dir)
     ob = spark.table("mls_orders_bucketed").filter(
         F.col("o_orderstatus") == "O"
     )
@@ -1100,4 +1175,43 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_disc_price()).cast("double").alias("revenue"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "bucketed_point_read",
+    oracle="""
+SELECT l_orderkey,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4)) *
+                (CAST(1.0 AS DECIMAL(15,4)) - CAST(l_discount AS DECIMAL(15,4))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_orderkey IN (1, 32, 33)
+GROUP BY l_orderkey
+ORDER BY l_orderkey
+""",
+    category="join",
+)
+def bucketed_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The amortization payoff of ``ensure_bucketed_warehouse``: a point
+    read on the bucket key over the ALREADY-bucketed lineitem table.
+    Bucket pruning (equality / IN on the bucket column) means Spark
+    scans only the buckets those keys hash to — here ≤3 of 8 bucket
+    files instead of the whole table, and at 100 TB ≤3 of thousands.
+    Second and later queries over the bucketed warehouse pay zero write
+    cost (the tables persist keyed by source mtime), which is the whole
+    point of bucketing: one shuffle at write time, then shuffle-free
+    joins AND pruned point reads forever after."""
+    ensure_bucketed_warehouse(spark, sf_dir)
+    lb = spark.table("mls_lineitem_bucketed").filter(
+        F.col("l_orderkey").isin(1, 32, 33)
+    )
+    return (
+        lb.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(_disc_price()).cast("double").alias("revenue"),
+        )
+        .orderBy("l_orderkey")
     )

@@ -32,13 +32,74 @@ GROUP BY l_returnflag
 )
 def percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (Spark percentile == DuckDB
-    quantile_cont, bit-for-bit — verified)."""
+    quantile_cont, bit-for-bit — verified).
+
+    SCALE NOTE: exact ``percentile`` buffers a per-group value->count
+    map that merges into one final reducer task per group — with only 3
+    distinct ``l_returnflag`` values, 100x the distinct-price set
+    concentrates a multi-GB aggregation buffer in 3 tasks. This exact
+    variant exists for oracle parity at small sf; the 100 TB path is
+    ``approx_percentiles_by_flag`` below (t-digest sketch: mergeable,
+    bounded state per partial), same rule as SCALE.md §1 "bounded
+    aggregation state"."""
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.percentile("l_extendedprice", F.lit(0.5)).alias("median_price"),
         F.percentile("l_extendedprice", F.lit(0.95)).alias("p95_price"),
         F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "approx_percentiles_by_flag",
+    oracle="""
+SELECT l_returnflag,
+       CAST(round(quantile_cont(l_extendedprice, 0.5), 2) AS DOUBLE)  AS median_exact,
+       CAST(round(quantile_cont(l_extendedprice, 0.95), 2) AS DOUBLE) AS p95_exact,
+       TRUE AS approx_within_tol,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    category="aggregation",
+)
+def approx_percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path: ``percentile_approx`` (Greenwald-
+    Khanna/t-digest-style sketch) keeps BOUNDED mergeable state per
+    partial aggregate regardless of the distinct-value count, so a
+    3-value group key never concentrates a value->count map in 3
+    reducer tasks the way exact ``percentile`` does.
+
+    Verified against the exact percentile inside the query itself: the
+    ``approx_within_tol`` column asserts the sketch answer is within
+    0.5% relative error of the exact one (accuracy=10000 bounds rank
+    error at 1/10000, far tighter than 0.5% in value space on this
+    distribution), and the oracle pins it to TRUE — a hash-exact check
+    that the approx path actually lands within its declared tolerance."""
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("m_exact"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("p_exact"),
+        F.percentile_approx(
+            "l_extendedprice", F.lit(0.5), F.lit(10000)
+        ).alias("m_approx"),
+        F.percentile_approx(
+            "l_extendedprice", F.lit(0.95), F.lit(10000)
+        ).alias("p_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    tol = 0.005
+    within = (
+        (F.abs(F.col("m_approx") - F.col("m_exact")) / F.col("m_exact") < tol)
+        & (F.abs(F.col("p_approx") - F.col("p_exact")) / F.col("p_exact") < tol)
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round("m_exact", 2).cast("double").alias("median_exact"),
+        F.round("p_exact", 2).cast("double").alias("p95_exact"),
+        within.alias("approx_within_tol"),
+        "n",
     )
 
 

@@ -93,6 +93,19 @@ def test_bucketed_join_reads_colocated_buckets(spark, sf_dir):
     )
 
 
+def test_bucketed_point_read_prunes_buckets(spark, sf_dir):
+    """bucketed_point_read's claim: an equality/IN filter on the bucket
+    column prunes the scan to only the buckets those keys hash to — the
+    physical scan must report a SelectedBucketsCount strictly below the
+    8 total (at 100 TB: 3 of thousands of bucket files)."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "bucketed_point_read")
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, f"no bucket pruning in plan:\n{plan}"
+    assert int(m.group(2)) == 8 and int(m.group(1)) < 8, m.group(0)
+
+
 def test_q6_filters_reach_parquet_scan(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q6_forecast_revenue")
     # all five predicates push into the parquet reader
