@@ -829,6 +829,80 @@ class PgWireClient:
                         raise PgServerError(err)
                     return QueryResult(cols, rows, tag)
 
+    def query_cursor(
+        self,
+        sql: str,
+        fetch_size: int = 100,
+        params: list | None = None,
+    ) -> Iterator[tuple]:
+        """Streamed extended-protocol read: Execute with a max-rows
+        limit, resume on PortalSuspended — the JDBC ``setFetchSize`` /
+        tokio-postgres streamed-read shape, at most ``fetch_size`` rows
+        buffered at a time. Resumes ride between Syncs, so like real PG
+        cursors this works both in autocommit (the portal lives until
+        the final Sync here) and inside an explicit transaction.
+        Abandoning the iterator early is safe: the portal is closed and
+        the connection drained back to ReadyForQuery."""
+        if fetch_size <= 0:
+            raise ValueError("fetch_size must be positive")
+        params = params or []
+        oids = [
+            self._PARAM_OIDS.get(type(v), 25) if v is not None else 25
+            for v in params
+        ]
+        parse = (
+            _cstr("")
+            + _cstr(sql)
+            + struct.pack(">h", len(oids))
+            + b"".join(struct.pack(">I", o) for o in oids)
+        )
+        bind = _cstr("") + _cstr("") + struct.pack(">h", 0)
+        bind += struct.pack(">h", len(params))
+        for v in params:
+            if v is None:
+                bind += struct.pack(">i", -1)
+            else:
+                raw = (
+                    (b"t" if v else b"f")
+                    if isinstance(v, bool)
+                    else str(v).encode("utf-8")
+                )
+                bind += struct.pack(">i", len(raw)) + raw
+        bind += struct.pack(">h", 0)  # result formats: all text
+        execute = _msg(b"E", _cstr("") + struct.pack(">i", fetch_size))
+        with self._lock:
+            self.sock.sendall(_msg(b"P", parse) + _msg(b"B", bind) + execute)
+            err: dict[str, str] | None = None
+            done = False
+            try:
+                while not done and err is None:
+                    t, b = _read_msg(self._f)
+                    if t in (b"1", b"2", b"n", b"T"):
+                        continue
+                    if t == b"D":
+                        yield self._data_row(b)
+                    elif t == b"s":  # PortalSuspended: resume
+                        self.sock.sendall(execute)
+                    elif t == b"C":
+                        done = True
+                    elif t == b"E":
+                        err = _error_fields(b)
+            finally:
+                # reached on completion, server error, AND generator
+                # abandonment: close the portal, Sync, drain to ready
+                self.sock.sendall(
+                    _msg(b"C", b"P" + _cstr("")) + _msg(b"S", b"")
+                )
+                while True:
+                    t, b = _read_msg(self._f)
+                    if t == b"E" and err is None:
+                        err = _error_fields(b)
+                    elif t == b"Z":
+                        self.txn_status = b[:1]
+                        break
+            if err is not None:
+                raise PgServerError(err)
+
     def copy_out(self, sql: str) -> Iterator[bytes]:
         """``COPY ... TO STDOUT``: yields one newline-terminated text-format
         row per iteration. The protocol permits CopyData frames to split or
@@ -1506,6 +1580,13 @@ class PgMockServer:
         answers ReadyForQuery and clears the failed flag."""
         if t == b"S":  # Sync
             ext["failed"] = False
+            if not state.get("in_txn"):
+                # real-PG portal lifetime: Sync ends the implicit
+                # transaction and non-holdable portals die with it — a
+                # later Execute of the name is 34000. Inside an explicit
+                # BEGIN the transaction (and its suspended portals,
+                # i.e. open fetch-size cursors) survives Sync.
+                ext["portals"].clear()
             sock.sendall(self._ready(state))
             return
         if ext["failed"]:
@@ -1667,15 +1748,35 @@ class PgMockServer:
             sock.sendall(self._row_description(cols))
 
     def _ext_execute(self, sock, conn, body: bytes, state, ext) -> None:
-        name = body.split(b"\x00")[0].decode()
+        """Execute with the spec's max-rows field honored: a positive
+        limit streams at most that many rows and answers PortalSuspended
+        (``s``) with the portal position kept, so a re-Execute of the
+        same portal resumes where it left off — the mechanism behind
+        JDBC ``setFetchSize`` and tokio-postgres streamed reads. Zero
+        means no limit. The CommandComplete row count is cumulative
+        across resumes (PG's ``es_processed`` accumulates per portal)."""
+        z = body.index(b"\x00")
+        name = body[:z].decode()
+        (max_rows,) = struct.unpack_from(">i", body, z + 1)
         portal = ext["portals"].get(name)
         if portal is None:
             raise _PgUserError("34000", f"unknown portal {name!r}")
         self._ext_run_portal(conn, portal, state)
         cols, rows, tag = portal["result"]
-        if cols is not None:
-            for r in rows:
+        if cols is None:
+            sock.sendall(_msg(b"C", _cstr(tag)))
+            return
+        pos = portal.get("pos", 0)
+        remaining = rows[pos:]
+        if max_rows > 0 and len(remaining) > max_rows:
+            for r in remaining[:max_rows]:
                 sock.sendall(self._data_row(r))
+            portal["pos"] = pos + max_rows
+            sock.sendall(_msg(b"s", b""))  # PortalSuspended
+            return
+        for r in remaining:
+            sock.sendall(self._data_row(r))
+        portal["pos"] = len(rows)
         sock.sendall(_msg(b"C", _cstr(tag)))
 
     _TXN_VERBS = frozenset({"BEGIN", "COMMIT", "END", "ROLLBACK", "ABORT"})

@@ -802,6 +802,158 @@ def test_extended_protocol_binary_format_params(tmp_path):
         srv.stop()
 
 
+def test_execute_row_limit_portal_suspended(tmp_path):
+    """Execute's max-rows field (VERDICT r7 #3): a positive limit
+    streams at most that many rows then PortalSuspended; re-Execute of
+    the same portal resumes; limit 0 streams everything; the final
+    CommandComplete row count is cumulative; after Sync OUTSIDE a
+    transaction the portal is expired (34000), while inside an explicit
+    transaction it survives Sync — real-PG portal lifetime, the
+    mechanism behind JDBC setFetchSize."""
+    import struct
+
+    from moonlink_spark.pg_protocol import (
+        PgMockServer,
+        PgWireClient,
+        _cstr,
+        _msg,
+        _read_msg,
+    )
+
+    srv = PgMockServer(str(tmp_path / "portal.db")).start()
+
+    def drive(c, msgs):
+        c.sock.sendall(msgs)
+        out = []
+        while True:
+            t, body = _read_msg(c._f)
+            out.append((t, body))
+            if t == b"Z":
+                return out
+
+    def kinds(out):
+        return [t for t, _ in out]
+
+    try:
+        c = PgWireClient(srv.host, srv.port)
+        c.query("CREATE TABLE p (a INTEGER)")
+        c.query(
+            "INSERT INTO p VALUES "
+            + ",".join(f"({i})" for i in range(10))
+        )
+        parse = _cstr("") + _cstr("SELECT a FROM p ORDER BY a") + struct.pack(">h", 0)
+        bind = _cstr("") + _cstr("") + struct.pack(">hhh", 0, 0, 0)
+
+        def exe(n):
+            return _msg(b"E", _cstr("") + struct.pack(">i", n))
+
+        # limit 3, resumed inside one Sync window: 3+3+4 rows, one
+        # suspension per partial batch, cumulative SELECT 10 at the end
+        out = drive(
+            c,
+            _msg(b"P", parse) + _msg(b"B", bind)
+            + exe(3) + exe(3) + exe(0) + _msg(b"S", b""),
+        )
+        ks = kinds(out)
+        assert ks.count(b"D") == 10
+        assert ks.count(b"s") == 2
+        tags = [b for t, b in out if t == b"C"]
+        assert tags and tags[-1].rstrip(b"\x00") == b"SELECT 10"
+        # suspensions arrive after each 3-row batch, before the next
+        assert ks.index(b"s") == ks.index(b"D") + 3
+
+        # limit 1: one row per Execute
+        out = drive(
+            c,
+            _msg(b"P", parse) + _msg(b"B", bind)
+            + exe(1) + exe(1) + _msg(b"S", b""),
+        )
+        ks = kinds(out)
+        assert ks.count(b"D") == 2 and ks.count(b"s") == 2
+        assert b"C" not in ks  # still suspended at Sync
+
+        # limit larger than the result: complete, no suspension
+        out = drive(
+            c,
+            _msg(b"P", parse) + _msg(b"B", bind) + exe(99) + _msg(b"S", b""),
+        )
+        ks = kinds(out)
+        assert ks.count(b"D") == 10 and b"s" not in ks and b"C" in ks
+
+        # re-Execute of a COMPLETED portal (same Sync window): no more
+        # rows, CommandComplete again with the cumulative count
+        out = drive(
+            c,
+            _msg(b"P", parse) + _msg(b"B", bind)
+            + exe(0) + exe(0) + _msg(b"S", b""),
+        )
+        ks = kinds(out)
+        assert ks.count(b"D") == 10 and ks.count(b"C") == 2
+
+        # EXPIRED portal: Sync outside a transaction destroyed it
+        out = drive(c, _msg(b"P", parse) + _msg(b"B", bind) + _msg(b"S", b""))
+        out = drive(c, exe(3) + _msg(b"S", b""))
+        errs = [b for t, b in out if t == b"E"]
+        assert errs and b"34000" in errs[0]
+
+        # inside an explicit transaction the portal SURVIVES Sync
+        c.query("BEGIN")
+        out = drive(
+            c, _msg(b"P", parse) + _msg(b"B", bind) + exe(4) + _msg(b"S", b"")
+        )
+        assert kinds(out).count(b"D") == 4
+        out = drive(c, exe(0) + _msg(b"S", b""))
+        ks = kinds(out)
+        assert ks.count(b"D") == 6 and b"C" in ks
+        c.query("COMMIT")
+        c.close()
+    finally:
+        srv.stop()
+
+
+def test_query_cursor_client_fetch_size(tmp_path):
+    """The client's fetch-size cursor API over PortalSuspended: rows
+    stream in fetch_size batches, early abandonment leaves the
+    connection usable, and binary-format bind params still work
+    alongside (the server decodes by format code per parameter)."""
+    from moonlink_spark.pg_protocol import PgMockServer, PgServerError, PgWireClient
+
+    srv = PgMockServer(str(tmp_path / "cur.db")).start()
+    try:
+        c = PgWireClient(srv.host, srv.port)
+        c.query("CREATE TABLE big (a INTEGER, b TEXT)")
+        c.query(
+            "INSERT INTO big VALUES "
+            + ",".join(f"({i}, 'v{i}')" for i in range(257))
+        )
+        rows = list(c.query_cursor("SELECT a, b FROM big ORDER BY a", fetch_size=25))
+        assert len(rows) == 257
+        assert rows[0] == ("0", "v0") and rows[-1] == ("256", "v256")
+        # parameterized cursor
+        rows = list(
+            c.query_cursor(
+                "SELECT a FROM big WHERE a < $1 ORDER BY a",
+                fetch_size=7,
+                params=[20],
+            )
+        )
+        assert [r[0] for r in rows] == [str(i) for i in range(20)]
+        # early abandonment: take 3 rows, drop the iterator, then the
+        # connection still serves queries
+        it = c.query_cursor("SELECT a FROM big ORDER BY a", fetch_size=5)
+        got = [next(it) for _ in range(3)]
+        it.close()
+        assert len(got) == 3
+        assert c.query("SELECT count(*) FROM big").rows == [("257",)]
+        # server error surfaces as PgServerError and connection recovers
+        with pytest.raises(PgServerError):
+            list(c.query_cursor("SELECT nope FROM big", fetch_size=5))
+        assert c.query("SELECT 1 AS one").rows == [("1",)]
+        c.close()
+    finally:
+        srv.stop()
+
+
 def test_md5_auth_end_to_end(tmp_path):
     """Legacy MD5 auth: salted double-hash exchange; wrong password gets
     28P01, right one authenticates and queries flow."""
