@@ -768,7 +768,11 @@ class MoonlinkKafkaDataSource(DataSource):
     several-fold faster per socket because fetch + decode stay in the
     JVM, with identical (partition, offset, key, value) semantics and
     the same per-partition checkpointed offsets. The option mapping is
-    mechanical — :func:`kafka_jvm_reader_options` translates a
+    mechanical (pinned by tests/test_streaming_datasource.py, which
+    feeds the translated map to format("kafka") against the in-process
+    broker when the connector jar is present and proves the only
+    sandbox failure is the jar lookup, never an option) —
+    :func:`kafka_jvm_reader_options` translates a
     moonlink-kafka option dict to the JVM source's option map, and the
     value decode becomes ``from_avro(col("value"), schema_json)``.
     Either way the scale lever is the same: partition count drives read

@@ -26,7 +26,9 @@ protocol layouts (kafka.apache.org/protocol):
   real client negotiates up via ApiVersions and these versions remain
   permanently supported);
 - batch compression: gzip (attributes codec 1, stdlib zlib with the
-  gzip wrapper) on both encode and decode.
+  gzip wrapper) and snappy (attributes codec 2, the pure-Python
+  xerial-framed implementation in ``snappy_py`` — the most common
+  broker default works out of the box) on both encode and decode.
 
 Architecture (the honest cluster shape): :class:`KafkaWireBroker` is a
 single-node broker whose topic-partition logs are the SAME
@@ -61,9 +63,9 @@ Implemented: TLS (implicit on the port, a real broker's
 ``security.protocol=SSL`` — broker wraps every accepted connection,
 clients verify against a pinned CA via ``tlsutil.client_context``).
 Not implemented (fail-loud or out of scope): transactions
-and idempotent producer ids (producerId is -1 throughout), snappy/lz4/
-zstd codecs ship built-in (gzip only — the others need non-stdlib
-libraries) but plug in via ``register_codec``; an unregistered codec on
+and idempotent producer ids (producerId is -1 throughout); lz4/zstd
+codecs are pluggable via ``register_codec`` (they need non-stdlib
+libraries — gzip and snappy ship built-in); an unregistered codec on
 either side raises ``UnsupportedCodecError`` naming the codec and the
 producer-config workaround.
 """
@@ -269,15 +271,15 @@ class UnsupportedCodecError(ValueError):
     """A RecordBatch uses a compression codec with no registered
     implementation. The message names the codec and the workaround
     (broker-side story: configure producers with
-    ``compression.type=gzip`` or ``none``, or plug an implementation
-    in via :func:`register_codec`)."""
+    ``compression.type=gzip``/``snappy`` or ``none``, or plug an
+    implementation in via :func:`register_codec`)."""
 
     def __init__(self, codec_id: int):
         name = CODEC_NAMES.get(codec_id, str(codec_id))
         super().__init__(
             f"unsupported compression codec {name!r} (id {codec_id}): "
-            f"built-ins are none/gzip; either configure the producer "
-            f"with compression.type=gzip (or none), or call "
+            f"built-ins are none/gzip/snappy; either configure the "
+            f"producer with compression.type=gzip/snappy (or none), or call "
             f"kafka_wire.register_codec({name!r}, compress, decompress) "
             f"with an implementation (e.g. lz4.frame / zstandard)"
         )
@@ -302,11 +304,27 @@ def _gzip_decompress(data: bytes) -> bytes:
     return zlib.decompress(data, wbits=47)
 
 
-# codec id -> (compress, decompress); gzip ships (stdlib), the rest are
-# pluggable — snappy/lz4/zstd need non-stdlib libraries, and Kafka's
-# snappy framing is the snappy-java xerial block format, so a plugged
-# implementation must match the broker's producers, not just the codec
-_CODECS: dict[int, tuple] = {1: (_gzip_compress, _gzip_decompress)}
+def _snappy_compress(data: bytes) -> bytes:
+    from moonlink_spark.sources import snappy_py
+
+    return snappy_py.compress(data)
+
+
+def _snappy_decompress(data: bytes) -> bytes:
+    from moonlink_spark.sources import snappy_py
+
+    return snappy_py.decompress(data)
+
+
+# codec id -> (compress, decompress); gzip (stdlib zlib) and snappy (the
+# pure-Python xerial/raw implementation in snappy_py — brokers default
+# to snappy, so it must work out of the box) ship built-in; lz4/zstd
+# remain pluggable — they need non-stdlib libraries, and a plugged
+# implementation must match Kafka's framing, not just the codec
+_CODECS: dict[int, tuple] = {
+    1: (_gzip_compress, _gzip_decompress),
+    2: (_snappy_compress, _snappy_decompress),
+}
 
 
 def register_codec(name_or_id, compress, decompress) -> None:

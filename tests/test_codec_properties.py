@@ -128,3 +128,28 @@ avro_rows = st.fixed_dictionaries(
 def test_avro_datum_roundtrip_prop(row):
     back = decode_record(AVRO_SCHEMA, encode_datum(AVRO_SCHEMA, row))
     assert back == row
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.one_of(
+        st.binary(max_size=5000),
+        # repetitive shapes exercise the copy-element paths hard
+        st.builds(
+            lambda unit, reps, tail: unit * reps + tail,
+            st.binary(min_size=1, max_size=20),
+            st.integers(min_value=0, max_value=2000),
+            st.binary(max_size=50),
+        ),
+    )
+)
+def test_snappy_roundtrip_prop(payload):
+    from moonlink_spark.sources.snappy_py import (
+        compress,
+        decompress,
+        raw_compress,
+        raw_decompress,
+    )
+
+    assert raw_decompress(raw_compress(payload)) == payload
+    assert decompress(compress(payload)) == payload
