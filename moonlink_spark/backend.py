@@ -612,13 +612,18 @@ class MoonlinkBackend:
         dest: str,
         group_by: list[str],
         sums: list[str] | None = None,
+        mins: list[str] | None = None,
+        maxs: list[str] | None = None,
     ):
         """Create an incrementally-maintained GROUP BY view over a table;
-        ``.refresh()`` applies only the LSN-to-LSN delta (table/matview.py)."""
+        ``.refresh()`` applies only the LSN-to-LSN delta (table/matview.py).
+        min/max maintenance degrades to a flagged per-group recompute for
+        groups that lose rows — see the matview module docstring for the
+        algebra's boundary."""
         from moonlink_spark.table.matview import MaterializedView
 
         return MaterializedView.create(
-            self.get_table(database, table), dest, group_by, sums
+            self.get_table(database, table), dest, group_by, sums, mins, maxs
         )
 
     def create_snapshot(self, database: str, table: str, lsn: int | None = None) -> int:

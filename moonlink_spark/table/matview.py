@@ -10,10 +10,22 @@ applies the per-group delta algebra — each changed row contributes
 (-1, -old_values) to its old group and (+1, +new_values) to its new group,
 so updates that migrate rows across groups fall out of the arithmetic.
 
-Maintainable aggregates: COUNT and SUM (AVG derives as sum/count at read
-time). MIN/MAX are deliberately excluded — they are not incrementally
-maintainable under deletes without a per-group recompute, and a silent
-fallback would hide a table scan inside "refresh".
+The algebra's boundary (stated, tested, never silent):
+
+- COUNT and SUM are fully incremental (AVG derives as sum/count at read
+  time): deletes subtract, updates migrate — O(|delta|) always.
+- MIN/MAX are incremental ONLY under inserts (``least/greatest`` of the
+  old value and the arriving delta). Under deletes/updates they are not
+  incrementally maintainable — the departed row may have BEEN the
+  min/max — so refresh degrades to a PER-GROUP recompute limited to the
+  groups that lost rows, and FLAGS it in the returned summary
+  (``minmax_recompute_groups``). Insert-only workloads never pay it;
+  a delete-heavy refresh pays one base-scan semi-joined to the affected
+  group keys, not a full view rebuild.
+- JOIN views are out of scope by construction (``create`` takes one
+  MoonlinkTable): a join's delta is not expressible from the two
+  snapshot diffs without keeping both inputs' full state. Materialize
+  the join output into its own table and put the view on that.
 
 Scale design (100 TB): the base table is scanned ONCE ever (at create);
 each refresh joins only the two snapshots on the identity key — pruned by
@@ -59,22 +71,34 @@ class MaterializedView:
         path: str,
         group_by: list[str],
         sums: list[str] | None = None,
+        mins: list[str] | None = None,
+        maxs: list[str] | None = None,
     ) -> "MaterializedView":
         """Materialize V0 from the table's CURRENT snapshot (the one full
         scan this view will ever do) and persist it with the source LSN."""
+        if not isinstance(table, MoonlinkTable):
+            raise TableConfigError(
+                "materialized views take ONE MoonlinkTable base — join "
+                "views are not incrementally maintainable from snapshot "
+                "diffs; materialize the join into its own table first"
+            )
         if table.identity.mode not in ("single", "keys"):
             raise TableConfigError(
                 "materialized views need key identity (single/keys); "
                 f"got {table.identity.mode!r}"
             )
         sums = list(sums or [])
+        mins = list(mins or [])
+        maxs = list(maxs or [])
         os.makedirs(path, exist_ok=True)
         lsn = table.last_lsn
-        v0 = _aggregate(table.scan(lsn=lsn), group_by, sums)
+        v0 = _aggregate(table.scan(lsn=lsn), group_by, sums, mins, maxs)
         _write_version(path, 0, v0)
         state = {
             "group_by": group_by,
             "sums": sums,
+            "mins": mins,
+            "maxs": maxs,
             "lsn": lsn,
             "version": 0,
             "key_columns": table.identity.key_columns([]),
@@ -90,6 +114,8 @@ class MaterializedView:
             *self.state["group_by"],
             F.col(_COUNT).alias("n_rows"),
             *[F.col(f"sum_{c}") for c in self.state["sums"]],
+            *[F.col(f"min_{c}") for c in self.state.get("mins", [])],
+            *[F.col(f"max_{c}") for c in self.state.get("maxs", [])],
         )
 
     def read_avg(self, column: str) -> DataFrame:
@@ -111,8 +137,11 @@ class MaterializedView:
             return {"refreshed": False, "lsn": old_lsn, "changed_rows": 0}
         group_by = self.state["group_by"]
         sums = self.state["sums"]
+        mins = self.state.get("mins", [])
+        maxs = self.state.get("maxs", [])
+        mm_cols = list(dict.fromkeys(mins + maxs))
         keys = self.table.identity.key_columns([])
-        payload = list(dict.fromkeys(group_by + sums))
+        payload = list(dict.fromkeys(group_by + sums + mm_cols))
 
         try:
             old_snapshot = self.table.scan(lsn=old_lsn)
@@ -121,7 +150,9 @@ class MaterializedView:
             # than the view's refresh lag): fall back to a one-off FULL
             # recompute — correct, just not incremental. Vacuum retention
             # should normally cover the refresh cadence.
-            v_new = _aggregate(self.table.scan(lsn=new_lsn), group_by, sums)
+            v_new = _aggregate(
+                self.table.scan(lsn=new_lsn), group_by, sums, mins, maxs
+            )
             new_version = self.state["version"] + 1
             _write_version(self.path, new_version, v_new)
             old_dir = self._version_path(self.state["version"])
@@ -153,22 +184,35 @@ class MaterializedView:
         neg = d.filter(F.col("__in_old").isNotNull()).select(
             *[F.col(f"__old_{c}").alias(c) for c in group_by],
             F.lit(-1).cast("bigint").alias("__dn"),
+            F.lit(1).cast("bigint").alias("__nneg"),
             *[
                 (-F.col(f"__old_{c}")).cast(DEC).alias(f"__ds_{c}")
                 for c in sums
+            ],
+            # departing rows contribute nothing to min/max incrementally
+            # — they are what forces the per-group recompute below.
+            # (typed null: when(False, col) keeps the column's own type)
+            *[
+                F.when(F.lit(False), F.col(f"__old_{c}")).alias(f"__mv_{c}")
+                for c in mm_cols
             ],
         )
         pos = d.filter(F.col("__in_new").isNotNull()).select(
             *[F.col(f"__new_{c}").alias(c) for c in group_by],
             F.lit(1).cast("bigint").alias("__dn"),
+            F.lit(0).cast("bigint").alias("__nneg"),
             *[F.col(f"__new_{c}").cast(DEC).alias(f"__ds_{c}") for c in sums],
+            *[F.col(f"__new_{c}").alias(f"__mv_{c}") for c in mm_cols],
         )
         delta = (
-            neg.unionByName(pos)
+            neg.unionByName(pos, allowMissingColumns=False)
             .groupBy(*group_by)
             .agg(
                 F.sum("__dn").alias("__dn"),
+                F.sum("__nneg").alias("__nneg"),
                 *[F.sum(f"__ds_{c}").alias(f"__ds_{c}") for c in sums],
+                *[F.min(f"__mv_{c}").alias(f"__dmin_{c}") for c in mins],
+                *[F.max(f"__mv_{c}").alias(f"__dmax_{c}") for c in maxs],
             )
         )
         n_changed = delta.count()
@@ -180,8 +224,46 @@ class MaterializedView:
         cur = self.table.spark.read.parquet(
             self._version_path(self.state["version"])
         )
+        # MIN/MAX algebra boundary: a group that LOST rows may have lost
+        # its extremum, so those groups — and only those — get their
+        # min/max recomputed from the new snapshot (semi-join-bounded
+        # scan), flagged in the summary. Insert-only groups merge
+        # least/greatest(old, arriving) with no base read at all.
+        n_recompute_groups = 0
+        rc = None
+        if mm_cols:
+            affected = delta.filter(F.col("__nneg") > 0).select(*group_by)
+            n_recompute_groups = affected.count()
+            if n_recompute_groups:
+                base = self.table.scan(lsn=new_lsn)
+                rc = (
+                    base.join(F.broadcast(affected), group_by, "left_semi")
+                    .groupBy(*group_by)
+                    .agg(
+                        *[F.min(c).alias(f"__rcmin_{c}") for c in mins],
+                        *[F.max(c).alias(f"__rcmax_{c}") for c in maxs],
+                    )
+                    .withColumn("__rc", F.lit(True))
+                )
+
         zero_dec = F.lit(0).cast(DEC)
-        merged = cur.join(delta, group_by, "full_outer").select(
+
+        def _mm(kind: str, c: str):
+            old_v = F.col(f"{kind}_{c}")
+            dv = F.col(f"__d{kind}_{c}")
+            inc = F.least(old_v, dv) if kind == "min" else F.greatest(old_v, dv)
+            if rc is None:
+                return inc.alias(f"{kind}_{c}")
+            return (
+                F.when(F.col("__rc").isNotNull(), F.col(f"__rc{kind}_{c}"))
+                .otherwise(inc)
+                .alias(f"{kind}_{c}")
+            )
+
+        merged = cur.join(delta, group_by, "full_outer")
+        if rc is not None:
+            merged = merged.join(rc, group_by, "left_outer")
+        merged = merged.select(
             *group_by,
             (
                 F.coalesce(F.col(_COUNT), F.lit(0))
@@ -198,6 +280,8 @@ class MaterializedView:
                 .alias(f"sum_{c}")
                 for c in sums
             ],
+            *[_mm("min", c) for c in mins],
+            *[_mm("max", c) for c in maxs],
         )
         new_version = self.state["version"] + 1
         _write_version(self.path, new_version, merged)
@@ -205,12 +289,15 @@ class MaterializedView:
         self.state.update({"lsn": new_lsn, "version": new_version})
         _write_state(self.path, self.state)
         shutil.rmtree(old_dir, ignore_errors=True)
-        return {
+        out = {
             "refreshed": True,
             "lsn": new_lsn,
             "changed_rows": n_changed,
             "version": new_version,
         }
+        if mm_cols:
+            out["minmax_recompute_groups"] = n_recompute_groups
+        return out
 
     # ------------------------------------------------------------------ #
     def _version_path(self, version: int) -> str:
@@ -218,10 +305,18 @@ class MaterializedView:
 
 
 # ---------------------------------------------------------------------- #
-def _aggregate(df: DataFrame, group_by: list[str], sums: list[str]) -> DataFrame:
+def _aggregate(
+    df: DataFrame,
+    group_by: list[str],
+    sums: list[str],
+    mins: list[str] = (),
+    maxs: list[str] = (),
+) -> DataFrame:
     return df.groupBy(*group_by).agg(
         F.count(F.lit(1)).cast("bigint").alias(_COUNT),
         *[F.sum(F.col(c).cast(DEC)).cast(DEC).alias(f"sum_{c}") for c in sums],
+        *[F.min(c).alias(f"min_{c}") for c in mins],
+        *[F.max(c).alias(f"max_{c}") for c in maxs],
     )
 
 

@@ -212,3 +212,86 @@ def test_streaming_maintained_view(spark, tmp_path):
     ing.run_available()
     assert view_rows(mv) == direct_rows(t)
     assert mv.state["lsn"] == t.last_lsn
+
+
+def minmax_rows(mv):
+    return {
+        r.grp: (r.n_rows, float(r.min_val), float(r.max_val))
+        for r in mv.read().collect()
+    }
+
+
+def direct_minmax(t):
+    from pyspark.sql import functions as F
+
+    agg = (
+        t.scan()
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("val").alias("lo"),
+            F.max("val").alias("hi"),
+        )
+    )
+    return {r.grp: (r.n, float(r.lo), float(r.hi)) for r in agg.collect()}
+
+
+def test_minmax_insert_only_is_incremental(spark, tmp_path):
+    """Inserts maintain MIN/MAX via least/greatest — zero recomputed
+    groups flagged, and the view lands exactly on the direct aggregate
+    (including a new group and a new global max)."""
+    t = make_table(spark, tmp_path)
+    mv = MaterializedView.create(
+        t, str(tmp_path / "mv"), ["grp"], mins=["val"], maxs=["val"]
+    )
+    assert minmax_rows(mv) == direct_minmax(t)
+    t.append_rows(
+        [
+            {"id": 200, "grp": "g0", "val": 999.0},   # new max for g0
+            {"id": 201, "grp": "g0", "val": -5.0},    # new min for g0
+            {"id": 202, "grp": "gNEW", "val": 7.0},   # brand-new group
+        ]
+    )
+    t.commit(lsn=2)
+    summary = mv.refresh()
+    assert summary["refreshed"] is True
+    assert summary["minmax_recompute_groups"] == 0  # insert-only: free
+    assert minmax_rows(mv) == direct_minmax(t)
+
+
+def test_minmax_under_delete_recomputes_only_hit_groups(spark, tmp_path):
+    """The documented algebra boundary: deleting a group's extremum
+    cannot be maintained incrementally — refresh recomputes min/max for
+    exactly the groups that lost rows (flagged in the summary) and
+    leaves every other group on the incremental path."""
+    t = make_table(spark, tmp_path)
+    mv = MaterializedView.create(
+        t, str(tmp_path / "mv"), ["grp"], sums=["val"], mins=["val"], maxs=["val"]
+    )
+    # delete g0's current max (96) and min (0); g1-g3 untouched by
+    # deletes, g1 gets an insert (stays incremental)
+    t.delete_rows([{"id": 96}, {"id": 0}])
+    t.append_rows([{"id": 300, "grp": "g1", "val": 50.5}])
+    t.commit(lsn=2)
+    summary = mv.refresh()
+    assert summary["minmax_recompute_groups"] == 1  # only g0
+    assert minmax_rows(mv) == direct_minmax(t)
+    # update that migrates a row ACROSS groups: source group lost a row
+    # -> recompute; destination group only gained -> incremental
+    t.upsert_rows([{"id": 97, "grp": "g3", "val": 97.0}])  # was g1
+    t.commit(lsn=3)
+    summary = mv.refresh()
+    assert summary["minmax_recompute_groups"] == 1  # only g1
+    assert minmax_rows(mv) == direct_minmax(t)
+
+
+def test_join_views_rejected_with_clear_error(spark, tmp_path):
+    """JOIN views are out of scope by construction: anything that is not
+    a single MoonlinkTable base fails loud with the materialize-the-join
+    guidance, never a silent wrong view."""
+    t = make_table(spark, tmp_path)
+    joined_df = t.scan().join(t.scan().select("id", "val"), "id")
+    with pytest.raises(TableConfigError, match="join"):
+        MaterializedView.create(
+            joined_df, str(tmp_path / "mv"), ["grp"], sums=["val"]
+        )
