@@ -195,16 +195,29 @@ def main() -> None:
         spark.catalog.clearCache()
     bench_ingest(spark, "/root/testdata/sf0.001")
 
-    for name in HEADLINE:
-        t0 = time.time()
-        _force(specs[name].fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
-        # queries persist() their reused subtrees; drop them so one query's
-        # cache does not shift the next query's memory budget
-        spark.catalog.clearCache()
-
-    timings["ingest_merge_lifecycle"] = round(bench_ingest(spark, sf_dir), 3)
-    timings["ingest_batch_commits"] = round(bench_batch_commits(spark), 3)
+    # SPARK_GRAFT_BENCH_REPEATS > 1: run every scenario N times and
+    # report the per-query MEDIAN. The driver's per-round run keeps the
+    # default (1) so round totals stay comparable; the repeated form is
+    # the re-baselining tool (BASELINE_LOCAL.json) because this host's
+    # boot-to-boot AND run-to-run jitter is larger than most queries
+    # (q6 measured 0.5-1.9 s across identical warm runs, NOTES_r8) —
+    # a single sample cannot anchor a 2x regression rule.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1")))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    samples["ingest_merge_lifecycle"] = []
+    samples["ingest_batch_commits"] = []
+    for _ in range(repeats):
+        for name in HEADLINE:
+            t0 = time.time()
+            _force(specs[name].fn(spark, sf_dir))
+            samples[name].append(time.time() - t0)
+            # queries persist() their reused subtrees; drop them so one
+            # query's cache does not shift the next query's memory budget
+            spark.catalog.clearCache()
+        samples["ingest_merge_lifecycle"].append(bench_ingest(spark, sf_dir))
+        samples["ingest_batch_commits"].append(bench_batch_commits(spark))
+    for name, runs in samples.items():
+        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
 
     total = round(sum(timings.values()), 3)
     # The driver captures a fixed-size tail of stdout and parses the LAST
@@ -225,6 +238,32 @@ def main() -> None:
     except OSError:
         pass
     sys.stdout.flush()
+    if repeats > 1:
+        # re-baselining run: persist the medians (plus the spread, so a
+        # future "is this a regression?" question can see the noise
+        # floor) as the platform-local anchor
+        try:
+            with open(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BASELINE_LOCAL.json"), "w"
+            ) as f:
+                json.dump(
+                    {
+                        "metric": "median_of_runs",
+                        "repeats": repeats,
+                        "sf": sf,
+                        "queries": timings,
+                        "spread": {
+                            k: [round(x, 3) for x in sorted(v)]
+                            for k, v in samples.items()
+                        },
+                        "calibration_sec": _calibration(spark),
+                    },
+                    f,
+                    indent=1,
+                )
+        except OSError:
+            pass
     print(
         json.dumps(
             {

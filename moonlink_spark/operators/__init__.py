@@ -8,6 +8,7 @@ over the same parquet tables. The driver hash-compares both sides at sf0.01
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -58,6 +59,17 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+# (applicationId, sf_dir, table) -> resolved DataFrame. spark.read.parquet
+# costs ~0.14 s per call even warm (schema resolution + file-index build on
+# the driver) — a fixed per-query tax that dominates small-input queries
+# (q6's 11 MB scan executes in ~0.2 s). The testdata tables are immutable,
+# so reusing the resolved plan subtree is safe; this is the same move as
+# the reference's MetadataCache (footers/metadata resolved once, served to
+# every subsequent read). Keyed by applicationId so a fresh session never
+# sees a stale plan.
+_LOAD_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # Pin the session to UTC so timestamp semantics match the DuckDB oracle
     # regardless of which SparkSession the driver hands us, and make sure
@@ -66,10 +78,17 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ensure_package_on_workers(spark)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), table)
+    df = _LOAD_CACHE.get(key)
+    if df is not None:
+        return df
     if table == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        df = normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    _LOAD_CACHE[key] = df
+    return df
 
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
@@ -86,6 +105,17 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # lifecycle that is the engine's identity, and one representative per
 # already-proven category as regression canaries). Cumulative
 # driver-verified coverage after this round: 121/121.
+
+# ROUND-8 ROTATION: r7 went 50/50 green, so its 42 non-keeper slots
+# rotate out again. Rotating IN, stalest driver evidence first: the 3
+# round-8 additions (approx percentiles + the bucketed-warehouse pair,
+# never gated), the 4 remaining r3-evidence queries, all 7 r4-evidence
+# queries, 26 of the r5 cohort (export/index lifecycle, CDC/queue/wire
+# ingest, sketches, embedding/text stats — the families VERDICT r7
+# called out), and the two r6 survivors it named
+# (dedup_connected_components, streaming_interval_join_e2e). Keepers
+# unchanged: the 7-query ingest lifecycle + the flagship. Cumulative
+# driver-verified coverage after this round: 148/148.
 
 # ROUND-7 ROTATION: r6 went 50/50 green, so its 42 non-keeper slots
 # rotate out (their evidence is one round old; all stay green under
@@ -110,53 +140,54 @@ PRIORITY_50 = [
     "ingest_snapshot_diff",
     "ingest_optimize_invariance",
     "q1_pricing_summary",
-    # never driver-gated (1) + last green r1 (1)
-    "json_props_extraction",
-    "distinct_aggregates",
-    # last driver-green r2: TPC-H representatives (21)
-    "q2_min_balance_supplier",
-    "q4_order_priority_check",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_lines",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_parts_suppliers",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "q20_part_supplier_candidates",
-    "q22_sales_opportunity",
-    "anti_join_customers_without_orders",
-    "semi_join_customers_with_urgent_orders",
-    "exists_suppliers_with_heavy_lines",
-    # last driver-green r2: joins / sets / grouping (6)
-    "not_in_parts_never_shipped",
-    "full_outer_urgent_vs_returns",
-    "set_ops_order_status",
-    "cube_lineitem_flags",
-    "rollup_orders",
-    "median_mode_order_stats",
-    # last driver-green r2: window / relational extras (7)
-    "window_rank_dense_ntile",
-    "window_order_gaps",
-    "gap_fill_daily_order_counts",
-    "string_agg_top_customers_per_nation",
-    "width_bucket_balance_histogram",
-    "explode_token_positions",
-    "repetition_scores",
-    # last driver-green r3 (6)
-    "column_profile_lineitem",
-    "dedup_ngram_jaccard",
-    "embedding_quantize_rerank",
-    "lm_fluency_scores",
-    "tumbling_window_hourly",
-    "zscore_outlier_events",
+    # never driver-gated: the round-8 additions (3)
+    "approx_percentiles_by_flag",
+    "bucketed_colocated_join",
+    "bucketed_point_read",
+    # stalest evidence — last driver-green r3 (4)
+    "dedup_duplicate_segments",
+    "first_last_nth_event_values",
+    "scalar_functions",
+    "window_running_user_totals",
+    # last driver-green r4 (7)
+    "ann_recall_at_k",
+    "date_arithmetic",
+    "embedding_vector_stats",
+    "event_value_statistics",
+    "ingest_avro_events_scan",
+    "regexp_string_ops",
+    "regression_per_event_type",
+    # last driver-green r5 (26): the export/index families, the CDC /
+    # queue / wire ingest legs, sketches, text/embedding stats
+    "ann_index_lifecycle_topk",
+    "ann_ivf_multiprobe_topk",
+    "approx_heavy_hitters",
+    "approx_sketches",
+    "bigram_pmi_top",
+    "char_trigram_entropy",
+    "chunk_documents_udtf",
+    "dedup_edit_distance_verify",
+    "dedup_keep_best_quality",
+    "embedding_drift_by_label",
+    "embedding_gram_matrix",
+    "embedding_pca_power_scores",
+    "gopher_repetition_signals",
+    "grouping_sets_returns",
+    "ingest_alter_add_column_scan",
+    "ingest_bulk_load_scan",
+    "ingest_cdc_stream_feed",
+    "ingest_export_iceberg_dv_scan",
+    "ingest_export_keyindex_lookup",
+    "ingest_export_sigindex_pairs",
+    "ingest_export_vecindex_ann",
+    "ingest_initial_copy_cdc_scan",
+    "ingest_kafka_stream_feed",
+    "ingest_kafka_wire_scan",
+    "ingest_keyindex_delete_scan",
+    "late_event_detection",
+    # last driver-green r6, named in VERDICT r7 #7 (2)
+    "dedup_connected_components",
+    "streaming_interval_join_e2e",
 ]
 assert len(PRIORITY_50) == 50 and len(set(PRIORITY_50)) == 50
 
