@@ -1735,7 +1735,11 @@ class PgMockServer:
                     + b"".join(struct.pack(">I", o) for o in oids),
                 )
             )
-            sock.sendall(_msg(b"n", b""))  # NoData (cols known at Execute)
+            cols = self._statement_columns(conn, query, state)
+            if cols is None:
+                sock.sendall(_msg(b"n", b""))  # NoData (DML, no RETURNING)
+            else:
+                sock.sendall(self._row_description(cols))
             return
         portal = ext["portals"].get(name)
         if portal is None:
@@ -1746,6 +1750,39 @@ class PgMockServer:
             sock.sendall(_msg(b"n", b""))  # NoData
         else:
             sock.sendall(self._row_description(cols))
+
+    def _statement_columns(self, conn, query: str, state) -> list[str] | None:
+        """Column names of a prepared statement WITHOUT executing it —
+        what Describe(statement) must answer (real PG derives this at
+        parse time; JDBC and tokio-postgres map result columns from the
+        Describe(S) RowDescription BEFORE any Execute). SQLite's Python
+        binding cannot prepare-only, so row-returning statements are
+        probed through the shared execution core wrapped in a zero-row
+        subquery (``SELECT * FROM (<q with $n -> NULL>) WHERE 0``) —
+        plans the query, scans nothing, side-effect-free. Anything that
+        is not SELECT-shaped answers None (NoData), like real PG for
+        DML without RETURNING; a probe failure (a $n somewhere NULL is
+        not type-legal) degrades to NoData rather than erroring the
+        Describe."""
+        import re as _re
+
+        if statement_main_verb(query) not in ("SELECT", "VALUES", "TABLE"):
+            return None
+        # parameter count by lexeme scan ($n only lives in plain text;
+        # $1 never matches the dollar-quote tag, which can't be numeric)
+        text_only = "".join(
+            t for k, t in _lex_sql(query) if k == "text"
+        )
+        nparams = max(
+            (int(m) for m in _re.findall(r"\$(\d+)", text_only)), default=0
+        )
+        try:
+            probe = substitute_params(query, [None] * nparams)
+            wrapped = f"SELECT * FROM ({probe.strip().rstrip(';')}) WHERE 0"
+            cols, _rows, _tag = self._exec_statement(conn, wrapped, state)
+            return cols
+        except Exception:  # noqa: BLE001 — describe must not fail the txn
+            return None
 
     def _ext_execute(self, sock, conn, body: bytes, state, ext) -> None:
         """Execute with the spec's max-rows field honored: a positive

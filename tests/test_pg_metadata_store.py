@@ -911,6 +911,79 @@ def test_execute_row_limit_portal_suspended(tmp_path):
         srv.stop()
 
 
+def test_describe_statement_row_description(tmp_path):
+    """Describe(statement) must answer ParameterDescription + a REAL
+    RowDescription for SELECT-shaped statements (JDBC and most drivers
+    map result columns from Describe(S) BEFORE any Execute) and NoData
+    for DML — real PG derives this at parse time; the mock probes a
+    zero-row wrapper."""
+    import struct
+
+    from moonlink_spark.pg_protocol import (
+        PgMockServer,
+        PgWireClient,
+        _cstr,
+        _msg,
+        _read_msg,
+    )
+
+    srv = PgMockServer(str(tmp_path / "desc.db")).start()
+
+    def describe_stmt(c, sql, oids=()):
+        parse = (
+            _cstr("ds") + _cstr(sql) + struct.pack(">h", len(oids))
+            + b"".join(struct.pack(">I", o) for o in oids)
+        )
+        c.sock.sendall(
+            _msg(b"P", parse)
+            + _msg(b"D", b"S" + _cstr("ds"))
+            + _msg(b"C", b"S" + _cstr("ds"))
+            + _msg(b"S", b"")
+        )
+        seen = []
+        while True:
+            t, b = _read_msg(c._f)
+            seen.append((t, b))
+            if t == b"Z":
+                return seen
+
+    try:
+        c = PgWireClient(srv.host, srv.port)
+        c.query("CREATE TABLE d (a INTEGER, b TEXT)")
+        c.query("INSERT INTO d VALUES (1, 'x')")
+
+        # SELECT: ParameterDescription + RowDescription with col names
+        seen = describe_stmt(c, "SELECT a, b AS label FROM d WHERE a > $1", (23,))
+        kinds = [t for t, _ in seen]
+        assert b"t" in kinds and b"T" in kinds and b"n" not in kinds
+        rd = next(b for t, b in seen if t == b"T")
+        cols = PgWireClient._row_description(rd)
+        assert cols == ["a", "label"]
+        # no row was ever produced by the describe probe
+        assert not [t for t, _ in seen if t == b"D"]
+
+        # CTE-led SELECT also describes
+        seen = describe_stmt(c, "WITH x AS (SELECT a FROM d) SELECT * FROM x")
+        assert [t for t, _ in seen].count(b"T") == 1
+
+        # DML without RETURNING: NoData
+        seen = describe_stmt(c, "INSERT INTO d VALUES ($1, $2)", (23, 25))
+        kinds = [t for t, _ in seen]
+        assert b"n" in kinds and b"T" not in kinds
+        # ParameterDescription carries the declared OIDs
+        pd = next(b for t, b in seen if t == b"t")
+        n = struct.unpack_from(">h", pd, 0)[0]
+        assert n == 2
+        assert struct.unpack_from(">II", pd, 2) == (23, 25)
+
+        # the describe probe left no trace: table intact, txn idle
+        assert c.query("SELECT count(*) FROM d").rows == [("1",)]
+        assert c.txn_status == b"I"
+        c.close()
+    finally:
+        srv.stop()
+
+
 def test_query_cursor_client_fetch_size(tmp_path):
     """The client's fetch-size cursor API over PortalSuspended: rows
     stream in fetch_size batches, early abandonment leaves the
