@@ -1491,6 +1491,13 @@ class KafkaWireConsumer:
         self.topic = topic
         self.partition = partition
         self.group = group
+        # adaptive per-message byte estimate (real clients size their
+        # fetch via max.partition.fetch.bytes the same way): the wire
+        # request asks for ~max_messages worth of bytes, not the 8 MiB
+        # cap — otherwise every poll on a deep log makes the broker
+        # read+encode ~5x the records the client will keep (measured
+        # 23k -> 99k msg/s on a 200k-message drain, SCALE.md §9)
+        self._avg_msg_bytes = 128
 
     @property
     def committed(self) -> int:
@@ -1522,13 +1529,21 @@ class KafkaWireConsumer:
         external offset manager (e.g. Spark's streaming checkpoint)
         drives; never touches the committed group position."""
         floor = from_offset
+        # right-size the request: ask for ~max_messages worth of bytes
+        # (adaptive estimate x2 headroom), bounded by the caller's cap —
+        # never the cap itself, which on a deep log makes the broker
+        # read + encode records this call will discard
+        want = min(
+            max_bytes,
+            max(64 << 10, max_messages * self._avg_msg_bytes * 5 // 4),
+        )
         body = (
-            struct.pack(">iiii", -1, 0, 0, max_bytes)
+            struct.pack(">iiii", -1, 0, 0, want)
             + b"\x00"  # isolation_level: read_uncommitted
             + struct.pack(">i", 1)
             + _string(self.topic)
             + struct.pack(">i", 1)
-            + struct.pack(">iqi", self.partition, floor, max_bytes)
+            + struct.pack(">iqi", self.partition, floor, want)
         )
         resp = self._conn.call(_API["fetch"], 4, body)
         pos = 8  # throttle + topic count
@@ -1543,12 +1558,25 @@ class KafkaWireConsumer:
             return []
         if err != _ERR_NONE:
             raise OSError(f"fetch failed: error={err}")
-        out = [
-            (off, key, value)
-            for off, key, value in decode_record_batches(rset or b"")
-            if off >= floor
-        ]
-        return out[:max_messages]
+        out = []
+        for off, key, value in decode_record_batches(rset or b""):
+            if off >= floor:
+                out.append((off, key, value))
+                if len(out) >= max_messages:
+                    break  # stop decoding what we will not keep
+        if out:
+            # update the sizing estimate from the records themselves
+            # (~24 B varint/framing overhead per record on the wire)
+            sample = out[:256]
+            self._avg_msg_bytes = max(
+                32,
+                sum(
+                    (len(k) if k else 0) + (len(v) if v else 0) + 24
+                    for _o, k, v in sample
+                )
+                // len(sample),
+            )
+        return out
 
     def commit(self, next_offset: int) -> None:
         body = (

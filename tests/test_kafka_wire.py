@@ -83,6 +83,40 @@ def test_partition_log_concurrent_scans_no_skip(tmp_path):
     assert log._index == sorted(log._index)
 
 
+def test_fetch_request_is_right_sized_on_deep_logs(tmp_path):
+    """SCALE.md §9 regression: the consumer must size its fetch request
+    to ~max_messages worth of bytes (adaptive estimate), not its 8 MiB
+    cap — on a deep log the cap made the broker read + encode ~5x the
+    records each poll kept (95k -> 20k msg/s collapse at 10x depth).
+    Pin: the estimate converges to the true record size, polls return
+    exactly max_messages, and a full drain covers every offset."""
+    payload = b"v" * 100
+    b = KafkaWireBroker(str(tmp_path / "logs")).start()
+    try:
+        n = 50_000
+        prod = KafkaWireProducer(b.host, b.port)
+        for i in range(0, n, 2000):
+            prod.send("deep", [(b"k%d" % j, payload) for j in range(i, i + 2000)])
+        prod.close()
+        cons = KafkaWireConsumer(b.host, b.port, "deep", group="g")
+        got = cons.poll(max_messages=5000)
+        assert len(got) == 5000
+        # estimate reflects the actual ~(key+value+overhead) size
+        assert 100 <= cons._avg_msg_bytes <= 200, cons._avg_msg_bytes
+        # full drain: exact offsets, no skips, no dups
+        seen = {o for o, _k, _v in got}
+        floor = got[-1][0] + 1
+        while len(seen) < n:
+            batch = cons.fetch(floor, max_messages=5000)
+            assert batch, f"drain stalled at {len(seen)}"
+            seen.update(o for o, _k, _v in batch)
+            floor = batch[-1][0] + 1
+        assert seen == set(range(n))
+        cons.close()
+    finally:
+        b.stop()
+
+
 # -- codec ---------------------------------------------------------------
 
 
