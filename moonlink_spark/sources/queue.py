@@ -180,11 +180,9 @@ def _produce_df_avro_locked(df, qdir, value_schema, key_col, base_offset):
         # resume above anything already produced (FileQueueProducer's
         # _next_offset contract): without this, a second produce to the
         # same queue would reuse offsets below the consumer's committed
-        # floor and its messages would be silently never consumed
-        last = -1
-        for off, _k, _v in iter_queue(qdir):
-            last = max(last, off)
-        base_offset = last + 1
+        # floor and its messages would be silently never consumed.
+        # Header-scan only: O(1) memory however deep the queue is.
+        base_offset = max_queue_offset(qdir) + 1
 
     # Per-invocation run id: the driver publishes ONLY this run's staged
     # files below. Without it, an orphaned _pending-* from a produce that
@@ -264,6 +262,39 @@ def _produce_df_avro_locked(df, qdir, value_schema, key_col, base_offset):
         )
         for extra in names[1:]:
             os.unlink(os.path.join(qdir, extra))
+
+
+def max_queue_offset(queue_dir: str) -> int:
+    """Highest offset across published segments, by frame-HEADER scan
+    only — payloads are seeked over, never read, parsed, or sorted.
+    This is the produce-resume path: ``iter_queue`` materializes and
+    sorts every message (right for consumers that need global order),
+    which on a deep queue would make every later produce pay O(queue)
+    memory just to learn the next free offset. Returns -1 for an empty
+    or missing queue. Torn tails are ignored like ``iter_queue``."""
+    last = -1
+    if not os.path.isdir(queue_dir):
+        return last
+    for name in os.listdir(queue_dir):
+        if not name.startswith("segment-"):
+            continue
+        path = os.path.join(queue_dir, name)
+        size = os.path.getsize(path)
+        with open(path, "rb") as fh:
+            pos = 0
+            while pos + 4 <= size:
+                head = fh.read(4)
+                if len(head) < 4:
+                    break
+                (flen,) = struct.unpack(">I", head)
+                if flen < 12 or pos + 4 + flen > size:
+                    break  # torn tail: same skip rule as iter_queue
+                (off,) = struct.unpack(">Q", fh.read(8))
+                if off > last:
+                    last = off
+                pos += 4 + flen
+                fh.seek(pos)
+    return last
 
 
 def iter_queue(queue_dir: str) -> Iterator[tuple[int, bytes | None, bytes]]:

@@ -390,3 +390,31 @@ def test_concurrent_producer_rejected_then_lock_released(spark, tmp_path):
     # and a normal produce works after both
     produce_df_avro(df, str(qdir), schema, key_col="id")
     assert len({m[0] for m in iter_queue(str(qdir))}) == 10
+
+
+def test_max_queue_offset_header_scan(tmp_path):
+    """The produce-resume path learns the next free offset by frame-
+    header scan (O(1) memory on a deep queue — payloads seeked over),
+    agreeing with iter_queue's view including the torn-tail skip rule."""
+    import os
+
+    from moonlink_spark.sources.queue import (
+        _frame,
+        max_queue_offset,
+    )
+
+    d = tmp_path / "q"
+    assert max_queue_offset(str(d)) == -1  # missing dir
+    d.mkdir()
+    assert max_queue_offset(str(d)) == -1  # empty
+    with open(os.path.join(d, "segment-a.log"), "wb") as f:
+        for off in (0, 5, 3):  # out of order within a file is tolerated
+            f.write(_frame(off, b"k", b"v" * 10))
+    with open(os.path.join(d, "segment-b.log"), "wb") as f:
+        f.write(_frame(9, None, b"x"))
+    assert max_queue_offset(str(d)) == 9
+    # a torn final frame (crash mid-write) is ignored, same as iter_queue
+    with open(os.path.join(d, "segment-b.log"), "ab") as f:
+        f.write(_frame(99, b"kk", b"vvvv")[:-3])
+    assert max_queue_offset(str(d)) == 9
+    assert max(o for o, _k, _v in iter_queue(str(d))) == 9
