@@ -66,10 +66,8 @@ class FileQueueProducer:
 
     def _next_offset(self) -> int:
         # resume after the max offset present in any segment
-        last = -1
-        for _off, _k, _v in iter_queue(self.queue_dir):
-            last = max(last, _off)
-        return last + 1
+        # (header-scan only — O(1) memory on a deep queue)
+        return max_queue_offset(self.queue_dir) + 1
 
     def send(self, value: bytes, key: bytes | None = None) -> int:
         if self._fh is None:
@@ -264,6 +262,47 @@ def _produce_df_avro_locked(df, qdir, value_schema, key_col, base_offset):
             os.unlink(os.path.join(qdir, extra))
 
 
+class _UnsortedSegment(Exception):
+    """A segment violated the offsets-ascend-within-a-file invariant;
+    the caller falls back to the sorted full-scan path."""
+
+
+def _iter_segment_from(path: str, name: str, floor: int):
+    """Yield (offset, segment_name, key, value) for frames with
+    offset >= floor, header-skipping everything below (payloads before
+    the floor are seeked over, not parsed). Asserts the ascending-
+    offset invariant every producer upholds; raises _UnsortedSegment
+    on violation so callers can degrade to the sorted path."""
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return
+    with open(path, "rb") as fh:
+        pos = 0
+        prev = -1
+        while pos + 4 <= size:
+            head = fh.read(4)
+            if len(head) < 4:
+                return
+            (flen,) = struct.unpack(">I", head)
+            if flen < 12 or pos + 4 + flen > size:
+                return  # torn tail
+            (off,) = struct.unpack(">Q", fh.read(8))
+            if off < prev:
+                raise _UnsortedSegment(name)
+            prev = off
+            if off < floor:
+                pos += 4 + flen
+                fh.seek(pos)
+                continue
+            fh.seek(pos + 4)
+            frame = fh.read(flen)
+            _off, klen = struct.unpack_from(">QI", frame, 0)
+            key, value = _parse_kv(klen, frame[12:])
+            yield off, name, key, value
+            pos += 4 + flen
+
+
 def max_queue_offset(queue_dir: str) -> int:
     """Highest offset across published segments, by frame-HEADER scan
     only — payloads are seeked over, never read, parsed, or sorted.
@@ -359,15 +398,55 @@ class FileQueueConsumer:
         return 0
 
     def poll(self, max_messages: int = 10_000) -> list[tuple[int, bytes | None, bytes]]:
+        """Next ``max_messages`` at-or-above the committed floor, global
+        offset order, retry duplicates absorbed — WITHOUT materializing
+        the queue. Segments are internally offset-ascending (every
+        producer writes sequentially), so this is a lazy k-way heap
+        merge over per-segment iterators that header-skip to the floor:
+        O(#segments) memory and O(consumed + skipped headers) time per
+        poll, where the old iter_queue path parsed and sorted the WHOLE
+        queue per poll (quadratic drains on a deep queue). A segment
+        that violates the ascending invariant falls back to the sorted
+        full-scan path, so order semantics never degrade."""
+        import heapq
+
         floor = self.committed
-        out = []
-        for off, key, value in iter_queue(self.queue_dir):
-            if off < floor:
-                continue
-            out.append((off, key, value))
-            if len(out) >= max_messages:
-                break
-        return out
+        try:
+            merged = heapq.merge(
+                *(
+                    _iter_segment_from(
+                        os.path.join(self.queue_dir, name), name, floor
+                    )
+                    for name in sorted(os.listdir(self.queue_dir))
+                    if name.startswith("segment-")
+                )
+                if os.path.isdir(self.queue_dir)
+                else ()
+            )
+            out: list[tuple[int, bytes | None, bytes]] = []
+            cur_off: int | None = None
+            seen: set[tuple] = set()
+            for off, _name, key, value in merged:
+                if off != cur_off:
+                    cur_off = off
+                    seen = set()
+                sig = (key, value)
+                if sig in seen:
+                    continue  # retried-task duplicate: identical bytes
+                seen.add(sig)
+                out.append((off, key, value))
+                if len(out) >= max_messages:
+                    break
+            return out
+        except _UnsortedSegment:
+            out = []
+            for off, key, value in iter_queue(self.queue_dir):
+                if off < floor:
+                    continue
+                out.append((off, key, value))
+                if len(out) >= max_messages:
+                    break
+            return out
 
     def commit(self, next_offset: int) -> None:
         os.makedirs(self.queue_dir, exist_ok=True)

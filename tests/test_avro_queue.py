@@ -418,3 +418,46 @@ def test_max_queue_offset_header_scan(tmp_path):
         f.write(_frame(99, b"kk", b"vvvv")[:-3])
     assert max_queue_offset(str(d)) == 9
     assert max(o for o, _k, _v in iter_queue(str(d))) == 9
+
+
+def test_poll_merge_path_semantics(tmp_path):
+    """poll()'s lazy k-way merge must match the old sorted-full-scan
+    semantics exactly: global offset order across interleaved segments,
+    retried-task duplicates (identical offset+bytes) absorbed, distinct
+    payloads at one offset both delivered, and an unsorted segment
+    degrading to the sorted fallback rather than wrong order."""
+    import os
+
+    from moonlink_spark.sources.queue import FileQueueConsumer, _frame
+
+    d = tmp_path / "q"
+    d.mkdir()
+    # two segments with interleaved ranges + a byte-identical retry dup
+    with open(os.path.join(d, "segment-a.log"), "wb") as f:
+        for off in (0, 2, 4):
+            f.write(_frame(off, b"k", b"v%d" % off))
+    with open(os.path.join(d, "segment-b.log"), "wb") as f:
+        for off in (1, 3):
+            f.write(_frame(off, b"k", b"v%d" % off))
+        f.write(_frame(4, b"k", b"v4"))   # retry duplicate: absorbed
+        f.write(_frame(5, b"k2", b"OTHER"))
+    with open(os.path.join(d, "segment-c.log"), "wb") as f:
+        f.write(_frame(5, b"k1", b"MINE"))  # same offset, DIFFERENT bytes
+
+    c = FileQueueConsumer(str(d), group="g")
+    got = c.poll()
+    assert [m[0] for m in got] == [0, 1, 2, 3, 4, 5, 5]
+    assert {m[2] for m in got if m[0] == 5} == {b"MINE", b"OTHER"}
+    # floor skipping: header-skip lands exactly at the floor
+    c.commit(3)
+    assert [m[0] for m in c.poll()] == [3, 4, 5, 5]
+    # max_messages truncates in global order
+    assert [m[0] for m in c.poll(max_messages=2)] == [3, 4]
+
+    # an unsorted segment (hand-written, violates the producer
+    # invariant) still answers in sorted order via the fallback
+    with open(os.path.join(d, "segment-z.log"), "wb") as f:
+        for off in (9, 7):
+            f.write(_frame(off, None, b"x%d" % off))
+    c.commit(6)
+    assert [m[0] for m in c.poll()] == [7, 9]
