@@ -695,8 +695,33 @@ class _PartitionLog:
         # a draining consumer is otherwise O(log^2) (a real broker has
         # the same structure: the .index file beside each segment)
         self._index: list[tuple[int, int]] = []
-        for off, _k, _v in self._scan(0):
-            self.next_offset = max(self.next_offset, off + 1)
+        self._init_scan()
+
+    def _init_scan(self) -> None:
+        # restart scan: recover next_offset AND seed the sparse index by
+        # reading frame HEADERS only — payloads are seeked over, so a
+        # broker restart on a deep log never parses old record bytes
+        if not os.path.exists(self.path):
+            return
+        size = os.path.getsize(self.path)
+        with open(self.path, "rb") as fh:
+            pos = 0
+            while pos + 4 <= size:
+                head = fh.read(4)
+                if len(head) < 4:
+                    return
+                (flen,) = struct.unpack(">I", head)
+                if flen < 12 or pos + 4 + flen > size:
+                    return  # torn tail
+                (off,) = struct.unpack(">Q", fh.read(8))
+                if off % self._INDEX_EVERY == 0 and (
+                    not self._index or off > self._index[-1][0]
+                ):
+                    self._index.append((off, pos))
+                if off >= self.next_offset:
+                    self.next_offset = off + 1
+                pos += 4 + flen
+                fh.seek(pos)
 
     def _seek_pos(self, index_snapshot: list[tuple[int, int]], from_offset: int) -> int:
         import bisect

@@ -82,6 +82,14 @@ def test_partition_log_concurrent_scans_no_skip(tmp_path):
     # the index stayed sorted (bisect's precondition)
     assert log._index == sorted(log._index)
 
+    # restart (header-only scan): offset recovered, index seeded, and a
+    # seeking read lands exactly on its start offset
+    log2 = _PartitionLog(str(tmp_path / "t-0"))
+    assert log2.next_offset == n
+    assert log2._index == sorted(log2._index) and log2._index
+    tail = log2.read(n - 100, 8 << 20)
+    assert [o for o, _k, _v in tail] == list(range(n - 100, n))
+
 
 def test_fetch_request_is_right_sized_on_deep_logs(tmp_path):
     """SCALE.md §9 regression: the consumer must size its fetch request
