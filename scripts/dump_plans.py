@@ -91,6 +91,27 @@ FLAGSHIPS = {
         "the shingle partition instead of a groupBy + join back — one "
         "fewer shuffle of the whole shingle relation."
     ),
+    "bucketed_colocated_join": (
+        "Fact-fact join with ZERO Exchange below the SortMergeJoin: both "
+        "sides were bucket-sorted on the join key at write time (paid "
+        "once per source version), so the scans satisfy the join's "
+        "distribution requirement directly — at 1000 executors the join "
+        "is network-free. The exchanges above it (agg/sort) are the "
+        "query's own."
+    ),
+    "bucketed_point_read": (
+        "Equality/IN on the bucket column prunes the scan to the buckets "
+        "those keys hash to (SelectedBucketsCount 3 of 8) — at 100 TB, 3 "
+        "bucket files of thousands instead of a full-table scan, with "
+        "zero index structure beyond the write-time bucketing."
+    ),
+    "approx_percentiles_by_flag": (
+        "The bounded-state percentile path: percentile_approx keeps a "
+        "mergeable sketch per partial aggregate, so a 3-value group key "
+        "never concentrates a value->count map in 3 reducer tasks the "
+        "way exact percentile does; the plan is partial->final agg with "
+        "fixed-size state regardless of the distinct-value count."
+    ),
 }
 
 
