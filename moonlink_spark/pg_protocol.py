@@ -1701,10 +1701,23 @@ class PgMockServer:
             )
             for i, raw in enumerate(raws)
         ]
+        # trailing result-format codes (spec: 0 = all text, 1 = applies
+        # to every column, else per column). Every result column here is
+        # declared OID 25 (text), whose BINARY wire form is the raw
+        # UTF-8 string — byte-identical to text — so honoring a binary
+        # request means echoing the format code in RowDescription; the
+        # DataRow bytes are the same either way. tokio-postgres and
+        # psycopg3 request binary results by default.
+        rfmts: list[int] = []
+        if pos + 2 <= len(body):
+            (nrf,) = struct.unpack_from(">h", body, pos)
+            pos += 2
+            rfmts = list(struct.unpack_from(f">{nrf}h", body, pos))
         ext["portals"][portal] = {
             "query": query,
             "params": params,
             "result": None,
+            "result_formats": rfmts,
         }
         sock.sendall(_msg(b"2", b""))  # BindComplete
 
@@ -1749,7 +1762,11 @@ class PgMockServer:
         if cols is None:
             sock.sendall(_msg(b"n", b""))  # NoData
         else:
-            sock.sendall(self._row_description(cols))
+            sock.sendall(
+                self._row_description(
+                    cols, portal.get("result_formats")
+                )
+            )
 
     def _statement_columns(self, conn, query: str, state) -> list[str] | None:
         """Column names of a prepared statement WITHOUT executing it —
@@ -2307,12 +2324,28 @@ class PgMockServer:
     # -- wire encoding ------------------------------------------------------
 
     @staticmethod
-    def _row_description(cols: list[str]) -> bytes:
+    def _row_description(
+        cols: list[str], result_formats: list[int] | None = None
+    ) -> bytes:
+        # per-column format: [] = all text; [f] = f for every column;
+        # else one per column (the Bind result-format resolution rule).
+        # Columns are OID 25 (text), whose binary wire form is the raw
+        # UTF-8 string, so echoing a requested binary format changes
+        # only this declaration — DataRow bytes are identical.
+        fmts = result_formats or []
+
+        def fmt_of(i: int) -> int:
+            if not fmts:
+                return 0
+            return fmts[0] if len(fmts) == 1 else fmts[i]
+
         body = struct.pack(">h", len(cols))
-        for c in cols:
+        for i, c in enumerate(cols):
             # table oid 0, attnum 0, type oid 25 (text), typlen -1,
-            # atttypmod -1, format 0 (text)
-            body += _cstr(c) + struct.pack(">IhIhih", 0, 0, 25, -1, -1, 0)
+            # atttypmod -1, format per Bind
+            body += _cstr(c) + struct.pack(
+                ">IhIhih", 0, 0, 25, -1, -1, fmt_of(i)
+            )
         return _msg(b"T", body)
 
     @staticmethod

@@ -984,6 +984,75 @@ def test_describe_statement_row_description(tmp_path):
         srv.stop()
 
 
+def test_bind_result_formats_echoed_in_row_description(tmp_path):
+    """Binary RESULT formats (what tokio-postgres/psycopg3 request by
+    default): the portal's RowDescription must echo the Bind's result-
+    format codes. Columns are declared OID 25 (text), whose binary wire
+    form is the raw UTF-8 string, so the DataRow bytes stay identical —
+    the declaration is what strict clients validate."""
+    import struct
+
+    from moonlink_spark.pg_protocol import (
+        PgMockServer,
+        PgWireClient,
+        _cstr,
+        _msg,
+        _read_msg,
+    )
+
+    srv = PgMockServer(str(tmp_path / "rf.db")).start()
+    try:
+        c = PgWireClient(srv.host, srv.port)
+        c.query("CREATE TABLE rf (a INTEGER, b TEXT)")
+        c.query("INSERT INTO rf VALUES (7, 'x')")
+        parse = _cstr("") + _cstr("SELECT a, b FROM rf") + struct.pack(">h", 0)
+
+        def roundtrip(result_fmt_block):
+            bind = (
+                _cstr("") + _cstr("") + struct.pack(">hh", 0, 0)
+                + result_fmt_block
+            )
+            c.sock.sendall(
+                _msg(b"P", parse) + _msg(b"B", bind)
+                + _msg(b"D", b"P" + _cstr(""))
+                + _msg(b"E", _cstr("") + struct.pack(">i", 0))
+                + _msg(b"S", b"")
+            )
+            rowdesc = datarow = None
+            while True:
+                t, b = _read_msg(c._f)
+                if t == b"T":
+                    rowdesc = b
+                elif t == b"D":
+                    datarow = b
+                elif t == b"Z":
+                    return rowdesc, datarow
+
+        def col_formats(rowdesc):
+            (n,) = struct.unpack_from(">h", rowdesc, 0)
+            out, pos = [], 2
+            for _ in range(n):
+                pos = rowdesc.index(b"\x00", pos) + 1
+                out.append(struct.unpack_from(">h", rowdesc, pos + 16)[0])
+                pos += 18
+            return out
+
+        # all-text (code count 0) -> formats [0, 0]
+        rd, row_text = roundtrip(struct.pack(">h", 0))
+        assert col_formats(rd) == [0, 0]
+        # one code 1 -> applies to every column
+        rd, row_bin = roundtrip(struct.pack(">hh", 1, 1))
+        assert col_formats(rd) == [1, 1]
+        # per-column codes
+        rd, _ = roundtrip(struct.pack(">hhh", 2, 1, 0))
+        assert col_formats(rd) == [1, 0]
+        # binary-of-text is byte-identical to text: same DataRow
+        assert row_text == row_bin
+        c.close()
+    finally:
+        srv.stop()
+
+
 def test_query_cursor_client_fetch_size(tmp_path):
     """The client's fetch-size cursor API over PortalSuspended: rows
     stream in fetch_size batches, early abandonment leaves the
