@@ -248,17 +248,23 @@ class MaterializedView:
 
         zero_dec = F.lit(0).cast(DEC)
 
+        new_cnt = F.coalesce(F.col(_COUNT), F.lit(0)) + F.coalesce(
+            F.col("__dn"), F.lit(0)
+        )
+
         def _mm(kind: str, c: str):
             old_v = F.col(f"{kind}_{c}")
             dv = F.col(f"__d{kind}_{c}")
             inc = F.least(old_v, dv) if kind == "min" else F.greatest(old_v, dv)
-            if rc is None:
-                return inc.alias(f"{kind}_{c}")
-            return (
-                F.when(F.col("__rc").isNotNull(), F.col(f"__rc{kind}_{c}"))
-                .otherwise(inc)
-                .alias(f"{kind}_{c}")
-            )
+            if rc is not None:
+                inc = F.when(
+                    F.col("__rc").isNotNull(), F.col(f"__rc{kind}_{c}")
+                ).otherwise(inc)
+            # an EMPTIED group must null its extrema: keeping the stale
+            # min/max (the group has no rows; rc has no row to overwrite
+            # with) would poison least/greatest when later inserts revive
+            # the group — a revived min would stick at the dead value
+            return F.when(new_cnt > 0, inc).alias(f"{kind}_{c}")
 
         merged = cur.join(delta, group_by, "full_outer")
         if rc is not None:

@@ -295,3 +295,27 @@ def test_join_views_rejected_with_clear_error(spark, tmp_path):
         MaterializedView.create(
             joined_df, str(tmp_path / "mv"), ["grp"], sums=["val"]
         )
+
+
+def test_minmax_emptied_group_revival(spark, tmp_path):
+    """A group emptied by deletes must NULL its stored extrema — the
+    recompute semi-join has no row to overwrite with, and a stale
+    min/max would poison least/greatest when later inserts revive the
+    group (the revived min would stick at the dead group's value)."""
+    t = make_table(spark, tmp_path)
+    mv = MaterializedView.create(
+        t, str(tmp_path / "mv"), ["grp"], mins=["val"], maxs=["val"]
+    )
+    # empty g0 entirely (ids 0,4,8,...,96 are g0; min val 0.0)
+    t.delete_rows([{"id": i} for i in range(0, 100, 4)])
+    t.commit(lsn=2)
+    mv.refresh()
+    assert "g0" not in minmax_rows(mv)  # no live rows -> not served
+    # revive g0 with values far above the dead min and below the dead max
+    t.append_rows([{"id": 500, "grp": "g0", "val": 50.0}])
+    t.commit(lsn=3)
+    s = mv.refresh()
+    assert s["minmax_recompute_groups"] == 0  # insert-only revival
+    got = minmax_rows(mv)
+    assert got["g0"] == (1, 50.0, 50.0), got["g0"]  # NOT (1, 0.0, 96.0)
+    assert minmax_rows(mv) == direct_minmax(t)
