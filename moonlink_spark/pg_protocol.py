@@ -1740,6 +1740,15 @@ class PgMockServer:
                 raise _PgUserError(
                     "26000", f"prepared statement {name!r} does not exist"
                 )
+            if state.get("txn_failed"):
+                # real PG: Describe inside an aborted transaction errors
+                # (25P02) and the error recovery skips to Sync — the
+                # probe's broad except must never turn this into NoData
+                raise _PgUserError(
+                    "25P02",
+                    "current transaction is aborted, commands ignored "
+                    "until end of transaction block",
+                )
             query, oids = ext["stmts"][name]
             sock.sendall(  # ParameterDescription
                 _msg(

@@ -1297,3 +1297,46 @@ def test_sqlstate_mapping_matches_pg_errcodes(tmp_path):
         c.close()
     finally:
         srv.stop()
+
+
+def test_describe_in_aborted_txn_errors(tmp_path):
+    """Describe(statement) inside an aborted transaction must answer
+    25P02 like every other command (real PG's error-recovery rule), not
+    a cheerful ParameterDescription + NoData from the probe fallback."""
+    import struct
+
+    from moonlink_spark.pg_protocol import (
+        PgMockServer,
+        PgServerError,
+        PgWireClient,
+        _cstr,
+        _msg,
+        _read_msg,
+    )
+
+    srv = PgMockServer(str(tmp_path / "ab.db")).start()
+    try:
+        c = PgWireClient(srv.host, srv.port)
+        c.query("CREATE TABLE a (x INTEGER)")
+        c.query("BEGIN")
+        with pytest.raises(PgServerError):
+            c.query("SELECT * FROM missing_table")
+        assert c.txn_status == b"E"
+        parse = _cstr("s1") + _cstr("SELECT x FROM a") + struct.pack(">h", 0)
+        c.sock.sendall(
+            _msg(b"P", parse) + _msg(b"D", b"S" + _cstr("s1")) + _msg(b"S", b"")
+        )
+        seen = []
+        while True:
+            t, b = _read_msg(c._f)
+            seen.append((t, b))
+            if t == b"Z":
+                break
+        errs = [b for t, b in seen if t == b"E"]
+        assert errs and b"25P02" in errs[0]
+        assert not [t for t, _ in seen if t in (b"t", b"T", b"n")]
+        c.query("ROLLBACK")
+        assert c.query("SELECT 1 AS one").rows == [("1",)]
+        c.close()
+    finally:
+        srv.stop()
