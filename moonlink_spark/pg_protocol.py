@@ -889,17 +889,22 @@ class PgWireClient:
                         err = _error_fields(b)
             finally:
                 # reached on completion, server error, AND generator
-                # abandonment: close the portal, Sync, drain to ready
-                self.sock.sendall(
-                    _msg(b"C", b"P" + _cstr("")) + _msg(b"S", b"")
-                )
-                while True:
-                    t, b = _read_msg(self._f)
-                    if t == b"E" and err is None:
-                        err = _error_fields(b)
-                    elif t == b"Z":
-                        self.txn_status = b[:1]
-                        break
+                # abandonment: close the portal, Sync, drain to ready.
+                # A dead socket here must not mask the original error —
+                # the connection is already unusable either way.
+                try:
+                    self.sock.sendall(
+                        _msg(b"C", b"P" + _cstr("")) + _msg(b"S", b"")
+                    )
+                    while True:
+                        t, b = _read_msg(self._f)
+                        if t == b"E" and err is None:
+                            err = _error_fields(b)
+                        elif t == b"Z":
+                            self.txn_status = b[:1]
+                            break
+                except OSError:
+                    pass
             if err is not None:
                 raise PgServerError(err)
 

@@ -77,6 +77,7 @@ import os
 import socket
 import socketserver
 import struct
+import sys
 import threading
 import time
 import uuid
@@ -160,14 +161,30 @@ def crc32c(data: bytes) -> int:
     except ImportError:  # pragma: no cover - numpy ships in this env
         return _crc32c_scalar(data) ^ 0xFFFFFFFF
     bt, s0, s1, s2, s3 = _crc_np_tables()
-    cols = np.ascontiguousarray(
-        np.frombuffer(data, np.uint8, count=nb * _CRC_BLOCK)
-        .reshape(nb, _CRC_BLOCK)
-        .T
-    )
     c = np.zeros(nb, np.uint32)
-    for j in range(_CRC_BLOCK):
-        c = bt[(c ^ cols[j]) & 0xFF] ^ (c >> 8)
+    if sys.byteorder == "little":
+        # transpose in 8-byte units: moving u64s is ~6x faster than the
+        # byte-wise strided transpose on this host (0.11 s vs 0.70 s at
+        # 8 MiB — the copy dominated the whole CRC); byte j of a block
+        # is then (u64[j//8] >> 8*(j%8)) & 0xFF, a vectorized extract
+        ut = np.ascontiguousarray(
+            np.frombuffer(data, np.uint64, count=nb * (_CRC_BLOCK // 8))
+            .reshape(nb, _CRC_BLOCK // 8)
+            .T
+        )
+        for j in range(_CRC_BLOCK):
+            col = (
+                (ut[j >> 3] >> np.uint64(8 * (j & 7))) & np.uint64(0xFF)
+            ).astype(np.uint32)
+            c = bt[(c ^ col) & 0xFF] ^ (c >> 8)
+    else:  # pragma: no cover - big-endian host
+        cols = np.ascontiguousarray(
+            np.frombuffer(data, np.uint8, count=nb * _CRC_BLOCK)
+            .reshape(nb, _CRC_BLOCK)
+            .T
+        )
+        for j in range(_CRC_BLOCK):
+            c = bt[(c ^ cols[j]) & 0xFF] ^ (c >> 8)
     r = 0xFFFFFFFF
     for bc in c.tolist():
         r = (
