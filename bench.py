@@ -238,6 +238,7 @@ def main() -> None:
     except OSError:
         pass
     sys.stdout.flush()
+    calibration = _calibration(spark)
     if repeats > 1:
         # re-baselining run: persist the medians (plus the spread, so a
         # future "is this a regression?" question can see the noise
@@ -257,7 +258,7 @@ def main() -> None:
                             k: [round(x, 3) for x in sorted(v)]
                             for k, v in samples.items()
                         },
-                        "calibration_sec": _calibration(spark),
+                        "calibration_sec": calibration,
                     },
                     f,
                     indent=1,
@@ -276,7 +277,7 @@ def main() -> None:
                 # harness vary with host speed (observed 1.2-2.3x boot-to-boot
                 # drift, NOTES_r4); dividing two rounds' calibration values
                 # normalizes their totals before comparing.
-                "calibration_sec": _calibration(spark),
+                "calibration_sec": calibration,
             }
         )
     )

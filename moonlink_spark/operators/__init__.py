@@ -65,9 +65,10 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
 # (q6's 11 MB scan executes in ~0.2 s). The testdata tables are immutable,
 # so reusing the resolved plan subtree is safe; this is the same move as
 # the reference's MetadataCache (footers/metadata resolved once, served to
-# every subsequent read). Keyed by applicationId so a fresh session never
-# sees a stale plan.
-_LOAD_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# every subsequent read). Keyed by applicationId (a fresh session never
+# sees another session's plan) AND the source file's mtime (re-stamped
+# testdata invalidates, same rule as the bucketed warehouse).
+_LOAD_CACHE: dict[tuple[str, str, str, int], DataFrame] = {}
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -78,7 +79,12 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ensure_package_on_workers(spark)
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), table)
+    path = os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
+    try:
+        stamp = os.stat(path).st_mtime_ns
+    except OSError:
+        stamp = -1  # let spark.read raise its own error below
+    key = (spark.sparkContext.applicationId, path, table, stamp)
     df = _LOAD_CACHE.get(key)
     if df is not None:
         return df

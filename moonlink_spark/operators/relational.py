@@ -1075,8 +1075,23 @@ def ensure_bucketed_warehouse(spark: SparkSession, sf_dir: str) -> str:
                 f"LOCATION '{wh}/{sub}'"
             )
 
-    if os.path.exists(marker):
+    def _registered_location() -> str | None:
         if not spark.catalog.tableExists("mls_orders_bucketed"):
+            return None
+        for r in spark.sql(
+            "DESCRIBE FORMATTED mls_orders_bucketed"
+        ).collect():
+            if r[0] == "Location":
+                return r[1].replace("file:", "")
+        return None
+
+    if os.path.exists(marker):
+        # re-register unless the catalog entry already points INTO this
+        # warehouse — a session that ran at another sf_dir (or against
+        # re-stamped testdata) has tables registered at a DIFFERENT
+        # location, and reusing them would silently serve wrong data
+        loc = _registered_location()
+        if loc is None or not loc.startswith(wh):
             _register()
         return wh
 

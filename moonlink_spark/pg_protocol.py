@@ -525,6 +525,11 @@ class PgWireClient:
         ):
             raise ValueError(f"unsupported sslmode {sslmode!r}")
         self._lock = threading.Lock()
+        # set while query_cursor is mid-stream: the connection's socket
+        # is dedicated to the suspended portal, so a nested call from
+        # the SAME thread must fail loud (the non-reentrant lock would
+        # otherwise deadlock it silently)
+        self._cursor_active = False
         self._addr = (host, port)
         # (backend pid, secret key) from BackendKeyData — cancel() credentials
         self.backend_key: tuple[int, int] = (0, 0)
@@ -738,10 +743,19 @@ class PgWireClient:
         if not _hmac.compare_digest(want, got):
             raise PgProtocolError("SCRAM server signature mismatch")
 
+    def _guard_not_streaming(self) -> None:
+        if self._cursor_active:
+            raise PgProtocolError(
+                "connection is streaming a cursor (query_cursor is "
+                "mid-iteration); drain or close() the iterator first, "
+                "or use a second connection"
+            )
+
     def query(self, sql: str) -> QueryResult:
         """One simple-query round trip. Multiple statements per string are
         legal in the protocol; the LAST result set / tag wins (enough for
         the store's single-statement calls)."""
+        self._guard_not_streaming()
         with self._lock:
             self.sock.sendall(_msg(b"Q", _cstr(sql)))
             cols: list[str] = []
@@ -799,6 +813,7 @@ class PgWireClient:
                     raw = str(v).encode("utf-8")
                 bind += struct.pack(">i", len(raw)) + raw
         bind += struct.pack(">h", 0)  # result formats: all text
+        self._guard_not_streaming()
         with self._lock:
             self.sock.sendall(
                 _msg(b"P", parse)
@@ -874,6 +889,7 @@ class PgWireClient:
             self.sock.sendall(_msg(b"P", parse) + _msg(b"B", bind) + execute)
             err: dict[str, str] | None = None
             done = False
+            self._cursor_active = True
             try:
                 while not done and err is None:
                     t, b = _read_msg(self._f)
@@ -888,6 +904,7 @@ class PgWireClient:
                     elif t == b"E":
                         err = _error_fields(b)
             finally:
+                self._cursor_active = False
                 # reached on completion, server error, AND generator
                 # abandonment: close the portal, Sync, drain to ready.
                 # A dead socket here must not mask the original error —
@@ -937,6 +954,7 @@ class PgWireClient:
         mid-row). The bulk path for shard readers — pair with
         :func:`parse_copy_text_rows` to decode a frame at a time instead of
         paying generator + parse overhead per row."""
+        self._guard_not_streaming()
         with self._lock:
             self.sock.sendall(_msg(b"Q", _cstr(sql)))
             t, b = _read_msg(self._f)
@@ -977,6 +995,7 @@ class PgWireClient:
         batch. If encoding a row raises mid-stream, CopyFail is sent so
         the server aborts cleanly (nothing inserts) and the connection
         stays usable."""
+        self._guard_not_streaming()
         with self._lock:
             self.sock.sendall(_msg(b"Q", _cstr(sql)))
             t, b = _read_msg(self._f)

@@ -1572,7 +1572,7 @@ class KafkaWireConsumer:
         drives; never touches the committed group position."""
         floor = from_offset
         # right-size the request: ask for ~max_messages worth of bytes
-        # (adaptive estimate x2 headroom), bounded by the caller's cap —
+        # (adaptive estimate, x1.25 headroom), bounded by the caller's cap —
         # never the cap itself, which on a deep log makes the broker
         # read + encode records this call will discard
         want = min(

@@ -145,16 +145,39 @@ def produce_df_avro(
     # the same directory would have its staged segments orphaned and
     # silently publish nothing. Fail loud instead of losing data.
     lock_path = os.path.join(qdir, "_producer.lock")
-    try:
-        lock_fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        raise RuntimeError(
-            f"queue directory {qdir!r} has an active producer "
-            f"({lock_path} exists); produce_df_avro is single-producer "
-            "per directory — wait for the other produce to finish, or "
-            "remove the stale lock if that producer crashed"
-        ) from None
-    os.close(lock_fd)
+
+    def _acquire() -> bool:
+        try:
+            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        return True
+
+    if not _acquire():
+        # stale-lock recovery: a SIGKILLed producer never reaches the
+        # finally, so a lock whose pid is dead (same host — the driver
+        # writes it) is stolen instead of bricking the queue forever
+        stale = False
+        try:
+            with open(lock_path) as fh:
+                holder = int(fh.read().strip() or "0")
+            os.kill(holder, 0)  # raises if the pid is gone
+        except (OSError, ValueError):
+            stale = True
+        if stale:
+            try:
+                os.unlink(lock_path)
+            except FileNotFoundError:
+                pass
+        if not _acquire():
+            raise RuntimeError(
+                f"queue directory {qdir!r} has an active producer "
+                f"({lock_path} exists and its pid is alive); "
+                "produce_df_avro is single-producer per directory — "
+                "wait for the other produce to finish"
+            )
     try:
         _produce_df_avro_locked(
             df, qdir, value_schema, key_col, base_offset
@@ -267,40 +290,56 @@ class _UnsortedSegment(Exception):
     the caller falls back to the sorted full-scan path."""
 
 
-def _iter_segment_from(path: str, name: str, floor: int):
-    """Yield (offset, segment_name, key, value) for frames with
-    offset >= floor, header-skipping everything below (payloads before
-    the floor are seeked over, not parsed). Asserts the ascending-
-    offset invariant every producer upholds; raises _UnsortedSegment
-    on violation so callers can degrade to the sorted path."""
+def _iter_frame_headers(path: str):
+    """Yield (offset, frame_pos, frame_len) for every complete frame in
+    one segment file, headers only — payloads are seeked over. THE one
+    copy of the length/offset/torn-tail walk (used by the merge poll,
+    the max-offset resume, and anything else that needs structure
+    without bytes); a vanished file (concurrent cleanup between listdir
+    and open) yields nothing instead of raising."""
     try:
         size = os.path.getsize(path)
+        fh = open(path, "rb")
     except OSError:
         return
-    with open(path, "rb") as fh:
+    with fh:
         pos = 0
-        prev = -1
         while pos + 4 <= size:
             head = fh.read(4)
             if len(head) < 4:
                 return
             (flen,) = struct.unpack(">I", head)
             if flen < 12 or pos + 4 + flen > size:
-                return  # torn tail
+                return  # torn tail: same skip rule everywhere
             (off,) = struct.unpack(">Q", fh.read(8))
+            yield off, pos, flen
+            pos += 4 + flen
+            fh.seek(pos)
+
+
+def _iter_segment_from(path: str, name: str, floor: int):
+    """Yield (offset, segment_name, key, value) for frames with
+    offset >= floor, header-skipping everything below (payloads before
+    the floor are seeked over, not parsed). Asserts the ascending-
+    offset invariant every producer upholds; raises _UnsortedSegment
+    on violation so callers can degrade to the sorted path."""
+    prev = -1
+    try:
+        fh = open(path, "rb")
+    except OSError:
+        return
+    with fh:
+        for off, pos, flen in _iter_frame_headers(path):
             if off < prev:
                 raise _UnsortedSegment(name)
             prev = off
             if off < floor:
-                pos += 4 + flen
-                fh.seek(pos)
                 continue
             fh.seek(pos + 4)
             frame = fh.read(flen)
             _off, klen = struct.unpack_from(">QI", frame, 0)
             key, value = _parse_kv(klen, frame[12:])
             yield off, name, key, value
-            pos += 4 + flen
 
 
 def max_queue_offset(queue_dir: str) -> int:
@@ -317,22 +356,11 @@ def max_queue_offset(queue_dir: str) -> int:
     for name in os.listdir(queue_dir):
         if not name.startswith("segment-"):
             continue
-        path = os.path.join(queue_dir, name)
-        size = os.path.getsize(path)
-        with open(path, "rb") as fh:
-            pos = 0
-            while pos + 4 <= size:
-                head = fh.read(4)
-                if len(head) < 4:
-                    break
-                (flen,) = struct.unpack(">I", head)
-                if flen < 12 or pos + 4 + flen > size:
-                    break  # torn tail: same skip rule as iter_queue
-                (off,) = struct.unpack(">Q", fh.read(8))
-                if off > last:
-                    last = off
-                pos += 4 + flen
-                fh.seek(pos)
+        for off, _pos, _flen in _iter_frame_headers(
+            os.path.join(queue_dir, name)
+        ):
+            if off > last:
+                last = off
     return last
 
 

@@ -94,7 +94,9 @@ def bucketed_rows(spark) -> list[str]:
             (int(i), op)
             for i, op in re.findall(r"^\((\d+)\) (\w+)", plan, re.M)
         )
-        smj = min(i for i, op in nodes.items() if op == "SortMergeJoin")
+        smjs = [i for i, op in nodes.items() if op == "SortMergeJoin"]
+        assert smjs, f"{label}: no SortMergeJoin in the bucketed join plan"
+        smj = min(smjs)
         assert all(
             i > smj for i, op in nodes.items() if op == "Exchange"
         ), f"{label}: Exchange below the bucketed join"

@@ -56,3 +56,31 @@ def test_fresh_catalog_reregisters_over_existing_files(spark, sf_dir):
     detail = spark.sql("DESCRIBE EXTENDED mls_lineitem_bucketed").collect()
     text = "\n".join(f"{r[0]} {r[1]}" for r in detail)
     assert "8" in text and "l_orderkey" in text
+
+
+def test_switching_sf_dirs_reregisters_location(spark):
+    """Review finding (r8): with warehouses for two sf_dirs both built,
+    a session that ran queries at one sf_dir must NOT serve the other
+    sf_dir's query from the stale catalog registration — the location
+    check re-registers whenever the catalog points outside the active
+    warehouse."""
+    wh_a = ensure_bucketed_warehouse(spark, "/root/testdata/sf0.001")
+    loc_a = [
+        r[1]
+        for r in spark.sql("DESCRIBE FORMATTED mls_lineitem_bucketed").collect()
+        if r[0] == "Location"
+    ][0]
+    assert wh_a in loc_a
+    wh_b = ensure_bucketed_warehouse(spark, "/root/testdata/sf0.01")
+    assert wh_b != wh_a
+    loc_b = [
+        r[1]
+        for r in spark.sql("DESCRIBE FORMATTED mls_lineitem_bucketed").collect()
+        if r[0] == "Location"
+    ][0]
+    assert wh_b in loc_b, f"stale registration kept: {loc_b}"
+    # and the row counts follow the active sf_dir
+    n_b = spark.table("mls_lineitem_bucketed").count()
+    ensure_bucketed_warehouse(spark, "/root/testdata/sf0.001")
+    n_a = spark.table("mls_lineitem_bucketed").count()
+    assert n_b > n_a > 0
