@@ -71,6 +71,28 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
 _LOAD_CACHE: dict[tuple[str, str, str, int], DataFrame] = {}
 
 
+_PERSISTED: dict[str, DataFrame] = {}
+
+
+def persist_tracked(name: str, df: DataFrame) -> DataFrame:
+    """persist() with per-key tracking: the PREVIOUS invocation's cached
+    subtree for the same key is unpersisted first, so repeated calls in
+    one session (gate sweeps, bench loops) hold at most ONE cache entry
+    per operator instead of accumulating until executor-memory LRU
+    thrash. Operators return lazy DataFrames, so they cannot unpersist
+    their own cache before the caller executes it — the next call is
+    the first safe point."""
+    old = _PERSISTED.get(name)
+    if old is not None:
+        try:
+            old.unpersist()
+        except Exception:  # session gone / already unpersisted
+            pass
+    df = df.persist()
+    _PERSISTED[name] = df
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # Pin the session to UTC so timestamp semantics match the DuckDB oracle
     # regardless of which SparkSession the driver hands us, and make sure

@@ -25,7 +25,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from moonlink_spark.operators import load, register
+from moonlink_spark.operators import load, persist_tracked, register
 
 DIM = 64
 N_PLANES = 8
@@ -83,13 +83,23 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     side, scan candidates once, window top-k. The baseline every ANN variant
     is measured against."""
     emb = load(spark, sf_dir, "embeddings")
+    # norms hoisted to the per-vector selects: the per-pair expression
+    # then folds ONE dot product instead of three 64-element folds —
+    # bit-identical cosine (same float ops on the same values), ~3x
+    # less per-pair work (same move lsh_near_dup_pairs documents)
     q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        _norm("embedding").alias("nq"),
     )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        _norm("embedding").alias("nc"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", _dot("qe", "ce") / (_norm("qe") * _norm("ce")))
+        .withColumn("cos", _dot("qe", "ce") / (F.col("nq") * F.col("nc")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -142,10 +152,20 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     table by accident (the scale path is ``lsh_near_dup_pairs``)."""
     emb = load(spark, sf_dir, "embeddings")
     ensure_all_pairs_scale(emb.count())
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    # per-vector norms computed once before the O(N^2) join: the pair
+    # expression folds one dot instead of three 64-element folds
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        _norm("embedding").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        _norm("embedding").alias("nb"),
+    )
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).withColumn(
-        "cos", _dot("ea", "eb") / (_norm("ea") * _norm("eb"))
+        "cos", _dot("ea", "eb") / (F.col("na") * F.col("nb"))
     )
     return pairs.filter(F.col("cos") >= 0.35).select(
         "vec_a", "vec_b", F.round("cos", 6).alias("cosine")
@@ -200,20 +220,27 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos_c", _dot("embedding", "cent") / (_norm("embedding") * _norm("cent"))
     )
     wa = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cluster_id"))
-    assigned = (
+    assigned = persist_tracked(
+        "ann_ivf_topk.assigned",
         scored_cent.withColumn("rn", F.row_number().over(wa))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cluster_id")
-    )
+        .select(
+            "vec_id",
+            "embedding",
+            "cluster_id",
+            _norm("embedding").alias("nrm"),
+        ),
+    )  # consumed twice: the broadcast q subtree AND the join stream side
     q = assigned.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
+        F.col("nrm").alias("nq"),
         F.col("cluster_id"),
     )
     scored = (
         assigned.join(F.broadcast(q), on="cluster_id")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos", _dot("qe", "embedding") / (_norm("qe") * _norm("embedding")))
+        .withColumn("cos", _dot("qe", "embedding") / (F.col("nq") * F.col("nrm")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
@@ -515,7 +542,10 @@ def ivf_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means (1e-6 grid on unit-scale vectors is far below cluster
     separation). Reference capability anchor: ANN index build over the
     bucketed hash-map design (persisted_bucket_hash_map.rs:33-110)."""
-    emb = quantize_embeddings_1e6(load(spark, sf_dir, "embeddings")).persist()
+    emb = persist_tracked(
+        "ivf_kmeans_train.emb",
+        quantize_embeddings_1e6(load(spark, sf_dir, "embeddings")),
+    )
     cents = train_ivf_centroids(spark, emb, k=8, iters=3)
     final = assign_ivf_clusters(spark, emb, cents)
     return (
@@ -692,7 +722,10 @@ def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the signature feeds both self-join sides AND the verify
     # stage; uncached, the 16-plane projection re-evaluates (and re-compiles)
     # per consumer
-    sigs = _spark_sig(emb, N_PLANES_ND).select("vec_id", "sig").persist()
+    sigs = persist_tracked(
+        "lsh_near_dup_pairs.sigs",
+        _spark_sig(emb, N_PLANES_ND).select("vec_id", "sig"),
+    )
     # posexplode keeps ONE copy of the (large, unrolled) sig expression in
     # the plan — a 2-way unionByName would inline it per branch and per
     # join side, quadrupling plan size and codegen work
@@ -812,7 +845,7 @@ def semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id", "embedding", "cluster_id", _norm("embedding").alias("nrm")
         )
-        .persist()  # consumed by both pair-join sides and the member count
+        .transform(lambda df: persist_tracked("semantic_dedup_ivf.assigned", df))  # both pair-join sides + member count
     )
     a = assigned.select(
         "cluster_id",
@@ -979,15 +1012,19 @@ def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos_c", _dot("embedding", "cent") / (_norm("embedding") * _norm("cent"))
     )
     wa = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cluster_id"))
-    ranked = scored_cent.withColumn("rn", F.row_number().over(wa)).persist()
+    ranked = persist_tracked(
+        "ann_ivf_multiprobe_topk.ranked",
+        scored_cent.withColumn("rn", F.row_number().over(wa)),
+    )
     assigned = ranked.filter(F.col("rn") == 1).select(
-        "vec_id", "embedding", "cluster_id"
+        "vec_id", "embedding", "cluster_id", _norm("embedding").alias("nrm")
     )
     probes = (
         ranked.filter((F.col("rn") <= 2) & (F.col("vec_id") < 10))
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
+            _norm("embedding").alias("nq"),
             F.col("cluster_id").alias("probe_cluster"),
         )
     )
@@ -998,7 +1035,7 @@ def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn(
-            "cos", _dot("qe", "embedding") / (_norm("qe") * _norm("embedding"))
+            "cos", _dot("qe", "embedding") / (F.col("nq") * F.col("nrm"))
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -1043,7 +1080,13 @@ def _gram_partial_fn(col: str, with_n: bool):
         for pdf in batches:
             if pdf.empty:
                 continue
-            Q = np.array(pdf[col].tolist(), dtype=np.int64)
+            # drop NULL embeddings: the oracles' list_transform(NULL)
+            # -> NULL rows never reach the unnest, so the fold must
+            # skip them rather than crash np.array on a None element
+            vecs = [v for v in pdf[col].tolist() if v is not None]
+            if not vecs:
+                continue
+            Q = np.array(vecs, dtype=np.int64)
             G = Q.T @ Q if G is None else G + Q.T @ Q
             n += Q.shape[0]
         if G is None:
@@ -1293,6 +1336,11 @@ def embedding_pca_power_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(k_iters):
         w = [sum(G[i][j] * v[j] for j in range(DIM)) for i in range(DIM)]
         m = max(abs(x) for x in w)
+        if m == 0:
+            # empty/degenerate Gram (no rows): any direction is an
+            # eigenvector of the zero matrix — keep v, projections are
+            # all zero and the oracle's empty CTE degrades the same way
+            break
         v = [(x * 1024) // m for x in w]
 
     vdf = spark.createDataFrame(
@@ -1507,20 +1555,22 @@ def ingest_export_vecindex_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         export_iceberg(t, f"{workdir}/ice")
         con = duckdb.connect()
-        attach_iceberg_ann_topk(
-            con,
-            f"{workdir}/ice",
-            "embedding",
-            query_ids=list(range(10)),
-            topk=3,
-            nprobe=2,
-            view_name="exported_ann",
-        )
-        rows = con.execute(
-            "SELECT query_id, neighbor_id, cosine, rn FROM exported_ann "
-            "ORDER BY query_id, rn"
-        ).fetchall()
-        con.close()
+        try:
+            attach_iceberg_ann_topk(
+                con,
+                f"{workdir}/ice",
+                "embedding",
+                query_ids=list(range(10)),
+                topk=3,
+                nprobe=2,
+                view_name="exported_ann",
+            )
+            rows = con.execute(
+                "SELECT query_id, neighbor_id, cosine, rn FROM exported_ann "
+                "ORDER BY query_id, rn"
+            ).fetchall()
+        finally:
+            con.close()
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
     return spark.createDataFrame(

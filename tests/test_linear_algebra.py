@@ -167,3 +167,37 @@ def test_temperature_weights_flatten_toward_uniform(spark, sf_dir, specs):
     by_tokens = sorted(rows, key=lambda r: r.tokens)
     for a, b in zip(by_tokens, by_tokens[1:]):
         assert a.temp_weight <= b.temp_weight + 1e-6, (a.source, b.source)
+
+
+def test_gram_partial_skips_null_embeddings(spark):
+    """Review finding (r8): a NULL embedding row must be DROPPED by the
+    per-partition Gram fold (the DuckDB oracles' list_transform(NULL)
+    rows never reach the unnest) — not crash np.array on a None.
+    An all-NULL input degrades to an empty result, and the power
+    iteration guards the all-zero vector instead of dividing by it."""
+    from pyspark.sql import types as T
+
+    from moonlink_spark.operators.similarity import _gram_partial_fn
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("qv", T.ArrayType(T.LongType())),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, [1, 2]), (2, None), (3, [3, 4])], schema
+    )
+    out_schema = "i int, j int, gram long"
+    from collections import defaultdict
+
+    rows: dict = defaultdict(int)
+    for r in df.mapInPandas(
+        _gram_partial_fn("qv", with_n=False), out_schema
+    ).collect():
+        rows[(r.i, r.j)] += r.gram  # partials arrive per partition
+    # triangle of [[1,2],[3,4]]^T [[1,2],[3,4]] = [[10,14],[14,20]]
+    assert dict(rows) == {(1, 1): 10, (1, 2): 14, (2, 2): 20}
+    # all-NULL: the fold yields nothing rather than raising
+    df2 = spark.createDataFrame([(1, None), (2, None)], schema)
+    assert df2.mapInPandas(_gram_partial_fn("qv", with_n=False), out_schema).count() == 0
