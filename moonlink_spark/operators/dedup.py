@@ -17,7 +17,7 @@ Scale design (100 TB):
   equality, verified with bit_count(xor) — integer ops end to end.
 
 The synthetic corpus has no natural duplicates, so each query first builds a
-deterministic superset: exact copies (doc_id+100000 for doc_id%10==0) or
+deterministic superset: exact copies (doc_id + 2^40 for doc_id%10==0) or
 near-copies with the first word dropped (doc_id%5==0).
 """
 
@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from moonlink_spark.operators import load, register
+from moonlink_spark.operators import load, persist_tracked, register
 
 N_HASHES = 8
 N_BANDS = 4  # bands of 2 hashes each
@@ -37,10 +37,12 @@ N_BANDS = 4  # bands of 2 hashes each
 
 
 def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents + exact copies of every 10th doc (new ids +100000)."""
+    """documents + exact copies of every 10th doc (new ids + 2^40 — an
+    offset no real corpus reaches, so synthetic ids can never collide
+    with real doc_ids the way a +100000 offset would past 100k docs)."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     copies = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        (F.col("doc_id") + F.lit(1099511627776)).alias("doc_id"), "text"
     )
     return docs.unionByName(copies)
 
@@ -48,7 +50,7 @@ def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_DUP_CORPUS = """
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+  SELECT doc_id + 1099511627776 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
 """
 
 
@@ -56,7 +58,7 @@ def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + near-copies (first word dropped) of every 5th doc."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     near = docs.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (F.col("doc_id") + F.lit(1099511627776)).alias("doc_id"),
         F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
     )
     return docs.unionByName(near)
@@ -65,7 +67,7 @@ def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_NEAR_CORPUS = """
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 100000 AS doc_id, substr(text, strpos(text, ' ') + 1) AS text
+  SELECT doc_id + 1099511627776 AS doc_id, substr(text, strpos(text, ' ') + 1) AS text
   FROM documents WHERE doc_id % 5 = 0
 """
 
@@ -214,7 +216,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without a cache Spark recomputes every md5 per side. posexplode (not
     # unionByName) fans out the bands with ONE copy of the signature
     # expression in the plan.
-    sigs = _spark_signature(_near_corpus(spark, sf_dir)).persist()
+    sigs = persist_tracked(
+        "dedup_minhash_lsh.sigs",
+        _spark_signature(_near_corpus(spark, sf_dir)),
+    )
     bands = sigs.select(
         "doc_id",
         F.posexplode(
@@ -422,7 +427,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_cols.append(expr.cast("long").alias(f"w{w}"))
     # persist: the fingerprint subtree feeds both join sides; posexplode
     # fans out the 4 word-bands with one copy of the expression tree.
-    fps = bitsums.select("doc_id", *word_cols).persist()
+    fps = persist_tracked(
+        "dedup_simhash.fps", bitsums.select("doc_id", *word_cols)
+    )
     bands = fps.select(
         "doc_id", "w0", "w1", "w2", "w3",
         F.posexplode(F.array(*[F.col(f"w{w}") for w in range(N_WORDS)])).alias(
@@ -462,7 +469,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iters: int = 20
+    edges: DataFrame, max_iters: int = 50
 ) -> DataFrame:
     """Connected components by iterative min-label propagation.
 
@@ -487,6 +494,7 @@ def connected_components(
         .withColumn("label", F.col("doc_id"))
         .persist()
     )
+    changed = -1
     for _ in range(max_iters):
         msgs = edges.join(
             labels.withColumnRenamed("doc_id", "src"), "src"
@@ -509,6 +517,31 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # NEVER return non-canonical labels silently: a component whose
+        # diameter exceeds the round budget would otherwise elect
+        # multiple "keepers" and dedup would keep real duplicates
+        edges.unpersist()
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            "rounds (a component's diameter exceeds the budget); raise "
+            "max_iters — min-label propagation needs one round per hop "
+            "of the longest duplicate chain"
+        )
+    # the returned generation is fully materialized by the convergence
+    # count; edges can be released now, and the labels cache is tracked
+    # so the NEXT invocation frees this one (callers hold a lazy DF)
+    edges.unpersist()
+    from moonlink_spark.operators import _PERSISTED
+
+    prev = _PERSISTED.get("dedup.connected_components.labels")
+    if prev is not None and prev is not labels:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+    _PERSISTED["dedup.connected_components.labels"] = labels
     return labels
 
 
@@ -582,7 +615,7 @@ SEG_LEN = 8  # tokens per segment
     "dedup_duplicate_segments",
     oracle=f"""
 WITH toks AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  SELECT doc_id, {_SQL_TOKS} AS toks
   FROM documents
 ),
 segs AS (
@@ -636,7 +669,7 @@ def dedup_duplicate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
-        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("toks"),
+        F.expr(_SPARK_TOKS).alias("toks"),
     )
     segs = (
         toks.filter(F.size("toks") >= SEG_LEN)
@@ -797,12 +830,13 @@ FROM hits h
         # without a cache Spark would run the shingle self-join and the
         # band join twice each (same convention as sigs in
         # dedup_minhash_lsh)
-        tp = (
-            dedup_ngram_jaccard(spark, sf_dir)
-            .select("doc_a", "doc_b")
-            .persist()
+        tp = persist_tracked(
+            "lsh_jaccard_recall_eval.tp",
+            dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b"),
         )
-        cand = dedup_minhash_lsh(spark, sf_dir).persist()
+        cand = persist_tracked(
+            "lsh_jaccard_recall_eval.cand", dedup_minhash_lsh(spark, sf_dir)
+        )
         n_true = tp.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
         n_cand = cand.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_candidates")
@@ -953,13 +987,16 @@ def ingest_export_sigindex_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigindex.build_index(corpus, f"{workdir}/t/sigindex/text")
         export_iceberg(t, f"{workdir}/ice")
         con = duckdb.connect()
-        attach_iceberg_lsh_pairs(
-            con, f"{workdir}/ice", "text", view_name="exported_pairs"
-        )
-        rows = con.execute(
-            "SELECT doc_a, doc_b FROM exported_pairs ORDER BY doc_a, doc_b"
-        ).fetchall()
-        con.close()
+        try:
+            attach_iceberg_lsh_pairs(
+                con, f"{workdir}/ice", "text", view_name="exported_pairs"
+            )
+            rows = con.execute(
+                "SELECT doc_a, doc_b FROM exported_pairs "
+                "ORDER BY doc_a, doc_b"
+            ).fetchall()
+        finally:
+            con.close()
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
     return spark.createDataFrame(rows, "doc_a bigint, doc_b bigint")
