@@ -343,6 +343,34 @@ def quantize_embeddings_1e6(df: DataFrame) -> DataFrame:
     )
 
 
+def _centroid_candidate_structs(spark, cents_list):
+    """THE one construction of the centroid ride-along and the distance
+    structs shared by assignment (``array_min`` = nprobe-1 special case)
+    and multiprobe (``array_sort`` + ``slice``): a one-row broadcast
+    DataFrame carrying the k x dim matrix (byte-identical codegen ->
+    Janino cache hits, see assign_ivf_clusters) and the per-centroid
+    (d2, cluster_id) struct array whose struct comparison breaks ties on
+    cluster_id — identical ordering to the oracles' ORDER BY d2,
+    cluster_id. A fix to the distance or tie-break lands in BOTH paths
+    by construction."""
+    cdf = spark.createDataFrame(
+        [([[int(x) for x in cent] for _, cent in cents_list],)],
+        "cents: array<array<bigint>>",
+    )
+    cand = F.transform(
+        F.col("cents"),
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("v"), c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, w: acc + w,
+            ).alias("d2"),
+            i.cast("bigint").alias("cluster_id"),
+        ),
+    )
+    return cdf, cand
+
+
 def assign_ivf_clusters(spark, emb_q: DataFrame, cents_list) -> DataFrame:
     """Nearest-centroid assignment of quantized vectors: returns
     (vec_id, v, cluster_id, d2).
@@ -359,21 +387,7 @@ def assign_ivf_clusters(spark, emb_q: DataFrame, cents_list) -> DataFrame:
     per iteration; measured ~2.5s faster cold at sf0.1, equal results).
     transform's index argument IS the cluster id because cents_list is
     ordered 0..k-1 and updates preserve order."""
-    cdf = spark.createDataFrame(
-        [([[int(x) for x in cent] for _, cent in cents_list],)],
-        "cents: array<array<bigint>>",
-    )
-    cand = F.transform(
-        F.col("cents"),
-        lambda c, i: F.struct(
-            F.aggregate(
-                F.zip_with(F.col("v"), c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("long"),
-                lambda acc, w: acc + w,
-            ).alias("d2"),
-            i.cast("bigint").alias("cluster_id"),
-        ),
-    )
+    cdf, cand = _centroid_candidate_structs(spark, cents_list)
     best = F.array_min(cand)
     return emb_q.join(F.broadcast(cdf)).select(
         "vec_id",
@@ -392,21 +406,7 @@ def probe_ivf_clusters(
     ties on cluster_id — identical ordering to the oracle's ORDER BY d2,
     cluster_id). Returns (vec_id, probe_cluster, d2), nprobe rows per
     vector."""
-    cdf = spark.createDataFrame(
-        [([[int(x) for x in cent] for _, cent in cents_list],)],
-        "cents: array<array<bigint>>",
-    )
-    cand = F.transform(
-        F.col("cents"),
-        lambda c, i: F.struct(
-            F.aggregate(
-                F.zip_with(F.col("v"), c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("long"),
-                lambda acc, w: acc + w,
-            ).alias("d2"),
-            i.cast("bigint").alias("cluster_id"),
-        ),
-    )
+    cdf, cand = _centroid_candidate_structs(spark, cents_list)
     probes = F.slice(F.array_sort(cand), 1, nprobe)
     return (
         emb_q.join(F.broadcast(cdf))
