@@ -19,9 +19,11 @@ Mapping moonlink commits -> Iceberg snapshots:
   Iceberg snapshot + metadata version (sequence number == export ordinal);
 - data files reuse the Delta exporter's content-addressed materialization:
   clean files hard-copy under a content-stable name (unchanged files cost
-  nothing on re-export), DV'd files rewrite live-rows-only through the
-  same per-file Spark anti-join — position deletes are compacted away at
-  the export boundary, so plain data manifests suffice (content=0);
+  nothing on re-export). Deletes are NOT rewritten away: they ship as
+  Iceberg v3 Puffin deletion-vector blobs referenced from a content=1
+  deletes manifest (deleted rows never rewrite data files — the
+  reference's core DV design), and a table that has ever written DVs is
+  format-version 3 thereafter;
 - every snapshot writes a fresh manifest listing the full live file set
   with status=ADDED under summary operation "overwrite" (the full-rewrite
   commit shape; correct for readers, and re-listing is O(files), metadata
@@ -41,6 +43,7 @@ import hashlib
 import json
 import os
 import time
+import uuid
 from typing import Any
 
 import pyarrow.parquet as pq
@@ -269,6 +272,12 @@ def _single_value_bytes(iceberg_type: str, v: Any) -> bytes | None:
             return _s.pack("<i", int(v))
         if iceberg_type in ("timestamp", "timestamptz"):
             if isinstance(v, datetime.datetime):
+                if v.tzinfo is not None:
+                    # normalize to UTC first: dropping a non-UTC tzinfo
+                    # directly would take the zone's WALL-CLOCK time and
+                    # shift the bound by the offset — readers would
+                    # prune files that actually contain matching rows
+                    v = v.astimezone(datetime.timezone.utc)
                 delta = v.replace(tzinfo=None) - _EPOCH_DT
                 return _s.pack("<q", delta // datetime.timedelta(microseconds=1))
             return _s.pack("<q", int(v))
@@ -621,6 +630,14 @@ def _export_iceberg_impl(
 
     seq = (prev_meta.get("last-sequence-number", 0) + 1) if prev_meta else 1
     snapshot_id = seq  # deterministic: snapshot N of this export lineage
+    # per-ATTEMPT artifact suffix: two concurrent exporters both compute
+    # snapshot N+1; the exclusive-create commit gate below picks one
+    # winner, but artifacts are written BEFORE the gate — id-only names
+    # would let the loser os.replace the winner's committed manifest
+    # list/manifests/puffins (silent snapshot corruption). Unique names
+    # make the loser's files harmless orphans; readers only ever follow
+    # paths recorded in the committed metadata.
+    attempt = uuid.uuid4().hex[:8]
 
     # ---- schema evolution: an altered table appends a NEW schema-id ----
     # field IDs are carried forward by name from the previous CURRENT
@@ -682,7 +699,7 @@ def _export_iceberg_impl(
                 },
             }
         )
-    manifest_path = os.path.join(meta_dir, f"manifest-{snapshot_id}.avro")
+    manifest_path = os.path.join(meta_dir, f"manifest-{snapshot_id}-{attempt}.avro")
     write_avro_container(
         manifest_path,
         MANIFEST_ENTRY_SCHEMA,
@@ -703,7 +720,7 @@ def _export_iceberg_impl(
     puffin_path = None
     _t_dv = time.monotonic()
     if dv_positions:
-        puffin_path = os.path.join(meta_dir, f"dv-snap-{snapshot_id}.puffin")
+        puffin_path = os.path.join(meta_dir, f"dv-snap-{snapshot_id}-{attempt}.puffin")
         blob_inputs = []
         for data_path in sorted(dv_positions):
             positions = sorted(set(dv_positions[data_path]))
@@ -746,7 +763,7 @@ def _export_iceberg_impl(
                 }
             )
         deletes_manifest_path = os.path.join(
-            meta_dir, f"manifest-{snapshot_id}-deletes.avro"
+            meta_dir, f"manifest-{snapshot_id}-{attempt}-deletes.avro"
         )
         write_avro_container(
             deletes_manifest_path,
@@ -786,7 +803,7 @@ def _export_iceberg_impl(
         )
         for i, e in enumerate(index_entries_live):
             src = table._resolve(e["path"])
-            block_name = f"ix-{snapshot_id}-{i}.parquet"
+            block_name = f"ix-{snapshot_id}-{attempt}-{i}.parquet"
             block_path = os.path.join(index_dir, block_name)
             if not os.path.exists(block_path):
                 clone_file(src, block_path)
@@ -814,7 +831,7 @@ def _export_iceberg_impl(
                 )
             )
         index_puffin_path = os.path.join(
-            meta_dir, f"index-snap-{snapshot_id}.puffin"
+            meta_dir, f"index-snap-{snapshot_id}-{attempt}.puffin"
         )
         write_puffin(index_puffin_path, blob_inputs)
         METRICS.record(
@@ -847,7 +864,7 @@ def _export_iceberg_impl(
             block_files = []
             for i, seg in enumerate(vmeta.get("segments") or []):
                 out = os.path.join(
-                    seg_out_dir, f"vx-{snapshot_id}-{i}.parquet"
+                    seg_out_dir, f"vx-{snapshot_id}-{attempt}-{i}.parquet"
                 )
                 if not os.path.exists(out):
                     clone_file(os.path.join(idx_dir, seg), out)
@@ -876,7 +893,7 @@ def _export_iceberg_impl(
             )
         if vec_blob_inputs:
             vec_puffin_path = os.path.join(
-                meta_dir, f"vecindex-snap-{snapshot_id}.puffin"
+                meta_dir, f"vecindex-snap-{snapshot_id}-{attempt}.puffin"
             )
             write_puffin(vec_puffin_path, vec_blob_inputs)
 
@@ -903,7 +920,7 @@ def _export_iceberg_impl(
             block_files = []
             for i, seg in enumerate(smeta.get("segments") or []):
                 out = os.path.join(
-                    seg_out_dir, f"sx-{snapshot_id}-{i}.parquet"
+                    seg_out_dir, f"sx-{snapshot_id}-{attempt}-{i}.parquet"
                 )
                 if not os.path.exists(out):
                     clone_file(os.path.join(idx_dir, seg), out)
@@ -929,12 +946,12 @@ def _export_iceberg_impl(
             )
         if sig_blob_inputs:
             sig_puffin_path = os.path.join(
-                meta_dir, f"sigindex-snap-{snapshot_id}.puffin"
+                meta_dir, f"sigindex-snap-{snapshot_id}-{attempt}.puffin"
             )
             write_puffin(sig_puffin_path, sig_blob_inputs)
 
     # ---- manifest list ----
-    mlist_path = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
+    mlist_path = os.path.join(meta_dir, f"snap-{snapshot_id}-{attempt}.avro")
     mlist_records = [
         {
             "manifest_path": os.path.abspath(manifest_path),
@@ -1018,12 +1035,19 @@ def _export_iceberg_impl(
     format_version = 3 if (
         dv_positions or (prev_meta or {}).get("format-version", 2) >= 3
     ) else 2
+    # snapshot-log timestamps must be non-decreasing (engines binary-
+    # search it for FOR TIMESTAMP AS OF and some validate chronology);
+    # exporting an OLDER lsn after a newer one would otherwise append a
+    # smaller timestamp and move last-updated-ms backwards
+    log_ts = m.timestamp_ms
+    if prev_meta:
+        log_ts = max(log_ts, prev_meta.get("last-updated-ms", 0))
     meta: dict[str, Any] = {
         "format-version": format_version,
         "table-uuid": _table_uuid(table.path),
         "location": os.path.abspath(dest),
         "last-sequence-number": seq,
-        "last-updated-ms": m.timestamp_ms,
+        "last-updated-ms": log_ts,
         "last-column-id": last_column_id,
         "current-schema-id": current_schema_id,
         "schemas": prev_schemas,
@@ -1037,7 +1061,7 @@ def _export_iceberg_impl(
         "snapshots": (prev_meta.get("snapshots", []) if prev_meta else [])
         + [snapshot],
         "snapshot-log": (prev_meta.get("snapshot-log", []) if prev_meta else [])
-        + [{"timestamp-ms": m.timestamp_ms, "snapshot-id": snapshot_id}],
+        + [{"timestamp-ms": log_ts, "snapshot-id": snapshot_id}],
         "metadata-log": (
             (prev_meta.get("metadata-log", []) if prev_meta else [])
             + (
@@ -1105,7 +1129,8 @@ def read_iceberg_live_files(dest: str) -> list[str]:
     manifest-list avro -> manifest avro -> live data file paths."""
     meta_dir = os.path.join(dest, "metadata")
     _, meta = _read_current_metadata(meta_dir)
-    assert meta is not None, "no iceberg metadata at " + dest
+    if meta is None:
+        raise FileNotFoundError(f"no iceberg metadata at {dest}")
     snap = next(
         s
         for s in meta["snapshots"]
@@ -1131,7 +1156,8 @@ def read_iceberg_deletion_vectors(dest: str) -> dict[str, list[int]]:
     into row-skip filters)."""
     meta_dir = os.path.join(dest, "metadata")
     _, meta = _read_current_metadata(meta_dir)
-    assert meta is not None, "no iceberg metadata at " + dest
+    if meta is None:
+        raise FileNotFoundError(f"no iceberg metadata at {dest}")
     snap = next(
         s
         for s in meta["snapshots"]
@@ -1148,11 +1174,17 @@ def read_iceberg_deletion_vectors(dest: str) -> dict[str, list[int]]:
             dvs = read_puffin_deletion_vectors(df["file_path"])
             ref = df.get("referenced_data_file")
             positions = dvs.get(ref)
-            assert positions is not None, (ref, list(dvs))
-            assert len(positions) == df["record_count"], (
-                len(positions),
-                df["record_count"],
-            )
+            if positions is None:
+                raise ValueError(
+                    f"deletion vector missing for {ref!r} (have "
+                    f"{sorted(dvs)})"
+                )
+            if len(positions) != df["record_count"]:
+                raise ValueError(
+                    f"DV cardinality mismatch for {ref!r}: blob has "
+                    f"{len(positions)} positions, manifest records "
+                    f"{df['record_count']}"
+                )
             out[ref] = positions
     return out
 
@@ -1343,7 +1375,8 @@ def _decode(schema: Any, cur: _Cursor) -> Any:
 def read_avro_container(path: str) -> list[dict[str, Any]]:
     with open(path, "rb") as fh:
         cur = _Cursor(fh.read())
-    assert cur.read(4) == b"Obj\x01", "not an avro container"
+    if cur.read(4) != b"Obj\x01":
+        raise ValueError("not an avro container")
     meta: dict[str, bytes] = {}
     while True:
         n = cur.zigzag()
@@ -1356,7 +1389,8 @@ def read_avro_container(path: str) -> list[dict[str, Any]]:
             k = cur.read(cur.zigzag()).decode("utf-8")
             meta[k] = cur.read(cur.zigzag())
     schema = json.loads(meta["avro.schema"])
-    assert meta.get("avro.codec", b"null") == b"null"
+    if meta.get("avro.codec", b"null") != b"null":
+        raise ValueError(f"unsupported avro codec {meta.get('avro.codec')!r}")
     sync = cur.read(16)
     records: list[dict[str, Any]] = []
     while cur.pos < len(cur.data):
@@ -1364,7 +1398,8 @@ def read_avro_container(path: str) -> list[dict[str, Any]]:
         cur.zigzag()  # block byte length
         for _ in range(count):
             records.append(_decode(schema, cur))
-        assert cur.read(16) == sync, "sync marker mismatch"
+        if cur.read(16) != sync:
+            raise ValueError("avro sync marker mismatch (corrupt manifest)")
     return records
 
 
