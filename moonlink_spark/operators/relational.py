@@ -1075,23 +1075,29 @@ def ensure_bucketed_warehouse(spark: SparkSession, sf_dir: str) -> str:
                 f"LOCATION '{wh}/{sub}'"
             )
 
-    def _registered_location() -> str | None:
-        if not spark.catalog.tableExists("mls_orders_bucketed"):
-            return None
-        for r in spark.sql(
-            "DESCRIBE FORMATTED mls_orders_bucketed"
-        ).collect():
-            if r[0] == "Location":
-                return r[1].replace("file:", "")
-        return None
+    def _registered_into_wh() -> bool:
+        # BOTH tables must exist and point INTO this warehouse — a
+        # half-registered catalog (one table dropped, or one left over
+        # from another sf_dir) must be repaired, not trusted
+        for tbl in ("mls_orders_bucketed", "mls_lineitem_bucketed"):
+            if not spark.catalog.tableExists(tbl):
+                return False
+            loc = None
+            for r in spark.sql(f"DESCRIBE FORMATTED {tbl}").collect():
+                if r[0] == "Location":
+                    loc = r[1].replace("file:", "")
+                    break
+            if loc is None or not loc.startswith(wh):
+                return False
+        return True
 
     if os.path.exists(marker):
-        # re-register unless the catalog entry already points INTO this
-        # warehouse — a session that ran at another sf_dir (or against
-        # re-stamped testdata) has tables registered at a DIFFERENT
-        # location, and reusing them would silently serve wrong data
-        loc = _registered_location()
-        if loc is None or not loc.startswith(wh):
+        # re-register unless the catalog entries already point INTO
+        # this warehouse — a session that ran at another sf_dir (or
+        # against re-stamped testdata) has tables registered at a
+        # DIFFERENT location, and reusing them would silently serve
+        # wrong data
+        if not _registered_into_wh():
             _register()
         return wh
 
@@ -1127,9 +1133,16 @@ def ensure_bucketed_warehouse(spark: SparkSession, sf_dir: str) -> str:
     try:
         os.rename(build, wh)
     except OSError:
-        # lost the publish race — the winner's files are equivalent
+        # Either we lost the publish race (the winner's files are
+        # equivalent — adopt them) or the rename itself failed
+        # (permissions, EXDEV, ...). Only proceed if a winner actually
+        # exists; registering over a nonexistent LOCATION would create
+        # an empty directory and silently serve zero rows.
         import shutil
 
+        if not os.path.exists(marker):
+            shutil.rmtree(build, ignore_errors=True)
+            raise
         shutil.rmtree(build, ignore_errors=True)
     _register()
     return wh

@@ -406,47 +406,74 @@ _MAIN_VERBS = frozenset(
 )
 
 
-def statement_main_verb(sql: str) -> str:
-    """Verb that decides read/write routing: same as ``statement_verb``
-    except a WITH-led statement resolves to its TOP-LEVEL main statement
-    verb — ``WITH x AS (SELECT ..) INSERT ..`` is an INSERT, like real
-    PG's post-parse command tag. CTE bodies live inside parentheses, so
-    the first paren-depth-0 keyword among INSERT/UPDATE/DELETE/SELECT/
-    VALUES/TABLE after the WITH prologue is the main verb; quoted
-    identifiers, literals, and comments never match."""
-    verb = statement_verb(sql)
-    if verb != "WITH":
-        return verb
+def _depth0_tokens(sql: str) -> list[str]:
+    """Paren-depth-0 token stream for a statement: words (upper-cased)
+    and single punctuation chars outside any parenthesized group.
+    Comments vanish; strings / quoted identifiers / dollar-quoted
+    bodies collapse to an opaque ``<q>`` token (they separate words but
+    can never look like a keyword)."""
+    toks: list[str] = []
     depth = 0
     word: list[str] = []
 
-    def _flush() -> str | None:
+    def _flush() -> None:
         if word:
-            w = "".join(word).upper()
+            if depth == 0:
+                toks.append("".join(word).upper())
             word.clear()
-            if w in _MAIN_VERBS:
-                return w
-        return None
 
     for kind, text in _lex_sql(sql):
-        if kind != "text":  # comments / strings / quoted identifiers
-            hit = _flush()
-            if hit and depth == 0:
-                return hit
+        if kind in ("line", "block"):
+            _flush()
+            continue
+        if kind != "text":  # strings / quoted identifiers / dollar
+            _flush()
+            if depth == 0:
+                toks.append("<q>")
             continue
         for ch in text:
             if ch.isalnum() or ch == "_":
                 word.append(ch)
                 continue
-            hit = _flush()
-            if hit and depth == 0:
-                return hit
+            _flush()
             if ch == "(":
+                if depth == 0:
+                    toks.append("(")
                 depth += 1
             elif ch == ")":
                 depth -= 1
-    hit = _flush()
-    return hit if hit and depth == 0 else verb
+            elif depth == 0 and not ch.isspace():
+                toks.append(ch)
+    _flush()
+    return toks
+
+
+def statement_main_verb(sql: str) -> str:
+    """Verb that decides read/write routing: same as ``statement_verb``
+    except a WITH-led statement resolves to its TOP-LEVEL main statement
+    verb — ``WITH x AS (SELECT ..) INSERT ..`` is an INSERT, like real
+    PG's post-parse command tag. CTE bodies live inside parentheses, so
+    the main verb is the first paren-depth-0 keyword among INSERT/
+    UPDATE/DELETE/SELECT/VALUES/TABLE that is PAST the CTE prologue:
+    SELECT/VALUES/TABLE are PG-reserved words (never legal as unquoted
+    CTE names) and accept on sight, while INSERT/UPDATE/DELETE are
+    PG-unreserved — ``WITH delete AS (SELECT 1) SELECT * FROM delete``
+    is a legal read — so they only count when the next depth-0 token is
+    neither ``AS`` nor ``(`` (a CTE name is always followed by its
+    optional column list and then AS)."""
+    verb = statement_verb(sql)
+    if verb != "WITH":
+        return verb
+    toks = _depth0_tokens(sql)
+    for i, tok in enumerate(toks):
+        if tok not in _MAIN_VERBS:
+            continue
+        if tok in ("SELECT", "VALUES", "TABLE"):
+            return tok
+        nxt = toks[i + 1] if i + 1 < len(toks) else ""
+        if nxt not in ("AS", "("):
+            return tok
+    return verb
 
 
 def substitute_params(query: str, params: list) -> str:
@@ -885,6 +912,10 @@ class PgWireClient:
                 bind += struct.pack(">i", len(raw)) + raw
         bind += struct.pack(">h", 0)  # result formats: all text
         execute = _msg(b"E", _cstr("") + struct.pack(">i", fetch_size))
+        # Guard BEFORE taking the non-reentrant lock: a second cursor
+        # started on this connection while one is suspended must fail
+        # loud here, not deadlock on self._lock below.
+        self._guard_not_streaming()
         with self._lock:
             self.sock.sendall(_msg(b"P", parse) + _msg(b"B", bind) + execute)
             err: dict[str, str] | None = None

@@ -58,6 +58,57 @@ def test_fresh_catalog_reregisters_over_existing_files(spark, sf_dir):
     assert "8" in text and "l_orderkey" in text
 
 
+def test_half_registered_catalog_is_repaired(spark, sf_dir):
+    """ADVICE r8: the registered-location check must validate BOTH
+    tables — a catalog with only one of the pair (or one pointing at
+    another warehouse) is repaired, not trusted."""
+    wh = ensure_bucketed_warehouse(spark, sf_dir)
+    spark.sql("DROP TABLE IF EXISTS mls_lineitem_bucketed")
+    ensure_bucketed_warehouse(spark, sf_dir)
+    for tbl in ("mls_orders_bucketed", "mls_lineitem_bucketed"):
+        assert spark.catalog.tableExists(tbl)
+        loc = [
+            r[1]
+            for r in spark.sql(f"DESCRIBE FORMATTED {tbl}").collect()
+            if r[0] == "Location"
+        ][0]
+        assert wh in loc
+    assert spark.table("mls_lineitem_bucketed").count() > 0
+
+
+def test_nonrace_rename_failure_raises_not_empty_tables(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r8: a rename failure with NO winner in place (permissions,
+    EXDEV — not a lost publish race) must raise, because registering
+    catalog tables at the missing location would create an empty
+    directory and silently serve zero rows."""
+    import shutil
+
+    import pytest
+
+    src = "/root/testdata/sf0.001"
+    alt = tmp_path / "sfcopy"
+    alt.mkdir()
+    for f in ("orders.parquet", "lineitem.parquet"):
+        shutil.copy(os.path.join(src, f), alt / f)
+
+    real_rename = os.rename
+
+    def failing_rename(a, b, *args, **kw):
+        if "moonlink-buckets-" in str(b):
+            raise PermissionError(1, "Operation not permitted")
+        return real_rename(a, b, *args, **kw)
+
+    monkeypatch.setattr(os, "rename", failing_rename)
+    with pytest.raises(OSError):
+        ensure_bucketed_warehouse(spark, str(alt))
+    monkeypatch.undo()
+    # with the failure gone, the same sf_dir builds and serves normally
+    ensure_bucketed_warehouse(spark, str(alt))
+    assert spark.table("mls_lineitem_bucketed").count() > 0
+
+
 def test_switching_sf_dirs_reregisters_location(spark):
     """Review finding (r8): with warehouses for two sf_dirs both built,
     a session that ran queries at one sf_dir must NOT serve the other

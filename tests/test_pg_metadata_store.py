@@ -425,6 +425,93 @@ def test_implicit_txn_detects_cte_and_comment_led_writes(pg):
     c.close()
 
 
+def test_statement_main_verb_cte_named_like_keyword():
+    """ADVICE r8: a CTE named with a PG-unreserved keyword (``WITH
+    delete AS (..) SELECT ..`` is legal PG) must classify by the real
+    main statement, not by the CTE's name — otherwise a legal read is
+    routed as a write (snapshot rewrite skipped, 25006 in reader txns,
+    DELETE tag). SELECT/VALUES/TABLE are PG-reserved (never unquoted
+    CTE names) and accept on sight; INSERT/UPDATE/DELETE only count
+    past the CTE prologue."""
+    from moonlink_spark.pg_protocol import statement_main_verb as mv
+
+    # unreserved-keyword CTE names: reads stay reads
+    assert mv("WITH delete AS (SELECT 1) SELECT * FROM delete") == "SELECT"
+    assert mv("WITH update (a) AS (SELECT 1) SELECT a FROM update") == "SELECT"
+    assert mv("WITH insert AS MATERIALIZED (SELECT 1) TABLE insert") == "TABLE"
+    assert (
+        mv("WITH delete /* c */ AS (SELECT 1) SELECT 1") == "SELECT"
+    ), "comment between CTE name and AS must not unmask the name"
+    assert (
+        mv('WITH "delete" AS (SELECT 1) SELECT 1') == "SELECT"
+    )  # quoted names were never candidates
+    # real CTE-led writes still classify as writes
+    assert mv("WITH x AS (SELECT 1) INSERT INTO t SELECT * FROM x") == "INSERT"
+    assert (
+        mv("WITH delete AS (SELECT 1), d2 AS (SELECT 2) DELETE FROM t")
+        == "DELETE"
+    ), "a keyword-named CTE must not hide a genuine DELETE main verb"
+    assert mv("WITH update AS (SELECT 1) UPDATE t SET a = 1") == "UPDATE"
+    assert mv("WITH x AS (SELECT 1) VALUES (1)") == "VALUES"
+    # non-WITH statements untouched
+    assert mv("DELETE FROM t") == "DELETE"
+    assert mv("/* hint */ SELECT 1") == "SELECT"
+
+
+def test_reader_txn_accepts_keyword_named_cte_read(pg):
+    """E2E for the same ADVICE item: inside a snapshot reader
+    transaction the keyword-named-CTE read must NOT be rejected with
+    25006 (read-only violation). The embedded SQLite executor happens
+    to reject the unquoted name with a syntax error (42601) — that is
+    an executor limitation, not a routing decision; the regression
+    guarded here is the sqlstate."""
+    c = PgWireClient(pg.host, pg.port)
+    c.query("BEGIN ISOLATION LEVEL REPEATABLE READ")
+    with pytest.raises(PgServerError) as ei:
+        c.query("WITH delete AS (SELECT 1 AS x) SELECT * FROM delete")
+    assert ei.value.fields.get("C") == "42601", (
+        "keyword-named CTE read was routed as a write: "
+        f"{ei.value.fields}"
+    )
+    c.query("ROLLBACK")
+    c.close()
+
+
+def test_nested_query_cursor_fails_loud_not_deadlock(tmp_path):
+    """ADVICE r8: starting a second query_cursor on the same connection
+    while one is suspended must raise PgProtocolError at first
+    iteration — the guard runs BEFORE the non-reentrant lock, so the
+    nested cursor cannot silently deadlock. The outer cursor keeps
+    streaming afterwards and the connection stays usable."""
+    from moonlink_spark.pg_protocol import (
+        PgMockServer,
+        PgProtocolError,
+        PgWireClient,
+    )
+
+    srv = PgMockServer(str(tmp_path / "nest.db")).start()
+    try:
+        c = PgWireClient(srv.host, srv.port)
+        c.query("CREATE TABLE nest (a INTEGER)")
+        c.query(
+            "INSERT INTO nest VALUES "
+            + ",".join(f"({i})" for i in range(40))
+        )
+        outer = c.query_cursor("SELECT a FROM nest ORDER BY a", fetch_size=5)
+        first = [next(outer) for _ in range(3)]
+        assert [r[0] for r in first] == ["0", "1", "2"]
+        inner = c.query_cursor("SELECT a FROM nest", fetch_size=5)
+        with pytest.raises(PgProtocolError, match="streaming"):
+            next(inner)
+        # the outer cursor is unaffected by the refused nested start
+        rest = list(outer)
+        assert len(first) + len(rest) == 40
+        assert c.query("SELECT count(*) FROM nest").rows == [("40",)]
+        c.close()
+    finally:
+        srv.stop()
+
+
 def test_failed_transaction_aborts_until_rollback(pg):
     """Real-PG rule: an error inside an explicit transaction aborts it —
     every later statement fails 25P02 until the block ends, COMMIT in an
