@@ -366,6 +366,9 @@ class MoonlinkBackend:
             wm = max(old_wm, table_wm)
             if wm >= 0:
                 carry["indexed_batch_id"] = wm
+            # the rebuild scans exactly the pinned manifest, so the
+            # index state covers the table up to that manifest's LSN
+            carry["as_of_lsn"] = int(m.lsn)
             # REBUILD IN PLACE, never a wipe: build_index writes the new
             # segment invisibly and atomically replaces the meta, so
             # concurrent READERS (status polls, queries) always see a
@@ -398,11 +401,13 @@ class MoonlinkBackend:
 
         t = self.get_table(database, table)
         key = t.identity.columns[0]
-        changes = t.changes(since_lsn, t.last_lsn)
+        upto = int(t.last_lsn)
+        changes = t.changes(since_lsn, upto)
         dest = self._vecindex_dir(t, column)
+        pin = {"as_of_lsn": upto}  # index state now covers rows <= upto
         n_other = changes.filter(F.col("_change_type") != "insert").count()
         if n_other:
-            vecindex.mark_stale(dest, n_other)
+            vecindex.mark_stale(dest, n_other, meta_update=pin)
         inserts = changes.filter(F.col("_change_type") == "insert")
         if inserts.limit(1).count():
             vecindex.update_index(
@@ -412,6 +417,7 @@ class MoonlinkBackend:
                     F.col(f"after.{column}").alias("embedding"),
                 ),
                 dest,
+                meta_update=pin,
             )
         return vecindex.read_meta(dest)
 

@@ -984,7 +984,9 @@ def ingest_export_sigindex_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         t.append_df(corpus)
         t.commit(lsn=1)
-        sigindex.build_index(corpus, f"{workdir}/t/sigindex/text")
+        sigindex.build_index(
+            corpus, f"{workdir}/t/sigindex/text", meta_update={"as_of_lsn": 1}
+        )
         export_iceberg(t, f"{workdir}/ice")
         con = duckdb.connect()
         try:

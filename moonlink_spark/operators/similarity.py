@@ -1546,12 +1546,20 @@ def ingest_export_vecindex_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.commit(lsn=1)
         idx_dir = f"{workdir}/t/vecindex/embedding"
         vecindex.build_index(
-            spark, emb.filter(F.col("vec_id") % 2 == 0), idx_dir, k=8, iters=2
+            spark,
+            emb.filter(F.col("vec_id") % 2 == 0),
+            idx_dir,
+            k=8,
+            iters=2,
+            meta_update={"as_of_lsn": 1},
         )
         t.append_df(emb.filter(F.col("vec_id") % 2 == 1))
         t.commit(lsn=2)
         vecindex.update_index(
-            spark, emb.filter(F.col("vec_id") % 2 == 1), idx_dir
+            spark,
+            emb.filter(F.col("vec_id") % 2 == 1),
+            idx_dir,
+            meta_update={"as_of_lsn": 2},
         )
         export_iceberg(t, f"{workdir}/ice")
         con = duckdb.connect()

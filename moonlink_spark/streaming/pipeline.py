@@ -233,7 +233,13 @@ class StreamingIngestor:
         if not (need_vec or need_sig):
             return
         key = self.table.identity.columns[0]
-        wm = {"indexed_batch_id": int(batch_id)}
+        # as_of_lsn pins the index state to the table LSN it covers —
+        # Iceberg export refuses to ship index blobs newer than the
+        # data snapshot being exported (see iceberg_export.py)
+        wm = {
+            "indexed_batch_id": int(batch_id),
+            "as_of_lsn": int(self.table.last_lsn),
+        }
         split = batch_df.groupBy(F.col("op") == "insert").count().collect()
         n_ins = sum(r["count"] for r in split if r[0])
         n_other = sum(r["count"] for r in split if not r[0])

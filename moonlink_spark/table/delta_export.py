@@ -218,11 +218,26 @@ def clone_file(src: str, dst: str) -> None:
     parquet files are immutable on both sides (the table never rewrites a
     data file in place; compaction/exports write NEW files), and a link
     survives the source table's drop/vacuum (the inode lives until both
-    names go). Cross-device or exotic-FS setups fall back to a real copy."""
+    names go). Cross-device or exotic-FS setups fall back to a real copy.
+
+    Destination names are content-addressed by callers, so a concurrent
+    exporter racing to the same ``dst`` carries identical bytes: an
+    EEXIST loss is success, and the copy fallback stages through a temp
+    name + atomic rename so a reader can never observe a half-written
+    (truncated-in-place) file."""
+    import uuid as _uuid
+
     try:
         os.link(src, dst)
+        return
+    except FileExistsError:
+        return  # concurrent clone of the same immutable content won
     except OSError:
-        shutil.copyfile(src, dst)
+        if os.path.exists(dst):
+            return
+    tmp = f"{dst}.tmp-{_uuid.uuid4().hex}"
+    shutil.copyfile(src, tmp)
+    os.replace(tmp, dst)
 
 
 def export_delta(

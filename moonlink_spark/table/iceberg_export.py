@@ -291,16 +291,17 @@ _BOUNDABLE = {"int", "long", "float", "double", "boolean", "date",
 
 
 def _file_column_stats(
-    path: str, schema_obj: dict[str, Any], n_rows: int
+    md: Any, schema_obj: dict[str, Any], n_rows: int
 ) -> dict[str, Any]:
     """Parquet-footer stats -> Iceberg data_file stats fields (int-keyed
-    maps as {key, value} record lists, sorted by field id)."""
+    maps as {key, value} record lists, sorted by field id). Takes the
+    already-parsed ``pq.FileMetaData`` so the export parses each data
+    file's footer exactly once."""
     field_map = {
         f["name"]: (f["id"], f["type"])
         for f in schema_obj["fields"]
         if isinstance(f["type"], str)  # top-level primitives only
     }
-    md = pq.ParquetFile(path).metadata
     nulls: dict[str, int] = {}
     mins: dict[str, Any] = {}
     maxs: dict[str, Any] = {}
@@ -536,6 +537,48 @@ def _read_current_metadata(meta_dir: str) -> tuple[int, dict[str, Any] | None]:
         return v, json.load(fh)
 
 
+def _current_snapshot(dest: str) -> tuple[dict[str, Any], dict[str, Any]]:
+    """Shared read-path resolution: version-hint -> current
+    metadata.json -> current snapshot record. Every exported-table
+    reader starts here."""
+    _, meta = _read_current_metadata(os.path.join(dest, "metadata"))
+    if meta is None:
+        raise FileNotFoundError(f"no iceberg metadata at {dest}")
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    return meta, snap
+
+
+def _read_index_blobs(
+    dest: str, summary_key: str, blob_type: str, column: str | None = None
+) -> list[tuple[dict[str, Any], dict[str, Any]]]:
+    """Shared index-blob resolution: current snapshot summary ->
+    ``summary_key`` puffin path -> blobs of ``blob_type`` (optionally
+    filtered to one indexed ``column``). Returns (blob_meta, payload)
+    pairs; empty when the snapshot carries no such index."""
+    _, snap = _current_snapshot(dest)
+    puffin_path = snap.get("summary", {}).get(summary_key)
+    if not puffin_path:
+        return []
+    metas, data = read_puffin(puffin_path)
+    out: list[tuple[dict[str, Any], dict[str, Any]]] = []
+    for blob_meta in metas:
+        if blob_meta.get("type") != blob_type:
+            continue
+        if column is not None and (
+            blob_meta.get("properties", {}).get("column") != column
+        ):
+            continue
+        body = data[
+            blob_meta["offset"]:blob_meta["offset"] + blob_meta["length"]
+        ]
+        out.append((blob_meta, json.loads(body)))
+    return out
+
+
 # sidecar recording the last successful Iceberg sync of a table; feeds
 # TableStatus.flush_lsn / iceberg_warehouse_location (parity
 # table_status.rs:12-17 — the reference tracks the iceberg flush LSN per
@@ -673,12 +716,22 @@ def _export_iceberg_impl(
         prev_schemas.append(schema_obj)
     schema_json = json.dumps(schema_obj, separators=(",", ":"))
 
+    # deletion vectors are an Iceberg v3 feature; a table that has ever
+    # written them stays v3 (format versions never downgrade). Computed
+    # BEFORE the manifests so the manifest / manifest-list metadata can
+    # declare the same version the table metadata does — spec-strict
+    # readers validate consistency.
+    format_version = 3 if (
+        dv_positions or (prev_meta or {}).get("format-version", 2) >= 3
+    ) else 2
+
     # ---- manifest (full live set, status=ADDED under an overwrite) ----
     entries = []
     total_rows = 0
     for name in sorted(desired):
         p = os.path.join(data_dir, name)
-        n_rows = pq.ParquetFile(p).metadata.num_rows
+        footer = pq.ParquetFile(p).metadata  # parsed once per file
+        n_rows = footer.num_rows
         total_rows += n_rows
         entries.append(
             {
@@ -695,7 +748,7 @@ def _export_iceberg_impl(
                     "file_size_in_bytes": os.path.getsize(p),
                     # per-column value/null counts + bounds from the
                     # parquet footer, so Iceberg readers can prune
-                    **_file_column_stats(p, schema_obj, n_rows),
+                    **_file_column_stats(footer, schema_obj, n_rows),
                 },
             }
         )
@@ -709,7 +762,7 @@ def _export_iceberg_impl(
             "schema-id": str(current_schema_id),
             "partition-spec": "[]",
             "partition-spec-id": "0",
-            "format-version": "2",
+            "format-version": str(format_version),
             "content": "data",
         },
     )
@@ -774,7 +827,7 @@ def _export_iceberg_impl(
                 "schema-id": str(current_schema_id),
                 "partition-spec": "[]",
                 "partition-spec-id": "0",
-                "format-version": "3",
+                "format-version": str(format_version),  # always 3 here
                 "content": "deletes",
             },
         )
@@ -801,9 +854,12 @@ def _export_iceberg_impl(
         algo = (m.properties.get(keyindex.KEY_INDEX_PROP) or {}).get(
             "algo", keyindex.XXHASH64_ALGO
         )
-        for i, e in enumerate(index_entries_live):
+        for e in index_entries_live:
             src = table._resolve(e["path"])
-            block_name = f"ix-{snapshot_id}-{attempt}-{i}.parquet"
+            # content-addressed: the source path (uuid-named, immutable)
+            # names the exported copy, so repeat exports find the block
+            # in place instead of re-cloning it under a new snapshot name
+            block_name = e["path"].replace("/", "__")
             block_path = os.path.join(index_dir, block_name)
             if not os.path.exists(block_path):
                 clone_file(src, block_path)
@@ -847,6 +903,21 @@ def _export_iceberg_impl(
     # queries with no native warehouse (consumed by
     # integrations/duckdb_provider.attach_iceberg_ann_topk).
     vec_puffin_path = None
+    skipped_index_columns: list[str] = []
+    latest_lsn = int(table.last_lsn)
+
+    def _index_newer_than_export(idx_meta: dict[str, Any]) -> bool:
+        # LSN pin: vec/sig indexes live OUTSIDE the manifest, so their
+        # state can be newer than a pinned-LSN data snapshot. Each
+        # mutator stamps ``as_of_lsn`` (the table LSN the index state
+        # covers); an index past the export's LSN — or an unstamped one
+        # when the export is not at the latest LSN — must not ship, or
+        # the exported blobs would reference rows the data doesn't have.
+        idx_lsn = idx_meta.get("as_of_lsn")
+        if idx_lsn is not None:
+            return int(idx_lsn) > m.lsn
+        return m.lsn < latest_lsn  # unstamped + pinned old export
+
     vec_root = os.path.join(table.data_path, "vecindex")
     if os.path.isdir(vec_root):
         from moonlink_spark.table import vecindex as _vecindex
@@ -859,13 +930,17 @@ def _export_iceberg_impl(
                 vmeta = _vecindex.read_meta(idx_dir)
             except (FileNotFoundError, NotADirectoryError):
                 continue
+            if _index_newer_than_export(vmeta):
+                skipped_index_columns.append(f"vecindex/{column}")
+                continue
             seg_out_dir = os.path.join(dest, "data", "vecindex", column)
             os.makedirs(seg_out_dir, exist_ok=True)
             block_files = []
-            for i, seg in enumerate(vmeta.get("segments") or []):
-                out = os.path.join(
-                    seg_out_dir, f"vx-{snapshot_id}-{attempt}-{i}.parquet"
-                )
+            # segment names are uuid-unique and immutable: name the
+            # exported copy after its source so repeat exports skip the
+            # clone (content-addressed, like the data files)
+            for seg in vmeta.get("segments") or []:
+                out = os.path.join(seg_out_dir, seg)
                 if not os.path.exists(out):
                     clone_file(os.path.join(idx_dir, seg), out)
                 block_files.append(os.path.abspath(out))
@@ -915,13 +990,14 @@ def _export_iceberg_impl(
                 smeta = _sigindex.read_meta(idx_dir)
             except (FileNotFoundError, NotADirectoryError):
                 continue
+            if _index_newer_than_export(smeta):
+                skipped_index_columns.append(f"sigindex/{column}")
+                continue
             seg_out_dir = os.path.join(dest, "data", "sigindex", column)
             os.makedirs(seg_out_dir, exist_ok=True)
             block_files = []
-            for i, seg in enumerate(smeta.get("segments") or []):
-                out = os.path.join(
-                    seg_out_dir, f"sx-{snapshot_id}-{attempt}-{i}.parquet"
-                )
+            for seg in smeta.get("segments") or []:
+                out = os.path.join(seg_out_dir, seg)  # content-addressed
                 if not os.path.exists(out):
                     clone_file(os.path.join(idx_dir, seg), out)
                 block_files.append(os.path.abspath(out))
@@ -991,7 +1067,7 @@ def _export_iceberg_impl(
         mlist_path,
         MANIFEST_FILE_SCHEMA,
         mlist_records,
-        metadata={"format-version": "2"},
+        metadata={"format-version": str(format_version)},
     )
 
     # ---- table metadata ----
@@ -1030,11 +1106,6 @@ def _export_iceberg_impl(
     }
     # includes nested struct-field and list element-ids, not just top level
     last_column_id = max(_max_field_id(prev_schemas), _max_field_id(schema_obj))
-    # deletion vectors are an Iceberg v3 feature; a table that has ever
-    # written them stays v3 (format versions never downgrade)
-    format_version = 3 if (
-        dv_positions or (prev_meta or {}).get("format-version", 2) >= 3
-    ) else 2
     # snapshot-log timestamps must be non-decreasing (engines binary-
     # search it for FOR TIMESTAMP AS OF and some validate chronology);
     # exporting an OLDER lsn after a newer one would otherwise append a
@@ -1118,6 +1189,10 @@ def _export_iceberg_impl(
         "deleted_positions": total_deleted,
         "puffin_file": puffin_path,
         "file_index_puffin": index_puffin_path,
+        # vec/sig indexes whose state is NEWER than the exported data
+        # snapshot (their as_of_lsn is past the export LSN) — shipped
+        # blobs must never reference rows the data doesn't contain
+        "skipped_index_columns": skipped_index_columns,
         "source_lsn": m.lsn,
         "source_version": m.version,
     }
@@ -1127,15 +1202,7 @@ def read_iceberg_live_files(dest: str) -> list[str]:
     """Decode the exported metadata (pure Python, independent of the
     writer's in-memory state): version-hint -> metadata.json ->
     manifest-list avro -> manifest avro -> live data file paths."""
-    meta_dir = os.path.join(dest, "metadata")
-    _, meta = _read_current_metadata(meta_dir)
-    if meta is None:
-        raise FileNotFoundError(f"no iceberg metadata at {dest}")
-    snap = next(
-        s
-        for s in meta["snapshots"]
-        if s["snapshot-id"] == meta["current-snapshot-id"]
-    )
+    _, snap = _current_snapshot(dest)
     paths: list[str] = []
     for mrec in read_avro_container(snap["manifest-list"]):
         if mrec.get("content", 0) != 0:
@@ -1154,15 +1221,7 @@ def read_iceberg_deletion_vectors(dest: str) -> dict[str, list[int]]:
     counterpart of the export's DV path (parity:
     moonlink_datafusion/src/table_provider.rs:119-126 turning DV blobs
     into row-skip filters)."""
-    meta_dir = os.path.join(dest, "metadata")
-    _, meta = _read_current_metadata(meta_dir)
-    if meta is None:
-        raise FileNotFoundError(f"no iceberg metadata at {dest}")
-    snap = next(
-        s
-        for s in meta["snapshots"]
-        if s["snapshot-id"] == meta["current-snapshot-id"]
-    )
+    _, snap = _current_snapshot(dest)
     out: dict[str, list[int]] = {}
     for mrec in read_avro_container(snap["manifest-list"]):
         if mrec.get("content", 0) != 1:
@@ -1411,26 +1470,10 @@ def read_iceberg_key_index(dest: str) -> list[dict[str, Any]]:
     counterpart of the export's index path (parity: the reference loads
     file-index blobs back through ``FileIndexBlob::as_mooncake_file_index``,
     storage/table/iceberg/index.rs:115+)."""
-    meta_dir = os.path.join(dest, "metadata")
-    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
-        version = int(fh.read().strip())
-    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
-        meta = json.load(fh)
-    snap = next(
-        s
-        for s in meta["snapshots"]
-        if s["snapshot-id"] == meta["current-snapshot-id"]
-    )
-    puffin_path = snap.get("summary", {}).get("moonlink-file-index-puffin")
-    if not puffin_path:
-        return []
-    metas, data = read_puffin(puffin_path)
     out: list[dict[str, Any]] = []
-    for blob_meta in metas:
-        if blob_meta.get("type") != MOONCAKE_HASH_INDEX_V1:
-            continue
-        body = data[blob_meta["offset"]:blob_meta["offset"] + blob_meta["length"]]
-        entry = json.loads(body)
+    for blob_meta, entry in _read_index_blobs(
+        dest, "moonlink-file-index-puffin", MOONCAKE_HASH_INDEX_V1
+    ):
         entry["cardinality"] = int(
             blob_meta.get("properties", {}).get("cardinality", 0)
         )
@@ -1449,33 +1492,12 @@ def read_iceberg_vector_index(
     Read-side counterpart of the export's vector-index path."""
     from moonlink_spark.table.puffin import MOONCAKE_IVF_INDEX_V1
 
-    meta_dir = os.path.join(dest, "metadata")
-    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
-        version = int(fh.read().strip())
-    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
-        meta = json.load(fh)
-    snap = next(
-        s
-        for s in meta["snapshots"]
-        if s["snapshot-id"] == meta["current-snapshot-id"]
-    )
-    puffin_path = snap.get("summary", {}).get("moonlink-vector-index-puffin")
-    if not puffin_path:
-        return []
-    metas, data = read_puffin(puffin_path)
-    out: list[dict[str, Any]] = []
-    for blob_meta in metas:
-        if blob_meta.get("type") != MOONCAKE_IVF_INDEX_V1:
-            continue
-        if column is not None and (
-            blob_meta.get("properties", {}).get("column") != column
-        ):
-            continue
-        body = data[
-            blob_meta["offset"]:blob_meta["offset"] + blob_meta["length"]
-        ]
-        out.append(json.loads(body))
-    return out
+    return [
+        payload
+        for _, payload in _read_index_blobs(
+            dest, "moonlink-vector-index-puffin", MOONCAKE_IVF_INDEX_V1, column
+        )
+    ]
 
 
 def read_iceberg_signature_index(
@@ -1488,32 +1510,12 @@ def read_iceberg_signature_index(
     signature-block parquet paths."""
     from moonlink_spark.table.puffin import MOONCAKE_MINHASH_INDEX_V1
 
-    meta_dir = os.path.join(dest, "metadata")
-    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
-        version = int(fh.read().strip())
-    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
-        meta = json.load(fh)
-    snap = next(
-        s
-        for s in meta["snapshots"]
-        if s["snapshot-id"] == meta["current-snapshot-id"]
-    )
-    puffin_path = snap.get("summary", {}).get(
-        "moonlink-signature-index-puffin"
-    )
-    if not puffin_path:
-        return []
-    metas, data = read_puffin(puffin_path)
-    out: list[dict[str, Any]] = []
-    for blob_meta in metas:
-        if blob_meta.get("type") != MOONCAKE_MINHASH_INDEX_V1:
-            continue
-        if column is not None and (
-            blob_meta.get("properties", {}).get("column") != column
-        ):
-            continue
-        body = data[
-            blob_meta["offset"]:blob_meta["offset"] + blob_meta["length"]
-        ]
-        out.append(json.loads(body))
-    return out
+    return [
+        payload
+        for _, payload in _read_index_blobs(
+            dest,
+            "moonlink-signature-index-puffin",
+            MOONCAKE_MINHASH_INDEX_V1,
+            column,
+        )
+    ]

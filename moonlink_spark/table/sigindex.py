@@ -73,11 +73,20 @@ def _write_signatures(df: DataFrame, dest: str) -> str:
     )
 
 
-def build_index(docs: DataFrame, dest: str) -> dict[str, Any]:
+def build_index(
+    docs: DataFrame,
+    dest: str,
+    meta_update: dict[str, Any] | None = None,
+) -> dict[str, Any]:
     """Create the index from a (doc_id, text) corpus. All index mutators
     serialize on a per-directory write lock (segments.index_write_lock):
     the meta publish is a plain atomic replace, so concurrent writers
-    would otherwise drop each other's segments."""
+    would otherwise drop each other's segments.
+
+    ``meta_update`` carries caller-owned fields into the same atomic
+    meta write (the CDC watermark, or ``as_of_lsn`` — the table LSN
+    whose rows this build covers, which Iceberg export uses to refuse
+    shipping index state newer than a pinned-LSN data snapshot)."""
     from moonlink_spark.table import segments as segstore
 
     os.makedirs(dest, exist_ok=True)
@@ -89,6 +98,7 @@ def build_index(docs: DataFrame, dest: str) -> dict[str, Any]:
             "generation": 1,
             "segments": [name],
         }
+        meta.update(meta_update or {})
         _write_meta(dest, meta)
     return meta
 

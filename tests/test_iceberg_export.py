@@ -494,3 +494,117 @@ def test_jvm_avro_reads_deletes_manifest(spark, tmp_path):
         assert df.get("content_size_in_bytes") == odf["content_size_in_bytes"]
         assert df.get("record_count") == len(dvs[ref])
     assert "referenced_data_file" in jvm_schema
+
+
+def test_index_export_pins_to_snapshot_lsn(spark, tmp_path):
+    """Vec/sig indexes live outside the manifest, so their state can run
+    ahead of a pinned-LSN export. Mutators stamp ``as_of_lsn``; the
+    export refuses to ship index blobs newer than the data snapshot
+    (skipped_index_columns) instead of shipping blobs that reference
+    rows the exported data does not contain. Parity: the reference's
+    file indices belong to the mooncake snapshot being persisted
+    (iceberg_table_syncer.rs), so they can never outrun the data."""
+    from pyspark.sql import functions as F
+
+    from moonlink_spark.table import vecindex
+    from moonlink_spark.table.iceberg_export import read_iceberg_vector_index
+
+    t = MoonlinkTable.create(
+        spark,
+        str(tmp_path / "src"),
+        [
+            {"name": "vec_id", "data_type": "int64", "nullable": False},
+            {
+                "name": "embedding",
+                "data_type": "list",
+                "item": {"data_type": "float32"},
+            },
+        ],
+        IdentityProp.single("vec_id"),
+    )
+    rows1 = [
+        {"vec_id": i, "embedding": [float(i), 1.0, 0.0]} for i in range(40)
+    ]
+    rows2 = [
+        {"vec_id": i, "embedding": [0.0, 1.0, float(i)]}
+        for i in range(40, 60)
+    ]
+    t.append_rows(rows1)
+    t.commit(lsn=1)
+    idx_dir = str(tmp_path / "src" / "vecindex" / "embedding")
+    vecindex.build_index(
+        spark,
+        t.scan().select(
+            F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
+        ),
+        idx_dir,
+        k=4,
+        iters=1,
+        meta_update={"as_of_lsn": 1},
+    )
+    t.append_rows(rows2)
+    t.commit(lsn=2)
+    vecindex.update_index(
+        spark,
+        t.changes(1, 2)
+        .filter(F.col("_change_type") == "insert")
+        .select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.col("after.embedding").alias("embedding"),
+        ),
+        idx_dir,
+        meta_update={"as_of_lsn": 2},
+    )
+    # export pinned at lsn=1: index state (as_of_lsn=2) is NEWER than
+    # the data -> blob skipped and recorded
+    dest_old = str(tmp_path / "ice_old")
+    summary = export_iceberg(t, dest_old, lsn=1)
+    assert summary["skipped_index_columns"] == ["vecindex/embedding"]
+    assert read_iceberg_vector_index(dest_old) == []
+    assert len(read_iceberg_live_files(dest_old)) >= 1
+
+    # export at latest: index ships, nothing skipped
+    dest_new = str(tmp_path / "ice_new")
+    summary = export_iceberg(t, dest_new)
+    assert summary["skipped_index_columns"] == []
+    blobs = read_iceberg_vector_index(dest_new)
+    assert len(blobs) == 1 and blobs[0]["column"] == "embedding"
+
+    # content-addressing: a second export of the same state re-uses the
+    # cloned index blocks byte-for-byte (no new files, no rewrites)
+    block_dir = os.path.join(dest_new, "data", "vecindex", "embedding")
+    before = {
+        n: os.stat(os.path.join(block_dir, n)).st_mtime_ns
+        for n in os.listdir(block_dir)
+    }
+    export_iceberg(t, dest_new)
+    after = {
+        n: os.stat(os.path.join(block_dir, n)).st_mtime_ns
+        for n in os.listdir(block_dir)
+    }
+    assert after == before, "repeat export re-cloned index blocks"
+
+
+def test_manifest_metadata_format_version_consistent(spark, tmp_path):
+    """When deletion vectors push the table to format-version 3, the
+    manifest and manifest-list avro metadata must declare 3 as well —
+    spec-strict readers validate that the declared versions agree."""
+    t = make_table(spark, tmp_path)
+    dest = str(tmp_path / "iceberg")
+    t.delete_rows([{"id": i} for i in range(0, 20, 2)])
+    t.commit(lsn=2)
+    export_iceberg(t, dest)
+    _, meta = current_metadata(dest)
+    assert meta["format-version"] == 3
+
+    def container_meta(path):
+        with open(path, "rb") as fh:
+            raw = fh.read()
+        # avro container metadata is a string->bytes map; the value "3"
+        # is length-prefixed (zigzag 1 -> 0x02) right after the key
+        return raw
+
+    mlist_path = meta["snapshots"][-1]["manifest-list"]
+    assert b"format-version\x023" in container_meta(mlist_path)
+    for mrec in read_avro_container(mlist_path):
+        assert b"format-version\x023" in container_meta(mrec["manifest_path"])
