@@ -26,9 +26,10 @@ protocol layouts (kafka.apache.org/protocol):
   real client negotiates up via ApiVersions and these versions remain
   permanently supported);
 - batch compression: gzip (attributes codec 1, stdlib zlib with the
-  gzip wrapper) and snappy (attributes codec 2, the pure-Python
-  xerial-framed implementation in ``snappy_py`` — the most common
-  broker default works out of the box) on both encode and decode.
+  gzip wrapper), snappy (codec 2, the pure-Python xerial-framed
+  implementation in ``snappy_py``) and lz4 (codec 3, the pure-Python
+  LZ4-frame implementation in ``lz4_py``) — the common broker defaults
+  work out of the box, on both encode and decode.
 
 Architecture (the honest cluster shape): :class:`KafkaWireBroker` is a
 single-node broker whose topic-partition logs are the SAME
@@ -63,11 +64,11 @@ Implemented: TLS (implicit on the port, a real broker's
 ``security.protocol=SSL`` — broker wraps every accepted connection,
 clients verify against a pinned CA via ``tlsutil.client_context``).
 Not implemented (fail-loud or out of scope): transactions
-and idempotent producer ids (producerId is -1 throughout); lz4/zstd
-codecs are pluggable via ``register_codec`` (they need non-stdlib
-libraries — gzip and snappy ship built-in); an unregistered codec on
-either side raises ``UnsupportedCodecError`` naming the codec and the
-producer-config workaround.
+and idempotent producer ids (producerId is -1 throughout); the zstd
+codec is pluggable via ``register_codec`` (it needs a non-stdlib
+library — gzip, snappy and lz4 ship built-in); an unregistered codec
+on either side raises ``UnsupportedCodecError`` naming the codec and
+the producer-config workaround.
 """
 
 from __future__ import annotations
@@ -288,17 +289,18 @@ class UnsupportedCodecError(ValueError):
     """A RecordBatch uses a compression codec with no registered
     implementation. The message names the codec and the workaround
     (broker-side story: configure producers with
-    ``compression.type=gzip``/``snappy`` or ``none``, or plug an
-    implementation in via :func:`register_codec`)."""
+    ``compression.type=gzip``/``snappy``/``lz4`` or ``none``, or plug
+    an implementation in via :func:`register_codec`)."""
 
     def __init__(self, codec_id: int):
         name = CODEC_NAMES.get(codec_id, str(codec_id))
         super().__init__(
             f"unsupported compression codec {name!r} (id {codec_id}): "
-            f"built-ins are none/gzip/snappy; either configure the "
-            f"producer with compression.type=gzip/snappy (or none), or call "
+            f"built-ins are none/gzip/snappy/lz4; either configure the "
+            f"producer with compression.type=gzip/snappy/lz4 (or none), "
+            f"or call "
             f"kafka_wire.register_codec({name!r}, compress, decompress) "
-            f"with an implementation (e.g. lz4.frame / zstandard)"
+            f"with an implementation (e.g. zstandard)"
         )
         self.codec_id = codec_id
         self.codec_name = name
@@ -333,22 +335,37 @@ def _snappy_decompress(data: bytes) -> bytes:
     return snappy_py.decompress(data)
 
 
-# codec id -> (compress, decompress); gzip (stdlib zlib) and snappy (the
-# pure-Python xerial/raw implementation in snappy_py — brokers default
-# to snappy, so it must work out of the box) ship built-in; lz4/zstd
-# remain pluggable — they need non-stdlib libraries, and a plugged
-# implementation must match Kafka's framing, not just the codec
+def _lz4_compress(data: bytes) -> bytes:
+    from moonlink_spark.sources import lz4_py
+
+    return lz4_py.compress(data)
+
+
+def _lz4_decompress(data: bytes) -> bytes:
+    from moonlink_spark.sources import lz4_py
+
+    return lz4_py.decompress(data)
+
+
+# codec id -> (compress, decompress); gzip (stdlib zlib), snappy (the
+# pure-Python xerial/raw implementation in snappy_py) and lz4 (the
+# pure-Python frame implementation in lz4_py) ship built-in — brokers
+# default to snappy or lz4, so both must work out of the box; zstd
+# remains pluggable (its format is far beyond a reasonable pure-Python
+# decoder), and a plugged implementation must match Kafka's framing,
+# not just the codec
 _CODECS: dict[int, tuple] = {
     1: (_gzip_compress, _gzip_decompress),
     2: (_snappy_compress, _snappy_decompress),
+    3: (_lz4_compress, _lz4_decompress),
 }
 
 
 def register_codec(name_or_id, compress, decompress) -> None:
     """Plug a compression codec into the RecordBatch coder, e.g.
-    ``register_codec("lz4", lz4.frame.compress, lz4.frame.decompress)``
-    or ``register_codec("zstd", c.compress, d.decompress)`` with
-    zstandard (de)compressors."""
+    ``register_codec("zstd", c.compress, d.decompress)`` with
+    zstandard (de)compressors, or override a built-in with a C
+    implementation for hot produce loops."""
     cid = CODEC_IDS.get(name_or_id, name_or_id)
     if not isinstance(cid, int) or not 1 <= cid <= 7:
         raise ValueError(f"unknown codec {name_or_id!r}")

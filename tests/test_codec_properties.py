@@ -153,3 +153,30 @@ def test_snappy_roundtrip_prop(payload):
 
     assert raw_decompress(raw_compress(payload)) == payload
     assert decompress(compress(payload)) == payload
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.one_of(
+        st.binary(max_size=5000),
+        # repetitive shapes exercise the match/overlap paths hard
+        st.builds(
+            lambda unit, reps, tail: unit * reps + tail,
+            st.binary(min_size=1, max_size=20),
+            st.integers(min_value=0, max_value=2000),
+            st.binary(max_size=50),
+        ),
+    )
+)
+def test_lz4_roundtrip_prop(payload):
+    from moonlink_spark.sources.lz4_py import (
+        block_compress,
+        block_decompress,
+        compress,
+        decompress,
+    )
+
+    out = bytearray()
+    block_decompress(block_compress(payload), out)
+    assert bytes(out) == payload
+    assert decompress(compress(payload)) == payload

@@ -535,12 +535,125 @@ def test_snappy_codec_spec_vectors():
         decompress(compress(b"hello world " * 100)[:-3])
 
 
+def test_lz4_batch_roundtrip_and_wire(broker):
+    """lz4-compressed RecordBatch v2 (attributes codec 3, the other
+    common broker default): the built-in pure-Python LZ4-frame codec
+    round-trips at the batch level and over a full wire produce/fetch —
+    no register_codec call needed."""
+    records = [(b"k%d" % i, b"payload-%d" % i * 20) for i in range(50)]
+    batch = encode_record_batch(0, records, compression="lz4")
+    plain = encode_record_batch(0, records)
+    assert len(batch) < len(plain)  # actually compressed
+    assert [(k, v) for _o, k, v in decode_record_batches(batch)] == records
+
+    prod = KafkaWireProducer(broker.host, broker.port, compression="lz4")
+    prod.send("lz4t", records)
+    prod.close()
+    cons = KafkaWireConsumer(broker.host, broker.port, "lz4t")
+    msgs = cons.poll()
+    cons.close()
+    assert [(k, v) for _o, k, v in msgs] == records
+
+
+def test_lz4_codec_spec_vectors():
+    """The lz4 implementation against hand-built spec streams (block
+    format per lz4_Block_format.md, frame format per
+    lz4_Frame_format.md, xxHash32 per xxhash_spec.md): known-answer
+    hashes, hand-assembled blocks and frames decode, the legacy-Kafka
+    header-checksum variant is accepted, corruption fails loud."""
+    from moonlink_spark.sources.lz4_py import (
+        block_compress,
+        block_decompress,
+        compress,
+        decompress,
+        xxh32,
+    )
+
+    # xxHash32 known-answer vectors (xxhash spec / python-xxhash docs)
+    assert xxh32(b"") == 0x02CC5D05
+    assert xxh32(b"a") == 0x550D7456
+    assert xxh32(b"abc") == 0x32D153FF
+    assert xxh32(b"Nobody inspects the spammish repetition") == 0xE2293B2F
+
+    # hand-built block: token(lit=4, ml=4+4) "Wiki" off=4, then
+    # literals-only tail "tail!" (last sequence must be literals)
+    out = bytearray()
+    block_decompress(
+        bytes([(4 << 4) | 4]) + b"Wiki" + bytes([4, 0])
+        + bytes([5 << 4]) + b"tail!",
+        out,
+    )
+    assert bytes(out) == b"WikiWikiWikitail!"
+    # overlapping copy replicates (RLE): "a" x 1 then off=1 len=8
+    out = bytearray()
+    block_decompress(
+        bytes([(1 << 4) | 4]) + b"a" + bytes([1, 0]) + bytes([5 << 4])
+        + b"tail!",
+        out,
+    )
+    assert bytes(out) == b"a" * 9 + b"tail!"
+
+    # round trips: empty, tiny, repetitive (spans 64 KiB frame blocks),
+    # binary, incompressible (stored-block path)
+    for payload in (
+        b"",
+        b"x",
+        b"hello world " * 12000,
+        bytes(range(256)) * 300,
+        os.urandom(70000),
+    ):
+        assert decompress(compress(payload)) == payload
+        out = bytearray()
+        block_decompress(block_compress(payload), out)
+        assert bytes(out) == payload
+
+    # frame with block + content checksums and content size, assembled
+    # by hand (our encoder never emits them; real producers may)
+    body = b"checksummed content " * 50
+    block = block_compress(body)
+    flg = 0x60 | 0x10 | 0x08 | 0x04  # indep + b.checksum + csize + c.checksum
+    desc = bytes([flg, 0x40]) + len(body).to_bytes(8, "little")
+    frame = (
+        (0x184D2204).to_bytes(4, "little")
+        + desc
+        + bytes([(xxh32(desc) >> 8) & 0xFF])
+        + len(block).to_bytes(4, "little")
+        + block
+        + xxh32(block).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + xxh32(body).to_bytes(4, "little")
+    )
+    assert decompress(frame) == body
+
+    # legacy-Kafka header checksum (hashed magic+descriptor) is accepted
+    good = compress(b"legacy hc")
+    desc = good[4:6]
+    legacy_hc = (xxh32(good[:6]) >> 8) & 0xFF
+    legacy = good[:6] + bytes([legacy_hc]) + good[7:]
+    assert decompress(legacy) == b"legacy hc"
+
+    # skippable frame before the real one is skipped
+    skip = (0x184D2A50).to_bytes(4, "little") + (3).to_bytes(4, "little") + b"xyz"
+    assert decompress(skip + compress(b"after skip")) == b"after skip"
+
+    # corruption fails loud: bad header checksum, zero offset, truncation
+    bad = bytearray(compress(b"hello world " * 10))
+    bad[6] ^= 0xFF
+    with pytest.raises(ValueError, match="lz4"):
+        decompress(bytes(bad))
+    out = bytearray()
+    with pytest.raises(ValueError, match="lz4"):
+        block_decompress(bytes([(1 << 4) | 4]) + b"a" + bytes([0, 0]), out)
+    with pytest.raises(ValueError, match="lz4"):
+        decompress(compress(b"hello world " * 100)[:-3])
+
+
 def test_unknown_codec_rejected():
     records = [(None, b"x")]
     batch = bytearray(encode_record_batch(0, records))
     # attributes live right after the batch header prefix (offset 21);
     # re-sign the CRC so the codec check (not the CRC check) fires
-    batch[21:23] = struct.pack(">h", 3)  # lz4
+    batch[21:23] = struct.pack(">h", 4)  # zstd (the one still pluggable)
     batch[17:21] = struct.pack(">I", crc32c(bytes(batch[21:])))
     with pytest.raises(ValueError, match="codec"):
         list(decode_record_batches(bytes(batch)))
@@ -768,8 +881,8 @@ def test_unregistered_codec_fails_loud_with_exact_shape():
         crc = crc32c(bytes(tail))
         return raw[:12] + raw[12:17] + _struct.pack(">I", crc) + bytes(tail)
 
-    # snappy (2) is built-in now — only lz4/zstd stay pluggable
-    for cid, name in [(3, "lz4"), (4, "zstd")]:
+    # snappy (2) and lz4 (3) are built-in now — only zstd stays pluggable
+    for cid, name in [(4, "zstd")]:
         with pytest.raises(UnsupportedCodecError) as ei:
             list(decode_record_batches(batch_with_codec(cid)))
         assert ei.value.codec_id == cid
@@ -789,15 +902,15 @@ def test_registered_codec_round_trips(broker):
 
     from moonlink_spark.sources import kafka_wire as kw
 
-    # stand-in for lz4.frame: raw zlib at codec id 3 (the registry does
+    # stand-in for zstandard: raw zlib at codec id 4 (the registry does
     # not care what the bytes are as long as both sides agree)
-    kw.register_codec("lz4", zlib.compress, zlib.decompress)
+    kw.register_codec("zstd", zlib.compress, zlib.decompress)
     try:
         prod = kw.KafkaWireProducer(
-            broker.host, broker.port, compression="lz4"
+            broker.host, broker.port, compression="zstd"
         )
-        prod.send("lz", [(b"k1", b"v1"), (None, b"v2")])
-        cons = kw.KafkaWireConsumer(broker.host, broker.port, "lz")
+        prod.send("zs", [(b"k1", b"v1"), (None, b"v2")])
+        cons = kw.KafkaWireConsumer(broker.host, broker.port, "zs")
         msgs = cons.poll()
         assert [(m[1], m[2]) for m in msgs] == [
             (b"k1", b"v1"), (None, b"v2")
@@ -805,4 +918,4 @@ def test_registered_codec_round_trips(broker):
         prod.close()
         cons.close()
     finally:
-        kw._CODECS.pop(3, None)
+        kw._CODECS.pop(4, None)
