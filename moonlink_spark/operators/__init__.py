@@ -134,6 +134,22 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # already-proven category as regression canaries). Cumulative
 # driver-verified coverage after this round: 121/121.
 
+# ROUND-9 ROTATION: r8 went 50/50 green, so its 42 non-keeper slots
+# rotate out again. Rotating IN, stalest driver evidence first: the
+# entire remaining r5 cohort (16 — novelty/recall evals, percentile and
+# scalar families, split/mixture weights, streaming dedup, interval
+# joins), and 26 of the 40 r6-evidence queries (TPC-H q3/q9/q21, point
+# lookup, the dedup/ANN/text-quality families, PG-metadata and cached
+# ingest legs, sampling, tumbling-window streaming, the skew pair) —
+# preferring queries with NO other standing evidence; the 14 r6
+# survivors that bench.py exercises every round (minhash/simhash/
+# semantic dedup, ann_ivf_topk, copy/kafka-rebalance/cached-data
+# ingest, bm25, sessionize e2e, curation, packing, contamination,
+# knn) rotate in at r10. Keepers unchanged: the 7-query ingest
+# lifecycle + the flagship. Cumulative driver-verified coverage after
+# this round: 148/148 (every registry query driver-gated at least once
+# by r9).
+
 # ROUND-8 ROTATION: r7 went 50/50 green, so its 42 non-keeper slots
 # rotate out again. Rotating IN, stalest driver evidence first: the 3
 # round-8 additions (approx percentiles + the bucketed-warehouse pair,
@@ -168,54 +184,53 @@ PRIORITY_50 = [
     "ingest_snapshot_diff",
     "ingest_optimize_invariance",
     "q1_pricing_summary",
-    # never driver-gated: the round-8 additions (3)
-    "approx_percentiles_by_flag",
-    "bucketed_colocated_join",
-    "bucketed_point_read",
-    # stalest evidence — last driver-green r3 (4)
-    "dedup_duplicate_segments",
-    "first_last_nth_event_values",
-    "scalar_functions",
-    "window_running_user_totals",
-    # last driver-green r4 (7)
-    "ann_recall_at_k",
-    "date_arithmetic",
-    "embedding_vector_stats",
-    "event_value_statistics",
-    "ingest_avro_events_scan",
-    "regexp_string_ops",
-    "regression_per_event_type",
-    # last driver-green r5 (26): the export/index families, the CDC /
-    # queue / wire ingest legs, sketches, text/embedding stats
-    "ann_index_lifecycle_topk",
-    "ann_ivf_multiprobe_topk",
-    "approx_heavy_hitters",
-    "approx_sketches",
-    "bigram_pmi_top",
-    "char_trigram_entropy",
-    "chunk_documents_udtf",
-    "dedup_edit_distance_verify",
-    "dedup_keep_best_quality",
-    "embedding_drift_by_label",
-    "embedding_gram_matrix",
-    "embedding_pca_power_scores",
-    "gopher_repetition_signals",
-    "grouping_sets_returns",
-    "ingest_alter_add_column_scan",
-    "ingest_bulk_load_scan",
-    "ingest_cdc_stream_feed",
-    "ingest_export_iceberg_dv_scan",
-    "ingest_export_keyindex_lookup",
-    "ingest_export_sigindex_pairs",
-    "ingest_export_vecindex_ann",
-    "ingest_initial_copy_cdc_scan",
-    "ingest_kafka_stream_feed",
-    "ingest_kafka_wire_scan",
-    "ingest_keyindex_delete_scan",
-    "late_event_detection",
-    # last driver-green r6, named in VERDICT r7 #7 (2)
-    "dedup_connected_components",
-    "streaming_interval_join_e2e",
+    # stalest evidence — last driver-green r5 (16)
+    "ngram_novelty_rate",
+    "lsh_jaccard_recall_eval",
+    "ivf_kmeans_train",
+    "percentiles_by_flag",
+    "argminmax_parts_per_brand",
+    "customers_above_nation_avg",
+    "conditional_expressions",
+    "union_all_with_dup_counts",
+    "train_val_test_split",
+    "source_mixture_weights",
+    "mixture_temperature_weights",
+    "tfidf_top_terms_per_source",
+    "sliding_window_event_stats",
+    "streaming_dedup_e2e",
+    "interval_range_join",
+    "rolling_7d_customer_revenue",
+    # last driver-green r6 (26): TPC-H joins, dedup/ANN/text families,
+    # ingest legs, sampling, streaming — preferring queries with no
+    # other standing evidence (the bench-exercised r6 survivors wait
+    # for r10)
+    "q3_shipping_priority",
+    "q9_product_profit",
+    "q21_multi_line_order_suppliers",
+    "point_lookup_order",
+    "multimodal_feature_extract",
+    "pii_pattern_scan",
+    "window_topk_parts_per_brand",
+    "sessionize_events",
+    "asof_join_purchase_click",
+    "pivot_event_type_values",
+    "dedup_exact",
+    "embedding_near_dup_pairs",
+    "ann_lsh_hyperplane_buckets",
+    "text_quality_scores",
+    "token_counts",
+    "lang_id_heuristic",
+    "doc_fingerprints",
+    "ingest_fullrow_delete_one",
+    "ingest_pg_metadata_recovery_scan",
+    "ingest_cached_scan",
+    "deterministic_hash_sample",
+    "stratified_sample_per_group",
+    "hierarchical_time_rollup",
+    "streaming_tumbling_agg_e2e",
+    "skew_salted_join",
+    "skew_salted_aggregation",
 ]
 assert len(PRIORITY_50) == 50 and len(set(PRIORITY_50)) == 50
 
