@@ -1140,10 +1140,9 @@ def ensure_bucketed_warehouse(spark: SparkSession, sf_dir: str) -> str:
         # an empty directory and silently serve zero rows.
         import shutil
 
-        if not os.path.exists(marker):
-            shutil.rmtree(build, ignore_errors=True)
-            raise
         shutil.rmtree(build, ignore_errors=True)
+        if not os.path.exists(marker):
+            raise
     _register()
     return wh
 

@@ -260,6 +260,8 @@ def decompress(data: bytes) -> bytes:
             if p + 4 > n:
                 raise ValueError("corrupt lz4 frame: truncated skip size")
             (skip,) = struct.unpack_from("<I", data, p)
+            if p + 4 + skip > n:
+                raise ValueError("corrupt lz4 frame: truncated skippable frame")
             p += 4 + skip
             continue
         if magic != _MAGIC:

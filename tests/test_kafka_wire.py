@@ -635,6 +635,14 @@ def test_lz4_codec_spec_vectors():
     # skippable frame before the real one is skipped
     skip = (0x184D2A50).to_bytes(4, "little") + (3).to_bytes(4, "little") + b"xyz"
     assert decompress(skip + compress(b"after skip")) == b"after skip"
+    # a skippable frame whose size overruns the input fails loud, not
+    # silently-empty (review finding r9)
+    with pytest.raises(ValueError, match="skippable"):
+        decompress(
+            (0x184D2A50).to_bytes(4, "little")
+            + (1000).to_bytes(4, "little")
+            + b"xy"
+        )
 
     # corruption fails loud: bad header checksum, zero offset, truncation
     bad = bytearray(compress(b"hello world " * 10))
