@@ -42,8 +42,121 @@ def _orders_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# one live temp dir per tag: a re-invocation first deletes the PREVIOUS
+# invocation's directory, so repeated gate/bench/parity runs hold at most
+# one table copy per query instead of accumulating copies until /tmp
+# fills. The current invocation's dir must outlive this function — the
+# returned DataFrames read from it lazily until the driver collects —
+# which is why cleanup is deferred to the next run, not a finally block.
+# Every tag is used at most once per query invocation (asserted below).
+_LIVE_TMP: dict[str, str] = {}
+
+
 def _tmp_table_dir(tag: str) -> str:
-    return tempfile.mkdtemp(prefix=f"moonlink-{tag}-")
+    import shutil
+
+    prev = _LIVE_TMP.pop(tag, None)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    d = tempfile.mkdtemp(prefix=f"moonlink-{tag}-")
+    _LIVE_TMP[tag] = d
+    return d
+
+
+def _cdc_events(
+    df: DataFrame, fields: list[dict], lsn: int, op: str, as_old: bool = False
+) -> DataFrame:
+    """One CDC event per row of ``df`` in the cdc_events envelope
+    (streaming/pipeline.cdc_event_schema shape, built column-wise):
+    inserts/updates carry the payload in ``row``, deletes in
+    ``old_row``. Shared by every query that hand-feeds apply_cdc_batch,
+    so an envelope change lands in exactly one place."""
+    from moonlink_spark.schema import field_schema_to_struct
+
+    row_type = field_schema_to_struct(fields)
+    row_struct = F.struct(*[F.col(f.name) for f in row_type.fields])
+    null_row = F.lit(None).cast(row_type)
+    return df.select(
+        F.lit(lsn).cast("bigint").alias("lsn"),
+        F.lit(None).cast("int").alias("xact_id"),
+        F.lit(op).alias("op"),
+        (null_row if as_old else row_struct).alias("row"),
+        (row_struct if as_old else null_row).alias("old_row"),
+    )
+
+
+def _mask_dv_rows(
+    df: DataFrame,
+    dvs: dict[str, list[int]],
+    files: set[str] | None = None,
+) -> DataFrame:
+    """Drop the rows an exported snapshot's deletion vectors flag: tag
+    each row with its normalized file path + row index from
+    ``_metadata``, broadcast the (file, position) pairs, left-anti join
+    (the engine's own DV application shape). ``files`` bounds the pairs
+    to a pruned file set. _metadata.file_path URIs vary ("file:/x" vs
+    "file:///x"), so the scheme is stripped to the plain absolute path
+    the DV metadata keys."""
+    pairs = [
+        (f, int(p))
+        for f, ps in dvs.items()
+        if files is None or f in files
+        for p in ps
+    ]
+    if not pairs:
+        return df
+    tagged = df.select(
+        "*",
+        F.regexp_replace(
+            F.col("_metadata.file_path"), r"^file:(//)?", ""
+        ).alias("__fp"),
+        F.col("_metadata.row_index").alias("__ri"),
+    )
+    dv_df = df.sparkSession.createDataFrame(pairs, "__fp STRING, __ri BIGINT")
+    return tagged.join(
+        F.broadcast(dv_df), ["__fp", "__ri"], "left_anti"
+    ).drop("__fp", "__ri")
+
+
+def _wire_producer_fn(host: str, port: int, schema: dict, partitioner=None):
+    """The executor-side Kafka-wire produce loop shared by the wire
+    queries: one producer socket per non-empty Spark partition, Avro
+    datum encoding, 2000-row send batches. ``partitioner(d) -> int``
+    routes rows to topic partitions; None uses the producer default.
+    Returns a function for ``DataFrame.foreachPartition``."""
+
+    def _produce_partition(rows) -> None:
+        from moonlink_spark.sources.avro_binary import encode_datum
+        from moonlink_spark.sources.kafka_wire import KafkaWireProducer
+
+        prod = None
+        batches: dict[int | None, list] = {}
+        try:
+            for r in rows:
+                if prod is None:
+                    prod = KafkaWireProducer(host, port)
+                d = r.asDict()
+                p = partitioner(d) if partitioner is not None else None
+                b = batches.setdefault(p, [])
+                b.append((str(d["event_id"]).encode(), encode_datum(schema, d)))
+                if len(b) >= 2000:
+                    if p is None:
+                        prod.send("events", b)
+                    else:
+                        prod.send("events", b, partition=p)
+                    batches[p] = []
+            if prod is not None:
+                for p, b in batches.items():
+                    if b:
+                        if p is None:
+                            prod.send("events", b)
+                        else:
+                            prod.send("events", b, partition=p)
+        finally:
+            if prod is not None:
+                prod.close()
+
+    return _produce_partition
 
 
 @register(
@@ -370,14 +483,17 @@ deleted AS (
 SELECT 'updated' AS change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(COUNT(*) * 1000.0 AS DOUBLE) AS price_delta
 FROM changed WHERE o_orderkey % 55 <> 0
+HAVING COUNT(*) > 0
 UNION ALL
 SELECT 'inserted', CAST(COUNT(*) AS BIGINT),
        CAST(SUM(CAST(o.o_totalprice AS DECIMAL(15,4))) AS DOUBLE)
 FROM inserted i JOIN orders o ON i.o_orderkey = o.o_orderkey + 10000000
+HAVING COUNT(*) > 0
 UNION ALL
 SELECT 'deleted', CAST(COUNT(*) AS BIGINT),
        CAST(-SUM(CAST(o.o_totalprice AS DECIMAL(15,4))) AS DOUBLE)
 FROM deleted d JOIN orders o USING (o_orderkey)
+HAVING COUNT(*) > 0
 ORDER BY change_type
 """,
     category="ingest",
@@ -404,7 +520,10 @@ def ingest_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     Updates are detected value-wise (any non-key column differs), so a
     re-upsert of an identical row is NOT an update — matching the
     semantic diff a CDC consumer wants, and making the result independent
-    of how many no-op upserts happened between the snapshots.
+    of how many no-op upserts happened between the snapshots. Empty
+    change classes are omitted on BOTH sides (the oracle HAVING-filters
+    its branches), so the shapes agree at any fixture, not just ones
+    where every class is populated.
     """
     base = _orders_df(spark, sf_dir)
     t = MoonlinkTable.create(
@@ -638,9 +757,6 @@ def ingest_initial_copy_cdc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     The %3==1 events carry lsn=500 < snapshot_lsn=1000: their ABSENCE from
     the result proves the floor; the oracle states snapshot minus deletes
     plus post-cursor inserts."""
-    from pyspark.sql import types as T
-
-    from moonlink_spark.schema import field_schema_to_struct
     from moonlink_spark.streaming.pipeline import apply_cdc_batch, initial_copy
 
     base = _orders_df(spark, sf_dir)
@@ -652,19 +768,8 @@ def ingest_initial_copy_cdc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     initial_copy(t, base.filter(F.col("o_orderkey") % 3 == 0), snapshot_lsn=1000)
 
-    row_type = field_schema_to_struct(ORDERS_FIELDS)
-    row_struct = F.struct(*[F.col(f.name) for f in row_type.fields])
-    null_row = F.lit(None).cast(row_type)
-    null_xact = F.lit(None).cast("int")
-
     def ev(df, lsn, op, as_old=False):
-        return df.select(
-            F.lit(lsn).cast("bigint").alias("lsn"),
-            null_xact.alias("xact_id"),
-            F.lit(op).alias("op"),
-            (null_row if as_old else row_struct).alias("row"),
-            (row_struct if as_old else null_row).alias("old_row"),
-        )
+        return _cdc_events(df, ORDERS_FIELDS, lsn, op, as_old)
 
     pre_cursor = ev(base.filter(F.col("o_orderkey") % 3 == 1), 500, "insert")
     inserts = ev(base.filter(F.col("o_orderkey") % 3 == 2), 1500, "insert")
@@ -726,20 +831,8 @@ def ingest_export_iceberg_dv_scan(spark: SparkSession, sf_dir: str) -> DataFrame
 
     files = read_iceberg_live_files(dest)
     dvs = read_iceberg_deletion_vectors(dest)
-    df = spark.read.parquet(*files).select(
-        "*",
-        # _metadata.file_path URIs vary ("file:/x" vs "file:///x"): strip
-        # the scheme down to the plain absolute path the DV metadata keys
-        F.regexp_replace(
-            F.col("_metadata.file_path"), r"^file:(//)?", ""
-        ).alias("__fp"),
-        F.col("_metadata.row_index").alias("__ri"),
-    )
-    pairs = [(f, int(p)) for f, ps in dvs.items() for p in ps]
-    if pairs:
-        dv_df = spark.createDataFrame(pairs, "__fp STRING, __ri BIGINT")
-        df = df.join(F.broadcast(dv_df), ["__fp", "__ri"], "left_anti")
-    return df.drop("__fp", "__ri").withColumn(
+    df = _mask_dv_rows(spark.read.parquet(*files), dvs)
+    return df.withColumn(
         "o_totalprice", F.col("o_totalprice").cast("double")
     )
 
@@ -830,25 +923,7 @@ def ingest_export_keyindex_lookup(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("o_orderkey").isin(keys)
     )
     dvs = read_iceberg_deletion_vectors(dest)
-    pruned_set = set(lookup["files"])
-    pairs = [
-        (f, int(p))
-        for f, ps in dvs.items()
-        if f in pruned_set
-        for p in ps
-    ]
-    if pairs:
-        df = df.select(
-            "*",
-            F.regexp_replace(
-                F.col("_metadata.file_path"), r"^file:(//)?", ""
-            ).alias("__fp"),
-            F.col("_metadata.row_index").alias("__ri"),
-        )
-        dv_df = spark.createDataFrame(pairs, "__fp STRING, __ri BIGINT")
-        df = df.join(F.broadcast(dv_df), ["__fp", "__ri"], "left_anti").drop(
-            "__fp", "__ri"
-        )
+    df = _mask_dv_rows(df, dvs, files=set(lookup["files"]))
     return df.withColumn(
         "o_totalprice", F.col("o_totalprice").cast("double")
     )
@@ -951,11 +1026,9 @@ def ingest_kafka_wire_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no rows through the driver); the ingestor's offset-monotone LSN
     floor keeps replays idempotent — the same contract the file-queue
     and REST-journal paths prove."""
-    from moonlink_spark.sources.avro_binary import encode_datum
     from moonlink_spark.sources.kafka_wire import (
         KafkaWireBroker,
         KafkaWireConsumer,
-        KafkaWireProducer,
     )
     from moonlink_spark.sources.queue import AvroQueueIngestor
 
@@ -967,26 +1040,7 @@ def ingest_kafka_wire_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     broker = KafkaWireBroker(_tmp_table_dir("kafkalogs")).start()
     try:
         host, port, schema = broker.host, broker.port, _EVENTS_AVRO_SCHEMA
-
-        def _produce_partition(rows) -> None:
-            prod = None
-            batch = []
-            for r in rows:
-                if prod is None:
-                    prod = KafkaWireProducer(host, port)
-                d = r.asDict()
-                batch.append(
-                    (str(d["event_id"]).encode(), encode_datum(schema, d))
-                )
-                if len(batch) >= 2000:
-                    prod.send("events", batch)
-                    batch = []
-            if prod is not None:
-                if batch:
-                    prod.send("events", batch)
-                prod.close()
-
-        subset.foreachPartition(_produce_partition)
+        subset.foreachPartition(_wire_producer_fn(host, port, schema))
 
         t = MoonlinkTable.create(
             spark,
@@ -995,12 +1049,14 @@ def ingest_kafka_wire_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             IdentityProp.single("event_id"),
         )
         consumer = KafkaWireConsumer(host, port, "events", group="ingest")
-        ingestor = AvroQueueIngestor(t, consumer, schema)
-        stats = ingestor.drain_once(max_messages=1_000_000)
-        assert stats["messages"] > 0, "wire drain ingested nothing"
-        # a second drain must be a clean no-op (offset committed)
-        assert ingestor.drain_once()["messages"] == 0
-        consumer.close()
+        try:
+            ingestor = AvroQueueIngestor(t, consumer, schema)
+            stats = ingestor.drain_once(max_messages=1_000_000)
+            assert stats["messages"] > 0, "wire drain ingested nothing"
+            # a second drain must be a clean no-op (offset committed)
+            assert ingestor.drain_once()["messages"] == 0
+        finally:
+            consumer.close()
         return t.scan()
     finally:
         broker.stop()
@@ -1032,11 +1088,7 @@ def ingest_kafka_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from moonlink_spark.integrations.spark_datasource import (
         register_moonlink_source,
     )
-    from moonlink_spark.sources.avro_binary import encode_datum
-    from moonlink_spark.sources.kafka_wire import (
-        KafkaWireBroker,
-        KafkaWireProducer,
-    )
+    from moonlink_spark.sources.kafka_wire import KafkaWireBroker
 
     register_moonlink_source(spark)
     subset = (
@@ -1047,26 +1099,7 @@ def ingest_kafka_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     broker = KafkaWireBroker(_tmp_table_dir("kafkastream")).start()
     try:
         host, port, schema = broker.host, broker.port, _EVENTS_AVRO_SCHEMA
-
-        def _produce_partition(rows) -> None:
-            prod = None
-            batch = []
-            for r in rows:
-                if prod is None:
-                    prod = KafkaWireProducer(host, port)
-                d = r.asDict()
-                batch.append(
-                    (str(d["event_id"]).encode(), encode_datum(schema, d))
-                )
-                if len(batch) >= 2000:
-                    prod.send("events", batch)
-                    batch = []
-            if prod is not None:
-                if batch:
-                    prod.send("events", batch)
-                prod.close()
-
-        subset.foreachPartition(_produce_partition)
+        subset.foreachPartition(_wire_producer_fn(host, port, schema))
 
         name = f"kafka_feed_{_uuid.uuid4().hex[:8]}"
         q = (
@@ -1081,7 +1114,11 @@ def ingest_kafka_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        assert q.awaitTermination(180), "kafka stream did not drain"
+        try:
+            assert q.awaitTermination(180), "kafka stream did not drain"
+        finally:
+            if q.isActive:  # failed/timed out: don't leak a live query
+                q.stop()
         # offsets are broker-assigned in task-arrival order (not
         # deterministic across runs): return the decoded payload columns
         return spark.table(name).select(
@@ -1219,7 +1256,11 @@ def ingest_cdc_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(180), "CDC stream did not drain"
+    try:
+        assert q.awaitTermination(180), "CDC stream did not drain"
+    finally:
+        if q.isActive:  # failed/timed out: don't leak a live query
+            q.stop()
     return spark.table(name)
 
 
@@ -1249,11 +1290,8 @@ def ingest_copy_wire_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: rows never cross the driver (seeding is
     foreachPartition, the copy is mapInPandas over the shard plan); reader
     parallelism = shard_count, the reference's parallel-CTID-reader dial."""
-    from pyspark.sql import types as T
-
     from moonlink_spark.ingest.initial_copy import wire_initial_copy
     from moonlink_spark.pg_protocol import PgMockServer, PgWireClient
-    from moonlink_spark.schema import field_schema_to_struct
     from moonlink_spark.streaming.pipeline import apply_cdc_batch
 
     fields = [
@@ -1319,21 +1357,9 @@ def ingest_copy_wire_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         srv.stop()
 
     boundary = stats["boundary_lsn"]
-    row_type = field_schema_to_struct(fields)
-    row_struct = F.struct(
-        F.col("o_orderkey"), F.col("o_custkey"), F.col("o_orderstatus")
-    )
-    null_row = F.lit(None).cast(row_type)
-    null_xact = F.lit(None).cast("int")
 
     def ev(df, lsn, op, as_old=False):
-        return df.select(
-            F.lit(lsn).cast("bigint").alias("lsn"),
-            null_xact.alias("xact_id"),
-            F.lit(op).alias("op"),
-            (null_row if as_old else row_struct).alias("row"),
-            (row_struct if as_old else null_row).alias("old_row"),
-        )
+        return _cdc_events(df, fields, lsn, op, as_old)
 
     poison = ev(  # pre-boundary replay: floor MUST drop it
         base.filter(F.col("o_orderkey") % 4 == 0).withColumn(
@@ -1438,11 +1464,10 @@ def ingest_kafka_group_rebalance_scan(spark: SparkSession, sf_dir: str) -> DataF
     STREAM SOURCE (per-task offset-range fetches, Arrow batches; see
     MoonlinkKafkaStreamReader), with
     spark_datasource.kafka_jvm_reader_options as the JVM swap-in."""
-    from moonlink_spark.sources.avro_binary import decode_datum, encode_datum
+    from moonlink_spark.sources.avro_binary import decode_datum
     from moonlink_spark.sources.kafka_wire import (
         KafkaGroupConsumer,
         KafkaWireBroker,
-        KafkaWireProducer,
     )
 
     subset = (
@@ -1456,28 +1481,12 @@ def ingest_kafka_group_rebalance_scan(spark: SparkSession, sf_dir: str) -> DataF
     ).start()
     try:
         host, port, schema = broker.host, broker.port, _EVENTS_AVRO_SCHEMA
-
-        def _produce_partition(rows) -> None:
-            prod = None
-            batches: dict[int, list] = {0: [], 1: []}
-            for r in rows:
-                if prod is None:
-                    prod = KafkaWireProducer(host, port)
-                d = r.asDict()
-                p = int(d["event_id"]) % 2
-                batches[p].append(
-                    (str(d["event_id"]).encode(), encode_datum(schema, d))
-                )
-                if len(batches[p]) >= 2000:
-                    prod.send("events", batches[p], partition=p)
-                    batches[p] = []
-            if prod is not None:
-                for p, batch in batches.items():
-                    if batch:
-                        prod.send("events", batch, partition=p)
-                prod.close()
-
-        subset.foreachPartition(_produce_partition)
+        subset.foreachPartition(
+            _wire_producer_fn(
+                host, port, schema,
+                partitioner=lambda d: int(d["event_id"]) % 2,
+            )
+        )
 
         t = MoonlinkTable.create(
             spark,
@@ -1504,35 +1513,42 @@ def ingest_kafka_group_rebalance_scan(spark: SparkSession, sf_dir: str) -> DataF
         import threading as _t
 
         a = KafkaGroupConsumer(host, port, "events", group="grp")
-        a.ensure_active()
-        assert a.assigned == [0, 1]  # sole member holds both partitions
-        _ingest(a)  # drain a prefix alone
+        b = None
+        try:
+            a.ensure_active()
+            assert a.assigned == [0, 1]  # sole member holds both partitions
+            _ingest(a)  # drain a prefix alone
 
-        b = KafkaGroupConsumer(host, port, "events", group="grp")
-        joiner = _t.Thread(target=b.ensure_active)
-        joiner.start()
-        # keep A polling through the rebalance barrier (commit-then-move)
-        deadline = 30.0
-        import time as _time
+            b = KafkaGroupConsumer(host, port, "events", group="grp")
+            joiner = _t.Thread(target=b.ensure_active)
+            joiner.start()
+            # keep A polling through the rebalance barrier (commit-then-move)
+            deadline = 30.0
+            import time as _time
 
-        t0 = _time.time()
-        while (len(a.assigned) != 1 or joiner.is_alive()) and (
-            _time.time() - t0 < deadline
-        ):
-            _ingest(a)
-        joiner.join(timeout=10)
-        assert not joiner.is_alive(), "rebalance did not converge"
-        assert sorted(a.assigned + b.assigned) == [0, 1]
+            t0 = _time.time()
+            while (len(a.assigned) != 1 or joiner.is_alive()) and (
+                _time.time() - t0 < deadline
+            ):
+                _ingest(a)
+            joiner.join(timeout=10)
+            assert not joiner.is_alive(), "rebalance did not converge"
+            assert sorted(a.assigned + b.assigned) == [0, 1]
 
-        # converged: the small polls above exist to exercise
-        # commit-then-move repeatedly through the barrier; the bulk drain
-        # uses full-size polls (one table commit per ~10k messages)
-        idle = 0
-        while idle < 2:
-            n = _ingest(a, 10_000) + _ingest(b, 10_000)
-            idle = idle + 1 if n == 0 else 0
-        a.close()
-        b.close()
+            # converged: the small polls above exist to exercise
+            # commit-then-move repeatedly through the barrier; the bulk
+            # drain uses full-size polls (one table commit per ~10k
+            # messages)
+            idle = 0
+            while idle < 2:
+                n = _ingest(a, 10_000) + _ingest(b, 10_000)
+                idle = idle + 1 if n == 0 else 0
+        finally:
+            # close on failure too: a live member's heartbeat thread
+            # would otherwise keep running and mask the real failure
+            a.close()
+            if b is not None:
+                b.close()
         assert t.scan().count() == n_expected, "loss or dup through rebalance"
         return t.scan()
     finally:
@@ -1564,8 +1580,6 @@ def ingest_cached_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the cache is executor/process-local and byte-budgeted
     (LRU over unpinned entries); at 1000 nodes each holds only what it
     re-reads, and a 100 TB table's manifest+index hot set is MBs/node."""
-    import uuid as _uuid
-
     from moonlink_spark.table.fs import (
         InMemoryObjectStore,
         ObjectStoreFS,
@@ -1587,7 +1601,12 @@ def ingest_cached_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         cacheable=lambda p: "/_manifests/" in p
         or p.endswith(CACHEABLE_SUFFIXES),
     )
-    scheme = f"cachemem{_uuid.uuid4().hex[:8]}"
+    # FIXED scheme name: the registry is process-global with no
+    # unregister, so a per-run uuid scheme would pin every past run's
+    # object store + cache in memory for the session's lifetime;
+    # re-registering replaces the factory and the old store becomes
+    # collectable (review finding r9)
+    scheme = "cachememgate"
     register_fs_scheme(scheme, lambda path: cfs)
 
     base = _orders_df(spark, sf_dir)
