@@ -72,19 +72,13 @@ def _key_hash(key_cols: list[str]):
 
 def _rel_fp(table: "MoonlinkTable"):
     """Normalize ``_metadata.file_path`` to a table-root-relative path that
-    string-equals ``FileEntry.path`` in the manifest. Spark reports local
-    files as either ``file:///x`` or ``file:/x`` depending on version/path,
-    so strip both scheme spellings before the table root (literal replaces,
-    not regexp — this runs per indexed row)."""
-    return F.replace(
-        F.replace(
-            F.replace(F.col("_metadata.file_path"), F.lit("file://"), F.lit("")),
-            F.lit("file:"),
-            F.lit(""),
-        ),
-        F.lit(table.data_path + "/"),
-        F.lit(""),
-    )
+    string-equals ``FileEntry.path`` in the manifest — the table's shared
+    anchored normalization (table.rel_fp_expr), so index entries for
+    external bulk-loaded files whose absolute path merely CONTAINS the
+    data root stay intact."""
+    from moonlink_spark.table.table import rel_fp_expr
+
+    return rel_fp_expr(table.data_path)
 
 
 def build_entries(

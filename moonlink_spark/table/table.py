@@ -76,6 +76,36 @@ def _parquet_num_rows(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def rel_fp_expr(data_path: str):
+    """Normalize ``_metadata.file_path`` to a data-root-relative path that
+    string-equals ``FileEntry.path`` in the manifest (external bulk-loaded
+    paths outside the root stay absolute — they never move with the
+    table). Spark reports local URIs as ``file:/x`` OR ``file:///x``
+    depending on path/Hadoop version; both collapse to the plain absolute
+    path. ANCHORED prefix strips, not substring replace: an external file
+    whose path merely CONTAINS the data root as an interior substring must
+    stay intact, or two distinct files could normalize to the same ``__fp``
+    and one's DV would kill the other's rows. startswith + substr stay
+    literal (no regexp) — this runs per row on every positioned scan."""
+    raw_fp = F.col("_metadata.file_path")
+    no_scheme = (
+        F.when(
+            raw_fp.startswith("file://"),
+            raw_fp.substr(F.lit(8), F.length(raw_fp)),
+        )
+        .when(
+            raw_fp.startswith("file:"),
+            raw_fp.substr(F.lit(6), F.length(raw_fp)),
+        )
+        .otherwise(raw_fp)
+    )
+    prefix = data_path + "/"
+    return F.when(
+        no_scheme.startswith(prefix),
+        no_scheme.substr(F.lit(len(prefix) + 1), F.length(no_scheme)),
+    ).otherwise(no_scheme)
+
+
 class MoonlinkTable:
     """One versioned table rooted at ``path``."""
 
@@ -86,11 +116,18 @@ class MoonlinkTable:
 
         ensure_package_on_workers(spark)
         self.spark = spark
+        # file:// is the local filesystem by definition: strip the scheme
+        # so abspath() sees the real path — abspath('file:///tmp/t') would
+        # otherwise mangle it into '<cwd>/file:/tmp/t'
+        if path.startswith("file://"):
+            path = path[len("file://"):] or "/"
+        if data_path is not None and data_path.startswith("file://"):
+            data_path = data_path[len("file://"):] or "/"
         # resolve the FS on the RAW path: abspath() would mangle an
         # object-store URI into a relative local path before the seam
         # could reject it (table/fs.py)
         fs_for(path)
-        has_scheme = "://" in path and not path.startswith("file://")
+        has_scheme = "://" in path
         self.path = path.rstrip("/") if has_scheme else os.path.abspath(path)
         self.store = ManifestStore(self.path)
         self.fs = self.store.fs
@@ -99,8 +136,11 @@ class MoonlinkTable:
         # address. For a local table they coincide. For an object-store
         # control plane (parity: the reference keeps table state behind
         # its accessor trait while parquet IO goes through the engine's
-        # own readers), pass ``data_path`` — a local staging dir or an
-        # s3a:// location the cluster's Hadoop connectors serve.
+        # own readers), pass ``data_path`` — a local staging dir, or a
+        # scheme registered via register_fs_scheme (the driver-side file
+        # adoption in the writers goes through that FS, so an unregistered
+        # scheme fails loudly here instead of issuing POSIX calls against
+        # the URI).
         if data_path is None:
             if has_scheme:
                 raise TableConfigError(
@@ -114,9 +154,9 @@ class MoonlinkTable:
             if "://" in data_path
             else os.path.abspath(data_path)
         )
-        from moonlink_spark.table.fs import LocalFS
-
-        self.data_fs = self.fs if self.data_path == self.path else LocalFS()
+        self.data_fs = (
+            self.fs if self.data_path == self.path else fs_for(self.data_path)
+        )
         self._pending: list[tuple] = []
         self._lock = threading.RLock()
         # recovery telemetry: opening an EXISTING table loads its current
@@ -273,7 +313,14 @@ class MoonlinkTable:
                 # mem-slice full: flush to a data file now (parity
                 # should_flush / flush, mooncake_table.rs:1317-1369)
                 buffered = self._pending.pop()[1]
-                files = self._write_rows_file(buffered)
+                try:
+                    files = self._write_rows_file(buffered)
+                except BaseException:
+                    # a failed flush must not lose the rows buffered by
+                    # EARLIER append_rows calls — restore the op so the
+                    # caller's retry/commit still covers them
+                    self._pending.append(("append_rows", buffered))
+                    raise
                 self._pending.append(("append_files", files))
 
     def append_df(self, df: DataFrame) -> None:
@@ -331,7 +378,13 @@ class MoonlinkTable:
         if not rows:
             return
         with self._lock:
-            self._pending.append(("delete_rows", rows, True))
+            # DISTINCT list objects: append_rows coalesces later appends
+            # into the last op's list in place, so sharing one list here
+            # would silently grow the staged delete with every
+            # subsequently appended row's key — a plain insert after an
+            # upsert (the REST event-loop shape) would then delete the
+            # pre-existing row it was only meant to append next to.
+            self._pending.append(("delete_rows", list(rows), True))
             self._pending.append(("append_rows", rows))
 
     def delete_keys_df(self, keys_df: DataFrame) -> None:
@@ -381,15 +434,23 @@ class MoonlinkTable:
         entries = []
         for p in paths:
             p = os.path.abspath(p)
+            # footer stats ride along (the footer is already being read
+            # for the row count), so bulk-loaded files participate in
+            # min/max file pruning like every internally written file
+            stats = collect_file_stats(p)
             if copy:
                 name = f"{DATA_DIR}/load-{uuid.uuid4().hex}.parquet"
                 self.data_fs.copyfile(p, os.path.join(self.data_path, name))
                 entries.append(
-                    FileEntry(name, _parquet_num_rows(p), os.path.getsize(p))
+                    FileEntry(
+                        name, _parquet_num_rows(p), os.path.getsize(p), stats
+                    )
                 )
             else:
                 entries.append(
-                    FileEntry(p, _parquet_num_rows(p), os.path.getsize(p))
+                    FileEntry(
+                        p, _parquet_num_rows(p), os.path.getsize(p), stats
+                    )
                 )
         with self._lock:
             self._pending.append(("append_files", entries))
@@ -578,14 +639,27 @@ class MoonlinkTable:
             .groupBy(*data_cols)
             .agg(F.count(F.lit(1)).alias("__n"))
         )
-        return self._match_fullrow_dv(live, data_cols, del_df)
+        return self._match_fullrow_dv(
+            live,
+            data_cols,
+            del_df,
+            require_all=0 if if_exists else len(rows),
+        )
 
     def _match_fullrow_dv(
-        self, live: DataFrame, data_cols: list[str], del_df: DataFrame
+        self,
+        live: DataFrame,
+        data_cols: list[str],
+        del_df: DataFrame,
+        require_all: int = 0,
     ) -> list[FileEntry]:
         """Positional DV for full_row deletes: ``del_df`` carries the data
         columns plus ``__n`` (occurrences to kill per distinct row); a
-        window by (file, position) picks the first __n matches."""
+        window by (file, position) picks the first __n matches.
+        ``require_all`` > 0 enforces the strict-delete contract: fewer
+        matches than requested occurrences raises IdentityError (the
+        reference errors on missing rows for non-if-exists deletes), same
+        as the key-identity branch."""
         cond = None
         for c in data_cols:
             e = live[c].eqNullSafe(del_df[c])
@@ -598,6 +672,12 @@ class MoonlinkTable:
             .filter(F.col("__rn") <= F.col("__n"))
             .select("__fp", "__ri")
         )
+        if require_all:
+            n = matched.count()
+            if n < require_all:
+                raise IdentityError(
+                    f"{require_all - n} delete rows matched no live row"
+                )
         return self._write_dv(matched)
 
     def _index_file_subset(
@@ -826,20 +906,10 @@ class MoonlinkTable:
         need_pos = with_pos or bool(m.delete_files)
         if need_pos:
             # __fp is stored in DV files: normalize the absolute
-            # ``_metadata.file_path`` URI to a table-root-relative path so a
-            # relocated table directory still anti-joins its old DVs
-            # (external load_files paths, outside the root, stay absolute —
-            # they never move with the table). Literal replace, not regexp:
-            # this runs per row on every positioned scan.
-            rel_fp = F.replace(
-                F.replace(
-                    F.col("_metadata.file_path"),
-                    F.lit("file://"),
-                    F.lit(""),
-                ),
-                F.lit(self.data_path + "/"),
-                F.lit(""),
-            )
+            # ``_metadata.file_path`` URI to a table-root-relative path so
+            # a relocated table directory still anti-joins its old DVs
+            # (see rel_fp_expr for the anchoring rules)
+            rel_fp = rel_fp_expr(self.data_path)
             df = df.select(
                 "*",
                 rel_fp.alias("__fp"),
@@ -949,13 +1019,31 @@ class MoonlinkTable:
             # INSIDE each file, so parquet row-group min/max become
             # selective too — pushed filters then skip row groups within
             # the files that manifest-level pruning cannot drop entirely
+        return self._adopt_tmp_files(df, f"{DATA_DIR}/part", with_stats=True)
+
+    def _write_dv(self, matched: DataFrame) -> list[FileEntry]:
+        """Persist position deletes (file_path, row_index) as parquet."""
+        matched = matched.select(
+            F.col("__fp").alias("file_path"), F.col("__ri").alias("row_index")
+        )
+        # no footer stats for DVs: pruning works on data-column min/max,
+        # which a (file_path, row_index) sidecar doesn't carry
+        return self._adopt_tmp_files(matched, f"{DELETE_DIR}/dv", with_stats=False)
+
+    def _adopt_tmp_files(
+        self, df: DataFrame, rel_prefix: str, with_stats: bool
+    ) -> list[FileEntry]:
+        """Spark-write ``df`` into a temp dir, then adopt each non-empty
+        parquet part into the data plane under ``rel_prefix`` (rename,
+        same volume) — the single writer-side adoption loop shared by
+        data files and DV sidecars."""
         tmp = os.path.join(self.data_path, f"_tmp-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(tmp)
         entries = []
         for name in sorted(self.data_fs.listdir(tmp)):
             if not name.endswith(".parquet"):
                 continue
-            rel = f"{DATA_DIR}/part-{uuid.uuid4().hex}.parquet"
+            rel = f"{rel_prefix}-{uuid.uuid4().hex}.parquet"
             dst = os.path.join(self.data_path, rel)
             self.data_fs.rename(os.path.join(tmp, name), dst)
             rows = _parquet_num_rows(dst)
@@ -963,30 +1051,13 @@ class MoonlinkTable:
                 self.data_fs.unlink(dst)
                 continue
             entries.append(
-                FileEntry(rel, rows, self.data_fs.getsize(dst), collect_file_stats(dst))
+                FileEntry(
+                    rel,
+                    rows,
+                    self.data_fs.getsize(dst),
+                    collect_file_stats(dst) if with_stats else None,
+                )
             )
-        self.data_fs.rmtree(tmp)
-        return entries
-
-    def _write_dv(self, matched: DataFrame) -> list[FileEntry]:
-        """Persist position deletes (file_path, row_index) as parquet."""
-        matched = matched.select(
-            F.col("__fp").alias("file_path"), F.col("__ri").alias("row_index")
-        )
-        tmp = os.path.join(self.data_path, f"_tmp-{uuid.uuid4().hex}")
-        matched.write.mode("overwrite").parquet(tmp)
-        entries = []
-        for name in sorted(self.data_fs.listdir(tmp)):
-            if not name.endswith(".parquet"):
-                continue
-            rel = f"{DELETE_DIR}/dv-{uuid.uuid4().hex}.parquet"
-            dst = os.path.join(self.data_path, rel)
-            self.data_fs.rename(os.path.join(tmp, name), dst)
-            rows = _parquet_num_rows(dst)
-            if rows == 0:
-                self.data_fs.unlink(dst)
-                continue
-            entries.append(FileEntry(rel, rows, self.data_fs.getsize(dst)))
         self.data_fs.rmtree(tmp)
         return entries
 
@@ -1046,7 +1117,9 @@ class MoonlinkTable:
                 operation="alter",
                 properties=base.properties,
             )
-            self.store.commit(m)
+            # maintenance commit: a schema change adds no data, so callers
+            # may legally stamp it with the CURRENT source LSN
+            self.store.commit(m, allow_equal_lsn=True)
             return m.version
 
 

@@ -369,3 +369,114 @@ def test_export_snapshot_readable_by_duckdb(spark, tmp_path):
     t2.load_files(sorted(glob.glob(f"{dest}/*.parquet")))
     t2.commit(lsn=1)
     assert t2.scan().count() == 7
+
+
+def test_append_after_upsert_does_not_grow_staged_delete(spark, tmp_path):
+    """Review finding (r9): upsert_rows staged the SAME list object in its
+    delete and append ops, so a later append_rows (which coalesces into
+    the last op's list in place — the REST event-loop shape of upsert
+    followed by insert) silently added the appended keys to the pending
+    delete and destroyed the pre-existing row."""
+    t = make_users(spark, tmp_path)
+    t.append_rows([{"id": 2, "name": "old", "email": None, "age": 20}])
+    t.commit(lsn=1)
+    t.upsert_rows([{"id": 1, "name": "new", "email": None, "age": 30}])
+    t.append_rows([{"id": 2, "name": "dup", "email": None, "age": 40}])
+    t.commit(lsn=2)
+    names = sorted(r.name for r in t.scan().collect())
+    assert names == ["dup", "new", "old"], names  # old row survived
+
+
+def test_fullrow_strict_delete_raises_on_missing(spark, tmp_path):
+    """Review finding (r9): the full_row branch ignored if_exists, so
+    strict deletes (update_rows' delete leg) silently no-opped on missing
+    rows instead of raising like the key-identity branch."""
+    t = make_users(spark, tmp_path, identity=IdentityProp.full_row())
+    row = {"id": 1, "name": "a", "email": None, "age": 10}
+    ghost = {"id": 9, "name": "ghost", "email": None, "age": 99}
+    t.append_rows([row])
+    t.commit(lsn=1)
+    t.delete_rows([ghost])  # if_exists=True: fine, no-op
+    t.commit(lsn=2)
+    assert t.scan().count() == 1
+    t.delete_rows([ghost], if_exists=False)
+    with pytest.raises(IdentityError, match="matched no live row"):
+        t.commit(lsn=3)
+    t._pending.clear()  # drop the failed strict delete before moving on
+    # strict delete of a PRESENT row still works
+    t.delete_rows([row], if_exists=False)
+    t.commit(lsn=4)
+    assert t.scan().count() == 0
+
+
+def test_file_uri_table_path_resolves_locally(spark, tmp_path):
+    """Review finding (r9): file:// paths classified as local but never
+    stripped — abspath mangled them into a cwd-relative 'file:' dir."""
+    t = MoonlinkTable.create(
+        spark,
+        f"file://{tmp_path}/furi",
+        USERS_SCHEMA,
+        IdentityProp.single("id"),
+    )
+    assert t.path == str(tmp_path / "furi")
+    t.append_rows([{"id": 1, "name": "a", "email": None, "age": 1}])
+    t.commit(lsn=1)
+    # plain-path open sees the same table
+    t2 = MoonlinkTable.open(spark, str(tmp_path / "furi"))
+    assert t2.scan().count() == 1
+
+
+def test_alter_accepts_current_lsn(spark, tmp_path):
+    """Review finding (r9): alter is a maintenance commit (adds no data),
+    so stamping it with the CURRENT source LSN must be legal — optimize
+    and index builds already pass allow_equal_lsn."""
+    t = make_users(spark, tmp_path)
+    t.append_rows([{"id": 1, "name": "a", "email": None, "age": 1}])
+    t.commit(lsn=7)
+    t.alter(add_columns=[{"name": "extra", "data_type": "string"}], lsn=7)
+    assert "extra" in t.schema.fieldNames()
+    assert t.last_lsn == 7
+
+
+def test_load_files_carry_footer_stats_for_pruning(spark, tmp_path):
+    """Review finding (r9): bulk-loaded files got stats=None, permanently
+    exempting them from min/max file pruning."""
+    src = tmp_path / "ext"
+    spark.createDataFrame(
+        [(i, f"n{i}", None, i) for i in range(100)],
+        "id INT, name STRING, email STRING, age INT",
+    ).coalesce(1).write.parquet(str(src))
+    parts = [str(p) for p in src.glob("*.parquet")]
+    t = make_users(spark, tmp_path)
+    t.load_files(parts)
+    t.commit(lsn=1)
+    entry = t.manifest.data_files[0]
+    assert entry.stats, "bulk-loaded file has no footer stats"
+    assert entry.stats["id"] == [0, 99]
+
+
+def test_dv_normalization_is_prefix_anchored(spark, tmp_path):
+    """Review finding (r9): __fp normalization used unanchored substring
+    replace, so an external file whose path CONTAINS the data root as an
+    interior substring collapsed onto another file's __fp and one file's
+    DV killed the other's rows."""
+    t = MoonlinkTable.create(
+        spark, str(tmp_path / "t1"), USERS_SCHEMA, IdentityProp.single("id")
+    )
+    # external file at <tmp>/backup/<data_root>/f.parquet: contains the
+    # data root as an interior substring
+    inner = tmp_path / "backup" / str(tmp_path / "t1").lstrip("/")
+    inner.mkdir(parents=True)
+    spark.createDataFrame(
+        [(1, "ext", None, 1)], "id INT, name STRING, email STRING, age INT"
+    ).coalesce(1).write.parquet(str(inner / "ext"))
+    parts = [str(p) for p in (inner / "ext").glob("*.parquet")]
+    t.load_files(parts)
+    t.append_rows([{"id": 2, "name": "int", "email": None, "age": 2}])
+    t.commit(lsn=1)
+    assert t.scan().count() == 2
+    # delete ONLY the internal row; the external row must survive
+    t.delete_rows([{"id": 2}])
+    t.commit(lsn=2)
+    names = [r.name for r in t.scan().collect()]
+    assert names == ["ext"], names
