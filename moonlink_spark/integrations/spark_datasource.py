@@ -42,8 +42,50 @@ from pyspark.sql.datasource import (
 )
 
 
-def _plan(options: dict) -> tuple[bytes, list[tuple[str, tuple[int, ...]]]]:
-    """Driver-side: (arrow schema IPC bytes, [(file, deleted_positions)]).
+def _release_scan_pin(host: str, port: int, db: str, table: str) -> None:
+    """Best-effort scan_table_end over a fresh connection (pins are
+    server-global by (db, table), not per-connection). The server being
+    gone means the pin is gone too — nothing to release."""
+    try:
+        from moonlink_spark.rpc import MoonlinkRpcClient
+
+        c = MoonlinkRpcClient(host, port)
+        try:
+            c.scan_table_end(db, table)
+        finally:
+            c.close()
+    except Exception:
+        pass
+
+
+class _ScanPin:
+    """Keeps the RPC scan snapshot pinned for the PLAN CONSUMER's
+    lifetime: the driver-side holder releases via a GC finalizer after
+    the read completes — releasing at plan time (the old behavior) let
+    the serving backend reclaim the snapshot's files before any executor
+    had read a byte (the reference's table_provider.rs holds its scan
+    until Drop). Pickled copies (the reader ships to executors) carry NO
+    finalizer, so only the driver's original releases."""
+
+    def __init__(self, host: str, port: int, db: str, table: str):
+        import weakref
+
+        self._args = (host, port, db, table)
+        self._finalizer = weakref.finalize(self, _release_scan_pin, *self._args)
+
+    def __getstate__(self):
+        return self._args
+
+    def __setstate__(self, args):
+        self._args = args  # no finalizer on unpickled copies
+
+
+def _plan(
+    options: dict,
+) -> tuple[bytes, list[tuple[str, tuple[int, ...], Any]], Any]:
+    """Driver-side: (arrow schema IPC bytes, [(file, deleted_positions,
+    stats)], pin). ``pin`` keeps the RPC scan snapshot alive while the
+    plan is consumed (None for the server-less path).
 
     Two transports, same plan shape: with ``path`` the manifests are read
     directly (server-less — any Spark session on storage that holds the
@@ -52,7 +94,8 @@ def _plan(options: dict) -> tuple[bytes, list[tuple[str, tuple[int, ...]]]]:
     import pyarrow as pa
 
     if "path" in options:
-        return _plan_local(options)
+        ipc, parts = _plan_local(options)
+        return ipc, parts, None
 
     from moonlink_spark.rpc import MoonlinkRpcClient
 
@@ -74,13 +117,12 @@ def _plan(options: dict) -> tuple[bytes, list[tuple[str, tuple[int, ...]]]]:
             (path, tuple(sorted(per_file.get(i, ()))), None)
             for i, path in enumerate(blob.data_files)
         ]
-        client.scan_table_end(db, table)
     finally:
         client.close()
     sink = pa.BufferOutputStream()
     with pa.ipc.new_stream(sink, schema):
         pass
-    return sink.getvalue().to_pybytes(), parts
+    return sink.getvalue().to_pybytes(), parts, _ScanPin(host, port, db, table)
 
 
 def _plan_local(options: dict) -> tuple[bytes, list[tuple[str, tuple[int, ...]]]]:
@@ -194,8 +236,10 @@ class MoonlinkFilePartition(InputPartition):
 
 
 class MoonlinkDataSourceReader(DataSourceReader):
-    def __init__(self, options: dict):
-        self._schema_ipc, self._parts = _plan(options)
+    def __init__(self, options: dict, plan=None):
+        # reuse the DataSource's cached plan (schema() already planned)
+        # instead of re-running the whole RPC conversation / DV reads
+        self._schema_ipc, self._parts, self._pin = plan or _plan(options)
         self._prune = None
 
     def pushFilters(self, filters):
@@ -229,6 +273,10 @@ class MoonlinkDataSourceReader(DataSourceReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        if partition is None:
+            # pyspark substitutes [None] when partitions() returns an
+            # empty list (empty table, or every file pruned): zero rows
+            return
         with pa.ipc.open_stream(partition.schema_ipc) as r:
             target = r.schema
         deleted = set(partition.deleted)
@@ -279,12 +327,29 @@ class MoonlinkDataSource(DataSource):
         import pyarrow as pa
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        ipc, _ = _plan(self.options)
-        with pa.ipc.open_stream(ipc) as r:
+        plan = self._cached_plan()
+        with pa.ipc.open_stream(plan[0]) as r:
             return from_arrow_schema(r.schema)
 
+    def _cached_plan(self):
+        # plan ONCE per load(): schema() (driver-side) + reader() (in
+        # Spark's planning worker, on the UNPICKLED copy carrying this
+        # cache) reuse one plan, so the RPC conversation / DV parquet
+        # reads run once and the reader serves exactly the snapshot
+        # whose schema Spark saw. The plan pickles with the instance;
+        # the scan pin's release finalizer stays with the driver-side
+        # original (_ScanPin drops it on unpickle), so the pin spans
+        # the query instead of ending at plan time.
+        plan = getattr(self, "_plan_cache", None)
+        if plan is None:
+            plan = _plan(self.options)
+            self._plan_cache = plan
+        return plan
+
     def reader(self, schema) -> MoonlinkDataSourceReader:
-        return MoonlinkDataSourceReader(dict(self.options))
+        return MoonlinkDataSourceReader(
+            dict(self.options), plan=self._cached_plan()
+        )
 
     def writer(self, schema, overwrite: bool) -> "MoonlinkBatchWriter":
         if overwrite:
@@ -515,10 +580,17 @@ class MoonlinkStreamReader(SimpleDataSourceStreamReader):
 
 
 class MoonlinkCommitMessage(WriterCommitMessage):
-    def __init__(self, rel_path: str | None, rows: int, size: int):
+    def __init__(
+        self,
+        rel_path: str | None,
+        rows: int,
+        size: int,
+        stats: dict | None = None,
+    ):
         self.rel_path = rel_path
         self.rows = rows
         self.size = size
+        self.stats = stats  # per-column [min, max] for file pruning
 
 
 class MoonlinkStreamWriter(DataSourceStreamWriter):
@@ -542,8 +614,6 @@ class MoonlinkStreamWriter(DataSourceStreamWriter):
     batch is treated as the normal restart no-op."""
 
     def __init__(self, options: dict, schema):
-        from pyspark.sql.pandas.types import to_arrow_schema
-
         from moonlink_spark.table.identity import IdentityProp
 
         self.table_dir = options["path"]
@@ -564,13 +634,21 @@ class MoonlinkStreamWriter(DataSourceStreamWriter):
             raise ValueError(
                 f"stream sink schema mismatch: table has {want}, got {got}"
             )
-        self.arrow_schema = to_arrow_schema(schema)
+        # stage with the TABLE's arrow schema, not the input's: names
+        # matching is not types matching, and a parquet file written with
+        # the input's types (e.g. string id into an int64 table) commits
+        # cleanly and then poisons every subsequent scan. Building the
+        # arrow table against the table schema converts compatible values
+        # and fails LOUD in write() on incompatible ones.
+        self.arrow_schema = arrow_schema
 
     def write(self, iterator) -> "MoonlinkCommitMessage":
         import uuid as _uuid
 
         import pyarrow as pa
         import pyarrow.parquet as pq
+
+        from moonlink_spark.table.stats import collect_file_stats
 
         rows = [r.asDict() for r in iterator]
         if not rows:
@@ -580,7 +658,11 @@ class MoonlinkStreamWriter(DataSourceStreamWriter):
         full = os.path.join(self.data_path, rel)
         os.makedirs(os.path.dirname(full), exist_ok=True)
         pq.write_table(t, full)
-        return MoonlinkCommitMessage(rel, t.num_rows, os.path.getsize(full))
+        # footer stats ride the commit message so sink-written files
+        # participate in min/max pruning like every core write path
+        return MoonlinkCommitMessage(
+            rel, t.num_rows, os.path.getsize(full), collect_file_stats(full)
+        )
 
     def _staged(self, messages):
         return [m for m in messages if m is not None and m.rel_path]
@@ -604,7 +686,8 @@ class MoonlinkStreamWriter(DataSourceStreamWriter):
         store = ManifestStore(self.table_dir)
         base = store.latest()
         entries = [
-            FileEntry(m.rel_path, m.rows, m.size) for m in self._staged(messages)
+            FileEntry(m.rel_path, m.rows, m.size, getattr(m, "stats", None))
+            for m in self._staged(messages)
         ]
         props = {**base.properties, **properties_update}
         if "stream_writer_batches" in properties_update:

@@ -455,3 +455,88 @@ def test_kafka_jvm_reader_options_accepted_by_jvm_source(spark, tmp_path):
         assert got == {(k.decode(), v.decode()) for k, v in feed}
     finally:
         broker.stop()
+
+
+def test_empty_table_and_fully_pruned_reads_return_zero_rows(spark, tmp_path):
+    """Review finding (r9): pyspark substitutes [None] when partitions()
+    is empty and calls read(None) — an empty table or a filter whose
+    stats prune every file crashed with AttributeError instead of
+    returning an empty DataFrame."""
+    register_moonlink_source(spark)
+    path = str(tmp_path / "t")
+    t = MoonlinkTable.create(spark, path, FIELDS, IdentityProp.single("id"))
+    # empty table: no data files at all
+    df = spark.read.format("moonlink").option("path", path).load()
+    assert df.count() == 0
+    # all files pruned by the pushed filter's stats
+    t.append_rows([{"id": i, "v": "x"} for i in range(10)])
+    t.commit(lsn=1)
+    df = (
+        spark.read.format("moonlink")
+        .option("path", path)
+        .load()
+        .filter("id > 1000")
+    )
+    assert df.count() == 0
+
+
+def test_sink_rejects_type_mismatched_input(spark, tmp_path):
+    """Review finding (r9): the sink validated only column NAMES and
+    staged parquet with the input's types, so a string 'id' against an
+    int64 table committed a file that poisoned every later scan. Staging
+    now builds against the TABLE schema and fails loud in write()."""
+    register_moonlink_source(spark)
+    path = str(tmp_path / "t")
+    MoonlinkTable.create(spark, path, FIELDS, IdentityProp.none())
+    bad = spark.createDataFrame(
+        [("not-a-number", "v0")],
+        T.StructType(
+            [
+                T.StructField("id", T.StringType(), False),
+                T.StructField("v", T.StringType(), True),
+            ]
+        ),
+    )
+    with pytest.raises(Exception, match="(?i)convert|cast|invalid|type"):
+        bad.write.format("moonlink").mode("append").option(
+            "path", path
+        ).save()
+    # nothing committed, table still scans clean
+    t = MoonlinkTable.open(spark, path)
+    assert t.scan().count() == 0
+    assert t.manifest.version == 0
+    # compatible values through a differently-typed frame still land
+    ok = spark.createDataFrame(
+        [(7, "v7")],
+        T.StructType(
+            [
+                T.StructField("id", T.IntegerType(), False),  # int32 -> int64
+                T.StructField("v", T.StringType(), True),
+            ]
+        ),
+    )
+    ok.write.format("moonlink").mode("append").option("path", path).save()
+    assert MoonlinkTable.open(spark, path).scan().count() == 1
+
+
+def test_sink_written_files_carry_stats_and_prune(spark, tmp_path):
+    """Review finding (r9): sink commits built FileEntry without footer
+    stats, so sink-written files were permanently unprunable."""
+    register_moonlink_source(spark)
+    path = str(tmp_path / "t")
+    MoonlinkTable.create(spark, path, FIELDS, IdentityProp.none())
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    spark.createDataFrame(
+        [(i, "x") for i in range(100)], schema
+    ).coalesce(1).write.format("moonlink").mode("append").option(
+        "path", path
+    ).save()
+    t = MoonlinkTable.open(spark, path)
+    entries = [f for f in t.manifest.data_files]
+    assert entries and all(e.stats for e in entries), "sink files lack stats"
+    assert entries[0].stats["id"] == [0, 99]
