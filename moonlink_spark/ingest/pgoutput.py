@@ -431,10 +431,15 @@ def spool_lines(events: Iterable[CdcEvent]) -> Iterator[str]:
             buf = []
             continue
         if ev.op == "commit":
-            for dml in buf:
+            for i, dml in enumerate(buf):
                 yield json.dumps(
                     {
                         "lsn": ev.lsn,
+                        # within-transaction statement index: every DML
+                        # row shares the COMMIT LSN, so the consumer
+                        # needs seq to order same-key events of one
+                        # transaction (apply_cdc_batch's tie-break)
+                        "seq": i,
                         "xact_id": None,
                         "op": dml.op,
                         "row": _row_json(dml.row),

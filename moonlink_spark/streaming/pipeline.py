@@ -34,16 +34,25 @@ LAST_BATCH_PROP = "streaming.last_batch_id"
 LAST_LSN_PROP = "streaming.last_event_lsn"
 
 
-def cdc_event_schema(row_schema: T.StructType) -> T.StructType:
-    return T.StructType(
-        [
-            T.StructField("lsn", T.LongType(), False),
-            T.StructField("xact_id", T.IntegerType(), True),
-            T.StructField("op", T.StringType(), False),
-            T.StructField("row", row_schema, True),
-            T.StructField("old_row", row_schema, True),
-        ]
-    )
+def cdc_event_schema(
+    row_schema: T.StructType, with_seq: bool = False
+) -> T.StructType:
+    """``with_seq`` adds the optional within-transaction sequence column
+    (``seq``): committed transactions stamp every DML row with the same
+    COMMIT LSN, so a batch that touches one key twice in one transaction
+    needs seq to order the events — the spool producer
+    (ingest/pgoutput.spool_lines) stamps it; absent/NULL seq falls back
+    to op-precedence (see apply_cdc_batch)."""
+    fields = [
+        T.StructField("lsn", T.LongType(), False),
+        T.StructField("xact_id", T.IntegerType(), True),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("row", row_schema, True),
+        T.StructField("old_row", row_schema, True),
+    ]
+    if with_seq:
+        fields.append(T.StructField("seq", T.LongType(), True))
+    return T.StructType(fields)
 
 
 _ROWS_PER_OUTPUT_FILE = 1_000_000
@@ -54,15 +63,58 @@ def _fan_in(n_rows: int, cap: int = 64) -> int:
     return max(1, min(cap, -(-n_rows // _ROWS_PER_OUTPUT_FILE)))
 
 
+def _winner_events(
+    batch_df: DataFrame, key_cols: list[str], min_lsn: int
+) -> DataFrame:
+    """Per-identity-key winner of a CDC batch: events at or below the
+    ``min_lsn`` floor are dropped, then the highest (lsn, seq,
+    op-precedence) event wins per key. ``seq`` (the within-transaction
+    statement index — same-transaction events share one COMMIT LSN) is
+    used when the batch carries it; without it, ties break by
+    op-precedence with delete highest — the conservative reading, since
+    resurrecting a deleted row is the worse failure. Keeps ``old_row``
+    keys so key-changing updates can delete the OLD key's row."""
+    ev = batch_df.filter(F.col("lsn") > min_lsn)
+    key_exprs = [
+        F.coalesce(F.col(f"row.{c}"), F.col(f"old_row.{c}")).alias(f"__k_{c}")
+        for c in key_cols
+    ]
+    old_key_exprs = [
+        F.col(f"old_row.{c}").alias(f"__ok_{c}") for c in key_cols
+    ]
+    order = [F.desc("lsn")]
+    keep = ["lsn", "op", "row"]
+    if "seq" in batch_df.columns:
+        order.append(F.desc_nulls_last("seq"))
+        keep.append("seq")
+    order.append(
+        F.when(F.col("op") == "delete", 2)
+        .when(F.col("op") == "update", 1)
+        .otherwise(0)
+        .desc()
+    )
+    ev = ev.select(*keep, *key_exprs, *old_key_exprs)
+    w = Window.partitionBy(*[f"__k_{c}" for c in key_cols]).orderBy(*order)
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def apply_cdc_batch(
     table: MoonlinkTable, batch_df: DataFrame, batch_id: int
 ) -> int | None:
     """Apply one micro-batch of CDC events as one atomic commit.
 
-    Set-based merge: per identity key keep only the event with the highest
-    (lsn, op-precedence); a final 'delete' wins as a delete, anything else as
-    an upsert. Idempotent across batch re-delivery via the batch-id guard
-    (exactly-once on top of at-least-once foreachBatch)."""
+    Set-based merge: per identity key keep only the winning event
+    (see _winner_events); a final 'delete' wins as a delete, anything
+    else as an upsert, and a key-changing update also deletes the OLD
+    key's row (the reference's CDC update = delete(old) + append(new),
+    pg_replicate/moonlink_sink.rs:295-326). Idempotent across batch
+    re-delivery via the batch-id guard (exactly-once on top of
+    at-least-once foreachBatch); a FAILED commit reverts everything this
+    call staged, so the replayed batch stages exactly once."""
     props = table.manifest.properties
     last_applied = int(props.get(LAST_BATCH_PROP, -1))
     if batch_id <= last_applied:
@@ -75,35 +127,61 @@ def apply_cdc_batch(
     data_cols = table.schema.fieldNames()
 
     min_lsn = int(props.get(LAST_LSN_PROP, 0))
-    ev = batch_df.filter(F.col("lsn") > min_lsn)
-
-    # normalize: key columns come from old_row for deletes/updates if the new
-    # row is absent
-    key_exprs = [
-        F.coalesce(F.col(f"row.{c}"), F.col(f"old_row.{c}")).alias(f"__k_{c}")
-        for c in key_cols
-    ]
-    ev = ev.select("lsn", "op", "row", *key_exprs)
-    w = Window.partitionBy(*[f"__k_{c}" for c in key_cols]).orderBy(F.desc("lsn"))
-    winner = ev.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
-    winner = winner.persist()
+    winner = _winner_events(batch_df, key_cols, min_lsn).persist()
+    mark = table.pending_mark()
     try:
-        deletes = winner.filter(F.col("op") == "delete").select(
-            *[F.col(f"__k_{c}").alias(c) for c in key_cols]
+        key_changed = F.lit(False)
+        for c in key_cols:
+            key_changed = key_changed | ~F.col(f"__ok_{c}").eqNullSafe(
+                F.col(f"__k_{c}")
+            )
+        has_old_key = F.lit(True)
+        for c in key_cols:
+            has_old_key = has_old_key & F.col(f"__ok_{c}").isNotNull()
+        is_key_change = (
+            (F.col("op") == "update") & has_old_key & key_changed
         )
-        upserts = winner.filter(F.col("op") != "delete").select(
-            *[F.col(f"row.{c}").alias(c) for c in data_cols]
+        deletes = (
+            winner.filter(F.col("op") == "delete")
+            .select(*[F.col(f"__k_{c}").alias(c) for c in key_cols])
+            .unionByName(
+                # key-changing update: the OLD key's row must die too
+                winner.filter(is_key_change).select(
+                    *[F.col(f"__ok_{c}").alias(c) for c in key_cols]
+                )
+            )
         )
-        # ONE driver action for (n_del, n_up, max_lsn) — at 1 s triggers the
-        # per-batch fixed cost is one Spark job, not three. The per-key
+        upserts = winner.filter(
+            (F.col("op") != "delete") & F.col("row").isNotNull()
+        ).select(*[F.col(f"row.{c}").alias(c) for c in data_cols])
+        # ONE driver action for the batch stats — at 1 s triggers the
+        # per-batch fixed cost is one Spark job, not four. The per-key
         # winner holding the globally largest lsn survives the window, so
         # max(lsn) over winners equals max over all events.
         stats = winner.agg(
             F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("n_del"),
-            F.sum(F.when(F.col("op") != "delete", 1).otherwise(0)).alias("n_up"),
+            F.sum(
+                F.when(
+                    (F.col("op") != "delete") & F.col("row").isNotNull(), 1
+                ).otherwise(0)
+            ).alias("n_up"),
+            F.sum(F.when(is_key_change, 1).otherwise(0)).alias("n_keychange"),
+            F.sum(
+                F.when(
+                    (F.col("op") != "delete") & F.col("row").isNull(), 1
+                ).otherwise(0)
+            ).alias("n_malformed"),
             F.max("lsn").alias("max_lsn"),
         ).collect()[0]
-        n_del, n_up = stats["n_del"] or 0, stats["n_up"] or 0
+        if stats["n_malformed"]:
+            # an insert/update without a new row is a producer bug; an
+            # all-NULL append (or a silent drop) would corrupt the table
+            raise ValueError(
+                f"{stats['n_malformed']} non-delete CDC events carry no "
+                "row payload"
+            )
+        n_del = (stats["n_del"] or 0) + (stats["n_keychange"] or 0)
+        n_up = stats["n_up"] or 0
         if n_del == 0 and n_up == 0:
             return None
         # Size-aware write fan-in: the exact batch counts are in hand, so
@@ -126,6 +204,13 @@ def apply_cdc_batch(
                 LAST_LSN_PROP: int(max_lsn),
             },
         )
+    except BaseException:
+        # a failed commit restores raw ops to the pending queue for the
+        # NON-streaming retry pattern; the streaming caller re-delivers
+        # the whole batch and re-stages, so OUR restored ops must go or
+        # the replay double-applies every row
+        table.discard_pending_since(mark)
+        raise
     finally:
         winner.unpersist()
 
@@ -153,6 +238,28 @@ class StreamingIngestor:
     ):
         if (source_dir is None) == (kafka_topic is None):
             raise ValueError("exactly one of source_dir / kafka_topic required")
+        if kafka_topic is not None and not kafka_bootstrap:
+            raise ValueError(
+                "kafka_topic requires kafka_bootstrap=<host:port>"
+            )
+        if sync_vecindex or sync_sigindex:
+            ident = table.identity
+            if ident.mode != "single":
+                raise ValueError(
+                    "sync_vecindex/sync_sigindex need a SINGLE-column "
+                    f"identity (vec_id/doc_id come from it); table has "
+                    f"identity {ident.mode}"
+                )
+            ktype = table.schema[ident.columns[0]].dataType
+            if not isinstance(
+                ktype,
+                (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+            ):
+                raise ValueError(
+                    "sync_vecindex/sync_sigindex need an integer identity "
+                    f"column; {ident.columns[0]} is {ktype.simpleString()} "
+                    "(a non-integer key would cast to NULL ids)"
+                )
         self.table = table
         self.source_dir = source_dir
         self.checkpoint_dir = checkpoint_dir
@@ -200,17 +307,52 @@ class StreamingIngestor:
             self._maintain_indexes(batch_df, batch_id)
         for mv in self.refresh_views:
             mv.refresh()
-        if version is not None and self.sync_iceberg:
-            from moonlink_spark.table.iceberg_export import export_iceberg
+        if self.sync_iceberg:
+            from moonlink_spark.table.iceberg_export import (
+                export_iceberg,
+                read_iceberg_sync,
+            )
 
-            export_iceberg(self.table, self.sync_iceberg)
-            if self.sync_catalog:
-                from moonlink_spark.table.rest_catalog import register_export
+            # NOT gated on version alone: a crash between the table
+            # commit and the export would otherwise skip the export on
+            # replay (version=None) until the next non-empty batch —
+            # indefinitely on a low-traffic stream. The sync sidecar's
+            # flush_lsn tells whether the export lags the table.
+            need = version is not None
+            if not need and self.table.last_lsn > 0:
+                sync = read_iceberg_sync(self.table)
+                need = sync is None or int(
+                    sync.get("flush_lsn", -1)
+                ) < int(self.table.last_lsn)
+            if need:
+                export_iceberg(self.table, self.sync_iceberg)
+                if self.sync_catalog:
+                    from moonlink_spark.table.rest_catalog import (
+                        register_export,
+                    )
 
-                url, ns, name = self.sync_catalog
-                register_export(url, ns, name, self.sync_iceberg)
+                    url, ns, name = self.sync_catalog
+                    register_export(url, ns, name, self.sync_iceberg)
         if self.on_batch:
             self.on_batch(batch_id, version)
+
+    def _index_lsn_floor(self, batch_id: int) -> int:
+        """The LSN floor THIS batch's events were judged against by
+        apply_cdc_batch: when the current manifest is this batch's own
+        commit, the floor lived in its PARENT (the post-commit floor
+        would filter out every event of the batch on the replay path);
+        otherwise the current floor applies."""
+        m = self.table.manifest
+        if (
+            int(m.properties.get(LAST_BATCH_PROP, -1)) == batch_id
+            and m.parent is not None
+        ):
+            try:
+                parent = self.table.store.read(m.parent)
+                return int(parent.properties.get(LAST_LSN_PROP, 0))
+            except Exception:
+                return 0  # parent vacuumed: index watermark bounds rework
+        return int(m.properties.get(LAST_LSN_PROP, 0))
 
     def _maintain_indexes(self, batch_df: DataFrame, batch_id: int) -> None:
         """Absorb this micro-batch into the configured persisted indexes.
@@ -221,7 +363,14 @@ class StreamingIngestor:
         work already landed is skipped here, and (b) a crash after the
         table commit but before index maintenance leaves the watermark
         lagging — the replay re-runs the maintenance instead of the old
-        version-gated path that skipped it forever."""
+        version-gated path that skipped it forever.
+
+        The indexed rows are the batch's WINNER inserts under the same
+        LSN floor the table apply used — raw events would index rows the
+        table itself dropped (pre-floor replays after an initial copy,
+        or an insert-then-delete of one key within the batch), violating
+        update_index's 'vec_ids not already indexed' contract with ghost
+        or duplicate entries."""
         from moonlink_spark.table import sigindex, vecindex
 
         need_vec = self.sync_vecindex is not None and (
@@ -240,58 +389,72 @@ class StreamingIngestor:
             "indexed_batch_id": int(batch_id),
             "as_of_lsn": int(self.table.last_lsn),
         }
-        split = batch_df.groupBy(F.col("op") == "insert").count().collect()
-        n_ins = sum(r["count"] for r in split if r[0])
-        n_other = sum(r["count"] for r in split if not r[0])
-        inserts = batch_df.filter(F.col("op") == "insert") if n_ins else None
-        if need_vec:
-            dest, col = self.sync_vecindex
-            if n_other:
-                # the watermark rides the LAST meta write for this batch;
-                # batch_id makes the stale count idempotent if a crash
-                # lands between this write and the watermark-carrying one
-                vecindex.mark_stale(
-                    dest,
-                    n_other,
-                    meta_update=None if n_ins else wm,
-                    batch_id=batch_id,
-                )
-            if n_ins:
-                vecindex.update_index(
-                    self.table.spark,
-                    inserts.select(
-                        F.col(f"row.{key}").cast("bigint").alias("vec_id"),
-                        F.col(f"row.{col}").alias("embedding"),
-                    ),
-                    dest,
-                    meta_update=wm,
-                )
-            if not n_ins and not n_other:
-                vecindex.note_indexed_batch(dest, batch_id)
-        if need_sig:
-            dest, col = self.sync_sigindex
-            if n_other:
-                sigindex.mark_stale(
-                    dest,
-                    n_other,
-                    meta_update=None if n_ins else wm,
-                    batch_id=batch_id,
-                )
-            if n_ins:
-                sigindex.update_index(
-                    inserts.select(
-                        F.col(f"row.{key}").cast("bigint").alias("doc_id"),
-                        F.col(f"row.{col}").alias("text"),
-                    ),
-                    dest,
-                    meta_update=wm,
-                )
-            if not n_ins and not n_other:
-                sigindex.note_indexed_batch(dest, batch_id)
+        winner = _winner_events(
+            batch_df,
+            list(self.table.identity.columns),
+            self._index_lsn_floor(batch_id),
+        ).persist()
+        try:
+            split = winner.groupBy(F.col("op") == "insert").count().collect()
+            n_ins = sum(r["count"] for r in split if r[0])
+            n_other = sum(r["count"] for r in split if not r[0])
+            inserts = (
+                winner.filter(F.col("op") == "insert") if n_ins else None
+            )
+            if need_vec:
+                dest, col = self.sync_vecindex
+                if n_other:
+                    # the watermark rides the LAST meta write for this
+                    # batch; batch_id makes the stale count idempotent if
+                    # a crash lands between this write and the
+                    # watermark-carrying one
+                    vecindex.mark_stale(
+                        dest,
+                        n_other,
+                        meta_update=None if n_ins else wm,
+                        batch_id=batch_id,
+                    )
+                if n_ins:
+                    vecindex.update_index(
+                        self.table.spark,
+                        inserts.select(
+                            F.col(f"__k_{key}").cast("bigint").alias("vec_id"),
+                            F.col(f"row.{col}").alias("embedding"),
+                        ),
+                        dest,
+                        meta_update=wm,
+                    )
+                if not n_ins and not n_other:
+                    vecindex.note_indexed_batch(dest, batch_id)
+            if need_sig:
+                dest, col = self.sync_sigindex
+                if n_other:
+                    sigindex.mark_stale(
+                        dest,
+                        n_other,
+                        meta_update=None if n_ins else wm,
+                        batch_id=batch_id,
+                    )
+                if n_ins:
+                    sigindex.update_index(
+                        inserts.select(
+                            F.col(f"__k_{key}").cast("bigint").alias("doc_id"),
+                            F.col(f"row.{col}").alias("text"),
+                        ),
+                        dest,
+                        meta_update=wm,
+                    )
+                if not n_ins and not n_other:
+                    sigindex.note_indexed_batch(dest, batch_id)
+        finally:
+            winner.unpersist()
 
     def start(self, available_now: bool = True, processing_time: str = "1 second"):
         spark: SparkSession = self.table.spark
-        schema = cdc_event_schema(self.table.schema)
+        # with_seq: producers that stamp the within-transaction sequence
+        # (pgoutput spool) get deterministic same-LSN ordering; events
+        # without it parse seq as NULL and fall back to op-precedence
+        schema = cdc_event_schema(self.table.schema, with_seq=True)
         if self.kafka_topic is not None:
             from moonlink_spark.sources.formats import kafka_available
 
@@ -327,9 +490,18 @@ class StreamingIngestor:
 
     def run_available(self, timeout_s: float = 120.0) -> None:
         """Process everything currently in the source dir, then stop
-        (used for tests and catch-up runs)."""
+        (used for tests and catch-up runs). Fails LOUD on timeout — a
+        caller proceeding on partial state while the query keeps
+        committing in the background is silent corruption."""
         q = self.start(available_now=True)
-        q.awaitTermination(timeout_s)
+        try:
+            if not q.awaitTermination(timeout_s):
+                raise TimeoutError(
+                    f"availableNow drain did not finish within {timeout_s}s"
+                )
+        finally:
+            if q.isActive:
+                q.stop()
 
 
 def initial_copy(

@@ -458,6 +458,24 @@ class MoonlinkTable:
     def has_pending(self) -> bool:
         return bool(self._pending)
 
+    def pending_mark(self) -> int:
+        """Checkpoint of the pending-op queue; pair with
+        :meth:`discard_pending_since` to atomically revert everything a
+        code block staged (a failed commit RESTORES raw ops to the
+        queue, so a caller that will re-stage on retry must drop its own
+        restored ops or the retry double-applies)."""
+        with self._lock:
+            return len(self._pending)
+
+    def discard_pending_since(self, mark: int) -> int:
+        """Drop every pending op staged after ``mark``; returns how many
+        were dropped."""
+        with self._lock:
+            dropped = len(self._pending) - mark
+            if dropped > 0:
+                del self._pending[mark:]
+            return max(0, dropped)
+
     # ------------------------------------------------------------------ #
     # commit
     # ------------------------------------------------------------------ #

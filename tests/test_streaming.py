@@ -286,3 +286,158 @@ def test_micro_batch_file_fanin(spark, tmp_path):
     assert t.scan().count() == 200
     # one commit, one small batch -> ONE data file (was: up to 32)
     assert len(t.manifest.data_files) == 1
+
+
+def _seq_ev(lsn, seq, op, row=None, old_row=None):
+    return {
+        "lsn": lsn,
+        "seq": seq,
+        "xact_id": None,
+        "op": op,
+        "row": row,
+        "old_row": old_row,
+    }
+
+
+def test_same_lsn_ties_respect_seq_and_delete_precedence(spark, tmp_path):
+    """Review finding (r9): committed transactions stamp every DML row
+    with the same COMMIT LSN, so per-key winners among tied events were
+    nondeterministic — an insert could resurrect a deleted row. With the
+    producer-stamped seq, statement order decides; without it, delete
+    wins the tie (the conservative fallback)."""
+    t = MoonlinkTable.create(
+        spark, str(tmp_path / "t"), USERS, IdentityProp.single("id")
+    )
+    schema = cdc_event_schema(t.schema, with_seq=True)
+    # one transaction (lsn=5): insert k1; delete k1; delete k2 then
+    # RE-insert k2 — net state: k1 absent, k2 present
+    t.append_rows([_row(2, "old2", 2)])
+    t.commit(lsn=1)
+    batch = spark.createDataFrame(
+        [
+            _seq_ev(5, 0, "insert", _row(1, "a", 1)),
+            _seq_ev(5, 1, "delete", old_row=_row(1, "a", 1)),
+            _seq_ev(5, 2, "delete", old_row=_row(2, "old2", 2)),
+            _seq_ev(5, 3, "insert", _row(2, "new2", 22)),
+        ],
+        schema,
+    )
+    apply_cdc_batch(t, batch, batch_id=0)
+    got = {r["id"]: r["name"] for r in t.scan().collect()}
+    assert got == {2: "new2"}, got
+
+    # WITHOUT seq: delete wins the tie (documented fallback) — the
+    # deleted row is never resurrected
+    t2 = MoonlinkTable.create(
+        spark, str(tmp_path / "t2"), USERS, IdentityProp.single("id")
+    )
+    t2.append_rows([_row(1, "live", 1)])
+    t2.commit(lsn=1)
+    batch2 = spark.createDataFrame(
+        [
+            _ev(5, "insert", _row(1, "zombie", 9)),
+            _ev(5, "delete", old_row=_row(1, "live", 1)),
+        ],
+        cdc_event_schema(t2.schema),
+    )
+    apply_cdc_batch(t2, batch2, batch_id=0)
+    assert t2.scan().count() == 0
+
+
+def test_key_changing_update_deletes_old_key(spark, tmp_path):
+    """Review finding (r9): an update whose replica identity changed the
+    key (old_row.id=1 -> row.id=2) left the old key's row live."""
+    t = MoonlinkTable.create(
+        spark, str(tmp_path / "t"), USERS, IdentityProp.single("id")
+    )
+    t.append_rows([_row(1, "a", 1), _row(3, "c", 3)])
+    t.commit(lsn=1)
+    batch = spark.createDataFrame(
+        [_ev(2, "update", _row(2, "a2", 2), _row(1, "a", 1))],
+        cdc_event_schema(t.schema),
+    )
+    apply_cdc_batch(t, batch, batch_id=0)
+    got = {r["id"]: r["name"] for r in t.scan().collect()}
+    assert got == {2: "a2", 3: "c"}, got
+
+
+def test_failed_commit_replay_does_not_double_apply(spark, tmp_path, monkeypatch):
+    """Review finding (r9): a failed commit restores the staged ops to
+    the pending queue; the streaming replay then staged a second copy on
+    top, appending every upserted row twice."""
+    import pytest
+
+    t = MoonlinkTable.create(
+        spark, str(tmp_path / "t"), USERS, IdentityProp.single("id")
+    )
+    batch = spark.createDataFrame(
+        [
+            _ev(1, "insert", _row(1, "a", 1)),
+            _ev(2, "insert", _row(2, "b", 2)),
+        ],
+        cdc_event_schema(t.schema),
+    )
+    real_commit = t.store.commit
+    calls = {"n": 0}
+
+    def failing_commit(m, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("injected store outage")
+        return real_commit(m, **kw)
+
+    monkeypatch.setattr(t.store, "commit", failing_commit)
+    with pytest.raises(OSError):
+        apply_cdc_batch(t, batch, batch_id=0)
+    assert not t.has_pending(), "failed batch left staged ops behind"
+    # the replayed batch applies exactly once
+    v = apply_cdc_batch(t, batch, batch_id=0)
+    assert v is not None
+    assert t.scan().count() == 2
+
+
+def test_malformed_update_without_row_fails_loud(spark, tmp_path):
+    """Review finding (r9): an update event with no new row survived as
+    an upsert winner and appended an all-NULL row."""
+    import pytest
+
+    t = MoonlinkTable.create(
+        spark, str(tmp_path / "t"), USERS, IdentityProp.single("id")
+    )
+    batch = spark.createDataFrame(
+        [_ev(1, "update", None, _row(1, "a", 1))],
+        cdc_event_schema(t.schema),
+    )
+    with pytest.raises(ValueError, match="no .*row payload|row payload"):
+        apply_cdc_batch(t, batch, batch_id=0)
+    assert t.scan().count() == 0
+
+
+def test_ingestor_validates_index_identity_and_kafka_bootstrap(spark, tmp_path):
+    """Review finding (r9): vec/sig index ids come from the single
+    identity column cast to bigint — composite or string keys collide or
+    go NULL, so the constructor refuses them; a kafka_topic without a
+    bootstrap failed opaquely at stream start."""
+    import pytest
+
+    t_str = MoonlinkTable.create(
+        spark,
+        str(tmp_path / "ts"),
+        [
+            {"name": "k", "data_type": "string", "nullable": False},
+            {"name": "text", "data_type": "string"},
+        ],
+        IdentityProp.single("k"),
+    )
+    with pytest.raises(ValueError, match="integer identity"):
+        StreamingIngestor(
+            t_str,
+            str(tmp_path / "src"),
+            str(tmp_path / "cp"),
+            sync_sigindex=(str(tmp_path / "sig"), "text"),
+        )
+    t_int = MoonlinkTable.create(
+        spark, str(tmp_path / "ti"), USERS, IdentityProp.single("id")
+    )
+    with pytest.raises(ValueError, match="kafka_bootstrap"):
+        StreamingIngestor(t_int, kafka_topic="t")
