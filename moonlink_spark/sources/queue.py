@@ -65,14 +65,37 @@ class FileQueueProducer:
         self._fh = None
 
     def _next_offset(self) -> int:
+        # A distributed produce_df_avro in flight holds _producer.lock
+        # and stages invisible segments whose offsets this scan cannot
+        # see — publishing over them would put different payloads below
+        # the consumer's committed floor (silent loss). Fail loud; two
+        # plain FileQueueProducers (no staged publish) remain legal.
+        lock_path = os.path.join(self.queue_dir, "_producer.lock")
+        if os.path.exists(lock_path):
+            try:
+                with open(lock_path) as fh:
+                    holder = int(fh.read().strip() or "0")
+                os.kill(holder, 0)
+            except (ProcessLookupError, FileNotFoundError, ValueError):
+                pass  # stale or gone: offsets below are all visible
+            else:
+                raise RuntimeError(
+                    f"queue directory {self.queue_dir!r} has an active "
+                    "distributed produce (_producer.lock held); its "
+                    "staged offsets are invisible to this producer — "
+                    "wait for it to publish"
+                )
         # resume after the max offset present in any segment
         # (header-scan only — O(1) memory on a deep queue)
         return max_queue_offset(self.queue_dir) + 1
 
     def send(self, value: bytes, key: bytes | None = None) -> int:
         if self._fh is None:
-            self._fh = open(self._segment, "ab")
+            # offset FIRST: if the resume scan refuses (active
+            # distributed produce) the producer stays cleanly unopened
+            # and a later send retries both steps
             self._offset = self._next_offset()
+            self._fh = open(self._segment, "ab")
         off = self._offset
         self._fh.write(_frame(off, key, value))
         self._offset += 1
@@ -158,17 +181,31 @@ def produce_df_avro(
     if not _acquire():
         # stale-lock recovery: a SIGKILLed producer never reaches the
         # finally, so a lock whose pid is dead (same host — the driver
-        # writes it) is stolen instead of bricking the queue forever
+        # writes it) is stolen instead of bricking the queue forever.
+        # ONLY ProcessLookupError means dead: EPERM (kill on another
+        # user's live pid) must NOT read as stale, or a live producer's
+        # lock gets stolen and two publishes corrupt each other.
         stale = False
         try:
             with open(lock_path) as fh:
                 holder = int(fh.read().strip() or "0")
-            os.kill(holder, 0)  # raises if the pid is gone
-        except (OSError, ValueError):
+            os.kill(holder, 0)
+        except ProcessLookupError:
             stale = True
+        except FileNotFoundError:
+            pass  # holder released between our two attempts
+        except ValueError:
+            stale = True  # unreadable pid: a torn lock write
+        except PermissionError:
+            pass  # pid alive under another uid: NOT stale
         if stale:
+            # single-winner steal: rename is atomic, so of N waiters
+            # exactly one moves the stale lock aside; the rest see
+            # FileNotFoundError and just retry the acquire
+            claim = lock_path + f".stale-{uuid.uuid4().hex[:8]}"
             try:
-                os.unlink(lock_path)
+                os.rename(lock_path, claim)
+                os.unlink(claim)
             except FileNotFoundError:
                 pass
         if not _acquire():
@@ -290,73 +327,88 @@ class _UnsortedSegment(Exception):
     the caller falls back to the sorted full-scan path."""
 
 
-def _iter_frame_headers(path: str):
-    """Yield (offset, frame_pos, frame_len) for every complete frame in
-    one segment file, headers only — payloads are seeked over. THE one
-    copy of the length/offset/torn-tail walk (used by the merge poll,
-    the max-offset resume, and anything else that needs structure
-    without bytes); a vanished file (concurrent cleanup between listdir
-    and open) yields nothing instead of raising."""
+def _iter_frame_headers(path: str, fh=None):
+    """Yield (offset, key_len_field, frame_pos, frame_len) for every
+    complete frame in one segment file, headers only — payloads are
+    seeked over. THE one copy of the length/offset/torn-tail walk (used
+    by the merge poll, the full-scan path, and the max-offset resume).
+    A VANISHED file (concurrent cleanup between listdir and open) yields
+    nothing; any other open failure (EMFILE, EACCES, EIO) PROPAGATES —
+    swallowing it would silently drop the segment from polls and from
+    the max-offset resume, losing or overwriting its messages for good.
+    Pass an already-open ``fh`` to interleave body reads with the walk
+    (the walk re-seeks before every header read)."""
+    close = fh is None
+    if fh is None:
+        try:
+            fh = open(path, "rb")
+        except FileNotFoundError:
+            return
     try:
-        size = os.path.getsize(path)
-        fh = open(path, "rb")
-    except OSError:
-        return
-    with fh:
+        size = os.fstat(fh.fileno()).st_size
         pos = 0
         while pos + 4 <= size:
-            head = fh.read(4)
-            if len(head) < 4:
-                return
-            (flen,) = struct.unpack(">I", head)
+            fh.seek(pos)
+            head = fh.read(16)  # frame len + offset + key-len field
+            if len(head) < 16:
+                return  # torn tail
+            flen, off, klen = struct.unpack(">IQI", head)
             if flen < 12 or pos + 4 + flen > size:
                 return  # torn tail: same skip rule everywhere
-            (off,) = struct.unpack(">Q", fh.read(8))
-            yield off, pos, flen
+            yield off, klen, pos, flen
             pos += 4 + flen
-            fh.seek(pos)
+    finally:
+        if close:
+            fh.close()
 
 
-def _iter_segment_from(path: str, name: str, floor: int):
+def _iter_segment_from(
+    path: str, name: str, floor: int, check_sorted: bool = True
+):
     """Yield (offset, segment_name, key, value) for frames with
     offset >= floor, header-skipping everything below (payloads before
-    the floor are seeked over, not parsed). Asserts the ascending-
-    offset invariant every producer upholds; raises _UnsortedSegment
-    on violation so callers can degrade to the sorted path."""
+    the floor are seeked over, not parsed; one open file handle serves
+    both the header walk and the body reads). ``check_sorted`` asserts
+    the ascending-offset invariant every producer upholds and raises
+    _UnsortedSegment on violation so callers can degrade to the sorted
+    path."""
     prev = -1
     try:
         fh = open(path, "rb")
-    except OSError:
+    except FileNotFoundError:
         return
     with fh:
-        for off, pos, flen in _iter_frame_headers(path):
-            if off < prev:
-                raise _UnsortedSegment(name)
-            prev = off
+        for off, klen, pos, flen in _iter_frame_headers(path, fh):
+            if check_sorted:
+                if off < prev:
+                    raise _UnsortedSegment(name)
+                prev = off
             if off < floor:
                 continue
-            fh.seek(pos + 4)
-            frame = fh.read(flen)
-            _off, klen = struct.unpack_from(">QI", frame, 0)
-            key, value = _parse_kv(klen, frame[12:])
+            fh.seek(pos + 16)
+            key, value = _parse_kv(klen, fh.read(flen - 12))
             yield off, name, key, value
 
 
 def max_queue_offset(queue_dir: str) -> int:
-    """Highest offset across published segments, by frame-HEADER scan
-    only — payloads are seeked over, never read, parsed, or sorted.
-    This is the produce-resume path: ``iter_queue`` materializes and
-    sorts every message (right for consumers that need global order),
-    which on a deep queue would make every later produce pay O(queue)
-    memory just to learn the next free offset. Returns -1 for an empty
-    or missing queue. Torn tails are ignored like ``iter_queue``."""
+    """Highest offset across segments, by frame-HEADER scan only —
+    payloads are seeked over, never read, parsed, or sorted. This is
+    the produce-resume path: ``iter_queue`` materializes and sorts
+    every message (right for consumers that need global order), which
+    on a deep queue would make every later produce pay O(queue) memory
+    just to learn the next free offset. STAGED (``_pending-*``) and
+    QUARANTINED (``_orphan-*``) frames count too: their offsets are
+    spoken for, and reusing them would publish different payloads below
+    a committed consumer floor (silent loss) or make orphan recovery
+    impossible. Returns -1 for an empty or missing queue. Torn tails
+    are ignored like ``iter_queue``."""
     last = -1
     if not os.path.isdir(queue_dir):
         return last
     for name in os.listdir(queue_dir):
-        if not name.startswith("segment-"):
+        if not name.startswith(("segment-", "_pending-", "_orphan-")):
             continue
-        for off, _pos, _flen in _iter_frame_headers(
+        for off, _klen, _pos, _flen in _iter_frame_headers(
             os.path.join(queue_dir, name)
         ):
             if off > last:
@@ -364,8 +416,11 @@ def max_queue_offset(queue_dir: str) -> int:
     return last
 
 
-def iter_queue(queue_dir: str) -> Iterator[tuple[int, bytes | None, bytes]]:
-    """All messages across segments, offset order."""
+def iter_queue(
+    queue_dir: str,
+) -> Iterator[tuple[int, bytes | None, bytes | None]]:
+    """All messages across segments, offset order (``value`` is None for
+    Kafka tombstone frames)."""
     msgs = []
     if not os.path.isdir(queue_dir):
         return iter(())
@@ -373,18 +428,9 @@ def iter_queue(queue_dir: str) -> Iterator[tuple[int, bytes | None, bytes]]:
         if not name.startswith("segment-"):
             continue
         path = os.path.join(queue_dir, name)
-        with open(path, "rb") as fh:
-            while True:
-                head = fh.read(4)
-                if len(head) < 4:
-                    break
-                (flen,) = struct.unpack(">I", head)
-                frame = fh.read(flen)
-                if len(frame) < flen:
-                    break  # torn tail write: ignore the partial frame
-                off, klen = struct.unpack_from(">QI", frame, 0)
-                key, value = _parse_kv(klen, frame[12:])
-                msgs.append((off, name, key, value))
+        msgs.extend(
+            _iter_segment_from(path, name, floor=-1, check_sorted=False)
+        )
     # sort by (offset, segment name), then absorb retry duplicates: a
     # late-published duplicate segment from a retried producer task
     # carries identical offsets AND identical bytes — drop only those.
@@ -392,7 +438,7 @@ def iter_queue(queue_dir: str) -> Iterator[tuple[int, bytes | None, bytes]]:
     # _next_offset from the same max) carry DIFFERENT payloads; those
     # must both deliver, like before the dedupe existed.
     msgs.sort(key=lambda m: (m[0], m[1]))
-    out: list[tuple[int, bytes | None, bytes]] = []
+    out: list[tuple[int, bytes | None, bytes | None]] = []
     cur_off: int | None = None
     seen: set[tuple] = set()
     for off, _seg, key, value in msgs:
@@ -451,11 +497,18 @@ class FileQueueConsumer:
                 if os.path.isdir(self.queue_dir)
                 else ()
             )
-            out: list[tuple[int, bytes | None, bytes]] = []
+            out: list[tuple[int, bytes | None, bytes | None]] = []
             cur_off: int | None = None
             seen: set[tuple] = set()
             for off, _name, key, value in merged:
                 if off != cur_off:
+                    # the cap breaks only at an offset-GROUP boundary:
+                    # colliding producers can put distinct payloads at
+                    # one offset, and the ingestor commits past
+                    # last_offset — splitting the group would lose the
+                    # undelivered sibling below the floor forever
+                    if len(out) >= max_messages:
+                        break
                     cur_off = off
                     seen = set()
                 sig = (key, value)
@@ -463,17 +516,18 @@ class FileQueueConsumer:
                     continue  # retried-task duplicate: identical bytes
                 seen.add(sig)
                 out.append((off, key, value))
-                if len(out) >= max_messages:
-                    break
             return out
         except _UnsortedSegment:
             out = []
             for off, key, value in iter_queue(self.queue_dir):
                 if off < floor:
                     continue
-                out.append((off, key, value))
-                if len(out) >= max_messages:
+                if (
+                    len(out) >= max_messages
+                    and off != out[-1][0]  # same group-boundary rule
+                ):
                     break
+                out.append((off, key, value))
             return out
 
     def commit(self, next_offset: int) -> None:
@@ -515,19 +569,31 @@ class AvroQueueIngestor:
         self._decode = decode_record
         self._reshape = row_for_spark
 
+    # manifest property carrying the last queue offset this ingestor
+    # applied. The floor used to be DERIVED from last_lsn, which broke
+    # the moment any non-queue commit advanced the table's LSN: the
+    # inflated floor silently dropped genuinely new messages while the
+    # consumer offset moved past them.
+    APPLIED_OFFSET_PROP = "avro_queue.applied_offset"
+
     def drain_once(self, max_messages: int = 50_000) -> dict[str, Any]:
         batch = self.consumer.poll(max_messages)
         if not batch:
             return {"messages": 0, "version": self.table.manifest.version}
-        # Per-MESSAGE replay floor, not just per-batch: the commit LSN
-        # encodes the last applied offset (lsn = base + offset + 1), so
-        # after a crash between table commit and consumer-offset commit,
-        # a re-poll that merges the already-applied batch WITH newly
-        # produced messages must drop the applied prefix — a batch-level
-        # LSN check alone would re-append it (duplicates), because the
-        # merged batch's LSN clears the floor on the strength of the new
-        # tail alone.
-        applied_floor = self.table.last_lsn - self.lsn_base - 1
+        # Per-MESSAGE replay floor, not just per-batch: after a crash
+        # between table commit and consumer-offset commit, a re-poll
+        # that merges the already-applied batch WITH newly produced
+        # messages must drop the applied prefix — a batch-level check
+        # alone would re-append it (duplicates). The floor is the
+        # manifest-recorded applied offset (falls back to the legacy
+        # LSN derivation for tables last written by older code).
+        props = self.table.manifest.properties
+        applied_floor = int(
+            props.get(
+                self.APPLIED_OFFSET_PROP,
+                self.table.last_lsn - self.lsn_base - 1,
+            )
+        )
         rows = []
         for off, _key, value in batch:
             if off <= applied_floor:
@@ -544,8 +610,26 @@ class AvroQueueIngestor:
         last_offset = batch[-1][0]
         lsn = self.lsn_base + last_offset + 1
         version = self.table.manifest.version
-        if rows and lsn > self.table.last_lsn:
-            self.table.append_rows(rows)
-            version = self.table.commit(lsn=lsn, operation="avro-queue")
+        if rows:
+            mark = self.table.pending_mark()
+            try:
+                self.table.append_rows(rows)
+                version = self.table.commit(
+                    # monotone even when foreign commits advanced the
+                    # table past the offset-derived LSN — the applied
+                    # floor lives in the property, not the LSN
+                    lsn=max(lsn, self.table.last_lsn + 1),
+                    operation="avro-queue",
+                    properties_update={
+                        self.APPLIED_OFFSET_PROP: int(last_offset)
+                    },
+                )
+            except BaseException:
+                # a failed commit restores the staged rows for the
+                # non-queue retry pattern; OUR retry re-polls and
+                # re-appends, so the restored copy must go or the next
+                # successful commit applies the batch twice
+                self.table.discard_pending_since(mark)
+                raise
         self.consumer.commit(last_offset + 1)
         return {"messages": len(batch), "version": version, "lsn": lsn}

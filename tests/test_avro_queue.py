@@ -461,3 +461,141 @@ def test_poll_merge_path_semantics(tmp_path):
             f.write(_frame(off, None, b"x%d" % off))
     c.commit(6)
     assert [m[0] for m in c.poll()] == [7, 9]
+
+
+_E_SCHEMA = {
+    "type": "record", "name": "e",
+    "fields": [{"name": "id", "type": "long"},
+               {"name": "v", "type": "string"}],
+}
+
+_E_FIELDS = [
+    {"name": "id", "data_type": "int64", "nullable": False},
+    {"name": "v", "data_type": "string"},
+]
+
+
+def _mk_queue(tmp_path, n=10, start=0):
+    qdir = str(tmp_path / "q")
+    p = FileQueueProducer(qdir)
+    for i in range(start, start + n):
+        p.send(encode_datum(_E_SCHEMA, {"id": i, "v": f"v{i}"}))
+    p.close()
+    return qdir
+
+
+def test_drain_commit_failure_retry_no_duplicates(spark, tmp_path, monkeypatch):
+    """Review finding (r9): a failed table commit restores the staged
+    rows; the retried drain re-polled and re-appended the same batch on
+    top, committing every row twice."""
+    qdir = _mk_queue(tmp_path, n=15)
+    t = MoonlinkTable.create(
+        spark, str(tmp_path / "t"), _E_FIELDS, IdentityProp.single("id")
+    )
+    ing = AvroQueueIngestor(t, FileQueueConsumer(qdir), _E_SCHEMA)
+    real_commit = t.store.commit
+    calls = {"n": 0}
+
+    def failing(m, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("injected store outage")
+        return real_commit(m, **kw)
+
+    monkeypatch.setattr(t.store, "commit", failing)
+    with pytest.raises(OSError):
+        ing.drain_once()
+    assert not t.has_pending(), "failed drain left staged rows behind"
+    s = ing.drain_once()
+    assert s["messages"] == 15
+    assert t.scan().count() == 15
+
+
+def test_foreign_commits_do_not_starve_the_drain(spark, tmp_path):
+    """Review finding (r9): the applied floor was DERIVED from
+    last_lsn, so any non-queue commit on the same table inflated it and
+    the next drain silently skipped genuinely new messages while still
+    advancing the consumer offset."""
+    qdir = _mk_queue(tmp_path, n=5)
+    t = MoonlinkTable.create(
+        spark, str(tmp_path / "t"), _E_FIELDS, IdentityProp.single("id")
+    )
+    ing = AvroQueueIngestor(t, FileQueueConsumer(qdir), _E_SCHEMA)
+    assert ing.drain_once()["messages"] == 5
+    # a foreign (non-queue) commit advances the table LSN
+    t.append_rows([{"id": 1000, "v": "foreign"}])
+    t.commit()
+    # new queue messages after the foreign commit
+    p = FileQueueProducer(qdir)
+    p.send(encode_datum(_E_SCHEMA, {"id": 6, "v": "v6"}))
+    p.send(encode_datum(_E_SCHEMA, {"id": 7, "v": "v7"}))
+    p.close()
+    ing.drain_once()
+    got = {r["id"] for r in t.scan().collect()}
+    assert {6, 7} <= got, f"foreign commit starved the drain: {sorted(got)}"
+    assert t.scan().count() == 8
+
+
+def test_poll_cap_never_splits_an_offset_group(tmp_path):
+    """Review finding (r9): two colliding producers can put DISTINCT
+    payloads at one offset ('must both deliver'); a max_messages cap
+    landing between them dropped the sibling below the committed floor
+    forever."""
+    qdir = str(tmp_path / "q")
+    a = FileQueueProducer(qdir)
+    a.send(b"m0")  # offset 0
+    a.close()
+    # two producers computed the same next offset (1): distinct payloads
+    b1 = FileQueueProducer(qdir)
+    b2 = FileQueueProducer(qdir)
+    b1.send(b"m1-a")
+    b2.send(b"m1-b")
+    b1.close()
+    b2.close()
+    c = FileQueueConsumer(qdir)
+    batch = c.poll(max_messages=2)  # cap lands inside offset group 1
+    offs = [m[0] for m in batch]
+    assert offs == [0, 1, 1], offs  # the whole group delivered
+    c.commit(batch[-1][0] + 1)
+    assert c.poll() == []
+
+
+def test_max_queue_offset_counts_staged_and_orphaned(tmp_path):
+    """Review finding (r9): offsets in _pending-*/_orphan-* files are
+    spoken for — reusing them publishes different payloads below a
+    committed floor (or makes orphan recovery impossible)."""
+    import os as _os
+
+    from moonlink_spark.sources.queue import _frame, max_queue_offset
+
+    qdir = str(tmp_path / "q")
+    _os.makedirs(qdir)
+    with open(_os.path.join(qdir, "segment-a.log"), "wb") as fh:
+        fh.write(_frame(3, None, b"x"))
+    with open(_os.path.join(qdir, "_pending-p00000-rdead-1.log"), "wb") as fh:
+        fh.write(_frame(9, None, b"staged"))
+    with open(_os.path.join(qdir, "_orphan-p00001-rdead-2.log"), "wb") as fh:
+        fh.write(_frame(7, None, b"orphan"))
+    assert max_queue_offset(qdir) == 9
+    # a new producer resumes ABOVE the staged/orphaned offsets
+    p = FileQueueProducer(qdir)
+    assert p.send(b"fresh") == 10
+    p.close()
+
+
+def test_plain_producer_refuses_active_distributed_produce(tmp_path):
+    """Review finding (r9): a FileQueueProducer sending while a
+    distributed produce holds the lock computes a base that collides
+    with the invisible staged offsets."""
+    import os as _os
+
+    qdir = str(tmp_path / "q")
+    _os.makedirs(qdir)
+    with open(_os.path.join(qdir, "_producer.lock"), "w") as fh:
+        fh.write(str(_os.getpid()))  # alive pid: lock is active
+    p = FileQueueProducer(qdir)
+    with pytest.raises(RuntimeError, match="active distributed produce"):
+        p.send(b"x")
+    _os.unlink(_os.path.join(qdir, "_producer.lock"))
+    assert p.send(b"x") == 0  # lock gone: normal send
+    p.close()
