@@ -34,6 +34,7 @@ class MoonlinkBackend:
         warehouse: str,
         metadata_store: str = "json",
         metadata_store_options: dict[str, Any] | None = None,
+        data_staging_dir: str | None = None,
     ):
         """``metadata_store``: ``"json"`` (single-file catalog, default),
         ``"sqlite"`` (parity ``src/moonlink_metadata_store`` — durable
@@ -43,16 +44,51 @@ class MoonlinkBackend:
         ``metadata_store_options`` carries ``host``/``port`` and optional
         ``user``/``database``/``password``). A restarted backend recovers
         every table from ``get_all_table_metadata_entries`` the way the
-        reference's recovery does (``recovery_utils.rs``)."""
+        reference's recovery does (``recovery_utils.rs``).
+
+        ``warehouse`` may be an object-store URI whose scheme was
+        registered via ``table.fs.register_fs_scheme`` (the reference's
+        accessor seam): the catalog and every table's control plane
+        (manifests, WAL) then live in the object store, while parquet
+        data stages under ``data_staging_dir`` — required in that mode,
+        since Spark's reader cannot address the control-plane scheme.
+        An unregistered scheme fails loudly here instead of silently
+        materializing a LOCAL directory named after the URI."""
         self.spark = spark
-        self.warehouse = os.path.abspath(warehouse)
-        os.makedirs(self.warehouse, exist_ok=True)
+        self._remote = "://" in warehouse and not warehouse.startswith("file://")
+        if self._remote:
+            from moonlink_spark.table.fs import fs_for
+
+            self.warehouse = warehouse.rstrip("/")
+            self._fs = fs_for(self.warehouse)  # loud on unknown scheme
+            if data_staging_dir is None:
+                raise TableConfigError(
+                    f"object-store warehouse {warehouse!r} needs "
+                    "data_staging_dir=... : Spark cannot read parquet "
+                    "through the control-plane store; give a local "
+                    "staging dir (the per-table data plane lives there)"
+                )
+            self._staging = os.path.abspath(data_staging_dir)
+            os.makedirs(self._staging, exist_ok=True)
+        else:
+            self.warehouse = os.path.abspath(warehouse)
+            os.makedirs(self.warehouse, exist_ok=True)
+            self._fs = None
+            self._staging = (
+                os.path.abspath(data_staging_dir) if data_staging_dir else None
+            )
         self._lock = threading.RLock()
         self._tables: dict[tuple[str, str], MoonlinkTable] = {}
         opts = dict(metadata_store_options or {})
         if metadata_store == "sqlite":
             from moonlink_spark.metadata_store import SqliteMetadataStore
 
+            if self._remote:
+                raise TableConfigError(
+                    "metadata_store='sqlite' needs a local warehouse (the "
+                    "store is a file under the warehouse root); use 'json' "
+                    "or 'postgres' with an object-store warehouse"
+                )
             self._meta_store = SqliteMetadataStore(self.warehouse)
         elif metadata_store == "postgres":
             from moonlink_spark.metadata_store import PgMetadataStore
@@ -75,20 +111,38 @@ class MoonlinkBackend:
     # -- catalog persistence ------------------------------------------------
 
     def _catalog_path(self) -> str:
-        return os.path.join(self.warehouse, CATALOG_FILE)
+        return self.warehouse + "/" + CATALOG_FILE
 
     def _load_catalog(self) -> dict[str, Any]:
         p = self._catalog_path()
+        if self._fs is not None:
+            if not self._fs.exists(p):
+                return {"tables": {}}
+            return json.load(self._fs.open_read(p))
         if os.path.exists(p):
             with open(p) as fh:
                 return json.load(fh)
         return {"tables": {}}
 
     def _save_catalog(self, cat: dict[str, Any]) -> None:
+        if self._fs is not None:
+            # durable single-object write; last-wins like the local
+            # os.replace (per-backend races are serialized by self._lock)
+            self._fs.write_text_durable(self._catalog_path(), json.dumps(cat, indent=1))
+            return
         tmp = self._catalog_path() + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(cat, fh, indent=1)
         os.replace(tmp, self._catalog_path())
+
+    def _data_path_for(self, database: str, table: str) -> str | None:
+        """Local data-plane staging for a table; None for an all-local
+        table (control and data planes coincide)."""
+        if self._staging is None:
+            return None
+        p = os.path.join(self._staging, database, table)
+        os.makedirs(p, exist_ok=True)
+        return p
 
     @staticmethod
     def _key(database: str, table: str) -> str:
@@ -117,7 +171,13 @@ class MoonlinkBackend:
                 if self._meta_store.get_table_metadata_entry(database, table):
                     raise TableConfigError(f"table {key} already exists")
                 t = MoonlinkTable.create(
-                    self.spark, path, schema, identity, append_only, properties
+                    self.spark,
+                    path,
+                    schema,
+                    identity,
+                    append_only,
+                    properties,
+                    data_path=self._data_path_for(database, table),
                 )
                 try:
                     self._meta_store.store_table_metadata(
@@ -148,7 +208,13 @@ class MoonlinkBackend:
                 if key in cat["tables"]:
                     raise TableConfigError(f"table {key} already exists")
                 t = MoonlinkTable.create(
-                    self.spark, path, schema, identity, append_only, properties
+                    self.spark,
+                    path,
+                    schema,
+                    identity,
+                    append_only,
+                    properties,
+                    data_path=self._data_path_for(database, table),
                 )
                 cat["tables"][key] = {"path": path}
                 self._save_catalog(cat)
@@ -163,7 +229,9 @@ class MoonlinkBackend:
             path = self._lookup_path(database, table)
             if path is None:
                 raise TableConfigError(f"unknown table {database}.{table}")
-            t = MoonlinkTable.open(self.spark, path)
+            t = MoonlinkTable.open(
+                self.spark, path, data_path=self._data_path_for(database, table)
+            )
             self._tables[(database, table)] = t
             return t
 
@@ -191,14 +259,22 @@ class MoonlinkBackend:
                     path = None  # not recorded: nothing to drop
                 self._tables.pop((database, table), None)
                 if path:
-                    MoonlinkTable(self.spark, path).drop()
+                    MoonlinkTable(
+                        self.spark,
+                        path,
+                        data_path=self._data_path_for(database, table),
+                    ).drop()
                 return
             cat = self._load_catalog()
             entry = cat["tables"].pop(self._key(database, table), None)
             self._save_catalog(cat)
             self._tables.pop((database, table), None)
             if entry:
-                MoonlinkTable(self.spark, entry["path"]).drop()
+                MoonlinkTable(
+                    self.spark,
+                    entry["path"],
+                    data_path=self._data_path_for(database, table),
+                ).drop()
 
     def list_tables(self) -> list[str]:
         if self._meta_store is not None:

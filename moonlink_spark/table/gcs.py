@@ -89,6 +89,7 @@ class GCSMemServer:
         # of the GCS resumable protocol)
         self.sessions: dict[str, dict] = {}
         self.throttled = 0
+        self.connections = 0  # TCP connections accepted (keep-alive probe)
         self._req_count = 0
         self._lock = threading.Lock()
         # when set, every request must carry `Authorization: Bearer <t>`
@@ -98,6 +99,15 @@ class GCSMemServer:
 
         class Handler(BaseHTTPRequestHandler):
             protocol_version = "HTTP/1.1"
+            # headers and body go out as two writes; without NODELAY,
+            # Nagle + the client's delayed ACK stalls every kept-alive
+            # response ~40 ms
+            disable_nagle_algorithm = True
+
+            def setup(self):
+                super().setup()
+                with server._lock:
+                    server.connections += 1
 
             def log_message(self, *a):  # quiet
                 pass
@@ -187,6 +197,10 @@ class GCSMemServer:
                 self._error(400, "badRequest")
 
             def do_POST(self):
+                # body first: an error response with the body unread
+                # would poison a kept-alive connection
+                length = int(self.headers.get("Content-Length", 0))
+                payload = self.rfile.read(length)
                 if self._throttle():
                     return self._error(429, "rateLimitExceeded")
                 if not self._authorized():
@@ -221,8 +235,7 @@ class GCSMemServer:
                         return self._error(400, "badRequest")
                     bucket, key = parts[4], q["name"]
                     full = f"{bucket}/{key}"
-                    length = int(self.headers.get("Content-Length", 0))
-                    data = self.rfile.read(length)
+                    data = payload
                     if q.get("ifGenerationMatch") == "0":
                         with server._lock:
                             if not server.store.put_if_absent(full, data):
@@ -266,14 +279,14 @@ class GCSMemServer:
 
             def do_PUT(self):
                 # resumable-session chunk append / status probe
+                length = int(self.headers.get("Content-Length", 0))
+                data = self.rfile.read(length)
                 if self._throttle():
                     return self._error(429, "rateLimitExceeded")
                 if not self._authorized():
                     return
                 _path, q = self._parse()
                 uid = q.get("upload_id")
-                length = int(self.headers.get("Content-Length", 0))
-                data = self.rfile.read(length)
                 with server._lock:
                     sess = server.sessions.get(uid)
                 if sess is None:
@@ -284,18 +297,25 @@ class GCSMemServer:
                     return self._error(400, "badRequest")
                 spec, _, total_s = crange[6:].partition("/")
                 total = int(total_s)
-                committed = len(sess["data"])
                 if spec == "*":  # probe: report committed range, 308
                     return self._resume_status(sess, total)
                 start_s, _, end_s = spec.partition("-")
                 start, end = int(start_s), int(end_s)
-                if start > committed:
+                with server._lock:
+                    # committed is read under the same lock as the append
+                    # so concurrent chunk PUTs cannot double-apply a slice
+                    committed = len(sess["data"])
+                    if start > committed:
+                        gap = True
+                    else:
+                        gap = False
+                        # overlap (a resent prefix after a lost response)
+                        # is ignored byte-for-byte, the protocol's
+                        # idempotence
+                        sess["data"] += data[committed - start :]
+                if gap:
                     # gap: client must probe and resend from committed
                     return self._error(400, "badRequest")
-                with server._lock:
-                    # overlap (a resent prefix after a lost response) is
-                    # ignored byte-for-byte, the protocol's idempotence
-                    sess["data"] += data[committed - start :]
                 return self._resume_status(sess, total)
 
             def _resume_status(self, sess: dict, total: int):
@@ -368,16 +388,14 @@ class GCSMemServer:
                     items.append(k)
                     if len(items) >= page_size:
                         break
-                out: dict = {
-                    "kind": "storage#objects",
-                    "items": [
-                        {
-                            "name": k,
-                            "size": str(len(server.store.get(f"{bucket}/{k}"))),
-                        }
-                        for k in items
-                    ],
-                }
+                listed = []
+                for k in items:
+                    try:
+                        size = len(server.store.get(f"{bucket}/{k}"))
+                    except FileNotFoundError:
+                        continue  # deleted between list and stat
+                    listed.append({"name": k, "size": str(size)})
+                out: dict = {"kind": "storage#objects", "items": listed}
                 if prefixes:
                     out["prefixes"] = prefixes
                 if items and len(items) >= page_size and items[-1] != (
@@ -450,10 +468,12 @@ class GCSHttpFS:
         self.tls = u.scheme == "https"
         self.port = u.port or (443 if self.tls else 80)
         self._ssl_ctx = None
+        self._ctx_key = ""
         if self.tls:
             from moonlink_spark.tlsutil import client_context
 
             self._ssl_ctx = client_context(ssl_ca_file)
+            self._ctx_key = ssl_ca_file or "system"
         self.chaos = chaos
         self.retries = retries
         self.backoff_s = backoff_s
@@ -483,8 +503,12 @@ class GCSHttpFS:
         — or (status, body, response-headers) with ``with_headers`` — for
         ``ok`` statuses and 404/412 (callers branch on those); raises
         TransientStoreError on 5xx/429/connection failure until retries
-        are exhausted. The bearer token attaches per request."""
+        are exhausted. The bearer token attaches per request; requests
+        ride the thread-local keep-alive pool (``table/httppool.py``) so
+        repeat calls skip the TCP+TLS handshake."""
         import time as _time
+
+        from moonlink_spark.table import httppool
 
         attempt = 0
         while True:
@@ -499,27 +523,18 @@ class GCSHttpFS:
                 )
                 if tok is not None:
                     send_headers["Authorization"] = f"Bearer {tok}"
-                if self.tls:
-                    conn = http.client.HTTPSConnection(
-                        self.host,
-                        self.port,
-                        timeout=self.timeout_s,
-                        context=self._ssl_ctx,
-                    )
-                else:
-                    conn = http.client.HTTPConnection(
-                        self.host, self.port, timeout=self.timeout_s
-                    )
-                try:
-                    conn.request(method, url, body=body, headers=send_headers)
-                    resp = conn.getresponse()
-                    data = resp.read()
-                    status = resp.status
-                    resp_headers = {
-                        k.lower(): v for k, v in resp.getheaders()
-                    }
-                finally:
-                    conn.close()
+                status, data, resp_headers = httppool.request(
+                    self.host,
+                    self.port,
+                    method,
+                    url,
+                    body=body,
+                    headers=send_headers,
+                    tls=self.tls,
+                    ssl_ctx=self._ssl_ctx,
+                    ctx_key=self._ctx_key,
+                    timeout=self.timeout_s,
+                )
                 if status >= 500 or status == 429:
                     raise TransientStoreError(f"gcs {op}: HTTP {status}")
                 if status in ok or status in (404, 412):
@@ -713,6 +728,11 @@ class GCSHttpFS:
         session = h.get("location")
         if not session:
             raise OSError("gcs resumable init: no Location header")
+        if "://" in session:
+            # real GCS returns an absolute session URI; this accessor is
+            # endpoint-pinned, so reduce it to the request-target form
+            su = urllib.parse.urlparse(session)
+            session = su.path + ("?" + su.query if su.query else "")
         committed = 0
         while True:
             end = min(committed + chunk_size, total) - 1

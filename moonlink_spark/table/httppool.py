@@ -1,0 +1,127 @@
+"""Thread-local keep-alive HTTP connection pool for the object-store
+accessors.
+
+Parity: the reference's accessors sit on a pooling HTTP client (reqwest
+behind ``storage/filesystem/accessor/filesystem_accessor.rs``), so a
+manifest commit or a cache fetch does not pay a TCP+TLS handshake per
+request. ``S3HttpFS``/``GCSHttpFS`` are constructed per ``fs_for`` call,
+so the pool lives here at module level: connections are keyed by
+(host, port, tls, context-key, timeout) and owned by the calling thread
+— no cross-thread sharing, no locks on the hot path, and each Spark
+executor thread ends up with exactly one warm connection per endpoint.
+
+Reuse safety: a kept-alive connection the server has since closed fails
+on the NEXT request with a connection-level error before any response
+bytes arrive. That failure gets ONE transparent retry on a fresh
+connection — invisible to the caller's bounded retry budget, which is
+reserved for real transport faults. Errors on a fresh connection (and
+all timeouts) propagate to the caller's retry loop unchanged. Callers
+here are idempotent by design (the accessor layer already retries every
+op), so the single silent resend is safe.
+"""
+
+from __future__ import annotations
+
+import http.client
+import socket
+import threading
+
+_local = threading.local()
+
+# Bound per-thread cached connections; distinct endpoints per process are
+# few (one warehouse + maybe one metadata store), so this is a backstop
+# against endpoint churn in long-lived executor threads, not a tuning knob.
+_MAX_CONNS_PER_THREAD = 8
+
+
+def _conns() -> dict:
+    d = getattr(_local, "conns", None)
+    if d is None:
+        d = {}
+        _local.conns = d
+    return d
+
+
+def close_thread_connections() -> None:
+    """Drop this thread's cached connections (tests / server teardown)."""
+    d = getattr(_local, "conns", None)
+    if d:
+        for conn in d.values():
+            try:
+                conn.close()
+            except OSError:
+                pass
+        d.clear()
+
+
+def request(
+    host: str,
+    port: int,
+    method: str,
+    url: str,
+    body: bytes | None = None,
+    headers: dict | None = None,
+    *,
+    tls: bool = False,
+    ssl_ctx=None,
+    ctx_key: str = "",
+    timeout: float = 10.0,
+) -> tuple[int, bytes, dict]:
+    """One HTTP exchange over a per-thread kept-alive connection.
+
+    Returns ``(status, body, lowercase-response-headers)``. ``ctx_key``
+    distinguishes TLS configurations (e.g. the CA bundle path) so two
+    accessors with different trust roots never share a socket.
+    """
+    key = (host, port, tls, ctx_key, timeout)
+    conns = _conns()
+    conn = conns.pop(key, None)
+    fresh = conn is None
+    while True:
+        if conn is None:
+            if tls:
+                conn = http.client.HTTPSConnection(
+                    host, port, timeout=timeout, context=ssl_ctx
+                )
+            else:
+                conn = http.client.HTTPConnection(host, port, timeout=timeout)
+            conn.connect()
+            # without TCP_NODELAY, Nagle + delayed ACK turns every
+            # kept-alive round trip into ~40 ms (the reuse would be
+            # slower than reconnecting); SSLSocket delegates setsockopt
+            # to the raw socket
+            conn.sock.setsockopt(
+                socket.IPPROTO_TCP, socket.TCP_NODELAY, 1
+            )
+            fresh = True
+        try:
+            conn.request(method, url, body=body, headers=headers or {})
+            resp = conn.getresponse()
+            data = resp.read()
+            status = resp.status
+            resp_headers = {k.lower(): v for k, v in resp.getheaders()}
+            keep = not resp.will_close
+        except (ConnectionError, http.client.HTTPException):
+            try:
+                conn.close()
+            except OSError:
+                pass
+            if fresh:
+                raise
+            # stale keep-alive: the server closed between requests; retry
+            # once on a fresh connection without charging the caller
+            conn = None
+            continue
+        except BaseException:
+            # timeout / chaos / anything else: never cache a connection in
+            # an unknown protocol state
+            try:
+                conn.close()
+            except OSError:
+                pass
+            raise
+        if keep and len(conns) < _MAX_CONNS_PER_THREAD:
+            conns[key] = conn
+        else:
+            conn.close()
+        return status, data, resp_headers

@@ -81,6 +81,7 @@ class S3MemServer:
         self._ssl = (ssl_cert, ssl_key)
         self.store = store or InMemoryObjectStore()
         self.throttled = 0
+        self.connections = 0  # TCP connections accepted (keep-alive probe)
         self._req_count = 0
         self._lock = threading.Lock()
         # access_key -> secret_key; when set, every request must carry a
@@ -109,6 +110,15 @@ class S3MemServer:
 
         class Handler(BaseHTTPRequestHandler):
             protocol_version = "HTTP/1.1"
+            # headers and body go out as two writes; without NODELAY,
+            # Nagle + the client's delayed ACK stalls every kept-alive
+            # response ~40 ms
+            disable_nagle_algorithm = True
+
+            def setup(self):
+                super().setup()
+                with server._lock:
+                    server.connections += 1
 
             def log_message(self, *a):  # quiet
                 pass
@@ -211,10 +221,12 @@ class S3MemServer:
             def do_POST(self):
                 # multipart lifecycle: ?uploads = initiate,
                 # ?uploadId=... = complete (public S3 REST shapes)
-                if self._throttle():
-                    return self._error(503, "SlowDown")
+                # (body first: an error response with the body unread
+                # would poison a kept-alive connection)
                 length = int(self.headers.get("Content-Length", 0))
                 payload = self.rfile.read(length)
+                if self._throttle():
+                    return self._error(503, "SlowDown")
                 if not self._authorized(payload):
                     return
                 bucket, key, q = self._key()
@@ -270,10 +282,10 @@ class S3MemServer:
                 return self._error(400, "InvalidRequest")
 
             def do_PUT(self):
-                if self._throttle():
-                    return self._error(503, "SlowDown")
                 length = int(self.headers.get("Content-Length", 0))
                 payload = self.rfile.read(length)
+                if self._throttle():
+                    return self._error(503, "SlowDown")
                 if not self._authorized(payload):
                     return
                 bucket, key, q = self._key()
@@ -363,10 +375,13 @@ class S3MemServer:
                         f"{escape(contents[-1])}</NextContinuationToken>"
                     )
                 for k in contents:
-                    data = server.store.get(f"{bucket}/{k}")
+                    try:
+                        size = len(server.store.get(f"{bucket}/{k}"))
+                    except FileNotFoundError:
+                        continue  # deleted between list and stat
                     parts.append(
                         f"<Contents><Key>{escape(k)}</Key>"
-                        f"<Size>{len(data)}</Size></Contents>"
+                        f"<Size>{size}</Size></Contents>"
                     )
                 for cp in common:
                     parts.append(
@@ -438,6 +453,7 @@ class S3HttpFS:
         self.tls = u.scheme == "https"
         self.port = u.port or (443 if self.tls else 80)
         self._ssl_ctx = None
+        self._ctx_key = ""
         if self.tls:
             import os as _os
 
@@ -445,9 +461,9 @@ class S3HttpFS:
 
             # AWS_CA_BUNDLE is the AWS SDKs' documented private-CA knob;
             # with neither, the system store applies (SSL_CERT_FILE)
-            self._ssl_ctx = client_context(
-                ssl_ca_file or _os.environ.get("AWS_CA_BUNDLE") or None
-            )
+            ca = ssl_ca_file or _os.environ.get("AWS_CA_BUNDLE") or None
+            self._ssl_ctx = client_context(ca)
+            self._ctx_key = ca or "system"
         self.chaos = chaos
         self.retries = retries
         self.backoff_s = backoff_s
@@ -509,8 +525,12 @@ class S3HttpFS:
         or (status, body, response-headers) with ``with_headers`` — for
         ``ok`` statuses and 404/412 (callers branch on those); raises
         TransientStoreError on 5xx / connection failure until retries are
-        exhausted. Requests are SigV4-signed when credentials are set."""
+        exhausted. Requests are SigV4-signed when credentials are set and
+        ride the thread-local keep-alive pool (``table/httppool.py``) so
+        repeat calls skip the TCP+TLS handshake."""
         import time as _time
+
+        from moonlink_spark.table import httppool
 
         attempt = 0
         while True:
@@ -518,27 +538,18 @@ class S3HttpFS:
                 if self.chaos is not None:
                     self.chaos.check(op)
                 send_headers = self._signed(method, url, body, headers)
-                if self.tls:
-                    conn = http.client.HTTPSConnection(
-                        self.host,
-                        self.port,
-                        timeout=self.timeout_s,
-                        context=self._ssl_ctx,
-                    )
-                else:
-                    conn = http.client.HTTPConnection(
-                        self.host, self.port, timeout=self.timeout_s
-                    )
-                try:
-                    conn.request(method, url, body=body, headers=send_headers)
-                    resp = conn.getresponse()
-                    data = resp.read()
-                    status = resp.status
-                    resp_headers = {
-                        k.lower(): v for k, v in resp.getheaders()
-                    }
-                finally:
-                    conn.close()
+                status, data, resp_headers = httppool.request(
+                    self.host,
+                    self.port,
+                    method,
+                    url,
+                    body=body,
+                    headers=send_headers,
+                    tls=self.tls,
+                    ssl_ctx=self._ssl_ctx,
+                    ctx_key=self._ctx_key,
+                    timeout=self.timeout_s,
+                )
                 if status >= 500:
                     raise TransientStoreError(f"s3 {op}: HTTP {status}")
                 if status in ok or status in (404, 412):
@@ -618,46 +629,12 @@ class S3HttpFS:
 
     def getsize(self, path: str) -> int:
         # HEAD + Content-Length: never transfer the body to measure it
-        import http.client as _hc
-
-        attempt = 0
-        while True:
-            try:
-                if self.chaos is not None:
-                    self.chaos.check("head")
-                if self.tls:
-                    conn = _hc.HTTPSConnection(
-                        self.host,
-                        self.port,
-                        timeout=self.timeout_s,
-                        context=self._ssl_ctx,
-                    )
-                else:
-                    conn = _hc.HTTPConnection(
-                        self.host, self.port, timeout=self.timeout_s
-                    )
-                try:
-                    url = self._obj_url(path)
-                    conn.request(
-                        "HEAD", url, headers=self._signed("HEAD", url, None, None)
-                    )
-                    resp = conn.getresponse()
-                    resp.read()
-                    if resp.status == 404:
-                        raise FileNotFoundError(path)
-                    if resp.status >= 500:
-                        raise TransientStoreError(f"s3 head: {resp.status}")
-                    if resp.status != 200:
-                        raise OSError(f"s3 head {url}: HTTP {resp.status}")
-                    return int(resp.getheader("Content-Length") or 0)
-                finally:
-                    conn.close()
-            except (TransientStoreError, ConnectionError, _hc.HTTPException) as e:
-                attempt += 1
-                if attempt > self.retries:
-                    if isinstance(e, TransientStoreError):
-                        raise
-                    raise TransientStoreError(str(e)) from e
+        status, _data, h = self._request(
+            "head", "HEAD", self._obj_url(path), with_headers=True
+        )
+        if status == 404:
+            raise FileNotFoundError(path)
+        return int(h.get("content-length") or 0)
 
     def _get(self, path: str) -> bytes:
         status, data = self._request("get", "GET", self._obj_url(path))
@@ -799,11 +776,15 @@ class S3HttpFS:
 
     def copyfile(self, src: str, dst: str) -> None:
         bucket, key = self._bucket_key(src)
+        # the copy source is URL-encoded per the S3 API (the server
+        # unquotes it), so keys with %/+/space round-trip
         status, _ = self._request(
             "copy",
             "PUT",
             self._obj_url(dst),
-            headers={"x-amz-copy-source": "/" + bucket + "/" + key},
+            headers={
+                "x-amz-copy-source": "/" + bucket + "/" + urllib.parse.quote(key)
+            },
         )
         if status == 404:
             raise FileNotFoundError(src)
