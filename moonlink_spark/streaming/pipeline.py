@@ -72,28 +72,60 @@ def _winner_events(
     statement index — same-transaction events share one COMMIT LSN) is
     used when the batch carries it; without it, ties break by
     op-precedence with delete highest — the conservative reading, since
-    resurrecting a deleted row is the worse failure. Keeps ``old_row``
-    keys so key-changing updates can delete the OLD key's row."""
+    resurrecting a deleted row is the worse failure.
+
+    A key-changing update (the reference's delete(old) + append(new),
+    pg_replicate/moonlink_sink.rs:295-326) is split into TWO events
+    before the window: the original, keyed by the NEW key, and a
+    synthetic delete keyed by the OLD key at the same (lsn, seq). The
+    synthetic delete competes in the old key's partition like any other
+    event, so it correctly loses to a LATER insert of that key and
+    correctly kills an EARLIER one — resolving each old key by LSN
+    instead of always deleting (which resurrected same-batch inserts the
+    key-change should have erased, and left intermediate keys alive in
+    A->B->C chains)."""
     ev = batch_df.filter(F.col("lsn") > min_lsn)
+    keep = ["lsn", "op", "row", "old_row"]
+    has_seq = "seq" in batch_df.columns
+    if has_seq:
+        keep.append("seq")
+    ev = ev.select(*keep)
+    old_differs = F.lit(False)
+    has_old = F.lit(True)
+    for c in key_cols:
+        old_differs = old_differs | ~F.col(f"old_row.{c}").eqNullSafe(
+            F.col(f"row.{c}")
+        )
+        has_old = has_old & F.col(f"old_row.{c}").isNotNull()
+    synthetic = ev.filter(
+        # row-less updates are NOT split: they must reach the malformed
+        # check as themselves, not masquerade as an old-key delete
+        (F.col("op") == "update")
+        & F.col("row").isNotNull()
+        & has_old
+        & old_differs
+    ).select(
+        F.col("lsn"),
+        F.lit("delete").alias("op"),
+        F.lit(None).cast(ev.schema["row"].dataType).alias("row"),
+        F.col("old_row"),
+        *([F.col("seq")] if has_seq else []),
+    )
+    ev = ev.unionByName(synthetic)
     key_exprs = [
         F.coalesce(F.col(f"row.{c}"), F.col(f"old_row.{c}")).alias(f"__k_{c}")
         for c in key_cols
     ]
-    old_key_exprs = [
-        F.col(f"old_row.{c}").alias(f"__ok_{c}") for c in key_cols
-    ]
     order = [F.desc("lsn")]
-    keep = ["lsn", "op", "row"]
-    if "seq" in batch_df.columns:
+    if has_seq:
         order.append(F.desc_nulls_last("seq"))
-        keep.append("seq")
     order.append(
         F.when(F.col("op") == "delete", 2)
         .when(F.col("op") == "update", 1)
         .otherwise(0)
         .desc()
     )
-    ev = ev.select(*keep, *key_exprs, *old_key_exprs)
+    ev = ev.select(*(keep[:3] + (["seq"] if has_seq else [])), *key_exprs)
     w = Window.partitionBy(*[f"__k_{c}" for c in key_cols]).orderBy(*order)
     return (
         ev.withColumn("__rn", F.row_number().over(w))
@@ -130,26 +162,11 @@ def apply_cdc_batch(
     winner = _winner_events(batch_df, key_cols, min_lsn).persist()
     mark = table.pending_mark()
     try:
-        key_changed = F.lit(False)
-        for c in key_cols:
-            key_changed = key_changed | ~F.col(f"__ok_{c}").eqNullSafe(
-                F.col(f"__k_{c}")
-            )
-        has_old_key = F.lit(True)
-        for c in key_cols:
-            has_old_key = has_old_key & F.col(f"__ok_{c}").isNotNull()
-        is_key_change = (
-            (F.col("op") == "update") & has_old_key & key_changed
-        )
-        deletes = (
-            winner.filter(F.col("op") == "delete")
-            .select(*[F.col(f"__k_{c}").alias(c) for c in key_cols])
-            .unionByName(
-                # key-changing update: the OLD key's row must die too
-                winner.filter(is_key_change).select(
-                    *[F.col(f"__ok_{c}").alias(c) for c in key_cols]
-                )
-            )
+        # key-changing updates were already split into (delete old key,
+        # upsert new key) events inside _winner_events, so the winners
+        # route directly: delete wins as a delete, the rest as upserts
+        deletes = winner.filter(F.col("op") == "delete").select(
+            *[F.col(f"__k_{c}").alias(c) for c in key_cols]
         )
         upserts = winner.filter(
             (F.col("op") != "delete") & F.col("row").isNotNull()
@@ -165,7 +182,6 @@ def apply_cdc_batch(
                     (F.col("op") != "delete") & F.col("row").isNotNull(), 1
                 ).otherwise(0)
             ).alias("n_up"),
-            F.sum(F.when(is_key_change, 1).otherwise(0)).alias("n_keychange"),
             F.sum(
                 F.when(
                     (F.col("op") != "delete") & F.col("row").isNull(), 1
@@ -180,7 +196,7 @@ def apply_cdc_batch(
                 f"{stats['n_malformed']} non-delete CDC events carry no "
                 "row payload"
             )
-        n_del = (stats["n_del"] or 0) + (stats["n_keychange"] or 0)
+        n_del = stats["n_del"] or 0
         n_up = stats["n_up"] or 0
         if n_del == 0 and n_up == 0:
             return None

@@ -441,3 +441,79 @@ def test_ingestor_validates_index_identity_and_kafka_bootstrap(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="kafka_bootstrap"):
         StreamingIngestor(t_int, kafka_topic="t")
+
+
+def _apply(spark, tmp_path, name, events, pre=None):
+    t = MoonlinkTable.create(
+        spark, str(tmp_path / name), USERS, IdentityProp.single("id")
+    )
+    if pre:
+        t.append_rows(pre)
+        t.commit(lsn=1)
+    batch = spark.createDataFrame(events, cdc_event_schema(t.schema))
+    apply_cdc_batch(t, batch, batch_id=0)
+    return {r["id"]: r["name"] for r in t.scan().collect()}
+
+
+def test_key_change_does_not_resurrect_same_batch_insert(spark, tmp_path):
+    """Review finding (r9): insert id=1 then a key-change 1->2 in ONE
+    batch left id=1 alive — the old-key delete never competed in the
+    per-key window, so the insert won key 1's partition and was
+    re-applied after the key-change's delete."""
+    got = _apply(
+        spark,
+        tmp_path,
+        "t1",
+        [
+            _ev(5, "insert", _row(1, "a", 1)),
+            _ev(6, "update", _row(2, "a2", 2), _row(1, "a", 1)),
+        ],
+    )
+    assert got == {2: "a2"}, got
+
+
+def test_later_insert_survives_earlier_key_change(spark, tmp_path):
+    # the mirror case: the old-key slot is legitimately REFILLED by a
+    # later insert; the synthetic delete must lose to it by LSN
+    got = _apply(
+        spark,
+        tmp_path,
+        "t2",
+        [
+            _ev(5, "update", _row(20, "moved", 2), _row(10, "orig", 1)),
+            _ev(6, "insert", _row(10, "new", 3)),
+        ],
+        pre=[_row(10, "orig", 1)],
+    )
+    assert got == {10: "new", 20: "moved"}, got
+
+
+def test_chained_key_changes_leave_only_the_final_key(spark, tmp_path):
+    # A->B->C in one batch: B is transient and must not survive (the old
+    # pairwise old-key union kept B alive: the A->B winner upserted B
+    # after B->C's delete)
+    got = _apply(
+        spark,
+        tmp_path,
+        "t3",
+        [
+            _ev(5, "update", _row(2, "b", 2), _row(1, "a", 1)),
+            _ev(6, "update", _row(3, "c", 3), _row(2, "b", 2)),
+        ],
+        pre=[_row(1, "a", 1)],
+    )
+    assert got == {3: "c"}, got
+
+
+def test_key_change_then_delete_of_new_key(spark, tmp_path):
+    got = _apply(
+        spark,
+        tmp_path,
+        "t4",
+        [
+            _ev(5, "update", _row(2, "b", 2), _row(1, "a", 1)),
+            _ev(6, "delete", None, _row(2, "b", 2)),
+        ],
+        pre=[_row(1, "a", 1)],
+    )
+    assert got == {}, got
