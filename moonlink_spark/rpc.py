@@ -255,8 +255,13 @@ def _recv_exact(sock: socket.socket, n: int) -> bytes:
     return bytes(out)
 
 
+_MAX_FRAME = 64 << 20  # requests are tiny; a huge prefix is a bad peer
+
+
 def _recv_frame(sock: socket.socket) -> bytes:
     (n,) = struct.unpack("<I", _recv_exact(sock, 4))
+    if n > _MAX_FRAME:
+        raise ConnectionError(f"frame length {n} exceeds {_MAX_FRAME}")
     return _recv_exact(sock, n)
 
 
@@ -273,9 +278,11 @@ class MoonlinkRpcServer:
     def __init__(self, backend, host: str = "127.0.0.1", port: int = 0):
         self.backend = backend
         rpc = self
-        # pinned scan snapshots: (db, table) -> version (scan_table_begin
-        # resolves once; scan_table_end releases)
-        self._pins: dict[tuple[str, str], int] = {}
+        # pinned scan snapshots: (db, table) -> LIFO of versions pinned on
+        # the table itself (scan_table_begin pins, scan_table_end releases
+        # the most recent) — vacuum keeps a pinned version's files, so a
+        # reader holding the blob can finish even through optimize+vacuum
+        self._pins: dict[tuple[str, str], list[int]] = {}
         self._lock = threading.Lock()
         # footer metadata cache (parity: the reference's metadata cache,
         # cache/metadata/moka_cache.rs — LRU + insertion-TTL). Parquet
@@ -345,17 +352,27 @@ class MoonlinkRpcServer:
             t = self.backend.get_table(kw["database"], kw["table"])
             return enc_bytes(to_arrow_schema(t.schema).serialize().to_pybytes())
         if name == "list_tables":
+            from moonlink_spark.table.iceberg_export import read_iceberg_sync
+
             rows = []
             for full in self.backend.list_tables():  # "db.table" keys
                 db, tbl = full.split(".", 1)
                 t = self.backend.get_table(db, tbl)
                 m = t.manifest
-                rows.append((db, tbl, t.cardinality(), m.lsn, m.lsn, t.path))
+                # flush_lsn = last Iceberg sync, None if never synced —
+                # same contract as backend.list_table_status and the
+                # reference's TableStatus (table_status.rs:5-18)
+                sync = read_iceberg_sync(t)
+                flush = int(sync["flush_lsn"]) if sync else None
+                rows.append((db, tbl, t.cardinality(), m.lsn, flush, t.path))
             out = bytearray(enc_varint(len(rows)))
             for db, tbl, card, commit_lsn, flush_lsn, loc in rows:
                 out += enc_str(db) + enc_str(tbl)
                 out += enc_varint(card) + enc_varint(commit_lsn)
-                out += b"\x01" + enc_varint(flush_lsn)  # Some(flush_lsn)
+                if flush_lsn is None:
+                    out += b"\x00"  # Option::None
+                else:
+                    out += b"\x01" + enc_varint(flush_lsn)
                 out += enc_str(loc)
             return bytes(out)
         if name == "load_files":
@@ -370,8 +387,14 @@ class MoonlinkRpcServer:
             blob = self._scan_blob(kw["database"], kw["table"], kw["lsn"])
             return enc_bytes(blob)
         if name == "scan_table_end":
+            key = (kw["database"], kw["table"])
             with self._lock:
-                self._pins.pop((kw["database"], kw["table"]), None)
+                stack = self._pins.get(key)
+                version = stack.pop() if stack else None
+                if not stack:
+                    self._pins.pop(key, None)
+            if version is not None:
+                self.backend.get_table(*key).unpin_version(version)
             return b""
         raise ValueError(f"unknown rpc {name!r}")
 
@@ -382,8 +405,9 @@ class MoonlinkRpcServer:
         m = (
             t._resolve_manifest(lsn=lsn) if lsn else t.manifest
         )
+        t.pin_version(m.version)
         with self._lock:
-            self._pins[(db, table)] = m.version
+            self._pins.setdefault((db, table), []).append(m.version)
         data_files = [t._resolve(f.path) for f in m.data_files]
         index = {t._resolve(f.path): i for i, f in enumerate(m.data_files)}
         rel_index = {f.path: i for i, f in enumerate(m.data_files)}

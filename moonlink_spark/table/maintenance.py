@@ -127,10 +127,14 @@ def vacuum(table: MoonlinkTable, keep_versions: int = 1) -> int:
 
     Runs under the table lock and treats files staged by pending (uncommitted)
     ops as referenced, so a concurrent/buffered writer's flushed-but-pending
-    parquet is never GC'd out from under its future commit."""
+    parquet is never GC'd out from under its future commit. Versions pinned
+    by in-flight readers (``table.pin_version`` — the RPC scan lifecycle)
+    are kept whole: their manifests stay and their files stay referenced."""
     with table._lock:
         versions = table.store.versions()
         keep = versions[-max(1, keep_versions):]
+        pinned = [v for v in table.pinned_versions() if v in versions]
+        keep = sorted(set(keep) | set(pinned))
         referenced: set[str] = _staged_file_paths(table)
         index_referenced: set[str] = set()
         for v in keep:

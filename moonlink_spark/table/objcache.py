@@ -624,12 +624,15 @@ class CachedFS:
 
     def rmtree(self, path: str) -> None:
         self.inner.rmtree(path)
-        # coarse: drop every cached entry under the prefix
+        # coarse: drop every cached entry under the prefix (component
+        # boundary, so "/wh/tab" does not invalidate "/wh/table2/...")
+        prefix = path.rstrip("/") + "/"
         with self.cache._lock:
             ids = [
                 fid
                 for fid in (*self.cache._evictable, *self.cache._pinned)
-                if isinstance(fid, str) and fid.startswith(path)
+                if isinstance(fid, str)
+                and (fid == path or fid.startswith(prefix))
             ]
         for fid in ids:
             self._invalidate(fid)

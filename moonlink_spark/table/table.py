@@ -159,6 +159,12 @@ class MoonlinkTable:
         )
         self._pending: list[tuple] = []
         self._lock = threading.RLock()
+        # refcounted version pins: an in-flight reader (RPC scan_table_begin,
+        # an exported-snapshot reader) pins the manifest version it resolved
+        # so vacuum keeps that version's files until the scan ends — the
+        # reference's scan_table_begin/end holds the mooncake snapshot alive
+        # the same way (src/moonlink_rpc/src/lib.rs scan lifecycle)
+        self._version_pins: dict[int, int] = {}
         # recovery telemetry: opening an EXISTING table loads its current
         # snapshot — the analog of the reference's iceberg table recovery
         # histogram (observability/iceberg_table_recovery.rs:16-22)
@@ -286,6 +292,26 @@ class MoonlinkTable:
     @property
     def last_lsn(self) -> int:
         return self.manifest.lsn
+
+    def pin_version(self, version: int) -> None:
+        """Pin a manifest version against vacuum (refcounted): its data,
+        delete, and manifest files survive GC until every pin drops."""
+        with self._lock:
+            self._version_pins[version] = self._version_pins.get(version, 0) + 1
+
+    def unpin_version(self, version: int) -> None:
+        """Drop one pin; unknown/over-released versions are a no-op (a
+        reader double-ending a scan must not underflow a live pin)."""
+        with self._lock:
+            n = self._version_pins.get(version, 0)
+            if n <= 1:
+                self._version_pins.pop(version, None)
+            else:
+                self._version_pins[version] = n - 1
+
+    def pinned_versions(self) -> list[int]:
+        with self._lock:
+            return sorted(self._version_pins)
 
     def cardinality(self) -> int:
         """Exact live row count from manifest stats — no scan

@@ -167,3 +167,61 @@ def test_rpc_full_surface(rpc, tmp_path):
 
     cli.drop_table("db", "t")
     assert cli.list_tables() == []
+
+
+def test_scan_pin_survives_optimize_and_vacuum(rpc):
+    """Review finding (r9): scan pins were decorative — vacuum never
+    consulted them, so an optimize+vacuum during an RPC scan deleted the
+    files the reader's blob still pointed at."""
+    import os
+
+    from moonlink_spark.table.maintenance import optimize, vacuum
+
+    be, cli = rpc
+    cli.create_table(
+        "db", "pinned", "src", "uri",
+        json.dumps({"schema": USERS_SCHEMA,
+                    "identity": {"mode": "single", "columns": ["id"]}}),
+    )
+    t = be.get_table("db", "pinned")
+    t.append_rows([{"id": i, "name": f"n{i}"} for i in range(100)])
+    t.commit(lsn=5)
+    t.append_rows([{"id": i, "name": f"m{i}"} for i in range(100, 200)])
+    t.commit(lsn=6)
+
+    blob = cli.scan_table_begin("db", "pinned", 6)
+    assert blob.data_files
+    # rewrite + GC under the reader: the pinned version's files must stay
+    optimize(t, "data")
+    removed_while_pinned = vacuum(t, keep_versions=1)
+    for p in blob.data_files:
+        assert os.path.exists(p), f"vacuum deleted pinned scan file {p}"
+
+    cli.scan_table_end("db", "pinned")
+    vacuum(t, keep_versions=1)
+    assert not all(os.path.exists(p) for p in blob.data_files), (
+        "unpinned pre-optimize files should be GC'd after scan_table_end"
+    )
+    # the live table is intact throughout
+    assert t.scan().count() == 200
+
+
+def test_unpin_is_refcounted_and_tolerates_double_end(rpc):
+    be, cli = rpc
+    cli.create_table(
+        "db", "rc", "src", "uri",
+        json.dumps({"schema": USERS_SCHEMA,
+                    "identity": {"mode": "single", "columns": ["id"]}}),
+    )
+    t = be.get_table("db", "rc")
+    t.append_rows([{"id": 1, "name": "a"}])
+    t.commit(lsn=1)
+    cli.scan_table_begin("db", "rc", 0)
+    cli.scan_table_begin("db", "rc", 0)
+    assert t.pinned_versions()  # pinned while scans live
+    cli.scan_table_end("db", "rc")
+    assert t.pinned_versions()  # one scan still holds it
+    cli.scan_table_end("db", "rc")
+    assert not t.pinned_versions()
+    cli.scan_table_end("db", "rc")  # over-release: no-op, no underflow
+    assert not t.pinned_versions()
