@@ -46,7 +46,7 @@ def collect_file_stats(path: str, max_columns: int = 32) -> dict[str, list]:
                 bad.add(name)
                 out.pop(name, None)
                 continue
-            mn, mx = _json_safe(st.min), _json_safe(st.max)
+            mn, mx = _json_safe(st.min, lo=True), _json_safe(st.max, lo=False)
             if mn is None or mx is None:
                 bad.add(name)
                 out.pop(name, None)
@@ -59,7 +59,7 @@ def collect_file_stats(path: str, max_columns: int = 32) -> dict[str, list]:
     return out
 
 
-def _json_safe(v: Any):
+def _json_safe(v: Any, lo: bool = True):
     if isinstance(v, bool):
         return None  # bool min/max not useful for pruning
     if isinstance(v, _SUPPORTED):
@@ -70,7 +70,13 @@ def _json_safe(v: Any):
         except UnicodeDecodeError:
             return None
     if isinstance(v, Decimal):
-        return float(v)
+        # float(Decimal) rounds to nearest, which can TIGHTEN the bound
+        # and prune a file that contains matching rows; pad one ulp
+        # outward so the float envelope always contains the decimal one
+        import math
+
+        f = float(v)
+        return math.nextafter(f, -math.inf if lo else math.inf)
     if isinstance(v, (dt.datetime, dt.date)):
         return v.isoformat()
     return None
@@ -207,6 +213,10 @@ _COND_REV_RE = re.compile(
 _IN_RE = re.compile(
     rf"^(\w+)\s+IN\s*\(\s*({_LIT_RE}(?:\s*,\s*{_LIT_RE})*)\s*\)$", re.IGNORECASE
 )
+# unanchored variant for stripping IN-lists out of a larger condition
+_IN_INNER_RE = re.compile(
+    rf"(\w+)\s+IN\s*\(\s*{_LIT_RE}(?:\s*,\s*{_LIT_RE})*\s*\)", re.IGNORECASE
+)
 _FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "=", "==": "="}
 
 
@@ -260,11 +270,12 @@ def _parse_conjuncts(
     """-> (recognized (col, op, value) conjuncts, unrecognized fragments)."""
     text = " ".join(condition.split())
     # a top-level OR (or any parens beyond IN-lists) poisons conjunct
-    # splitting; treat the whole condition as one unrecognized fragment
-    probe = re.sub(_IN_RE, "", text)
-    if re.search(r"\bOR\b", probe, re.IGNORECASE) or "(" in re.sub(
-        _IN_RE, "", text
-    ):
+    # splitting; treat the whole condition as one unrecognized fragment.
+    # The probe strips IN-lists wherever they appear (the anchored _IN_RE
+    # would only match when the WHOLE condition is one IN clause, wrongly
+    # rejecting "id IN (1,2) AND v = 3").
+    probe = re.sub(_IN_INNER_RE, "", text)
+    if re.search(r"\bOR\b", probe, re.IGNORECASE) or "(" in probe:
         return [], [text]
     conds: list[tuple[str, str, Any]] = []
     leftovers: list[str] = []
