@@ -149,7 +149,7 @@ def _delta_file_stats(path: str) -> str:
                 mins.pop(name, None)
                 maxs.pop(name, None)
                 continue
-            mn, mx = _json_safe(st.min), _json_safe(st.max)
+            mn, mx = _json_safe(st.min, lo=True), _json_safe(st.max, lo=False)
             if mn is None or mx is None:
                 continue
             mins[name] = mn if name not in mins else min(mins[name], mn)
@@ -251,7 +251,32 @@ def export_delta(
     m = table._resolve_manifest(lsn=lsn)
     log_dir = os.path.join(dest, LOG_DIR)
     os.makedirs(log_dir, exist_ok=True)
-    version, exported, prev_schema, prev_protocol = _replay_log(log_dir)
+    # Delta's commit protocol is put-if-absent on the next version file;
+    # two exporters racing to one version must yield ONE winner (the
+    # loser replays the new log and retries), never a silent last-wins
+    # overwrite of the other's actions.
+    for _attempt in range(10):
+        version, exported, prev_schema, prev_protocol = _replay_log(log_dir)
+        result = _export_delta_version(
+            table, dest, log_dir, m, version, exported, prev_schema, prev_protocol
+        )
+        if result is not None:
+            return result
+    raise OSError(
+        f"export_delta: lost the version race 10 times under {log_dir}"
+    )
+
+
+def _export_delta_version(
+    table: MoonlinkTable,
+    dest: str,
+    log_dir: str,
+    m: Manifest,
+    version: int,
+    exported: dict[str, dict],
+    prev_schema: str | None,
+    prev_protocol: dict | None,
+) -> dict[str, Any] | None:
 
     # data files are ALWAYS clean verbatim copies; deletes travel as
     # inline deletion vectors on the add action (PROTOCOL.md "Deletion
@@ -370,11 +395,21 @@ def export_delta(
     actions += [{"remove": r} for r in removes]
 
     log_path = os.path.join(log_dir, f"{version:020d}.json")
-    tmp = log_path + ".tmp"
+    import uuid as _uuid
+
+    tmp = f"{log_path}.tmp-{_uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
         for a in actions:
             fh.write(json.dumps(a, sort_keys=True) + "\n")
-    os.replace(tmp, log_path)
+    try:
+        # link = atomic + exclusive: the Delta commit primitive (exactly
+        # one writer owns each version number), and a replaying reader
+        # can never observe a half-written version file
+        os.link(tmp, log_path)
+    except FileExistsError:
+        os.unlink(tmp)
+        return None  # lost the version race: caller replays and retries
+    os.unlink(tmp)
     return {
         "delta_version": version,
         "source_lsn": m.lsn,

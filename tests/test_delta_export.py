@@ -235,3 +235,51 @@ def test_schema_change_re_emits_metadata(spark, tmp_path):
     assert meta, "schema change must re-emit metaData"
     st = T.StructType.fromJson(json.loads(meta[0]["schemaString"]))
     assert "extra" in st.fieldNames()
+
+
+def test_concurrent_export_single_version_winner(spark, tmp_path):
+    """Review finding (r9): two exporters racing to the same next Delta
+    version wrote the same NNN.json via os.replace — last writer silently
+    destroyed the other's actions. The commit is now atomic-exclusive
+    (link), and the loser replays the log and retries at the NEXT
+    version, so both exports land."""
+    dest = str(tmp_path / "delta_race")
+    t = make_table(spark, tmp_path)
+    export_delta(t, dest)  # version 0
+
+    # simulate the racer that grabbed version 1 first: a valid log file
+    # (commitInfo only) appears between our replay and our write
+    import moonlink_spark.table.delta_export as de
+
+    real_replay = de._replay_log
+    injected = {"done": False}
+
+    def racing_replay(log_dir):
+        out = real_replay(log_dir)
+        if not injected["done"]:
+            injected["done"] = True
+            with open(os.path.join(log_dir, f"{out[0]:020d}.json"), "x") as fh:
+                fh.write(json.dumps({"commitInfo": {"operation": "RACER"}}) + "\n")
+        return out
+
+    t.append_rows([{"id": 999, "grp": "z", "val": 9.0}])
+    t.commit()
+    de._replay_log = racing_replay
+    try:
+        s = export_delta(t, dest)
+    finally:
+        de._replay_log = real_replay
+    # the racer owns version 1; our export retried and landed at 2
+    assert s["delta_version"] == 2, s
+    assert s["adds"] >= 1
+    versions = sorted(
+        int(n[:-5]) for n in os.listdir(os.path.join(dest, LOG_DIR))
+        if n.endswith(".json")
+    )
+    assert versions == [0, 1, 2]
+    # replay still yields the full live set including the new row
+    con = duckdb.connect()
+    files = read_delta_live_files(dest)
+    quoted = ", ".join(f"'{p}'" for p in files)
+    n = con.sql(f"SELECT count(*) FROM read_parquet([{quoted}])").fetchone()[0]
+    assert n == t.scan().count()
