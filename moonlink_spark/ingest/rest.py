@@ -70,16 +70,24 @@ class RestSink:
         last = self.table.last_lsn
         max_lsn = None
         with self.table.fs.open_read(self._wal_path) as fh:
-            for line in fh:
-                line = line.strip()
-                if not line:
-                    continue
+            lines = [ln.strip() for ln in fh]
+        for i, line in enumerate(lines):
+            if not line:
+                continue
+            try:
                 e = json.loads(line)
-                max_lsn = max(max_lsn or 0, e["row_lsn"])
-                if e["row_lsn"] <= last:
-                    continue  # already committed before the crash
-                self._apply(e["operation"], convert_row(e["data"], self.table.schema))
-                self._dirty = True
+            except json.JSONDecodeError:
+                if i == len(lines) - 1:
+                    # torn TAIL line = crash mid-append, before the ack;
+                    # the request was never acknowledged, so dropping it
+                    # is correct. Mid-file corruption stays fatal.
+                    break
+                raise
+            max_lsn = max(max_lsn or 0, e["row_lsn"])
+            if e["row_lsn"] <= last:
+                continue  # already committed before the crash
+            self._apply(e["operation"], convert_row(e["data"], self.table.schema))
+            self._dirty = True
         return max_lsn
 
     def _journal_append(self, operation: str, data: dict[str, Any], row_lsn: int) -> None:

@@ -67,11 +67,28 @@ class LocalFS:
         return open(path, "rb")
 
     def write_text_durable(self, path: str, data: str) -> None:
-        """Write + flush + fsync (WAL/manifest durability)."""
-        with open(path, "w") as fh:
+        """Atomic durable write: tmp + fsync + rename + dir fsync. A
+        crash can never leave a torn/truncated file at ``path`` — the
+        property object-store PUTs give for free, and what callers that
+        rewrite state files in place (iceberg sync sidecar, version
+        hints) rely on."""
+        import uuid as _uuid
+
+        d = os.path.dirname(path) or "."
+        tmp = os.path.join(d, f".{os.path.basename(path)}.{_uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as fh:
             fh.write(data)
             fh.flush()
             os.fsync(fh.fileno())
+        os.replace(tmp, path)
+        try:
+            dfd = os.open(d, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        except OSError:
+            pass  # directory fsync unsupported (some filesystems): best effort
 
     def append_text_durable(self, path: str, data: str) -> None:
         with open(path, "a") as fh:

@@ -178,3 +178,41 @@ def test_async_journal_replay_is_idempotent(spark, tmp_path):
     assert not t2.has_pending()  # replay skipped everything
     assert sink2.flush() is None
     assert t2.scan().count() == 2  # no duplicates
+
+
+def test_torn_wal_tail_is_dropped_mid_file_corruption_fatal(spark, tmp_path):
+    """A crash mid-append leaves a torn FINAL journal line; that request
+    was never acked, so replay drops it. Corruption anywhere else is a
+    real integrity failure and stays fatal (review finding r9)."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from moonlink_spark.ingest.rest import RestSink
+
+    path = str(tmp_path / "wal_torn")
+    t = MoonlinkTable.create(
+        spark,
+        path,
+        [{"name": "id", "data_type": "int32", "nullable": False}],
+        IdentityProp.none(),
+        append_only=True,
+    )
+    sink = RestSink(t)
+    sink.ingest("insert", {"id": 1}, "async")
+    sink.ingest("insert", {"id": 2}, "async")
+    wal = os.path.join(path, "_wal", "rest.jsonl")
+    with open(wal, "a") as fh:
+        fh.write('{"operation": "insert", "data": {"id"')  # torn tail
+    t2 = MoonlinkTable.open(spark, path)
+    sink2 = RestSink(t2)  # must not raise
+    assert sink2.flush() is not None
+    assert t2.scan().count() == 2  # both acked rows, torn one dropped
+
+    # mid-file corruption is NOT a crash artifact: fail loud
+    with open(wal, "w") as fh:
+        fh.write("GARBAGE\n")
+        fh.write(_json.dumps({"operation": "insert", "data": {"id": 9},
+                              "row_lsn": 99}) + "\n")
+    with _pytest.raises(_json.JSONDecodeError):
+        RestSink(MoonlinkTable.open(spark, path))
