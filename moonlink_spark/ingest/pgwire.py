@@ -126,15 +126,21 @@ class ReplicationWireServer:
 
     # -- trace frames -------------------------------------------------------
 
-    def _frames_from(self, pos: int):
-        """(offset, payload) for complete frames at byte offset >= pos."""
+    def _frames_from(self, pos: int, aligned: bool = False):
+        """(offset, payload) for complete frames at byte offset >= pos.
+
+        ``aligned=True`` (positions produced by our own send loop) seeks
+        straight to ``pos`` — O(new frames) per wake instead of rewalking
+        the whole feed's headers, which goes quadratic on a long-lived
+        connection. The first call of a connection keeps the full walk:
+        a client-supplied start position gets snapped to the next real
+        frame boundary instead of desyncing the framing."""
         if not os.path.exists(self.trace_path):
             return
         with open(self.trace_path, "rb") as fh:
             fh.seek(0, os.SEEK_END)
             end = fh.tell()
-            fh.seek(0)
-            off = 0
+            off = pos if aligned else 0
             while off + 4 <= end:
                 fh.seek(off)
                 (n,) = struct.unpack(">I", fh.read(4))
@@ -188,9 +194,10 @@ class ReplicationWireServer:
             ).start()
 
             pos = start
+            aligned = False  # first pass snaps pos to a frame boundary
             while not self._stop.is_set() and not done.is_set():
                 sent = False
-                for off, payload in self._frames_from(pos):
+                for off, payload in self._frames_from(pos, aligned=aligned):
                     wal = off + 1
                     xlog = (
                         b"w"
@@ -201,6 +208,7 @@ class ReplicationWireServer:
                     )
                     sock.sendall(_msg(b"d", xlog))
                     pos = off + 4 + len(payload)
+                    aligned = True  # pos is now our own frame boundary
                     sent = True
                 if not sent:
                     ka = b"k" + struct.pack(">QQ", pos, _pg_ts()) + b"\x00"
@@ -304,6 +312,8 @@ class ReplicationWireClient:
             if t != b"W":
                 raise ConnectionError(f"expected CopyBothResponse, got {t!r}")
             idle = 0
+            written = start  # tracked incrementally: rescanning the whole
+            # spool per ack is O(spool) and goes quadratic on long streams
             sock.settimeout(timeout_s)
             while idle < idle_rounds:
                 t, body = _read_msg(f)
@@ -314,6 +324,7 @@ class ReplicationWireClient:
                     payload = body[25:]  # after 'w' + 3x u64
                     with open(self.spool_path, "ab") as fh:
                         fh.write(struct.pack(">I", len(payload)) + payload)
+                    written += 4 + len(payload)
                     stats["frames"] += 1
                     idle = 0
                 elif kind == b"k":
@@ -333,7 +344,7 @@ class ReplicationWireClient:
                         b"r"
                         + struct.pack(
                             ">QQQQ",
-                            self._spool_len(),
+                            written,
                             flushed,
                             flushed,
                             _pg_ts(),

@@ -145,14 +145,20 @@ class ManifestStore:
         return self.read(vs[-1]) if vs else None
 
     def version_for_lsn(self, lsn: int) -> int | None:
-        """Largest version whose commit lsn <= requested lsn."""
+        """Largest version whose commit lsn <= requested lsn. LSNs are
+        non-decreasing in version (enforced by commit), so this binary
+        searches — O(log versions) manifest reads instead of reading
+        every version's JSON on each time-travel resolve."""
+        vs = self.versions()
         best = None
-        for v in self.versions():
-            m = self.read(v)
-            if m.lsn <= lsn:
-                best = v
+        lo, hi = 0, len(vs) - 1
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            if self.read(vs[mid]).lsn <= lsn:
+                best = vs[mid]
+                lo = mid + 1
             else:
-                break
+                hi = mid - 1
         return best
 
     def wait_for_lsn(self, lsn: int, timeout_s: float = 30.0) -> int:
