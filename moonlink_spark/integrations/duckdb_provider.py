@@ -28,7 +28,7 @@ from __future__ import annotations
 import json
 import os
 import re
-from typing import Any
+from typing import Any, Callable
 
 from moonlink_spark.rpc import MoonlinkRpcClient, TableMetadataBlob
 
@@ -84,19 +84,22 @@ def attach_moonlink_table(
     lsn: int = 0,
     view_name: str | None = None,
     materialize: bool = False,
-) -> str:
+    hold_pin: bool = False,
+) -> str | tuple[str, Callable[[], None]]:
     """Register ``database.table`` at ``lsn`` (0 = latest) as a DuckDB view
     and return the view name. The RPC conversation matches the reference
     provider: schema fetch, scan begin, build scan, scan end.
 
-    Lifetime caveats (same trade-off surface as the reference provider,
-    which holds its scan pin only for one scan's lifetime):
+    Lifetime (same trade-off surface as the reference provider, which
+    holds its scan pin for the provider's lifetime):
 
     - the default view references the snapshot's parquet files by path; a
       later ``optimize_table``/vacuum that rewrites those files invalidates
-      the view — re-attach after maintenance, or pass ``materialize=True``
-      to copy the snapshot's rows into a DuckDB TABLE that stays queryable
-      regardless of what happens to the source files;
+      the view — re-attach after maintenance, pass ``materialize=True``
+      to copy the snapshot's rows into a DuckDB TABLE, or pass
+      ``hold_pin=True`` to keep the scan pin open: vacuum then preserves
+      the snapshot's files until the returned ``detach()`` is called
+      (``(view, detach)`` is returned in that mode);
     - an empty snapshot is typed from the table's CURRENT schema (the RPC
       ``get_table_schema`` verb has no LSN parameter, mirroring
       ``lib.rs:310``), so a time-travel attach of an empty pre-alter
@@ -117,8 +120,31 @@ def attach_moonlink_table(
             rel = f"SELECT * FROM __mls_empty_{view}"
         kind = "TABLE" if materialize else "VIEW"
         con.execute(f"CREATE OR REPLACE {kind} {view} AS {rel}")
-        # parity scan_table_end (provider Drop, table_provider.rs:244-256);
-        # with materialize=True the rows were copied while the pin was held
+    except BaseException:
+        try:
+            client.scan_table_end(database, table)
+        finally:
+            client.close()
+        raise
+    if hold_pin:
+        # the pin stays until detach(): vacuum keeps this snapshot's
+        # files, so the view survives optimize/vacuum cycles (the
+        # reference provider's Drop-scoped pin, surfaced as a callable)
+        done = {"released": False}
+
+        def detach() -> None:
+            if done["released"]:
+                return
+            done["released"] = True
+            try:
+                client.scan_table_end(database, table)
+            finally:
+                client.close()
+
+        return view, detach
+    # parity scan_table_end (provider Drop, table_provider.rs:244-256);
+    # with materialize=True the rows were copied while the pin was held
+    try:
         client.scan_table_end(database, table)
     finally:
         client.close()

@@ -327,3 +327,50 @@ def test_exported_lsh_pairs_respect_deletion_vectors(spark, tmp_path):
     kept = {(a, b) for a, b in pairs if victim not in (a, b)}
     assert kept <= set(after)
     con.close()
+
+
+def test_hold_pin_view_survives_optimize_and_vacuum(spark, tmp_path):
+    """hold_pin=True keeps the RPC scan pin open, so vacuum preserves the
+    attached snapshot's files and the DuckDB view keeps answering through
+    an optimize+vacuum cycle; detach() releases and the files go."""
+    import duckdb
+
+    from moonlink_spark.backend import MoonlinkBackend
+    from moonlink_spark.integrations.duckdb_provider import (
+        attach_moonlink_table,
+    )
+    from moonlink_spark.rpc import MoonlinkRpcServer
+    from moonlink_spark.table.identity import IdentityProp
+    from moonlink_spark.table.maintenance import optimize, vacuum
+
+    be = MoonlinkBackend(spark, str(tmp_path / "wh"))
+    t = be.create_table(
+        "db",
+        "pinview",
+        [
+            {"name": "id", "data_type": "int64", "nullable": False},
+            {"name": "v", "data_type": "string"},
+        ],
+        IdentityProp.single("id"),
+    )
+    t.append_rows([{"id": i, "v": f"x{i}"} for i in range(300)])
+    t.commit(lsn=1)
+    srv = MoonlinkRpcServer(be).start()
+    try:
+        con = duckdb.connect()
+        view, detach = attach_moonlink_table(
+            con, "127.0.0.1", srv.port, "db", "pinview", hold_pin=True
+        )
+        assert con.sql(f"SELECT count(*) FROM {view}").fetchone()[0] == 300
+        t.append_rows([{"id": 1000, "v": "late"}])
+        t.commit(lsn=2)
+        optimize(t, "data")
+        vacuum(t, keep_versions=1)
+        # pinned snapshot still serves (old files preserved by the pin)
+        assert con.sql(f"SELECT count(*) FROM {view}").fetchone()[0] == 300
+        detach()
+        detach()  # idempotent
+        assert vacuum(t, keep_versions=1) >= 1  # old files now reclaimed
+        assert t.scan().count() == 301
+    finally:
+        srv.stop()
