@@ -96,8 +96,20 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    _await_or_fail(q, timeout_s)
     return q
+
+
+def _await_or_fail(q, timeout_s: float) -> None:
+    """availableNow drains must FINISH: a caller reading results while
+    the query still commits in the background sees silent partial state."""
+    if not q.awaitTermination(timeout_s):
+        try:
+            q.stop()
+        finally:
+            raise TimeoutError(
+                f"availableNow drain did not finish within {timeout_s}s"
+            )
 
 
 def run_to_parquet(
@@ -114,5 +126,5 @@ def run_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    _await_or_fail(q, timeout_s)
     return q
