@@ -278,11 +278,6 @@ class MoonlinkRpcServer:
     def __init__(self, backend, host: str = "127.0.0.1", port: int = 0):
         self.backend = backend
         rpc = self
-        # pinned scan snapshots: (db, table) -> LIFO of versions pinned on
-        # the table itself (scan_table_begin pins, scan_table_end releases
-        # the most recent) — vacuum keeps a pinned version's files, so a
-        # reader holding the blob can finish even through optimize+vacuum
-        self._pins: dict[tuple[str, str], list[int]] = {}
         self._lock = threading.Lock()
         # footer metadata cache (parity: the reference's metadata cache,
         # cache/metadata/moka_cache.rs — LRU + insertion-TTL). Parquet
@@ -294,17 +289,29 @@ class MoonlinkRpcServer:
 
         class Handler(socketserver.BaseRequestHandler):
             def handle(self) -> None:
-                while True:
-                    try:
-                        frame = _recv_frame(self.request)
-                    except (ConnectionError, struct.error):
-                        return
-                    try:
-                        name, kwargs = decode_request(frame)
-                        payload = rpc._dispatch(name, kwargs)
-                        _send_frame(self.request, b"\x00" + payload)  # Ok
-                    except Exception as e:  # -> Err(message)
-                        _send_frame(self.request, b"\x01" + enc_str(str(e)))
+                # scan pins acquired on THIS connection: released on
+                # scan_table_end, and force-released when the connection
+                # dies (the reference provider's Drop scope) — a crashed
+                # reader must not block vacuum forever
+                conn_pins: list[tuple[str, str, int]] = []
+                try:
+                    while True:
+                        try:
+                            frame = _recv_frame(self.request)
+                        except (ConnectionError, struct.error):
+                            return
+                        try:
+                            name, kwargs = decode_request(frame)
+                            payload = rpc._dispatch(name, kwargs, conn_pins)
+                            _send_frame(self.request, b"\x00" + payload)  # Ok
+                        except Exception as e:  # -> Err(message)
+                            _send_frame(self.request, b"\x01" + enc_str(str(e)))
+                finally:
+                    for db, tbl, version in conn_pins:
+                        try:
+                            rpc.backend.get_table(db, tbl).unpin_version(version)
+                        except Exception:
+                            pass  # table dropped since: nothing to unpin
 
         self.server = socketserver.ThreadingTCPServer((host, port), Handler)
         self.server.daemon_threads = True
@@ -313,7 +320,14 @@ class MoonlinkRpcServer:
 
     # -- dispatch ----------------------------------------------------------
 
-    def _dispatch(self, name: str, kw: dict[str, Any]) -> bytes:
+    def _dispatch(
+        self,
+        name: str,
+        kw: dict[str, Any],
+        conn_pins: list[tuple[str, str, int]] | None = None,
+    ) -> bytes:
+        if conn_pins is None:
+            conn_pins = []  # direct test calls: pins released by end only
         if name == "create_snapshot":
             t = self.backend.get_table(kw["database"], kw["table"])
             t.store.wait_for_lsn(kw["lsn"])
@@ -384,21 +398,26 @@ class MoonlinkRpcServer:
             self.backend.optimize_table(kw["database"], kw["table"], kw["mode"])
             return b""
         if name == "scan_table_begin":
-            blob = self._scan_blob(kw["database"], kw["table"], kw["lsn"])
+            blob, version = self._scan_blob(
+                kw["database"], kw["table"], kw["lsn"]
+            )
+            conn_pins.append((kw["database"], kw["table"], version))
             return enc_bytes(blob)
         if name == "scan_table_end":
-            key = (kw["database"], kw["table"])
-            with self._lock:
-                stack = self._pins.get(key)
-                version = stack.pop() if stack else None
-                if not stack:
-                    self._pins.pop(key, None)
-            if version is not None:
-                self.backend.get_table(*key).unpin_version(version)
+            # release the most recent pin THIS connection holds for the
+            # table; a double-end is a no-op (never an underflow)
+            for i in range(len(conn_pins) - 1, -1, -1):
+                db, tbl, version = conn_pins[i]
+                if db == kw["database"] and tbl == kw["table"]:
+                    del conn_pins[i]
+                    self.backend.get_table(db, tbl).unpin_version(version)
+                    break
             return b""
         raise ValueError(f"unknown rpc {name!r}")
 
-    def _scan_blob(self, db: str, table: str, lsn: int) -> bytes:
+    def _scan_blob(self, db: str, table: str, lsn: int) -> tuple[bytes, int]:
+        """-> (encoded blob, pinned manifest version). The caller owns the
+        pin and must eventually release it via unpin_version."""
         import pyarrow.parquet as pq
 
         t = self.backend.get_table(db, table)
@@ -406,8 +425,6 @@ class MoonlinkRpcServer:
             t._resolve_manifest(lsn=lsn) if lsn else t.manifest
         )
         t.pin_version(m.version)
-        with self._lock:
-            self._pins.setdefault((db, table), []).append(m.version)
         data_files = [t._resolve(f.path) for f in m.data_files]
         index = {t._resolve(f.path): i for i, f in enumerate(m.data_files)}
         rel_index = {f.path: i for i, f in enumerate(m.data_files)}
@@ -425,9 +442,12 @@ class MoonlinkRpcServer:
                 if i is not None:
                     pds.append((i, ri))
         pds.sort()
-        return TableMetadataBlob(
-            data_files=data_files, position_deletes=pds
-        ).encode()
+        return (
+            TableMetadataBlob(
+                data_files=data_files, position_deletes=pds
+            ).encode(),
+            m.version,
+        )
 
     # -- lifecycle ---------------------------------------------------------
 

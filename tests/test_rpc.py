@@ -225,3 +225,30 @@ def test_unpin_is_refcounted_and_tolerates_double_end(rpc):
     assert not t.pinned_versions()
     cli.scan_table_end("db", "rc")  # over-release: no-op, no underflow
     assert not t.pinned_versions()
+
+
+def test_connection_death_releases_pins(rpc):
+    """A reader that dies without scan_table_end must not block vacuum
+    forever: pins are connection-scoped and force-released when the
+    socket closes (the reference provider's Drop scope)."""
+    import time
+
+    from moonlink_spark.rpc import MoonlinkRpcClient
+
+    be, cli = rpc
+    cli.create_table(
+        "db", "dead", "src", "uri",
+        json.dumps({"schema": USERS_SCHEMA,
+                    "identity": {"mode": "single", "columns": ["id"]}}),
+    )
+    t = be.get_table("db", "dead")
+    t.append_rows([{"id": 1, "name": "a"}])
+    t.commit(lsn=1)
+    crashing = MoonlinkRpcClient("127.0.0.1", cli.sock.getpeername()[1])
+    crashing.scan_table_begin("db", "dead", 0)
+    assert t.pinned_versions()
+    crashing.sock.close()  # die without scan_table_end
+    deadline = time.monotonic() + 5
+    while t.pinned_versions() and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert not t.pinned_versions(), "pin leaked after connection death"
