@@ -42,42 +42,46 @@ from pyspark.sql.datasource import (
 )
 
 
-def _release_scan_pin(host: str, port: int, db: str, table: str) -> None:
-    """Best-effort scan_table_end over a fresh connection (pins are
-    server-global by (db, table), not per-connection). The server being
-    gone means the pin is gone too — nothing to release."""
+def _release_scan_pin(client, db: str, table: str) -> None:
+    """Best-effort scan_table_end + close on the pin's OWN connection
+    (pins are connection-scoped on the server; closing alone would also
+    release, but the explicit end keeps the protocol conversation
+    complete). The server being gone means the pin is gone too."""
     try:
-        from moonlink_spark.rpc import MoonlinkRpcClient
-
-        c = MoonlinkRpcClient(host, port)
         try:
-            c.scan_table_end(db, table)
+            client.scan_table_end(db, table)
         finally:
-            c.close()
+            client.close()
     except Exception:
         pass
 
 
 class _ScanPin:
     """Keeps the RPC scan snapshot pinned for the PLAN CONSUMER's
-    lifetime: the driver-side holder releases via a GC finalizer after
-    the read completes — releasing at plan time (the old behavior) let
-    the serving backend reclaim the snapshot's files before any executor
-    had read a byte (the reference's table_provider.rs holds its scan
-    until Drop). Pickled copies (the reader ships to executors) carry NO
-    finalizer, so only the driver's original releases."""
+    lifetime by HOLDING the planning connection open: server-side pins
+    are scoped to their connection (a crashed client's pin is reclaimed
+    on disconnect), so the pin object owns the live client and the
+    driver-side GC finalizer ends the scan + closes it after the read
+    completes (the reference's table_provider.rs holds its connection
+    until Drop the same way). Pickled copies (the reader ships to
+    executors) carry NO client and NO finalizer, so only the driver's
+    original releases."""
 
-    def __init__(self, host: str, port: int, db: str, table: str):
+    def __init__(self, client, db: str, table: str):
         import weakref
 
-        self._args = (host, port, db, table)
-        self._finalizer = weakref.finalize(self, _release_scan_pin, *self._args)
+        self._args = (db, table)
+        self._client = client
+        self._finalizer = weakref.finalize(
+            self, _release_scan_pin, client, db, table
+        )
 
     def __getstate__(self):
         return self._args
 
     def __setstate__(self, args):
-        self._args = args  # no finalizer on unpickled copies
+        self._args = args  # no client/finalizer on unpickled copies
+        self._client = None
 
 
 def _plan(
@@ -117,12 +121,15 @@ def _plan(
             (path, tuple(sorted(per_file.get(i, ()))), None)
             for i, path in enumerate(blob.data_files)
         ]
-    finally:
+    except BaseException:
         client.close()
+        raise
     sink = pa.BufferOutputStream()
     with pa.ipc.new_stream(sink, schema):
         pass
-    return sink.getvalue().to_pybytes(), parts, _ScanPin(host, port, db, table)
+    # the pin OWNS the connection from here: closing it would release
+    # the server-side (connection-scoped) pin before executors read
+    return sink.getvalue().to_pybytes(), parts, _ScanPin(client, db, table)
 
 
 def _plan_local(options: dict) -> tuple[bytes, list[tuple[str, tuple[int, ...]]]]:

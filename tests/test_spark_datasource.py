@@ -87,3 +87,48 @@ def test_schema_evolution_nulls(backend_rpc, spark):
         tuple(r) for r in _read(spark, srv, "db", "ev").collect()
     )
     assert rows == [(1, "a", None), (2, "b", 9)]
+
+
+def test_plan_pin_survives_optimize_and_vacuum(backend_rpc, spark):
+    """The plan's scan pin holds its RPC connection open, so server-side
+    (connection-scoped) pins keep the snapshot's files through
+    optimize+vacuum until the plan is dropped (review follow-up r9: the
+    planning client used to close immediately, which now releases pins)."""
+    import gc
+    import os
+    import time
+
+    from moonlink_spark.integrations.spark_datasource import _plan
+    from moonlink_spark.table.identity import IdentityProp
+    from moonlink_spark.table.maintenance import optimize, vacuum
+
+    be, srv = backend_rpc
+    t = be.create_table(
+        "db",
+        "pinds",
+        [
+            {"name": "id", "data_type": "int64", "nullable": False},
+            {"name": "v", "data_type": "string"},
+        ],
+        IdentityProp.single("id"),
+    )
+    t.append_rows([{"id": i, "v": f"x{i}"} for i in range(400)])
+    t.commit(lsn=1)
+    _ipc, parts, pin = _plan(
+        {"host": "127.0.0.1", "port": srv.port,
+         "database": "db", "table": "pinds"}
+    )
+    assert pin is not None and t.pinned_versions()
+    t.append_rows([{"id": 10_000, "v": "late"}])
+    t.commit(lsn=2)
+    optimize(t, "data")
+    vacuum(t, keep_versions=1)
+    # the planned files survive maintenance while the pin lives
+    for path, _deleted, _stats in parts:
+        assert os.path.exists(path), f"vacuum deleted planned file {path}"
+    del pin
+    gc.collect()
+    deadline = time.monotonic() + 10
+    while t.pinned_versions() and time.monotonic() < deadline:
+        time.sleep(0.1)
+    assert not t.pinned_versions(), "pin not released after plan dropped"
