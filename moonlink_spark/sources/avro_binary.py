@@ -52,13 +52,35 @@ def _zigzag_encode(n: int) -> bytes:
 def _zigzag_decode(buf: bytes, pos: int) -> tuple[int, int]:
     shift = u = 0
     while True:
+        if pos >= len(buf):
+            raise AvroSchemaError("truncated varint")
         b = buf[pos]
         pos += 1
         u |= (b & 0x7F) << shift
         if not b & 0x80:
             break
         shift += 7
+        if shift > 70:
+            raise AvroSchemaError("varint too long")
     return (u >> 1) ^ -(u & 1), pos
+
+
+def _utf8(raw: bytes, what: str) -> str:
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError as e:
+        raise AvroSchemaError(f"invalid UTF-8 in {what}: {e}") from e
+
+
+def _take(buf: bytes, pos: int, n: int, what: str) -> tuple[bytes, int]:
+    """Bounds-checked slice: wire bytes are untrusted, so a length that
+    lies (negative, or past the end) is a malformed datum — never a
+    silent short slice."""
+    if n < 0 or pos + n > len(buf):
+        raise AvroSchemaError(
+            f"truncated {what}: need {n} bytes at {pos}, have {len(buf) - pos}"
+        )
+    return buf[pos:pos + n], pos + n
 
 
 # --------------------------------------------------------------------------- #
@@ -86,7 +108,8 @@ def decode_datum(schema: Any, buf: bytes, pos: int = 0) -> tuple[Any, int]:
     if t == "null":
         return None, pos
     if t == "boolean":
-        return buf[pos] != 0, pos + 1
+        raw, pos = _take(buf, pos, 1, "boolean")
+        return raw[0] != 0, pos
     if t in ("int", "long"):
         v, pos = _zigzag_decode(buf, pos)
         if lt in ("timestamp-micros", "local-timestamp-micros"):
@@ -99,25 +122,24 @@ def decode_datum(schema: Any, buf: bytes, pos: int = 0) -> tuple[Any, int]:
             return v * 1000, pos  # canonical µs-since-midnight int64
         return v, pos
     if t == "float":
-        (v,) = struct.unpack_from("<f", buf, pos)
-        return v, pos + 4
+        raw, pos = _take(buf, pos, 4, "float")
+        return struct.unpack("<f", raw)[0], pos
     if t == "double":
-        (v,) = struct.unpack_from("<d", buf, pos)
-        return v, pos + 8
+        raw, pos = _take(buf, pos, 8, "double")
+        return struct.unpack("<d", raw)[0], pos
     if t in ("bytes", "string"):
         n, pos = _zigzag_decode(buf, pos)
-        raw = buf[pos:pos + n]
-        pos += n
+        raw, pos = _take(buf, pos, n, t)
         if t == "string":
-            return raw.decode("utf-8"), pos
+            return _utf8(raw, "string"), pos
         if lt == "decimal":
             unscaled = int.from_bytes(raw, "big", signed=True)
             return Decimal(unscaled).scaleb(-schema.get("scale", 0)), pos
         return bytes(raw), pos
     if t == "fixed":
-        n = schema["size"]
-        raw = bytes(buf[pos:pos + n])
-        pos += n
+        raw, pos = _take(buf, pos, schema["size"], "fixed")
+        raw = bytes(raw)
+        n = len(raw)
         if lt == "decimal":
             unscaled = int.from_bytes(raw, "big", signed=True)
             return Decimal(unscaled).scaleb(-schema.get("scale", 0)), pos
@@ -128,7 +150,10 @@ def decode_datum(schema: Any, buf: bytes, pos: int = 0) -> tuple[Any, int]:
         return raw, pos
     if t == "enum":
         idx, pos = _zigzag_decode(buf, pos)
-        return schema["symbols"][idx], pos
+        symbols = schema["symbols"]
+        if idx < 0 or idx >= len(symbols):
+            raise AvroSchemaError(f"enum index {idx} out of range")
+        return symbols[idx], pos
     if t == "record":
         out = {}
         for f in schema["fields"]:
@@ -157,9 +182,10 @@ def decode_datum(schema: Any, buf: bytes, pos: int = 0) -> tuple[Any, int]:
                 _, pos = _zigzag_decode(buf, pos)
             for _ in range(n):
                 klen, pos = _zigzag_decode(buf, pos)
-                k = buf[pos:pos + klen].decode("utf-8")
-                pos += klen
-                out[k], pos = decode_datum(schema["values"], buf, pos)
+                raw_k, pos = _take(buf, pos, klen, "map key")
+                out[_utf8(raw_k, "map key")], pos = decode_datum(
+                    schema["values"], buf, pos
+                )
     raise AvroSchemaError(f"unsupported avro type {t!r}")
 
 

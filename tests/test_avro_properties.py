@@ -133,3 +133,47 @@ def test_zigzag_varint_roundtrip(n):
         u |= (b & 0x7F) << shift
         shift += 7
     assert (u >> 1) ^ -(u & 1) == n
+
+
+def test_malformed_datums_fail_loud_as_schema_errors():
+    """Wire bytes are untrusted (/kafka/{t}/ingest feeds raw HTTP bodies
+    here): every truncation and random corruption must surface as
+    AvroSchemaError (-> HTTP 400), never IndexError/UnicodeDecodeError
+    (-> 500) or a silently short value (review finding r9)."""
+    import random
+
+    import pytest
+
+    from moonlink_spark.sources.avro_binary import decode_record, encode_datum
+    from moonlink_spark.sources.converters import AvroSchemaError
+
+    schema = {
+        "type": "record", "name": "r", "fields": [
+            {"name": "a", "type": "string"},
+            {"name": "b", "type": "long"},
+            {"name": "c", "type": {"type": "array", "items": "int"}},
+            {"name": "d", "type": {"type": "map", "values": "string"}},
+            {"name": "e", "type": {"type": "enum", "name": "E",
+                                   "symbols": ["X", "Y"]}},
+            {"name": "f", "type": "boolean"},
+            {"name": "g", "type": "double"},
+        ],
+    }
+    good = encode_datum(schema, {
+        "a": "héllo", "b": 42, "c": [1, 2, 3], "d": {"k": "v"},
+        "e": "Y", "f": True, "g": 1.5,
+    })
+    for i in range(1, len(good)):
+        with pytest.raises(AvroSchemaError):
+            decode_record(schema, good[:i])
+    rng = random.Random(11)
+    for _ in range(2000):
+        b = bytearray(good)
+        for _ in range(rng.randint(1, 5)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        if bytes(b) == good:
+            continue
+        try:
+            decode_record(schema, bytes(b))  # may still be a VALID datum
+        except AvroSchemaError:
+            pass  # the only acceptable failure type
