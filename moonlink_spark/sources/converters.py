@@ -259,9 +259,13 @@ def _decode_row_value(buf: bytes) -> Any:
             raw, i = _uvarint(buf, i)
             value = _signed(raw, 64)
         elif field == _F_FLOAT32 and wt == _WT_I32:
+            if i + 4 > len(buf):
+                raise ProtoDecodeError("truncated float32")
             value = _struct.unpack("<f", buf[i : i + 4])[0]
             i += 4
         elif field == _F_FLOAT64 and wt == _WT_I64:
+            if i + 8 > len(buf):
+                raise ProtoDecodeError("truncated float64")
             value = _struct.unpack("<d", buf[i : i + 8])[0]
             i += 8
         elif field == _F_BOOL and wt == _WT_VARINT:

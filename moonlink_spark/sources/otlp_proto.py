@@ -275,11 +275,22 @@ _REQUESTS = {
 
 def otlp_proto_to_json(signal: str, data: bytes) -> dict[str, Any]:
     """Decode an OTLP export-request protobuf for ``signal``
-    (logs|metrics|traces) into the OTLP/JSON dict shape."""
+    (logs|metrics|traces) into the OTLP/JSON dict shape.
+
+    The body is an untrusted HTTP payload: any parse failure surfaces
+    as ProtoDecodeError (a MoonlinkError, -> HTTP 400), never a raw
+    ValueError/IndexError the service would answer 500 for."""
+    from moonlink_spark.sources.converters import ProtoDecodeError
+
     desc = _REQUESTS.get(signal)
     if desc is None:
-        raise ValueError(f"unknown otlp signal {signal!r}")
-    return _decode_msg(data, desc)
+        raise ProtoDecodeError(f"unknown otlp signal {signal!r}")
+    try:
+        return _decode_msg(data, desc)
+    except ProtoDecodeError:
+        raise
+    except (ValueError, IndexError, TypeError, KeyError, struct.error) as e:
+        raise ProtoDecodeError(f"malformed OTLP {signal} protobuf: {e}") from e
 
 
 # --------------------------------------------------------------------------- #

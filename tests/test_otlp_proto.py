@@ -238,3 +238,22 @@ def test_service_accepts_protobuf_content_type(spark, tmp_path):
         assert {r.severity_text for r in rows} == {"INFO"}
     finally:
         svc.stop()
+
+
+def test_malformed_protobuf_fails_as_proto_decode_error():
+    """OTLP/HTTP bodies are untrusted: garbage must fail as
+    ProtoDecodeError (-> HTTP 400), never raw ValueError/IndexError
+    (-> 500). Fuzz across all three signals (review finding r9)."""
+    import random
+
+    from moonlink_spark.sources.converters import ProtoDecodeError
+    from moonlink_spark.sources.otlp_proto import otlp_proto_to_json
+
+    rng = random.Random(3)
+    for _ in range(1500):
+        data = bytes(rng.randrange(256) for _ in range(rng.randint(1, 80)))
+        for sig in ("logs", "metrics", "traces"):
+            try:
+                otlp_proto_to_json(sig, data)  # garbage CAN parse as empty
+            except ProtoDecodeError:
+                pass  # the only acceptable failure type
