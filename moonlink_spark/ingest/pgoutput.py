@@ -251,7 +251,30 @@ class PgoutputDecoder:
 
     def decode(self, payload: bytes) -> CdcEvent | None:
         """One pgoutput message -> one CdcEvent (or None for messages with
-        no sink-side meaning: Relation, Type, Origin, keepalives...)."""
+        no sink-side meaning: Relation, Type, Origin, keepalives...).
+
+        A frame that does not parse is an integrity failure of the feed
+        (a corrupt spool, a desynced relay): it fails LOUD as a typed
+        SchemaError naming the message tag, never a raw struct/unicode
+        error the tailer cannot attribute."""
+        try:
+            return self._decode(payload)
+        except SchemaError:
+            raise
+        except (
+            ValueError,
+            IndexError,
+            KeyError,
+            UnicodeDecodeError,
+            struct.error,
+        ) as e:
+            tag = chr(payload[0]) if payload else "?"
+            raise SchemaError(
+                f"malformed pgoutput message (tag {tag!r}, "
+                f"{len(payload)} bytes): {e}"
+            ) from e
+
+    def _decode(self, payload: bytes) -> CdcEvent | None:
         r = _Reader(payload)
         tag = r.byte()
 

@@ -372,3 +372,45 @@ def test_trace_to_spool_to_streaming_pipeline(spark, tmp_path):
             fh.write(_struct.pack(">I", len(f)) + f)
     n2 = pgoutput_trace_to_spool(trace, str(tmp_path / "spool2"))
     assert n2 == 5  # same five committed lines, nothing from the tail
+
+
+def test_malformed_frames_fail_as_schema_errors():
+    """A corrupt spool frame or desynced relay must fail LOUD with a
+    typed SchemaError naming the tag — never a raw struct/unicode error
+    the tailer cannot attribute (review finding r9)."""
+    import random
+
+    from moonlink_spark.errors import MoonlinkError
+
+    frames = [
+        begin(100),
+        relation(1, "t", [(1, "id", 20), (0, "v", 25)]),
+        insert(1, ["1", "a"]),
+        commit(100),
+    ]
+    for f in frames:
+        for i in range(1, len(f)):
+            d = PgoutputDecoder()
+            for fr in frames:
+                if fr is f:
+                    break
+                d.decode(fr)
+            try:
+                d.decode(f[:i])  # some prefixes still parse: fine
+            except MoonlinkError:
+                pass  # the only acceptable failure type
+    rng = random.Random(5)
+    for _ in range(2000):
+        which = rng.randrange(len(frames))
+        d = PgoutputDecoder()
+        try:
+            for j, fr in enumerate(frames):
+                if j == which:
+                    b = bytearray(fr)
+                    for _ in range(rng.randint(1, 4)):
+                        b[rng.randrange(len(b))] = rng.randrange(256)
+                    d.decode(bytes(b))
+                else:
+                    d.decode(fr)
+        except MoonlinkError:
+            pass
