@@ -155,6 +155,11 @@ def _read_msg(f) -> tuple[bytes, bytes]:
         raise ConnectionError("peer closed")
     t = head[:1]
     (n,) = struct.unpack(">I", head[1:])
+    # n counts itself: < 4 is a framing violation, and a negative body
+    # size would make f.read() block for EOF and return garbage; PG's
+    # own ceiling is 1 GB per message
+    if n < 4 or n > (1 << 30):
+        raise ConnectionError(f"invalid message length {n}")
     body = f.read(n - 4)
     if len(body) < n - 4:
         raise ConnectionError("short message body")
@@ -1322,15 +1327,32 @@ class PgMockServer:
             try:
                 while True:
                     t, body = _read_msg(f)
-                    if t == b"X":
+                    try:
+                        if t == b"X":
+                            return
+                        if t == b"Q":
+                            sql = body.rstrip(b"\x00").decode("utf-8")
+                            self._run_query(sock, f, conn, sql, state)
+                            continue
+                        if t in (b"P", b"B", b"D", b"E", b"C", b"H", b"S"):
+                            self._run_extended(sock, conn, t, body, state, ext)
+                            continue
+                    except (
+                        struct.error,
+                        ValueError,
+                        IndexError,
+                        UnicodeDecodeError,
+                    ) as e:
+                        # malformed message BODY: protocol violation —
+                        # answer 08P01 and close (framing can no longer
+                        # be trusted), never an unhandled thread crash
+                        try:
+                            sock.sendall(
+                                self._err("08P01", f"malformed {t!r}: {e}")
+                            )
+                        except OSError:
+                            pass
                         return
-                    if t == b"Q":
-                        sql = body.rstrip(b"\x00").decode("utf-8")
-                        self._run_query(sock, f, conn, sql, state)
-                        continue
-                    if t in (b"P", b"B", b"D", b"E", b"C", b"H", b"S"):
-                        self._run_extended(sock, conn, t, body, state, ext)
-                        continue
                     sock.sendall(self._err("08P01", f"unexpected {t!r}"))
                     sock.sendall(self._ready(state))
             finally:
@@ -1360,7 +1382,20 @@ class PgMockServer:
             if len(head) < 4:
                 return None
             (n,) = struct.unpack(">I", head)
+            # a garbage startup frame (bad length, truncated body) is a
+            # protocol violation, not a server thread crash: refuse and
+            # close, like real PG's "invalid length of startup packet"
+            if n < 8 or n > (1 << 20):
+                try:
+                    sock.sendall(
+                        self._err("08P01", f"invalid startup packet length {n}")
+                    )
+                except OSError:
+                    pass
+                return None
             body = f.read(n - 4)
+            if len(body) < n - 4:
+                return None  # peer vanished mid-startup
             (code,) = struct.unpack_from(">I", body, 0)
             if code == _SSL_REQUEST:
                 if self._ssl_ctx is None:

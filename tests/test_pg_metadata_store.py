@@ -1427,3 +1427,64 @@ def test_describe_in_aborted_txn_errors(tmp_path):
         c.close()
     finally:
         srv.stop()
+
+
+def test_garbage_bytes_never_crash_the_server(tmp_path):
+    """Pre-startup garbage, bad startup lengths, and malformed message
+    bodies must be answered/refused as protocol violations — never an
+    unhandled handler-thread crash or a blocking read of a negative
+    length — and the server must keep serving (review finding r9)."""
+    import random
+    import socket
+    import struct as _s
+
+    from moonlink_spark.pg_protocol import PgMockServer, PgWireClient
+
+    srv = PgMockServer(str(tmp_path / "fuzz.sqlite")).start()
+    try:
+        rng = random.Random(9)
+
+        def startup():
+            params = b"user\x00u\x00database\x00d\x00\x00"
+            body = _s.pack(">I", 196608) + params
+            return _s.pack(">I", len(body) + 4) + body
+
+        for _ in range(25):  # pre-startup garbage
+            s = socket.create_connection(("127.0.0.1", srv.port), timeout=2)
+            s.sendall(bytes(rng.randrange(256) for _ in range(rng.randint(1, 30))))
+            s.settimeout(0.3)
+            try:
+                s.recv(4096)
+            except (socket.timeout, ConnectionError):
+                pass
+            s.close()
+        for _ in range(25):  # post-startup garbage
+            s = socket.create_connection(("127.0.0.1", srv.port), timeout=2)
+            s.sendall(startup())
+            s.settimeout(0.5)
+            try:
+                s.recv(65536)
+            except Exception:
+                pass
+            s.sendall(bytes(rng.randrange(256) for _ in range(rng.randint(1, 30))))
+            try:
+                s.recv(4096)
+            except (socket.timeout, ConnectionError):
+                pass
+            s.close()
+        # tiny and huge startup lengths
+        for n in (0, 1, 4, 7, (1 << 20) + 1, 0x7FFFFFFF):
+            s = socket.create_connection(("127.0.0.1", srv.port), timeout=2)
+            s.sendall(_s.pack(">I", n))
+            s.settimeout(0.5)
+            try:
+                s.recv(4096)
+            except (socket.timeout, ConnectionError):
+                pass
+            s.close()
+        # the server still answers real clients
+        c = PgWireClient("127.0.0.1", srv.port)
+        assert c.query("SELECT 1 AS one").rows == [("1",)]
+        c.close()
+    finally:
+        srv.stop()
