@@ -948,11 +948,21 @@ class KafkaWireBroker:
                 if len(head) < 4:
                     return
                 (n,) = struct.unpack(">i", head)
+                # a request must at least carry the header (api, version,
+                # correlation id); a negative length would make f.read()
+                # block for EOF, and a huge one is a bad peer (real
+                # brokers cap via socket.request.max.bytes) — close, never
+                # crash the handler thread
+                if n < 8 or n > (128 << 20):
+                    return
                 req = f.read(n)
                 if len(req) < n:
                     return
-                api, ver, corr = struct.unpack_from(">hhi", req, 0)
-                _cid, pos = _read_string(req, 8)
+                try:
+                    api, ver, corr = struct.unpack_from(">hhi", req, 0)
+                    _cid, pos = _read_string(req, 8)
+                except (struct.error, ValueError, IndexError):
+                    return  # malformed header: protocol violation, close
                 if self.drop_every:
                     with self._lock:
                         self._req_count += 1
@@ -969,7 +979,18 @@ class KafkaWireBroker:
                     # a real broker kills unauthenticated connections
                     return
                 else:
-                    body = self._dispatch(api, ver, req, pos)
+                    try:
+                        body = self._dispatch(api, ver, req, pos)
+                    except (
+                        struct.error,
+                        ValueError,
+                        IndexError,
+                        KeyError,
+                        UnicodeDecodeError,
+                    ):
+                        # malformed request BODY: a real broker drops the
+                        # connection on unparseable requests
+                        return
                 resp = struct.pack(">i", corr) + body
                 sock.sendall(struct.pack(">i", len(resp)) + resp)
                 if not authed and handshaken and api == _API[

@@ -927,3 +927,48 @@ def test_registered_codec_round_trips(broker):
         cons.close()
     finally:
         kw._CODECS.pop(4, None)
+
+
+def test_garbage_bytes_never_crash_the_broker(tmp_path):
+    """Random bytes, negative/short/huge length prefixes: the broker
+    must drop the connection — never crash a handler thread or block on
+    a negative-length read — and keep serving (review finding r9)."""
+    import random
+    import socket
+    import struct as _s
+
+    b = KafkaWireBroker(str(tmp_path / "fuzz-logs")).start()
+    try:
+        rng = random.Random(12)
+        for _ in range(40):
+            s = socket.create_connection(("127.0.0.1", b.port), timeout=2)
+            s.sendall(bytes(rng.randrange(256) for _ in range(rng.randint(1, 60))))
+            s.settimeout(0.2)
+            try:
+                s.recv(4096)
+            except (socket.timeout, ConnectionError):
+                pass
+            s.close()
+        for n in (-5, 0, 1, 3, 7, 0x7FFFFFFF):
+            s = socket.create_connection(("127.0.0.1", b.port), timeout=2)
+            s.sendall(_s.pack(">i", n))
+            s.settimeout(0.2)
+            try:
+                s.recv(4096)
+            except (socket.timeout, ConnectionError):
+                pass
+            s.close()
+        # the broker still serves a real produce/fetch round trip
+        w = KafkaWireProducer("127.0.0.1", b.port)
+        try:
+            w.send("fuzztopic", [(b"k", b"v")])
+        finally:
+            w.close()
+        c = KafkaWireConsumer("127.0.0.1", b.port, "fuzztopic", 0)
+        try:
+            got = c.poll(max_messages=10)
+        finally:
+            c.close()
+        assert [(k, v) for _off, k, v in got] == [(b"k", b"v")]
+    finally:
+        b.stop()
