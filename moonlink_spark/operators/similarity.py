@@ -888,6 +888,100 @@ def semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_dedup(
+    spark: SparkSession,
+    emb: DataFrame,
+    threshold: float = 0.35,
+    target_cluster_size: int = 1000,
+    iters: int = 2,
+) -> DataFrame:
+    """The SCALE-path SemDeDup: the cluster count GROWS with the corpus
+    (``k = ceil(n / target_cluster_size)``), trained with the
+    integer-exact k-means, so per-cluster membership — and therefore the
+    quadratic within-cluster pair term — stays ~constant as the corpus
+    grows: total work is O(n · target_cluster_size), linear in n.
+
+    The registered gate query (``semantic_dedup_ivf``) deliberately
+    derives k from the fixed label set to stay deterministic and
+    DuckDB-oracle-checkable; THIS entry point is what a production
+    pipeline calls, and what ``scripts/scale_validation.py`` measures —
+    the 10× run that exposed the fixed-k shape growing 17× (r9).
+
+    Input: (vec_id, embedding). Output: one row per cluster with
+    n_members / n_duplicates / n_kept under the keep-lowest-id rule,
+    exactly the gate query's summary shape."""
+    n = emb.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [],
+            "cluster_id bigint, n_members bigint, "
+            "n_duplicates bigint, n_kept bigint",
+        )
+    k = max(8, -(-n // max(1, target_cluster_size)))
+    emb_q = quantize_embeddings_1e6(emb)
+    # train on a bounded sample (~32 vectors per centroid): full-corpus
+    # Lloyd costs O(n·k·iters) per round, and with k ∝ n that term is
+    # the quadratic one — sampling caps training at O(k²·iters) while
+    # the one full assignment pass below stays the only O(n·k) stage
+    # (the same cost every IVF probe pays; deeper sub-quadratic shapes
+    # need hierarchical coarse quantizers, out of scope here)
+    sample_rows = 32 * k
+    if n > sample_rows:
+        train_set = emb_q.sample(
+            fraction=min(1.0, (sample_rows * 1.25) / n), seed=7
+        )
+    else:
+        train_set = emb_q
+    cents = train_ivf_centroids(spark, train_set, k=k, iters=iters)
+    assigned_q = assign_ivf_clusters(spark, emb_q, cents).select(
+        "vec_id", "cluster_id"
+    )
+    assigned = (
+        emb.join(assigned_q, "vec_id")
+        .select("vec_id", "embedding", "cluster_id", _norm("embedding").alias("nrm"))
+        .transform(lambda df: persist_tracked("semantic_dedup.assigned", df))
+    )
+    a = assigned.select(
+        "cluster_id",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = assigned.select(
+        F.col("cluster_id").alias("cb"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(
+        b, (F.col("cluster_id") == F.col("cb")) & (F.col("vec_a") < F.col("vec_b"))
+    ).withColumn("cos", _dot("ea", "eb") / (F.col("na") * F.col("nb")))
+    dups = (
+        pairs.filter(F.col("cos") >= threshold)
+        .select("cluster_id", "vec_b")
+        .distinct()
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_duplicates"))
+    )
+    members = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        members.join(dups, "cluster_id", "left")
+        .select(
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.coalesce(F.col("n_duplicates"), F.lit(0))
+            .cast("bigint")
+            .alias("n_duplicates"),
+            (F.col("n_members") - F.coalesce(F.col("n_duplicates"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 def _register_ann_recall() -> None:
     """Registered via a helper so the oracle can be composed from the two
     already-registered queries' oracle SQL (single source of truth)."""

@@ -26,12 +26,26 @@ OPERATORS = [
     "dedup_simhash",
     "dedup_minhash_lsh",
     "lsh_near_dup_pairs",
-    "semantic_dedup_ivf",
+    "semantic_dedup",  # the scale-path entry (k grows with n); the gate
+    # query semantic_dedup_ivf pins fixed-k semantics for oracle parity
+    # and grows ~n^2/k by design — measuring it here flagged exactly that
     "ann_index_lifecycle_topk",
     "dedup_exact",
     "text_quality_scores",
     "q1_pricing_summary",
 ]
+
+
+def _semantic_dedup_scale(spark, sf_dir):
+    from moonlink_spark.operators import load
+    from moonlink_spark.operators.similarity import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # target <= n_small/k_min so the SMALL scale already fills its
+    # clusters to the target: then per-cluster size (and the quadratic
+    # pair term per cluster) is the SAME at both scales and the measured
+    # growth is the linear n * target term
+    return semantic_dedup(spark, emb, target_cluster_size=250)
 
 
 def main() -> int:
@@ -71,6 +85,10 @@ def main() -> int:
     results = []
     failures = []
     for name in OPERATORS:
+        if name == "semantic_dedup":
+            from types import SimpleNamespace
+
+            specs = {**specs, name: SimpleNamespace(fn=_semantic_dedup_scale)}
         force(specs[name].fn(spark, small))  # warm: compile cost excluded
         spark.catalog.clearCache()
         t0 = time.time()
