@@ -34,6 +34,14 @@ def main() -> int:
     ap.add_argument("--key-index", action="store_true")
     ap.add_argument("--alter", action="store_true")
     ap.add_argument("--workdir", default=None)
+    ap.add_argument(
+        "--transport",
+        default="local",
+        choices=["local", "s3", "gcs"],
+        help="where the control plane lives: local disk, or an "
+        "in-process S3/GCS wire server behind the real accessor "
+        "(throttles + retries on genuine protocol bytes)",
+    )
     args = ap.parse_args()
 
     from moonlink_spark.chaos import ChaosFailure, run_chaos
@@ -53,6 +61,7 @@ def main() -> int:
             key_index=args.key_index,
             chaos_every=args.chaos_every,
             with_alter=args.alter,
+            transport=args.transport,
         )
     except ChaosFailure as exc:
         print(f"CHAOS FAILURE: {exc}", file=sys.stderr)
