@@ -54,14 +54,26 @@ def asof_join(
         .orderBy("__t", "__tag")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = u
+    # the carried values ride in ONE struct that is non-null exactly for
+    # right rows: last(..., ignorenulls) then tracks the nearest earlier
+    # MATCH, so a matched right row whose value column is NULL stays NULL
+    # (bare last(v, ignorenulls) would skip it and leak an older row's
+    # value), and match-ness is testable independently of value nullness
+    out = (
+        u.withColumn(
+            "__rv",
+            F.when(
+                F.col("__side") == 0,
+                F.struct(*[F.col(v) for v in right_values]),
+            ),
+        )
+        .withColumn("__rvl", F.last("__rv", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
     for v in right_values:
-        out = out.withColumn(v, F.last(v, ignorenulls=True).over(w))
-    out = out.filter(F.col("__side") == 1).drop("__t", "__side", "__tag")
-    if how == "inner":
-        cond = None
-        for v in right_values:
-            c = F.col(v).isNotNull()
-            cond = c if cond is None else (cond | c)
-        out = out.filter(cond)
+        out = out.withColumn(v, F.col("__rvl")[v])
+    matched = F.col("__rvl").isNotNull()
+    out = out.drop("__t", "__side", "__tag", "__rv", "__rvl") if how != "inner" else (
+        out.filter(matched).drop("__t", "__side", "__tag", "__rv", "__rvl")
+    )
     return out
