@@ -59,12 +59,19 @@ def asof_join(
     # MATCH, so a matched right row whose value column is NULL stays NULL
     # (bare last(v, ignorenulls) would skip it and leak an older row's
     # value), and match-ness is testable independently of value nullness
+    # a constant marker field keeps the struct non-empty when
+    # right_values=[] (existence-only as-of join) and guarantees the
+    # struct itself is non-null for every right row regardless of value
+    # nullness, so `matched` below is always meaningful
     out = (
         u.withColumn(
             "__rv",
             F.when(
                 F.col("__side") == 0,
-                F.struct(*[F.col(v) for v in right_values]),
+                F.struct(
+                    F.lit(True).alias("__asof_m"),
+                    *[F.col(v) for v in right_values],
+                ),
             ),
         )
         .withColumn("__rvl", F.last("__rv", ignorenulls=True).over(w))

@@ -421,10 +421,15 @@ class MoonlinkRpcServer:
         import pyarrow.parquet as pq
 
         t = self.backend.get_table(db, table)
-        m = (
-            t._resolve_manifest(lsn=lsn) if lsn else t.manifest
-        )
-        t.pin_version(m.version)
+        # resolve+pin must be atomic vs vacuum: vacuum reads
+        # pinned_versions() under t._lock, so an unlocked gap between
+        # resolving an older (time-travel) manifest and pinning it would
+        # let vacuum GC the very version we're about to read
+        with t._lock:
+            m = (
+                t._resolve_manifest(lsn=lsn) if lsn else t.manifest
+            )
+            t.pin_version(m.version)
         data_files = [t._resolve(f.path) for f in m.data_files]
         index = {t._resolve(f.path): i for i, f in enumerate(m.data_files)}
         rel_index = {f.path: i for i, f in enumerate(m.data_files)}

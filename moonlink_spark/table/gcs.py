@@ -298,7 +298,9 @@ class GCSMemServer:
                 spec, _, total_s = crange[6:].partition("/")
                 total = int(total_s)
                 if spec == "*":  # probe: report committed range, 308
-                    return self._resume_status(sess, total)
+                    with server._lock:
+                        committed = len(sess["data"])
+                    return self._resume_status(sess, total, committed)
                 start_s, _, end_s = spec.partition("-")
                 start, end = int(start_s), int(end_s)
                 with server._lock:
@@ -313,13 +315,16 @@ class GCSMemServer:
                         # is ignored byte-for-byte, the protocol's
                         # idempotence
                         sess["data"] += data[committed - start :]
+                        committed = len(sess["data"])
                 if gap:
                     # gap: client must probe and resend from committed
                     return self._error(400, "badRequest")
-                return self._resume_status(sess, total)
+                return self._resume_status(sess, total, committed)
 
-            def _resume_status(self, sess: dict, total: int):
-                committed = len(sess["data"])
+            def _resume_status(self, sess: dict, total: int, committed: int):
+                # committed is captured under server._lock at the call
+                # site; re-reading sess["data"] here unlocked could report
+                # a torn range to a concurrently-appending client
                 if committed >= total:
                     full = f"{sess['bucket']}/{sess['name']}"
                     with server._lock:

@@ -15,9 +15,16 @@ on the NEXT request with a connection-level error before any response
 bytes arrive. That failure gets ONE transparent retry on a fresh
 connection — invisible to the caller's bounded retry budget, which is
 reserved for real transport faults. Errors on a fresh connection (and
-all timeouts) propagate to the caller's retry loop unchanged. Callers
-here are idempotent by design (the accessor layer already retries every
-op), so the single silent resend is safe.
+all timeouts) propagate to the caller's retry loop unchanged.
+
+The transparent retry is restricted to idempotent requests: GET / HEAD /
+DELETE, and PUT without a precondition header. A conditional PUT (GCS
+``ifGenerationMatch=0`` via ``x-goog-if-generation-match``, S3
+``If-Match``) or any POST (S3 complete-multipart) may have been applied
+by the server before the connection died — silently resending could
+observe 409/412 and make a put-if-absent caller believe it LOST a race
+it actually won. Those propagate the connection error so the caller's
+retry loop can re-check state first.
 """
 
 from __future__ import annotations
@@ -28,6 +35,35 @@ import threading
 
 _local = threading.local()
 
+
+class _ConnCache(dict):
+    """Per-thread connection cache that closes its sockets on GC.
+
+    Spark executor/task threads and ThreadPoolExecutor workers exit
+    without calling close_thread_connections(); when the thread dies its
+    thread-local storage is collected, this dict is dropped, and __del__
+    closes the sockets instead of stranding fds until process exit.
+    """
+
+    def __del__(self):
+        for conn in self.values():
+            try:
+                conn.close()
+            except Exception:
+                pass
+
+
+def _retry_safe(method: str, headers: dict | None) -> bool:
+    """True when a lost-response resend cannot change observable state."""
+    if method in ("GET", "HEAD", "DELETE"):
+        return True
+    if method == "PUT":
+        return not any(
+            k.lower().startswith(("if-", "x-goog-if-", "x-amz-copy-source-if-"))
+            for k in (headers or {})
+        )
+    return False
+
 # Bound per-thread cached connections; distinct endpoints per process are
 # few (one warehouse + maybe one metadata store), so this is a backstop
 # against endpoint churn in long-lived executor threads, not a tuning knob.
@@ -37,7 +73,7 @@ _MAX_CONNS_PER_THREAD = 8
 def _conns() -> dict:
     d = getattr(_local, "conns", None)
     if d is None:
-        d = {}
+        d = _ConnCache()
         _local.conns = d
     return d
 
@@ -106,7 +142,7 @@ def request(
                 conn.close()
             except OSError:
                 pass
-            if fresh:
+            if fresh or not _retry_safe(method, headers):
                 raise
             # stale keep-alive: the server closed between requests; retry
             # once on a fresh connection without charging the caller

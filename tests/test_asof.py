@@ -54,3 +54,21 @@ def test_strict_excludes_equal_time(spark):
     loose = asof_join(left, right, ["k"], "lt", "rt", ["rv"], strict=False)
     assert strict.collect()[0].rv is None
     assert loose.collect()[0].rv == "eq"
+
+
+def test_existence_only_asof_join_empty_right_values(spark):
+    """ADVICE r9: right_values=[] (existence-only as-of) used to fail at
+    plan time — F.struct() with zero columns — and `matched` could never
+    be true for inner joins. The constant marker field fixes both."""
+    left, right = _sides(spark)
+    out = asof_join(left, right, ["k"], "lt", "rt", [], strict=True)
+    assert sorted((r.k, r.lt) for r in out.collect()) == [
+        (1, 10), (1, 20), (2, 10)
+    ]
+    inner = asof_join(
+        left, right, ["k"], "lt", "rt", [], strict=True, how="inner"
+    )
+    # (2,10) has no earlier right row -> dropped even with no values
+    assert sorted((r.k, r.lt) for r in inner.collect()) == [(1, 10), (1, 20)]
+    # no internal columns leak
+    assert set(out.columns) == set(left.columns)

@@ -163,3 +163,86 @@ def test_gcs_resumable_upload_handles_absolute_session_uri():
         assert fs.open_read_binary("gcsmem://b/big").read() == blob
     finally:
         srv.stop()
+
+
+def test_transparent_retry_only_for_idempotent_requests():
+    """ADVICE r9: a lost-response resend of a conditional PUT or a POST
+    (S3 complete-multipart, GCS if-generation-match create) could make a
+    put-if-absent caller observe 412/409 for a race it WON. The pool's
+    silent one-shot retry must cover only verbs whose resend cannot
+    change observable state."""
+    assert httppool._retry_safe("GET", None)
+    assert httppool._retry_safe("HEAD", {"Range": "bytes=0-1"})
+    assert httppool._retry_safe("DELETE", None)
+    assert httppool._retry_safe("PUT", {"Content-Type": "text/plain"})
+    # conditional PUTs and every POST propagate the connection error
+    assert not httppool._retry_safe("PUT", {"If-Match": '"abc"'})
+    assert not httppool._retry_safe("PUT", {"x-goog-if-generation-match": "0"})
+    assert not httppool._retry_safe(
+        "PUT", {"X-Goog-If-Generation-Match": "0"}
+    )
+    assert not httppool._retry_safe("POST", None)
+
+
+def test_nonidempotent_stale_keepalive_propagates_to_caller():
+    # inject a fake "stale" cached connection that dies on use: a GET
+    # silently retries on a fresh connection and succeeds, but a POST
+    # must propagate the transport error to the caller's retry loop
+    srv = S3MemServer().start()
+
+    class _Stale:
+        def request(self, *a, **kw):
+            raise ConnectionResetError("stale keep-alive")
+
+        def close(self):
+            pass
+
+    try:
+        key = ("127.0.0.1", srv.port, False, "", 10.0)
+        httppool._conns()[key] = _Stale()
+        status, _b, _h = httppool.request(
+            "127.0.0.1", srv.port, "GET", "/b/nokey", timeout=10.0
+        )
+        assert status in (200, 404)  # silent resend happened
+        httppool._conns()[key] = _Stale()
+        with pytest.raises(ConnectionResetError):
+            httppool.request(
+                "127.0.0.1", srv.port, "POST", "/b/x?uploads",
+                body=b"", timeout=10.0,
+            )
+        # conditional PUT is equally unsafe to resend
+        httppool._conns()[key] = _Stale()
+        with pytest.raises(ConnectionResetError):
+            httppool.request(
+                "127.0.0.1", srv.port, "PUT", "/b/y", body=b"v",
+                headers={"x-goog-if-generation-match": "0"}, timeout=10.0,
+            )
+    finally:
+        srv.stop()
+
+
+def test_conn_cache_closes_sockets_when_thread_dies():
+    """ADVICE r9: executor/task threads exit without calling
+    close_thread_connections(); the per-thread cache must close its
+    sockets on GC instead of stranding fds."""
+    srv = S3MemServer().start()
+    socks = []
+    try:
+        def work():
+            fs = S3HttpFS(srv.endpoint, retries=0)
+            fs.write_text_durable("s3mem://b/t", "v")
+            conns = httppool._conns()
+            assert conns, "expected a cached connection"
+            socks.extend(c.sock for c in conns.values())
+        t = threading.Thread(target=work)
+        t.start()
+        t.join()
+        del t
+        import gc
+        gc.collect()
+        assert socks
+        assert all(s.fileno() == -1 for s in socks), (
+            "thread-local cache did not close its sockets on GC"
+        )
+    finally:
+        srv.stop()
