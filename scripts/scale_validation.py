@@ -29,6 +29,8 @@ OPERATORS = [
     "semantic_dedup",  # the scale-path entry (k grows with n); the gate
     # query semantic_dedup_ivf pins fixed-k semantics for oracle parity
     # and grows ~n^2/k by design — measuring it here flagged exactly that
+    "semantic_dedup_hier",  # two-level coarse quantizer: assignment
+    # O(n*sqrt(k)) instead of flat's O(n*k) — must grow <= the flat entry
     "ann_index_lifecycle_topk",
     "dedup_exact",
     "text_quality_scores",
@@ -46,6 +48,14 @@ def _semantic_dedup_scale(spark, sf_dir):
     # pair term per cluster) is the SAME at both scales and the measured
     # growth is the linear n * target term
     return semantic_dedup(spark, emb, target_cluster_size=250)
+
+
+def _semantic_dedup_hier_scale(spark, sf_dir):
+    from moonlink_spark.operators import load
+    from moonlink_spark.operators.similarity import semantic_dedup_hierarchical
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return semantic_dedup_hierarchical(spark, emb, target_cluster_size=250)
 
 
 def main() -> int:
@@ -85,10 +95,15 @@ def main() -> int:
     results = []
     failures = []
     for name in OPERATORS:
-        if name == "semantic_dedup":
+        if name in ("semantic_dedup", "semantic_dedup_hier"):
             from types import SimpleNamespace
 
-            specs = {**specs, name: SimpleNamespace(fn=_semantic_dedup_scale)}
+            fn = (
+                _semantic_dedup_scale
+                if name == "semantic_dedup"
+                else _semantic_dedup_hier_scale
+            )
+            specs = {**specs, name: SimpleNamespace(fn=fn)}
         force(specs[name].fn(spark, small))  # warm: compile cost excluded
         spark.catalog.clearCache()
         t0 = time.time()

@@ -283,3 +283,109 @@ def test_concurrent_export_single_version_winner(spark, tmp_path):
     quoted = ", ".join(f"'{p}'" for p in files)
     n = con.sql(f"SELECT count(*) FROM read_parquet([{quoted}])").fetchone()[0]
     assert n == t.scan().count()
+
+
+def test_checkpoint_every_n_versions_and_fast_replay(spark, tmp_path):
+    """r9 verdict #2: 25+ incremental versions; a classic parquet
+    checkpoint + _last_checkpoint lands every 10 versions, and readback
+    THROUGH the checkpoint (checkpoint state + JSON tail) equals both a
+    full-log replay and the source table, DVs included."""
+    from moonlink_spark.table.delta_export import (
+        LAST_CHECKPOINT,
+        _read_checkpoint_state,
+        write_delta_checkpoint,
+    )
+
+    t = make_table(spark, tmp_path)
+    dest = str(tmp_path / "delta")
+    export_delta(t, dest)
+    lsn = 1
+    for i in range(26):
+        lsn += 1
+        if i % 5 == 2:
+            t.delete_rows([{"id": 3 * i}])
+        else:
+            t.append_rows(
+                [{"id": 1000 + 10 * i + j, "grp": "cp", "val": 1.0}
+                 for j in range(3)]
+            )
+        t.commit(lsn=lsn)
+        export_delta(t, dest, lsn=lsn)
+    log_dir = os.path.join(dest, LOG_DIR)
+    assert os.path.exists(os.path.join(log_dir, LAST_CHECKPOINT))
+    with open(os.path.join(log_dir, LAST_CHECKPOINT)) as fh:
+        cp_meta = json.load(fh)
+    assert cp_meta["version"] >= 20  # interval-10 cadence over 27 versions
+    assert os.path.exists(
+        os.path.join(log_dir, f"{cp_meta['version']:020d}.checkpoint.parquet")
+    )
+    # checkpoint state itself parses
+    cp = _read_checkpoint_state(log_dir)
+    assert cp is not None and cp[0] == cp_meta["version"]
+    _v, cp_live, cp_schema, cp_protocol = cp
+    assert cp_live and cp_schema and cp_protocol
+    # replay-through-checkpoint == full JSON replay == source table
+    with_cp = duck_rows(dest)
+    cp_path = os.path.join(log_dir, f"{cp_meta['version']:020d}.checkpoint.parquet")
+    lc_path = os.path.join(log_dir, LAST_CHECKPOINT)
+    os.rename(lc_path, lc_path + ".hidden")
+    full_replay = duck_rows(dest)
+    os.rename(lc_path + ".hidden", lc_path)
+    assert with_cp == full_replay == spark_rows(t)
+    # an explicit re-checkpoint at head converges (same state)
+    summary = write_delta_checkpoint(dest)
+    assert summary["checkpoint_version"] == 26  # v0 + 26 incrementals
+    assert duck_rows(dest) == spark_rows(t)
+
+
+def test_corrupt_checkpoint_falls_back_to_log_replay(spark, tmp_path):
+    from moonlink_spark.table.delta_export import (
+        LAST_CHECKPOINT,
+        write_delta_checkpoint,
+    )
+
+    t = make_table(spark, tmp_path)
+    dest = str(tmp_path / "delta")
+    export_delta(t, dest)
+    t.append_rows([{"id": 5000, "grp": "x", "val": 2.0}])
+    t.commit(lsn=2)
+    export_delta(t, dest, lsn=2)
+    write_delta_checkpoint(dest)
+    expected = spark_rows(t)
+    log_dir = os.path.join(dest, LOG_DIR)
+    with open(os.path.join(log_dir, LAST_CHECKPOINT)) as fh:
+        v = json.load(fh)["version"]
+    cp_path = os.path.join(log_dir, f"{v:020d}.checkpoint.parquet")
+    # torn checkpoint: truncated parquet bytes
+    with open(cp_path, "r+b") as fh:
+        fh.truncate(32)
+    assert duck_rows(dest) == expected
+    # _last_checkpoint pointing at a missing file
+    os.unlink(cp_path)
+    assert duck_rows(dest) == expected
+    # garbage _last_checkpoint
+    with open(os.path.join(log_dir, LAST_CHECKPOINT), "w") as fh:
+        fh.write("{not json")
+    assert duck_rows(dest) == expected
+
+
+def test_checkpoint_newer_than_log_is_distrusted(spark, tmp_path):
+    """If JSON versions after the checkpoint were deleted (or the
+    checkpoint leaked in from elsewhere), replay must not trust a
+    checkpoint claiming a version beyond the visible log."""
+    from moonlink_spark.table.delta_export import write_delta_checkpoint
+
+    t = make_table(spark, tmp_path)
+    dest = str(tmp_path / "delta")
+    export_delta(t, dest)
+    t.append_rows([{"id": 6000, "grp": "y", "val": 3.0}])
+    t.commit(lsn=2)
+    export_delta(t, dest, lsn=2)
+    write_delta_checkpoint(dest)  # checkpoint at v1
+    log_dir = os.path.join(dest, LOG_DIR)
+    os.unlink(os.path.join(log_dir, f"{1:020d}.json"))
+    # v1 json is gone; checkpoint (v1) > max json version (0) -> replay
+    # only the remaining log, no crash, v0 state
+    next_version, live, _s, _p = _replay_log(log_dir)
+    assert next_version == 1
+    assert live  # v0 adds
