@@ -184,53 +184,55 @@ PRIORITY_50 = [
     "ingest_snapshot_diff",
     "ingest_optimize_invariance",
     "q1_pricing_summary",
-    # stalest evidence — last driver-green r5 (16)
-    "ngram_novelty_rate",
-    "lsh_jaccard_recall_eval",
-    "ivf_kmeans_train",
-    "percentiles_by_flag",
-    "argminmax_parts_per_brand",
-    "customers_above_nation_avg",
-    "conditional_expressions",
-    "union_all_with_dup_counts",
-    "train_val_test_split",
-    "source_mixture_weights",
-    "mixture_temperature_weights",
-    "tfidf_top_terms_per_source",
-    "sliding_window_event_stats",
-    "streaming_dedup_e2e",
-    "interval_range_join",
-    "rolling_7d_customer_revenue",
-    # last driver-green r6 (26): TPC-H joins, dedup/ANN/text families,
-    # ingest legs, sampling, streaming — preferring queries with no
-    # other standing evidence (the bench-exercised r6 survivors wait
-    # for r10)
-    "q3_shipping_priority",
-    "q9_product_profit",
-    "q21_multi_line_order_suppliers",
-    "point_lookup_order",
-    "multimodal_feature_extract",
-    "pii_pattern_scan",
-    "window_topk_parts_per_brand",
-    "sessionize_events",
-    "asof_join_purchase_click",
-    "pivot_event_type_values",
-    "dedup_exact",
-    "embedding_near_dup_pairs",
-    "ann_lsh_hyperplane_buckets",
-    "text_quality_scores",
-    "token_counts",
-    "lang_id_heuristic",
-    "doc_fingerprints",
-    "ingest_fullrow_delete_one",
-    "ingest_pg_metadata_recovery_scan",
-    "ingest_cached_scan",
-    "deterministic_hash_sample",
-    "stratified_sample_per_group",
-    "hierarchical_time_rollup",
-    "streaming_tumbling_agg_e2e",
-    "skew_salted_join",
-    "skew_salted_aggregation",
+    # r10 rotation: stalest-first. Last driver-green r6 (14) — these ran
+    # in every bench since, but bench checks runtime only, not values
+    "ann_ivf_topk",
+    "bm25_retrieval",
+    "contamination_check",
+    "corpus_curation_pipeline",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ingest_cached_data_scan",
+    "ingest_copy_wire_scan",
+    "ingest_kafka_group_rebalance_scan",
+    "knn_cosine_bruteforce",
+    "lsh_near_dup_pairs",
+    "semantic_dedup_ivf",
+    "sequence_pack_bins",
+    "streaming_stateful_sessionize_e2e",
+    # last driver-green r7 (26), skipping the 2025-08 judge-sweep-proved
+    # queries (q8/q17/q20, median_mode, grouping_sets, json_props,
+    # tumbling_window_hourly): the TPC-H block, window/gap-fill family,
+    # profiling, and join-shape queries with no standing value evidence
+    "q2_min_balance_supplier",
+    "q4_order_priority_check",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_lines",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_parts_suppliers",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q22_sales_opportunity",
+    "gap_fill_daily_order_counts",
+    "window_order_gaps",
+    "window_rank_dense_ntile",
+    "column_profile_lineitem",
+    "anti_join_customers_without_orders",
+    "cube_lineitem_flags",
+    "dedup_ngram_jaccard",
+    "distinct_aggregates",
+    "exists_suppliers_with_heavy_lines",
+    "full_outer_urgent_vs_returns",
+    "repetition_scores",
+    # last driver-green r8, named in the r9 verdict's rotation ask (2)
+    "ann_recall_at_k",
+    "chunk_documents_udtf",
 ]
 assert len(PRIORITY_50) == 50 and len(set(PRIORITY_50)) == 50
 

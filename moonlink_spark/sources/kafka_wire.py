@@ -296,9 +296,10 @@ class UnsupportedCodecError(ValueError):
         name = CODEC_NAMES.get(codec_id, str(codec_id))
         super().__init__(
             f"unsupported compression codec {name!r} (id {codec_id}): "
-            f"built-ins are none/gzip/snappy/lz4; either configure the "
-            f"producer with compression.type=gzip/snappy/lz4 (or none), "
-            f"or call "
+            f"built-in decode covers none/gzip/snappy/lz4/zstd and "
+            f"built-in produce covers none/gzip/snappy/lz4 (zstd is "
+            f"decode-only); either configure the producer with "
+            f"compression.type=gzip/snappy/lz4 (or none), or call "
             f"kafka_wire.register_codec({name!r}, compress, decompress) "
             f"with an implementation (e.g. zstandard)"
         )
@@ -347,17 +348,30 @@ def _lz4_decompress(data: bytes) -> bytes:
     return lz4_py.decompress(data)
 
 
+def _zstd_compress(data: bytes) -> bytes:
+    # decode-only stance: FETCH of zstd batches works out of the box
+    # (brokers increasingly default to zstd), but PRODUCE should
+    # negotiate gzip/snappy/lz4/none — or plug a real compressor in
+    raise UnsupportedCodecError(4)
+
+
+def _zstd_decompress(data: bytes) -> bytes:
+    from moonlink_spark.sources import zstd_py
+
+    return zstd_py.decompress(data)
+
+
 # codec id -> (compress, decompress); gzip (stdlib zlib), snappy (the
-# pure-Python xerial/raw implementation in snappy_py) and lz4 (the
-# pure-Python frame implementation in lz4_py) ship built-in — brokers
-# default to snappy or lz4, so both must work out of the box; zstd
-# remains pluggable (its format is far beyond a reasonable pure-Python
-# decoder), and a plugged implementation must match Kafka's framing,
-# not just the codec
+# pure-Python xerial/raw implementation in snappy_py), lz4 (the
+# pure-Python frame implementation in lz4_py) and zstd (the pure-Python
+# RFC 8878 DECODER in zstd_py; produce raises and must negotiate down
+# or register a real compressor) ship built-in — brokers default to
+# snappy/lz4/zstd, so fetch of all four must work out of the box
 _CODECS: dict[int, tuple] = {
     1: (_gzip_compress, _gzip_decompress),
     2: (_snappy_compress, _snappy_decompress),
     3: (_lz4_compress, _lz4_decompress),
+    4: (_zstd_compress, _zstd_decompress),
 }
 
 

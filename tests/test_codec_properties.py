@@ -180,3 +180,88 @@ def test_lz4_roundtrip_prop(payload):
     block_decompress(block_compress(payload), out)
     assert bytes(out) == payload
     assert decompress(compress(payload)) == payload
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.one_of(
+        st.binary(max_size=5000),
+        # repetitive shapes exercise sequences/repeat-offsets hard
+        st.builds(
+            lambda unit, reps, tail: unit * reps + tail,
+            st.binary(min_size=1, max_size=20),
+            st.integers(min_value=0, max_value=2000),
+            st.binary(max_size=50),
+        ),
+        # low-entropy text: Huffman literals + FSE-compressed weights
+        st.text(alphabet="abcdefgh \n", max_size=5000).map(str.encode),
+    ),
+    st.sampled_from([1, 3, 9, 19]),
+)
+def test_zstd_decode_matches_pyarrow_oracle(payload, level):
+    """The pure-Python RFC 8878 decoder must invert the bundled C
+    compressor at every level (raw/RLE/compressed blocks, single- and
+    four-stream Huffman, all sequence table modes)."""
+    import pyarrow as pa
+
+    from moonlink_spark.sources.zstd_py import decompress
+
+    comp = pa.Codec("zstd", compression_level=level).compress(
+        payload, asbytes=True
+    )
+    assert decompress(comp) == payload
+
+
+def test_zstd_multiframe_skippable_and_checksum():
+    import pyarrow as pa
+
+    import pytest
+
+    from moonlink_spark.sources.zstd_py import _xxh64, decompress
+
+    c = pa.Codec("zstd")
+    a = c.compress(b"first frame " * 50, asbytes=True)
+    b = c.compress(b"second", asbytes=True)
+    skip = (0x184D2A50).to_bytes(4, "little") + (7).to_bytes(4, "little") + b"padding"
+    assert decompress(a + skip + b) == b"first frame " * 50 + b"second"
+    # hand-build a checksummed frame: set FHD bit 2, append xxh64 low32
+    raw = bytearray(a)
+    assert raw[4] & 0x04 == 0  # pyarrow emits no checksum by default
+    raw[4] |= 0x04
+    good = bytes(raw) + (
+        _xxh64(b"first frame " * 50) & 0xFFFFFFFF
+    ).to_bytes(4, "little")
+    assert decompress(good) == b"first frame " * 50
+    bad = good[:-1] + bytes([good[-1] ^ 1])
+    with pytest.raises(ValueError, match="checksum"):
+        decompress(bad)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=400), st.integers(min_value=0, max_value=3))
+def test_zstd_adversarial_bytes_never_hang_or_crash(junk, prefix_kind):
+    """Untrusted-bytes contract (same as the snappy/lz4 fuzz suites):
+    arbitrary garbage — bare, magic-prefixed, or a mutated valid frame —
+    either decodes or raises ZstdError; never an unbounded loop, never
+    MemoryError, never a non-ZstdError exception."""
+    import pyarrow as pa
+
+    from moonlink_spark.sources.zstd_py import ZstdError, decompress
+
+    if prefix_kind == 1:
+        data = (0xFD2FB528).to_bytes(4, "little") + junk
+    elif prefix_kind == 2:
+        data = (0x184D2A50).to_bytes(4, "little") + junk
+    elif prefix_kind == 3 and junk:
+        base = bytearray(
+            pa.Codec("zstd").compress(b"seed data " * 30, asbytes=True)
+        )
+        for i, b in enumerate(junk[:16]):
+            base[(7 + i * 11) % len(base)] ^= b or 1
+        data = bytes(base)
+    else:
+        data = junk
+    try:
+        decompress(data)
+    except ZstdError:
+        pass

@@ -661,7 +661,7 @@ def test_unknown_codec_rejected():
     batch = bytearray(encode_record_batch(0, records))
     # attributes live right after the batch header prefix (offset 21);
     # re-sign the CRC so the codec check (not the CRC check) fires
-    batch[21:23] = struct.pack(">h", 4)  # zstd (the one still pluggable)
+    batch[21:23] = struct.pack(">h", 5)  # 5: no codec assigned by Kafka
     batch[17:21] = struct.pack(">I", crc32c(bytes(batch[21:])))
     with pytest.raises(ValueError, match="codec"):
         list(decode_record_batches(bytes(batch)))
@@ -889,8 +889,9 @@ def test_unregistered_codec_fails_loud_with_exact_shape():
         crc = crc32c(bytes(tail))
         return raw[:12] + raw[12:17] + _struct.pack(">I", crc) + bytes(tail)
 
-    # snappy (2) and lz4 (3) are built-in now — only zstd stays pluggable
-    for cid, name in [(4, "zstd")]:
+    # all four real codecs decode built-in now; an id Kafka never
+    # assigned (5) still fails loud with the full actionable shape
+    for cid, name in [(5, "5")]:
         with pytest.raises(UnsupportedCodecError) as ei:
             list(decode_record_batches(batch_with_codec(cid)))
         assert ei.value.codec_id == cid
@@ -898,9 +899,45 @@ def test_unregistered_codec_fails_loud_with_exact_shape():
         assert "compression.type=gzip" in str(ei.value)
         assert "register_codec" in str(ei.value)
 
-    # encoding with an unplugged codec fails the same way
+    # a zstd-attributed batch whose payload is NOT zstd fails as a
+    # decode error from the built-in decoder, not as "unsupported"
+    from moonlink_spark.sources.zstd_py import ZstdError
+
+    with pytest.raises(ZstdError):
+        list(decode_record_batches(batch_with_codec(4)))
+
+    # PRODUCE with zstd is decode-only: fails loud until a real
+    # compressor is registered
     with pytest.raises(UnsupportedCodecError):
         encode_record_batch(0, [(b"k", b"v")], compression="zstd")
+
+
+def test_zstd_fetch_decodes_builtin(broker):
+    """FETCH of zstd RecordBatches works out of the box: produce through
+    a registered C compressor (pyarrow's bundled zstd standing in for a
+    broker that recompressed the topic), then restore the built-in codec
+    entry so the DECODE leg runs the pure-Python RFC 8878 decoder."""
+    import pyarrow as pa
+
+    from moonlink_spark.sources import kafka_wire as kw
+
+    c = pa.Codec("zstd")
+    orig = kw._CODECS[4]
+    kw.register_codec(
+        "zstd", lambda b: c.compress(b, asbytes=True), orig[1]
+    )
+    try:
+        prod = kw.KafkaWireProducer(
+            broker.host, broker.port, compression="zstd"
+        )
+        payload = [(b"k%d" % i, b"v%d" % i * 50) for i in range(40)]
+        prod.send("zsf", payload)
+        kw._CODECS[4] = orig  # decode must be the built-in pure-Python path
+        cons = kw.KafkaWireConsumer(broker.host, broker.port, "zsf")
+        msgs = cons.poll()
+        assert [(m[1], m[2]) for m in msgs] == payload
+    finally:
+        kw._CODECS[4] = orig
 
 
 def test_registered_codec_round_trips(broker):
@@ -911,7 +948,9 @@ def test_registered_codec_round_trips(broker):
     from moonlink_spark.sources import kafka_wire as kw
 
     # stand-in for zstandard: raw zlib at codec id 4 (the registry does
-    # not care what the bytes are as long as both sides agree)
+    # not care what the bytes are as long as both sides agree; overrides
+    # the built-in zstd pair, restored below)
+    orig = kw._CODECS[4]
     kw.register_codec("zstd", zlib.compress, zlib.decompress)
     try:
         prod = kw.KafkaWireProducer(
@@ -926,7 +965,7 @@ def test_registered_codec_round_trips(broker):
         prod.close()
         cons.close()
     finally:
-        kw._CODECS.pop(4, None)
+        kw._CODECS[4] = orig  # restore the built-in zstd pair
 
 
 def test_garbage_bytes_never_crash_the_broker(tmp_path):
