@@ -639,6 +639,158 @@ FROM af GROUP BY cluster_id ORDER BY cluster_id""")
     return "\n".join(parts)
 
 
+def _hier_oracle(k: int = 16, k_super: int = 4, iters: int = 2, nprobe: int = 2) -> str:
+    """DuckDB replay of the TWO-LEVEL quantizer assignment
+    (build_hierarchical_quantizer + assign_hierarchical_clusters):
+    k-centroid Lloyd, a second Lloyd of k_super super-centroids over the
+    centroids themselves, centroid->super-cell bucketing, and per-vector
+    probe of the ``nprobe`` nearest non-empty cells. All arithmetic is
+    BIGINT on the 1e6 grid with (d2, id) tie-breaks, so the oracle is
+    bit-exact. The empty-cell re-indexing in the Spark path is a
+    monotonic map, so ranking non-empty cells by original super id
+    reproduces its tie-breaks."""
+
+    def d2(vcol: str, ccol: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform(range(1, {DIM} + 1), "
+            f"j -> ({vcol}[CAST(j AS INTEGER)] - {ccol}[CAST(j AS INTEGER)])"
+            f" * ({vcol}[CAST(j AS INTEGER)] - {ccol}[CAST(j AS INTEGER)])))"
+            f" AS BIGINT)"
+        )
+
+    def assign(src: str, c: str, a: str, id_col: str) -> str:
+        return f"""
+{a}_all AS (
+  SELECT x.vec_id, x.v, c.{id_col}, {d2("x.v", "c.cent")} AS d2
+  FROM {src} x CROSS JOIN {c} c
+),
+{a} AS (
+  SELECT vec_id, v, {id_col}, d2
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY d2, {id_col}) AS rn FROM {a}_all) t
+  WHERE rn = 1
+)"""
+
+    def update(a: str, prev_c: str, c: str, id_col: str) -> str:
+        return f"""
+{c}_sums AS (
+  SELECT {id_col}, CAST(j AS INTEGER) AS dim,
+         CAST(SUM(v[CAST(j AS INTEGER)]) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS nn
+  FROM {a}, (SELECT UNNEST(range(1, {DIM} + 1)) AS j) d
+  GROUP BY {id_col}, dim
+),
+{c} AS (
+  SELECT p.{id_col}, COALESCE(u.cent, p.cent) AS cent
+  FROM {prev_c} p LEFT JOIN (
+    SELECT {id_col},
+           list((s - ((s % nn) + nn) % nn) // nn ORDER BY dim) AS cent
+    FROM {c}_sums GROUP BY {id_col}
+  ) u ON u.{id_col} = p.{id_col}
+)"""
+
+    xq = (
+        "SELECT vec_id, list_transform(embedding, x -> CAST(floor("
+        "CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v FROM embeddings"
+    )
+    parts = [f"""WITH xq AS ({xq}),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+         AS cluster_id, v AS cent
+  FROM (SELECT vec_id, v FROM xq ORDER BY vec_id LIMIT {k})
+)"""]
+    for i in range(iters):
+        parts.append("," + assign("xq", f"c{i}", f"ca{i}", "cluster_id"))
+        parts.append("," + update(f"ca{i}", f"c{i}", f"c{i + 1}", "cluster_id"))
+    cfin = f"c{iters}"
+    # level 2: the k centroids as the training corpus for k_super supers
+    parts.append(f""",
+cq AS (SELECT cluster_id AS vec_id, cent AS v FROM {cfin}),
+s0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+         AS super_id, v AS cent
+  FROM (SELECT vec_id, v FROM cq ORDER BY vec_id LIMIT {k_super})
+)""")
+    for i in range(iters):
+        parts.append("," + assign("cq", f"s{i}", f"sa{i}", "super_id"))
+        parts.append("," + update(f"sa{i}", f"s{i}", f"s{i + 1}", "super_id"))
+    sfin = f"s{iters}"
+    parts.append("," + assign("cq", sfin, "cellmap", "super_id"))
+    parts.append(f""",
+cells AS (SELECT vec_id AS cluster_id, super_id FROM cellmap),
+nonempty AS (
+  SELECT s.super_id, s.cent FROM {sfin} s
+  WHERE s.super_id IN (SELECT DISTINCT super_id FROM cells)
+),
+probe AS (
+  SELECT vec_id, v, super_id
+  FROM (
+    SELECT x.vec_id, x.v, s.super_id,
+           row_number() OVER (PARTITION BY x.vec_id
+               ORDER BY {d2("x.v", "s.cent")}, s.super_id) AS rs
+    FROM xq x CROSS JOIN nonempty s
+  ) t WHERE rs <= {nprobe}
+),
+cand AS (
+  SELECT p.vec_id, cl.cluster_id, {d2("p.v", "cc.cent")} AS d2
+  FROM probe p
+  JOIN cells cl ON cl.super_id = p.super_id
+  JOIN {cfin} cc ON cc.cluster_id = cl.cluster_id
+),
+best AS (
+  SELECT vec_id, cluster_id, d2
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY d2, cluster_id) AS rn FROM cand) t
+  WHERE rn = 1
+)
+SELECT cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(MIN(vec_id) AS BIGINT) AS min_vec_id,
+       CAST(SUM(d2) AS BIGINT) AS sum_d2
+FROM best GROUP BY cluster_id ORDER BY cluster_id""")
+    return "\n".join(parts)
+
+
+@register(
+    "hier_quantizer_assign", oracle=_hier_oracle(), category="similarity"
+)
+def hier_quantizer_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-level coarse quantizer (SCALE.md rule 8) as an
+    oracle-checked query: train k=16 centroids, build the ~sqrt(k)
+    super-cell structure, and assign every vector by probing its 2
+    nearest non-empty cells — the exact production path of
+    ``semantic_dedup_hierarchical``, summarized per cluster. The DuckDB
+    oracle replays BOTH Lloyd levels, the cell bucketing, and the probe
+    bit-exactly on the 1e6 integer grid.
+
+    Scale: the per-vector candidate count is sqrt(k) + nprobe*k/sqrt(k)
+    instead of k; at k ~ 1e7 (SemDeDup at 1e10 docs) that is the
+    difference between ~1e17 and ~1e13.5 distance folds. Plan shape is
+    one broadcast row + a zero-Exchange map, identical to the flat
+    assignment (plan-shape-locked)."""
+    emb_q = persist_tracked(
+        "hier_quantizer_assign.emb",
+        quantize_embeddings_1e6(load(spark, sf_dir, "embeddings")),
+    )
+    cents = train_ivf_centroids(spark, emb_q, k=16, iters=2)
+    supers, cells = build_hierarchical_quantizer(
+        spark, cents, branch=4, iters=2
+    )
+    assigned = assign_hierarchical_clusters(
+        spark, emb_q, supers, cells, nprobe_super=2
+    )
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.min("vec_id").cast("bigint").alias("min_vec_id"),
+            F.sum("d2").cast("bigint").alias("sum_d2"),
+        )
+        .select("cluster_id", "n_vectors", "min_vec_id", "sum_d2")
+        .orderBy("cluster_id")
+    )
+
+
 @register("ivf_kmeans_train", oracle=_kmeans_oracle(), category="similarity")
 def ivf_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train real IVF centroids with 3 Lloyd iterations (k=8, deterministic

@@ -34,8 +34,15 @@ VOCAB = [
 SF01 = "/root/testdata/sf0.1"
 
 
-def gen(out_dir: str, scale: float) -> None:
+def gen(out_dir: str, scale: float, tables: tuple = ()) -> None:
+    """``tables`` limits generation to a subset (e.g. ("documents",
+    "embeddings") for the 100x run, where a 60M-row lineitem would cost
+    more to generate than the operators under test cost to run); skipped
+    generated tables are symlinked from sf0.1 like the dims."""
     from moonlink_spark.session import get_spark
+
+    def want(t: str) -> bool:
+        return not tables or t in tables
 
     spark = get_spark("gen-scale-corpus")
     os.makedirs(out_dir, exist_ok=True)
@@ -45,6 +52,7 @@ def gen(out_dir: str, scale: float) -> None:
     n_orders = int(150_000 * scale)
 
     vocab = F.array(*[F.lit(w) for w in VOCAB])
+    skipped = []
     # documents: seeded word salads, ~30-55 words; every 10th doc is a
     # near-duplicate of its predecessor (one word appended) so the dedup
     # family has real candidate structure at every scale
@@ -84,9 +92,12 @@ def gen(out_dir: str, scale: float) -> None:
             F.length("text").alias("n_chars"),
         )
     )
-    base.coalesce(max(1, n_docs // 100_000 + 1)).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(out_dir, "documents.parquet"))
+    if want("documents"):
+        base.coalesce(max(1, n_docs // 100_000 + 1)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "documents.parquet"))
+    else:
+        skipped.append("documents")
 
     # embeddings: 10 gaussian-ish clusters in 64 dims (hash-derived
     # pseudo-noise: deterministic, executor-side, no numpy on driver)
@@ -107,9 +118,12 @@ def gen(out_dir: str, scale: float) -> None:
         )
         .select(F.col("id").alias("vec_id"), "embedding", "label")
     )
-    emb.coalesce(max(1, n_vecs // 100_000 + 1)).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(out_dir, "embeddings.parquet"))
+    if want("embeddings"):
+        emb.coalesce(max(1, n_vecs // 100_000 + 1)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "embeddings.parquet"))
+    else:
+        skipped.append("embeddings")
 
     # lineitem: the full sf0.1 schema (fk ranges match the SYMLINKED
     # sf0.1 dims so join plans analyze and run at any scale)
@@ -147,9 +161,12 @@ def gen(out_dir: str, scale: float) -> None:
             ).cast("timestamp").alias("l_shipdate"),
         )
     )
-    li.coalesce(max(1, n_line // 2_000_000 + 1)).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(out_dir, "lineitem.parquet"))
+    if want("lineitem"):
+        li.coalesce(max(1, n_line // 2_000_000 + 1)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "lineitem.parquet"))
+    else:
+        skipped.append("lineitem")
 
     orders = spark.range(n_orders).select(
         F.col("id").alias("o_orderkey"),
@@ -172,14 +189,18 @@ def gen(out_dir: str, scale: float) -> None:
             "o_shippriority"
         ),
     )
-    orders.coalesce(max(1, n_orders // 2_000_000 + 1)).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(out_dir, "orders.parquet"))
+    if want("orders"):
+        orders.coalesce(max(1, n_orders // 2_000_000 + 1)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "orders.parquet"))
+    else:
+        skipped.append("orders")
 
     # remaining tables: symlink from sf0.1 (exist for plan analysis; the
     # scale validation never scans them at scale)
     for t in [
         "region", "nation", "customer", "supplier", "part", "events",
+        *skipped,
     ]:
         link = os.path.join(out_dir, f"{t}.parquet")
         if not os.path.exists(link):

@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""100x scale spot-validation (r9 verdict #5): the flagship dedup
+families at gen-sf0.1 vs gen-sf10 — TWO decades of growth instead of
+the per-round 10x step — asserting wall growth against each family's
+documented curve and bounded driver memory.
+
+Usage: python scripts/scale_100x_validation.py [--workdir DIR] [--skip-gen]
+
+Families and caps:
+- dedup_minhash_lsh (banded equi-join, linear by design): cap 150x for
+  100x data (1.5x linear slack).
+- semantic_dedup_hierarchical (two-level quantizer, O(n^1.5/sqrt(t))):
+  the theory ceiling for 100x data is 1000x; overhead amortization in
+  practice pulls it far below. Capped at the n^1.5 curve — the claim
+  this run anchors is "the two-level entry follows its documented
+  curve, not the flat path's n^2".
+
+Prints a markdown table (paste into SCALE.md §14) and exits non-zero on
+a cap breach or driver RSS growth > 4 GiB.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import resource
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--workdir", default="/tmp/moonlink-scale-100x")
+    ap.add_argument("--skip-gen", action="store_true")
+    args = ap.parse_args()
+
+    from moonlink_spark.operators import all_queries, load
+    from moonlink_spark.operators.similarity import semantic_dedup_hierarchical
+    from moonlink_spark.session import get_spark
+    from scripts.gen_scale_corpus import gen
+
+    spark = get_spark(
+        "scale-100x", extra_conf={"spark.driver.memory": "24g"}
+    )
+    small = os.path.join(args.workdir, "gen-sf0.1")
+    big = os.path.join(args.workdir, "gen-sf10")
+    if not args.skip_gen:
+        # only documents + embeddings: the two families under test
+        gen(small, 1.0, tables=("documents", "embeddings"))
+        gen(big, 100.0, tables=("documents", "embeddings"))
+
+    minhash = all_queries()["dedup_minhash_lsh"].fn
+
+    def hier(s, sf_dir):
+        emb = load(s, sf_dir, "embeddings").select("vec_id", "embedding")
+        return semantic_dedup_hierarchical(s, emb, target_cluster_size=250)
+
+    def force(df):
+        df.write.mode("overwrite").format("noop").save()
+
+    def rss_gib() -> float:
+        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+    cases = [
+        ("dedup_minhash_lsh", minhash, 150.0),
+        ("semantic_dedup_hierarchical", hier, 1000.0),
+    ]
+    results = []
+    failures = []
+    for name, fn, cap in cases:
+        force(fn(spark, small))  # warm (compile cost excluded)
+        spark.catalog.clearCache()
+        t0 = time.time()
+        force(fn(spark, small))
+        t_small = time.time() - t0
+        spark.catalog.clearCache()
+        rss_before = rss_gib()
+        t0 = time.time()
+        force(fn(spark, big))
+        t_big = time.time() - t0
+        spark.catalog.clearCache()
+        drss = rss_gib() - rss_before
+        ratio = t_big / max(t_small, 0.05)
+        results.append((name, t_small, t_big, ratio, drss, cap))
+        if ratio > cap:
+            failures.append(f"{name}: {ratio:.0f}x > cap {cap:.0f}x")
+        if drss > 4.0:
+            failures.append(f"{name}: driver RSS grew {drss:.1f} GiB")
+
+    print("\n| family | gen-sf0.1 (s) | gen-sf10 (s) | ratio (100x data) | cap | driver ΔRSS (GiB) |")
+    print("|---|---|---|---|---|---|")
+    for name, a, b, r, drss, cap in results:
+        print(
+            f"| {name} | {a:.2f} | {b:.2f} | {r:.1f}x | {cap:.0f}x "
+            f"| {max(0.0, drss):.2f} |"
+        )
+    if failures:
+        print("\n100x SCALE FAILURES:", "; ".join(failures), file=sys.stderr)
+        return 1
+    print("\nboth families within their documented growth curves at 100x")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
