@@ -77,6 +77,8 @@ HEADLINE = [
     "ingest_copy_wire_scan",
     "ingest_kafka_group_rebalance_scan",
     "ingest_cached_data_scan",
+    # r10 addition: the two-level coarse quantizer (SCALE.md rule 8)
+    "hier_quantizer_assign",
 ]
 
 
