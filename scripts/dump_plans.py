@@ -66,6 +66,14 @@ FLAGSHIPS = {
         "and per-vector norms are computed once before the join, not per "
         "pair."
     ),
+    "hier_quantizer_assign": (
+        "The two-level coarse quantizer (SCALE.md rule 8): the whole "
+        "quantizer (super matrix + per-cell centroid lists) rides in as "
+        "ONE broadcast row, and assignment is a zero-Exchange map — "
+        "sqrt(k) + nprobe*(k/sqrt(k)) distance folds per vector instead "
+        "of the flat path's k. The only exchange in the executed plan "
+        "is the one-row BroadcastExchange; no shuffle of vectors."
+    ),
     "approx_heavy_hitters": (
         "The sketch pass is mapInPandas with O(capacity) state and ZERO "
         "shuffle; the only shuffle is the exact recount of a few hundred "
