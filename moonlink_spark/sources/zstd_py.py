@@ -45,16 +45,22 @@ class ZstdError(ValueError):
 # sentinel, not data
 # --------------------------------------------------------------------------- #
 class _BackStream:
-    __slots__ = ("val", "pos")
+    """Windowed reader: bits are addressed by absolute position from the
+    stream start (LE bit order) and extracted from a small byte slice per
+    read — O(bits-read) total, instead of the O(stream²) a whole-stream
+    bignum costs on large Huffman literal streams."""
+
+    __slots__ = ("data", "pos")
 
     def __init__(self, data: bytes):
         if not data:
             raise ZstdError("empty bitstream")
-        val = int.from_bytes(data, "little")
-        if val == 0:
+        last = data[-1]
+        if last == 0:
             raise ZstdError("bitstream missing padding sentinel")
-        self.val = val
-        self.pos = val.bit_length() - 1  # bits of real data below sentinel
+        self.data = data
+        # bits of real data below the sentinel bit
+        self.pos = (len(data) - 1) * 8 + last.bit_length() - 1
 
     def read(self, n: int) -> int:
         """Read ``n`` bits; reading past the start zero-fills (the FSE
@@ -63,13 +69,18 @@ class _BackStream:
         if n == 0:
             return 0
         self.pos -= n
-        if self.pos >= 0:
-            return (self.val >> self.pos) & ((1 << n) - 1)
+        pos = self.pos
+        if pos >= 0:
+            lo_byte = pos >> 3
+            hi_byte = (pos + n + 7) >> 3
+            chunk = int.from_bytes(self.data[lo_byte:hi_byte], "little")
+            return (chunk >> (pos & 7)) & ((1 << n) - 1)
         # partial: take what remains, zero-fill the low side
-        avail = n + self.pos
+        avail = n + pos
         if avail <= 0:
             return 0
-        return (self.val & ((1 << avail) - 1)) << (n - avail)
+        chunk = int.from_bytes(self.data[: (avail + 7) >> 3], "little")
+        return (chunk & ((1 << avail) - 1)) << (n - avail)
 
     @property
     def exhausted(self) -> bool:
