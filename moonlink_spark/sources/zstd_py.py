@@ -235,37 +235,60 @@ def _huf_read_weights(data: bytes, off: int):
     if off + 1 + hb > len(data):
         raise ZstdError("truncated FSE Huffman weights")
     comp = data[off + 1 : off + 1 + hb]
+    # -1 ("less than one") probabilities are legal here per RFC 8878
+    # §4.2.1; _fse_build_table assigns them top cells like any table
     probs, acc, used = _fse_read_distribution(comp, 0, 6)
-    if any(p < 0 for p in probs):
-        raise ZstdError("less-than-one probability in weight table")
     table = _fse_build_table(probs, acc)
     stream = _BackStream(comp[used:])
     s1 = _FseState(table, stream, acc)
     s2 = _FseState(table, stream, acc)
-    weights = []
+    weights: list[int] = []
+
+    def emit(sym: int) -> None:
+        # at most 255 explicit weights (the 256th symbol is implicit);
+        # the exhaustion-break paths can emit past the loop guard, so
+        # the cap is enforced on every append
+        if len(weights) >= 255:
+            raise ZstdError("more than 255 Huffman weights")
+        weights.append(sym)
+
     while len(weights) < 255:
-        weights.append(s1.symbol)
+        emit(s1.symbol)
         s1.update(stream)
         if stream.exhausted:
-            weights.append(s2.symbol)
+            emit(s2.symbol)
             break
-        weights.append(s2.symbol)
+        emit(s2.symbol)
         s2.update(stream)
         if stream.exhausted:
-            weights.append(s1.symbol)
+            emit(s1.symbol)
             break
     else:
         raise ZstdError("more than 255 Huffman weights")
     return weights, 1 + hb
 
 
+# RFC 8878 §4.2.1: Huffman code lengths never exceed 11 bits, so no
+# weight may exceed 11 and the prefix table is at most 2^11 entries.
+# Enforcing this BEFORE sizing anything is what keeps a hostile weight
+# (e.g. 251 -> a 2^250-entry table) from becoming an unbounded
+# allocation or an OverflowError escaping as non-ZstdError.
+_HUF_MAX_BITS = 11
+
+
 def _huf_build_table(weights: list[int]):
     """Weights (last one implicit) -> (prefix table, max_bits). The table
     maps every max_bits-wide bit prefix to (symbol, nb_bits)."""
+    if len(weights) > 255:
+        raise ZstdError("more than 255 Huffman weights")
+    if any(w > _HUF_MAX_BITS for w in weights):
+        raise ZstdError("Huffman weight exceeds the 11-bit code limit")
     total = sum((1 << (w - 1)) for w in weights if w > 0)
     if total == 0:
         raise ZstdError("empty Huffman table")
     max_bits = total.bit_length()  # log2 of next power of two
+    if max_bits > _HUF_MAX_BITS:
+        raise ZstdError("Huffman table exceeds the 11-bit depth limit")
     rem = (1 << max_bits) - total
     # remainder must itself be a power of two: it is the implicit last
     # symbol's weight
@@ -448,7 +471,9 @@ def _read_seq_table(data, off, mode, default, max_acc, prev, kind):
     return prev, 0
 
 
-def _decode_block(data: bytes, out: bytearray, ctx: _FrameCtx) -> None:
+def _decode_block(
+    data: bytes, out: bytearray, ctx: _FrameCtx, frame_start: int
+) -> None:
     literals, pos = _decode_literals(data, 0, ctx)
     if pos >= len(data):
         raise ZstdError("truncated sequences header")
@@ -532,7 +557,11 @@ def _decode_block(data: bytes, out: bytearray, ctx: _FrameCtx) -> None:
             raise ZstdError("sequence literals overrun")
         out += literals[lit_pos : lit_pos + ll]
         lit_pos += ll
-        if offset > len(out):
+        # matches may not reach past the CURRENT frame's start (RFC
+        # 8878 §3.1.1.1: frames are independent); checking against the
+        # concatenated multi-frame output would silently accept corrupt
+        # cross-frame matches instead of raising
+        if offset > len(out) - frame_start:
             raise ZstdError("match offset beyond window")
         if len(out) + ml > MAX_OUTPUT:
             raise ZstdError("output over limit")
@@ -681,7 +710,7 @@ def decompress(data: bytes) -> bytes:
             elif btype == 2:
                 if pos + bsize > n:
                     raise ZstdError("truncated compressed block")
-                _decode_block(data[pos : pos + bsize], out, ctx)
+                _decode_block(data[pos : pos + bsize], out, ctx, frame_start)
                 pos += bsize
             else:
                 raise ZstdError("reserved block type")

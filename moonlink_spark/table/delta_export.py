@@ -286,11 +286,14 @@ def write_delta_checkpoint(dest: str) -> dict[str, Any]:
     import uuid as _uuid
 
     log_dir = os.path.join(dest, LOG_DIR)
-    versions = _log_versions(log_dir)
-    if not versions:
-        raise ValueError(f"no Delta log under {log_dir}")
     next_version, live, schema_string, protocol = _replay_log(log_dir)
-    cp_version = versions[-1]
+    if next_version == 0:
+        raise ValueError(f"no Delta log under {log_dir}")
+    # the stamped version MUST come from the same listing the replay
+    # consumed: a separate _log_versions() call could see a version a
+    # concurrent exporter committed after the replay, mislabeling this
+    # checkpoint's state as a newer snapshot
+    cp_version = next_version - 1
 
     dv_type = pa.struct(
         [
@@ -450,12 +453,14 @@ def export_delta(
                 committed % checkpoint_interval == 0
             ):
                 # the checkpoint is an optimization, never a correctness
-                # dependency: a failure here leaves a fully readable JSON
-                # log, so don't fail the committed export over it
+                # dependency: a failure here (disk, or pyarrow rejecting
+                # an externally-written log action's shape) leaves a
+                # fully readable JSON log, so don't fail the COMMITTED
+                # export over it
                 try:
                     cp = write_delta_checkpoint(dest)
                     result["checkpoint_version"] = cp["checkpoint_version"]
-                except OSError:
+                except Exception:
                     pass
             return result
     raise OSError(

@@ -265,3 +265,54 @@ def test_zstd_adversarial_bytes_never_hang_or_crash(junk, prefix_kind):
         decompress(data)
     except ZstdError:
         pass
+
+
+def test_zstd_hostile_huffman_weights_bounded():
+    """Review r10: RFC 8878 caps Huffman code length at 11 bits; a
+    crafted weight table must raise ZstdError BEFORE sizing the prefix
+    table — not OverflowError/MemoryError from a 2^250-entry list."""
+    import pytest
+
+    from moonlink_spark.sources.zstd_py import ZstdError, _huf_build_table
+
+    with pytest.raises(ZstdError):
+        _huf_build_table([251])  # would size a 2^250 table
+    with pytest.raises(ZstdError):
+        _huf_build_table([35, 35])  # ~256 GB table
+    with pytest.raises(ZstdError):
+        _huf_build_table([12])  # one past the 11-bit limit
+    with pytest.raises(ZstdError):
+        _huf_build_table([1] * 256)  # more than 255 explicit weights
+    table, max_bits = _huf_build_table([11])  # at the limit: fine
+    assert max_bits == 11
+
+
+def test_zstd_cross_frame_match_rejected():
+    """Review r10: matches may not reach past the current frame's start
+    (frames are independent per RFC 8878). A corrupt second frame whose
+    sequence points back into frame 1's bytes must raise, not silently
+    decode garbage from the previous frame."""
+    import pyarrow as pa
+    import pytest
+
+    from moonlink_spark.sources.zstd_py import ZstdError, decompress
+
+    frame1 = pa.Codec("zstd").compress(b"0123456789", asbytes=True)
+    # hand-built frame: raw literals "ab", one sequence via RLE tables
+    # (LL code 0 -> ll=0, OF code 3 + 3 extra bits 0b100 -> offset 9,
+    # ML code 0 -> ml=3). Offset 9 exceeds this frame's own output (0
+    # bytes at match time) but fits inside frame1's 10 bytes.
+    block = bytes(
+        [0x10, ord("a"), ord("b"), 0x01, 0x54, 0x00, 0x03, 0x00, 0x0C]
+    )
+    bh = 1 | (2 << 1) | (len(block) << 3)
+    frame2 = (
+        (0xFD2FB528).to_bytes(4, "little")
+        + bytes([0x00, 0x00])  # FHD, window descriptor
+        + bh.to_bytes(3, "little")
+        + block
+    )
+    with pytest.raises(ZstdError, match="window"):
+        decompress(frame2)  # standalone: offset beyond empty frame
+    with pytest.raises(ZstdError, match="window"):
+        decompress(frame1 + frame2)  # and cross-frame: still rejected

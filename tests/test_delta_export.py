@@ -389,3 +389,41 @@ def test_checkpoint_newer_than_log_is_distrusted(spark, tmp_path):
     next_version, live, _s, _p = _replay_log(log_dir)
     assert next_version == 1
     assert live  # v0 adds
+
+
+def test_checkpoint_version_stamp_matches_replayed_state(spark, tmp_path):
+    """Review r10: the checkpoint's stamped version must come from the
+    same log listing its state was replayed from — a concurrent commit
+    landing between two separate listings would otherwise mislabel the
+    checkpoint (v10 file containing v11 state)."""
+    from unittest.mock import patch
+
+    from moonlink_spark.table import delta_export as de
+
+    t = make_table(spark, tmp_path)
+    dest = str(tmp_path / "delta")
+    export_delta(t, dest)
+    t.append_rows([{"id": 7000, "grp": "z", "val": 4.0}])
+    t.commit(lsn=2)
+    export_delta(t, dest, lsn=2)
+
+    # simulate the race: a v2 commit lands AFTER the checkpointer's
+    # replay. The stamp must be 1 (what was replayed), never 2.
+    real_replay = de._replay_log
+    fired = []
+
+    def replay_then_commit(log_dir):
+        out = real_replay(log_dir)
+        if not fired:  # only the checkpointer's own replay triggers it
+            fired.append(True)
+            t.append_rows([{"id": 7001, "grp": "z", "val": 5.0}])
+            t.commit(lsn=3)
+            export_delta(t, dest, lsn=3, checkpoint_interval=0)
+        return out
+
+    with patch.object(de, "_replay_log", side_effect=replay_then_commit):
+        summary = de.write_delta_checkpoint(dest)
+    assert summary["checkpoint_version"] == 1  # the replayed head, not 2
+    # and readback through the (older) checkpoint + newer JSON tail is
+    # still exactly the live state
+    assert duck_rows(dest) == spark_rows(t)
