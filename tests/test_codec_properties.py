@@ -316,3 +316,38 @@ def test_zstd_cross_frame_match_rejected():
         decompress(frame2)  # standalone: offset beyond empty frame
     with pytest.raises(ZstdError, match="window"):
         decompress(frame1 + frame2)  # and cross-frame: still rejected
+
+
+def test_zstd_cli_oracle_with_checksums():
+    """Second oracle: the reference zstd CLI (when present) at several
+    levels WITH --content-size and checksums — pyarrow's codec emits
+    neither, so this leg covers the frame-content-size and XXH64 paths
+    against reference-encoder output."""
+    import shutil
+    import subprocess
+
+    from moonlink_spark.sources.zstd_py import decompress
+
+    cli = shutil.which("zstd")
+    if cli is None:
+        pytest.skip("zstd CLI not on PATH")
+    payloads = [
+        b"",
+        b"hello world " * 2000,
+        bytes(range(256)) * 500,
+        b"ababababab" * 10_000,
+    ]
+    for lvl in (1, 3, 12, 19, 22):
+        for data in payloads:
+            proc = subprocess.run(
+                [cli, f"-{min(lvl, 19)}", "--ultra", f"-{lvl}", "-c",
+                 "--content-size", "-C"],
+                input=data, capture_output=True, check=True,
+            )
+            assert decompress(proc.stdout) == data
+    # --no-check / long mode variants
+    proc = subprocess.run(
+        [cli, "-19", "-c", "--no-check"], input=payloads[1],
+        capture_output=True, check=True,
+    )
+    assert decompress(proc.stdout) == payloads[1]
