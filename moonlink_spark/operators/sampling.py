@@ -156,3 +156,83 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+def _spark_skey(salt: str) -> str:
+    """Spark SQL expr: the FULL 28-bit md5-prefix integer (no % 100) —
+    the shuffle sort key."""
+    return (
+        f"cast(conv(substring(md5(cast(concat('{salt}', cast(doc_id as string)) "
+        "as binary)), 1, 7), 16, 10) as bigint)"
+    )
+
+
+def _sql_skey(salt: str) -> str:
+    digest = f"md5('{salt}' || CAST(doc_id AS VARCHAR))"
+    return _sql_hex7(digest)
+
+
+@register(
+    "deterministic_corpus_shuffle",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars, {_sql_skey('shuffle:')} AS skey
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, n_chars, skey, skey % 16 AS shard,
+         row_number() OVER (PARTITION BY skey % 16
+             ORDER BY skey, doc_id) AS pos
+  FROM keyed
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(CASE WHEN pos = 1 THEN doc_id END) AS BIGINT) AS first_doc_id,
+       CAST(SUM(pos * doc_id) AS BIGINT) AS order_checksum
+FROM ranked GROUP BY shard ORDER BY shard
+""",
+    category="sampling",
+)
+def deterministic_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded global shuffle for training order — the step between
+    curation and tokenization in every LLM data pipeline. RNG-free: each
+    doc's position comes from a salted content-key hash, so reruns (and
+    any cluster size) produce the identical order, and a grown corpus
+    only INSERTS new docs into the order without reshuffling old ones.
+
+    The materialized form at scale is shard files: shard = skey % 16
+    (one output file/task each — at 100 TB bump the modulus, nothing
+    else changes) and within-shard order = (skey, doc_id). That is ONE
+    hash exchange on the shard key; the within-shard sort is the
+    task-local sort every shuffle write does anyway, and the summary
+    aggregation reuses the window's partitioning (no second exchange).
+    The per-shard summary pins both halves for the oracle: the
+    assignment (counts/chars), the order head (first_doc_id), and the
+    full order (sum of pos*doc_id — any transposition changes it).
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    ranked = (
+        docs.withColumn("skey", F.expr(_spark_skey("shuffle:")))
+        .withColumn("shard", F.col("skey") % 16)
+        .withColumn("pos", F.row_number().over(w))
+    )
+    return (
+        ranked.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min(F.when(F.col("pos") == 1, F.col("doc_id")))
+            .cast("bigint")
+            .alias("first_doc_id"),
+            F.sum(F.col("pos") * F.col("doc_id"))
+            .cast("bigint")
+            .alias("order_checksum"),
+        )
+        .select(
+            F.col("shard").cast("bigint").alias("shard"),
+            "n_docs", "total_chars", "first_doc_id", "order_checksum",
+        )
+        .orderBy("shard")
+    )
