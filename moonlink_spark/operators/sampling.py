@@ -20,18 +20,29 @@ from moonlink_spark.operators import load, register
 from moonlink_spark.operators.dedup import _sql_hex7
 
 
-def _spark_bucket(salt: str) -> str:
-    """Spark SQL expr: hash bucket in [0, 100) from md5(salt || doc_id)."""
+def _spark_skey(salt: str) -> str:
+    """Spark SQL expr: the FULL 28-bit md5-prefix integer of
+    (salt || doc_id) — THE one hash expression every sampling/shuffle
+    operator derives from."""
     return (
         f"cast(conv(substring(md5(cast(concat('{salt}', cast(doc_id as string)) "
-        "as binary)), 1, 7), 16, 10) as bigint) % 100"
+        "as binary)), 1, 7), 16, 10) as bigint)"
     )
+
+
+def _sql_skey(salt: str) -> str:
+    digest = f"md5('{salt}' || CAST(doc_id AS VARCHAR))"
+    return _sql_hex7(digest)
+
+
+def _spark_bucket(salt: str) -> str:
+    """Spark SQL expr: hash bucket in [0, 100) from md5(salt || doc_id)."""
+    return f"{_spark_skey(salt)} % 100"
 
 
 def _sql_bucket(salt: str) -> str:
     """DuckDB expr for the same bucket (md5-prefix hex -> int -> % 100)."""
-    digest = f"md5('{salt}' || CAST(doc_id AS VARCHAR))"
-    return f"({_sql_hex7(digest)} % 100)"
+    return f"({_sql_skey(salt)} % 100)"
 
 
 @register(
@@ -158,19 +169,6 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _spark_skey(salt: str) -> str:
-    """Spark SQL expr: the FULL 28-bit md5-prefix integer (no % 100) —
-    the shuffle sort key."""
-    return (
-        f"cast(conv(substring(md5(cast(concat('{salt}', cast(doc_id as string)) "
-        "as binary)), 1, 7), 16, 10) as bigint)"
-    )
-
-
-def _sql_skey(salt: str) -> str:
-    digest = f"md5('{salt}' || CAST(doc_id AS VARCHAR))"
-    return _sql_hex7(digest)
-
 
 @register(
     "deterministic_corpus_shuffle",
@@ -189,7 +187,7 @@ SELECT CAST(shard AS BIGINT) AS shard,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        CAST(MIN(CASE WHEN pos = 1 THEN doc_id END) AS BIGINT) AS first_doc_id,
-       CAST(SUM(pos * doc_id) AS BIGINT) AS order_checksum
+       CAST(SUM((pos * ((doc_id % 1000003) + 1)) % 1000000007) AS BIGINT) AS order_checksum
 FROM ranked GROUP BY shard ORDER BY shard
 """,
     category="sampling",
@@ -226,7 +224,14 @@ def deterministic_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("pos") == 1, F.col("doc_id")))
             .cast("bigint")
             .alias("first_doc_id"),
-            F.sum(F.col("pos") * F.col("doc_id"))
+            # modular fold: pos ride-along keeps transposition
+            # detection, the mods keep every term (and the sum) inside
+            # int64 at any corpus size — a raw SUM(pos*doc_id) is n^3-ish
+            # and overflows (divergently per engine) past ~2e7 docs
+            F.sum(
+                (F.col("pos") * (F.col("doc_id") % 1000003 + 1))
+                % 1000000007
+            )
             .cast("bigint")
             .alias("order_checksum"),
         )

@@ -340,8 +340,7 @@ def test_zstd_cli_oracle_with_checksums():
     for lvl in (1, 3, 12, 19, 22):
         for data in payloads:
             proc = subprocess.run(
-                [cli, f"-{min(lvl, 19)}", "--ultra", f"-{lvl}", "-c",
-                 "--content-size", "-C"],
+                [cli, "--ultra", f"-{lvl}", "-c", "--content-size", "-C"],
                 input=data, capture_output=True, check=True,
             )
             assert decompress(proc.stdout) == data
@@ -378,7 +377,7 @@ def test_zstd_differential_fuzz_vs_cli():
         seeds.append(
             subprocess.run(
                 [cli, "-9", "-c", "--content-size", "-C"],
-                input=payload, capture_output=True,
+                input=payload, capture_output=True, check=True,
             ).stdout
         )
     for i in range(300):
