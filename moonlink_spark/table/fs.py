@@ -138,6 +138,11 @@ class ChaosPolicy:
     TransientStoreError before succeeding (decremented per call).
     ``fail_every`` injects one failure every N mutating calls."""
 
+    # the ops fail_every schedules over — as documented: MUTATING calls
+    # only, so N means "the Nth write-side op fails", independent of how
+    # many reads interleave (reads still fail via fail_ops when asked)
+    _MUTATING = frozenset({"put", "delete", "copy"})
+
     def __init__(
         self,
         fail_ops: dict[str, int] | None = None,
@@ -149,12 +154,16 @@ class ChaosPolicy:
         self.injected = 0
 
     def check(self, op: str) -> None:
-        self._calls += 1
+        mutating = op in self._MUTATING
+        if mutating:
+            self._calls += 1
         if self.fail_ops.get(op, 0) > 0:
             self.fail_ops[op] -= 1
             self.injected += 1
             raise TransientStoreError(f"chaos: injected failure in {op}")
-        if self.fail_every and self._calls % self.fail_every == 0:
+        # fire only ON the Nth mutating op — a read arriving while the
+        # counter sits at a multiple must not fail repeatedly
+        if mutating and self.fail_every and self._calls % self.fail_every == 0:
             self.injected += 1
             raise TransientStoreError(f"chaos: periodic failure in {op}")
 

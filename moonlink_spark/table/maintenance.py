@@ -10,6 +10,7 @@ readable (time travel) until ``vacuum``.
 
 from __future__ import annotations
 
+import contextlib
 import os
 from dataclasses import dataclass
 
@@ -17,6 +18,22 @@ from moonlink_spark.errors import TableConfigError
 from moonlink_spark.table import keyindex
 from moonlink_spark.table.manifest import Manifest
 from moonlink_spark.table.table import DATA_DIR, DELETE_DIR, MoonlinkTable
+
+
+@contextlib.contextmanager
+def _maintenance_write(table: MoonlinkTable):
+    """Marks a window in which maintenance is writing files that no
+    manifest or pending op references yet (compaction output, merged
+    index runs). vacuum() declines to GC while any such window is open —
+    otherwise it would delete the rewrite's files between their adoption
+    into data/ and the maintenance commit, corrupting the table."""
+    with table._lock:
+        table._maintenance_writes += 1
+    try:
+        yield
+    finally:
+        with table._lock:
+            table._maintenance_writes -= 1
 
 
 @dataclass(frozen=True)
@@ -61,7 +78,8 @@ def optimize(
         # one sorted run. No-op for tables without a key index.
         from moonlink_spark.table.keyindex import merge_index
 
-        merge_index(table)
+        with _maintenance_write(table):
+            merge_index(table)
         return table.manifest.version
     if not force and not should_compact(base, cfg):
         return base.version
@@ -71,40 +89,36 @@ def optimize(
     live = table._read_manifest(base, with_pos=False)
     live_bytes = sum(f.bytes for f in base.data_files)
     n_out = max(1, round(live_bytes / cfg.target_file_bytes))
-    if table.cluster_by:
-        # clustered tables re-sort into n_out range files (compaction IS
-        # the re-clustering pass); _write_df_files applies the range
-        # partitioning using this hint
-        table._cluster_files_hint = n_out
-        try:
-            new_files = table._write_df_files(live)
-        finally:
-            table._cluster_files_hint = None
-    else:
-        new_files = table._write_df_files(live.repartition(n_out))
-    # compaction invalidates the key index (files were rewritten): rebuild
-    # over the new file set in the same maintenance commit (the reference
-    # remaps its index at compaction, compactor.rs:31-90)
-    props = base.properties
-    from moonlink_spark.table import keyindex
-
-    if keyindex.enabled(base):
-        cfg = dict(props.get(keyindex.KEY_INDEX_PROP) or {})
-        cfg["entries"] = []
-        props = {**props, keyindex.KEY_INDEX_PROP: cfg}
-        props = table._index_new_files(base, props, new_files)
-    m = Manifest(
-        version=base.version + 1,
-        lsn=base.lsn,  # maintenance commit: no new data => same LSN
-        schema_fields=base.schema_fields,
-        identity=base.identity,
-        data_files=new_files,
-        delete_files=[],
-        parent=base.version,
-        operation="optimize",
-        properties=props,
-    )
-    table.store.commit(m, allow_equal_lsn=True)
+    with _maintenance_write(table):
+        if table.cluster_by:
+            # clustered tables re-sort into n_out range files (compaction
+            # IS the re-clustering pass); the target file count is a
+            # _write_df_files parameter, never shared table state a
+            # concurrent ingest commit could pick up
+            new_files = table._write_df_files(live, cluster_files=n_out)
+        else:
+            new_files = table._write_df_files(live.repartition(n_out))
+        # compaction invalidates the key index (files were rewritten):
+        # rebuild over the new file set in the same maintenance commit
+        # (the reference remaps its index at compaction, compactor.rs)
+        props = base.properties
+        if keyindex.enabled(base):
+            idx_cfg = dict(props.get(keyindex.KEY_INDEX_PROP) or {})
+            idx_cfg["entries"] = []
+            props = {**props, keyindex.KEY_INDEX_PROP: idx_cfg}
+            props = table._index_new_files(base, props, new_files)
+        m = Manifest(
+            version=base.version + 1,
+            lsn=base.lsn,  # maintenance commit: no new data => same LSN
+            schema_fields=base.schema_fields,
+            identity=base.identity,
+            data_files=new_files,
+            delete_files=[],
+            parent=base.version,
+            operation="optimize",
+            properties=props,
+        )
+        table.store.commit(m, allow_equal_lsn=True)
     return m.version
 
 
@@ -131,6 +145,11 @@ def vacuum(table: MoonlinkTable, keep_versions: int = 1) -> int:
     by in-flight readers (``table.pin_version`` — the RPC scan lifecycle)
     are kept whole: their manifests stay and their files stay referenced."""
     with table._lock:
+        if table._maintenance_writes:
+            # a maintenance rewrite is mid-flight: its output files are
+            # referenced by nothing vacuum can see yet. Decline (caller
+            # retries later) rather than corrupt the upcoming commit.
+            return 0
         versions = table.store.versions()
         keep = versions[-max(1, keep_versions):]
         pinned = [v for v in table.pinned_versions() if v in versions]
@@ -160,6 +179,16 @@ def vacuum(table: MoonlinkTable, keep_versions: int = 1) -> int:
                 rel = f"{sub}/{name}"
                 if rel not in referenced:
                     table.data_fs.unlink(os.path.join(d, name))
+                    removed += 1
+        # stale write-temp dirs: _adopt_tmp_files cleans its own dir in a
+        # finally, but a hard-killed process leaves `_tmp-*` behind and
+        # they live OUTSIDE the data/delete sweeps above. Single-writer
+        # model + the lock + the maintenance guard mean nobody is writing
+        # one right now, so any that exist are orphans.
+        if table.data_fs.isdir(table.data_path):
+            for name in table.data_fs.listdir(table.data_path):
+                if name.startswith("_tmp-"):
+                    table.data_fs.rmtree(os.path.join(table.data_path, name))
                     removed += 1
         for v in versions:
             if v not in keep:

@@ -137,29 +137,54 @@ class ManifestStore:
         return os.path.join(self.manifest_dir, f"v{version:012d}.json")
 
     def read(self, version: int) -> Manifest:
-        with self.fs.open_read(self._path(version)) as fh:
-            return Manifest.from_json(json.load(fh))
+        try:
+            with self.fs.open_read(self._path(version)) as fh:
+                return Manifest.from_json(json.load(fh))
+        except FileNotFoundError:
+            # the version existed when listed but vacuum pruned it before
+            # the read: surface the read-path contract error, not a raw
+            # filesystem crash
+            raise LsnError(
+                f"manifest version {version} not found (pruned by vacuum?)"
+            ) from None
 
     def latest(self) -> Manifest | None:
-        vs = self.versions()
-        return self.read(vs[-1]) if vs else None
+        # lock-free readers race in-process vacuum's manifest unlink:
+        # on a pruned read, re-list and retry (the newest version is
+        # never pruned, so this converges)
+        for _ in range(8):
+            vs = self.versions()
+            if not vs:
+                return None
+            try:
+                return self.read(vs[-1])
+            except LsnError:
+                continue
+        raise LsnError("manifest listing unstable (concurrent vacuum)")
 
     def version_for_lsn(self, lsn: int) -> int | None:
         """Largest version whose commit lsn <= requested lsn. LSNs are
         non-decreasing in version (enforced by commit), so this binary
         searches — O(log versions) manifest reads instead of reading
-        every version's JSON on each time-travel resolve."""
-        vs = self.versions()
-        best = None
-        lo, hi = 0, len(vs) - 1
-        while lo <= hi:
-            mid = (lo + hi) // 2
-            if self.read(vs[mid]).lsn <= lsn:
-                best = vs[mid]
-                lo = mid + 1
-            else:
-                hi = mid - 1
-        return best
+        every version's JSON on each time-travel resolve. A concurrent
+        vacuum pruning a listed version mid-search restarts the search
+        on a fresh listing."""
+        for _ in range(8):
+            vs = self.versions()
+            best = None
+            lo, hi = 0, len(vs) - 1
+            try:
+                while lo <= hi:
+                    mid = (lo + hi) // 2
+                    if self.read(vs[mid]).lsn <= lsn:
+                        best = vs[mid]
+                        lo = mid + 1
+                    else:
+                        hi = mid - 1
+                return best
+            except LsnError:
+                continue
+        raise LsnError("manifest listing unstable (concurrent vacuum)")
 
     def wait_for_lsn(self, lsn: int, timeout_s: float = 30.0) -> int:
         """Block until a snapshot with lsn >= requested exists (parity:
@@ -169,7 +194,17 @@ class ManifestStore:
         while True:
             latest = self.latest()
             if latest is not None and latest.lsn >= lsn:
-                return self.version_for_lsn(lsn)  # type: ignore[return-value]
+                v = self.version_for_lsn(lsn)
+                if v is None:
+                    # every retained version has lsn > requested: the
+                    # wait condition holds but the snapshot to READ was
+                    # vacuumed away — a None here would crash the caller
+                    # with a misleading type error downstream
+                    raise LsnError(
+                        f"history for lsn {lsn} predates retained "
+                        f"versions (vacuumed)"
+                    )
+                return v
             if time.monotonic() >= deadline:
                 raise LsnError(
                     f"timed out waiting for lsn >= {lsn} "

@@ -173,8 +173,13 @@ class MoonlinkTable:
                 self.store.latest()
         self.mem_slice_rows = DEFAULT_MEM_SLICE_ROWS
         self._xacts: dict[int, "TransactionStream"] = {}
-        # target output-file count for the next clustered write (set by
-        # optimize() to hit the 128 MiB file target)
+        # >0 while a maintenance rewrite (optimize / index merge) is
+        # writing files that no manifest or pending op references YET;
+        # vacuum declines to GC while set (maintenance.py)
+        self._maintenance_writes = 0
+        # manual/test override for clustered write file counts; optimize()
+        # passes its target as a _write_df_files PARAMETER instead (a
+        # shared hint let a concurrent ingest pick up compaction sizing)
         self._cluster_files_hint: int | None = None
 
     # ------------------------------------------------------------------ #
@@ -319,7 +324,13 @@ class MoonlinkTable:
         return self.manifest.live_rows
 
     def history(self) -> list[Manifest]:
-        return [self.store.read(v) for v in self.store.versions()]
+        out = []
+        for v in self.store.versions():
+            try:
+                out.append(self.store.read(v))
+            except LsnError:
+                continue  # pruned by a concurrent vacuum after listing
+        return out
 
     # ------------------------------------------------------------------ #
     # ingestion ops (buffered until commit)
@@ -456,10 +467,14 @@ class MoonlinkTable:
     def load_files(self, paths: list[str], copy: bool = False) -> None:
         """Bulk-register existing Parquet files without row-level processing
         (parity TableEvent::LoadFiles, batch_ingestion.rs). Counts come from
-        footers only."""
+        footers only. Each file's footer schema is validated against the
+        table schema up front — a wrong-typed or column-missing file would
+        otherwise commit fine and then fail (or silently null) every later
+        scan, including identity-based delete targeting."""
         entries = []
         for p in paths:
             p = os.path.abspath(p)
+            self._check_load_schema(p)
             # footer stats ride along (the footer is already being read
             # for the row count), so bulk-loaded files participate in
             # min/max file pruning like every internally written file
@@ -480,6 +495,32 @@ class MoonlinkTable:
                 )
         with self._lock:
             self._pending.append(("append_files", entries))
+
+    def _check_load_schema(self, path: str) -> None:
+        """Fail fast when a bulk-load file cannot serve the table schema:
+        every table column must exist in the file with the same Arrow
+        type (extra file columns are fine — scans prune them)."""
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        file_schema = pq.ParquetFile(path).schema_arrow
+        want = to_arrow_schema(self.schema)
+        problems = []
+        for f in want:
+            idx = file_schema.get_field_index(f.name)
+            if idx < 0:
+                problems.append(f"missing column {f.name!r}")
+                continue
+            got = file_schema.field(idx).type
+            if got != f.type:
+                problems.append(
+                    f"column {f.name!r} is {got}, table wants {f.type}"
+                )
+        if problems:
+            raise TableConfigError(
+                f"load_files: {path} does not match the table schema: "
+                + "; ".join(problems)
+            )
 
     def has_pending(self) -> bool:
         return bool(self._pending)
@@ -545,10 +586,12 @@ class MoonlinkTable:
                     properties=props,
                 )
                 self.store.commit(m)
-            except Exception:
+            except BaseException:
                 # restore the raw ops so a retry recomputes delete targeting
                 # against the NEW base (files already written become orphans,
-                # reclaimed by vacuum)
+                # reclaimed by vacuum). BaseException, not Exception: a
+                # Ctrl-C during the Spark job inside _apply_ops must not
+                # silently drop the buffered ingest either
                 self._pending = ops
                 raise
             return m.version
@@ -1027,19 +1070,25 @@ class MoonlinkTable:
             df = self.spark.createDataFrame(rows, schema)
             return self._write_df_files(df.coalesce(1))
 
-    def _write_df_files(self, df: DataFrame) -> list[FileEntry]:
+    def _write_df_files(
+        self, df: DataFrame, cluster_files: int | None = None
+    ) -> list[FileEntry]:
         """Bulk path: Spark writes parquet in parallel into a temp dir, then
         files are adopted into data/ (rename, same volume). Tables created
         with ``cluster_by`` range-repartition on those columns first, so
         each file covers a narrow value range and the manifest min/max
-        stats prune hard (partition-layout benefit without hive dirs)."""
+        stats prune hard (partition-layout benefit without hive dirs).
+
+        ``cluster_files`` is optimize()'s output-file-count target; it is
+        a PARAMETER (not shared table state) so a concurrent ingest
+        commit can never pick up a compaction-sized hint."""
         schema = self.schema
         df = df.select(
             *[F.col(f.name).cast(f.dataType) for f in schema.fields]
         )
         cluster = self.cluster_by
         if cluster:
-            n = self._cluster_files_hint
+            n = cluster_files if cluster_files is not None else self._cluster_files_hint
             strategy = self.manifest.properties.get("cluster_strategy", "range")
             if strategy == "zorder" and len(cluster) >= 2:
                 # Morton-key range clustering: every file gets a narrow
@@ -1082,28 +1131,36 @@ class MoonlinkTable:
         same volume) — the single writer-side adoption loop shared by
         data files and DV sidecars."""
         tmp = os.path.join(self.data_path, f"_tmp-{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(tmp)
-        entries = []
-        for name in sorted(self.data_fs.listdir(tmp)):
-            if not name.endswith(".parquet"):
-                continue
-            rel = f"{rel_prefix}-{uuid.uuid4().hex}.parquet"
-            dst = os.path.join(self.data_path, rel)
-            self.data_fs.rename(os.path.join(tmp, name), dst)
-            rows = _parquet_num_rows(dst)
-            if rows == 0:
-                self.data_fs.unlink(dst)
-                continue
-            entries.append(
-                FileEntry(
-                    rel,
-                    rows,
-                    self.data_fs.getsize(dst),
-                    collect_file_stats(dst) if with_stats else None,
+        try:
+            df.write.mode("overwrite").parquet(tmp)
+            entries = []
+            for name in sorted(self.data_fs.listdir(tmp)):
+                if not name.endswith(".parquet"):
+                    continue
+                rel = f"{rel_prefix}-{uuid.uuid4().hex}.parquet"
+                dst = os.path.join(self.data_path, rel)
+                self.data_fs.rename(os.path.join(tmp, name), dst)
+                rows = _parquet_num_rows(dst)
+                if rows == 0:
+                    self.data_fs.unlink(dst)
+                    continue
+                entries.append(
+                    FileEntry(
+                        rel,
+                        rows,
+                        self.data_fs.getsize(dst),
+                        collect_file_stats(dst) if with_stats else None,
+                    )
                 )
-            )
-        self.data_fs.rmtree(tmp)
-        return entries
+            return entries
+        finally:
+            # a failed write/adoption must not strand the temp dir (files
+            # already adopted become orphans vacuum reclaims; the tmp dir
+            # itself is outside vacuum's sweep so it is cleaned HERE)
+            try:
+                self.data_fs.rmtree(tmp)
+            except OSError:
+                pass
 
     # ------------------------------------------------------------------ #
     # streaming transactions (parity transaction_stream.rs)
@@ -1208,13 +1265,22 @@ class TransactionStream:
         become orphans reclaimed by vacuum (the reference deletes its disk
         slices on abort; same end state, lazier)."""
         self._check()
-        out: list[tuple] = []
-        for op in self._ops:
-            if op[0] == "append_rows":
-                out.append(("append_files", self.table._write_rows_file(op[1])))
-            else:
-                out.append(op)
-        self._ops = out
+        # under the table lock: between _write_rows_file landing a file
+        # and _ops recording the ("append_files", ...) entry, the file is
+        # referenced by NOTHING vacuum can see (_staged_file_paths only
+        # reads append_files ops) — a concurrent vacuum would GC it. The
+        # non-xact mem-slice overflow path holds the lock for the same
+        # reason, and the buffer is mem-slice-bounded so the hold is short.
+        with self.table._lock:
+            out: list[tuple] = []
+            for op in self._ops:
+                if op[0] == "append_rows":
+                    out.append(
+                        ("append_files", self.table._write_rows_file(op[1]))
+                    )
+                else:
+                    out.append(op)
+            self._ops = out
 
     def commit(self, lsn: int | None = None) -> int:
         """Merge staged ops into the main table at one LSN.

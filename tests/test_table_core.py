@@ -480,3 +480,155 @@ def test_dv_normalization_is_prefix_anchored(spark, tmp_path):
     t.commit(lsn=2)
     names = [r.name for r in t.scan().collect()]
     assert names == ["ext"], names
+
+
+# -- r10 storage-core review findings ------------------------------------
+
+
+def _user_rows(n, start=0):
+    return [
+        {"id": start + i, "name": f"n{i}", "email": None, "age": 30}
+        for i in range(n)
+    ]
+
+
+def test_vacuum_declines_while_maintenance_writes(spark, tmp_path):
+    """Review r10 #1: optimize() writes compaction output that no manifest
+    or pending op references until its commit; a vacuum landing in that
+    window must decline instead of GC'ing the rewrite's files."""
+    t = make_users(spark, tmp_path)
+    t.append_rows(_user_rows(50)); t.commit(lsn=1)
+    t.append_rows(_user_rows(50, 100)); t.commit(lsn=2)
+    with t._lock:
+        t._maintenance_writes += 1
+    try:
+        assert vacuum(t, keep_versions=1) == 0  # declined, nothing removed
+    finally:
+        with t._lock:
+            t._maintenance_writes -= 1
+    assert vacuum(t, keep_versions=1) >= 0  # normal vacuum works again
+    assert t.scan().count() == 100
+
+
+def test_optimize_concurrent_vacuum_never_corrupts(spark, tmp_path):
+    """Drive the real interleaving: a vacuum fired DURING optimize's write
+    window (hooked via _write_df_files) must not delete the compaction
+    output; the optimized table stays fully readable."""
+    from unittest.mock import patch
+
+    t = make_users(spark, tmp_path)
+    for i in range(3):
+        t.append_rows(_user_rows(40, i * 1000)); t.commit(lsn=i + 1)
+    real_write = MoonlinkTable._write_df_files
+
+    def write_then_vacuum(self, df, cluster_files=None):
+        out = real_write(self, df, cluster_files)
+        # the adopted-but-uncommitted window: vacuum must decline
+        assert vacuum(self, keep_versions=1) == 0
+        return out
+
+    with patch.object(MoonlinkTable, "_write_df_files", write_then_vacuum):
+        optimize(t)
+    assert t.scan().count() == 120
+    assert vacuum(t, keep_versions=1) >= 0
+    assert t.scan().count() == 120
+
+
+def test_xact_flush_files_survive_concurrent_vacuum(spark, tmp_path):
+    """Review r10 #2: TransactionStream.flush's staged file is referenced
+    by the xact's ops; vacuum between flush and commit must keep it."""
+    t = make_users(spark, tmp_path)
+    t.append_rows(_user_rows(10)); t.commit(lsn=1)
+    x = t.begin_transaction(77)
+    x.append_rows(_user_rows(20, 500))
+    x.flush()
+    vacuum(t, keep_versions=1)  # must treat the staged file as referenced
+    x.commit(lsn=2)
+    assert t.scan().count() == 30
+
+
+def test_commit_restores_pending_on_keyboard_interrupt(spark, tmp_path):
+    """Review r10 #3: a Ctrl-C during the Spark job inside commit() must
+    restore the buffered ops for retry, same as any other failure."""
+    from unittest.mock import patch
+
+    t = make_users(spark, tmp_path)
+    t.append_rows(_user_rows(5))
+    with patch.object(
+        MoonlinkTable, "_apply_ops", side_effect=KeyboardInterrupt
+    ):
+        with pytest.raises(KeyboardInterrupt):
+            t.commit(lsn=1)
+    assert t.has_pending()  # buffered ingest NOT silently dropped
+    t.commit(lsn=1)
+    assert t.scan().count() == 5
+
+
+def test_load_files_rejects_wrong_schema(spark, tmp_path):
+    """Review r10 #4: a bulk-loaded file whose footer schema cannot serve
+    the table schema fails at load time, not mid-scan later."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = make_users(spark, tmp_path)
+    bad_type = str(tmp_path / "bad_type.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array(["1", "2"], pa.string()),
+                  "name": pa.array(["a", "b"]),
+                  "email": pa.array([None, None], pa.string()),
+                  "age": pa.array([1, 2], pa.int32())}),
+        bad_type,
+    )
+    with pytest.raises(TableConfigError, match="id"):
+        t.load_files([bad_type])
+    missing_col = str(tmp_path / "missing.parquet")
+    pq.write_table(pa.table({"id": pa.array([1], pa.int32())}), missing_col)
+    with pytest.raises(TableConfigError, match="name"):
+        t.load_files([missing_col])
+    assert not t.has_pending()  # nothing staged by the failed loads
+
+
+def test_wait_for_lsn_pruned_history_raises_clean(spark, tmp_path):
+    """Review r10 #8: when vacuum pruned every version with lsn <= X,
+    wait_for_lsn(X) must raise LsnError, not return None."""
+    t = make_users(spark, tmp_path)
+    t.append_rows(_user_rows(5)); t.commit(lsn=10)
+    t.append_rows(_user_rows(5, 50)); t.commit(lsn=20)
+    vacuum(t, keep_versions=1)  # only the lsn=20 manifest remains
+    with pytest.raises(LsnError, match="predates|no commit"):
+        t.store.wait_for_lsn(5, timeout_s=0.5)
+
+
+def test_vacuum_sweeps_stale_tmp_dirs(spark, tmp_path):
+    """Review r10 #5: a hard-killed writer leaves a `_tmp-*` dir behind;
+    vacuum reclaims it (the in-process path cleans up via finally)."""
+    import os
+
+    t = make_users(spark, tmp_path)
+    t.append_rows(_user_rows(5)); t.commit(lsn=1)
+    stale = os.path.join(t.data_path, "_tmp-deadbeef")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "part-0.parquet"), "wb") as fh:
+        fh.write(b"garbage")
+    assert vacuum(t, keep_versions=1) >= 1
+    assert not os.path.exists(stale)
+    assert t.scan().count() == 5
+
+
+def test_chaos_fail_every_counts_mutating_ops_only():
+    """Review r10 #9: fail_every's docstring promises one failure every N
+    MUTATING calls; reads must neither advance the schedule nor fail when
+    the counter happens to sit at a multiple."""
+    from moonlink_spark.table.fs import ChaosPolicy, TransientStoreError
+
+    pol = ChaosPolicy(fail_every=3)
+    for _ in range(10):  # reads never advance or trip the schedule
+        pol.check("get"); pol.check("list"); pol.check("head")
+    pol.check("put"); pol.check("put")
+    with pytest.raises(TransientStoreError):
+        pol.check("put")  # the 3rd mutating op
+    for _ in range(5):
+        pol.check("get")  # counter at a multiple: reads still pass
+    pol.check("delete"); pol.check("copy")
+    with pytest.raises(TransientStoreError):
+        pol.check("put")  # the 6th mutating op
