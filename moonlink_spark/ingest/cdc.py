@@ -125,15 +125,23 @@ class CdcSink:
             elif ev.op == "stream_commit":
                 x = self._xacts.pop(ev.xact_id, None)
                 if x is None:
-                    raise TransactionError(f"unknown xact {ev.xact_id}")
-                stats.versions.append(x.commit(lsn=ev.lsn))
-                self._last_commit_lsn = ev.lsn
-                stats.commits += 1
+                    # a streamed txn with no decoded DML for THIS table
+                    # (logical messages only, or every row belonged to
+                    # another relation) is a legal EMPTY transaction:
+                    # advance the floor, commit nothing — raising here
+                    # wedged the tailer in a crash loop (review r10)
+                    self._last_commit_lsn = max(self._last_commit_lsn, ev.lsn)
+                    stats.commits += 1
+                else:
+                    stats.versions.append(x.commit(lsn=ev.lsn))
+                    self._last_commit_lsn = ev.lsn
+                    stats.commits += 1
             elif ev.op == "stream_abort":
                 x = self._xacts.pop(ev.xact_id, None)
-                if x is None:
-                    raise TransactionError(f"unknown xact {ev.xact_id}")
-                x.abort()
+                if x is not None:
+                    x.abort()
+                # unknown xact: nothing was staged (empty streamed txn,
+                # or a replay after restart) — aborting nothing is a no-op
             else:
                 raise TransactionError(f"unknown CDC op {ev.op!r}")
         return stats

@@ -83,7 +83,16 @@ class ReplicationTailer:
                         RelationColumn(*c) for c in r["columns"]
                     ),
                 )
-            return st["position"], st["lsn"]
+            # resume floor = max(checkpoint, table): a crash BETWEEN the
+            # table commit and the checkpoint write leaves the table ahead
+            # of the checkpoint — resuming with the stale checkpoint LSN
+            # would re-apply the committed txn, which the sink/table then
+            # refuse (LsnError) on every poll: a permanent wedge in
+            # exactly the window the module contract declares safe. The
+            # CdcSink already treats the table's LSN domain as the stream
+            # domain (its own floor is table.last_lsn), so max() is
+            # consistent. (review r10)
+            return st["position"], max(st["lsn"], self.table.last_lsn)
         return 0, self.table.last_lsn
 
     def _checkpoint_floor(self, boundary_pos: int) -> int:

@@ -33,6 +33,13 @@ from moonlink_spark.table.table import MoonlinkTable
 
 WAL_DIR = "_wal"
 WAL_FILE = "rest.jsonl"
+# manifest property recording the max REST row_lsn ever committed: the
+# journal-replay floor must live in the REST COUNTER's domain — comparing
+# row_lsns against table.last_lsn silently dropped acked requests the
+# moment any non-REST writer (queue drain, streaming batch) advanced the
+# table's LSN past the counter (review r10). Properties carry forward
+# across foreign commits, so the floor survives interleaved writers.
+REST_APPLIED_PROP = "rest.applied_row_lsn"
 
 
 @dataclass
@@ -53,6 +60,9 @@ class RestSink:
         self._lock = threading.Lock()
         self._dirty = False
         base = (start_lsn if start_lsn is not None else table.last_lsn) + 1
+        self._max_row_lsn = int(
+            table.manifest.properties.get(REST_APPLIED_PROP, -1)
+        )
         replayed_max = self._replay_journal()
         if replayed_max is not None:
             base = max(base, replayed_max + 1)
@@ -61,13 +71,15 @@ class RestSink:
     # -- WAL ----------------------------------------------------------------
 
     def _replay_journal(self) -> int | None:
-        """Re-apply journaled async requests newer than the table's last
-        commit (idempotent: a crash after commit but before truncate leaves
-        entries whose row_lsn <= last_lsn — those are skipped). Returns the
-        max row_lsn seen in the journal, or None if empty."""
+        """Re-apply journaled async requests not yet committed (idempotent:
+        a crash after commit but before truncate leaves entries whose
+        row_lsn <= the REST_APPLIED_PROP floor — those are skipped; the
+        floor is in the REST counter's own domain, so foreign writers
+        advancing the TABLE's LSN never cause entries to be dropped).
+        Returns the max row_lsn seen in the journal, or None if empty."""
         if not self.table.fs.exists(self._wal_path):
             return None
-        last = self.table.last_lsn
+        last = self._max_row_lsn
         max_lsn = None
         with self.table.fs.open_read(self._wal_path) as fh:
             lines = [ln.strip() for ln in fh]
@@ -86,9 +98,15 @@ class RestSink:
             max_lsn = max(max_lsn or 0, e["row_lsn"])
             if e["row_lsn"] <= last:
                 continue  # already committed before the crash
-            self._apply(e["operation"], convert_row(e["data"], self.table.schema))
+            self._apply(
+                e["operation"], convert_row(e["data"], self.table.schema)
+            )
+            self._staged(e["row_lsn"])
             self._dirty = True
         return max_lsn
+
+    def _staged(self, row_lsn: int) -> None:
+        self._max_row_lsn = max(self._max_row_lsn, row_lsn)
 
     def _journal_append(self, operation: str, data: dict[str, Any], row_lsn: int) -> None:
         """Durably record an async request BEFORE acking it."""
@@ -136,9 +154,30 @@ class RestSink:
         with self._lock:
             row_lsn = self._next_lsn()
             commit_lsn = self._next_lsn()
+            mark = self.table.pending_mark()
             self._apply(operation, row)
+            self._staged(row_lsn)
             if request_mode == "sync":
-                version = self.table.commit(lsn=commit_lsn, operation="rest-sync")
+                # clamp past any foreign writer's LSN (queue drains and
+                # streaming batches share tables; pipeline.py and
+                # queue.py clamp the same way) and resync the counter so
+                # later requests stay ahead
+                commit_lsn = max(commit_lsn, self.table.last_lsn + 1)
+                self._ctr = itertools.count(commit_lsn + 1)
+                try:
+                    version = self.table.commit(
+                        lsn=commit_lsn,
+                        operation="rest-sync",
+                        properties_update={
+                            REST_APPLIED_PROP: self._max_row_lsn
+                        },
+                    )
+                except BaseException:
+                    # commit restored EVERY pending op for retry; drop the
+                    # one THIS request staged so a client retry of the
+                    # failed request cannot double-apply it
+                    self.table.discard_pending_since(mark)
+                    raise
                 self._dirty = False
                 self._journal_truncate()
                 return IngestResult(operation, row_lsn, commit_lsn, True, version)
@@ -153,8 +192,13 @@ class RestSink:
         with self._lock:
             if not self._dirty and not self.table.has_pending():
                 return None
-            lsn = self._next_lsn()
-            v = self.table.commit(lsn=lsn, operation="rest-flush")
+            lsn = max(self._next_lsn(), self.table.last_lsn + 1)
+            self._ctr = itertools.count(lsn + 1)
+            v = self.table.commit(
+                lsn=lsn,
+                operation="rest-flush",
+                properties_update={REST_APPLIED_PROP: self._max_row_lsn},
+            )
             self._dirty = False
             self._journal_truncate()
             return v

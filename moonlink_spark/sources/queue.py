@@ -587,13 +587,22 @@ class AvroQueueIngestor:
         # alone would re-append it (duplicates). The floor is the
         # manifest-recorded applied offset (falls back to the legacy
         # LSN derivation for tables last written by older code).
-        props = self.table.manifest.properties
-        applied_floor = int(
-            props.get(
-                self.APPLIED_OFFSET_PROP,
-                self.table.last_lsn - self.lsn_base - 1,
-            )
-        )
+        m = self.table.manifest
+        if self.APPLIED_OFFSET_PROP in m.properties:
+            applied_floor = int(m.properties[self.APPLIED_OFFSET_PROP])
+        elif m.operation == "avro-queue":
+            # legacy pre-property table whose LAST commit came from this
+            # queue path: its LSN is offset-derived, so the derivation
+            # inverts cleanly
+            applied_floor = self.table.last_lsn - self.lsn_base - 1
+        else:
+            # a FOREIGN writer owns the last commit (streaming batch,
+            # REST): its LSN is not offset-derived — deriving a floor
+            # from it skipped every queued message and then committed
+            # the group offset past them: silent permanent loss
+            # (review r10). No property + foreign commit = nothing
+            # recorded as applied.
+            applied_floor = -1
         rows = []
         for off, _key, value in batch:
             if off <= applied_floor:

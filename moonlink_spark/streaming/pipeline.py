@@ -135,7 +135,10 @@ def _winner_events(
 
 
 def apply_cdc_batch(
-    table: MoonlinkTable, batch_df: DataFrame, batch_id: int
+    table: MoonlinkTable,
+    batch_df: DataFrame,
+    batch_id: int,
+    winner_out: list | None = None,
 ) -> int | None:
     """Apply one micro-batch of CDC events as one atomic commit.
 
@@ -146,7 +149,12 @@ def apply_cdc_batch(
     pg_replicate/moonlink_sink.rs:295-326). Idempotent across batch
     re-delivery via the batch-id guard (exactly-once on top of
     at-least-once foreachBatch); a FAILED commit reverts everything this
-    call staged, so the replayed batch stages exactly once."""
+    call staged, so the replayed batch stages exactly once.
+
+    ``winner_out``: when a list is passed, the persisted winner
+    DataFrame and the LSN floor it was computed under are appended to it
+    instead of being unpersisted here — index maintenance reuses them,
+    halving the per-batch window shuffle; the CALLER then unpersists."""
     props = table.manifest.properties
     last_applied = int(props.get(LAST_BATCH_PROP, -1))
     if batch_id <= last_applied:
@@ -228,7 +236,10 @@ def apply_cdc_batch(
         table.discard_pending_since(mark)
         raise
     finally:
-        winner.unpersist()
+        if winner_out is not None:
+            winner_out.append((winner, min_lsn))
+        else:
+            winner.unpersist()
 
 
 class StreamingIngestor:
@@ -313,14 +324,28 @@ class StreamingIngestor:
         self.sync_sigindex = sync_sigindex
 
     def _foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        version = apply_cdc_batch(self.table, batch_df, batch_id)
-        if self.sync_vecindex or self.sync_sigindex:
-            # NOT gated on version: a replayed batch (version=None) whose
-            # table commit landed but whose index maintenance crashed must
-            # still be indexed. Each index carries its own
-            # ``indexed_batch_id`` watermark, so this is a cheap meta read
-            # (and a no-op) when everything is already absorbed.
-            self._maintain_indexes(batch_df, batch_id)
+        handoff: list = []
+        try:
+            version = apply_cdc_batch(
+                self.table, batch_df, batch_id, winner_out=handoff
+            )
+            if self.sync_vecindex or self.sync_sigindex:
+                # NOT gated on version: a replayed batch (version=None)
+                # whose table commit landed but whose index maintenance
+                # crashed must still be indexed. Each index carries its
+                # own ``indexed_batch_id`` watermark, so this is a cheap
+                # meta read (and a no-op) when everything is already
+                # absorbed. The winner the table apply computed is reused
+                # (same LSN floor), so the window shuffle runs ONCE per
+                # batch, not twice.
+                self._maintain_indexes(
+                    batch_df,
+                    batch_id,
+                    winner=handoff[0][0] if handoff else None,
+                )
+        finally:
+            for w, _floor in handoff:
+                w.unpersist()
         for mv in self.refresh_views:
             mv.refresh()
         if self.sync_iceberg:
@@ -354,23 +379,39 @@ class StreamingIngestor:
 
     def _index_lsn_floor(self, batch_id: int) -> int:
         """The LSN floor THIS batch's events were judged against by
-        apply_cdc_batch: when the current manifest is this batch's own
-        commit, the floor lived in its PARENT (the post-commit floor
-        would filter out every event of the batch on the replay path);
-        otherwise the current floor applies."""
-        m = self.table.manifest
-        if (
-            int(m.properties.get(LAST_BATCH_PROP, -1)) == batch_id
-            and m.parent is not None
-        ):
-            try:
-                parent = self.table.store.read(m.parent)
-                return int(parent.properties.get(LAST_LSN_PROP, 0))
-            except Exception:
-                return 0  # parent vacuumed: index watermark bounds rework
-        return int(m.properties.get(LAST_LSN_PROP, 0))
+        apply_cdc_batch: the floor lived in the PARENT of the batch's
+        OWN commit (the post-batch floor would filter out every event of
+        the batch on the replay path).
 
-    def _maintain_indexes(self, batch_df: DataFrame, batch_id: int) -> None:
+        The batch's commit is identified by its OPERATION string, not by
+        LAST_BATCH_PROP alone: properties carry forward, so a foreign
+        commit landing after the batch still carries batch_id in the
+        prop — matching on it walked to the WRONG parent (the batch's own
+        commit) and read the post-batch floor, permanently skipping the
+        batch's index work (review r10). Walk the parent chain (bounded:
+        foreign commits since this batch) to the operation-tagged commit."""
+        target_op = f"stream-batch-{batch_id}"
+        m = self.table.manifest
+        try:
+            while int(m.properties.get(LAST_BATCH_PROP, -1)) == batch_id:
+                if m.operation == target_op:
+                    if m.parent is None:
+                        return 0
+                    parent = self.table.store.read(m.parent)
+                    return int(parent.properties.get(LAST_LSN_PROP, 0))
+                if m.parent is None:
+                    break
+                m = self.table.store.read(m.parent)
+        except Exception:
+            return 0  # chain vacuumed: index watermark bounds rework
+        return int(self.table.manifest.properties.get(LAST_LSN_PROP, 0))
+
+    def _maintain_indexes(
+        self,
+        batch_df: DataFrame,
+        batch_id: int,
+        winner: DataFrame | None = None,
+    ) -> None:
         """Absorb this micro-batch into the configured persisted indexes.
 
         Idempotent + crash-recoverable: each index stores an
@@ -405,11 +446,15 @@ class StreamingIngestor:
             "indexed_batch_id": int(batch_id),
             "as_of_lsn": int(self.table.last_lsn),
         }
-        winner = _winner_events(
-            batch_df,
-            list(self.table.identity.columns),
-            self._index_lsn_floor(batch_id),
-        ).persist()
+        own_winner = winner is None
+        if own_winner:
+            # replay path (the table apply was skipped): recompute the
+            # batch's winners under the floor its commit actually used
+            winner = _winner_events(
+                batch_df,
+                list(self.table.identity.columns),
+                self._index_lsn_floor(batch_id),
+            ).persist()
         try:
             split = winner.groupBy(F.col("op") == "insert").count().collect()
             n_ins = sum(r["count"] for r in split if r[0])
@@ -463,7 +508,8 @@ class StreamingIngestor:
                 if not n_ins and not n_other:
                     sigindex.note_indexed_batch(dest, batch_id)
         finally:
-            winner.unpersist()
+            if own_winner:
+                winner.unpersist()  # a handed-off winner is the caller's
 
     def start(self, available_now: bool = True, processing_time: str = "1 second"):
         spark: SparkSession = self.table.spark

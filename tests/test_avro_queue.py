@@ -599,3 +599,41 @@ def test_plain_producer_refuses_active_distributed_produce(tmp_path):
     _os.unlink(_os.path.join(qdir, "_producer.lock"))
     assert p.send(b"x") == 0  # lock gone: normal send
     p.close()
+
+
+def test_drain_onto_foreign_owned_table_applies_everything(spark, tmp_path):
+    """Review r10: the legacy replay-floor fallback derived an offset
+    floor from table.last_lsn even when the last commit came from a
+    NON-queue writer at a far-higher LSN — every queued message was
+    skipped AND the group offset advanced past them: silent permanent
+    loss. No property + foreign commit must mean floor = nothing applied."""
+    schema = {
+        "type": "record", "name": "e",
+        "fields": [{"name": "id", "type": "long"},
+                   {"name": "v", "type": "string"}],
+    }
+    qdir = str(tmp_path / "q")
+    p = FileQueueProducer(qdir)
+    for i in range(10):
+        p.send(encode_datum(schema, {"id": i, "v": f"v{i}"}))
+    p.close()
+
+    t = MoonlinkTable.create(
+        spark, str(tmp_path / "t"),
+        [{"name": "id", "data_type": "int64", "nullable": False},
+         {"name": "v", "data_type": "string"}],
+        IdentityProp.single("id"),
+    )
+    # a streaming batch owns the table's last commit at a huge LSN
+    t.append_rows([{"id": 900, "v": "foreign"}])
+    t.commit(lsn=5_000_000, operation="stream-batch-3")
+
+    ing = AvroQueueIngestor(t, FileQueueConsumer(qdir), schema)
+    s = ing.drain_once()
+    assert s["messages"] == 10
+    assert t.scan().count() == 11  # all 10 queued rows + the foreign one
+    # replay safety still holds afterwards (property now recorded)
+    ing.consumer.commit(0)
+    before = t.manifest.version
+    ing.drain_once()
+    assert t.manifest.version == before and t.scan().count() == 11

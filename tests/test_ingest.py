@@ -183,3 +183,60 @@ class TestCdcSink:
         )
         ids = sorted(r["id"] for r in t.scan().collect())
         assert ids == [1, 10, 11]
+
+
+class TestRestSinkForeignWriters:
+    """Review r10: REST's LSN bookkeeping vs other writers of the same
+    table (queue drains, streaming batches commit at far-higher LSNs)."""
+
+    def _t(self, spark, tmp_path):
+        return MoonlinkTable.create(
+            spark, str(tmp_path / "t"), USERS, IdentityProp.single("id")
+        )
+
+    def test_acked_async_rows_survive_foreign_lsn(self, spark, tmp_path):
+        t = self._t(spark, tmp_path)
+        sink = RestSink(t)
+        sink.ingest("insert", {"id": 1, "name": "a", "age": 1}, "async")
+        # a foreign writer advances the table's LSN far past the counter
+        t.append_rows([{"id": 99, "name": "f", "age": 9}])
+        t.commit(lsn=1_000_000, operation="avro-queue")
+        # crash before flush: a NEW sink must replay the acked request —
+        # the old row_lsn <= table.last_lsn skip silently dropped it
+        sink2 = RestSink(t)
+        assert sink2.flush() is not None
+        got = {r["id"] for r in t.scan().collect()}
+        assert got == {1, 99}
+
+    def test_sync_commit_clamps_past_foreign_lsn(self, spark, tmp_path):
+        t = self._t(spark, tmp_path)
+        sink = RestSink(t)
+        sink.ingest("insert", {"id": 1, "name": "a", "age": 1})
+        t.append_rows([{"id": 99, "name": "f", "age": 9}])
+        t.commit(lsn=1_000_000, operation="stream-batch-0")
+        # old code: LsnError (counter lsn <= 1e6) bricked REST ingest
+        r = sink.ingest("insert", {"id": 2, "name": "b", "age": 2})
+        assert r.committed
+        assert {x["id"] for x in t.scan().collect()} == {1, 2, 99}
+        # flush after foreign commits stays monotone too
+        sink.ingest("insert", {"id": 3, "name": "c", "age": 3}, "async")
+        t.append_rows([{"id": 98, "name": "g", "age": 8}])
+        t.commit(lsn=2_000_000, operation="avro-queue")
+        assert sink.flush() is not None
+        assert {x["id"] for x in t.scan().collect()} == {1, 2, 3, 98, 99}
+
+    def test_sync_commit_failure_retry_no_double_apply(self, spark, tmp_path):
+        from unittest.mock import patch
+
+        t = self._t(spark, tmp_path)
+        sink = RestSink(t)
+        with patch.object(
+            MoonlinkTable, "commit", side_effect=RuntimeError("transient")
+        ):
+            with pytest.raises(RuntimeError):
+                sink.ingest("insert", {"id": 1, "name": "a", "age": 1})
+        # the failed request's staging was reverted: a client retry
+        # must not double-apply the row
+        r = sink.ingest("insert", {"id": 1, "name": "a", "age": 1})
+        assert r.committed
+        assert t.scan().count() == 1

@@ -204,3 +204,64 @@ def test_dml_outside_transaction_rejected(spark, tmp_path):
         fh.write(frame(USERS_REL, insert(16385, ["1", "a", "1"])))
     with pytest.raises(ValueError, match="outside a transaction"):
         tailer.poll_once()
+
+
+def test_stale_checkpoint_behind_table_unwedges(spark, tmp_path):
+    """Review r10: crash BETWEEN the table commit and the checkpoint write
+    leaves the checkpoint lsn behind table.last_lsn; the old resume used
+    the stale lsn, re-applied the committed txn, and wedged in an
+    LsnError crash loop. Resume must take max(checkpoint, table)."""
+    import shutil
+
+    trace = str(tmp_path / "feed.bin")
+    t = make_table(spark, tmp_path)
+    tailer = ReplicationTailer(t, trace)
+    with open(trace, "wb") as fh:
+        fh.write(frame(
+            begin(10), USERS_REL, insert(16385, ["1", "a", "1"]), commit(10),
+        ))
+    tailer.poll_once()
+    stale = str(tmp_path / "stale.ckpt")
+    shutil.copy(tailer.checkpoint_path, stale)  # checkpoint as of lsn 10
+    with open(trace, "ab") as fh:
+        fh.write(frame(begin(20), insert(16385, ["2", "b", "2"]), commit(20)))
+    tailer.poll_once()  # table now at lsn 20
+    assert t.scan().count() == 2
+    # the crash window: checkpoint rolled back, table ahead
+    shutil.copy(stale, tailer.checkpoint_path)
+    tailer2 = ReplicationTailer(t, trace)
+    s = tailer2.poll_once()
+    assert s["skipped_replays"] == 1 and s["commits"] == 0
+    assert t.scan().count() == 2
+    # and the tailer is NOT wedged: new work applies
+    with open(trace, "ab") as fh:
+        fh.write(frame(begin(30), insert(16385, ["3", "c", "3"]), commit(30)))
+    assert tailer2.poll_once()["commits"] == 1
+    assert t.scan().count() == 3
+
+
+def test_streamed_txn_with_no_dml_is_empty_commit(spark, tmp_path):
+    """Review r10: a streamed transaction whose frames decode to no DML
+    for this table (logical messages only) used to raise TransactionError
+    ('unknown xact') on stream-commit — a permanent crash loop. It is a
+    legal EMPTY transaction."""
+    trace = str(tmp_path / "feed.bin")
+    t = make_table(spark, tmp_path)
+    tailer = ReplicationTailer(t, trace)
+    with open(trace, "wb") as fh:
+        fh.write(frame(
+            begin(10), USERS_REL, insert(16385, ["1", "a", "1"]), commit(10),
+            stream_start(700), stream_stop(), stream_commit(700, 20),
+        ))
+    s = tailer.poll_once()
+    assert s["commits"] == 2  # the normal txn + the empty streamed one
+    assert t.scan().count() == 1
+    # an abort of an unknown/empty stream is equally a no-op
+    with open(trace, "ab") as fh:
+        fh.write(frame(
+            stream_start(701), stream_stop(), stream_abort(701),
+            begin(30), insert(16385, ["2", "b", "2"]), commit(30),
+        ))
+    s2 = tailer.poll_once()
+    assert s2["commits"] == 1
+    assert t.scan().count() == 2

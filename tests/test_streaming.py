@@ -517,3 +517,39 @@ def test_key_change_then_delete_of_new_key(spark, tmp_path):
         pre=[_row(1, "a", 1)],
     )
     assert got == {}, got
+
+
+def test_index_lsn_floor_survives_interleaved_foreign_commit(spark, tmp_path):
+    """Review r10: LAST_BATCH_PROP carries forward across commits, so a
+    foreign commit landing between a batch's table commit and its index
+    maintenance made _index_lsn_floor read the POST-batch floor from the
+    wrong parent — every event filtered out, the batch's index work
+    silently skipped forever. The batch's own commit is identified by
+    its operation string now."""
+    from moonlink_spark.streaming.pipeline import StreamingIngestor
+
+    t = MoonlinkTable.create(
+        spark, str(tmp_path / "t"), USERS, IdentityProp.single("id")
+    )
+    schema = cdc_event_schema(t.schema)
+    batch = spark.createDataFrame(
+        [
+            {"lsn": 101, "xact_id": None, "op": "insert",
+             "row": _row(1, "a", 1), "old_row": None},
+            {"lsn": 102, "xact_id": None, "op": "insert",
+             "row": _row(2, "b", 2), "old_row": None},
+        ],
+        schema,
+    )
+    v = apply_cdc_batch(t, batch, batch_id=7)
+    assert v is not None
+    pre_batch_floor = 0  # the floor batch 7 was judged against
+    ing = StreamingIngestor(t, str(tmp_path / "spool"), str(tmp_path / "ck"))
+    # immediately after the batch's own commit: parent's floor
+    assert ing._index_lsn_floor(7) == pre_batch_floor
+    # a foreign commit lands before index maintenance runs; props carry
+    # LAST_BATCH_PROP=7 forward
+    t.append_rows([{"id": 99, "name": "f", "age": 9}])
+    t.commit(lsn=10_000, operation="rest-flush")
+    assert int(t.manifest.properties[LAST_BATCH_PROP]) == 7
+    assert ing._index_lsn_floor(7) == pre_batch_floor  # NOT 102
