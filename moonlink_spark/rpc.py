@@ -420,6 +420,8 @@ class MoonlinkRpcServer:
         pin and must eventually release it via unpin_version."""
         import pyarrow.parquet as pq
 
+        from moonlink_spark.table.table import strip_file_scheme
+
         t = self.backend.get_table(db, table)
         # resolve+pin must be atomic vs vacuum: vacuum reads
         # pinned_versions() under t._lock, so an unlocked gap between
@@ -442,7 +444,7 @@ class MoonlinkRpcServer:
                 tab.column("file_path").to_pylist(),
                 tab.column("row_index").to_pylist(),
             ):
-                rel = fp.removeprefix("file:")
+                rel = strip_file_scheme(fp)
                 i = rel_index.get(rel, index.get(rel))
                 if i is not None:
                     pds.append((i, ri))

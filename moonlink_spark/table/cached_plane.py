@@ -50,6 +50,17 @@ def process_cache(cache_dir: str, max_bytes: int) -> ObjectStorageCache:
         if c is None:
             c = ObjectStorageCache(max_bytes, cache_dir)
             _PROCESS_CACHES[cache_dir] = c
+        elif c.max_bytes != int(max_bytes):
+            # one dir = one budget: silently inheriting whichever budget
+            # arrived first either overruns scratch disk (small-budget
+            # plane on a big cache) or turns every read into a remote
+            # miss; two separate caches over ONE dir would corrupt each
+            # other's evictions. Fail loud. (review r10)
+            raise ValueError(
+                f"cache dir {cache_dir!r} already initialized with "
+                f"max_bytes={c.max_bytes}, requested {int(max_bytes)} — "
+                f"use a distinct cache_dir per budget"
+            )
         return c
 
 
@@ -125,23 +136,41 @@ class CachedDataPlane:
         one chunk in memory at a time), falling back to ``write_bytes``
         then ``copyfile``. Content-immutable files under unique names:
         re-push of an already-present path is skipped (idempotent)."""
+        import os as _os
+        import uuid as _uuid
+
         m = t._resolve_manifest(lsn, None)
         fs = self.accessor_factory()
         n = 0
         for f in list(m.data_files) + list(m.delete_files):
             dst = f"{self.store_root}/{f.path}"
-            if fs.exists(dst):
-                continue
             local = t._resolve(f.path)
+            if fs.exists(dst):
+                # skip-if-exists is only safe when the object is WHOLE: a
+                # crash mid-copy on a non-atomic path leaves a truncated
+                # object that would otherwise be enshrined forever and
+                # fail every scan (review r10) — verify the size
+                try:
+                    if fs.getsize(dst) == _os.path.getsize(local):
+                        continue
+                except OSError:
+                    pass  # can't verify: re-upload (idempotent content)
             if hasattr(fs, "upload_file"):
                 # streamed (multipart/resumable above threshold): one
-                # chunk in memory at a time regardless of file size
+                # chunk in memory at a time regardless of file size;
+                # multipart/resumable uploads materialize atomically on
+                # completion
                 fs.upload_file(local, dst)
             elif hasattr(fs, "write_bytes"):
+                # single PUT: atomic on object stores
                 with open(local, "rb") as fh:
                     fs.write_bytes(dst, fh.read())
             else:
-                fs.copyfile(local, dst)
+                # plain-FS fallback: stage + rename so a reader can never
+                # observe a half-copied file at the final name
+                tmp = f"{dst}.tmp-{_uuid.uuid4().hex}"
+                fs.copyfile(local, tmp)
+                fs.rename(tmp, dst)
             n += 1
         return n
 

@@ -60,7 +60,7 @@ from moonlink_spark.table.puffin import (
 )
 from moonlink_spark.table.manifest import FileEntry, Manifest
 from moonlink_spark.observability import METRICS
-from moonlink_spark.table.table import MoonlinkTable
+from moonlink_spark.table.table import MoonlinkTable, strip_file_scheme
 
 # --------------------------------------------------------------------------- #
 # Avro binary encoding (writer subset: the types manifest schemas use)
@@ -345,6 +345,34 @@ def _file_column_stats(
         "lower_bounds": lower or None,
         "upper_bounds": upper or None,
     }
+
+
+def _stats_to_jsonable(ds: dict[str, Any]) -> dict[str, Any]:
+    """data_file stats dict -> JSON-safe form for the per-export footer
+    cache (bound values are bytes -> base64)."""
+    import base64
+
+    out = dict(ds)
+    for k in ("lower_bounds", "upper_bounds"):
+        if out.get(k):
+            out[k] = [
+                {"key": e["key"], "b64": base64.b64encode(e["value"]).decode()}
+                for e in out[k]
+            ]
+    return out
+
+
+def _stats_from_jsonable(ds: dict[str, Any]) -> dict[str, Any]:
+    import base64
+
+    out = dict(ds)
+    for k in ("lower_bounds", "upper_bounds"):
+        if out.get(k):
+            out[k] = [
+                {"key": e["key"], "value": base64.b64decode(e["b64"])}
+                for e in out[k]
+            ]
+    return out
 
 
 MANIFEST_ENTRY_SCHEMA = {
@@ -663,7 +691,7 @@ def _export_iceberg_impl(
                 t_dv.column("file_path").to_pylist(),
                 t_dv.column("row_index").to_pylist(),
             ):
-                rel = fp.removeprefix("file:")
+                rel = strip_file_scheme(fp)
                 name = rel_to_name.get(rel)
                 if name is None:
                     continue  # DV for a file compacted out of the live set
@@ -726,12 +754,34 @@ def _export_iceberg_impl(
     ) else 2
 
     # ---- manifest (full live set, status=ADDED under an overwrite) ----
+    # Content-addressed names carry immutable content, so footer-derived
+    # stats are cached per (name, schema-id) across exports — an
+    # incremental exporter syncing a big table otherwise re-parses every
+    # live file's footer on EVERY export even when nothing changed.
+    stats_cache_path = os.path.join(meta_dir, "stats-cache.json")
+    try:
+        with open(stats_cache_path) as fh:
+            stats_cache = json.load(fh)
+    except Exception:
+        stats_cache = {}
+    new_stats_cache: dict[str, Any] = {}
     entries = []
     total_rows = 0
     for name in sorted(desired):
         p = os.path.join(data_dir, name)
-        footer = pq.ParquetFile(p).metadata  # parsed once per file
-        n_rows = footer.num_rows
+        ckey = f"{name}|{current_schema_id}"
+        cached = stats_cache.get(ckey)
+        if cached is None:
+            footer = pq.ParquetFile(p).metadata  # parsed once per file
+            cached = {
+                "record_count": footer.num_rows,
+                "file_size_in_bytes": os.path.getsize(p),
+                "stats": _stats_to_jsonable(
+                    _file_column_stats(footer, schema_obj, footer.num_rows)
+                ),
+            }
+        new_stats_cache[ckey] = cached
+        n_rows = cached["record_count"]
         total_rows += n_rows
         entries.append(
             {
@@ -745,13 +795,20 @@ def _export_iceberg_impl(
                     "file_format": "PARQUET",
                     "partition": {},
                     "record_count": n_rows,
-                    "file_size_in_bytes": os.path.getsize(p),
+                    "file_size_in_bytes": cached["file_size_in_bytes"],
                     # per-column value/null counts + bounds from the
                     # parquet footer, so Iceberg readers can prune
-                    **_file_column_stats(footer, schema_obj, n_rows),
+                    **_stats_from_jsonable(cached["stats"]),
                 },
             }
         )
+    try:
+        tmp_cache = stats_cache_path + ".tmp"
+        with open(tmp_cache, "w") as fh:
+            json.dump(new_stats_cache, fh)
+        os.replace(tmp_cache, stats_cache_path)
+    except OSError:
+        pass  # cache is an optimization only
     manifest_path = os.path.join(meta_dir, f"manifest-{snapshot_id}-{attempt}.avro")
     write_avro_container(
         manifest_path,
@@ -1127,7 +1184,22 @@ def _export_iceberg_impl(
         "last-partition-id": 999,
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
-        "properties": {"write.format.default": "parquet"},
+        # schema.name-mapping.default (Iceberg spec "Name Mapping
+        # Serialization"): the cloned data files are moonlink parquet
+        # with NO parquet field-ids, so field-id-resolving engines
+        # (Spark+iceberg-runtime, Trino) need the name mapping to
+        # project columns — without it they fall back to positional id
+        # assignment, which silently misprojects after schema evolution
+        "properties": {
+            "write.format.default": "parquet",
+            "schema.name-mapping.default": json.dumps(
+                [
+                    {"field-id": f["id"], "names": [f["name"]]}
+                    for f in schema_obj["fields"]
+                ],
+                separators=(",", ":"),
+            ),
+        },
         "current-snapshot-id": snapshot_id,
         "snapshots": (prev_meta.get("snapshots", []) if prev_meta else [])
         + [snapshot],
@@ -1223,6 +1295,10 @@ def read_iceberg_deletion_vectors(dest: str) -> dict[str, list[int]]:
     into row-skip filters)."""
     _, snap = _current_snapshot(dest)
     out: dict[str, list[int]] = {}
+    # every content=2 entry of a snapshot points at the same puffin file:
+    # parse each distinct file ONCE (re-reading it per entry was O(files²)
+    # bitmap deserialization for a metadata read)
+    puffin_cache: dict[str, dict[str, list[int]]] = {}
     for mrec in read_avro_container(snap["manifest-list"]):
         if mrec.get("content", 0) != 1:
             continue
@@ -1230,7 +1306,10 @@ def read_iceberg_deletion_vectors(dest: str) -> dict[str, list[int]]:
             df = entry["data_file"]
             if entry["status"] not in (0, 1) or df.get("content") != 2:
                 continue
-            dvs = read_puffin_deletion_vectors(df["file_path"])
+            fp = df["file_path"]
+            dvs = puffin_cache.get(fp)
+            if dvs is None:
+                dvs = puffin_cache[fp] = read_puffin_deletion_vectors(fp)
             ref = df.get("referenced_data_file")
             positions = dvs.get(ref)
             if positions is None:

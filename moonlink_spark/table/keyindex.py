@@ -122,10 +122,19 @@ def build_entries(
             {
                 "path": f"{rel_dir}/{name}",
                 "covers": covers,
-                "rows": total_rows,
+                # per-FILE row count from its own footer: stamping the
+                # batch total on every entry inflated exported blob
+                # cardinality n_out-fold (review r10)
+                "rows": _entry_rows(table, f"{rel_dir}/{name}"),
             }
         )
     return entries
+
+
+def _entry_rows(table: "MoonlinkTable", rel: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(table._resolve(rel)).metadata.num_rows
 
 
 def live_entries(m: Manifest) -> tuple[list[dict[str, Any]], set[str]]:
@@ -220,7 +229,17 @@ def merge_index(table: "MoonlinkTable") -> bool:
         idx = table.spark.read.parquet(
             *[table._resolve(e["path"]) for e in entries]
         )
-        parts.append(idx.filter(F.col("__fp").isin(sorted(live_paths))))
+        # semi-join against a BROADCAST path list: isin() with one
+        # literal per live file blows the Catalyst expression tree up at
+        # the file counts this module advertises (1e5-1e6 live files)
+        live_df = table.spark.createDataFrame(
+            [(p,) for p in sorted(live_paths)], "__fp string"
+        )
+        parts.append(
+            idx.join(F.broadcast(live_df), "__fp", "left_semi").select(
+                "h", "__fp", "__ri"
+            )
+        )
     if uncovered:
         schema = table.schema
         parts.append(
@@ -249,7 +268,11 @@ def merge_index(table: "MoonlinkTable") -> bool:
         df.write.mode("overwrite").parquet(out_dir)
         covers = sorted(live_paths)
         new_entries = [
-            {"path": f"{rel_dir}/{n}", "covers": covers, "rows": total_rows}
+            {
+                "path": f"{rel_dir}/{n}",
+                "covers": covers,
+                "rows": _entry_rows(table, f"{rel_dir}/{n}"),
+            }
             for n in sorted(table.data_fs.listdir(out_dir))
             if n.endswith(".parquet")
         ]

@@ -216,7 +216,7 @@ class ObjectStorageCache:
                 return self.get(file_id, remote_path, accessor)
             self.cur_bytes += st.entry.file_size
             self._pinned[file_id] = st
-            ok, to_delete = self._evict_to_budget(tolerate=True)
+            ok, to_delete = self._evict_to_budget()
             if ok:
                 return CacheHandle(self, file_id, st.entry), to_delete
             # cannot fit: roll back (object_storage_cache.rs:496-503)
@@ -241,7 +241,7 @@ class ObjectStorageCache:
                 raise ValueError(f"cache entry {file_id!r} already managed")
             self.cur_bytes += size
             self._pinned[file_id] = st
-            ok, to_delete = self._evict_to_budget(tolerate=False)
+            ok, to_delete = self._evict_to_budget()
             if not ok:
                 self._pinned.pop(file_id)
                 self.cur_bytes -= size
@@ -340,15 +340,15 @@ class ObjectStorageCache:
         os.rename(tmp, dst)
         return _EntryState(CacheEntry(dst, size), reference_count=1)
 
-    def _evict_to_budget(self, tolerate: bool) -> tuple[bool, list[str]]:
+    def _evict_to_budget(self) -> tuple[bool, list[str]]:
         # caller holds the lock (evict_cache_entries,
-        # object_storage_cache.rs:62-88)
+        # object_storage_cache.rs:62-88); on a no-fit the CALLER decides
+        # whether that is tolerable (get degrades) or fatal (import_entry
+        # raises)
         to_delete: list[str] = []
         while self.cur_bytes > self.max_bytes:
             if not self._evictable:
-                if tolerate:
-                    return False, to_delete
-                return False, to_delete  # import_entry raises for us
+                return False, to_delete
             _, st = self._evictable.popitem(last=False)  # LRU
             self.cur_bytes -= st.entry.file_size
             self.evictions += 1
@@ -651,6 +651,27 @@ class CachedFS:
     def exists(self, path: str) -> bool:
         return self.inner.exists(path)
 
+    # write-shaped accessor extensions: must invalidate like the six
+    # wrapped mutators above — delegating them raw served STALE cached
+    # bytes after an extension write (review r10); the path is the
+    # first positional argument for every one of these
+    _MUTATING_EXTENSIONS = frozenset(
+        {"write_bytes", "upload_file", "upload_multipart", "append_bytes"}
+    )
+
     def __getattr__(self, name: str) -> Any:
-        # accessor extensions (write_bytes, upload_multipart, chaos, ...)
-        return getattr(self.inner, name)
+        attr = getattr(self.inner, name)
+        if name in self._MUTATING_EXTENSIONS and callable(attr):
+            def _invalidating(*args: Any, _attr=attr, **kw: Any):
+                out = _attr(*args, **kw)
+                # upload_file(local, dst): the STORE path is arg 2
+                target = args[1] if name == "upload_file" and len(args) > 1 else (
+                    args[0] if args else None
+                )
+                if isinstance(target, str):
+                    self._invalidate(target)
+                return out
+
+            return _invalidating
+        # read-shaped accessor extensions (chaos knobs, pool stats, ...)
+        return attr

@@ -76,6 +76,20 @@ def _parquet_num_rows(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def strip_file_scheme(fp: str) -> str:
+    """Python-side twin of rel_fp_expr's scheme normalization: Spark
+    reports local URIs as ``file:/x`` OR ``file:///x`` depending on
+    path/Hadoop version; both collapse to the plain absolute path. Every
+    DV reader (iceberg/delta export, RPC scan, cached plane) must strip
+    the SAME two variants, or a ``file://``-prefixed path misses its
+    rel-path lookup and the deleted rows silently resurrect."""
+    if fp.startswith("file://"):
+        return fp[7:]
+    if fp.startswith("file:"):
+        return fp[5:]
+    return fp
+
+
 def rel_fp_expr(data_path: str):
     """Normalize ``_metadata.file_path`` to a data-root-relative path that
     string-equals ``FileEntry.path`` in the manifest (external bulk-loaded

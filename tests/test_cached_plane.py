@@ -196,3 +196,44 @@ def test_cached_scan_absorbs_server_throttling(spark, tmp_path):
         assert srv.throttled > 0  # faults actually fired
     finally:
         srv.stop()
+
+
+def test_push_repairs_truncated_object(spark, tmp_path, srv):
+    """Review r10: skip-if-exists on push enshrined a half-uploaded
+    object forever (crash mid-copy on a non-atomic fallback); push now
+    verifies the remote size and repairs mismatches."""
+    t = _make_table(spark, tmp_path, rows=300)
+    endpoint = srv.endpoint  # capture the string, not the server object
+    plane = CachedDataPlane(
+        lambda: S3HttpFS(endpoint, access_key="AK", secret_key="SK"),
+        "s3mem://bucket/plane",
+        cache_dir=str(tmp_path / "cache-r"),
+    )
+    assert plane.push(t) > 0
+    fs = plane.accessor_factory()
+    m = t.manifest
+    victim = m.data_files[0].path
+    dst = f"{plane.store_root}/{victim}"
+    whole = fs.open_read_binary(dst).read()
+    # simulate the crash: truncate the stored object
+    fs.write_bytes(dst, whole[: len(whole) // 2])
+    assert fs.getsize(dst) != len(whole)
+    n = plane.push(t)  # must detect and repair, not skip
+    assert n >= 1
+    assert fs.open_read_binary(dst).read() == whole
+    # and the cached scan over the repaired store matches the table
+    got = sorted(
+        (r.id, r.grp) for r in plane.scan(spark, t).collect()
+    )
+    want = sorted((r.id, r.grp) for r in t.scan().collect())
+    assert got == want
+
+
+def test_process_cache_budget_mismatch_fails_loud(tmp_path):
+    from moonlink_spark.table.cached_plane import process_cache
+
+    d = str(tmp_path / "pc")
+    c1 = process_cache(d, 1 << 20)
+    assert process_cache(d, 1 << 20) is c1  # same budget: shared
+    with pytest.raises(ValueError, match="max_bytes"):
+        process_cache(d, 2 << 20)

@@ -608,3 +608,34 @@ def test_manifest_metadata_format_version_consistent(spark, tmp_path):
     assert b"format-version\x023" in container_meta(mlist_path)
     for mrec in read_avro_container(mlist_path):
         assert b"format-version\x023" in container_meta(mrec["manifest_path"])
+
+
+def test_name_mapping_property_present(spark, tmp_path):
+    """Review r10: cloned data files carry no parquet field-ids, so
+    field-id-resolving engines need schema.name-mapping.default to
+    project columns; without it, positional fallback silently
+    misprojects after schema evolution."""
+    t = make_table(spark, tmp_path)
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest)
+    _v, meta = current_metadata(dest)
+    nm = json.loads(meta["properties"]["schema.name-mapping.default"])
+    schema = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )
+    assert {e["field-id"] for e in nm} == {f["id"] for f in schema["fields"]}
+    assert {e["names"][0] for e in nm} == {f["name"] for f in schema["fields"]}
+    # evolution keeps the mapping in sync with the CURRENT schema
+    t.alter(add_columns=[{"name": "extra", "data_type": "string"}])
+    t.append_rows([{"id": 9999, "grp": "z", "val": 1.0, "extra": "e"}])
+    t.commit(lsn=99)
+    export_iceberg(t, dest)
+    _v2, meta2 = current_metadata(dest)
+    nm2 = json.loads(meta2["properties"]["schema.name-mapping.default"])
+    assert "extra" in {e["names"][0] for e in nm2}
+    schema2 = next(
+        s for s in meta2["schemas"]
+        if s["schema-id"] == meta2["current-schema-id"]
+    )
+    extra_id = next(f["id"] for f in schema2["fields"] if f["name"] == "extra")
+    assert {"field-id": extra_id, "names": ["extra"]} in nm2

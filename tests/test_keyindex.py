@@ -410,3 +410,35 @@ def test_exported_blob_lookup_distributed_path_matches_driver(
     assert dist["files"] == drv["files"]
     assert sorted(dist["positions"]) == sorted(drv["positions"])
     assert len(drv["positions"]) == 1500  # every even key hit, miss absent
+
+
+def test_index_entry_rows_are_per_file(spark, tmp_path):
+    """Review r10: multi-file index builds stamped the BATCH total on
+    every entry, inflating exported blob cardinality n_out-fold. Each
+    entry must carry its own file's row count; they sum to the total."""
+    import pyarrow.parquet as pq
+
+    from moonlink_spark.table import keyindex as ki
+
+    orig = ki.INDEX_FILE_ROWS
+    ki.INDEX_FILE_ROWS = 500  # force several output files
+    try:
+        t = MoonlinkTable.create(
+            spark,
+            str(tmp_path / "t"),
+            FIELDS,
+            IdentityProp.single("id"),
+            properties={"key_index": {"entries": []}},
+        )
+        t.append_rows([{"id": i, "v": f"v{i}"} for i in range(2000)])
+        t.commit(lsn=1)
+        entries = ki.index_entries(t.manifest)
+        assert len(entries) >= 3
+        assert sum(e["rows"] for e in entries) == 2000
+        for e in entries:
+            assert e["rows"] == pq.ParquetFile(
+                t._resolve(e["path"])
+            ).metadata.num_rows
+            assert e["rows"] < 2000  # no entry claims the batch total
+    finally:
+        ki.INDEX_FILE_ROWS = orig

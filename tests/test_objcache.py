@@ -381,3 +381,27 @@ def test_shared_dir_adoption_across_cache_instances(tmp_path):
     assert open(h3.cache_filepath, "rb").read() == b"R" * 1000
     assert remote.reads == n_after_first + 1  # exactly one refetch
     h3.unreference()
+
+
+def test_cachedfs_write_extension_invalidates(tmp_path):
+    """Review r10: write-shaped accessor EXTENSIONS (write_bytes,
+    upload_file) were delegated raw via __getattr__ — a cached path then
+    served the OLD bytes after an extension write, violating the class's
+    never-stale contract."""
+    remote = make_remote({"b/x.avro": b"old-bytes-1"})
+    c = ObjectStorageCache(max_bytes=10_000, cache_directory=str(tmp_path / "c"))
+    fs = CachedFS(remote, c)
+    assert fs.open_read_binary("b/x.avro").read() == b"old-bytes-1"
+    # extension write through the seam (ObjectStoreFS has no write_bytes;
+    # emulate an accessor extension on the inner object)
+    remote.write_bytes = lambda path, data: remote.inner.store.put(path, data)
+    fs.write_bytes("b/x.avro", b"new-bytes-2")
+    assert fs.open_read_binary("b/x.avro").read() == b"new-bytes-2"
+    # upload_file invalidates its DESTINATION (arg 2)
+    local = tmp_path / "local.bin"
+    local.write_bytes(b"uploaded-3")
+    remote.upload_file = lambda lp, path: remote.inner.store.put(
+        path, open(lp, "rb").read()
+    )
+    fs.upload_file(str(local), "b/x.avro")
+    assert fs.open_read_binary("b/x.avro").read() == b"uploaded-3"
