@@ -99,6 +99,10 @@ class MoonlinkBackend:
                 user=opts.get("user", "moonlink"),
                 database=opts.get("database", "postgres"),
                 password=opts.get("password"),
+                # forward TLS options: dropping them silently downgraded
+                # a verify-full deployment to cleartext (review r10)
+                sslmode=opts.get("sslmode"),
+                ssl_ca_file=opts.get("ssl_ca_file"),
             )
         elif metadata_store == "json":
             self._meta_store = None

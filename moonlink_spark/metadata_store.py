@@ -250,7 +250,15 @@ class SqliteMetadataStore:
         try:
             parsed = json.loads(cfg) if cfg else {}
             config = deserialize_table_config(parsed)
-        except (json.JSONDecodeError, MetadataStoreError, TypeError):
+        except (
+            json.JSONDecodeError,
+            MetadataStoreError,
+            TypeError,
+            # e.g. "row_identity": null — a non-dict where the validator
+            # calls .get(); a corrupt ROW must never brick listing the
+            # healthy tables (the documented corruption-tolerance contract)
+            AttributeError,
+        ):
             return None
         return TableMetadataEntry(
             database=database,

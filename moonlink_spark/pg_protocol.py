@@ -190,7 +190,18 @@ def sql_literal(v: Any) -> str:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        # bare 'inf'/'nan' parse as IDENTIFIERS, not literals; SQLite's
+        # own conventions: out-of-range numerics evaluate to Inf, and a
+        # stored NaN is NULL
+        if v != v:  # NaN
+            return "NULL"
+        if v == float("inf"):
+            return "9e999"
+        if v == float("-inf"):
+            return "-9e999"
+        return repr(v)
+    if isinstance(v, int):
         return repr(v)
     return "'" + str(v).replace("'", "''") + "'"
 
@@ -817,12 +828,11 @@ class PgWireClient:
 
     _PARAM_OIDS = {bool: 16, int: 20, float: 701, str: 25}
 
-    def query_params(self, sql: str, params: list) -> QueryResult:
-        """One extended-protocol round trip (Parse/Bind/Describe/Execute/
-        Sync) with text-format parameters — values never ride inside the
-        SQL string, the tokio-postgres shape the reference's metadata
-        store uses. Parameter type OIDs are declared from the Python
-        types (int->int8, float->float8, bool->bool, str/None->text)."""
+    def _encode_parse_bind(self, sql: str, params: list) -> bytes:
+        """Parse + Bind payloads for the unnamed statement/portal with
+        text-format parameters — THE one encoding of parameter OIDs and
+        values, shared by query_params and query_cursor (a fix applied
+        to one copy used to leave the other inconsistent)."""
         oids = [
             self._PARAM_OIDS.get(type(v), 25) if v is not None else 25
             for v in params
@@ -839,17 +849,26 @@ class PgWireClient:
             if v is None:
                 bind += struct.pack(">i", -1)
             else:
-                if isinstance(v, bool):
-                    raw = (b"t" if v else b"f")
-                else:
-                    raw = str(v).encode("utf-8")
+                raw = (
+                    (b"t" if v else b"f")
+                    if isinstance(v, bool)
+                    else str(v).encode("utf-8")
+                )
                 bind += struct.pack(">i", len(raw)) + raw
         bind += struct.pack(">h", 0)  # result formats: all text
+        return _msg(b"P", parse) + _msg(b"B", bind)
+
+    def query_params(self, sql: str, params: list) -> QueryResult:
+        """One extended-protocol round trip (Parse/Bind/Describe/Execute/
+        Sync) with text-format parameters — values never ride inside the
+        SQL string, the tokio-postgres shape the reference's metadata
+        store uses. Parameter type OIDs are declared from the Python
+        types (int->int8, float->float8, bool->bool, str/None->text)."""
+        pb = self._encode_parse_bind(sql, params)
         self._guard_not_streaming()
         with self._lock:
             self.sock.sendall(
-                _msg(b"P", parse)
-                + _msg(b"B", bind)
+                pb
                 + _msg(b"D", b"P" + _cstr(""))
                 + _msg(b"E", _cstr("") + struct.pack(">i", 0))
                 + _msg(b"S", b"")
@@ -893,36 +912,14 @@ class PgWireClient:
         if fetch_size <= 0:
             raise ValueError("fetch_size must be positive")
         params = params or []
-        oids = [
-            self._PARAM_OIDS.get(type(v), 25) if v is not None else 25
-            for v in params
-        ]
-        parse = (
-            _cstr("")
-            + _cstr(sql)
-            + struct.pack(">h", len(oids))
-            + b"".join(struct.pack(">I", o) for o in oids)
-        )
-        bind = _cstr("") + _cstr("") + struct.pack(">h", 0)
-        bind += struct.pack(">h", len(params))
-        for v in params:
-            if v is None:
-                bind += struct.pack(">i", -1)
-            else:
-                raw = (
-                    (b"t" if v else b"f")
-                    if isinstance(v, bool)
-                    else str(v).encode("utf-8")
-                )
-                bind += struct.pack(">i", len(raw)) + raw
-        bind += struct.pack(">h", 0)  # result formats: all text
+        pb = self._encode_parse_bind(sql, params)
         execute = _msg(b"E", _cstr("") + struct.pack(">i", fetch_size))
         # Guard BEFORE taking the non-reentrant lock: a second cursor
         # started on this connection while one is suspended must fail
         # loud here, not deadlock on self._lock below.
         self._guard_not_streaming()
         with self._lock:
-            self.sock.sendall(_msg(b"P", parse) + _msg(b"B", bind) + execute)
+            self.sock.sendall(pb + execute)
             err: dict[str, str] | None = None
             done = False
             self._cursor_active = True
@@ -1236,6 +1233,7 @@ class PgMockServer:
         self._backend_lock = threading.Lock()
         self._backend_seq = 0
         self._commit_ordinal = 0
+        self._exported_snaps: set[str] = set()
         # TLS: with a cert/key pair the server answers SSLRequest with
         # 'S' and upgrades the connection (real PG's ssl=on); without,
         # 'N' and the client may continue cleartext (ssl=off).
@@ -1300,6 +1298,16 @@ class PgMockServer:
         self._tcp.server_close()
         if self._thread is not None:
             self._thread.join(timeout=5.0)
+        # snapshot database files are full copies of every user table;
+        # nothing else reclaims them (review r10) — a snapshot's
+        # lifetime is bounded by the exporting server's, like real PG's
+        # exported snapshots dying with the exporting backend
+        for snap_id in list(getattr(self, "_exported_snaps", ())):
+            try:
+                os.unlink(self._snap_db_path(snap_id))
+            except OSError:
+                pass
+            self._exported_snaps.discard(snap_id)
 
     # -- connection ---------------------------------------------------------
 
@@ -2072,6 +2080,14 @@ class PgMockServer:
         main_verb = statement_main_verb(sql)
         nwrites: int | None = None  # total_changes delta for DML
         if verb == "BEGIN":
+            if state.get("in_txn"):
+                # real-PG rule: BEGIN inside an open transaction is a
+                # WARNING + no-op — it must NOT flip a writer txn into a
+                # reader txn (the later COMMIT would take the reader
+                # branch and never commit the underlying SQLite txn:
+                # writes acknowledged then silently rolled back at
+                # disconnect; review r10)
+                return None, [], "BEGIN"
             if "ISOLATION" in sql.upper():
                 # snapshot-reader transactions (BEGIN ISOLATION LEVEL
                 # REPEATABLE READ) never write and read only immutable
@@ -2212,6 +2228,7 @@ class PgMockServer:
         because commits bump the LSN under the same _snap_lock held for
         the whole freeze). Real PG's MVCC gives exactly this pairing."""
         snap_id = uuid.uuid4().hex[:12]
+        self._exported_snaps.add(snap_id)
         sconn = sqlite3.connect(self.db_path, timeout=30.0)
         try:
             sconn.execute("PRAGMA busy_timeout = 30000")
@@ -2272,13 +2289,20 @@ class PgMockServer:
         ]
         if not frozen:
             raise PgProtocolError(f"unknown snapshot {snap!r}")
-        for t in sorted(frozen, key=len, reverse=True):
-            sql = re.sub(
-                rf'(?<![\w"]){re.escape(t)}(?![\w"])',
-                f'"{alias}"."{t}"',
-                sql,
-            )
-        return sql
+        # rewrite only OUTSIDE single-quoted string literals: the name
+        # lookarounds don't exclude quote context, so a literal like
+        # WHERE kind = 'items' was corrupted into a schema-qualified
+        # string (review r10). Split on literals ('' escapes included),
+        # rewrite the code segments, reassemble.
+        parts = re.split(r"('(?:[^']|'')*')", sql)
+        for i in range(0, len(parts), 2):  # even indexes = non-literal SQL
+            for t in sorted(frozen, key=len, reverse=True):
+                parts[i] = re.sub(
+                    rf'(?<![\w"]){re.escape(t)}(?![\w"])',
+                    f'"{alias}"."{t}"',
+                    parts[i],
+                )
+        return "".join(parts)
 
     def _run_copy_out(self, sock, conn, target: str) -> None:
         target = target.strip()
@@ -2327,6 +2351,17 @@ class PgMockServer:
         The stream is always consumed to its terminator BEFORE any error
         is raised, so an ErrorResponse never races half-sent CopyData and
         the connection stays usable for the next query."""
+        if state.get("txn_failed"):
+            # COPY bypassed the aborted-transaction guard _exec_statement
+            # enforces: rows would commit in autocommit (the SQLite txn
+            # is gone) while txn_writes was later discarded without an
+            # LSN bump — durable rows a snapshot boundary never covers
+            # (review r10)
+            raise _PgUserError(
+                "25P02",
+                "current transaction is aborted, commands ignored until "
+                "end of transaction block",
+            )
         if state.get("reader_txn"):
             raise _PgUserError(
                 "25006",

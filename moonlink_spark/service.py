@@ -98,6 +98,12 @@ class MoonlinkService:
         self.backend = backend
         self.auto_flush_ms = auto_flush_ms
         self._sinks: dict[tuple[str, str], RestSink] = {}
+        # per-key creation locks: RestSink construction replays the WAL
+        # journal (stages rows) and get_table can be slow — neither may
+        # run under the service-wide lock (it stalls every unrelated
+        # request) nor concurrently for the SAME key (double journal
+        # replay double-stages rows)
+        self._sink_creation: dict[tuple[str, str], threading.Lock] = {}
         self._timers: dict[tuple[str, str], Any] = {}
         self._avro_schemas: dict[tuple[str, str], dict] = {}
         # broker feeds the service owns: (db, table, topic) -> Ticker
@@ -131,9 +137,11 @@ class MoonlinkService:
                     service._handle(self, method)
                 except MoonlinkError as e:
                     self._send(400, {"error": type(e).__name__, "message": str(e)})
-                except (KeyError, json.JSONDecodeError) as e:
-                    # missing required body field / unparsable body is the
-                    # client's error, like the other malformed-request paths
+                except (KeyError, json.JSONDecodeError, ValueError) as e:
+                    # missing required body field / unparsable body / a
+                    # non-numeric query param (?from=abc) is the CLIENT's
+                    # error — a 400 like every other malformed-request
+                    # path, not a 500
                     self._send(
                         400,
                         {"error": "BadRequest", "message": f"missing/invalid: {e}"},
@@ -171,10 +179,20 @@ class MoonlinkService:
         return schema
 
     def _sink(self, db: str, table: str) -> RestSink:
+        key = (db, table)
         with self._lock:
-            key = (db, table)
-            if key not in self._sinks:
-                sink = RestSink(self.backend.get_table(db, table))
+            sink = self._sinks.get(key)
+            if sink is not None:
+                return sink
+            create_lk = self._sink_creation.setdefault(key, threading.Lock())
+        with create_lk:  # same-key creators serialize; other keys proceed
+            with self._lock:
+                sink = self._sinks.get(key)
+                if sink is not None:
+                    return sink
+            t = self.backend.get_table(db, table)  # slow: outside _lock
+            sink = RestSink(t)
+            with self._lock:
                 self._sinks[key] = sink
                 if self.auto_flush_ms is not None:
                     from moonlink_spark.table.timers import TableHandlerTimers
@@ -183,7 +201,7 @@ class MoonlinkService:
                         snapshot_fn=sink.flush,
                         snapshot_interval_s=self.auto_flush_ms / 1000.0,
                     ).start()
-            return self._sinks[key]
+            return sink
 
     @staticmethod
     def _decode_otel(signal: str, payload: dict) -> list[dict]:
@@ -212,13 +230,20 @@ class MoonlinkService:
             "metrics": OTEL_METRICS_FIELDS,
             "traces": OTEL_SPANS_FIELDS,
         }[signal]
-        with self._lock:
-            try:
-                return self.backend.get_table("otel", signal)
-            except MoonlinkError:
-                return self.backend.create_table(
-                    "otel", signal, fields, IdentityProp.none()
-                )
+        # no service lock: the backend serializes its own catalog ops,
+        # and Spark table creation under the service-wide lock stalled
+        # every unrelated request (review r10). A concurrent-create loser
+        # falls back to get_table.
+        try:
+            return self.backend.get_table("otel", signal)
+        except MoonlinkError:
+            pass
+        try:
+            return self.backend.create_table(
+                "otel", signal, fields, IdentityProp.none()
+            )
+        except MoonlinkError:
+            return self.backend.get_table("otel", signal)
 
     def _handle(self, h, method: str) -> None:
         from urllib.parse import parse_qs, urlparse

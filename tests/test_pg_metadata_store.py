@@ -1488,3 +1488,128 @@ def test_garbage_bytes_never_crash_the_server(tmp_path):
         c.close()
     finally:
         srv.stop()
+
+
+# -- r10 review findings --------------------------------------------------
+
+
+def _client(srv):
+    return PgWireClient("127.0.0.1", srv.port, user="u", database="d")
+
+
+def test_snapshot_rewrite_spares_string_literals(tmp_path):
+    """Review r10: the frozen-table rewrite matched table names inside
+    single-quoted literals, corrupting predicates like kind = 'items'."""
+    srv = PgMockServer(str(tmp_path / "lit.db")).start()
+    try:
+        w = _client(srv)
+        w.query("CREATE TABLE items (id INTEGER, kind TEXT)")
+        w.query("INSERT INTO items VALUES (1, 'items'), (2, 'other')")
+        r = w.query("SELECT pg_export_snapshot(), pg_current_wal_lsn()")
+        snap = r.rows[0][0]
+        rd = _client(srv)
+        rd.query("BEGIN ISOLATION LEVEL REPEATABLE READ")
+        rd.query(f"SET TRANSACTION SNAPSHOT '{snap}'")
+        got = rd.query("SELECT id FROM items WHERE kind = 'items'")
+        assert [r[0] for r in got.rows] == ["1"]
+        # the table NAME outside literals still rewrites (frozen read)
+        w.query("INSERT INTO items VALUES (3, 'items')")
+        got2 = rd.query("SELECT count(*) FROM items WHERE kind = 'items'")
+        assert got2.rows[0][0] == "1"  # frozen: does not see id=3
+        rd.query("COMMIT")
+        rd.close()
+        w.close()
+    finally:
+        srv.stop()
+
+
+def test_nested_begin_keeps_writer_txn_committable(tmp_path):
+    """Review r10: a nested BEGIN ISOLATION ... used to flip an open
+    writer txn into a reader txn — COMMIT then returned success without
+    committing, silently losing the writes at disconnect."""
+    srv = PgMockServer(str(tmp_path / "nb.db")).start()
+    try:
+        c = _client(srv)
+        c.query("CREATE TABLE t (id INTEGER)")
+        c.query("BEGIN")
+        c.query("INSERT INTO t VALUES (1)")
+        c.query("BEGIN ISOLATION LEVEL REPEATABLE READ")  # PG: warn+no-op
+        c.query("COMMIT")
+        c.close()
+        c2 = _client(srv)
+        assert c2.query("SELECT count(*) FROM t").rows[0][0] == "1"
+        # autocommit still healthy on the same session afterwards
+        c2.query("INSERT INTO t VALUES (2)")
+        assert c2.query("SELECT count(*) FROM t").rows[0][0] == "2"
+        c2.close()
+    finally:
+        srv.stop()
+
+
+def test_copy_in_rejected_in_aborted_txn(tmp_path):
+    """Review r10: COPY FROM STDIN bypassed the aborted-transaction
+    guard — rows committed in autocommit while the WAL LSN never counted
+    them."""
+    srv = PgMockServer(str(tmp_path / "cf.db")).start()
+    try:
+        c = _client(srv)
+        c.query("CREATE TABLE t (id INTEGER)")
+        lsn0 = c.query("SELECT pg_current_wal_lsn()").rows[0][0]
+        c.query("BEGIN")
+        with pytest.raises(PgServerError):
+            c.query("SELECT broken syntax here")
+        with pytest.raises(PgServerError, match="25P02|aborted"):
+            c.copy_in("COPY t (id) FROM STDIN", [("1",), ("2",)])
+        c.query("ROLLBACK")
+        assert c.query("SELECT count(*) FROM t").rows[0][0] == "0"
+        lsn1 = c.query("SELECT pg_current_wal_lsn()").rows[0][0]
+        assert lsn1 == lsn0  # nothing counted, nothing stored
+        c.close()
+    finally:
+        srv.stop()
+
+
+def test_exported_snapshot_files_reclaimed_on_stop(tmp_path):
+    """Review r10: snapshot database files (full table copies) were
+    never unlinked; they are reclaimed when the exporting server stops."""
+    import glob
+    import os
+
+    db = str(tmp_path / "snapleak.db")
+    srv = PgMockServer(db).start()
+    try:
+        c = _client(srv)
+        c.query("CREATE TABLE t (id INTEGER)")
+        c.query("INSERT INTO t VALUES (1)")
+        for _ in range(3):
+            c.query("SELECT pg_export_snapshot(), pg_current_wal_lsn()")
+        c.close()
+        assert len(glob.glob(db + ".snap-*.db")) == 3
+    finally:
+        srv.stop()
+    assert glob.glob(db + ".snap-*.db") == []
+
+
+def test_corrupt_row_identity_null_skipped(tmp_path):
+    """Review r10: a persisted row with row_identity=null raised
+    AttributeError past _parse_row's net, bricking the listing of every
+    healthy table."""
+    srv = PgMockServer(str(tmp_path / "cr.db")).start()
+    try:
+        store = PgMetadataStore("127.0.0.1", srv.port)
+        store.store_table_metadata(
+            "db", "good", src_table_name="s", src_table_uri="u",
+            config=_cfg(),
+        )
+        c = _client(srv)
+        c.query(
+            'INSERT INTO tables ("database", "table", src_table_name,'
+            " src_table_uri, config) VALUES ('db', 'bad', 's', 'u', "
+            "'{\"mooncake_table_config\": {\"row_identity\": null}}')"
+        )
+        c.close()
+        entries = store.get_all_table_metadata_entries()
+        assert [e.table for e in entries] == ["good"]
+        assert [t for _d, t in store.corrupt_entries()] == ["bad"]
+    finally:
+        srv.stop()
