@@ -42,30 +42,42 @@ from pyspark.sql.datasource import (
 )
 
 
+def _resolve_rel(rel: str, data_path: str) -> str:
+    """Manifest/DV path -> readable absolute path. THE one resolution used
+    by the batch plan and the CDC stream (a fix applied to one used to
+    leave the other inconsistent); scheme stripping matches
+    table.strip_file_scheme's two-variant handling."""
+    from moonlink_spark.table.table import strip_file_scheme
+
+    rel = strip_file_scheme(rel)
+    return rel if os.path.isabs(rel) else os.path.join(data_path, rel)
+
+
 def _release_scan_pin(client, db: str, table: str) -> None:
-    """Best-effort scan_table_end + close on the pin's OWN connection
-    (pins are connection-scoped on the server; closing alone would also
-    release, but the explicit end keeps the protocol conversation
-    complete). The server being gone means the pin is gone too."""
+    """Close the pin's OWN connection WITHOUT scan_table_end: in Spark's
+    data-source worker model the planning process (and this finalizer)
+    dies BEFORE executors open the planned files, so an explicit end here
+    would release the snapshot mid-query. Closing converts the server's
+    connection-scoped pin into a bounded LEASE (rpc pin_lease_s) that
+    covers the executor read phase and then expires — a crashed or
+    early-collected planner can never block vacuum forever."""
     try:
-        try:
-            client.scan_table_end(db, table)
-        finally:
-            client.close()
+        client.close()
     except Exception:
         pass
 
 
 class _ScanPin:
-    """Keeps the RPC scan snapshot pinned for the PLAN CONSUMER's
-    lifetime by HOLDING the planning connection open: server-side pins
-    are scoped to their connection (a crashed client's pin is reclaimed
-    on disconnect), so the pin object owns the live client and the
-    driver-side GC finalizer ends the scan + closes it after the read
-    completes (the reference's table_provider.rs holds its connection
-    until Drop the same way). Pickled copies (the reader ships to
-    executors) carry NO client and NO finalizer, so only the driver's
-    original releases."""
+    """Holds the planning connection open for as long as THIS process
+    keeps the plan alive; on teardown (GC finalizer, or the planning
+    worker process exiting) the connection closes and the server
+    converts the pin into a bounded lease (pin_lease_s) that covers the
+    executor read phase. Spark 4 plans Python data sources in TRANSIENT
+    workers, so the connection cannot span the query — the lease is
+    what actually protects executor reads from vacuum (review r10); the
+    reference's table_provider.rs instead holds one process-lifetime
+    connection until Drop. Pickled copies (the reader ships to
+    executors) carry NO client and NO finalizer."""
 
     def __init__(self, client, db: str, table: str):
         import weakref
@@ -160,8 +172,7 @@ def _plan_local(options: dict) -> tuple[bytes, list[tuple[str, tuple[int, ...]]]
             raise ValueError(f"no moonlink table at {table_dir}")
 
     def resolve(rel: str) -> str:
-        rel = rel.removeprefix("file:")
-        return rel if os.path.isabs(rel) else os.path.join(data_path, rel)
+        return _resolve_rel(rel, data_path)
 
     per_file: dict[str, list[int]] = {}
     for dv in m.delete_files:
@@ -469,17 +480,20 @@ def _cdc_events(
     table_dir: str, data_path: str, start_lsn: int, end_lsn: int, target_schema
 ):
     """Yield ("insert"|"delete", commit_lsn, *row) for every data commit
-    with start_lsn < lsn <= end_lsn, inserts before deletes within a
-    commit (matching MoonlinkTable.commit's in-commit op order). Driver
-    cost is bounded by the DELTA (files/DVs added per commit), never the
-    table size."""
+    with start_lsn < lsn <= end_lsn. In-commit order mirrors the table's
+    op application: deletes targeting PRE-EXISTING files (an upsert's
+    delete-old), then inserts, then deletes targeting this commit's own
+    new files (an in-txn insert-then-delete). Driver cost is bounded by
+    the DELTA (files/DVs added per commit) plus one binary-searched
+    baseline read, never the table size."""
     import pyarrow.parquet as pq
 
     from moonlink_spark.table.manifest import ManifestStore
 
     store = ManifestStore(table_dir)
-    manifests = [store.read(v) for v in store.versions()]
-    if start_lsn > 0 and not any(m.lsn <= start_lsn for m in manifests):
+    vs = store.versions()
+    base_v = store.version_for_lsn(start_lsn) if start_lsn > 0 else None
+    if start_lsn > 0 and base_v is None:
         raise ValueError(
             f"offset lsn={start_lsn} predates the oldest retained manifest "
             "(vacuumed past the stream's checkpoint); restart the stream "
@@ -487,14 +501,18 @@ def _cdc_events(
         )
 
     def resolve(rel: str) -> str:
-        # DV file_path values may keep a "file:" scheme remnant from the
-        # writer's URI normalization (same strip as iceberg_export)
-        rel = rel.removeprefix("file:")
-        return rel if os.path.isabs(rel) else os.path.join(data_path, rel)
+        return _resolve_rel(rel, data_path)
 
+    # read only the baseline manifest (binary-searched) and the delta
+    # after it: reading EVERY retained version per micro-batch was
+    # O(versions) driver I/O per trigger — quadratic over a stream's
+    # lifetime, contradicting the bounded-delta contract (review r10)
     prev_data: set = set()
     prev_dvs: set = set()
-    for m in manifests:
+    for v in vs:
+        if base_v is not None and v < base_v:
+            continue
+        m = store.read(v)
         if m.lsn <= start_lsn:
             prev_data = {f.path for f in m.data_files}
             prev_dvs = {f.path for f in m.delete_files}
@@ -507,40 +525,61 @@ def _cdc_events(
         prev_dvs = {f.path for f in m.delete_files}
         if m.operation in _LAYOUT_ONLY_OPS:
             continue
-        for entry in added:
-            t = pq.read_table(resolve(entry.path))
-            for row in _aligned_pylist(t, target_schema):
-                yield ("insert", m.lsn) + row
+        # In-commit order mirrors the table's op application: an UPSERT
+        # stages delete(old row, in a PRE-EXISTING file) before the
+        # append, while an insert-then-delete txn DVs a row in a file
+        # added by THIS commit. So: deletes targeting pre-existing files
+        # first, then inserts, then deletes targeting this commit's own
+        # files — a sequential keyed applier reproduces the table state
+        # for both shapes (review r10: inserts-first replayed an upsert
+        # as insert-then-delete, leaving the key absent downstream).
+        added_paths = {resolve(e.path) for e in added}
+        by_file: dict[str, list[int]] = {}
         for dv in added_dvs:
             dv_t = pq.read_table(resolve(dv.path))
-            by_file: dict[str, list[int]] = {}
             for fp, ri in zip(
                 dv_t.column("file_path").to_pylist(),
                 dv_t.column("row_index").to_pylist(),
             ):
                 by_file.setdefault(fp, []).append(ri)
-            for fp in sorted(by_file):
-                # before-images: read ONLY the row groups containing the
-                # deleted positions — a point delete in a large file costs
-                # one row group, not the file
-                pf = pq.ParquetFile(resolve(fp))
-                wanted = sorted(by_file[fp])
-                group_rows, offsets = [], []
-                offset = 0
-                for g in range(pf.metadata.num_row_groups):
-                    offsets.append(offset)
-                    group_rows.append(pf.metadata.row_group(g).num_rows)
-                    offset += group_rows[-1]
-                by_group: dict[int, list[int]] = {}
-                gi = 0
-                for ri in wanted:
-                    while gi + 1 < len(offsets) and offsets[gi + 1] <= ri:
-                        gi += 1
-                    by_group.setdefault(gi, []).append(ri - offsets[gi])
-                for g in sorted(by_group):
-                    rows = _aligned_pylist(pf.read_row_group(g), target_schema)
-                    for local_ri in by_group[g]:
-                        yield ("delete", m.lsn) + rows[local_ri]
+        pre_files = sorted(
+            fp for fp in by_file if resolve(fp) not in added_paths
+        )
+        own_files = sorted(
+            fp for fp in by_file if resolve(fp) in added_paths
+        )
+
+        def _delete_rows(fp: str):
+            # before-images: read ONLY the row groups containing the
+            # deleted positions — a point delete in a large file costs
+            # one row group, not the file
+            pf = pq.ParquetFile(resolve(fp))
+            wanted = sorted(by_file[fp])
+            group_rows, offsets = [], []
+            offset = 0
+            for g in range(pf.metadata.num_row_groups):
+                offsets.append(offset)
+                group_rows.append(pf.metadata.row_group(g).num_rows)
+                offset += group_rows[-1]
+            by_group: dict[int, list[int]] = {}
+            gi = 0
+            for ri in wanted:
+                while gi + 1 < len(offsets) and offsets[gi + 1] <= ri:
+                    gi += 1
+                by_group.setdefault(gi, []).append(ri - offsets[gi])
+            for g in sorted(by_group):
+                rows = _aligned_pylist(pf.read_row_group(g), target_schema)
+                for local_ri in by_group[g]:
+                    yield ("delete", m.lsn) + rows[local_ri]
+
+        for fp in pre_files:
+            yield from _delete_rows(fp)
+        for entry in added:
+            t = pq.read_table(resolve(entry.path))
+            for row in _aligned_pylist(t, target_schema):
+                yield ("insert", m.lsn) + row
+        for fp in own_files:
+            yield from _delete_rows(fp)
 
 
 class MoonlinkStreamReader(SimpleDataSourceStreamReader):

@@ -275,8 +275,22 @@ class MoonlinkRpcServer:
     listener). One frame in -> one Result frame out per request;
     connections are served concurrently."""
 
-    def __init__(self, backend, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        backend,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        pin_lease_s: float = 300.0,
+    ):
+        """``pin_lease_s``: when a connection dies holding scan pins, the
+        pinned versions are LEASED for this long instead of released —
+        Spark's Python data source plans in a transient worker whose
+        socket closes before executors read the planned files, so an
+        instant release would let vacuum delete files mid-query. 0
+        restores instant release (a crashed reader then never delays
+        GC)."""
         self.backend = backend
+        self.pin_lease_s = pin_lease_s
         rpc = self
         self._lock = threading.Lock()
         # footer metadata cache (parity: the reference's metadata cache,
@@ -309,7 +323,12 @@ class MoonlinkRpcServer:
                 finally:
                     for db, tbl, version in conn_pins:
                         try:
-                            rpc.backend.get_table(db, tbl).unpin_version(version)
+                            t = rpc.backend.get_table(db, tbl)
+                            # convert the orphaned pin into a bounded
+                            # lease: the planner's socket dying does NOT
+                            # mean the executors are done reading
+                            t.lease_version(version, rpc.pin_lease_s)
+                            t.unpin_version(version)
                         except Exception:
                             pass  # table dropped since: nothing to unpin
 

@@ -26,7 +26,7 @@ RUNNING_STATS_SCHEMA = T.StructType(
     ]
 )
 
-_STATE_SCHEMA = "n BIGINT, total DOUBLE, mx DOUBLE"
+_STATE_SCHEMA = "n BIGINT, total DOUBLE, mx DOUBLE, nv BIGINT"
 
 
 def _update_user_stats(
@@ -35,17 +35,23 @@ def _update_user_stats(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
-    n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+    n, total, mx, nv = (
+        state.get if state.exists else (0, 0.0, float("-inf"), 0)
+    )
     for pdf in pdfs:
         vals = pdf["value"].dropna()
         n += len(pdf)
+        nv += int(len(vals))
         total += float(vals.sum())
         if len(vals):
             mx = max(mx, float(vals.max()))
-    state.update((n, total, mx))
-    # anomaly rule: max ever seen > 3x the mean of the OTHER events (a spike
-    # must not be allowed to inflate its own baseline)
-    baseline = (total - mx) / (n - 1) if n > 1 else None
+    state.update((n, total, mx, nv))
+    # anomaly rule: max ever seen > 3x the mean of the OTHER VALUED events
+    # (a spike must not inflate its own baseline). The divisor counts only
+    # valued events: dividing a nulls-excluded sum by a nulls-included
+    # count diluted the baseline toward 0 and flagged any user whose lone
+    # valued event rode with null-value events (review r10).
+    baseline = (total - mx) / (nv - 1) if nv > 1 else None
     anomalous = bool(baseline is not None and mx > 3 * baseline)
     yield pd.DataFrame(
         {

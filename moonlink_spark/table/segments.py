@@ -49,15 +49,20 @@ def index_write_lock(
     than ``stale_s`` is presumed crashed and stolen. Cross-host
     deployments need a store-level CAS instead (the object-store seam's
     ``publish_exclusive``)."""
+    import uuid as _uuid
+
     os.makedirs(dest, exist_ok=True)
     path = os.path.join(dest, ".write-lock")
+    token = _uuid.uuid4().hex
     deadline = time.monotonic() + timeout_s
     while True:
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             os.write(
                 fd,
-                json.dumps({"pid": os.getpid(), "ts": time.time()}).encode(),
+                json.dumps(
+                    {"pid": os.getpid(), "ts": time.time(), "token": token}
+                ).encode(),
             )
             os.close(fd)
             break
@@ -67,9 +72,18 @@ def index_write_lock(
             except FileNotFoundError:
                 continue  # released between open and stat: retry now
             if age > stale_s:
-                # presumed-dead holder: steal (remove + retry the O_EXCL)
+                # presumed-dead holder: steal via RENAME, not unlink —
+                # rename is atomic and exactly ONE stealer succeeds; a
+                # plain unlink let two waiters both remove (the second
+                # removing the FIRST's fresh lock) and both acquire
+                # (review r10)
+                grave = f"{path}.stale-{_uuid.uuid4().hex}"
+                try:
+                    os.rename(path, grave)
+                except FileNotFoundError:
+                    continue  # someone else stole/released first
                 with contextlib.suppress(FileNotFoundError):
-                    os.unlink(path)
+                    os.unlink(grave)
                 continue
             if time.monotonic() > deadline:
                 raise TimeoutError(
@@ -79,8 +93,16 @@ def index_write_lock(
     try:
         yield
     finally:
-        with contextlib.suppress(FileNotFoundError):
-            os.unlink(path)
+        # release only if WE still hold it: a holder whose lock was
+        # stolen must not remove the thief's fresh lock on exit
+        try:
+            with open(path) as fh:
+                owner = json.load(fh).get("token")
+        except (OSError, ValueError):
+            owner = None
+        if owner == token:
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(path)
 
 
 def maybe_write_lock(dest: str, already_locked: bool):

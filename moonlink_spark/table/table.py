@@ -179,6 +179,8 @@ class MoonlinkTable:
         # reference's scan_table_begin/end holds the mooncake snapshot alive
         # the same way (src/moonlink_rpc/src/lib.rs scan lifecycle)
         self._version_pins: dict[int, int] = {}
+
+        self._version_leases: dict[int, float] = {}
         # recovery telemetry: opening an EXISTING table loads its current
         # snapshot — the analog of the reference's iceberg table recovery
         # histogram (observability/iceberg_table_recovery.rs:16-22)
@@ -318,6 +320,23 @@ class MoonlinkTable:
         with self._lock:
             self._version_pins[version] = self._version_pins.get(version, 0) + 1
 
+    def lease_version(self, version: int, ttl_s: float) -> None:
+        """Time-bounded pin: the version survives vacuum until the lease
+        expires. Used when a pin's owning CONNECTION dies before the
+        reads it planned are finished — Spark's Python data source plans
+        in a transient worker whose process (and socket) exits before
+        executors open the planned files, so the server converts the
+        orphaned pin into a lease instead of reclaiming it instantly."""
+        import time as _time
+
+        if ttl_s <= 0:
+            return
+        with self._lock:
+            expiry = _time.monotonic() + ttl_s
+            self._version_leases[version] = max(
+                self._version_leases.get(version, 0.0), expiry
+            )
+
     def unpin_version(self, version: int) -> None:
         """Drop one pin; unknown/over-released versions are a no-op (a
         reader double-ending a scan must not underflow a live pin)."""
@@ -329,8 +348,14 @@ class MoonlinkTable:
                 self._version_pins[version] = n - 1
 
     def pinned_versions(self) -> list[int]:
+        import time as _time
+
         with self._lock:
-            return sorted(self._version_pins)
+            now = _time.monotonic()
+            for v, exp in list(self._version_leases.items()):
+                if exp <= now:
+                    del self._version_leases[v]
+            return sorted(set(self._version_pins) | set(self._version_leases))
 
     def cardinality(self) -> int:
         """Exact live row count from manifest stats — no scan

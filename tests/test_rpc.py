@@ -227,28 +227,58 @@ def test_unpin_is_refcounted_and_tolerates_double_end(rpc):
     assert not t.pinned_versions()
 
 
-def test_connection_death_releases_pins(rpc):
+def test_connection_death_converts_pin_to_bounded_lease(spark, tmp_path):
     """A reader that dies without scan_table_end must not block vacuum
-    forever: pins are connection-scoped and force-released when the
-    socket closes (the reference provider's Drop scope)."""
+    FOREVER — but Spark's data-source planning worker legitimately dies
+    before executors read the planned files (review r10), so the orphaned
+    pin becomes a bounded LEASE (pin_lease_s). pin_lease_s=0 restores the
+    old instant release."""
+    import os
     import time
 
-    from moonlink_spark.rpc import MoonlinkRpcClient
+    from moonlink_spark.backend import MoonlinkBackend
+    from moonlink_spark.rpc import MoonlinkRpcClient, MoonlinkRpcServer
+    from moonlink_spark.table.identity import IdentityProp
+    from moonlink_spark.table.maintenance import optimize, vacuum
 
-    be, cli = rpc
-    cli.create_table(
-        "db", "dead", "src", "uri",
-        json.dumps({"schema": USERS_SCHEMA,
-                    "identity": {"mode": "single", "columns": ["id"]}}),
-    )
-    t = be.get_table("db", "dead")
+    be = MoonlinkBackend(spark, str(tmp_path / "wh-lease"))
+    t = be.create_table("db", "dead", USERS_SCHEMA, IdentityProp.single("id"))
     t.append_rows([{"id": 1, "name": "a"}])
     t.commit(lsn=1)
-    crashing = MoonlinkRpcClient("127.0.0.1", cli.sock.getpeername()[1])
-    crashing.scan_table_begin("db", "dead", 0)
-    assert t.pinned_versions()
-    crashing.sock.close()  # die without scan_table_end
-    deadline = time.monotonic() + 5
-    while t.pinned_versions() and time.monotonic() < deadline:
-        time.sleep(0.05)
-    assert not t.pinned_versions(), "pin leaked after connection death"
+
+    # lease mode (short TTL so the test can watch it expire)
+    srv = MoonlinkRpcServer(be, pin_lease_s=1.5).start()
+    try:
+        crashing = MoonlinkRpcClient("127.0.0.1", srv.port)
+        blob = crashing.scan_table_begin("db", "dead", 0)
+        assert t.pinned_versions()
+        crashing.sock.close()  # planner dies; executors still reading
+        time.sleep(0.3)
+        # the lease protects the snapshot: vacuum keeps its files
+        t.append_rows([{"id": 2, "name": "b"}])
+        t.commit(lsn=2)
+        optimize(t)
+        vacuum(t, keep_versions=1)
+        for p in blob.data_files:
+            assert os.path.exists(p), "lease did not hold through vacuum"
+        # ...and expires: pins drain within the TTL + margin
+        deadline = time.monotonic() + 5
+        while t.pinned_versions() and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert not t.pinned_versions(), "lease leaked past its TTL"
+    finally:
+        srv.stop()
+
+    # instant-release mode (pin_lease_s=0): the old Drop-scope behavior
+    srv0 = MoonlinkRpcServer(be, pin_lease_s=0).start()
+    try:
+        crashing = MoonlinkRpcClient("127.0.0.1", srv0.port)
+        crashing.scan_table_begin("db", "dead", 0)
+        assert t.pinned_versions()
+        crashing.sock.close()
+        deadline = time.monotonic() + 5
+        while t.pinned_versions() and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert not t.pinned_versions(), "pin leaked after connection death"
+    finally:
+        srv0.stop()

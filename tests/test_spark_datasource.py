@@ -26,7 +26,8 @@ SCHEMA = T.StructType(
 def backend_rpc(spark, tmp_path):
     register_moonlink_source(spark)
     be = MoonlinkBackend(spark, str(tmp_path / "wh"))
-    srv = MoonlinkRpcServer(be).start()
+    # short pin lease so tests can watch orphaned pins expire
+    srv = MoonlinkRpcServer(be, pin_lease_s=2.0).start()
     yield be, srv
     srv.stop()
 
@@ -128,7 +129,14 @@ def test_plan_pin_survives_optimize_and_vacuum(backend_rpc, spark):
         assert os.path.exists(path), f"vacuum deleted planned file {path}"
     del pin
     gc.collect()
+    # the planner is gone, but executors may still be reading: the pin
+    # is now a LEASE — vacuum must STILL keep the planned files
+    assert t.pinned_versions(), "lease missing after plan drop"
+    vacuum(t, keep_versions=1)
+    for path, _deleted, _stats in parts:
+        assert os.path.exists(path), f"lease did not hold {path}"
+    # and the lease expires (fixture server uses a short TTL)
     deadline = time.monotonic() + 10
     while t.pinned_versions() and time.monotonic() < deadline:
         time.sleep(0.1)
-    assert not t.pinned_versions(), "pin not released after plan dropped"
+    assert not t.pinned_versions(), "lease not released after TTL"

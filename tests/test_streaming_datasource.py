@@ -540,3 +540,48 @@ def test_sink_written_files_carry_stats_and_prune(spark, tmp_path):
     entries = [f for f in t.manifest.data_files]
     assert entries and all(e.stats for e in entries), "sink files lack stats"
     assert entries[0].stats["id"] == [0, 99]
+
+
+def test_cdc_event_order_matches_table_semantics(spark, tmp_path):
+    """Review r10: within a commit, deletes targeting PRE-EXISTING files
+    (an upsert's delete-old) must come BEFORE the inserts, and deletes
+    targeting the commit's OWN new files (in-txn insert-then-delete)
+    AFTER them — a sequential keyed applier then reproduces the table
+    state for both shapes. Inserts-first replayed an upsert as
+    insert-then-delete, leaving the key absent downstream."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from moonlink_spark.integrations.spark_datasource import _cdc_events
+    from moonlink_spark.schema import field_schema_to_struct
+
+    path = str(tmp_path / "t")
+    t = MoonlinkTable.create(spark, path, FIELDS, IdentityProp.single("id"))
+    t.append_rows([{"id": 1, "v": "a"}])
+    t.commit(lsn=10)
+    # one-commit upsert: delete(old 1) + insert(new 1)
+    t.upsert_rows([{"id": 1, "v": "a2"}])
+    t.commit(lsn=20)
+    # one-commit insert-then-delete of the same NEW key
+    t.append_rows([{"id": 5, "v": "x"}])
+    t.delete_rows([{"id": 5}])
+    t.commit(lsn=30)
+
+    arrow_schema = to_arrow_schema(field_schema_to_struct(FIELDS))
+    events = list(_cdc_events(path, path, 0, 99, arrow_schema))
+    # sequential keyed replay must end in the table's final state
+    state: dict = {}
+    for ev in events:
+        op, _lsn, key, v = ev[0], ev[1], ev[2], ev[3]
+        if op == "insert":
+            state[key] = v
+        else:
+            state.pop(key, None)
+    want = {r.id: r.v for r in t.scan().collect()}
+    assert state == want == {1: "a2"}
+    # the lsn=20 commit orders delete(old) BEFORE insert(new)
+    c20 = [e for e in events if e[1] == 20]
+    assert [e[0] for e in c20] == ["delete", "insert"]
+    assert c20[0][3] == "a" and c20[1][3] == "a2"
+    # the lsn=30 commit orders insert BEFORE its own-file delete
+    c30 = [e for e in events if e[1] == 30]
+    assert [e[0] for e in c30] == ["insert", "delete"]
