@@ -47,13 +47,25 @@ class DbPollingSource:
         state_path: str | None = None,
         paramstyle: str = "qmark",
         batch_limit: int = 10_000,
+        gap_timeout_s: float = 10.0,
     ):
+        """``gap_timeout_s``: how long a missing change_id below the
+        batch's max may stay missing before it is presumed rolled back
+        and skipped. SERIAL/AUTO_INCREMENT ids are allocated at INSERT
+        but become visible at COMMIT — a writer that allocated id 5 but
+        has not committed while id 6 is already visible means advancing
+        the cursor to 6 would skip 5 FOREVER once it commits (the
+        classic outbox gap; review r10). The cursor therefore advances
+        only past ids that are visible or have been missing longer than
+        this grace period."""
         self.connect = connect
         self.outbox_table = outbox_table
         self.spool_dir = spool_dir
         self.state_path = state_path or os.path.join(spool_dir, "_cursor.json")
         self.ph = _PARAM[paramstyle]
         self.batch_limit = batch_limit
+        self.gap_timeout_s = gap_timeout_s
+        self._gap_first_seen: dict[int, float] = {}
         os.makedirs(spool_dir, exist_ok=True)
 
     # -- cursor persistence (crash-safe: files are emitted BEFORE the cursor
@@ -89,6 +101,38 @@ class DbPollingSource:
             rows = cur.fetchall()
         finally:
             con.close()
+        if not rows:
+            return 0
+        # advance only past CONTIGUOUS (or timed-out-missing) ids: an
+        # uncommitted writer holding a lower id than a visible row must
+        # get a grace period to appear, or its event is lost forever
+        import time as _time
+
+        now = _time.monotonic()
+        visible = {int(r[0]) for r in rows}
+        batch_max = max(visible)
+        # start every missing id's grace clock NOW (not lazily as the
+        # advance reaches it — a run of k missing ids would otherwise
+        # need k consecutive grace periods to clear)
+        for missing in range(cursor + 1, batch_max + 1):
+            if missing not in visible:
+                self._gap_first_seen.setdefault(missing, now)
+        safe = cursor
+        nxt = cursor + 1
+        while nxt <= batch_max:
+            if nxt in visible:
+                self._gap_first_seen.pop(nxt, None)
+                safe = nxt
+                nxt += 1
+                continue
+            if now - self._gap_first_seen[nxt] >= self.gap_timeout_s:
+                # presumed rolled back (or a sequence hole): skip it
+                self._gap_first_seen.pop(nxt, None)
+                safe = nxt
+                nxt += 1
+                continue
+            break  # in-grace gap: stop here, re-poll picks the rest up
+        rows = [r for r in rows if int(r[0]) <= safe]
         if not rows:
             return 0
         events = []

@@ -129,6 +129,18 @@ def wire_initial_copy(
             else plan_rowid_shards(int(b[0]), int(b[1]), shard_count)
         )
         before = table.cardinality()
+        # idempotence guard (review r10): the seed must not run twice. A
+        # crash-retry after a successful copy — or pointing the copy at a
+        # table that already has data — would silently append the entire
+        # snapshot AGAIN (the LSN floor only drops CDC events, not the
+        # snapshot rows themselves).
+        if shards and (before > 0 or boundary <= table.last_lsn):
+            raise ValueError(
+                f"initial copy target is not empty/fresh (rows={before}, "
+                f"table lsn={table.last_lsn}, boundary={boundary}): "
+                "re-seeding would duplicate the snapshot; drop and "
+                "recreate the table, or resume the CDC stream instead"
+            )
         if shards:
             df = _read_shards_df(
                 spark, schema, shards, host, port, src_table, snap_id,
@@ -180,7 +192,7 @@ def _read_shards_df(
     shard_df = spark.createDataFrame(
         [(int(s), int(a), int(b)) for s, a, b in shards],
         "shard_id int, lo long, hi long",
-    ).repartition(len(shards), "shard_id")
+    ).repartitionByRange(len(shards), "shard_id")
 
     def read_shards(batches: Iterator) -> Iterator:
         import pandas as pd

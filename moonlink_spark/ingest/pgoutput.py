@@ -185,6 +185,13 @@ class _Reader:
         return s
 
     def take(self, n: int) -> bytes:
+        if n < 0 or self.pos + n > len(self.data):
+            # a corrupt frame declaring more bytes than remain must fail
+            # LOUD, not silently yield a truncated value (review r10)
+            raise SchemaError(
+                f"frame overrun: need {n} bytes at offset {self.pos}, "
+                f"have {len(self.data) - self.pos}"
+            )
         b = self.data[self.pos:self.pos + n]
         self.pos += n
         return b
@@ -315,7 +322,7 @@ class PgoutputDecoder:
             return None
 
         if tag == "I":                          # Insert
-            xid = r.i32() if xid_prefix else None
+            xid = self._stream_xid(r, xid_prefix)
             rel = self._rel(r.u32())
             kind = r.byte()
             if kind != "N":
@@ -325,7 +332,7 @@ class PgoutputDecoder:
             return CdcEvent.insert(row, xact_id=xid)
 
         if tag == "U":                          # Update
-            xid = r.i32() if xid_prefix else None
+            xid = self._stream_xid(r, xid_prefix)
             rel = self._rel(r.u32())
             kind = r.byte()
             old_row = None
@@ -364,7 +371,7 @@ class PgoutputDecoder:
             return CdcEvent.update(old_row, clean_new, xact_id=xid)
 
         if tag == "D":                          # Delete
-            xid = r.i32() if xid_prefix else None
+            xid = self._stream_xid(r, xid_prefix)
             rel = self._rel(r.u32())
             kind = r.byte()
             if kind not in ("K", "O"):
@@ -396,17 +403,50 @@ class PgoutputDecoder:
 
         if tag == "A":                          # v2 Stream Abort
             xid = r.i32()
-            r.i32()                             # subxact xid
+            subxid = r.i32()
+            if subxid != xid:
+                # a savepoint rollback inside a streamed txn aborts only
+                # the SUBtransaction's rows; rows are staged under the
+                # toplevel xid here, so excising just the subxact is not
+                # representable — fail LOUD instead of silently aborting
+                # the whole transaction (which would lose the kept rows)
+                raise SchemaError(
+                    f"streamed subtransaction rollback (xid {xid}, "
+                    f"subxid {subxid}) is not supported by this decoder"
+                )
             return CdcEvent.stream_abort(xid)
 
-        if tag in ("Y", "O", "M", "T"):
-            # Type metadata / Origin / logical Message / Truncate: no
-            # sink-side effect here (truncate is rejected upstream the
-            # same way the reference routes it to an explicit handler)
+        if tag == "T":                          # Truncate
+            # silently skipping a TRUNCATE leaves every pre-truncate row
+            # in the downstream table forever — permanent, unreported
+            # divergence (review r10). There is no truncate CdcEvent, so
+            # fail LOUD with the publication-side fix.
+            raise SchemaError(
+                "TRUNCATE is not supported by this decoder: exclude it "
+                "from the publication (CREATE PUBLICATION ... WITH "
+                "(publish = 'insert, update, delete'))"
+            )
+
+        if tag in ("Y", "O", "M"):
+            # Type metadata / Origin / logical Message: no sink-side
+            # effect
             self.stats.skipped.append(tag)
             return None
 
         raise SchemaError(f"unknown pgoutput message tag {tag!r}")
+
+    def _stream_xid(self, r, xid_prefix: bool) -> int | None:
+        """Streamed DML's xact id: the per-message prefix carries the
+        (SUB)transaction xid that made the change, but Stream Commit /
+        Abort carry the TOPLEVEL xid — staging by the per-message xid
+        stranded savepoint-written rows in a stream no commit ever
+        referenced (silently lost; review r10). All of a streamed txn's
+        rows stage under the toplevel xid from Stream Start, exactly how
+        PG's own apply worker buffers them."""
+        if not xid_prefix:
+            return None
+        r.i32()  # consume the per-message (sub)xact xid
+        return self._in_stream_xid
 
     def _rel(self, relation_id: int) -> RelationInfo:
         rel = self.relations.get(relation_id)
@@ -435,10 +475,13 @@ def read_trace_file(path: str) -> Iterator[bytes]:
     with open(path, "rb") as fh:
         while True:
             head = fh.read(4)
-            if not head:
-                return
+            if len(head) < 4:
+                return  # torn header (producer mid-append / crash): stop
             (n,) = struct.unpack(">I", head)
-            yield fh.read(n)
+            payload = fh.read(n)
+            if len(payload) < n:
+                return  # torn payload: same graceful stop as the tailer
+            yield payload
 
 
 def spool_lines(events: Iterable[CdcEvent]) -> Iterator[str]:
@@ -513,35 +556,3 @@ def _row_json(row: dict[str, Any] | None) -> dict[str, Any] | None:
             out[k] = v
     return out
 
-
-def rows_to_json_events(events: Iterable[CdcEvent]) -> Iterator[str]:
-    """CdcEvents -> the spool JSONL format StreamingIngestor consumes
-    (same shape DbPollingSource emits), so a recorded replication trace
-    can feed the streaming pipeline end-to-end."""
-
-    def _js(row: dict[str, Any] | None) -> dict[str, Any] | None:
-        if row is None:
-            return None
-        out = {}
-        for k, v in row.items():
-            if isinstance(v, (dt.datetime, dt.date, dt.time)):
-                out[k] = v.isoformat()
-            elif isinstance(v, Decimal):
-                out[k] = str(v)
-            elif isinstance(v, bytes):
-                out[k] = v.hex()
-            else:
-                out[k] = v
-        return out
-
-    for ev in events:
-        yield json.dumps(
-            {
-                "op": ev.op,
-                "lsn": ev.lsn,
-                "row": _js(ev.row),
-                "old_row": _js(ev.old_row),
-                "xact_id": ev.xact_id,
-            },
-            separators=(",", ":"),
-        )

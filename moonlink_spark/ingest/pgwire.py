@@ -77,6 +77,11 @@ def _read_msg(sock_file) -> tuple[bytes, bytes]:
         raise ConnectionError("peer closed")
     t = head[:1]
     (n,) = struct.unpack(">I", head[1:])
+    if n < 4 or n > (1 << 30):
+        # a desynced/corrupt peer: n=0 would read(-4) -> block to EOF
+        # and then return the rest of the stream as one "message"
+        # (pg_protocol._read_msg carries the same guard; review r10)
+        raise ConnectionError(f"invalid message length {n}")
     body = sock_file.read(n - 4)
     if len(body) < n - 4:
         raise ConnectionError("short message body")
@@ -315,6 +320,9 @@ class ReplicationWireClient:
             written = start  # tracked incrementally: rescanning the whole
             # spool per ack is O(spool) and goes quadratic on long streams
             sock.settimeout(timeout_s)
+            # one held handle for the whole receive loop: re-opening per
+            # frame dominated the per-frame cost on catch-up backlogs
+            spool_fh = open(self.spool_path, "ab")
             while idle < idle_rounds:
                 t, body = _read_msg(f)
                 if t != b"d":
@@ -322,8 +330,8 @@ class ReplicationWireClient:
                 kind = body[:1]
                 if kind == b"w":
                     payload = body[25:]  # after 'w' + 3x u64
-                    with open(self.spool_path, "ab") as fh:
-                        fh.write(struct.pack(">I", len(payload)) + payload)
+                    spool_fh.write(struct.pack(">I", len(payload)) + payload)
+                    spool_fh.flush()
                     written += 4 + len(payload)
                     stats["frames"] += 1
                     idle = 0
@@ -354,6 +362,10 @@ class ReplicationWireClient:
                     sock.sendall(_msg(b"d", status))
             return stats
         finally:
+            try:
+                spool_fh.close()
+            except (OSError, NameError):
+                pass
             try:
                 sock.sendall(_msg(b"X", b""))
             except OSError:

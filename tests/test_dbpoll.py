@@ -157,3 +157,49 @@ def test_cdc_to_matview_pipeline(spark, tmp_path):
     assert s["refreshed"] and s["changed_rows"] > 0
     got = {r.name: r.n_rows for r in mv.read().collect()}
     assert got == {"g0": 6, "g1": 6, "g2": 7, "g9": 1}
+
+
+def test_out_of_order_commit_not_skipped(tmp_path):
+    """Review r10: a writer that allocated a lower change_id but had not
+    committed when a higher id became visible must get a grace period —
+    advancing the cursor past the gap lost its event forever."""
+    import sqlite3
+    import time
+
+    db = str(tmp_path / "o.db")
+    _setup_db(db)
+    con = sqlite3.connect(db)
+    # ids 1 and 3 visible; id 2 is an open transaction's allocation
+    con.execute(
+        "INSERT INTO outbox (change_id, op, row_json) VALUES "
+        '(1, \'insert\', \'{"id": 1, "name": "a"}\')'
+    )
+    con.execute(
+        "INSERT INTO outbox (change_id, op, row_json) VALUES "
+        '(3, \'insert\', \'{"id": 3, "name": "c"}\')'
+    )
+    con.commit()
+
+    spool = str(tmp_path / "spool")
+    src = DbPollingSource(
+        lambda: sqlite3.connect(db), "outbox", spool, gap_timeout_s=0.5
+    )
+    # first poll: only id 1 is safe (the id-2 gap is in grace)
+    assert src.poll_once() == 1
+    # the slow writer commits id 2
+    con.execute(
+        "INSERT INTO outbox (change_id, op, row_json) VALUES "
+        '(2, \'insert\', \'{"id": 2, "name": "b"}\')'
+    )
+    con.commit()
+    assert src.poll_once() == 2  # ids 2 AND 3, in order, nothing lost
+    # permanent hole (a rolled-back allocation): skipped after the grace
+    con.execute(
+        "INSERT INTO outbox (change_id, op, row_json) VALUES "
+        '(6, \'insert\', \'{"id": 6, "name": "f"}\')'
+    )
+    con.commit()
+    assert src.poll_once() == 0  # id 4-5 gap in grace: 6 waits
+    time.sleep(0.6)
+    assert src.poll_once() == 1  # grace expired: 6 emitted
+    con.close()

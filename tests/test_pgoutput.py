@@ -18,7 +18,6 @@ from moonlink_spark.ingest.cdc import CdcSink
 from moonlink_spark.ingest.pgoutput import (
     PgoutputDecoder,
     read_trace_file,
-    rows_to_json_events,
 )
 from moonlink_spark.table.identity import IdentityProp
 from moonlink_spark.table.table import MoonlinkTable
@@ -302,25 +301,6 @@ def test_apply_recorded_trace_to_table(spark, tmp_path):
     assert rows10 == {1: "alice", 2: "bob", 3: "carol"}
 
 
-def test_spool_bridge_format():
-    """rows_to_json_events serializes decoded events into the spool JSONL
-    the streaming pipeline consumes (temporal/decimal/bytes JSON-safe)."""
-    import json
-
-    d = PgoutputDecoder()
-    trace = [
-        begin(3),
-        relation(4, "e", [(1, "id", 20), (0, "ts", 1114), (0, "amt", 1700)]),
-        insert(4, ["1", "2024-01-01 00:00:00", "9.99"]),
-        commit(3),
-    ]
-    lines = list(rows_to_json_events(d.decode_stream(trace)))
-    objs = [json.loads(x) for x in lines]
-    assert [o["op"] for o in objs] == ["begin", "insert", "commit"]
-    assert objs[1]["row"] == {"id": 1, "ts": "2024-01-01T00:00:00", "amt": "9.99"}
-    assert objs[2]["lsn"] == 3
-
-
 def test_trace_to_spool_to_streaming_pipeline(spark, tmp_path):
     """Full bridge: recorded pgoutput trace -> spool JSONL ->
     StreamingIngestor micro-batch merge -> table. The replication capture
@@ -414,3 +394,61 @@ def test_malformed_frames_fail_as_schema_errors():
                     d.decode(fr)
         except MoonlinkError:
             pass
+
+
+def test_streamed_subxact_rows_stage_under_toplevel_xid():
+    """Review r10: streamed DML carries the (SUB)transaction xid in its
+    per-message prefix, but Stream Commit carries the TOPLEVEL xid —
+    staging by the per-message xid stranded savepoint-written rows in a
+    stream no commit referenced (silently lost)."""
+    d = PgoutputDecoder()
+    evs = [
+        e
+        for e in d.decode_stream([
+            USERS_REL,
+            stream_start(100),
+            insert(16385, ["1", "a", "1"], xid=100),   # toplevel row
+            insert(16385, ["2", "b", "2"], xid=101),   # savepoint row
+            stream_stop(),
+            stream_commit(100, 50),
+        ])
+        if e is not None
+    ]
+    dml = [e for e in evs if e.op == "insert"]
+    assert [e.xact_id for e in dml] == [100, 100]  # BOTH under toplevel
+    assert evs[-1].op == "stream_commit" and evs[-1].xact_id == 100
+
+
+def test_streamed_subxact_abort_fails_loud():
+    """A savepoint-only rollback cannot be excised from the toplevel
+    stream's staging; it must fail loud, not silently abort everything."""
+    d = PgoutputDecoder()
+    frames = [
+        USERS_REL, stream_start(100),
+        insert(16385, ["1", "a", "1"], xid=100), stream_stop(),
+        b"A" + struct.pack(">ii", 100, 101),  # subxid != xid
+    ]
+    with pytest.raises(SchemaError, match="subtransaction"):
+        list(d.decode_stream(frames))
+
+
+def test_truncate_fails_loud():
+    """Review r10: silently skipping TRUNCATE left every pre-truncate
+    row in the table forever (unreported divergence)."""
+    d = PgoutputDecoder()
+    with pytest.raises(SchemaError, match="TRUNCATE"):
+        list(d.decode_stream([
+            USERS_REL, begin(10),
+            b"T" + struct.pack(">iBI", 1, 0, 16385),
+        ]))
+
+
+def test_reader_overrun_raises_schema_error():
+    """Review r10: a corrupt frame declaring more bytes than remain must
+    raise, not silently yield a truncated value."""
+    d = PgoutputDecoder()
+    list(d.decode_stream([begin(10), USERS_REL]))
+    good = insert(16385, ["1", "abcdef", "1"])
+    # truncate the frame mid-value: the declared text length overruns
+    with pytest.raises(SchemaError):
+        d.decode(good[:-4])
