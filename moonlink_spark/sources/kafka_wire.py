@@ -94,13 +94,20 @@ _CRC32C_TABLE: list[int] = []
 
 
 def _crc32c_table() -> list[int]:
+    # build into a LOCAL and publish with one atomic extend: two broker
+    # threads racing the first use otherwise interleave item-by-item
+    # appends into the shared list, permanently corrupting every CRC
+    # computed afterwards (review r10)
     if not _CRC32C_TABLE:
         poly = 0x82F63B78  # reflected 0x1EDC6F41
+        local = []
         for n in range(256):
             c = n
             for _ in range(8):
                 c = (c >> 1) ^ poly if c & 1 else c >> 1
-            _CRC32C_TABLE.append(c)
+            local.append(c)
+        if not _CRC32C_TABLE:  # single atomic publish (GIL-protected)
+            _CRC32C_TABLE.extend(local)
     return _CRC32C_TABLE
 
 
@@ -233,9 +240,13 @@ _VARINT_CACHE: list[bytes] = []
 
 def _varint_cache() -> list[bytes]:
     """Pre-encoded varints for 0..16383 (every offsetDelta and most
-    length prefixes in practice hit this)."""
+    length prefixes in practice hit this). Built into a local and
+    published with ONE extend — racing first uses must not interleave
+    (review r10)."""
     if not _VARINT_CACHE:
-        _VARINT_CACHE.extend(_varint(n) for n in range(16384))
+        local = [_varint(n) for n in range(16384)]
+        if not _VARINT_CACHE:
+            _VARINT_CACHE.extend(local)
     return _VARINT_CACHE
 
 
@@ -537,6 +548,10 @@ def decode_record_batches(
             if klen < 0:
                 key = None
             else:
+                if p + klen > len(tail):
+                    raise ValueError(
+                        f"record key length {klen} overruns the batch"
+                    )
                 key = tail[p : p + klen]
                 p += klen
             r = 0
@@ -555,6 +570,12 @@ def decode_record_batches(
                 # external Kafka-protocol client must survive decode)
                 value = None
             else:
+                if p + vlen > len(tail):
+                    # a lying length must fail, not silently persist a
+                    # truncated record into the log (review r10)
+                    raise ValueError(
+                        f"record value length {vlen} overruns the batch"
+                    )
                 value = tail[p : p + vlen]
             yield base + od, key, value
             p = end
@@ -1001,6 +1022,8 @@ class KafkaWireBroker:
                         IndexError,
                         KeyError,
                         UnicodeDecodeError,
+                        AttributeError,  # null where a string is required
+                        TypeError,
                     ):
                         # malformed request BODY: a real broker drops the
                         # connection on unparseable requests
@@ -1083,6 +1106,11 @@ class KafkaWireBroker:
         keys = [(0, 3, 3), (1, 4, 4), (2, 1, 1), (3, 1, 1), (8, 2, 2),
                 (9, 1, 1), (11, 0, 0), (12, 0, 0), (13, 0, 0), (14, 0, 0),
                 (18, 0, 0)]
+        if self.sasl_credentials:
+            # standards-following clients consult ApiVersions BEFORE
+            # handshaking; omitting 17/36 made them refuse to
+            # authenticate against a SASL-gated broker (review r10)
+            keys += [(17, 0, 1), (36, 0, 0)]
         out = struct.pack(">hi", _ERR_NONE, len(keys))
         for k, lo, hi in keys:
             out += struct.pack(">hhh", k, lo, hi)
@@ -1208,7 +1236,12 @@ class KafkaWireBroker:
                 if log is None:
                     parts.append((part, _ERR_UNKNOWN_TOPIC, -1))
                     continue
-                off = 0 if ts == -2 else log.next_offset  # -2 earliest
+                # -2 earliest, -1 latest. A real timestamp (seek-by-
+                # time) has no timestamp index here; returning the
+                # EARLIEST offset over-delivers (the consumer filters
+                # forward) — returning log end silently skipped every
+                # existing message (review r10)
+                off = log.next_offset if ts == -1 else 0
                 parts.append((part, _ERR_NONE, off))
             out_topics.append((topic, parts))
         out = struct.pack(">i", len(out_topics))
