@@ -65,7 +65,13 @@ class DbPollingSource:
         self.ph = _PARAM[paramstyle]
         self.batch_limit = batch_limit
         self.gap_timeout_s = gap_timeout_s
-        self._gap_first_seen: dict[int, float] = {}
+        # Missing-id spans tracked as (lo, hi, first_seen) INTERVALS, not
+        # per-id entries: outbox ids are ordered but not dense (sequence
+        # caching, setval, rolled-back bursts), so batch_max - cursor can be
+        # arbitrarily larger than batch_limit and a per-id dict would make
+        # one poll loop/allocate over the whole hole (review r11). Interval
+        # count is bounded by len(visible)+1 per poll regardless of span.
+        self._gap_intervals: list[tuple[int, int, float]] = []
         os.makedirs(spool_dir, exist_ok=True)
 
     # -- cursor persistence (crash-safe: files are emitted BEFORE the cursor
@@ -103,35 +109,63 @@ class DbPollingSource:
             con.close()
         if not rows:
             return 0
-        # advance only past CONTIGUOUS (or timed-out-missing) ids: an
+        # advance only past CONTIGUOUS (or timed-out-missing) id spans: an
         # uncommitted writer holding a lower id than a visible row must
-        # get a grace period to appear, or its event is lost forever
+        # get a grace period to appear, or its event is lost forever.
+        # Every missing span's grace clock starts NOW (not lazily as the
+        # advance reaches it — a run of k missing spans would otherwise
+        # need k consecutive grace periods to clear). Spans are intervals:
+        # a billion-id sequence jump costs one tuple, not a billion clocks.
         import time as _time
 
         now = _time.monotonic()
-        visible = {int(r[0]) for r in rows}
-        batch_max = max(visible)
-        # start every missing id's grace clock NOW (not lazily as the
-        # advance reaches it — a run of k missing ids would otherwise
-        # need k consecutive grace periods to clear)
-        for missing in range(cursor + 1, batch_max + 1):
-            if missing not in visible:
-                self._gap_first_seen.setdefault(missing, now)
+        vis_sorted = sorted({int(r[0]) for r in rows})
+        # current missing spans between cursor and batch_max
+        raw_gaps: list[tuple[int, int]] = []
+        prev = cursor
+        for v in vis_sorted:
+            if v > prev + 1:
+                raw_gaps.append((prev + 1, v - 1))
+            prev = v
+        # carry first_seen over from prior polls: split each current gap
+        # against the (ascending, disjoint) stored intervals; covered
+        # pieces keep their old clock, newly-missing pieces start now
+        old = self._gap_intervals
+        pieces: list[tuple[int, int, float]] = []
+        for lo, hi in raw_gaps:
+            cur = lo
+            for olo, ohi, ot in old:
+                if ohi < cur or olo > hi:
+                    continue
+                if olo > cur:
+                    pieces.append((cur, olo - 1, now))
+                    cur = olo
+                seg_hi = min(ohi, hi)
+                if seg_hi >= cur:
+                    pieces.append((cur, seg_hi, ot))
+                    cur = seg_hi + 1
+                if cur > hi:
+                    break
+            if cur <= hi:
+                pieces.append((cur, hi, now))
+        # advance through visible ids and EXPIRED gap spans in order;
+        # stop at the first span still inside its grace period
+        gap_at = {lo: (hi, t) for lo, hi, t in pieces}
         safe = cursor
-        nxt = cursor + 1
-        while nxt <= batch_max:
-            if nxt in visible:
-                self._gap_first_seen.pop(nxt, None)
+        vi = 0
+        while True:
+            nxt = safe + 1
+            if vi < len(vis_sorted) and vis_sorted[vi] == nxt:
                 safe = nxt
-                nxt += 1
+                vi += 1
                 continue
-            if now - self._gap_first_seen[nxt] >= self.gap_timeout_s:
-                # presumed rolled back (or a sequence hole): skip it
-                self._gap_first_seen.pop(nxt, None)
-                safe = nxt
-                nxt += 1
+            span = gap_at.get(nxt)
+            if span is not None and now - span[1] >= self.gap_timeout_s:
+                # presumed rolled back (or a sequence hole): skip the span
+                safe = span[0]
                 continue
-            break  # in-grace gap: stop here, re-poll picks the rest up
+            break  # in-grace gap (or batch end): re-poll picks the rest up
+        self._gap_intervals = [p for p in pieces if p[1] > safe]
         rows = [r for r in rows if int(r[0]) <= safe]
         if not rows:
             return 0

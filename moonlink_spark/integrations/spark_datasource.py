@@ -245,12 +245,22 @@ def _filter_to_condition(f) -> tuple[str, str, Any] | None:
 
 class MoonlinkFilePartition(InputPartition):
     """One data file + its deleted row positions + the target schema
-    (arrow IPC bytes, so the executor needs no RPC connection)."""
+    (arrow IPC bytes, so the executor needs no RPC connection to READ;
+    ``renew`` is an optional (host, port, db, table, ttl_s) endpoint the
+    task best-effort touches so the scan's vacuum lease outlives long
+    read phases — see MoonlinkRpcServer pin_lease_s ceiling note)."""
 
-    def __init__(self, path: str, deleted: tuple[int, ...], schema_ipc: bytes):
+    def __init__(
+        self,
+        path: str,
+        deleted: tuple[int, ...],
+        schema_ipc: bytes,
+        renew: tuple | None = None,
+    ):
         self.path = path
         self.deleted = deleted
         self.schema_ipc = schema_ipc
+        self.renew = renew
 
 
 class MoonlinkDataSourceReader(DataSourceReader):
@@ -259,6 +269,20 @@ class MoonlinkDataSourceReader(DataSourceReader):
         # instead of re-running the whole RPC conversation / DV reads
         self._schema_ipc, self._parts, self._pin = plan or _plan(options)
         self._prune = None
+        # RPC transport: tasks renew the post-planning vacuum lease so a
+        # read phase longer than the server's pin_lease_s window keeps
+        # its snapshot protected (review r11). ``pin_lease_s`` reader
+        # option sizes the renewal; the local (path) transport has no
+        # server and no vacuum race, so no renewal.
+        self._renew = None
+        if "port" in options:
+            self._renew = (
+                options.get("host", "127.0.0.1"),
+                int(options["port"]),
+                options["database"],
+                options["table"],
+                float(options.get("pin_lease_s", 300.0)),
+            )
 
     def pushFilters(self, filters):
         """File-level pruning from the manifest's per-file min/max stats
@@ -279,7 +303,7 @@ class MoonlinkDataSourceReader(DataSourceReader):
 
     def partitions(self):  # noqa: D102
         return [
-            MoonlinkFilePartition(p, d, self._schema_ipc)
+            MoonlinkFilePartition(p, d, self._schema_ipc, self._renew)
             for p, d, stats in self._parts
             if self._prune is None or self._prune.file_may_match(stats)
         ]
@@ -295,6 +319,22 @@ class MoonlinkDataSourceReader(DataSourceReader):
             # pyspark substitutes [None] when partitions() returns an
             # empty list (empty table, or every file pruned): zero rows
             return
+        if getattr(partition, "renew", None) is not None:
+            # best-effort lease touch at task start: extends vacuum
+            # protection when the read phase outlives pin_lease_s. A
+            # failed touch must not fail the read — the lease may still
+            # be live (and the local-path transport never sets this).
+            try:
+                from moonlink_spark.rpc import MoonlinkRpcClient
+
+                host, port, db, tbl, ttl_s = partition.renew
+                c = MoonlinkRpcClient(host, port)
+                try:
+                    c.lease_renew(db, tbl, ttl_s)
+                finally:
+                    c.close()
+            except Exception:
+                pass
         with pa.ipc.open_stream(partition.schema_ipc) as r:
             target = r.schema
         deleted = set(partition.deleted)

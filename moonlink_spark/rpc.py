@@ -119,6 +119,10 @@ RPC_DEFS: dict[str, tuple[int, list[tuple[str, str]]]] = {
     "optimize_table": (7, [("database", "s"), ("table", "s"), ("mode", "s")]),
     "scan_table_begin": (8, [("database", "s"), ("table", "s"), ("lsn", "u")]),
     "scan_table_end": (9, [("database", "s"), ("table", "s")]),
+    # EXTENSION (variant 100, outside the reference's 0-9 RPC space):
+    # executors touch this to extend the post-planning vacuum lease when a
+    # scan's read phase outlives the fixed pin_lease_s window (review r11).
+    "lease_renew": (100, [("database", "s"), ("table", "s"), ("ttl_ms", "u")]),
 }
 _BY_INDEX = {idx: (name, spec) for name, (idx, spec) in RPC_DEFS.items()}
 
@@ -288,7 +292,15 @@ class MoonlinkRpcServer:
         socket closes before executors read the planned files, so an
         instant release would let vacuum delete files mid-query. 0
         restores instant release (a crashed reader then never delays
-        GC)."""
+        GC).
+
+        CEILING: this window is NOT tied to query lifetime. A read phase
+        longer than pin_lease_s loses vacuum protection mid-query unless
+        executors renew — the Spark data source reader does this
+        automatically (one ``lease_renew`` touch per task; see
+        integrations/spark_datasource.py), and other readers can call
+        ``MoonlinkRpcClient.lease_renew`` themselves or size the window
+        at plan time via the reader's ``pin_lease_s`` option."""
         self.backend = backend
         self.pin_lease_s = pin_lease_s
         rpc = self
@@ -422,6 +434,10 @@ class MoonlinkRpcServer:
             )
             conn_pins.append((kw["database"], kw["table"], version))
             return enc_bytes(blob)
+        if name == "lease_renew":
+            t = self.backend.get_table(kw["database"], kw["table"])
+            renewed = t.renew_leases(kw["ttl_ms"] / 1000.0)
+            return enc_varint(renewed)
         if name == "scan_table_end":
             # release the most recent pin THIS connection holds for the
             # table; a double-end is a no-op (never an underflow)
@@ -606,3 +622,19 @@ class MoonlinkRpcClient:
 
     def scan_table_end(self, database: str, table: str) -> None:
         self._call("scan_table_end", database=database, table=table)
+
+    def lease_renew(
+        self, database: str, table: str, ttl_s: float = 300.0
+    ) -> int:
+        """Extend every still-active vacuum lease on the table to at least
+        ``now + ttl_s`` (extension RPC; see RPC_DEFS). Returns the number
+        of leases extended — 0 means every lease already lapsed and the
+        caller's snapshot may no longer be protected."""
+        buf = self._call(
+            "lease_renew",
+            database=database,
+            table=table,
+            ttl_ms=int(ttl_s * 1000),
+        )
+        n, _ = dec_varint(buf, 0)
+        return n

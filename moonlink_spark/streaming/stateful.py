@@ -26,6 +26,13 @@ RUNNING_STATS_SCHEMA = T.StructType(
     ]
 )
 
+# STATE-SCHEMA COMPATIBILITY: the ``nv`` field was added after the original
+# 3-field (n, total, mx) schema shipped. Spark's state store pins the state
+# schema per checkpoint — a running_user_stats stream restarted from a
+# checkpoint written by the 3-field version fails Spark's state-schema
+# compatibility check (and the 4-tuple unpack of state.get). Upgrading an
+# existing stream therefore requires a NEW checkpointLocation (the stream
+# rebuilds state from the source); there is no in-place migration.
 _STATE_SCHEMA = "n BIGINT, total DOUBLE, mx DOUBLE, nv BIGINT"
 
 

@@ -244,9 +244,14 @@ def _replay_log(
     versions = _log_versions(log_dir)
     start = 0
     cp = _read_checkpoint_state(log_dir)
-    # a checkpoint newer than every JSON version would mean log files
-    # were deleted out from under us — distrust it and replay what's left
-    if cp is not None and versions and cp[0] <= versions[-1]:
+    # A valid checkpoint is authoritative for state AT its version even
+    # when no newer JSON commit survives: the protocol explicitly allows
+    # metadata cleanup / external writers to delete JSON commits the
+    # checkpoint covers (PROTOCOL.md "Checkpoints"). Replaying "what's
+    # left" in that case silently reconstructs a wrong live set (review
+    # r11). Corrupted/torn checkpoints already fall back via the None
+    # return from _read_checkpoint_state.
+    if cp is not None:
         start, live, schema_string, protocol = cp
         live = dict(live)
         start += 1
@@ -266,7 +271,11 @@ def _replay_log(
                     schema_string = action["metaData"]["schemaString"]
                 elif "protocol" in action:
                     protocol = action["protocol"]
+    # next version must clear BOTH the newest surviving JSON commit and
+    # the checkpoint version (the JSON tail may have been cleaned away)
     next_version = (versions[-1] + 1) if versions else 0
+    if cp is not None:
+        next_version = max(next_version, cp[0] + 1)
     return next_version, live, schema_string, protocol
 
 

@@ -653,8 +653,10 @@ class CachedFS:
 
     # write-shaped accessor extensions: must invalidate like the six
     # wrapped mutators above — delegating them raw served STALE cached
-    # bytes after an extension write (review r10); the path is the
-    # first positional argument for every one of these
+    # bytes after an extension write (review r10); every accessor names
+    # its store-path parameter ``path``, so the target is resolved by
+    # SIGNATURE BINDING, not positional index — keyword calls
+    # (fs.write_bytes(path=dst, data=b)) invalidate too (review r11)
     _MUTATING_EXTENSIONS = frozenset(
         {"write_bytes", "upload_file", "upload_multipart", "append_bytes"}
     )
@@ -664,10 +666,22 @@ class CachedFS:
         if name in self._MUTATING_EXTENSIONS and callable(attr):
             def _invalidating(*args: Any, _attr=attr, **kw: Any):
                 out = _attr(*args, **kw)
-                # upload_file(local, dst): the STORE path is arg 2
-                target = args[1] if name == "upload_file" and len(args) > 1 else (
-                    args[0] if args else None
-                )
+                target = kw.get("path")
+                if target is None:
+                    import inspect as _inspect
+
+                    try:
+                        bound = _inspect.signature(_attr).bind(*args, **kw)
+                        target = bound.arguments.get("path")
+                    except (TypeError, ValueError):
+                        # unbindable/no-signature fallback: the store
+                        # path is positional arg 1 (arg 2 for
+                        # upload_file(local, path))
+                        target = (
+                            args[1]
+                            if name == "upload_file" and len(args) > 1
+                            else (args[0] if args else None)
+                        )
                 if isinstance(target, str):
                     self._invalidate(target)
                 return out

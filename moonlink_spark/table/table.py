@@ -337,6 +337,31 @@ class MoonlinkTable:
                 self._version_leases.get(version, 0.0), expiry
             )
 
+    def renew_leases(self, ttl_s: float) -> int:
+        """Extend every still-active lease to at least ``now + ttl_s``;
+        returns how many leases were extended. Executors touch this (via
+        the ``lease_renew`` RPC) when a scan's read phase outlives the
+        fixed post-planning lease window — without renewal a straggling
+        or spilled stage loses vacuum protection mid-query (review r11).
+        Expired leases are NOT resurrected: a lease that already lapsed
+        may have had its files vacuumed, and extending it would claim a
+        protection that no longer exists."""
+        import time as _time
+
+        if ttl_s <= 0:
+            return 0
+        renewed = 0
+        with self._lock:
+            now = _time.monotonic()
+            floor = now + ttl_s
+            for v, exp in list(self._version_leases.items()):
+                if exp <= now:
+                    del self._version_leases[v]
+                    continue
+                self._version_leases[v] = max(exp, floor)
+                renewed += 1
+        return renewed
+
     def unpin_version(self, version: int) -> None:
         """Drop one pin; unknown/over-released versions are a no-op (a
         reader double-ending a scan must not underflow a live pin)."""

@@ -203,3 +203,88 @@ def test_out_of_order_commit_not_skipped(tmp_path):
     time.sleep(0.6)
     assert src.poll_once() == 1  # grace expired: 6 emitted
     con.close()
+
+
+def test_sparse_sequence_jump_is_interval_tracked(tmp_path):
+    """Review r11: outbox ids are ordered, not dense — a sequence jump of
+    billions of ids (PG sequence caching, setval, crash restarts) must
+    cost one gap INTERVAL, not one grace clock per missing id. Per-id
+    tracking looped/allocated over the whole hole and wedged the poller."""
+    import sqlite3
+    import time
+
+    db = str(tmp_path / "s.db")
+    _setup_db(db)
+    con = sqlite3.connect(db)
+    con.execute(
+        "INSERT INTO outbox (change_id, op, row_json) VALUES "
+        '(1, \'insert\', \'{"id": 1, "name": "a"}\')'
+    )
+    # a ~10-billion-id sequence jump
+    con.execute(
+        "INSERT INTO outbox (change_id, op, row_json) VALUES "
+        '(10000000000, \'insert\', \'{"id": 2, "name": "b"}\')'
+    )
+    con.commit()
+
+    spool = str(tmp_path / "spool")
+    src = DbPollingSource(
+        lambda: sqlite3.connect(db), "outbox", spool, gap_timeout_s=0.3
+    )
+    t0 = time.monotonic()
+    assert src.poll_once() == 1  # id 1; the jump span is one in-grace gap
+    assert time.monotonic() - t0 < 2.0  # NOT O(span) work
+    # the whole span is ONE stored interval, not billions of dict entries
+    assert len(src._gap_intervals) == 1
+    lo, hi, _ = src._gap_intervals[0]
+    assert (lo, hi) == (2, 9999999999)
+    time.sleep(0.35)
+    t0 = time.monotonic()
+    assert src.poll_once() == 1  # grace expired: the span is skipped whole
+    assert time.monotonic() - t0 < 2.0
+    assert src._load_cursor() == 10000000000
+    assert src._gap_intervals == []
+    con.close()
+
+
+def test_gap_interval_partial_fill_keeps_clock(tmp_path):
+    """A gap span that PARTIALLY fills must keep the original grace clock
+    on the still-missing pieces (splitting, not resetting), and a piece
+    that becomes visible mid-span must emit in order."""
+    import sqlite3
+    import time
+
+    db = str(tmp_path / "p.db")
+    _setup_db(db)
+    con = sqlite3.connect(db)
+    con.execute(
+        "INSERT INTO outbox (change_id, op, row_json) VALUES "
+        '(1, \'insert\', \'{"id": 1, "name": "a"}\')'
+    )
+    con.execute(
+        "INSERT INTO outbox (change_id, op, row_json) VALUES "
+        '(6, \'insert\', \'{"id": 6, "name": "f"}\')'
+    )
+    con.commit()
+    spool = str(tmp_path / "spool")
+    src = DbPollingSource(
+        lambda: sqlite3.connect(db), "outbox", spool, gap_timeout_s=0.5
+    )
+    assert src.poll_once() == 1  # id 1; gap (2..5) in grace
+    time.sleep(0.25)
+    # id 4 commits mid-gap: splits (2..5) into (2..3) and (5..5),
+    # both keeping the ORIGINAL first_seen
+    con.execute(
+        "INSERT INTO outbox (change_id, op, row_json) VALUES "
+        '(4, \'insert\', \'{"id": 4, "name": "d"}\')'
+    )
+    con.commit()
+    assert src.poll_once() == 0  # (2..3) still in grace: 4 and 6 wait
+    assert [(lo, hi) for lo, hi, _ in src._gap_intervals] == [(2, 3), (5, 5)]
+    t_a = src._gap_intervals[0][2]
+    t_b = src._gap_intervals[1][2]
+    assert t_a == t_b  # split pieces inherit one original clock
+    time.sleep(0.3)  # total > 0.5 since first seen, < 0.5 since split
+    assert src.poll_once() == 2  # 4 then 6: both gaps expired on the OLD clock
+    assert src._load_cursor() == 6
+    con.close()

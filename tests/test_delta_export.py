@@ -369,10 +369,12 @@ def test_corrupt_checkpoint_falls_back_to_log_replay(spark, tmp_path):
     assert duck_rows(dest) == expected
 
 
-def test_checkpoint_newer_than_log_is_distrusted(spark, tmp_path):
-    """If JSON versions after the checkpoint were deleted (or the
-    checkpoint leaked in from elsewhere), replay must not trust a
-    checkpoint claiming a version beyond the visible log."""
+def test_checkpoint_survives_json_metadata_cleanup(spark, tmp_path):
+    """Review r11: the Delta protocol allows deleting JSON commits a
+    checkpoint covers (metadata cleanup / external writers). A valid
+    checkpoint with NO newer surviving JSON commit is authoritative —
+    replaying only the leftover tail silently reconstructed a wrong
+    live set (the pre-r11 behavior distrusted exactly this case)."""
     from moonlink_spark.table.delta_export import write_delta_checkpoint
 
     t = make_table(spark, tmp_path)
@@ -382,13 +384,21 @@ def test_checkpoint_newer_than_log_is_distrusted(spark, tmp_path):
     t.commit(lsn=2)
     export_delta(t, dest, lsn=2)
     write_delta_checkpoint(dest)  # checkpoint at v1
+    expected = spark_rows(t)
     log_dir = os.path.join(dest, LOG_DIR)
+    # cleanup deletes the newest JSON commit the checkpoint covers:
+    # checkpoint (v1) > max surviving json version (0) — still trusted
     os.unlink(os.path.join(log_dir, f"{1:020d}.json"))
-    # v1 json is gone; checkpoint (v1) > max json version (0) -> replay
-    # only the remaining log, no crash, v0 state
-    next_version, live, _s, _p = _replay_log(log_dir)
-    assert next_version == 1
-    assert live  # v0 adds
+    next_version, live, schema_string, protocol = _replay_log(log_dir)
+    assert next_version == 2  # clears the checkpoint, not just v0
+    assert schema_string and protocol
+    assert duck_rows(dest) == expected  # v1 state, NOT the v0 live set
+    # full cleanup: every JSON commit gone, checkpoint alone remains
+    os.unlink(os.path.join(log_dir, f"{0:020d}.json"))
+    next_version, live, schema_string, protocol = _replay_log(log_dir)
+    assert next_version == 2
+    assert live and schema_string and protocol
+    assert duck_rows(dest) == expected
 
 
 def test_checkpoint_version_stamp_matches_replayed_state(spark, tmp_path):

@@ -405,3 +405,27 @@ def test_cachedfs_write_extension_invalidates(tmp_path):
     )
     fs.upload_file(str(local), "b/x.avro")
     assert fs.open_read_binary("b/x.avro").read() == b"uploaded-3"
+
+
+def test_cachedfs_write_extension_invalidates_kwargs(tmp_path):
+    """Review r11: invalidation resolved the target path only from
+    POSITIONAL args — keyword calls (write_bytes(path=..., data=...),
+    upload_file(local, path=...)) bypassed it and served stale bytes."""
+    remote = make_remote({"k/x.bin": b"old-1"})
+    c = ObjectStorageCache(max_bytes=10_000, cache_directory=str(tmp_path / "ck"))
+    fs = CachedFS(remote, c)
+    assert fs.open_read_binary("k/x.bin").read() == b"old-1"
+    remote.write_bytes = lambda path, data: remote.inner.store.put(path, data)
+    fs.write_bytes(path="k/x.bin", data=b"new-2")  # all-keyword call
+    assert fs.open_read_binary("k/x.bin").read() == b"new-2"
+    # mixed call: positional local, keyword destination
+    local = tmp_path / "l.bin"
+    local.write_bytes(b"up-3")
+    remote.upload_file = lambda local_path, path: remote.inner.store.put(
+        path, open(local_path, "rb").read()
+    )
+    fs.upload_file(str(local), path="k/x.bin")
+    assert fs.open_read_binary("k/x.bin").read() == b"up-3"
+    # data-first keyword order must also resolve the right target
+    fs.write_bytes(data=b"new-4", path="k/x.bin")
+    assert fs.open_read_binary("k/x.bin").read() == b"new-4"

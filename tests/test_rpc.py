@@ -282,3 +282,50 @@ def test_connection_death_converts_pin_to_bounded_lease(spark, tmp_path):
         assert not t.pinned_versions(), "pin leaked after connection death"
     finally:
         srv0.stop()
+
+
+def test_lease_renew_extends_active_leases_only(spark, tmp_path):
+    """Review r11: a scan whose executor read phase outlives the fixed
+    pin_lease_s window must be able to RENEW the lease (extension RPC
+    ``lease_renew``) — and renewal must never resurrect a lease that
+    already lapsed (its files may be vacuumed)."""
+    import os
+    import time
+
+    from moonlink_spark.backend import MoonlinkBackend
+    from moonlink_spark.rpc import MoonlinkRpcClient, MoonlinkRpcServer
+    from moonlink_spark.table.identity import IdentityProp
+    from moonlink_spark.table.maintenance import optimize, vacuum
+
+    be = MoonlinkBackend(spark, str(tmp_path / "wh-renew"))
+    t = be.create_table("db", "slow", USERS_SCHEMA, IdentityProp.single("id"))
+    t.append_rows([{"id": 1, "name": "a"}])
+    t.commit(lsn=1)
+
+    srv = MoonlinkRpcServer(be, pin_lease_s=0.8).start()
+    try:
+        planner = MoonlinkRpcClient("127.0.0.1", srv.port)
+        blob = planner.scan_table_begin("db", "slow", 0)
+        planner.sock.close()  # pin -> 0.8s lease
+        time.sleep(0.3)
+        # a long-running task touches the lease past the original window
+        executor = MoonlinkRpcClient("127.0.0.1", srv.port)
+        assert executor.lease_renew("db", "slow", ttl_s=2.0) == 1
+        time.sleep(0.9)  # original window has now lapsed; renewal holds
+        t.append_rows([{"id": 2, "name": "b"}])
+        t.commit(lsn=2)
+        optimize(t)
+        vacuum(t, keep_versions=1)
+        for p in blob.data_files:
+            assert os.path.exists(p), "renewed lease did not hold"
+        # after the renewed TTL drains, renewal of a LAPSED lease is a
+        # no-op (returns 0) — never a resurrection
+        deadline = time.monotonic() + 6
+        while t.pinned_versions() and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert not t.pinned_versions()
+        assert executor.lease_renew("db", "slow", ttl_s=60.0) == 0
+        assert not t.pinned_versions()
+        executor.close()
+    finally:
+        srv.stop()
