@@ -96,7 +96,74 @@ class CdcSink:
 
     def apply(self, events: Iterable[CdcEvent]) -> CdcApplyStats:
         stats = CdcApplyStats()
-        for ev in events:
+        ident = self.table.identity
+        # Per-key SQUASH of contiguous plain-txn DML (the reference's
+        # mem-slice shape: events land in an in-memory buffer keyed by
+        # identity before flush, mooncake_table.rs). Without it, an
+        # N-event transaction staged one delete op per update/delete
+        # event, which the table materializes as one distributed DV job
+        # EACH — quadratic against the accumulating DVs, hours for a few
+        # thousand events (review r11). Squashing is exact for key
+        # identities because keys are independent and per-key net effect
+        # is computed in event order; full_row identity keeps the
+        # per-event path (occurrence multiplicity is load-bearing), as
+        # do streamed sub-transactions (their stream staging is cheap).
+        squash = ident.mode in ("single", "keys")
+        key_cols = list(ident.columns) if squash else []
+
+        def _key(row: dict[str, Any]) -> tuple:
+            return tuple(row[c] for c in key_cols)
+
+        events = list(events)
+        n = len(events)
+        i = 0
+        while i < n:
+            ev = events[i]
+            if (
+                squash
+                and ev.xact_id is None
+                and ev.op in ("insert", "update", "delete")
+            ):
+                del_keys: dict[tuple, dict[str, Any]] = {}
+                live: dict[tuple, dict[str, Any]] = {}
+                j = i
+                while j < n:
+                    e = events[j]
+                    if e.xact_id is not None or e.op not in (
+                        "insert", "update", "delete"
+                    ):
+                        break
+                    if e.op == "insert":
+                        live[_key(e.row)] = e.row
+                        stats.inserts += 1
+                    elif e.op == "update":
+                        # delete(old) + append(new), netted per key:
+                        # a key inserted earlier in this run never
+                        # existed in the table, so popping it from the
+                        # buffer IS the delete
+                        old = e.old_row if e.old_row is not None else e.row
+                        k_old = _key(old)
+                        if k_old in live:
+                            live.pop(k_old)
+                        else:
+                            del_keys[k_old] = {c: old[c] for c in key_cols}
+                        live[_key(e.row)] = e.row
+                        stats.updates += 1
+                    else:  # delete
+                        k = _key(e.row)
+                        if k in live:
+                            live.pop(k)
+                        else:
+                            del_keys[k] = {c: e.row[c] for c in key_cols}
+                        stats.deletes += 1
+                    j += 1
+                if del_keys:
+                    self.table.delete_rows(list(del_keys.values()))
+                if live:
+                    self.table.append_rows(list(live.values()))
+                i = j
+                continue
+            i += 1
             if ev.op == "begin":
                 continue
             if ev.op == "insert":

@@ -556,3 +556,84 @@ def _row_json(row: dict[str, Any] | None) -> dict[str, Any] | None:
             out[k] = v
     return out
 
+
+
+# --------------------------------------------------------------------------- #
+# pgoutput message ENCODER — the walsender-side counterpart of the decoder
+# above (same public layouts: protocol.html "Logical Replication Message
+# Formats"). Used to author replication traces that ReplicationWireServer
+# serves over the copy-both wire; a real deployment records these bytes
+# from an actual walsender instead.
+# --------------------------------------------------------------------------- #
+
+
+def _enc_cstr(s: str) -> bytes:
+    return s.encode("utf-8") + b"\x00"
+
+
+def _enc_tuple(values: list) -> bytes:
+    """TupleData: None -> 'n' (SQL NULL); anything else -> 't' + text
+    form (the text-format column value the decoder parses per type)."""
+    out = struct.pack(">h", len(values))
+    for v in values:
+        if v is None:
+            out += b"n"
+        else:
+            b = str(v).encode("utf-8")
+            out += b"t" + struct.pack(">i", len(b)) + b
+    return out
+
+
+def encode_begin(lsn: int, ts_us: int = 0, xid: int = 1) -> bytes:
+    return b"B" + struct.pack(">QqI", lsn, ts_us, xid)
+
+
+def encode_commit(lsn: int, ts_us: int = 0) -> bytes:
+    return b"C" + struct.pack(">BQQq", 0, lsn, lsn + 8, ts_us)
+
+
+def encode_relation(
+    rel_id: int,
+    name: str,
+    cols: list[tuple[int, str, int]],
+    namespace: str = "public",
+    identity: str = "d",
+) -> bytes:
+    """``cols``: (flags, column name, type oid) — flags bit 0 marks the
+    replica-identity key column; oids are PG catalog oids (20=int8,
+    23=int4, 25=text, 701=float8, ...)."""
+    out = b"R" + struct.pack(">I", rel_id) + _enc_cstr(namespace)
+    out += _enc_cstr(name) + identity.encode() + struct.pack(">h", len(cols))
+    for flags, cname, oid in cols:
+        out += struct.pack(">B", flags) + _enc_cstr(cname)
+        out += struct.pack(">Ii", oid, -1)
+    return out
+
+
+def encode_insert(rel_id: int, values: list) -> bytes:
+    return b"I" + struct.pack(">I", rel_id) + b"N" + _enc_tuple(values)
+
+
+def encode_update(
+    rel_id: int, new_values: list, old_key: list | None = None
+) -> bytes:
+    out = b"U" + struct.pack(">I", rel_id)
+    if old_key is not None:
+        out += b"K" + _enc_tuple(old_key)
+    return out + b"N" + _enc_tuple(new_values)
+
+
+def encode_delete(rel_id: int, key_values: list) -> bytes:
+    return b"D" + struct.pack(">I", rel_id) + b"K" + _enc_tuple(key_values)
+
+
+def write_trace(path: str, payloads: Iterable[bytes]) -> int:
+    """Write pgoutput payloads as the length-prefixed trace framing that
+    ``read_trace_file`` / ReplicationWireServer consume. Appends (a
+    growing trace models a live WAL); returns bytes written."""
+    n = 0
+    with open(path, "ab") as fh:
+        for p in payloads:
+            fh.write(struct.pack(">I", len(p)) + p)
+            n += 4 + len(p)
+    return n

@@ -30,10 +30,20 @@ The client's status updates report the tailer's committed LSN, which the
 server exposes as ``confirmed_flush_lsn`` — completing the reference's
 acknowledgment loop.
 
-Not implemented (fail-loud or out of scope): PG startup/auth handshake
-(the server accepts the replication query directly; a real deployment
-connects with psycopg's replication connection instead of this client),
-timeline history, physical replication.
+The connection is AUTHENTICATED: the client runs the full PG startup
+through :class:`~moonlink_spark.pg_protocol.PgWireClient` with the
+``replication=database`` startup parameter (libpq's replication
+keyword), so cleartext/MD5/SCRAM-SHA-256(-PLUS) auth and TLS (with
+channel binding) apply to the replication wire exactly as to the query
+wire — the reference connects its replication stream authenticated
+(``postgres_source.rs:532+`` over tokio-postgres), and every real
+``pg_hba.conf`` guards the walsender. The server side requires the
+startup + auth (shared :class:`~moonlink_spark.pg_protocol.ServerAuth`)
+and refuses START_REPLICATION on a non-replication connection, like a
+real walsender.
+
+Not implemented (fail-loud or out of scope): timeline history, physical
+replication.
 """
 
 from __future__ import annotations
@@ -109,7 +119,21 @@ class ReplicationWireServer:
         host: str = "127.0.0.1",
         port: int = 0,
         keepalive_idle_s: float = 0.05,
+        password: str | None = None,
+        auth: str = "password",
+        ssl_cert: str | None = None,
+        ssl_key: str | None = None,
     ):
+        """``password``/``auth``/``ssl_cert``/``ssl_key``: identical
+        semantics to PgMockServer — with a password set, every
+        connection must pass cleartext/MD5/SCRAM auth before
+        START_REPLICATION is accepted; with a cert, SSLRequest upgrades
+        to TLS (and SCRAM offers -PLUS channel binding)."""
+        from moonlink_spark.pg_protocol import ServerAuth
+
+        self._auth = ServerAuth(
+            password=password, auth=auth, ssl_cert=ssl_cert, ssl_key=ssl_key
+        )
         self.trace_path = trace_path
         self.keepalive_idle_s = keepalive_idle_s
         self.confirmed_flush: dict[str, int] = {}
@@ -160,6 +184,27 @@ class ReplicationWireServer:
     def _serve_conn(self, sock: socket.socket) -> None:
         f = sock.makefile("rb")
         try:
+            # authenticated startup FIRST (shared ServerAuth): a real
+            # walsender sits behind the same pg_hba.conf as the query
+            # wire; an unauthenticated/legacy client never reaches
+            # START_REPLICATION
+            res = self._auth.handshake(sock, f)
+            if res is None:
+                return
+            sock, f, params = res
+            # walsender gate: the startup must select a replication
+            # connection (replication=database for logical), like real
+            # PG's "cannot execute START_REPLICATION" on a plain session
+            if params.get(b"replication", b"").decode() != "database":
+                sock.sendall(
+                    self._auth.err(
+                        "42601",
+                        "START_REPLICATION requires replication=database",
+                    )
+                )
+                return
+            sock.sendall(_msg(b"S", b"server_version\x0016.0 (moonlink-walsender)\x00"))
+            sock.sendall(_msg(b"Z", b"I"))  # ReadyForQuery
             t, body = _read_msg(f)
             if t != b"Q":
                 sock.sendall(_msg(b"E", b"SEVERITY\x00expected Query\x00\x00"))
@@ -267,11 +312,25 @@ class ReplicationWireClient:
         port: int,
         spool_path: str,
         slot: str = "moonlink",
+        user: str = "moonlink",
+        database: str = "postgres",
+        password: str | None = None,
+        sslmode: str | None = None,
+        ssl_ca_file: str | None = None,
     ):
+        """Credentials/TLS knobs are PgWireClient's: the replication
+        connection runs the SAME authenticated startup as the query
+        wire, with the ``replication=database`` startup parameter
+        selecting the walsender (postgres_source.rs:532+ parity)."""
         self.host = host
         self.port = port
         self.spool_path = spool_path
         self.slot = slot
+        self.user = user
+        self.database = database
+        self.password = password
+        self.sslmode = sslmode
+        self.ssl_ca_file = ssl_ca_file
         self.tailer = ReplicationTailer(table, spool_path)
 
     def _spool_len(self) -> int:
@@ -300,10 +359,27 @@ class ReplicationWireClient:
     def stream_once(
         self, idle_rounds: int = 3, timeout_s: float = 10.0
     ) -> dict[str, Any]:
-        """Connect, catch up to the feed's current end, apply, ack, and
-        disconnect (the availableNow-style drain; a daemon would loop).
-        Returns tailer stats + wire counters."""
-        sock = socket.create_connection((self.host, self.port), timeout_s)
+        """Connect (authenticated startup with replication=database),
+        catch up to the feed's current end, apply, ack, and disconnect
+        (the availableNow-style drain; a daemon would loop). Returns
+        tailer stats + wire counters."""
+        from moonlink_spark.pg_protocol import PgWireClient
+
+        # the full startup path — TLS negotiation, cleartext/MD5/SCRAM
+        # auth, parameter statuses, ReadyForQuery — then this client
+        # takes over the raw socket for the copy-both leg
+        pg = PgWireClient(
+            self.host,
+            self.port,
+            user=self.user,
+            database=self.database,
+            password=self.password,
+            timeout_s=timeout_s,
+            sslmode=self.sslmode,
+            ssl_ca_file=self.ssl_ca_file,
+            replication="database",
+        )
+        sock = pg.sock
         stats = {"frames": 0, "keepalives": 0, "commits": 0, "events": 0}
         try:
             start = self._spool_len()
@@ -312,7 +388,7 @@ class ReplicationWireClient:
                 f"{lsn_str(start)}\x00"
             )
             sock.sendall(_msg(b"Q", q.encode()))
-            f = sock.makefile("rb")
+            f = pg._f
             t, _ = _read_msg(f)
             if t != b"W":
                 raise ConnectionError(f"expected CopyBothResponse, got {t!r}")

@@ -1380,6 +1380,118 @@ def ingest_copy_wire_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ingest_replication_auth_scan",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 25 = 2 THEN 'XX' ELSE o_orderstatus END
+           AS o_orderstatus
+FROM orders
+WHERE o_orderkey % 5 = 2 AND o_orderkey % 35 <> 2
+""",
+    category="ingest",
+)
+def ingest_replication_auth_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logical replication over the AUTHENTICATED copy-both wire, end to
+    end (parity pg_replicate/postgres_source.rs:532+, which connects its
+    replication stream through tokio-postgres auth): a walsender-shaped
+    server requires SCRAM-SHA-256 + the replication=database startup
+    parameter; the client runs the full PG startup (pg_protocol's SCRAM
+    exchange with mutual server-signature verification), then streams
+    XLogData frames into the crash-safe relay/tailer and acknowledges
+    progress with standby status updates. A wrong-password client is
+    refused first, proving enforcement. The pgoutput trace carries three
+    transactions — inserts, updates (status -> 'XX'), deletes — so the
+    scan exercises the whole decode -> CDC merge path behind auth.
+
+    Scale shape: trace authoring is the SOURCE side (a real deployment's
+    WAL already exists); the relay appends bytes and the tailer's
+    micro-batch merge is the same executor-parallel CDC apply as every
+    other ingest path."""
+    from moonlink_spark.ingest import pgoutput as enc
+    from moonlink_spark.ingest.pgwire import (
+        ReplicationWireClient,
+        ReplicationWireServer,
+    )
+
+    base = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .filter(F.col("o_orderkey") % 5 == 2)
+        .orderBy("o_orderkey")
+    )
+    fields = [
+        {"name": "o_orderkey", "data_type": "int64", "nullable": False},
+        {"name": "o_custkey", "data_type": "int64"},
+        {"name": "o_orderstatus", "data_type": "string"},
+    ]
+    rel_id = 16385
+    rel = enc.encode_relation(
+        rel_id,
+        "orders",
+        [(1, "o_orderkey", 20), (0, "o_custkey", 20), (0, "o_orderstatus", 25)],
+    )
+    rows = base.collect()  # source-side WAL authoring (fixture, not a scan)
+    payloads = [enc.encode_begin(100), rel]
+    payloads += [
+        enc.encode_insert(
+            rel_id, [r["o_orderkey"], r["o_custkey"], r["o_orderstatus"]]
+        )
+        for r in rows
+    ]
+    payloads.append(enc.encode_commit(100))
+    payloads.append(enc.encode_begin(200, xid=2))
+    payloads += [
+        enc.encode_update(rel_id, [r["o_orderkey"], r["o_custkey"], "XX"])
+        for r in rows
+        if r["o_orderkey"] % 25 == 2
+    ]
+    payloads.append(enc.encode_commit(200))
+    payloads.append(enc.encode_begin(300, xid=3))
+    payloads += [
+        enc.encode_delete(rel_id, [r["o_orderkey"], None, None])
+        for r in rows
+        if r["o_orderkey"] % 35 == 2
+    ]
+    payloads.append(enc.encode_commit(300))
+
+    d = _tmp_table_dir("replauth")
+    trace = os.path.join(d, "wal.bin")
+    enc.write_trace(trace, payloads)
+
+    srv = ReplicationWireServer(
+        trace, password="s3cret", auth="scram-sha-256"
+    ).start()
+    try:
+        t = MoonlinkTable.create(
+            spark,
+            os.path.join(d, "table"),
+            fields,
+            IdentityProp.single("o_orderkey"),
+        )
+        # enforcement probe: bad credentials never reach START_REPLICATION
+        intruder = ReplicationWireClient(
+            t, srv.host, srv.port, os.path.join(d, "spool-bad.bin"),
+            password="wrong",
+        )
+        try:
+            intruder.stream_once()
+            raise AssertionError("wrong password was accepted")
+        except AssertionError:
+            raise
+        except Exception:
+            pass  # refused, as required
+        client = ReplicationWireClient(
+            t, srv.host, srv.port, os.path.join(d, "spool.bin"),
+            password="s3cret",
+        )
+        stats = client.stream_once()
+        assert stats["commits"] == 3, stats
+    finally:
+        srv.stop()
+    return t.scan()
+
+
+@register(
     "ingest_pg_metadata_recovery_scan",
     oracle="""
 SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority

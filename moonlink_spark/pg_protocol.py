@@ -555,7 +555,13 @@ class PgWireClient:
         sslmode: str | None = None,
         ssl_ca_file: str | None = None,
         ssl_server_hostname: str | None = None,
+        replication: str | None = None,
     ):
+        """``replication``: startup parameter selecting a replication
+        connection ("database" for logical replication — the walsender
+        then accepts START_REPLICATION; libpq's replication= keyword).
+        Auth/TLS run IDENTICALLY on replication connections — the whole
+        point of routing the replication client through this startup."""
         # libpq's documented environment defaults (PGSSLMODE /
         # PGSSLROOTCERT) apply when the caller passes nothing — the
         # deployment knob every PG client container already understands
@@ -590,7 +596,7 @@ class PgWireClient:
         # last ReadyForQuery status byte (the field real drivers track):
         # b"I" idle, b"T" in a transaction block, b"E" in a failed one
         self.txn_status: bytes = b"I"
-        self._startup(user, database, password)
+        self._startup(user, database, password, replication=replication)
 
     def _tls_negotiate(
         self,
@@ -630,16 +636,22 @@ class PgWireClient:
         )
         self._tls_cert_der = self.sock.getpeercert(binary_form=True)
 
-    def _startup(self, user: str, database: str, password: str | None) -> None:
-        params = b"".join(
-            _cstr(k) + _cstr(v)
-            for k, v in (
-                ("user", user),
-                ("database", database),
-                ("client_encoding", "UTF8"),
-                ("application_name", "moonlink_spark"),
-            )
-        ) + b"\x00"
+    def _startup(
+        self,
+        user: str,
+        database: str,
+        password: str | None,
+        replication: str | None = None,
+    ) -> None:
+        kv = [
+            ("user", user),
+            ("database", database),
+            ("client_encoding", "UTF8"),
+            ("application_name", "moonlink_spark"),
+        ]
+        if replication is not None:
+            kv.append(("replication", replication))
+        params = b"".join(_cstr(k) + _cstr(v) for k, v in kv) + b"\x00"
         body = struct.pack(">I", _PROTO_V3) + params
         self.sock.sendall(struct.pack(">I", len(body) + 4) + body)
         while True:
@@ -1174,6 +1186,258 @@ def parse_wal_lsn(s: str) -> int:
     return (int(hi, 16) << 32) | int(lo, 16)
 
 
+class ServerAuth:
+    """Server-side PG startup + authentication, shared by PgMockServer
+    (query wire) and ReplicationWireServer (replication wire) — real PG
+    guards BOTH wires behind the same pg_hba.conf auth, and the
+    reference connects its replication stream authenticated
+    (``pg_replicate/postgres_source.rs:532+`` over tokio-postgres).
+
+    Handles SSLRequest (TLS upgrade when a cert is configured),
+    CancelRequest dispatch (via callback), the startup packet, and
+    cleartext / MD5 / SCRAM-SHA-256[-PLUS] auth. The SCRAM side stores
+    only the VERIFIER (pg_authid shape), never the password."""
+
+    def __init__(
+        self,
+        password: str | None = None,
+        auth: str = "password",
+        ssl_cert: str | None = None,
+        ssl_key: str | None = None,
+    ):
+        if auth not in ("password", "md5", "scram-sha-256"):
+            raise ValueError(f"unsupported auth mode {auth!r}")
+        self.password = password
+        self.auth = auth
+        # TLS: with a cert/key pair the server answers SSLRequest with
+        # 'S' and upgrades the connection (real PG's ssl=on); without,
+        # 'N' and the client may continue cleartext (ssl=off).
+        self._ssl_ctx: _ssl.SSLContext | None = None
+        self._cert_der: bytes | None = None
+        if ssl_cert is not None:
+            from moonlink_spark.tlsutil import server_context
+
+            self._ssl_ctx = server_context(ssl_cert, ssl_key or ssl_cert)
+            with open(ssl_cert, "rb") as fh:
+                pem = fh.read()
+            self._cert_der = _ssl.PEM_cert_to_DER_cert(pem.decode())
+        if password is not None and auth == "scram-sha-256":
+            # the server stores the VERIFIER, never the password —
+            # exactly pg_authid's SCRAM-SHA-256$<i>:<salt>$<stored>:<server>
+            import os as _os
+
+            self._scram_salt = _os.urandom(16)
+            self._scram_iterations = 4096
+            salted = _scram_salted_password(
+                password, self._scram_salt, self._scram_iterations
+            )
+            _ck, self._scram_stored_key, self._scram_server_key = (
+                _scram_keys(salted)
+            )
+
+    @staticmethod
+    def err(code: str, message: str) -> bytes:
+        return _msg(
+            b"E",
+            b"S" + _cstr("ERROR") + b"C" + _cstr(code) + b"M" + _cstr(message)
+            + b"\x00",
+        )
+
+    def handshake(self, sock, f, on_cancel=None):
+        """Startup + auth. Returns ``(sock, f, params)`` — possibly
+        TLS-upgraded, with the decoded startup parameters — after
+        AuthenticationOk, or None on any refusal/disconnect (including
+        a CancelRequest connection, which is dispatched to ``on_cancel``
+        and never answered, per the spec). Callers send their own
+        post-auth tail (ParameterStatus / BackendKeyData /
+        ReadyForQuery)."""
+        while True:
+            head = f.read(4)
+            if len(head) < 4:
+                return None
+            (n,) = struct.unpack(">I", head)
+            # a garbage startup frame (bad length, truncated body) is a
+            # protocol violation, not a server thread crash: refuse and
+            # close, like real PG's "invalid length of startup packet"
+            if n < 8 or n > (1 << 20):
+                try:
+                    sock.sendall(
+                        self.err("08P01", f"invalid startup packet length {n}")
+                    )
+                except OSError:
+                    pass
+                return None
+            body = f.read(n - 4)
+            if len(body) < n - 4:
+                return None  # peer vanished mid-startup
+            (code,) = struct.unpack_from(">I", body, 0)
+            if code == _SSL_REQUEST:
+                if self._ssl_ctx is None:
+                    sock.sendall(b"N")  # no TLS; client may continue
+                    continue
+                # 'S' then the TLS handshake on the same socket (real
+                # PG's ssl=on). The read-ahead buffer is empty here: the
+                # client waits for this byte before its ClientHello.
+                sock.sendall(b"S")
+                try:
+                    sock = self._ssl_ctx.wrap_socket(sock, server_side=True)
+                except _ssl.SSLError:
+                    return None
+                f = sock.makefile("rb")
+                continue
+            if code == _CANCEL_REQUEST:
+                # [code:4][pid:4][key:4]: dispatch to the owner iff the
+                # secret key matches. No response is ever sent.
+                if len(body) >= 12 and on_cancel is not None:
+                    pid, key = struct.unpack_from(">II", body, 4)
+                    on_cancel(pid, key)
+                return None
+            if code != _PROTO_V3:
+                sock.sendall(self.err("0A000", f"bad protocol {code}"))
+                return None
+            # startup parameters: key\0value\0...\0 — MD5 auth hashes the
+            # startup user into the inner digest, so keep it
+            kv = body[4:].split(b"\x00")
+            params = dict(zip(kv[0::2], kv[1::2]))
+            # local, NOT instance state: concurrent handshakes on the
+            # threading server must not see each other's startup user
+            startup_user = params.get(b"user", b"").decode("utf-8")
+            break
+        if self.password is not None and self.auth == "scram-sha-256":
+            if not self._scram_handshake(sock, f):
+                return None
+        elif self.password is not None and self.auth == "md5":
+            import hashlib as _hl
+            import os as _os
+
+            salt = _os.urandom(4)
+            sock.sendall(_msg(b"R", struct.pack(">I", 5) + salt))
+            t, b = _read_msg(f)
+            # the server may store just the md5(pw+user) inner hash, the
+            # pg_authid md5 verifier shape — it never needs the password
+            inner = _hl.md5(
+                self.password.encode() + startup_user.encode()
+            ).hexdigest()
+            want = "md5" + _hl.md5(inner.encode() + salt).hexdigest()
+            if t != b"p" or b.rstrip(b"\x00").decode() != want:
+                sock.sendall(
+                    self.err("28P01", "password authentication failed")
+                )
+                return None
+        elif self.password is not None:
+            sock.sendall(_msg(b"R", struct.pack(">I", 3)))  # cleartext
+            t, b = _read_msg(f)
+            if t != b"p" or b.rstrip(b"\x00").decode() != self.password:
+                sock.sendall(
+                    self.err("28P01", "password authentication failed")
+                )
+                return None
+        sock.sendall(_msg(b"R", struct.pack(">I", 0)))  # AuthenticationOk
+        return sock, f, params
+
+    def _scram_handshake(self, sock, f) -> bool:
+        """Server side of RFC 5802 over the PG SASL messages: R code 10
+        (mechanism list) -> SASLInitialResponse -> R code 11
+        (server-first) -> SASLResponse (client-final, proof verified
+        against the stored key) -> R code 12 (server signature) -> Ok.
+
+        Over TLS the server additionally offers SCRAM-SHA-256-PLUS
+        (RFC 7677): the client-final c= attribute must then carry the
+        tls-server-end-point hash of THIS server's certificate, and a
+        "y" GS2 header is rejected as a downgrade (RFC 5802 §6.1 — the
+        client claimed binding support while pretending the server
+        offered none)."""
+        import base64
+        import hashlib
+        import hmac as _hmac
+        import os as _os
+
+        tls_active = isinstance(sock, _ssl.SSLSocket)
+        offer_plus = tls_active and self._cert_der is not None
+        mech_list = (
+            _cstr(_SCRAM_MECH_PLUS) + _cstr(_SCRAM_MECH)
+            if offer_plus
+            else _cstr(_SCRAM_MECH)
+        )
+        sock.sendall(
+            _msg(b"R", struct.pack(">I", 10) + mech_list + b"\x00")
+        )
+        t, b = _read_msg(f)
+        if t != b"p":
+            sock.sendall(self.err("28000", f"expected SASL, got {t!r}"))
+            return False
+        mech_end = b.index(b"\x00")
+        mech = b[:mech_end].decode()
+        if mech not in (_SCRAM_MECH, _SCRAM_MECH_PLUS) or (
+            mech == _SCRAM_MECH_PLUS and not offer_plus
+        ):
+            sock.sendall(self.err("28000", "unsupported SASL mechanism"))
+            return False
+        (ilen,) = struct.unpack_from(">I", b, mech_end + 1)
+        initial = b[mech_end + 5 : mech_end + 5 + ilen].decode("utf-8")
+        gs2: str | None = None
+        for prefix in ("n,,", "y,,", f"p={_CB_TYPE},,"):
+            if initial.startswith(prefix):
+                gs2 = prefix
+                break
+        if gs2 is None or (mech == _SCRAM_MECH_PLUS) != gs2.startswith("p="):
+            sock.sendall(self.err("28000", "bad GS2 header"))
+            return False
+        if gs2.startswith("y") and offer_plus:
+            # downgrade detection: we DID advertise -PLUS, so a binding-
+            # capable client claiming we did not is a stripped offer
+            sock.sendall(
+                self.err("28000", "channel binding downgrade detected")
+            )
+            return False
+        want_cbind = gs2.encode("utf-8")
+        if gs2.startswith("p="):
+            from moonlink_spark.tlsutil import cert_fingerprint_for_binding
+
+            want_cbind += cert_fingerprint_for_binding(self._cert_der)
+        want_c = base64.b64encode(want_cbind).decode()
+        first_bare = initial.split(",,", 1)[1]
+        cnonce = _scram_parse(first_bare)["r"]
+        snonce = cnonce + base64.b64encode(_os.urandom(18)).decode()
+        server_first = (
+            f"r={snonce},s="
+            f"{base64.b64encode(self._scram_salt).decode()},"
+            f"i={self._scram_iterations}"
+        )
+        sock.sendall(
+            _msg(b"R", struct.pack(">I", 11) + server_first.encode("utf-8"))
+        )
+        t, b = _read_msg(f)
+        if t != b"p":
+            sock.sendall(self.err("28000", f"expected SASL, got {t!r}"))
+            return False
+        client_final = b.decode("utf-8")
+        fields = _scram_parse(client_final)
+        final_no_proof = client_final.rsplit(",p=", 1)[0]
+        auth_message = ",".join((first_bare, server_first, final_no_proof))
+        if fields.get("r") != snonce or fields.get("c") != want_c:
+            sock.sendall(self.err("28P01", "SCRAM nonce/channel mismatch"))
+            return False
+        # recover ClientKey from the proof and check SHA256(ClientKey)
+        # against the stored key — the server never needs the password
+        sig = _scram_hmac(self._scram_stored_key, auth_message)
+        proof = base64.b64decode(fields.get("p", ""))
+        client_key = bytes(a ^ x for a, x in zip(proof, sig))
+        if not _hmac.compare_digest(
+            hashlib.sha256(client_key).digest(), self._scram_stored_key
+        ):
+            sock.sendall(
+                self.err("28P01", "password authentication failed")
+            )
+            return False
+        server_sig = _scram_hmac(self._scram_server_key, auth_message)
+        final = "v=" + base64.b64encode(server_sig).decode()
+        sock.sendall(
+            _msg(b"R", struct.pack(">I", 12) + final.encode("utf-8"))
+        )
+        return True
+
+
 class PgMockServer:
     """Protocol-v3 server over a SQLite database file.
 
@@ -1234,34 +1498,11 @@ class PgMockServer:
         self._backend_seq = 0
         self._commit_ordinal = 0
         self._exported_snaps: set[str] = set()
-        # TLS: with a cert/key pair the server answers SSLRequest with
-        # 'S' and upgrades the connection (real PG's ssl=on); without,
-        # 'N' and the client may continue cleartext (ssl=off).
-        self._ssl_ctx: _ssl.SSLContext | None = None
-        self._cert_der: bytes | None = None
-        if ssl_cert is not None:
-            from moonlink_spark.tlsutil import server_context
-
-            self._ssl_ctx = server_context(ssl_cert, ssl_key or ssl_cert)
-            with open(ssl_cert, "rb") as fh:
-                pem = fh.read()
-            self._cert_der = _ssl.PEM_cert_to_DER_cert(pem.decode())
-        if auth not in ("password", "md5", "scram-sha-256"):
-            raise ValueError(f"unsupported auth mode {auth!r}")
+        # startup/auth/TLS shared with the replication wire (ServerAuth)
+        self._auth = ServerAuth(
+            password=password, auth=auth, ssl_cert=ssl_cert, ssl_key=ssl_key
+        )
         self.auth = auth
-        if password is not None and auth == "scram-sha-256":
-            # the server stores the VERIFIER, never the password —
-            # exactly pg_authid's SCRAM-SHA-256$<i>:<salt>$<stored>:<server>
-            import os as _os
-
-            self._scram_salt = _os.urandom(16)
-            self._scram_iterations = 4096
-            salted = _scram_salted_password(
-                password, self._scram_salt, self._scram_iterations
-            )
-            _ck, self._scram_stored_key, self._scram_server_key = (
-                _scram_keys(salted)
-            )
         os.makedirs(os.path.dirname(os.path.abspath(db_path)), exist_ok=True)
         # WAL position: advanced under _snap_lock when writes become
         # VISIBLE — at statement end for autocommit writes, at COMMIT for
@@ -1381,96 +1622,24 @@ class PgMockServer:
                 pass
 
     def _handshake(self, sock, f, backend_pid: int = 0, backend_key: int = 0):
-        """Startup + auth. Returns (sock, f) — possibly TLS-upgraded —
-        on success, None on any refusal/disconnect (including a
-        CancelRequest connection, which is dispatched and never
-        answered, per the spec)."""
-        while True:
-            head = f.read(4)
-            if len(head) < 4:
-                return None
-            (n,) = struct.unpack(">I", head)
-            # a garbage startup frame (bad length, truncated body) is a
-            # protocol violation, not a server thread crash: refuse and
-            # close, like real PG's "invalid length of startup packet"
-            if n < 8 or n > (1 << 20):
-                try:
-                    sock.sendall(
-                        self._err("08P01", f"invalid startup packet length {n}")
-                    )
-                except OSError:
-                    pass
-                return None
-            body = f.read(n - 4)
-            if len(body) < n - 4:
-                return None  # peer vanished mid-startup
-            (code,) = struct.unpack_from(">I", body, 0)
-            if code == _SSL_REQUEST:
-                if self._ssl_ctx is None:
-                    sock.sendall(b"N")  # no TLS; client may continue
-                    continue
-                # 'S' then the TLS handshake on the same socket (real
-                # PG's ssl=on). The read-ahead buffer is empty here: the
-                # client waits for this byte before its ClientHello.
-                sock.sendall(b"S")
-                try:
-                    sock = self._ssl_ctx.wrap_socket(sock, server_side=True)
-                except _ssl.SSLError:
-                    return None
-                f = sock.makefile("rb")
-                continue
-            if code == _CANCEL_REQUEST:
-                # [code:4][pid:4][key:4]: interrupt the target backend's
-                # in-flight statement iff the secret key matches — it
-                # fails with 57014. No response is ever sent.
-                if len(body) >= 12:
-                    pid, key = struct.unpack_from(">II", body, 4)
-                    with self._backend_lock:
-                        hit = self._backends.get(pid)
-                    if hit is not None and hit[0] == key:
-                        hit[1].interrupt()
-                return None
-            if code != _PROTO_V3:
-                sock.sendall(self._err("0A000", f"bad protocol {code}"))
-                return None
-            # startup parameters: key\0value\0...\0 — MD5 auth hashes the
-            # startup user into the inner digest, so keep it
-            kv = body[4:].split(b"\x00")
-            params = dict(zip(kv[0::2], kv[1::2]))
-            # local, NOT instance state: concurrent handshakes on the
-            # threading server must not see each other's startup user
-            startup_user = params.get(b"user", b"").decode("utf-8")
-            break
-        if self.password is not None and self.auth == "scram-sha-256":
-            if not self._scram_handshake(sock, f):
-                return None
-        elif self.password is not None and self.auth == "md5":
-            import hashlib as _hl
-            import os as _os
+        """Startup + auth (delegated to ServerAuth, shared with the
+        replication wire server). Returns (sock, f) — possibly
+        TLS-upgraded — on success, None on any refusal/disconnect
+        (including a CancelRequest connection, which is dispatched and
+        never answered, per the spec)."""
 
-            salt = _os.urandom(4)
-            sock.sendall(_msg(b"R", struct.pack(">I", 5) + salt))
-            t, b = _read_msg(f)
-            # the server may store just the md5(pw+user) inner hash, the
-            # pg_authid md5 verifier shape — it never needs the password
-            inner = _hl.md5(
-                self.password.encode() + startup_user.encode()
-            ).hexdigest()
-            want = "md5" + _hl.md5(inner.encode() + salt).hexdigest()
-            if t != b"p" or b.rstrip(b"\x00").decode() != want:
-                sock.sendall(
-                    self._err("28P01", "password authentication failed")
-                )
-                return None
-        elif self.password is not None:
-            sock.sendall(_msg(b"R", struct.pack(">I", 3)))  # cleartext
-            t, b = _read_msg(f)
-            if t != b"p" or b.rstrip(b"\x00").decode() != self.password:
-                sock.sendall(
-                    self._err("28P01", "password authentication failed")
-                )
-                return None
-        sock.sendall(_msg(b"R", struct.pack(">I", 0)))  # AuthenticationOk
+        def on_cancel(pid: int, key: int) -> None:
+            # interrupt the target backend's in-flight statement iff the
+            # secret key matches — it fails with 57014
+            with self._backend_lock:
+                hit = self._backends.get(pid)
+            if hit is not None and hit[0] == key:
+                hit[1].interrupt()
+
+        res = self._auth.handshake(sock, f, on_cancel=on_cancel)
+        if res is None:
+            return None
+        sock, f, _params = res
         sock.sendall(
             _msg(b"S", _cstr("server_version") + _cstr("16.0 (moonlink-mock)"))
         )
@@ -1478,107 +1647,6 @@ class PgMockServer:
         sock.sendall(_msg(b"Z", b"I"))
         return sock, f
 
-    def _scram_handshake(self, sock, f) -> bool:
-        """Server side of RFC 5802 over the PG SASL messages: R code 10
-        (mechanism list) -> SASLInitialResponse -> R code 11
-        (server-first) -> SASLResponse (client-final, proof verified
-        against the stored key) -> R code 12 (server signature) -> Ok.
-
-        Over TLS the server additionally offers SCRAM-SHA-256-PLUS
-        (RFC 7677): the client-final c= attribute must then carry the
-        tls-server-end-point hash of THIS server's certificate, and a
-        "y" GS2 header is rejected as a downgrade (RFC 5802 §6.1 — the
-        client claimed binding support while pretending the server
-        offered none)."""
-        import base64
-        import hashlib
-        import hmac as _hmac
-        import os as _os
-
-        tls_active = isinstance(sock, _ssl.SSLSocket)
-        offer_plus = tls_active and self._cert_der is not None
-        mech_list = (
-            _cstr(_SCRAM_MECH_PLUS) + _cstr(_SCRAM_MECH)
-            if offer_plus
-            else _cstr(_SCRAM_MECH)
-        )
-        sock.sendall(
-            _msg(b"R", struct.pack(">I", 10) + mech_list + b"\x00")
-        )
-        t, b = _read_msg(f)
-        if t != b"p":
-            sock.sendall(self._err("28000", f"expected SASL, got {t!r}"))
-            return False
-        mech_end = b.index(b"\x00")
-        mech = b[:mech_end].decode()
-        if mech not in (_SCRAM_MECH, _SCRAM_MECH_PLUS) or (
-            mech == _SCRAM_MECH_PLUS and not offer_plus
-        ):
-            sock.sendall(self._err("28000", "unsupported SASL mechanism"))
-            return False
-        (ilen,) = struct.unpack_from(">I", b, mech_end + 1)
-        initial = b[mech_end + 5 : mech_end + 5 + ilen].decode("utf-8")
-        gs2: str | None = None
-        for prefix in ("n,,", "y,,", f"p={_CB_TYPE},,"):
-            if initial.startswith(prefix):
-                gs2 = prefix
-                break
-        if gs2 is None or (mech == _SCRAM_MECH_PLUS) != gs2.startswith("p="):
-            sock.sendall(self._err("28000", "bad GS2 header"))
-            return False
-        if gs2.startswith("y") and offer_plus:
-            # downgrade detection: we DID advertise -PLUS, so a binding-
-            # capable client claiming we did not is a stripped offer
-            sock.sendall(
-                self._err("28000", "channel binding downgrade detected")
-            )
-            return False
-        want_cbind = gs2.encode("utf-8")
-        if gs2.startswith("p="):
-            from moonlink_spark.tlsutil import cert_fingerprint_for_binding
-
-            want_cbind += cert_fingerprint_for_binding(self._cert_der)
-        want_c = base64.b64encode(want_cbind).decode()
-        first_bare = initial.split(",,", 1)[1]
-        cnonce = _scram_parse(first_bare)["r"]
-        snonce = cnonce + base64.b64encode(_os.urandom(18)).decode()
-        server_first = (
-            f"r={snonce},s="
-            f"{base64.b64encode(self._scram_salt).decode()},"
-            f"i={self._scram_iterations}"
-        )
-        sock.sendall(
-            _msg(b"R", struct.pack(">I", 11) + server_first.encode("utf-8"))
-        )
-        t, b = _read_msg(f)
-        if t != b"p":
-            sock.sendall(self._err("28000", f"expected SASL, got {t!r}"))
-            return False
-        client_final = b.decode("utf-8")
-        fields = _scram_parse(client_final)
-        final_no_proof = client_final.rsplit(",p=", 1)[0]
-        auth_message = ",".join((first_bare, server_first, final_no_proof))
-        if fields.get("r") != snonce or fields.get("c") != want_c:
-            sock.sendall(self._err("28P01", "SCRAM nonce/channel mismatch"))
-            return False
-        # recover ClientKey from the proof and check SHA256(ClientKey)
-        # against the stored key — the server never needs the password
-        sig = _scram_hmac(self._scram_stored_key, auth_message)
-        proof = base64.b64decode(fields.get("p", ""))
-        client_key = bytes(a ^ x for a, x in zip(proof, sig))
-        if not _hmac.compare_digest(
-            hashlib.sha256(client_key).digest(), self._scram_stored_key
-        ):
-            sock.sendall(
-                self._err("28P01", "password authentication failed")
-            )
-            return False
-        server_sig = _scram_hmac(self._scram_server_key, auth_message)
-        final = "v=" + base64.b64encode(server_sig).decode()
-        sock.sendall(
-            _msg(b"R", struct.pack(">I", 12) + final.encode("utf-8"))
-        )
-        return True
 
     # -- query execution ----------------------------------------------------
 
@@ -2493,13 +2561,7 @@ class PgMockServer:
                 body += struct.pack(">i", len(enc)) + enc
         return _msg(b"D", body)
 
-    @staticmethod
-    def _err(code: str, message: str) -> bytes:
-        return _msg(
-            b"E",
-            b"S" + _cstr("ERROR") + b"C" + _cstr(code) + b"M" + _cstr(message)
-            + b"\x00",
-        )
+    _err = staticmethod(ServerAuth.err)
 
 
 # ---------------------------------------------------------------------------

@@ -459,7 +459,23 @@ class MoonlinkTable:
         if not rows:
             return
         with self._lock:
-            self._pending.append(("delete_rows", rows, bool(if_exists)))
+            # coalesce ADJACENT deletes (same flag) like append_rows does
+            # for appends: each delete_rows op is one distributed DV job
+            # at commit, and a per-event caller (the CDC sink's ordered
+            # replay) would otherwise pay one Spark job PER ROW — with
+            # each job re-reading the live view including every DV the
+            # previous jobs wrote, i.e. quadratic (review r11). Merging
+            # adjacent deletes is exact for every identity: key deletes
+            # commute within a batch, and full_row deletes preserve
+            # per-occurrence multiplicity inside one list.
+            if (
+                self._pending
+                and self._pending[-1][0] == "delete_rows"
+                and self._pending[-1][2] == bool(if_exists)
+            ):
+                self._pending[-1][1].extend(rows)
+            else:
+                self._pending.append(("delete_rows", rows, bool(if_exists)))
 
     def delete_where(self, condition: str) -> None:
         """Predicate delete (engine extension; the reference only deletes by

@@ -163,3 +163,116 @@ def test_live_tail_frames_written_mid_session(spark, tmp_path):
         assert t.scan().count() == 2
     finally:
         srv.stop()
+
+
+# --------------------------------------------------------------------------- #
+# Authenticated replication connections (round 11): the replication wire
+# runs the SAME startup/auth path as the query wire — SCRAM, TLS with
+# channel binding, and walsender gating (replication=database required).
+# Reference parity: postgres_source.rs:532+ connects authenticated.
+# --------------------------------------------------------------------------- #
+
+
+def _trace(tmp_path, name="wal_auth.bin"):
+    trace = str(tmp_path / name)
+    with open(trace, "wb") as fh:
+        fh.write(frame(
+            begin(10), USERS_REL,
+            insert(16385, ["1", "a", "1"]), insert(16385, ["2", "b", "2"]),
+            commit(10),
+        ))
+    return trace
+
+
+def test_scram_authenticated_replication_stream(spark, tmp_path):
+    trace = _trace(tmp_path)
+    srv = ReplicationWireServer(
+        trace, password="s3cret", auth="scram-sha-256"
+    ).start()
+    try:
+        t = _mk(spark, tmp_path, "auth_t")
+        client = ReplicationWireClient(
+            t, srv.host, srv.port, str(tmp_path / "spool_auth.bin"),
+            password="s3cret",
+        )
+        stats = client.stream_once()
+        assert stats["commits"] == 1
+        rows = {r["id"]: r["name"] for r in t.scan().collect()}
+        assert rows == {1: "a", 2: "b"}
+        assert srv.confirmed_flush["moonlink"] == os.path.getsize(trace)
+    finally:
+        srv.stop()
+
+
+def test_wrong_password_replication_refused(spark, tmp_path):
+    from moonlink_spark.pg_protocol import PgServerError
+
+    trace = _trace(tmp_path)
+    srv = ReplicationWireServer(
+        trace, password="s3cret", auth="scram-sha-256"
+    ).start()
+    try:
+        t = _mk(spark, tmp_path, "badpw_t")
+        client = ReplicationWireClient(
+            t, srv.host, srv.port, str(tmp_path / "spool_bad.bin"),
+            password="wrong",
+        )
+        import pytest
+
+        with pytest.raises(Exception) as ei:
+            client.stream_once()
+        # SCRAM failure surfaces as a server signature / auth error,
+        # never a silent empty stream
+        assert not isinstance(ei.value, AssertionError)
+        assert t.scan().count() == 0
+    finally:
+        srv.stop()
+
+
+def test_non_replication_connection_rejected(tmp_path):
+    """A plain (no replication=database) authenticated session must not
+    reach START_REPLICATION — walsender gating, like real PG."""
+    from moonlink_spark.pg_protocol import PgServerError, PgWireClient
+
+    trace = _trace(tmp_path)
+    srv = ReplicationWireServer(trace, password="pw").start()
+    try:
+        import pytest
+
+        with pytest.raises((PgServerError, ConnectionError, OSError)):
+            # connects + authenticates WITHOUT the replication param:
+            # the server refuses before ReadyForQuery
+            PgWireClient(srv.host, srv.port, password="pw")
+    finally:
+        srv.stop()
+
+
+def test_tls_scram_plus_replication_stream(spark, tmp_path):
+    """Replication over TLS with SCRAM-SHA-256-PLUS channel binding:
+    the client pins the CA (verify-full) and the -PLUS proof binds to
+    the server cert this connection handshook with."""
+    from moonlink_spark.tlsutil import mint_test_tls
+
+    tls = mint_test_tls(str(tmp_path / "tls"))
+    trace = _trace(tmp_path)
+    srv = ReplicationWireServer(
+        trace,
+        password="s3cret",
+        auth="scram-sha-256",
+        ssl_cert=tls.cert_path,
+        ssl_key=tls.key_path,
+    ).start()
+    try:
+        t = _mk(spark, tmp_path, "tls_t")
+        client = ReplicationWireClient(
+            t, srv.host, srv.port, str(tmp_path / "spool_tls.bin"),
+            password="s3cret",
+            sslmode="verify-full",
+            ssl_ca_file=tls.ca_path,
+        )
+        stats = client.stream_once()
+        assert stats["commits"] == 1
+        rows = {r["id"]: r["name"] for r in t.scan().collect()}
+        assert rows == {1: "a", 2: "b"}
+    finally:
+        srv.stop()
