@@ -27,9 +27,10 @@ protocol layouts (kafka.apache.org/protocol):
   permanently supported);
 - batch compression: gzip (attributes codec 1, stdlib zlib with the
   gzip wrapper), snappy (codec 2, the pure-Python xerial-framed
-  implementation in ``snappy_py``) and lz4 (codec 3, the pure-Python
-  LZ4-frame implementation in ``lz4_py``) — the common broker defaults
-  work out of the box, on both encode and decode.
+  implementation in ``snappy_py``), lz4 (codec 3, the pure-Python
+  LZ4-frame implementation in ``lz4_py``) and zstd (codec 4, the
+  pure-Python RFC 8878 decoder + store-mode encoder in ``zstd_py``) —
+  every broker default works out of the box, on both encode and decode.
 
 Architecture (the honest cluster shape): :class:`KafkaWireBroker` is a
 single-node broker whose topic-partition logs are the SAME
@@ -64,11 +65,11 @@ Implemented: TLS (implicit on the port, a real broker's
 ``security.protocol=SSL`` — broker wraps every accepted connection,
 clients verify against a pinned CA via ``tlsutil.client_context``).
 Not implemented (fail-loud or out of scope): transactions
-and idempotent producer ids (producerId is -1 throughout); the zstd
-codec is pluggable via ``register_codec`` (it needs a non-stdlib
-library — gzip, snappy and lz4 ship built-in); an unregistered codec
-on either side raises ``UnsupportedCodecError`` naming the codec and
-the producer-config workaround.
+and idempotent producer ids (producerId is -1 throughout). All four
+real codecs ship built-in on both sides (zstd produce is a store-mode
+encoder; override via ``register_codec`` with a C binding for real
+ratios); an unknown codec id raises ``UnsupportedCodecError`` naming
+the codec and the producer-config workaround.
 """
 
 from __future__ import annotations
@@ -307,10 +308,10 @@ class UnsupportedCodecError(ValueError):
         name = CODEC_NAMES.get(codec_id, str(codec_id))
         super().__init__(
             f"unsupported compression codec {name!r} (id {codec_id}): "
-            f"built-in decode covers none/gzip/snappy/lz4/zstd and "
-            f"built-in produce covers none/gzip/snappy/lz4 (zstd is "
-            f"decode-only); either configure the producer with "
-            f"compression.type=gzip/snappy/lz4 (or none), or call "
+            f"built-in coverage is none/gzip/snappy/lz4/zstd on BOTH "
+            f"decode and produce (zstd produce is a store-mode RFC 8878 "
+            f"encoder); either configure the producer with a built-in "
+            f"compression.type, or call "
             f"kafka_wire.register_codec({name!r}, compress, decompress) "
             f"with an implementation (e.g. zstandard)"
         )
@@ -360,10 +361,13 @@ def _lz4_decompress(data: bytes) -> bytes:
 
 
 def _zstd_compress(data: bytes) -> bytes:
-    # decode-only stance: FETCH of zstd batches works out of the box
-    # (brokers increasingly default to zstd), but PRODUCE should
-    # negotiate gzip/snappy/lz4/none — or plug a real compressor in
-    raise UnsupportedCodecError(4)
+    # store-mode RFC 8878 encoder (raw/RLE blocks + XXH64 checksum):
+    # spec-legal frames any broker/consumer decodes, so produce with
+    # codec 4 never silently downgrades. Ratio is ~1 — override via
+    # register_codec with a C binding when real compression matters.
+    from moonlink_spark.sources import zstd_py
+
+    return zstd_py.compress(data)
 
 
 def _zstd_decompress(data: bytes) -> bytes:
@@ -375,9 +379,9 @@ def _zstd_decompress(data: bytes) -> bytes:
 # codec id -> (compress, decompress); gzip (stdlib zlib), snappy (the
 # pure-Python xerial/raw implementation in snappy_py), lz4 (the
 # pure-Python frame implementation in lz4_py) and zstd (the pure-Python
-# RFC 8878 DECODER in zstd_py; produce raises and must negotiate down
-# or register a real compressor) ship built-in — brokers default to
-# snappy/lz4/zstd, so fetch of all four must work out of the box
+# RFC 8878 codec in zstd_py: full decoder + store-mode encoder) ship
+# built-in — brokers default to snappy/lz4/zstd, so fetch AND produce
+# of all four work out of the box
 _CODECS: dict[int, tuple] = {
     1: (_gzip_compress, _gzip_decompress),
     2: (_snappy_compress, _snappy_decompress),

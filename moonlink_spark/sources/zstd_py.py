@@ -1,11 +1,14 @@
-"""Pure-Python Zstandard DECODER (RFC 8878), dependency-free.
+"""Pure-Python Zstandard codec (RFC 8878), dependency-free: a FULL
+decoder plus a store-mode encoder.
 
 Built for the Kafka wire source: brokers increasingly default to
 ``compression.type=zstd`` (codec id 4 in the RecordBatch attributes), and
 this sandbox ships no zstd binding — so fetch must decode frames with
-stdlib only. Decode-only is deliberate: the consume path needs
-decompression; the produce path negotiates a different codec (or plugs a
-real compressor in via ``kafka_wire.register_codec``).
+stdlib only. The encoder (``compress``) emits spec-legal raw/RLE-block
+frames with the XXH64 checksum, so produce with codec 4 interoperates
+with every zstd implementation; it does no entropy coding (ratio ~1 —
+plug a real compressor in via ``kafka_wire.register_codec`` when
+compression matters).
 
 Implements the full decoding pipeline of RFC 8878 §3:
 frame header / data blocks (raw, RLE, compressed), literal sections
@@ -730,4 +733,84 @@ def decompress(data: bytes) -> bytes:
             got = _xxh64(bytes(out[frame_start:])) & 0xFFFFFFFF
             if got != want:
                 raise ZstdError("content checksum mismatch")
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------- #
+# store-mode ENCODER (round 11): spec-legal RFC 8878 frames built from raw
+# and RLE blocks plus the XXH64 content checksum — no entropy coding, so
+# the ratio is ~1 (RLE wins on runs), but every zstd implementation
+# decodes the output. This completes the Kafka codec matrix: produce with
+# codec 4 emits frames any broker/consumer accepts, instead of silently
+# negotiating down (see kafka_wire._zstd_compress). For real compression
+# plug a C binding in via kafka_wire.register_codec.
+# --------------------------------------------------------------------------- #
+
+_MAX_BLOCK = 128 * 1024  # RFC 8878 §3.1.1.2.3 block size ceiling
+_MIN_RLE_RUN = 32  # below this a raw block is cheaper than a block split
+
+
+def compress(data: bytes) -> bytes:
+    """Encode ``data`` as one zstd frame (single-segment, content size
+    declared, XXH64 checksum). Chunks ride in raw blocks; single-byte
+    runs >= 32 bytes become RLE blocks (1 payload byte regenerates the
+    run)."""
+    data = bytes(data)
+    n = len(data)
+    out = bytearray(ZSTD_MAGIC.to_bytes(4, "little"))
+    # frame header: single_segment + checksum, FCS width by magnitude.
+    # single-segment => no window descriptor; window size = FCS.
+    if n <= 255:
+        fcs_flag, fcs_bytes = 0, n.to_bytes(1, "little")
+    elif n <= 65535 + 256:
+        fcs_flag, fcs_bytes = 1, (n - 256).to_bytes(2, "little")
+    elif n < (1 << 32):
+        fcs_flag, fcs_bytes = 2, n.to_bytes(4, "little")
+    else:
+        fcs_flag, fcs_bytes = 3, n.to_bytes(8, "little")
+    out.append((fcs_flag << 6) | 0x20 | 0x04)
+    out += fcs_bytes
+
+    def block_header(last: int, btype: int, bsize: int) -> bytes:
+        return (last | (btype << 1) | (bsize << 3)).to_bytes(3, "little")
+
+    if n == 0:
+        out += block_header(1, 0, 0)  # one empty raw block closes the frame
+    else:
+        # split into maximal segments: RLE for long single-byte runs,
+        # raw otherwise; every segment capped at the 128 KiB block limit
+        segs: list[tuple[int, int, int]] = []  # (btype, start, length)
+        i = 0
+        while i < n:
+            b = data[i]
+            j = i + 1
+            while j < n and data[j] == b:
+                j += 1
+            run = j - i
+            if run >= _MIN_RLE_RUN:
+                while run > 0:
+                    take = min(run, _MAX_BLOCK)
+                    segs.append((1, i, take))
+                    i += take
+                    run -= take
+            else:
+                # extend a pending raw segment instead of fragmenting
+                if segs and segs[-1][0] == 0 and segs[-1][2] < _MAX_BLOCK:
+                    btype, start, length = segs[-1]
+                    take = min(run, _MAX_BLOCK - length)
+                    segs[-1] = (0, start, length + take)
+                    i += take
+                else:
+                    take = min(run, _MAX_BLOCK)
+                    segs.append((0, i, take))
+                    i += take
+        for k, (btype, start, length) in enumerate(segs):
+            last = 1 if k == len(segs) - 1 else 0
+            if btype == 1:
+                out += block_header(last, 1, length)
+                out.append(data[start])
+            else:
+                out += block_header(last, 0, length)
+                out += data[start : start + length]
+    out += (_xxh64(data) & 0xFFFFFFFF).to_bytes(4, "little")
     return bytes(out)

@@ -401,3 +401,68 @@ def test_zstd_differential_fuzz_vs_cli():
             mine = None
         if ref is not None and mine is not None:
             assert ref == mine, f"case {i}: decoders disagree on output"
+
+
+# --------------------------------------------------------------------------- #
+# store-mode ENCODER (round 11): produce-side zstd
+# --------------------------------------------------------------------------- #
+
+
+@given(payload=st.binary(max_size=400_000))
+@settings(max_examples=60, deadline=None)
+def test_zstd_encoder_roundtrips_own_decoder(payload):
+    from moonlink_spark.sources.zstd_py import compress, decompress
+
+    assert decompress(compress(payload)) == payload
+
+
+def test_zstd_encoder_decodes_by_reference_cli_and_pyarrow():
+    """The store-mode encoder's frames must decode by EVERY zstd: the
+    reference CLI and pyarrow's bundled C zstd, across empty/runs/
+    incompressible/block-boundary shapes (raw + RLE block paths)."""
+    import os
+    import shutil
+    import subprocess
+    import tempfile
+
+    import pyarrow as pa
+
+    from moonlink_spark.sources.zstd_py import _MAX_BLOCK, compress
+
+    payloads = [
+        b"",
+        b"a",
+        b"x" * 31,                      # below the RLE threshold: raw
+        b"x" * 32,                      # at the threshold: RLE
+        b"\x00" * (_MAX_BLOCK + 17),    # RLE run across the block cap
+        os.urandom(_MAX_BLOCK * 2 + 5), # raw blocks across the cap
+        b"head" + b"r" * 50_000 + b"tail" + os.urandom(1000),
+        b"ab" * 100_000,                # alternating: pure raw
+    ]
+    cli = shutil.which("zstd")
+    for data in payloads:
+        enc = compress(data)
+        got = pa.Codec("zstd").decompress(enc, len(data)).to_pybytes()
+        assert got == data
+        if cli is not None:
+            with tempfile.NamedTemporaryFile(suffix=".zst", delete=False) as fh:
+                fh.write(enc)
+                p = fh.name
+            try:
+                proc = subprocess.run(
+                    [cli, "-d", "-c", p], capture_output=True, check=True
+                )
+                assert proc.stdout == data
+            finally:
+                os.unlink(p)
+
+
+@given(payload=st.binary(max_size=100_000))
+@settings(max_examples=25, deadline=None)
+def test_zstd_encoder_pyarrow_decodes_property(payload):
+    import pyarrow as pa
+
+    from moonlink_spark.sources.zstd_py import compress
+
+    enc = compress(payload)
+    assert pa.Codec("zstd").decompress(enc, len(payload)).to_pybytes() == payload

@@ -889,14 +889,14 @@ def test_unregistered_codec_fails_loud_with_exact_shape():
         crc = crc32c(bytes(tail))
         return raw[:12] + raw[12:17] + _struct.pack(">I", crc) + bytes(tail)
 
-    # all four real codecs decode built-in now; an id Kafka never
-    # assigned (5) still fails loud with the full actionable shape
+    # all four real codecs work built-in now (decode AND produce); an id
+    # Kafka never assigned (5) still fails loud with the actionable shape
     for cid, name in [(5, "5")]:
         with pytest.raises(UnsupportedCodecError) as ei:
             list(decode_record_batches(batch_with_codec(cid)))
         assert ei.value.codec_id == cid
         assert ei.value.codec_name == name
-        assert "compression.type=gzip" in str(ei.value)
+        assert "compression.type" in str(ei.value)
         assert "register_codec" in str(ei.value)
 
     # a zstd-attributed batch whose payload is NOT zstd fails as a
@@ -906,10 +906,10 @@ def test_unregistered_codec_fails_loud_with_exact_shape():
     with pytest.raises(ZstdError):
         list(decode_record_batches(batch_with_codec(4)))
 
-    # PRODUCE with zstd is decode-only: fails loud until a real
-    # compressor is registered
-    with pytest.raises(UnsupportedCodecError):
-        encode_record_batch(0, [(b"k", b"v")], compression="zstd")
+    # PRODUCE with zstd works built-in (r11: store-mode RFC 8878
+    # encoder) — the batch round-trips through the built-in decoder
+    raw = encode_record_batch(0, [(b"k", b"v")], compression="zstd")
+    assert [(k, v) for _o, k, v in decode_record_batches(raw)] == [(b"k", b"v")]
 
 
 def test_zstd_fetch_decodes_builtin(broker):
@@ -1011,3 +1011,40 @@ def test_garbage_bytes_never_crash_the_broker(tmp_path):
         assert [(k, v) for _off, k, v in got] == [(b"k", b"v")]
     finally:
         b.stop()
+
+
+def test_zstd_produce_builtin_e2e(broker):
+    """PRODUCE with codec 4 works out of the box (r11 store-mode RFC
+    8878 encoder): produce through the built-in zstd pair, fetch back
+    through the built-in decoder, AND the on-broker batch payload is a
+    frame the reference C zstd (pyarrow's bundled codec) decodes — no
+    silent downgrade to another codec."""
+    import struct as _struct
+
+    import pyarrow as pa
+
+    from moonlink_spark.sources import kafka_wire as kw
+
+    prod = kw.KafkaWireProducer(broker.host, broker.port, compression="zstd")
+    payload = [(b"k%d" % i, b"value-%d" % i * 20) for i in range(60)]
+    prod.send("zsp", payload)
+    cons = kw.KafkaWireConsumer(broker.host, broker.port, "zsp")
+    msgs = cons.poll()
+    assert [(m[1], m[2]) for m in msgs] == payload
+    prod.close()
+    cons.close()
+    # the wire batch genuinely carries codec 4 whose records blob is a
+    # frame the reference C zstd decodes: rebuild the same batch, check
+    # the attributes bits SAY zstd, and decode the embedded frame with
+    # pyarrow's bundled zstd (no silent downgrade to another codec)
+    raw = kw.encode_record_batch(0, payload, compression="zstd")
+    attrs = _struct.unpack_from(">h", raw, 21)[0]
+    assert attrs & 0x07 == 4  # compression bits = zstd
+    # records section starts after the 61-byte v2 batch header
+    frame = raw[61:]
+    from moonlink_spark.sources.zstd_py import decompress
+
+    plain = decompress(frame)
+    # pyarrow's bundled C zstd (exact-size API) decodes the same frame:
+    # the produce side emitted a real RFC 8878 frame, not a downgrade
+    assert pa.Codec("zstd").decompress(frame, len(plain)).to_pybytes() == plain
