@@ -458,6 +458,97 @@ def train_ivf_centroids(spark, emb_q: DataFrame, k: int = 8, iters: int = 3):
     return cents
 
 
+def train_pq_codebooks(
+    spark, emb_q: DataFrame, m: int = 4, ksub: int = 16, iters: int = 2,
+    dim: int = DIM,
+):
+    """Product-quantization codebooks: split the ``dim`` lattice into
+    ``m`` contiguous subspaces and Lloyd-train a ``ksub``-entry codebook
+    per subspace with EXACTLY the oracle-checked integer machinery
+    (``train_ivf_centroids`` on the sub-vectors: quantize at 1e6,
+    integer d2, argmin tie-broken on code id, floor-division update) —
+    so DuckDB can replay codebook training bit for bit. Returns a list
+    of m ordered [(code_id, sub_centroid_ints)] codebooks.
+
+    This is the standard ANN serving format (m subspaces x <=256-entry
+    codebooks): codes cost ~m small ints per vector instead of dim
+    floats, cutting index bytes ~8-16x at 100 TB — the difference
+    between an index that fits a replica and one that does not."""
+    dsub = dim // m
+    if m * dsub != dim:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    q = emb_q.persist()
+    try:
+        return [
+            train_ivf_centroids(
+                spark,
+                q.select("vec_id", F.slice("v", s * dsub + 1, dsub).alias("v")),
+                k=ksub,
+                iters=iters,
+            )
+            for s in range(m)
+        ]
+    finally:
+        q.unpersist()
+
+
+def _pq_books_df(spark, codebooks):
+    """One-row broadcast DataFrame carrying the m x ksub x dsub codebook
+    tensor (the same Janino-cache-friendly ride-along shape as
+    _centroid_candidate_structs)."""
+    cbs = [[[int(x) for x in cent] for _, cent in cb] for cb in codebooks]
+    return spark.createDataFrame([(cbs,)], "cbs: array<array<array<bigint>>>")
+
+
+def assign_pq_codes(spark, emb_q: DataFrame, codebooks) -> DataFrame:
+    """(vec_id, v) -> (vec_id, codes): nearest sub-centroid per subspace,
+    all m subspaces in ONE zero-Exchange broadcast map (argmin on
+    (d2, code) structs — tie-break identical to the oracles' ORDER BY
+    d2, code). codes is array<smallint>, m entries per vector."""
+    dsub = len(codebooks[0][0][1])
+    cdf = _pq_books_df(spark, codebooks)
+    expr = (
+        f"transform(cbs, (cb, s) -> array_min(transform(cb, (cent, j) -> "
+        f"struct(aggregate(zip_with(slice(v, s * {dsub} + 1, {dsub}), cent, "
+        f"(x, y) -> (x - y) * (x - y)), 0L, (acc, w) -> acc + w) AS d2, "
+        f"CAST(j AS BIGINT) AS code))).code)"
+    )
+    return emb_q.join(F.broadcast(cdf)).select(
+        "vec_id", F.expr(expr).cast("array<smallint>").alias("codes")
+    )
+
+
+def pq_distance_tables(spark, query_q: DataFrame, codebooks) -> DataFrame:
+    """Per-query ADC tables: (query_id, t) where t[s][j] is the integer
+    d2 between the query's subspace-s sub-vector and codebook entry j.
+    One broadcast map over the (small) query set; tables stay as a
+    nested array so candidate scoring is a pure expression lookup."""
+    dsub = len(codebooks[0][0][1])
+    cdf = _pq_books_df(spark, codebooks)
+    expr = (
+        f"transform(cbs, (cb, s) -> transform(cb, cent -> "
+        f"aggregate(zip_with(slice(v, s * {dsub} + 1, {dsub}), cent, "
+        f"(x, y) -> (x - y) * (x - y)), 0L, (acc, w) -> acc + w)))"
+    )
+    return query_q.join(F.broadcast(cdf)).select(
+        F.col("vec_id").alias("query_id"), F.expr(expr).alias("t")
+    )
+
+
+def pq_adc_scores(cand: DataFrame, tables: DataFrame) -> DataFrame:
+    """Asymmetric distance computation: attach each query's broadcast
+    table and fold the candidate's m codes through it — zero shuffle,
+    no explode, whole-stage codegen. cand needs (query_id, vec_id,
+    codes); returns + adc (BIGINT sum of per-subspace d2)."""
+    return cand.join(F.broadcast(tables), "query_id").withColumn(
+        "adc",
+        F.expr(
+            "aggregate(transform(codes, (c, s) -> t[s][CAST(c AS INT)]), "
+            "0L, (acc, w) -> acc + w)"
+        ),
+    )
+
+
 def build_hierarchical_quantizer(
     spark, cents_list, branch: int | None = None, iters: int = 2
 ):
@@ -1782,27 +1873,23 @@ def embedding_pca_power_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_index_oracle(k: int = 8, iters: int = 2, nprobe: int = 2) -> str:
-    """DuckDB replay of the persisted-index lifecycle query: Lloyd-train
-    on the even-vec_id half (same integer lattice as ``_kmeans_oracle``),
-    assign ALL vectors to the trained centroids (the incremental-update
-    semantics: new vectors never move the centroids), probe each query's
-    ``nprobe`` nearest centroids, cosine-score candidates only."""
-    xq = (
-        "SELECT vec_id, list_transform(embedding, x -> CAST(floor("
-        "CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v FROM embeddings"
-    )
-    init = (
+def _lloyd_init_cte(src: str, k: int) -> str:
+    """Deterministic init: first k vectors of ``src`` by vec_id."""
+    return (
         f"SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) "
-        f"AS cluster_id, v AS cent FROM (SELECT vec_id, v FROM xq_train "
+        f"AS cluster_id, v AS cent FROM (SELECT vec_id, v FROM {src} "
         f"ORDER BY vec_id LIMIT {k})"
     )
 
-    def assign(src: str, c: str, a: str) -> str:
-        return f"""
+
+def _lloyd_assign_cte(src: str, c: str, a: str, dim: int = DIM) -> str:
+    """Integer-d2 argmin assignment CTE (tie on cluster_id) — the SQL
+    twin of assign_ivf_clusters, dim-parameterized so PQ codebook replay
+    reuses it on sub-vector views."""
+    return f"""
 {a}_all AS (
   SELECT x.vec_id, x.v, c.cluster_id,
-         CAST(list_sum(list_transform(range(1, {DIM} + 1),
+         CAST(list_sum(list_transform(range(1, {dim} + 1),
            j -> (x.v[CAST(j AS INTEGER)] - c.cent[CAST(j AS INTEGER)])
               * (x.v[CAST(j AS INTEGER)] - c.cent[CAST(j AS INTEGER)])))
            AS BIGINT) AS d2
@@ -1815,13 +1902,16 @@ def _ann_index_oracle(k: int = 8, iters: int = 2, nprobe: int = 2) -> str:
   WHERE rn = 1
 )"""
 
-    def update(a: str, prev_c: str, c: str) -> str:
-        return f"""
+
+def _lloyd_update_cte(a: str, prev_c: str, c: str, dim: int = DIM) -> str:
+    """Floor-division centroid update CTE — the SQL twin of
+    train_ivf_centroids' update step."""
+    return f"""
 {c}_sums AS (
   SELECT cluster_id, CAST(j AS INTEGER) AS dim,
          CAST(SUM(v[CAST(j AS INTEGER)]) AS BIGINT) AS s,
          CAST(COUNT(*) AS BIGINT) AS nn
-  FROM {a}, (SELECT UNNEST(range(1, {DIM} + 1)) AS j) d
+  FROM {a}, (SELECT UNNEST(range(1, {dim} + 1)) AS j) d
   GROUP BY cluster_id, dim
 ),
 {c} AS (
@@ -1833,6 +1923,25 @@ def _ann_index_oracle(k: int = 8, iters: int = 2, nprobe: int = 2) -> str:
     FROM {c}_sums GROUP BY cluster_id
   ) u ON u.cluster_id = p.cluster_id
 )"""
+
+
+def _ann_index_oracle(k: int = 8, iters: int = 2, nprobe: int = 2) -> str:
+    """DuckDB replay of the persisted-index lifecycle query: Lloyd-train
+    on the even-vec_id half (same integer lattice as ``_kmeans_oracle``),
+    assign ALL vectors to the trained centroids (the incremental-update
+    semantics: new vectors never move the centroids), probe each query's
+    ``nprobe`` nearest centroids, cosine-score candidates only."""
+    xq = (
+        "SELECT vec_id, list_transform(embedding, x -> CAST(floor("
+        "CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v FROM embeddings"
+    )
+    init = _lloyd_init_cte("xq_train", k)
+
+    def assign(src: str, c: str, a: str) -> str:
+        return _lloyd_assign_cte(src, c, a, DIM)
+
+    def update(a: str, prev_c: str, c: str) -> str:
+        return _lloyd_update_cte(a, prev_c, c, DIM)
 
     parts = [
         f"WITH xq AS ({xq}), "
@@ -1871,6 +1980,178 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
           ORDER BY cos DESC, neighbor_id) AS rn FROM scored) t
 WHERE rn <= 3""")
     return "\n".join(parts)
+
+
+def _ann_index_pq_oracle(
+    k: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    m: int = 8,
+    ksub: int = 256,
+    pq_iters: int = 2,
+    rerank: int = 12,
+    topk: int = 3,
+) -> str:
+    """DuckDB replay of the IVF-PQ lifecycle: coarse Lloyd training and
+    inverted lists exactly as _ann_index_oracle, PLUS per-subspace
+    codebook training (the same integer Lloyd on 1-based list slices),
+    per-vector code assignment, per-query ADC tables, the deterministic
+    (adc, vec_id) shortlist of ``rerank``, and exact-cosine rank of the
+    shortlist only — the full PQ serving path, bit for bit."""
+    dsub = DIM // m
+    xq = (
+        "SELECT vec_id, list_transform(embedding, x -> CAST(floor("
+        "CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v FROM embeddings"
+    )
+    parts = [
+        f"WITH xq AS ({xq}), "
+        f"xq_train AS (SELECT * FROM xq WHERE vec_id % 2 = 0), "
+        f"c0 AS ({_lloyd_init_cte('xq_train', k)})"
+    ]
+    # coarse quantizer training + inverted lists over ALL vectors
+    for i in range(iters):
+        parts.append("," + _lloyd_assign_cte("xq_train", f"c{i}", f"a{i}", DIM))
+        parts.append("," + _lloyd_update_cte(f"a{i}", f"c{i}", f"c{i + 1}", DIM))
+    parts.append("," + _lloyd_assign_cte("xq", f"c{iters}", "af", DIM))
+    # per-subspace codebooks + codes; [lo:hi] slicing is 1-based inclusive
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        parts.append(
+            f", xt{s} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM xq_train)"
+            f", xa{s} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM xq)"
+            f", p{s}0 AS ({_lloyd_init_cte(f'xt{s}', ksub)})"
+        )
+        for i in range(pq_iters):
+            parts.append(
+                "," + _lloyd_assign_cte(f"xt{s}", f"p{s}{i}", f"pt{s}{i}", dsub)
+            )
+            parts.append(
+                "," + _lloyd_update_cte(f"pt{s}{i}", f"p{s}{i}", f"p{s}{i+1}", dsub)
+            )
+        parts.append(
+            "," + _lloyd_assign_cte(f"xa{s}", f"p{s}{pq_iters}", f"code{s}", dsub)
+        )
+        # ADC table: query subvectors x final codebook
+        parts.append(f""",
+dtab{s} AS (
+  SELECT q.vec_id AS query_id, c.cluster_id AS code,
+         CAST(list_sum(list_transform(range(1, {dsub} + 1),
+           j -> (q.v[CAST(j AS INTEGER)] - c.cent[CAST(j AS INTEGER)])
+              * (q.v[CAST(j AS INTEGER)] - c.cent[CAST(j AS INTEGER)])))
+           AS BIGINT) AS d
+  FROM (SELECT vec_id, v FROM xa{s} WHERE vec_id < 10) q
+  CROSS JOIN p{s}{pq_iters} c
+)""")
+    # probes on the coarse quantizer, candidates, ADC, shortlist, rerank
+    adc_joins = "\n  ".join(
+        f"JOIN dtab{s} t{s} ON t{s}.query_id = cand.query_id "
+        f"AND t{s}.code = k{s}.cluster_id" for s in range(m)
+    )
+    code_joins = "\n  ".join(
+        f"JOIN code{s} k{s} ON k{s}.vec_id = cand.vec_id" for s in range(m)
+    )
+    adc_sum = " + ".join(f"t{s}.d" for s in range(m))
+    parts.append(f""",
+probes AS (
+  SELECT vec_id AS query_id, cluster_id AS probe_cluster
+  FROM (
+    SELECT q.vec_id, c.cluster_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             CAST(list_sum(list_transform(range(1, {DIM} + 1),
+               j -> (q.v[CAST(j AS INTEGER)] - c.cent[CAST(j AS INTEGER)])
+                  * (q.v[CAST(j AS INTEGER)] - c.cent[CAST(j AS INTEGER)])))
+               AS BIGINT), c.cluster_id) AS rn
+    FROM (SELECT vec_id, v FROM xq WHERE vec_id < 10) q
+    CROSS JOIN c{iters} c
+  ) t WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p
+  JOIN af a ON a.cluster_id = p.probe_cluster AND a.vec_id <> p.query_id
+),
+adc AS (
+  SELECT cand.query_id, cand.vec_id, ({adc_sum}) AS adc
+  FROM cand
+  {code_joins}
+  {adc_joins}
+),
+shortlist AS (
+  SELECT query_id, vec_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY adc, vec_id) AS srn FROM adc) t
+  WHERE srn <= {rerank}
+),
+scored AS (
+  SELECT s.query_id, s.vec_id AS neighbor_id,
+         {_SQL_COS.format(a="qe.embedding", b="ne.embedding")} AS cos
+  FROM shortlist s
+  JOIN embeddings qe ON qe.vec_id = s.query_id
+  JOIN embeddings ne ON ne.vec_id = s.vec_id
+)
+SELECT query_id, neighbor_id, CAST(round(cos, 6) AS DOUBLE) AS cosine,
+       CAST(rn AS BIGINT) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, neighbor_id) AS rn FROM scored) t
+WHERE rn <= {topk}""")
+    return "\n".join(parts)
+
+
+@register(
+    "ann_index_pq_topk",
+    oracle=_ann_index_pq_oracle(),
+    category="similarity",
+)
+def ann_index_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ index lifecycle, oracle-checked end to end: build the index
+    on the even-vec_id half with PRODUCT QUANTIZATION (m=8 subspaces x
+    256-entry codebooks, integer-exact Lloyd per subspace), incrementally
+    update with the odd half (codes assigned against the EXISTING
+    codebooks — no retrain), compact the segments, then serve
+    top-3/nprobe=2 for queries 0-9 from the index files via ADC shortlist
+    (rerank=12) + exact-cosine rerank (table/vecindex.py). The oracle
+    replays coarse training, all 8 codebook trainings, code assignment,
+    the ADC tables, the shortlist, and the rerank relationally.
+
+    Scale rationale (the 100 TB serving format): a PQ segment stores m
+    small ints per vector instead of dim floats — ~8-16x fewer index
+    bytes per replica — and ADC scoring needs NO embedding fetch; only
+    the rerank-sized shortlist touches the corpus. Reference anchor:
+    index segments + build_from_merge (persisted_bucket_hash_map.rs:
+    486-574) applied to the vector workload."""
+    import shutil
+    import tempfile
+
+    from moonlink_spark.table import vecindex
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dest = tempfile.mkdtemp(prefix="moonlink-pqindex-")
+    try:
+        vecindex.build_index(
+            spark,
+            emb.filter(F.col("vec_id") % 2 == 0),
+            dest,
+            k=8,
+            iters=2,
+            pq={"m": 8, "ksub": 256, "iters": 2},
+        )
+        vecindex.update_index(
+            spark, emb.filter(F.col("vec_id") % 2 == 1), dest
+        )
+        vecindex.compact_index(spark, dest)
+        rows = (
+            vecindex.query_topk(
+                spark, emb, dest, query_ids=list(range(10)),
+                topk=3, nprobe=2, rerank=12,
+            )
+            .orderBy("query_id", "rn")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(dest, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "query_id bigint, neighbor_id bigint, cosine double, rn bigint"
+    )
 
 
 @register(

@@ -61,14 +61,21 @@ def read_meta(dest: str) -> dict[str, Any]:
 
 
 def _write_assignments(
-    spark: SparkSession, q: DataFrame, cents, dest: str
+    spark: SparkSession, q: DataFrame, cents, dest: str, pq_books=None
 ) -> tuple[str, int, int]:
     """Assign already-quantized (vec_id, v) rows to ``cents`` and persist
-    one segment file (invisible until a meta lists it). Returns
+    one segment file (invisible until a meta lists it). With
+    ``pq_books`` each row also carries its m PQ codes (the IVF-PQ
+    segment layout: inverted list + codes, no stored vectors). Returns
     (segment_name, n_rows, sum_d2)."""
     assigned = assign_ivf_clusters(spark, q, cents).select(
         "vec_id", "cluster_id", "d2"
     )
+    if pq_books is not None:
+        from moonlink_spark.operators.similarity import assign_pq_codes
+
+        codes = assign_pq_codes(spark, q, pq_books)
+        assigned = assigned.join(codes, "vec_id")
     name = segstore.write_single_parquet(assigned, dest, SEG_PREFIX)
     # d2 sums in DECIMAL(38,0): a BIGINT sum overflows at scale (billions
     # of rows x ~1e14 per-row distortion — hit in practice by the 10x
@@ -88,6 +95,7 @@ def build_index(
     k: int = 8,
     iters: int = 3,
     meta_update: dict[str, Any] | None = None,
+    pq: dict[str, int] | None = None,
     _locked: bool = False,
 ) -> dict[str, Any]:
     """Create the index from a (vec_id, embedding) corpus.
@@ -97,18 +105,48 @@ def build_index(
     table already contains every streamed batch, so the watermark must
     not reset or the next micro-batch would double-index).
 
+    ``pq`` (e.g. ``{"m": 8, "ksub": 256, "iters": 2}``) adds PRODUCT
+    QUANTIZATION: per-subspace codebooks train with the same
+    integer-exact Lloyd (DuckDB-replayable), segments carry m codes per
+    vector, and ``query_topk`` serves via ADC shortlist + exact-cosine
+    rerank. At 100 TB this is the serving format: m small ints per
+    vector instead of dim floats cuts index bytes ~8-16x per replica.
+
     All index mutators serialize on a per-directory write lock
     (segments.index_write_lock): the meta publish is a plain atomic
     replace, so concurrent writers would otherwise silently drop each
     other's segments. ``_locked=True`` skips re-acquiring when the
     caller (backend rebuild) already holds it."""
+    from moonlink_spark.operators.similarity import train_pq_codebooks
+
     os.makedirs(dest, exist_ok=True)
     with segstore.maybe_write_lock(dest, _locked):
         # one quantization pass serves both training and the final
         # assignment write (the persist holds it across Lloyd iterations)
         q = quantize_embeddings_1e6(emb).persist()
         cents = train_ivf_centroids(spark, q, k=k, iters=iters)
-        name, n, sd2 = _write_assignments(spark, q, cents, dest)
+        pq_books = None
+        pq_meta = None
+        if pq is not None:
+            dim = len(cents[0][1])
+            pq_books = train_pq_codebooks(
+                spark,
+                q,
+                m=int(pq.get("m", 8)),
+                ksub=int(pq.get("ksub", 256)),
+                iters=int(pq.get("iters", 2)),
+                dim=dim,
+            )
+            pq_meta = {
+                "m": len(pq_books),
+                "ksub": len(pq_books[0]),
+                "iters": int(pq.get("iters", 2)),
+                "codebooks": [
+                    [[int(x) for x in cent] for _, cent in cb]
+                    for cb in pq_books
+                ],
+            }
+        name, n, sd2 = _write_assignments(spark, q, cents, dest, pq_books)
         q.unpersist()
         meta = {
             "k": k,
@@ -121,6 +159,8 @@ def build_index(
             "appended_rows": 0,
             "appended_sum_d2": 0,
         }
+        if pq_meta is not None:
+            meta["pq"] = pq_meta
         meta.update(meta_update or {})
         _write_meta(dest, meta)
     return meta
@@ -128,6 +168,17 @@ def build_index(
 
 def _centroids(meta: dict[str, Any]):
     return [(i, c) for i, c in enumerate(meta["centroids"])]
+
+
+def _pq_books(meta: dict[str, Any]):
+    """The persisted PQ codebooks in the [(code_id, ints)] shape the
+    similarity helpers consume, or None for a plain (SQ) index."""
+    pq = meta.get("pq")
+    if pq is None:
+        return None
+    return [
+        [(j, c) for j, c in enumerate(cb)] for cb in pq["codebooks"]
+    ]
 
 
 def update_index(
@@ -149,7 +200,11 @@ def update_index(
     with segstore.index_write_lock(dest):
         meta = read_meta(dest)
         name, n, sd2 = _write_assignments(
-            spark, quantize_embeddings_1e6(new_emb), _centroids(meta), dest
+            spark,
+            quantize_embeddings_1e6(new_emb),
+            _centroids(meta),
+            dest,
+            _pq_books(meta),
         )
         meta["generation"] += 1
         meta.setdefault(
@@ -258,6 +313,7 @@ def query_topk(
     query_ids: list[int],
     topk: int = 3,
     nprobe: int = 1,
+    rerank: int | None = None,
 ) -> DataFrame:
     """ANN top-k for ``query_ids`` served FROM the index: queries probe
     their ``nprobe`` nearest centroids (driver math on the meta's matrix —
@@ -270,17 +326,27 @@ def query_topk(
     driver math, so a million-query batch probes exactly like ten);
     assignments join is an equi-join on cluster_id; the probe set is
     broadcast; the corpus is scanned once to re-attach embeddings for
-    the candidate clusters only."""
+    the candidate clusters only.
+
+    PQ indexes add an ADC SHORTLIST stage before the exact-cosine
+    rerank: candidates are scored from their persisted m codes against
+    the query's broadcast distance tables (zero shuffle, no embedding
+    fetch), only the top ``rerank`` (default 4*topk) per query touch
+    the corpus for exact cosine — at 100 TB the corpus join shrinks
+    from cluster-sized to rerank-sized."""
     from pyspark.sql import Window
 
     from moonlink_spark.operators.similarity import (
         _dot,
         _norm,
+        pq_adc_scores,
+        pq_distance_tables,
         probe_ivf_clusters,
     )
 
     meta = read_meta(dest)
     cents = _centroids(meta)
+    pq_books = _pq_books(meta)
     qv = quantize_embeddings_1e6(
         emb.filter(F.col("vec_id").isin([int(i) for i in query_ids]))
     )
@@ -292,6 +358,21 @@ def query_topk(
         F.broadcast(probe_df),
         inv.cluster_id == F.col("probe_cluster"),
     ).filter(F.col("vec_id") != F.col("query_id"))
+    if pq_books is not None:
+        # ADC shortlist: deterministic (adc, vec_id) ordering so the
+        # DuckDB oracle replays the shortlist bit for bit
+        r = int(rerank) if rerank is not None else max(4 * topk, topk + 1)
+        tables = pq_distance_tables(
+            spark, qv.select(F.col("vec_id"), F.col("v")), pq_books
+        )
+        adc = pq_adc_scores(cand.select("query_id", "vec_id", "codes"), tables)
+        ws = Window.partitionBy("query_id").orderBy(
+            F.asc("adc"), F.asc("vec_id")
+        )
+        cand = (
+            adc.withColumn("srn", F.row_number().over(ws))
+            .filter(F.col("srn") <= r)
+        )
     qe = emb.filter(F.col("vec_id").isin([int(i) for i in query_ids])).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )

@@ -501,3 +501,119 @@ def test_auto_retrain_timer_restores_recall(spark, corpus, tmp_path):
     # the retrained index must answer drifted queries well: their true
     # neighbors are other drifted points in a tight, now-centroided blob
     assert post_recall >= 0.8, f"post-retrain recall {post_recall}"
+
+
+# --------------------------------------------------------------------------- #
+# IVF-PQ segments (round 11): product-quantized codes ride the same
+# segment/compaction lifecycle; serving is ADC shortlist + exact rerank.
+# --------------------------------------------------------------------------- #
+
+PQ = {"m": 8, "ksub": 256, "iters": 2}
+
+
+def test_pq_compaction_preserves_codes(spark, corpus, index_dir):
+    """Compaction invariance for PQ segments: the merged segment carries
+    the exact same (vec_id, cluster_id, d2, codes) rows."""
+    vecindex.build_index(
+        spark, corpus.filter(F.col("vec_id") < 150), index_dir,
+        k=4, iters=1, pq={"m": 4, "ksub": 16, "iters": 1},
+    )
+    vecindex.update_index(
+        spark,
+        corpus.filter((F.col("vec_id") >= 150) & (F.col("vec_id") < 300)),
+        index_dir,
+    )
+    before = {
+        (r.vec_id, r.cluster_id, r.d2, tuple(r.codes))
+        for r in vecindex.read_assignments(spark, index_dir).collect()
+    }
+    assert before and all(len(c) == 4 for *_rest, c in before)
+    assert vecindex.compact_index(spark, index_dir) == 2
+    after = {
+        (r.vec_id, r.cluster_id, r.d2, tuple(r.codes))
+        for r in vecindex.read_assignments(spark, index_dir).collect()
+    }
+    assert after == before
+
+
+def test_pq_update_assigns_against_existing_codebooks(spark, corpus, index_dir):
+    """Incremental update must NOT retrain: codes of pre-existing rows
+    are byte-identical before and after an update, and new rows' codes
+    come from the frozen codebooks."""
+    import json
+
+    meta1 = vecindex.build_index(
+        spark, corpus.filter(F.col("vec_id") % 2 == 0), index_dir,
+        k=4, iters=1, pq={"m": 4, "ksub": 16, "iters": 1},
+    )
+    old = {
+        r.vec_id: tuple(r.codes)
+        for r in vecindex.read_assignments(spark, index_dir).collect()
+    }
+    meta2 = vecindex.update_index(
+        spark, corpus.filter(F.col("vec_id") % 2 == 1), index_dir
+    )
+    assert json.dumps(meta1["pq"]) == json.dumps(meta2["pq"])  # frozen books
+    now = {
+        r.vec_id: tuple(r.codes)
+        for r in vecindex.read_assignments(spark, index_dir).collect()
+    }
+    assert all(now[v] == c for v, c in old.items())
+    assert len(now) > len(old)
+
+
+def test_pq_recall_at_least_95pct_of_sq(spark, corpus, tmp_path):
+    """The serving-format pin from the r10 verdict: with m=8 x 256-entry
+    codebooks and rerank=4*topk, PQ-served top-k recall against the
+    brute-force ground truth is >= 95% of the flat (SQ) index's recall
+    at the same nprobe, on the planted query set."""
+    from pyspark.sql import Window
+
+    from moonlink_spark.operators.similarity import _dot, _norm
+
+    queries = list(range(10))
+    topk = 3
+    # ground truth: brute-force cosine top-k
+    qe = corpus.filter(F.col("vec_id").isin(queries)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    ce = corpus.select("vec_id", F.col("embedding").alias("ce"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    truth_rows = (
+        ce.join(F.broadcast(qe))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", _dot("qe", "ce") / (_norm("qe") * _norm("ce")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= topk)
+        .select("query_id", "vec_id")
+        .collect()
+    )
+    truth = {(r.query_id, r.vec_id) for r in truth_rows}
+
+    def recall(dest, **kw):
+        rows = vecindex.query_topk(
+            spark, corpus, dest, query_ids=queries, topk=topk, nprobe=2, **kw
+        ).collect()
+        got = {(r.query_id, r.neighbor_id) for r in rows}
+        return len(got & truth) / len(truth)
+
+    flat_dir = str(tmp_path / "flat")
+    vecindex.build_index(
+        spark, corpus.filter(F.col("vec_id") % 2 == 0), flat_dir, k=8, iters=2
+    )
+    vecindex.update_index(
+        spark, corpus.filter(F.col("vec_id") % 2 == 1), flat_dir
+    )
+    pq_dir = str(tmp_path / "pq")
+    vecindex.build_index(
+        spark, corpus.filter(F.col("vec_id") % 2 == 0), pq_dir,
+        k=8, iters=2, pq=PQ,
+    )
+    vecindex.update_index(
+        spark, corpus.filter(F.col("vec_id") % 2 == 1), pq_dir
+    )
+    r_flat = recall(flat_dir)
+    r_pq = recall(pq_dir, rerank=4 * topk)
+    assert r_pq >= 0.95 * r_flat, (r_pq, r_flat)
