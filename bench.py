@@ -79,6 +79,10 @@ HEADLINE = [
     "ingest_cached_data_scan",
     # r10 addition: the two-level coarse quantizer (SCALE.md rule 8)
     "hier_quantizer_assign",
+    # r11 additions: the IVF-PQ serving path (ADC shortlist + rerank)
+    # and the authenticated replication wire e2e
+    "ann_index_pq_topk",
+    "ingest_replication_auth_scan",
 ]
 
 

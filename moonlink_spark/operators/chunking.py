@@ -4,9 +4,10 @@ SURVEY.md §2c's last delegated row (UDF/UDAF/UDTF) — the reference has no
 UDFs at all; Spark's Python UDTF is capability headroom. Chunking is the
 canonical table-function shape: one document row expands into a variable
 number of overlapping token-window rows (what a pretraining tokenizer
-feeds on). Registered rows-only: the UDTF body is imperative Python by
-design (that is the point of the exercise); the arithmetic is
-deterministic so the driver's rows-only check is stable.
+feeds on). Carries a FULL value-hash oracle: the UDTF body is imperative
+Python by design (that is the point of the exercise), but its windowing
+arithmetic is deterministic and the oracle re-derives it relationally, so
+the driver value-checks the expansion rather than just counting rows.
 
 Scale: a UDTF runs per-partition inside the executors (no driver data),
 so chunking parallelizes with the scan; for the hot path at 100 TB you

@@ -3,11 +3,10 @@
 Builds a media table from ``documents`` (payload = utf-8 text bytes, so
 the table scales with SF), runs the Arrow-batched ``mapInPandas`` feature
 extraction from ``sources/multimodal.py``, and aggregates to a stable
-summary. Registered rows-only: the mapInPandas stage is exactly the kind
-of custom stateful kernel SQL cannot express (SURVEY.md §2c UDF row) —
-the decode kernels are deterministic fakes (no media libs in this env),
-but the schema/batching/partitioning plumbing this query exercises is the
-real 100 TB path.
+summary. Carries a FULL value-hash oracle: the decode kernels are
+deterministic fakes (no media libs in this env) whose arithmetic the
+oracle re-derives in SQL, so the mapInPandas schema/batching/partitioning
+plumbing — the real 100 TB path — is value-checked, not just row-counted.
 """
 
 from __future__ import annotations

@@ -34,6 +34,12 @@ def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--workdir", default="/tmp/moonlink-scale-100x")
     ap.add_argument("--skip-gen", action="store_true")
+    ap.add_argument(
+        "--families",
+        nargs="*",
+        default=None,
+        help="subset of case names to run (default: all)",
+    )
     args = ap.parse_args()
 
     from moonlink_spark.operators import all_queries, load
@@ -46,7 +52,11 @@ def main() -> int:
     )
     small = os.path.join(args.workdir, "gen-sf0.1")
     big = os.path.join(args.workdir, "gen-sf10")
-    if not args.skip_gen:
+    dedup_wanted = args.families is None or any(
+        f in ("dedup_minhash_lsh", "semantic_dedup_hierarchical")
+        for f in args.families
+    )
+    if not args.skip_gen and dedup_wanted:
         # only documents + embeddings: the two families under test
         gen(small, 1.0, tables=("documents", "embeddings"))
         gen(big, 100.0, tables=("documents", "embeddings"))
@@ -57,6 +67,54 @@ def main() -> int:
         emb = load(s, sf_dir, "embeddings").select("vec_id", "embedding")
         return semantic_dedup_hierarchical(s, emb, target_cluster_size=250)
 
+    # table-plane lifecycle (r10 verdict #4): bulk seed, 8 MERGE commits
+    # (upsert ~n/16 + delete ~n/40 each — DV-heavy), optimize, full
+    # DV-applied scan. Data volume scales 100x between the two runs;
+    # commit COUNT stays fixed (a real ingest pipeline's micro-batch
+    # cadence doesn't grow with table size — its batches do). Expected
+    # growth is linear in data (every commit's DV targeting is one
+    # distributed join against the live view), so the cap is 150x.
+    MERGE_SMALL_ROWS = 200_000
+
+    def merge_lifecycle(s, sf_dir):
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from moonlink_spark.table.identity import IdentityProp
+        from moonlink_spark.table.maintenance import optimize
+        from moonlink_spark.table.table import MoonlinkTable
+
+        n = MERGE_SMALL_ROWS if sf_dir == small else MERGE_SMALL_ROWS * 100
+        d = os.path.join(args.workdir, f"merge-{n}")
+        shutil.rmtree(d, ignore_errors=True)
+        fields = [
+            {"name": "id", "data_type": "int64", "nullable": False},
+            {"name": "grp", "data_type": "int64"},
+            {"name": "val", "data_type": "float64"},
+        ]
+        t = MoonlinkTable.create(s, d, fields, IdentityProp.single("id"))
+        base = s.range(n).select(
+            F.col("id"),
+            (F.col("id") % 97).alias("grp"),
+            (F.col("id") * 1.5).cast("double").alias("val"),
+        )
+        t.append_df(base)
+        t.commit(lsn=1)
+        lsn = 1
+        for c in range(8):
+            lsn += 1
+            upd = s.range(c, n, 16).select(
+                F.col("id"),
+                (F.col("id") % 89).alias("grp"),
+                (F.col("id") * 2.5 + c).cast("double").alias("val"),
+            )
+            t.upsert_df(upd)
+            t.delete_keys_df(s.range(c * 3 + 1, n, 40).select("id"))
+            t.commit(lsn=lsn)
+        optimize(t)
+        return t.scan()
+
     def force(df):
         df.write.mode("overwrite").format("noop").save()
 
@@ -66,7 +124,10 @@ def main() -> int:
     cases = [
         ("dedup_minhash_lsh", minhash, 150.0),
         ("semantic_dedup_hierarchical", hier, 1000.0),
+        ("ingest_merge_lifecycle_100x", merge_lifecycle, 150.0),
     ]
+    if args.families:
+        cases = [c for c in cases if c[0] in args.families]
     results = []
     failures = []
     for name, fn, cap in cases:

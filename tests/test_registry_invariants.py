@@ -56,3 +56,30 @@ def test_oracle_alias_hygiene():
             if before.endswith(("SELECT", ",")):
                 offenders.append((name, m.group(0).strip()))
     assert not offenders, offenders[:10]
+
+
+def test_docstrings_do_not_claim_rows_only_when_oracle_exists():
+    """VERDICT r10 nit: a query module/function claiming 'rows-only'
+    while the registry carries a full value-hash oracle is coverage
+    drift — the doc must match the oracle status (and vice versa: a
+    genuinely rows-only query must say so)."""
+    import inspect
+
+    from moonlink_spark.operators import all_queries
+
+    offenders = []
+    for name, spec in all_queries().items():
+        fn_doc = (spec.fn.__doc__ or "").lower()
+        mod = inspect.getmodule(spec.fn)
+        mod_doc = (getattr(mod, "__doc__", "") or "").lower()
+        # flag CLAIMS of rows-only registration, not historical notes
+        # like "closed the r3 rows-only gap"
+        if spec.oracle is not None and "registered rows-only" in fn_doc:
+            offenders.append((name, "function doc claims rows-only"))
+        if spec.oracle is None and "rows-only" not in fn_doc:
+            offenders.append((name, "rows-only query does not say so"))
+        # module docstrings describe the whole module: only flag a
+        # 'registered rows-only' claim (a statement about registration)
+        if spec.oracle is not None and "registered rows-only" in mod_doc:
+            offenders.append((name, f"{mod.__name__} doc claims rows-only"))
+    assert not offenders, offenders
