@@ -477,19 +477,62 @@ def train_pq_codebooks(
     dsub = dim // m
     if m * dsub != dim:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
-    q = emb_q.persist()
-    try:
-        return [
-            train_ivf_centroids(
-                spark,
-                q.select("vec_id", F.slice("v", s * dsub + 1, dsub).alias("v")),
-                k=ksub,
-                iters=iters,
+    # ALL m subspaces train in the same Spark jobs (one Arrow-batched
+    # code assignment + one bounded-update groupBy per Lloyd iteration)
+    # instead of m sequential trainings — identical arithmetic, 1/m the
+    # job count, and the assignment kernel is the vectorized
+    # _pq_codes_udf (Catalyst lambdas interpret per element; at
+    # ksub=256 they were ~4x the whole query's wall). Results are
+    # bit-identical to per-subspace expression training: same
+    # deterministic init (first ksub vectors by vec_id), same integer
+    # argmin with tie on code, same floor-division update.
+    init = emb_q.orderBy("vec_id").limit(ksub).collect()
+    books = [
+        [
+            (j, [int(x) for x in list(r.v)[s * dsub : (s + 1) * dsub]])
+            for j, r in enumerate(init)
+        ]
+        for s in range(m)
+    ]
+    for _ in range(iters):
+        codes_of = _pq_codes_udf(books)
+        coded = emb_q.select("v", codes_of(F.col("v")).alias("codes"))
+        # m*ksub*dsub partial sums — bounded model state, the same
+        # posexplode->groupBy update shape as train_ivf_centroids
+        rows = (
+            coded.select(F.posexplode("codes").alias("sub", "code"), "v")
+            .select(
+                "sub",
+                "code",
+                F.posexplode(
+                    F.expr(f"slice(v, sub * {dsub} + 1, {dsub})")
+                ).alias("dim", "val"),
             )
+            .groupBy("sub", "code", "dim")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("nn"))
+            .collect()
+        )
+        sums: dict[tuple, list] = {}
+        for r in rows:
+            acc = sums.setdefault((int(r.sub), int(r.code)), [0] * (dsub + 1))
+            acc[r.dim] = r.s
+            acc[dsub] = r.nn
+        books = [
+            [
+                (
+                    j,
+                    [
+                        sums[(s, j)][i] // sums[(s, j)][dsub]
+                        for i in range(dsub)
+                    ]
+                    if (s, j) in sums
+                    else cent,
+                )
+                for j, cent in books[s]
+            ]
             for s in range(m)
         ]
-    finally:
-        q.unpersist()
+    return books
 
 
 def _pq_books_df(spark, codebooks):
@@ -500,21 +543,58 @@ def _pq_books_df(spark, codebooks):
     return spark.createDataFrame([(cbs,)], "cbs: array<array<array<bigint>>>")
 
 
+def _pq_codes_udf(codebooks):
+    """Arrow-batched nearest-code kernel over ALL m subspaces: v (full
+    dim, int64) -> m codes. PQ candidate counts (ksub up to 256) make
+    Catalyst's higher-order lambdas the bottleneck — they interpret per
+    element, ~4x the whole query's wall at sf0.1 — so THIS one kernel is
+    a vectorized pandas_udf. Arithmetic is EXACTLY the oracle's: int64
+    d2 via the ||x||^2 - 2x.c + ||c||^2 expansion (every term bounded by
+    ~3e13, no overflow, no floats), argmin's first-minimum = lowest code
+    id, the same ORDER BY d2, code tie-break. The coarse path (k<=8
+    candidates) stays expression-based — there the lambda cost is noise
+    and the plan fuses into whole-stage codegen."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    books = [
+        np.asarray([cent for _, cent in cb], dtype=np.int64)
+        for cb in codebooks
+    ]
+    dsub = books[0].shape[1]
+    c2 = [np.einsum("kd,kd->k", b, b) for b in books]
+
+    def codes_of(v):
+        V = np.asarray(v.tolist(), dtype=np.int64)
+        out = np.empty((len(V), len(books)), dtype=np.int64)
+        for s, (C, cc) in enumerate(zip(books, c2)):
+            X = V[:, s * dsub : (s + 1) * dsub]
+            d2 = (
+                np.einsum("nd,nd->n", X, X)[:, None]
+                - 2 * (X @ C.T)
+                + cc[None, :]
+            )
+            out[:, s] = d2.argmin(axis=1)
+        return pd.Series(list(out))
+
+    # real class objects, not strings: the module's postponed annotations
+    # (`from __future__ import annotations`) would stringify inline hints
+    # and pyspark's hint inference cannot resolve locals
+    codes_of.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(codes_of, "array<bigint>")
+
+
 def assign_pq_codes(spark, emb_q: DataFrame, codebooks) -> DataFrame:
     """(vec_id, v) -> (vec_id, codes): nearest sub-centroid per subspace,
-    all m subspaces in ONE zero-Exchange broadcast map (argmin on
-    (d2, code) structs — tie-break identical to the oracles' ORDER BY
-    d2, code). codes is array<smallint>, m entries per vector."""
-    dsub = len(codebooks[0][0][1])
-    cdf = _pq_books_df(spark, codebooks)
-    expr = (
-        f"transform(cbs, (cb, s) -> array_min(transform(cb, (cent, j) -> "
-        f"struct(aggregate(zip_with(slice(v, s * {dsub} + 1, {dsub}), cent, "
-        f"(x, y) -> (x - y) * (x - y)), 0L, (acc, w) -> acc + w) AS d2, "
-        f"CAST(j AS BIGINT) AS code))).code)"
-    )
-    return emb_q.join(F.broadcast(cdf)).select(
-        "vec_id", F.expr(expr).cast("array<smallint>").alias("codes")
+    all m subspaces in ONE zero-Exchange Arrow-batched map (see
+    _pq_codes_udf — integer-exact, tie-break identical to the oracles'
+    ORDER BY d2, code). codes is array<smallint>, m entries per
+    vector."""
+    codes_of = _pq_codes_udf(codebooks)
+    return emb_q.select(
+        "vec_id", codes_of(F.col("v")).cast("array<smallint>").alias("codes")
     )
 
 
