@@ -572,14 +572,26 @@ def _enc_cstr(s: str) -> bytes:
 
 
 def _enc_tuple(values: list) -> bytes:
-    """TupleData: None -> 'n' (SQL NULL); anything else -> 't' + text
-    form (the text-format column value the decoder parses per type)."""
+    """TupleData: None -> 'n' (SQL NULL); anything else -> 't' + PG TEXT
+    form (what a real walsender emits and what the decoder's per-type
+    parsers expect). Python reprs are NOT PG text forms everywhere:
+    bool must be 't'/'f' — str(True) = 'True' would silently decode as
+    False through _parse_bool (review r11); floats use repr (shortest
+    round-trip, which float() inverts exactly); bytes become PG hex
+    bytea ('\\x...')."""
     out = struct.pack(">h", len(values))
     for v in values:
         if v is None:
             out += b"n"
         else:
-            b = str(v).encode("utf-8")
+            if isinstance(v, bool):
+                b = b"t" if v else b"f"
+            elif isinstance(v, bytes):
+                b = b"\\x" + v.hex().encode("ascii")
+            elif isinstance(v, float):
+                b = repr(v).encode("ascii")
+            else:
+                b = str(v).encode("utf-8")
             out += b"t" + struct.pack(">i", len(b)) + b
     return out
 

@@ -273,9 +273,12 @@ class MoonlinkDataSourceReader(DataSourceReader):
         # read phase longer than the server's pin_lease_s window keeps
         # its snapshot protected (review r11). ``pin_lease_s`` reader
         # option sizes the renewal; the local (path) transport has no
-        # server and no vacuum race, so no renewal.
+        # server and no vacuum race, so no renewal — the gate mirrors
+        # _plan's transport choice ("path" wins over "port"), so a
+        # local read carrying a stray port option neither crashes on
+        # the missing database/table options nor makes pointless RPCs.
         self._renew = None
-        if "port" in options:
+        if "port" in options and "path" not in options:
             self._renew = (
                 options.get("host", "127.0.0.1"),
                 int(options["port"]),
@@ -330,7 +333,10 @@ class MoonlinkDataSourceReader(DataSourceReader):
                 host, port, db, tbl, ttl_s = partition.renew
                 c = MoonlinkRpcClient(host, port)
                 try:
-                    c.lease_renew(db, tbl, ttl_s)
+                    # scoped to the file this task reads: only the
+                    # owning scan's version lease extends, never other
+                    # (possibly orphaned) leases on the table
+                    c.lease_renew(db, tbl, ttl_s, file=partition.path)
                 finally:
                     c.close()
             except Exception:

@@ -1468,7 +1468,12 @@ def ingest_replication_auth_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             fields,
             IdentityProp.single("o_orderkey"),
         )
-        # enforcement probe: bad credentials never reach START_REPLICATION
+        # enforcement probe: bad credentials never reach
+        # START_REPLICATION — and the refusal must be the SPECIFIC
+        # 28P01 auth error, not just "something failed" (an unrelated
+        # socket/TLS failure must not vacuously 'prove' enforcement)
+        from moonlink_spark.pg_protocol import PgServerError
+
         intruder = ReplicationWireClient(
             t, srv.host, srv.port, os.path.join(d, "spool-bad.bin"),
             password="wrong",
@@ -1476,10 +1481,8 @@ def ingest_replication_auth_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             intruder.stream_once()
             raise AssertionError("wrong password was accepted")
-        except AssertionError:
-            raise
-        except Exception:
-            pass  # refused, as required
+        except PgServerError as e:
+            assert e.fields.get("C") == "28P01", e.fields
         client = ReplicationWireClient(
             t, srv.host, srv.port, os.path.join(d, "spool.bin"),
             password="s3cret",

@@ -120,9 +120,15 @@ RPC_DEFS: dict[str, tuple[int, list[tuple[str, str]]]] = {
     "scan_table_begin": (8, [("database", "s"), ("table", "s"), ("lsn", "u")]),
     "scan_table_end": (9, [("database", "s"), ("table", "s")]),
     # EXTENSION (variant 100, outside the reference's 0-9 RPC space):
-    # executors touch this to extend the post-planning vacuum lease when a
-    # scan's read phase outlives the fixed pin_lease_s window (review r11).
-    "lease_renew": (100, [("database", "s"), ("table", "s"), ("ttl_ms", "u")]),
+    # executors touch this to extend the post-planning vacuum lease when
+    # a scan's read phase outlives the fixed pin_lease_s window (review
+    # r11). ``file`` scopes the renewal to leased versions containing
+    # that data file — the task's own snapshot, never every orphaned
+    # lease on the table ("" = unscoped, admin use only).
+    "lease_renew": (
+        100,
+        [("database", "s"), ("table", "s"), ("ttl_ms", "u"), ("file", "s")],
+    ),
 }
 _BY_INDEX = {idx: (name, spec) for name, (idx, spec) in RPC_DEFS.items()}
 
@@ -436,7 +442,9 @@ class MoonlinkRpcServer:
             return enc_bytes(blob)
         if name == "lease_renew":
             t = self.backend.get_table(kw["database"], kw["table"])
-            renewed = t.renew_leases(kw["ttl_ms"] / 1000.0)
+            renewed = t.renew_leases(
+                kw["ttl_ms"] / 1000.0, file=kw["file"] or None
+            )
             return enc_varint(renewed)
         if name == "scan_table_end":
             # release the most recent pin THIS connection holds for the
@@ -624,17 +632,24 @@ class MoonlinkRpcClient:
         self._call("scan_table_end", database=database, table=table)
 
     def lease_renew(
-        self, database: str, table: str, ttl_s: float = 300.0
+        self,
+        database: str,
+        table: str,
+        ttl_s: float = 300.0,
+        file: str = "",
     ) -> int:
-        """Extend every still-active vacuum lease on the table to at least
-        ``now + ttl_s`` (extension RPC; see RPC_DEFS). Returns the number
-        of leases extended — 0 means every lease already lapsed and the
-        caller's snapshot may no longer be protected."""
+        """Extend still-active vacuum leases to at least ``now + ttl_s``
+        (extension RPC; see RPC_DEFS). ``file`` scopes renewal to leased
+        versions containing that data file — pass the file the task is
+        reading so only its own scan's snapshot is extended. Returns the
+        number of leases extended — 0 means every matching lease already
+        lapsed and the caller's snapshot may no longer be protected."""
         buf = self._call(
             "lease_renew",
             database=database,
             table=table,
             ttl_ms=int(ttl_s * 1000),
+            file=file,
         )
         n, _ = dec_varint(buf, 0)
         return n

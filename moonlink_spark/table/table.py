@@ -172,6 +172,12 @@ class MoonlinkTable:
             self.fs if self.data_path == self.path else fs_for(self.data_path)
         )
         self._pending: list[tuple] = []
+        # ops at indexes below this floor must not be coalesced INTO:
+        # pending_mark() raises it so a later append/delete can never
+        # merge into an op staged before the mark — merged rows would be
+        # invisible to discard_pending_since(mark), breaking the REST/
+        # queue sync-commit failure-retry invariant (review r11)
+        self._coalesce_floor = 0
         self._lock = threading.RLock()
         # refcounted version pins: an in-flight reader (RPC scan_table_begin,
         # an exported-snapshot reader) pins the manifest version it resolved
@@ -337,12 +343,22 @@ class MoonlinkTable:
                 self._version_leases.get(version, 0.0), expiry
             )
 
-    def renew_leases(self, ttl_s: float) -> int:
-        """Extend every still-active lease to at least ``now + ttl_s``;
+    def renew_leases(self, ttl_s: float, file: str | None = None) -> int:
+        """Extend still-active leases to at least ``now + ttl_s``;
         returns how many leases were extended. Executors touch this (via
         the ``lease_renew`` RPC) when a scan's read phase outlives the
         fixed post-planning lease window — without renewal a straggling
         or spilled stage loses vacuum protection mid-query (review r11).
+
+        ``file`` scopes the renewal to leased versions whose manifest
+        contains that data file (matched by basename — file names are
+        uuid-unique per table): the renewing task extends ITS scan's
+        snapshot, not every orphaned lease on the table. Unscoped
+        renewal (file=None) would let continuous query load slide a
+        crashed reader's lease on an unrelated version forever,
+        re-creating exactly the unbounded vacuum delay pin_lease_s
+        bounds (review r11).
+
         Expired leases are NOT resurrected: a lease that already lapsed
         may have had its files vacuumed, and extending it would claim a
         protection that no longer exists."""
@@ -350,6 +366,7 @@ class MoonlinkTable:
 
         if ttl_s <= 0:
             return 0
+        base = os.path.basename(file) if file else None
         renewed = 0
         with self._lock:
             now = _time.monotonic()
@@ -358,6 +375,16 @@ class MoonlinkTable:
                 if exp <= now:
                     del self._version_leases[v]
                     continue
+                if base is not None:
+                    try:
+                        m = self.store.read(v)
+                    except Exception:
+                        continue  # manifest gone: lease expires naturally
+                    if not any(
+                        os.path.basename(f.path) == base
+                        for f in m.data_files
+                    ):
+                        continue
                 self._version_leases[v] = max(exp, floor)
                 renewed += 1
         return renewed
@@ -406,7 +433,11 @@ class MoonlinkTable:
         if not rows:
             return
         with self._lock:
-            if self._pending and self._pending[-1][0] == "append_rows":
+            if (
+                self._pending
+                and len(self._pending) > self._coalesce_floor
+                and self._pending[-1][0] == "append_rows"
+            ):
                 self._pending[-1][1].extend(rows)
             else:
                 self._pending.append(("append_rows", rows))
@@ -470,6 +501,7 @@ class MoonlinkTable:
             # per-occurrence multiplicity inside one list.
             if (
                 self._pending
+                and len(self._pending) > self._coalesce_floor
                 and self._pending[-1][0] == "delete_rows"
                 and self._pending[-1][2] == bool(if_exists)
             ):
@@ -610,8 +642,15 @@ class MoonlinkTable:
         :meth:`discard_pending_since` to atomically revert everything a
         code block staged (a failed commit RESTORES raw ops to the
         queue, so a caller that will re-stage on retry must drop its own
-        restored ops or the retry double-applies)."""
+        restored ops or the retry double-applies).
+
+        Taking a mark also raises the COALESCE FLOOR: append/delete
+        batching never merges rows into ops staged before the mark, so
+        everything after the mark stays individually discardable."""
         with self._lock:
+            self._coalesce_floor = max(
+                self._coalesce_floor, len(self._pending)
+            )
             return len(self._pending)
 
     def discard_pending_since(self, mark: int) -> int:
@@ -621,6 +660,9 @@ class MoonlinkTable:
             dropped = len(self._pending) - mark
             if dropped > 0:
                 del self._pending[mark:]
+            self._coalesce_floor = min(
+                self._coalesce_floor, len(self._pending)
+            )
             return max(0, dropped)
 
     # ------------------------------------------------------------------ #
@@ -649,6 +691,7 @@ class MoonlinkTable:
             if lsn <= base.lsn:
                 raise LsnError(f"commit lsn {lsn} <= last lsn {base.lsn}")
             ops, self._pending = self._pending, []
+            self._coalesce_floor = 0
             try:
                 new_files, new_dvs = self._apply_ops(base, ops)
                 props = {**base.properties, **(properties_update or {})}
@@ -673,6 +716,10 @@ class MoonlinkTable:
                 # Ctrl-C during the Spark job inside _apply_ops must not
                 # silently drop the buffered ingest either
                 self._pending = ops
+                # restored ops stay individually discardable: callers'
+                # marks reference these indexes, so nothing may coalesce
+                # into them on the retry path
+                self._coalesce_floor = len(ops)
                 raise
             return m.version
 

@@ -219,11 +219,11 @@ def test_wrong_password_replication_refused(spark, tmp_path):
         )
         import pytest
 
-        with pytest.raises(Exception) as ei:
+        # the SPECIFIC 28P01 auth refusal — an unrelated failure must
+        # not vacuously pass this test (review r11)
+        with pytest.raises(PgServerError) as ei:
             client.stream_once()
-        # SCRAM failure surfaces as a server signature / auth error,
-        # never a silent empty stream
-        assert not isinstance(ei.value, AssertionError)
+        assert ei.value.fields.get("C") == "28P01"
         assert t.scan().count() == 0
     finally:
         srv.stop()

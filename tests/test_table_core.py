@@ -632,3 +632,76 @@ def test_chaos_fail_every_counts_mutating_ops_only():
     pol.check("delete"); pol.check("copy")
     with pytest.raises(TransientStoreError):
         pol.check("put")  # the 6th mutating op
+
+
+def test_pending_mark_blocks_coalescing_across_it(spark, tmp_path):
+    """Review r11: append/delete batching merges rows into the LAST
+    pending op — but never into an op staged before a pending_mark(),
+    or discard_pending_since(mark) would silently keep the post-mark
+    rows (the REST/queue sync-commit failure path would then apply a
+    change the client was told failed, twice after retry)."""
+    t = make_users(spark, tmp_path)
+    t.append_rows([{"id": i, "name": "n", "email": None, "age": 1}
+                   for i in range(10)])
+    t.commit(lsn=1)
+
+    # deletes: one staged before the mark, one after — the post-mark
+    # delete must NOT coalesce into the pre-mark op
+    t.delete_rows([{"id": 1}])
+    mark = t.pending_mark()
+    t.delete_rows([{"id": 2}])
+    assert t.discard_pending_since(mark) == 1  # B's delete dropped
+    t.commit(lsn=2)
+    ids = {r.id for r in t.scan().collect()}
+    assert 1 not in ids and 2 in ids  # A deleted, B survived the abort
+
+    # appends: same invariant (the coalescing there predates r11)
+    t.append_rows([{"id": 100, "name": "a", "email": None, "age": 1}])
+    mark = t.pending_mark()
+    t.append_rows([{"id": 101, "name": "b", "email": None, "age": 1}])
+    assert t.discard_pending_since(mark) == 1
+    t.commit(lsn=3)
+    ids = {r.id for r in t.scan().collect()}
+    assert 100 in ids and 101 not in ids
+
+    # after a commit the floor resets: adjacent ops coalesce again
+    t.delete_rows([{"id": 3}])
+    t.delete_rows([{"id": 4}])
+    assert len(t._pending) == 1  # coalesced into one DV job
+    t.commit(lsn=4)
+    ids = {r.id for r in t.scan().collect()}
+    assert 3 not in ids and 4 not in ids
+
+
+def test_renew_leases_scoped_to_file(spark, tmp_path):
+    """Review r11: lease renewal must extend only versions containing
+    the file the renewing task reads — unscoped renewal under
+    continuous query load would slide a crashed reader's lease on an
+    unrelated version forever (the unbounded vacuum delay pin_lease_s
+    exists to prevent)."""
+    import os as _os
+
+    t = make_users(spark, tmp_path)
+    t.append_rows([{"id": 1, "name": "a", "email": None, "age": 1}])
+    t.commit(lsn=1)
+    v1 = t.manifest.version
+    v1_file = t.manifest.data_files[0].path
+    optimize(t)  # v2 rewrites the data: v1's file is not in v2
+    t.append_rows([{"id": 2, "name": "b", "email": None, "age": 1}])
+    t.commit(lsn=3)
+    v3 = t.manifest.version
+    v3_file = [
+        f.path for f in t.manifest.data_files if f.path != v1_file
+    ][-1]
+
+    t.lease_version(v1, 5.0)   # orphaned lease (crashed reader)
+    t.lease_version(v3, 5.0)   # the live scan's lease
+    # scoped renewal extends ONLY the version containing the file
+    assert t.renew_leases(60.0, file=_os.path.basename(v3_file)) == 1
+    import time as _time
+
+    now = _time.monotonic()
+    assert t._version_leases[v3] > now + 30
+    assert t._version_leases[v1] < now + 10  # orphan NOT extended
+    # unscoped renewal (admin) extends everything still active
+    assert t.renew_leases(60.0) == 2
