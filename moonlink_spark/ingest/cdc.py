@@ -97,17 +97,20 @@ class CdcSink:
     def apply(self, events: Iterable[CdcEvent]) -> CdcApplyStats:
         stats = CdcApplyStats()
         ident = self.table.identity
-        # Per-key SQUASH of contiguous plain-txn DML (the reference's
-        # mem-slice shape: events land in an in-memory buffer keyed by
-        # identity before flush, mooncake_table.rs). Without it, an
-        # N-event transaction staged one delete op per update/delete
-        # event, which the table materializes as one distributed DV job
-        # EACH — quadratic against the accumulating DVs, hours for a few
-        # thousand events (review r11). Squashing is exact for key
-        # identities because keys are independent and per-key net effect
-        # is computed in event order; full_row identity keeps the
-        # per-event path (occurrence multiplicity is load-bearing), as
-        # do streamed sub-transactions (their stream staging is cheap).
+        # Per-key SQUASH of contiguous same-transaction DML (the
+        # reference's mem-slice shape: events land in an in-memory
+        # buffer keyed by identity before flush, mooncake_table.rs).
+        # Without it, an N-event transaction staged one delete op per
+        # update/delete event, which the table materializes as one
+        # distributed DV job EACH — quadratic against the accumulating
+        # DVs, hours for a few thousand events (review r11). Squashing
+        # is exact for key identities because keys are independent and
+        # per-key net effect is computed in event order; it covers plain
+        # txns AND streamed-xact chunks (netting one chunk commutes with
+        # earlier chunks of the same xact: the stream's 4-way delete
+        # routing sees earlier-chunk appends, so delete-then-append per
+        # key equals sequential replay). full_row identity keeps the
+        # per-event path (occurrence multiplicity is load-bearing).
         squash = ident.mode in ("single", "keys")
         key_cols = list(ident.columns) if squash else []
 
@@ -119,17 +122,21 @@ class CdcSink:
         i = 0
         while i < n:
             ev = events[i]
-            if (
-                squash
-                and ev.xact_id is None
-                and ev.op in ("insert", "update", "delete")
-            ):
+            if squash and ev.op in ("insert", "update", "delete"):
+                # a run = consecutive DML of the SAME transaction
+                # (xact_id None = plain txn, else a streamed xact's
+                # chunk). Netting a chunk is exact regardless of what
+                # earlier chunks staged: per-key net effect in event
+                # order, deletes first — the stream's 4-way routing
+                # makes a staged delete see rows appended by earlier
+                # chunks of the same xact, identical to sequential.
+                run_xid = ev.xact_id
                 del_keys: dict[tuple, dict[str, Any]] = {}
                 live: dict[tuple, dict[str, Any]] = {}
                 j = i
                 while j < n:
                     e = events[j]
-                    if e.xact_id is not None or e.op not in (
+                    if e.xact_id != run_xid or e.op not in (
                         "insert", "update", "delete"
                     ):
                         break
@@ -157,10 +164,11 @@ class CdcSink:
                             del_keys[k] = {c: e.row[c] for c in key_cols}
                         stats.deletes += 1
                     j += 1
+                target = self._target(run_xid)
                 if del_keys:
-                    self.table.delete_rows(list(del_keys.values()))
+                    target.delete_rows(list(del_keys.values()))
                 if live:
-                    self.table.append_rows(list(live.values()))
+                    target.append_rows(list(live.values()))
                 i = j
                 continue
             i += 1

@@ -1369,7 +1369,14 @@ class TransactionStream:
     def append_rows(self, rows: Iterable[dict[str, Any]]) -> None:
         self._check()
         rows = list(rows)
-        if rows:
+        if not rows:
+            return
+        # adjacent ops coalesce exactly like the table's pending queue
+        # (one staged op = one distributed job at commit); streams have
+        # no pending_mark, so no floor is needed
+        if self._ops and self._ops[-1][0] == "append_rows":
+            self._ops[-1][1].extend(rows)
+        else:
             self._ops.append(("append_rows", rows))
 
     def append_df(self, df: DataFrame) -> None:
@@ -1381,7 +1388,11 @@ class TransactionStream:
         if self.table.identity.is_append_only:
             raise IdentityError("append-only table rejects deletes")
         rows = list(rows)
-        if rows:
+        if not rows:
+            return
+        if self._ops and self._ops[-1][0] == "delete_rows":
+            self._ops[-1][1].extend(rows)
+        else:
             self._ops.append(("delete_rows", rows, True))
 
     def flush(self) -> None:

@@ -240,3 +240,108 @@ class TestRestSinkForeignWriters:
         r = sink.ingest("insert", {"id": 1, "name": "a", "age": 1})
         assert r.committed
         assert t.scan().count() == 1
+
+
+class TestCdcSquashEquivalence:
+    """Review r11: CdcSink squashes contiguous same-transaction DML per
+    identity key. Property: the squashed sink's final table equals a
+    naive per-event replay for random legal event streams — plain txns,
+    streamed xacts with interleaved chunks, key-change updates,
+    delete-then-reinsert, and updates of keys inserted in the same txn."""
+
+    def _final_state(self, spark, tmp_path, name, events):
+        t = MoonlinkTable.create(
+            spark, str(tmp_path / name), USERS, IdentityProp.single("id")
+        )
+        CdcSink(t).apply(events)
+        return {tuple(r) for r in t.scan().collect()}
+
+    def _naive_state(self, events):
+        """Pure-Python per-event replay of the same semantics: plain
+        txns apply at commit; streamed xacts stage and apply at
+        stream_commit; aborts drop staged state."""
+        table: dict[int, tuple] = {}
+        staged: dict[int, dict] = {}  # xact -> ordered ops
+
+        def apply_op(state, ev):
+            if ev.op == "insert":
+                state[ev.row["id"]] = (
+                    ev.row["id"], ev.row["name"], ev.row["age"])
+            elif ev.op == "update":
+                old = ev.old_row if ev.old_row is not None else ev.row
+                state.pop(old["id"], None)
+                state[ev.row["id"]] = (
+                    ev.row["id"], ev.row["name"], ev.row["age"])
+            elif ev.op == "delete":
+                state.pop(ev.row["id"], None)
+
+        pending = []
+        for ev in events:
+            if ev.op in ("insert", "update", "delete"):
+                if ev.xact_id is None:
+                    pending.append(ev)
+                else:
+                    staged.setdefault(ev.xact_id, []).append(ev)
+            elif ev.op == "commit":
+                for e in pending:
+                    apply_op(table, e)
+                pending = []
+            elif ev.op == "stream_commit":
+                for e in staged.pop(ev.xact_id, []):
+                    apply_op(table, e)
+            elif ev.op == "stream_abort":
+                staged.pop(ev.xact_id, None)
+        return set(table.values())
+
+    def test_random_streams_match_naive_replay(self, spark, tmp_path):
+        import random
+
+        rng = random.Random(11)
+        for case in range(4):
+            events = []
+            lsn = 0
+            live_guess: set[int] = set()
+            open_xid = None
+            chunk = []
+            for _ in range(rng.randint(30, 60)):
+                op = rng.choice(
+                    ["insert", "update", "delete", "commit", "stream"]
+                )
+                key = rng.randint(0, 15)
+                row = {"id": key, "name": f"v{rng.randint(0, 99)}",
+                       "age": rng.randint(0, 9)}
+                xid = open_xid if (open_xid and rng.random() < 0.5) else None
+                if op == "insert" and key not in live_guess:
+                    events.append(CdcEvent.insert(row, xact_id=xid))
+                    live_guess.add(key)
+                elif op == "update" and key in live_guess:
+                    new_key = rng.choice([key, rng.randint(16, 20)])
+                    new = dict(row, id=new_key)
+                    events.append(CdcEvent.update(
+                        {"id": key, "name": "?", "age": 0}, new,
+                        xact_id=xid))
+                    live_guess.discard(key)
+                    live_guess.add(new_key)
+                elif op == "delete" and key in live_guess:
+                    events.append(CdcEvent(
+                        "delete", 0, {"id": key, "name": "?", "age": 0},
+                        xact_id=xid))
+                    live_guess.discard(key)
+                elif op == "commit":
+                    lsn += 10
+                    if open_xid is not None:
+                        events.append(
+                            CdcEvent.stream_commit(open_xid, lsn))
+                        open_xid = None
+                    else:
+                        events.append(CdcEvent.commit(lsn=lsn))
+                elif op == "stream" and open_xid is None:
+                    open_xid = 100 + case * 10 + rng.randint(0, 3)
+            lsn += 10
+            if open_xid is not None:
+                events.append(CdcEvent.stream_commit(open_xid, lsn))
+            else:
+                events.append(CdcEvent.commit(lsn=lsn))
+            got = self._final_state(spark, tmp_path, f"sq{case}", events)
+            want = self._naive_state(events)
+            assert got == want, (case, got ^ want)
