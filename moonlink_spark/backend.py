@@ -395,12 +395,19 @@ class MoonlinkBackend:
         column: str,
         k: int = 8,
         iters: int = 3,
+        pq: dict[str, int] | None = None,
     ) -> dict[str, Any]:
         """Build (or rebuild from scratch) the persisted IVF index over an
         ``array<float>`` column of this table, stored inside the table's
         own directory — the reference's indexes are table-owned artifacts
         maintained by the engine, not external sidecars. Requires a
-        single numeric identity key (it becomes ``vec_id``)."""
+        single numeric identity key (it becomes ``vec_id``).
+
+        ``pq`` (e.g. ``{"m": 8, "ksub": 256, "iters": 2}``) builds
+        IVF-PQ segments (table/vecindex.py). A REBUILD of an existing PQ
+        index inherits the old PQ config when ``pq`` is not given — a
+        drift-triggered retrain must not silently downgrade the serving
+        format to flat."""
         from moonlink_spark.table import vecindex
 
         from moonlink_spark.table import segments as segstore
@@ -432,6 +439,16 @@ class MoonlinkBackend:
                     old = vecindex.read_meta(dest)
                     old_wm = int(old.get("indexed_batch_id", -1))
                     old_segments = list(old.get("segments") or [])
+                    if pq is None and old.get("pq") is not None:
+                        # inherit the serving format across rebuilds:
+                        # retrain codebooks at the old shape rather than
+                        # silently dropping PQ
+                        old_pq = old["pq"]
+                        pq = {
+                            "m": int(old_pq["m"]),
+                            "ksub": int(old_pq["ksub"]),
+                            "iters": int(old_pq.get("iters", 2)),
+                        }
                 except FileNotFoundError:
                     pass
             # The CDC watermark survives AND advances: the rebuild scans
@@ -461,6 +478,7 @@ class MoonlinkBackend:
                 k=k,
                 iters=iters,
                 meta_update=carry,
+                pq=pq,
                 _locked=True,
             )
             for name in old_segments:
@@ -515,6 +533,11 @@ class MoonlinkBackend:
             "trained_rows": meta["trained_rows"],
             "appended_rows": meta["appended_rows"],
             "stale_rows": meta.get("stale_rows", 0),
+            "pq": (
+                {"m": meta["pq"]["m"], "ksub": meta["pq"]["ksub"]}
+                if meta.get("pq")
+                else None
+            ),
             "retrain_recommended": vecindex.retrain_recommended(meta),
         }
 
@@ -641,10 +664,13 @@ class MoonlinkBackend:
         query_ids: list[int],
         topk: int = 3,
         nprobe: int = 1,
+        rerank: int | None = None,
     ) -> DataFrame:
         """ANN top-k over the table's persisted index: probes resolve on
         the meta's centroid matrix (driver math), candidates come from the
-        inverted-list segments, embeddings re-attach from the table scan."""
+        inverted-list segments, embeddings re-attach from the table scan.
+        On a PQ index ``rerank`` sizes the ADC shortlist (default
+        4*topk); flat indexes ignore it."""
         from moonlink_spark.table import vecindex
 
         t = self.get_table(database, table)
@@ -660,6 +686,7 @@ class MoonlinkBackend:
             query_ids=query_ids,
             topk=topk,
             nprobe=nprobe,
+            rerank=rerank,
         )
 
     def export_table(

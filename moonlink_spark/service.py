@@ -402,10 +402,12 @@ class MoonlinkService:
                 # build (or rebuild) the table-owned IVF index over an
                 # array<float> column
                 body = h._body()
+                pq = body.get("pq")  # {"m":..,"ksub":..,"iters":..} | null
                 meta = self.backend.build_vector_index(
                     db, table, body["column"],
                     k=int(body.get("k", 8)),
                     iters=int(body.get("iters", 3)),
+                    pq={k2: int(v) for k2, v in pq.items()} if pq else None,
                 )
                 h._send(
                     200,
@@ -444,6 +446,9 @@ class MoonlinkService:
                     [int(x) for x in body["query_ids"]],
                     topk=int(body.get("topk", 3)),
                     nprobe=int(body.get("nprobe", 1)),
+                    rerank=(
+                        int(body["rerank"]) if "rerank" in body else None
+                    ),
                 )
                 rows = [
                     r.asDict() for r in df.orderBy("query_id", "rn").collect()

@@ -617,3 +617,99 @@ def test_pq_recall_at_least_95pct_of_sq(spark, corpus, tmp_path):
     r_flat = recall(flat_dir)
     r_pq = recall(pq_dir, rerank=4 * topk)
     assert r_pq >= 0.95 * r_flat, (r_pq, r_flat)
+
+
+def test_pq_index_over_http_and_rebuild_inherits_pq(spark, corpus, tmp_path):
+    """PQ through every owning surface: build with pq over HTTP, status
+    reports the format, CDC update assigns codes against the frozen
+    codebooks, query accepts rerank — and a k-only rebuild INHERITS the
+    PQ config instead of silently downgrading the serving format to
+    flat (the drift-triggered auto-retrain path calls build without
+    pq)."""
+    import json as _json
+    import urllib.request
+
+    from moonlink_spark.backend import MoonlinkBackend
+    from moonlink_spark.service import MoonlinkService
+    from moonlink_spark.table.identity import IdentityProp
+
+    be = MoonlinkBackend(spark, str(tmp_path / "whpq"))
+    t = be.create_table(
+        "db",
+        "emb",
+        [
+            {"name": "vec_id", "data_type": "int64", "nullable": False},
+            {
+                "name": "embedding",
+                "data_type": "list",
+                "item": {"data_type": "float32"},
+            },
+        ],
+        identity=IdentityProp.single("vec_id"),
+    )
+    rows = [
+        {"vec_id": r.vec_id, "embedding": [float(x) for x in r.embedding]}
+        for r in corpus.filter(F.col("vec_id") < 120).collect()
+    ]
+    t.append_rows(rows[:100])
+    t.commit(lsn=1)
+
+    svc = MoonlinkService(be).start()
+    try:
+        port = svc.port
+
+        def post(path, body):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=_json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            return _json.loads(urllib.request.urlopen(req).read())
+
+        def get(path):
+            return _json.loads(
+                urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}{path}"
+                ).read()
+            )
+
+        post(
+            "/tables/db/emb/vecindex",
+            {"column": "embedding", "k": 4, "iters": 1,
+             "pq": {"m": 4, "ksub": 16, "iters": 1}},
+        )
+        status = get("/tables/db/emb/vecindex?column=embedding")
+        assert status["pq"] == {"m": 4, "ksub": 16}
+
+        t.append_rows(rows[100:])
+        t.commit(lsn=2)
+        status = post(
+            "/tables/db/emb/vecindex/update",
+            {"column": "embedding", "since_lsn": 1},
+        )
+        assert status["appended_rows"] == 20 and status["pq"] is not None
+
+        res = post(
+            "/tables/db/emb/vecindex/query",
+            {"column": "embedding", "query_ids": [0, 1], "topk": 3,
+             "nprobe": 2, "rerank": 12},
+        )
+        assert res["count"] == 6
+        direct = be.query_vector_index(
+            "db", "emb", "embedding", [0, 1], topk=3, nprobe=2, rerank=12
+        ).orderBy("query_id", "rn").collect()
+        assert [
+            (r["query_id"], r["neighbor_id"], r["rn"]) for r in res["rows"]
+        ] == [(r.query_id, r.neighbor_id, r.rn) for r in direct]
+
+        # rebuild WITHOUT pq in the request: the serving format survives
+        rebuilt = post(
+            "/tables/db/emb/vecindex", {"column": "embedding", "k": 4,
+                                        "iters": 1}
+        )
+        assert rebuilt["trained_rows"] == 120
+        status = get("/tables/db/emb/vecindex?column=embedding")
+        assert status["pq"] == {"m": 4, "ksub": 16}
+        assert status["segments"] == 1  # rebuilt into one PQ segment
+    finally:
+        svc.stop()
