@@ -1011,6 +1011,11 @@ def _export_iceberg_impl(
                     "trained_rows": int(vmeta.get("trained_rows", 0)),
                     "appended_rows": int(vmeta.get("appended_rows", 0)),
                     "generation": int(vmeta.get("generation", 1)),
+                    # IVF-PQ indexes: codebooks make the blob
+                    # self-describing (segments already carry the codes
+                    # column verbatim); readers without an ADC path can
+                    # still serve the inverted lists + exact rerank
+                    "pq": vmeta.get("pq"),
                 },
                 separators=(",", ":"),
             ).encode("utf-8")
