@@ -115,6 +115,32 @@ def main() -> int:
         optimize(t)
         return t.scan()
 
+    # IVF-PQ index lifecycle (r11): build (coarse train + 8x256 codebook
+    # train + code assignment), incremental update, compact, serve.
+    # Every stage is O(n) in vectors (the Arrow-batched code kernel does
+    # n x ksub x dsub integer work per pass; training collects are
+    # bounded model state), so the cap is linear with slack.
+    def pq_lifecycle(s, sf_dir):
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from moonlink_spark.table import vecindex
+
+        d = os.path.join(args.workdir, f"pqidx-{os.path.basename(sf_dir)}")
+        shutil.rmtree(d, ignore_errors=True)
+        emb = load(s, sf_dir, "embeddings").select("vec_id", "embedding")
+        vecindex.build_index(
+            s, emb.filter(F.col("vec_id") % 2 == 0), d, k=8, iters=2,
+            pq={"m": 8, "ksub": 256, "iters": 2},
+        )
+        vecindex.update_index(s, emb.filter(F.col("vec_id") % 2 == 1), d)
+        vecindex.compact_index(s, d)
+        return vecindex.query_topk(
+            s, emb, d, query_ids=list(range(10)), topk=3, nprobe=2,
+            rerank=12,
+        )
+
     def force(df):
         df.write.mode("overwrite").format("noop").save()
 
@@ -125,6 +151,7 @@ def main() -> int:
         ("dedup_minhash_lsh", minhash, 150.0),
         ("semantic_dedup_hierarchical", hier, 1000.0),
         ("ingest_merge_lifecycle_100x", merge_lifecycle, 150.0),
+        ("ann_index_pq_100x", pq_lifecycle, 150.0),
     ]
     if args.families:
         cases = [c for c in cases if c[0] in args.families]
