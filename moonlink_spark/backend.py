@@ -520,12 +520,21 @@ class MoonlinkBackend:
         return vecindex.read_meta(dest)
 
     def vector_index_status(
-        self, database: str, table: str, column: str
+        self,
+        database: str,
+        table: str,
+        column: str,
+        meta: dict[str, Any] | None = None,
     ) -> dict[str, Any]:
+        """``meta``: report THIS already-read meta instead of re-reading
+        from disk — mutators return their freshly published meta, and a
+        route reporting a mutation it just applied must not race a
+        concurrent writer's publish."""
         from moonlink_spark.table import vecindex
 
-        t = self.get_table(database, table)
-        meta = vecindex.read_meta(self._vecindex_dir(t, column))
+        if meta is None:
+            t = self.get_table(database, table)
+            meta = vecindex.read_meta(self._vecindex_dir(t, column))
         return {
             "k": meta["k"],
             "generation": meta["generation"],

@@ -158,6 +158,23 @@ class ReplicationTailer:
         being appended to."""
         commits = skipped = events_applied = 0
         scan_pos = self._pos
+        # Streamed DML batches into per-run buffers before hitting the
+        # sink: forwarding one event per apply() call gave the sink's
+        # per-key squash runs of length 1, so an update-heavy STREAMED
+        # transaction (exactly the large ones PG streams when
+        # logical_decoding_work_mem overflows) still staged one DV job
+        # per event — the quadratic pathology the squash exists to kill
+        # (review r11). The buffer flushes before any other sink
+        # interaction, so apply ordering is byte-identical.
+        stream_buf: list[CdcEvent] = []
+
+        def flush_stream() -> None:
+            nonlocal events_applied
+            if stream_buf:
+                self.sink.apply(list(stream_buf))
+                events_applied += len(stream_buf)
+                stream_buf.clear()
+
         for start, nxt, payload in self._frames_from(scan_pos):
             tag = chr(payload[0])
             already_streaming = self.decoder._in_stream_xid is not None
@@ -172,11 +189,13 @@ class ReplicationTailer:
                 continue
 
             if ev.op == "begin":
+                flush_stream()
                 self._txn_buf = [ev]
                 self._txn_start_pos = start
                 continue
 
             if ev.op == "commit":
+                flush_stream()
                 self._txn_buf.append(ev)
                 buf, self._txn_buf, self._txn_start_pos = self._txn_buf, [], None
                 if ev.lsn <= self._last_lsn:
@@ -190,6 +209,7 @@ class ReplicationTailer:
                 continue
 
             if ev.op == "stream_commit":
+                flush_stream()
                 self._open_streams.pop(ev.xact_id, None)
                 if ev.lsn <= self._last_lsn:
                     # replay: discard the re-staged duplicate state
@@ -206,6 +226,7 @@ class ReplicationTailer:
                 continue
 
             if ev.op == "stream_abort":
+                flush_stream()
                 self._open_streams.pop(ev.xact_id, None)
                 self.sink.apply([ev])
                 self._save_checkpoint(scan_pos)
@@ -213,9 +234,11 @@ class ReplicationTailer:
 
             # DML
             if ev.xact_id is not None:
-                # streamed: straight into TransactionStream staging
-                self.sink.apply([ev])
-                events_applied += 1
+                # streamed: buffer the chunk; interleaved streams flush
+                # on the xid switch so per-xact ordering is preserved
+                if stream_buf and stream_buf[0].xact_id != ev.xact_id:
+                    flush_stream()
+                stream_buf.append(ev)
                 continue
             if not self._txn_buf:
                 raise ValueError(
@@ -224,6 +247,10 @@ class ReplicationTailer:
                 )
             self._txn_buf.append(ev)
 
+        # a torn streamed chunk at the feed tail still stages before the
+        # poll returns (scan resumes AFTER these frames, so deferring
+        # them would lose the events)
+        flush_stream()
         # a partial normal txn replays from its Begin next poll (cheap:
         # its frames are re-decoded, nothing was applied); open streamed
         # xacts keep their in-memory staging and scan resumes after them

@@ -407,7 +407,14 @@ class MoonlinkService:
                     db, table, body["column"],
                     k=int(body.get("k", 8)),
                     iters=int(body.get("iters", 3)),
-                    pq={k2: int(v) for k2, v in pq.items()} if pq else None,
+                    # "pq": {} means PQ WITH DEFAULTS — an is-not-None
+                    # check, not truthiness, or the all-defaults request
+                    # silently built a flat index (review r11)
+                    pq=(
+                        {k2: int(v) for k2, v in pq.items()}
+                        if pq is not None
+                        else None
+                    ),
                 )
                 h._send(
                     200,
@@ -421,12 +428,17 @@ class MoonlinkService:
                 return
             if method == "POST" and action == "/vecindex/update":
                 body = h._body()
+                # report the meta THIS update published (passing it to
+                # vector_index_status avoids a second disk read and a
+                # race with a concurrent writer's publish)
                 meta = self.backend.update_vector_index(
                     db, table, body["column"], int(body["since_lsn"])
                 )
                 h._send(
                     200,
-                    self.backend.vector_index_status(db, table, body["column"]),
+                    self.backend.vector_index_status(
+                        db, table, body["column"], meta=meta
+                    ),
                 )
                 return
             if method == "GET" and action == "/vecindex":
@@ -446,8 +458,11 @@ class MoonlinkService:
                     [int(x) for x in body["query_ids"]],
                     topk=int(body.get("topk", 3)),
                     nprobe=int(body.get("nprobe", 1)),
+                    # "rerank": null means default — int(None) was a 500
                     rerank=(
-                        int(body["rerank"]) if "rerank" in body else None
+                        int(body["rerank"])
+                        if body.get("rerank") is not None
+                        else None
                     ),
                 )
                 rows = [

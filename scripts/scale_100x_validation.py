@@ -52,12 +52,20 @@ def main() -> int:
     )
     small = os.path.join(args.workdir, "gen-sf0.1")
     big = os.path.join(args.workdir, "gen-sf10")
-    dedup_wanted = args.families is None or any(
-        f in ("dedup_minhash_lsh", "semantic_dedup_hierarchical")
-        for f in args.families
+    # every family that reads the generated corpus (the merge lifecycle
+    # synthesizes its own rows via spark.range) — keep in sync with
+    # `cases` below, or a --families run on a fresh workdir crashes on
+    # the missing parquet (review r11)
+    corpus_families = (
+        "dedup_minhash_lsh",
+        "semantic_dedup_hierarchical",
+        "ann_index_pq_100x",
     )
-    if not args.skip_gen and dedup_wanted:
-        # only documents + embeddings: the two families under test
+    corpus_wanted = args.families is None or any(
+        f in corpus_families for f in args.families
+    )
+    if not args.skip_gen and corpus_wanted:
+        # only documents + embeddings: the tables these families read
         gen(small, 1.0, tables=("documents", "embeddings"))
         gen(big, 100.0, tables=("documents", "embeddings"))
 

@@ -265,3 +265,47 @@ def test_streamed_txn_with_no_dml_is_empty_commit(spark, tmp_path):
     s2 = tailer.poll_once()
     assert s2["commits"] == 1
     assert t.scan().count() == 2
+
+
+def test_streamed_chunk_batches_into_sink(spark, tmp_path):
+    """Review r11: the tailer forwarded streamed DML one event per
+    sink.apply() call, so the sink's per-key squash saw runs of length
+    1 and an update-heavy streamed transaction still staged one DV job
+    per event. A chunk must reach the sink as ONE batch (flushed at
+    stream boundaries), with results identical to per-event replay."""
+    trace = str(tmp_path / "wal.bin")
+    payloads = [begin(10), USERS_REL]
+    payloads += [insert(16385, [str(i), "a", "1"]) for i in range(60)]
+    payloads.append(commit(10))
+    # one streamed txn: a 50-update + 10-delete chunk
+    payloads.append(stream_start(7))
+    payloads += [
+        update(16385, [str(i), "upd", "2"], xid=7) for i in range(50)
+    ]
+    payloads += [
+        delete(16385, [str(i), None, None], xid=7) for i in range(50, 60)
+    ]
+    payloads.append(stream_stop())
+    payloads.append(stream_commit(7, 100))
+    with open(trace, "wb") as fh:
+        fh.write(frame(*payloads))
+
+    t = make_table(spark, tmp_path, "batched")
+    tailer = ReplicationTailer(t, trace)
+    applies = []
+    orig = tailer.sink.apply
+
+    def counting_apply(events):
+        events = list(events)
+        applies.append(len(events))
+        return orig(events)
+
+    tailer.sink.apply = counting_apply
+    stats = tailer.poll_once()
+    assert stats["commits"] == 2
+    # the 60-event streamed chunk arrived as ONE batch, not 60
+    assert 60 in applies, applies
+    assert len(applies) <= 4, applies  # plain txn + chunk + stream_commit
+    rows = {r["id"]: (r["name"], r["age"]) for r in t.scan().collect()}
+    assert len(rows) == 50
+    assert all(v == ("upd", 2) for v in rows.values())
