@@ -2071,13 +2071,19 @@ def _ann_index_pq_oracle(
     pq_iters: int = 2,
     rerank: int = 12,
     topk: int = 3,
+    pure_adc: bool = False,
 ) -> str:
     """DuckDB replay of the IVF-PQ lifecycle: coarse Lloyd training and
     inverted lists exactly as _ann_index_oracle, PLUS per-subspace
     codebook training (the same integer Lloyd on 1-based list slices),
     per-vector code assignment, per-query ADC tables, the deterministic
     (adc, vec_id) shortlist of ``rerank``, and exact-cosine rank of the
-    shortlist only — the full PQ serving path, bit for bit."""
+    shortlist only — the full PQ serving path, bit for bit.
+
+    ``pure_adc=True`` replays the rerank-free serving mode instead
+    (vecindex.query_topk rerank=0): final rank directly on the integer
+    ADC distance, no cosine, no embedding fetch — the result is
+    (query_id, neighbor_id, adc, rn)."""
     dsub = DIM // m
     xq = (
         "SELECT vec_id, list_transform(embedding, x -> CAST(floor("
@@ -2155,7 +2161,16 @@ adc AS (
   FROM cand
   {code_joins}
   {adc_joins}
-),
+)""")
+    if pure_adc:
+        parts.append(f"""
+SELECT query_id, vec_id AS neighbor_id, CAST(adc AS BIGINT) AS adc,
+       CAST(rn AS BIGINT) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY adc, vec_id) AS rn FROM adc) t
+WHERE rn <= {topk}""")
+        return "\n".join(parts)
+    parts.append(f""",
 shortlist AS (
   SELECT query_id, vec_id
   FROM (SELECT *, row_number() OVER (PARTITION BY query_id
@@ -2231,6 +2246,61 @@ def ann_index_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(dest, ignore_errors=True)
     return spark.createDataFrame(
         rows, "query_id bigint, neighbor_id bigint, cosine double, rn bigint"
+    )
+
+
+@register(
+    "ann_index_pq_adc_topk",
+    oracle=_ann_index_pq_oracle(pure_adc=True),
+    category="similarity",
+)
+def ann_index_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE-ADC serving of the IVF-PQ index (``query_topk(rerank=0)``):
+    the same build/update/compact lifecycle as ``ann_index_pq_topk``,
+    but the probe ranks candidates on the integer ADC distance alone —
+    after probe selection the query reads ONLY index bytes (m smallints
+    per vector), never the full-precision corpus. This is the
+    latency/recall point operators choose at 100 TB when the rerank
+    fetch (the one remaining per-query touch of the embedding column)
+    is the bottleneck; SCALE.md §16 pins its recall against the
+    reranked and flat paths. The oracle replays coarse training, all 8
+    codebook trainings, codes, ADC tables, and the (adc, vec_id) rank —
+    integer-exact end to end, so the result hashes bit for bit.
+
+    Reference anchor: persisted_bucket_hash_map.rs:486-574 (index
+    segments served without touching data files)."""
+    import shutil
+    import tempfile
+
+    from moonlink_spark.table import vecindex
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dest = tempfile.mkdtemp(prefix="moonlink-pqadc-")
+    try:
+        vecindex.build_index(
+            spark,
+            emb.filter(F.col("vec_id") % 2 == 0),
+            dest,
+            k=8,
+            iters=2,
+            pq={"m": 8, "ksub": 256, "iters": 2},
+        )
+        vecindex.update_index(
+            spark, emb.filter(F.col("vec_id") % 2 == 1), dest
+        )
+        vecindex.compact_index(spark, dest)
+        rows = (
+            vecindex.query_topk(
+                spark, emb, dest, query_ids=list(range(10)),
+                topk=3, nprobe=2, rerank=0,
+            )
+            .orderBy("query_id", "rn")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(dest, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "query_id bigint, neighbor_id bigint, adc bigint, rn bigint"
     )
 
 

@@ -333,7 +333,18 @@ def query_topk(
     the query's broadcast distance tables (zero shuffle, no embedding
     fetch), only the top ``rerank`` (default 4*topk) per query touch
     the corpus for exact cosine — at 100 TB the corpus join shrinks
-    from cluster-sized to rerank-sized."""
+    from cluster-sized to rerank-sized.
+
+    ``rerank=0`` on a PQ index selects PURE-ADC serving: results rank
+    on the integer ADC distance alone and the full-precision corpus is
+    never touched after probe selection — the query reads ONLY index
+    bytes (m smallints/vector). The schema changes to
+    (query_id, neighbor_id, adc, rn) because no cosine exists on this
+    path. At 100 TB this removes the one remaining per-query fetch of
+    the full-precision vectors (the rerank join), trading recall
+    (measured in SCALE.md §16) for a purely index-resident probe; flat
+    (non-PQ) indexes have no codes, so ``rerank`` keeps being ignored
+    there."""
     from pyspark.sql import Window
 
     from moonlink_spark.operators.similarity import (
@@ -369,6 +380,19 @@ def query_topk(
         ws = Window.partitionBy("query_id").orderBy(
             F.asc("adc"), F.asc("vec_id")
         )
+        if r == 0:
+            # pure-ADC: rank on the code distance, never fetch the
+            # corpus — the only data read after probing is index bytes
+            return (
+                adc.withColumn("rn", F.row_number().over(ws).cast("bigint"))
+                .filter(F.col("rn") <= topk)
+                .select(
+                    "query_id",
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("adc").cast("bigint").alias("adc"),
+                    "rn",
+                )
+            )
         cand = (
             adc.withColumn("srn", F.row_number().over(ws))
             .filter(F.col("srn") <= r)

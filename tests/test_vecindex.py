@@ -618,6 +618,29 @@ def test_pq_recall_at_least_95pct_of_sq(spark, corpus, tmp_path):
     r_pq = recall(pq_dir, rerank=4 * topk)
     assert r_pq >= 0.95 * r_flat, (r_pq, r_flat)
 
+    # rerank=0 (pure ADC): ranks on the integer code distance alone,
+    # never touching the full-precision corpus after probing — the
+    # schema drops cosine for the integer adc. Measured recall@3 on
+    # this corpus: 0.30 vs 0.83 flat/reranked (nprobe=2) — the fixture
+    # vectors are RANDOM, PQ's adversarial case (no cluster structure
+    # for the codebooks to exploit), and rank-3 ADC noise is exactly
+    # what the rerank stage exists to absorb (the >=0.95*flat pin
+    # above proves rerank=4*topk restores it). The pure-ADC pin is an
+    # absolute floor: a drop below 0.2 means codes stopped carrying
+    # signal (e.g. a codebook/table indexing regression), which is the
+    # failure mode this guards — not a recall SLO; operators who need
+    # recall choose rerank>0 (SCALE.md §16 records the tradeoff).
+    adc_rows = vecindex.query_topk(
+        spark, corpus, pq_dir, query_ids=queries, topk=topk, nprobe=2,
+        rerank=0,
+    ).collect()
+    assert adc_rows and set(adc_rows[0].asDict()) == {
+        "query_id", "neighbor_id", "adc", "rn"
+    }
+    got = {(r.query_id, r.neighbor_id) for r in adc_rows}
+    r_adc = len(got & truth) / len(truth)
+    assert r_adc >= 0.2, (r_adc, r_flat)
+
 
 def test_pq_index_over_http_and_rebuild_inherits_pq(spark, corpus, tmp_path):
     """PQ through every owning surface: build with pq over HTTP, status
@@ -701,6 +724,26 @@ def test_pq_index_over_http_and_rebuild_inherits_pq(spark, corpus, tmp_path):
         assert [
             (r["query_id"], r["neighbor_id"], r["rn"]) for r in res["rows"]
         ] == [(r.query_id, r.neighbor_id, r.rn) for r in direct]
+
+        # rerank=0 over HTTP: pure-ADC serving — the schema swaps cosine
+        # for the integer adc, and 0 must NOT be treated as "default"
+        # (falsy-vs-None is the easy bug here)
+        adc_res = post(
+            "/tables/db/emb/vecindex/query",
+            {"column": "embedding", "query_ids": [0, 1], "topk": 3,
+             "nprobe": 2, "rerank": 0},
+        )
+        assert adc_res["count"] == 6
+        assert set(adc_res["rows"][0]) == {
+            "query_id", "neighbor_id", "adc", "rn"
+        }
+        adc_direct = be.query_vector_index(
+            "db", "emb", "embedding", [0, 1], topk=3, nprobe=2, rerank=0
+        ).orderBy("query_id", "rn").collect()
+        assert [
+            (r["query_id"], r["neighbor_id"], r["adc"], r["rn"])
+            for r in adc_res["rows"]
+        ] == [(r.query_id, r.neighbor_id, r.adc, r.rn) for r in adc_direct]
 
         # rebuild WITHOUT pq in the request: the serving format survives
         rebuilt = post(
