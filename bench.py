@@ -246,9 +246,13 @@ def main() -> None:
     sys.stdout.flush()
     calibration = _calibration(spark)
     if repeats > 1:
-        # re-baselining run: persist the medians (plus the spread, so a
+        # median-of-N run: persist the medians (plus the spread, so a
         # future "is this a regression?" question can see the noise
-        # floor) as the platform-local anchor
+        # floor). NOTE (r12): this file is a measurement SNAPSHOT, not
+        # the comparison anchor — the anchor is BASELINE_FROZEN.json,
+        # which is never re-recorded (four re-anchors in five rounds
+        # made slow drift structurally invisible; the normalized-ratio
+        # lines above are the drift detector now)
         try:
             with open(
                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -271,6 +275,58 @@ def main() -> None:
                 )
         except OSError:
             pass
+    # Ratio lines vs the FROZEN anchor (BASELINE_FROZEN.json — the r10
+    # median-of-3, never re-recorded; see its provenance field). Two
+    # ratios per query, both on their OWN stdout line + a sidecar so the
+    # driver's compact final line stays parseable:
+    #   ratio_raw        = t_q / frozen_q            (host-speed-contaminated)
+    #   ratio_normalized = (t_q / calibration) / (frozen_q / frozen_calib)
+    # The normalized series is the drift detector: host slowdowns move
+    # raw ratios together but cancel out of the normalized ones, so a
+    # normalized query >= 1.5x is a REAL regression candidate (median-of-3
+    # adjudication), not a shared-box artifact. Queries absent from the
+    # anchor (new this round) are listed separately — they get ONE
+    # first-round entry appended to the frozen file and never move again.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BASELINE_FROZEN.json")
+        ) as f:
+            frozen = json.load(f)
+        fq, fcal = frozen["queries"], float(frozen["calibration_sec"])
+        ratios = {
+            name: {
+                "raw": round(t / fq[name], 3),
+                "normalized": round(
+                    (t / calibration) / (fq[name] / fcal), 3
+                ),
+            }
+            for name, t in timings.items()
+            if name in fq and fq[name] > 0
+        }
+        norm_vals = sorted(r["normalized"] for r in ratios.values())
+        ratio_record = {
+            "metric": "ratios_vs_frozen_anchor",
+            "calibration_sec": calibration,
+            "frozen_calibration_sec": fcal,
+            "median_normalized": norm_vals[len(norm_vals) // 2],
+            "flagged_ge_1_5x": sorted(
+                n for n, r in ratios.items() if r["normalized"] >= 1.5
+            ),
+            "unfrozen_queries": sorted(
+                n for n in timings if n not in fq
+            ),
+            "queries": ratios,
+        }
+        print(json.dumps(ratio_record))
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_ratios.json"), "w"
+        ) as f:
+            json.dump(ratio_record, f, indent=1)
+    except (OSError, KeyError, ValueError):
+        pass  # no anchor available: raw timings below still stand alone
+    sys.stdout.flush()
     print(
         json.dumps(
             {

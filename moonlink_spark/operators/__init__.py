@@ -174,6 +174,21 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # LM fluency, tumbling windows, z-score outliers). Keepers: the
 # 7-query ingest lifecycle that is the engine's identity + the
 # flagship.
+# ROUND-12 ROTATION: r11 went 50/50 green, so its 42 non-keeper slots
+# rotate out. Rotating IN, stalest driver evidence first (computed from
+# the union of CORRECTNESS_r*.json): the round-12 addition
+# ann_index_pq_adc_topk (never gated), the ENTIRE r8-evidence cohort
+# (21 — the staleness floor the r11 verdict named: scalar/date/regexp
+# families, grouping sets, late-event detection, gopher signals, the
+# export/index round trips, Avro/Kafka/CDC/keyindex/initial-copy ingest
+# legs, event statistics and running windows), the six r10-evidence
+# queries the verdict named (q10/q12/q14/q19, ann_recall_at_k,
+# dedup_ngram_jaccard), and 14 of the r9 cohort preferring queries with
+# no standing bench evidence (pivot/union-all/window-topk, point
+# lookup, q21, fingerprints/lang-id/PII/token-counts, time rollup,
+# stratified sampling, multimodal, full-row delete, PG metadata
+# recovery). Keepers unchanged: the 7-query ingest lifecycle + the
+# flagship. Union coverage stays 153/153 ever-gated after this round.
 # ROUND-11 ROTATION: r10 went 50/50 green, so its 42 non-keeper slots
 # rotate out. Rotating IN, stalest driver evidence first: the 4
 # never-gated queries (the two r11 additions ann_index_pq_topk /
@@ -198,52 +213,52 @@ PRIORITY_50 = [
     "ingest_snapshot_diff",
     "ingest_optimize_invariance",
     "q1_pricing_summary",
-    # never driver-gated (4): r11 additions + r10 bench-only entries
-    "ann_index_pq_topk",
-    "ingest_replication_auth_scan",
-    "hier_quantizer_assign",
-    "deterministic_corpus_shuffle",
-    # last driver-green r7 (16)
-    "embedding_quantize_rerank",
-    "explode_token_positions",
-    "json_props_extraction",
-    "lm_fluency_scores",
-    "median_mode_order_stats",
-    "not_in_parts_never_shipped",
-    "q17_small_qty_revenue",
-    "q20_part_supplier_candidates",
-    "q8_market_share",
-    "rollup_orders",
-    "semi_join_customers_with_urgent_orders",
-    "set_ops_order_status",
-    "string_agg_top_customers_per_nation",
-    "tumbling_window_hourly",
-    "width_bucket_balance_histogram",
-    "zscore_outlier_events",
-    # last driver-green r8 (19)
-    "ann_index_lifecycle_topk",
-    "ann_ivf_multiprobe_topk",
-    "approx_heavy_hitters",
-    "approx_percentiles_by_flag",
-    "approx_sketches",
-    "bigram_pmi_top",
-    "bucketed_colocated_join",
-    "bucketed_point_read",
-    "char_trigram_entropy",
-    "dedup_connected_components",
-    "dedup_duplicate_segments",
-    "dedup_edit_distance_verify",
-    "dedup_keep_best_quality",
-    "embedding_drift_by_label",
-    "embedding_gram_matrix",
-    "embedding_pca_power_scores",
-    "ingest_alter_add_column_scan",
-    "ingest_bulk_load_scan",
-    "streaming_interval_join_e2e",
-    # last driver-green r9, named by the r10 verdict's rotation ask (3)
-    "streaming_tumbling_agg_e2e",
-    "streaming_dedup_e2e",
-    "lsh_jaccard_recall_eval",
+    # never driver-gated (1): the round-12 pure-ADC serving mode
+    "ann_index_pq_adc_topk",
+    # last driver-green r8 — the entire staleness-floor cohort (21)
+    "date_arithmetic",
+    "embedding_vector_stats",
+    "event_value_statistics",
+    "first_last_nth_event_values",
+    "gopher_repetition_signals",
+    "grouping_sets_returns",
+    "ingest_avro_events_scan",
+    "ingest_cdc_stream_feed",
+    "ingest_export_iceberg_dv_scan",
+    "ingest_export_keyindex_lookup",
+    "ingest_export_sigindex_pairs",
+    "ingest_export_vecindex_ann",
+    "ingest_initial_copy_cdc_scan",
+    "ingest_kafka_stream_feed",
+    "ingest_kafka_wire_scan",
+    "ingest_keyindex_delete_scan",
+    "late_event_detection",
+    "regexp_string_ops",
+    "regression_per_event_type",
+    "scalar_functions",
+    "window_running_user_totals",
+    # last driver-green r10, named by the r11 verdict (6)
+    "q10_returned_items",
+    "q12_priority_lines",
+    "q14_promo_effect",
+    "q19_discounted_revenue",
+    "ann_recall_at_k",
+    "dedup_ngram_jaccard",
+    # last driver-green r9, preferring no standing bench evidence (14)
+    "pivot_event_type_values",
+    "union_all_with_dup_counts",
+    "window_topk_parts_per_brand",
+    "point_lookup_order",
+    "q21_multi_line_order_suppliers",
+    "doc_fingerprints",
+    "lang_id_heuristic",
+    "pii_pattern_scan",
+    "token_counts",
+    "hierarchical_time_rollup",
+    "stratified_sample_per_group",
+    "multimodal_feature_extract",
+    "ingest_fullrow_delete_one",
+    "ingest_pg_metadata_recovery_scan",
 ]
 assert len(PRIORITY_50) == 50 and len(set(PRIORITY_50)) == 50
 
