@@ -121,3 +121,298 @@ def test_replication_chaos(spark, tmp_path, seed):
 
     got = {r.id: (r.name, r.age) for r in t.scan().collect()}
     assert got == model, f"diverged from model (seed={seed})"
+
+
+# --------------------------------------------------------------------------- #
+# Wire-level chaos (round 12): the authenticated replication wire is the
+# youngest transport path — kill it mid-SCRAM, truncate the TLS
+# handshake, and kill the tailer at every streamed-chunk flush boundary.
+# Reference parity: table_handler/chaos_test.rs:1-7 invariants (random
+# faults, final state equals the committed model) applied to the wire.
+# --------------------------------------------------------------------------- #
+
+import os
+import socket
+import threading
+
+from moonlink_spark.ingest.pgwire import ReplicationWireClient, ReplicationWireServer
+from tests.test_pgoutput import relation
+
+
+def _startup_bytes(replication: bool = True) -> bytes:
+    kv = [("user", "moonlink"), ("database", "postgres")]
+    if replication:
+        kv.append(("replication", "database"))
+    params = b"".join(
+        k.encode() + b"\x00" + v.encode() + b"\x00" for k, v in kv
+    ) + b"\x00"
+    body = struct.pack(">I", 196608) + params
+    return struct.pack(">I", len(body) + 4) + body
+
+
+def _auth_trace(tmp_path, name="wal_chaos.bin"):
+    trace = str(tmp_path / name)
+    with open(trace, "wb") as fh:
+        fh.write(frame(
+            begin(10), USERS_REL,
+            insert(REL, ["1", "a", "1"]), insert(REL, ["2", "b", "2"]),
+            commit(10),
+        ))
+    return trace
+
+
+def test_mid_scram_client_disconnects_do_not_wedge_server(spark, tmp_path):
+    """Clients that vanish mid-SCRAM (after SASLInitialResponse, before
+    the proof) must not wedge the walsender: each handshake runs on its
+    own connection thread, so a legit client right after N aborted ones
+    authenticates and streams the full feed."""
+    trace = _auth_trace(tmp_path)
+    srv = ReplicationWireServer(
+        trace, password="s3cret", auth="scram-sha-256"
+    ).start()
+    try:
+        for _ in range(3):
+            s = socket.create_connection((srv.host, srv.port), timeout=5)
+            s.sendall(_startup_bytes())
+            f = s.makefile("rb")
+            head = f.read(5)  # 'R' AuthenticationSASL
+            assert head[:1] == b"R"
+            f.read(struct.unpack(">I", head[1:])[0] - 4)
+            # SASLInitialResponse with a real-looking client-first, then
+            # vanish before the server's challenge is answered
+            cf = b"n,,n=moonlink,r=chaosnonce0000000000"
+            body = (
+                b"SCRAM-SHA-256\x00"
+                + struct.pack(">I", len(cf))
+                + cf
+            )
+            s.sendall(b"p" + struct.pack(">I", len(body) + 4) + body)
+            f.read(5)  # server-first arrives (or peer detects close)
+            s.close()
+
+        t = MoonlinkTable.create(
+            spark, str(tmp_path / "midscram_t"), FIELDS,
+            IdentityProp.single("id"),
+        )
+        client = ReplicationWireClient(
+            t, srv.host, srv.port, str(tmp_path / "spool_ms.bin"),
+            password="s3cret",
+        )
+        assert client.stream_once()["commits"] == 1
+        assert {r.id for r in t.scan().collect()} == {1, 2}
+    finally:
+        srv.stop()
+
+
+def test_server_killed_mid_scram_client_fails_clean_then_resumes(
+    spark, tmp_path
+):
+    """A server that dies after issuing the SCRAM challenge must surface
+    a clean error on the client (no hang, no partial apply), and the
+    SAME spool resumes against a healthy server with exactly-once
+    application."""
+    from moonlink_spark.pg_protocol import PgProtocolError
+
+    killer_ready = threading.Event()
+    killer = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    killer.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    killer.bind(("127.0.0.1", 0))
+    killer.listen(1)
+    kport = killer.getsockname()[1]
+
+    def run_killer():
+        killer_ready.set()
+        conn, _ = killer.accept()
+        f = conn.makefile("rb")
+        f.read(4)  # startup length
+        # drain the rest of the startup using that length? simpler: read
+        # a bounded chunk — the client blocks on OUR next message anyway
+        conn.recv(4096)
+        # AuthenticationSASL advertising SCRAM, then die mid-handshake
+        body = struct.pack(">I", 10) + b"SCRAM-SHA-256\x00\x00"
+        conn.sendall(b"R" + struct.pack(">I", len(body) + 4) + body)
+        conn.recv(4096)  # client's SASLInitialResponse
+        conn.close()     # <- the kill: no server-first ever arrives
+        killer.close()
+
+    threading.Thread(target=run_killer, daemon=True).start()
+    killer_ready.wait(5)
+
+    t = MoonlinkTable.create(
+        spark, str(tmp_path / "killsrv_t"), FIELDS, IdentityProp.single("id")
+    )
+    spool = str(tmp_path / "spool_kill.bin")
+    client = ReplicationWireClient(
+        t, "127.0.0.1", kport, spool, password="s3cret"
+    )
+    with pytest.raises((ConnectionError, PgProtocolError, OSError)):
+        client.stream_once()
+    assert t.scan().count() == 0
+    assert not os.path.exists(spool) or os.path.getsize(spool) == 0
+
+    trace = _auth_trace(tmp_path, "wal_kill.bin")
+    srv = ReplicationWireServer(
+        trace, password="s3cret", auth="scram-sha-256"
+    ).start()
+    try:
+        retry = ReplicationWireClient(
+            t, srv.host, srv.port, spool, password="s3cret"
+        )
+        assert retry.stream_once()["commits"] == 1
+        assert {r.id for r in t.scan().collect()} == {1, 2}
+    finally:
+        srv.stop()
+
+
+def test_tls_handshake_truncation_both_sides(spark, tmp_path):
+    """TLS chaos in both directions: (a) a server that answers 'S' to
+    SSLRequest and then closes mid-handshake must produce a clean client
+    error; (b) a client that sends SSLRequest and vanishes before the
+    handshake must not wedge the real TLS server — a legit TLS+SCRAM
+    client right after it streams fine."""
+    import ssl as _ssl
+
+    from moonlink_spark.tlsutil import mint_test_tls
+
+    # (a) truncating server
+    trunc = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    trunc.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    trunc.bind(("127.0.0.1", 0))
+    trunc.listen(1)
+    tport = trunc.getsockname()[1]
+
+    def run_trunc():
+        conn, _ = trunc.accept()
+        conn.recv(8)          # SSLRequest
+        conn.sendall(b"S")    # promise TLS...
+        conn.recv(4096)       # client's ClientHello
+        conn.close()          # ...and die mid-handshake
+        trunc.close()
+
+    threading.Thread(target=run_trunc, daemon=True).start()
+    t = MoonlinkTable.create(
+        spark, str(tmp_path / "tlstrunc_t"), FIELDS, IdentityProp.single("id")
+    )
+    client = ReplicationWireClient(
+        t, "127.0.0.1", tport, str(tmp_path / "spool_trunc.bin"),
+        password="pw", sslmode="require",
+    )
+    with pytest.raises((_ssl.SSLError, ConnectionError, OSError)):
+        client.stream_once()
+    assert t.scan().count() == 0
+
+    # (b) truncating client against the real TLS walsender
+    tls = mint_test_tls(str(tmp_path / "tls_chaos"))
+    trace = _auth_trace(tmp_path, "wal_tls.bin")
+    srv = ReplicationWireServer(
+        trace, password="s3cret", auth="scram-sha-256",
+        ssl_cert=tls.cert_path, ssl_key=tls.key_path,
+    ).start()
+    try:
+        for _ in range(3):
+            s = socket.create_connection((srv.host, srv.port), timeout=5)
+            s.sendall(struct.pack(">II", 8, 80877103))  # SSLRequest
+            assert s.recv(1) == b"S"
+            s.close()  # vanish before the TLS handshake
+        t2 = MoonlinkTable.create(
+            spark, str(tmp_path / "tlsok_t"), FIELDS, IdentityProp.single("id")
+        )
+        good = ReplicationWireClient(
+            t2, srv.host, srv.port, str(tmp_path / "spool_tlsok.bin"),
+            password="s3cret", sslmode="verify-full", ssl_ca_file=tls.ca_path,
+        )
+        assert good.stream_once()["commits"] == 1
+        assert {r.id for r in t2.scan().collect()} == {1, 2}
+    finally:
+        srv.stop()
+
+
+def test_tailer_killed_at_every_stream_chunk_boundary(spark, tmp_path):
+    """The r11 chunk-batching fix (streamed DML buffers and flushes at
+    stream boundaries) gets its crash test: a 4-chunk streamed
+    transaction plus an interleaved plain transaction land chunk by
+    chunk, and after EVERY chunk the tailer is killed (fresh tailer =
+    fresh in-memory staging + fresh sink, resume from checkpoint). The
+    final table must equal the committed model exactly — no lost chunk,
+    no double-applied chunk, regardless of which boundary died."""
+    t = MoonlinkTable.create(
+        spark, str(tmp_path / "chunks_t"), FIELDS, IdentityProp.single("id")
+    )
+    trace = str(tmp_path / "wal_chunks.bin")
+    open(trace, "wb").close()
+    xid = 777
+    chunks = [
+        frame(begin(5), USERS_REL, commit(5)),
+        frame(stream_start(xid),
+              insert(REL, ["1", "a", "1"], xid=xid),
+              insert(REL, ["2", "b", "2"], xid=xid),
+              stream_stop()),
+        frame(stream_start(xid),
+              update(REL, ["1", "a2", "11"], xid=xid),
+              stream_stop()),
+        # a plain txn interleaves between the stream's chunks (what PG
+        # does: streamed xacts share the WAL with small commits)
+        frame(begin(20), insert(REL, ["50", "z", "9"]), commit(20)),
+        frame(stream_start(xid),
+              delete(REL, ["2", None, None], xid=xid),
+              insert(REL, ["3", "c", "3"], xid=xid),
+              stream_stop()),
+        frame(stream_start(xid),
+              update(REL, ["3", "c2", "33"], xid=xid),
+              stream_stop(),
+              stream_commit(xid, 40)),
+    ]
+    expected = {1: ("a2", 11), 3: ("c2", 33), 50: ("z", 9)}
+
+    tailer = ReplicationTailer(t, trace)
+    for chunk in chunks:
+        with open(trace, "ab") as fh:
+            fh.write(chunk)
+        tailer.poll_once()
+        tailer = ReplicationTailer(t, trace)  # kill at the boundary
+    tailer.poll_once()
+    got = {r.id: (r.name, r.age) for r in t.scan().collect()}
+    assert got == expected
+
+
+def test_crash_between_stream_commit_and_checkpoint(spark, tmp_path):
+    """Kill AFTER the sink applied a stream_commit but BEFORE the
+    checkpoint write (the exact window the module contract declares
+    safe): the restarted tailer re-stages the whole streamed xact and
+    must discard it as a replay — applied exactly once."""
+    t = MoonlinkTable.create(
+        spark, str(tmp_path / "ckpt_t"), FIELDS, IdentityProp.single("id")
+    )
+    trace = str(tmp_path / "wal_ckpt.bin")
+    xid = 888
+    with open(trace, "wb") as fh:
+        fh.write(frame(
+            begin(5), USERS_REL, commit(5),
+            stream_start(xid),
+            insert(REL, ["7", "g", "7"], xid=xid),
+            insert(REL, ["8", "h", "8"], xid=xid),
+            stream_stop(),
+            stream_commit(xid, 30),
+        ))
+
+    tailer = ReplicationTailer(t, trace)
+    orig_save = tailer._save_checkpoint
+    calls = {"n": 0}
+
+    def dying_save(boundary_pos):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the save AFTER the stream_commit apply
+            raise RuntimeError("killed before checkpoint")
+        orig_save(boundary_pos)
+
+    tailer._save_checkpoint = dying_save
+    with pytest.raises(RuntimeError):
+        tailer.poll_once()
+    # the table HAS the txn, the checkpoint does not
+    assert {r.id for r in t.scan().collect()} == {7, 8}
+
+    restarted = ReplicationTailer(t, trace)
+    stats = restarted.poll_once()
+    assert stats["skipped_replays"] == 1 and stats["commits"] == 0
+    got = {r.id: (r.name, r.age) for r in t.scan().collect()}
+    assert got == {7: ("g", 7), 8: ("h", 8)}

@@ -756,3 +756,80 @@ def test_pq_index_over_http_and_rebuild_inherits_pq(spark, corpus, tmp_path):
         assert status["segments"] == 1  # rebuilt into one PQ segment
     finally:
         svc.stop()
+
+
+def test_pq_crash_between_segment_persist_and_meta_publish(
+    spark, corpus, tmp_path, monkeypatch
+):
+    """Chaos for the r11 PQ lifecycle (verdict r11 ask): kill the writer
+    AFTER codebooks/segments hit disk but BEFORE the atomic meta
+    publish, in both build and incremental update. Invariants (the
+    reference's chaos_test.rs shape): readers never see the unpublished
+    state, the orphan segment stays invisible forever, and a retried
+    build/update converges to exactly the clean outcome."""
+    half = corpus.filter(F.col("vec_id") % 2 == 0)
+    rest = corpus.filter(F.col("vec_id") % 2 == 1)
+    pq = {"m": 4, "ksub": 16, "iters": 1}
+
+    # clean twin for the expected outcome
+    clean = str(tmp_path / "clean")
+    vecindex.build_index(spark, half, clean, k=4, iters=1, pq=pq)
+    vecindex.update_index(spark, rest, clean)
+    want = {
+        (r.vec_id, r.cluster_id, r.d2, tuple(r.codes))
+        for r in vecindex.read_assignments(spark, clean).collect()
+    }
+
+    # (1) kill build between segment write and meta publish
+    crash = str(tmp_path / "crash")
+    real_write_meta = vecindex._write_meta
+    monkeypatch.setattr(
+        vecindex, "_write_meta",
+        lambda dest, meta: (_ for _ in ()).throw(
+            RuntimeError("killed before meta publish")
+        ),
+    )
+    with pytest.raises(RuntimeError):
+        vecindex.build_index(spark, half, crash, k=4, iters=1, pq=pq)
+    monkeypatch.setattr(vecindex, "_write_meta", real_write_meta)
+    # no meta => no readable index; the orphan segment is on disk
+    assert not os.path.exists(os.path.join(crash, vecindex.META_FILE))
+    orphans = [f for f in os.listdir(crash) if f.startswith("assign-")]
+    assert len(orphans) == 1
+    # retry the build: meta lists ONLY its own segment; orphan invisible
+    vecindex.build_index(spark, half, crash, k=4, iters=1, pq=pq)
+    meta = vecindex.read_meta(crash)
+    assert len(meta["segments"]) == 1 and meta["segments"][0] not in orphans
+
+    # (2) kill update between segment write and meta publish
+    calls = {"n": 0}
+
+    def dying_write_meta(dest, meta):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("killed before meta publish")
+        real_write_meta(dest, meta)
+
+    monkeypatch.setattr(vecindex, "_write_meta", dying_write_meta)
+    with pytest.raises(RuntimeError):
+        vecindex.update_index(spark, rest, crash)
+    # the failed update is invisible: still generation 1, one live segment
+    meta = vecindex.read_meta(crash)
+    assert meta["generation"] == 1 and len(meta["segments"]) == 1
+    n_before = vecindex.read_assignments(spark, crash).count()
+    assert n_before == half.count()
+    # retried update lands exactly once and equals the clean twin
+    vecindex.update_index(spark, rest, crash)
+    got = {
+        (r.vec_id, r.cluster_id, r.d2, tuple(r.codes))
+        for r in vecindex.read_assignments(spark, crash).collect()
+    }
+    assert got == want
+    # and the crash-build/crash-update orphans never became visible
+    live = set(vecindex.read_meta(crash)["segments"])
+    on_disk = {f for f in os.listdir(crash) if f.startswith("assign-")}
+    assert live < on_disk  # orphans exist on disk...
+    served = vecindex.query_topk(
+        spark, corpus, crash, query_ids=[0, 1], topk=3, nprobe=2, rerank=0
+    ).count()
+    assert served == 6  # ...and serving works off the live set only
