@@ -86,11 +86,22 @@ def build_index(
     ``meta_update`` carries caller-owned fields into the same atomic
     meta write (the CDC watermark, or ``as_of_lsn`` — the table LSN
     whose rows this build covers, which Iceberg export uses to refuse
-    shipping index state newer than a pinned-LSN data snapshot)."""
+    shipping index state newer than a pinned-LSN data snapshot).
+
+    A REBUILD over an existing index (stale -> retrain, the documented
+    response to updates/deletes) unlinks the superseded segments AFTER
+    the atomic meta publish — same order as compaction; without it
+    every retrain leaked the previous index's full size on disk
+    (found by the r12 day-in-the-life soak)."""
     from moonlink_spark.table import segments as segstore
 
     os.makedirs(dest, exist_ok=True)
     with segstore.index_write_lock(dest):
+        old_segments: list[str] = []
+        try:
+            old_segments = list(read_meta(dest).get("segments") or [])
+        except FileNotFoundError:
+            pass
         name = _write_signatures(docs.select("doc_id", "text"), dest)
         meta = {
             "n_hashes": N_HASHES,
@@ -100,6 +111,12 @@ def build_index(
         }
         meta.update(meta_update or {})
         _write_meta(dest, meta)
+        for old in old_segments:
+            if old != name:
+                try:
+                    os.unlink(os.path.join(dest, old))
+                except FileNotFoundError:
+                    pass
     return meta
 
 

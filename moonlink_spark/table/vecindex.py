@@ -121,6 +121,16 @@ def build_index(
 
     os.makedirs(dest, exist_ok=True)
     with segstore.maybe_write_lock(dest, _locked):
+        # a REBUILD over an existing index must reclaim the superseded
+        # segments (after the atomic publish, compaction's order) — a
+        # drift-triggered retrain otherwise leaks the previous index's
+        # full size on disk every time (r12 soak finding; the backend
+        # wrapper had this cleanup, direct module callers did not)
+        old_segments: list[str] = []
+        try:
+            old_segments = list(read_meta(dest).get("segments") or [])
+        except FileNotFoundError:
+            pass
         # one quantization pass serves both training and the final
         # assignment write (the persist holds it across Lloyd iterations)
         q = quantize_embeddings_1e6(emb).persist()
@@ -163,6 +173,12 @@ def build_index(
             meta["pq"] = pq_meta
         meta.update(meta_update or {})
         _write_meta(dest, meta)
+        for old in old_segments:
+            if old != name:
+                try:
+                    os.unlink(os.path.join(dest, old))
+                except FileNotFoundError:
+                    pass
     return meta
 
 
