@@ -309,7 +309,9 @@ def main() -> None:
             "metric": "ratios_vs_frozen_anchor",
             "calibration_sec": calibration,
             "frozen_calibration_sec": fcal,
-            "median_normalized": norm_vals[len(norm_vals) // 2],
+            "median_normalized": (
+                norm_vals[len(norm_vals) // 2] if norm_vals else None
+            ),
             "flagged_ge_1_5x": sorted(
                 n for n, r in ratios.items() if r["normalized"] >= 1.5
             ),

@@ -8,12 +8,17 @@ including historical read-at-LSN snapshots. Failures print the seed for
 replay (chaos_replay.rs parity).
 """
 
+
 import random
 
 import pytest
 
 from moonlink_spark.table.identity import IdentityProp
 from moonlink_spark.table.table import MoonlinkTable
+
+# full-lifecycle chaos/stress runs (10-70s each): excluded from the
+# fast profile; the full run covers them (pytest -m "")
+pytestmark = pytest.mark.slow
 
 USERS = [
     {"name": "id", "data_type": "int32", "nullable": False},

@@ -7,11 +7,16 @@ via scripts/chaos_replay.py. One scenario runs the control plane over
 the in-memory object store with periodic fault injection; one validates
 every force-snapshot against the persisted Iceberg export via DuckDB."""
 
+
 import json
 
 import pytest
 
 from moonlink_spark.chaos import ChaosFailure, replay, run_chaos
+
+# full-lifecycle chaos/stress runs (10-70s each): excluded from the
+# fast profile; the full run covers them (pytest -m "")
+pytestmark = pytest.mark.slow
 
 
 @pytest.mark.parametrize("seed", [7, 101])

@@ -9,8 +9,11 @@ concurrently and never see each other's events. Here each worker thread
 drives its own table through the shared MoonlinkBackend while the
 HTTP service serves status reads against the same instance."""
 
+
 import json
 import random
+
+import pytest
 import threading
 import urllib.request
 
@@ -19,6 +22,10 @@ from pyspark.sql import functions as F  # noqa: F401  (spark session warm)
 from moonlink_spark.backend import MoonlinkBackend
 from moonlink_spark.service import MoonlinkService
 from moonlink_spark.table.identity import IdentityProp
+
+# full-lifecycle chaos/stress runs (10-70s each): excluded from the
+# fast profile; the full run covers them (pytest -m "")
+pytestmark = pytest.mark.slow
 
 N_TABLES = 4
 OPS_PER_TABLE = 30

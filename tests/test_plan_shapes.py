@@ -189,6 +189,12 @@ def test_no_cartesian_anywhere_in_read_paths(spark, sf_dir):
             "ivf_kmeans_train",
             "embedding_pca_power_scores",
             "ann_index_lifecycle_topk",
+            # the PQ lifecycles likewise run build/update/compact/serve
+            # at DataFrame-build time and return a COLLECTED local
+            # result — "planning" them executes ~20s of lifecycle to
+            # inspect a LocalTableScan that cannot contain a join
+            "ann_index_pq_topk",
+            "ann_index_pq_adc_topk",
         ):
             continue
         plan = plan_of(spark, sf_dir, name)

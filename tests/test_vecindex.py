@@ -399,6 +399,7 @@ def test_vector_index_over_http(spark, corpus, tmp_path):
         svc.stop()
 
 
+@pytest.mark.slow
 def test_auto_retrain_timer_restores_recall(spark, corpus, tmp_path):
     """The timer-driven maintenance loop (index_merge_config.rs trigger
     parity): drifted inserts trip retrain_recommended, the ticker
@@ -642,6 +643,7 @@ def test_pq_recall_at_least_95pct_of_sq(spark, corpus, tmp_path):
     assert r_adc >= 0.2, (r_adc, r_flat)
 
 
+@pytest.mark.slow
 def test_pq_index_over_http_and_rebuild_inherits_pq(spark, corpus, tmp_path):
     """PQ through every owning surface: build with pq over HTTP, status
     reports the format, CDC update assigns codes against the frozen
