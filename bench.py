@@ -294,15 +294,17 @@ def main() -> None:
         ) as f:
             frozen = json.load(f)
         fq, fcal = frozen["queries"], float(frozen["calibration_sec"])
+        if not (fcal > 0 and calibration > 0):
+            raise ValueError("non-positive calibration")
         ratios = {
             name: {
-                "raw": round(t / fq[name], 3),
+                "raw": round(t / float(fq[name]), 3),
                 "normalized": round(
-                    (t / calibration) / (fq[name] / fcal), 3
+                    (t / calibration) / (float(fq[name]) / fcal), 3
                 ),
             }
             for name, t in timings.items()
-            if name in fq and fq[name] > 0
+            if name in fq and isinstance(fq[name], (int, float)) and fq[name] > 0
         }
         norm_vals = sorted(r["normalized"] for r in ratios.values())
         ratio_record = {
@@ -326,8 +328,8 @@ def main() -> None:
                          "BENCH_ratios.json"), "w"
         ) as f:
             json.dump(ratio_record, f, indent=1)
-    except (OSError, KeyError, ValueError):
-        pass  # no anchor available: raw timings below still stand alone
+    except (OSError, KeyError, ValueError, TypeError, ZeroDivisionError):
+        pass  # no/bad anchor: raw timings below still stand alone
     sys.stdout.flush()
     print(
         json.dumps(

@@ -432,13 +432,11 @@ class MoonlinkBackend:
                 F.col(column).alias("embedding"),
             )
             carry: dict[str, Any] = {}
-            old_segments: list[str] = []
             old_wm = -1
             if t.data_fs.isdir(dest):
                 try:
                     old = vecindex.read_meta(dest)
                     old_wm = int(old.get("indexed_batch_id", -1))
-                    old_segments = list(old.get("segments") or [])
                     if pq is None and old.get("pq") is not None:
                         # inherit the serving format across rebuilds:
                         # retrain codebooks at the old shape rather than
@@ -467,10 +465,11 @@ class MoonlinkBackend:
             # index state covers the table up to that manifest's LSN
             carry["as_of_lsn"] = int(m.lsn)
             # REBUILD IN PLACE, never a wipe: build_index writes the new
-            # segment invisibly and atomically replaces the meta, so
-            # concurrent READERS (status polls, queries) always see a
-            # complete index. Old segments unlink only after the publish
-            # (the segment-store compaction order).
+            # segment invisibly, atomically replaces the meta, and
+            # reclaims the superseded segments after the publish (the
+            # segment-store compaction order — the cleanup lives in
+            # vecindex.build_index since r12 so direct module callers
+            # get it too).
             meta = vecindex.build_index(
                 self.spark,
                 emb,
@@ -481,12 +480,6 @@ class MoonlinkBackend:
                 pq=pq,
                 _locked=True,
             )
-            for name in old_segments:
-                if name not in meta["segments"]:
-                    try:
-                        os.unlink(os.path.join(dest, name))
-                    except FileNotFoundError:
-                        pass
         return meta
 
     def update_vector_index(

@@ -92,7 +92,11 @@ def build_index(
     response to updates/deletes) unlinks the superseded segments AFTER
     the atomic meta publish — same order as compaction; without it
     every retrain leaked the previous index's full size on disk
-    (found by the r12 day-in-the-life soak)."""
+    (found by the r12 day-in-the-life soak). Readers share compaction's
+    contract: a lazy DataFrame that resolved the OLD meta and executes
+    after the rebuild can hit the unlinked files — re-resolve (call the
+    read helper again) on FileNotFoundError, exactly as for a racing
+    compact_index."""
     from moonlink_spark.table import segments as segstore
 
     os.makedirs(dest, exist_ok=True)

@@ -125,7 +125,10 @@ def build_index(
         # segments (after the atomic publish, compaction's order) — a
         # drift-triggered retrain otherwise leaks the previous index's
         # full size on disk every time (r12 soak finding; the backend
-        # wrapper had this cleanup, direct module callers did not)
+        # wrapper had this cleanup, direct module callers did not).
+        # Readers share compaction's contract: a lazy DataFrame that
+        # resolved the OLD meta and executes after the rebuild can hit
+        # the unlinked files — re-resolve on FileNotFoundError
         old_segments: list[str] = []
         try:
             old_segments = list(read_meta(dest).get("segments") or [])

@@ -136,7 +136,6 @@ import socket
 import threading
 
 from moonlink_spark.ingest.pgwire import ReplicationWireClient, ReplicationWireServer
-from tests.test_pgoutput import relation
 
 
 def _startup_bytes(replication: bool = True) -> bytes:
