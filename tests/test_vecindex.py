@@ -835,3 +835,47 @@ def test_pq_crash_between_segment_persist_and_meta_publish(
         spark, corpus, crash, query_ids=[0, 1], topk=3, nprobe=2, rerank=0
     ).count()
     assert served == 6  # ...and serving works off the live set only
+
+
+def test_pure_adc_plan_never_scans_the_corpus(spark, corpus, index_dir):
+    """Plan lock for the rerank=0 claim: after probe selection, pure-ADC
+    serving reads ONLY index bytes. Concretely: every embeddings scan in
+    the rerank=0 physical plan carries an In(vec_id, [queries]) pushed
+    filter (the bounded query-vector fetch) — no unfiltered corpus scan
+    exists. The reranked plan, by contrast, must contain at least one
+    corpus scan WITHOUT that filter (the shortlist's embedding fetch),
+    proving the parser distinguishes the two shapes rather than
+    vacuously passing."""
+    import re
+
+    vecindex.build_index(
+        spark, corpus, index_dir, k=4, iters=1,
+        pq={"m": 4, "ksub": 16, "iters": 1},
+    )
+
+    def emb_scan_filters(rerank):
+        df = vecindex.query_topk(
+            spark, corpus, index_dir, query_ids=[0, 1], topk=3, nprobe=2,
+            rerank=rerank,
+        )
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        # each "Scan parquet" node block (up to the blank line), keep the
+        # ones reading the embeddings source, extract its PushedFilters
+        out = []
+        for block in re.split(r"\n\n", plan):
+            if "Scan parquet" not in block or "embeddings" not in block:
+                continue
+            m = re.search(r"PushedFilters: \[([^\]]*)\]", block)
+            if m:
+                out.append(m.group(1))
+        assert out, "parser found no embeddings scans — format rotted"
+        return out
+
+    adc = emb_scan_filters(0)
+    assert all("In(vec_id" in f for f in adc), adc  # bounded fetches only
+    reranked = emb_scan_filters(12)
+    assert any("In(vec_id" not in f for f in reranked), reranked
