@@ -415,3 +415,90 @@ def test_crash_between_stream_commit_and_checkpoint(spark, tmp_path):
     assert stats["skipped_replays"] == 1 and stats["commits"] == 0
     got = {r.id: (r.name, r.age) for r in t.scan().collect()}
     assert got == {7: ("g", 7), 8: ("h", 8)}
+
+
+def test_torn_spool_tail_truncated_and_resumed_over_wire(spark, tmp_path):
+    """A relay client that crashed mid-spool-append leaves a TORN frame
+    at the spool tail. The next client must truncate to the last
+    complete frame and re-request the remainder from the server (spool
+    length IS the wire position) — resuming at the raw byte size would
+    skip the torn frame's tail and desync the relay framing forever."""
+    trace = str(tmp_path / "wal_torn.bin")
+    full = frame(
+        begin(10), USERS_REL,
+        insert(REL, ["1", "a", "1"]), insert(REL, ["2", "b", "2"]),
+        commit(10),
+        begin(20), insert(REL, ["3", "c", "3"]), commit(20),
+    )
+    with open(trace, "wb") as fh:
+        fh.write(full)
+    srv = ReplicationWireServer(trace).start()
+    try:
+        t = MoonlinkTable.create(
+            spark, str(tmp_path / "torn_t"), FIELDS, IdentityProp.single("id")
+        )
+        spool = str(tmp_path / "spool_torn.bin")
+        c1 = ReplicationWireClient(t, srv.host, srv.port, spool)
+        assert c1.stream_once()["commits"] == 2
+        size = os.path.getsize(spool)
+
+        # crash shape: the tail of the spool is a torn frame (half of
+        # the last frame's bytes re-appended then cut), checkpoint intact
+        with open(spool, "rb") as fh:
+            data = fh.read()
+        with open(spool, "wb") as fh:
+            fh.write(data[: size - 7])  # cut INSIDE the last frame
+        # the feed also grew while the relay was down
+        with open(trace, "ab") as fh:
+            fh.write(frame(begin(30), insert(REL, ["4", "d", "4"]),
+                           commit(30)))
+
+        c2 = ReplicationWireClient(t, srv.host, srv.port, spool)
+        s = c2.stream_once()
+        # the torn frame was re-fetched from the wire plus the new txn
+        assert s["commits"] == 1  # only txn 30 is NEW to the table
+        got = {r.id: (r.name, r.age) for r in t.scan().collect()}
+        assert got == {1: ("a", 1), 2: ("b", 2), 3: ("c", 3), 4: ("d", 4)}
+        # and the spool healed to exactly the full feed bytes
+        with open(spool, "rb") as fh:
+            assert fh.read() == open(trace, "rb").read()
+    finally:
+        srv.stop()
+
+
+def test_server_death_mid_stream_clean_error_and_resume(spark, tmp_path):
+    """The walsender dying while the client sits in its receive loop
+    must surface as a clean error (no hang, no partial-txn application
+    beyond the tailer's own guarantees); a fresh client against a
+    restarted server resumes from the spool with exactly-once apply."""
+    trace = str(tmp_path / "wal_die.bin")
+    with open(trace, "wb") as fh:
+        fh.write(frame(
+            begin(10), USERS_REL, insert(REL, ["1", "a", "1"]), commit(10),
+        ))
+    srv = ReplicationWireServer(trace, keepalive_idle_s=10.0).start()
+    t = MoonlinkTable.create(
+        spark, str(tmp_path / "die_t"), FIELDS, IdentityProp.single("id")
+    )
+    spool = str(tmp_path / "spool_die.bin")
+
+    killer = threading.Timer(0.5, srv.stop)
+    killer.start()
+    c1 = ReplicationWireClient(t, srv.host, srv.port, spool)
+    # with a 10s keepalive interval the client blocks in recv when the
+    # server dies; it must fail with a clean connection error, not hang
+    with pytest.raises((ConnectionError, OSError)):
+        c1.stream_once(timeout_s=5.0)
+    killer.join()
+
+    srv2 = ReplicationWireServer(trace).start()
+    try:
+        c2 = ReplicationWireClient(t, srv2.host, srv2.port, spool)
+        c2.stream_once()
+        got = {r.id: (r.name, r.age) for r in t.scan().collect()}
+        assert got == {1: ("a", 1)}
+        # replay the whole feed once more: LSN floor keeps it a no-op
+        c3 = ReplicationWireClient(t, srv2.host, srv2.port, spool)
+        assert c3.stream_once()["commits"] == 0
+    finally:
+        srv2.stop()
