@@ -83,3 +83,42 @@ def test_docstrings_do_not_claim_rows_only_when_oracle_exists():
         if spec.oracle is not None and "registered rows-only" in mod_doc:
             offenders.append((name, f"{mod.__name__} doc claims rows-only"))
     assert not offenders, offenders
+
+
+def test_bench_headline_queries_are_frozen_anchored():
+    """Every bench headline query must have an entry in the FROZEN
+    anchor (BASELINE_FROZEN.json) — the anchor's provenance rule is
+    that new bench entries get ONE first-round value appended and are
+    then frozen; a headline query with no anchor entry makes the
+    normalized-drift series silently blind to it. The two synthetic
+    scenarios bench.py times outside HEADLINE are covered too."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import bench
+
+    from moonlink_spark.operators import all_queries
+
+    frozen = json.load(
+        open(os.path.join(os.path.dirname(bench.__file__),
+                          "BASELINE_FROZEN.json"))
+    )["queries"]
+    registry = all_queries()
+    missing_from_registry = [n for n in bench.HEADLINE if n not in registry]
+    assert not missing_from_registry, missing_from_registry
+    timed = set(bench.HEADLINE) | {
+        "ingest_merge_lifecycle", "ingest_batch_commits"
+    }
+    unanchored = sorted(
+        n for n in timed
+        if not isinstance(frozen.get(n), (int, float)) or frozen[n] <= 0
+    )
+    assert not unanchored, (
+        f"bench-timed queries without a frozen anchor entry: {unanchored} "
+        "— append their first-round median to BASELINE_FROZEN.json "
+        "(and to its first_round_entries list), then never touch it again"
+    )
