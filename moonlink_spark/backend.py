@@ -609,6 +609,162 @@ class MoonlinkBackend:
             interval_s, tick, f"vecindex-{database}.{table}.{column}"
         ).start()
 
+    # -- table-owned MinHash signature index (the dedup twin of the ----
+    # -- vector-index surface above; same lifecycle, same watermark ----
+    # -- rules, same maintenance shape) --------------------------------
+
+    def _sigindex_dir(self, t: MoonlinkTable, column: str) -> str:
+        return os.path.join(t.data_path, "sigindex", column)
+
+    def build_signature_index(
+        self, database: str, table: str, column: str
+    ) -> dict[str, Any]:
+        """Build (or rebuild from scratch) the persisted MinHash
+        signature index over a text column of this table, stored inside
+        the table's own directory — symmetric with
+        :meth:`build_vector_index` (r12: before this, the stale->rebuild
+        response the sigindex sync contract documents had no owner; every
+        caller hand-rolled it, which is where the segment-leak bug
+        lived). Requires a single numeric identity key (-> ``doc_id``).
+
+        The whole rebuild runs under the index write lock; the CDC
+        watermark survives AND advances to the table's last applied
+        batch id (the rebuild scans the pinned manifest, so every batch
+        committed by now is inside it); superseded segments are
+        reclaimed after the atomic publish; ``stale_rows`` resets (the
+        rebuild covers the live corpus by construction)."""
+        from moonlink_spark.table import segments as segstore
+        from moonlink_spark.table import sigindex
+
+        t = self.get_table(database, table)
+        key = t.identity.columns[0]
+        dest = self._sigindex_dir(t, column)
+        with segstore.index_write_lock(dest, timeout_s=3600.0):
+            m = t.manifest  # pin: the scan and the watermark agree
+            docs = t.scan(version=m.version).select(
+                F.col(key).cast("bigint").alias("doc_id"),
+                F.col(column).alias("text"),
+            )
+            carry: dict[str, Any] = {}
+            old_wm = -1
+            try:
+                old_wm = int(
+                    sigindex.read_meta(dest).get("indexed_batch_id", -1)
+                )
+            except FileNotFoundError:
+                pass
+            from moonlink_spark.streaming.pipeline import LAST_BATCH_PROP
+
+            wm = max(old_wm, int(m.properties.get(LAST_BATCH_PROP, -1)))
+            if wm >= 0:
+                carry["indexed_batch_id"] = wm
+            carry["as_of_lsn"] = int(m.lsn)
+            return sigindex.build_index(
+                docs, dest, meta_update=carry, _locked=True
+            )
+
+    def update_signature_index(
+        self, database: str, table: str, column: str, since_lsn: int
+    ) -> dict[str, Any]:
+        """Incrementally index the documents INSERTED after
+        ``since_lsn`` (from the change feed); updates/deletes in the
+        range mark the index stale instead of patching signatures
+        (symmetric with :meth:`update_vector_index`)."""
+        from moonlink_spark.table import sigindex
+
+        t = self.get_table(database, table)
+        key = t.identity.columns[0]
+        upto = int(t.last_lsn)
+        changes = t.changes(since_lsn, upto)
+        dest = self._sigindex_dir(t, column)
+        pin = {"as_of_lsn": upto}
+        n_other = changes.filter(F.col("_change_type") != "insert").count()
+        if n_other:
+            sigindex.mark_stale(dest, n_other, meta_update=pin)
+        inserts = changes.filter(F.col("_change_type") == "insert")
+        if inserts.limit(1).count():
+            sigindex.update_index(
+                inserts.select(
+                    F.col(key).cast("bigint").alias("doc_id"),
+                    F.col(f"after.{column}").alias("text"),
+                ),
+                dest,
+                meta_update=pin,
+            )
+        return sigindex.read_meta(dest)
+
+    def signature_index_status(
+        self,
+        database: str,
+        table: str,
+        column: str,
+        meta: dict[str, Any] | None = None,
+    ) -> dict[str, Any]:
+        """``meta``: report THIS already-read meta instead of re-reading
+        (mutators return their freshly published meta)."""
+        from moonlink_spark.table import sigindex
+
+        if meta is None:
+            t = self.get_table(database, table)
+            meta = sigindex.read_meta(self._sigindex_dir(t, column))
+        return {
+            "generation": meta["generation"],
+            "segments": len(meta.get("segments") or []),
+            "n_hashes": meta["n_hashes"],
+            "n_bands": meta["n_bands"],
+            "stale_rows": meta.get("stale_rows", 0),
+            "rebuild_recommended": sigindex.rebuild_recommended(meta),
+        }
+
+    def maintain_signature_index(
+        self,
+        database: str,
+        table: str,
+        column: str,
+        min_segments_to_compact: int = 4,
+    ) -> dict[str, Any]:
+        """One maintenance tick for the table-owned signature index —
+        the dedup twin of :meth:`maintain_vector_index`:
+        ``rebuild_recommended`` (stale documents) -> full rebuild from
+        the live table; else enough small segments -> crash-safe
+        compaction."""
+        from moonlink_spark.table import sigindex
+
+        t = self.get_table(database, table)
+        dest = self._sigindex_dir(t, column)
+        meta = sigindex.read_meta(dest)
+        if sigindex.rebuild_recommended(meta):
+            rebuilt = self.build_signature_index(database, table, column)
+            return {"action": "rebuilt", "generation": rebuilt["generation"]}
+        if len(meta.get("segments") or []) >= min_segments_to_compact:
+            replaced = sigindex.compact_index(self.spark, dest)
+            return {"action": "compacted", "replaced": replaced}
+        return {"action": "none"}
+
+    def start_signature_index_maintenance(
+        self,
+        database: str,
+        table: str,
+        column: str,
+        interval_s: float = 30.0,
+        min_segments_to_compact: int = 4,
+    ):
+        """Run :meth:`maintain_signature_index` on a periodic ticker.
+        Returns the started Ticker; call ``.stop()`` to shut down."""
+        from moonlink_spark.table.timers import Ticker
+
+        def tick():
+            self.maintain_signature_index(
+                database,
+                table,
+                column,
+                min_segments_to_compact=min_segments_to_compact,
+            )
+
+        return Ticker(
+            interval_s, tick, f"sigindex-{database}.{table}.{column}"
+        ).start()
+
     def start_kafka_ingest(
         self,
         database: str,

@@ -77,6 +77,7 @@ def build_index(
     docs: DataFrame,
     dest: str,
     meta_update: dict[str, Any] | None = None,
+    _locked: bool = False,
 ) -> dict[str, Any]:
     """Create the index from a (doc_id, text) corpus. All index mutators
     serialize on a per-directory write lock (segments.index_write_lock):
@@ -96,11 +97,14 @@ def build_index(
     contract: a lazy DataFrame that resolved the OLD meta and executes
     after the rebuild can hit the unlinked files — re-resolve (call the
     read helper again) on FileNotFoundError, exactly as for a racing
-    compact_index."""
+    compact_index.
+
+    ``_locked=True`` skips re-acquiring the write lock when the caller
+    (backend rebuild) already holds it around scan-capture + build."""
     from moonlink_spark.table import segments as segstore
 
     os.makedirs(dest, exist_ok=True)
-    with segstore.index_write_lock(dest):
+    with segstore.maybe_write_lock(dest, _locked):
         old_segments: list[str] = []
         try:
             old_segments = list(read_meta(dest).get("segments") or [])

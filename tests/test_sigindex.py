@@ -164,3 +164,80 @@ def test_streaming_ingest_maintains_sigindex(spark, tmp_path):
         )
     ing.run_available()
     assert sigindex.rebuild_recommended(sigindex.read_meta(dest))
+
+
+def test_backend_owned_signature_index_lifecycle(spark, tmp_path):
+    """The r12 symmetric surface: the backend owns the sigindex the same
+    way it owns the vecindex — build from the live table, incremental
+    update from the change feed (inserts index, updates/deletes flip
+    stale), status reporting, and a maintenance tick whose
+    stale->rebuild response resets the stale counter, advances the
+    generation, reclaims superseded segments, and serves candidates
+    equal to a from-scratch computation."""
+    from moonlink_spark.backend import MoonlinkBackend
+    from moonlink_spark.table.identity import IdentityProp
+
+    corpus = load(spark, "/root/testdata/sf0.001", "documents").select(
+        F.col("doc_id"), F.col("text")
+    )
+    rows = [
+        {"doc_id": int(r.doc_id), "text": r.text}
+        for r in corpus.filter(F.col("doc_id") < 80).collect()
+    ]
+    be = MoonlinkBackend(spark, str(tmp_path / "wh"))
+    t = be.create_table(
+        "db",
+        "docs",
+        [
+            {"name": "doc_id", "data_type": "int64", "nullable": False},
+            {"name": "text", "data_type": "string"},
+        ],
+        identity=IdentityProp.single("doc_id"),
+    )
+    t.append_rows(rows[:60])
+    t.commit(lsn=1)
+
+    meta = be.build_signature_index("db", "docs", "text")
+    st = be.signature_index_status("db", "docs", "text", meta=meta)
+    assert st["segments"] == 1 and not st["rebuild_recommended"]
+
+    # inserts via the change feed: incremental, no rebuild needed
+    t.append_rows(rows[60:])
+    t.commit(lsn=2)
+    meta = be.update_signature_index("db", "docs", "text", since_lsn=1)
+    assert meta["generation"] == 2
+    dest = be._sigindex_dir(t, "text")
+    got = pairs_set(sigindex.candidate_pairs(spark, dest))
+    want = pairs_set(
+        fresh_candidates(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        )
+    )
+    assert got == want
+
+    # a delete flips stale; maintain_signature_index rebuilds, resets
+    # the counter, and reclaims the superseded segments on disk
+    t.delete_rows([{"doc_id": rows[0]["doc_id"]}])
+    t.commit(lsn=3)
+    meta = be.update_signature_index("db", "docs", "text", since_lsn=2)
+    assert be.signature_index_status(
+        "db", "docs", "text", meta=meta
+    )["rebuild_recommended"]
+    act = be.maintain_signature_index("db", "docs", "text")
+    assert act["action"] == "rebuilt"
+    st = be.signature_index_status("db", "docs", "text")
+    assert st["stale_rows"] == 0 and st["segments"] == 1
+    on_disk = [
+        f for f in os.listdir(dest)
+        if f.startswith("sig-") and f.endswith(".parquet")
+    ]
+    assert len(on_disk) == 1  # superseded segments reclaimed
+    live = spark.createDataFrame(
+        [r for r in rows if r["doc_id"] != rows[0]["doc_id"]],
+        "doc_id long, text string",
+    )
+    assert pairs_set(sigindex.candidate_pairs(spark, dest)) == pairs_set(
+        fresh_candidates(live)
+    )
+    # nothing stale, not fragmented: the next tick is a no-op
+    assert be.maintain_signature_index("db", "docs", "text")["action"] == "none"

@@ -104,7 +104,7 @@ def test_day_in_the_life_soak(spark, tmp_path, seed):
     ).start()
     cat = IcebergRestCatalogServer(str(tmp_path / "catalog")).start()
     ice = str(tmp_path / "ice")
-    sig_dir = str(tmp_path / "sigindex")
+    sig_dir = be._sigindex_dir(tb, "name")  # the backend-owned index dir
     mv = None
     meta_locations = []
     try:
@@ -158,19 +158,16 @@ def test_day_in_the_life_soak(spark, tmp_path, seed):
             q = ing.start(available_now=True)
             q.awaitTermination()
 
-            # ---- after round 0: bootstrap matview + sigindex ----------
+            # ---- after round 0: bootstrap matview + sigindex (the
+            # backend-owned build carries the streaming watermark from
+            # the table's LAST_BATCH_PROP, so round 1's micro-batch is
+            # not double-indexed) ---------------------------------------
             if mv is None:
                 mv = be.create_materialized_view(
                     "db", "users_merge", str(tmp_path / "mv"),
                     group_by=["name"], sums=["age"],
                 )
-                sigindex.build_index(
-                    tb.scan().select(
-                        F.col("id").alias("doc_id"), F.col("name").alias("text")
-                    ),
-                    sig_dir,
-                    meta_update={"indexed_batch_id": 0},
-                )
+                be.build_signature_index("db", "users_merge", "name")
 
             # ---- per-round invariants ---------------------------------
             got_a = {r.id: (r.name, r.age) for r in ta.scan().collect()}
@@ -196,23 +193,10 @@ def test_day_in_the_life_soak(spark, tmp_path, seed):
             meta_locations.append(loaded["metadata-location"])
             # the sigindex sync contract: updates/deletes flip the stale
             # flag instead of patching segments — the operator's move is
-            # a rebuild, carrying the CDC watermark so the next
-            # micro-batch doesn't double-index (the vecindex auto-retrain
-            # rule, applied by hand here)
-            if sigindex.rebuild_recommended(sigindex.read_meta(sig_dir)):
-                sigindex.build_index(
-                    tb.scan().select(
-                        F.col("id").alias("doc_id"),
-                        F.col("name").alias("text"),
-                    ),
-                    sig_dir,
-                    meta_update={
-                        "indexed_batch_id": sigindex.indexed_batch_id(
-                            sig_dir
-                        ),
-                        "as_of_lsn": int(tb.last_lsn),
-                    },
-                )
+            # one backend maintenance tick (rebuild when stale, compact
+            # when fragmented, r12 surface), which carries the CDC
+            # watermark so the next micro-batch doesn't double-index
+            be.maintain_signature_index("db", "users_merge", "name")
 
         # ---- final: external DuckDB read of the Iceberg export --------
         files = read_iceberg_live_files(ice)
