@@ -52,7 +52,9 @@ from moonlink_spark.table.identity import IdentityProp
 _TABLE_RE = re.compile(
     r"^/tables/([^/]+)/([^/]+)"
     r"(/optimize|/flush|/snapshot|/export|/matview|/matview/refresh"
-    r"|/vecindex|/vecindex/update|/vecindex/query)?$"
+    r"|/vecindex|/vecindex/update|/vecindex/query"
+    r"|/sigindex|/sigindex/update|/sigindex/maintain"
+    r"|/sigindex/candidates)?$"
 )
 _INGEST_RE = re.compile(r"^/ingest/([^/]+)/([^/]+)$")
 _INGESTPB_RE = re.compile(r"^/ingestpb/([^/]+)/([^/]+)$")
@@ -467,6 +469,75 @@ class MoonlinkService:
                 )
                 rows = [
                     r.asDict() for r in df.orderBy("query_id", "rn").collect()
+                ]
+                h._send(200, {"rows": rows, "count": len(rows)})
+                return
+            if method == "POST" and action == "/sigindex":
+                # build (or rebuild) the table-owned MinHash signature
+                # index over a text column (r12 symmetric surface)
+                body = h._body()
+                meta = self.backend.build_signature_index(
+                    db, table, body["column"]
+                )
+                h._send(
+                    200,
+                    {
+                        "column": body["column"],
+                        **self.backend.signature_index_status(
+                            db, table, body["column"], meta=meta
+                        ),
+                    },
+                )
+                return
+            if method == "POST" and action == "/sigindex/update":
+                body = h._body()
+                meta = self.backend.update_signature_index(
+                    db, table, body["column"], int(body["since_lsn"])
+                )
+                h._send(
+                    200,
+                    self.backend.signature_index_status(
+                        db, table, body["column"], meta=meta
+                    ),
+                )
+                return
+            if method == "GET" and action == "/sigindex":
+                qs2 = parse_qs(urlparse(h.path).query)
+                col = (qs2.get("column") or [None])[0]
+                if not col:
+                    h._send(400, {"error": "MissingColumn"})
+                    return
+                h._send(
+                    200, self.backend.signature_index_status(db, table, col)
+                )
+                return
+            if method == "POST" and action == "/sigindex/maintain":
+                body = h._body()
+                h._send(
+                    200,
+                    self.backend.maintain_signature_index(
+                        db, table, body["column"],
+                        min_segments_to_compact=int(
+                            body.get("min_segments_to_compact", 4)
+                        ),
+                    ),
+                )
+                return
+            if method == "POST" and action == "/sigindex/candidates":
+                from moonlink_spark.table import sigindex as _sigindex
+
+                body = h._body()
+                t2 = self.backend.get_table(db, table)
+                dest = self.backend._sigindex_dir(t2, body["column"])
+                limit = int(body.get("limit", 1000))
+                rows = [
+                    r.asDict()
+                    for r in _sigindex.candidate_pairs(
+                        self.backend.spark, dest
+                    )
+                    .orderBy("doc_a", "doc_b")
+                    .limit(limit)
+                    .collect()
                 ]
                 h._send(200, {"rows": rows, "count": len(rows)})
                 return

@@ -241,3 +241,88 @@ def test_backend_owned_signature_index_lifecycle(spark, tmp_path):
     )
     # nothing stale, not fragmented: the next tick is a no-op
     assert be.maintain_signature_index("db", "docs", "text")["action"] == "none"
+
+
+def test_sigindex_over_http_routes(spark, tmp_path):
+    """The r12 sigindex routes, e2e: build over HTTP, status reports the
+    index shape, change-feed update marks stale, maintain rebuilds and
+    resets, candidates serve over the wire equal to the module API."""
+    import json as _json
+    import urllib.request
+
+    from moonlink_spark.backend import MoonlinkBackend
+    from moonlink_spark.service import MoonlinkService
+    from moonlink_spark.table.identity import IdentityProp
+
+    corpus = load(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    rows = [
+        {"doc_id": int(r.doc_id), "text": r.text}
+        for r in corpus.filter(F.col("doc_id") < 60).collect()
+    ]
+    be = MoonlinkBackend(spark, str(tmp_path / "whsig"))
+    t = be.create_table(
+        "db",
+        "docs",
+        [
+            {"name": "doc_id", "data_type": "int64", "nullable": False},
+            {"name": "text", "data_type": "string"},
+        ],
+        identity=IdentityProp.single("doc_id"),
+    )
+    t.append_rows(rows)
+    t.commit(lsn=1)
+
+    svc = MoonlinkService(be).start()
+    try:
+        port = svc.port
+
+        def post(path, body):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=_json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            return _json.loads(urllib.request.urlopen(req).read())
+
+        def get(path):
+            return _json.loads(
+                urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}{path}"
+                ).read()
+            )
+
+        built = post("/tables/db/docs/sigindex", {"column": "text"})
+        assert built["segments"] == 1 and not built["rebuild_recommended"]
+        status = get("/tables/db/docs/sigindex?column=text")
+        assert status["n_bands"] == sigindex.N_BANDS
+
+        t.delete_rows([{"doc_id": rows[0]["doc_id"]}])
+        t.commit(lsn=2)
+        upd = post(
+            "/tables/db/docs/sigindex/update",
+            {"column": "text", "since_lsn": 1},
+        )
+        assert upd["rebuild_recommended"]
+        tick = post(
+            "/tables/db/docs/sigindex/maintain", {"column": "text"}
+        )
+        assert tick["action"] == "rebuilt"
+        assert not get(
+            "/tables/db/docs/sigindex?column=text"
+        )["rebuild_recommended"]
+
+        wire = post(
+            "/tables/db/docs/sigindex/candidates",
+            {"column": "text", "limit": 10_000},
+        )
+        direct = pairs_set(
+            sigindex.candidate_pairs(spark, be._sigindex_dir(t, "text"))
+        )
+        assert {
+            (r["doc_a"], r["doc_b"]) for r in wire["rows"]
+        } == direct
+        assert wire["count"] == len(direct)
+    finally:
+        svc.stop()
