@@ -233,10 +233,26 @@ def signatures(spark: SparkSession, dest: str) -> DataFrame:
     )
 
 
+# dest -> the last candidate_pairs() signatures cache. Operators return
+# lazy DataFrames, so a call cannot unpersist its own cache before the
+# caller executes it; the next call for the same dest is the first safe
+# point (the same rule as operators.persist_tracked). Without this,
+# repeated lookups (the HTTP candidates route, dedup loops) accumulate
+# one cached signatures copy per call until executor-memory LRU thrash.
+_PERSISTED: dict[str, DataFrame] = {}
+
+
 def candidate_pairs(spark: SparkSession, dest: str) -> DataFrame:
     """Banded-LSH candidate pairs from PERSISTED signatures — the lookup
     path; no text is read, no md5 is computed."""
+    old = _PERSISTED.get(dest)
+    if old is not None:
+        try:
+            old.unpersist()
+        except Exception:  # session gone / already unpersisted
+            pass
     sigs = signatures(spark, dest).persist()
+    _PERSISTED[dest] = sigs
     bands = sigs.select(
         "doc_id",
         F.posexplode(
