@@ -388,6 +388,32 @@ class MoonlinkBackend:
     def _vecindex_dir(self, t: MoonlinkTable, column: str) -> str:
         return os.path.join(t.data_path, "vecindex", column)
 
+    @staticmethod
+    def _index_key(t: MoonlinkTable) -> str:
+        """The single integer identity column both persisted indexes
+        derive vec_id/doc_id from. Enforced here, not just documented:
+        a non-numeric key cast to bigint yields NULL for every row
+        (ANSI off), silently building an index of null ids — the same
+        precondition StreamingIngestor validates for its sync paths
+        (streaming/pipeline.py)."""
+        if t.identity.mode != "single":
+            raise TableConfigError(
+                "persisted indexes need a SINGLE-column identity "
+                f"(vec_id/doc_id come from it); table has identity "
+                f"{t.identity.mode}"
+            )
+        key = t.identity.columns[0]
+        ktype = t.schema[key].dataType
+        if not isinstance(
+            ktype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            raise TableConfigError(
+                "persisted indexes need an integer identity column; "
+                f"{key} is {ktype.simpleString()} (a non-integer key "
+                "would cast to NULL ids)"
+            )
+        return key
+
     def build_vector_index(
         self,
         database: str,
@@ -413,7 +439,7 @@ class MoonlinkBackend:
         from moonlink_spark.table import segments as segstore
 
         t = self.get_table(database, table)
-        key = t.identity.columns[0]
+        key = self._index_key(t)
         dest = self._vecindex_dir(t, column)
         # The WHOLE rebuild — scan capture, watermark capture, train,
         # publish — runs under the index write lock, so a concurrent CDC
@@ -491,7 +517,7 @@ class MoonlinkBackend:
         from moonlink_spark.table import vecindex
 
         t = self.get_table(database, table)
-        key = t.identity.columns[0]
+        key = self._index_key(t)
         upto = int(t.last_lsn)
         changes = t.changes(since_lsn, upto)
         dest = self._vecindex_dir(t, column)
@@ -637,7 +663,7 @@ class MoonlinkBackend:
         from moonlink_spark.table import sigindex
 
         t = self.get_table(database, table)
-        key = t.identity.columns[0]
+        key = self._index_key(t)
         dest = self._sigindex_dir(t, column)
         with segstore.index_write_lock(dest, timeout_s=3600.0):
             m = t.manifest  # pin: the scan and the watermark agree
@@ -673,17 +699,21 @@ class MoonlinkBackend:
         from moonlink_spark.table import sigindex
 
         t = self.get_table(database, table)
-        key = t.identity.columns[0]
+        key = self._index_key(t)
         upto = int(t.last_lsn)
         changes = t.changes(since_lsn, upto)
         dest = self._sigindex_dir(t, column)
         pin = {"as_of_lsn": upto}
+        # return the meta OUR mutators published (a disk re-read could
+        # report a concurrent rebuild's state as this update's result —
+        # the race signature_index_status's meta= parameter avoids)
+        meta = None
         n_other = changes.filter(F.col("_change_type") != "insert").count()
         if n_other:
-            sigindex.mark_stale(dest, n_other, meta_update=pin)
+            meta = sigindex.mark_stale(dest, n_other, meta_update=pin)
         inserts = changes.filter(F.col("_change_type") == "insert")
         if inserts.limit(1).count():
-            sigindex.update_index(
+            meta = sigindex.update_index(
                 inserts.select(
                     F.col(key).cast("bigint").alias("doc_id"),
                     F.col(f"after.{column}").alias("text"),
@@ -691,7 +721,7 @@ class MoonlinkBackend:
                 dest,
                 meta_update=pin,
             )
-        return sigindex.read_meta(dest)
+        return meta if meta is not None else sigindex.read_meta(dest)
 
     def signature_index_status(
         self,
@@ -715,6 +745,40 @@ class MoonlinkBackend:
             "stale_rows": meta.get("stale_rows", 0),
             "rebuild_recommended": sigindex.rebuild_recommended(meta),
         }
+
+    def signature_index_candidates(
+        self,
+        database: str,
+        table: str,
+        column: str,
+        limit: int = 1000,
+    ) -> list[dict[str, Any]]:
+        """Banded-LSH candidate pairs served from the table-owned index,
+        deterministic order, bounded by ``limit`` — the lookup verb of
+        this surface (the sigindex twin of :meth:`query_vector_index`).
+
+        Retries once on FileNotFoundError: a lazy plan that resolved the
+        OLD meta can race a concurrent rebuild/compaction unlinking the
+        superseded segments (the documented re-resolve contract on
+        sigindex.build_index) — the second resolve sees the new meta."""
+        from moonlink_spark.table import sigindex
+
+        t = self.get_table(database, table)
+        dest = self._sigindex_dir(t, column)
+        for attempt in (0, 1):
+            try:
+                return [
+                    r.asDict()
+                    for r in sigindex.candidate_pairs(self.spark, dest)
+                    .orderBy("doc_a", "doc_b")
+                    .limit(int(limit))
+                    .collect()
+                ]
+            except Exception as e:
+                if attempt == 0 and "FileNotFoundException" in str(e):
+                    continue  # racing rebuild reclaimed our segments
+                raise
+        raise AssertionError("unreachable")
 
     def maintain_signature_index(
         self,
@@ -832,7 +896,7 @@ class MoonlinkBackend:
         from moonlink_spark.table import vecindex
 
         t = self.get_table(database, table)
-        key = t.identity.columns[0]
+        key = self._index_key(t)
         emb = t.scan().select(
             F.col(key).cast("bigint").alias("vec_id"),
             F.col(column).alias("embedding"),

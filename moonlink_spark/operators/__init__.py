@@ -72,6 +72,7 @@ _LOAD_CACHE: dict[tuple[str, str, str, int], DataFrame] = {}
 
 
 _PERSISTED: dict[str, DataFrame] = {}
+_PERSISTED_LOCK = __import__("threading").Lock()
 
 
 def persist_tracked(name: str, df: DataFrame) -> DataFrame:
@@ -81,15 +82,23 @@ def persist_tracked(name: str, df: DataFrame) -> DataFrame:
     per operator instead of accumulating until executor-memory LRU
     thrash. Operators return lazy DataFrames, so they cannot unpersist
     their own cache before the caller executes it — the next call is
-    the first safe point."""
-    old = _PERSISTED.get(name)
-    if old is not None:
-        try:
-            old.unpersist()
-        except Exception:  # session gone / already unpersisted
-            pass
-    df = df.persist()
-    _PERSISTED[name] = df
+    the first safe point.
+
+    The swap is locked: concurrent callers for the same key (the HTTP
+    service is a ThreadingHTTPServer) would otherwise both read the
+    same ``old`` and last-write-win the dict, permanently pinning the
+    loser's persisted copy — the exact accumulation this exists to
+    prevent. (An unpersist racing another thread's in-flight action is
+    safe: Spark recomputes evicted blocks.)"""
+    with _PERSISTED_LOCK:
+        old = _PERSISTED.get(name)
+        if old is not None:
+            try:
+                old.unpersist()
+            except Exception:  # session gone / already unpersisted
+                pass
+        df = df.persist()
+        _PERSISTED[name] = df
     return df
 
 

@@ -524,21 +524,11 @@ class MoonlinkService:
                 )
                 return
             if method == "POST" and action == "/sigindex/candidates":
-                from moonlink_spark.table import sigindex as _sigindex
-
                 body = h._body()
-                t2 = self.backend.get_table(db, table)
-                dest = self.backend._sigindex_dir(t2, body["column"])
-                limit = int(body.get("limit", 1000))
-                rows = [
-                    r.asDict()
-                    for r in _sigindex.candidate_pairs(
-                        self.backend.spark, dest
-                    )
-                    .orderBy("doc_a", "doc_b")
-                    .limit(limit)
-                    .collect()
-                ]
+                rows = self.backend.signature_index_candidates(
+                    db, table, body["column"],
+                    limit=int(body.get("limit", 1000)),
+                )
                 h._send(200, {"rows": rows, "count": len(rows)})
                 return
             if method == "POST" and action == "/matview":

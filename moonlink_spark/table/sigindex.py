@@ -106,15 +106,22 @@ def build_index(
     os.makedirs(dest, exist_ok=True)
     with segstore.maybe_write_lock(dest, _locked):
         old_segments: list[str] = []
+        old_generation = 0
         try:
-            old_segments = list(read_meta(dest).get("segments") or [])
+            old = read_meta(dest)
+            old_segments = list(old.get("segments") or [])
+            old_generation = int(old.get("generation", 0))
         except FileNotFoundError:
             pass
         name = _write_signatures(docs.select("doc_id", "text"), dest)
         meta = {
             "n_hashes": N_HASHES,
             "n_bands": N_BANDS,
-            "generation": 1,
+            # a REBUILD advances the content counter past the replaced
+            # index — clients keying caches on (dest, generation) must
+            # see the post-rebuild state as NEW, never as a replay of
+            # generation 1 (review r12)
+            "generation": old_generation + 1,
             "segments": [name],
         }
         meta.update(meta_update or {})
@@ -233,26 +240,17 @@ def signatures(spark: SparkSession, dest: str) -> DataFrame:
     )
 
 
-# dest -> the last candidate_pairs() signatures cache. Operators return
-# lazy DataFrames, so a call cannot unpersist its own cache before the
-# caller executes it; the next call for the same dest is the first safe
-# point (the same rule as operators.persist_tracked). Without this,
-# repeated lookups (the HTTP candidates route, dedup loops) accumulate
-# one cached signatures copy per call until executor-memory LRU thrash.
-_PERSISTED: dict[str, DataFrame] = {}
-
-
 def candidate_pairs(spark: SparkSession, dest: str) -> DataFrame:
     """Banded-LSH candidate pairs from PERSISTED signatures — the lookup
-    path; no text is read, no md5 is computed."""
-    old = _PERSISTED.get(dest)
-    if old is not None:
-        try:
-            old.unpersist()
-        except Exception:  # session gone / already unpersisted
-            pass
-    sigs = signatures(spark, dest).persist()
-    _PERSISTED[dest] = sigs
+    path; no text is read, no md5 is computed. The signatures subtree is
+    cached via operators.persist_tracked (previous call's cache for the
+    same index dir is released first), so repeated lookups — the HTTP
+    candidates route, dedup loops — hold at most one cached copy."""
+    from moonlink_spark.operators import persist_tracked
+
+    sigs = persist_tracked(
+        f"sigindex:{dest}", signatures(spark, dest)
+    )
     bands = sigs.select(
         "doc_id",
         F.posexplode(

@@ -130,8 +130,11 @@ def build_index(
         # resolved the OLD meta and executes after the rebuild can hit
         # the unlinked files — re-resolve on FileNotFoundError
         old_segments: list[str] = []
+        old_generation = 0
         try:
-            old_segments = list(read_meta(dest).get("segments") or [])
+            _old = read_meta(dest)
+            old_segments = list(_old.get("segments") or [])
+            old_generation = int(_old.get("generation", 0))
         except FileNotFoundError:
             pass
         # one quantization pass serves both training and the final
@@ -165,7 +168,10 @@ def build_index(
             "k": k,
             "iters": iters,
             "centroids": [[int(x) for x in c] for _, c in cents],
-            "generation": 1,
+            # a REBUILD advances the content counter past the replaced
+            # index (clients keying on (dest, generation) must see the
+            # post-rebuild state as new — review r12)
+            "generation": old_generation + 1,
             "segments": [name],
             "trained_rows": n,
             "trained_sum_d2": sd2,

@@ -225,8 +225,19 @@ def test_backend_owned_signature_index_lifecycle(spark, tmp_path):
     )["rebuild_recommended"]
     act = be.maintain_signature_index("db", "docs", "text")
     assert act["action"] == "rebuilt"
+    # the rebuild ADVANCES the content counter past the replaced index
+    # (build=1, update=2, rebuild=3): clients keying caches on
+    # (dest, generation) must see post-rebuild state as new
+    assert act["generation"] == 3
     st = be.signature_index_status("db", "docs", "text")
     assert st["stale_rows"] == 0 and st["segments"] == 1
+    # and the lookup verb serves through the backend (route parity)
+    via_backend = {
+        (r["doc_a"], r["doc_b"])
+        for r in be.signature_index_candidates(
+            "db", "docs", "text", limit=100_000
+        )
+    }
     on_disk = [
         f for f in os.listdir(dest)
         if f.startswith("sig-") and f.endswith(".parquet")
@@ -239,6 +250,7 @@ def test_backend_owned_signature_index_lifecycle(spark, tmp_path):
     assert pairs_set(sigindex.candidate_pairs(spark, dest)) == pairs_set(
         fresh_candidates(live)
     )
+    assert via_backend == pairs_set(fresh_candidates(live))
     # nothing stale, not fragmented: the next tick is a no-op
     assert be.maintain_signature_index("db", "docs", "text")["action"] == "none"
 
