@@ -772,6 +772,19 @@ def test_group_member_leave_triggers_reassignment(tmp_path):
         ta.start()
         c2.ensure_active()
         ta.join(timeout=10)
+        # On a loaded host a member's join thread can be starved past
+        # the (deliberately short) 0.5s rebalance timeout: the
+        # coordinator correctly fences it and hands the other member
+        # BOTH partitions, and the fenced member still reports its
+        # stale generation's assignment until its next heartbeat
+        # discovers the fence and rejoins. Heartbeat both members until
+        # the group converges to a disjoint [0, 1] split instead of
+        # asserting on a one-shot read of possibly-stale state.
+        deadline = time.time() + 10
+        while sorted(a.assigned + c2.assigned) != [0, 1]:
+            assert time.time() < deadline, (a.assigned, c2.assigned)
+            a.poll()
+            c2.poll()
         assert sorted(a.assigned + c2.assigned) == [0, 1]
         c2.close()  # LeaveGroup
         a.poll()  # heartbeat -> rejoin -> takes over both partitions
