@@ -419,10 +419,112 @@ def probe_ivf_clusters(
     )
 
 
+# Above this k*dim product the fused partial-sum kernel's per-partition
+# output (k rows x dim-long arrays) stops being "tiny model state" and the
+# legacy shuffle update (posexplode -> groupBy, partial-agg'd map-side)
+# wins; below it one map stage + a bounded collect replaces [broadcast
+# exchange + explode + shuffle] per Lloyd iteration (r12 optimization —
+# the iteration wall at sf0.1 was ~90% job fixed costs, guide §1.2/§4.2).
+TRAIN_PARTIAL_MAX_CELLS = 1 << 20
+
+
+def _train_update_kernel(cents_np):
+    """mapInPandas factory: per-partition Lloyd update partials.
+
+    For each input batch of quantized vectors, assign every row to its
+    nearest centroid (int64 d2 via the ||x||^2 - 2x.c + ||c||^2
+    expansion — every term exact in int64; argmin's first minimum = the
+    lowest cluster_id, identical to the struct-min tie-break) and fold
+    the per-cluster coordinate sums + counts. One k-row partial per
+    partition — the MLlib treeAggregate shape — so the ONLY cross-node
+    traffic per iteration is partitions x k tiny rows, no broadcast
+    exchange and no shuffle of exploded coordinates."""
+    import numpy as np
+    import pandas as pd
+
+    def fold(batches):
+        C = cents_np
+        c2 = np.einsum("kd,kd->k", C, C)
+        k, dim = C.shape
+        sums = np.zeros((k, dim), dtype=np.int64)
+        counts = np.zeros(k, dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            V = np.asarray(pdf["v"].tolist(), dtype=np.int64)
+            d2 = (
+                np.einsum("nd,nd->n", V, V)[:, None]
+                - 2 * (V @ C.T)
+                + c2[None, :]
+            )
+            best = d2.argmin(axis=1)
+            np.add.at(sums, best, V)
+            counts += np.bincount(best, minlength=k)
+        if seen:
+            yield pd.DataFrame(
+                {
+                    "cluster_id": np.arange(k, dtype=np.int64),
+                    "s": list(sums),
+                    "nn": counts,
+                }
+            )
+
+    return fold
+
+
+def _train_update_sums(spark, emb_q: DataFrame, cents, dim: int):
+    """One Lloyd update pass: {cluster_id: ([sum per dim], count)} with
+    exact integer arithmetic, via the fused map kernel when k*dim is
+    bounded (default) or the legacy broadcast-assign + posexplode +
+    groupBy shuffle when a huge k would make per-partition partials
+    heavy. Both paths produce identical integers (addition commutes)."""
+    k = len(cents)
+    if k * dim <= TRAIN_PARTIAL_MAX_CELLS:
+        import numpy as np
+
+        C = np.asarray([c for _, c in cents], dtype=np.int64)
+        parts = emb_q.select("v").mapInPandas(
+            _train_update_kernel(C), "cluster_id long, s array<long>, nn long"
+        ).collect()
+        sums: dict[int, tuple[list[int], int]] = {}
+        for r in parts:
+            if not r.nn:
+                continue
+            acc = sums.get(r.cluster_id)
+            if acc is None:
+                sums[r.cluster_id] = ([int(x) for x in r.s], int(r.nn))
+            else:
+                sums[r.cluster_id] = (
+                    [a + int(b) for a, b in zip(acc[0], r.s)],
+                    acc[1] + int(r.nn),
+                )
+        return sums
+    assigned = assign_ivf_clusters(spark, emb_q, cents)
+    rows = (
+        assigned.select("cluster_id", F.posexplode("v").alias("dim", "val"))
+        .groupBy("cluster_id", "dim")
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("nn"))
+        .collect()
+    )
+    out: dict[int, tuple[list[int], int]] = {}
+    for r in rows:
+        acc = out.setdefault(r.cluster_id, ([0] * dim, 0))
+        acc[0][r.dim] = r.s
+        out[r.cluster_id] = (acc[0], r.nn)
+    return out
+
+
 def train_ivf_centroids(spark, emb_q: DataFrame, k: int = 8, iters: int = 3):
     """Integer-exact Lloyd training over a quantized (vec_id, v) corpus;
     returns the ordered [(cluster_id, centroid_ints)] list. Deterministic
-    init from the first k vectors by vec_id."""
+    init from the first k vectors by vec_id.
+
+    Per iteration the ONLY driver state is the k x dim sum/count matrix
+    (``_train_update_sums``): one fused map job computes per-partition
+    assignment + partials — no broadcast exchange, no shuffle of exploded
+    coordinates (r12; the legacy shuffle path remains for huge k)."""
     cents = [
         (i, list(r.v))
         for i, r in enumerate(emb_q.orderBy("vec_id").limit(k).collect())
@@ -431,28 +533,12 @@ def train_ivf_centroids(spark, emb_q: DataFrame, k: int = 8, iters: int = 3):
     # layer trains corpora of any width through this entry point
     dim = len(cents[0][1]) if cents else DIM
     for _ in range(iters):
-        assigned = assign_ivf_clusters(spark, emb_q, cents)
-        # centroid update as posexplode -> groupBy(cluster, dim): the k*dim
-        # partial sums per map partition are identical to a dim-wide
-        # aggregate's buffers, but the expression tree stays O(1) in dim
-        # (a 64-column sum agg ran ~1.3s slower per train at sf0.1, same
-        # shuffle bytes). collect() is k*dim rows — bounded model state.
-        rows = (
-            assigned.select("cluster_id", F.posexplode("v").alias("dim", "val"))
-            .groupBy("cluster_id", "dim")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("nn"))
-            .collect()
-        )
-        sums: dict[int, list[int]] = {}
-        for r in rows:
-            acc = sums.setdefault(r.cluster_id, [0] * (dim + 1))
-            acc[r.dim] = r.s
-            acc[dim] = r.nn
+        sums = _train_update_sums(spark, emb_q, cents, dim)
         # Python // is exact mathematical floor division on ints — the same
         # value the oracle's (s - pmod(s, n)) // n computes
         updated = {
-            cid: [vals[i] // vals[dim] for i in range(dim)]
-            for cid, vals in sums.items()
+            cid: [s[i] // n for i in range(dim)]
+            for cid, (s, n) in sums.items()
         }
         cents = [(cid, updated.get(cid, cent)) for cid, cent in cents]
     return cents
@@ -477,15 +563,19 @@ def train_pq_codebooks(
     dsub = dim // m
     if m * dsub != dim:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
-    # ALL m subspaces train in the same Spark jobs (one Arrow-batched
-    # code assignment + one bounded-update groupBy per Lloyd iteration)
-    # instead of m sequential trainings — identical arithmetic, 1/m the
-    # job count, and the assignment kernel is the vectorized
-    # _pq_codes_udf (Catalyst lambdas interpret per element; at
-    # ksub=256 they were ~4x the whole query's wall). Results are
-    # bit-identical to per-subspace expression training: same
-    # deterministic init (first ksub vectors by vec_id), same integer
-    # argmin with tie on code, same floor-division update.
+    # ALL m subspaces train in the same Spark job per Lloyd iteration
+    # (one fused Arrow-batched kernel computes codes AND the per-(sub,
+    # code) coordinate partials — _pq_update_kernel) instead of m
+    # sequential trainings; Catalyst lambdas interpret per element, so
+    # at ksub=256 the numpy kernel is the only sane code path. r12: the
+    # update's posexplode -> groupBy shuffle folded INTO the same kernel
+    # (per-partition m*ksub partial rows, MLlib treeAggregate shape) —
+    # one single-stage job per iteration, no second pandas_udf pass, no
+    # shuffle. Results are bit-identical to per-subspace expression
+    # training: same deterministic init (first ksub vectors by vec_id),
+    # same integer argmin with tie on code, same floor-division update.
+    import numpy as np
+
     init = emb_q.orderBy("vec_id").limit(ksub).collect()
     books = [
         [
@@ -495,34 +585,33 @@ def train_pq_codebooks(
         for s in range(m)
     ]
     for _ in range(iters):
-        codes_of = _pq_codes_udf(books)
-        coded = emb_q.select("v", codes_of(F.col("v")).alias("codes"))
-        # m*ksub*dsub partial sums — bounded model state, the same
-        # posexplode->groupBy update shape as train_ivf_centroids
-        rows = (
-            coded.select(F.posexplode("codes").alias("sub", "code"), "v")
-            .select(
-                "sub",
-                "code",
-                F.posexplode(
-                    F.expr(f"slice(v, sub * {dsub} + 1, {dsub})")
-                ).alias("dim", "val"),
-            )
-            .groupBy("sub", "code", "dim")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("nn"))
-            .collect()
-        )
-        sums: dict[tuple, list] = {}
-        for r in rows:
-            acc = sums.setdefault((int(r.sub), int(r.code)), [0] * (dsub + 1))
-            acc[r.dim] = r.s
-            acc[dsub] = r.nn
+        books_np = [
+            np.asarray([cent for _, cent in cb], dtype=np.int64)
+            for cb in books
+        ]
+        parts = emb_q.select("v").mapInPandas(
+            _pq_update_kernel(books_np),
+            "sub long, code long, s array<long>, nn long",
+        ).collect()
+        sums: dict[tuple, tuple[list[int], int]] = {}
+        for r in parts:
+            if not r.nn:
+                continue
+            key = (int(r.sub), int(r.code))
+            acc = sums.get(key)
+            if acc is None:
+                sums[key] = ([int(x) for x in r.s], int(r.nn))
+            else:
+                sums[key] = (
+                    [a + int(b) for a, b in zip(acc[0], r.s)],
+                    acc[1] + int(r.nn),
+                )
         books = [
             [
                 (
                     j,
                     [
-                        sums[(s, j)][i] // sums[(s, j)][dsub]
+                        sums[(s, j)][0][i] // sums[(s, j)][1]
                         for i in range(dsub)
                     ]
                     if (s, j) in sums
@@ -533,6 +622,54 @@ def train_pq_codebooks(
             for s in range(m)
         ]
     return books
+
+
+def _pq_update_kernel(books_np):
+    """mapInPandas factory for one PQ Lloyd iteration: per partition,
+    assign every row's m sub-vectors to their nearest codes (the exact
+    _pq_codes_udf arithmetic: int64 d2 expansion, argmin first-minimum =
+    lowest code id) and fold per-(sub, code) coordinate sums + counts.
+    One m*ksub-row partial per partition replaces the separate code
+    assignment pass plus the posexplode -> groupBy shuffle (r12)."""
+    import numpy as np
+    import pandas as pd
+
+    def fold(batches):
+        m = len(books_np)
+        ksub, dsub = books_np[0].shape
+        c2 = [np.einsum("kd,kd->k", b, b) for b in books_np]
+        sums = np.zeros((m, ksub, dsub), dtype=np.int64)
+        counts = np.zeros((m, ksub), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            V = np.asarray(pdf["v"].tolist(), dtype=np.int64)
+            for s in range(m):
+                X = V[:, s * dsub : (s + 1) * dsub]
+                C = books_np[s]
+                d2 = (
+                    np.einsum("nd,nd->n", X, X)[:, None]
+                    - 2 * (X @ C.T)
+                    + c2[s][None, :]
+                )
+                best = d2.argmin(axis=1)
+                np.add.at(sums[s], best, X)
+                counts[s] += np.bincount(best, minlength=ksub)
+        if seen:
+            subs = np.repeat(np.arange(m, dtype=np.int64), ksub)
+            codes = np.tile(np.arange(ksub, dtype=np.int64), m)
+            yield pd.DataFrame(
+                {
+                    "sub": subs,
+                    "code": codes,
+                    "s": list(sums.reshape(m * ksub, dsub)),
+                    "nn": counts.reshape(m * ksub),
+                }
+            )
+
+    return fold
 
 
 def _pq_books_df(spark, codebooks):
@@ -598,6 +735,31 @@ def assign_pq_codes(spark, emb_q: DataFrame, codebooks) -> DataFrame:
     )
 
 
+def assign_ivf_with_codes(
+    spark, emb_q: DataFrame, cents_list, codebooks=None
+) -> DataFrame:
+    """(vec_id, v) -> (vec_id, cluster_id, d2[, codes]) in ONE projection:
+    the coarse nearest-centroid assignment and (for PQ indexes) the m
+    sub-codes are both per-row maps over the same input, so computing
+    them in a single select removes the vec_id equi-join (a full shuffle
+    of both map outputs) the previous compose-by-join version paid per
+    index build/update (r12). Arithmetic is byte-identical to
+    ``assign_ivf_clusters`` + ``assign_pq_codes``."""
+    cdf, cand = _centroid_candidate_structs(spark, cents_list)
+    best = F.array_min(cand)
+    cols = [
+        F.col("vec_id"),
+        best["cluster_id"].alias("cluster_id"),
+        best["d2"].alias("d2"),
+    ]
+    if codebooks is not None:
+        codes_of = _pq_codes_udf(codebooks)
+        cols.append(
+            codes_of(F.col("v")).cast("array<smallint>").alias("codes")
+        )
+    return emb_q.join(F.broadcast(cdf)).select(*cols)
+
+
 def pq_distance_tables(spark, query_q: DataFrame, codebooks) -> DataFrame:
     """Per-query ADC tables: (query_id, t) where t[s][j] is the integer
     d2 between the query's subspace-s sub-vector and codebook entry j.
@@ -629,6 +791,53 @@ def pq_adc_scores(cand: DataFrame, tables: DataFrame) -> DataFrame:
     )
 
 
+# Up to this many input centroids the super-quantizer trains as exact
+# driver math (the input list is bounded driver state by construction);
+# beyond it the distributed path runs — at k ~ 1e7 the O(k*sqrt(k)*dim)
+# distance folds are the part that must parallelize, not the memory.
+DRIVER_LLOYD_MAX_K = 4096
+
+
+def _lloyd_driver(cents_list, k_super: int, iters: int):
+    """Exact driver-side replay of ``train_ivf_centroids`` +
+    ``assign_ivf_clusters`` over an already-bounded [(cid, ints)] list:
+    init = first ``k_super`` rows by cid ascending, integer d2 with
+    argmin ties broken on the lower centroid index, floor-division
+    update. Returns (supers_trained, sid_of) — bit-identical to the
+    Spark path (all arithmetic is exact int64; sums use Python ints)."""
+    import numpy as np
+
+    rows = sorted(((int(cid), list(cent)) for cid, cent in cents_list))
+    V = np.asarray([v for _, v in rows], dtype=np.int64)
+    C = V[:k_super].copy()
+
+    def nearest(M):
+        d2 = (
+            np.einsum("nd,nd->n", V, V)[:, None]
+            - 2 * (V @ M.T)
+            + np.einsum("kd,kd->k", M, M)[None, :]
+        )
+        return d2.argmin(axis=1)  # first minimum = lowest super id
+
+    for _ in range(iters):
+        best = nearest(C)
+        upd = C.copy()
+        for s in range(len(C)):
+            members = V[best == s]
+            if len(members):
+                # Python-int floor division: exact for any magnitude and
+                # sign, the oracle's (s - pmod(s, n)) // n
+                n = len(members)
+                upd[s] = [
+                    int(x) // n for x in members.sum(axis=0, dtype=object)
+                ]
+        C = upd
+    final = nearest(C)
+    supers_trained = [(s, [int(x) for x in C[s]]) for s in range(len(C))]
+    sid_of = {rows[i][0]: int(final[i]) for i in range(len(rows))}
+    return supers_trained, sid_of
+
+
 def build_hierarchical_quantizer(
     spark, cents_list, branch: int | None = None, iters: int = 2
 ):
@@ -656,17 +865,30 @@ def build_hierarchical_quantizer(
         return [], []
     k_super = branch if branch else max(1, int(round(float(k) ** 0.5)))
     k_super = min(k_super, k)
-    cents_df = spark.createDataFrame(
-        [(int(cid), [int(x) for x in cent]) for cid, cent in cents_list],
-        "vec_id bigint, v array<bigint>",
-    )
-    supers_trained = train_ivf_centroids(spark, cents_df, k=k_super, iters=iters)
-    # nearest-super per centroid: k rows x k_super candidates, the same
-    # zero-Exchange broadcast map as vector assignment
-    sid_rows = assign_ivf_clusters(spark, cents_df, supers_trained).select(
-        "vec_id", "cluster_id"
-    ).collect()  # k rows — bounded model state, same as cents_list itself
-    sid_of = {int(r.vec_id): int(r.cluster_id) for r in sid_rows}
+    if k <= DRIVER_LLOYD_MAX_K:
+        # the input is ALREADY bounded driver state (a Python list of k
+        # centroids — the same rows the Spark path would collect anyway),
+        # so for the common small-k case the super-training runs as exact
+        # driver math: identical integer Lloyd (same init order, same d2
+        # argmin tie on id, same floor division), zero Spark jobs instead
+        # of ~5 per build (r12; measured ~3.3s of pure job overhead at
+        # k=16). The Spark path below remains the large-k plan — there
+        # the O(k * k_super * dim) distance work is what must distribute.
+        supers_trained, sid_of = _lloyd_driver(cents_list, k_super, iters)
+    else:
+        cents_df = spark.createDataFrame(
+            [(int(cid), [int(x) for x in cent]) for cid, cent in cents_list],
+            "vec_id bigint, v array<bigint>",
+        )
+        supers_trained = train_ivf_centroids(
+            spark, cents_df, k=k_super, iters=iters
+        )
+        # nearest-super per centroid: k rows x k_super candidates, the same
+        # zero-Exchange broadcast map as vector assignment
+        sid_rows = assign_ivf_clusters(spark, cents_df, supers_trained).select(
+            "vec_id", "cluster_id"
+        ).collect()  # k rows — bounded model state, same as cents_list itself
+        sid_of = {int(r.vec_id): int(r.cluster_id) for r in sid_rows}
     cells_map: dict[int, list] = {}
     for cid, cent in cents_list:
         cells_map.setdefault(sid_of[int(cid)], []).append(

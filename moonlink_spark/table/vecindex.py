@@ -38,7 +38,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from moonlink_spark.operators.similarity import (
-    assign_ivf_clusters,
     quantize_embeddings_1e6,
     train_ivf_centroids,
 )
@@ -67,25 +66,30 @@ def _write_assignments(
     one segment file (invisible until a meta lists it). With
     ``pq_books`` each row also carries its m PQ codes (the IVF-PQ
     segment layout: inverted list + codes, no stored vectors). Returns
-    (segment_name, n_rows, sum_d2)."""
-    assigned = assign_ivf_clusters(spark, q, cents).select(
-        "vec_id", "cluster_id", "d2"
-    )
-    if pq_books is not None:
-        from moonlink_spark.operators.similarity import assign_pq_codes
+    (segment_name, n_rows, sum_d2).
 
-        codes = assign_pq_codes(spark, q, pq_books)
-        assigned = assigned.join(codes, "vec_id")
-    name = segstore.write_single_parquet(assigned, dest, SEG_PREFIX)
-    # d2 sums in DECIMAL(38,0): a BIGINT sum overflows at scale (billions
-    # of rows x ~1e14 per-row distortion — hit in practice by the 10x
-    # scale validation with wide-magnitude vectors); decimal sums of
-    # integers stay exact, and the meta stores Python ints (unbounded)
-    stats = spark.read.parquet(os.path.join(dest, name)).agg(
+    r12: assignment + codes are ONE projection (no vec_id re-join — see
+    assign_ivf_with_codes) and the meta stats ride the write job as
+    ``observe()`` metrics instead of a second re-read job of the fresh
+    segment. d2 sums in DECIMAL(38,0): a BIGINT sum overflows at scale
+    (billions of rows x ~1e14 per-row distortion — hit in practice by
+    the 10x scale validation with wide-magnitude vectors); decimal sums
+    of integers stay exact, and the meta stores Python ints
+    (unbounded)."""
+    from pyspark.sql import Observation
+
+    from moonlink_spark.operators.similarity import assign_ivf_with_codes
+
+    assigned = assign_ivf_with_codes(spark, q, cents, pq_books)
+    obs = Observation()
+    assigned = assigned.observe(
+        obs,
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("d2").cast("decimal(38,0)")).alias("sd2"),
-    ).collect()[0]
-    return name, int(stats.n or 0), int(stats.sd2 or 0)
+    )
+    name = segstore.write_single_parquet(assigned, dest, SEG_PREFIX)
+    stats = obs.get
+    return name, int(stats["n"] or 0), int(stats["sd2"] or 0)
 
 
 def build_index(
@@ -370,24 +374,45 @@ def query_topk(
     (measured in SCALE.md §16) for a purely index-resident probe; flat
     (non-PQ) indexes have no codes, so ``rerank`` keeps being ignored
     there."""
+    import math
+
+    import numpy as np
     from pyspark.sql import Window
 
-    from moonlink_spark.operators.similarity import (
-        _dot,
-        _norm,
-        pq_adc_scores,
-        pq_distance_tables,
-        probe_ivf_clusters,
-    )
+    from moonlink_spark.operators.similarity import _dot, _norm, pq_adc_scores
 
     meta = read_meta(dest)
     cents = _centroids(meta)
     pq_books = _pq_books(meta)
-    qv = quantize_embeddings_1e6(
+    # ``query_ids`` is a bounded explicit request (the probe API's
+    # contract), so the query-side model math — probe selection and the
+    # per-query ADC tables — runs as exact driver arithmetic over ONE
+    # collected scan of the query rows instead of three separate
+    # scan + one-row-broadcast expression chains (r12; each broadcast
+    # materialization costs a fixed sub-job). The integers are the same:
+    # quantize = floor(double(x) * 1e6), probe order = (d2, cluster_id)
+    # ascending, table cell = integer subspace d2 — all replayed by the
+    # DuckDB oracles bit for bit. The CORPUS side (inverted lists, ADC
+    # scoring, rerank) stays fully distributed.
+    qrows = (
         emb.filter(F.col("vec_id").isin([int(i) for i in query_ids]))
+        .select("vec_id", "embedding")
+        .collect()
     )
-    probe_df = probe_ivf_clusters(spark, qv, cents, nprobe).select(
-        F.col("vec_id").alias("query_id"), "probe_cluster"
+    qv = [
+        (int(r.vec_id), [int(math.floor(float(x) * 1000000.0)) for x in r.embedding])
+        for r in qrows
+    ]
+    C = np.asarray([c for _, c in cents], dtype=np.int64)
+    probe_pairs = []
+    for qid, v in qv:
+        d2 = np.einsum(
+            "kd->k", (C - np.asarray(v, dtype=np.int64)[None, :]) ** 2
+        )
+        order = np.lexsort((np.arange(len(C)), d2))[: min(nprobe, len(C))]
+        probe_pairs.extend((qid, int(cid)) for cid in order)
+    probe_df = spark.createDataFrame(
+        probe_pairs, "query_id bigint, probe_cluster bigint"
     )
     inv = read_assignments(spark, dest)
     cand = inv.join(
@@ -398,8 +423,33 @@ def query_topk(
         # ADC shortlist: deterministic (adc, vec_id) ordering so the
         # DuckDB oracle replays the shortlist bit for bit
         r = int(rerank) if rerank is not None else max(4 * topk, topk + 1)
-        tables = pq_distance_tables(
-            spark, qv.select(F.col("vec_id"), F.col("v")), pq_books
+        dsub = len(pq_books[0][0][1])
+        table_rows = [
+            (
+                qid,
+                [
+                    [
+                        int(
+                            np.sum(
+                                (
+                                    np.asarray(
+                                        v[s * dsub : (s + 1) * dsub],
+                                        dtype=np.int64,
+                                    )
+                                    - np.asarray(cent, dtype=np.int64)
+                                )
+                                ** 2
+                            )
+                        )
+                        for _, cent in cb
+                    ]
+                    for s, cb in enumerate(pq_books)
+                ],
+            )
+            for qid, v in qv
+        ]
+        tables = spark.createDataFrame(
+            table_rows, "query_id bigint, t array<array<bigint>>"
         )
         adc = pq_adc_scores(cand.select("query_id", "vec_id", "codes"), tables)
         ws = Window.partitionBy("query_id").orderBy(
@@ -422,8 +472,9 @@ def query_topk(
             adc.withColumn("srn", F.row_number().over(ws))
             .filter(F.col("srn") <= r)
         )
-    qe = emb.filter(F.col("vec_id").isin([int(i) for i in query_ids])).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    qe = spark.createDataFrame(
+        [(qid, list(r.embedding)) for (qid, _), r in zip(qv, qrows)],
+        "query_id bigint, qe array<float>",
     )
     ce = emb.select("vec_id", F.col("embedding").alias("ce"))
     scored = (

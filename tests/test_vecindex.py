@@ -839,12 +839,13 @@ def test_pq_crash_between_segment_persist_and_meta_publish(
 
 def test_pure_adc_plan_never_scans_the_corpus(spark, corpus, index_dir):
     """Plan lock for the rerank=0 claim: after probe selection, pure-ADC
-    serving reads ONLY index bytes. Concretely: every embeddings scan in
-    the rerank=0 physical plan carries an In(vec_id, [queries]) pushed
-    filter (the bounded query-vector fetch) — no unfiltered corpus scan
-    exists. The reranked plan, by contrast, must contain at least one
-    corpus scan WITHOUT that filter (the shortlist's embedding fetch),
-    proving the parser distinguishes the two shapes rather than
+    serving reads ONLY index bytes. Since r12 the query-side vector
+    fetch is a bounded driver collect BEFORE planning (query_ids is an
+    explicit request), so the rerank=0 physical plan contains NO
+    embeddings scan at all — only index-segment scans. The reranked
+    plan, by contrast, must contain at least one corpus scan WITHOUT an
+    In(vec_id, [queries]) pushed filter (the shortlist's embedding
+    fetch), proving the parser distinguishes the two shapes rather than
     vacuously passing."""
     import re
 
@@ -853,7 +854,7 @@ def test_pure_adc_plan_never_scans_the_corpus(spark, corpus, index_dir):
         pq={"m": 4, "ksub": 16, "iters": 1},
     )
 
-    def emb_scan_filters(rerank):
+    def scan_blocks(rerank):
         df = vecindex.query_topk(
             spark, corpus, index_dir, query_ids=[0, 1], topk=3, nprobe=2,
             rerank=rerank,
@@ -863,19 +864,23 @@ def test_pure_adc_plan_never_scans_the_corpus(spark, corpus, index_dir):
                 "formatted"
             )
         )
-        # each "Scan parquet" node block (up to the blank line), keep the
-        # ones reading the embeddings source, extract its PushedFilters
-        out = []
+        # each "Scan parquet" node block (up to the blank line), split by
+        # source: the index's assign-*.parquet segments vs the corpus
+        emb, seg = [], []
         for block in re.split(r"\n\n", plan):
-            if "Scan parquet" not in block or "embeddings" not in block:
+            if "Scan parquet" not in block:
                 continue
-            m = re.search(r"PushedFilters: \[([^\]]*)\]", block)
-            if m:
-                out.append(m.group(1))
-        assert out, "parser found no embeddings scans — format rotted"
-        return out
+            if "embeddings" in block:
+                m = re.search(r"PushedFilters: \[([^\]]*)\]", block)
+                emb.append(m.group(1) if m else "")
+            elif "assign-" in block or index_dir in block:
+                seg.append(block)
+        return emb, seg
 
-    adc = emb_scan_filters(0)
-    assert all("In(vec_id" in f for f in adc), adc  # bounded fetches only
-    reranked = emb_scan_filters(12)
-    assert any("In(vec_id" not in f for f in reranked), reranked
+    adc_emb, adc_seg = scan_blocks(0)
+    assert adc_seg, "parser found no index-segment scans — format rotted"
+    assert not adc_emb, adc_emb  # zero corpus scans in the pure-ADC plan
+    rer_emb, rer_seg = scan_blocks(12)
+    assert rer_seg, "parser found no index-segment scans — format rotted"
+    # the rerank path's shortlist fetch scans the corpus unbounded
+    assert any("In(vec_id" not in f for f in rer_emb), rer_emb
