@@ -1802,9 +1802,15 @@ def ingest_cached_data_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice", F.col("o_totalprice").cast("double")
         )
         # materialize before the server stops: executor tasks fetch over
-        # live sockets during the action, not at plan time
-        rows = out.count()
-        assert rows == t.scan().count(), "cached scan diverged from local"
-        return out.localCheckpoint()
+        # live sockets during the action, not at plan time. Checkpoint
+        # FIRST so the store read happens exactly once — the old
+        # count-then-checkpoint order executed the whole cached read
+        # twice (r12; the divergence assert now reads checkpointed
+        # partitions instead of re-fetching)
+        out = out.localCheckpoint()
+        assert out.count() == t.scan().count(), (
+            "cached scan diverged from local"
+        )
+        return out
     finally:
         srv.stop()

@@ -735,16 +735,90 @@ def assign_pq_codes(spark, emb_q: DataFrame, codebooks) -> DataFrame:
     )
 
 
+def _assign_codes_kernel(cents_np, books_np):
+    """mapInPandas factory: (vec_id, v) -> (vec_id, cluster_id, d2
+    [, codes]) in one vectorized pass — coarse argmin (first minimum =
+    lowest cluster_id, the struct-min tie-break) and, when ``books_np``
+    is given, the m PQ codes via the exact _pq_codes_udf arithmetic.
+    Everything is int64-exact; the model ships in the task closure, so
+    the stage has no broadcast exchange and no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        C = cents_np
+        cc = np.einsum("kd,kd->k", C, C)
+        if books_np is not None:
+            dsub = books_np[0].shape[1]
+            b2 = [np.einsum("kd,kd->k", b, b) for b in books_np]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(pdf["v"].tolist(), dtype=np.int64)
+            d2 = (
+                np.einsum("nd,nd->n", V, V)[:, None]
+                - 2 * (V @ C.T)
+                + cc[None, :]
+            )
+            best = d2.argmin(axis=1)
+            out = {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "cluster_id": best.astype(np.int64),
+                "d2": d2[np.arange(len(V)), best],
+            }
+            if books_np is not None:
+                codes = np.empty((len(V), len(books_np)), dtype=np.int16)
+                for s, (B, c2s) in enumerate(zip(books_np, b2)):
+                    X = V[:, s * dsub : (s + 1) * dsub]
+                    sd2 = (
+                        np.einsum("nd,nd->n", X, X)[:, None]
+                        - 2 * (X @ B.T)
+                        + c2s[None, :]
+                    )
+                    codes[:, s] = sd2.argmin(axis=1)
+                out["codes"] = list(codes)
+            yield pd.DataFrame(out)
+
+    return run
+
+
 def assign_ivf_with_codes(
     spark, emb_q: DataFrame, cents_list, codebooks=None
 ) -> DataFrame:
-    """(vec_id, v) -> (vec_id, cluster_id, d2[, codes]) in ONE projection:
+    """(vec_id, v) -> (vec_id, cluster_id, d2[, codes]) in ONE pass:
     the coarse nearest-centroid assignment and (for PQ indexes) the m
     sub-codes are both per-row maps over the same input, so computing
-    them in a single select removes the vec_id equi-join (a full shuffle
-    of both map outputs) the previous compose-by-join version paid per
-    index build/update (r12). Arithmetic is byte-identical to
-    ``assign_ivf_clusters`` + ``assign_pq_codes``."""
+    them together removes the vec_id equi-join (a full shuffle of both
+    map outputs) the previous compose-by-join version paid per index
+    build/update (r12). For bounded models the pass is one vectorized
+    Arrow kernel with the model in the task closure (no broadcast
+    exchange, no interpreted lambdas); huge-k models fall back to the
+    broadcast-expression + pandas_udf composition. Arithmetic is
+    byte-identical to ``assign_ivf_clusters`` + ``assign_pq_codes``
+    either way."""
+    k = len(cents_list)
+    dim = len(cents_list[0][1]) if cents_list else DIM
+    model_cells = k * dim + sum(
+        len(cb) * len(cb[0][1]) for cb in (codebooks or [])
+    )
+    if model_cells <= TRAIN_PARTIAL_MAX_CELLS:
+        import numpy as np
+
+        C = np.asarray([c for _, c in cents_list], dtype=np.int64)
+        B = (
+            [
+                np.asarray([cent for _, cent in cb], dtype=np.int64)
+                for cb in codebooks
+            ]
+            if codebooks is not None
+            else None
+        )
+        schema = "vec_id long, cluster_id long, d2 long" + (
+            ", codes array<smallint>" if codebooks is not None else ""
+        )
+        return emb_q.select("vec_id", "v").mapInPandas(
+            _assign_codes_kernel(C, B), schema
+        )
     cdf, cand = _centroid_candidate_structs(spark, cents_list)
     best = F.array_min(cand)
     cols = [
