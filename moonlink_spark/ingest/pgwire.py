@@ -407,13 +407,21 @@ class ReplicationWireClient:
                 if kind == b"w":
                     payload = body[25:]  # after 'w' + 3x u64
                     spool_fh.write(struct.pack(">I", len(payload)) + payload)
-                    spool_fh.flush()
                     written += 4 + len(payload)
                     stats["frames"] += 1
                     idle = 0
                 elif kind == b"k":
                     stats["keepalives"] += 1
                     idle += 1
+                    # flush the spool ONLY here, before the tailer reads
+                    # it and before anything is acknowledged: a
+                    # per-frame flush was one syscall per WAL record
+                    # (catch-up backlogs = tens of thousands), while the
+                    # exactly-once contract needs bytes durable only
+                    # ahead of the ack they back — unflushed-then-lost
+                    # frames are unacked and replay on reconnect, same
+                    # as in-flight network bytes (r12)
+                    spool_fh.flush()
                     # apply whatever landed, then acknowledge progress
                     s = self.tailer.poll_once()
                     stats["commits"] += s["commits"]

@@ -516,19 +516,25 @@ def _train_update_sums(spark, emb_q: DataFrame, cents, dim: int):
     return out
 
 
-def train_ivf_centroids(spark, emb_q: DataFrame, k: int = 8, iters: int = 3):
+def train_ivf_centroids(
+    spark, emb_q: DataFrame, k: int = 8, iters: int = 3, _init=None
+):
     """Integer-exact Lloyd training over a quantized (vec_id, v) corpus;
     returns the ordered [(cluster_id, centroid_ints)] list. Deterministic
-    init from the first k vectors by vec_id.
+    init from the first k vectors by vec_id (``_init``: those rows if the
+    caller already collected them — the PQ build shares one collect
+    between the coarse and codebook trainings).
 
     Per iteration the ONLY driver state is the k x dim sum/count matrix
     (``_train_update_sums``): one fused map job computes per-partition
     assignment + partials — no broadcast exchange, no shuffle of exploded
     coordinates (r12; the legacy shuffle path remains for huge k)."""
-    cents = [
-        (i, list(r.v))
-        for i, r in enumerate(emb_q.orderBy("vec_id").limit(k).collect())
-    ]
+    init = (
+        _init[:k]
+        if _init is not None
+        else emb_q.orderBy("vec_id").limit(k).collect()
+    )
+    cents = [(i, list(r.v)) for i, r in enumerate(init)]
     # dimension comes from the data, not the module constant: the index
     # layer trains corpora of any width through this entry point
     dim = len(cents[0][1]) if cents else DIM
@@ -546,7 +552,7 @@ def train_ivf_centroids(spark, emb_q: DataFrame, k: int = 8, iters: int = 3):
 
 def train_pq_codebooks(
     spark, emb_q: DataFrame, m: int = 4, ksub: int = 16, iters: int = 2,
-    dim: int = DIM,
+    dim: int = DIM, _init=None,
 ):
     """Product-quantization codebooks: split the ``dim`` lattice into
     ``m`` contiguous subspaces and Lloyd-train a ``ksub``-entry codebook
@@ -576,7 +582,11 @@ def train_pq_codebooks(
     # same integer argmin with tie on code, same floor-division update.
     import numpy as np
 
-    init = emb_q.orderBy("vec_id").limit(ksub).collect()
+    init = (
+        _init[:ksub]
+        if _init is not None
+        else emb_q.orderBy("vec_id").limit(ksub).collect()
+    )
     books = [
         [
             (j, [int(x) for x in list(r.v)[s * dsub : (s + 1) * dsub]])

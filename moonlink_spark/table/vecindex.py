@@ -142,9 +142,16 @@ def build_index(
         except FileNotFoundError:
             pass
         # one quantization pass serves both training and the final
-        # assignment write (the persist holds it across Lloyd iterations)
+        # assignment write (the persist holds it across Lloyd iterations);
+        # for PQ builds one init collect serves both the coarse and the
+        # codebook trainings (identical first-rows-by-vec_id semantics)
         q = quantize_embeddings_1e6(emb).persist()
-        cents = train_ivf_centroids(spark, q, k=k, iters=iters)
+        init = (
+            q.orderBy("vec_id").limit(max(k, int(pq.get("ksub", 256)))).collect()
+            if pq is not None
+            else None
+        )
+        cents = train_ivf_centroids(spark, q, k=k, iters=iters, _init=init)
         pq_books = None
         pq_meta = None
         if pq is not None:
@@ -156,6 +163,7 @@ def build_index(
                 ksub=int(pq.get("ksub", 256)),
                 iters=int(pq.get("iters", 2)),
                 dim=dim,
+                _init=init,
             )
             pq_meta = {
                 "m": len(pq_books),
