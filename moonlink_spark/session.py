@@ -40,7 +40,16 @@ _DEFAULTS: dict[str, str] = {
     # UTC micros (pg_replicate/util.rs:50-56) and the DuckDB oracle runs UTC.
     "spark.sql.session.timeZone": "UTC",
     # Shuffle: compress + spill settings appropriate for wide aggregations.
-    "spark.sql.shuffle.partitions": "32",
+    # The session DEFAULT partition count tracks the configured core count
+    # (r12: a literal "32" was silently core-count-tuned; the driver also
+    # benches at lower core counts). Data-scale-aware jobs override via
+    # tuning.configure_for_scale, which sizes partitions from input bytes
+    # — that, plus AQE coalescing, is the 100 TB answer; this default only
+    # governs small local/model-state shuffles.
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS",
+        str(max(8, int(os.environ.get("SPARK_GRAFT_CPUS", "32") or 32))),
+    ),
     "spark.shuffle.compress": "true",
     "spark.sql.autoBroadcastJoinThreshold": "33554432",  # 32 MiB: dims broadcast
     # Keep the UI off in tests/bench (port churn, memory).
