@@ -102,6 +102,29 @@ def persist_tracked(name: str, df: DataFrame) -> DataFrame:
     return df
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Floor a DataFrame's partition count at the session's default
+    parallelism before compute-heavy map stages (tokenize/md5/signature
+    derivation).
+
+    Why: a parquet file is one scan split per ROW GROUP, so a
+    single-row-group input runs its whole downstream map stage — however
+    expensive — on one task no matter how many cores the session has
+    (`spark.sql.files.minPartitionNum` cannot split below row-group
+    granularity either). The repartition is CONDITIONAL: once the input
+    carries at least default-parallelism partitions (any real at-scale
+    table: thousands of splits), this is a no-op — so the "full text
+    never shuffles" discipline of the dedup plans holds at scale, and
+    only small inputs pay one bounded text shuffle to light up all
+    cores (r12; guide §2.5 input-skew corner: "one huge unsplittable
+    file — repartition immediately after the read")."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # Pin the session to UTC so timestamp semantics match the DuckDB oracle
     # regardless of which SparkSession the driver hands us, and make sure

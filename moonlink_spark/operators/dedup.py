@@ -26,7 +26,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from moonlink_spark.operators import load, persist_tracked, register
+from moonlink_spark.operators import (
+    ensure_parallelism,
+    load,
+    persist_tracked,
+    register,
+)
 
 N_HASHES = 8
 N_BANDS = 4  # bands of 2 hashes each
@@ -44,7 +49,7 @@ def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + F.lit(1099511627776)).alias("doc_id"), "text"
     )
-    return docs.unionByName(copies)
+    return ensure_parallelism(docs.unionByName(copies))
 
 
 _SQL_DUP_CORPUS = """
@@ -61,7 +66,7 @@ def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + F.lit(1099511627776)).alias("doc_id"),
         F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
     )
-    return docs.unionByName(near)
+    return ensure_parallelism(docs.unionByName(near))
 
 
 _SQL_NEAR_CORPUS = """
@@ -667,7 +672,7 @@ def dedup_duplicate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     line dedup runs.
     """
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
+    toks = ensure_parallelism(docs.select("doc_id", "text")).select(
         "doc_id",
         F.expr(_SPARK_TOKS).alias("toks"),
     )
@@ -759,7 +764,9 @@ def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load(spark, sf_dir, "documents")
-    tokd = docs.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
+    tokd = ensure_parallelism(docs.select("doc_id", "text")).select(
+        "doc_id", F.expr(_SPARK_TOKS).alias("toks")
+    )
     sh = (
         tokd.select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("s0"))
         .select(

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from moonlink_spark.operators import load, register
+from moonlink_spark.operators import ensure_parallelism, load, register
 
 WORD_RE = "[a-z0-9]+"
 BPE_RE = r"\w+|[^\w\s]"
@@ -278,7 +278,9 @@ def char_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate absorbs the 3x-chars blowup before the shuffle; the second
     agg reduces to one row per document. No joins, no driver state.
     """
-    docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    docs = ensure_parallelism(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    ).filter(F.length("text") >= 3)
     tris = docs.select(
         "doc_id",
         F.explode(
@@ -354,7 +356,7 @@ def lm_fluency_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     count tables persist and only the scoring join runs per new shard.
     """
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
+    toks = ensure_parallelism(docs.select("doc_id", "text")).select(
         "doc_id",
         F.expr(f"regexp_extract_all(lower(text), '{WORD_RE}', 0)").alias("toks"),
     )

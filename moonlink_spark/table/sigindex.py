@@ -66,10 +66,13 @@ def _sig_files(dest: str) -> list[str]:
 def _write_signatures(df: DataFrame, dest: str) -> str:
     """One signature parquet segment from a (doc_id, text) DataFrame
     (invisible until a meta lists it). Returns the segment name."""
+    from moonlink_spark.operators import ensure_parallelism
     from moonlink_spark.table import segments as segstore
 
+    # parallelism floor before the md5-heavy signature map (no-op once
+    # the input already carries >= default-parallelism partitions)
     return segstore.write_single_parquet(
-        _spark_signature(df), dest, SEG_PREFIX
+        _spark_signature(ensure_parallelism(df)), dest, SEG_PREFIX
     )
 
 
