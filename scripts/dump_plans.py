@@ -35,10 +35,13 @@ FLAGSHIPS = {
         "join moves reduced data, not raw orders/lineitem."
     ),
     "dedup_minhash_lsh": (
-        "The only shuffles are the signature aggregation and the band-"
-        "bucket equi-join (posexplode over bands, signatures persisted). "
-        "No cartesian anywhere: candidate pairs come from hash buckets, "
-        "the quadratic verify runs only within buckets."
+        "The only at-scale shuffles are the signature aggregation and the "
+        "band-bucket equi-join (posexplode over bands, signatures "
+        "persisted); small inputs additionally pay one bounded "
+        "parallelism-floor repartition before the md5-heavy signature map "
+        "(a no-op once the scan splits, see ensure_parallelism). No "
+        "cartesian anywhere: candidate pairs come from hash buckets, the "
+        "quadratic verify runs only within buckets."
     ),
     "lsh_near_dup_pairs": (
         "Hyperplane-LSH banding turns embedding near-dup into a bucket "
@@ -94,10 +97,12 @@ FLAGSHIPS = {
         "final sum — a 4096x shuffle reduction at dim=64."
     ),
     "ngram_novelty_rate": (
-        "Shingles hash to 60-bit BIGINT keys before any exchange (full "
-        "text never shuffles) and first-ownership is a window MIN over "
-        "the shingle partition instead of a groupBy + join back — one "
-        "fewer shuffle of the whole shingle relation."
+        "Shingles hash to 60-bit BIGINT keys before any at-scale exchange "
+        "(full text never shuffles once the scan splits; small inputs pay "
+        "the one bounded parallelism-floor repartition) and "
+        "first-ownership is a window MIN over the shingle partition "
+        "instead of a groupBy + join back — one fewer shuffle of the "
+        "whole shingle relation."
     ),
     "bucketed_colocated_join": (
         "Fact-fact join with ZERO Exchange below the SortMergeJoin: both "
