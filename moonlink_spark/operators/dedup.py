@@ -49,7 +49,11 @@ def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + F.lit(1099511627776)).alias("doc_id"), "text"
     )
-    return ensure_parallelism(docs.unionByName(copies))
+    # no parallelism floor here: the sole consumer (dedup_exact) computes
+    # ONE md5 per document — too light to repay the repartition shuffle
+    # (measured 0.31 -> 0.62s with the floor; the shingle-heavy family
+    # goes through _near_corpus, which floors)
+    return docs.unionByName(copies)
 
 
 _SQL_DUP_CORPUS = """
