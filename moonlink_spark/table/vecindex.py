@@ -151,20 +151,37 @@ def build_index(
             if pq is not None
             else None
         )
-        cents = train_ivf_centroids(spark, q, k=k, iters=iters, _init=init)
         pq_books = None
         pq_meta = None
         if pq is not None:
-            dim = len(cents[0][1])
-            pq_books = train_pq_codebooks(
-                spark,
-                q,
-                m=int(pq.get("m", 8)),
-                ksub=int(pq.get("ksub", 256)),
-                iters=int(pq.get("iters", 2)),
-                dim=dim,
-                _init=init,
-            )
+            # the coarse and codebook trainings are INDEPENDENT job
+            # chains over the same persisted corpus (codes never depend
+            # on the coarse centroids), so overlap them from two driver
+            # threads (guide §2.6): each chain is mostly per-job
+            # scheduling wait at small scale, and at cluster scale the
+            # second chain back-fills the first one's stage tails.
+            # Results are unchanged — both trainings are deterministic
+            # functions of (q, init).
+            from concurrent.futures import ThreadPoolExecutor
+
+            dim = len(init[0].v) if init else None
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                cents_f = pool.submit(
+                    train_ivf_centroids, spark, q, k=k, iters=iters,
+                    _init=init,
+                )
+                books_f = pool.submit(
+                    train_pq_codebooks,
+                    spark,
+                    q,
+                    m=int(pq.get("m", 8)),
+                    ksub=int(pq.get("ksub", 256)),
+                    iters=int(pq.get("iters", 2)),
+                    dim=dim,
+                    _init=init,
+                )
+                cents = cents_f.result()
+                pq_books = books_f.result()
             pq_meta = {
                 "m": len(pq_books),
                 "ksub": len(pq_books[0]),
@@ -174,6 +191,8 @@ def build_index(
                     for cb in pq_books
                 ],
             }
+        else:
+            cents = train_ivf_centroids(spark, q, k=k, iters=iters)
         name, n, sd2 = _write_assignments(spark, q, cents, dest, pq_books)
         q.unpersist()
         meta = {
