@@ -444,6 +444,10 @@ def _train_update_kernel(cents_np):
 
     def fold(batches):
         C = cents_np
+        if C.ndim != 2 or not len(C):  # degenerate empty model
+            for _ in batches:
+                pass
+            return
         c2 = np.einsum("kd,kd->k", C, C)
         k, dim = C.shape
         sums = np.zeros((k, dim), dtype=np.int64)
@@ -646,6 +650,10 @@ def _pq_update_kernel(books_np):
 
     def fold(batches):
         m = len(books_np)
+        if not m or books_np[0].ndim != 2 or not len(books_np[0]):
+            for _ in batches:  # degenerate empty model
+                pass
+            return
         ksub, dsub = books_np[0].shape
         c2 = [np.einsum("kd,kd->k", b, b) for b in books_np]
         sums = np.zeros((m, ksub, dsub), dtype=np.int64)
@@ -757,6 +765,10 @@ def _assign_codes_kernel(cents_np, books_np):
 
     def run(batches):
         C = cents_np
+        if C.ndim != 2 or not len(C):  # degenerate empty model
+            for _ in batches:
+                pass
+            return
         cc = np.einsum("kd,kd->k", C, C)
         if books_np is not None:
             dsub = books_np[0].shape[1]
