@@ -60,7 +60,48 @@ def _patch_no_floor():
     return lambda: setattr(textstats, "ensure_parallelism", orig)
 
 
-PATCHES = {"no_floor": _patch_no_floor}
+def _patch_frame_flush():
+    """Restore the pre-r12 per-WAL-frame spool flush (pgwire A/B)."""
+    from moonlink_spark.ingest import pgwire
+
+    pgwire.FLUSH_PER_FRAME = True
+    return lambda: setattr(pgwire, "FLUSH_PER_FRAME", False)
+
+
+def _patch_serial_pool():
+    """Serialize every ThreadPoolExecutor (chain-overlap A/B: arm B runs
+    the overlapped driver chains sequentially, like the pre-r13 code)."""
+    import concurrent.futures as cf
+
+    orig = cf.ThreadPoolExecutor
+
+    class _Serial:
+        def __init__(self, *a, **k):
+            pass
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def submit(self, fn, *a, **k):
+            f = cf.Future()
+            try:
+                f.set_result(fn(*a, **k))
+            except BaseException as e:  # noqa: BLE001 - mirror Future semantics
+                f.set_exception(e)
+            return f
+
+    cf.ThreadPoolExecutor = _Serial
+    return lambda: setattr(cf, "ThreadPoolExecutor", orig)
+
+
+PATCHES = {
+    "no_floor": _patch_no_floor,
+    "frame_flush": _patch_frame_flush,
+    "serial_pool": _patch_serial_pool,
+}
 
 
 def main() -> None:
