@@ -212,14 +212,19 @@ def main() -> None:
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     samples["ingest_merge_lifecycle"] = []
     samples["ingest_batch_commits"] = []
+    # spaced calibration probes (see _calibration): one before the timed
+    # pass, one midway through each repeat — each between query timings
+    _calibration_probe(spark)
     for _ in range(repeats):
-        for name in HEADLINE:
+        for qi, name in enumerate(HEADLINE):
             t0 = time.time()
             _force(specs[name].fn(spark, sf_dir))
             samples[name].append(time.time() - t0)
             # queries persist() their reused subtrees; drop them so one
             # query's cache does not shift the next query's memory budget
             spark.catalog.clearCache()
+            if qi == len(HEADLINE) // 2:
+                _calibration_probe(spark)
         samples["ingest_merge_lifecycle"].append(bench_ingest(spark, sf_dir))
         samples["ingest_batch_commits"].append(bench_batch_commits(spark))
     for name, runs in samples.items():
@@ -349,31 +354,51 @@ def main() -> None:
     )
 
 
+_CAL_SAMPLES: list[float] = []
+
+
+def _calibration_probe(spark) -> None:
+    """One sample of the fixed shuffle+agg calibration job (groupBy over
+    20M generated longs — a workload no code change touches), appended to
+    the run's calibration pool. Probes are taken at SPACED points of the
+    run (before the timed pass, midway through it, and at the end) so the
+    final statistic reflects host speed across the same window the
+    queries ran in. Each probe runs BETWEEN query timings, never inside
+    one."""
+    t0 = time.time()
+    (
+        spark.range(20_000_000)
+        .groupBy((F.col("id") % 1024).alias("k"))
+        .agg(F.sum("id"), F.count("*"))
+        .write.mode("overwrite").format("noop").save()
+    )
+    _CAL_SAMPLES.append(time.time() - t0)
+
+
 def _calibration(spark) -> float:
-    """Outlier-rejected median of 5 runs of a fixed shuffle+agg job that
-    no code change touches: groupBy over 20M generated longs.
+    """Outlier-rejected median over the run's SPACED calibration samples
+    plus 3 end-of-run samples.
 
     The statistic must stay MEDIAN-compatible with the frozen anchor's
     calibration (BASELINE_FROZEN.json recorded a median — a min-based
     live value reads ~25-35% low on a quiet host and silently inflates
-    every normalized ratio by that factor). But a plain median is
-    poisonable: calibration noise is strictly ADDITIVE (GC pauses in
-    the 100s-old session, scheduler contention), and r12 observed a
-    median-of-3 of 1.97s — 4.6x the anchor — while a quiet standalone
-    run read 0.38-0.42s; a poisoned calibration DIVIDES AWAY real
-    regressions. So: 5 samples, drop any sample more than 2x the
-    fastest (contaminated by construction — the job is fixed), median
-    of the survivors."""
-    runs = []
-    for _ in range(5):
-        t0 = time.time()
-        (
-            spark.range(20_000_000)
-            .groupBy((F.col("id") % 1024).alias("k"))
-            .agg(F.sum("id"), F.count("*"))
-            .write.mode("overwrite").format("noop").save()
-        )
-        runs.append(time.time() - t0)
+    every normalized ratio by that factor). Two poisoning modes are
+    handled:
+    - ADDITIVE noise (GC pauses, scheduler contention): r12 observed a
+      median-of-3 of 1.97s — 4.6x the anchor — while a quiet standalone
+      run read 0.38-0.42s. A poisoned-slow calibration DIVIDES AWAY real
+      regressions. Mitigation: drop any sample more than 2x the fastest
+      (contaminated by construction — the job is fixed).
+    - a QUIET-MOMENT end-of-run burst (r12 driver run: all samples back
+      to back hit a quiet instant, calibration read 0.196 vs the 0.424
+      anchor, and every query's normalized ratio doubled — the drift
+      detector amplified the very noise it exists to kill). Mitigation
+      (r13): the median now pools probes SPACED across the whole run
+      (_calibration_probe call sites in main) with the end samples, so
+      one quiet or loaded instant cannot set the run's denominator."""
+    for _ in range(3):
+        _calibration_probe(spark)
+    runs = list(_CAL_SAMPLES)
     clean = sorted(r for r in runs if r <= 2 * min(runs))
     return round(clean[len(clean) // 2], 3)
 
