@@ -12,6 +12,26 @@ import os
 
 from pyspark.sql import SparkSession
 
+
+def _default_shuffle_partitions() -> str:
+    """Shuffle-partition default tracking the configured core count, with
+    the same lenient env parsing as get_spark: a non-numeric
+    SPARK_GRAFT_CPUS / SPARK_GRAFT_SHUFFLE_PARTITIONS must not crash at
+    module import (ADVICE r12) — fall back to 32 like the master string
+    does."""
+    override = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if override:
+        try:
+            return str(max(1, int(override)))
+        except ValueError:
+            pass
+    try:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32") or 32)
+    except ValueError:
+        cpus = 32
+    return str(max(8, cpus))
+
+
 _DEFAULTS: dict[str, str] = {
     # Adaptive query execution: runtime shuffle-partition coalescing, skew-join
     # splitting, and dynamic join-strategy switching. Essential at 100 TB where
@@ -46,10 +66,7 @@ _DEFAULTS: dict[str, str] = {
     # tuning.configure_for_scale, which sizes partitions from input bytes
     # — that, plus AQE coalescing, is the 100 TB answer; this default only
     # governs small local/model-state shuffles.
-    "spark.sql.shuffle.partitions": os.environ.get(
-        "SPARK_GRAFT_SHUFFLE_PARTITIONS",
-        str(max(8, int(os.environ.get("SPARK_GRAFT_CPUS", "32") or 32))),
-    ),
+    "spark.sql.shuffle.partitions": _default_shuffle_partitions(),
     "spark.shuffle.compress": "true",
     "spark.sql.autoBroadcastJoinThreshold": "33554432",  # 32 MiB: dims broadcast
     # Keep the UI off in tests/bench (port churn, memory).

@@ -89,7 +89,27 @@ def _write_assignments(
     )
     name = segstore.write_single_parquet(assigned, dest, SEG_PREFIX)
     stats = obs.get
-    return name, int(stats["n"] or 0), int(stats["sd2"] or 0)
+    n, sd2 = int(stats["n"] or 0), int(stats["sd2"] or 0)
+    # observe() metrics have accumulator semantics: on a real cluster,
+    # map-stage retries / speculative tasks upstream of the write shuffle
+    # can double-count. Validate n against the written file's footer row
+    # count (one metadata read — the file is the commit artifact, exact
+    # by construction) and recompute the stats from the segment on any
+    # mismatch instead of silently corrupting the meta (ADVICE r12).
+    import pyarrow.parquet as pq_
+
+    actual = pq_.ParquetFile(os.path.join(dest, name)).metadata.num_rows
+    if actual != n:
+        row = (
+            spark.read.parquet(os.path.join(dest, name))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("d2").cast("decimal(38,0)")).alias("sd2"),
+            )
+            .first()
+        )
+        n, sd2 = int(row["n"] or 0), int(row["sd2"] or 0)
+    return name, n, sd2
 
 
 def build_index(
@@ -377,12 +397,15 @@ def query_topk(
     and only candidates are cosine-scored. Returns
     (query_id, neighbor_id, cosine, rn).
 
-    Scale shape: probe selection is the same zero-Exchange broadcast
-    centroid map the assign path uses (``probe_ivf_clusters`` — no
-    driver math, so a million-query batch probes exactly like ten);
-    assignments join is an equi-join on cluster_id; the probe set is
-    broadcast; the corpus is scanned once to re-attach embeddings for
-    the candidate clusters only.
+    Scale shape: ``query_ids`` is a BOUNDED explicit request (the probe
+    API's contract), so probe selection and the per-query ADC tables run
+    as exact driver arithmetic over one collected scan of the query rows
+    — O(|query_ids| * k * dim) driver work (r12; a massive query batch
+    should instead be chunked by the caller or routed through the
+    distributed ``probe_ivf_clusters`` map). The assignments join is an
+    equi-join on cluster_id; the probe set is broadcast; the corpus is
+    scanned once to re-attach embeddings for the candidate clusters
+    only.
 
     PQ indexes add an ADC SHORTLIST stage before the exact-cosine
     rerank: candidates are scored from their persisted m codes against
@@ -432,7 +455,10 @@ def query_topk(
     ]
     C = np.asarray([c for _, c in cents], dtype=np.int64)
     probe_pairs = []
-    for qid, v in qv:
+    # empty centroid matrix (degenerate empty-corpus build): no probes —
+    # the plan degrades to an empty result exactly like the pre-r12
+    # probe_ivf_clusters path did, instead of a numpy broadcast error
+    for qid, v in qv if len(cents) else []:
         d2 = np.einsum(
             "kd->k", (C - np.asarray(v, dtype=np.int64)[None, :]) ** 2
         )
@@ -499,9 +525,14 @@ def query_topk(
             adc.withColumn("srn", F.row_number().over(ws))
             .filter(F.col("srn") <= r)
         )
+    # query vectors keep the CORPUS embedding element type (float32 in
+    # the standard schema, float64 supported by schema.py): hard-coding
+    # array<float> truncated float64 query vectors before the cosine
+    # (ADVICE r12)
+    emb_type = emb.schema["embedding"].dataType.simpleString()
     qe = spark.createDataFrame(
         [(qid, list(r.embedding)) for (qid, _), r in zip(qv, qrows)],
-        "query_id bigint, qe array<float>",
+        f"query_id bigint, qe {emb_type}",
     )
     ce = emb.select("vec_id", F.col("embedding").alias("ce"))
     scored = (
