@@ -31,7 +31,21 @@ def collect_file_stats(path: str, max_columns: int = 32) -> dict[str, list]:
     any row group are dropped (can't prune safely)."""
     import pyarrow.parquet as pq
 
+    return stats_from_metadata(pq.ParquetFile(path).metadata, max_columns)
+
+
+def file_rows_and_stats(
+    path: str, max_columns: int = 32
+) -> tuple[int, dict[str, list]]:
+    """(num_rows, min/max stats) from ONE footer read. The write-adoption
+    loop needs both per adopted file and was opening the footer twice."""
+    import pyarrow.parquet as pq
+
     md = pq.ParquetFile(path).metadata
+    return md.num_rows, stats_from_metadata(md, max_columns)
+
+
+def stats_from_metadata(md, max_columns: int = 32) -> dict[str, list]:
     out: dict[str, list] = {}
     bad: set[str] = set()
     for rg in range(md.num_row_groups):

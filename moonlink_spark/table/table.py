@@ -54,6 +54,7 @@ from moonlink_spark.table.identity import IdentityProp
 from moonlink_spark.table.stats import (
     PrunePredicate,
     collect_file_stats,
+    file_rows_and_stats,
     key_batch_predicate,
 )
 from moonlink_spark.table.fs import fs_for
@@ -588,23 +589,18 @@ class MoonlinkTable:
             p = os.path.abspath(p)
             self._check_load_schema(p)
             # footer stats ride along (the footer is already being read
-            # for the row count), so bulk-loaded files participate in
-            # min/max file pruning like every internally written file
-            stats = collect_file_stats(p)
+            # for the row count — one shared metadata read), so
+            # bulk-loaded files participate in min/max file pruning like
+            # every internally written file
+            rows, stats = file_rows_and_stats(p)
             if copy:
                 name = f"{DATA_DIR}/load-{uuid.uuid4().hex}.parquet"
                 self.data_fs.copyfile(p, os.path.join(self.data_path, name))
                 entries.append(
-                    FileEntry(
-                        name, _parquet_num_rows(p), os.path.getsize(p), stats
-                    )
+                    FileEntry(name, rows, os.path.getsize(p), stats)
                 )
             else:
-                entries.append(
-                    FileEntry(
-                        p, _parquet_num_rows(p), os.path.getsize(p), stats
-                    )
-                )
+                entries.append(FileEntry(p, rows, os.path.getsize(p), stats))
         with self._lock:
             self._pending.append(("append_files", entries))
 
@@ -1177,8 +1173,15 @@ class MoonlinkTable:
             from pyspark.sql.pandas.types import to_arrow_schema
 
             arrow_schema = to_arrow_schema(schema)
-            tbl = pa.Table.from_pylist(
-                [{f: r.get(f) for f in schema.fieldNames()} for r in rows],
+            # columnar projection, not row dicts: from_pylist rebuilt a
+            # dict per row (plus a fieldNames() call per row) before
+            # pyarrow transposed it anyway — ~3x the CPU of handing each
+            # column as one list to the C conversion path. Same values,
+            # same schema coercion, same None handling (r13; this is the
+            # per-commit floor of the row-buffer fast path)
+            names = schema.fieldNames()
+            tbl = pa.Table.from_pydict(
+                {f: [r.get(f) for r in rows] for f in names},
                 schema=arrow_schema,
             )
             rel = f"{DATA_DIR}/buf-{uuid.uuid4().hex}.parquet"
@@ -1267,17 +1270,19 @@ class MoonlinkTable:
                 rel = f"{rel_prefix}-{uuid.uuid4().hex}.parquet"
                 dst = os.path.join(self.data_path, rel)
                 self.data_fs.rename(os.path.join(tmp, name), dst)
-                rows = _parquet_num_rows(dst)
+                # one footer read per adopted file: row count and min/max
+                # stats come from the same metadata object (r13; the old
+                # code opened the footer twice per file — a per-file
+                # driver tax on every multi-file commit)
+                if with_stats:
+                    rows, stats = file_rows_and_stats(dst)
+                else:
+                    rows, stats = _parquet_num_rows(dst), None
                 if rows == 0:
                     self.data_fs.unlink(dst)
                     continue
                 entries.append(
-                    FileEntry(
-                        rel,
-                        rows,
-                        self.data_fs.getsize(dst),
-                        collect_file_stats(dst) if with_stats else None,
-                    )
+                    FileEntry(rel, rows, self.data_fs.getsize(dst), stats)
                 )
             return entries
         finally:
