@@ -993,11 +993,29 @@ def ingest_export_sigindex_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
             IdentityProp.single("doc_id"),
         )
-        t.append_df(corpus)
-        t.commit(lsn=1)
-        sigindex.build_index(
-            corpus, f"{workdir}/t/sigindex/text", meta_update={"as_of_lsn": 1}
-        )
+        # table ingest (data/ + manifest) and signature-index build
+        # (sigindex/ segments + meta) are independent deterministic
+        # functions of the same corpus writing disjoint paths — overlap
+        # them from two driver threads (guide §2.6) so each chain's jobs
+        # back-fill the other's per-job floors; the export consumes both
+        # finished artifacts, byte-identical to the sequential order (r13)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _table_chain() -> None:
+            t.append_df(corpus)
+            t.commit(lsn=1)
+
+        def _index_chain() -> None:
+            sigindex.build_index(
+                corpus,
+                f"{workdir}/t/sigindex/text",
+                meta_update={"as_of_lsn": 1},
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            tf, xf = pool.submit(_table_chain), pool.submit(_index_chain)
+            tf.result()
+            xf.result()
         export_iceberg(t, f"{workdir}/ice")
         con = duckdb.connect()
         try:

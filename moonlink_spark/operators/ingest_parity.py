@@ -1808,7 +1808,11 @@ def ingest_cached_data_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         # twice (r12; the divergence assert now reads checkpointed
         # partitions instead of re-fetching)
         out = out.localCheckpoint()
-        assert out.count() == t.scan().count(), (
+        # divergence reference: the manifest's exact live-row count
+        # (cardinality() is stats-maintained by the same commits, no
+        # scan) — re-counting the local parquet+DV view here was one
+        # more full scan job per query run for the same number (r13)
+        assert out.count() == t.cardinality(), (
             "cached scan diverged from local"
         )
         return out

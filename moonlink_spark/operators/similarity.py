@@ -2716,25 +2716,45 @@ def ingest_export_vecindex_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
             IdentityProp.single("vec_id"),
         )
-        t.append_df(emb.filter(F.col("vec_id") % 2 == 0))
-        t.commit(lsn=1)
         idx_dir = f"{workdir}/t/vecindex/embedding"
-        vecindex.build_index(
-            spark,
-            emb.filter(F.col("vec_id") % 2 == 0),
-            idx_dir,
-            k=8,
-            iters=2,
-            meta_update={"as_of_lsn": 1},
-        )
-        t.append_df(emb.filter(F.col("vec_id") % 2 == 1))
-        t.commit(lsn=2)
-        vecindex.update_index(
-            spark,
-            emb.filter(F.col("vec_id") % 2 == 1),
-            idx_dir,
-            meta_update={"as_of_lsn": 2},
-        )
+        # The TABLE chain (append+commit x2 — data/ files + manifests) and
+        # the INDEX chain (build on the even half, incremental update with
+        # the odd half — vecindex/ segments + meta) are independent
+        # deterministic functions of the same input halves: the index
+        # builds from `emb` directly, never from the table, and the two
+        # chains write disjoint paths. Run them from two driver threads
+        # (guide §2.6) so each chain's jobs back-fill the other's per-job
+        # scheduling floors and stage tails; the export below consumes
+        # both finished artifacts, byte-identical to the sequential order
+        # (r13).
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _table_chain() -> None:
+            t.append_df(emb.filter(F.col("vec_id") % 2 == 0))
+            t.commit(lsn=1)
+            t.append_df(emb.filter(F.col("vec_id") % 2 == 1))
+            t.commit(lsn=2)
+
+        def _index_chain() -> None:
+            vecindex.build_index(
+                spark,
+                emb.filter(F.col("vec_id") % 2 == 0),
+                idx_dir,
+                k=8,
+                iters=2,
+                meta_update={"as_of_lsn": 1},
+            )
+            vecindex.update_index(
+                spark,
+                emb.filter(F.col("vec_id") % 2 == 1),
+                idx_dir,
+                meta_update={"as_of_lsn": 2},
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            tf, xf = pool.submit(_table_chain), pool.submit(_index_chain)
+            tf.result()
+            xf.result()
         export_iceberg(t, f"{workdir}/ice")
         con = duckdb.connect()
         try:
