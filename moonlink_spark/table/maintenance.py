@@ -86,9 +86,31 @@ def optimize(
     if not base.data_files:
         return base.version
 
-    live = table._read_manifest(base, with_pos=False)
     live_bytes = sum(f.bytes for f in base.data_files)
     n_out = max(1, round(live_bytes / cfg.target_file_bytes))
+    if (
+        not base.delete_files
+        and len(base.data_files) == n_out
+        and not table.cluster_by
+        and (
+            n_out == 1
+            or all(
+                f.bytes <= 2 * cfg.target_file_bytes
+                and f.bytes >= cfg.small_file_bytes
+                for f in base.data_files
+            )
+        )
+    ):
+        # the table is ALREADY in optimize's post-state (no DVs to fold,
+        # file count at the byte-derived target; clustered tables only
+        # ever commit range-sorted files, but they keep the rewrite as
+        # the explicit re-clustering pass): rewriting would read and
+        # write every live byte to produce an equivalent layout. Skip —
+        # at scale this is the difference between "nightly optimize
+        # re-churns the whole table" and a no-op commit cycle (r13)
+        return base.version
+
+    live = table._read_manifest(base, with_pos=False)
     with _maintenance_write(table):
         if table.cluster_by:
             # clustered tables re-sort into n_out range files (compaction

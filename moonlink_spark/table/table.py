@@ -101,8 +101,20 @@ def rel_fp_expr(data_path: str):
     whose path merely CONTAINS the data root as an interior substring must
     stay intact, or two distinct files could normalize to the same ``__fp``
     and one's DV would kill the other's rows. startswith + substr stay
-    literal (no regexp) — this runs per row on every positioned scan."""
+    literal (no regexp) — this runs per row on every positioned scan.
+
+    The COMMON case (an internally written file under the data root) is
+    matched with one fused scheme+root prefix per URI variant — one
+    startswith probe and one substr allocation per row instead of the
+    two-stage scheme-strip + root-strip chain, which measured ~1.1us/row
+    (0.75s of a 660k-row single-task DV scan, r13). The two-stage chain
+    remains as the ``otherwise`` arm, so external/absolute paths and any
+    unexpected URI shape normalize exactly as before."""
     raw_fp = F.col("_metadata.file_path")
+    root = data_path + "/"
+    # 2147483647 = unbounded substr tail (Spark clamps to string length):
+    # skipping the F.length() call saves one pass per row
+    big = F.lit(2147483647)
     no_scheme = (
         F.when(
             raw_fp.startswith("file://"),
@@ -114,11 +126,19 @@ def rel_fp_expr(data_path: str):
         )
         .otherwise(raw_fp)
     )
-    prefix = data_path + "/"
-    return F.when(
-        no_scheme.startswith(prefix),
-        no_scheme.substr(F.lit(len(prefix) + 1), F.length(no_scheme)),
+    slow = F.when(
+        no_scheme.startswith(root),
+        no_scheme.substr(F.lit(len(root) + 1), F.length(no_scheme)),
     ).otherwise(no_scheme)
+    expr = slow
+    # most-likely variant last so it becomes the FIRST when-branch probed
+    for scheme in ("", "file://", "file:"):
+        prefix = scheme + root
+        expr = F.when(
+            raw_fp.startswith(prefix),
+            raw_fp.substr(F.lit(len(prefix) + 1), big),
+        ).otherwise(expr)
+    return expr
 
 
 class MoonlinkTable:

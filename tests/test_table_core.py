@@ -219,6 +219,34 @@ def test_optimize_and_vacuum(spark, tmp_path):
     assert rows_set(t.scan()) == expect
 
 
+def test_optimize_skips_already_optimal(spark, tmp_path):
+    """r13: optimize() on a table already in its post-state (file count
+    at the byte-derived target, no DVs) must be a NO-OP — no rewrite job,
+    no new manifest version — while a subsequent mutation makes the next
+    optimize rewrite again."""
+    t = make_users(spark, tmp_path)
+    t.append_rows(
+        [{"id": i, "name": "n", "email": None, "age": i % 90} for i in range(100)]
+    )
+    t.commit(lsn=1)
+    t.delete_rows([{"id": i} for i in range(0, 10)])
+    t.commit(lsn=2)
+    v = optimize(t)  # real rewrite: folds the DV into one file
+    m = t.manifest
+    assert m.version == v and not m.delete_files and len(m.data_files) == 1
+    expect = rows_set(t.scan())
+    # already optimal: same version back, manifest untouched
+    assert optimize(t) == v
+    assert t.manifest.version == v
+    assert rows_set(t.scan()) == expect
+    # a new DV re-arms the rewrite
+    t.delete_rows([{"id": 42}])
+    t.commit(lsn=3)
+    v2 = optimize(t)
+    assert v2 > v and not t.manifest.delete_files
+    assert rows_set(t.scan()) == expect - {(42, "n", None, 42)}
+
+
 def test_alter_add_drop_columns(spark, tmp_path):
     t = make_users(spark, tmp_path)
     t.append_rows([{"id": 1, "name": "a", "email": "e", "age": 1}])
