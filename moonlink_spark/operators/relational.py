@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from moonlink_spark.operators import load, register
+from moonlink_spark.operators import ensure_parallelism, load, register
 
 # Money arithmetic is done in DECIMAL so Spark and DuckDB sums are exact and
 # order-independent; final results are cast back to DOUBLE on both sides.
@@ -63,8 +63,15 @@ GROUP BY l_returnflag, l_linestatus
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-scan hash aggregation with computed measures (delegated surface;
-    reference scan parity: moonlink_datafusion table_provider.rs:74-172)."""
-    li = load(spark, sf_dir, "lineitem")
+    reference scan parity: moonlink_datafusion table_provider.rs:74-172).
+
+    ensure_parallelism: the sf fixtures scan as ONE split (single row
+    group), so the heavy decimal partial aggregation ran on one core; the
+    conditional floor spreads it (measured 1.205 -> 0.893 s interleaved,
+    r13) and is a strict no-op at real split counts. Decimal sums and
+    count are exact and commutative, so the result is partition-
+    independent (value-identical verified at sf0.1)."""
+    li = ensure_parallelism(load(spark, sf_dir, "lineitem"))
     charge = _disc_price() * (F.lit(1.0).cast(DEC) + _m("l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-08-01 00:00:00").cast("timestamp"))

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from moonlink_spark.operators import load, register
+from moonlink_spark.operators import ensure_parallelism, load, register
 
 DEC = "decimal(15,4)"
 
@@ -41,8 +41,14 @@ def percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant exists for oracle parity at small sf; the 100 TB path is
     ``approx_percentiles_by_flag`` below (t-digest sketch: mergeable,
     bounded state per partial), same rule as SCALE.md §1 "bounded
-    aggregation state"."""
-    li = load(spark, sf_dir, "lineitem")
+    aggregation state".
+
+    ensure_parallelism: single-row-group fixtures scan as one split, so
+    the per-partition value->count buffer build ran on one core; the
+    conditional floor spreads the partial phase (1.603 -> 1.389 s
+    interleaved, r13; no-op at real split counts) and percentile buffer
+    merges are exact and order-independent."""
+    li = ensure_parallelism(load(spark, sf_dir, "lineitem"))
     return li.groupBy("l_returnflag").agg(
         F.percentile("l_extendedprice", F.lit(0.5)).alias("median_price"),
         F.percentile("l_extendedprice", F.lit(0.95)).alias("p95_price"),
@@ -55,8 +61,8 @@ def percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx_percentiles_by_flag",
     oracle="""
 SELECT l_returnflag,
-       CAST(round(quantile_cont(l_extendedprice, 0.5), 2) AS DOUBLE)  AS median_exact,
-       CAST(round(quantile_cont(l_extendedprice, 0.95), 2) AS DOUBLE) AS p95_exact,
+       CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE)  AS median_exact,
+       CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE) AS p95_exact,
        TRUE AS approx_within_tol,
        COUNT(*) AS n
 FROM lineitem
@@ -94,10 +100,17 @@ def approx_percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("m_approx") - F.col("m_exact")) / F.col("m_exact") < tol)
         & (F.abs(F.col("p_approx") - F.col("p_exact")) / F.col("p_exact") < tol)
     )
+    # RAW doubles, no round: Spark `percentile` equals DuckDB
+    # quantile_cont bit-for-bit (the exact twin's verified contract), but
+    # round(x, 2) does NOT cross engines on half-cent boundaries — an
+    # interpolated percentile landing 1 ulp below x.xx5 (e.g.
+    # 52724.244999999995 at sf0.001) rounds down in Spark's HALF_UP on
+    # the true double and up in DuckDB (inherited landmine, fixed r13;
+    # both sides changed together, oracle stays hash-exact)
     return agg.select(
         "l_returnflag",
-        F.round("m_exact", 2).cast("double").alias("median_exact"),
-        F.round("p_exact", 2).cast("double").alias("p95_exact"),
+        F.col("m_exact").cast("double").alias("median_exact"),
+        F.col("p_exact").cast("double").alias("p95_exact"),
         within.alias("approx_within_tol"),
         "n",
     )
