@@ -2552,13 +2552,16 @@ def ann_index_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, emb.filter(F.col("vec_id") % 2 == 1), dest
         )
         vecindex.compact_index(spark, dest)
-        rows = (
+        # driver-side sort of the bounded (10 x top-3) result: a
+        # DataFrame orderBy on 30 rows costs a range-partitioning
+        # exchange plus its sampling job per run (r13); the Python sort
+        # on the same unique key is byte-identical
+        rows = sorted(
             vecindex.query_topk(
                 spark, emb, dest, query_ids=list(range(10)),
                 topk=3, nprobe=2, rerank=12,
-            )
-            .orderBy("query_id", "rn")
-            .collect()
+            ).collect(),
+            key=lambda r: (r.query_id, r.rn),
         )
     finally:
         shutil.rmtree(dest, ignore_errors=True)
@@ -2607,13 +2610,16 @@ def ann_index_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, emb.filter(F.col("vec_id") % 2 == 1), dest
         )
         vecindex.compact_index(spark, dest)
-        rows = (
+        # driver-side sort of the bounded (10 x top-3) result: a
+        # DataFrame orderBy on 30 rows costs a range-partitioning
+        # exchange plus its sampling job per run (r13); the Python sort
+        # on the same unique key is byte-identical
+        rows = sorted(
             vecindex.query_topk(
                 spark, emb, dest, query_ids=list(range(10)),
                 topk=3, nprobe=2, rerank=0,
-            )
-            .orderBy("query_id", "rn")
-            .collect()
+            ).collect(),
+            key=lambda r: (r.query_id, r.rn),
         )
     finally:
         shutil.rmtree(dest, ignore_errors=True)
@@ -2655,12 +2661,12 @@ def ann_index_lifecycle_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize the (bounded: 10 queries x top-3) result so the
         # index directory can be deleted — repeated gate/bench/parity
         # runs must not accumulate tmp indexes
-        rows = (
+        # driver-side sort of the bounded result (see ann_index_pq_topk)
+        rows = sorted(
             vecindex.query_topk(
                 spark, emb, dest, query_ids=list(range(10)), topk=3, nprobe=2
-            )
-            .orderBy("query_id", "rn")
-            .collect()
+            ).collect(),
+            key=lambda r: (r.query_id, r.rn),
         )
     finally:
         shutil.rmtree(dest, ignore_errors=True)
